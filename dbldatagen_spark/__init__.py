@@ -1,0 +1,83 @@
+"""dbldatagen_spark — a PySpark-native declarative synthetic-data engine.
+
+A from-scratch rebuild of the capability surface of
+``databrickslabs/dbldatagen`` (reference at /root/reference), designed
+Spark-first:
+
+* every column is a pure Catalyst ``Column`` expression over a
+  ``spark.range`` seed DataFrame — no shuffles, no joins, no Python in the
+  hot path (pandas UDFs only for free-text/Faker-style generators);
+* all randomness is partition-independent: per-cell seeds are
+  ``xxhash64(lit(column_seed), row_id)`` so the same plan + seed produces
+  bit-identical data at any partition count or cluster size
+  (cf. reference ``dbldatagen/core/engine/seed.py:48-64``);
+* multi-table referential integrity is achieved *without joins* by
+  re-deriving parent primary-key values from a sampled parent row index
+  (cf. reference ``dbldatagen/core/engine/fk.py:21-97``).
+
+Two API layers:
+
+* declarative: :class:`~dbldatagen_spark.plans.spec.DataGenPlan` +
+  :func:`~dbldatagen_spark.generator.generate`;
+* fluent v0-compatible: :class:`~dbldatagen_spark.datagen.DataGenerator`
+  (``withColumn(...).build()``).
+
+Beyond the reference surface, :mod:`dbldatagen_spark.functions` provides
+large-scale training-data pipeline operators (dedup, similarity search,
+text analysis, multimodal plumbing) over ordinary DataFrames.
+"""
+
+from dbldatagen_spark.plans.spec import (
+    ArrayColumn,
+    ColumnSpec,
+    ConstantColumn,
+    DataGenPlan,
+    DateColumn,
+    Exponential,
+    ExpressionColumn,
+    FakerColumn,
+    ForeignKeyColumn,
+    LogNormal,
+    Normal,
+    PatternColumn,
+    RangeColumn,
+    SequenceColumn,
+    StructColumn,
+    TableSpec,
+    TimestampColumn,
+    Uniform,
+    UUIDColumn,
+    ValuesColumn,
+    WeightedValues,
+    Zipf,
+)
+from dbldatagen_spark.generator import generate, generate_table
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ArrayColumn",
+    "ColumnSpec",
+    "ConstantColumn",
+    "DataGenPlan",
+    "DateColumn",
+    "Exponential",
+    "ExpressionColumn",
+    "FakerColumn",
+    "ForeignKeyColumn",
+    "LogNormal",
+    "Normal",
+    "PatternColumn",
+    "RangeColumn",
+    "SequenceColumn",
+    "StructColumn",
+    "TableSpec",
+    "TimestampColumn",
+    "Uniform",
+    "UUIDColumn",
+    "ValuesColumn",
+    "WeightedValues",
+    "Zipf",
+    "generate",
+    "generate_table",
+]

@@ -1,0 +1,191 @@
+"""Distribution sampling as pure Spark SQL expressions.
+
+Every sampler maps a deterministic 64-bit *seed column* (see
+:mod:`dbldatagen_spark.operators.seed`) to either
+
+* an **index** in ``[0, n)`` — used to pick lattice points / list values
+  (:func:`index_expr`), or
+* a **unit** double in ``[0, 1]`` — used for continuous ranges
+  (:func:`unit_expr`).
+
+All samplers are closed-form inverse-CDF (or Box–Muller) transforms built
+from ``pyspark.sql.functions`` only, so they run inside whole-stage codegen
+with zero Python — unlike the reference's v0 path which routes
+distributions through nondeterministic pandas UDFs
+(``/root/reference/dbldatagen/distributions/data_distribution.py:5-21``).
+The reference's declarative core does the same pure-expression trick for
+uniform/normal/zipf/exponential/lognormal
+(``/root/reference/dbldatagen/core/engine/distributions.py``); we extend it
+to Beta/Gamma/Pareto via Wilson–Hilferty / truncated-Pareto closed forms so
+*no* distribution needs a UDF.
+
+Determinism note: Box–Muller needs two independent uniforms; the second is
+derived JVM-side as ``xxhash64(lit(salt), seed_col)`` so it remains a pure
+function of (column_seed, row_id).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from dbldatagen_spark.operators.seed import (
+    uniform_fraction,
+    uniform_fraction_open,
+)
+from dbldatagen_spark.plans.spec import (
+    Beta,
+    Distribution,
+    Exponential,
+    Gamma,
+    LogNormal,
+    Normal,
+    Pareto,
+    Uniform,
+    WeightedValues,
+    Zipf,
+)
+
+_TWO_PI = 2.0 * math.pi
+_SECOND_DRAW_SALT = 0x5DEECE66D
+
+
+def _second_uniform(seed_col: Column) -> Column:
+    """An independent (0,1) uniform derived from the same seed column."""
+    return uniform_fraction_open(F.xxhash64(F.lit(_SECOND_DRAW_SALT), seed_col))
+
+
+def standard_normal_expr(seed_col: Column) -> Column:
+    """z ~ N(0,1) via Box–Muller: ``sqrt(-2 ln u1) * cos(2π u2)``."""
+    u1 = uniform_fraction_open(seed_col)
+    u2 = _second_uniform(seed_col)
+    return F.sqrt(F.lit(-2.0) * F.log(u1)) * F.cos(F.lit(_TWO_PI) * u2)
+
+
+def _clamp(col: Column, lo: Column, hi: Column) -> Column:
+    return F.greatest(lo, F.least(hi, col))
+
+
+def _wilson_hilferty_gamma(z: Column, shape: float, scale: float) -> Column:
+    """Gamma(k, θ) approximation from one standard normal draw.
+
+    Wilson–Hilferty: X ≈ kθ·(1 − 1/(9k) + z·sqrt(1/(9k)))³ — accurate for
+    k ≳ 0.5, monotone in z, and fully closed-form (no UDF). Clamped at 0.
+    """
+    k = max(shape, 1e-6)
+    c = 1.0 / (9.0 * k)
+    body = F.lit(1.0 - c) + z * F.lit(math.sqrt(c))
+    x = F.lit(k * scale) * F.pow(F.greatest(body, F.lit(0.0)), F.lit(3.0))
+    return F.greatest(x, F.lit(0.0))
+
+
+def unit_expr(seed_col: Column, dist: Distribution) -> Column:
+    """Map seed → double in [0, 1] distributed per ``dist``.
+
+    Used for continuous value ranges: ``value = min + unit * span``.
+    Normal auto-centering follows the reference convention (midpoint,
+    span/6 std — ``core/engine/distributions.py:105-159``).
+    """
+    if isinstance(dist, Uniform):
+        return uniform_fraction(seed_col)
+    if isinstance(dist, Normal):
+        z = standard_normal_expr(seed_col)
+        # auto-center: mean 0.5, std 1/6 => ±3σ spans [0,1]
+        mean = 0.5 if dist.mean is None else dist.mean
+        std = 1.0 / 6.0 if dist.stddev is None else dist.stddev
+        return _clamp(F.lit(mean) + z * F.lit(std), F.lit(0.0), F.lit(1.0))
+    if isinstance(dist, LogNormal):
+        z = standard_normal_expr(seed_col)
+        x = F.exp(F.lit(dist.mu) + z * F.lit(dist.sigma))
+        # normalize so median=exp(mu) lands at 0.1 of the unit range
+        return _clamp(x / F.lit(math.exp(dist.mu) * 10.0), F.lit(0.0), F.lit(1.0))
+    if isinstance(dist, Exponential):
+        u = uniform_fraction_open(seed_col)
+        x = -F.log(F.lit(1.0) - u) / F.lit(dist.rate)
+        # mean 1/rate lands at 0.2 of the unit range
+        return _clamp(x * F.lit(dist.rate / 5.0), F.lit(0.0), F.lit(1.0))
+    if isinstance(dist, (Zipf, Pareto)):
+        # truncated power-law on [0,1] via the index transform at high resolution
+        n = 1 << 40
+        return index_expr(seed_col, n, dist).cast("double") / F.lit(float(n))
+    if isinstance(dist, Gamma):
+        z = standard_normal_expr(seed_col)
+        x = _wilson_hilferty_gamma(z, dist.shape, dist.scale)
+        # mean kθ lands at 0.2 of the unit range
+        return _clamp(
+            x / F.lit(dist.shape * dist.scale * 5.0), F.lit(0.0), F.lit(1.0)
+        )
+    if isinstance(dist, Beta):
+        # Beta(a,b) = G1/(G1+G2) with independent gammas (Wilson–Hilferty)
+        z1 = standard_normal_expr(seed_col)
+        z2 = standard_normal_expr(F.xxhash64(F.lit(0x2545F491), seed_col))
+        g1 = _wilson_hilferty_gamma(z1, dist.alpha, 1.0)
+        g2 = _wilson_hilferty_gamma(z2, dist.beta, 1.0)
+        denom = g1 + g2
+        return F.when(denom > F.lit(0.0), g1 / denom).otherwise(F.lit(0.5))
+    if isinstance(dist, WeightedValues):
+        raise ValueError("WeightedValues applies to value lists, not ranges")
+    raise ValueError(f"unsupported distribution: {dist!r}")
+
+
+def index_expr(seed_col: Column, n: int, dist: Distribution) -> Column:
+    """Map seed → long index uniform/distributed in ``[0, n)``."""
+    if n <= 0:
+        raise ValueError(f"index space must be positive, got {n}")
+    if n == 1:
+        return F.lit(0).cast("long")
+    if isinstance(dist, Uniform):
+        return F.pmod(seed_col, F.lit(n)).cast("long")
+    if isinstance(dist, Zipf):
+        # inverse CDF of the continuous power-law x^-s truncated to [1, n+1]:
+        # x = (1 + u·((n+1)^(1−s) − 1))^(1/(1−s)); idx = floor(x) − 1
+        s = dist.exponent
+        u = uniform_fraction(seed_col)
+        top = float((n + 1) ** (1.0 - s) - 1.0)
+        x = F.pow(F.lit(1.0) + u * F.lit(top), F.lit(1.0 / (1.0 - s)))
+        idx = F.floor(x).cast("long") - F.lit(1)
+        return _clamp(idx, F.lit(0).cast("long"), F.lit(n - 1).cast("long"))
+    if isinstance(dist, Pareto):
+        # truncated Pareto on [1, n+1]
+        a = dist.shape
+        u = uniform_fraction(seed_col)
+        tail = float(1.0 - (n + 1) ** (-a))
+        x = F.pow(F.lit(1.0) - u * F.lit(tail), F.lit(-1.0 / a))
+        idx = F.floor(x).cast("long") - F.lit(1)
+        return _clamp(idx, F.lit(0).cast("long"), F.lit(n - 1).cast("long"))
+    # generic: scale the unit sample onto the lattice
+    unit = unit_expr(seed_col, _index_space_dist(dist, n))
+    idx = F.floor(unit * F.lit(float(n))).cast("long")
+    return _clamp(idx, F.lit(0).cast("long"), F.lit(n - 1).cast("long"))
+
+
+def _index_space_dist(dist: Distribution, n: int) -> Distribution:
+    """Normal in index space auto-centers at n/2 with std n/6 — expressed in
+    unit space that is exactly the (0.5, 1/6) default, so pass through."""
+    return dist
+
+
+def weighted_index_expr(seed_col: Column, weights: Sequence[float]) -> Column:
+    """Index into a value list by relative weights via a cumulative-threshold
+    fold of ``F.when`` (reference ``core/engine/distributions.py:65-102``).
+
+    Zero-sum weights fall back to uniform.
+    """
+    total = float(sum(weights))
+    n = len(weights)
+    if total <= 0.0:
+        return F.pmod(seed_col, F.lit(n)).cast("long")
+    u = uniform_fraction(seed_col)
+    expr: Column = F.lit(n - 1).cast("long")  # default: last bucket
+    cumulative = 0.0
+    conds = []
+    for i, w in enumerate(weights[:-1]):
+        cumulative += w / total
+        conds.append((cumulative, i))
+    # build nested whens from the last threshold outward
+    for threshold, i in reversed(conds):
+        expr = F.when(u < F.lit(threshold), F.lit(i).cast("long")).otherwise(expr)
+    return expr
