@@ -1,10 +1,17 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2.
+Three oracle styles are used:
+
+* **exact** — deterministic (non-random) generation paths reproduced in
+  portable SQL over DuckDB's ``range()`` table function;
+* **invariant** — hash-seeded random paths can't be recomputed by DuckDB,
+  so the query returns a *verifiable property* (FK-violation count, regex
+  conformance count, two-build mismatch count, bounds check) whose expected
+  value is a constant the oracle states;
+* **relational** — pipeline operators (dedup, text analysis, similarity,
+  TPC-H-ish aggregates) run over the driver's parquet tables and are
+  reproduced verbatim in DuckDB SQL.
 """
 
 from __future__ import annotations
@@ -12,27 +19,437 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H-Q1-style pricing summary over sf0.001 lineitem."""
+    return _q1_pricing_summary(spark, "/root/testdata/sf0.001")
+
+
+def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# generation-operator queries (engine exercised at fixed rows; sf_dir unused
+# for the exact/invariant styles, which is fine — the operator is the unit)
+# ---------------------------------------------------------------------------
+
+_GEN_ROWS = 5000
+
+
+def _gen_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark import ColumnSpec, SequenceColumn, TableSpec, generate_table
+
+    t = TableSpec(
+        "seq_t",
+        _GEN_ROWS,
+        columns=[ColumnSpec("seq_val", SequenceColumn(start=100, step=3), dtype="long")],
+        partitions=8,
+    )
+    return generate_table(spark, t, seed=42).orderBy("seq_val")
+
+
+def _gen_range_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-random ranged int: cycles the lattice by row id (v0 semantics)."""
+    from dbldatagen_spark.operators.numeric import range_expr
+    from dbldatagen_spark.operators.seed import ROW_ID_COL
+    from dbldatagen_spark.plans.spec import RangeColumn
+
+    df = spark.range(_GEN_ROWS).withColumnRenamed("id", ROW_ID_COL)
+    expr = range_expr(
+        RangeColumn(100, 200), "int", F.col(ROW_ID_COL), random=False,
+        id_col=F.col(ROW_ID_COL),
+    )
+    return df.select(
+        F.col(ROW_ID_COL).alias("row_id"), expr.alias("code")
+    ).orderBy("row_id")
+
+
+def _gen_values_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.operators.seed import ROW_ID_COL
+    from dbldatagen_spark.operators.strings import values_expr
+    from dbldatagen_spark.plans.spec import Uniform
+
+    df = spark.range(_GEN_ROWS).withColumnRenamed("id", ROW_ID_COL)
+    expr = values_expr(
+        ["alpha", "beta", "gamma", "delta"],
+        F.col(ROW_ID_COL),
+        Uniform(),
+        random=False,
+        id_col=F.col(ROW_ID_COL),
+    )
+    return df.select(F.col(ROW_ID_COL).alias("row_id"), expr.alias("val")).orderBy(
+        "row_id"
+    )
+
+
+def _gen_date_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.operators.seed import ROW_ID_COL
+    from dbldatagen_spark.operators.temporal import date_expr
+    from dbldatagen_spark.plans.spec import DateColumn
+
+    df = spark.range(_GEN_ROWS).withColumnRenamed("id", ROW_ID_COL)
+    expr = date_expr(
+        DateColumn("2020-01-01", "2020-12-31"),
+        F.col(ROW_ID_COL),
+        random=False,
+        id_col=F.col(ROW_ID_COL),
+    )
+    return df.select(F.col(ROW_ID_COL).alias("row_id"), expr.alias("d")).orderBy(
+        "row_id"
+    )
+
+
+def _gen_timestamp_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.operators.seed import ROW_ID_COL
+    from dbldatagen_spark.operators.temporal import timestamp_expr
+    from dbldatagen_spark.plans.spec import TimestampColumn
+
+    df = spark.range(_GEN_ROWS).withColumnRenamed("id", ROW_ID_COL)
+    expr = timestamp_expr(
+        TimestampColumn("2022-01-01 00:00:00", "2022-12-31 23:59:59",
+                        interval_seconds=3600),
+        F.col(ROW_ID_COL),
+        random=False,
+        id_col=F.col(ROW_ID_COL),
+    )
+    return df.select(F.col(ROW_ID_COL).alias("row_id"), expr.alias("ts")).orderBy(
+        "row_id"
+    )
+
+
+def _gen_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark import (
+        ColumnSpec,
+        ExpressionColumn,
+        SequenceColumn,
+        TableSpec,
+        generate_table,
+    )
+
+    t = TableSpec(
+        "expr_t",
+        _GEN_ROWS,
+        columns=[
+            ColumnSpec("n", SequenceColumn(start=0, step=1), dtype="long"),
+            ColumnSpec("doubled", ExpressionColumn("n * 2")),
+            ColumnSpec("parity", ExpressionColumn("CASE WHEN n % 2 = 0 THEN 'even' ELSE 'odd' END")),
+        ],
+        partitions=8,
+    )
+    return generate_table(spark, t, seed=42).orderBy("n")
+
+
+def _gen_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: FK reconstruction never produces an orphan (violations=0)."""
+    from dbldatagen_spark import (
+        ColumnSpec,
+        DataGenPlan,
+        ForeignKeyColumn,
+        SequenceColumn,
+        TableSpec,
+        Zipf,
+        generate,
+    )
+
+    plan = DataGenPlan(
+        [
+            TableSpec(
+                "parents",
+                500,
+                columns=[ColumnSpec("pid", SequenceColumn(start=1000, step=7), dtype="long")],
+                primary_key="pid",
+            ),
+            TableSpec(
+                "children",
+                _GEN_ROWS,
+                columns=[
+                    ColumnSpec("cid", SequenceColumn(), dtype="long"),
+                    ColumnSpec("pid", ForeignKeyColumn("parents.pid", distribution=Zipf(1.2))),
+                ],
+                primary_key="cid",
+            ),
+        ],
+        seed=42,
+    )
+    dfs = generate(spark, plan)
+    orphans = dfs["children"].join(dfs["parents"], "pid", "left_anti")
+    return orphans.agg(F.count(F.lit(1)).cast("long").alias("violations"))
+
+
+def _gen_determinism(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: two builds at different partition counts are identical."""
+    from dbldatagen_spark import (
+        ColumnSpec,
+        Normal,
+        RangeColumn,
+        TableSpec,
+        TimestampColumn,
+        UUIDColumn,
+        ValuesColumn,
+        WeightedValues,
+        generate_table,
+    )
+
+    def build(partitions: int) -> DataFrame:
+        t = TableSpec(
+            "det_t",
+            _GEN_ROWS,
+            columns=[
+                ColumnSpec("a", RangeColumn(0, 10**6), dtype="int"),
+                ColumnSpec("b", RangeColumn(0.0, 1.0, distribution=Normal()), dtype="double"),
+                ColumnSpec("c", ValuesColumn(["x", "y", "z"], WeightedValues([5, 3, 2]))),
+                ColumnSpec("d", TimestampColumn("2020-01-01 00:00:00", "2024-12-31 23:59:59")),
+                ColumnSpec("u", UUIDColumn()),
+            ],
+            partitions=partitions,
+        )
+        return generate_table(spark, t, seed=42)
+
+    d1, d2 = build(4), build(23)
+    mismatches = d1.exceptAll(d2).union(d2.exceptAll(d1))
+    return mismatches.agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+
+
+def _gen_uuid_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: every UUID matches 8-4-4-4-12 hex shape and is distinct."""
+    from dbldatagen_spark import ColumnSpec, TableSpec, UUIDColumn, generate_table
+
+    t = TableSpec(
+        "uuid_t", _GEN_ROWS, columns=[ColumnSpec("u", UUIDColumn())], partitions=8
+    )
+    df = generate_table(spark, t, seed=42)
+    pat = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
+    return df.agg(
+        F.sum(F.when(F.col("u").rlike(pat), 1).otherwise(0)).cast("long").alias("well_formed"),
+        F.countDistinct("u").cast("long").alias("distinct_count"),
+    )
+
+
+def _gen_pattern_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark import ColumnSpec, PatternColumn, TableSpec, generate_table
+
+    t = TableSpec(
+        "pat_t",
+        _GEN_ROWS,
+        columns=[ColumnSpec("code", PatternColumn("ORD-{digit:4}-{alpha:3}-{hex:2}"))],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+    return df.agg(
+        F.sum(
+            F.when(F.col("code").rlike(r"^ORD-\d{4}-[A-Z]{3}-[0-9a-f]{2}$"), 1).otherwise(0)
+        ).cast("long").alias("well_formed")
+    )
+
+
+def _gen_null_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: observed null rate within 2% of the requested 12%."""
+    from dbldatagen_spark import ColumnSpec, RangeColumn, TableSpec, generate_table
+
+    t = TableSpec(
+        "null_t",
+        20000,
+        columns=[
+            ColumnSpec("x", RangeColumn(0, 100), dtype="int", nullable=True, null_fraction=0.12)
+        ],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+    return df.agg(
+        (
+            F.abs(
+                F.sum(F.when(F.col("x").isNull(), 1).otherwise(0)) / F.count(F.lit(1))
+                - 0.12
+            )
+            < 0.02
+        ).alias("within_tolerance")
+    )
+
+
+def _gen_weighted_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: 9:1:1 weighting lands within 3% per value (SURVEY §5)."""
+    from dbldatagen_spark import ColumnSpec, TableSpec, ValuesColumn, WeightedValues, generate_table
+
+    t = TableSpec(
+        "w_t",
+        30000,
+        columns=[ColumnSpec("v", ValuesColumn(["a", "b", "c"], WeightedValues([9, 1, 1])))],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+    shares = df.groupBy("v").agg((F.count(F.lit(1)) / 30000).alias("share"))
+    expected = F.when(F.col("v") == "a", 9 / 11).otherwise(1 / 11)
+    return shares.agg(
+        (F.max(F.abs(F.col("share") - expected)) < 0.03).alias("within_tolerance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pipeline-operator queries over the driver's parquet tables
+# ---------------------------------------------------------------------------
+
+
+def _q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-flavored join: revenue of building-segment orders."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+def _dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on document text: survivors keep the lowest doc_id."""
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).cast("long").alias("dup_count"))
+        .select("doc_id", "dup_count")
+        .orderBy("doc_id")
+    )
+
+
+def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts per document (text-analysis operator)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return docs.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars_obs"),
+    ).orderBy("doc_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # generation operators (SURVEY §2.2/2.5)
+        "gen_sequence": _gen_sequence,
+        "gen_range_cycle": _gen_range_cycle,
+        "gen_values_cycle": _gen_values_cycle,
+        "gen_date_cycle": _gen_date_cycle,
+        "gen_timestamp_cycle": _gen_timestamp_cycle,
+        "gen_expression": _gen_expression,
+        "gen_fk_integrity": _gen_fk_integrity,
+        "gen_determinism": _gen_determinism,
+        "gen_uuid_conformance": _gen_uuid_conformance,
+        "gen_pattern_conformance": _gen_pattern_conformance,
+        "gen_null_fraction": _gen_null_fraction,
+        "gen_weighted_shape": _gen_weighted_shape,
+        # pipeline operators over testdata
+        "q1_pricing_summary": _q1_pricing_summary,
+        "q3_top_revenue": _q3_top_unshipped,
+        "dedup_exact": _dedup_exact,
+        "text_token_stats": _text_token_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "gen_sequence": f"SELECT 100 + range * 3 AS seq_val FROM range({_GEN_ROWS}) ORDER BY seq_val",
+        "gen_range_cycle": (
+            f"SELECT range AS row_id, CAST(100 + range % 101 AS INTEGER) AS code "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_values_cycle": (
+            f"SELECT range AS row_id, (['alpha','beta','gamma','delta'])[CAST(range % 4 AS INTEGER) + 1] AS val "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_date_cycle": (
+            f"SELECT range AS row_id, DATE '2020-01-01' + CAST(range % 366 AS INTEGER) AS d "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_timestamp_cycle": (
+            f"SELECT range AS row_id, TIMESTAMP '2022-01-01 00:00:00' + "
+            f"INTERVAL 1 HOUR * CAST(range % 8760 AS INTEGER) AS ts "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_expression": (
+            f"SELECT range AS n, range * 2 AS doubled, "
+            f"CASE WHEN range % 2 = 0 THEN 'even' ELSE 'odd' END AS parity "
+            f"FROM range({_GEN_ROWS}) ORDER BY n"
+        ),
+        "gen_fk_integrity": "SELECT CAST(0 AS BIGINT) AS violations",
+        "gen_determinism": "SELECT CAST(0 AS BIGINT) AS mismatches",
+        "gen_uuid_conformance": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed, "
+            f"CAST({_GEN_ROWS} AS BIGINT) AS distinct_count"
+        ),
+        "gen_pattern_conformance": f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed",
+        "gen_null_fraction": "SELECT true AS within_tolerance",
+        "gen_weighted_shape": "SELECT true AS within_tolerance",
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 4) AS avg_qty,
+                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue": """
+            SELECT o_orderkey, o_orderdate,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, o_orderdate
+            ORDER BY revenue DESC, o_orderkey
+            LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+            FROM documents
+            GROUP BY text
+            ORDER BY doc_id
+        """,
+        "text_token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars_obs
+            FROM documents
+            ORDER BY doc_id
+        """,
+    }

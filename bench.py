@@ -1,0 +1,133 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Covers both halves of the engine: raw generation throughput (pure-expression
+columns over spark.range — the reference's core workload) and the pipeline
+operators over the driver's parquet tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+GEN_BENCH_ROWS = 10_000_000
+
+
+def _bench_generate(spark) -> None:
+    """Generate 10M rows x 9 mixed columns (benchmark/groupby-style schema)
+    and force full evaluation with a count+agg."""
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark import (
+        ColumnSpec,
+        Normal,
+        PatternColumn,
+        RangeColumn,
+        SequenceColumn,
+        TableSpec,
+        ValuesColumn,
+        WeightedValues,
+        Zipf,
+        generate_table,
+    )
+
+    t = TableSpec(
+        "bench_t",
+        GEN_BENCH_ROWS,
+        columns=[
+            ColumnSpec("id1", SequenceColumn(start=1, step=1), dtype="long"),
+            ColumnSpec("grp", RangeColumn(1, 100), dtype="int"),
+            ColumnSpec("big", RangeColumn(1, 1_000_000), dtype="int"),
+            ColumnSpec("v1", RangeColumn(1, 5), dtype="int"),
+            ColumnSpec("v3", RangeColumn(0.0, 100.0), dtype="decimal(9,6)"),
+            ColumnSpec("nrm", RangeColumn(0.0, 1.0, distribution=Normal()), dtype="double"),
+            ColumnSpec("zip", RangeColumn(0, 9999, distribution=Zipf(1.3)), dtype="int"),
+            ColumnSpec(
+                "status",
+                ValuesColumn(
+                    ["pending", "shipped", "delivered", "cancelled"],
+                    WeightedValues([1, 2, 6, 1]),
+                ),
+            ),
+            ColumnSpec("code", PatternColumn("ORD-{digit:6}-{alpha:2}")),
+        ],
+        partitions=int(CPUS),
+    )
+    df = generate_table(spark, t, seed=42)
+    # groupBy forces every column through codegen plus one shuffle round
+    df.groupBy("grp").agg(
+        F.sum("v1"), F.avg("v3"), F.count(F.lit(1))
+    ).collect()
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("dbldatagen_spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    headline = [
+        "q1_pricing_summary",
+        "q3_top_revenue",
+        "dedup_exact",
+        "text_token_stats",
+        "gen_determinism",
+    ]
+    timings: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    _bench_generate(spark)
+    timings["gen_10m_rows"] = round(time.perf_counter() - t0, 3)
+
+    for name in headline:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = 0.1
+    if "sf0.01" in SF_DIR:
+        sf = 0.01
+    elif "sf0.001" in SF_DIR:
+        sf = 0.001
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
