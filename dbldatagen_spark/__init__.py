@@ -52,10 +52,36 @@ from dbldatagen_spark.plans.spec import (
     Zipf,
 )
 from dbldatagen_spark.generator import generate, generate_table
+from dbldatagen_spark.datagen import DataGenerator, INFER_DATATYPE, parse_distribution
+from dbldatagen_spark.operators.constraints import (
+    ChainedRelation,
+    Constraint,
+    LiteralRange,
+    LiteralRelation,
+    NegativeValues,
+    PositiveValues,
+    RangedValues,
+    SqlExpr,
+    UniqueCombinations,
+)
+from dbldatagen_spark.operators.templates import PyfuncText
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "ChainedRelation",
+    "Constraint",
+    "DataGenerator",
+    "INFER_DATATYPE",
+    "LiteralRange",
+    "LiteralRelation",
+    "NegativeValues",
+    "PositiveValues",
+    "PyfuncText",
+    "RangedValues",
+    "SqlExpr",
+    "UniqueCombinations",
+    "parse_distribution",
     "ArrayColumn",
     "ColumnSpec",
     "ConstantColumn",

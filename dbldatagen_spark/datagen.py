@@ -1,0 +1,895 @@
+"""v0-compatible fluent builder: ``DataGenerator(...).withColumn(...).build()``.
+
+A thin facade with the reference's classic API shape
+(``/root/reference/dbldatagen/data_generator.py:53-217`` and
+``column_generation_spec.py:69-375``; implementation original) compiled
+onto this engine's pure-expression builders. Differences by design:
+
+* randomness is always partition-independent (xxhash64 cell seeds), never
+  ``rand(seed)`` — v0's repeatability caveat under repartitioning
+  (SURVEY §4.2) does not exist here;
+* distributions are pure expressions, not nondeterministic pandas UDFs;
+* template/ILText/plugin text are the only pandas-UDF paths.
+
+Scale: ``build()`` produces a ``Range → Project`` plan (plus one final
+``Filter`` if constraints are present and one shuffle only for
+``UniqueCombinations``), so generation parallelism is limited only by the
+partition count.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from dbldatagen_spark.operators import templates as tmod
+from dbldatagen_spark.operators.constraints import Constraint, SqlExpr
+from dbldatagen_spark.operators.distributions import (
+    index_expr,
+    unit_expr,
+    weighted_index_expr,
+)
+from dbldatagen_spark.operators.numeric import lattice_count, spark_type_name
+from dbldatagen_spark.operators.seed import (
+    cell_seed,
+    decorrelate,
+    derive_column_seed,
+    null_mask,
+)
+from dbldatagen_spark.operators.strings import pattern_expr, uuid_expr
+from dbldatagen_spark.plans.spec import (
+    Distribution,
+    Normal,
+    SpecValidationError,
+    Uniform,
+    normalize_dtype,
+)
+from dbldatagen_spark.generator import expression_refs
+
+INFER_DATATYPE = "__infer__"
+
+_MASK64 = (1 << 64) - 1
+
+
+def parse_distribution(spec: Union[str, Distribution, None]) -> Optional[Distribution]:
+    """Parse ``"beta(alpha=5.0, beta=2.0)"``-style distribution strings
+    (reference registry parsing,
+    ``distributions/data_distribution.py:162-247``)."""
+    from dbldatagen_spark.plans.spec import DISTRIBUTION_KINDS
+
+    if spec is None or isinstance(
+        spec, tuple(DISTRIBUTION_KINDS.values())
+    ):
+        return spec  # type: ignore[return-value]
+    if not isinstance(spec, str):
+        raise SpecValidationError(f"bad distribution spec {spec!r}")
+    m = re.match(r"^\s*([A-Za-z_]+)\s*(?:\((.*)\))?\s*$", spec)
+    if not m:
+        raise SpecValidationError(f"unparseable distribution {spec!r}")
+    name = m.group(1).lower()
+    if name == "normal":
+        name = "normal"
+    if name not in DISTRIBUTION_KINDS:
+        raise SpecValidationError(
+            f"unknown distribution {name!r} (known: {sorted(DISTRIBUTION_KINDS)})"
+        )
+    kwargs: Dict[str, float] = {}
+    if m.group(2):
+        for part in m.group(2).split(","):
+            if not part.strip():
+                continue
+            if "=" not in part:
+                raise SpecValidationError(
+                    f"distribution args must be keyword form: {spec!r}"
+                )
+            k, v = part.split("=", 1)
+            kwargs[k.strip()] = float(v.strip())
+    cls = DISTRIBUTION_KINDS[name]
+    if name == "weighted":
+        raise SpecValidationError("weighted is expressed via the weights= option")
+    return cls(**kwargs)  # type: ignore[arg-type]
+
+
+def _coprime_multiplier(grid: int) -> int:
+    """Odd multiplier near golden-ratio*grid, coprime with grid — drives the
+    bijective scatter map for unique random values (reference
+    ``column_generation_spec.py:685-761`` strategy; original math)."""
+    import math
+
+    a = max(1, int(grid * 0.6180339887498949)) | 1
+    while math.gcd(a, grid) != 1:
+        a += 2
+    return a
+
+
+@dataclass
+class _V0Column:
+    name: str
+    col_type: Optional[str]  # canonical dtype, None => string, INFER_DATATYPE ok
+    min_value: Optional[float] = None
+    max_value: Optional[float] = None
+    step: Optional[float] = None
+    values: Optional[List[Any]] = None
+    weights: Optional[List[float]] = None
+    random: Optional[bool] = None
+    distribution: Optional[Distribution] = None
+    template: Optional[str] = None
+    escape_special_chars: bool = False
+    text: Optional[Any] = None  # object with make_expr(seed_col, base_col)
+    fmt: Optional[str] = None
+    prefix: Optional[str] = None
+    suffix: Optional[str] = None
+    text_separator: str = "_"
+    percent_nulls: Optional[float] = None
+    expr: Optional[str] = None
+    num_columns: Optional[Union[int, Tuple[int, int]]] = None
+    struct_type: Optional[str] = None  # 'array' to combine multi-columns
+    omit: bool = False
+    base_columns: List[str] = dc_field(default_factory=list)
+    base_column_type: str = "auto"  # auto | values | hash
+    unique_values: Optional[int] = None
+    begin: Optional[Any] = None
+    end: Optional[Any] = None
+    interval: Optional[Any] = None
+    nullable: bool = True
+    implicit: bool = False  # schema-imported, spec not yet customized
+
+
+_OPTION_ALIASES = {
+    "percent_nulls": "percentNulls",
+    "unique_values": "uniqueValues",
+    "base_column": "baseColumn",
+    "base_column_type": "baseColumnType",
+    "num_columns": "numColumns",
+    "num_features": "numFeatures",
+    "text_separator": "textSeparator",
+    "escape_special_chars": "escapeSpecialChars",
+    "min": "minValue",
+    "max": "maxValue",
+}
+
+_KNOWN_OPTIONS = {
+    "minValue", "maxValue", "step", "values", "weights", "random",
+    "distribution", "template", "escapeSpecialChars", "text", "format",
+    "prefix", "suffix", "textSeparator", "percentNulls", "expr",
+    "numColumns", "numFeatures", "structType", "omit", "baseColumn",
+    "baseColumnType", "uniqueValues", "begin", "end", "interval",
+    "nullable", "implicit",
+}
+
+
+class DataGenerator:
+    """Fluent synthetic-table builder (v0-compatible surface)."""
+
+    def __init__(
+        self,
+        sparkSession: Optional[SparkSession] = None,
+        name: Optional[str] = None,
+        rows: int = 100000,
+        partitions: Optional[int] = None,
+        randomSeed: int = 42,
+        random: bool = False,
+        seedColumnName: str = "id",
+        startingId: int = 0,
+        **_ignored,
+    ):
+        self.spark = sparkSession or SparkSession.getActiveSession()
+        self.name = name or "synthetic_data"
+        self._rows = int(rows)
+        self._partitions = partitions
+        self._seed = int(randomSeed)
+        self._default_random = bool(random)
+        self.seed_column = seedColumnName
+        self._starting_id = int(startingId)
+        self._columns: List[_V0Column] = []
+        self._id_output = False
+        self._constraints: List[Constraint] = []
+        self._schema_fields: Dict[str, str] = {}
+
+    # -- spec building ------------------------------------------------------
+
+    def clone(self) -> "DataGenerator":
+        import copy
+
+        return copy.deepcopy(self)
+
+    @property
+    def rowCount(self) -> int:
+        return self._rows
+
+    def withIdOutput(self) -> "DataGenerator":
+        self._id_output = True
+        return self
+
+    def option(self, key: str, value: Any) -> "DataGenerator":  # parity shim
+        return self
+
+    def _norm_options(self, options: Dict[str, Any]) -> Dict[str, Any]:
+        out: Dict[str, Any] = {}
+        for k, v in options.items():
+            k2 = _OPTION_ALIASES.get(k, k)
+            if k2 == "numFeatures":
+                k2 = "numColumns"
+            if k2 not in _KNOWN_OPTIONS:
+                raise SpecValidationError(f"unknown column option {k!r}")
+            out[k2] = v
+        return out
+
+    def _mk_column(
+        self, colName: str, colType: Optional[str], options: Dict[str, Any]
+    ) -> _V0Column:
+        o = self._norm_options(options)
+        if colType is None or colType == INFER_DATATYPE:
+            dtype = INFER_DATATYPE if colType == INFER_DATATYPE else None
+        elif isinstance(colType, T.DataType):
+            dtype = normalize_dtype(colType.simpleString())
+        else:
+            dtype = normalize_dtype(str(colType))
+        base = o.get("baseColumn", self.seed_column)
+        base_cols = [base] if isinstance(base, str) else list(base)
+        values = o.get("values")
+        num_cols = o.get("numColumns")
+        if isinstance(num_cols, list):
+            num_cols = tuple(num_cols)
+        weights = o.get("weights")
+        if weights is not None:
+            if values is None:
+                raise SpecValidationError(
+                    f"column {colName!r}: weights require values"
+                )
+            if len(weights) != len(values):
+                raise SpecValidationError(
+                    f"column {colName!r}: weights/values length mismatch"
+                )
+        col = _V0Column(
+            name=colName,
+            col_type=dtype,
+            min_value=o.get("minValue"),
+            max_value=o.get("maxValue"),
+            step=o.get("step"),
+            values=list(values) if values is not None else None,
+            weights=list(weights) if weights is not None else None,
+            random=o.get("random"),
+            distribution=parse_distribution(o.get("distribution")),
+            template=o.get("template"),
+            escape_special_chars=bool(o.get("escapeSpecialChars", False)),
+            text=o.get("text"),
+            fmt=o.get("format"),
+            prefix=o.get("prefix"),
+            suffix=o.get("suffix"),
+            text_separator=o.get("textSeparator", "_"),
+            percent_nulls=o.get("percentNulls"),
+            expr=o.get("expr"),
+            num_columns=num_cols,
+            struct_type=o.get("structType"),
+            omit=bool(o.get("omit", False)),
+            base_columns=base_cols,
+            base_column_type=o.get("baseColumnType", "auto"),
+            unique_values=o.get("uniqueValues"),
+            begin=o.get("begin"),
+            end=o.get("end"),
+            interval=o.get("interval"),
+            nullable=bool(o.get("nullable", True)),
+            implicit=bool(o.get("implicit", False)),
+        )
+        if col.percent_nulls is not None and not (0.0 <= col.percent_nulls <= 1.0):
+            raise SpecValidationError(
+                f"column {colName!r}: percentNulls must be in [0,1] "
+                "(use 0.12 for 12%)"
+            )
+        return col
+
+    def withColumn(
+        self, colName: str, colType: Union[str, T.DataType, None] = "string",
+        **options: Any,
+    ) -> "DataGenerator":
+        if any(c.name == colName for c in self._columns):
+            raise SpecValidationError(f"duplicate column {colName!r}")
+        self._columns.append(self._mk_column(colName, colType, options))
+        return self
+
+    def withColumnSpec(self, colName: str, **options: Any) -> "DataGenerator":
+        """Customize a schema-imported (implicit) column."""
+        for i, c in enumerate(self._columns):
+            if c.name == colName:
+                new = self._mk_column(colName, self._schema_fields.get(colName, c.col_type), options)
+                new.implicit = False
+                self._columns[i] = new
+                return self
+        raise SpecValidationError(
+            f"withColumnSpec: column {colName!r} not found (use withColumn "
+            "or withSchema first)"
+        )
+
+    def withSchema(self, schema: T.StructType) -> "DataGenerator":
+        """Import a Spark schema: one implicit spec per field (reference
+        ``data_generator.py:766-779``)."""
+        for field in schema.fields:
+            dtype = field.dataType.simpleString()
+            self._schema_fields[field.name] = dtype
+            self._columns.append(
+                self._mk_column(field.name, dtype, {"implicit": True})
+            )
+        return self
+
+    def withColumnSpecs(
+        self,
+        patterns: Union[str, Sequence[str], None] = None,
+        matchTypes: Union[str, Sequence[str], None] = None,
+        **options: Any,
+    ) -> "DataGenerator":
+        """Wildcard spec application by name regex and/or type match
+        (reference ``data_generator.py:804-871``)."""
+        pats = None
+        if patterns is not None:
+            pats = [patterns] if isinstance(patterns, str) else list(patterns)
+        mts = None
+        if matchTypes is not None:
+            mts_list = [matchTypes] if isinstance(matchTypes, (str, T.DataType)) else list(matchTypes)
+            mts = set()
+            for mt in mts_list:
+                if isinstance(mt, T.DataType):
+                    mts.add(normalize_dtype(mt.simpleString()))
+                else:
+                    mts.add(normalize_dtype(str(mt)))
+        for i, c in enumerate(self._columns):
+            if not c.implicit:
+                continue
+            if pats is not None and not any(
+                re.fullmatch(p, c.name) for p in pats
+            ):
+                continue
+            if mts is not None and (c.col_type or "string") not in mts:
+                continue
+            new = self._mk_column(c.name, c.col_type, options)
+            new.implicit = True
+            self._columns[i] = new
+        return self
+
+    def withStructColumn(
+        self,
+        colName: str,
+        fields: Union[Sequence[str], Dict[str, Any], None] = None,
+        asJson: bool = False,
+        **options: Any,
+    ) -> "DataGenerator":
+        """Struct from existing columns / nested dict spec, optionally
+        serialized with ``to_json`` (reference
+        ``data_generator.py:1157-1228``)."""
+        if not fields:
+            raise SpecValidationError("withStructColumn requires fields")
+        sql = _struct_sql(fields)
+        if asJson:
+            sql = f"to_json({sql})"
+        return self.withColumn(colName, INFER_DATATYPE, expr=sql, **options)
+
+    # -- constraints --------------------------------------------------------
+
+    def withConstraint(self, constraint: Constraint) -> "DataGenerator":
+        self._constraints.append(constraint)
+        return self
+
+    def withConstraints(self, constraints: Sequence[Constraint]) -> "DataGenerator":
+        self._constraints.extend(constraints)
+        return self
+
+    def withSqlConstraint(self, sqlExpression: str) -> "DataGenerator":
+        self._constraints.append(SqlExpr(sqlExpression))
+        return self
+
+    # -- expression compilation --------------------------------------------
+
+    def _col_seed(self, name: str, salt: int = 0) -> int:
+        s = derive_column_seed(self._seed, self.name, name)
+        return decorrelate(s, salt) if salt else s
+
+    def _seed_source(self, col: _V0Column, col_seed: int) -> Column:
+        """Random-mode 64-bit seed column for this column."""
+        bases = col.base_columns
+        if bases == [self.seed_column] or not bases:
+            return cell_seed(col_seed, F.col(self.seed_column))
+        return F.xxhash64(F.lit(col_seed), *[F.col(b) for b in bases])
+
+    def _index_source(self, col: _V0Column) -> Column:
+        """Non-random lattice index source: base value (numeric) or its hash."""
+        bases = col.base_columns
+        if bases == [self.seed_column] or not bases:
+            return F.col(self.seed_column)
+        if col.base_column_type == "hash" or len(bases) > 1:
+            return F.abs(F.xxhash64(*[F.col(b) for b in bases]))
+        return F.col(bases[0])
+
+    def _is_random(self, col: _V0Column) -> bool:
+        return self._default_random if col.random is None else bool(col.random)
+
+    def _value_expr(self, col: _V0Column, salt: int = 0) -> Column:
+        """The core per-column value expression (pre null-mask, pre alias)."""
+        col_seed = self._col_seed(col.name, salt)
+        random = self._is_random(col)
+        seed_col = (
+            F.xxhash64(F.lit(salt * 0x9E37 + 1), self._seed_source(col, col_seed))
+            if salt
+            else self._seed_source(col, col_seed)
+        )
+        dist = col.distribution or Uniform()
+        dtype = col.col_type or "string"
+
+        # 1. explicit SQL expression dominates
+        if col.expr is not None:
+            e = F.expr(col.expr)
+            if col.col_type not in (None, INFER_DATATYPE) and col.values is None:
+                e = e.cast(spark_type_name(dtype))
+            return e
+
+        # 2. text generators
+        if col.template is not None:
+            base = None
+            if col.base_columns and col.base_columns != [self.seed_column]:
+                base = F.col(col.base_columns[0])
+            return tmod.template_udf_expr(
+                col.template, seed_col, base, col.escape_special_chars
+            )
+        if col.text is not None:
+            base = None
+            if col.base_columns and col.base_columns != [self.seed_column]:
+                base = F.col(col.base_columns[0])
+            return col.text.make_expr(seed_col, base)
+
+        # 3. value lists (optionally weighted)
+        if col.values is not None:
+            n = len(col.values)
+            if col.weights is not None:
+                if random:
+                    idx = weighted_index_expr(seed_col, col.weights)
+                else:
+                    # deterministic weighted cycling: scale base onto the CDF
+                    scaled = F.pmod(self._index_source(col).cast("long"), F.lit(1000))
+                    total = float(sum(col.weights))
+                    idx: Column = F.lit(n - 1).cast("long")
+                    cum = 0.0
+                    conds = []
+                    for i, w in enumerate(col.weights[:-1]):
+                        cum += w / total
+                        conds.append((cum, i))
+                    for threshold, i in reversed(conds):
+                        idx = F.when(
+                            scaled < F.lit(int(round(threshold * 1000))),
+                            F.lit(i).cast("long"),
+                        ).otherwise(idx)
+            elif random:
+                idx = index_expr(seed_col, n, dist)
+            else:
+                idx = F.pmod(self._index_source(col).cast("long"), F.lit(n))
+            arr = F.array(*[F.lit(v) for v in col.values])
+            out = F.element_at(arr, idx.cast("int") + F.lit(1))
+            if col.col_type not in (None, INFER_DATATYPE):
+                out = out.cast(spark_type_name(dtype))
+            return out
+
+        # 4. temporal ranges
+        if dtype in ("date", "timestamp") or col.begin is not None or col.end is not None:
+            return self._temporal_expr(col, seed_col, random, dtype)
+
+        # 5. boolean
+        if dtype == "boolean":
+            if random:
+                idx = index_expr(seed_col, 2, dist)
+            else:
+                idx = F.pmod(self._index_source(col).cast("long"), F.lit(2))
+            return (idx == 1).cast("boolean")
+
+        # 6. numeric / string-from-numeric ranges
+        return self._numeric_expr(col, seed_col, random, dtype)
+
+    def _temporal_expr(
+        self, col: _V0Column, seed_col: Column, random: bool, dtype: str
+    ) -> Column:
+        from dbldatagen_spark.operators.temporal import (
+            date_expr,
+            parse_date_days,
+            parse_utc_epoch,
+            timestamp_expr,
+        )
+        from dbldatagen_spark.plans.spec import DateColumn, TimestampColumn
+
+        begin = col.begin if col.begin is not None else (
+            "2020-01-01" if dtype == "date" else "2020-01-01 00:00:00"
+        )
+        end = col.end if col.end is not None else (
+            "2020-12-31" if dtype == "date" else "2020-12-31 23:59:59"
+        )
+        id_col = self._index_source(col)
+        if dtype == "date":
+            interval_days = _interval_to_days(col.interval) if col.interval else 1
+            strategy = DateColumn(
+                start=_date_str(begin), end=_date_str(end),
+                interval_days=interval_days,
+                distribution=col.distribution or Uniform(),
+            )
+            return date_expr(strategy, seed_col, random=random, id_col=id_col)
+        interval_secs = _interval_to_seconds(col.interval) if col.interval else 1
+        strategy = TimestampColumn(
+            start=_ts_str(begin), end=_ts_str(end),
+            interval_seconds=interval_secs,
+            distribution=col.distribution or Uniform(),
+        )
+        return timestamp_expr(strategy, seed_col, random=random, id_col=id_col)
+
+    def _numeric_expr(
+        self, col: _V0Column, seed_col: Column, random: bool, dtype: str
+    ) -> Column:
+        # defaults per type (reference nrange.py type-default ranges)
+        num_dtype = dtype if dtype not in ("string", "infer") else "long"
+        lo = col.min_value
+        hi = col.max_value
+        if lo is None and hi is None and col.unique_values is None:
+            # identity over base (v0: column = base column value)
+            value = self._index_source(col).cast(
+                spark_type_name(num_dtype) if dtype != "string" else "bigint"
+            )
+            return self._decorate_numeric(col, value, dtype)
+        if lo is None:
+            lo = 0
+        if hi is None:
+            hi = lo + (col.unique_values - 1 if col.unique_values else 1_000_000)
+        step = col.step or 1
+        count = lattice_count(float(lo), float(hi), float(step))
+
+        if col.unique_values is not None:
+            k = int(col.unique_values)
+            if k <= 0:
+                raise SpecValidationError(f"uniqueValues must be positive")
+            k = min(k, count)
+            if random:
+                idx = index_expr(seed_col, k, col.distribution or Uniform())
+            else:
+                idx = F.pmod(self._index_source(col).cast("long"), F.lit(k))
+            if k < count and random:
+                # bijective scatter over the full lattice so the k distinct
+                # values spread across [min,max] instead of clustering low
+                a = _coprime_multiplier(count)
+                b = (self._col_seed(col.name, 77) & _MASK64) % count
+                idx = F.pmod(idx * F.lit(a) + F.lit(b), F.lit(count))
+        elif random:
+            idx = index_expr(seed_col, count, col.distribution or Uniform())
+        else:
+            idx = F.pmod(self._index_source(col).cast("long"), F.lit(count))
+
+        is_integral = float(step) == int(step) and float(lo) == int(lo)
+        if is_integral:
+            value = idx * F.lit(int(step)) + F.lit(int(lo))
+        else:
+            value = idx.cast("double") * F.lit(float(step)) + F.lit(float(lo))
+        if dtype not in ("string", "infer"):
+            if dtype.startswith("decimal"):
+                from dbldatagen_spark.plans.spec import decimal_precision_scale
+
+                p, s = decimal_precision_scale(dtype)
+                value = F.round(value.cast("double"), s).cast(f"decimal({p},{s})")
+            else:
+                value = value.cast(spark_type_name(dtype))
+        # continuous (no step, fractional type) refinement
+        if (
+            col.step is None
+            and dtype in ("float", "double")
+            and random
+            and col.unique_values is None
+        ):
+            unit = unit_expr(seed_col, col.distribution or Uniform())
+            value = (unit * F.lit(float(hi) - float(lo)) + F.lit(float(lo))).cast(
+                spark_type_name(dtype)
+            )
+        return self._decorate_numeric(col, value, dtype)
+
+    def _decorate_numeric(self, col: _V0Column, value: Column, dtype: str) -> Column:
+        """format / prefix / suffix turn numerics into strings."""
+        out = value
+        if col.fmt is not None:
+            out = F.format_string(col.fmt, out)
+        if col.prefix is not None or col.suffix is not None:
+            sep = col.text_separator
+            parts: List[Column] = []
+            if col.prefix is not None:
+                parts += [F.lit(col.prefix), F.lit(sep)]
+            parts.append(out.cast("string"))
+            if col.suffix is not None:
+                parts += [F.lit(sep), F.lit(col.suffix)]
+            out = F.concat(*parts)
+        elif col.fmt is None and dtype == "string" and col.values is None:
+            out = out.cast("string")
+        return out
+
+    def _column_exprs(self, col: _V0Column) -> List[Tuple[str, Column]]:
+        """One or many (name, expr) pairs — multi-column / array support."""
+        if col.num_columns is None:
+            value = self._value_expr(col)
+            if col.percent_nulls:
+                value = null_mask(
+                    value, col.percent_nulls, self._col_seed(col.name, 999),
+                    F.col(self.seed_column),
+                )
+            return [(col.name, value)]
+        # replicated columns with decorrelated seeds
+        if isinstance(col.num_columns, tuple):
+            n_min, n_max = col.num_columns
+        else:
+            n_min = n_max = int(col.num_columns)
+        exprs = [self._value_expr(col, salt=i + 1) for i in range(n_max)]
+        if col.struct_type == "array":
+            arr = F.array(*exprs)
+            if n_min != n_max:
+                len_seed = self._col_seed(col.name, 555)
+                length = (
+                    F.pmod(
+                        F.xxhash64(F.lit(len_seed), F.col(self.seed_column)),
+                        F.lit(n_max - n_min + 1),
+                    ).cast("int")
+                    + F.lit(n_min)
+                )
+                arr = F.slice(arr, F.lit(1), length)
+            if col.percent_nulls:
+                arr = null_mask(
+                    arr, col.percent_nulls, self._col_seed(col.name, 999),
+                    F.col(self.seed_column),
+                )
+            return [(col.name, arr)]
+        out = []
+        for i, e in enumerate(exprs):
+            if col.percent_nulls:
+                e = null_mask(
+                    e, col.percent_nulls, self._col_seed(col.name, 999 + i),
+                    F.col(self.seed_column),
+                )
+            out.append((f"{col.name}_{i}", e))
+        return out
+
+    # -- build --------------------------------------------------------------
+
+    def _dependency_levels(self) -> List[List[_V0Column]]:
+        names = {c.name for c in self._columns}
+        deps: Dict[str, set] = {}
+        for c in self._columns:
+            d = set()
+            for b in c.base_columns:
+                if b != self.seed_column:
+                    if b not in names:
+                        raise SpecValidationError(
+                            f"column {c.name!r}: baseColumn {b!r} not defined"
+                        )
+                    d.add(b)
+            if c.expr:
+                d |= expression_refs(c.expr, names)
+            d.discard(c.name)
+            deps[c.name] = d
+        level: Dict[str, int] = {}
+        remaining = dict(deps)
+        cur = 0
+        while remaining:
+            ready = [n for n, d in remaining.items() if all(x in level for x in d)]
+            if not ready:
+                raise SpecValidationError(
+                    f"cyclic column dependencies among {sorted(remaining)}"
+                )
+            for n in ready:
+                level[n] = cur
+                del remaining[n]
+            cur += 1
+        out: List[List[_V0Column]] = [[] for _ in range(cur)]
+        for c in self._columns:
+            out[level[c.name]].append(c)
+        return [x for x in out if x]
+
+    def _base_dataframe(
+        self, withStreaming: bool, options: Optional[Dict[str, Any]]
+    ) -> DataFrame:
+        if withStreaming:
+            reader = self.spark.readStream.format("rate")
+            opts = dict(options or {})
+            reader = reader.option("rowsPerSecond", int(opts.pop("rowsPerSecond", 1)))
+            if self._partitions:
+                reader = reader.option("numPartitions", self._partitions)
+            for k, v in opts.items():
+                reader = reader.option(k, v)
+            df = reader.load()
+            return df.select(
+                F.col("value").alias(self.seed_column),
+                F.col("timestamp").alias("_source_timestamp"),
+            )
+        parts = self._partitions or self.spark.sparkContext.defaultParallelism
+        df = self.spark.range(
+            self._starting_id, self._starting_id + self._rows, numPartitions=parts
+        )
+        if self.seed_column != "id":
+            df = df.withColumnRenamed("id", self.seed_column)
+        return df
+
+    def build(
+        self,
+        withStreaming: bool = False,
+        options: Optional[Dict[str, Any]] = None,
+        withTempView: Optional[str] = None,
+    ) -> DataFrame:
+        if withStreaming:
+            for c in self._constraints:
+                if not c.supports_streaming:
+                    raise SpecValidationError(
+                        f"constraint {type(c).__name__} does not support streaming"
+                    )
+        for c in self._constraints:
+            c.prepare(self)
+        df = self._base_dataframe(withStreaming, options)
+        for level in self._dependency_levels():
+            exprs: List[Column] = []
+            for c in level:
+                for out_name, e in self._column_exprs(c):
+                    exprs.append(e.alias(out_name))
+            df = df.select("*", *exprs)
+        # constraints: transforms then one fused where
+        for c in self._constraints:
+            df = c.transform(df)
+        combined = Constraint.combine_filters(self._constraints)
+        if combined is not None:
+            df = df.where(combined)
+        out_cols: List[str] = []
+        if self._id_output:
+            out_cols.append(self.seed_column)
+        if withStreaming and options and options.get("includeSourceTimestamp"):
+            out_cols.append("_source_timestamp")
+        for c in self._columns:
+            if c.omit:
+                continue
+            if c.num_columns is not None and c.struct_type != "array":
+                n = c.num_columns if isinstance(c.num_columns, int) else c.num_columns[1]
+                out_cols.extend(f"{c.name}_{i}" for i in range(n))
+            else:
+                out_cols.append(c.name)
+        df = df.select(*out_cols)
+        if withTempView:
+            df.createOrReplaceTempView(withTempView)
+        return df
+
+    # -- script generation (reference data_generator.py:1780-1955) ----------
+
+    def _output_fields(self) -> List[Tuple[str, str]]:
+        fields = []
+        if self._id_output:
+            fields.append((self.seed_column, "BIGINT"))
+        for c in self._columns:
+            if c.omit:
+                continue
+            dt = (c.col_type or "string").upper()
+            if dt == INFER_DATATYPE.upper():
+                dt = "STRING"
+            if c.num_columns is not None and c.struct_type != "array":
+                n = c.num_columns if isinstance(c.num_columns, int) else c.num_columns[1]
+                fields.extend((f"{c.name}_{i}", dt) for i in range(n))
+            elif c.struct_type == "array":
+                fields.append((c.name, f"ARRAY<{dt}>"))
+            else:
+                fields.append((c.name, dt))
+        return fields
+
+    def scriptTable(
+        self,
+        name: Optional[str] = None,
+        location: Optional[str] = None,
+        tableFormat: str = "delta",
+        asHtml: bool = False,
+    ) -> str:
+        cols = ",\n".join(f"    {n} {t}" for n, t in self._output_fields())
+        sql = f"CREATE TABLE IF NOT EXISTS {name or self.name} (\n{cols}\n)\nUSING {tableFormat}"
+        if location:
+            sql += f"\nLOCATION '{location}'"
+        return sql
+
+    def scriptMerge(
+        self,
+        tgtName: str,
+        srcName: str,
+        *,
+        joinExpr: str,
+        updateExpr: Optional[Sequence[str]] = None,
+        delExpr: Optional[str] = None,
+        insertExpr: Optional[Sequence[str]] = None,
+        updateColumns: Optional[Sequence[str]] = None,
+        insertColumns: Optional[Sequence[str]] = None,
+        timeExpr: Optional[str] = None,
+    ) -> str:
+        fields = [n for n, _ in self._output_fields()]
+        update_cols = list(updateColumns or fields)
+        insert_cols = list(insertColumns or fields)
+        update_set = ", ".join(
+            f"tgt.{c} = {e}" if updateExpr else f"tgt.{c} = src.{c}"
+            for c, e in zip(
+                update_cols,
+                updateExpr or [f"src.{c}" for c in update_cols],
+            )
+        )
+        insert_vals = ", ".join(
+            insertExpr or [f"src.{c}" for c in insert_cols]
+        )
+        src_clause = f"{srcName}" + (f" {timeExpr}" if timeExpr else "")
+        sql = [
+            f"MERGE INTO {tgtName} AS tgt",
+            f"USING {src_clause} AS src",
+            f"ON {joinExpr}",
+        ]
+        if delExpr:
+            sql.append(f"WHEN MATCHED AND {delExpr} THEN DELETE")
+        sql.append(f"WHEN MATCHED THEN UPDATE SET {update_set}")
+        sql.append(
+            f"WHEN NOT MATCHED THEN INSERT ({', '.join(insert_cols)}) "
+            f"VALUES ({insert_vals})"
+        )
+        return "\n".join(sql)
+
+
+def _struct_sql(fields: Union[Sequence[str], Dict[str, Any]]) -> str:
+    """``named_struct(...)`` SQL from a field list or nested dict spec."""
+    if isinstance(fields, dict):
+        parts = []
+        for k, v in fields.items():
+            parts.append(f"'{k}'")
+            if isinstance(v, dict):
+                parts.append(_struct_sql(v))
+            elif isinstance(v, (list, tuple)):
+                elems = ", ".join(
+                    _struct_sql(e) if isinstance(e, dict) else str(e) for e in v
+                )
+                parts.append(f"array({elems})")
+            else:
+                parts.append(str(v))
+        return f"named_struct({', '.join(parts)})"
+    parts = []
+    for fname in fields:
+        parts.append(f"'{fname}'")
+        parts.append(str(fname))
+    return f"named_struct({', '.join(parts)})"
+
+
+def _date_str(v) -> str:
+    import datetime as dt
+
+    if isinstance(v, dt.datetime):
+        return v.date().isoformat()
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    return str(v).split(" ")[0]
+
+
+def _ts_str(v) -> str:
+    import datetime as dt
+
+    if isinstance(v, (dt.datetime, dt.date)):
+        return str(v)
+    return str(v)
+
+
+def _interval_to_seconds(interval) -> int:
+    """Parse ``"1 hour"`` / ``"days=1,hours=2"`` / timedelta → seconds."""
+    import datetime as dt
+
+    if isinstance(interval, dt.timedelta):
+        return max(1, int(interval.total_seconds()))
+    if isinstance(interval, (int, float)):
+        return max(1, int(interval))
+    s = str(interval).strip().lower()
+    units = {
+        "week": 604800, "day": 86400, "hour": 3600, "minute": 60,
+        "second": 1,
+    }
+    total = 0
+    for m in re.finditer(r"(\d+)\s*(week|day|hour|minute|second)s?", s):
+        total += int(m.group(1)) * units[m.group(2)]
+    for m in re.finditer(r"(week|day|hour|minute|second)s?\s*=\s*(\d+)", s):
+        total += int(m.group(2)) * units[m.group(1)]
+    return max(1, total)
+
+
+def _interval_to_days(interval) -> int:
+    return max(1, _interval_to_seconds(interval) // 86400)

@@ -1,0 +1,355 @@
+"""v0-style template text generation (``template="ddd-ddd-dddd"``).
+
+Token language (compatible with the reference's published template spec,
+``/root/reference/dbldatagen/text_generators.py:413-995``; implementation
+original, fully vectorized in numpy):
+
+====== =====================================================
+token  meaning (default mode, ``escape_special_chars=False``)
+====== =====================================================
+``x``  random lowercase hex digit
+``X``  random uppercase hex digit
+``d``  random digit 0-9
+``D``  random digit 1-9
+``a``  random lowercase letter
+``A``  random uppercase letter
+``k``  random lowercase alphanumeric
+``K``  random uppercase alphanumeric
+``\\n`` random number 0..255
+``\\N`` random number 0..65535
+``\\w`` random lorem word (lowercase)
+``\\W`` random capitalized lorem word
+``\\v`` substitute the base value verbatim
+``\\v0..\\v9`` index into an array-typed base value
+``\\V`` base value as string
+``|``  alternation — pick one alternative per row
+====== =====================================================
+
+With ``escape_special_chars=True`` the polarity flips: plain letters are
+literal and only ``\\d`` / ``\\a`` / ... generate.
+
+Determinism: the UDF receives the per-row 64-bit cell seed (computed
+JVM-side as ``xxhash64(column_seed, row_id)``); each template slot *j*
+derives its draw as ``splitmix64(seed ^ f(j)) % base`` — vectorized uint64
+numpy, partition-independent, no RNG state. Arrow-batched pandas UDF keeps
+the Python boundary to one crossing per ~10k rows.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+_LOWER = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+_UPPER = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"))
+_DIGITS = np.array(list("0123456789"))
+_NZDIGITS = np.array(list("123456789"))
+_HEX_L = np.array(list("0123456789abcdef"))
+_HEX_U = np.array(list("0123456789ABCDEF"))
+_ALNUM_L = np.array(list("abcdefghijklmnopqrstuvwxyz0123456789"))
+_ALNUM_U = np.array(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"))
+
+# classic lorem-ipsum vocabulary (public text), used by \w / \W and ILText
+LOREM_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure in reprehenderit voluptate velit esse cillum "
+    "eu fugiat nulla pariatur excepteur sint occaecat cupidatat non proident "
+    "sunt culpa qui officia deserunt mollit anim id est laborum perspiciatis "
+    "unde omnis iste natus error voluptatem accusantium doloremque laudantium "
+    "totam rem aperiam eaque ipsa quae ab illo inventore veritatis quasi "
+    "architecto beatae vitae dicta explicabo nemo ipsam quia voluptas "
+    "aspernatur aut odit fugit consequuntur magni dolores eos ratione "
+    "sequi nesciunt neque porro quisquam dolorem adipisci numquam eius modi "
+    "tempora incidunt magnam quaerat etiam minus solutum nobis eligendi "
+    "optio cumque nihil impedit quo facere possimus assumenda repellendus"
+).split()
+_WORDS = np.array(LOREM_WORDS)
+_WORDS_CAP = np.array([w.capitalize() for w in LOREM_WORDS])
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_C1 = np.uint64(0x9E3779B97F4A7C15)
+_C2 = np.uint64(0xBF58476D1CE4E5B9)
+_C3 = np.uint64(0x94D049BB133111EB)
+
+
+def _mix(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer over uint64 arrays."""
+    with np.errstate(over="ignore"):
+        x = (x + _C1) & _MASK64
+        x = ((x ^ (x >> np.uint64(30))) * _C2) & _MASK64
+        x = ((x ^ (x >> np.uint64(27))) * _C3) & _MASK64
+        return x ^ (x >> np.uint64(31))
+
+
+# slot kinds
+_K_LITERAL = 0
+_K_CHARSET = 1
+_K_NUMBER = 2
+_K_WORD = 3
+_K_VALUE = 4  # base value (optionally indexed)
+
+_CHARSETS = {
+    "x": _HEX_L, "X": _HEX_U, "d": _DIGITS, "D": _NZDIGITS,
+    "a": _LOWER, "A": _UPPER, "k": _ALNUM_L, "K": _ALNUM_U,
+}
+
+
+class CompiledTemplate:
+    """One alternation-free template compiled to a slot list."""
+
+    __slots__ = ("slots",)
+
+    def __init__(self, slots: List[Tuple[int, object]]):
+        self.slots = slots
+
+    def expand(self, seeds: np.ndarray, values: Optional[pd.Series]) -> np.ndarray:
+        n = len(seeds)
+        parts: List[np.ndarray] = []
+        for j, (kind, arg) in enumerate(self.slots):
+            salt = np.uint64(((j + 1) * 0x632BE59BD9B4E019) & 0xFFFFFFFFFFFFFFFF)
+            if kind == _K_LITERAL:
+                parts.append(np.full(n, arg, dtype=object))
+            elif kind == _K_CHARSET:
+                charset = arg
+                draws = _mix(seeds ^ salt) % np.uint64(len(charset))
+                parts.append(charset[draws.astype(np.int64)].astype(object))
+            elif kind == _K_NUMBER:
+                bound = np.uint64(arg)
+                draws = _mix(seeds ^ salt) % bound
+                parts.append(draws.astype(np.int64).astype(str).astype(object))
+            elif kind == _K_WORD:
+                words = arg
+                draws = _mix(seeds ^ salt) % np.uint64(len(words))
+                parts.append(words[draws.astype(np.int64)].astype(object))
+            elif kind == _K_VALUE:
+                if values is None:
+                    parts.append(np.full(n, "", dtype=object))
+                elif arg is None:
+                    parts.append(values.astype(str).to_numpy(dtype=object))
+                else:
+                    idx = arg
+
+                    def pick(v, i=idx):
+                        try:
+                            return str(v[i])
+                        except Exception:
+                            return ""
+
+                    parts.append(values.map(pick).to_numpy(dtype=object))
+        if not parts:
+            return np.full(n, "", dtype=object)
+        out = parts[0].copy()
+        for p in parts[1:]:
+            out = np.char.add(out.astype(str), p.astype(str)).astype(object)
+        return out
+
+
+def compile_template(template: str, escape_special_chars: bool = False
+                     ) -> List[CompiledTemplate]:
+    """Split on unescaped ``|`` then compile each alternative."""
+    alternatives: List[str] = []
+    cur = []
+    i = 0
+    while i < len(template):
+        ch = template[i]
+        if ch == "\\" and i + 1 < len(template):
+            cur.append(ch)
+            cur.append(template[i + 1])
+            i += 2
+            continue
+        if ch == "|":
+            alternatives.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    alternatives.append("".join(cur))
+    return [_compile_one(a, escape_special_chars) for a in alternatives]
+
+
+def _compile_one(template: str, escape_special_chars: bool) -> CompiledTemplate:
+    slots: List[Tuple[int, object]] = []
+    literal: List[str] = []
+
+    def flush() -> None:
+        if literal:
+            slots.append((_K_LITERAL, "".join(literal)))
+            literal.clear()
+
+    i = 0
+    while i < len(template):
+        ch = template[i]
+        if ch == "\\" and i + 1 < len(template):
+            nxt = template[i + 1]
+            i += 2
+            if nxt == "n":
+                flush(); slots.append((_K_NUMBER, 256))
+            elif nxt == "N":
+                flush(); slots.append((_K_NUMBER, 65536))
+            elif nxt == "w":
+                flush(); slots.append((_K_WORD, _WORDS))
+            elif nxt == "W":
+                flush(); slots.append((_K_WORD, _WORDS_CAP))
+            elif nxt == "v":
+                if i < len(template) and template[i].isdigit():
+                    flush(); slots.append((_K_VALUE, int(template[i])))
+                    i += 1
+                else:
+                    flush(); slots.append((_K_VALUE, None))
+            elif nxt == "V":
+                flush(); slots.append((_K_VALUE, None))
+            elif escape_special_chars and nxt in _CHARSETS:
+                flush(); slots.append((_K_CHARSET, _CHARSETS[nxt]))
+            else:
+                literal.append(nxt)  # escaped literal (\\, \-, or plain char)
+            continue
+        if not escape_special_chars and ch in _CHARSETS:
+            flush()
+            slots.append((_K_CHARSET, _CHARSETS[ch]))
+        else:
+            literal.append(ch)
+        i += 1
+    flush()
+    return CompiledTemplate(slots)
+
+
+_ALT_SALT = np.uint64(0xD1B54A32D192ED03)
+
+
+def expand_templates(
+    compiled: List[CompiledTemplate],
+    seeds: np.ndarray,
+    values: Optional[pd.Series],
+) -> pd.Series:
+    """Vectorized expansion: pick an alternative per row, expand each
+    alternative over its row subset."""
+    useeds = seeds.astype(np.uint64)
+    n = len(useeds)
+    if len(compiled) == 1:
+        return pd.Series(compiled[0].expand(useeds, values))
+    choice = (_mix(useeds ^ _ALT_SALT) % np.uint64(len(compiled))).astype(np.int64)
+    out = np.empty(n, dtype=object)
+    for k, tmpl in enumerate(compiled):
+        mask = choice == k
+        if not mask.any():
+            continue
+        sub_values = values[mask].reset_index(drop=True) if values is not None else None
+        out[mask] = tmpl.expand(useeds[mask], sub_values)
+    return pd.Series(out)
+
+
+def template_udf_expr(
+    template: str,
+    seed_col: Column,
+    base_col: Optional[Column] = None,
+    escape_special_chars: bool = False,
+) -> Column:
+    """Pandas-UDF column for a v0 template. ``base_col`` feeds ``\\v``."""
+    compiled = compile_template(template, escape_special_chars)
+    needs_value = any(
+        kind == _K_VALUE for t in compiled for kind, _ in t.slots
+    )
+
+    if needs_value and base_col is not None:
+        def _expand2(seeds: pd.Series, vals: pd.Series) -> pd.Series:
+            return expand_templates(compiled, seeds.to_numpy(np.int64), vals)
+
+        udf = F.pandas_udf(_expand2, StringType())
+        return udf(seed_col.cast("long"), base_col)
+
+    def _expand(seeds: pd.Series) -> pd.Series:
+        return expand_templates(compiled, seeds.to_numpy(np.int64), None)
+
+    udf = F.pandas_udf(_expand, StringType())
+    return udf(seed_col.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# ILText — ipsum-lorem paragraphs (reference text_generators.py:996-1257)
+# ---------------------------------------------------------------------------
+
+
+def iltext_udf_expr(
+    seed_col: Column,
+    paragraphs: Tuple[int, int] = (1, 1),
+    sentences: Tuple[int, int] = (2, 4),
+    words: Tuple[int, int] = (4, 8),
+) -> Column:
+    """Ipsum-lorem text: per-row deterministic paragraph/sentence/word counts
+    drawn uniformly from the given (min,max) ranges, words from the shared
+    lorem vocabulary. Vectorized per sentence-slot batch."""
+    p_lo, p_hi = paragraphs
+    s_lo, s_hi = sentences
+    w_lo, w_hi = words
+
+    def _gen(seeds: pd.Series) -> pd.Series:
+        useeds = seeds.to_numpy(np.int64).astype(np.uint64)
+        out = []
+        nw = len(_WORDS)
+        for seed in useeds:
+            s = np.uint64(seed)
+            n_par = int(_mix(np.array([s ^ np.uint64(1)]))[0] % np.uint64(p_hi - p_lo + 1)) + p_lo
+            pieces = []
+            slot = 2
+            for _p in range(n_par):
+                n_sent = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(s_hi - s_lo + 1)) + s_lo
+                slot += 1
+                sent_parts = []
+                for _s in range(n_sent):
+                    n_words = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(w_hi - w_lo + 1)) + w_lo
+                    slot += 1
+                    idx = (
+                        _mix(s ^ (np.arange(slot, slot + n_words, dtype=np.uint64)
+                                  * np.uint64(0x9E3779B97F4A7C15)))
+                        % np.uint64(nw)
+                    ).astype(np.int64)
+                    slot += n_words
+                    ws = _WORDS[idx]
+                    sent = " ".join(ws)
+                    sent_parts.append(sent[0].upper() + sent[1:] + ".")
+                pieces.append(" ".join(sent_parts))
+            out.append("\n\n".join(pieces))
+        return pd.Series(out)
+
+    udf = F.pandas_udf(_gen, StringType())
+    return udf(seed_col.cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# PyfuncText — plugin text generators (reference text_generator_plugins.py)
+# ---------------------------------------------------------------------------
+
+
+class PyfuncText:
+    """User-plugin text generator: ``fn(context, base_value) -> str`` with an
+    optional one-time ``init(context)``. The context object is created once
+    per executor (inside the UDF closure), mirroring the reference plugin
+    model (``text_generator_plugins.py:45-178``)."""
+
+    def __init__(self, fn, init=None, name: str = "pyfuncText"):
+        self.fn = fn
+        self.init = init
+        self.name = name
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        fn, init = self.fn, self.init
+
+        class _Ctx:
+            pass
+
+        def _apply(vals: pd.Series) -> pd.Series:
+            ctx = _Ctx()
+            if init is not None:
+                init(ctx)
+            return vals.map(lambda v: str(fn(ctx, v)))
+
+        udf = F.pandas_udf(_apply, StringType())
+        src = base_col if base_col is not None else seed_col.cast("long")
+        return udf(src)
