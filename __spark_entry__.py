@@ -358,6 +358,113 @@ def _text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidates + exact verification — with 64 bands the
+    verified output equals the exact >=0.5 Jaccard pair set (recall ~1),
+    so it shares the n-gram oracle."""
+    from dbldatagen_spark.functions import minhash_near_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import embedding_near_duplicates
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(
+        emb, "vec_id", "embedding", threshold=0.45
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (xxhash64-based — no SQL oracle; rows-only)."""
+    from dbldatagen_spark.functions import simhash_signatures
+
+    docs = _load(spark, sf_dir, "documents")
+    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return cosine_topk(emb, "vec_id", "embedding", q, k=10)
+
+
+def _ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: LSH-bucketed ANN recovers >= 6 of the exact top-10."""
+    from dbldatagen_spark.functions import cosine_topk, lsh_bucket_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = cosine_topk(emb, "vec_id", "embedding", q, k=10).select("vec_id")
+    approx = lsh_bucket_ann_topk(
+        emb, "vec_id", "embedding", q, k=10, max_hamming=6
+    ).select("vec_id")
+    overlap = exact.join(approx, "vec_id").count()
+    return spark.createDataFrame([(overlap >= 6,)], "recall_ok boolean")
+
+
+def _text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import detect_language
+
+    docs = _load(spark, sf_dir, "documents")
+    return detect_language(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import quality_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    return quality_metrics(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dbldatagen_spark.functions import document_fingerprint
+
+    docs = _load(spark, sf_dir, "documents")
+    return document_fingerprint(docs, "doc_id", "text").select(
+        "doc_id", "sha256_hex"
+    ).orderBy("doc_id")
+
+
+def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: mapInPandas feature extraction yields one row per media
+    item with FEATURE_DIM features all inside [0,1]."""
+    from dbldatagen_spark.functions.multimodal import (
+        FEATURE_DIM,
+        extract_media_features,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, rows=500, partitions=4)
+    feats = extract_media_features(media, fake=True)
+    return feats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.size("features") == FEATURE_DIM)
+                & (F.array_min("features") >= 0.0)
+                & (F.array_max("features") <= 1.0),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_valid"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # generation operators (SURVEY §2.2/2.5)
@@ -377,7 +484,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_unshipped,
         "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_simhash": _dedup_simhash,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "ann_lsh_recall": _ann_lsh_recall,
         "text_token_stats": _text_token_stats,
+        "text_langid": _text_langid,
+        "text_quality": _text_quality,
+        "text_fingerprint": _text_fingerprint,
+        "multimodal_features": _multimodal_features,
     }
 
 
@@ -452,4 +569,130 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             ORDER BY doc_id
         """,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        "dedup_minhash_lsh": _NGRAM_JACCARD_ORACLE,
+        "dedup_embedding_cosine": """
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.45
+            ORDER BY id_a, id_b
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   ROUND(list_cosine_similarity(embedding, qe), 4) AS cosine
+            FROM embeddings, q
+            ORDER BY cosine DESC, vec_id
+            LIMIT 10
+        """,
+        "ann_lsh_recall": "SELECT true AS recall_ok",
+        "text_langid": """
+            WITH t AS (
+                SELECT doc_id, text,
+                       list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, text,
+                       len(list_intersect(toks, ['the','and','of','to','in','is','that','for','with','a'])) AS h_en,
+                       len(list_intersect(toks, ['der','die','und','das','ist','nicht','ein','mit','auf','zu'])) AS h_de,
+                       len(list_intersect(toks, ['le','la','et','les','des','est','une','dans','pour','que'])) AS h_fr,
+                       len(list_intersect(toks, ['el','la','que','de','los','una','por','con','para','es'])) AS h_es
+                FROM t
+            )
+            SELECT doc_id,
+                   CASE
+                     WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+                     WHEN h_en = greatest(h_en, h_de, h_fr, h_es) AND h_en > 0 THEN 'en'
+                     WHEN h_de = greatest(h_en, h_de, h_fr, h_es) AND h_de > 0 THEN 'de'
+                     WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) AND h_fr > 0 THEN 'fr'
+                     WHEN h_es = greatest(h_en, h_de, h_fr, h_es) AND h_es > 0 THEN 'es'
+                     ELSE 'und'
+                   END AS detected_lang,
+                   CAST(greatest(h_en, h_de, h_fr, h_es) AS BIGINT) AS stopword_hits
+            FROM hits
+            ORDER BY doc_id
+        """,
+        "text_quality": """
+            WITH raw AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       len(list_intersect(list_distinct(toks),
+                           ['the','and','of','to','in','is','that','for','with','a'])) AS stop_hits,
+                       alpha, digits, punct
+                FROM raw
+            ),
+            ratio AS (
+                SELECT doc_id, n_chars, n_tokens,
+                       n_chars::DOUBLE / greatest(n_tokens, 1) AS mean_word_len,
+                       alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+                       digits::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+                       punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                       n_distinct::DOUBLE / greatest(n_tokens, 1) AS distinct_ratio,
+                       stop_hits::DOUBLE / 10.0 AS stop_ratio,
+                       least(n_tokens::DOUBLE / 100.0, 1.0) AS length_score
+                FROM feat
+            )
+            SELECT doc_id,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   ROUND(mean_word_len, 4) AS mean_word_len,
+                   ROUND(alpha_ratio, 4) AS alpha_ratio,
+                   ROUND(digit_ratio, 4) AS digit_ratio,
+                   ROUND(punct_ratio, 4) AS punct_ratio,
+                   ROUND(distinct_ratio, 4) AS distinct_ratio,
+                   ROUND(0.3 * alpha_ratio + 0.2 * distinct_ratio
+                         + 0.2 * length_score + 0.2 * stop_ratio
+                         + 0.1 * (1.0 - least(digit_ratio * 5, 1.0)), 4) AS quality_score
+            FROM ratio
+            ORDER BY doc_id
+        """,
+        "text_fingerprint": """
+            SELECT doc_id,
+                   sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS sha256_hex
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "multimodal_features": (
+            "SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_valid"
+        ),
     }
+
+
+_NGRAM_JACCARD_ORACLE = """
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM documents
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                              for i in generate_series(1, greatest(len(w)-2, 1))]) AS shingles
+        FROM t
+    ),
+    sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+    pair AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           ROUND(inter::DOUBLE / (s1.n + s2.n - inter), 4) AS jaccard
+    FROM pair
+    JOIN sz s1 ON id_a = s1.doc_id
+    JOIN sz s2 ON id_b = s2.doc_id
+    WHERE ROUND(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5
+    ORDER BY id_a, id_b
+"""

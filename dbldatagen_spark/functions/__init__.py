@@ -1,0 +1,51 @@
+"""Large-scale training-data pipeline operators over ordinary DataFrames.
+
+Beyond the reference's generation surface, these are the operators a 100 TB
+LLM-data pipeline needs: deduplication (exact, MinHash-LSH, SimHash,
+n-gram Jaccard, embedding cosine), similarity search (brute-force and
+LSH-bucketed ANN), text analysis (language ID, quality scoring, token
+counting, fingerprinting), and multimodal column plumbing.
+
+Design rules shared by every operator here:
+
+* shuffles move *derived keys* (hashes, signatures, band buckets), never
+  full payloads, until the final (small) candidate set;
+* everything stays in ``pyspark.sql.functions`` / whole-stage codegen
+  unless semantics genuinely require numpy (SimHash bit-packing);
+* O(n²) steps are always gated behind a blocking/bucketing stage so the
+  quadratic term applies per-bucket, not per-corpus.
+"""
+
+from dbldatagen_spark.functions.dedup import (
+    embedding_near_duplicates,
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_signatures,
+)
+from dbldatagen_spark.functions.similarity import (
+    cosine_similarity_expr,
+    cosine_topk,
+    lsh_bucket_ann_topk,
+)
+from dbldatagen_spark.functions.text_analysis import (
+    detect_language,
+    document_fingerprint,
+    quality_metrics,
+    token_count_expr,
+)
+
+__all__ = [
+    "cosine_similarity_expr",
+    "cosine_topk",
+    "detect_language",
+    "document_fingerprint",
+    "embedding_near_duplicates",
+    "exact_dedup",
+    "lsh_bucket_ann_topk",
+    "minhash_near_duplicates",
+    "ngram_jaccard_pairs",
+    "quality_metrics",
+    "simhash_signatures",
+    "token_count_expr",
+]

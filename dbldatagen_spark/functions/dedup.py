@@ -1,0 +1,399 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine.
+
+Scale design (the point of each operator at 100 TB):
+
+* **exact**: shuffle only ``(sha256, doc_id)`` pairs — a groupBy on a
+  64-byte key, never the document bodies. One shuffle, map-side partial
+  aggregation applies.
+* **n-gram Jaccard**: exact pairwise similarity *after* an inverted-index
+  blocking step (explode shingles → self-join on shingle → count common
+  shingles per pair). The join key is an 8-byte shingle hash; pairs that
+  share zero shingles are never materialized. Quadratic only within a
+  shingle's posting list.
+* **MinHash-LSH**: constant-size signature (`num_hashes` longs) per doc,
+  banded into `bands` bucket keys; candidate pairs only within equal
+  buckets, then exact-Jaccard verification. Tunable recall via (bands,
+  rows-per-band).
+* **SimHash**: one 64-bit signature per doc; near-dup candidates share a
+  16-bit band (4 tables), verified by Hamming distance.
+* **embedding cosine**: random-hyperplane LSH bucketing bounds the
+  pairwise cosine step; brute-force path kept for small/oracle use.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Fixed 64-bit odd constants; draw i-th minhash permutation as
+# a_i * h + b_i over the shingle hash h (Carter–Wegman style).
+_MH_SEED_A = 0x9E3779B97F4A7C15
+_MH_SEED_B = 0xC2B2AE3D27D4EB4F
+
+
+def normalize_text_expr(text: Column) -> Column:
+    """Canonical form for dedup hashing: trim, collapse whitespace, lower."""
+    return F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalize: bool = True,
+    keep: str = "min",
+) -> DataFrame:
+    """Exact duplicate grouping: one row per distinct content with the
+    surviving id and duplicate count.
+
+    Only ``(sha256(text), id)`` enters the shuffle; the full text stays in
+    its source partition.
+    """
+    content = F.col(text_col)
+    if normalize:
+        content = normalize_text_expr(content)
+    keyed = df.select(
+        F.sha2(content, 256).alias("_content_key"), F.col(id_col).alias(id_col)
+    )
+    keep_fn = F.min if keep == "min" else F.max
+    return (
+        keyed.groupBy("_content_key")
+        .agg(
+            keep_fn(id_col).alias(id_col),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+        .select(id_col, "dup_count")
+    )
+
+
+def word_shingles_expr(text: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of a document as an array<string>.
+
+    Pure expression: split → ``transform`` over a 0..n-k index sequence →
+    ``array_distinct``; no UDF. Empty/short docs yield the whole text as a
+    single shingle so they still participate.
+    """
+    words = F.split(F.trim(text), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    shingle = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(shingle)
+
+
+def _pair_jaccard(
+    shingled: DataFrame, id_col: str, *, threshold: float
+) -> DataFrame:
+    """Inverted-index pair generation + exact Jaccard from a DataFrame of
+    ``(id, shingles: array<string>)``."""
+    sizes = shingled.select(
+        F.col(id_col), F.size("shingles").alias("_sz")
+    )
+    posting = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_sh")
+    )
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col(f"a._sh") == F.col(f"b._sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "_sz_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "_sz_b")
+    jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_inter")
+                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """All document pairs with exact k-word-shingle Jaccard >= threshold.
+
+    Blocking = the inverted index itself: only pairs sharing >= 1 shingle
+    are generated. At 100 TB add a stop-shingle cut (drop shingles with
+    posting lists above a cap) — the skew, not the total size, is what
+    hurts; ``minhash_near_duplicates`` is the cheaper path at that scale.
+    """
+    shingled = df.select(
+        F.col(id_col), word_shingles_expr(F.col(text_col), k).alias("shingles")
+    )
+    return _pair_jaccard(shingled, id_col, threshold=threshold)
+
+
+def minhash_signature_exprs(
+    shingles: Column, num_hashes: int
+) -> List[Column]:
+    """``num_hashes`` minhash values: the i-th "permutation" is
+    ``xxhash64(salt_i, shingle)`` and the signature entry is its min over
+    the shingle set. Salted rehashing (instead of the classic ``a*h+b``
+    Carter–Wegman form) keeps the arithmetic ANSI-mode-safe — no 64-bit
+    wraparound multiply — and stays entirely JVM-side."""
+    def _salted(salt: int):
+        # single-arg lambda: a two-arg lambda would make PySpark's
+        # ``transform`` bind the second parameter to the array index
+        return lambda s: F.xxhash64(F.lit(salt), s)
+
+    out = []
+    for i in range(num_hashes):
+        salt = ((2 * i + 1) * _MH_SEED_A) & ((1 << 63) - 1)
+        out.append(
+            F.array_min(F.transform(shingles, _salted(salt))).alias(f"mh_{i}")
+        )
+    return out
+
+
+def minhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 64,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, then (by default) exact
+    Jaccard verification of candidates.
+
+    With ``bands=64`` over 128 hashes (2 rows/band), recall at J=0.7 is
+    1-(1-0.7^2)^64 ≈ 1-1e-19 — the verified output is the exact
+    >=threshold pair set with near-certainty, while candidate generation
+    shuffles only (band_key, id) pairs.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col), word_shingles_expr(F.col(text_col), k).alias("shingles")
+    )
+    sig = shingled.select(
+        F.col(id_col),
+        F.col("shingles"),
+        *minhash_signature_exprs(F.col("shingles"), num_hashes),
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("_band", "_key")
+    )
+    a = buckets.alias("a")
+    b_ = buckets.alias("b")
+    candidates = (
+        a.join(
+            b_,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+    )
+    verified = (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """64-bit SimHash per document, pure expressions.
+
+    bit_j(doc) = 1 if sum over tokens of sign(bit_j(xxhash64(token))) > 0.
+    Computed as 64 conditional sums over the exploded-free token array via
+    ``aggregate`` — stays in codegen; no UDF, no shuffle.
+    """
+    tokens = F.array_distinct(F.split(normalize_text_expr(F.col(text_col)), " "))
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    bit_cols = []
+    for j in range(64):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(
+                -1
+            ),
+        )
+        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bit_cols.append(bit * F.lit(1 << j if j < 63 else -(1 << 63)))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Candidate pairs whose SimHashes agree on >= 1 of 4 16-bit bands,
+    verified by exact Hamming distance <= max_hamming."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), 16 * b).bitwiseAND(
+                        F.lit(0xFFFF)
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_band", "_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("_s_a"),
+            F.col("b.simhash").alias("_s_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("_s_a").bitwiseXOR(F.col("_s_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    bucketed: bool = False,
+    num_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine similarity >= threshold.
+
+    ``bucketed=True`` first blocks by a random-hyperplane LSH signature
+    (pairs must agree on one of 2 half-signatures — near-certain for
+    cosine >= 0.95) so the pairwise step is per-bucket; the default
+    brute path is exact and fine up to ~1e5 vectors.
+    """
+    from dbldatagen_spark.functions.similarity import (
+        cosine_similarity_expr,
+        hyperplane_signature_expr,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    if bucketed:
+        sig = base.withColumn(
+            "_sig", hyperplane_signature_expr(F.col("_v"), num_planes, seed)
+        )
+        half = num_planes // 2
+        banded = sig.select(
+            F.col(id_col),
+            F.col("_v"),
+            F.posexplode(
+                F.array(
+                    F.shiftrightunsigned(F.col("_sig"), half),
+                    F.col("_sig").bitwiseAND(F.lit((1 << half) - 1)),
+                )
+            ).alias("_band", "_key"),
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._key") == F.col("b._key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a._v").alias("_va"),
+                F.col("b._v").alias("_vb"),
+            )
+            .distinct()
+        )
+    else:
+        a = base.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"))
+        b = base.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"))
+        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine", F.round(cosine_similarity_expr(F.col("_va"), F.col("_vb")), 4)
+        )
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exactness baseline; random-hyperplane LSH
+bucketing is the scale path (signature computed JVM-side from driver-side
+plane vectors folded into the expression — no UDF, no broadcast join).
+
+All vector math uses ``F.aggregate`` / ``F.zip_with`` over array columns,
+which whole-stage-codegen compiles to tight loops — competitive with a
+Pandas UDF at 64-dim and free of the Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Dot product of two array columns via zip_with + aggregate."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_similarity_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity; 0.0 when either vector has zero norm."""
+    denom = norm_expr(a) * norm_expr(b)
+    return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query rides the plan as an array literal: the scan computes one
+    fused map over every row, then a single ``orderBy ... limit k`` —
+    Spark executes that as a per-partition top-k (TakeOrderedAndProject),
+    so no full sort and no wide shuffle even at 1e9 rows.
+    """
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    out = df.select(
+        F.col(id_col),
+        F.round(cosine_similarity_expr(F.col(vec_col), qarr), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def random_hyperplanes(num_planes: int, dim: int, seed: int) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes (driver-side, tiny)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((num_planes, dim))
+
+
+def hyperplane_signature_expr(
+    vec: Column, num_planes: int, seed: int, dim: int = 64
+) -> Column:
+    """LSH signature: bit i = sign(v · h_i), packed into a long.
+
+    The plane coefficients are folded into the expression as literals —
+    at 16 planes x 64 dims that is ~1k literals, well inside Catalyst
+    limits, and the whole signature stays in codegen.
+    """
+    planes = random_hyperplanes(num_planes, dim, seed)
+    sig: Column = F.lit(0).cast("long")
+    for i in range(num_planes):
+        coeffs = F.array(*[F.lit(float(c)) for c in planes[i]])
+        d = dot_expr(vec, coeffs)
+        bit = F.when(d > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig + bit * F.lit(1 << i)
+    return sig
+
+
+def lsh_bucket_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    num_planes: int = 12,
+    seed: int = 42,
+    max_hamming: int = 2,
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """Approximate top-k: restrict the exact cosine scan to rows whose LSH
+    signature is within ``max_hamming`` bits of the query's signature.
+
+    The signature predicate is a pure column filter — it pushes into the
+    scan, so at scale only the candidate fraction (~sum_{i<=h} C(p,i)/2^p)
+    of rows pays the full 64-dim cosine.
+    """
+    dim = len(query)
+    planes = random_hyperplanes(num_planes, dim, seed)
+    qsig = 0
+    for i in range(num_planes):
+        if float(np.dot(planes[i], np.asarray(query, dtype=float))) > 0:
+            qsig |= 1 << i
+    sig = hyperplane_signature_expr(F.col(vec_col), num_planes, seed, dim)
+    hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
+    qarr = F.array(*[F.lit(float(x)) for x in query])
+    out = df.where(hamming <= max_hamming).select(
+        F.col(id_col),
+        F.round(cosine_similarity_expr(F.col(vec_col), qarr), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    k: int = 5,
+) -> DataFrame:
+    """For each left row, its k nearest right rows by cosine (brute force;
+    wrap with LSH bucketing before the join at scale)."""
+    l = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lv"))
+    r = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rv"))
+    scored = l.crossJoin(r).select(
+        "_lid",
+        "_rid",
+        F.round(cosine_similarity_expr(F.col("_lv"), F.col("_rv")), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("_lid").orderBy(F.desc("cosine"), F.col("_rid"))
+    return (
+        scored.withColumn("_rank", F.row_number().over(w))
+        .where(F.col("_rank") <= k)
+        .select(
+            F.col("_lid").alias(left_id),
+            F.col("_rid").alias(right_id),
+            "cosine",
+            F.col("_rank").alias("rank"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting. All pure column expressions — at 100 TB these run inside
+the scan with zero extra stages.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Compact stopword lists for the n-gram/stopword-hit language heuristic.
+# Order matters: ties resolve to the earliest language below.
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "a"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "la", "que", "de", "los", "una", "por", "con", "para", "es"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def tokens_expr(text: Column) -> Column:
+    """Lowercased whitespace tokens."""
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def token_count_expr(text: Column, *, mode: str = "whitespace") -> Column:
+    """Token count: ``whitespace`` split or a BPE-ish regex lexer
+    (letter-runs | digit-runs | single non-space symbol)."""
+    if mode == "whitespace":
+        return F.size(F.split(F.trim(text), r"\s+")).cast("long")
+    if mode == "bpe":
+        return F.size(
+            F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+        ).cast("long")
+    raise ValueError(f"unknown token mode {mode!r}")
+
+
+def detect_language(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Heuristic language ID.
+
+    CJK characters dominate (→ ``zh``); otherwise the language whose
+    stopword list has the most *distinct* hits among the document's tokens
+    wins; ties resolve in LANG_ORDER; zero hits → ``und``.
+    """
+    toks = F.array_distinct(tokens_expr(F.col(text_col)))
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    lang_expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        lang_expr = F.when(
+            (hit_cols[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(lang_expr)
+    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
+    lang_expr = F.when(has_cjk, F.lit("zh")).otherwise(lang_expr)
+    return df.select(
+        F.col(id_col), lang_expr.alias("detected_lang"), best.cast("long").alias("stopword_hits")
+    )
+
+
+def quality_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document quality features + composite score in [0,1].
+
+    Features follow the standard web-corpus filters: length, mean word
+    length, alpha/digit/punct character ratios, stopword ratio, repetition
+    (distinct-token ratio). The composite is a fixed linear blend —
+    deterministic and explainable rather than learned.
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    mean_word_len = n_chars.cast("double") / safe_tokens
+    alpha_ratio = alpha.cast("double") / safe_chars
+    digit_ratio = digits.cast("double") / safe_chars
+    punct_ratio = punct.cast("double") / safe_chars
+    distinct_ratio = n_distinct.cast("double") / safe_tokens
+    stop_ratio = stop_hits.cast("double") / F.lit(float(len(LANG_STOPWORDS["en"])))
+
+    length_score = F.least(n_tokens.cast("double") / F.lit(100.0), F.lit(1.0))
+    score = (
+        F.lit(0.3) * alpha_ratio
+        + F.lit(0.2) * distinct_ratio
+        + F.lit(0.2) * length_score
+        + F.lit(0.2) * stop_ratio
+        + F.lit(0.1) * (F.lit(1.0) - F.least(digit_ratio * 5, F.lit(1.0)))
+    )
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(alpha_ratio, 4).alias("alpha_ratio"),
+        F.round(digit_ratio, 4).alias("digit_ratio"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(distinct_ratio, 4).alias("distinct_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Content fingerprints: sha256 of the normalized text plus a 64-bit
+    xxhash64 rolling key — the join/dedup keys for exact content identity."""
+    from dbldatagen_spark.functions.dedup import normalize_text_expr
+
+    norm = normalize_text_expr(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.sha2(norm, 256).alias("sha256_hex"),
+        F.xxhash64(norm).alias("hash64"),
+    )

@@ -1,0 +1,230 @@
+"""Pipeline-operator tests over the driver's sf0.001 testdata."""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark, docs):
+        from dbldatagen_spark.functions import exact_dedup
+
+        out = exact_dedup(docs, "doc_id", "text", normalize=False)
+        assert out.agg(F.sum("dup_count")).first()[0] == docs.count()
+
+    def test_exact_dedup_finds_duplicates(self, spark):
+        from dbldatagen_spark.functions import exact_dedup
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, "hello  world"), (3, "other text")],
+            ["doc_id", "text"],
+        )
+        out = exact_dedup(df, "doc_id", "text").collect()
+        by_id = {r.doc_id: r.dup_count for r in out}
+        assert by_id == {1: 2, 3: 1}
+
+    def test_ngram_jaccard_self_similarity(self, spark):
+        from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h"),
+                (2, "a b c d e f g h"),       # identical -> J=1.0
+                (3, "a b c d e f g x"),       # near dup
+                (4, "q r s t u v w z"),       # unrelated
+            ],
+            ["doc_id", "text"],
+        )
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.5).collect()}
+        assert pairs[(1, 2)] == 1.0
+        assert (1, 4) not in pairs
+        assert (1, 3) in pairs and pairs[(1, 3)] < 1.0
+
+    def test_minhash_matches_exact(self, spark, docs):
+        from dbldatagen_spark.functions import minhash_near_duplicates, ngram_jaccard_pairs
+
+        exact = {
+            (r.id_a, r.id_b)
+            for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        mh = {
+            (r.id_a, r.id_b)
+            for r in minhash_near_duplicates(
+                docs, "doc_id", "text", threshold=0.5
+            ).collect()
+        }
+        assert mh == exact  # verification makes LSH output exact (recall ~1)
+
+    def test_simhash_identical_texts_equal(self, spark):
+        from dbldatagen_spark.functions import simhash_signatures
+
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "xyz abc")],
+            ["doc_id", "text"],
+        )
+        sigs = {r.doc_id: r.simhash for r in simhash_signatures(df, "doc_id", "text").collect()}
+        assert sigs[1] == sigs[2]
+        assert sigs[1] != sigs[3]
+
+    def test_embedding_near_dup_bucketed_matches_brute(self, spark, emb):
+        from dbldatagen_spark.functions import embedding_near_duplicates
+
+        brute = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.9
+            ).collect()
+        }
+        bucketed = {
+            (r.id_a, r.id_b)
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.9, bucketed=True
+            ).collect()
+        }
+        assert bucketed <= brute
+        if brute:
+            assert len(bucketed) >= int(0.8 * len(brute))
+
+
+class TestSimilarity:
+    def test_cosine_topk_self_first(self, spark, emb):
+        from dbldatagen_spark.functions import cosine_topk
+
+        q = emb.where("vec_id = 0").first()["embedding"]
+        top = cosine_topk(emb, "vec_id", "embedding", q, k=5).collect()
+        assert top[0].vec_id == 0 and abs(top[0].cosine - 1.0) < 1e-6
+
+    def test_lsh_ann_candidates_subset(self, spark, emb):
+        from dbldatagen_spark.functions import cosine_topk, lsh_bucket_ann_topk
+
+        q = emb.where("vec_id = 0").first()["embedding"]
+        exact = [r.vec_id for r in cosine_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+        approx = [
+            r.vec_id
+            for r in lsh_bucket_ann_topk(
+                emb, "vec_id", "embedding", q, k=10, max_hamming=6
+            ).collect()
+        ]
+        # neighbors here sit at cosine ~0.3 (near-orthogonal), where
+        # hyperplane collision prob/plane is only ~0.6 — a generous hamming
+        # budget still recovers most of the exact top-k
+        assert len(set(exact) & set(approx)) >= 6
+
+    def test_knn_join(self, spark, emb):
+        from dbldatagen_spark.functions.similarity import knn_join
+
+        small = emb.limit(20)
+        out = knn_join(small, small, "vec_id", "vec_id", "embedding", "embedding", k=3)
+        rows = out.collect()
+        assert len(rows) == 60
+        firsts = [r for r in rows if r.rank == 1]
+        for r in firsts:
+            assert abs(r.cosine - 1.0) < 1e-6  # self is nearest
+
+
+class TestTextAnalysis:
+    def test_token_counts(self, spark, docs):
+        from dbldatagen_spark.functions import token_count_expr
+
+        out = docs.select(
+            "doc_id",
+            token_count_expr(F.col("text")).alias("ws"),
+            token_count_expr(F.col("text"), mode="bpe").alias("bpe"),
+        )
+        assert out.where("ws <= 0").count() == 0
+        assert out.where("bpe < ws").count() == 0
+
+    def test_detect_language_stopwords(self, spark):
+        from dbldatagen_spark.functions import detect_language
+
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is in that house for a while with food"),
+                (2, "der hund und die katze ist nicht ein tier mit auf zu"),
+                (3, "le chat et la maison les des est une dans pour que"),
+                (4, "qqq zzz vvv"),
+                (5, "你好 世界"),
+            ],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.detected_lang for r in detect_language(df, "doc_id", "text").collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "und", 5: "zh"}
+
+    def test_quality_metrics_bounds(self, spark, docs):
+        from dbldatagen_spark.functions import quality_metrics
+
+        out = quality_metrics(docs, "doc_id", "text")
+        bad = out.where(
+            (F.col("quality_score") < 0) | (F.col("quality_score") > 1)
+            | (F.col("alpha_ratio") > 1) | (F.col("distinct_ratio") > 1)
+        ).count()
+        assert bad == 0
+
+    def test_fingerprint_identity(self, spark):
+        from dbldatagen_spark.functions import document_fingerprint
+
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+            ["doc_id", "text"],
+        )
+        out = {r.doc_id: r.sha256_hex for r in document_fingerprint(df, "doc_id", "text").collect()}
+        assert out[1] == out[2]
+        assert out[1] != out[3]
+
+
+class TestMultimodal:
+    def test_feature_extraction_pipeline(self, spark):
+        from dbldatagen_spark.functions.multimodal import (
+            FEATURE_DIM,
+            extract_media_features,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, rows=200, partitions=3)
+        feats = extract_media_features(media, fake=True)
+        rows = feats.collect()
+        assert len(rows) == 200
+        for r in rows[:10]:
+            assert len(r.features) == FEATURE_DIM
+            assert all(0.0 <= f <= 1.0 for f in r.features)
+            assert r.payload_bytes > 0
+
+    def test_real_decode_raises(self, spark):
+        from dbldatagen_spark.functions.multimodal import (
+            extract_media_features,
+            synthesize_media_table,
+        )
+        from py4j.protocol import Py4JJavaError
+
+        media = synthesize_media_table(spark, rows=10, partitions=1)
+        with pytest.raises(Exception) as exc_info:
+            extract_media_features(media, fake=False).collect()
+        assert "NotImplementedError" in str(exc_info.value) or isinstance(
+            exc_info.value, NotImplementedError
+        )
+
+    def test_frame_sampling(self, spark):
+        from dbldatagen_spark.functions.multimodal import (
+            frame_sample_plan,
+            synthesize_media_table,
+        )
+
+        media = synthesize_media_table(spark, rows=100, partitions=2)
+        frames = frame_sample_plan(media, every_ms=1000)
+        joined = frames.join(media, "media_id").where(
+            (F.col("frame_ts_ms") >= F.col("duration_ms") + 1000)
+        )
+        assert joined.count() == 0
+        assert frames.where("media_id % 3 != 2").count() == 0  # only videos
