@@ -65,6 +65,15 @@ from dbldatagen_spark.operators.constraints import (
     UniqueCombinations,
 )
 from dbldatagen_spark.operators.templates import PyfuncText
+from dbldatagen_spark.analyzer import DataAnalyzer
+from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
+from dbldatagen_spark.plans.serialization import (
+    load_plan,
+    load_plan_json,
+    plan_from_dict,
+    plan_to_dict,
+    save_plan_json,
+)
 
 __version__ = "0.1.0"
 

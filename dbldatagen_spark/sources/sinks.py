@@ -1,0 +1,78 @@
+"""Output sinks: batch and streaming writes from one config object.
+
+Reference surface: ``OutputDataset`` config (``/root/reference/dbldatagen/
+config.py:12-38``) + ``write_data_to_output`` (``utils.py:371-405``) +
+streaming auto-detection in ``saveAsDataset``
+(``data_generator.py:1957-1976``). Implementation original.
+
+Format note: the reference defaults to ``delta`` (Databricks); this engine
+defaults to ``parquet`` so it runs on stock Spark — pass
+``format="delta"`` where Delta Lake is on the classpath.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class OutputDataset:
+    """Where/how to write generated data.
+
+    ``trigger`` applies to streaming only; like the reference, only
+    processing-time triggers (``{"processingTime": "10 seconds"}``) or
+    ``{"once": True}`` / ``{"availableNow": True}`` are supported.
+    """
+
+    location: Optional[str] = None
+    table: Optional[str] = None
+    output_format: str = "parquet"
+    mode: str = "append"
+    options: Dict[str, Any] = field(default_factory=dict)
+    trigger: Optional[Dict[str, Any]] = None
+    checkpoint_location: Optional[str] = None
+    partition_by: Optional[list] = None
+
+    def __post_init__(self) -> None:
+        if not self.location and not self.table:
+            raise ValueError("OutputDataset requires a location or a table name")
+        if self.trigger is not None:
+            allowed = {"processingTime", "once", "availableNow"}
+            bad = set(self.trigger) - allowed
+            if bad:
+                raise ValueError(
+                    f"unsupported trigger keys {sorted(bad)} (allowed: {sorted(allowed)})"
+                )
+
+
+def write_data_to_output(df: DataFrame, output: OutputDataset):
+    """Write a batch or streaming DataFrame per the config.
+
+    Returns ``None`` for batch writes, the ``StreamingQuery`` for streams.
+    """
+    if df.isStreaming:
+        writer = df.writeStream.format(output.output_format).outputMode(
+            output.mode if output.mode != "overwrite" else "complete"
+        )
+        if output.checkpoint_location:
+            writer = writer.option("checkpointLocation", output.checkpoint_location)
+        for k, v in output.options.items():
+            writer = writer.option(k, v)
+        if output.trigger:
+            writer = writer.trigger(**output.trigger)
+        if output.table:
+            return writer.toTable(output.table)
+        return writer.start(output.location)
+    writer = df.write.format(output.output_format).mode(output.mode)
+    if output.partition_by:
+        writer = writer.partitionBy(*output.partition_by)
+    for k, v in output.options.items():
+        writer = writer.option(k, v)
+    if output.table:
+        writer.saveAsTable(output.table)
+    else:
+        writer.save(output.location)
+    return None

@@ -1,0 +1,223 @@
+"""M8 surfaces: serialization, datasets registry, analyzer, streaming, sinks."""
+
+import hashlib
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from dbldatagen_spark import (
+    ColumnSpec,
+    DataGenPlan,
+    DataGenerator,
+    ForeignKeyColumn,
+    Normal,
+    PatternColumn,
+    RangeColumn,
+    SequenceColumn,
+    StructColumn,
+    TableSpec,
+    TimestampColumn,
+    ValuesColumn,
+    WeightedValues,
+    generate,
+    generate_table,
+)
+
+
+def fingerprint(df):
+    rows = sorted(tuple(str(x) for x in r) for r in df.collect())
+    return hashlib.md5(repr(rows).encode()).hexdigest()
+
+
+class TestSerialization:
+    def plan(self):
+        return DataGenPlan(
+            [
+                TableSpec(
+                    "customers", 100,
+                    columns=[
+                        ColumnSpec("customer_id", SequenceColumn(start=1, step=1), dtype="long"),
+                        ColumnSpec("name", ValuesColumn(["Alice", "Bob"], WeightedValues([3, 1]))),
+                        ColumnSpec("signup", TimestampColumn("2022-01-01 00:00:00", "2024-12-31 23:59:59")),
+                        ColumnSpec(
+                            "address",
+                            StructColumn([
+                                ColumnSpec("city", ValuesColumn(["Springfield", "Rivertown"])),
+                                ColumnSpec("zip", PatternColumn("{digit:5}")),
+                            ]),
+                        ),
+                    ],
+                    primary_key="customer_id",
+                ),
+                TableSpec(
+                    "orders", 500,
+                    columns=[
+                        ColumnSpec("order_id", SequenceColumn(), dtype="long"),
+                        ColumnSpec("customer_id", ForeignKeyColumn("customers.customer_id")),
+                        ColumnSpec("amount", RangeColumn(1.0, 100.0, distribution=Normal()), dtype="double"),
+                    ],
+                    primary_key="order_id",
+                ),
+            ],
+            seed=42,
+        )
+
+    def test_json_round_trip_identical_data(self, spark, tmp_path):
+        from dbldatagen_spark.plans.serialization import load_plan_json, save_plan_json
+
+        p1 = self.plan()
+        path = str(tmp_path / "plan.json")
+        save_plan_json(p1, path)
+        p2 = load_plan_json(path)
+        d1 = generate(spark, p1)
+        d2 = generate(spark, p2)
+        for name in d1:
+            assert fingerprint(d1[name]) == fingerprint(d2[name])
+
+    def test_dict_round_trip_equality(self):
+        from dbldatagen_spark.plans.serialization import plan_from_dict, plan_to_dict
+
+        p1 = self.plan()
+        assert plan_to_dict(plan_from_dict(plan_to_dict(p1))) == plan_to_dict(p1)
+
+
+class TestDatasets:
+    def test_list_and_describe(self):
+        from dbldatagen_spark.datasets import Datasets
+
+        names = {d["name"] for d in Datasets.list()}
+        assert {"basic/user", "basic/telephony", "benchmark/groupby",
+                "multi_table/sales_order"} <= names
+        desc = Datasets.describe("benchmark/groupby")
+        assert "groupby" in desc["name"]
+
+    def test_basic_user_build(self, spark):
+        from dbldatagen_spark.datasets import Datasets
+
+        df = Datasets(spark, "basic/user").get(rows=500).build()
+        assert df.count() == 500
+        assert df.where(~F.col("ip_addr").rlike(r"^\d+\.\d+\.\d+\.\d+$")).count() == 0
+
+    def test_benchmark_groupby_cardinality(self, spark):
+        from dbldatagen_spark.datasets import Datasets
+
+        df = Datasets(spark, "benchmark/groupby").get(rows=20000, groups=50).build()
+        assert df.select(F.countDistinct("id1")).first()[0] == 50
+        assert set(df.columns) == {"id1", "id2", "id3", "id4", "id5", "id6", "v1", "v2", "v3"}
+
+    def test_multi_table_sales_order(self, spark):
+        from dbldatagen_spark.datasets import Datasets
+
+        ds = Datasets(spark, "multi_table/sales_order")
+        orders = ds.get(table="base_orders", rows=1000).build()
+        customers = ds.get(table="customers", rows=1000, numCustomers=50).build()
+        assert orders.count() == 1000
+        # FK values land inside the customer key range
+        assert orders.agg(F.max("customer_id")).first()[0] <= 50
+
+    def test_unknown_dataset(self, spark):
+        from dbldatagen_spark.datasets import Datasets
+
+        with pytest.raises(ValueError):
+            Datasets(spark, "nope/nothing")
+
+
+class TestAnalyzer:
+    def test_summarize(self, spark):
+        from dbldatagen_spark.analyzer import DataAnalyzer
+
+        df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        summary = DataAnalyzer(df=df).summarizeToDF().collect()
+        by_measure = {r.measure: r for r in summary}
+        assert int(by_measure["count"]["c_custkey"]) == df.count()
+        assert int(by_measure["null_count"]["c_name"]) == 0
+        assert by_measure["min"]["c_custkey"] == "0"
+
+    def test_script_from_schema(self, spark):
+        from dbldatagen_spark.analyzer import DataAnalyzer
+
+        df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        code = DataAnalyzer.scriptDataGeneratorFromSchema(df.schema)
+        assert "withColumn('c_custkey', 'bigint'" in code
+        assert "dg.DataGenerator" in code
+
+    def test_script_from_data_roundtrips(self, spark):
+        from dbldatagen_spark.analyzer import DataAnalyzer
+
+        df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        code = DataAnalyzer(df=df).scriptDataGeneratorFromData()
+        # the generated code must be executable and produce the same schema
+        import dbldatagen_spark as dg
+
+        env = {"dg": dg, "spark": spark}
+        exec(code, env)
+        out = env["generation_spec"].build()
+        assert set(out.columns) == set(df.columns)
+
+
+class TestStreaming:
+    def test_rate_source_build_and_write(self, spark, tmp_path):
+        from dbldatagen_spark.streaming import build_streaming, run_stream_until_rows
+
+        gen = (
+            DataGenerator(spark, name="stream1", rows=1000, partitions=2, randomSeed=42)
+            .withIdOutput()
+            .withColumn("code1", "int", minValue=100, maxValue=200)
+            .withColumn("v", "string", values=["a", "b", "c"], random=True)
+        )
+        sdf = build_streaming(gen, rows_per_second=500)
+        assert sdf.isStreaming
+        out_dir = str(tmp_path / "out")
+        ckpt = str(tmp_path / "ckpt")
+        run_stream_until_rows(sdf, out_dir, ckpt, min_rows=50)
+        got = spark.read.parquet(out_dir)
+        assert got.count() > 0
+        assert set(got.columns) == {"id", "code1", "v"}
+        # streaming rows equal batch rows at the same ids (same seed fn)
+        batch = gen.build().where(F.col("id").isin([r.id for r in got.limit(20).collect()]))
+        joined = got.alias("s").join(batch.alias("b"), "id").where(
+            (F.col("s.code1") != F.col("b.code1")) | (F.col("s.v") != F.col("b.v"))
+        )
+        assert joined.count() == 0
+
+    def test_streaming_schema_matches_batch(self, spark):
+        gen = (
+            DataGenerator(spark, name="stream2", rows=100, partitions=2)
+            .withColumn("x", "int", minValue=0, maxValue=9)
+            .withColumn("t", "timestamp", begin="2024-01-01 00:00:00",
+                        end="2024-12-31 23:59:59", random=True)
+        )
+        batch_schema = gen.build().schema
+        stream_schema = gen.build(withStreaming=True, options={"rowsPerSecond": 10}).schema
+        assert batch_schema == stream_schema
+
+
+class TestSinks:
+    def test_batch_write(self, spark, tmp_path):
+        from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
+
+        t = TableSpec(
+            "sink_t", 100,
+            columns=[ColumnSpec("x", SequenceColumn(), dtype="long")],
+        )
+        df = generate_table(spark, t, seed=1)
+        path = str(tmp_path / "data")
+        write_data_to_output(
+            df, OutputDataset(location=path, output_format="parquet", mode="overwrite")
+        )
+        assert spark.read.parquet(path).count() == 100
+
+    def test_bad_trigger_rejected(self):
+        from dbldatagen_spark.sources.sinks import OutputDataset
+
+        with pytest.raises(ValueError):
+            OutputDataset(location="/tmp/x", trigger={"continuous": "1 second"})
+
+    def test_location_or_table_required(self):
+        from dbldatagen_spark.sources.sinks import OutputDataset
+
+        with pytest.raises(ValueError):
+            OutputDataset()
