@@ -64,7 +64,18 @@ from dbldatagen_spark.operators.constraints import (
     SqlExpr,
     UniqueCombinations,
 )
-from dbldatagen_spark.operators.templates import PyfuncText
+from dbldatagen_spark.operators.templates import (
+    FakerText,
+    ILText,
+    PyfuncText,
+    fakerText,
+)
+from dbldatagen_spark.datagen import (
+    DateRange,
+    NRange,
+    generator_from_dict,
+    generator_to_dict,
+)
 from dbldatagen_spark.analyzer import DataAnalyzer
 from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
 from dbldatagen_spark.plans.serialization import (

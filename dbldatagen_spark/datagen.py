@@ -159,7 +159,7 @@ _KNOWN_OPTIONS = {
     "prefix", "suffix", "textSeparator", "percentNulls", "expr",
     "numColumns", "numFeatures", "structType", "omit", "baseColumn",
     "baseColumnType", "uniqueValues", "begin", "end", "interval",
-    "nullable", "implicit",
+    "nullable", "implicit", "dataRange",
 }
 
 
@@ -224,6 +224,22 @@ class DataGenerator:
         self, colName: str, colType: Optional[str], options: Dict[str, Any]
     ) -> _V0Column:
         o = self._norm_options(options)
+        rng = o.pop("dataRange", None)
+        if rng is not None:
+            if isinstance(rng, NRange):
+                o.setdefault("minValue", rng.minValue)
+                o.setdefault("maxValue", rng.maxValue)
+                if rng.step is not None:
+                    o.setdefault("step", rng.step)
+            elif isinstance(rng, DateRange):
+                o.setdefault("begin", rng.begin)
+                o.setdefault("end", rng.end)
+                if rng.interval is not None:
+                    o.setdefault("interval", rng.interval)
+            else:
+                raise SpecValidationError(
+                    f"dataRange must be NRange or DateRange, got {type(rng).__name__}"
+                )
         if colType is None or colType == INFER_DATATYPE:
             dtype = INFER_DATATYPE if colType == INFER_DATATYPE else None
         elif isinstance(colType, T.DataType):
@@ -381,6 +397,25 @@ class DataGenerator:
     def withSqlConstraint(self, sqlExpression: str) -> "DataGenerator":
         self._constraints.append(SqlExpr(sqlExpression))
         return self
+
+    # -- (de)serialization --------------------------------------------------
+
+    def saveToJson(self, path: str) -> None:
+        """Persist the generator *spec* as JSON (reference
+        ``data_generator.py:1978-1996``)."""
+        import json
+
+        with open(path, "w") as f:
+            json.dump(generator_to_dict(self), f, indent=2)
+
+    @classmethod
+    def loadFromJson(
+        cls, path: str, sparkSession: Optional[SparkSession] = None
+    ) -> "DataGenerator":
+        import json
+
+        with open(path) as f:
+            return generator_from_dict(json.load(f), sparkSession)
 
     # -- expression compilation --------------------------------------------
 
@@ -827,6 +862,150 @@ class DataGenerator:
             f"VALUES ({insert_vals})"
         )
         return "\n".join(sql)
+
+
+class NRange:
+    """v0-compatible numeric range object: ``withColumn(..., dataRange=NRange(0, 100, 5))``."""
+
+    def __init__(self, minValue=None, maxValue=None, step=None):
+        self.minValue = minValue
+        self.maxValue = maxValue
+        self.step = step
+
+
+class DateRange:
+    """v0-compatible date/time range object: begin/end/interval strings."""
+
+    def __init__(self, begin, end, interval=None):
+        self.begin = begin
+        self.end = end
+        self.interval = interval
+
+
+# -- v0 generator (de)serialization ----------------------------------------
+
+_CONSTRAINT_KINDS = {}
+
+
+def _register_constraint_kinds():
+    from dbldatagen_spark.operators import constraints as cmod
+
+    for name in (
+        "SqlExpr", "PositiveValues", "NegativeValues", "LiteralRange",
+        "LiteralRelation", "RangedValues", "ChainedRelation", "UniqueCombinations",
+    ):
+        _CONSTRAINT_KINDS[name] = getattr(cmod, name)
+
+
+_register_constraint_kinds()
+
+
+def generator_to_dict(gen: "DataGenerator") -> Dict[str, Any]:
+    """Serialize a DataGenerator spec (not its data) to a plain dict.
+
+    Columns using non-serializable ``text=`` plugins (PyfuncText with
+    arbitrary closures) raise, as in the reference's polymorphic
+    serialization (``serialization.py:11-44``).
+    """
+    import dataclasses as dc
+
+    from dbldatagen_spark.plans.serialization import distribution_to_dict
+
+    cols = []
+    for c in gen._columns:
+        d = dc.asdict(c)
+        if c.distribution is not None:
+            d["distribution"] = distribution_to_dict(c.distribution)
+        if c.text is not None:
+            d["text"] = _serialize_text(c.text)
+        if isinstance(c.num_columns, tuple):
+            d["num_columns"] = list(c.num_columns)
+        cols.append(d)
+    constraints = []
+    for con in gen._constraints:
+        params = {k: v for k, v in vars(con).items()}
+        constraints.append({"kind": type(con).__name__, "params": params})
+    return {
+        "kind": "DataGenerator",
+        "name": gen.name,
+        "rows": gen._rows,
+        "partitions": gen._partitions,
+        "randomSeed": gen._seed,
+        "random": gen._default_random,
+        "seedColumnName": gen.seed_column,
+        "startingId": gen._starting_id,
+        "idOutput": gen._id_output,
+        "columns": cols,
+        "constraints": constraints,
+    }
+
+
+def generator_from_dict(
+    d: Dict[str, Any], sparkSession: Optional[SparkSession] = None
+) -> "DataGenerator":
+    from dbldatagen_spark.plans.serialization import distribution_from_dict
+
+    if d.get("kind") != "DataGenerator":
+        raise SpecValidationError("not a serialized DataGenerator")
+    gen = DataGenerator(
+        sparkSession=sparkSession,
+        name=d["name"],
+        rows=d["rows"],
+        partitions=d.get("partitions"),
+        randomSeed=d.get("randomSeed", 42),
+        random=d.get("random", False),
+        seedColumnName=d.get("seedColumnName", "id"),
+        startingId=d.get("startingId", 0),
+    )
+    if d.get("idOutput"):
+        gen.withIdOutput()
+    for cd in d["columns"]:
+        cd = dict(cd)
+        if cd.get("distribution") is not None:
+            cd["distribution"] = distribution_from_dict(cd["distribution"])
+        if cd.get("text") is not None:
+            cd["text"] = _deserialize_text(cd["text"])
+        if isinstance(cd.get("num_columns"), list):
+            cd["num_columns"] = tuple(cd["num_columns"])
+        col = _V0Column(**cd)
+        gen._columns.append(col)
+    for con in d.get("constraints", []):
+        cls = _CONSTRAINT_KINDS.get(con["kind"])
+        if cls is None:
+            raise SpecValidationError(f"unknown constraint kind {con['kind']!r}")
+        obj = cls.__new__(cls)
+        obj.__dict__.update(con["params"])
+        gen._constraints.append(obj)
+    return gen
+
+
+def _serialize_text(text: Any) -> Dict[str, Any]:
+    from dbldatagen_spark.operators.templates import FakerText, ILText
+
+    if isinstance(text, ILText):
+        return {
+            "kind": "ILText",
+            "paragraphs": list(text.paragraphs),
+            "sentences": list(text.sentences),
+            "words": list(text.words),
+        }
+    if isinstance(text, FakerText):
+        return {"kind": "FakerText", "method": text.method, "locale": text.locale,
+                "pool_size": text.pool_size}
+    raise SpecValidationError(
+        f"text generator {type(text).__name__} is not serializable"
+    )
+
+
+def _deserialize_text(d: Dict[str, Any]):
+    from dbldatagen_spark.operators.templates import FakerText, ILText
+
+    kind = d.get("kind")
+    if kind == "ILText":
+        return ILText(tuple(d["paragraphs"]), tuple(d["sentences"]), tuple(d["words"]))
+    if kind == "FakerText":
+        return FakerText(d["method"], d.get("locale"), d.get("pool_size", 10000))
+    raise SpecValidationError(f"unknown text generator kind {kind!r}")
 
 
 def _struct_sql(fields: Union[Sequence[str], Dict[str, Any]]) -> str:

@@ -327,6 +327,33 @@ def iltext_udf_expr(
 # ---------------------------------------------------------------------------
 
 
+class ILText:
+    """Ipsum-lorem text generator object for ``withColumn(..., text=ILText(...))``.
+
+    ``paragraphs``/``sentences``/``words`` accept an int or a (min, max)
+    tuple (reference ``text_generators.py:996-1257`` semantics).
+    """
+
+    def __init__(self, paragraphs=1, sentences=2, words=6):
+        def _pair(v):
+            if isinstance(v, (tuple, list)):
+                lo, hi = int(v[0]), int(v[1])
+            else:
+                lo = hi = int(v)
+            if lo < 1 or hi < lo:
+                raise ValueError(f"invalid ILText range {v!r}")
+            return (lo, hi)
+
+        self.paragraphs = _pair(paragraphs)
+        self.sentences = _pair(sentences)
+        self.words = _pair(words)
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        return iltext_udf_expr(
+            seed_col, self.paragraphs, self.sentences, self.words
+        )
+
+
 class PyfuncText:
     """User-plugin text generator: ``fn(context, base_value) -> str`` with an
     optional one-time ``init(context)``. The context object is created once
@@ -353,3 +380,32 @@ class PyfuncText:
         udf = F.pandas_udf(_apply, StringType())
         src = base_col if base_col is not None else seed_col.cast("long")
         return udf(src)
+
+
+class FakerText:
+    """Faker-backed text generator object: ``text=fakerText("email")``.
+
+    Uses the same pooled architecture as the declarative FakerColumn
+    (driver-side value pool, executor-side mixed indexing) — real ``faker``
+    when importable, deterministic builtin provider otherwise.
+    """
+
+    def __init__(self, method: str, locale: Optional[str] = None,
+                 pool_size: int = 10000):
+        self.method = method
+        self.locale = locale
+        self.pool_size = pool_size
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        from dbldatagen_spark.operators.text import faker_pool_expr
+        from dbldatagen_spark.plans.spec import FakerColumn
+
+        spec = FakerColumn(
+            method=self.method, locale=self.locale, pool_size=self.pool_size
+        )
+        return faker_pool_expr(spec, 0x5EED, seed_col.cast("long"))
+
+
+def fakerText(method: str, locale: Optional[str] = None, **_kw) -> FakerText:
+    """v0-compatible sugar for ``FakerTextFactory``-style usage."""
+    return FakerText(method, locale)

@@ -130,7 +130,12 @@ def faker_pool_expr(spec: FakerColumn, column_seed: int, id_col: Column) -> Colu
     seed = column_seed & _MASK64
 
     def _lookup(batch: pd.Series) -> pd.Series:
-        idx = ((batch.astype("int64") * _LCG_A + (_LCG_C ^ seed)) & _MASK64) % pool_size
+        import numpy as np
+
+        arr = batch.to_numpy(dtype="int64").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mixed = arr * np.uint64(_LCG_A) + np.uint64((_LCG_C ^ seed) & _MASK64)
+        idx = (mixed % np.uint64(pool_size)).astype(np.int64)
         return pd.Series([pool[i] for i in idx])
 
     udf = F.pandas_udf(_lookup, StringType())
