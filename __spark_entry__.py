@@ -23,6 +23,15 @@ from pyspark.sql import functions as F
 
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # the events table stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long, then integer-divide to micros
+        # (exact — a double division would wobble the last microsecond)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -441,6 +450,120 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via window functions —
+    the batch form of the streaming session-window operator."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    with_break = ev.withColumn(
+        "_new_session",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    )
+    with_sid = with_break.withColumn(
+        "session_seq", F.sum("_new_session").over(w).cast("long")
+    )
+    return (
+        with_sid.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+def _events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (batch form of the
+    streaming windowed aggregation)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour_start", "event_type")
+    )
+
+
+def _events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + per-type stats over the parsed value."""
+    ev = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-flavored multi-join: revenue by nation within one region;
+    dimension tables broadcast."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share (conditional aggregation over a join)."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.agg(
+        F.round(
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+            * 100.0
+            / F.sum(rev),
+            4,
+        ).alias("promo_share_pct")
+    )
+
+
+def _emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors (posexplode + group avg) —
+    the reduce step of IVF index construction."""
+    emb = _load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+        .orderBy("label", "dim")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: mapInPandas feature extraction yields one row per media
     item with FEATURE_DIM features all inside [0,1]."""
@@ -483,6 +606,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline operators over testdata
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_unshipped,
+        "q5_region_revenue": _q5_region_revenue,
+        "q14_promo_share": _q14_promo_share,
+        "events_sessionize": _events_sessionize,
+        "events_hourly_windows": _events_hourly_windows,
+        "events_json_extract": _events_json_extract,
+        "emb_label_centroids": _emb_label_centroids,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -568,6 +697,68 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars_obs
             FROM documents
             ORDER BY doc_id
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
+        """,
+        "q14_promo_share": """
+            SELECT ROUND(
+                SUM(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+                / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "events_sessionize": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM w
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "events_hourly_windows": """
+            SELECT date_trunc('hour', ts) AS hour_start, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "events_json_extract": """
+            SELECT event_type, COUNT(*) AS n,
+                   ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+            FROM events
+            GROUP BY event_type ORDER BY event_type
+        """,
+        "emb_label_centroids": """
+            SELECT label, CAST(ord - 1 AS INTEGER) AS dim,
+                   ROUND(AVG(v), 4) AS centroid_v
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS ord
+                  FROM embeddings)
+            GROUP BY label, dim ORDER BY label, dim
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _NGRAM_JACCARD_ORACLE,

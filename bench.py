@@ -91,8 +91,11 @@ def main() -> None:
     headline = [
         "q1_pricing_summary",
         "q3_top_revenue",
+        "q5_region_revenue",
         "dedup_exact",
-        "text_token_stats",
+        "dedup_minhash_lsh",
+        "events_sessionize",
+        "text_quality",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}

@@ -76,8 +76,18 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
     Pure expression: split → ``transform`` over a 0..n-k index sequence →
     ``array_distinct``; no UDF. Empty/short docs yield the whole text as a
     single shingle so they still participate.
+
+    Performance caveat: expressions inside higher-order-function lambdas
+    are exempt from codegen subexpression elimination, so the ``split``
+    here is re-evaluated per element_at — fine for ad-hoc use, but batch
+    operators should use :func:`shingled_df`, which materializes the word
+    array in its own projection first (~40x fewer regex splits per row).
     """
     words = F.split(F.trim(text), r"\s+")
+    return _shingles_from_words(words, k)
+
+
+def _shingles_from_words(words: Column, k: int) -> Column:
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
     shingle = F.transform(
@@ -87,6 +97,18 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
         ),
     )
     return F.array_distinct(shingle)
+
+
+def shingled_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """``(id, shingles)`` DataFrame with the word split materialized in a
+    separate projection. Because the word array is referenced multiple
+    times downstream, Catalyst's CollapseProject keeps the projections
+    apart and the regex split runs exactly once per row."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    with_words = df.select(F.col(id_col), words.alias("_words"))
+    return with_words.select(
+        F.col(id_col), _shingles_from_words(F.col("_words"), k).alias("shingles")
+    )
 
 
 def _pair_jaccard(
@@ -145,30 +167,35 @@ def ngram_jaccard_pairs(
     posting lists above a cap) — the skew, not the total size, is what
     hurts; ``minhash_near_duplicates`` is the cheaper path at that scale.
     """
-    shingled = df.select(
-        F.col(id_col), word_shingles_expr(F.col(text_col), k).alias("shingles")
-    )
+    shingled = shingled_df(df, id_col, text_col, k)
     return _pair_jaccard(shingled, id_col, threshold=threshold)
 
 
 def minhash_signature_exprs(
-    shingles: Column, num_hashes: int
+    shingles: Column, num_hashes: int, *, pre_hashed: bool = False
 ) -> List[Column]:
     """``num_hashes`` minhash values: the i-th "permutation" is
     ``xxhash64(salt_i, shingle)`` and the signature entry is its min over
     the shingle set. Salted rehashing (instead of the classic ``a*h+b``
     Carter–Wegman form) keeps the arithmetic ANSI-mode-safe — no 64-bit
-    wraparound multiply — and stays entirely JVM-side."""
+    wraparound multiply — and stays entirely JVM-side.
+
+    ``pre_hashed=True`` means ``shingles`` is already an array<long> of
+    base hashes — each permutation then hashes 8-byte longs instead of
+    re-hashing full shingle strings, which is the difference between
+    O(num_hashes · total_text_bytes) and O(num_hashes · 8) per shingle.
+    """
     def _salted(salt: int):
         # single-arg lambda: a two-arg lambda would make PySpark's
         # ``transform`` bind the second parameter to the array index
         return lambda s: F.xxhash64(F.lit(salt), s)
 
+    base = shingles if pre_hashed else F.transform(shingles, lambda s: F.xxhash64(s))
     out = []
     for i in range(num_hashes):
         salt = ((2 * i + 1) * _MH_SEED_A) & ((1 << 63) - 1)
         out.append(
-            F.array_min(F.transform(shingles, _salted(salt))).alias(f"mh_{i}")
+            F.array_min(F.transform(base, _salted(salt))).alias(f"mh_{i}")
         )
     return out
 
@@ -179,35 +206,49 @@ def minhash_near_duplicates(
     text_col: str,
     *,
     k: int = 3,
-    num_hashes: int = 128,
-    bands: int = 64,
+    num_hashes: int = 64,
+    bands: int = 32,
     threshold: float = 0.7,
     verify: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then (by default) exact
     Jaccard verification of candidates.
 
-    With ``bands=64`` over 128 hashes (2 rows/band), recall at J=0.7 is
-    1-(1-0.7^2)^64 ≈ 1-1e-19 — the verified output is the exact
+    With ``bands=32`` over 64 hashes (2 rows/band), recall at J=0.7 is
+    1-(1-0.7^2)^32 ≈ 1-5e-10 — the verified output is the exact
     >=threshold pair set with near-certainty, while candidate generation
     shuffles only (band_key, id) pairs.
+
+    Cost note: signature evaluation is interpreted (Spark never codegens
+    higher-order functions), so it scales with num_hashes x shingles; 64
+    hashes is the sweet spot between that cost and band recall.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col), word_shingles_expr(F.col(text_col), k).alias("shingles")
-    )
-    sig = shingled.select(
+    shingled = shingled_df(df, id_col, text_col, k)
+    # hash each shingle string exactly once; the separate projection is a
+    # CollapseProject barrier (the hash array is referenced num_hashes times)
+    hashed = shingled.select(
         F.col(id_col),
-        F.col("shingles"),
-        *minhash_signature_exprs(F.col("shingles"), num_hashes),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_shash"),
+    )
+    # one array column, not num_hashes columns: >100 output fields would
+    # trip spark.sql.codegen.maxFields and silently drop whole-stage codegen
+    sig_exprs = minhash_signature_exprs(
+        F.col("_shash"), num_hashes, pre_hashed=True
+    )
+    sig = hashed.select(
+        F.col(id_col), F.array(*sig_exprs).alias("_sig")
     )
     band_keys = F.array(
         *[
             F.xxhash64(
                 F.lit(b),
-                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                *[
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
             )
             for b in range(bands)
         ]
