@@ -450,6 +450,144 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _gen_format_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v0 format/prefix/suffix decorators over a non-random base (exact)."""
+    from dbldatagen_spark import DataGenerator
+
+    df = (
+        DataGenerator(spark, name="fmt", rows=_GEN_ROWS, partitions=8)
+        .withIdOutput()
+        .withColumn("code", "int", minValue=1, maxValue=20, prefix="item",
+                    suffix="ver", textSeparator="_")
+        .withColumn("fmtd", "string", minValue=0, maxValue=99, format="%05d")
+        .build()
+    )
+    return df.select(
+        F.col("id").alias("row_id"), "code", "fmtd"
+    ).orderBy("row_id")
+
+
+def _gen_weighted_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted cycling (v0 non-random weighted values)."""
+    from dbldatagen_spark import DataGenerator
+
+    df = (
+        DataGenerator(spark, name="wc", rows=_GEN_ROWS, partitions=8)
+        .withIdOutput()
+        .withColumn("v", "string", values=["a", "b", "c"], weights=[9, 1, 1])
+        .build()
+    )
+    return df.select(F.col("id").alias("row_id"), "v").orderBy("row_id")
+
+
+def _gen_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint pipeline over non-random columns — fully reproducible:
+    every surviving row satisfies the AND of all filters (exact oracle)."""
+    from dbldatagen_spark import (
+        ChainedRelation,
+        DataGenerator,
+        LiteralRange,
+        PositiveValues,
+        RangedValues,
+    )
+
+    df = (
+        DataGenerator(spark, name="cons", rows=_GEN_ROWS, partitions=8)
+        .withIdOutput()
+        .withColumn("a", "int", minValue=-100, maxValue=100)
+        .withColumn("b", "int", minValue=0, maxValue=50)
+        .withColumn("lo", "int", minValue=0, maxValue=10)
+        .withColumn("hi", "int", minValue=20, maxValue=30)
+        .withColumn("v", "int", minValue=0, maxValue=40)
+        .withConstraint(PositiveValues("b"))
+        .withConstraint(LiteralRange("a", -50, 50))
+        .withConstraint(RangedValues("v", "lo", "hi"))
+        .withConstraint(ChainedRelation(["lo", "hi"], "<"))
+        .withSqlConstraint("a % 2 == 0")
+        .build()
+    )
+    return df.select(
+        F.col("id").alias("row_id"), "a", "b", "lo", "hi", "v"
+    ).orderBy("row_id")
+
+
+def _gen_template_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: template, ILText, and faker-pool outputs all conform."""
+    from dbldatagen_spark import DataGenerator, ILText, fakerText
+
+    df = (
+        DataGenerator(spark, name="txt", rows=_GEN_ROWS, partitions=8)
+        .withColumn("phone", "string", template="ddd-ddd-dddd")
+        .withColumn("lorem", "string", text=ILText(paragraphs=1, sentences=(1, 2), words=(3, 6)))
+        .withColumn("mail", "string", text=fakerText("email"))
+        .build()
+    )
+    return df.agg(
+        F.sum(F.when(F.col("phone").rlike(r"^\d{3}-\d{3}-\d{4}$"), 1).otherwise(0))
+        .cast("long").alias("phone_ok"),
+        F.sum(
+            F.when(
+                F.col("lorem").rlike(r"^[A-Z].*\.$") & (F.length("lorem") > 0), 1
+            ).otherwise(0)
+        ).cast("long").alias("lorem_ok"),
+        F.sum(F.when(F.col("mail").contains("@"), 1).otherwise(0))
+        .cast("long").alias("mail_ok"),
+    )
+
+
+def _gen_array_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: variable-length feature arrays respect (2,6) bounds."""
+    from dbldatagen_spark import DataGenerator
+
+    df = (
+        DataGenerator(spark, name="arr", rows=_GEN_ROWS, partitions=8)
+        .withColumn(
+            "features", "float", minValue=0.0, maxValue=1.0, random=True,
+            numColumns=(2, 6), structType="array",
+        )
+        .build()
+    )
+    return df.agg(
+        F.sum(
+            F.when((F.size("features") >= 2) & (F.size("features") <= 6), 1).otherwise(0)
+        ).cast("long").alias("size_ok"),
+        F.sum(
+            F.when(
+                (F.array_min("features") >= 0.0) & (F.array_max("features") <= 1.0), 1
+            ).otherwise(0)
+        ).cast("long").alias("range_ok"),
+    )
+
+
+def _gen_unique_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: uniqueValues restricts random dates to exactly k points."""
+    from dbldatagen_spark import DataGenerator
+
+    df = (
+        DataGenerator(spark, name="ud", rows=_GEN_ROWS, partitions=8)
+        .withColumn("d", "date", begin="2020-01-01", end="2020-12-31",
+                    uniqueValues=30, random=True)
+        .build()
+    )
+    return df.agg(
+        F.countDistinct("d").cast("long").alias("distinct_days"),
+        (F.min("d") >= F.lit("2020-01-01").cast("date")).alias("min_ok"),
+        (F.max("d") <= F.lit("2020-02-01").cast("date")).alias("max_in_first_k"),
+    )
+
+
+def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataAnalyzer single-pass profile of the customer table (exact
+    measures only — approx/formatting-sensitive ones excluded)."""
+    from dbldatagen_spark.analyzer import DataAnalyzer
+
+    cust = _load(spark, sf_dir, "customer")
+    summary = DataAnalyzer(df=cust).summarizeToDF()
+    return summary.where(
+        F.col("measure").isin("count", "null_count", "min", "max")
+    ).select("measure", "c_custkey", "c_name", "c_mktsegment").orderBy("measure")
+
+
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min inactivity) via window functions —
     the batch form of the streaming session-window operator."""
@@ -603,6 +741,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_pattern_conformance": _gen_pattern_conformance,
         "gen_null_fraction": _gen_null_fraction,
         "gen_weighted_shape": _gen_weighted_shape,
+        "gen_format_prefix": _gen_format_prefix,
+        "gen_weighted_cycle": _gen_weighted_cycle,
+        "gen_constraints": _gen_constraints,
+        "gen_template_conformance": _gen_template_conformance,
+        "gen_array_features": _gen_array_features,
+        "gen_unique_temporal": _gen_unique_temporal,
+        "analyzer_profile": _analyzer_profile,
         # pipeline operators over testdata
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_revenue": _q3_top_unshipped,
@@ -661,6 +806,68 @@ def oracle_sql() -> dict[str, str]:
         "gen_pattern_conformance": f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed",
         "gen_null_fraction": "SELECT true AS within_tolerance",
         "gen_weighted_shape": "SELECT true AS within_tolerance",
+        "gen_format_prefix": (
+            f"SELECT range AS row_id, "
+            f"'item_' || CAST(1 + range % 20 AS VARCHAR) || '_ver' AS code, "
+            f"printf('%05d', CAST(range % 100 AS INTEGER)) AS fmtd "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_weighted_cycle": (
+            f"SELECT range AS row_id, "
+            f"CASE WHEN range % 1000 < 818 THEN 'a' "
+            f"     WHEN range % 1000 < 909 THEN 'b' ELSE 'c' END AS v "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
+        "gen_constraints": f"""
+            WITH g AS (
+                SELECT range AS row_id,
+                       CAST(-100 + range % 201 AS INTEGER) AS a,
+                       CAST(range % 51 AS INTEGER) AS b,
+                       CAST(range % 11 AS INTEGER) AS lo,
+                       CAST(20 + range % 11 AS INTEGER) AS hi,
+                       CAST(range % 41 AS INTEGER) AS v
+                FROM range({_GEN_ROWS})
+            )
+            SELECT * FROM g
+            WHERE b IS NOT NULL AND b >= 0
+              AND a >= -50 AND a <= 50
+              AND v >= lo AND v <= hi
+              AND lo < hi
+              AND a % 2 = 0
+            ORDER BY row_id
+        """,
+        "gen_template_conformance": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS phone_ok, "
+            f"CAST({_GEN_ROWS} AS BIGINT) AS lorem_ok, "
+            f"CAST({_GEN_ROWS} AS BIGINT) AS mail_ok"
+        ),
+        "gen_array_features": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS size_ok, "
+            f"CAST({_GEN_ROWS} AS BIGINT) AS range_ok"
+        ),
+        "gen_unique_temporal": (
+            "SELECT CAST(30 AS BIGINT) AS distinct_days, true AS min_ok, "
+            "true AS max_in_first_k"
+        ),
+        "analyzer_profile": """
+            SELECT 'count' AS measure, CAST(COUNT(c_custkey) AS VARCHAR) AS c_custkey,
+                   CAST(COUNT(c_name) AS VARCHAR) AS c_name,
+                   CAST(COUNT(c_mktsegment) AS VARCHAR) AS c_mktsegment
+            FROM customer
+            UNION ALL
+            SELECT 'max', CAST(MAX(c_custkey) AS VARCHAR), MAX(c_name), MAX(c_mktsegment)
+            FROM customer
+            UNION ALL
+            SELECT 'min', CAST(MIN(c_custkey) AS VARCHAR), MIN(c_name), MIN(c_mktsegment)
+            FROM customer
+            UNION ALL
+            SELECT 'null_count',
+                   CAST(SUM(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+                   CAST(SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS VARCHAR),
+                   CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
+            FROM customer
+            ORDER BY measure
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -176,8 +176,12 @@ class DataGenerator:
         random: bool = False,
         seedColumnName: str = "id",
         startingId: int = 0,
+        randomSeedMethod: Optional[str] = None,
         **_ignored,
     ):
+        # randomSeedMethod ("fixed"/"hash_fieldname") is accepted for v0
+        # compatibility but has no effect: every column already derives an
+        # independent hash-based seed stream, which subsumes both modes.
         self.spark = sparkSession or SparkSession.getActiveSession()
         self.name = name or "synthetic_data"
         self._rows = int(rows)
@@ -539,6 +543,14 @@ class DataGenerator:
             "2020-12-31" if dtype == "date" else "2020-12-31 23:59:59"
         )
         id_col = self._index_source(col)
+        if col.unique_values is not None:
+            # restrict to the first k lattice points: route the draw through
+            # pmod(source, k) and take the non-random (index) path
+            k = int(col.unique_values)
+            id_col = F.pmod(
+                (seed_col if random else id_col.cast("long")), F.lit(k)
+            )
+            random = False
         if dtype == "date":
             interval_days = _interval_to_days(col.interval) if col.interval else 1
             strategy = DateColumn(
