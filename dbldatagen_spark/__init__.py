@@ -77,6 +77,7 @@ from dbldatagen_spark.datagen import (
     generator_to_dict,
 )
 from dbldatagen_spark.analyzer import DataAnalyzer
+from dbldatagen_spark.schema_parser import SchemaParser
 from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
 from dbldatagen_spark.plans.serialization import (
     load_plan,
@@ -98,6 +99,7 @@ __all__ = [
     "NegativeValues",
     "PositiveValues",
     "PyfuncText",
+    "SchemaParser",
     "RangedValues",
     "SqlExpr",
     "UniqueCombinations",

@@ -56,6 +56,17 @@ INFER_DATATYPE = "__infer__"
 _MASK64 = (1 << 64) - 1
 
 
+def _is_complex_type(type_str: str) -> bool:
+    """array<...> / map<...> / struct<...> spellings (kept verbatim)."""
+    s = type_str.strip().lower()
+    return s.startswith(("array<", "map<", "struct<"))
+
+
+def _cast_target(dtype: str) -> str:
+    """Spark cast target for a spec dtype; complex DDL strings pass through."""
+    return dtype if _is_complex_type(dtype) else spark_type_name(dtype)
+
+
 def parse_distribution(spec: Union[str, Distribution, None]) -> Optional[Distribution]:
     """Parse ``"beta(alpha=5.0, beta=2.0)"``-style distribution strings
     (reference registry parsing,
@@ -246,10 +257,18 @@ class DataGenerator:
                 )
         if colType is None or colType == INFER_DATATYPE:
             dtype = INFER_DATATYPE if colType == INFER_DATATYPE else None
-        elif isinstance(colType, T.DataType):
-            dtype = normalize_dtype(colType.simpleString())
         else:
-            dtype = normalize_dtype(str(colType))
+            type_str = (
+                colType.simpleString()
+                if isinstance(colType, T.DataType)
+                else str(colType)
+            )
+            if _is_complex_type(type_str):
+                # array/map/struct kept verbatim: generated via expr/values
+                # or NULL-of-type (reference column_generation_spec.py:1410-1412)
+                dtype = type_str.strip()
+            else:
+                dtype = normalize_dtype(type_str)
         base = o.get("baseColumn", self.seed_column)
         base_cols = [base] if isinstance(base, str) else list(base)
         values = o.get("values")
@@ -462,8 +481,13 @@ class DataGenerator:
         if col.expr is not None:
             e = F.expr(col.expr)
             if col.col_type not in (None, INFER_DATATYPE) and col.values is None:
-                e = e.cast(spark_type_name(dtype))
+                e = e.cast(_cast_target(dtype))
             return e
+
+        # 1b. complex types without expr/values yield NULL of that type
+        # (reference column_generation_spec.py:1410-1412,1444-1445)
+        if _is_complex_type(dtype) and col.values is None:
+            return F.lit(None).cast(dtype)
 
         # 2. text generators
         if col.template is not None:
@@ -507,7 +531,7 @@ class DataGenerator:
             arr = F.array(*[F.lit(v) for v in col.values])
             out = F.element_at(arr, idx.cast("int") + F.lit(1))
             if col.col_type not in (None, INFER_DATATYPE):
-                out = out.cast(spark_type_name(dtype))
+                out = out.cast(_cast_target(dtype))
             return out
 
         # 4. temporal ranges

@@ -59,6 +59,9 @@ _DTYPE_ALIASES = {
     "string": "string",
     "str": "string",
     "varchar": "string",
+    "char": "string",
+    "text": "string",
+    "numeric": "decimal",
     "boolean": "boolean",
     "bool": "boolean",
     "date": "date",
@@ -111,12 +114,14 @@ def parse_rows(rows: Union[int, str]) -> int:
 def normalize_dtype(dtype: str) -> str:
     """Normalize a type spelling; ``decimal(p,s)`` keeps precision/scale."""
     s = dtype.strip().lower()
-    m = re.match(r"^(decimal|number)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", s)
+    m = re.match(r"^(decimal|number|numeric)\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", s)
     if m:
         p, sc = int(m.group(2)), int(m.group(3))
         _check(1 <= p <= 38, f"decimal precision must be in [1,38], got {p}")
         _check(0 <= sc <= p, f"decimal scale must be in [0,precision], got {sc}")
         return f"decimal({p},{sc})"
+    if re.match(r"^(varchar|char)\s*\(\s*\d+\s*\)$", s):
+        return "string"
     _check(s in _DTYPE_ALIASES, f"unknown dtype {dtype!r}")
     return _DTYPE_ALIASES[s]
 
