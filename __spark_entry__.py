@@ -450,6 +450,22 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _gen_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """withStructColumn -> named_struct -> to_json over non-random bases
+    (exact oracle: DuckDB to_json emits the same compact encoding)."""
+    from dbldatagen_spark import DataGenerator
+
+    df = (
+        DataGenerator(spark, name="sj", rows=_GEN_ROWS, partitions=8)
+        .withIdOutput()
+        .withColumn("a", "int", minValue=1, maxValue=20)
+        .withColumn("b", "string", values=["x", "y", "z"])
+        .withStructColumn("sj", fields=["a", "b"], asJson=True)
+        .build()
+    )
+    return df.select(F.col("id").alias("row_id"), "sj").orderBy("row_id")
+
+
 def _gen_format_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """v0 format/prefix/suffix decorators over a non-random base (exact)."""
     from dbldatagen_spark import DataGenerator
@@ -741,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_pattern_conformance": _gen_pattern_conformance,
         "gen_null_fraction": _gen_null_fraction,
         "gen_weighted_shape": _gen_weighted_shape,
+        "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
         "gen_weighted_cycle": _gen_weighted_cycle,
         "gen_constraints": _gen_constraints,
@@ -806,6 +823,12 @@ def oracle_sql() -> dict[str, str]:
         "gen_pattern_conformance": f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed",
         "gen_null_fraction": "SELECT true AS within_tolerance",
         "gen_weighted_shape": "SELECT true AS within_tolerance",
+        "gen_struct_json": (
+            f"SELECT range AS row_id, "
+            f"to_json(struct_pack(a := CAST(1 + range % 20 AS INTEGER), "
+            f"b := ['x','y','z'][CAST(range % 3 AS INTEGER) + 1])) AS sj "
+            f"FROM range({_GEN_ROWS}) ORDER BY row_id"
+        ),
         "gen_format_prefix": (
             f"SELECT range AS row_id, "
             f"'item_' || CAST(1 + range % 20 AS VARCHAR) || '_ver' AS code, "

@@ -28,6 +28,8 @@ from typing import List, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbldatagen_spark.functions._parallel import ensure_parallelism
+
 # Fixed 64-bit odd constants; draw i-th minhash permutation as
 # a_i * h + b_i over the shingle hash h (Carter–Wegman style).
 _MH_SEED_A = 0x9E3779B97F4A7C15
@@ -167,7 +169,7 @@ def ngram_jaccard_pairs(
     posting lists above a cap) — the skew, not the total size, is what
     hurts; ``minhash_near_duplicates`` is the cheaper path at that scale.
     """
-    shingled = shingled_df(df, id_col, text_col, k)
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     return _pair_jaccard(shingled, id_col, threshold=threshold)
 
 
@@ -210,6 +212,7 @@ def minhash_near_duplicates(
     bands: int = 32,
     threshold: float = 0.7,
     verify: bool = True,
+    cache: bool = True,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then (by default) exact
     Jaccard verification of candidates.
@@ -226,13 +229,21 @@ def minhash_near_duplicates(
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands
-    shingled = shingled_df(df, id_col, text_col, k)
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     # hash each shingle string exactly once; the separate projection is a
     # CollapseProject barrier (the hash array is referenced num_hashes times)
     hashed = shingled.select(
         F.col(id_col),
         F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_shash"),
     )
+    if verify and cache:
+        # the (id, hash-array) projection feeds the signature pass AND both
+        # sides of the verification join — persisting it turns three full
+        # text scans + shingle builds into one. It holds only 8-byte hashes
+        # (~shingles x 8B per doc, no text), and MEMORY_AND_DISK spills
+        # rather than OOMs, so the tradeoff holds at cluster scale; pass
+        # cache=False to keep the operator fully stateless.
+        hashed = hashed.persist()
     # one array column, not num_hashes columns: >100 output fields would
     # trip spark.sql.codegen.maxFields and silently drop whole-stage codegen
     sig_exprs = minhash_signature_exprs(
@@ -272,11 +283,14 @@ def minhash_near_duplicates(
     )
     if not verify:
         return candidates
-    sh_a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+    # verify on the hashed shingle sets: Jaccard over 64-bit hashes equals
+    # Jaccard over the strings up to vanishing collision probability, and
+    # long-array intersection is far cheaper than string-array intersection
+    sh_a = hashed.select(
+        F.col(id_col).alias("id_a"), F.col("_shash").alias("_sh_a")
     )
-    sh_b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+    sh_b = hashed.select(
+        F.col(id_col).alias("id_b"), F.col("_shash").alias("_sh_b")
     )
     verified = (
         candidates.join(sh_a, "id_a")
@@ -306,6 +320,7 @@ def simhash_signatures(
     Computed as 64 conditional sums over the exploded-free token array via
     ``aggregate`` — stays in codegen; no UDF, no shuffle.
     """
+    df = ensure_parallelism(df)
     tokens = F.array_distinct(F.split(normalize_text_expr(F.col(text_col)), " "))
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     bit_cols = []

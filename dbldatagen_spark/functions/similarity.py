@@ -18,6 +18,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbldatagen_spark.functions._parallel import ensure_parallelism
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Dot product of two array columns via zip_with + aggregate."""
@@ -59,7 +61,7 @@ def cosine_topk(
     so no full sort and no wide shuffle even at 1e9 rows.
     """
     qarr = F.array(*[F.lit(float(x)) for x in query])
-    out = df.select(
+    out = ensure_parallelism(df).select(
         F.col(id_col),
         F.round(cosine_similarity_expr(F.col(vec_col), qarr), 4).alias("cosine"),
     )
@@ -118,6 +120,7 @@ def lsh_bucket_ann_topk(
     for i in range(num_planes):
         if float(np.dot(planes[i], np.asarray(query, dtype=float))) > 0:
             qsig |= 1 << i
+    df = ensure_parallelism(df)
     sig = hyperplane_signature_expr(F.col(vec_col), num_planes, seed, dim)
     hamming = F.bit_count(sig.bitwiseXOR(F.lit(qsig)))
     qarr = F.array(*[F.lit(float(x)) for x in query])

@@ -10,6 +10,8 @@ from typing import Dict, List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from dbldatagen_spark.functions._parallel import ensure_parallelism
+
 # Compact stopword lists for the n-gram/stopword-hit language heuristic.
 # Order matters: ties resolve to the earliest language below.
 LANG_STOPWORDS: Dict[str, List[str]] = {
@@ -47,6 +49,7 @@ def detect_language(
     stopword list has the most *distinct* hits among the document's tokens
     wins; ties resolve in LANG_ORDER; zero hits → ``und``.
     """
+    df = ensure_parallelism(df)
     toks = F.array_distinct(tokens_expr(F.col(text_col)))
     hit_cols = {
         lang: F.size(
@@ -77,6 +80,7 @@ def quality_metrics(
     (distinct-token ratio). The composite is a fixed linear blend —
     deterministic and explainable rather than learned.
     """
+    df = ensure_parallelism(df)
     text = F.col(text_col)
     n_chars = F.length(text)
     toks = tokens_expr(text)
