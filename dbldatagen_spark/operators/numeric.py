@@ -167,6 +167,7 @@ def _decimal_range(
         else:
             unit = unit_expr(seed_col, strategy.distribution)
         value = unit * F.lit(hi - lo) + F.lit(lo)
-    # round at target scale before the decimal cast (ANSI-safe; reference
-    # numeric.py:208-212 semantics)
-    return F.round(value, s).cast(f"decimal({p},{s})")
+    # the decimal cast itself rounds HALF_UP at target scale (same rule the
+    # reference applies via an explicit round, numeric.py:208-212) — an
+    # extra F.round first would double the per-row decimal work
+    return value.cast(f"decimal({p},{s})")
