@@ -450,6 +450,91 @@ def _text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _gen_distribution_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: each continuous distribution lands in its expected
+    statistical window (deterministic for a fixed seed; windows are wide
+    enough to survive implementation-preserving refactors)."""
+    from dbldatagen_spark import (
+        Beta,
+        ColumnSpec,
+        Exponential,
+        Gamma,
+        LogNormal,
+        Normal,
+        Pareto,
+        RangeColumn,
+        TableSpec,
+        Zipf,
+        generate_table,
+    )
+
+    t = TableSpec(
+        "dist",
+        _GEN_ROWS,
+        columns=[
+            ColumnSpec("nrm", RangeColumn(0.0, 1.0, distribution=Normal()), dtype="double"),
+            ColumnSpec("bet", RangeColumn(0.0, 1.0, distribution=Beta(2.0, 5.0)), dtype="double"),
+            ColumnSpec("gam", RangeColumn(0.0, 1.0, distribution=Gamma(2.0, 2.0)), dtype="double"),
+            ColumnSpec("par", RangeColumn(0.0, 1.0, distribution=Pareto(1.5)), dtype="double"),
+            ColumnSpec("zpf", RangeColumn(0.0, 1.0, distribution=Zipf(1.5)), dtype="double"),
+            ColumnSpec("exp", RangeColumn(0.0, 1.0, distribution=Exponential(1.0)), dtype="double"),
+            ColumnSpec("lgn", RangeColumn(0.0, 1.0, distribution=LogNormal(0.0, 0.5)), dtype="double"),
+        ],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+
+    def _between(c, lo, hi):
+        return (F.avg(c) >= lo) & (F.avg(c) <= hi)
+
+    return df.agg(
+        _between("nrm", 0.45, 0.55).alias("normal_centered"),
+        _between("bet", 0.23, 0.34).alias("beta_mean_ok"),
+        _between("gam", 0.15, 0.25).alias("gamma_mean_ok"),
+        _between("exp", 0.15, 0.25).alias("exp_mean_ok"),
+        # heavy tails: median far below mean, support reaches high values
+        (F.median("par") < F.avg("par")).alias("pareto_skewed"),
+        (F.median("zpf") < F.avg("zpf")).alias("zipf_skewed"),
+        (F.max("par") > 0.3).alias("pareto_tail_reaches"),
+        (F.median("lgn") >= 0.05).alias("lognormal_median_ok"),
+        (F.median("lgn") <= 0.15).alias("lognormal_median_ok2"),
+        (
+            (F.min("nrm") >= 0.0) & (F.max("nrm") <= 1.0)
+            & (F.min("bet") >= 0.0) & (F.max("bet") <= 1.0)
+            & (F.min("par") >= 0.0) & (F.max("par") <= 1.0)
+        ).alias("all_bounded"),
+    )
+
+
+def _gen_unique_combinations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniqueCombinations constraint: dedupe on (a, b) over cycling bases
+    (exact oracle: SELECT DISTINCT of the same modular cycle)."""
+    from dbldatagen_spark import DataGenerator, UniqueCombinations
+
+    df = (
+        DataGenerator(spark, name="uc", rows=_GEN_ROWS, partitions=8)
+        .withColumn("a", "int", minValue=0, maxValue=4)
+        .withColumn("b", "int", minValue=0, maxValue=2)
+        .withConstraint(UniqueCombinations(["a", "b"]))
+        .build()
+    )
+    return df.select("a", "b").orderBy("a", "b")
+
+
+def _ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force kNN join: 20 probe vectors x full table, top-5 each
+    (exact oracle: DuckDB cross join + window rank on the same cosine)."""
+    from dbldatagen_spark.functions.similarity import knn_join
+
+    emb = _load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return knn_join(
+        probes, emb, "probe_id", "vec_id", "probe_vec", "embedding", k=5
+    ).orderBy("probe_id", "rank")
+
+
 def _gen_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """withStructColumn -> named_struct -> to_json over non-random bases
     (exact oracle: DuckDB to_json emits the same compact encoding)."""
@@ -757,6 +842,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_pattern_conformance": _gen_pattern_conformance,
         "gen_null_fraction": _gen_null_fraction,
         "gen_weighted_shape": _gen_weighted_shape,
+        "gen_distribution_shapes": _gen_distribution_shapes,
+        "gen_unique_combinations": _gen_unique_combinations,
+        "ann_knn_join": _ann_knn_join,
         "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
         "gen_weighted_cycle": _gen_weighted_cycle,
@@ -823,6 +911,38 @@ def oracle_sql() -> dict[str, str]:
         "gen_pattern_conformance": f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed",
         "gen_null_fraction": "SELECT true AS within_tolerance",
         "gen_weighted_shape": "SELECT true AS within_tolerance",
+        "gen_distribution_shapes": (
+            "SELECT true AS normal_centered, true AS beta_mean_ok, "
+            "true AS gamma_mean_ok, true AS exp_mean_ok, "
+            "true AS pareto_skewed, true AS zipf_skewed, "
+            "true AS pareto_tail_reaches, true AS lognormal_median_ok, "
+            "true AS lognormal_median_ok2, true AS all_bounded"
+        ),
+        "gen_unique_combinations": (
+            f"SELECT DISTINCT CAST(range % 5 AS INTEGER) AS a, "
+            f"CAST(range % 3 AS INTEGER) AS b FROM range({_GEN_ROWS}) "
+            f"ORDER BY a, b"
+        ),
+        "ann_knn_join": """
+            WITH probes AS (
+                SELECT vec_id AS probe_id, embedding AS probe_vec
+                FROM embeddings WHERE vec_id < 20
+            ),
+            scored AS (
+                SELECT p.probe_id, e.vec_id,
+                       ROUND(list_cosine_similarity(p.probe_vec, e.embedding), 4) AS cosine
+                FROM probes p CROSS JOIN embeddings e
+            ),
+            ranked AS (
+                SELECT probe_id, vec_id, cosine,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY probe_id ORDER BY cosine DESC, vec_id
+                       ) AS rank
+                FROM scored
+            )
+            SELECT probe_id, vec_id, cosine, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+        """,
         "gen_struct_json": (
             f"SELECT range AS row_id, "
             f"to_json(struct_pack(a := CAST(1 + range % 20 AS INTEGER), "

@@ -29,11 +29,14 @@ text analysis, multimodal plumbing) over ordinary DataFrames.
 
 from dbldatagen_spark.plans.spec import (
     ArrayColumn,
+    Beta,
     ColumnSpec,
     ConstantColumn,
     DataGenPlan,
     DateColumn,
     Exponential,
+    Gamma,
+    Pareto,
     ExpressionColumn,
     FakerColumn,
     ForeignKeyColumn,
@@ -114,7 +117,10 @@ __all__ = [
     "FakerColumn",
     "ForeignKeyColumn",
     "LogNormal",
+    "Beta",
+    "Gamma",
     "Normal",
+    "Pareto",
     "PatternColumn",
     "RangeColumn",
     "SequenceColumn",

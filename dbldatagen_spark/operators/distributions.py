@@ -107,10 +107,24 @@ def unit_expr(seed_col: Column, dist: Distribution) -> Column:
         x = -F.log(F.lit(1.0) - u) / F.lit(dist.rate)
         # mean 1/rate lands at 0.2 of the unit range
         return _clamp(x * F.lit(dist.rate / 5.0), F.lit(0.0), F.lit(1.0))
-    if isinstance(dist, (Zipf, Pareto)):
-        # truncated power-law on [0,1] via the index transform at high resolution
-        n = 1 << 40
-        return index_expr(seed_col, n, dist).cast("double") / F.lit(float(n))
+    if isinstance(dist, Zipf):
+        # continuous truncated power-law x^-s on [1, B], linearly mapped to
+        # [0,1]. B caps the dynamic range at two decades — without a cap
+        # nearly all mass lands indistinguishably near 0 in unit space.
+        s = dist.exponent
+        B = 100.0
+        u = uniform_fraction(seed_col)
+        top = B ** (1.0 - s) - 1.0
+        x = F.pow(F.lit(1.0) + u * F.lit(top), F.lit(1.0 / (1.0 - s)))
+        return _clamp((x - F.lit(1.0)) / F.lit(B - 1.0), F.lit(0.0), F.lit(1.0))
+    if isinstance(dist, Pareto):
+        # continuous truncated Pareto(shape) on [1, B], linear map to [0,1]
+        a = dist.shape
+        B = 100.0
+        u = uniform_fraction(seed_col)
+        tail = 1.0 - B ** (-a)
+        x = F.pow(F.lit(1.0) - u * F.lit(tail), F.lit(-1.0 / a))
+        return _clamp((x - F.lit(1.0)) / F.lit(B - 1.0), F.lit(0.0), F.lit(1.0))
     if isinstance(dist, Gamma):
         z = standard_normal_expr(seed_col)
         x = _wilson_hilferty_gamma(z, dist.shape, dist.scale)
