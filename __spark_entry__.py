@@ -535,6 +535,52 @@ def _ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+def _gen_sales_order_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sales_order dataset: row counts plus zero FK orphans
+    across orders->customers and line_items->{orders, catalog_items}
+    (broadcast anti-joins; exact count oracle)."""
+    from dbldatagen_spark.datasets.registry import Datasets
+
+    rows = 1000
+    ds = Datasets(spark, "multi_table/sales_order")
+    get = lambda t: ds.get(table=t, rows=rows).build()
+    customers = get("customers")
+    catalog = get("catalog_items")
+    orders = get("base_orders")
+    items = get("base_order_line_items")
+
+    def orphans(child, parent, key):
+        return child.join(F.broadcast(parent.select(key)), key, "left_anti").count()
+
+    return spark.createDataFrame(
+        [
+            (
+                customers.count(),
+                catalog.count(),
+                orders.count(),
+                items.count(),
+                orphans(orders, customers, "customer_id"),
+                orphans(items, orders, "order_id"),
+                orphans(items, catalog, "item_id"),
+            )
+        ],
+        "n_customers long, n_catalog long, n_orders long, n_items long, "
+        "orphan_orders long, orphan_item_orders long, orphan_item_catalog long",
+    )
+
+
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: probe the 2 label-cells nearest the query by centroid,
+    exact cosine within (exact oracle: same two-stage plan in DuckDB)."""
+    from dbldatagen_spark.functions.similarity import ivf_ann_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_ann_topk(
+        emb, "vec_id", "embedding", q, k=10, cell_col="label", n_probe=2
+    )
+
+
 def _gen_struct_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """withStructColumn -> named_struct -> to_json over non-random bases
     (exact oracle: DuckDB to_json emits the same compact encoding)."""
@@ -845,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_distribution_shapes": _gen_distribution_shapes,
         "gen_unique_combinations": _gen_unique_combinations,
         "ann_knn_join": _ann_knn_join,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "gen_sales_order_ri": _gen_sales_order_ri,
         "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
         "gen_weighted_cycle": _gen_weighted_cycle,
@@ -923,6 +971,35 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(range % 3 AS INTEGER) AS b FROM range({_GEN_ROWS}) "
             f"ORDER BY a, b"
         ),
+        "gen_sales_order_ri": (
+            "SELECT CAST(50 AS BIGINT) AS n_customers, "
+            "CAST(20 AS BIGINT) AS n_catalog, "
+            "CAST(1000 AS BIGINT) AS n_orders, "
+            "CAST(3000 AS BIGINT) AS n_items, "
+            "CAST(0 AS BIGINT) AS orphan_orders, "
+            "CAST(0 AS BIGINT) AS orphan_item_orders, "
+            "CAST(0 AS BIGINT) AS orphan_item_catalog"
+        ),
+        "ann_ivf_topk": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            comp AS (
+                SELECT label, t.dim, AVG(embedding[t.dim]) AS c
+                FROM embeddings,
+                     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS dim) t
+                GROUP BY label, t.dim
+            ),
+            cent AS (
+                SELECT label, list(c ORDER BY dim) AS centroid FROM comp GROUP BY label
+            ),
+            cell AS (
+                SELECT label FROM cent, q
+                ORDER BY list_cosine_similarity(centroid, qe) DESC, label LIMIT 2
+            )
+            SELECT e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(e.embedding, qe), 4) AS cosine
+            FROM embeddings e, q WHERE e.label IN (SELECT label FROM cell)
+            ORDER BY cosine DESC, vec_id LIMIT 10
+        """,
         "ann_knn_join": """
             WITH probes AS (
                 SELECT vec_id AS probe_id, embedding AS probe_vec

@@ -26,6 +26,9 @@ from dbldatagen_spark.functions.dedup import (
 from dbldatagen_spark.functions.similarity import (
     cosine_similarity_expr,
     cosine_topk,
+    ivf_ann_topk,
+    ivf_centroids,
+    knn_join,
     lsh_bucket_ann_topk,
 )
 from dbldatagen_spark.functions.text_analysis import (
@@ -38,6 +41,9 @@ from dbldatagen_spark.functions.text_analysis import (
 __all__ = [
     "cosine_similarity_expr",
     "cosine_topk",
+    "ivf_ann_topk",
+    "ivf_centroids",
+    "knn_join",
     "detect_language",
     "document_fingerprint",
     "embedding_near_duplicates",

@@ -162,3 +162,73 @@ def knn_join(
             F.col("_rank").alias("rank"),
         )
     )
+
+
+def ivf_centroids(
+    df: DataFrame, vec_col: str, cell_col: str
+) -> DataFrame:
+    """Per-cell centroid vectors — the reduce step of IVF index build.
+
+    ``posexplode`` + groupBy keeps the shuffle payload to (cell, dim,
+    component) triples; the result is ``num_cells`` rows regardless of
+    input size, so it is always collectable/broadcastable.
+    """
+    return (
+        df.select(F.col(cell_col), F.posexplode(vec_col).alias("_dim", "_v"))
+        .groupBy(cell_col, "_dim")
+        .agg(F.avg("_v").alias("_c"))
+        .groupBy(cell_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("_dim", "_c"))
+            ).alias("_dc")
+        )
+        .select(
+            F.col(cell_col),
+            F.transform(F.col("_dc"), lambda s: s["_c"]).alias("centroid"),
+        )
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    cell_col: str,
+    n_probe: int = 2,
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """IVF-style approximate top-k: probe only the ``n_probe`` cells whose
+    centroids are nearest the query, exact cosine within them.
+
+    ``cell_col`` is the coarse quantizer assignment (a label, a k-means
+    cluster id, a hash bucket — anything with reasonable balance). The
+    centroid table is ``num_cells`` rows, so picking probe cells is a
+    driver-side decision on a tiny collect — exactly the classic IVF
+    probe. The data-side plan is then ``cell IN (probes)`` (a pushable
+    scan predicate) followed by per-partition top-k — no shuffle of
+    vectors at any point.
+    """
+    q = np.asarray(list(query), dtype=float)
+    cent_rows = ivf_centroids(df, vec_col, cell_col).collect()
+    scored_cells = []
+    for r in cent_rows:
+        c = np.asarray(r["centroid"], dtype=float)
+        denom = float(np.linalg.norm(c) * np.linalg.norm(q))
+        cos = float(np.dot(c, q) / denom) if denom > 0 else 0.0
+        scored_cells.append((round(cos, 12), r[cell_col]))
+    scored_cells.sort(key=lambda t: (-t[0], t[1]))
+    probe_cells = [cell for _, cell in scored_cells[:n_probe]]
+
+    qarr = F.array(*[F.lit(float(x)) for x in q])
+    out = ensure_parallelism(df.where(F.col(cell_col).isin(probe_cells))).select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.round(cosine_similarity_expr(F.col(vec_col), qarr), 4).alias("cosine"),
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)

@@ -228,3 +228,24 @@ class TestMultimodal:
         )
         assert joined.count() == 0
         assert frames.where("media_id % 3 != 2").count() == 0  # only videos
+
+
+def test_ivf_ann_topk_matches_bruteforce_within_probed_cells(spark, emb):
+    """IVF with all cells probed == exact brute force; with n_probe=2 the
+    result is the exact top-k restricted to the two nearest cells."""
+    from dbldatagen_spark.functions.similarity import cosine_topk, ivf_ann_topk
+
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    n_cells = emb.select("label").distinct().count()
+    full = ivf_ann_topk(
+        emb, "vec_id", "embedding", q, k=10, cell_col="label", n_probe=n_cells
+    )
+    exact = cosine_topk(emb, "vec_id", "embedding", q, k=10)
+    assert [r["vec_id"] for r in full.collect()] == [
+        r["vec_id"] for r in exact.collect()
+    ]
+    probed = ivf_ann_topk(
+        emb, "vec_id", "embedding", q, k=10, cell_col="label", n_probe=2
+    ).collect()
+    labels = {r["label"] for r in probed}
+    assert len(labels) <= 2 and len(probed) == 10
