@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the generation engine.
+
+Goes beyond the reference's test strategy (SURVEY §5 notes it has no
+property-based testing): for randomly drawn specs we assert the three
+load-bearing invariants — two-build determinism, partition independence,
+and range/type conformance.
+
+Examples are kept small (Spark round-trips are ~100ms each); the point is
+spec-space coverage, not row volume.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from dbldatagen_spark import DataGenerator
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_spark = None
+
+
+@pytest.fixture(autouse=True)
+def _capture_spark(spark):
+    global _spark
+    _spark = spark
+    yield
+
+
+def _fingerprint(df):
+    rows = sorted(map(tuple, df.collect()))
+    return hash(tuple(rows))
+
+
+@given(
+    lo=st.integers(min_value=-10_000, max_value=10_000),
+    span=st.integers(min_value=0, max_value=50_000),
+    step=st.integers(min_value=1, max_value=7),
+    random=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_int_range_bounds_and_determinism(lo, span, step, random):
+    hi = lo + span
+    build = lambda parts: (
+        DataGenerator(_spark, name="pb", rows=200, partitions=parts)
+        .withColumn("x", "long", minValue=lo, maxValue=hi, step=step, random=random)
+        .build()
+    )
+    df = build(4)
+    mn, mx = df.agg(F.min("x"), F.max("x")).first()
+    assert lo <= mn and mx <= hi
+    # every value on the lattice lo + k*step
+    off = df.select(F.sum(F.pmod(F.col("x") - lo, step)).alias("s")).first()["s"]
+    assert off == 0
+    # determinism + partition independence
+    assert _fingerprint(build(4)) == _fingerprint(build(2))
+
+
+@given(
+    values=st.lists(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=6),
+        min_size=1,
+        max_size=6,
+        unique=True,
+    ),
+    random=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_values_closed_world(values, random):
+    df = (
+        DataGenerator(_spark, name="pbv", rows=150, partitions=3)
+        .withColumn("v", "string", values=values, random=random)
+        .build()
+    )
+    seen = {r["v"] for r in df.select("v").distinct().collect()}
+    assert seen <= set(values)
+    if not random and len(values) <= 150:
+        assert seen == set(values)  # cycling covers every value
+
+
+@given(
+    p=st.floats(min_value=0.0, max_value=1.0),
+)
+@settings(**_SETTINGS)
+def test_null_fraction_bounds(p):
+    df = (
+        DataGenerator(_spark, name="pbn", rows=400, partitions=4)
+        .withColumn("x", "int", minValue=0, maxValue=9, percentNulls=p, random=True)
+        .build()
+    )
+    nulls = df.where(F.col("x").isNull()).count()
+    frac = nulls / 400
+    assert abs(frac - p) < 0.12  # Bernoulli(400) tolerance
+    # repeatable
+    df2 = (
+        DataGenerator(_spark, name="pbn", rows=400, partitions=2)
+        .withColumn("x", "int", minValue=0, maxValue=9, percentNulls=p, random=True)
+        .build()
+    )
+    assert df2.where(F.col("x").isNull()).count() == nulls
+
+
+@given(
+    begin_day=st.integers(min_value=0, max_value=300),
+    span_days=st.integers(min_value=1, max_value=60),
+    random=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_date_range_containment(begin_day, span_days, random):
+    import datetime as dt
+
+    b = dt.date(2021, 1, 1) + dt.timedelta(days=begin_day)
+    e = b + dt.timedelta(days=span_days)
+    df = (
+        DataGenerator(_spark, name="pbd", rows=100, partitions=2)
+        .withColumn("d", "date", begin=str(b), end=str(e), random=random)
+        .build()
+    )
+    mn, mx = df.agg(F.min("d"), F.max("d")).first()
+    assert b <= mn and mx <= e
