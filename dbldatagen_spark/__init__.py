@@ -69,8 +69,10 @@ from dbldatagen_spark.operators.constraints import (
 )
 from dbldatagen_spark.operators.templates import (
     FakerText,
+    FakerTextFactory,
     ILText,
     PyfuncText,
+    PyfuncTextFactory,
     fakerText,
 )
 from dbldatagen_spark.datagen import (
@@ -102,6 +104,8 @@ __all__ = [
     "NegativeValues",
     "PositiveValues",
     "PyfuncText",
+    "PyfuncTextFactory",
+    "FakerTextFactory",
     "SchemaParser",
     "RangedValues",
     "SqlExpr",

@@ -355,31 +355,167 @@ class ILText:
 
 
 class PyfuncText:
-    """User-plugin text generator: ``fn(context, base_value) -> str`` with an
-    optional one-time ``init(context)``. The context object is created once
-    per executor (inside the UDF closure), mirroring the reference plugin
-    model (``text_generator_plugins.py:45-178``)."""
+    """User-plugin text generator mirroring the reference plugin model
+    (``text_generator_plugins.py:45-178``): ``fn(context, base_value)``
+    with an optional ``init(context)`` run once per executor (or per
+    Arrow batch with ``initPerBatch``). When ``rootProperty`` is set the
+    function is instead called as ``fn(context.<rootProperty>)`` and the
+    base value is ignored — the calling convention Faker-style plugins
+    use."""
 
-    def __init__(self, fn, init=None, name: str = "pyfuncText"):
+    def __init__(self, fn, init=None, name: str = "pyfuncText",
+                 rootProperty: Optional[str] = None, initPerBatch: bool = False):
+        if not callable(fn):
+            raise ValueError(
+                "Function must be provided with signature fn(context, oldValue)"
+            )
+        if init is not None and not callable(init):
+            raise ValueError("init must be callable if provided")
         self.fn = fn
         self.init = init
         self.name = name
+        self.root_property = rootProperty
+        self.init_per_batch = bool(initPerBatch)
+
+    def __str__(self) -> str:
+        return f"{self.name}({self.fn!r}, init={self.init})"
 
     def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
         fn, init = self.fn, self.init
+        root_property, per_batch = self.root_property, self.init_per_batch
 
         class _Ctx:
             pass
 
+        holder = {}
+
+        def _context():
+            if per_batch or "ctx" not in holder:
+                ctx = _Ctx()
+                if init is not None:
+                    init(ctx)
+                holder["ctx"] = ctx
+            return holder["ctx"]
+
         def _apply(vals: pd.Series) -> pd.Series:
-            ctx = _Ctx()
-            if init is not None:
-                init(ctx)
+            ctx = _context()
+            if root_property is not None:
+                root = getattr(ctx, root_property)
+                return vals.map(lambda _v: str(fn(root)))
             return vals.map(lambda v: str(fn(ctx, v)))
 
         udf = F.pandas_udf(_apply, StringType())
         src = base_col if base_col is not None else seed_col.cast("long")
         return udf(src)
+
+
+class PyfuncTextFactory:
+    """Fluent builder for :class:`PyfuncText` objects (reference
+    ``text_generator_plugins.py:181-313``)::
+
+        MyText = (PyfuncTextFactory(name="MyText")
+                  .withInit(init_fn)
+                  .withRootProperty("gen"))
+        ...withColumn("x", text=MyText("sentence", ext_word_list=words))
+
+    Calling the factory with a *string* resolves a method of that name on
+    the root property (or a plain property with ``isProperty=True``);
+    calling with a callable passes it through.
+    """
+
+    def __init__(self, name: Optional[str] = None):
+        self._name = name or "PyfuncText"
+        self._init_fn = None
+        self._root_property = None
+        self._init_per_batch = False
+
+    def withInit(self, fn) -> "PyfuncTextFactory":
+        self._init_fn = fn
+        return self
+
+    def withInitPerBatch(self, fn) -> "PyfuncTextFactory":
+        self._init_per_batch = True
+        return self.withInit(fn)
+
+    def withRootProperty(self, prop: str) -> "PyfuncTextFactory":
+        self._root_property = prop
+        return self
+
+    def __call__(self, evalFn, *args, isProperty: bool = False, **kwargs) -> PyfuncText:
+        if evalFn is None or not (isinstance(evalFn, str) or callable(evalFn)):
+            raise ValueError("Function or method name must be provided")
+        if isinstance(evalFn, str):
+            if not self._root_property:
+                raise ValueError(
+                    "String-named functions require a root property"
+                )
+            if (args or kwargs) and isProperty:
+                raise ValueError(
+                    "'isProperty' cannot be combined with arguments"
+                )
+            method_name = evalFn
+
+            def evalFn(root, _n=method_name, _a=args, _k=kwargs, _p=isProperty):
+                member = getattr(root, _n)
+                return member if _p else member(*_a, **_k)
+
+        return PyfuncText(
+            evalFn,
+            init=self._init_fn,
+            name=self._name,
+            rootProperty=self._root_property,
+            initPerBatch=self._init_per_batch,
+        )
+
+
+class _BuiltinFakerShim:
+    """Deterministic stand-in for a ``Faker`` instance when the library is
+    unavailable: any method resolves to a generator over the builtin fake
+    value table, advancing an LCG per call."""
+
+    def __init__(self, seed: int = 0x5EED):
+        self._state = seed & ((1 << 63) - 1)
+
+    def __getattr__(self, method):
+        if method.startswith("_"):
+            raise AttributeError(method)
+        from dbldatagen_spark.operators.text import _builtin_fake
+
+        def _gen(*_a, **_k):
+            self._state = (self._state * 6364136223846793005 + 1442695040888963407) & (
+                (1 << 63) - 1
+            )
+            return _builtin_fake(method, self._state)
+
+        return _gen
+
+
+class FakerTextFactory(PyfuncTextFactory):
+    """Faker-backed factory (reference ``text_generator_plugins.py:315-436``):
+    ``FakerTextFactory(locale=...)("email")``. Falls back to the
+    deterministic builtin value table when the ``faker`` package is not
+    installed, keeping the plumbing (init, root property, method
+    dispatch) identical."""
+
+    def __init__(self, locale=None, providers=None, name: str = "FakerText",
+                 lib: str = "faker", rootClass: str = "Faker"):
+        super().__init__(name=name)
+
+        def _init(ctx, _locale=locale, _providers=providers, _lib=lib,
+                  _cls=rootClass):
+            try:
+                mod = __import__(_lib)
+                faker_cls = getattr(mod, _cls)
+                root = faker_cls(_locale) if _locale else faker_cls()
+                if _providers:
+                    for p in _providers:
+                        root.add_provider(p)
+            except ImportError:
+                root = _BuiltinFakerShim()
+            ctx.faker = root
+
+        self.withInit(_init)
+        self.withRootProperty("faker")
 
 
 class FakerText:

@@ -398,3 +398,69 @@ class TestScripts:
         assert "MERGE INTO tgt_tbl" in sql
         assert "WHEN MATCHED AND src.op = 'D' THEN DELETE" in sql
         assert "WHEN NOT MATCHED THEN INSERT" in sql
+
+
+class TestTextFactories:
+    def test_pyfunc_text_factory_method_dispatch(self, spark):
+        """Factory with root property: string method name resolves against
+        the context root (reference text_generator_plugins.py:181-313)."""
+        from dbldatagen_spark import DataGenerator, PyfuncTextFactory
+
+        class Gen:
+            def __init__(self):
+                self.n = 0
+
+            def tag(self, prefix="t"):
+                self.n += 1
+                return f"{prefix}{self.n % 5}"
+
+        def init(ctx):
+            ctx.gen = Gen()
+
+        TagText = (
+            PyfuncTextFactory(name="TagText")
+            .withInit(init)
+            .withRootProperty("gen")
+        )
+        df = (
+            DataGenerator(spark, name="tf", rows=50, partitions=2)
+            .withColumn("a", "string", text=TagText("tag"))
+            .withColumn("b", "string", text=TagText("tag", "x"))
+            .build()
+        )
+        rows = df.collect()
+        assert all(r["a"].startswith("t") for r in rows)
+        assert all(r["b"].startswith("x") for r in rows)
+
+    def test_pyfunc_text_factory_callable_and_context(self, spark):
+        from dbldatagen_spark import DataGenerator, PyfuncTextFactory
+
+        def init(ctx):
+            ctx.words = ["alpha", "beta"]
+
+        WordText = PyfuncTextFactory(name="WordText").withInit(init)
+        df = (
+            DataGenerator(spark, name="tf2", rows=30, partitions=2)
+            .withColumn(
+                "w", "string",
+                text=WordText(lambda ctx, v: ctx.words[int(v) % 2]),
+            )
+            .build()
+        )
+        assert {r["w"] for r in df.collect()} == {"alpha", "beta"}
+
+    def test_faker_text_factory_fallback(self, spark):
+        """Without the faker lib the factory uses the deterministic builtin
+        shim — same dispatch path, importable-safe."""
+        from dbldatagen_spark import DataGenerator, FakerTextFactory
+
+        FT = FakerTextFactory(locale="en_US")
+        df = (
+            DataGenerator(spark, name="tf3", rows=20, partitions=2)
+            .withColumn("mail", "string", text=FT("email"))
+            .withColumn("nm", "string", text=FT("name"))
+            .build()
+        )
+        rows = df.collect()
+        assert all("@" in r["mail"] for r in rows)
+        assert all(r["nm"] for r in rows)
