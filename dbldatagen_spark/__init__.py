@@ -54,6 +54,7 @@ from dbldatagen_spark.plans.spec import (
     WeightedValues,
     Zipf,
 )
+from dbldatagen_spark.plans.spec import register_distribution
 from dbldatagen_spark.generator import generate, generate_table
 from dbldatagen_spark.datagen import DataGenerator, INFER_DATATYPE, parse_distribution
 from dbldatagen_spark.operators.constraints import (
@@ -107,6 +108,7 @@ __all__ = [
     "PyfuncTextFactory",
     "FakerTextFactory",
     "SchemaParser",
+    "register_distribution",
     "RangedValues",
     "SqlExpr",
     "UniqueCombinations",

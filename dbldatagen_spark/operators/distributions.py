@@ -142,6 +142,10 @@ def unit_expr(seed_col: Column, dist: Distribution) -> Column:
         return F.when(denom > F.lit(0.0), g1 / denom).otherwise(F.lit(0.5))
     if isinstance(dist, WeightedValues):
         raise ValueError("WeightedValues applies to value lists, not ranges")
+    if hasattr(dist, "unit_expr"):
+        # registered custom distribution (register_distribution protocol):
+        # it supplies its own seed -> [0,1] expression
+        return _clamp(dist.unit_expr(seed_col), F.lit(0.0), F.lit(1.0))
     raise ValueError(f"unsupported distribution: {dist!r}")
 
 

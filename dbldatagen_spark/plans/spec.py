@@ -260,6 +260,28 @@ DISTRIBUTION_KINDS = {
 }
 
 
+def register_distribution(name: str, cls: type = None):
+    """Register a custom distribution for string-spec parsing (reference
+    ``distributions/data_distribution.py:223-247`` ``@register_distribution``).
+
+    A custom class participates in continuous value ranges by exposing
+    ``unit_expr(self, seed_col) -> Column`` mapping the 64-bit cell-seed
+    column to a double in [0, 1] — pure Spark expressions, so the engine's
+    no-UDF / partition-independence guarantees carry over. Usable directly
+    (``register_distribution("tri", Tri)``) or as a decorator
+    (``@register_distribution("tri")``).
+    """
+    _check(bool(name) and name == name.lower(), "name must be lowercase")
+    if cls is None:
+        def _decorate(c: type) -> type:
+            DISTRIBUTION_KINDS[name] = c
+            return c
+
+        return _decorate
+    DISTRIBUTION_KINDS[name] = cls
+    return cls
+
+
 # ---------------------------------------------------------------------------
 # Column strategies (reference core/spec/schema.py:832-846 union)
 # ---------------------------------------------------------------------------

@@ -464,3 +464,37 @@ class TestTextFactories:
         rows = df.collect()
         assert all("@" in r["mail"] for r in rows)
         assert all(r["nm"] for r in rows)
+
+
+class TestCustomDistribution:
+    def test_register_distribution_pure_expr(self, spark):
+        """Custom distribution plugged in via register_distribution: pure
+        expressions, usable by object or parsed string spec."""
+        from pyspark.sql import functions as F2
+
+        from dbldatagen_spark import DataGenerator, register_distribution
+        from dbldatagen_spark.operators.seed import uniform_fraction
+
+        @register_distribution("tri")
+        class Triangular:
+            def __init__(self, mode: float = 0.5):
+                self.mode = mode
+
+            def unit_expr(self, seed_col):
+                # symmetric triangular via average of two decorrelated uniforms
+                u1 = uniform_fraction(seed_col)
+                u2 = uniform_fraction(F2.xxhash64(F2.lit(7), seed_col))
+                return (u1 + u2) / F2.lit(2.0)
+
+        df = (
+            DataGenerator(spark, name="cd", rows=4000, partitions=4)
+            .withColumn("t", "double", minValue=0.0, maxValue=1.0,
+                        distribution="tri(mode=0.5)", random=True)
+            .build()
+        )
+        mean, mn, mx = df.agg(F2.avg("t"), F2.min("t"), F2.max("t")).first()
+        assert 0.45 < mean < 0.55
+        assert mn >= 0.0 and mx <= 1.0
+        # triangular concentrates mass centrally: middle half holds > 55%
+        middle = df.where((F2.col("t") > 0.25) & (F2.col("t") < 0.75)).count()
+        assert middle / 4000 > 0.55
