@@ -535,6 +535,47 @@ def _ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("probe_id", "rank")
 
 
+def _gen_constant_seedfrom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constant columns are literal; seed_from-correlated columns are a
+    pure function of the source column's values (same src value -> same
+    derived value, across all rows and partitions)."""
+    from dbldatagen_spark import (
+        ColumnSpec,
+        ConstantColumn,
+        RangeColumn,
+        TableSpec,
+        generate_table,
+    )
+
+    t = TableSpec(
+        "sf",
+        _GEN_ROWS,
+        columns=[
+            ColumnSpec("region_id", RangeColumn(1, 10), dtype="int"),
+            ColumnSpec("source", ConstantColumn("synthetic")),
+            ColumnSpec(
+                "region_score",
+                RangeColumn(0, 1_000_000),
+                dtype="int",
+                seed_from="region_id",
+            ),
+        ],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+    per_src = df.groupBy("region_id").agg(
+        F.countDistinct("region_score").alias("n")
+    )
+    return df.agg(
+        F.min(F.col("source") == "synthetic").alias("constant_ok")
+    ).crossJoin(
+        per_src.agg(
+            (F.max("n") == 1).alias("functional_dependency"),
+            (F.count(F.lit(1)) == 10).alias("src_cardinality_ok"),
+        )
+    )
+
+
 def _gen_sales_order_ri(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sales_order dataset: row counts plus zero FK orphans
     across orders->customers and line_items->{orders, catalog_items}
@@ -893,6 +934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_knn_join": _ann_knn_join,
         "ann_ivf_topk": _ann_ivf_topk,
         "gen_sales_order_ri": _gen_sales_order_ri,
+        "gen_constant_seedfrom": _gen_constant_seedfrom,
         "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
         "gen_weighted_cycle": _gen_weighted_cycle,
@@ -970,6 +1012,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT DISTINCT CAST(range % 5 AS INTEGER) AS a, "
             f"CAST(range % 3 AS INTEGER) AS b FROM range({_GEN_ROWS}) "
             f"ORDER BY a, b"
+        ),
+        "gen_constant_seedfrom": (
+            "SELECT true AS constant_ok, true AS functional_dependency, "
+            "true AS src_cardinality_ok"
         ),
         "gen_sales_order_ri": (
             "SELECT CAST(50 AS BIGINT) AS n_customers, "
