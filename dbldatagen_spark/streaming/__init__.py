@@ -23,6 +23,10 @@ from pyspark.sql import DataFrame
 
 from dbldatagen_spark.datagen import DataGenerator
 from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
+from dbldatagen_spark.streaming.stateful import (
+    session_window_agg,
+    sessionize_with_state,
+)
 
 
 def build_streaming(

@@ -1,0 +1,181 @@
+"""Streaming sessionization: native session windows + a custom-state
+operator.
+
+Two paths, per the engine's operator policy (prefer built-in composition,
+drop to ``applyInPandasWithState`` only for semantics Spark cannot
+express):
+
+* :func:`session_window_agg` — Spark's native ``session_window`` (gap-based
+  event-time windows). Works identically over a batch DataFrame (no
+  watermark) and a stream (watermark + append mode); state management,
+  late-data handling, and spill are Spark's problem, which is exactly
+  what you want at scale.
+* :func:`sessionize_with_state` — ``applyInPandasWithState`` with explicit
+  per-user state, for session semantics the native operator cannot
+  express (here: sessions also close after a max-events cap, a common
+  bot-detection rule). Demonstrates the full custom-stateful plumbing:
+  state schema, event-time timeout, emission on both rollover and
+  timeout.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def session_window_agg(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user gap sessions with count/value aggregates.
+
+    On a streaming DataFrame a watermark is applied first (append-mode
+    emission once the watermark passes session end); on a batch DataFrame
+    the same expression computes all sessions immediately.
+    """
+    src = df.withWatermark(ts_col, watermark) if df.isStreaming else df
+    return (
+        src.groupBy(F.col(user_col), F.session_window(F.col(ts_col), gap))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", LongType()),  # epoch micros
+        StructField("last_ts", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("closed_by", LongType()),  # 0=gap rollover, 1=cap, 2=timeout
+    ]
+)
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    *,
+    gap_minutes: int = 30,
+    max_events: int = 1000,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Custom stateful sessionization: a session closes on a ``gap_minutes``
+    silence, **or** as soon as it accumulates ``max_events`` events (a rule
+    native ``session_window`` cannot express).
+
+    Expects columns ``user_id``, ``ts``, ``value``. Emits one row per
+    closed session. State is one fixed-size row per active user —
+    per-partition memory is bounded by active users, not events, and
+    Spark's state store handles checkpointing/recovery.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user,) = key
+        out = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, vsum = state.get
+                out.append((user, start, last, n, vsum, 2))
+                state.remove()
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id", "session_start", "session_end",
+                    "n_events", "value_sum", "closed_by",
+                ],
+            ).assign(
+                session_start=lambda d: pd.to_datetime(d.session_start, unit="us"),
+                session_end=lambda d: pd.to_datetime(d.session_end, unit="us"),
+            )
+            return
+
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = None
+            n, vsum = 0, 0.0
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            v = float(value) if value == value else 0.0  # NaN-safe
+            if start is None:
+                start, last, n, vsum = t_us, t_us, 1, v
+            elif t_us - last > gap_us:
+                out.append((user, start, last, n, vsum, 0))
+                start, last, n, vsum = t_us, t_us, 1, v
+            else:
+                last, n, vsum = t_us, n + 1, vsum + v
+            if n >= max_events:
+                out.append((user, start, last, n, vsum, 1))
+                start = last = None
+                n, vsum = 0, 0.0
+
+        if start is not None:
+            state.update((start, last, n, vsum))
+            state.setTimeoutTimestamp(last // 1000 + gap_minutes * 60 * 1000)
+        elif state.exists:
+            state.remove()
+
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "session_start", "session_end",
+                "n_events", "value_sum", "closed_by",
+            ],
+        ).assign(
+            session_start=lambda d: pd.to_datetime(d.session_start, unit="us"),
+            session_end=lambda d: pd.to_datetime(d.session_end, unit="us"),
+        )
+
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _fn,
+            outputStructType=_OUTPUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

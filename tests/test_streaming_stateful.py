@@ -1,0 +1,168 @@
+"""Streaming sessionization: native session_window + applyInPandasWithState.
+
+The stream tests replay the driver's events parquet through a file
+source with an availableNow trigger — deterministic backlog, real
+Structured Streaming execution (state store, watermarks, append mode).
+"""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    # the driver's events table stores TIMESTAMP(NANOS); read nanos as
+    # long and integer-divide to micros (same path as __spark_entry__)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{SF}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+
+
+def _batch_gap_sessions(ev, gap_s=1800):
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    with_sid = ev.withColumn(
+        "_new", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    ).withColumn("sid", F.sum("_new").over(w))
+    return (
+        with_sid.groupBy("user_id", "sid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("value_sum"),
+        )
+    )
+
+
+def test_session_window_batch_matches_lag_based(spark, events):
+    """Native session_window over a batch frame == lag/cumsum sessions."""
+    from dbldatagen_spark.streaming.stateful import session_window_agg
+
+    native = session_window_agg(events, gap="30 minutes").select(
+        "user_id",
+        F.col("session_start").alias("native_start"),
+        "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    )
+    lag = _batch_gap_sessions(events).select(
+        "user_id",
+        F.col("session_start").alias("lag_start"),
+        F.col("n_events").alias("lag_n"),
+        F.col("value_sum").alias("lag_v"),
+    )
+    assert native.count() == lag.count()
+    # join on (user, first event ts): every session must line up exactly
+    joined = native.join(
+        lag,
+        (native.user_id == lag.user_id) & (native.native_start == lag.lag_start),
+    )
+    assert joined.count() == native.count()
+    mismatches = joined.where(
+        (F.col("n_events") != F.col("lag_n"))
+        | (F.abs(F.col("value_sum") - F.col("lag_v")) > 1e-6)
+    ).count()
+    assert mismatches == 0
+
+
+def test_session_window_streaming_subset(spark, events, tmp_path):
+    """Streamed (availableNow) session_window emits exactly the sessions the
+    watermark has passed, and each matches its batch counterpart."""
+    from dbldatagen_spark.streaming.stateful import session_window_agg
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = session_window_agg(stream, gap="30 minutes", watermark="1 hour")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = session_window_agg(events, gap="30 minutes")
+    # emitted stream sessions must be a (non-trivial) subset of batch ones
+    n_got, n_batch = got.count(), batch.count()
+    assert 0 < n_got <= n_batch
+    joined = got.select("user_id", "session_start", "n_events").join(
+        batch.select("user_id", "session_start", "n_events"),
+        ["user_id", "session_start", "n_events"],
+    )
+    assert joined.count() == n_got
+
+
+def test_sessionize_with_state_stream(spark, events, tmp_path):
+    """applyInPandasWithState: closed sessions agree with batch gap
+    sessions on (user, start, n_events, value_sum)."""
+    from dbldatagen_spark.streaming.stateful import sessionize_with_state
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    sess = sessionize_with_state(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_got = got.count()
+    assert n_got > 0
+    batch = _batch_gap_sessions(events)
+    joined = got.select(
+        "user_id", "session_start",
+        "n_events", F.round("value_sum", 4).alias("value_sum"),
+    ).join(batch.select("user_id", "session_start", "n_events", "value_sum"),
+           ["user_id", "session_start", "n_events", "value_sum"])
+    assert joined.count() == n_got
+
+
+def test_sessionize_with_state_cap(spark, tmp_path):
+    """The max_events cap closes a session early — semantics native
+    session_window cannot express."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 0, 0, i), 1.0) for i in range(10)
+    ]  # 10 events 1s apart: one gap-session, but cap=4 -> sessions of 4,4,2
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    df.write.parquet(src)
+
+    from dbldatagen_spark.streaming.stateful import sessionize_with_state
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    sess = sessionize_with_state(stream, gap_minutes=30, max_events=4)
+    q = (
+        sess.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).orderBy("session_start").collect()
+    # the two capped sessions are emitted inside the batch; the trailing
+    # 2-event remainder stays in state (stream has no later watermark tick)
+    assert [r["n_events"] for r in got] == [4, 4]
+    assert all(r["closed_by"] == 1 for r in got)
