@@ -120,6 +120,11 @@ def normalize_dtype(dtype: str) -> str:
         _check(1 <= p <= 38, f"decimal precision must be in [1,38], got {p}")
         _check(0 <= sc <= p, f"decimal scale must be in [0,precision], got {sc}")
         return f"decimal({p},{sc})"
+    m = re.match(r"^(decimal|number|numeric)\s*\(\s*(\d+)\s*\)$", s)
+    if m:  # precision-only form: scale defaults to 0
+        p = int(m.group(2))
+        _check(1 <= p <= 38, f"decimal precision must be in [1,38], got {p}")
+        return f"decimal({p},0)"
     if re.match(r"^(varchar|char)\s*\(\s*\d+\s*\)$", s):
         return "string"
     _check(s in _DTYPE_ALIASES, f"unknown dtype {dtype!r}")

@@ -221,3 +221,69 @@ class TestSinks:
 
         with pytest.raises(ValueError):
             OutputDataset()
+
+
+class TestExtendedProviders:
+    def test_all_registered_providers_build(self, spark):
+        from dbldatagen_spark.datasets.registry import Datasets
+
+        names = {d["name"] for d in Datasets.list()}
+        for expected in [
+            "basic/user", "basic/telephony", "basic/geometries",
+            "basic/process_historian", "basic/stock_ticker",
+            "basic/telematics", "benchmark/groupby",
+            "multi_table/sales_order", "multi_table/telephony",
+        ]:
+            assert expected in names
+        for name in ["basic/geometries", "basic/process_historian",
+                     "basic/stock_ticker", "basic/telematics"]:
+            df = Datasets(spark, name).get(rows=200).build()
+            assert df.count() == 200
+
+    def test_geometry_wkt_forms(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbldatagen_spark.datasets.registry import Datasets
+
+        for gtype, prefix in [
+            ("point", "POINT("),
+            ("lineString", "LINESTRING("),
+            ("polygon", "POLYGON(("),
+        ]:
+            df = (
+                Datasets(spark, "basic/geometries")
+                .get(rows=50, geometryType=gtype)
+                .build()
+            )
+            assert df.where(~F.col("wkt").startswith(prefix)).count() == 0
+
+    def test_stock_ticker_ohlc_invariants(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbldatagen_spark.datasets.registry import Datasets
+
+        df = Datasets(spark, "basic/stock_ticker").get(rows=500, numSymbols=25).build()
+        bad = df.where(
+            (F.col("high") < F.col("open")) | (F.col("high") < F.col("close"))
+            | (F.col("low") > F.col("open")) | (F.col("low") > F.col("close"))
+            | (F.col("open") < 0) | (F.col("close") < 0)
+        ).count()
+        assert bad == 0
+        assert df.select("symbol").distinct().count() == 25
+
+    def test_telephony_fk_alignment(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbldatagen_spark.datasets.registry import Datasets
+
+        ds = Datasets(spark, "multi_table/telephony")
+        plans = ds.get(table="plans", rows=100).build()
+        customers = ds.get(table="customers", rows=200).build()
+        events = ds.get(table="device_events", rows=200).build()
+        orphan_plan = customers.join(
+            F.broadcast(plans.select("plan_id")), "plan_id", "left_anti"
+        ).count()
+        orphan_cust = events.join(
+            F.broadcast(customers.select("customer_id")), "customer_id", "left_anti"
+        ).count()
+        assert orphan_plan == 0 and orphan_cust == 0
