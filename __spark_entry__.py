@@ -878,6 +878,95 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast revenue change (pure filter + aggregate; the scan should
+    absorb every predicate — no join, no shuffle beyond the final agg)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue")
+        )
+    )
+
+
+def _q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order priority counts with an EXISTS semi-join (left_semi — no
+    row duplication, no payload shuffle of lineitem columns): orders with
+    at least one line shipped >30 days after the order date."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 30)).select(
+        "l_orderkey"
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= F.lit("1996-07-01"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01"))
+        )
+        .join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Service levels by return flag (join + conditional aggregation)."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers: groupBy-having pushed as a pre-aggregated
+    semi-join key set (aggregate once, then join only qualifying keys)."""
+    orders = _load(spark, sf_dir, "orders")
+    li = _load(spark, sf_dir, "lineitem")
+    cust = _load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
 def _emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors (posexplode + group avg) —
     the reduce step of IVF index construction."""
@@ -948,6 +1037,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q3_top_revenue": _q3_top_unshipped,
         "q5_region_revenue": _q5_region_revenue,
         "q14_promo_share": _q14_promo_share,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q12_returnflag_priority": _q12_returnflag_priority,
+        "q18_large_orders": _q18_large_orders,
         "events_sessionize": _events_sessionize,
         "events_hourly_windows": _events_hourly_windows,
         "events_json_extract": _events_json_extract,
@@ -1133,6 +1226,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS VARCHAR)
             FROM customer
             ORDER BY measure
+        """,
+        "q6_forecast_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= DATE '1996-07-01'
+              AND o.o_orderdate < DATE '1996-10-01'
+              AND EXISTS (
+                  SELECT 1 FROM lineitem l
+                  JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o2.o_orderdate + INTERVAL 30 DAY
+              )
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q12_returnflag_priority": """
+            SELECT l_returnflag,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1997-01-01'
+            GROUP BY l_returnflag
+            ORDER BY l_returnflag
+        """,
+        "q18_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   ROUND(o_totalprice, 2) AS o_totalprice,
+                   ROUND(total_qty, 2) AS total_qty
+            FROM orders
+            JOIN (
+                SELECT l_orderkey, SUM(l_quantity) AS total_qty
+                FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+            ) big ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
