@@ -134,3 +134,64 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
             (F.col("frame_idx") * F.lit(every_ms)).cast("long").alias("frame_ts_ms"),
         )
     )
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("orig_width", T.IntegerType(), True),
+        T.StructField("orig_height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    *,
+    target_width: int = 224,
+    target_height: int = 224,
+    fake: bool = True,
+) -> DataFrame:
+    """Resize plumbing via ``mapInPandas``: binary in -> binary out with
+    updated dimension metadata, aspect-preserving fit inside the target box.
+
+    ``fake=True`` passes payload bytes through untouched while computing
+    the real output geometry (so schema, batch shape, and metadata flow
+    are exercised end-to-end); ``fake=False`` is the integration point
+    for an actual image codec (PIL etc.) and raises
+    ``NotImplementedError`` in this environment. Partition-preserving —
+    resizing never shuffles.
+    """
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image decode/resize requires codec libraries not "
+                    "present in this environment; pass fake=True for the "
+                    "pass-through stand-in"
+                )
+            out_rows: List[dict] = []
+            for media_id, payload, w, h in zip(
+                pdf["media_id"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                w, h = int(w), int(h)
+                scale = min(target_width / max(w, 1), target_height / max(h, 1))
+                out_rows.append(
+                    {
+                        "media_id": int(media_id),
+                        "payload": payload,
+                        "width": max(1, round(w * scale)),
+                        "height": max(1, round(h * scale)),
+                        "orig_width": w,
+                        "orig_height": h,
+                    }
+                )
+            yield pd.DataFrame(out_rows)
+
+    return df.where(F.col("media_type") == "image").mapInPandas(
+        _resize, schema=_RESIZE_SCHEMA
+    )

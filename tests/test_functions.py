@@ -249,3 +249,24 @@ def test_ivf_ann_topk_matches_bruteforce_within_probed_cells(spark, emb):
     ).collect()
     labels = {r["label"] for r in probed}
     assert len(labels) <= 2 and len(probed) == 10
+
+
+def test_resize_images_plumbing(spark):
+    from dbldatagen_spark.functions.multimodal import (
+        resize_images,
+        synthesize_media_table,
+    )
+
+    media = synthesize_media_table(spark, rows=90, partitions=3)
+    out = resize_images(media, target_width=224, target_height=224)
+    rows = out.collect()
+    n_images = media.where(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    for r in rows:
+        assert 1 <= r["width"] <= 224 and 1 <= r["height"] <= 224
+        # aspect preserved up to rounding of the smaller output dimension
+        orig_ratio = r["orig_width"] / r["orig_height"]
+        new_ratio = r["width"] / r["height"]
+        tol = orig_ratio * (0.75 / min(r["width"], r["height"]) + 0.01)
+        assert abs(new_ratio - orig_ratio) <= tol
+        assert r["payload"] is not None
