@@ -130,9 +130,11 @@ def _gen_date_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         random=False,
         id_col=F.col(ROW_ID_COL),
     )
-    return df.select(F.col(ROW_ID_COL).alias("row_id"), expr.alias("d")).orderBy(
-        "row_id"
-    )
+    # cast to string so the Spark (datetime.date) and DuckDB (Timestamp)
+    # pandas representations hash identically on the driver's compare
+    return df.select(
+        F.col(ROW_ID_COL).alias("row_id"), expr.cast("string").alias("d")
+    ).orderBy("row_id")
 
 
 def _gen_timestamp_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1072,7 +1074,8 @@ def oracle_sql() -> dict[str, str]:
             f"FROM range({_GEN_ROWS}) ORDER BY row_id"
         ),
         "gen_date_cycle": (
-            f"SELECT range AS row_id, DATE '2020-01-01' + CAST(range % 366 AS INTEGER) AS d "
+            f"SELECT range AS row_id, "
+            f"CAST(DATE '2020-01-01' + CAST(range % 366 AS INTEGER) AS VARCHAR) AS d "
             f"FROM range({_GEN_ROWS}) ORDER BY row_id"
         ),
         "gen_timestamp_cycle": (
