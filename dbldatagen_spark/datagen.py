@@ -221,6 +221,78 @@ class DataGenerator:
         self._id_output = True
         return self
 
+    @property
+    def schema(self) -> T.StructType:
+        """Output schema (non-omitted fields, multi-column specs flattened).
+
+        Parity: reference ``data_generator.py:606-620`` exposes ``schema``
+        through ``describe()``.
+        """
+        return T.StructType(
+            [
+                T.StructField(name, T._parse_datatype_string(dtype))
+                for name, dtype in self._output_fields()
+            ]
+        )
+
+    @property
+    def build_order(self) -> List[List[str]]:
+        """Column build order as parallel phases (seed column excluded).
+
+        Parity: reference ``data_generator.py:1464-1475``.
+        """
+        return [[c.name for c in level] for level in self._dependency_levels()]
+
+    def explain(self, suppressOutput: bool = False) -> str:
+        """Render the build plan as text (parity: reference
+        ``data_generator.py:480-518``); returns and optionally prints it."""
+        order = self.build_order
+        lines = [
+            "",
+            "Data generation plan",
+            "====================",
+            f"spec=DataGenerator(name={self.name}, rows={self._rows}, "
+            f"startingId={self._starting_id}, partitions={self._partitions})",
+            "",
+            f"seed column: {self.seed_column}",
+            "",
+            f"column build order: {order}",
+            "",
+            "build plan:",
+        ]
+        for phase_no, phase in enumerate(order):
+            for colname in phase:
+                col = next(c for c in self._columns if c.name == colname)
+                desc = col.expr or col.template or (
+                    f"values({len(col.values)})" if col.values else "range"
+                )
+                lines.append(f" ==> phase {phase_no}: {colname} <- {desc}")
+        for con in self._constraints:
+            lines.append(f" ==> constraint: {con.__class__.__name__}")
+        lines.extend(["", "===================="])
+        text = "\n".join(lines)
+        if not suppressOutput:
+            print(text)
+        return text
+
+    def describe(self) -> Dict[str, Any]:
+        """Dictionary description of the generator (parity: reference
+        ``data_generator.py:606-629``)."""
+        return {
+            "name": self.name,
+            "rowCount": self._rows,
+            "schema": self.schema,
+            "randomSeed": self._seed,
+            "partitions": self._partitions,
+            "columnDefinitions": {c.name: c for c in self._columns},
+        }
+
+    def __repr__(self) -> str:
+        return (
+            f"DataGenerator(name={self.name!r}, rows={self._rows}, "
+            f"partitions={self._partitions})"
+        )
+
     def option(self, key: str, value: Any) -> "DataGenerator":  # parity shim
         return self
 

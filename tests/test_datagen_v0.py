@@ -498,3 +498,26 @@ class TestCustomDistribution:
         # triangular concentrates mass centrally: middle half holds > 55%
         middle = df.where((F2.col("t") > 0.25) & (F2.col("t") < 0.75)).count()
         assert middle / 4000 > 0.55
+
+
+class TestIntrospection:
+    def test_explain_describe_build_order(self, spark):
+        gen = (
+            DataGenerator(spark, name="intro", rows=100, partitions=2)
+            .withColumn("a", "int", minValue=1, maxValue=10)
+            .withColumn("b", "int", expr="a * 2")
+            .withColumn("lab", "string", values=["x", "y"])
+            .withSqlConstraint("a > 0")
+        )
+        order = gen.build_order
+        # b depends on a, so a must appear in an earlier phase than b
+        pos = {n: i for i, phase in enumerate(order) for n in phase}
+        assert pos["a"] < pos["b"]
+        text = gen.explain(suppressOutput=True)
+        assert "Data generation plan" in text
+        assert "b <- a * 2" in text
+        assert "SqlExpr" in text
+        d = gen.describe()
+        assert d["rowCount"] == 100 and d["name"] == "intro"
+        assert [f.name for f in d["schema"].fields] == ["a", "b", "lab"]
+        assert "rows=100" in repr(gen)
