@@ -27,6 +27,10 @@ from dbldatagen_spark.streaming.stateful import (
     session_window_agg,
     sessionize_with_state,
 )
+from dbldatagen_spark.streaming.windows import (
+    dedup_within_watermark,
+    windowed_event_counts,
+)
 
 
 def build_streaming(

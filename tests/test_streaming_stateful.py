@@ -166,3 +166,69 @@ def test_sessionize_with_state_cap(spark, tmp_path):
     # 2-event remainder stays in state (stream has no later watermark tick)
     assert [r["n_events"] for r in got] == [4, 4]
     assert all(r["closed_by"] == 1 for r in got)
+
+
+def test_dedup_within_watermark_stream(spark, events, tmp_path):
+    """Streaming dedup over a doubled source keeps exactly one copy per
+    event_id; batch path agrees."""
+    from dbldatagen_spark.streaming.windows import dedup_within_watermark
+
+    doubled = events.union(events)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    doubled.write.parquet(src)
+
+    stream = spark.readStream.schema(doubled.schema).parquet(src)
+    deduped = dedup_within_watermark(stream, ["event_id"], watermark="1 hour")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_unique = events.select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+    # batch path: same operator, exact semantics
+    assert dedup_within_watermark(doubled, ["event_id"]).count() == n_unique
+
+
+def test_windowed_event_counts_stream_matches_batch(spark, events, tmp_path):
+    """Watermarked hourly windows emitted by the stream match the batch
+    computation for every (window, event_type) they emit."""
+    from dbldatagen_spark.streaming.windows import windowed_event_counts
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    events.write.parquet(src)
+
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    counts = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        counts.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    batch = windowed_event_counts(events, window="1 hour")
+    n_got = got.count()
+    assert 0 < n_got <= batch.count()
+    joined = got.select(
+        "window_start", "event_type", "n_events",
+        F.round("value_sum", 4).alias("value_sum"),
+    ).join(
+        batch.select("window_start", "event_type", "n_events",
+                     F.round("value_sum", 4).alias("value_sum")),
+        ["window_start", "event_type", "n_events", "value_sum"],
+    )
+    assert joined.count() == n_got
