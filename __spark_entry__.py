@@ -399,6 +399,17 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs collapsed to duplicate clusters: each doc labelled
+    with the min doc_id reachable through the >=0.5-Jaccard pair graph
+    (iterative min-label propagation; oracle is a recursive CTE)."""
+    from dbldatagen_spark.functions import duplicate_components, ngram_jaccard_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5)
+    return duplicate_components(pairs).orderBy("vertex")
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures (xxhash64-based — no SQL oracle; rows-only)."""
     from dbldatagen_spark.functions import simhash_signatures
@@ -1051,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
+        "dedup_components": _dedup_components,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -1377,6 +1389,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _NGRAM_JACCARD_ORACLE,
+        "dedup_components": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(v, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+            )
+            SELECT v AS vertex, MIN(lbl) AS component
+            FROM reach GROUP BY v ORDER BY vertex
+        """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings)
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,

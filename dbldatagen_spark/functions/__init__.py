@@ -17,6 +17,7 @@ Design rules shared by every operator here:
 """
 
 from dbldatagen_spark.functions.dedup import (
+    duplicate_components,
     embedding_near_duplicates,
     exact_dedup,
     minhash_near_duplicates,
@@ -46,6 +47,7 @@ __all__ = [
     "knn_join",
     "detect_language",
     "document_fingerprint",
+    "duplicate_components",
     "embedding_near_duplicates",
     "exact_dedup",
     "lsh_bucket_ann_topk",

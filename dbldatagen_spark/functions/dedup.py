@@ -453,3 +453,74 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Collapse a near-duplicate *pair* set into duplicate *clusters*:
+    returns ``(vertex, component)`` where ``component`` is the smallest
+    doc id reachable through the pair graph — the canonical representative
+    every dedup pipeline keeps.
+
+    Algorithm: iterative min-label propagation with pointer jumping
+    (each round a vertex takes the min of its own label, its neighbors'
+    labels, and its label's label), converging in O(log diameter) rounds.
+    Every round shuffles only ``(long, long)`` label pairs — never
+    documents — and ``localCheckpoint`` truncates the lineage so plan
+    size stays constant across iterations (without it, iteration k
+    re-plans all k-1 predecessors; at cluster scale that serializes the
+    driver). Near-dup graphs have tiny diameters (dup clusters are
+    near-cliques), so 3-4 rounds is typical; ``max_iterations`` only
+    guards pathological chains.
+    """
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = (
+        edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("component")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["vertex"])
+            .groupBy("src")
+            .agg(F.min("component").alias("_nbr_min"))
+        )
+        stepped = labels.join(nbr, labels["vertex"] == nbr["src"], "left").select(
+            labels["vertex"],
+            F.least(
+                labels["component"], F.coalesce(F.col("_nbr_min"), labels["component"])
+            ).alias("component"),
+        )
+        # pointer jumping: component ids are themselves vertices, so chase
+        # one extra hop per round for O(log diameter) convergence
+        x, y = stepped.alias("x"), stepped.alias("y")
+        jumped = x.join(
+            y, F.col("x.component") == F.col("y.vertex"), "left"
+        ).select(
+            F.col("x.vertex").alias("vertex"),
+            F.least(
+                F.col("x.component"),
+                F.coalesce(F.col("y.component"), F.col("x.component")),
+            ).alias("component"),
+        )
+        jumped = jumped.localCheckpoint()
+        changed = (
+            jumped.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels

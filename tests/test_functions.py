@@ -270,3 +270,30 @@ def test_resize_images_plumbing(spark):
         tol = orig_ratio * (0.75 / min(r["width"], r["height"]) + 0.01)
         assert abs(new_ratio - orig_ratio) <= tol
         assert r["payload"] is not None
+
+
+def test_duplicate_components(spark):
+    from dbldatagen_spark.functions import duplicate_components
+
+    # two clusters {1,2,3,4} (via chain) and {10,11}, singleton pairs excluded
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["vertex"], r["component"])
+        for r in duplicate_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+
+
+def test_duplicate_components_long_chain(spark):
+    from dbldatagen_spark.functions import duplicate_components
+
+    # a 200-vertex path: pointer jumping must converge well inside the
+    # iteration cap (plain propagation would need 200 rounds)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["id_a", "id_b"]
+    )
+    rows = duplicate_components(pairs, max_iterations=12).collect()
+    assert len(rows) == 201
+    assert all(r["component"] == 0 for r in rows)
