@@ -399,6 +399,16 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window document chunking (training sequence packing)."""
+    from dbldatagen_spark.functions import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to duplicate clusters: each doc labelled
     with the min doc_id reachable through the >=0.5-Jaccard pair graph
@@ -1070,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _text_langid,
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
+        "text_chunking": _text_chunking,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1498,6 +1509,23 @@ def oracle_sql() -> dict[str, str]:
                    sha256(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS sha256_hex
             FROM documents
             ORDER BY doc_id
+        """,
+        "text_chunking": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            )
+            , e AS (
+                SELECT doc_id, w,
+                       unnest(generate_series(0, CAST(floor((len(w)-1)/64.0) AS BIGINT))) AS i
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(i AS INTEGER) AS chunk_idx,
+                   array_to_string(w[i*64+1 : i*64+64], ' ') AS chunk_text,
+                   CAST(least(64, len(w) - i*64) AS INTEGER) AS n_tokens
+            FROM e
+            ORDER BY doc_id, chunk_idx
         """,
         "multimodal_features": (
             "SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_valid"

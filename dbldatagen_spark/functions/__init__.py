@@ -33,6 +33,7 @@ from dbldatagen_spark.functions.similarity import (
     lsh_bucket_ann_topk,
 )
 from dbldatagen_spark.functions.text_analysis import (
+    chunk_documents,
     detect_language,
     document_fingerprint,
     quality_metrics,
@@ -40,6 +41,7 @@ from dbldatagen_spark.functions.text_analysis import (
 )
 
 __all__ = [
+    "chunk_documents",
     "cosine_similarity_expr",
     "cosine_topk",
     "ivf_ann_topk",

@@ -135,3 +135,52 @@ def document_fingerprint(
         F.sha2(norm, 256).alias("sha256_hex"),
         F.xxhash64(norm).alias("hash64"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into fixed-token-length training chunks
+    (optionally overlapping), the standard pre-tokenization packing step.
+
+    Pure column expressions — token split, window enumeration
+    (``F.sequence``), and slicing all happen inside the scan stage with
+    zero shuffles, so the operator costs one pass at any corpus size; the
+    explode multiplies rows but never copies the un-chunked document.
+    Chunks preserve whitespace tokenization; ``n_tokens`` < ``chunk_tokens``
+    only on each document's final chunk.
+    """
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap ({overlap}) must be in [0, chunk_tokens)")
+    step = chunk_tokens - overlap
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    last_idx = F.floor((n - F.lit(1)) / F.lit(step)).cast("int")
+    return (
+        df.select(
+            F.col(id_col),
+            words.alias("_w"),
+            F.sequence(F.lit(0), F.greatest(last_idx, F.lit(0))).alias("_idx"),
+        )
+        .select(F.col(id_col), F.explode("_idx").alias("chunk_idx"), F.col("_w"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.array_join(
+                F.slice(
+                    F.col("_w"),
+                    F.col("chunk_idx") * F.lit(step) + F.lit(1),
+                    F.lit(chunk_tokens),
+                ),
+                " ",
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(chunk_tokens),
+                F.size(F.col("_w")) - F.col("chunk_idx") * F.lit(step),
+            ).alias("n_tokens"),
+        )
+    )

@@ -297,3 +297,37 @@ def test_duplicate_components_long_chain(spark):
     rows = duplicate_components(pairs, max_iterations=12).collect()
     assert len(rows) == 201
     assert all(r["component"] == 0 for r in rows)
+
+
+def test_chunk_documents(spark):
+    from dbldatagen_spark.functions import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b c")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 3  # 10 tokens -> 4+4+2
+    assert [r["n_tokens"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])] == [4, 4, 2]
+    assert sorted(by_doc[1], key=lambda r: r["chunk_idx"])[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert sorted(by_doc[1], key=lambda r: r["chunk_idx"])[-1]["chunk_text"] == "w8 w9"
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 3
+    # tokens reassemble to the original document when overlap=0
+    rebuilt = " ".join(
+        r["chunk_text"] for r in sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    )
+    assert rebuilt == " ".join(f"w{i}" for i in range(10))
+
+
+def test_chunk_documents_overlap(spark):
+    from dbldatagen_spark.functions import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [r["chunk_text"] for r in rows] == ["a b c d", "c d e f", "e f"]
