@@ -399,6 +399,17 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline: English + quality >= 0.5 + near-dup removal
+    keeping each cluster's min-id canonical doc."""
+    from dbldatagen_spark.functions import curate_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, "doc_id", "text", lang="en", min_quality=0.5
+    ).orderBy("doc_id")
+
+
 def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-token-window document chunking (training sequence packing)."""
     from dbldatagen_spark.functions import chunk_documents
@@ -1081,11 +1092,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_chunking": _text_chunking,
+        "corpus_curation": _corpus_curation,
         "multimodal_features": _multimodal_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # composite: language + quality + canonical-only dedup, built from the
+    # already-verified langid/quality/jaccard-component oracle fragments
+    d["corpus_curation"] = f"""
+        WITH RECURSIVE
+        pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+        ),
+        comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v),
+        noncanon AS (SELECT v AS doc_id FROM comp WHERE v != component),
+        lang AS (SELECT doc_id, detected_lang FROM ({d['text_langid']})),
+        qual AS (SELECT doc_id, quality_score FROM ({d['text_quality']}))
+        SELECT l.doc_id, l.detected_lang, q.quality_score
+        FROM lang l JOIN qual q USING (doc_id)
+        WHERE l.detected_lang = 'en' AND q.quality_score >= 0.5
+          AND l.doc_id NOT IN (SELECT doc_id FROM noncanon)
+        ORDER BY doc_id
+    """
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "gen_sequence": f"SELECT 100 + range * 3 AS seq_val FROM range({_GEN_ROWS}) ORDER BY seq_val",
         "gen_range_cycle": (

@@ -32,6 +32,7 @@ from dbldatagen_spark.functions.similarity import (
     knn_join,
     lsh_bucket_ann_topk,
 )
+from dbldatagen_spark.functions.curation import curate_corpus
 from dbldatagen_spark.functions.text_analysis import (
     chunk_documents,
     detect_language,
@@ -43,6 +44,7 @@ from dbldatagen_spark.functions.text_analysis import (
 __all__ = [
     "chunk_documents",
     "cosine_similarity_expr",
+    "curate_corpus",
     "cosine_topk",
     "ivf_ann_topk",
     "ivf_centroids",

@@ -331,3 +331,30 @@ def test_chunk_documents_overlap(spark):
         key=lambda r: r["chunk_idx"],
     )
     assert [r["chunk_text"] for r in rows] == ["a b c d", "c d e f", "e f"]
+
+
+def test_curate_corpus(spark, docs):
+    from dbldatagen_spark.functions import (
+        curate_corpus,
+        detect_language,
+        duplicate_components,
+        ngram_jaccard_pairs,
+        quality_metrics,
+    )
+
+    kept = curate_corpus(docs, "doc_id", "text", lang="en", min_quality=0.5)
+    rows = kept.collect()
+    assert 0 < len(rows) < docs.count()
+    kept_ids = {r["doc_id"] for r in rows}
+    # every kept doc is English and above the quality bar
+    langs = {r["doc_id"]: r["detected_lang"]
+             for r in detect_language(docs, "doc_id", "text").collect()}
+    quals = {r["doc_id"]: r["quality_score"]
+             for r in quality_metrics(docs, "doc_id", "text").collect()}
+    assert all(langs[i] == "en" and quals[i] >= 0.5 for i in kept_ids)
+    # no two kept docs share a duplicate cluster
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+    comp = {r["vertex"]: r["component"]
+            for r in duplicate_components(pairs).collect()}
+    clusters = [comp[i] for i in kept_ids if i in comp]
+    assert len(clusters) == len(set(clusters))
