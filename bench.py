@@ -87,6 +87,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # warm the JVM / codegen / parquet-footer caches so timings measure
+    # steady-state throughput, not first-job startup
+    spark.range(100_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
     qs = entrymod.queries()
     headline = [
         "q1_pricing_summary",
