@@ -399,6 +399,26 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible 30% systematic sample — scan-local modulo predicate."""
+    from dbldatagen_spark.functions import deterministic_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 3, 10).select(
+        "doc_id", "lang", "n_chars"
+    ).orderBy("doc_id")
+
+
+def _sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 20 lowest-id docs per language stratum."""
+    from dbldatagen_spark.functions import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", "doc_id", 20).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
 def _corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite pipeline: English + quality >= 0.5 + near-dup removal
     keeping each cluster's min-id canonical doc."""
@@ -1093,6 +1113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_chunking": _text_chunking,
         "corpus_curation": _corpus_curation,
+        "sample_deterministic": _sample_deterministic,
+        "sample_stratified": _sample_stratified,
         "multimodal_features": _multimodal_features,
     }
 
@@ -1568,6 +1590,17 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(least(64, len(w) - i*64) AS INTEGER) AS n_tokens
             FROM e
             ORDER BY doc_id, chunk_idx
+        """,
+        "sample_deterministic": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % 10 < 3 ORDER BY doc_id
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+                FROM documents
+            ) WHERE rn <= 20 ORDER BY doc_id
         """,
         "multimodal_features": (
             "SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_valid"

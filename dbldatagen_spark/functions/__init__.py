@@ -33,6 +33,10 @@ from dbldatagen_spark.functions.similarity import (
     lsh_bucket_ann_topk,
 )
 from dbldatagen_spark.functions.curation import curate_corpus
+from dbldatagen_spark.functions.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
 from dbldatagen_spark.functions.text_analysis import (
     chunk_documents,
     detect_language,
@@ -50,6 +54,7 @@ __all__ = [
     "ivf_centroids",
     "knn_join",
     "detect_language",
+    "deterministic_sample",
     "document_fingerprint",
     "duplicate_components",
     "embedding_near_duplicates",
@@ -59,5 +64,6 @@ __all__ = [
     "ngram_jaccard_pairs",
     "quality_metrics",
     "simhash_signatures",
+    "stratified_sample",
     "token_count_expr",
 ]

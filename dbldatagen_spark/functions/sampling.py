@@ -1,0 +1,57 @@
+"""Deterministic sampling operators for corpus curation.
+
+Training pipelines need *reproducible* samples (the same subset on every
+run, on any cluster) — ``df.sample()`` is seeded per-partition and changes
+with the input's partitioning, which is exactly the repeatability bug the
+generation engine avoids with cell-seed hashing. These operators sample by
+value, never by partition state:
+
+* :func:`deterministic_sample` — scan-local modulo predicate; zero
+  shuffles, pushes into the parquet scan, cost ~free at any corpus size.
+* :func:`stratified_sample` — exact ``n`` rows per stratum via a ranked
+  window; one shuffle on the stratum key. At extreme stratum skew, note
+  the per-stratum sort is (stratum, id)-keyed and spills — for top-n per
+  very hot stratum Spark substitutes a partial ``WindowGroupLimit``
+  (rank pushdown) before the shuffle, keeping the sort bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    keep: int,
+    out_of: int,
+) -> DataFrame:
+    """Keep rows whose ``id % out_of < keep`` — a reproducible,
+    partitioning-independent ``keep/out_of`` sample.
+
+    For sequential ids this is a perfectly uniform systematic sample; for
+    arbitrary ids, pre-hash upstream (e.g. ``xxhash64(id)``) if id bias is
+    a concern. The predicate is scan-local and Catalyst pushes it down.
+    """
+    if not 0 <= keep <= out_of:
+        raise ValueError(f"keep ({keep}) must be in [0, out_of ({out_of})]")
+    return df.where(F.pmod(F.col(id_col), F.lit(out_of)) < F.lit(keep))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """Exactly ``min(n, stratum size)`` rows per stratum — the lowest
+    ``n_per_stratum`` ids of each stratum, so the sample is deterministic
+    and stable under repartitioning, appends of higher ids, and re-runs.
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(n_per_stratum))
+        .drop("_rn")
+    )

@@ -358,3 +358,35 @@ def test_curate_corpus(spark, docs):
             for r in duplicate_components(pairs).collect()}
     clusters = [comp[i] for i in kept_ids if i in comp]
     assert len(clusters) == len(set(clusters))
+
+
+def test_deterministic_sample(spark, docs):
+    from dbldatagen_spark.functions import deterministic_sample
+
+    out = deterministic_sample(docs, "doc_id", 3, 10)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert all(i % 10 < 3 for i in ids)
+    n = docs.count()
+    assert abs(len(ids) - 0.3 * n) <= 0.05 * n + 1
+    # repartitioning cannot change the sample
+    ids2 = {r["doc_id"] for r in
+            deterministic_sample(docs.repartition(7), "doc_id", 3, 10)
+            .select("doc_id").collect()}
+    assert ids == ids2
+
+
+def test_stratified_sample(spark, docs):
+    from dbldatagen_spark.functions import stratified_sample
+
+    out = stratified_sample(docs, "lang", "doc_id", 5).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r["doc_id"])
+    sizes = {r["lang"]: r["n"] for r in
+             docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, picked in by_lang.items():
+        assert len(picked) == min(5, sizes[lang])
+        # lowest ids of the stratum were picked
+        lo = sorted(r["doc_id"] for r in docs.where(F.col("lang") == lang)
+                    .select("doc_id").collect())[: len(picked)]
+        assert sorted(picked) == lo
