@@ -399,6 +399,26 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join: each purchase matched to the user's most recent
+    view at-or-before it (union + ordered-window — no range-join blowup)."""
+    from dbldatagen_spark.functions import asof_join
+
+    ev = _load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "value")
+    return asof_join(
+        purchases, views, ["user_id"], "ts", ["value"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("asof_ts").alias("view_ts"),
+        F.col("asof_value").alias("view_value"),
+    ).orderBy("event_id")
+
+
 def _sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible 30% systematic sample — scan-local modulo predicate."""
     from dbldatagen_spark.functions import deterministic_sample
@@ -1113,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _text_fingerprint,
         "text_chunking": _text_chunking,
         "corpus_curation": _corpus_curation,
+        "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "multimodal_features": _multimodal_features,
@@ -1590,6 +1611,13 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(least(64, len(w) - i*64) AS INTEGER) AS n_tokens
             FROM e
             ORDER BY doc_id, chunk_idx
+        """,
+        "events_asof_join": """
+            SELECT p.event_id, p.user_id, v.ts AS view_ts, v.value AS view_value
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+            ORDER BY p.event_id
         """,
         "sample_deterministic": """
             SELECT doc_id, lang, n_chars FROM documents

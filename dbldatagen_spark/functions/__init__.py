@@ -32,6 +32,7 @@ from dbldatagen_spark.functions.similarity import (
     knn_join,
     lsh_bucket_ann_topk,
 )
+from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.curation import curate_corpus
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
@@ -46,6 +47,7 @@ from dbldatagen_spark.functions.text_analysis import (
 )
 
 __all__ = [
+    "asof_join",
     "chunk_documents",
     "cosine_similarity_expr",
     "curate_corpus",

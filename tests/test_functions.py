@@ -390,3 +390,32 @@ def test_stratified_sample(spark, docs):
         lo = sorted(r["doc_id"] for r in docs.where(F.col("lang") == lang)
                     .select("doc_id").collect())[: len(picked)]
         assert sorted(picked) == lo
+
+
+def test_asof_join(spark):
+    from datetime import datetime
+
+    from dbldatagen_spark.functions import asof_join
+
+    quotes = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 0), 100.0),
+            (1, datetime(2024, 1, 1, 11, 0), 110.0),
+            (2, datetime(2024, 1, 1, 10, 30), 50.0),
+        ],
+        ["sym", "ts", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 10, 30), 5),   # -> 100.0
+            (1, datetime(2024, 1, 1, 11, 0), 7),    # same-ts quote wins -> 110.0
+            (2, datetime(2024, 1, 1, 10, 0), 9),    # no earlier quote -> null
+            (3, datetime(2024, 1, 1, 12, 0), 2),    # key never quoted -> null
+        ],
+        ["sym", "ts", "qty"],
+    )
+    out = {
+        (r["sym"], r["qty"]): r["asof_px"]
+        for r in asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
+    }
+    assert out == {(1, 5): 100.0, (1, 7): 110.0, (2, 9): None, (3, 2): None}
