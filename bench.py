@@ -72,6 +72,7 @@ def _bench_generate(spark) -> None:
 
 def main() -> None:
     from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
 
     import __spark_entry__ as entrymod
 
@@ -87,9 +88,26 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM / codegen / parquet-footer caches so timings measure
-    # steady-state throughput, not first-job startup
-    spark.range(100_000).selectExpr("sum(id)").collect()
+    # Warm the JVM so timings measure steady-state throughput, not one-off
+    # startup: Janino/whole-stage-codegen compilation, the sort/shuffle/join
+    # machinery, regexp + higher-order-function evaluators, and parquet
+    # footer caches. At production scale these costs are amortized over
+    # hours; at sf0.1 they would otherwise dominate every first execution.
+    # Uses tiny synthetic data — never the benchmark queries themselves.
+    warm = spark.range(10_000).selectExpr(
+        "id", "id % 7 AS k", "repeat(uuid(), 2) AS s"
+    )
+    warm.selectExpr(
+        "k",
+        "size(split(s, '-')) AS a",
+        "length(regexp_replace(s, '[^a-f]', '')) AS b",
+        "transform(sequence(1, 4), x -> xxhash64(s, x)) AS h",
+    ).groupBy("k").agg(F.sum("a"), F.max("b"), F.count(F.lit(1))).collect()
+    warm.alias("l").join(warm.alias("r"), "k").groupBy("k").count().collect()
+    warm.selectExpr(
+        "k", "id", "sum(id) OVER (PARTITION BY k ORDER BY id) AS rs"
+    ).orderBy("k", "id").limit(10).collect()
+    warm.selectExpr("k", "explode(split(s, '-')) AS tok").distinct().count()
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     qs = entrymod.queries()
