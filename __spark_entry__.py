@@ -1015,6 +1015,105 @@ def _q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping volume between two nations by year (TPC-H Q7 flavor).
+
+    Lineitem carries both fact keys, so only the big lineitem⋈orders join
+    shuffles; supplier/customer/nation are broadcast and the nation-pair
+    filter prunes before the aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    rpair = (F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == n1.s_nkey)
+        .join(F.broadcast(n2), cust.c_nationkey == n2.c_nkey)
+        .where(pair | rpair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("volume"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top customers by revenue lost to returns (TPC-H Q10 flavor).
+
+    The returnflag filter lands in the lineitem scan; customer/nation are
+    broadcast so the only shuffles are the fact join and the final top-k."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def _q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive brand/size/quantity predicate revenue (TPC-H Q19 flavor).
+
+    The OR-of-ANDs predicate references both sides, so it must sit on the
+    joined rows; part is broadcast and the partkey equi-join is the only
+    join key, keeping the plan a single broadcast-hash-join stage."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    b1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 20))
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(10, 30))
+        & (F.col("l_quantity").between(10, 35))
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(20, 50))
+        & (F.col("l_quantity").between(20, 50))
+    )
+    return j.where(b1 | b2 | b3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
 def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-volume customers: groupBy-having pushed as a pre-aggregated
     semi-join key set (aggregate once, then join only qualifying keys)."""
@@ -1115,6 +1214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q4_order_priority": _q4_order_priority,
         "q12_returnflag_priority": _q12_returnflag_priority,
         "q18_large_orders": _q18_large_orders,
+        "q7_nation_volume": _q7_nation_volume,
+        "q10_returned_items": _q10_returned_items,
+        "q19_discounted_revenue": _q19_discounted_revenue,
         "events_sessionize": _events_sessionize,
         "events_hourly_windows": _events_hourly_windows,
         "events_json_extract": _events_json_extract,
@@ -1440,6 +1542,46 @@ def _oracle_sql_base() -> dict[str, str]:
                          THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
+        """,
+        "q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+            GROUP BY 1, 2, 3
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "q19_discounted_revenue": """
+            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity BETWEEN 10 AND 35)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity BETWEEN 20 AND 50)
         """,
         "events_sessionize": """
             WITH w AS (
