@@ -878,6 +878,31 @@ def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: each event assigned to its session's
+    [start, end] window via the bucketed range_join operator (equi key
+    user_id + 1h time buckets — no theta join, no cartesian)."""
+    from dbldatagen_spark.functions import range_join
+
+    ev = _load(spark, sf_dir, "events")
+    sessions = _events_sessionize(spark, sf_dir).select(
+        "user_id", "session_seq", "session_start", "session_end"
+    )
+    return (
+        range_join(
+            ev.select("event_id", "user_id", "ts"),
+            sessions,
+            "ts",
+            "session_start",
+            "session_end",
+            equi_keys=["user_id"],
+            bucket_width_seconds=3600,
+        )
+        .select("event_id", "user_id", "session_seq")
+        .orderBy("event_id")
+    )
+
+
 def _events_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows per event type (batch form of the
     streaming windowed aggregation)."""
@@ -1218,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _q10_returned_items,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "events_sessionize": _events_sessionize,
+        "events_session_range_join": _events_session_range_join,
         "events_hourly_windows": _events_hourly_windows,
         "events_json_extract": _events_json_extract,
         "emb_label_centroids": _emb_label_centroids,
@@ -1603,6 +1629,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(SUM(value), 2) AS session_value
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
+        """,
+        "events_session_range_join": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM w
+            ),
+            sess AS (
+                SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                       MIN(ts) AS session_start, MAX(ts) AS session_end
+                FROM s GROUP BY user_id, session_seq
+            )
+            SELECT e.event_id, e.user_id, sess.session_seq
+            FROM events e
+            JOIN sess ON e.user_id = sess.user_id
+                     AND e.ts BETWEEN sess.session_start AND sess.session_end
+            ORDER BY e.event_id
         """,
         "events_hourly_windows": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

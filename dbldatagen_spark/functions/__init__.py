@@ -33,6 +33,7 @@ from dbldatagen_spark.functions.similarity import (
     lsh_bucket_ann_topk,
 )
 from dbldatagen_spark.functions.asof import asof_join
+from dbldatagen_spark.functions.ranges import range_join
 from dbldatagen_spark.functions.curation import curate_corpus
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
@@ -48,6 +49,7 @@ from dbldatagen_spark.functions.text_analysis import (
 
 __all__ = [
     "asof_join",
+    "range_join",
     "chunk_documents",
     "cosine_similarity_expr",
     "curate_corpus",

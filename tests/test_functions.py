@@ -419,3 +419,84 @@ def test_asof_join(spark):
         for r in asof_join(trades, quotes, ["sym"], "ts", ["px"]).collect()
     }
     assert out == {(1, 5): 100.0, (1, 7): 110.0, (2, 9): None, (3, 2): None}
+
+
+def test_range_join_inner_matches_theta_join(spark):
+    from datetime import datetime, timedelta
+
+    from dbldatagen_spark.functions import range_join
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, 100 + (i % 3), base + timedelta(minutes=17 * i)) for i in range(60)],
+        ["pid", "uid", "ts"],
+    )
+    ivs = spark.createDataFrame(
+        [
+            # spans multiple 1h buckets
+            (1, 100, base, base + timedelta(hours=3)),
+            (2, 101, base + timedelta(hours=2), base + timedelta(hours=5)),
+            # zero-length interval: matches only an exact-ts point
+            (3, 102, base + timedelta(minutes=34), base + timedelta(minutes=34)),
+            # no points inside
+            (4, 100, base + timedelta(days=2), base + timedelta(days=2, hours=1)),
+        ],
+        ["iid", "uid", "start_ts", "end_ts"],
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in range_join(
+            pts, ivs, "ts", "start_ts", "end_ts",
+            equi_keys=["uid"], bucket_width_seconds=3600,
+        ).collect()
+    )
+    expect = sorted(
+        (r["pid"], r["iid"])
+        for r in pts.join(
+            ivs,
+            (pts.uid == ivs.uid)
+            & (pts.ts >= ivs.start_ts)
+            & (pts.ts <= ivs.end_ts),
+        ).collect()
+    )
+    assert got == expect and len(got) > 0
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from datetime import datetime, timedelta
+
+    from dbldatagen_spark.functions import range_join
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(1, base), (2, base + timedelta(days=7))], ["pid", "ts"]
+    )
+    ivs = spark.createDataFrame(
+        [(10, base - timedelta(hours=1), base + timedelta(hours=1))],
+        ["iid", "start_ts", "end_ts"],
+    )
+    rows = {
+        r["pid"]: r["iid"]
+        for r in range_join(
+            pts, ivs, "ts", "start_ts", "end_ts", how="left"
+        ).collect()
+    }
+    assert rows == {1: 10, 2: None}
+
+
+def test_range_join_amplification_guard(spark):
+    from datetime import datetime, timedelta
+
+    import pytest
+    from dbldatagen_spark.functions import range_join
+
+    base = datetime(2024, 1, 1)
+    pts = spark.createDataFrame([(1, base)], ["pid", "ts"])
+    ivs = spark.createDataFrame(
+        [(10, base, base + timedelta(days=365))], ["iid", "start_ts", "end_ts"]
+    )
+    with pytest.raises(Exception, match="too many buckets"):
+        range_join(
+            pts, ivs, "ts", "start_ts", "end_ts",
+            bucket_width_seconds=60, max_covered_buckets=100,
+        ).collect()
