@@ -1177,6 +1177,55 @@ def _emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar quantization of embeddings: per-vector L2 norm plus the max
+    dequantization error — one map-only pass, no shuffle."""
+    from dbldatagen_spark.functions import quantize_embeddings
+    from dbldatagen_spark.functions.similarity import norm_expr
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(emb, "embedding", levels=256)
+    recon_err = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(
+            acc,
+            F.abs(
+                x.cast("double")
+                - (
+                    F.col("q_min")
+                    + F.round(
+                        (x.cast("double") - F.col("q_min")) / F.col("q_scale"), 0
+                    )
+                    * F.col("q_scale")
+                )
+            ),
+        ),
+    )
+    return q.select(
+        "vec_id",
+        F.size("codes").cast("long").alias("n_dims"),
+        F.round(norm_expr(F.col("embedding")), 4).alias("l2_norm"),
+        F.round(recon_err, 6).alias("max_quant_err"),
+    ).orderBy("vec_id")
+
+
+def _events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain rollup (day x event_type with subtotals + grand total)
+    — the hypertable-rollup pattern as one partial-aggregatable pass."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.rollup(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("day", "event_type")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: mapInPandas feature extraction yields one row per media
     item with FEATURE_DIM features all inside [0,1]."""
@@ -1265,6 +1314,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "multimodal_features": _multimodal_features,
+        "emb_quantization": _emb_quantization,
+        "events_rollup_daily": _events_rollup_daily,
     }
 
 
@@ -1654,6 +1705,32 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sess ON e.user_id = sess.user_id
                      AND e.ts BETWEEN sess.session_start AND sess.session_end
             ORDER BY e.event_id
+        """,
+        "emb_quantization": """
+            SELECT vec_id,
+                   CAST(len(embedding) AS BIGINT) AS n_dims,
+                   ROUND(sqrt(list_sum(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+                   ROUND(list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)
+                              - (mn + round((CAST(x AS DOUBLE) - mn) / sc, 0) * sc)))),
+                         6) AS max_quant_err
+            FROM (
+                SELECT vec_id, embedding,
+                       CAST(list_min(embedding) AS DOUBLE) AS mn,
+                       greatest((CAST(list_max(embedding) AS DOUBLE)
+                                 - CAST(list_min(embedding) AS DOUBLE)) / 255.0,
+                                1e-12) AS sc
+                FROM embeddings
+            )
+            ORDER BY vec_id
+        """,
+        "events_rollup_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+            FROM events
+            GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
+            ORDER BY day, event_type
         """,
         "events_hourly_windows": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -31,7 +31,10 @@ from dbldatagen_spark.functions.similarity import (
     ivf_centroids,
     knn_join,
     lsh_bucket_ann_topk,
+    normalize_embeddings,
+    quantize_embeddings,
 )
+from dbldatagen_spark.functions.skew import salted_join
 from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.ranges import range_join
 from dbldatagen_spark.functions.curation import curate_corpus
@@ -50,6 +53,9 @@ from dbldatagen_spark.functions.text_analysis import (
 __all__ = [
     "asof_join",
     "range_join",
+    "salted_join",
+    "normalize_embeddings",
+    "quantize_embeddings",
     "chunk_documents",
     "cosine_similarity_expr",
     "curate_corpus",

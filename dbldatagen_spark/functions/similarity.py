@@ -232,3 +232,49 @@ def ivf_ann_topk(
     if exclude_id is not None:
         out = out.where(F.col(id_col) != F.lit(exclude_id))
     return out.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str, out_col: str = "unit_vec"
+) -> DataFrame:
+    """Append a unit-L2-normalized copy of ``vec_col`` (zero vectors pass
+    through unchanged). Pure higher-order-function expressions — runs
+    inside the scan, no extra stage, so cosine similarity downstream
+    reduces to a dot product."""
+    v = F.col(vec_col)
+    n = norm_expr(v)
+    safe = F.greatest(n, F.lit(1e-12))
+    return df.withColumn(
+        out_col, F.transform(v, lambda x: x.cast("double") / safe)
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    levels: int = 256,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Per-vector scalar quantization to ``levels`` uniform steps — the
+    int8 compression step of a disk-backed ANN index (4x smaller than
+    float32 at ~0.4% of the value range max error).
+
+    Appends ``codes_col`` (array<int> in [0, levels-1]) plus the
+    per-vector dequantization params ``q_min`` and ``q_scale``
+    (``value ~ q_min + code * q_scale``). Everything is a per-row
+    expression: quantizing 100 TB of vectors is a single map-only pass.
+    """
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    v = F.col(vec_col)
+    mn = F.array_min(v).cast("double")
+    mx = F.array_max(v).cast("double")
+    scale = F.greatest((mx - mn) / F.lit(float(levels - 1)), F.lit(1e-12))
+    codes = F.transform(
+        v, lambda x: F.round((x.cast("double") - mn) / scale, 0).cast("int")
+    )
+    return (
+        df.withColumn("q_min", mn)
+        .withColumn("q_scale", scale)
+        .withColumn(codes_col, codes)
+    )

@@ -500,3 +500,71 @@ def test_range_join_amplification_guard(spark):
             pts, ivs, "ts", "start_ts", "end_ts",
             bucket_width_seconds=60, max_covered_buckets=100,
         ).collect()
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions import salted_join
+
+    # 90% of rows share one hot key — the salting target
+    large = spark.range(2000).select(
+        F.col("id").alias("row_id"),
+        F.when(F.col("id") % 10 < 9, F.lit(1)).otherwise(F.col("id") % 50).alias("k"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(50)], ["k", "name"]
+    )
+    got = sorted(
+        (r["row_id"], r["name"])
+        for r in salted_join(
+            large, small, ["k"], salt=8, large_id_col="row_id"
+        ).collect()
+    )
+    expect = sorted(
+        (r["row_id"], r["name"]) for r in large.join(small, "k").collect()
+    )
+    assert got == expect and len(got) == 2000
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    from dbldatagen_spark.functions import salted_join
+
+    large = spark.createDataFrame([(1, 10), (2, 99)], ["row_id", "k"])
+    small = spark.createDataFrame([(10, "x")], ["k", "name"])
+    rows = {
+        r["row_id"]: r["name"]
+        for r in salted_join(
+            large, small, ["k"], salt=4, how="left", large_id_col="row_id"
+        ).collect()
+    }
+    assert rows == {1: "x", 2: None}
+
+
+def test_normalize_and_quantize_embeddings(spark):
+    import math
+
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions import normalize_embeddings, quantize_embeddings
+    from dbldatagen_spark.functions.similarity import norm_expr
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    norms = {
+        r["vec_id"]: r["n"]
+        for r in normalize_embeddings(df, "embedding")
+        .select("vec_id", F.round(norm_expr(F.col("unit_vec")), 6).alias("n"))
+        .collect()
+    }
+    assert norms[1] == 1.0 and norms[3] == 1.0 and norms[2] == 0.0
+
+    q = quantize_embeddings(df, "embedding", levels=256).collect()
+    for r in q:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        for x, c in zip(r["embedding"], r["codes"]):
+            recon = r["q_min"] + c * r["q_scale"]
+            # max error of uniform quantization is half a step
+            assert math.isclose(x, recon, abs_tol=r["q_scale"] / 2 + 1e-9)
