@@ -35,10 +35,25 @@ class OutputDataset:
     trigger: Optional[Dict[str, Any]] = None
     checkpoint_location: Optional[str] = None
     partition_by: Optional[list] = None
+    # (num_buckets, [cols...]): hash-bucketed table layout. Two tables
+    # bucketed the same way join/aggregate on those keys with ZERO
+    # shuffle — the write pays the shuffle once, every downstream join
+    # reuses it. Requires ``table`` (Spark bucketing metadata lives in
+    # the catalog, not in bare files).
+    bucket_by: Optional[tuple] = None
+    sort_by: Optional[list] = None
 
     def __post_init__(self) -> None:
         if not self.location and not self.table:
             raise ValueError("OutputDataset requires a location or a table name")
+        if self.bucket_by is not None:
+            n, cols = self.bucket_by
+            if not self.table:
+                raise ValueError("bucket_by requires a table (catalog) sink")
+            if int(n) < 1 or not cols:
+                raise ValueError("bucket_by must be (num_buckets >= 1, [cols...])")
+        if self.sort_by and not self.bucket_by:
+            raise ValueError("sort_by requires bucket_by")
         if self.trigger is not None:
             allowed = {"processingTime", "once", "availableNow"}
             bad = set(self.trigger) - allowed
@@ -69,6 +84,11 @@ def write_data_to_output(df: DataFrame, output: OutputDataset):
     writer = df.write.format(output.output_format).mode(output.mode)
     if output.partition_by:
         writer = writer.partitionBy(*output.partition_by)
+    if output.bucket_by:
+        n, cols = output.bucket_by
+        writer = writer.bucketBy(int(n), *cols)
+        if output.sort_by:
+            writer = writer.sortBy(*output.sort_by)
     for k, v in output.options.items():
         writer = writer.option(k, v)
     if output.table:

@@ -287,3 +287,51 @@ class TestExtendedProviders:
             F.broadcast(customers.select("customer_id")), "customer_id", "left_anti"
         ).count()
         assert orphan_plan == 0 and orphan_cust == 0
+
+
+def test_bucketed_write_enables_shuffle_free_join(spark, tmp_path):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    tag = uuid.uuid4().hex[:8]
+    ta, tb = f"bk_a_{tag}", f"bk_b_{tag}"
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    try:
+        write_data_to_output(
+            a,
+            OutputDataset(table=ta, mode="overwrite", bucket_by=(8, ["k"]), sort_by=["k"]),
+        )
+        write_data_to_output(
+            b,
+            OutputDataset(table=tb, mode="overwrite", bucket_by=(8, ["k"]), sort_by=["k"]),
+        )
+        # force a sort-merge join (AQE would broadcast these tiny tables);
+        # bucketing must make it shuffle-free
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table(ta).join(spark.table(tb), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange hashpartitioning" not in plan, plan
+            assert joined.count() == 1000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_bucket_by_validation():
+    import pytest
+
+    from dbldatagen_spark.sources.sinks import OutputDataset
+
+    with pytest.raises(ValueError, match="requires a table"):
+        OutputDataset(location="/tmp/x", bucket_by=(4, ["k"]))
+    with pytest.raises(ValueError, match="sort_by requires bucket_by"):
+        OutputDataset(table="t", sort_by=["k"])
