@@ -472,11 +472,14 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (xxhash64-based — no SQL oracle; rows-only)."""
+    """Portable SimHash signatures (md5 token hashing, 60-bit) — fully
+    recomputable by the DuckDB oracle bit-for-bit."""
     from dbldatagen_spark.functions import simhash_signatures
 
     docs = _load(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "doc_id", "text").orderBy("doc_id")
+    return simhash_signatures(docs, "doc_id", "text", token_hash="md5").orderBy(
+        "doc_id"
+    )
 
 
 def _ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1755,6 +1758,32 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _NGRAM_JACCARD_ORACLE,
+        "dedup_simhash": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+                FROM documents
+            ),
+            tok AS (
+                SELECT doc_id, unnest(list_distinct(string_split(norm, ' '))) AS tk
+                FROM t
+            ),
+            h AS (
+                SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS hv
+                FROM tok
+            ),
+            bits AS (
+                SELECT doc_id, j,
+                       CASE WHEN SUM(CASE WHEN (hv >> j) & 1 = 1
+                                          THEN 1 ELSE -1 END) > 0
+                            THEN 1 ELSE 0 END AS bit
+                FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS j) js
+                GROUP BY doc_id, j
+            )
+            SELECT doc_id,
+                   CAST(SUM(bit * (1::BIGINT << j)) AS BIGINT) AS simhash
+            FROM bits GROUP BY doc_id ORDER BY doc_id
+        """,
         "dedup_components": f"""
             WITH RECURSIVE
             pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),

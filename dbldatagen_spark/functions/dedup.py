@@ -313,15 +313,31 @@ def simhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
+    token_hash: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document, pure expressions.
+    """SimHash per document, pure expressions.
 
-    bit_j(doc) = 1 if sum over tokens of sign(bit_j(xxhash64(token))) > 0.
-    Computed as 64 conditional sums over the exploded-free token array via
+    bit_j(doc) = 1 if sum over tokens of sign(bit_j(hash(token))) > 0.
+    Computed as conditional sums over the exploded-free token array via
     ``aggregate`` — stays in codegen; no UDF, no shuffle.
+
+    ``token_hash``: ``xxhash64`` (default, 64-bit signature) or ``md5``
+    (60 bits from the md5 hex prefix — slower, but recomputable by any
+    engine with an md5 function, which makes the signatures portable
+    across systems and oracle-checkable).
     """
     df = ensure_parallelism(df)
     tokens = F.array_distinct(F.split(normalize_text_expr(F.col(text_col)), " "))
+    if token_hash == "md5":
+        hashes = F.transform(
+            tokens,
+            lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+        )
+        return df.select(
+            F.col(id_col), _simhash_from_hashes(hashes, 60).alias("simhash")
+        )
+    if token_hash != "xxhash64":
+        raise ValueError(f"token_hash must be xxhash64|md5, got {token_hash!r}")
     hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     bit_cols = []
     for j in range(64):
@@ -339,6 +355,29 @@ def simhash_signatures(
     for c in bit_cols[1:]:
         sim = sim + c
     return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def _simhash_from_hashes(hashes: Column, n_bits: int) -> Column:
+    """Majority-vote signature over the low ``n_bits`` of per-token hashes
+    (n_bits < 64 keeps the signature a positive bigint)."""
+    bit_cols = []
+    for j in range(n_bits):
+        contrib = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(
+                F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1),
+        )
+        bit = F.when(contrib > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bit_cols.append(bit * F.lit(1 << j))
+    sim = bit_cols[0]
+    for c in bit_cols[1:]:
+        sim = sim + c
+    return sim
 
 
 def simhash_near_duplicates(
