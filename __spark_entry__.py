@@ -1168,6 +1168,346 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest supplier per part (TPC-H Q2 flavor; this schema has no
+    partsupp, so observed avg unit price from lineitem stands in for
+    ps_supplycost).
+
+    The correlated MIN subquery becomes a window row_number over the
+    (part, supplier) aggregate — one shuffle on l_partkey that serves
+    both the aggregate and the window; dimensions broadcast."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit_cost")
+    )
+    parts = part.where(
+        (F.col("p_size").between(1, 15)) & (F.col("p_type") == "STANDARD")
+    )
+    j = per.join(F.broadcast(parts), per.l_partkey == parts.p_partkey)
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("_unit_cost").asc(), F.col("l_suppkey").asc()
+    )
+    best = j.withColumn("_rk", F.row_number().over(w)).where(F.col("_rk") == 1)
+    return (
+        best.join(F.broadcast(supp), best.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            F.round("_unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_1's share of PROMO-part revenue among ASIA customers by
+    year (TPC-H Q8 flavor): conditional-sum ratio over a star join —
+    only lineitem⋈orders shuffles; every dimension broadcasts."""
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    part = _load(spark, sf_dir, "part")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("mkt_share"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on gear parts by supplier nation and ship year (TPC-H Q9
+    flavor; 60% of p_retailprice stands in for ps_supplycost). Grouping
+    on l_shipdate's year instead of o_orderdate's drops the orders join
+    entirely — part/supplier/nation broadcast, so the only shuffle is
+    the final aggregate."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%gear%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name"), F.year("l_shipdate").cast("long").alias("ship_year")
+        )
+        .agg(
+            F.round(F.sum(profit), 2).alias("profit"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .orderBy("n_name", "ship_year")
+    )
+
+
+def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts holding an outsized share of three nations' supply value
+    (TPC-H Q11 flavor): the HAVING-vs-global-total scalar subquery is a
+    broadcast cross join of a 1-row aggregate against the per-part
+    aggregate — the base is scanned once and reused, no second pass."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    nkeys = nation.where(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    ).select("n_nationkey")
+    skeys = supp.join(F.broadcast(nkeys), supp.s_nationkey == nkeys.n_nationkey).select(
+        "s_suppkey"
+    )
+    base = li.join(F.broadcast(skeys), li.l_suppkey == skeys.s_suppkey).select(
+        "l_partkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_val"),
+    )
+    per_part = base.groupBy("l_partkey").agg(F.sum("_val").alias("_part_value"))
+    total = per_part.agg(F.sum("_part_value").alias("_total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("_part_value") > 0.001 * F.col("_total"))
+        .select("l_partkey", F.round("_part_value", 2).alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def _q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count histogram (TPC-H Q13): left outer join with
+    the filter on the orders side (kept customers with zero orders), then
+    a two-level aggregation. Customers broadcast on the outer join's
+    build side at this scale; at 100 TB the join shuffles on custkey and
+    the second aggregate is tiny."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    orders_f = orders.where(F.col("o_orderpriority") != "1-URGENT")
+    c_orders = (
+        cust.join(orders_f, cust.c_custkey == orders_f.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) with the maximum Q1-1996 revenue (TPC-H Q15): the
+    revenue view aggregated once, its MAX broadcast back as a 1-row
+    cross join instead of re-evaluating the view."""
+    li = _load(spark, sf_dir, "lineitem")
+    supp = _load(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "_total_rev"
+            )
+        )
+    )
+    mx = rev.agg(F.max("_total_rev").alias("_max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("_total_rev") == F.col("_max_rev"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name", F.round("_total_rev", 2).alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def _q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers per (brand, type, size) for non-excluded parts
+    (TPC-H Q16 flavor): the NOT IN complaint subquery becomes a broadcast
+    anti-join on the tiny negative-balance supplier set; lineitem stands
+    in for partsupp as the part↔supplier relation."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    excl = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts_f = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").startswith("PROMO"))
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    return (
+        li.join(F.broadcast(parts_f), li.l_partkey == parts_f.p_partkey)
+        .join(F.broadcast(excl), li.l_suppkey == excl.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average yearly revenue lost if small-quantity Brand#2 orders were
+    dropped (TPC-H Q17): the correlated per-part AVG subquery becomes a
+    broadcast join against the per-part aggregate of the same filtered
+    scan — the brand filter prunes 2000 parts to ~dozens before either
+    pass touches lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    brand_parts = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
+    li2 = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    half_avg = li2.groupBy("l_partkey").agg(
+        (0.5 * F.avg("l_quantity")).alias("_half_avg")
+    ).withColumnRenamed("l_partkey", "_pk")
+    return (
+        li2.join(F.broadcast(half_avg), li2.l_partkey == F.col("_pk"))
+        .where(F.col("l_quantity") < F.col("_half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def _q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EUROPE suppliers who moved >50 units of any red part in 1996
+    (TPC-H Q20 flavor): the nested IN subqueries become a chain of
+    broadcast semi-joins — part filter → per-(supplier, part) quantity
+    threshold → distinct supplier keys → supplier/nation/region probe."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    supp = _load(spark, sf_dir, "supplier")
+    nation = _load(spark, sf_dir, "nation")
+    region = _load(spark, sf_dir, "region")
+    red = part.where(F.col("p_name").startswith("red")).select("p_partkey")
+    movers = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(movers, supp.s_suppkey == movers.l_suppkey, "left_semi")
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def _q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers solely responsible for the latest shipment in
+    multi-supplier 'F' orders (TPC-H Q21 flavor; this schema has no
+    receipt/commit dates, so "latest l_shipdate in the order" stands in
+    for "failed the commit date"). The EXISTS / NOT EXISTS pair becomes
+    two window counts over the per-(order, supplier) aggregate — a
+    single shuffle on l_orderkey serves the aggregate and both windows."""
+    from pyspark.sql import Window
+
+    li = _load(spark, sf_dir, "lineitem")
+    orders = _load(spark, sf_dir, "orders")
+    supp = _load(spark, sf_dir, "supplier")
+    f_orders = orders.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    sup_ship = (
+        li.join(f_orders, li.l_orderkey == f_orders.o_orderkey, "left_semi")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("_s_max"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    annotated = sup_ship.select(
+        "l_orderkey",
+        "l_suppkey",
+        "_s_max",
+        F.max("_s_max").over(w).alias("_o_max"),
+        F.count(F.lit(1)).over(w).alias("_n_supp"),
+    ).withColumn(
+        "_n_at_max",
+        F.sum(F.when(F.col("_s_max") == F.col("_o_max"), 1).otherwise(0)).over(
+            Window.partitionBy("l_orderkey")
+        ),
+    )
+    waiting = annotated.where(
+        (F.col("_s_max") == F.col("_o_max"))
+        & (F.col("_n_supp") > 1)
+        & (F.col("_n_at_max") == 1)
+    )
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich customers gone quiet (no orders since 2000), by nation
+    (TPC-H Q22 flavor; nation replaces the phone-prefix grouping, and
+    "lapsed" replaces "never ordered", which is vacuous in this dense
+    testdata): the scalar AVG subquery broadcasts as a 1-row cross join
+    and the NOT EXISTS becomes a left-anti join against the recent
+    buyer keys."""
+    cust = _load(spark, sf_dir, "customer")
+    orders = _load(spark, sf_dir, "orders")
+    nation = _load(spark, sf_dir, "nation")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
+        "o_custkey"
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def _emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors (posexplode + group avg) —
     the reduce step of IVF index construction."""
@@ -1294,6 +1634,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": _q7_nation_volume,
         "q10_returned_items": _q10_returned_items,
         "q19_discounted_revenue": _q19_discounted_revenue,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q8_market_share": _q8_market_share,
+        "q9_product_profit": _q9_product_profit,
+        "q11_important_parts": _q11_important_parts,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_excess_suppliers": _q20_excess_suppliers,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
         "events_sessionize": _events_sessionize,
         "events_session_range_join": _events_session_range_join,
         "events_hourly_windows": _events_hourly_windows,
@@ -1662,6 +2013,192 @@ def _oracle_sql_base() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 35)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity BETWEEN 20 AND 50)
+        """,
+        "q2_min_cost_supplier": """
+            WITH per AS (
+                SELECT l_partkey, l_suppkey,
+                       AVG(l_extendedprice / l_quantity) AS unit_cost
+                FROM lineitem GROUP BY l_partkey, l_suppkey
+            ),
+            ranked AS (
+                SELECT p.p_partkey, p.p_brand, per.l_suppkey, per.unit_cost,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY per.l_partkey
+                           ORDER BY per.unit_cost ASC, per.l_suppkey ASC
+                       ) AS rk
+                FROM per
+                JOIN part p ON per.l_partkey = p.p_partkey
+                WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'STANDARD'
+            )
+            SELECT r.p_partkey, r.p_brand, s.s_name, n.n_name,
+                   ROUND(r.unit_cost, 4) AS unit_cost
+            FROM ranked r
+            JOIN supplier s ON r.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE r.rk = 1
+            ORDER BY r.p_partkey
+        """,
+        "q8_market_share": """
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+                   ROUND(
+                       SUM(CASE WHEN n1.n_name = 'NATION_1'
+                                THEN l_extendedprice * (1 - l_discount)
+                                ELSE 0 END)
+                       / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            JOIN region   ON n2.n_regionkey = r_regionkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name,
+                   CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+                   COUNT(*) AS n_lineitems
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q11_important_parts": """
+            WITH base AS (
+                SELECT l_partkey,
+                       l_extendedprice * (1 - l_discount) AS val
+                FROM lineitem
+                JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation   ON s_nationkey = n_nationkey
+                WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+            ),
+            per_part AS (
+                SELECT l_partkey, SUM(val) AS part_value FROM base GROUP BY 1
+            )
+            SELECT l_partkey, ROUND(part_value, 2) AS part_value
+            FROM per_part
+            WHERE part_value > 0.001 * (SELECT SUM(part_value) FROM per_part)
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "q13_customer_distribution": """
+            WITH c_orders AS (
+                SELECT c_custkey, COUNT(o_orderkey) AS c_count
+                FROM customer
+                LEFT JOIN orders ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey
+            )
+            SELECT c_count, COUNT(*) AS custdist
+            FROM c_orders
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1996-04-01'
+                GROUP BY l_suppkey
+            )
+            SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type, p_size,
+                   COUNT(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+              AND l_suppkey NOT IN (
+                  SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+              )
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l
+            JOIN part ON l.l_partkey = p_partkey
+            WHERE p_brand = 'Brand#2'
+              AND l.l_quantity < (
+                  SELECT 0.5 * AVG(l2.l_quantity)
+                  FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+              )
+        """,
+        "q20_excess_suppliers": """
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+              AND s_suppkey IN (
+                  SELECT l_suppkey FROM lineitem
+                  WHERE l_partkey IN (
+                      SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+                  )
+                  AND l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1997-01-01'
+                  GROUP BY l_suppkey, l_partkey
+                  HAVING SUM(l_quantity) > 50
+              )
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_supplier": """
+            WITH sup_ship AS (
+                SELECT l_orderkey, l_suppkey, MAX(l_shipdate) AS s_max
+                FROM lineitem
+                WHERE l_orderkey IN (
+                    SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+                )
+                GROUP BY l_orderkey, l_suppkey
+            ),
+            win1 AS (
+                SELECT l_orderkey, l_suppkey, s_max,
+                       MAX(s_max) OVER (PARTITION BY l_orderkey) AS o_max,
+                       COUNT(*) OVER (PARTITION BY l_orderkey) AS n_supp
+                FROM sup_ship
+            ),
+            annotated AS (
+                SELECT l_orderkey, l_suppkey, s_max, o_max, n_supp,
+                       SUM(CASE WHEN s_max = o_max THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY l_orderkey) AS n_at_max
+                FROM win1
+            )
+            SELECT s_name, COUNT(*) AS numwait
+            FROM annotated
+            JOIN supplier ON l_suppkey = s_suppkey
+            WHERE s_max = o_max AND n_supp > 1 AND n_at_max = 1
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 10
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT n_name, COUNT(*) AS numcust,
+                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_acctbal > (
+                SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+            )
+            AND c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= DATE '2000-01-01'
+            )
+            GROUP BY n_name
+            ORDER BY n_name
         """,
         "events_sessionize": """
             WITH w AS (
