@@ -460,6 +460,36 @@ def _text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by frequency (map-side-combined
+    wordcount, deterministic count-then-token ordering)."""
+    from dbldatagen_spark.functions import token_vocabulary
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_vocabulary(docs, "text", top_k=200)
+
+
+def _text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-200 word bigrams by occurrence (expression-built n-grams +
+    one wordcount shuffle)."""
+    from dbldatagen_spark.functions import ngram_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return ngram_counts(docs, "text", n=2, top_k=200)
+
+
+def _text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard assignment: contiguous cumulative packing into
+    ~2048-token shards within 8 id-hash buckets (one bucketed window
+    pass — no global sort)."""
+    from dbldatagen_spark.functions import assign_training_shards
+
+    docs = _load(spark, sf_dir, "documents")
+    return assign_training_shards(
+        docs, "doc_id", "text", target_tokens=2048, num_buckets=8
+    ).orderBy("doc_id")
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to duplicate clusters: each doc labelled
     with the min doc_id reachable through the >=0.5-Jaccard pair graph
@@ -1663,6 +1693,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _text_quality,
         "text_fingerprint": _text_fingerprint,
         "text_chunking": _text_chunking,
+        "text_vocabulary": _text_vocabulary,
+        "text_ngram_counts": _text_ngram_counts,
+        "text_training_shards": _text_training_shards,
         "corpus_curation": _corpus_curation,
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
@@ -2447,6 +2480,58 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(least(64, len(w) - i*64) AS INTEGER) AS n_tokens
             FROM e
             ORDER BY doc_id, chunk_idx
+        """,
+        "text_vocabulary": """
+            WITH toks AS (
+                SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            )
+            SELECT token, COUNT(*) AS n_occurrences
+            FROM toks WHERE token <> ''
+            GROUP BY token
+            ORDER BY n_occurrences DESC, token
+            LIMIT 200
+        """,
+        "text_ngram_counts": """
+            WITH t AS (
+                SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ),
+            grams AS (
+                SELECT w[i] || ' ' || w[i+1] AS ngram
+                FROM t, LATERAL (
+                    SELECT unnest(generate_series(1, len(w) - 1)) AS i
+                ) s
+                WHERE len(w) >= 2
+            )
+            SELECT ngram, COUNT(*) AS n_occurrences
+            FROM grams
+            GROUP BY ngram
+            ORDER BY n_occurrences DESC, ngram
+            LIMIT 200
+        """,
+        "text_training_shards": """
+            WITH base AS (
+                SELECT doc_id,
+                       CAST(doc_id % 8 AS INTEGER) AS bucket,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                           AS n_tokens
+                FROM documents
+            ),
+            cum AS (
+                SELECT doc_id, bucket, n_tokens,
+                       SUM(n_tokens) OVER (
+                           PARTITION BY bucket ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS running
+                FROM base
+            )
+            SELECT doc_id, bucket, n_tokens,
+                   CAST(bucket AS BIGINT) * 1000000
+                       + CAST(floor((running - n_tokens) / 2048.0) AS BIGINT)
+                       AS shard_id
+            FROM cum
+            ORDER BY doc_id
         """,
         "events_asof_join": """
             SELECT p.event_id, p.user_id, v.ts AS view_ts, v.value AS view_value

@@ -43,15 +43,21 @@ from dbldatagen_spark.functions.sampling import (
     stratified_sample,
 )
 from dbldatagen_spark.functions.text_analysis import (
+    assign_training_shards,
     chunk_documents,
     detect_language,
     document_fingerprint,
+    ngram_counts,
     quality_metrics,
     token_count_expr,
+    token_vocabulary,
 )
 
 __all__ = [
     "asof_join",
+    "assign_training_shards",
+    "ngram_counts",
+    "token_vocabulary",
     "range_join",
     "salted_join",
     "normalize_embeddings",

@@ -137,6 +137,118 @@ def document_fingerprint(
     )
 
 
+def token_vocabulary(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_k: int = 1000,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary: the ``top_k`` most frequent lowercased tokens.
+
+    explode → groupBy is the canonical wordcount: map-side partial
+    aggregation collapses each partition's counts before the single
+    shuffle, so the shuffle volume is per-partition-distinct tokens, not
+    corpus tokens. The top-k is a TakeOrdered (no second full sort).
+    Deterministic tie-break: count desc, then token asc.
+    """
+    toks = tokens_expr(F.col(text_col))
+    return (
+        ensure_parallelism(df)
+        .select(F.explode(toks).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") >= min_count)
+        .orderBy(F.desc("n_occurrences"), "token")
+        .limit(top_k)
+    )
+
+
+def ngram_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    n: int = 2,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Top-k word n-grams by occurrence count (non-distinct — every
+    occurrence counts, unlike the dedup shingles which are per-doc sets).
+
+    The n-gram build is a pure expression (``transform`` over an index
+    sequence); the only shuffle is the wordcount aggregation, with the
+    same map-side-combine profile as :func:`token_vocabulary`.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    words = tokens_expr(F.col(text_col))
+    with_words = ensure_parallelism(df).select(words.alias("_w"))
+    idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int")) for j in range(n)],
+        ),
+    )
+    return (
+        with_words.where(F.size(F.col("_w")) >= n)
+        .select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "ngram")
+        .limit(top_k)
+    )
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    target_tokens: int = 4096,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards.
+
+    Contiguous cumulative packing: documents are bucketed by
+    ``id % num_buckets``, ordered by id within the bucket, and a shard
+    boundary falls wherever the running token total crosses a
+    ``target_tokens`` multiple (each shard's total ≈ target ± one
+    document — the standard contiguous approximation of bin packing,
+    chosen because it is a single window pass and deterministic).
+
+    Scale shape: the window partitions by bucket, so there is no global
+    sort — parallelism is ``num_buckets`` regardless of corpus size, and
+    each bucket's pass is one shuffle-free running sum after the
+    repartition. Shard ids are globally unique via (bucket, local shard).
+    """
+    from pyspark.sql import Window
+
+    if target_tokens < 1 or num_buckets < 1:
+        raise ValueError("target_tokens and num_buckets must be >= 1")
+    # no ensure_parallelism: the window's hashpartitioning(bucket) exchange
+    # immediately follows, so a round-robin repartition would just add a
+    # second full shuffle of the same rows
+    base = df.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(num_buckets)).cast("int").alias("bucket"),
+        token_count_expr(F.col(text_col)).alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum("n_tokens").over(w)
+    local_shard = F.floor((cum - F.col("n_tokens")) / F.lit(target_tokens))
+    return base.select(
+        F.col(id_col),
+        F.col("bucket"),
+        F.col("n_tokens"),
+        (F.col("bucket").cast("long") * F.lit(1_000_000) + local_shard)
+        .alias("shard_id"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

@@ -568,3 +568,78 @@ def test_normalize_and_quantize_embeddings(spark):
             recon = r["q_min"] + c * r["q_scale"]
             # max error of uniform quantization is half a step
             assert math.isclose(x, recon, abs_tol=r["q_scale"] / 2 + 1e-9)
+
+
+def test_token_vocabulary(spark):
+    from dbldatagen_spark.functions import token_vocabulary
+
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog"), (2, "THE cat runs")], ["doc_id", "text"]
+    )
+    rows = token_vocabulary(df, "text", top_k=3).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in rows] == [
+        ("the", 3),
+        ("cat", 2),
+        ("and", 1),
+    ]
+
+
+def test_token_vocabulary_min_count(spark):
+    from dbldatagen_spark.functions import token_vocabulary
+
+    df = spark.createDataFrame([(1, "a a b")], ["doc_id", "text"])
+    rows = token_vocabulary(df, "text", top_k=10, min_count=2).collect()
+    assert [(r["token"], r["n_occurrences"]) for r in rows] == [("a", 2)]
+
+
+def test_ngram_counts(spark):
+    from dbldatagen_spark.functions import ngram_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "a b"), (3, "solo")], ["doc_id", "text"]
+    )
+    rows = ngram_counts(df, "text", n=2, top_k=10).collect()
+    got = {r["ngram"]: r["n_occurrences"] for r in rows}
+    # "a b" appears twice in doc 1 and once in doc 2; single-token doc 3
+    # contributes nothing
+    assert got == {"a b": 3, "b c": 1, "c a": 1}
+    assert [r["ngram"] for r in rows][0] == "a b"
+
+
+def test_assign_training_shards(spark):
+    from dbldatagen_spark.functions import assign_training_shards
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 10)) for i in range(20)], ["doc_id", "text"]
+    )
+    out = assign_training_shards(
+        df, "doc_id", "text", target_tokens=25, num_buckets=2
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 20
+    # bucket = doc_id % 2; within a bucket, 10-token docs pack ~2-3 per
+    # 25-token shard (boundary doc joins the shard where its start falls)
+    assert all(r["bucket"] == r["doc_id"] % 2 for r in out)
+    assert all(r["n_tokens"] == 10 for r in out)
+    # doc_ids 0,2,4,...: cumulative starts 0,10,20,30,... -> shards 0,0,0,1,...
+    evens = [by_id[i]["shard_id"] for i in [0, 2, 4, 6, 8]]
+    assert evens == [0, 0, 0, 1, 1]
+    # shard ids are globally unique across buckets (offset by bucket)
+    odds = [by_id[i]["shard_id"] for i in [1, 3, 5]]
+    assert odds == [1_000_000, 1_000_000, 1_000_000]
+
+
+def test_assign_training_shards_budget(spark):
+    """No shard (except possibly via one boundary doc) wildly exceeds the
+    target: each shard's total is < target + max_doc_tokens."""
+    from dbldatagen_spark.functions import assign_training_shards
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = assign_training_shards(
+        docs, "doc_id", "text", target_tokens=2048, num_buckets=4
+    )
+    totals = out.groupBy("shard_id").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("mx")
+    )
+    bad = totals.where(F.col("total") >= 2048 + F.col("mx")).count()
+    assert bad == 0
