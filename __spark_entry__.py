@@ -494,6 +494,43 @@ def _text_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: odd-id docs (test) sharing any
+    distinct 5-gram with even-id docs (train); posting-list join on
+    8-byte gram hashes — bodies never shuffle."""
+    from dbldatagen_spark.functions import ngram_contamination
+
+    docs = _load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return ngram_contamination(train, test, "doc_id", "text", n=5).orderBy(
+        "doc_id"
+    )
+
+
+def _corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: exact counts (oracle-checked) plus
+    sketch estimates validated in-query against their exact
+    counterparts (HLL distinct within 3*rsd, GK median within 5%)."""
+    from dbldatagen_spark.functions import corpus_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    stats = corpus_stats(docs, "lang", "text", rsd=0.02)
+    return stats.select(
+        "lang",
+        "n_rows",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+            <= 0.06 * F.col("exact_distinct")
+        ).alias("hll_ok"),
+        (
+            F.abs(F.col("approx_p50_chars") - F.col("exact_p50_chars"))
+            <= 0.05 * F.col("exact_p50_chars")
+        ).alias("p50_ok"),
+    ).orderBy("lang")
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to duplicate clusters: each doc labelled
     with the min doc_id reachable through the >=0.5-Jaccard pair graph
@@ -1700,6 +1737,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": _text_vocabulary,
         "text_ngram_counts": _text_ngram_counts,
         "text_training_shards": _text_training_shards,
+        "text_contamination": _text_contamination,
+        "corpus_sketch_stats": _corpus_sketch_stats,
         "corpus_curation": _corpus_curation,
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
@@ -2513,6 +2552,33 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY ngram
             ORDER BY n_occurrences DESC, ngram
             LIMIT 200
+        """,
+        "text_contamination": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM documents
+            ),
+            e AS (
+                SELECT doc_id, w, unnest(generate_series(1, len(w) - 4)) AS i
+                FROM t WHERE len(w) >= 5
+            ),
+            dg AS (
+                SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+                FROM e
+            ),
+            train AS (SELECT DISTINCT gram FROM dg WHERE doc_id % 2 = 0),
+            test AS (SELECT doc_id, gram FROM dg WHERE doc_id % 2 = 1)
+            SELECT doc_id, COUNT(*) AS n_shared_ngrams
+            FROM test JOIN train USING (gram)
+            GROUP BY doc_id
+            ORDER BY doc_id
+        """,
+        "corpus_sketch_stats": """
+            SELECT lang, COUNT(*) AS n_rows,
+                   COUNT(DISTINCT text) AS exact_distinct,
+                   true AS hll_ok, true AS p50_ok
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "text_training_shards": """
             WITH base AS (

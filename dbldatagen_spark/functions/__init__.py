@@ -42,9 +42,11 @@ from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
     stratified_sample,
 )
+from dbldatagen_spark.functions.dedup import ngram_contamination
 from dbldatagen_spark.functions.text_analysis import (
     assign_training_shards,
     chunk_documents,
+    corpus_stats,
     detect_language,
     document_fingerprint,
     ngram_counts,
@@ -56,6 +58,8 @@ from dbldatagen_spark.functions.text_analysis import (
 __all__ = [
     "asof_join",
     "assign_training_shards",
+    "corpus_stats",
+    "ngram_contamination",
     "ngram_counts",
     "token_vocabulary",
     "range_join",

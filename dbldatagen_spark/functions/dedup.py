@@ -494,6 +494,62 @@ def embedding_near_duplicates(
     )
 
 
+def ngram_contamination(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Train/test contamination check: test documents sharing >=
+    ``min_shared`` distinct word n-grams with ANY train document —
+    the decontamination filter every eval-aware training pipeline runs.
+
+    Scale shape: both sides reduce to ``(ngram_hash)`` / ``(ngram_hash,
+    id)`` postings before the only shuffle — an 8-byte-key equi-join;
+    document bodies never move. The train side deduplicates its grams
+    first (distinct hash set, typically ≪ corpus size), and the final
+    count groups by test id. Quadratic blowup is impossible: the join
+    output is bounded by (test grams) x (membership bit), not by
+    train x test.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        with_words = df.select(
+            *([F.col(id_col)] if with_id else []), words.alias("_w")
+        ).where(F.size(F.col("_w")) >= n)
+        idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
+        g = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int"))
+                        for j in range(n)
+                    ],
+                )
+            ),
+        )
+        cols = [F.explode(F.array_distinct(g)).alias("_gh")]
+        if with_id:
+            cols.insert(0, F.col(id_col))
+        return with_words.select(*cols)
+
+    train_grams = grams(ensure_parallelism(train), with_id=False).distinct()
+    test_grams = grams(ensure_parallelism(test), with_id=True)
+    return (
+        test_grams.join(train_grams, "_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+        .where(F.col("n_shared_ngrams") >= min_shared)
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",

@@ -5,7 +5,7 @@ the scan with zero extra stages.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -247,6 +247,45 @@ def assign_training_shards(
         (F.col("bucket").cast("long") * F.lit(1_000_000) + local_shard)
         .alias("shard_id"),
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    *,
+    chars_col: Optional[str] = None,
+    rsd: float = 0.02,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-group corpus profile with mergeable sketches.
+
+    Always computes: row count, HyperLogLog++ approximate distinct texts
+    (``approx_count_distinct``, relative error ``rsd``), and an
+    approximate median of the character length (``percentile_approx``,
+    a mergeable Greenwald–Khanna sketch). With ``exact=True`` it also
+    computes the exact distinct count and exact median for validation.
+
+    At 100 TB run ``exact=False``: the sketch path is one map-side-
+    mergeable pass (no per-group value sets, no sort), while exact
+    COUNT(DISTINCT) rewrites into an expand + two shuffles and exact
+    percentile buffers every value. That asymmetry — not the accuracy
+    loss, which is bounded by ``rsd`` — is why sketches win at scale.
+    """
+    length = (
+        F.col(chars_col) if chars_col else F.length(F.col(text_col))
+    ).cast("double")
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.approx_count_distinct(text_col, rsd).alias("approx_distinct"),
+        F.percentile_approx(length, 0.5, 10000).alias("approx_p50_chars"),
+    ]
+    if exact:
+        aggs += [
+            F.countDistinct(text_col).cast("long").alias("exact_distinct"),
+            F.percentile(length, 0.5).alias("exact_p50_chars"),
+        ]
+    return ensure_parallelism(df).groupBy(group_col).agg(*aggs)
 
 
 def chunk_documents(

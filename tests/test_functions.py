@@ -643,3 +643,47 @@ def test_assign_training_shards_budget(spark):
     )
     bad = totals.where(F.col("total") >= 2048 + F.col("mx")).count()
     assert bad == 0
+
+
+def test_ngram_contamination(spark):
+    from dbldatagen_spark.functions import ngram_contamination
+
+    train = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps far away"),   # shares 5-gram(s)
+            (3, "completely different words here now ok"),  # shares none
+            (5, "too short"),                              # < n tokens
+        ],
+        ["doc_id", "text"],
+    )
+    rows = ngram_contamination(train, test, "doc_id", "text", n=5).collect()
+    got = {r["doc_id"]: r["n_shared_ngrams"] for r in rows}
+    assert got == {1: 1}  # "the quick brown fox jumps" only
+
+
+def test_ngram_contamination_case_insensitive(spark):
+    from dbldatagen_spark.functions import ngram_contamination
+
+    train = spark.createDataFrame([(0, "A B C D E")], ["doc_id", "text"])
+    test = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    rows = ngram_contamination(train, test, "doc_id", "text", n=5).collect()
+    assert rows[0]["n_shared_ngrams"] == 1
+
+
+def test_corpus_stats(spark, docs):
+    from dbldatagen_spark.functions import corpus_stats
+
+    out = corpus_stats(docs, "lang", "text", rsd=0.02).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_rows"] >= r["exact_distinct"] > 0
+        assert abs(r["approx_distinct"] - r["exact_distinct"]) <= max(
+            2, 0.06 * r["exact_distinct"]
+        )
+        assert abs(r["approx_p50_chars"] - r["exact_p50_chars"]) <= max(
+            2.0, 0.05 * r["exact_p50_chars"]
+        )
