@@ -531,6 +531,53 @@ def _corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: distributed PCA (k=8 over the 64-d embeddings) yields
+    orthonormal components, descending explained variance, projections
+    whose per-dimension variance matches the eigenvalues, and total
+    projected variance <= total variance."""
+    import numpy as np
+
+    from dbldatagen_spark.functions import embedding_moments, embedding_pca
+
+    emb = _load(spark, sf_dir, "embeddings")
+    projected, comps, expl = embedding_pca(emb, "embedding", k=8)
+    _, _, cov = embedding_moments(emb, "embedding")
+    k = comps.shape[1]
+    ortho_err = float(np.abs(comps.T @ comps - np.eye(k)).max())
+    descending = bool(all(expl[i] >= expl[i + 1] - 1e-9 for i in range(k - 1)))
+    total_var = float(np.trace(cov))
+    # per-dimension variance of the projected vectors must equal the
+    # eigenvalues (that IS the PCA property, measured on the data)
+    stats = projected.select(
+        *[
+            F.variance(F.element_at("pca_vec", j + 1)).alias(f"v{j}")
+            for j in range(k)
+        ],
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    nrows = stats["n"]
+    # sample variance vs population eigenvalue: scale by (n-1)/n
+    var_match = all(
+        abs(stats[f"v{j}"] * (nrows - 1) / nrows - expl[j])
+        <= 0.02 * max(expl[j], 1e-9)
+        for j in range(k)
+    )
+    return spark.createDataFrame(
+        [
+            (
+                k,
+                ortho_err < 1e-9,
+                descending,
+                bool(var_match),
+                bool(float(expl.sum()) <= total_var + 1e-6),
+            )
+        ],
+        "n_components int, orthonormal boolean, variance_descending boolean, "
+        "projected_variance_matches boolean, variance_bounded boolean",
+    )
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to duplicate clusters: each doc labelled
     with the min doc_id reachable through the >=0.5-Jaccard pair graph
@@ -1739,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_shards": _text_training_shards,
         "text_contamination": _text_contamination,
         "corpus_sketch_stats": _corpus_sketch_stats,
+        "emb_pca_invariants": _emb_pca_invariants,
         "corpus_curation": _corpus_curation,
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
@@ -2580,6 +2628,11 @@ def _oracle_sql_base() -> dict[str, str]:
                    true AS hll_ok, true AS p50_ok
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        "emb_pca_invariants": (
+            "SELECT CAST(8 AS INTEGER) AS n_components, true AS orthonormal, "
+            "true AS variance_descending, true AS projected_variance_matches, "
+            "true AS variance_bounded"
+        ),
         "text_training_shards": """
             WITH base AS (
                 SELECT doc_id,

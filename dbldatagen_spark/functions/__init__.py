@@ -27,6 +27,8 @@ from dbldatagen_spark.functions.dedup import (
 from dbldatagen_spark.functions.similarity import (
     cosine_similarity_expr,
     cosine_topk,
+    embedding_moments,
+    embedding_pca,
     ivf_ann_topk,
     ivf_centroids,
     knn_join,
@@ -70,6 +72,8 @@ __all__ = [
     "cosine_similarity_expr",
     "curate_corpus",
     "cosine_topk",
+    "embedding_moments",
+    "embedding_pca",
     "ivf_ann_topk",
     "ivf_centroids",
     "knn_join",

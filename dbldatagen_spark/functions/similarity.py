@@ -278,3 +278,97 @@ def quantize_embeddings(
         .withColumn("q_scale", scale)
         .withColumn(codes_col, codes)
     )
+
+
+def embedding_moments(df: DataFrame, vec_col: str):
+    """Distributed first/second moments of a vector column: returns
+    ``(n, mean, cov)`` as numpy arrays.
+
+    Per-partition numpy accumulation via ``mapInPandas`` emits one
+    ``(count, sum, flattened outer-product sum)`` row per partition —
+    the classic tree-aggregate shape. Driver traffic is
+    ``partitions x (d + d^2)`` doubles regardless of row count, so the
+    reduction is as cheap at 100 TB as at 100 MB; only the map pass
+    scales with data.
+    """
+    import pandas as pd
+
+    first = df.select(F.col(vec_col)).first()
+    if first is None:
+        raise ValueError("empty DataFrame")
+    d = len(first[0])
+
+    schema = "n long, s array<double>, m array<double>"
+
+    def partial(batches):
+        n = 0
+        s = np.zeros(d)
+        m = np.zeros((d, d))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            n += mat.shape[0]
+            s += mat.sum(axis=0)
+            m += mat.T @ mat
+        yield pd.DataFrame({"n": [n], "s": [s.tolist()], "m": [m.ravel().tolist()]})
+
+    parts = df.select(F.col(vec_col)).mapInPandas(partial, schema).collect()
+    n = sum(r["n"] for r in parts)
+    if n == 0:
+        raise ValueError("empty DataFrame")
+    s = np.sum([np.asarray(r["s"]) for r in parts], axis=0)
+    m = np.sum([np.asarray(r["m"]).reshape(d, d) for r in parts], axis=0)
+    mean = s / n
+    cov = m / n - np.outer(mean, mean)
+    return n, mean, cov
+
+
+def embedding_pca(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    out_col: str = "pca_vec",
+):
+    """Project a vector column onto its top-``k`` principal components.
+
+    Returns ``(projected_df, components, explained_variance)`` where
+    ``components`` is a (d, k) numpy array of orthonormal directions and
+    ``explained_variance`` the matching top-k eigenvalues (descending).
+
+    Execution shape: one distributed moments pass
+    (:func:`embedding_moments`), an O(d^3) eigendecomposition on the
+    driver (d = embedding width, never row count), then the projection
+    as ``k`` pure ``zip_with``/``aggregate`` dot-product expressions —
+    a map-only pass with the (d x k) component matrix folded into the
+    plan as literals. No UDF in the projection path.
+    """
+    n, mean, cov = embedding_moments(df, vec_col)
+    d = mean.shape[0]
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}], got {k}")
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    components = evecs[:, order]                # (d, k)
+    explained = evals[order]
+    # sign convention: largest-|loading| entry of each component >= 0,
+    # so repeated runs produce identical projections
+    for j in range(k):
+        i = int(np.argmax(np.abs(components[:, j])))
+        if components[i, j] < 0:
+            components[:, j] = -components[:, j]
+
+    v = F.col(vec_col)
+    proj_cols = []
+    for j in range(k):
+        q = F.array(*[F.lit(float(x)) for x in components[:, j]])
+        center = float(mean @ components[:, j])
+        dot = F.aggregate(
+            F.zip_with(v, q, lambda x, w: x.cast("double") * w),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        proj_cols.append(dot - F.lit(center))
+    projected = df.withColumn(out_col, F.array(*proj_cols))
+    return projected, components, explained

@@ -687,3 +687,45 @@ def test_corpus_stats(spark, docs):
         assert abs(r["approx_p50_chars"] - r["exact_p50_chars"]) <= max(
             2.0, 0.05 * r["exact_p50_chars"]
         )
+
+
+def test_embedding_pca(spark, emb):
+    import numpy as np
+    from dbldatagen_spark.functions import embedding_pca
+
+    projected, comps, expl = embedding_pca(emb, "embedding", k=4)
+    # orthonormal components, descending variance
+    assert np.abs(comps.T @ comps - np.eye(4)).max() < 1e-9
+    assert all(expl[i] >= expl[i + 1] for i in range(3))
+    rows = projected.select("pca_vec").collect()
+    mat = np.vstack([r["pca_vec"] for r in rows])
+    assert mat.shape[1] == 4
+    # projected dims are centered and have variance ~ eigenvalues
+    assert np.abs(mat.mean(axis=0)).max() < 1e-6
+    pv = mat.var(axis=0)
+    assert np.allclose(pv, expl, rtol=0.02)
+
+
+def test_embedding_pca_partition_invariance(spark, emb):
+    import numpy as np
+    from dbldatagen_spark.functions import embedding_pca
+
+    _, c1, e1 = embedding_pca(emb.repartition(3), "embedding", k=3)
+    _, c2, e2 = embedding_pca(emb.repartition(11), "embedding", k=3)
+    assert np.allclose(e1, e2, rtol=1e-9)
+    assert np.allclose(c1, c2, atol=1e-9)
+
+
+def test_embedding_moments_match_numpy(spark):
+    import numpy as np
+    from dbldatagen_spark.functions import embedding_moments
+
+    rng = np.random.default_rng(0)
+    data = rng.normal(size=(200, 5))
+    df = spark.createDataFrame(
+        [(i, row.tolist()) for i, row in enumerate(data)], ["i", "v"]
+    ).repartition(7)
+    n, mean, cov = embedding_moments(df, "v")
+    assert n == 200
+    assert np.allclose(mean, data.mean(axis=0), atol=1e-12)
+    assert np.allclose(cov, np.cov(data.T, bias=True), atol=1e-10)
