@@ -1,0 +1,179 @@
+"""End-to-end tour: generate a multi-table dataset, then run the
+training-data pipeline operators over the driver's document/embedding
+tables.
+
+Run: python examples/end_to_end_pipeline.py
+(Row counts scale down via EXAMPLE_ROWS for quick smoke runs.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROWS = int(os.environ.get("EXAMPLE_ROWS", "100000"))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark import (
+        ColumnSpec,
+        DataGenerator,
+        DataGenPlan,
+        ForeignKeyColumn,
+        Normal,
+        PatternColumn,
+        RangeColumn,
+        SequenceColumn,
+        TableSpec,
+        TimestampColumn,
+        UUIDColumn,
+        ValuesColumn,
+        WeightedValues,
+        Zipf,
+        generate,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName("dbldatagen_spark-example")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ------------------------------------------------------------------
+    # 1. Declarative multi-table plan with referential integrity
+    #    (FK values re-derive the parent PK — no join, no parent scan)
+    # ------------------------------------------------------------------
+    plan = DataGenPlan(
+        [
+            TableSpec(
+                "customers",
+                max(ROWS // 100, 10),
+                columns=[
+                    ColumnSpec("customer_id", SequenceColumn(start=1), dtype="long"),
+                    ColumnSpec("customer_code", PatternColumn("CUST-{digit:6}")),
+                    ColumnSpec(
+                        "segment",
+                        ValuesColumn(
+                            ["consumer", "corporate", "home_office"],
+                            WeightedValues([5, 3, 2]),
+                        ),
+                    ),
+                    ColumnSpec(
+                        "signup_ts",
+                        TimestampColumn("2020-01-01 00:00:00", "2024-12-31 23:59:59"),
+                    ),
+                ],
+                primary_key="customer_id",
+            ),
+            TableSpec(
+                "orders",
+                ROWS,
+                columns=[
+                    ColumnSpec("order_id", UUIDColumn()),
+                    ColumnSpec(
+                        "customer_id",
+                        ForeignKeyColumn("customers.customer_id",
+                                         distribution=Zipf(1.2)),
+                    ),
+                    ColumnSpec(
+                        "amount",
+                        RangeColumn(1.0, 2500.0, distribution=Normal()),
+                        dtype="decimal(9,2)",
+                    ),
+                    ColumnSpec("items", RangeColumn(1, 12), dtype="int"),
+                ],
+                primary_key="order_id",
+            ),
+        ],
+        seed=42,
+    )
+    dfs = generate(spark, plan)
+    orphans = (
+        dfs["orders"]
+        .join(F.broadcast(dfs["customers"].select("customer_id")),
+              "customer_id", "left_anti")
+        .count()
+    )
+    print(f"orders={dfs['orders'].count()} customers={dfs['customers'].count()} "
+          f"fk_orphans={orphans}")
+
+    # ------------------------------------------------------------------
+    # 2. v0-style fluent builder (the reference's classic API)
+    # ------------------------------------------------------------------
+    events = (
+        DataGenerator(spark, name="events", rows=max(ROWS // 10, 100), partitions=4)
+        .withIdOutput()
+        .withColumn("device", "string", values=["ios", "android", "web"],
+                    weights=[5, 4, 1])
+        .withColumn("latency_ms", "double", minValue=1.0, maxValue=500.0,
+                    random=True, distribution="gamma(shape=2.0, scale=50.0)")
+        .withColumn("phone", "string", template="ddd-ddd-dddd")
+        .build()
+    )
+    events.groupBy("device").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("latency_ms"), 1).alias("avg_ms")
+    ).show()
+
+    # ------------------------------------------------------------------
+    # 3. Training-data pipeline over the document corpus
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import (
+        assign_training_shards,
+        curate_corpus,
+        exact_dedup,
+        minhash_near_duplicates,
+        ngram_contamination,
+        token_vocabulary,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    print("exact dup groups:", exact_dedup(docs, "doc_id", "text").count())
+    print("near-dup pairs:",
+          minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7).count())
+    kept = curate_corpus(docs, "doc_id", "text", lang="en", min_quality=0.5)
+    print("curated docs:", kept.count())
+    shards = assign_training_shards(docs, "doc_id", "text", target_tokens=2048)
+    print("training shards:", shards.select("shard_id").distinct().count())
+    print("top tokens:",
+          [r["token"] for r in token_vocabulary(docs, "text", top_k=5).collect()])
+    contaminated = ngram_contamination(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
+        "doc_id", "text", n=5,
+    )
+    print("contaminated test docs:", contaminated.count())
+
+    # ------------------------------------------------------------------
+    # 4. Embedding pipeline: normalize -> PCA -> ANN
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import (
+        cosine_topk,
+        embedding_pca,
+        normalize_embeddings,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb_n = normalize_embeddings(emb, "embedding")
+    projected, comps, expl = embedding_pca(emb_n, "unit_vec", k=8,
+                                           out_col="pca_vec")
+    print(f"pca: {comps.shape[1]} components, "
+          f"explained[0]={expl[0]:.4f}")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    top = cosine_topk(emb, "vec_id", "embedding", q, k=3)
+    print("top-3 neighbours of vec 0:",
+          [(r["vec_id"], r["cosine"]) for r in top.collect()])
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
