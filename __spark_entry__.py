@@ -1687,6 +1687,63 @@ def _events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: daily event counts spread into one column per event type.
+    Explicit pivot values keep the plan single-pass (no distinct-values
+    pre-query) and the output schema static — required at scale and for
+    streaming parity."""
+    ev = _load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "day",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types],
+    ).orderBy("day")
+
+
+def _events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation — matches
+    DuckDB's quantile_cont). The exact path buffers per-group values;
+    the 100 TB path is the GK sketch in corpus_stats."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", 0.25), 4).alias("p25"),
+            F.round(F.percentile("value", 0.5), 4).alias("p50"),
+            F.round(F.percentile("value", 0.75), 4).alias("p75"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling window frame: 5-event trailing mean of value per user —
+    one shuffle on user_id, sort within partition, frame slide in a
+    single pass."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.avg("value").over(w), 4).alias("rolling_avg_5"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: mapInPandas feature extraction yields one row per media
     item with FEATURE_DIM features all inside [0,1]."""
@@ -1787,6 +1844,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _text_contamination,
         "corpus_sketch_stats": _corpus_sketch_stats,
         "emb_pca_invariants": _emb_pca_invariants,
+        "events_pivot_daily": _events_pivot_daily,
+        "events_value_quantiles": _events_value_quantiles,
+        "events_rolling_avg": _events_rolling_avg,
         "corpus_curation": _corpus_curation,
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
@@ -2633,6 +2693,32 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "events_pivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+            FROM events GROUP BY day ORDER BY day
+        """,
+        "events_value_quantiles": """
+            SELECT event_type,
+                   ROUND(quantile_cont(value, 0.25), 4) AS p25,
+                   ROUND(quantile_cont(value, 0.5), 4) AS p50,
+                   ROUND(quantile_cont(value, 0.75), 4) AS p75,
+                   COUNT(*) AS n
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "events_rolling_avg": """
+            SELECT event_id, user_id,
+                   ROUND(AVG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+                   ), 4) AS rolling_avg_5
+            FROM events
+            ORDER BY event_id
+        """,
         "text_training_shards": """
             WITH base AS (
                 SELECT doc_id,
