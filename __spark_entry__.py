@@ -1687,6 +1687,75 @@ def _events_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_scripts_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: CTAS and MERGE script generators emit the expected
+    clauses (schema columns, USING format, LOCATION, matched/not-matched
+    branches, time-travel clause) — the reference's script surface."""
+    from dbldatagen_spark import DataGenerator
+
+    gen = (
+        DataGenerator(spark, name="script_t", rows=10, partitions=2)
+        .withIdOutput()
+        .withColumn("code", "int", minValue=1, maxValue=5)
+        .withColumn("label", "string", values=["a", "b"])
+    )
+    ctas = gen.scriptTable(name="tgt_tbl", location="/data/tgt", tableFormat="delta")
+    merge = gen.scriptMerge(
+        "tgt_tbl",
+        "src_tbl",
+        joinExpr="tgt.id = src.id",
+        delExpr="src.label = 'drop'",
+        timeExpr="TIMESTAMP AS OF '2024-01-01'",
+    )
+    checks = [
+        "CREATE TABLE IF NOT EXISTS tgt_tbl" in ctas,
+        "code INT" in ctas and "label STRING" in ctas and "id BIGINT" in ctas,
+        "USING delta" in ctas and "LOCATION '/data/tgt'" in ctas,
+        "MERGE INTO tgt_tbl AS tgt" in merge,
+        "USING src_tbl TIMESTAMP AS OF '2024-01-01' AS src" in merge,
+        "WHEN MATCHED AND src.label = 'drop' THEN DELETE" in merge,
+        "WHEN MATCHED THEN UPDATE SET" in merge,
+        "WHEN NOT MATCHED THEN INSERT (id, code, label)" in merge,
+    ]
+    return spark.createDataFrame(
+        [tuple(bool(c) for c in checks)],
+        "ctas_header boolean, ctas_schema boolean, ctas_format_location boolean, "
+        "merge_header boolean, merge_time_travel boolean, merge_delete boolean, "
+        "merge_update boolean, merge_insert boolean",
+    )
+
+
+def _gen_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: saveToJson -> loadFromJson reconstructs a generator
+    that builds byte-identical data (mismatches = 0)."""
+    import os
+    import tempfile
+
+    from dbldatagen_spark import DataGenerator, LiteralRange
+
+    def mk() -> DataGenerator:
+        return (
+            DataGenerator(spark, name="ser_t", rows=2000, partitions=4,
+                          randomSeed=99)
+            .withIdOutput()
+            .withColumn("v", "int", minValue=0, maxValue=100, random=True)
+            .withColumn("w", "string", values=["x", "y", "z"], weights=[3, 2, 1])
+            .withColumn("d", "date", begin="2022-01-01", end="2022-12-31")
+            .withConstraint(LiteralRange("v", 0, 100))
+        )
+
+    src = mk()
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "gen.json")
+        src.saveToJson(path)
+        loaded = DataGenerator.loadFromJson(path, spark)
+        d1, d2 = src.build(), loaded.build()
+        mismatches = d1.exceptAll(d2).union(d2.exceptAll(d1)).count()
+    return spark.createDataFrame(
+        [(mismatches,)], "mismatches long"
+    )
+
+
 def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts spread into one column per event type.
     Explicit pivot values keep the plan single-pass (no distinct-values
@@ -1847,6 +1916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_pivot_daily": _events_pivot_daily,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
+        "gen_scripts_conformance": _gen_scripts_conformance,
+        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
         "corpus_curation": _corpus_curation,
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
@@ -2693,6 +2764,13 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "gen_scripts_conformance": (
+            "SELECT true AS ctas_header, true AS ctas_schema, "
+            "true AS ctas_format_location, true AS merge_header, "
+            "true AS merge_time_travel, true AS merge_delete, "
+            "true AS merge_update, true AS merge_insert"
+        ),
+        "gen_serialization_roundtrip": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "events_pivot_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
                    SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
