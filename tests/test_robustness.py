@@ -1,0 +1,162 @@
+"""Robustness: ANSI-mode invariance, wide schemas, boundary ranges.
+
+Mirrors the reference's test strategy (its core suite runs under an
+``ansi_enabled`` toggle fixture and ships a ``test_large_schema`` scale
+test) — generation here must produce identical bytes with ANSI on or
+off, and wide specs must survive codegen limits via select batching.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _fingerprint(df):
+    return sorted(map(str, df.collect()))
+
+
+@pytest.fixture()
+def ansi_toggle(spark):
+    orig = spark.conf.get("spark.sql.ansi.enabled")
+    yield spark
+    spark.conf.set("spark.sql.ansi.enabled", orig)
+
+
+def _representative_df(spark, partitions=6):
+    from dbldatagen_spark import (
+        ColumnSpec,
+        Normal,
+        PatternColumn,
+        RangeColumn,
+        TableSpec,
+        TimestampColumn,
+        UUIDColumn,
+        ValuesColumn,
+        WeightedValues,
+        Zipf,
+        generate_table,
+    )
+
+    t = TableSpec(
+        "ansi_t",
+        3000,
+        columns=[
+            ColumnSpec("a", RangeColumn(-100, 100), dtype="int"),
+            ColumnSpec("b", RangeColumn(0.0, 1.0, distribution=Normal()), dtype="double"),
+            ColumnSpec("z", RangeColumn(0, 10**6, distribution=Zipf(1.3)), dtype="long"),
+            ColumnSpec("w", ValuesColumn(["p", "q", "r"], WeightedValues([5, 3, 2]))),
+            ColumnSpec("u", UUIDColumn()),
+            ColumnSpec("pat", PatternColumn("X-{digit:6}-{hex:4}")),
+            ColumnSpec("ts", TimestampColumn("2020-01-01 00:00:00", "2024-12-31 23:59:59")),
+            ColumnSpec("dec", RangeColumn(0.0, 999.0), dtype="decimal(7,3)"),
+        ],
+        partitions=partitions,
+    )
+    return generate_table(spark, t, seed=17)
+
+
+class TestAnsiInvariance:
+    def test_generation_identical_under_ansi_toggle(self, ansi_toggle):
+        spark = ansi_toggle
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on = _fingerprint(_representative_df(spark))
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = _fingerprint(_representative_df(spark))
+        assert on == off
+
+    def test_v0_weighted_and_unique_under_ansi(self, ansi_toggle):
+        from dbldatagen_spark import DataGenerator
+
+        spark = ansi_toggle
+
+        def build():
+            return (
+                DataGenerator(spark, name="av0", rows=2000, partitions=4)
+                .withIdOutput()
+                .withColumn("k", "long", minValue=1, maxValue=10**12,
+                            uniqueValues=50000, random=True)
+                .withColumn("w", "string", values=["a", "b"], weights=[9, 1],
+                            random=True)
+                .build()
+            )
+
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        on = _fingerprint(build())
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = _fingerprint(build())
+        assert on == off
+
+
+class TestWideSchemas:
+    def test_120_column_table_builds(self, spark):
+        """Above spark.sql.codegen.maxFields (100) — select batching and
+        codegen fallback must both cope."""
+        from dbldatagen_spark import ColumnSpec, RangeColumn, TableSpec, generate_table
+
+        cols = [
+            ColumnSpec(f"c{i}", RangeColumn(0, 1000 + i), dtype="int")
+            for i in range(120)
+        ]
+        t = TableSpec("wide", 500, columns=cols, partitions=4)
+        df = generate_table(spark, t, seed=5)
+        assert len(df.columns) == 120
+        assert df.count() == 500
+        # spot-check determinism of the widest column
+        r1 = df.agg(F.sum("c119")).first()[0]
+        r2 = generate_table(spark, t, seed=5).agg(F.sum("c119")).first()[0]
+        assert r1 == r2
+
+    def test_v0_wide_multicolumn(self, spark):
+        from dbldatagen_spark import DataGenerator
+
+        df = (
+            DataGenerator(spark, name="widev0", rows=200, partitions=2)
+            .withColumn("f", "float", minValue=0.0, maxValue=1.0,
+                        numColumns=60)
+            .build()
+        )
+        assert len(df.columns) == 60
+        assert df.count() == 200
+
+
+class TestBoundaryRanges:
+    def test_int64_overflow_rejected_at_plan_time(self, spark):
+        from dbldatagen_spark import ColumnSpec, RangeColumn, TableSpec
+
+        with pytest.raises(Exception):
+            TableSpec(
+                "bad",
+                10,
+                columns=[
+                    ColumnSpec("x", RangeColumn(0, 2**63), dtype="long")
+                ],
+            )
+
+    def test_near_bound_long_range(self, spark):
+        from dbldatagen_spark import ColumnSpec, RangeColumn, TableSpec, generate_table
+
+        hi = 2**62
+        t = TableSpec(
+            "nb",
+            1000,
+            columns=[ColumnSpec("x", RangeColumn(hi - 10**6, hi), dtype="long")],
+            partitions=4,
+        )
+        df = generate_table(spark, t, seed=3)
+        mn, mx = df.agg(F.min("x"), F.max("x")).first()
+        assert hi - 10**6 <= mn <= mx <= hi
+
+    def test_sequence_overflow_rejected(self, spark):
+        from dbldatagen_spark import ColumnSpec, SequenceColumn, TableSpec
+
+        with pytest.raises(Exception):
+            TableSpec(
+                "seq_bad",
+                10**6,
+                columns=[
+                    ColumnSpec(
+                        "s",
+                        SequenceColumn(start=2**63 - 100, step=1),
+                        dtype="long",
+                    )
+                ],
+            )
