@@ -42,6 +42,19 @@ class OutputDataset:
     # the catalog, not in bare files).
     bucket_by: Optional[tuple] = None
     sort_by: Optional[list] = None
+    # [cols...]: repartitionByRange on these keys before writing, so each
+    # data file covers a contiguous key range (file-level min/max stats
+    # then prune point/range scans). The complementary layout lever to
+    # bucket_by: bucketing wins shuffle-free equi-joins, range layout wins
+    # time/key-range pruning. Sampled range boundaries keep files
+    # size-balanced even under key skew.
+    range_partition_by: Optional[list] = None
+    # with range_partition_by: also sort rows *within* each file by the
+    # same keys (min/max stats tighten to row-group granularity)
+    sort_within_files: bool = False
+    # explicit file count for range_partition_by (None = let AQE size
+    # the shuffle; explicit counts are exempt from AQE coalescing)
+    range_partitions: Optional[int] = None
 
     def __post_init__(self) -> None:
         if not self.location and not self.table:
@@ -54,6 +67,12 @@ class OutputDataset:
                 raise ValueError("bucket_by must be (num_buckets >= 1, [cols...])")
         if self.sort_by and not self.bucket_by:
             raise ValueError("sort_by requires bucket_by")
+        if self.range_partition_by is not None and self.bucket_by is not None:
+            raise ValueError("range_partition_by and bucket_by are exclusive")
+        if self.sort_within_files and not self.range_partition_by:
+            raise ValueError("sort_within_files requires range_partition_by")
+        if self.range_partitions is not None and not self.range_partition_by:
+            raise ValueError("range_partitions requires range_partition_by")
         if self.trigger is not None:
             allowed = {"processingTime", "once", "availableNow"}
             bad = set(self.trigger) - allowed
@@ -81,6 +100,15 @@ def write_data_to_output(df: DataFrame, output: OutputDataset):
         if output.table:
             return writer.toTable(output.table)
         return writer.start(output.location)
+    if output.range_partition_by:
+        if output.range_partitions:
+            df = df.repartitionByRange(
+                int(output.range_partitions), *output.range_partition_by
+            )
+        else:
+            df = df.repartitionByRange(*output.range_partition_by)
+        if output.sort_within_files:
+            df = df.sortWithinPartitions(*output.range_partition_by)
     writer = df.write.format(output.output_format).mode(output.mode)
     if output.partition_by:
         writer = writer.partitionBy(*output.partition_by)

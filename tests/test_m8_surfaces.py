@@ -335,3 +335,58 @@ def test_bucket_by_validation():
         OutputDataset(location="/tmp/x", bucket_by=(4, ["k"]))
     with pytest.raises(ValueError, match="sort_by requires bucket_by"):
         OutputDataset(table="t", sort_by=["k"])
+
+
+def test_range_partitioned_write_prunes_files(spark, tmp_path):
+    """range_partition_by lays files out in contiguous key ranges: a
+    point filter's parquet footer pruning then skips most files (checked
+    via per-file key min/max disjointness)."""
+    import pyarrow.parquet as pq
+
+    from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
+
+    df = spark.range(10000).selectExpr("id AS k", "id % 7 AS v").repartition(8)
+    path = str(tmp_path / "ranged")
+    write_data_to_output(
+        df,
+        OutputDataset(
+            location=path,
+            mode="overwrite",
+            range_partition_by=["k"],
+            sort_within_files=True,
+            range_partitions=6,
+        ),
+    )
+    import glob
+    files = sorted(glob.glob(f"{path}/*.parquet"))
+    assert len(files) > 1
+    spans = []
+    for f in files:
+        md = pq.read_metadata(f)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        spans.append((min(mins), max(maxs)))
+    spans.sort()
+    # contiguous, non-overlapping key ranges across files
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    # round-trip integrity
+    back = spark.read.parquet(path)
+    assert back.count() == 10000
+    assert back.agg({"k": "max"}).first()[0] == 9999
+
+
+def test_range_partition_validation(spark):
+    from dbldatagen_spark.sources.sinks import OutputDataset
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        OutputDataset(location="/tmp/x", sort_within_files=True)
+    with _pytest.raises(ValueError):
+        OutputDataset(
+            table="t", bucket_by=(4, ["k"]), range_partition_by=["k"]
+        )
