@@ -114,16 +114,40 @@ def shingled_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
 
 
 def _pair_jaccard(
-    shingled: DataFrame, id_col: str, *, threshold: float
+    shingled: DataFrame,
+    id_col: str,
+    *,
+    threshold: float,
+    max_posting_len: Optional[int] = None,
 ) -> DataFrame:
     """Inverted-index pair generation + exact Jaccard from a DataFrame of
-    ``(id, shingles: array<string>)``."""
+    ``(id, shingles: array<string>)``.
+
+    ``max_posting_len`` is the stop-shingle cut: shingles appearing in
+    more than that many documents are dropped from the *blocking* index
+    (Jaccard is still computed over full shingle sets). A shingle with a
+    d-document posting list contributes d^2 candidate pairs — one viral
+    boilerplate phrase at 100 TB is a cartesian explosion; capping bounds
+    per-shingle work at cap^2. Only pairs whose every common shingle is
+    that frequent are lost, and such pairs are overwhelmingly
+    boilerplate-only (below-threshold) matches.
+    """
     sizes = shingled.select(
         F.col(id_col), F.size("shingles").alias("_sz")
     )
     posting = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_sh")
     )
+    if max_posting_len is not None:
+        if max_posting_len < 2:
+            raise ValueError("max_posting_len must be >= 2")
+        keep = (
+            posting.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_posting_len)
+            .select("_sh")
+        )
+        posting = posting.join(keep, "_sh")
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
@@ -161,16 +185,20 @@ def ngram_jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.7,
+    max_posting_len: Optional[int] = None,
 ) -> DataFrame:
     """All document pairs with exact k-word-shingle Jaccard >= threshold.
 
     Blocking = the inverted index itself: only pairs sharing >= 1 shingle
-    are generated. At 100 TB add a stop-shingle cut (drop shingles with
-    posting lists above a cap) — the skew, not the total size, is what
-    hurts; ``minhash_near_duplicates`` is the cheaper path at that scale.
+    are generated. At 100 TB set ``max_posting_len`` (the stop-shingle
+    cut — see :func:`_pair_jaccard`): the skew, not the total size, is
+    what hurts; ``minhash_near_duplicates`` is the cheaper path at that
+    scale.
     """
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
-    return _pair_jaccard(shingled, id_col, threshold=threshold)
+    return _pair_jaccard(
+        shingled, id_col, threshold=threshold, max_posting_len=max_posting_len
+    )
 
 
 def minhash_signature_exprs(
@@ -213,9 +241,17 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     verify: bool = True,
     cache: bool = True,
+    max_bucket_len: Optional[int] = None,
 ) -> DataFrame:
     """MinHash + banded LSH candidate generation, then (by default) exact
     Jaccard verification of candidates.
+
+    ``max_bucket_len`` caps band-bucket population (the LSH analogue of
+    the stop-shingle cut): a bucket holding d docs emits d^2/2 candidate
+    pairs, and heavily templated corpora produce megadoc buckets. Docs in
+    an over-full bucket still pair through their other ``bands - 1``
+    buckets, so recall degrades gracefully rather than work exploding
+    quadratically.
 
     With ``bands=32`` over 64 hashes (2 rows/band), recall at J=0.7 is
     1-(1-0.7^2)^32 ≈ 1-5e-10 — the verified output is the exact
@@ -267,6 +303,16 @@ def minhash_near_duplicates(
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("_band", "_key")
     )
+    if max_bucket_len is not None:
+        if max_bucket_len < 2:
+            raise ValueError("max_bucket_len must be >= 2")
+        keep = (
+            buckets.groupBy("_band", "_key")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") <= max_bucket_len)
+            .select("_band", "_key")
+        )
+        buckets = buckets.join(keep, ["_band", "_key"])
     a = buckets.alias("a")
     b_ = buckets.alias("b")
     candidates = (

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from dbldatagen_spark.datagen import DataGenerator
 from dbldatagen_spark.sources.sinks import OutputDataset, write_data_to_output
 from dbldatagen_spark.streaming.stateful import (
+    global_dedup_with_state,
     session_window_agg,
     sessionize_with_state,
 )

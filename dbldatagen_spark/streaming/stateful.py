@@ -179,3 +179,84 @@ def sessionize_with_state(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+_DEDUP_STATE_SCHEMA = StructType([StructField("first_seen_us", LongType())])
+
+
+def global_dedup_with_state(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    ts_col: str = "ts",
+    normalize: bool = True,
+) -> DataFrame:
+    """Streaming global exact dedup: emit only the FIRST occurrence of
+    each distinct content across the whole stream (not per micro-batch,
+    not watermark-bounded — the reference's ``UniqueCombinations`` is
+    explicitly per-micro-batch-only in streams; this closes that gap).
+
+    Grouping key = sha256 of the (optionally normalized) content, so
+    state is one fixed-size row per distinct content and the shuffle
+    carries ``(hash, id, ts)`` — never the text. Unbounded-state caveat
+    documented on purpose: distinct-content cardinality grows with the
+    corpus, so at 100 TB pair this with RocksDB state store and/or an
+    upstream watermark-bounded pre-dedup.
+
+    Works identically on a batch DataFrame (keeps min-ts row per content).
+    """
+    from dbldatagen_spark.functions.dedup import normalize_text_expr
+
+    content = F.col(text_col)
+    if normalize:
+        content = normalize_text_expr(content)
+    keyed = df.select(
+        F.sha2(content, 256).alias("_content_key"),
+        F.col(id_col).alias("doc_id"),
+        F.col(ts_col).alias("_ts"),
+    )
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_content_key").orderBy("_ts", "doc_id")
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("doc_id", F.col("_ts").alias("first_seen_ts"))
+        )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("first_seen_ts", TimestampType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            yield pd.DataFrame({"doc_id": [], "first_seen_ts": []}).astype(
+                {"doc_id": "int64", "first_seen_ts": "datetime64[ns]"}
+            )
+            return
+        rows = pd.concat(list(pdfs)).sort_values(["_ts", "doc_id"])
+        first = rows.iloc[0]
+        t_us = int(pd.Timestamp(first["_ts"]).value // 1000)
+        state.update((t_us,))
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(first["doc_id"])],
+                "first_seen_ts": [pd.Timestamp(first["_ts"])],
+            }
+        )
+
+    return keyed.groupBy("_content_key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

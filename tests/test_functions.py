@@ -729,3 +729,40 @@ def test_embedding_moments_match_numpy(spark):
     assert n == 200
     assert np.allclose(mean, data.mean(axis=0), atol=1e-12)
     assert np.allclose(cov, np.cov(data.T, bias=True), atol=1e-10)
+
+
+def test_stop_shingle_cap(spark):
+    from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+    # doc 1/2 share a distinctive shingle; docs 3..8 share only one
+    # viral boilerplate shingle ("join our mailing list")
+    boiler = "join our mailing list"
+    rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")]
+    rows += [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(3, 9)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    capped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=3
+    )
+    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the distinctive pair survives the cap
+    assert (1, 2) in cp
+    # boilerplate-only pairs (blocked solely by the 6-doc shingle) are cut
+    assert any(a >= 3 for a, _ in un)
+    assert not any(a >= 3 for a, _ in cp)
+    # generous cap reproduces the uncapped result exactly
+    wide = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=1000
+    )
+    assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == un
+
+
+def test_minhash_bucket_cap(spark, docs):
+    from dbldatagen_spark.functions import minhash_near_duplicates
+
+    base = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    wide = minhash_near_duplicates(
+        docs, "doc_id", "text", threshold=0.5, max_bucket_len=10_000
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, wide.collect()))

@@ -232,3 +232,62 @@ def test_windowed_event_counts_stream_matches_batch(spark, events, tmp_path):
         ["window_start", "event_type", "n_events", "value_sum"],
     )
     assert joined.count() == n_got
+
+
+def test_global_dedup_with_state_stream(spark, tmp_path):
+    """Streaming global exact dedup: across micro-batches, exactly one
+    emission per distinct content — the first by (ts, doc_id)."""
+    import datetime as dt
+
+    from dbldatagen_spark.streaming.stateful import global_dedup_with_state
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "hello world", t0),
+        (2, "hello  WORLD", t0 + dt.timedelta(minutes=1)),   # dup of 1 (normalized)
+        (3, "something else", t0 + dt.timedelta(minutes=2)),
+        (4, "hello world", t0 + dt.timedelta(minutes=3)),    # dup of 1
+        (5, "third thing", t0 + dt.timedelta(minutes=4)),
+        (6, "something else", t0 + dt.timedelta(minutes=5)), # dup of 3
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "ts"])
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # two files -> at least two micro-batches worth of backlog
+    df.where("doc_id <= 3").coalesce(1).write.parquet(src)
+    df.where("doc_id > 3").coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    deduped = global_dedup_with_state(stream, "doc_id", "text")
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == [1, 3, 5]
+
+
+def test_global_dedup_with_state_batch(spark):
+    import datetime as dt
+
+    from dbldatagen_spark.streaming.stateful import global_dedup_with_state
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (10, "a b c", t0 + dt.timedelta(minutes=5)),
+            (11, "a  b  c", t0),          # earlier dup wins
+            (12, "x y", t0 + dt.timedelta(minutes=1)),
+        ],
+        ["doc_id", "text", "ts"],
+    )
+    got = sorted(r["doc_id"] for r in global_dedup_with_state(df, "doc_id", "text").collect())
+    assert got == [11, 12]
