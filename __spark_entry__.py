@@ -531,6 +531,41 @@ def _corpus_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("lang")
 
 
+def _ann_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invariant: distributed Lloyd's k-means (k=16) converges (inertia
+    non-increasing), uses every cell, and IVF probing 4 learned cells
+    recovers >= 6 of the exact cosine top-10 (measured 9-10 at both
+    gate SFs; the algorithm is deterministic — init is the first k
+    vectors by id)."""
+    from dbldatagen_spark.functions import (
+        cosine_topk,
+        ivf_ann_topk,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents, hist = kmeans_fit(emb, "embedding", k=16, id_col="vec_id", max_iter=5)
+    monotone = all(hist[i] >= hist[i + 1] - 1e-6 for i in range(len(hist) - 1))
+    assigned = kmeans_assign(emb, "embedding", cents)
+    n_cells = assigned.select("cell").distinct().count()
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    exact = {
+        r["vec_id"]
+        for r in cosine_topk(emb, "vec_id", "embedding", q, k=10).collect()
+    }
+    approx = {
+        r["vec_id"]
+        for r in ivf_ann_topk(
+            assigned, "vec_id", "embedding", q, k=10, cell_col="cell", n_probe=4
+        ).collect()
+    }
+    return spark.createDataFrame(
+        [(bool(monotone), int(n_cells), len(exact & approx) >= 6)],
+        "inertia_monotone boolean, cells_used int, recall_ok boolean",
+    )
+
+
 def _emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: distributed PCA (k=8 over the 64-d embeddings) yields
     orthonormal components, descending explained variance, projections
@@ -1913,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _text_contamination,
         "corpus_sketch_stats": _corpus_sketch_stats,
         "emb_pca_invariants": _emb_pca_invariants,
+        "ann_kmeans_ivf": _ann_kmeans_ivf,
         "events_pivot_daily": _events_pivot_daily,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
@@ -2763,6 +2799,10 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(8 AS INTEGER) AS n_components, true AS orthonormal, "
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
+        ),
+        "ann_kmeans_ivf": (
+            "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
+            "true AS recall_ok"
         ),
         "gen_scripts_conformance": (
             "SELECT true AS ctas_header, true AS ctas_schema, "

@@ -31,6 +31,8 @@ from dbldatagen_spark.functions.similarity import (
     embedding_pca,
     ivf_ann_topk,
     ivf_centroids,
+    kmeans_assign,
+    kmeans_fit,
     knn_join,
     lsh_bucket_ann_topk,
     normalize_embeddings,
@@ -76,6 +78,8 @@ __all__ = [
     "embedding_pca",
     "ivf_ann_topk",
     "ivf_centroids",
+    "kmeans_assign",
+    "kmeans_fit",
     "knn_join",
     "detect_language",
     "deterministic_sample",

@@ -372,3 +372,135 @@ def embedding_pca(
         proj_cols.append(dot - F.lit(center))
     projected = df.withColumn(out_col, F.array(*proj_cols))
     return projected, components, explained
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str,
+    k: int,
+    *,
+    id_col: Optional[str] = None,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+):
+    """Distributed Lloyd's k-means over a vector column: returns
+    ``(centroids, inertia_history)`` — a (k, d) numpy array and the
+    per-iteration sum of squared distances (non-increasing).
+
+    Deterministic init: the k vectors with the smallest ``id_col``
+    values (first k rows if no id column) — reproducible across runs
+    and partitionings, unlike random sampling.
+
+    Scale shape per iteration: one ``mapInPandas`` pass computes each
+    partition's per-cell (count, component-sum, inertia) partials with
+    vectorized numpy (centroids ride along in the closure — k·d floats);
+    the driver reduces ``partitions x k`` small rows and updates. Total
+    driver traffic per iteration is O(partitions · k · d) — independent
+    of row count, the same tree-aggregate shape as
+    :func:`embedding_moments`. Empty cells keep their previous centroid.
+    """
+    import pandas as pd
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order = [F.col(id_col)] if id_col else []
+    seed_rows = (
+        df.select(*([F.col(id_col)] if id_col else []), F.col(vec_col))
+        .orderBy(*order)
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
+    centroids = np.vstack([np.asarray(r[vec_col], dtype=float) for r in seed_rows])
+    d = centroids.shape[1]
+    vecs = df.select(F.col(vec_col))
+
+    inertia_history = []
+    prev = None
+    for _ in range(max_iter):
+        cents = centroids.copy()
+
+        def partial(batches, _c=cents):
+            counts = np.zeros(k)
+            sums = np.zeros((k, d))
+            inertia = 0.0
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                # squared euclidean distance to every centroid, vectorized
+                d2 = (
+                    (mat * mat).sum(axis=1)[:, None]
+                    - 2.0 * mat @ _c.T
+                    + (_c * _c).sum(axis=1)[None, :]
+                )
+                cell = d2.argmin(axis=1)
+                inertia += float(d2[np.arange(len(mat)), cell].sum())
+                np.add.at(counts, cell, 1)
+                np.add.at(sums, cell, mat)
+            yield pd.DataFrame(
+                {
+                    "cell": range(k),
+                    "n": counts.astype("int64"),
+                    "s": [row.tolist() for row in sums],
+                    "inertia": [inertia] + [0.0] * (k - 1),
+                }
+            )
+
+        parts = vecs.mapInPandas(
+            partial, "cell int, n long, s array<double>, inertia double"
+        ).collect()
+        counts = np.zeros(k)
+        sums = np.zeros((k, d))
+        inertia = 0.0
+        for r in parts:
+            counts[r["cell"]] += r["n"]
+            sums[r["cell"]] += np.asarray(r["s"])
+            inertia += r["inertia"]
+        inertia_history.append(inertia)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+        if prev is not None and prev - inertia <= tol * max(prev, 1.0):
+            break
+        prev = inertia
+    return centroids, inertia_history
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids,
+    *,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the nearest-centroid index for each vector (the IVF coarse
+    quantizer). One vectorized ``mapInPandas`` pass; the (k, d) centroid
+    matrix travels in the closure."""
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=float)
+    fields = df.schema.fieldNames()
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = (
+                (mat * mat).sum(axis=1)[:, None]
+                - 2.0 * mat @ cents.T
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            pdf = pdf.copy()
+            pdf[out_col] = d2.argmin(axis=1).astype("int32")
+            yield pdf
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    # copy the field list: StructType.add mutates in place, and reusing
+    # df.schema's own list would graft the new column onto the source df
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType())]
+    )
+    return df.mapInPandas(assign, schema).select(*fields, out_col)

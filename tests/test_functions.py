@@ -766,3 +766,33 @@ def test_minhash_bucket_cap(spark, docs):
         docs, "doc_id", "text", threshold=0.5, max_bucket_len=10_000
     )
     assert sorted(map(tuple, base.collect())) == sorted(map(tuple, wide.collect()))
+
+
+def test_kmeans_fit_and_assign(spark, emb):
+    import numpy as np
+    from dbldatagen_spark.functions import kmeans_assign, kmeans_fit
+
+    cents, hist = kmeans_fit(emb, "embedding", k=4, id_col="vec_id", max_iter=6)
+    assert cents.shape == (4, 64)
+    # Lloyd's never increases inertia
+    assert all(hist[i] >= hist[i + 1] - 1e-6 for i in range(len(hist) - 1))
+    assigned = kmeans_assign(emb, "embedding", cents)
+    cells = [r["cell"] for r in assigned.select("cell").distinct().collect()]
+    assert set(cells) <= {0, 1, 2, 3}
+    # source frame must NOT have been mutated by the schema append
+    assert "cell" not in emb.columns
+    # assignment is the argmin: spot-check one row against numpy
+    row = assigned.where("vec_id = 5").first()
+    v = np.asarray(row["embedding"], dtype=float)
+    d2 = ((cents - v) ** 2).sum(axis=1)
+    assert row["cell"] == int(d2.argmin())
+
+
+def test_kmeans_partition_invariance(spark, emb):
+    import numpy as np
+    from dbldatagen_spark.functions import kmeans_fit
+
+    c1, h1 = kmeans_fit(emb.repartition(2), "embedding", k=3, id_col="vec_id", max_iter=4)
+    c2, h2 = kmeans_fit(emb.repartition(9), "embedding", k=3, id_col="vec_id", max_iter=4)
+    assert np.allclose(c1, c2, atol=1e-9)
+    assert np.allclose(h1, h2, rtol=1e-12)
