@@ -74,8 +74,26 @@ from dbldatagen_spark.operators.templates import (
     ILText,
     PyfuncText,
     PyfuncTextFactory,
+    TemplateGenerator,
+    TextGenerator,
     fakerText,
 )
+from dbldatagen_spark.datasets.registry import Datasets, DatasetProvider, dataset_definition
+import dbldatagen_spark.datasets.providers  # noqa: F401  (registers providers)
+from dbldatagen_spark.compat import (
+    DEFAULT_RANDOM_SEED,
+    RANDOM_SEED_FIXED,
+    RANDOM_SEED_HASH_FIELD_NAME,
+    RANDOM_SEED_RANDOM,
+    ColumnGeneratorBuilder,
+    ColumnSpecOptions,
+    DataGenError,
+    HtmlUtils,
+    SparkSingleton,
+    ensure,
+    topologicalSort,
+)
+from dbldatagen_spark.datagen import _V0Column as ColumnGenerationSpec
 from dbldatagen_spark.datagen import (
     DateRange,
     NRange,
@@ -97,8 +115,25 @@ __version__ = "0.1.0"
 
 __all__ = [
     "ChainedRelation",
+    "ColumnGenerationSpec",
+    "ColumnGeneratorBuilder",
+    "ColumnSpecOptions",
     "Constraint",
+    "DataGenError",
     "DataGenerator",
+    "DatasetProvider",
+    "Datasets",
+    "DEFAULT_RANDOM_SEED",
+    "HtmlUtils",
+    "RANDOM_SEED_FIXED",
+    "RANDOM_SEED_HASH_FIELD_NAME",
+    "RANDOM_SEED_RANDOM",
+    "SparkSingleton",
+    "TemplateGenerator",
+    "TextGenerator",
+    "dataset_definition",
+    "ensure",
+    "topologicalSort",
     "INFER_DATATYPE",
     "LiteralRange",
     "LiteralRelation",

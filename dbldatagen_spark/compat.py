@@ -1,0 +1,186 @@
+"""Reference top-level API parity: the names a ``dbldatagen`` user
+imports from the package root that have no structural counterpart in
+this engine's own module layout.
+
+Surface matched: reference ``dbldatagen/__init__.py:26-78`` — utility
+functions (``utils.py:86-183``), constants (``datagen_constants.py``),
+``SparkSingleton`` (``spark_singleton.py``), ``HtmlUtils``
+(``html_utils.py:12-100``), ``ColumnGeneratorBuilder``
+(``function_builder.py:29-133``). Implementations original.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Iterable, List, Optional, Sequence, Set, Tuple, Union
+
+DEFAULT_RANDOM_SEED = 42
+RANDOM_SEED_RANDOM = -1
+RANDOM_SEED_FIXED = "fixed"
+RANDOM_SEED_HASH_FIELD_NAME = "hash_fieldname"
+
+
+class DataGenError(Exception):
+    """Raised for spec/validation errors (reference ``utils.py:60-83``)."""
+
+    def __init__(self, msg: str, baseException: Optional[Exception] = None):
+        super().__init__(msg)
+        self.msg = msg
+        self.baseException = baseException
+
+
+def ensure(cond: Any, msg: str = "condition does not hold true") -> None:
+    """Raise :class:`DataGenError` unless ``cond`` is truthy."""
+    if not cond:
+        raise DataGenError(msg)
+
+
+def topologicalSort(
+    sources: Iterable[Tuple[str, Union[Set[str], Sequence[str]]]],
+    initial_columns: Optional[List[str]] = None,
+    flatten: bool = True,
+):
+    """Kahn topological sort over ``(name, dependencies)`` pairs.
+
+    Returns a flat name list (``flatten=True``) or a list of levels —
+    each level's entries depend only on earlier levels. Declaration
+    order is preserved within a level; cycles raise
+    :class:`DataGenError`. ``initial_columns`` are forced first and
+    treated as already satisfied.
+    """
+    pairs = [(name, set(deps)) for name, deps in sources]
+    known = {name for name, _ in pairs}
+    done: Set[str] = set(initial_columns or [])
+    levels: List[List[str]] = [list(initial_columns)] if initial_columns else []
+    remaining = [(n, {d for d in deps if d in known and d != n} - done)
+                 for n, deps in pairs if n not in done]
+    while remaining:
+        level = [n for n, deps in remaining if not deps]
+        if not level:
+            cyc = ", ".join(sorted(n for n, _ in remaining))
+            raise DataGenError(f"cycle or unresolved dependency among: {cyc}")
+        levels.append(level)
+        done.update(level)
+        remaining = [
+            (n, deps - done) for n, deps in remaining if n not in done
+        ]
+    if flatten:
+        return [n for level in levels for n in level]
+    return levels
+
+
+class SparkSingleton:
+    """Shared-session helper (reference ``spark_singleton.py``)."""
+
+    @classmethod
+    def getInstance(cls):
+        from pyspark.sql import SparkSession
+
+        return SparkSession.builder.getOrCreate()
+
+    @classmethod
+    def getLocalInstance(cls, appName: str = "new Spark session",
+                         useAllCores: bool = True):
+        from pyspark.sql import SparkSession
+
+        import os
+
+        cores = os.cpu_count() or 4
+        master = f"local[{cores if useAllCores else max(cores // 2, 1)}]"
+        return (
+            SparkSession.builder.master(master)
+            .appName(appName)
+            .config("spark.sql.warehouse.dir", "/tmp/spark-warehouse")
+            .getOrCreate()
+        )
+
+
+class HtmlUtils:
+    """Notebook HTML formatting (reference ``html_utils.py:12-100``)."""
+
+    @staticmethod
+    def formatCodeAsHtml(codeText: str) -> str:
+        """Wrap preformatted code in ``<pre><code>`` with a copy button."""
+        return f"""<h3>Generated Code</h3>
+<div style="outline: 1px dashed blue;"><p><pre><code id="generated_code">
+{codeText}
+</code></pre></p></div>
+<p><button type="button" onclick="dbldatagen_copy_code_to_clipboard()">Copy code to clipboard!</button></p>
+<script>
+function dbldatagen_copy_code_to_clipboard() {{
+   try {{
+     var r = document.createRange();
+     r.selectNode(document.getElementById("generated_code"));
+     window.getSelection().removeAllRanges();
+     window.getSelection().addRange(r);
+     document.execCommand('copy');
+     window.getSelection().removeAllRanges();
+   }}
+   catch {{}}
+}}
+</script>
+"""
+
+    @staticmethod
+    def formatTextAsHtml(textContent: str, title: str = "Output") -> str:
+        """Wrap plain text in a titled ``<pre>`` block."""
+        return f"""<h3>{title}</h3>
+<div style="outline: 1px dashed blue;"><p><pre id="message_text">
+{textContent}
+</pre></p></div>
+"""
+
+
+class ColumnGeneratorBuilder:
+    """Weighted-values SQL CASE builder (reference
+    ``function_builder.py:29-133``)."""
+
+    @classmethod
+    def _mkCdfProbabilities(cls, weights: Sequence[float]) -> List[float]:
+        total = float(sum(weights))
+        return [x / total for x in itertools.accumulate(weights)]
+
+    @classmethod
+    def mkExprChoicesFn(
+        cls, values: Sequence[Any], weights: Sequence[float],
+        seed_column: str, datatype,
+    ) -> str:
+        from pyspark.sql.types import DateType, StringType, TimestampType
+
+        quoted = isinstance(datatype, (StringType, DateType, TimestampType))
+
+        def lit(v: Any) -> str:
+            if quoted:
+                return "'" + str(v).replace("'", "\\'") + "'"
+            return str(v)
+
+        cdf = cls._mkCdfProbabilities(weights)
+        lines = [" CASE "]
+        for v, p in zip(values, cdf):
+            lines.append(f" when {seed_column} <= {p} then {lit(v)} ")
+        lines.append(f"else {lit(values[-1])}")
+        lines.append("end")
+        return "\n".join(lines)
+
+
+class ColumnSpecOptions:
+    """Validated option holder (reference ``column_spec_options.py:16``):
+    normalizes snake_case aliases and rejects unknown option names."""
+
+    def __init__(self, props: dict, **kwargs: Any):
+        from dbldatagen_spark.datagen import _KNOWN_OPTIONS, _OPTION_ALIASES
+
+        merged = dict(props or {})
+        merged.update(kwargs)
+        self.options = {}
+        for k, v in merged.items():
+            canonical = _OPTION_ALIASES.get(k, k)
+            if canonical not in _KNOWN_OPTIONS:
+                raise DataGenError(f"unknown column spec option: {k!r}")
+            self.options[canonical] = v
+
+    def getOrElse(self, key: str, default: Any = None) -> Any:
+        return self.options.get(key, default)
+
+    def __getitem__(self, key: str) -> Any:
+        return self.options[key]

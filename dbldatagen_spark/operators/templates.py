@@ -545,3 +545,46 @@ class FakerText:
 def fakerText(method: str, locale: Optional[str] = None, **_kw) -> FakerText:
     """v0-compatible sugar for ``FakerTextFactory``-style usage."""
     return FakerText(method, locale)
+
+
+class TextGenerator:
+    """Base marker for text generator objects accepted by
+    ``withColumn(..., text=...)`` (reference ``text_generators.py:248``).
+    Subclasses implement ``make_expr(seed_col, base_col)``."""
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        raise NotImplementedError
+
+    def withRandomSeed(self, seed: int) -> "TextGenerator":
+        """Reference-compat no-op: seeding here flows from the engine's
+        column seed, not per-generator state."""
+        return self
+
+
+class TemplateGenerator(TextGenerator):
+    """Object form of the v0 template language, for
+    ``withColumn(..., text=TemplateGenerator("ddd-ddd-dddd"))`` —
+    equivalent to passing ``template=`` (reference
+    ``text_generators.py:413-995``)."""
+
+    def __init__(self, template: str, escapeSpecialChars: bool = False):
+        self.template = template
+        self.escapeSpecialChars = escapeSpecialChars
+        self._compiled = compile_template(template, escapeSpecialChars)
+
+    @property
+    def templates(self) -> List["CompiledTemplate"]:
+        """The compiled ``|``-separated alternatives."""
+        return list(self._compiled)
+
+    def pandasGenerateText(self, v: "pd.Series") -> "pd.Series":
+        """Vectorized expansion over a pandas Series of base values
+        (seeds derive from the positional index — standalone use; inside
+        the engine the partition-independent cell seed drives expansion)."""
+        seeds = np.asarray(v.index, dtype=np.int64)
+        return expand_templates(self._compiled, seeds, v)
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        return template_udf_expr(
+            self.template, seed_col, base_col, self.escapeSpecialChars
+        )
