@@ -115,10 +115,13 @@ def main() -> None:
         "q1_pricing_summary",
         "q3_top_revenue",
         "q5_region_revenue",
+        "q9_product_profit",
         "dedup_exact",
         "dedup_minhash_lsh",
         "events_sessionize",
+        "events_rolling_avg",
         "text_quality",
+        "text_vocabulary",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}
