@@ -928,6 +928,10 @@ class DataGenerator:
         sql = f"CREATE TABLE IF NOT EXISTS {name or self.name} (\n{cols}\n)\nUSING {tableFormat}"
         if location:
             sql += f"\nLOCATION '{location}'"
+        if asHtml:
+            from dbldatagen_spark.compat import HtmlUtils
+
+            return HtmlUtils.formatCodeAsHtml(sql)
         return sql
 
     def scriptMerge(
@@ -942,6 +946,7 @@ class DataGenerator:
         updateColumns: Optional[Sequence[str]] = None,
         insertColumns: Optional[Sequence[str]] = None,
         timeExpr: Optional[str] = None,
+        asHtml: bool = False,
     ) -> str:
         fields = [n for n, _ in self._output_fields()]
         update_cols = list(updateColumns or fields)
@@ -969,7 +974,12 @@ class DataGenerator:
             f"WHEN NOT MATCHED THEN INSERT ({', '.join(insert_cols)}) "
             f"VALUES ({insert_vals})"
         )
-        return "\n".join(sql)
+        out = "\n".join(sql)
+        if asHtml:
+            from dbldatagen_spark.compat import HtmlUtils
+
+            return HtmlUtils.formatCodeAsHtml(out)
+        return out
 
 
 class NRange:

@@ -104,3 +104,14 @@ def test_pandas_generate_text_standalone():
     out = tg.pandasGenerateText(pd.Series(["x", "y", "z"]))
     assert len(out) == 3
     assert all("@" in s and s.endswith(".com") for s in out)
+
+
+def test_script_as_html(spark):
+    gen = (
+        dg.DataGenerator(spark, name="h", rows=10)
+        .withColumn("a", "int", minValue=1, maxValue=5)
+    )
+    html = gen.scriptTable(name="t1", asHtml=True)
+    assert "CREATE TABLE IF NOT EXISTS t1" in html and "<pre>" in html
+    mhtml = gen.scriptMerge("t1", "s1", joinExpr="tgt.a = src.a", asHtml=True)
+    assert "MERGE INTO t1" in mhtml and "Copy code" in mhtml
