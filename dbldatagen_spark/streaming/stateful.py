@@ -238,9 +238,9 @@ def global_dedup_with_state(
         key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterable[pd.DataFrame]:
         if state.exists:
-            yield pd.DataFrame({"doc_id": [], "first_seen_ts": []}).astype(
-                {"doc_id": "int64", "first_seen_ts": "datetime64[ns]"}
-            )
+            # content already emitted in an earlier batch: yield nothing
+            # (an empty all-NA frame would also work but trips pandas
+            # concat dtype warnings in the Arrow serializer)
             return
         rows = pd.concat(list(pdfs)).sort_values(["_ts", "doc_id"])
         first = rows.iloc[0]
