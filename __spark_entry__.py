@@ -613,6 +613,28 @@ def _emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (shared explode feeds tf and df;
+    df broadcast back; per-doc top-k rides the tf partitioning)."""
+    from dbldatagen_spark.functions import tfidf_terms
+
+    docs = _load(spark, sf_dir, "documents")
+    return tfidf_terms(docs, "doc_id", "text", top_k_per_doc=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a fixed query (query-term filter precedes all
+    aggregation; posting lists for other terms never exist)."""
+    from dbldatagen_spark.functions import bm25_search
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", "window column scan", top_k=20
+    )
+
+
 def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs collapsed to duplicate clusters: each doc labelled
     with the min doc_id reachable through the >=0.5-Jaccard pair graph
@@ -1665,10 +1687,12 @@ def _emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid of the embedding vectors (posexplode + group avg) —
     the reduce step of IVF index construction."""
     emb = _load(spark, sf_dir, "embeddings")
+    # + 0.0 collapses IEEE negative zero (-0.0 rounds can differ between
+    # engines' renderers even though the values compare equal)
     return (
         emb.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
-        .agg(F.round(F.avg("v"), 4).alias("centroid_v"))
+        .agg((F.round(F.avg("v"), 4) + F.lit(0.0)).alias("centroid_v"))
         .orderBy("label", "dim")
     )
 
@@ -1947,6 +1971,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_shards": _text_training_shards,
         "text_contamination": _text_contamination,
         "corpus_sketch_stats": _corpus_sketch_stats,
+        "text_tfidf": _text_tfidf,
+        "text_bm25_search": _text_bm25_search,
         "emb_pca_invariants": _emb_pca_invariants,
         "ann_kmeans_ivf": _ann_kmeans_ivf,
         "events_pivot_daily": _events_pivot_daily,
@@ -2578,7 +2604,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "emb_label_centroids": """
             SELECT label, CAST(ord - 1 AS INTEGER) AS dim,
-                   ROUND(AVG(v), 4) AS centroid_v
+                   ROUND(AVG(v), 4) + 0 AS centroid_v
             FROM (SELECT label, unnest(embedding) AS v,
                          generate_subscripts(embedding, 1) AS ord
                   FROM embeddings)
@@ -2800,6 +2826,70 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "text_tfidf": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ),
+            toks_f AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf
+                FROM toks_f GROUP BY doc_id, token
+            ),
+            docfreq AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df
+                FROM toks_f GROUP BY token
+            ),
+            n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.token, tf.tf, docfreq.df,
+                       ROUND(tf.tf * ln(n.n_docs / docfreq.df), 4) AS tfidf
+                FROM tf JOIN docfreq USING (token) CROSS JOIN n
+            ),
+            ranked AS (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY doc_id ORDER BY tfidf DESC, token ASC
+                ) AS rank
+                FROM scored
+            )
+            SELECT doc_id, token, tf, df, tfidf, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 3
+            ORDER BY doc_id, rank
+        """,
+        "text_bm25_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+                FROM documents
+            ),
+            doclen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+            stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS n_docs FROM doclen),
+            hits AS (
+                SELECT doc_id, token FROM toks
+                WHERE token IN ('window', 'column', 'scan')
+            ),
+            tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM hits GROUP BY doc_id, token
+            ),
+            docfreq AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY token
+            )
+            SELECT tf.doc_id,
+                   ROUND(SUM(
+                       ln(1.0 + (stats.n_docs - docfreq.df + 0.5) / (docfreq.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * doclen.dl / stats.avgdl))
+                   ), 4) AS bm25,
+                   COUNT(*) AS n_terms_matched
+            FROM tf
+            JOIN docfreq USING (token)
+            JOIN doclen ON tf.doc_id = doclen.doc_id
+            CROSS JOIN stats
+            GROUP BY tf.doc_id
+            ORDER BY bm25 DESC, tf.doc_id ASC
+            LIMIT 20
+        """,
         "ann_kmeans_ivf": (
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"

@@ -49,8 +49,10 @@ from dbldatagen_spark.functions.sampling import (
 from dbldatagen_spark.functions.dedup import ngram_contamination
 from dbldatagen_spark.functions.text_analysis import (
     assign_training_shards,
+    bm25_search,
     chunk_documents,
     corpus_stats,
+    tfidf_terms,
     detect_language,
     document_fingerprint,
     ngram_counts,
@@ -62,7 +64,9 @@ from dbldatagen_spark.functions.text_analysis import (
 __all__ = [
     "asof_join",
     "assign_training_shards",
+    "bm25_search",
     "corpus_stats",
+    "tfidf_terms",
     "ngram_contamination",
     "ngram_counts",
     "token_vocabulary",

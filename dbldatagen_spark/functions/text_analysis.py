@@ -335,3 +335,109 @@ def chunk_documents(
             ).alias("n_tokens"),
         )
     )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k_per_doc: int = 5,
+) -> DataFrame:
+    """Top TF-IDF terms per document: ``tf * ln(N / df)`` over lowercased
+    whitespace tokens.
+
+    One explode feeds both the term-frequency aggregate and the
+    document-frequency aggregate; df is per-token (tiny — vocabulary
+    sized) and broadcasts back onto the tf rows, so the only large
+    shuffle is the tf groupBy. The per-doc top-k is a window over the
+    tf partitioning key — no extra exchange.
+    """
+    from pyspark.sql import Window
+
+    base = ensure_parallelism(df).select(
+        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+    ).where(F.col("token") != "")
+    tf = base.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("_n"))
+    docfreq = base.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(docfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 4),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("token")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k_per_doc)
+        .select(id_col, "token", "tf", "df", "tfidf", "rank")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query: str,
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25-ranked document retrieval for a free-text query.
+
+    Classic Robertson/Sparck-Jones BM25 with the standard smoothed IDF
+    ``ln(1 + (N - df + 0.5) / (df + 0.5))``. The query's terms filter
+    the exploded tokens BEFORE any aggregation — posting lists for
+    non-query terms are never built — and every post-filter aggregate
+    (df per query term, avgdl scalar) is broadcast-sized. Scoring is
+    one groupBy over (doc, term) hits; ranking is a TakeOrdered top-k.
+    """
+    terms = [t for t in query.lower().split() if t]
+    if not terms:
+        raise ValueError("query must contain at least one term")
+    base = ensure_parallelism(df).select(
+        F.col(id_col),
+        F.explode(tokens_expr(F.col(text_col))).alias("token"),
+    )
+    doclen = base.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("dl")
+    )
+    stats = doclen.agg(
+        F.avg("dl").alias("avgdl"), F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    hits = base.where(F.col("token").isin(terms))
+    tf = hits.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    docfreq = hits.groupBy("token").agg(
+        F.countDistinct(id_col).cast("long").alias("df")
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(docfreq), "token")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum(contrib), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+        )
+        .orderBy(F.desc("bm25"), F.asc(id_col))
+        .limit(top_k)
+    )

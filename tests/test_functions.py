@@ -796,3 +796,52 @@ def test_kmeans_partition_invariance(spark, emb):
     c2, h2 = kmeans_fit(emb.repartition(9), "embedding", k=3, id_col="vec_id", max_iter=4)
     assert np.allclose(c1, c2, atol=1e-9)
     assert np.allclose(h1, h2, rtol=1e-12)
+
+
+def test_tfidf_terms(spark):
+    import math
+
+    from dbldatagen_spark.functions import tfidf_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = tfidf_terms(df, "doc_id", "text", top_k_per_doc=2).collect()
+    by = {(r["doc_id"], r["token"]): r for r in rows}
+    # apple: tf=2 in doc1, df=1, N=3 -> 2*ln(3)
+    assert abs(by[(1, "apple")]["tfidf"] - round(2 * math.log(3), 4)) < 1e-9
+    assert by[(1, "apple")]["rank"] == 1
+    # banana appears in 2 docs -> idf = ln(3/2)
+    assert abs(by[(2, "banana")]["tfidf"] - round(math.log(1.5), 4)) < 1e-9
+    # durian: tf=3, df=1
+    assert abs(by[(3, "durian")]["tfidf"] - round(3 * math.log(3), 4)) < 1e-9
+
+
+def test_bm25_search(spark):
+    from dbldatagen_spark.functions import bm25_search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark shuffle spark"),
+            (2, "spark is a framework"),
+            (3, "nothing relevant here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = bm25_search(df, "doc_id", "text", "spark shuffle", top_k=10).collect()
+    ids = [r["doc_id"] for r in rows]
+    # doc3 matches nothing; doc1 (both terms, high tf) outranks doc2
+    assert ids == [1, 2]
+    assert rows[0]["n_terms_matched"] == 2
+    assert rows[1]["n_terms_matched"] == 1
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        bm25_search(df, "doc_id", "text", "   ")
