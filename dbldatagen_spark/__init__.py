@@ -94,6 +94,7 @@ from dbldatagen_spark.compat import (
     topologicalSort,
 )
 from dbldatagen_spark.datagen import _V0Column as ColumnGenerationSpec
+from dbldatagen_spark.session import RECOMMENDED_CONFIGS, tuned_builder, tuned_session
 from dbldatagen_spark.datagen import (
     DateRange,
     NRange,
@@ -134,6 +135,9 @@ __all__ = [
     "dataset_definition",
     "ensure",
     "topologicalSort",
+    "RECOMMENDED_CONFIGS",
+    "tuned_builder",
+    "tuned_session",
     "INFER_DATATYPE",
     "LiteralRange",
     "LiteralRelation",

@@ -115,3 +115,16 @@ def test_script_as_html(spark):
     assert "CREATE TABLE IF NOT EXISTS t1" in html and "<pre>" in html
     mhtml = gen.scriptMerge("t1", "s1", joinExpr="tgt.a = src.a", asHtml=True)
     assert "MERGE INTO t1" in mhtml and "Copy code" in mhtml
+
+
+def test_tuned_builder_configs(spark):
+    from dbldatagen_spark import RECOMMENDED_CONFIGS, tuned_builder
+
+    # builder carries the recommended configs plus caller overrides
+    b = tuned_builder("t", shuffle_partitions=7,
+                      **{"spark.sql.ansi.enabled": "true"})
+    opts = b._options
+    for k, v in RECOMMENDED_CONFIGS.items():
+        assert opts[k] == v
+    assert opts["spark.sql.shuffle.partitions"] == "7"
+    assert opts["spark.sql.ansi.enabled"] == "true"
