@@ -843,7 +843,12 @@ class DataGenerator:
                 F.col("value").alias(self.seed_column),
                 F.col("timestamp").alias("_source_timestamp"),
             )
-        parts = self._partitions or self.spark.sparkContext.defaultParallelism
+        parts = self._partitions
+        if not parts:
+            try:
+                parts = self.spark.sparkContext.defaultParallelism
+            except Exception:  # Spark Connect has no sparkContext
+                parts = 200  # reference serverless default (datagen_constants.py:48)
         df = self.spark.range(
             self._starting_id, self._starting_id + self._rows, numPartitions=parts
         )

@@ -17,10 +17,14 @@ from pyspark.sql import DataFrame
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition iff the plan currently yields fewer
     partitions than the cluster's default parallelism (or
-    ``min_partitions``)."""
-    sc = df.sparkSession.sparkContext
-    target = int(min_partitions or sc.defaultParallelism)
+    ``min_partitions``).
+
+    Under Spark Connect neither ``sparkContext`` nor ``df.rdd`` exists;
+    the guard then degrades to a no-op (Connect clusters run server-side
+    AQE, which already widens small scans)."""
     try:
+        sc = df.sparkSession.sparkContext
+        target = int(min_partitions or sc.defaultParallelism)
         current = df.rdd.getNumPartitions()
     except Exception:
         return df
