@@ -1815,6 +1815,31 @@ def _gen_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 h length, 15 min slide): each event
+    lands in 4 overlapping windows. Spark's ``window()`` expands rows
+    inside the scan stage; the only shuffle is the aggregate — the same
+    expression drives the streaming form with a watermark."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def _events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: daily event counts spread into one column per event type.
     Explicit pivot values keep the plan single-pass (no distinct-values
@@ -1976,6 +2001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_invariants": _emb_pca_invariants,
         "ann_kmeans_ivf": _ann_kmeans_ivf,
         "events_pivot_daily": _events_pivot_daily,
+        "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
         "gen_scripts_conformance": _gen_scripts_conformance,
@@ -2909,6 +2935,25 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
             FROM events GROUP BY day ORDER BY day
+        """,
+        "events_sliding_windows": """
+            WITH e AS (
+                SELECT event_type, value, epoch(ts) AS t FROM events
+            ),
+            w AS (
+                SELECT event_type, value,
+                       (CAST(floor(t / 900) AS BIGINT)
+                        - unnest(generate_series(0, 3))) * 900 AS wstart
+                FROM e
+            )
+            SELECT TIMESTAMP '1970-01-01 00:00:00'
+                       + wstart * INTERVAL 1 SECOND AS window_start,
+                   event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM w
+            GROUP BY wstart, event_type
+            ORDER BY window_start, event_type
         """,
         "events_value_quantiles": """
             SELECT event_type,
