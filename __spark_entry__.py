@@ -613,6 +613,25 @@ def _emb_pca_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 split assignment in portable md5 mode —
+    bit-for-bit recomputable by the DuckDB oracle."""
+    from dbldatagen_spark.functions import split_assign
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        split_assign(
+            docs,
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=42,
+            hash_mode="md5",
+        )
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (shared explode feeds tf and df;
     df broadcast back; per-doc top-k rides the tf partitioning)."""
@@ -2010,6 +2029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
+        "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
         "emb_quantization": _emb_quantization,
         "events_rollup_daily": _events_rollup_daily,
@@ -2852,6 +2872,20 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "sample_split_assign": """
+            WITH b AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       )::BIGINT % 1000000 AS bucket
+                FROM documents
+            )
+            SELECT doc_id,
+                   CASE WHEN bucket < 800000 THEN 'train'
+                        WHEN bucket < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
+            ORDER BY doc_id
+        """,
         "text_tfidf": """
             WITH toks AS (
                 SELECT doc_id,

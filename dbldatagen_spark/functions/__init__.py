@@ -44,6 +44,7 @@ from dbldatagen_spark.functions.ranges import range_join
 from dbldatagen_spark.functions.curation import curate_corpus
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
+    split_assign,
     stratified_sample,
 )
 from dbldatagen_spark.functions.dedup import ngram_contamination
@@ -96,6 +97,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "quality_metrics",
     "simhash_signatures",
+    "split_assign",
     "stratified_sample",
     "token_count_expr",
 ]

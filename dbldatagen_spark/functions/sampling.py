@@ -55,3 +55,59 @@ def stratified_sample(
         .where(F.col("_rn") <= F.lit(n_per_stratum))
         .drop("_rn")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict,
+    *,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment by content-free id
+    hashing: every row gets exactly one label from ``fractions`` (e.g.
+    ``{"train": 0.8, "val": 0.1, "test": 0.1}``), stable under
+    repartitioning, re-runs, appends, and cluster size — the property
+    ``df.randomSplit`` (per-partition seeded) does not have.
+
+    A scan-local expression: ``bucket = hash(seed, id) % 1e6`` compared
+    against cumulative fraction thresholds. ``hash_mode="md5"`` derives
+    the bucket from the md5 hex of the id string instead of xxhash64 —
+    slower, but recomputable by any engine with an md5 function, so
+    splits stay identical across systems (the portability trick the
+    SimHash oracle mode uses).
+    """
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    total = float(sum(fractions.values()))
+    if total <= 0:
+        raise ValueError("fractions must sum to a positive value")
+    if hash_mode == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
+    elif hash_mode == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    else:
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+    names = list(fractions)
+    cum = 0.0
+    expr = F.lit(names[-1])
+    thresholds = []
+    for name in names[:-1]:
+        cum += fractions[name] / total
+        thresholds.append((int(round(cum * 1_000_000)), name))
+    for threshold, name in reversed(thresholds):
+        expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)

@@ -845,3 +845,27 @@ def test_bm25_search(spark):
 
     with _pytest.raises(ValueError):
         bm25_search(df, "doc_id", "text", "   ")
+
+
+def test_split_assign(spark, docs):
+    from dbldatagen_spark.functions import split_assign
+
+    out = split_assign(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    )
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n            # exhaustive and disjoint
+    assert counts["train"] > counts.get("val", 0)
+    assert abs(counts["train"] / n - 0.8) < 0.1  # 500 docs: loose bound
+    # stable under repartitioning
+    a = sorted(map(tuple, out.select("doc_id", "split").collect()))
+    b = sorted(map(tuple, split_assign(
+        docs.repartition(13), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7
+    ).select("doc_id", "split").collect()))
+    assert a == b
+    # md5 and xxhash64 modes both assign every row exactly one label
+    m = split_assign(docs, "doc_id", {"a": 0.5, "b": 0.5}, hash_mode="md5")
+    assert m.where(~F.col("split").isin("a", "b")).count() == 0
