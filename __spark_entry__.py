@@ -1834,6 +1834,36 @@ def _gen_serialization_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant salted join: events (hot user keys) x a per-user
+    dimension derived from customers; each user key spreads over 16
+    salt partitions, the dim replicates 16x. Result must equal the
+    plain join — the oracle IS the plain SQL join."""
+    from dbldatagen_spark.functions import salted_join
+
+    ev = _load(spark, sf_dir, "events")
+    cust = _load(spark, sf_dir, "customer")
+    dim = cust.select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment")
+    )
+    joined = salted_join(
+        ev.select("event_id", "user_id", "value"),
+        dim,
+        on=["user_id"],
+        salt=16,
+        how="inner",
+        large_id_col="event_id",
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def _events_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding event-time windows (1 h length, 15 min slide): each event
     lands in 4 overlapping windows. Spark's ``window()`` expands rows
@@ -2020,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pca_invariants": _emb_pca_invariants,
         "ann_kmeans_ivf": _ann_kmeans_ivf,
         "events_pivot_daily": _events_pivot_daily,
+        "events_salted_join": _events_salted_join,
         "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
@@ -2969,6 +3000,15 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
             FROM events GROUP BY day ORDER BY day
+        """,
+        "events_salted_join": """
+            SELECT c_mktsegment,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 2) AS total_value
+            FROM events
+            JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
         """,
         "events_sliding_windows": """
             WITH e AS (
