@@ -665,6 +665,19 @@ def _dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_components(pairs).orderBy("vertex")
 
 
+def _dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-contraction cluster dedup: every doc labelled with its
+    cluster's canonical (min) id WITHOUT materializing the pair set —
+    output equals the components of the exact >=0.5-Jaccard pair graph
+    (oracle: recursive CTE over that graph, singletons map to self)."""
+    from dbldatagen_spark.functions import minhash_cluster_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    return minhash_cluster_dedup(docs, "doc_id", "text", threshold=0.5).orderBy(
+        "doc_id"
+    )
+
+
 def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Portable SimHash signatures (md5 token hashing, 60-bit) — fully
     recomputable by the DuckDB oracle bit-for-bit."""
@@ -2032,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_components": _dedup_components,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_lsh_recall": _ann_lsh_recall,
@@ -2730,6 +2744,24 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT v AS vertex, MIN(lbl) AS component
             FROM reach GROUP BY v ORDER BY vertex
+        """,
+        "dedup_cluster_canonical": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(v, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+            ),
+            comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v)
+            SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+            ORDER BY d.doc_id
         """,
         "dedup_embedding_cosine": """
             WITH e AS (SELECT vec_id, embedding FROM embeddings)

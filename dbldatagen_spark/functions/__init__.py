@@ -20,6 +20,7 @@ from dbldatagen_spark.functions.dedup import (
     duplicate_components,
     embedding_near_duplicates,
     exact_dedup,
+    minhash_cluster_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_signatures,
@@ -93,6 +94,7 @@ __all__ = [
     "embedding_near_duplicates",
     "exact_dedup",
     "lsh_bucket_ann_topk",
+    "minhash_cluster_dedup",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
     "quality_metrics",

@@ -665,3 +665,92 @@ def duplicate_components(
             break
     edges.unpersist()
     return labels
+
+
+def minhash_cluster_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Corpus → duplicate clusters WITHOUT materializing the pair set:
+    returns ``(id, canonical_id)`` where ``canonical_id`` is the min id
+    of the doc's near-dup cluster.
+
+    :func:`minhash_near_duplicates` emits every verified pair — output
+    that is inherently sum-of-cluster² and explodes on mega-clusters
+    (50-doc clusters → 1225 pairs each; measured 6.7M pairs / ~170 s on
+    a 250k-doc corpus whose every doc had 50 near-copies). This operator
+    uses star contraction instead: each band bucket contributes only
+    ``(member, bucket-min)`` edges, so edge count is bounded by
+    docs × bands regardless of cluster sizes, and verification (exact
+    Jaccard on hashed shingles) runs per star edge, not per pair.
+    Min-label components over the star edges then yield the same
+    clusters as the pair graph for every pair connected through bucket
+    minima; with ``verify=True`` recall can dip marginally below the
+    pair-verified variant (a doc is only checked against bucket minima,
+    not every member). Docs with no surviving edge map to themselves.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
+    hashed = shingled.select(
+        F.col(id_col),
+        F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias("_shash"),
+    ).persist()
+    sig_exprs = minhash_signature_exprs(F.col("_shash"), num_hashes, pre_hashed=True)
+    sig = hashed.select(F.col(id_col), F.array(*sig_exprs).alias("_sig"))
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[
+                    F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col(id_col), F.posexplode(band_keys).alias("_band", "_key")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_band", "_key")
+    star = (
+        buckets.withColumn("_min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) != F.col("_min_id"))
+        .select(F.col(id_col).alias("id_a"), F.col("_min_id").alias("id_b"))
+        .distinct()
+    )
+    if verify:
+        sh_a = hashed.select(F.col(id_col).alias("id_a"), F.col("_shash").alias("_sh_a"))
+        sh_b = hashed.select(F.col(id_col).alias("id_b"), F.col("_shash").alias("_sh_b"))
+        star = (
+            star.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .where(
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+                >= F.lit(threshold)
+            )
+            .select("id_a", "id_b")
+        )
+    comp = duplicate_components(star)
+    ids = df.select(F.col(id_col))
+    out = (
+        ids.join(comp, ids[id_col] == comp["vertex"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+        )
+    )
+    hashed.unpersist()
+    return out

@@ -869,3 +869,44 @@ def test_split_assign(spark, docs):
     # md5 and xxhash64 modes both assign every row exactly one label
     m = split_assign(docs, "doc_id", {"a": 0.5, "b": 0.5}, hash_mode="md5")
     assert m.where(~F.col("split").isin("a", "b")).count() == 0
+
+
+def test_minhash_cluster_dedup_matches_pair_components(spark, docs):
+    from dbldatagen_spark.functions import (
+        duplicate_components,
+        minhash_cluster_dedup,
+        minhash_near_duplicates,
+    )
+
+    star = minhash_cluster_dedup(docs, "doc_id", "text", threshold=0.5)
+    pairs = minhash_near_duplicates(docs, "doc_id", "text", threshold=0.5)
+    comp = {r["vertex"]: r["component"]
+            for r in duplicate_components(pairs).collect()}
+    got = {r["doc_id"]: r["canonical_id"] for r in star.collect()}
+    assert got and len(got) == docs.count()
+    # every doc in a pair-verified cluster gets the same canonical label
+    for v, c in comp.items():
+        assert got[v] == c
+    # docs outside any cluster are their own canonical
+    for v, c in got.items():
+        if v not in comp:
+            assert v == c
+
+
+def test_minhash_cluster_dedup_chain(spark):
+    from dbldatagen_spark.functions import minhash_cluster_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " v2"),
+            (3, base + " v2 v3"),
+            (10, "completely different content with other words entirely here"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["canonical_id"]
+           for r in minhash_cluster_dedup(df, "doc_id", "text", threshold=0.5).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == 10
