@@ -122,3 +122,82 @@ def test_date_range_containment(begin_day, span_days, random):
     )
     mn, mx = df.agg(F.min("d"), F.max("d")).first()
     assert b <= mn and mx <= e
+
+
+@given(
+    n_frac=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=2**31),
+    weights=st.lists(
+        st.floats(min_value=0.01, max_value=10.0), min_size=5, max_size=5
+    ),
+)
+@settings(**_SETTINGS)
+def test_split_assign_exhaustive_and_stable(n_frac, seed, weights):
+    """Every row gets exactly one label from the fraction dict, for any
+    fraction shape and seed, and assignment is partitioning-independent."""
+    from dbldatagen_spark.functions import split_assign
+
+    fractions = {f"s{i}": weights[i] for i in range(n_frac)}
+    df = _spark.range(300).withColumnRenamed("id", "doc_id")
+    out = split_assign(df, "doc_id", fractions, seed=seed)
+    rows = out.collect()
+    assert len(rows) == 300
+    assert {r["split"] for r in rows} <= set(fractions)
+    re_rows = split_assign(
+        df.repartition(7), "doc_id", fractions, seed=seed
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, re_rows))
+
+
+@given(
+    chunk=st.integers(min_value=2, max_value=40),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+    n_words=st.integers(min_value=1, max_value=120),
+)
+@settings(**_SETTINGS)
+def test_chunk_documents_covers_every_token(chunk, overlap_frac, n_words):
+    """Chunks cover the whole document: with overlap o, consecutive chunk
+    starts advance by chunk-o, the final chunk reaches the last token,
+    and at overlap 0 the chunks reassemble the document exactly."""
+    from dbldatagen_spark.functions import chunk_documents
+
+    overlap = int(chunk * overlap_frac)
+    text = " ".join(f"w{i}" for i in range(n_words))
+    df = _spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=chunk,
+                        overlap=overlap).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    step = chunk - overlap
+    assert rows[0]["chunk_idx"] == 0
+    assert all(r["n_tokens"] >= 1 for r in rows)
+    # the last chunk's final token is the document's final token
+    assert rows[-1]["chunk_text"].split()[-1] == f"w{n_words - 1}"
+    if overlap == 0:
+        rebuilt = " ".join(r["chunk_text"] for r in rows)
+        assert rebuilt == text
+    # coverage: starts advance by `step`, so token (n_words-1) is inside
+    # the last window
+    assert (len(rows) - 1) * step <= n_words - 1
+
+
+@given(
+    k=st.integers(min_value=1, max_value=4),
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=1, max_size=30), min_size=1, max_size=8
+    ),
+)
+@settings(**_SETTINGS)
+def test_token_vocabulary_counts_total(k, texts):
+    """Vocabulary counts sum to the corpus token total (no token lost or
+    double-counted), regardless of text shape."""
+    from dbldatagen_spark.functions import token_vocabulary
+
+    df = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    out = token_vocabulary(df, "text", top_k=10_000)
+    got = sum(r["n_occurrences"] for r in out.collect())
+    expected = sum(len(t.split()) for t in texts)
+    assert got == expected
