@@ -1959,6 +1959,63 @@ def _events_rolling_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (weekday, event_type): all four grouping combinations in
+    one partial-aggregatable pass (the full-lattice complement of the
+    rollup query)."""
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.cube(
+            F.date_format("ts", "EEEE").alias("weekday"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("weekday", "event_type")
+    )
+
+
+def _customers_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: customers active in BOTH 1996 and 1997 (INTERSECT)
+    and in 1996 but not 1997 (EXCEPT), labelled and unioned. Spark plans
+    both as aggregate-free semi/anti joins over distinct keys."""
+    orders = _load(spark, sf_dir, "orders")
+
+    def buyers(year: int) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == year)
+            .select("o_custkey")
+            .distinct()
+        )
+
+    both = buyers(1996).intersect(buyers(1997)).select(
+        "o_custkey", F.lit("both").alias("cohort")
+    )
+    churned = buyers(1996).exceptAll(buyers(1997)).select(
+        "o_custkey", F.lit("churned").alias("cohort")
+    )
+    return both.union(churned).orderBy("cohort", "o_custkey")
+
+
+def _events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the pivoted daily matrix stacked back to long form
+    — must reproduce the plain groupBy counts exactly (zero cells drop)."""
+    wide = _events_pivot_daily(spark, sf_dir)
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        wide.unpivot(
+            "day",
+            [f"n_{t}" for t in types],
+            "event_type",
+            "n_events",
+        )
+        .where(F.col("n_events") > 0)
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .orderBy("day", "event_type")
+    )
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Invariant: mapInPandas feature extraction yields one row per media
     item with FEATURE_DIM features all inside [0,1]."""
@@ -2068,6 +2125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
+        "events_cube_counts": _events_cube_counts,
+        "customers_set_ops": _customers_set_ops,
+        "events_unpivot_daily": _events_unpivot_daily,
         "gen_scripts_conformance": _gen_scripts_conformance,
         "gen_serialization_roundtrip": _gen_serialization_roundtrip,
         "corpus_curation": _corpus_curation,
@@ -3032,6 +3092,37 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
             FROM events GROUP BY day ORDER BY day
+        """,
+        "events_cube_counts": """
+            SELECT strftime(ts, '%A') AS weekday, event_type,
+                   COUNT(*) AS n_events,
+                   ROUND(AVG(value), 4) AS avg_value
+            FROM events
+            GROUP BY CUBE (weekday, event_type)
+            ORDER BY weekday, event_type
+        """,
+        "customers_set_ops": """
+            WITH b96 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE EXTRACT(year FROM o_orderdate) = 1996
+            ),
+            b97 AS (
+                SELECT DISTINCT o_custkey FROM orders
+                WHERE EXTRACT(year FROM o_orderdate) = 1997
+            )
+            SELECT o_custkey, 'both' AS cohort
+            FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+            UNION ALL
+            SELECT o_custkey, 'churned' AS cohort
+            FROM (SELECT o_custkey FROM b96 EXCEPT SELECT o_custkey FROM b97)
+            ORDER BY cohort, o_custkey
+        """,
+        "events_unpivot_daily": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+                   COUNT(*) AS n_events
+            FROM events
+            GROUP BY day, event_type
+            ORDER BY day, event_type
         """,
         "events_salted_join": """
             SELECT c_mktsegment,
