@@ -36,6 +36,44 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# exact money arithmetic
+#
+# Double SUM is aggregation-order-dependent: under the driver's local[32]
+# partitioning a last-ulp wobble can flip a cent at ROUND(x, 2) (observed on
+# q11 in round 1).  Every money aggregate therefore sums DECIMAL-cast per-row
+# values (exact, order-independent — also what TPC-H specifies), rounds in
+# decimal space (Spark and DuckDB agree: half-away-from-zero), and casts the
+# final value to DOUBLE so both engines render bit-identical floats.
+# Averages divide the exact decimal sum (as double) by the count — a single
+# IEEE division of identical inputs is deterministic; no double ROUND is
+# ever applied (engines differ in last-ulp round behavior on doubles).
+# ---------------------------------------------------------------------------
+
+_DEC = "decimal(18,2)"
+
+
+def _dec(name: str):
+    """Column cast to exact money decimal; mirror of CAST(c AS DECIMAL(18,2))."""
+    return F.col(name).cast(_DEC)
+
+
+def _rev_dec():
+    """l_extendedprice * (1 - l_discount) in exact decimal (scale 4)."""
+    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(_DEC)
+
+
+# DuckDB-side mirror of _rev_dec()
+_SQL_REV = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+)
+
+
+def _money(agg, scale: int = 2):
+    """ROUND a decimal aggregate and render as double (bit-stable)."""
+    return F.round(agg, scale).cast("double")
+
+
+# ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
 
@@ -51,13 +89,13 @@ def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            _money(F.sum(_dec("l_quantity"))).alias("sum_qty"),
+            _money(F.sum(_dec("l_extendedprice"))).alias("sum_base_price"),
+            _money(F.sum(_rev_dec())).alias("sum_disc_price"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_qty"),
+            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)))
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -1162,9 +1200,7 @@ def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _money(F.sum(_rev_dec())).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "n_name")
@@ -1176,13 +1212,12 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_dec()
     return joined.agg(
-        F.round(
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
-            * 100.0
-            / F.sum(rev),
-            4,
+        (
+            (F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)) * 100)
+            .cast("double")
+            / F.sum(rev).cast("double")
         ).alias("promo_share_pct")
     )
 
@@ -1200,7 +1235,7 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            _money(F.sum(_dec("l_extendedprice") * _dec("l_discount")))
             .alias("revenue")
         )
     )
@@ -1282,9 +1317,7 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("volume"),
+            _money(F.sum(_rev_dec())).alias("volume"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
         .orderBy("supp_nation", "cust_nation", "ship_year")
@@ -1307,9 +1340,7 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            _money(F.sum(_rev_dec())).alias("revenue"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
@@ -1342,9 +1373,7 @@ def _q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_quantity").between(20, 50))
     )
     return j.where(b1 | b2 | b3).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _money(F.sum(_rev_dec())).alias("revenue"),
         F.count(F.lit(1)).cast("long").alias("n_lineitems"),
     )
 
@@ -1357,7 +1386,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _load(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
         .where(F.col("total_qty") > 250)
     )
     return (
@@ -1368,8 +1397,9 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "o_orderkey",
             F.col("o_orderdate").alias("o_orderdate"),
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.round("total_qty", 2).alias("total_qty"),
+            # raw pass-through: identical double bits on both engines
+            F.col("o_totalprice").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
         )
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
     )
@@ -1390,7 +1420,17 @@ def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _load(spark, sf_dir, "supplier")
     nation = _load(spark, sf_dir, "nation")
     per = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("_unit_cost")
+        # exact decimal avg: per-row unit price rounded to 6 decimals, summed
+        # exactly, one IEEE division — order-independent (a double AVG here
+        # could flip the row_number winner near ties under repartitioning)
+        (
+            F.sum(
+                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                    "decimal(18,6)"
+                )
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_unit_cost")
     )
     parts = part.where(
         (F.col("p_size").between(1, 15)) & (F.col("p_type") == "STANDARD")
@@ -1408,7 +1448,8 @@ def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_brand",
             "s_name",
             "n_name",
-            F.round("_unit_cost", 4).alias("unit_cost"),
+            F.col("_unit_cost").cast("decimal(18,4)").cast("double")
+            .alias("unit_cost"),
         )
         .orderBy("p_partkey")
     )
@@ -1428,7 +1469,7 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = _rev_dec()
     return (
         li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
                 li.l_partkey == part.p_partkey)
@@ -1441,10 +1482,12 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
-                / F.sum(rev),
-                4,
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)),
+                    F.lit(0).cast(_DEC),
+                ).cast("double")
+                / F.sum(rev).cast("double")
             ).alias("mkt_share"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
@@ -1462,10 +1505,9 @@ def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _load(spark, sf_dir, "part")
     supp = _load(spark, sf_dir, "supplier")
     nation = _load(spark, sf_dir, "nation")
-    profit = (
-        F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
-    )
+    profit = _rev_dec() - (
+        F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
     return (
         li.join(
             F.broadcast(part.where(F.col("p_name").like("%gear%"))),
@@ -1477,7 +1519,7 @@ def _q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name"), F.year("l_shipdate").cast("long").alias("ship_year")
         )
         .agg(
-            F.round(F.sum(profit), 2).alias("profit"),
+            _money(F.sum(profit)).alias("profit"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
         )
         .orderBy("n_name", "ship_year")

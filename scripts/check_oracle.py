@@ -1,9 +1,23 @@
-"""Local stand-in for the driver's t2 correctness gate.
+"""Local stand-in for the driver's t2 correctness gate — strictly stricter.
 
 Runs every ``__spark_entry__.queries()`` entry on Spark and its
 ``oracle_sql()`` counterpart on DuckDB over the same parquet tables,
-comparing row count, column names, and an order-insensitive value hash
-(columns sorted by name, cells stringified with float rounding).
+comparing row count, column names, and an order-insensitive value hash.
+
+Three hardenings over the driver's gate (each catches a class of
+driver-side failure the old ``%.6g`` normalization masked):
+
+1. **Full-precision cells** — floats render via ``repr`` so a single-ulp
+   divergence (double SUM aggregation-order wobble) fails loudly.
+2. **Result-type audit** — the DuckDB result's Arrow schema is checked
+   against Spark's dtypes.  DuckDB's SUM(int) yields HUGEINT which
+   pandas/arrow fetch paths render as ``5.0``/``Decimal('5')`` instead of
+   ``5`` — invisible to ``fetchall()`` but red on the driver.  Any
+   hugeint/decimal column or Spark/DuckDB type split is an error.
+3. **Partitioning-stability probe** — every Spark query runs twice under
+   different ``shuffle.partitions`` / ``files.maxPartitionBytes``; if the
+   two hashes differ the query's values depend on aggregation order and
+   will flake on the driver's local[32] even if they pass here.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -23,6 +37,21 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# Spark simpleString -> acceptable Arrow type prefixes for the DuckDB side.
+_TYPE_OK = {
+    "bigint": ("int64", "int32", "int16", "int8"),
+    "int": ("int64", "int32", "int16", "int8"),
+    "smallint": ("int64", "int32", "int16", "int8"),
+    "tinyint": ("int64", "int32", "int16", "int8"),
+    "double": ("double", "float"),
+    "float": ("double", "float"),
+    "string": ("string", "large_string"),
+    "boolean": ("bool",),
+    "date": ("date32", "date64"),
+    "timestamp": ("timestamp",),
+    "timestamp_ntz": ("timestamp",),
+}
+
 
 def _norm_cell(v) -> str:
     if v is None:
@@ -32,7 +61,7 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6g}"
+        return repr(v)
     return str(v)
 
 
@@ -43,6 +72,34 @@ def frame_signature(rows, columns):
     )
     h = hashlib.md5("\n".join(normed).encode()).hexdigest()
     return len(rows), sorted(columns), h
+
+
+def _type_problems(sdf, arrow_schema):
+    """Cross-engine result-type audit; returns list of problem strings."""
+    problems = []
+    spark_types = dict(sdf.dtypes)
+    duck_types = {f.name: str(f.type) for f in arrow_schema}
+    for name, dt in duck_types.items():
+        if dt.startswith("decimal"):
+            problems.append(
+                f"duckdb col {name!r} is {dt} (HUGEINT/decimal renders "
+                f"differently on driver fetch paths) — CAST it"
+            )
+            continue
+        st = spark_types.get(name)
+        if st is None:
+            continue  # column-name mismatch surfaces via schema compare
+        base = st.split("(")[0]
+        ok = _TYPE_OK.get(base)
+        if ok is not None and not dt.startswith(ok):
+            problems.append(f"col {name!r}: spark {st} vs duckdb {dt}")
+    for name, st in spark_types.items():
+        if st.startswith("decimal"):
+            problems.append(
+                f"spark col {name!r} is {st} — cast final decimals to "
+                f"double/bigint for rendering parity"
+            )
+    return problems
 
 
 def main() -> int:
@@ -58,6 +115,7 @@ def main() -> int:
         .appName("oracle-check")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -76,25 +134,53 @@ def main() -> int:
         if only and name not in only:
             continue
         try:
+            # pass 1: driver-like config
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
             sdf = fn(spark, sf_dir)
             srows = sdf.collect()
             scols = sdf.columns
             ssig = frame_signature([tuple(r) for r in srows], scols)
+            # pass 2: perturbed partitioning — detects order-dependent values
+            spark.conf.set("spark.sql.shuffle.partitions", "3")
+            spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+            sdf2 = fn(spark, sf_dir)
+            ssig2 = frame_signature([tuple(r) for r in sdf2.collect()], sdf2.columns)
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.unset("spark.sql.files.maxPartitionBytes")
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
+            continue
+        if ssig != ssig2:
+            failures += 1
+            print(
+                f"FAIL  {name}: UNSTABLE under repartitioning "
+                f"({ssig[2][:12]} vs {ssig2[2][:12]}) — "
+                f"values depend on aggregation order"
+            )
             continue
         if name not in oracles:
             print(f"weak  {name}: rows={ssig[0]} (no oracle)")
             continue
         try:
             cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            atbl = cur.fetch_arrow_table()
+            ocols = atbl.schema.names
+            # to_pylist per column then zip (arrow keeps python types faithful)
+            cols_pylists = [c.to_pylist() for c in atbl.columns]
+            orows = list(zip(*cols_pylists)) if cols_pylists and atbl.num_rows else []
             osig = frame_signature(orows, ocols)
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {e}")
             failures += 1
+            continue
+        tprobs = _type_problems(sdf, atbl.schema)
+        if tprobs:
+            failures += 1
+            print(f"FAIL  {name}: type audit:")
+            for p in tprobs:
+                print(f"      {p}")
             continue
         if ssig == osig:
             print(f"ok    {name}: rows={ssig[0]}")
