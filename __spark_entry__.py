@@ -24,14 +24,21 @@ from pyspark.sql import functions as F
 
 def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # the events table stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long, then integer-divide to micros
-        # (exact — a double division would wobble the last microsecond)
+        # two on-disk generations exist: TIMESTAMP(NANOS) (which Spark's
+        # vectorized reader only yields as long) and native TIMESTAMP(MICROS).
+        # Read with nanosAsLong on; if ts surfaces as a long it was nanos —
+        # integer-divide to micros (exact; a double division would wobble
+        # the last microsecond). A native timestamp passes through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # native TIMESTAMP_NTZ generation: normalize to TIMESTAMP_LTZ
+            # (identity wall-clock under the UTC session) so downstream
+            # epoch arithmetic (cast to double) stays legal
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -411,9 +418,11 @@ def _dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbldatagen_spark.functions import ngram_jaccard_pairs
 
     docs = _load(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # max_posting_len=None: exact blocking so the result equals the
+    # DuckDB oracle's full-pair Jaccard (library default caps at 1000)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.5, max_posting_len=None
+    ).orderBy("id_a", "id_b")
 
 
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,8 +445,10 @@ def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbldatagen_spark.functions import embedding_near_duplicates
 
     emb = _load(spark, sf_dir, "embeddings")
+    # bucketed=False: exact all-pairs so the result equals the DuckDB
+    # oracle at this low threshold (library default is LSH-bucketed)
     return embedding_near_duplicates(
-        emb, "vec_id", "embedding", threshold=0.45
+        emb, "vec_id", "embedding", threshold=0.45, bucketed=False
     ).orderBy("id_a", "id_b")
 
 
@@ -1530,7 +1541,13 @@ def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parts holding an outsized share of three nations' supply value
     (TPC-H Q11 flavor): the HAVING-vs-global-total scalar subquery is a
     broadcast cross join of a 1-row aggregate against the per-part
-    aggregate — the base is scanned once and reused, no second pass."""
+    aggregate — the base is scanned once and reused, no second pass.
+
+    The cut is scale-invariant (part value > 2x the mean part value, the
+    Q11 fraction restated per-part) so the row set stays non-trivial at
+    every SF; a fixed share-of-total fraction degenerates to 0 rows as
+    the part count grows. Values are summed in exact DECIMAL and the
+    comparison runs on bit-identical doubles on both engines."""
     li = _load(spark, sf_dir, "lineitem")
     supp = _load(spark, sf_dir, "supplier")
     nation = _load(spark, sf_dir, "nation")
@@ -1541,15 +1558,19 @@ def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey"
     )
     base = li.join(F.broadcast(skeys), li.l_suppkey == skeys.s_suppkey).select(
-        "l_partkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_val"),
+        "l_partkey", _rev_dec().alias("_val")
     )
-    per_part = base.groupBy("l_partkey").agg(F.sum("_val").alias("_part_value"))
-    total = per_part.agg(F.sum("_part_value").alias("_total"))
+    per_part = base.groupBy("l_partkey").agg(F.sum("_val").alias("_pv"))
+    stats = per_part.agg(
+        F.sum("_pv").alias("_total"), F.count(F.lit(1)).alias("_np")
+    )
     return (
-        per_part.crossJoin(F.broadcast(total))
-        .where(F.col("_part_value") > 0.001 * F.col("_total"))
-        .select("l_partkey", F.round("_part_value", 2).alias("part_value"))
+        per_part.crossJoin(F.broadcast(stats))
+        .where(
+            F.col("_pv").cast("double")
+            > F.lit(2.0) * F.col("_total").cast("double") / F.col("_np")
+        )
+        .select("l_partkey", _money(F.col("_pv")).alias("part_value"))
         .orderBy(F.desc("part_value"), "l_partkey")
     )
 
@@ -2405,10 +2426,10 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q12_returnflag_priority": """
             SELECT l_returnflag,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
-                            THEN 0 ELSE 1 END) AS low_line_count
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1997-01-01'
@@ -2550,11 +2571,14 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q8_market_share": """
             SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-                   ROUND(
+                   CAST(COALESCE(
                        SUM(CASE WHEN n1.n_name = 'NATION_1'
-                                THEN l_extendedprice * (1 - l_discount)
-                                ELSE 0 END)
-                       / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share,
+                                THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                                     * CAST(1 - l_discount AS DECIMAL(18,2))
+                           END), 0) AS DOUBLE)
+                   / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                       AS mkt_share,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
@@ -2583,18 +2607,22 @@ def _oracle_sql_base() -> dict[str, str]:
         "q11_important_parts": """
             WITH base AS (
                 SELECT l_partkey,
-                       l_extendedprice * (1 - l_discount) AS val
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(1 - l_discount AS DECIMAL(18,2)) AS val
                 FROM lineitem
                 JOIN supplier ON l_suppkey = s_suppkey
                 JOIN nation   ON s_nationkey = n_nationkey
                 WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
             ),
             per_part AS (
-                SELECT l_partkey, SUM(val) AS part_value FROM base GROUP BY 1
+                SELECT l_partkey, SUM(val) AS pv FROM base GROUP BY 1
+            ),
+            stats AS (
+                SELECT SUM(pv) AS total, COUNT(*) AS np FROM per_part
             )
-            SELECT l_partkey, ROUND(part_value, 2) AS part_value
-            FROM per_part
-            WHERE part_value > 0.001 * (SELECT SUM(part_value) FROM per_part)
+            SELECT l_partkey, CAST(ROUND(pv, 2) AS DOUBLE) AS part_value
+            FROM per_part, stats
+            WHERE CAST(pv AS DOUBLE) > 2.0 * CAST(total AS DOUBLE) / np
             ORDER BY part_value DESC, l_partkey
         """,
         "q13_customer_distribution": """
@@ -2866,7 +2894,10 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY d.doc_id
         """,
         "dedup_embedding_cosine": """
-            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings
+            )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
@@ -2874,9 +2905,13 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "ann_cosine_topk": """
-            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            WITH q AS (
+                SELECT CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id = 0
+            )
             SELECT vec_id,
-                   ROUND(list_cosine_similarity(embedding, qe), 4) AS cosine
+                   ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe), 4)
+                       AS cosine
             FROM embeddings, q
             ORDER BY cosine DESC, vec_id
             LIMIT 10
@@ -3128,11 +3163,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "gen_serialization_roundtrip": "SELECT CAST(0 AS BIGINT) AS mismatches",
         "events_pivot_daily": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
-                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
             FROM events GROUP BY day ORDER BY day
         """,
         "events_cube_counts": """

@@ -185,15 +185,18 @@ def ngram_jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.7,
-    max_posting_len: Optional[int] = None,
+    max_posting_len: Optional[int] = 1000,
 ) -> DataFrame:
     """All document pairs with exact k-word-shingle Jaccard >= threshold.
 
     Blocking = the inverted index itself: only pairs sharing >= 1 shingle
-    are generated. At 100 TB set ``max_posting_len`` (the stop-shingle
-    cut — see :func:`_pair_jaccard`): the skew, not the total size, is
-    what hurts; ``minhash_near_duplicates`` is the cheaper path at that
-    scale.
+    are generated. The default ``max_posting_len=1000`` (the stop-shingle
+    cut — see :func:`_pair_jaccard`) bounds per-shingle candidate work at
+    1000^2: the skew, not the total size, is what hurts at 100 TB, and a
+    single viral boilerplate shingle with an unbounded posting list is a
+    d^2 cartesian explosion. Pass ``max_posting_len=None`` for exact
+    small-corpus runs where every shared shingle must count toward
+    blocking; ``minhash_near_duplicates`` is the cheaper path at scale.
     """
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     return _pair_jaccard(
@@ -479,16 +482,19 @@ def embedding_near_duplicates(
     vec_col: str,
     *,
     threshold: float = 0.95,
-    bucketed: bool = False,
+    bucketed: bool = True,
     num_planes: int = 16,
     seed: int = 42,
 ) -> DataFrame:
     """Pairs with cosine similarity >= threshold.
 
-    ``bucketed=True`` first blocks by a random-hyperplane LSH signature
-    (pairs must agree on one of 2 half-signatures — near-certain for
-    cosine >= 0.95) so the pairwise step is per-bucket; the default
-    brute path is exact and fine up to ~1e5 vectors.
+    The default ``bucketed=True`` first blocks by a random-hyperplane
+    LSH signature (pairs must agree on one of 2 half-signatures —
+    near-certain for cosine >= 0.95) so the pairwise step is per-bucket
+    and the plan stays bounded at corpus scale. Pass ``bucketed=False``
+    for the exact O(n^2) all-pairs path — correct at any threshold but
+    only viable up to ~1e5 vectors; at lower thresholds where LSH recall
+    drops, either raise ``num_planes`` or accept the exact path's cost.
     """
     from dbldatagen_spark.functions.similarity import (
         cosine_similarity_expr,

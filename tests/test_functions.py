@@ -84,7 +84,7 @@ class TestDedup:
         brute = {
             (r.id_a, r.id_b)
             for r in embedding_near_duplicates(
-                emb, "vec_id", "embedding", threshold=0.9
+                emb, "vec_id", "embedding", threshold=0.9, bucketed=False
             ).collect()
         }
         bucketed = {
@@ -740,7 +740,9 @@ def test_stop_shingle_cap(spark):
     rows = [(1, "alpha beta gamma delta"), (2, "alpha beta gamma epsilon")]
     rows += [(i, f"{boiler} unique{i} filler{i} pad{i}") for i in range(3, 9)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    uncapped = ngram_jaccard_pairs(df, "doc_id", "text", k=3, threshold=0.1)
+    uncapped = ngram_jaccard_pairs(
+        df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=None
+    )
     capped = ngram_jaccard_pairs(
         df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=3
     )
