@@ -382,11 +382,7 @@ def _q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .where(F.col("c_mktsegment") == "BUILDING")
         .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(_money(F.sum(_rev_dec())).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
     )
@@ -1226,9 +1222,9 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = _rev_dec()
     return joined.agg(
         (
-            (F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)) * 100)
-            .cast("double")
+            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("double")
             / F.sum(rev).cast("double")
+            * 100
         ).alias("promo_share_pct")
     )
 
@@ -1608,11 +1604,7 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "_total_rev"
-            )
-        )
+        .agg(F.sum(_rev_dec()).alias("_total_rev"))
     )
     mx = rev.agg(F.max("_total_rev").alias("_max_rev"))
     return (
@@ -1620,7 +1612,7 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_total_rev") == F.col("_max_rev"))
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select(
-            "s_suppkey", "s_name", F.round("_total_rev", 2).alias("total_revenue")
+            "s_suppkey", "s_name", _money(F.col("_total_rev")).alias("total_revenue")
         )
         .orderBy("s_suppkey")
     )
@@ -1659,13 +1651,19 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _load(spark, sf_dir, "part")
     brand_parts = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
     li2 = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
+    # exact decimal sum -> one IEEE division -> *0.5 (a power of two, exact):
+    # bit-identical on Spark and DuckDB regardless of aggregation order
     half_avg = li2.groupBy("l_partkey").agg(
-        (0.5 * F.avg("l_quantity")).alias("_half_avg")
+        (
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))) * 0.5
+        ).alias("_half_avg")
     ).withColumnRenamed("l_partkey", "_pk")
     return (
         li2.join(F.broadcast(half_avg), li2.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+        )
     )
 
 
@@ -2403,7 +2401,7 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY measure
         """,
         "q6_forecast_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             WHERE l_shipdate >= DATE '1996-01-01'
               AND l_shipdate < DATE '1997-01-01'
@@ -2448,13 +2446,13 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
         """,
-        "q1_pricing_summary": """
+        "q1_pricing_summary": f"""
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 2) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   ROUND(AVG(l_quantity), 4) AS avg_qty,
-                   ROUND(AVG(l_discount), 4) AS avg_disc,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(ROUND(SUM({_SQL_REV}), 2) AS DOUBLE) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
                    COUNT(*) AS count_order
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -2463,7 +2461,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q3_top_revenue": """
             SELECT o_orderkey, o_orderdate,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
@@ -2487,7 +2485,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q5_region_revenue": """
             SELECT n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN orders ON l_orderkey = o_orderkey
@@ -2498,17 +2496,16 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY n_name
             ORDER BY revenue DESC, n_name
         """,
-        "q14_promo_share": """
-            SELECT ROUND(
-                SUM(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
-                / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+        "q14_promo_share": f"""
+            SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                 THEN {_SQL_REV} END) AS DOUBLE)
+                   / CAST(SUM({_SQL_REV}) AS DOUBLE) * 100 AS promo_share_pct
             FROM lineitem JOIN part ON l_partkey = p_partkey
         """,
         "q7_nation_volume": """
             SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS volume,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS volume,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -2523,7 +2520,7 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN orders   ON l_orderkey = o_orderkey
@@ -2535,7 +2532,7 @@ def _oracle_sql_base() -> dict[str, str]:
             LIMIT 20
         """,
         "q19_discounted_revenue": """
-            SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue,
                    COUNT(*) AS n_lineitems
             FROM lineitem JOIN part ON l_partkey = p_partkey
             WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -2638,16 +2635,16 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY c_count
             ORDER BY custdist DESC, c_count DESC
         """,
-        "q15_top_supplier": """
+        "q15_top_supplier": f"""
             WITH rev AS (
                 SELECT l_suppkey,
-                       SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+                       SUM({_SQL_REV}) AS total_rev
                 FROM lineitem
                 WHERE l_shipdate >= DATE '1996-01-01'
                   AND l_shipdate < DATE '1996-04-01'
                 GROUP BY l_suppkey
             )
-            SELECT s_suppkey, s_name, ROUND(total_rev, 2) AS total_revenue
+            SELECT s_suppkey, s_name, CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
             FROM rev JOIN supplier ON l_suppkey = s_suppkey
             WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
             ORDER BY s_suppkey
@@ -2667,12 +2664,14 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         """,
         "q17_small_quantity_revenue": """
-            SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+                       AS avg_yearly
             FROM lineitem l
             JOIN part ON l.l_partkey = p_partkey
             WHERE p_brand = 'Brand#2'
               AND l.l_quantity < (
-                  SELECT 0.5 * AVG(l2.l_quantity)
+                  SELECT (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                          / COUNT(*)) * 0.5
                   FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
               )
         """,
