@@ -85,17 +85,31 @@ from dbldatagen_spark.compat import (
     RANDOM_SEED_FIXED,
     RANDOM_SEED_HASH_FIELD_NAME,
     RANDOM_SEED_RANDOM,
+    MIN_PYTHON_VERSION,
+    MIN_SPARK_VERSION,
+    SPARK_DEFAULT_PARALLELISM,
     ColumnGeneratorBuilder,
+    ColumnLike,
     ColumnSpecOptions,
     DataGenError,
     HtmlUtils,
+    NumericLike,
     SparkSingleton,
+    coalesce_values,
+    deprecated,
     ensure,
+    json_value_from_path,
+    mkBoundsList,
+    parse_time_interval,
+    split_list_matching_condition,
+    strip_margins,
+    system_time_millis,
     topologicalSort,
 )
 from dbldatagen_spark.datagen import _V0Column as ColumnGenerationSpec
 from dbldatagen_spark.session import RECOMMENDED_CONFIGS, tuned_builder, tuned_session
 from dbldatagen_spark.datagen import (
+    DataRange,
     DateRange,
     NRange,
     generator_from_dict,

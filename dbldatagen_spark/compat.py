@@ -19,6 +19,19 @@ RANDOM_SEED_RANDOM = -1
 RANDOM_SEED_FIXED = "fixed"
 RANDOM_SEED_HASH_FIELD_NAME = "hash_fieldname"
 
+# Type aliases (reference ``datagen_types.py``): the argument shapes APIs
+# accept wherever a column or a number is expected.
+try:  # numpy scalar types are accepted but numpy itself stays optional
+    import numpy as _np
+
+    NumericLike = Union[float, int, _np.float64, _np.int32, _np.int64]
+except ImportError:  # pragma: no cover
+    NumericLike = Union[float, int]
+
+from pyspark.sql import Column as _Column
+
+ColumnLike = Union[_Column, str]
+
 
 class DataGenError(Exception):
     """Raised for spec/validation errors (reference ``utils.py:60-83``)."""
@@ -184,3 +197,154 @@ class ColumnSpecOptions:
 
     def __getitem__(self, key: str) -> Any:
         return self.options[key]
+
+
+# -- reference root-namespace utilities (``utils.py:29-370``,
+#    ``datagen_constants.py:37-48``) ---------------------------------------
+
+MIN_PYTHON_VERSION = (3, 8)
+MIN_SPARK_VERSION = (3, 1, 2)
+SPARK_DEFAULT_PARALLELISM = 200
+
+
+def deprecated(message: str = ""):
+    """Decorator marking an API as deprecated: emits a DeprecationWarning
+    naming the wrapped callable on every invocation."""
+    import functools
+    import warnings
+
+    def wrap(func):
+        @functools.wraps(func)
+        def inner(*args, **kwargs):
+            warnings.warn(
+                f"`{func.__name__}` is a deprecated function or method. \n{message}",
+                category=DeprecationWarning,
+                stacklevel=2,
+            )
+            return func(*args, **kwargs)
+
+        return inner
+
+    return wrap
+
+
+def coalesce_values(*args: Any) -> Any:
+    """First argument that is not ``None`` (SQL COALESCE over Python values)."""
+    return next((x for x in args if x is not None), None)
+
+
+def mkBoundsList(x, default):
+    """Normalize a bounds argument to ``(defaulted, [lo, hi])``: ``None``
+    takes the default (scalar default duplicates), a scalar duplicates,
+    a 2-sequence passes through."""
+    if x is None:
+        bounds = [default, default] if isinstance(default, int) else list(default)
+        defaulted = True
+    elif isinstance(x, int):
+        bounds, defaulted = [x, x], False
+    else:
+        bounds, defaulted = list(x), False
+    if len(bounds) != 2:
+        raise DataGenError(f"bounds list must have 2 elements, got {bounds!r}")
+    return defaulted, bounds
+
+
+_TIME_UNITS = {
+    "year": "years", "years": "years",
+    "week": "weeks", "weeks": "weeks",
+    "day": "days", "days": "days",
+    "hour": "hours", "hours": "hours",
+    "minute": "minutes", "minutes": "minutes",
+    "second": "seconds", "seconds": "seconds",
+    "millisecond": "milliseconds", "milliseconds": "milliseconds",
+    "microsecond": "microseconds", "microseconds": "microseconds",
+}
+
+
+def parse_time_interval(spec: str):
+    """Parse ``"1 hour, 30 minutes"`` / ``"hours=1, minutes=30"`` into a
+    ``datetime.timedelta``. Years count as 52 weeks."""
+    import re as _re
+    from datetime import timedelta
+
+    if spec is None:
+        raise DataGenError("time interval specification must not be None")
+    parts: dict = {}
+    for chunk in str(spec).strip().split(","):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        m = _re.match(r"^(?P<name>[A-Za-z]+)\s*=\s*(?P<value>\d+)$", chunk)
+        if m is None:
+            m = _re.match(r"^(?P<value>\d+)\s+(?P<name>[A-Za-z]+)$", chunk)
+        if m is None:
+            raise DataGenError(
+                f"cannot parse time interval element {chunk!r} "
+                "(expected '12 hours' or 'hours=12')"
+            )
+        unit = _TIME_UNITS.get(m.group("name").lower())
+        if unit is None:
+            raise DataGenError(f"unknown time unit in {chunk!r}")
+        parts[unit] = int(m.group("value"))
+    years = parts.pop("years", 0)
+    parts["weeks"] = parts.get("weeks", 0) + years * 52
+    return timedelta(**parts)
+
+
+def strip_margins(s: str, marginChar: str) -> str:
+    """Scala-style stripMargin: in each line containing ``marginChar``,
+    drop everything up to and including its first occurrence."""
+    out = []
+    for line in s.split("\n"):
+        idx = line.find(marginChar)
+        out.append(line[idx + 1:] if idx >= 0 else line)
+    return "\n".join(out)
+
+
+def split_list_matching_condition(lst, cond):
+    """Split ``lst`` into sublists around each element matching ``cond``;
+    matching elements become their own singleton sublists. Empty segments
+    are dropped."""
+    groups, current = [], []
+    for el in lst:
+        if cond(el):
+            if current:
+                groups.append(current)
+                current = []
+            groups.append([el])
+        else:
+            current.append(el)
+    if current:
+        groups.append(current)
+    return groups
+
+
+def json_value_from_path(searchPath: str, jsonData: str, defaultValue: Any) -> Any:
+    """Look up a value in a JSON document by search path; returns
+    ``defaultValue`` when absent. Uses ``jmespath`` when installed, else a
+    plain dotted-key traversal (covers the common ``a.b.c`` paths)."""
+    import json as _json
+
+    if not searchPath:
+        raise DataGenError("search path cannot be empty")
+    data = _json.loads(jsonData)
+    try:
+        import jmespath  # type: ignore
+
+        found = jmespath.search(searchPath, data)
+        return defaultValue if found is None else found
+    except ImportError:
+        node = data
+        for key in searchPath.split("."):
+            if isinstance(node, dict) and key in node:
+                node = node[key]
+            else:
+                return defaultValue
+        return node
+
+
+def system_time_millis() -> int:
+    """Milliseconds since the Unix epoch."""
+    import time as _time
+
+    return int(_time.time() * 1000)

@@ -987,7 +987,48 @@ class DataGenerator:
         return out
 
 
-class NRange:
+class DataRange:
+    """Abstract base for range objects (reference ``datarange.py:14-56``):
+    a min/max(/step) triple a column spec can draw from.  Subclasses decide
+    what "empty" and "fully populated" mean for their value domain."""
+
+    minValue = None
+    maxValue = None
+
+    def isEmpty(self):
+        """True when no bound of the range is set."""
+        raise NotImplementedError(
+            f"'{type(self).__name__}' does not implement 'isEmpty'"
+        )
+
+    def isFullyPopulated(self):
+        """True when every bound of the range is set."""
+        raise NotImplementedError(
+            f"'{type(self).__name__}' does not implement 'isFullyPopulated'"
+        )
+
+    def adjustForColumnDatatype(self, ctype):
+        """Fill unset bounds with the column type's defaults."""
+        raise NotImplementedError(
+            f"'{type(self).__name__}' does not implement 'adjustForColumnDatatype'"
+        )
+
+    def getDiscreteRange(self):
+        """Number of lattice points the range spans."""
+        raise NotImplementedError(
+            f"'{type(self).__name__}' does not implement 'getDiscreteRange'"
+        )
+
+    @property
+    def min(self):
+        return self.minValue
+
+    @property
+    def max(self):
+        return self.maxValue
+
+
+class NRange(DataRange):
     """v0-compatible numeric range object: ``withColumn(..., dataRange=NRange(0, 100, 5))``."""
 
     def __init__(self, minValue=None, maxValue=None, step=None):
@@ -995,14 +1036,47 @@ class NRange:
         self.maxValue = maxValue
         self.step = step
 
+    def isEmpty(self):
+        return self.minValue is None and self.maxValue is None and self.step is None
 
-class DateRange:
+    def isFullyPopulated(self):
+        return (
+            self.minValue is not None
+            and self.maxValue is not None
+            and self.step is not None
+        )
+
+    def getDiscreteRange(self):
+        step = self.step if self.step is not None else 1
+        return (self.maxValue - self.minValue) / step
+
+
+class DateRange(DataRange):
     """v0-compatible date/time range object: begin/end/interval strings."""
 
     def __init__(self, begin, end, interval=None):
         self.begin = begin
         self.end = end
         self.interval = interval
+
+    # DataRange views: begin/end stand in for min/max
+    @property
+    def minValue(self):  # type: ignore[override]
+        return self.begin
+
+    @property
+    def maxValue(self):  # type: ignore[override]
+        return self.end
+
+    def isEmpty(self):
+        return self.begin is None and self.end is None and self.interval is None
+
+    def isFullyPopulated(self):
+        return (
+            self.begin is not None
+            and self.end is not None
+            and self.interval is not None
+        )
 
 
 # -- v0 generator (de)serialization ----------------------------------------

@@ -14,6 +14,8 @@ is bytes-per-doc, not payload.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -36,17 +38,24 @@ def curate_corpus(
     min_quality: float = 0.5,
     jaccard_threshold: float = 0.5,
     shingle_k: int = 3,
+    max_posting_len: Optional[int] = 1000,
 ) -> DataFrame:
     """Return the curated keep-set: documents in ``lang`` with
     ``quality_score >= min_quality``, minus every near-duplicate that is
     not its cluster's canonical (minimum-id) member.
+
+    ``max_posting_len`` is passed through to :func:`ngram_jaccard_pairs`:
+    the default 1000 keeps the pair stage bounded at scale (a viral
+    boilerplate shingle is a d^2 explosion); pass ``None`` for exact
+    small-corpus dedup where every shared shingle must count.
 
     Output: (id, detected_lang, quality_score) for each kept document.
     """
     langs = detect_language(df, id_col, text_col).select(id_col, "detected_lang")
     quality = quality_metrics(df, id_col, text_col).select(id_col, "quality_score")
     pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, k=shingle_k, threshold=jaccard_threshold
+        df, id_col, text_col, k=shingle_k, threshold=jaccard_threshold,
+        max_posting_len=max_posting_len,
     )
     non_canonical = duplicate_components(pairs).where(
         F.col("vertex") != F.col("component")

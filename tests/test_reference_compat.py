@@ -128,3 +128,84 @@ def test_tuned_builder_configs(spark):
         assert opts[k] == v
     assert opts["spark.sql.shuffle.partitions"] == "7"
     assert opts["spark.sql.ansi.enabled"] == "true"
+
+def test_root_namespace_parity():
+    """Every public name the reference exports from its package root
+    resolves on this package root too — parsed programmatically from the
+    reference ``__init__`` so new reference exports fail loudly here
+    instead of silently drifting (``/root/reference/dbldatagen/__init__.py``)."""
+    import ast
+    import pathlib
+
+    ref_init = pathlib.Path("/root/reference/dbldatagen/__init__.py")
+    if not ref_init.exists():
+        pytest.skip("reference tree not present")
+    tree = ast.parse(ref_init.read_text())
+    names = [
+        alias.asname or alias.name
+        for node in ast.walk(tree)
+        if isinstance(node, ast.ImportFrom) and node.level == 1
+        for alias in node.names
+    ]
+    # module-internal/meta names with no behavioral surface
+    skip = {"__version__"}
+    missing = [n for n in names if n not in skip and not hasattr(dg, n)]
+    assert not missing, f"reference root exports missing here: {missing}"
+
+
+def test_utils_semantics():
+    """Behavioral parity of the root utility functions (reference
+    ``utils.py:74-370``)."""
+    from datetime import timedelta
+
+    assert dg.coalesce_values(None, None, 3, 4) == 3
+    assert dg.coalesce_values(None) is None
+
+    assert dg.mkBoundsList(None, 5) == (True, [5, 5])
+    assert dg.mkBoundsList(7, 5) == (False, [7, 7])
+    assert dg.mkBoundsList([2, 9], 5) == (False, [2, 9])
+
+    assert dg.parse_time_interval("1 hour, 30 minutes") == timedelta(
+        hours=1, minutes=30
+    )
+    assert dg.parse_time_interval("hours=2") == timedelta(hours=2)
+    assert dg.parse_time_interval("1 year") == timedelta(weeks=52)
+
+    assert dg.strip_margins("one\n    |two\n    |three", "|") == "one\ntwo\nthree"
+
+    x = ["id", "a", "b", "id", "c"]
+    assert dg.split_list_matching_condition(x, lambda e: e == "id") == [
+        ["id"], ["a", "b"], ["id"], ["c"]
+    ]
+
+    assert dg.json_value_from_path("a.b", '{"a": {"b": 42}}', 0) == 42
+    assert dg.json_value_from_path("a.z", '{"a": {"b": 42}}', "dflt") == "dflt"
+
+    import time
+    assert abs(dg.system_time_millis() - time.time() * 1000) < 5000
+
+    @dg.deprecated("use other()")
+    def legacy():
+        return 1
+
+    import warnings
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert legacy() == 1
+    assert any(issubclass(x.category, DeprecationWarning) for x in w)
+
+
+def test_datarange_hierarchy():
+    """NRange/DateRange derive from the DataRange ABC with min/max views
+    (reference ``datarange.py:14-56``)."""
+    nr = dg.NRange(0, 100, 5)
+    assert isinstance(nr, dg.DataRange)
+    assert (nr.min, nr.max) == (0, 100)
+    assert nr.isFullyPopulated() and not nr.isEmpty()
+    assert nr.getDiscreteRange() == 20
+
+    dr = dg.DateRange("2020-01-01", "2020-12-31", "1 day")
+    assert isinstance(dr, dg.DataRange)
+    assert dr.min == "2020-01-01" and dr.max == "2020-12-31"
+    assert dr.isFullyPopulated()
+    assert dg.NRange().isEmpty()

@@ -14,11 +14,15 @@ SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="module")
 def events(spark):
-    # the driver's events table stores TIMESTAMP(NANOS); read nanos as
-    # long and integer-divide to micros (same path as __spark_entry__)
+    # two on-disk generations exist (TIMESTAMP(NANOS)-as-long and native
+    # TIMESTAMP(MICROS)); adapt like __spark_entry__._load does
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{SF}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000"))).cache()
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    else:
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df.cache()
 
 
 def _batch_gap_sessions(ev, gap_s=1800):
