@@ -1098,6 +1098,90 @@ def _gen_unique_temporal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_iltext_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ILText invariants (reference ``text_generators.py:996-1257``): every
+    token comes from the fixed lorem vocabulary, per-row word counts stay
+    inside the paragraphs*sentences*words envelope, and two builds at
+    different partition counts are bit-identical."""
+    from dbldatagen_spark import DataGenerator, ILText
+    from dbldatagen_spark.operators.templates import LOREM_WORDS
+
+    def build(partitions: int) -> DataFrame:
+        return (
+            DataGenerator(
+                spark, name="il_t", rows=_GEN_ROWS, partitions=partitions,
+                randomSeed=42,
+            )
+            .withColumn(
+                "txt", "string",
+                text=ILText(paragraphs=1, sentences=(1, 3), words=(3, 8)),
+            )
+            .build()
+        )
+
+    df = build(8)
+    vocab = F.array(*[F.lit(w) for w in LOREM_WORDS])
+    toks = F.filter(
+        F.split(F.lower(F.regexp_replace(F.col("txt"), r"[.\n]+", " ")), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    per_row = df.select(
+        F.size(F.array_except(toks, vocab)).alias("n_foreign"),
+        F.size(toks).alias("n_words"),
+    )
+    stats = per_row.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("n_foreign") > 0, 1).otherwise(0))
+        .cast("long").alias("rows_with_foreign_words"),
+        # 1 paragraph of 1-3 sentences of 3-8 words each
+        F.sum(
+            F.when((F.col("n_words") >= 3) & (F.col("n_words") <= 24), 0).otherwise(1)
+        ).cast("long").alias("rows_out_of_bounds"),
+    )
+    d1, d2 = build(8), build(3)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
+def _gen_faker_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Faker-pool invariants (reference ``faker_pool.py:18-135``): every
+    generated value is a member of the deterministic driver-side pool
+    (rebuilt here via the same seed derivation), and two builds at
+    different partition counts are identical."""
+    from dbldatagen_spark import ColumnSpec, FakerColumn, TableSpec, generate_table
+    from dbldatagen_spark.operators.seed import derive_column_seed
+    from dbldatagen_spark.operators.text import build_pool
+
+    spec = FakerColumn(method="name", pool_size=64)
+
+    def build(partitions: int) -> DataFrame:
+        t = TableSpec(
+            "faker_t", _GEN_ROWS,
+            columns=[ColumnSpec("person", spec)],
+            partitions=partitions,
+        )
+        return generate_table(spark, t, seed=42)
+
+    pool = build_pool(spec, derive_column_seed(42, "faker_t", "person"))
+    pool_arr = F.array(*[F.lit(v) for v in pool])
+    df = build(8)
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.array_contains(pool_arr, F.col("person")), 0).otherwise(1))
+        .cast("long").alias("values_outside_pool"),
+        (F.countDistinct("person") <= F.lit(len(pool))).alias("distinct_within_pool"),
+    )
+    d1, d2 = build(8), build(5)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataAnalyzer single-pass profile of the customer table (exact
     measures only — approx/formatting-sensitive ones excluded)."""
@@ -2209,6 +2293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "events_rollup_daily": _events_rollup_daily,
+        "gen_iltext_conformance": _gen_iltext_conformance,
+        "gen_faker_conformance": _gen_faker_conformance,
     }
 
 
@@ -2275,6 +2361,18 @@ def _oracle_sql_base() -> dict[str, str]:
             f"CAST({_GEN_ROWS} AS BIGINT) AS distinct_count"
         ),
         "gen_pattern_conformance": f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS well_formed",
+        "gen_iltext_conformance": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS rows_with_foreign_words, "
+            "CAST(0 AS BIGINT) AS rows_out_of_bounds, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "gen_faker_conformance": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS values_outside_pool, "
+            "true AS distinct_within_pool, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
         "gen_null_fraction": "SELECT true AS within_tolerance",
         "gen_weighted_shape": "SELECT true AS within_tolerance",
         "gen_distribution_shapes": (

@@ -607,6 +607,7 @@ def duplicate_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    checkpoint_dir: Optional[str] = None,
 ) -> DataFrame:
     """Collapse a near-duplicate *pair* set into duplicate *clusters*:
     returns ``(vertex, component)`` where ``component`` is the smallest
@@ -617,13 +618,30 @@ def duplicate_components(
     (each round a vertex takes the min of its own label, its neighbors'
     labels, and its label's label), converging in O(log diameter) rounds.
     Every round shuffles only ``(long, long)`` label pairs — never
-    documents — and ``localCheckpoint`` truncates the lineage so plan
-    size stays constant across iterations (without it, iteration k
-    re-plans all k-1 predecessors; at cluster scale that serializes the
-    driver). Near-dup graphs have tiny diameters (dup clusters are
-    near-cliques), so 3-4 rounds is typical; ``max_iterations`` only
-    guards pathological chains.
+    documents — and a checkpoint truncates the lineage so plan size stays
+    constant across iterations (without it, iteration k re-plans all k-1
+    predecessors; at cluster scale that serializes the driver). Near-dup
+    graphs have tiny diameters (dup clusters are near-cliques), so 3-4
+    rounds is typical; ``max_iterations`` only guards pathological chains.
+
+    Checkpointing: the default ``localCheckpoint`` writes to executor
+    block storage — fast, but lost if an executor dies (a real risk on
+    preemptible/spot fleets). Pass ``checkpoint_dir`` (an HDFS/object-store
+    path) to use *reliable* checkpointing for long-running production runs;
+    the per-iteration write cost buys restartable lineage.
     """
+    spark = pairs.sparkSession
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -633,7 +651,7 @@ def duplicate_components(
     labels = edges.select(F.col("src").alias("vertex")).distinct().select(
         "vertex", F.col("vertex").alias("component")
     )
-    labels = labels.localCheckpoint()
+    labels = _checkpoint(labels)
     for _ in range(max_iterations):
         nbr = (
             edges.join(labels, edges["dst"] == labels["vertex"])
@@ -658,7 +676,7 @@ def duplicate_components(
                 F.coalesce(F.col("y.component"), F.col("x.component")),
             ).alias("component"),
         )
-        jumped = jumped.localCheckpoint()
+        jumped = _checkpoint(jumped)
         changed = (
             jumped.alias("n")
             .join(labels.alias("o"), "vertex")

@@ -286,6 +286,24 @@ def test_duplicate_components(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
 
 
+def test_duplicate_components_reliable_checkpoint(spark, tmp_path):
+    from dbldatagen_spark.functions import duplicate_components
+
+    # checkpoint_dir switches the lineage truncation from executor-local
+    # blocks to reliable storage; results must be identical either way
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        (r["vertex"], r["component"])
+        for r in duplicate_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)}
+    import os
+    assert any(os.scandir(ckpt)), "reliable checkpoint wrote nothing"
+
+
 def test_duplicate_components_long_chain(spark):
     from dbldatagen_spark.functions import duplicate_components
 
