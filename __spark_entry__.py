@@ -1182,6 +1182,24 @@ def _gen_faker_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over the documents table: redacted text + per-kind match
+    counts, all computed in-scan (map-only plan)."""
+    from dbldatagen_spark.functions import redact_pii
+
+    docs = _load(spark, sf_dir, "documents")
+    return redact_pii(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (dup-line/dup-paragraph fractions,
+    top-bigram share) per document."""
+    from dbldatagen_spark.functions import repetition_metrics
+
+    docs = _load(spark, sf_dir, "documents")
+    return repetition_metrics(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataAnalyzer single-pass profile of the customer table (exact
     measures only — approx/formatting-sensitive ones excluded)."""
@@ -2295,6 +2313,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_daily": _events_rollup_daily,
         "gen_iltext_conformance": _gen_iltext_conformance,
         "gen_faker_conformance": _gen_faker_conformance,
+        "text_pii_redaction": _text_pii_redaction,
+        "text_repetition": _text_repetition,
     }
 
 
@@ -2373,6 +2393,60 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS distinct_within_pool, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
+        "text_pii_redaction": r"""
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                           '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                           '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '[CARD]', 'g')
+                       AS redacted,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
+                   CAST(len(regexp_extract_all(text, '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS BIGINT) AS n_credit_card
+            FROM documents
+            ORDER BY doc_id
+        """,
+        "text_repetition": r"""
+            WITH parts AS (
+                SELECT doc_id,
+                       list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                                   x -> x <> '') AS lines,
+                       list_filter(list_transform(string_split_regex(text, '\n\n+'), x -> trim(x)),
+                                   x -> x <> '') AS paras,
+                       string_split_regex(trim(lower(text)), '\s+') AS toks
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id,
+                       CASE WHEN len(lines) <= 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE)
+                       END AS dup_line_fraction,
+                       CASE WHEN len(paras) <= 0 THEN 0.0
+                            ELSE 1.0 - len(list_distinct(paras)) / CAST(len(paras) AS DOUBLE)
+                       END AS dup_paragraph_fraction,
+                       toks
+                FROM parts
+            ),
+            grams AS (
+                SELECT doc_id, toks[i.i] || ' ' || toks[i.i + 1] AS g
+                FROM base, UNNEST(generate_series(1, len(toks) - 1)) AS i(i)
+                WHERE len(toks) >= 2
+            ),
+            counts AS (SELECT doc_id, g, COUNT(*) AS n FROM grams GROUP BY 1, 2),
+            shares AS (
+                SELECT doc_id, MAX(n) / CAST(SUM(n) AS DOUBLE) AS s
+                FROM counts GROUP BY 1
+            )
+            SELECT b.doc_id, b.dup_line_fraction, b.dup_paragraph_fraction,
+                   COALESCE(s.s, 0.0) AS top_bigram_share
+            FROM base b LEFT JOIN shares s USING (doc_id)
+            ORDER BY doc_id
+        """,
         "gen_null_fraction": "SELECT true AS within_tolerance",
         "gen_weighted_shape": "SELECT true AS within_tolerance",
         "gen_distribution_shapes": (

@@ -59,9 +59,11 @@ from dbldatagen_spark.functions.text_analysis import (
     document_fingerprint,
     ngram_counts,
     quality_metrics,
+    repetition_metrics,
     token_count_expr,
     token_vocabulary,
 )
+from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text_expr
 
 __all__ = [
     "asof_join",
@@ -98,6 +100,10 @@ __all__ = [
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
     "quality_metrics",
+    "redact_pii",
+    "redact_text_expr",
+    "repetition_metrics",
+    "PII_PATTERNS",
     "simhash_signatures",
     "split_assign",
     "stratified_sample",

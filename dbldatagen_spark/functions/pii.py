@@ -1,0 +1,94 @@
+"""PII detection / redaction over text columns — pure Catalyst expressions.
+
+A large-scale training-data pipeline scrubs personally identifiable
+information before anything else touches the corpus. Everything here is
+``regexp_replace`` / ``regexp_count`` over the scan — no UDFs, no shuffle:
+at 100 TB the operator runs entirely inside the parquet-scan stage and
+costs one pass over the bytes.
+
+Patterns deliberately use the common regex subset (character classes,
+bounded quantifiers, word boundaries) that Java regex (Spark) and RE2
+(DuckDB, used by the correctness oracle) interpret identically.
+
+No counterpart in the reference repo (its scope ends at data generation);
+this extends the pipeline surface the same way ``functions/dedup.py`` does.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dbldatagen_spark.functions._parallel import ensure_parallelism
+
+# kind -> (pattern, replacement token). Order matters: more specific
+# patterns run first so e.g. an SSN is not half-eaten by the phone rule.
+PII_PATTERNS: Dict[str, Tuple[str, str]] = {
+    "email": (
+        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "[EMAIL]",
+    ),
+    "ssn": (
+        r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
+        "[SSN]",
+    ),
+    "phone": (
+        r"\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b",
+        "[PHONE]",
+    ),
+    "ipv4": (
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "[IP]",
+    ),
+    "credit_card": (
+        r"\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b",
+        "[CARD]",
+    ),
+}
+
+_DEFAULT_KINDS = tuple(PII_PATTERNS)
+
+
+def redact_text_expr(
+    text: Column, kinds: Sequence[str] = _DEFAULT_KINDS
+) -> Column:
+    """Expression producing ``text`` with each PII kind replaced by its
+    bracket token, applied in declaration order."""
+    out = text
+    for kind in kinds:
+        pattern, token = PII_PATTERNS[kind]
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    kinds: Optional[Sequence[str]] = None,
+    counts: bool = True,
+) -> DataFrame:
+    """Scrub PII from ``text_col``; returns ``(id, redacted, n_<kind>...)``.
+
+    ``counts=True`` additionally reports per-kind match counts (taken
+    BEFORE redaction, so overlapping kinds each see the original text).
+    The whole operator is map-only: one projection over the scan, no
+    shuffle, codegen-friendly at any scale.
+    """
+    use = tuple(kinds) if kinds is not None else _DEFAULT_KINDS
+    unknown = [k for k in use if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(f"unknown PII kinds: {unknown}; known: {list(PII_PATTERNS)}")
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+    cols = [F.col(id_col), redact_text_expr(text, use).alias("redacted")]
+    if counts:
+        for kind in use:
+            pattern, _ = PII_PATTERNS[kind]
+            cols.append(
+                F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"n_{kind}")
+            )
+    return df.select(*cols)

@@ -122,6 +122,93 @@ def quality_metrics(
     )
 
 
+def repetition_metrics(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Per-document repetition signals, the standard web-corpus quality
+    filters alongside :func:`quality_metrics` (the duplicate-line /
+    duplicate-paragraph / top-n-gram-share family popularized by published
+    large-corpus curation work).
+
+    Returns ``(id, dup_line_fraction, dup_paragraph_fraction,
+    top_bigram_share)`` where the fractions are
+    ``1 - distinct/total`` over non-empty trimmed lines/paragraphs and
+    ``top_bigram_share`` is the most frequent word-bigram's share of all
+    bigrams (0.0 for docs with < 2 tokens).
+
+    Scale shape: the line/paragraph fractions are pure per-row expressions
+    (in-scan, no shuffle). The bigram share explodes to ``(id, bigram)``
+    keys and aggregates twice — both shuffles carry 8-byte hashed keys and
+    partial aggregation halves them map-side; nothing quadratic, no skew
+    beyond natural token skew (hash-partitioned on (id, bigram)).
+    """
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+
+    def _nonempty(parts: Column) -> Column:
+        return F.filter(
+            F.transform(parts, F.trim), lambda p: p != F.lit("")
+        )
+
+    lines = _nonempty(F.split(text, r"\n"))
+    paras = _nonempty(F.split(text, r"\n\n+"))
+
+    def _dup_fraction(parts: Column) -> Column:
+        n = F.size(parts)
+        return F.when(n <= 0, F.lit(0.0)).otherwise(
+            F.lit(1.0)
+            - F.size(F.array_distinct(parts)).cast("double") / n.cast("double")
+        )
+
+    # fractions stay unrounded: distinct/total and max/sum are single IEEE
+    # divisions of integers, bit-identical across engines, while a decimal
+    # rounding step is not (round-half conventions differ on exact ties
+    # like 1/32 = 0.03125)
+    base = df.select(
+        F.col(id_col),
+        _dup_fraction(lines).alias("dup_line_fraction"),
+        _dup_fraction(paras).alias("dup_paragraph_fraction"),
+        tokens_expr(text).alias("_toks"),
+    )
+    # bigrams: zip the token array against itself shifted by one; explode
+    # to (id, bigram) so the frequency aggregation distributes
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode_outer(
+            F.when(
+                F.size("_toks") >= 2,
+                F.zip_with(
+                    F.slice(F.col("_toks"), 1, F.size("_toks") - 1),
+                    F.slice(F.col("_toks"), 2, F.size("_toks") - 1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                ),
+            ).otherwise(F.array()),
+        ).alias("_gram"),
+    )
+    shares = (
+        bigrams.groupBy(id_col, "_gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy(id_col)
+        .agg(
+            F.when(
+                F.max(F.col("_gram").isNotNull().cast("int")) == 0, F.lit(0.0)
+            )
+            .otherwise(F.max("_n").cast("double") / F.sum("_n").cast("double"))
+            .alias("_top_share")
+        )
+    )
+    return (
+        base.drop("_toks")
+        .join(shares, id_col, "left")
+        .select(
+            F.col(id_col),
+            "dup_line_fraction",
+            "dup_paragraph_fraction",
+            F.coalesce(F.col("_top_share"), F.lit(0.0)).alias("top_bigram_share"),
+        )
+    )
+
+
 def document_fingerprint(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

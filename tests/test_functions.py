@@ -930,3 +930,52 @@ def test_minhash_cluster_dedup_chain(spark):
            for r in minhash_cluster_dedup(df, "doc_id", "text", threshold=0.5).collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[10] == 10
+
+
+def test_redact_pii(spark):
+    from dbldatagen_spark.functions import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b@example.com, phone (555) 123-4567, ssn 123-45-6789"),
+            (2, "ip 10.0.0.1 card 4111 1111 1111 1111"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in redact_pii(df, "doc_id", "text").collect()}
+    assert rows[1]["redacted"] == "mail [EMAIL], phone [PHONE], ssn [SSN]"
+    assert (rows[1]["n_email"], rows[1]["n_phone"], rows[1]["n_ssn"]) == (1, 1, 1)
+    assert rows[2]["redacted"] == "ip [IP] card [CARD]"
+    assert rows[3]["redacted"] == "nothing sensitive here"
+    assert rows[3]["n_email"] == 0
+    # kind subset: only what was asked for is redacted or counted
+    subset = redact_pii(df, "doc_id", "text", kinds=["email"]).collect()
+    r1 = next(r for r in subset if r["doc_id"] == 1)
+    assert "[EMAIL]" in r1["redacted"] and "123-45-6789" in r1["redacted"]
+    assert "n_phone" not in r1.asDict()
+
+
+def test_repetition_metrics(spark):
+    from dbldatagen_spark.functions import repetition_metrics
+
+    df = spark.createDataFrame(
+        [
+            (1, "dup\ndup\nunique\n\npara\n\npara"),
+            (2, "the cat the cat the cat sat"),
+            (3, "x"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in repetition_metrics(df, "doc_id", "text").collect()
+    }
+    # doc 1: 5 nonempty lines, 3 distinct; 3 paragraphs, 2 distinct
+    assert abs(rows[1]["dup_line_fraction"] - (1 - 3 / 5)) < 1e-12
+    assert abs(rows[1]["dup_paragraph_fraction"] - (1 - 2 / 3)) < 1e-12
+    # doc 2: "the cat" appears 3x of 6 bigrams
+    assert abs(rows[2]["top_bigram_share"] - 0.5) < 1e-12
+    # short/empty docs degrade to zeros, not nulls or errors
+    assert rows[3]["top_bigram_share"] == 0.0
+    assert rows[4]["dup_line_fraction"] == 0.0
