@@ -1182,6 +1182,61 @@ def _gen_faker_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _gen_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sink + view registration invariants: a generated table written
+    through OutputDataset (range-partitioned parquet layout) reads back
+    identical, and the temp-view registration path serves the same rows
+    through spark.sql."""
+    import os
+    import tempfile
+
+    from dbldatagen_spark import (
+        ColumnSpec,
+        OutputDataset,
+        RangeColumn,
+        SequenceColumn,
+        TableSpec,
+        generate_table,
+        write_data_to_output,
+    )
+
+    t = TableSpec(
+        "sink_t",
+        _GEN_ROWS,
+        columns=[
+            ColumnSpec("pk", SequenceColumn(start=0, step=1), dtype="long"),
+            ColumnSpec("grp", RangeColumn(1, 50), dtype="int"),
+        ],
+        partitions=8,
+    )
+    df = generate_table(spark, t, seed=42)
+
+    out_dir = os.path.join(tempfile.gettempdir(), "dbldatagen_spark_sink_rt")
+    write_data_to_output(
+        df,
+        OutputDataset(
+            location=out_dir,
+            mode="overwrite",
+            range_partition_by=["pk"],
+            sort_within_files=True,
+            range_partitions=4,
+        ),
+    )
+    back = spark.read.parquet(out_dir)
+    mismatches = df.exceptAll(back).union(back.exceptAll(df))
+
+    df.createOrReplaceTempView("sink_rt_view")
+    via_view = spark.sql("SELECT COUNT(*) AS n FROM sink_rt_view")
+
+    return (
+        back.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .crossJoin(
+            mismatches.agg(F.count(F.lit(1)).cast("long").alias("readback_mismatches"))
+        )
+        .crossJoin(via_view.select((F.col("n") == _GEN_ROWS).alias("view_ok")))
+    )
+
+
 def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table: redacted text + per-kind match
     counts, all computed in-scan (map-only plan)."""
@@ -2234,7 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_constant_seedfrom": _gen_constant_seedfrom,
         "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
-        "gen_weighted_cycle": _gen_weighted_cycle,
+        "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraints": _gen_constraints,
         "gen_template_conformance": _gen_template_conformance,
         "gen_array_features": _gen_array_features,
@@ -2267,6 +2322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocabulary": _text_vocabulary,
         "text_contamination": _text_contamination,
         # --- additional variants (locally oracle-checked) ---
+        "gen_weighted_cycle": _gen_weighted_cycle,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q4_order_priority": _q4_order_priority,
         "q18_large_orders": _q18_large_orders,
@@ -2392,6 +2448,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS values_outside_pool, "
             "true AS distinct_within_pool, "
             "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "gen_sink_roundtrip": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS readback_mismatches, "
+            "true AS view_ok"
         ),
         "text_pii_redaction": r"""
             SELECT doc_id,
@@ -2740,8 +2801,12 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q2_min_cost_supplier": """
             WITH per AS (
+                -- mirror of the Spark side's order-independent decimal avg:
+                -- per-row unit price rounded to 6 decimals, summed exactly,
+                -- one IEEE division
                 SELECT l_partkey, l_suppkey,
-                       AVG(l_extendedprice / l_quantity) AS unit_cost
+                       CAST(SUM(CAST(l_extendedprice / l_quantity AS DECIMAL(18,6)))
+                            AS DOUBLE) / COUNT(*) AS unit_cost
                 FROM lineitem GROUP BY l_partkey, l_suppkey
             ),
             ranked AS (
@@ -2755,7 +2820,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 WHERE p.p_size BETWEEN 1 AND 15 AND p.p_type = 'STANDARD'
             )
             SELECT r.p_partkey, r.p_brand, s.s_name, n.n_name,
-                   ROUND(r.unit_cost, 4) AS unit_cost
+                   CAST(CAST(r.unit_cost AS DECIMAL(18,4)) AS DOUBLE) AS unit_cost
             FROM ranked r
             JOIN supplier s ON r.l_suppkey = s.s_suppkey
             JOIN nation n ON s.s_nationkey = n.n_nationkey
