@@ -1237,6 +1237,53 @@ def _gen_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_streaming_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-surface invariant (SURVEY §2.7): a streaming build over the
+    rate source emits exactly the rows a batch build produces for the same
+    seed ids — all randomness is xxhash64(seed, id), so batch ≡ stream.
+    Runs a real Structured Streaming query (rate source -> parquet sink with
+    checkpoint), then compares the captured id range against the batch
+    build. Timing-independent: the comparison is restricted to whatever ids
+    the stream committed before stop."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark import DataGenerator
+    from dbldatagen_spark.streaming import build_streaming, run_stream_until_rows
+
+    def make_gen() -> DataGenerator:
+        return (
+            DataGenerator(spark, name="stream_t", rows=100000, partitions=4,
+                          randomSeed=42)
+            .withIdOutput()
+            .withColumn("code", "int", minValue=100, maxValue=999, random=True)
+            .withColumn("grp", "string", values=["a", "b", "c"], random=True)
+        )
+
+    stream_df = build_streaming(make_gen(), rows_per_second=5000)
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_stream_rt_")
+    try:
+        run_stream_until_rows(
+            stream_df, f"{tmp}/data", f"{tmp}/ckpt", min_rows=500,
+            timeout_seconds=90.0,
+        )
+        captured = spark.read.parquet(f"{tmp}/data")
+        max_id = captured.agg(F.max("id")).first()[0] or 0
+        # cap at the batch generator's row count in case the stream ran long
+        cutoff = min(int(max_id), 100000 - 1)
+        batch = make_gen().build().where(F.col("id") <= F.lit(cutoff))
+        cap = captured.select("id", "code", "grp").where(F.col("id") <= F.lit(cutoff))
+        diffs = cap.exceptAll(batch).union(batch.exceptAll(cap))
+        n_captured = cap.count()
+        n_diffs = diffs.count()
+        return spark.createDataFrame(
+            [(n_captured >= 500, int(n_diffs))],
+            "enough_rows boolean, stream_batch_mismatches bigint",
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table: redacted text + per-kind match
     counts, all computed in-scan (map-only plan)."""
@@ -2302,7 +2349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": _q5_region_revenue,
         "q14_promo_share": _q14_promo_share,
         "q11_important_parts": _q11_important_parts,
-        "q12_returnflag_priority": _q12_returnflag_priority,
+        "gen_streaming_conformance": _gen_streaming_conformance,
         "events_sessionize": _events_sessionize,
         "events_session_range_join": _events_session_range_join,
         "events_asof_join": _events_asof_join,
@@ -2323,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_contamination": _text_contamination,
         # --- additional variants (locally oracle-checked) ---
         "gen_weighted_cycle": _gen_weighted_cycle,
+        "q12_returnflag_priority": _q12_returnflag_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
         "q4_order_priority": _q4_order_priority,
         "q18_large_orders": _q18_large_orders,
@@ -2453,6 +2501,10 @@ def _oracle_sql_base() -> dict[str, str]:
             f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
             "CAST(0 AS BIGINT) AS readback_mismatches, "
             "true AS view_ok"
+        ),
+        "gen_streaming_conformance": (
+            "SELECT true AS enough_rows, "
+            "CAST(0 AS BIGINT) AS stream_batch_mismatches"
         ),
         "text_pii_redaction": r"""
             SELECT doc_id,
