@@ -1302,6 +1302,17 @@ def _text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text").orderBy("doc_id")
 
 
+def _text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate-line removal: full cleaned text compared
+    line-for-line against the oracle's reconstruction."""
+    from dbldatagen_spark.functions import strip_boilerplate_lines
+
+    docs = _load(spark, sf_dir, "documents")
+    return strip_boilerplate_lines(
+        docs, "doc_id", "text", min_doc_frac=0.05, min_docs=2
+    ).orderBy("doc_id")
+
+
 def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataAnalyzer single-pass profile of the customer table (exact
     measures only — approx/formatting-sensitive ones excluded)."""
@@ -2419,6 +2430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_faker_conformance": _gen_faker_conformance,
         "text_pii_redaction": _text_pii_redaction,
         "text_repetition": _text_repetition,
+        "text_boilerplate_strip": _text_boilerplate_strip,
     }
 
 
@@ -2522,6 +2534,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
                    CAST(len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS BIGINT) AS n_credit_card
             FROM documents
+            ORDER BY doc_id
+        """,
+        "text_boilerplate_strip": r"""
+            WITH split_docs AS (
+                SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+            ),
+            lines AS (
+                SELECT doc_id, i.i AS pos, l[i.i] AS line, trim(l[i.i]) AS key
+                FROM split_docs, UNNEST(generate_series(1, len(l))) AS i(i)
+            ),
+            nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+            per AS (
+                SELECT key, COUNT(DISTINCT doc_id) AS dwl
+                FROM lines WHERE key <> '' GROUP BY key
+            ),
+            bp AS (
+                SELECT key FROM per, nd
+                WHERE dwl >= GREATEST(2, CAST(CEIL(0.05 * n_docs) AS INT))
+            ),
+            kept AS (
+                SELECT doc_id, pos, line FROM lines
+                WHERE key NOT IN (SELECT key FROM bp)
+            ),
+            rebuilt AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS cleaned_text,
+                       COUNT(*) AS n_kept
+                FROM kept GROUP BY doc_id
+            ),
+            totals AS (SELECT doc_id, COUNT(*) AS n_total FROM lines GROUP BY doc_id)
+            SELECT t.doc_id, COALESCE(r.cleaned_text, '') AS cleaned_text,
+                   CAST(t.n_total - COALESCE(r.n_kept, 0) AS BIGINT) AS n_lines_removed
+            FROM totals t LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY doc_id
         """,
         "text_repetition": r"""

@@ -42,7 +42,7 @@ from dbldatagen_spark.functions.similarity import (
 from dbldatagen_spark.functions.skew import salted_join
 from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.ranges import range_join
-from dbldatagen_spark.functions.curation import curate_corpus
+from dbldatagen_spark.functions.curation import curate_corpus, strip_boilerplate_lines
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
     split_assign,
@@ -107,5 +107,6 @@ __all__ = [
     "simhash_signatures",
     "split_assign",
     "stratified_sample",
+    "strip_boilerplate_lines",
     "token_count_expr",
 ]

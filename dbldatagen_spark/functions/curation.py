@@ -23,6 +23,7 @@ from dbldatagen_spark.functions.dedup import (
     duplicate_components,
     ngram_jaccard_pairs,
 )
+from dbldatagen_spark.functions._parallel import ensure_parallelism
 from dbldatagen_spark.functions.text_analysis import (
     detect_language,
     quality_metrics,
@@ -70,4 +71,77 @@ def curate_corpus(
         )
         .join(non_canonical, id_col, "left_anti")
         .select(id_col, "detected_lang", "quality_score")
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_doc_frac: float = 0.05,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove corpus-wide boilerplate lines (headers, footers, nav chrome,
+    license banners): any trimmed line appearing in at least
+    ``max(min_docs, ceil(min_doc_frac * n_docs))`` distinct documents is
+    stripped from every document.
+
+    Returns ``(id, cleaned_text, n_lines_removed)``; line order within each
+    document is preserved, blank lines are structural and never counted as
+    boilerplate.
+
+    Scale shape: one explode to ``(trimmed_line, id)``, a distinct-doc
+    count per line (shuffle keyed by line content — partial aggregation
+    collapses each partition's repeats map-side), a broadcast-able
+    boilerplate set joined back (boilerplate lines are few by definition;
+    Spark's AQE broadcasts the small side), and one per-doc reassembly
+    keyed by id. Nothing quadratic; the corpus text moves at most twice.
+    The document count rides the plan as a 1-row broadcast aggregate, not
+    a driver-side action.
+    """
+    df = ensure_parallelism(df)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    ).withColumn("_key", F.trim(F.col("_line")))
+
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
+    per_line = (
+        lines.where(F.col("_key") != "")
+        .groupBy("_key")
+        .agg(F.countDistinct(id_col).alias("_docs_with_line"))
+    )
+    boilerplate = (
+        per_line.crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("_docs_with_line")
+            >= F.greatest(
+                F.lit(int(min_docs)),
+                F.ceil(F.lit(float(min_doc_frac)) * F.col("_n_docs")).cast("int"),
+            )
+        )
+        .select("_key")
+    )
+    kept = lines.join(boilerplate, "_key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
     )

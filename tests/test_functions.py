@@ -979,3 +979,31 @@ def test_repetition_metrics(spark):
     # short/empty docs degrade to zeros, not nulls or errors
     assert rows[3]["top_bigram_share"] == 0.0
     assert rows[4]["dup_line_fraction"] == 0.0
+
+
+def test_strip_boilerplate_lines(spark):
+    from dbldatagen_spark.functions import strip_boilerplate_lines
+
+    df = spark.createDataFrame(
+        [
+            (1, "COMMON HEADER\nunique body one\nCOMMON FOOTER"),
+            (2, "COMMON HEADER\nanother body\n\nCOMMON FOOTER"),
+            (3, "COMMON HEADER\nthird text here\nCOMMON FOOTER"),
+            (4, "totally unique doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in strip_boilerplate_lines(
+            df, "doc_id", "text", min_doc_frac=0.5
+        ).collect()
+    }
+    # header+footer live in 3 of 4 docs (>= ceil(0.5*4)=2) -> stripped
+    assert rows[1]["cleaned_text"] == "unique body one"
+    assert rows[1]["n_lines_removed"] == 2
+    # blank lines are structural: preserved, never treated as boilerplate
+    assert rows[2]["cleaned_text"] == "another body\n"
+    # untouched docs pass through whole
+    assert rows[4]["cleaned_text"] == "totally unique doc"
+    assert rows[4]["n_lines_removed"] == 0
