@@ -76,11 +76,16 @@ def main() -> None:
         # ------------------------------------------------------------------
         # 2. Consume a replayed event stream: session windows + global dedup
         # ------------------------------------------------------------------
+        # two on-disk generations exist (TIMESTAMP(NANOS)-as-long and
+        # native TIMESTAMP(MICROS)); adapt like __spark_entry__._load
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        if dict(events.dtypes).get("ts") == "bigint":
+            events = events.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        else:
+            events = events.withColumn("ts", F.col("ts").cast("timestamp"))
         events.write.parquet(f"{td}/events")
         replay = spark.readStream.schema(events.schema).parquet(f"{td}/events")
 
