@@ -1284,6 +1284,48 @@ def _gen_streaming_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _gen_template_expr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-Catalyst template fast path (TemplateGenerator mode='expr'):
+    conformance + cross-partitioning determinism, with zero Python UDF
+    nodes in the plan (asserted in tests; here the invariants)."""
+    from dbldatagen_spark import DataGenerator, TemplateGenerator
+
+    def build(partitions: int) -> DataFrame:
+        return (
+            DataGenerator(spark, name="texpr_t", rows=_GEN_ROWS,
+                          partitions=partitions, randomSeed=42)
+            .withColumn(
+                "phone", "string",
+                text=TemplateGenerator(r"ddd-ddd-dddd", mode="expr"),
+            )
+            .withColumn(
+                "alt", "string",
+                text=TemplateGenerator(r"AAA|ddd|\w.\w@\w.com", mode="expr"),
+            )
+            .build()
+        )
+
+    df = build(8)
+    stats = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("phone").rlike(r"^\d{3}-\d{3}-\d{4}$"), 0).otherwise(1)
+        ).cast("long").alias("phone_malformed"),
+        F.sum(
+            F.when(
+                F.col("alt").rlike(r"^([A-Z]{3}|\d{3}|[a-z]+\.[a-z]+@[a-z]+\.com)$"),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("alt_malformed"),
+    )
+    d1, d2 = build(8), build(3)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table: redacted text + per-kind match
     counts, all computed in-scan (map-only plan)."""
@@ -2431,6 +2473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pii_redaction": _text_pii_redaction,
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
+        "gen_template_expr_conformance": _gen_template_expr_conformance,
     }
 
 
@@ -2517,6 +2560,12 @@ def _oracle_sql_base() -> dict[str, str]:
         "gen_streaming_conformance": (
             "SELECT true AS enough_rows, "
             "CAST(0 AS BIGINT) AS stream_batch_mismatches"
+        ),
+        "gen_template_expr_conformance": (
+            f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS phone_malformed, "
+            "CAST(0 AS BIGINT) AS alt_malformed, "
+            "CAST(0 AS BIGINT) AS mismatches"
         ),
         "text_pii_redaction": r"""
             SELECT doc_id,

@@ -77,6 +77,7 @@ from dbldatagen_spark.operators.templates import (
     TemplateGenerator,
     TextGenerator,
     fakerText,
+    template_expr,
 )
 from dbldatagen_spark.datasets.registry import Datasets, DatasetProvider, dataset_definition
 import dbldatagen_spark.datasets.providers  # noqa: F401  (registers providers)
@@ -145,6 +146,7 @@ __all__ = [
     "RANDOM_SEED_RANDOM",
     "SparkSingleton",
     "TemplateGenerator",
+    "template_expr",
     "TextGenerator",
     "dataset_definition",
     "ensure",

@@ -185,6 +185,32 @@ class TestF5TextAndNulls:
         )
         assert fingerprint(mk()) == fingerprint(mk())
 
+    def test_template_expr_mode(self, spark):
+        """mode='expr' compiles the template to pure Catalyst: same
+        conformance and partition-independence, zero Python in the plan."""
+        from dbldatagen_spark import TemplateGenerator
+
+        def mk(parts):
+            return (
+                DataGenerator(spark, rows=800, partitions=parts, randomSeed=7)
+                .withColumn(
+                    "t", "string",
+                    text=TemplateGenerator(r"AAA-ddd|\w-\N|xx.kk", mode="expr"),
+                )
+                .build()
+            )
+
+        df = mk(2)
+        pat = r"^([A-Z]{3}-\d{3}|[a-z]+-\d+|[0-9a-f]{2}\.[a-z0-9]{2})$"
+        assert df.where(~F.col("t").rlike(pat)).count() == 0
+        assert fingerprint(mk(2)) == fingerprint(mk(5))
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+        # all three alternatives actually occur
+        assert df.select("t").where(F.col("t").rlike(r"^[A-Z]{3}-")).count() > 0
+        assert df.select("t").where(F.col("t").rlike(r"^[a-z]+-")).count() > 0
+        assert df.select("t").where(F.col("t").contains(".")).count() > 0
+
     def test_template_value_substitution(self, spark):
         df = (
             DataGenerator(spark, rows=100, partitions=2)
