@@ -201,3 +201,46 @@ def test_token_vocabulary_counts_total(k, texts):
     got = sum(r["n_occurrences"] for r in out.collect())
     expected = sum(len(t.split()) for t in texts)
     assert got == expected
+
+
+_TEMPLATE_TOKENS = ["d", "D", "a", "A", "x", "X", "k", "K", r"\n", r"\N", r"\w", r"\W", "-", ".", "_"]
+
+
+@given(
+    parts=st.lists(st.sampled_from(_TEMPLATE_TOKENS), min_size=1, max_size=8),
+    n_alts=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(**_SETTINGS)
+def test_template_expr_matches_udf_shape(parts, n_alts, seed):
+    """For any template, the pure-Catalyst path and the pandas-UDF path
+    produce strings matching the same shape regex, and the expr path is
+    partition-independent."""
+    import re
+
+    from dbldatagen_spark import TemplateGenerator
+
+    template = "|".join("".join(parts) for _ in range(n_alts))
+
+    # shape regex for one alternative
+    piece = {
+        "d": r"\d", "D": r"[1-9]", "a": r"[a-z]", "A": r"[A-Z]",
+        "x": r"[0-9a-f]", "X": r"[0-9A-F]", "k": r"[a-z0-9]", "K": r"[A-Z0-9]",
+        r"\n": r"\d{1,3}", r"\N": r"\d{1,5}", r"\w": r"[a-z]+", r"\W": r"[A-Z][a-z]+",
+        "-": "-", ".": r"\.", "_": "_",
+    }
+    alt_re = "".join(piece[p] for p in parts)
+    full = re.compile(f"^({alt_re})$")
+
+    def build(mode, partitions):
+        return (
+            DataGenerator(_spark, rows=60, partitions=partitions, randomSeed=seed)
+            .withColumn("t", "string", text=TemplateGenerator(template, mode=mode))
+            .build()
+        )
+
+    for mode in ("expr", "udf"):
+        vals = [r["t"] for r in build(mode, 2).collect()]
+        bad = [v for v in vals if not full.match(v)]
+        assert not bad, f"mode={mode} template={template!r} bad={bad[:3]}"
+    assert _fingerprint(build("expr", 2)) == _fingerprint(build("expr", 5))
