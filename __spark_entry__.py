@@ -1947,7 +1947,9 @@ def _q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").alias("_qty"))
+        # exact decimal sum: a double sum's order wobble could flip the
+        # > 50 boundary when a group lands exactly on it
+        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
         .where(F.col("_qty") > 50)
         .select("l_suppkey")
         .distinct()
@@ -2018,8 +2020,10 @@ def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
     nation = _load(spark, sf_dir, "nation")
+    # order-independent avg: exact decimal sum, one IEEE division
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("_avg_bal")
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        .alias("_avg_bal")
     )
     recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
         "o_custkey"
@@ -2032,7 +2036,7 @@ def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
         )
         .orderBy("n_name")
     )
@@ -2842,8 +2846,10 @@ def _oracle_sql_base() -> dict[str, str]:
                    ROUND(total_qty, 2) AS total_qty
             FROM orders
             JOIN (
-                SELECT l_orderkey, SUM(l_quantity) AS total_qty
-                FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
             ) big ON o_orderkey = big.l_orderkey
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey
@@ -2997,8 +3003,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "q9_product_profit": """
             SELECT n_name,
                    CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS ship_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)
-                             - 0.6 * p_retailprice * l_quantity), 2) AS profit,
+                   CAST(ROUND(SUM(
+                       CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(1 - l_discount AS DECIMAL(18,2))
+                       - CAST(0.6 * p_retailprice * l_quantity AS DECIMAL(18,4))
+                   ), 2) AS DOUBLE) AS profit,
                    COUNT(*) AS n_lineitems
             FROM lineitem
             JOIN part     ON l_partkey = p_partkey
@@ -3095,7 +3104,7 @@ def _oracle_sql_base() -> dict[str, str]:
                   AND l_shipdate >= DATE '1996-01-01'
                   AND l_shipdate < DATE '1997-01-01'
                   GROUP BY l_suppkey, l_partkey
-                  HAVING SUM(l_quantity) > 50
+                  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 50
               )
             ORDER BY s_suppkey
         """,
@@ -3130,11 +3139,14 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "q22_global_sales_opportunity": """
             SELECT n_name, COUNT(*) AS numcust,
-                   ROUND(SUM(c_acctbal), 2) AS totacctbal
+                   CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+                       AS totacctbal
             FROM customer
             JOIN nation ON c_nationkey = n_nationkey
             WHERE c_acctbal > (
-                SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+                SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*)
+                FROM customer WHERE c_acctbal > 0.0
             )
             AND c_custkey NOT IN (
                 SELECT o_custkey FROM orders
