@@ -244,3 +244,57 @@ def test_template_expr_matches_udf_shape(parts, n_alts, seed):
         bad = [v for v in vals if not full.match(v)]
         assert not bad, f"mode={mode} template={template!r} bad={bad[:3]}"
     assert _fingerprint(build("expr", 2)) == _fingerprint(build("expr", 5))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab @.-()0123456789\n",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(**_SETTINGS)
+def test_pii_patterns_portable_across_engines(texts):
+    """The PII regexes must mean the same thing to Java (Spark) and RE2
+    (DuckDB): for arbitrary digit/@/paren soup, redacted text and match
+    counts agree engine-for-engine."""
+    import duckdb
+
+    from dbldatagen_spark.functions import redact_pii
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = _spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["redacted"], r["n_email"], r["n_ssn"], r["n_phone"],
+                      r["n_ipv4"], r["n_credit_card"])
+        for r in redact_pii(sdf, "doc_id", "text").collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = con.execute(r"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
+                       '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
+                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
+                       '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '[CARD]', 'g'),
+               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+               len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')),
+               len(regexp_extract_all(text, '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b')),
+               len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')),
+               len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b'))
+        FROM docs
+    """).fetchall()
+    for doc_id, *vals in oracle:
+        assert got[doc_id] == tuple(vals), (
+            f"engine divergence on {texts[doc_id]!r}: "
+            f"spark={got[doc_id]} duckdb={tuple(vals)}"
+        )
