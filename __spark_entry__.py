@@ -1326,6 +1326,43 @@ def _gen_template_expr_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     return stats.crossJoin(diff)
 
 
+def _multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode (P6 PPM, numpy-only — no codec libs needed):
+    synthesized decodable payloads flow through the mapInPandas extractor;
+    invariants prove true decoding (exact dims, in-range channel stats)
+    and rebuild determinism."""
+    from dbldatagen_spark.functions.multimodal import (
+        extract_image_features,
+        synthesize_ppm_table,
+    )
+
+    def feats(partitions: int) -> DataFrame:
+        media = synthesize_ppm_table(spark, rows=500, partitions=partitions, size=8)
+        return extract_image_features(media)
+
+    f = feats(4)
+    stats = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when((F.col("width") == 8) & (F.col("height") == 8), 0).otherwise(1))
+        .cast("long").alias("bad_dims"),
+        F.sum(
+            F.when(
+                (F.col("mean_r") >= 0) & (F.col("mean_r") <= 255)
+                & (F.col("mean_g") >= 0) & (F.col("mean_g") <= 255)
+                & (F.col("mean_b") >= 0) & (F.col("mean_b") <= 255)
+                & (F.col("std_gray") >= 0),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("out_of_range"),
+    )
+    d1, d2 = feats(4), feats(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table: redacted text + per-kind match
     counts, all computed in-scan (map-only plan)."""
@@ -2478,6 +2515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
+        "multimodal_ppm_decode": _multimodal_ppm_decode,
     }
 
 
@@ -2569,6 +2607,12 @@ def _oracle_sql_base() -> dict[str, str]:
             f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "
             "CAST(0 AS BIGINT) AS phone_malformed, "
             "CAST(0 AS BIGINT) AS alt_malformed, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_ppm_decode": (
+            "SELECT CAST(500 AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS bad_dims, "
+            "CAST(0 AS BIGINT) AS out_of_range, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "text_pii_redaction": r"""

@@ -1,10 +1,14 @@
 """Multimodal column plumbing: opaque binary payloads with typed metadata.
 
-The container has no image/audio codecs, so the *decode* step is stubbed
+Decode has two tiers. Uncompressed formats need no codec library, so
+P6 PPM decode (``decode_ppm`` / ``extract_image_features``) is REAL —
+header parse + numpy reshape + true pixel statistics, exercised
+end-to-end. Compressed formats (JPEG/PNG/audio/video) need codec
+libraries absent from this container, so that step stays stubbed
 (deterministic fake features, or ``NotImplementedError`` when
-``fake=False``) — but everything Spark-side is real and tested: schema
-contracts, Arrow batch shape through ``mapInPandas``, partition-preserving
-iteration, and metadata extraction as pure expressions.
+``fake=False``). Everything Spark-side is identical for both tiers and
+tested: schema contracts, Arrow batch shape through ``mapInPandas``,
+partition-preserving iteration, metadata extraction as pure expressions.
 
 At 100 TB the pattern matters more than the codec: payloads never enter a
 shuffle (feature extraction is a map), and the output schema carries the
@@ -195,3 +199,109 @@ def resize_images(
     return df.where(F.col("media_type") == "image").mapInPandas(
         _resize, schema=_RESIZE_SCHEMA
     )
+
+
+# -- real decode path: uncompressed formats need no codec library ----------
+
+_IMAGE_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("mean_r", T.DoubleType(), True),
+        T.StructField("mean_g", T.DoubleType(), True),
+        T.StructField("mean_b", T.DoubleType(), True),
+        T.StructField("std_gray", T.DoubleType(), True),
+    ]
+)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a binary P6 PPM payload."""
+    h, w = pixels.shape[0], pixels.shape[1]
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM payload to an (h, w, 3) uint8 array — a
+    *real* image decode implemented on numpy alone (PPM is uncompressed,
+    so no codec library is needed)."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # (comment lines starting with '#' allowed), then a single whitespace
+    # byte before the raw RGB triples
+    tokens: List[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(payload) and not payload[i : i + 1].isspace():
+            i += 1
+        tokens.append(payload[start:i])
+    i += 1  # the single whitespace after maxval
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return data.reshape(h, w, 3)
+
+
+def synthesize_ppm_table(spark, rows: int = 500, partitions: int = 4,
+                         size: int = 8) -> DataFrame:
+    """Media table whose payloads are REAL decodable P6 PPM images
+    (deterministic seeded pixels), for exercising the genuine decode path."""
+
+    def _make(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows_out = []
+            for media_id in pdf["id"]:
+                rng = np.random.default_rng(int(media_id) + 1)
+                px = rng.integers(0, 256, size=(size, size, 3), dtype=np.uint8)
+                rows_out.append(
+                    {"media_id": int(media_id), "payload": encode_ppm(px)}
+                )
+            yield pd.DataFrame(rows_out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+    return spark.range(0, rows, numPartitions=partitions).mapInPandas(
+        _make, schema=schema
+    )
+
+
+def extract_image_features(df: DataFrame) -> DataFrame:
+    """REAL image feature extraction over P6 PPM payloads: decode with
+    :func:`decode_ppm`, emit dimensions + channel means + grayscale std.
+    Same scale shape as the stubbed extractor — mapInPandas, partition
+    preserving, blobs never shuffled, output is metadata-sized."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload)).astype(np.float64)
+                gray = px.mean(axis=2)
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "width": int(px.shape[1]),
+                        "height": int(px.shape[0]),
+                        "mean_r": float(px[:, :, 0].mean()),
+                        "mean_g": float(px[:, :, 1].mean()),
+                        "mean_b": float(px[:, :, 2].mean()),
+                        "std_gray": float(gray.std()),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_extract, schema=_IMAGE_FEATURE_SCHEMA)

@@ -1007,3 +1007,32 @@ def test_strip_boilerplate_lines(spark):
     # untouched docs pass through whole
     assert rows[4]["cleaned_text"] == "totally unique doc"
     assert rows[4]["n_lines_removed"] == 0
+
+
+def test_ppm_real_decode_roundtrip(spark):
+    """encode_ppm -> decode_ppm is exact, and the real feature extractor
+    computes true pixel statistics through mapInPandas."""
+    import numpy as np
+
+    from dbldatagen_spark.functions.multimodal import (
+        decode_ppm,
+        encode_ppm,
+        extract_image_features,
+        synthesize_ppm_table,
+    )
+
+    px = np.arange(8 * 4 * 3, dtype=np.uint8).reshape(4, 8, 3)
+    assert (decode_ppm(encode_ppm(px)) == px).all()
+    # comment lines in the header are legal PPM
+    with_comment = b"P6\n# a comment\n8 4\n255\n" + px.tobytes()
+    assert (decode_ppm(with_comment) == px).all()
+
+    media = synthesize_ppm_table(spark, rows=50, partitions=3, size=8)
+    feats = {r["media_id"]: r for r in extract_image_features(media).collect()}
+    assert len(feats) == 50
+    assert all(r["width"] == 8 and r["height"] == 8 for r in feats.values())
+    # cross-check one row against a local decode
+    one = media.where("media_id = 7").collect()[0]
+    arr = decode_ppm(bytes(one["payload"])).astype(float)
+    assert abs(feats[7]["mean_r"] - arr[:, :, 0].mean()) < 1e-9
+    assert abs(feats[7]["std_gray"] - arr.mean(axis=2).std()) < 1e-9
