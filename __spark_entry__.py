@@ -1326,6 +1326,22 @@ def _gen_template_expr_conformance(spark: SparkSession, sf_dir: str) -> DataFram
     return stats.crossJoin(diff)
 
 
+def _dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dedup (scrub an eval split against a train
+    split): documents with doc_id >= 250 treated as the query corpus,
+    < 250 as the training corpus; MinHash-banded candidates verified by
+    exact shingle Jaccard. Oracle = exact cross-pair Jaccard."""
+    from dbldatagen_spark.functions import cross_corpus_near_duplicates
+
+    docs = _load(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    query = docs.where(F.col("doc_id") >= 250)
+    return cross_corpus_near_duplicates(
+        query, corpus, "doc_id", "text",
+        k=3, num_hashes=64, bands=32, threshold=0.5,
+    ).orderBy("query_id", "corpus_id")
+
+
 def _multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode (P6 PPM, numpy-only — no codec libs needed):
     synthesized decodable payloads flow through the mapInPandas extractor;
@@ -2516,6 +2532,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_boilerplate_strip": _text_boilerplate_strip,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
         "multimodal_ppm_decode": _multimodal_ppm_decode,
+        "dedup_cross_corpus": _dedup_cross_corpus,
     }
 
 
@@ -2615,6 +2632,34 @@ def _oracle_sql_base() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS out_of_range, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
+        "dedup_cross_corpus": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                                      for i in generate_series(1, greatest(len(w)-2, 1))]) AS shingles
+                FROM t
+            ),
+            sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pair AS (
+                SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+                       count(*) AS inter
+                FROM sh q JOIN sh c ON q.s = c.s
+                WHERE q.doc_id >= 250 AND c.doc_id < 250
+                GROUP BY 1, 2
+            )
+            SELECT query_id, corpus_id,
+                   ROUND(inter::DOUBLE / (s1.n + s2.n - inter), 4) AS jaccard
+            FROM pair
+            JOIN sz s1 ON query_id = s1.doc_id
+            JOIN sz s2 ON corpus_id = s2.doc_id
+            WHERE ROUND(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5
+            ORDER BY query_id, corpus_id
+        """,
         "text_pii_redaction": r"""
             SELECT doc_id,
                    regexp_replace(regexp_replace(regexp_replace(regexp_replace(

@@ -17,6 +17,7 @@ Design rules shared by every operator here:
 """
 
 from dbldatagen_spark.functions.dedup import (
+    cross_corpus_near_duplicates,
     duplicate_components,
     embedding_near_duplicates,
     exact_dedup,
@@ -67,6 +68,7 @@ from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text
 
 __all__ = [
     "asof_join",
+    "cross_corpus_near_duplicates",
     "assign_training_shards",
     "bm25_search",
     "corpus_stats",

@@ -778,3 +778,91 @@ def minhash_cluster_dedup(
     )
     hashed.unpersist()
     return out
+
+
+def cross_corpus_near_duplicates(
+    query_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 32,
+    threshold: float = 0.7,
+    verify: bool = True,
+) -> DataFrame:
+    """Document-level cross-corpus near-dedup: every ``query_df`` document
+    whose k-shingle Jaccard with some ``corpus_df`` document reaches
+    ``threshold`` — the standard "scrub the eval set against the training
+    corpus" step (doc-granularity complement of :func:`ngram_contamination`).
+
+    Returns ``(query_id, corpus_id, jaccard)`` pairs; anti-join the query
+    corpus on ``query_id`` to drop contaminated documents.
+
+    Same MinHash/band machinery as :func:`minhash_near_duplicates`
+    (intentionally parallel code — that operator backs an externally
+    verified query and stays untouched), but the candidate join is
+    query-buckets x corpus-buckets instead of within-corpus, so candidate
+    volume is bounded by band collisions *between* corpora: at 100 TB of
+    train and a few GB of eval the shuffled band keys are dominated by the
+    big side's hashes (8 bytes/band/doc), never its text.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
+    rows_per_band = num_hashes // bands
+
+    def prep(df: DataFrame, side: str):
+        hashed = shingled_df(ensure_parallelism(df), id_col, text_col, k).select(
+            F.col(id_col).alias(f"{side}_id"),
+            F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
+                f"_shash_{side}"
+            ),
+        ).persist()
+        sig_exprs = minhash_signature_exprs(
+            F.col(f"_shash_{side}"), num_hashes, pre_hashed=True
+        )
+        sig = hashed.select(
+            F.col(f"{side}_id"), F.array(*sig_exprs).alias("_sig")
+        )
+        band_keys = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(b),
+                    *[
+                        F.element_at(F.col("_sig"), b * rows_per_band + r + 1)
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+        buckets = sig.select(
+            F.col(f"{side}_id"), F.posexplode(band_keys).alias("_band", "_key")
+        )
+        return hashed, buckets
+
+    q_hashed, q_buckets = prep(query_df, "query")
+    c_hashed, c_buckets = prep(corpus_df, "corpus")
+    candidates = (
+        q_buckets.join(c_buckets, ["_band", "_key"])
+        .select("query_id", "corpus_id")
+        .distinct()
+    )
+    if not verify:
+        return candidates
+    out = (
+        candidates.join(q_hashed, "query_id")
+        .join(c_hashed, "corpus_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_shash_query", "_shash_corpus"))
+                / F.size(F.array_union("_shash_query", "_shash_corpus")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= F.lit(threshold))
+        .select("query_id", "corpus_id", "jaccard")
+    )
+    return out

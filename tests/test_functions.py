@@ -1036,3 +1036,34 @@ def test_ppm_real_decode_roundtrip(spark):
     arr = decode_ppm(bytes(one["payload"])).astype(float)
     assert abs(feats[7]["mean_r"] - arr[:, :, 0].mean()) < 1e-9
     assert abs(feats[7]["std_gray"] - arr.mean(axis=2).std()) < 1e-9
+
+
+def test_cross_corpus_near_duplicates(spark):
+    from dbldatagen_spark.functions import cross_corpus_near_duplicates
+
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different training text about spark engines"),
+        ],
+        ["doc_id", "text"],
+    )
+    test = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog today"),
+            (101, "the quick brown fox jumps over the lazy cat today"),
+            (102, "nothing like anything in train at all whatsoever"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = cross_corpus_near_duplicates(
+        test, train, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16
+    )
+    got = sorted((r["query_id"], r["corpus_id"]) for r in pairs.collect())
+    assert got == [(100, 1), (101, 1)]
+    # the scrub: anti-join the query corpus on contaminated ids
+    clean = test.join(
+        pairs.select(F.col("query_id").alias("doc_id")).distinct(),
+        "doc_id", "left_anti",
+    )
+    assert {r["doc_id"] for r in clean.collect()} == {102}
