@@ -129,28 +129,46 @@ def main() -> None:
     # ------------------------------------------------------------------
     from dbldatagen_spark.functions import (
         assign_training_shards,
+        cross_corpus_near_duplicates,
         curate_corpus,
         exact_dedup,
         minhash_near_duplicates,
         ngram_contamination,
+        redact_pii,
+        repetition_metrics,
+        strip_boilerplate_lines,
         token_vocabulary,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    print("exact dup groups:", exact_dedup(docs, "doc_id", "text").count())
+    # scrub -> strip -> dedup -> quality-filter -> shard: the full flow
+    scrubbed = redact_pii(docs, "doc_id", "text").select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    stripped = strip_boilerplate_lines(scrubbed, "doc_id", "text").select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    print("exact dup groups:", exact_dedup(stripped, "doc_id", "text").count())
     print("near-dup pairs:",
           minhash_near_duplicates(docs, "doc_id", "text", threshold=0.7).count())
+    rep = repetition_metrics(docs, "doc_id", "text")
+    print("high-repetition docs:",
+          rep.where("dup_line_fraction > 0.3 OR top_bigram_share > 0.2").count())
     kept = curate_corpus(docs, "doc_id", "text", lang="en", min_quality=0.5)
     print("curated docs:", kept.count())
     shards = assign_training_shards(docs, "doc_id", "text", target_tokens=2048)
     print("training shards:", shards.select("shard_id").distinct().count())
     print("top tokens:",
           [r["token"] for r in token_vocabulary(docs, "text", top_k=5).collect()])
-    contaminated = ngram_contamination(
-        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"),
-        "doc_id", "text", n=5,
-    )
+    train = docs.where("doc_id % 2 = 0")
+    test = docs.where("doc_id % 2 = 1")
+    contaminated = ngram_contamination(train, test, "doc_id", "text", n=5)
     print("contaminated test docs:", contaminated.count())
+    xdup = cross_corpus_near_duplicates(
+        test, train, "doc_id", "text", threshold=0.5
+    )
+    print("eval docs near-duplicating train:",
+          xdup.select("query_id").distinct().count())
 
     # ------------------------------------------------------------------
     # 4. Embedding pipeline: normalize -> PCA -> ANN
