@@ -1408,6 +1408,94 @@ def _text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _gen_constraint_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Constraint streaming gate (reference ``data_generator.py:1609-1616``):
+    building with a constraint whose semantics are per-micro-batch-unsound
+    (``UniqueCombinations``, ``supports_streaming=False``) under
+    ``withStreaming=True`` must raise *before* the stream source is touched,
+    while (a) the identical batch build succeeds and actually enforces the
+    constraint, and (b) a streaming-safe constraint (``SqlExpr``) builds a
+    streaming DataFrame without raising."""
+    from dbldatagen_spark import DataGenerator
+    from dbldatagen_spark.operators.constraints import SqlExpr, UniqueCombinations
+    from dbldatagen_spark.plans.spec import SpecValidationError
+
+    def make_gen() -> DataGenerator:
+        return (
+            DataGenerator(spark, name="gate_t", rows=_GEN_ROWS, partitions=4,
+                          randomSeed=42)
+            .withColumn("a", "int", minValue=1, maxValue=20, random=True)
+            .withColumn("b", "int", minValue=1, maxValue=5, random=True)
+        )
+
+    gate_raised = False
+    try:
+        make_gen().withConstraint(UniqueCombinations(["a", "b"])).build(
+            withStreaming=True, options={"rowsPerSecond": 100}
+        )
+    except SpecValidationError:
+        gate_raised = True
+
+    batch = make_gen().withConstraint(UniqueCombinations(["a", "b"])).build()
+    dup = (
+        batch.groupBy("a", "b").count().where(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).cast("long").alias("duplicate_combos"))
+    )
+
+    streaming_ok = False
+    try:
+        sdf = make_gen().withConstraint(SqlExpr("a > 0")).build(
+            withStreaming=True, options={"rowsPerSecond": 100}
+        )
+        streaming_ok = bool(sdf.isStreaming)
+    except Exception:
+        streaming_ok = False
+
+    return spark.createDataFrame(
+        [(gate_raised, streaming_ok)],
+        "gate_raised boolean, streaming_safe_ok boolean",
+    ).crossJoin(dup)
+
+
+def _gen_analyzer_codegen_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzer codegen round-trip (reference ``data_analyzer.py:411-527``):
+    ``scriptDataGeneratorFromData`` over the nation table emits a runnable
+    generator script; ``exec``-ing it and building must reproduce the source
+    schema and row count, with every numeric column inside the observed
+    [min, max] bounds and low-cardinality string columns drawn from the
+    observed value set."""
+    from dbldatagen_spark.analyzer import DataAnalyzer
+
+    src = _load(spark, sf_dir, "nation")
+    script = DataAnalyzer(df=src).scriptDataGeneratorFromData(name="nation_synth")
+    ns: dict = {"spark": spark}
+    exec(script, ns)  # noqa: S102 — round-trip of our own emitted code
+    out = ns["generation_spec"].build()
+
+    schema_match = [
+        (f.name, f.dataType.simpleString()) for f in out.schema.fields
+    ] == [(f.name, f.dataType.simpleString()) for f in src.schema.fields]
+    rows_match = out.count() == src.count()
+
+    bounds = src.agg(
+        F.min("n_nationkey").alias("lo"), F.max("n_nationkey").alias("hi")
+    ).first()
+    out_of_bounds = out.where(
+        (F.col("n_nationkey") < F.lit(bounds["lo"]))
+        | (F.col("n_nationkey") > F.lit(bounds["hi"]))
+    ).count()
+    src_regions = {r[0] for r in src.select("n_regionkey").distinct().collect()}
+    foreign_regions = out.where(
+        ~F.col("n_regionkey").isin(*src_regions)
+    ).count()
+
+    return spark.createDataFrame(
+        [(schema_match, rows_match, int(out_of_bounds), int(foreign_regions))],
+        "schema_match boolean, rows_match boolean, "
+        "out_of_bounds bigint, foreign_regions bigint",
+    )
+
+
 def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataAnalyzer single-pass profile of the customer table (exact
     measures only — approx/formatting-sensitive ones excluded)."""
@@ -2425,13 +2513,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family (generation, scripts/serialization, analyzer, relational,
     events joins, ANN/embeddings, dedup, sampling, multimodal, text);
-    redundant variants of already-covered shapes follow after."""
+    redundant variants of already-covered shapes follow after.
+
+    Round-4 rotation: the round-3 operators (ILText, Faker, template
+    fast path, PII, PPM decode, cross-corpus dedup) plus the two new
+    invariant queries (constraint streaming gate, analyzer codegen
+    round-trip) are promoted into the checked cohort; family-redundant
+    relational/join/ANN variants are demoted (each family keeps >=1
+    representative: relational q1+q5, events sessionize+asof, ANN
+    knn_join, embeddings quantization, temporal timestamp+unique)."""
     return {
         # --- driver-checked cohort: one row per operator family ---
         "gen_sequence": _gen_sequence,
         "gen_range_cycle": _gen_range_cycle,
         "gen_values_cycle": _gen_values_cycle,
-        "gen_date_cycle": _gen_date_cycle,
         "gen_timestamp_cycle": _gen_timestamp_cycle,
         "gen_expression": _gen_expression,
         "gen_fk_integrity": _gen_fk_integrity,
@@ -2448,37 +2543,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_format_prefix": _gen_format_prefix,
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraints": _gen_constraints,
+        "gen_constraint_stream_gate": _gen_constraint_stream_gate,
         "gen_template_conformance": _gen_template_conformance,
+        "gen_template_expr_conformance": _gen_template_expr_conformance,
+        "gen_iltext_conformance": _gen_iltext_conformance,
+        "gen_faker_conformance": _gen_faker_conformance,
         "gen_array_features": _gen_array_features,
         "gen_unique_temporal": _gen_unique_temporal,
         "gen_scripts_conformance": _gen_scripts_conformance,
         "gen_serialization_roundtrip": _gen_serialization_roundtrip,
         "analyzer_profile": _analyzer_profile,
+        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
         "q1_pricing_summary": _q1_pricing_summary,
-        "q3_top_revenue": _q3_top_unshipped,
         "q5_region_revenue": _q5_region_revenue,
-        "q14_promo_share": _q14_promo_share,
-        "q11_important_parts": _q11_important_parts,
         "gen_streaming_conformance": _gen_streaming_conformance,
         "events_sessionize": _events_sessionize,
-        "events_session_range_join": _events_session_range_join,
         "events_asof_join": _events_asof_join,
-        "events_salted_join": _events_salted_join,
         "ann_knn_join": _ann_knn_join,
-        "ann_ivf_topk": _ann_ivf_topk,
         "emb_quantization": _emb_quantization,
-        "emb_pca_invariants": _emb_pca_invariants,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_cluster_canonical": _dedup_cluster_canonical,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_cross_corpus": _dedup_cross_corpus,
         "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
+        "multimodal_ppm_decode": _multimodal_ppm_decode,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
         "text_vocabulary": _text_vocabulary,
         "text_contamination": _text_contamination,
+        "text_pii_redaction": _text_pii_redaction,
         # --- additional variants (locally oracle-checked) ---
+        "gen_date_cycle": _gen_date_cycle,
+        "q3_top_revenue": _q3_top_unshipped,
+        "q14_promo_share": _q14_promo_share,
+        "q11_important_parts": _q11_important_parts,
+        "events_session_range_join": _events_session_range_join,
+        "events_salted_join": _events_salted_join,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_pca_invariants": _emb_pca_invariants,
         "gen_weighted_cycle": _gen_weighted_cycle,
         "q12_returnflag_priority": _q12_returnflag_priority,
         "q6_forecast_revenue": _q6_forecast_revenue,
@@ -2525,14 +2629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "events_rollup_daily": _events_rollup_daily,
-        "gen_iltext_conformance": _gen_iltext_conformance,
-        "gen_faker_conformance": _gen_faker_conformance,
-        "text_pii_redaction": _text_pii_redaction,
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
-        "gen_template_expr_conformance": _gen_template_expr_conformance,
-        "multimodal_ppm_decode": _multimodal_ppm_decode,
-        "dedup_cross_corpus": _dedup_cross_corpus,
     }
 
 
@@ -2619,6 +2717,15 @@ def _oracle_sql_base() -> dict[str, str]:
         "gen_streaming_conformance": (
             "SELECT true AS enough_rows, "
             "CAST(0 AS BIGINT) AS stream_batch_mismatches"
+        ),
+        "gen_constraint_stream_gate": (
+            "SELECT true AS gate_raised, true AS streaming_safe_ok, "
+            "CAST(0 AS BIGINT) AS duplicate_combos"
+        ),
+        "gen_analyzer_codegen_roundtrip": (
+            "SELECT true AS schema_match, true AS rows_match, "
+            "CAST(0 AS BIGINT) AS out_of_bounds, "
+            "CAST(0 AS BIGINT) AS foreign_regions"
         ),
         "gen_template_expr_conformance": (
             f"SELECT CAST({_GEN_ROWS} AS BIGINT) AS n_rows, "

@@ -141,12 +141,75 @@ def knn_join(
     left_vec: str,
     right_vec: str,
     k: int = 5,
+    *,
+    method: str = "auto",
+    brute_max_left_rows: int = 10_000,
+    num_planes: int = 12,
+    num_bands: int = 3,
+    seed: int = 42,
 ) -> DataFrame:
-    """For each left row, its k nearest right rows by cosine (brute force;
-    wrap with LSH bucketing before the join at scale)."""
+    """For each left row, its k nearest right rows by cosine.
+
+    ``method``:
+
+    * ``"brute"`` — exact crossJoin + per-left top-k. Quadratic: only for
+      a small (broadcastable) left side, e.g. a fixed probe set. This is
+      the oracle-exact path.
+    * ``"lsh"`` — banded random-hyperplane LSH join: both sides compute a
+      ``num_planes``-bit signature JVM-side, explode into ``num_bands``
+      ``(band, value)`` keys (amplification = ``num_bands``, constant),
+      equi-join on the band key, then exact cosine + top-k over the
+      candidate pairs only. Approximate (recall < 1 for distant pairs by
+      design); every join is an equi-join on small keys, so it survives a
+      large left side where ``brute`` cannot.
+    * ``"auto"`` (default) — ``brute`` when the left side has at most
+      ``brute_max_left_rows`` rows (checked with a bounded
+      ``limit(n+1).count()``), else ``lsh``.
+    """
+    if method == "auto":
+        n = left.select(left_id).limit(brute_max_left_rows + 1).count()
+        method = "brute" if n <= brute_max_left_rows else "lsh"
     l = left.select(F.col(left_id).alias("_lid"), F.col(left_vec).alias("_lv"))
     r = right.select(F.col(right_id).alias("_rid"), F.col(right_vec).alias("_rv"))
-    scored = l.crossJoin(r).select(
+
+    if method == "brute":
+        scored = l.crossJoin(r)
+    elif method == "lsh":
+        dim_row = l.select(F.size("_lv").alias("d")).first()
+        dim = int(dim_row["d"]) if dim_row else 0
+        if num_planes % num_bands:
+            raise ValueError("num_planes must be divisible by num_bands")
+        bits = num_planes // num_bands
+        mask = (1 << bits) - 1
+
+        def banded(df: DataFrame, vec: str) -> DataFrame:
+            sig = hyperplane_signature_expr(F.col(vec), num_planes, seed, dim)
+            bands = F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(sig, b * bits).bitwiseAND(F.lit(mask)).alias("bval"),
+                )
+                for b in range(num_bands)
+            ])
+            return df.withColumn("_bk", F.explode(bands))
+
+        lb = banded(l, "_lv").select(
+            "_lid", "_lv",
+            F.col("_bk.band").alias("_band"), F.col("_bk.bval").alias("_bval"),
+        )
+        rb = banded(r, "_rv").select(
+            "_rid", "_rv",
+            F.col("_bk.band").alias("_band"), F.col("_bk.bval").alias("_bval"),
+        )
+        scored = (
+            lb.join(rb, on=["_band", "_bval"], how="inner")
+            .dropDuplicates(["_lid", "_rid"])
+            .select("_lid", "_lv", "_rid", "_rv")
+        )
+    else:
+        raise ValueError(f"unknown knn_join method {method!r}")
+
+    scored = scored.select(
         "_lid",
         "_rid",
         F.round(cosine_similarity_expr(F.col("_lv"), F.col("_rv")), 4).alias("cosine"),

@@ -133,6 +133,43 @@ class TestSimilarity:
         for r in firsts:
             assert abs(r.cosine - 1.0) < 1e-6  # self is nearest
 
+    def test_knn_join_auto_small_matches_brute(self, spark, emb):
+        from dbldatagen_spark.functions.similarity import knn_join
+
+        small = emb.limit(20)
+        args = (small, small, "vec_id", "vec_id", "embedding", "embedding")
+        brute = {tuple(r) for r in knn_join(*args, k=3, method="brute").collect()}
+        auto = {tuple(r) for r in knn_join(*args, k=3, method="auto").collect()}
+        assert auto == brute  # small left side -> auto takes the brute route
+
+    def test_knn_join_lsh_route(self, spark, emb):
+        from dbldatagen_spark.functions.similarity import knn_join
+
+        small = emb.limit(50)
+        args = (small, small, "vec_id", "vec_id", "embedding", "embedding")
+        # force the LSH route via a tiny auto threshold
+        out = knn_join(*args, k=3, method="auto", brute_max_left_rows=10,
+                       num_planes=12, num_bands=6).collect()
+        by_left = {}
+        for r in out:
+            by_left.setdefault(r[0], []).append(r)
+        # self-pairs share every band, so every left id yields rank-1 = self
+        assert len(by_left) == 50
+        for lid, rows in by_left.items():
+            r1 = min(rows, key=lambda r: r.rank)
+            assert r1.rank == 1 and abs(r1.cosine - 1.0) < 1e-6
+            assert len(rows) <= 3
+
+    def test_knn_join_bad_method(self, spark, emb):
+        import pytest
+
+        from dbldatagen_spark.functions.similarity import knn_join
+
+        small = emb.limit(5)
+        with pytest.raises(ValueError):
+            knn_join(small, small, "vec_id", "vec_id", "embedding",
+                     "embedding", method="nope").collect()
+
 
 class TestTextAnalysis:
     def test_token_counts(self, spark, docs):
