@@ -1509,31 +1509,19 @@ def _analyzer_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (30-min inactivity) via window functions —
-    the batch form of the streaming session-window operator."""
-    from pyspark.sql import Window
+    """Gap-based sessionization (30-min inactivity) via the library's
+    ``sessionize`` operator, ``method="window"`` (one shuffle on user_id,
+    reused by the groupBy). At 100x scale with bot-heavy traffic, switch
+    to ``method="skew_safe"`` — the two-phase (user, day-bucket) variant
+    in ``functions/sessions.py`` that spreads a mega-user across tasks
+    and produces identical results (pytest-asserted)."""
+    from dbldatagen_spark.functions import sessionize
 
     ev = _load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts")
-    # cast-to-double keeps sub-second precision (unix_timestamp truncates)
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-    with_break = ev.withColumn(
-        "_new_session",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
-    )
-    with_sid = with_break.withColumn(
-        "session_seq", F.sum("_new_session").over(w).cast("long")
-    )
-    return (
-        with_sid.groupBy("user_id", "session_seq")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 2).alias("session_value"),
-        )
-        .orderBy("user_id", "session_seq")
-    )
+    out = sessionize(ev, "user_id", "ts", gap_seconds=1800, value_col="value")
+    return out.withColumn(
+        "session_value", F.round("session_value", 2)
+    ).orderBy("user_id", "session_seq")
 
 
 def _events_session_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2664,6 +2652,27 @@ def oracle_sql() -> dict[str, str]:
     return d
 
 
+def _pii_oracle_sql() -> str:
+    """DuckDB oracle for ``text_pii_redaction``, generated from the same
+    ``PII_PATTERNS`` table the Spark side uses so the two can never drift.
+    The patterns stay inside the Java/RE2-common regex subset."""
+    from dbldatagen_spark.functions.pii import PII_PATTERNS
+
+    redacted = "text"
+    counts = []
+    for kind, (pattern, token) in PII_PATTERNS.items():
+        p = pattern.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
+        counts.append(
+            f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT) AS n_{kind}"
+        )
+    return (
+        f"SELECT doc_id, {redacted} AS redacted, "
+        + ", ".join(counts)
+        + " FROM documents ORDER BY doc_id"
+    )
+
+
 def _oracle_sql_base() -> dict[str, str]:
     return {
         "gen_sequence": f"SELECT 100 + range * 3 AS seq_val FROM range({_GEN_ROWS}) ORDER BY seq_val",
@@ -2767,24 +2776,7 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE ROUND(inter::DOUBLE / (s1.n + s2.n - inter), 4) >= 0.5
             ORDER BY query_id, corpus_id
         """,
-        "text_pii_redaction": r"""
-            SELECT doc_id,
-                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                           '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
-                           '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
-                           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-                           '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '[CARD]', 'g')
-                       AS redacted,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-                   CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS BIGINT) AS n_ssn,
-                   CAST(len(regexp_extract_all(text, '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b')) AS BIGINT) AS n_phone,
-                   CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
-                   CAST(len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b')) AS BIGINT) AS n_credit_card
-            FROM documents
-            ORDER BY doc_id
-        """,
+        "text_pii_redaction": _pii_oracle_sql(),
         "text_boilerplate_strip": r"""
             WITH split_docs AS (
                 SELECT doc_id, string_split(text, chr(10)) AS l FROM documents

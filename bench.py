@@ -122,6 +122,7 @@ def main() -> None:
         "events_rolling_avg",
         "text_quality",
         "text_vocabulary",
+        "text_pii_redaction",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}

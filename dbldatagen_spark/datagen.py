@@ -19,6 +19,7 @@ partition count.
 
 from __future__ import annotations
 
+import math as _math
 import re
 from dataclasses import dataclass, field as dc_field
 from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
@@ -561,18 +562,16 @@ class DataGenerator:
         if _is_complex_type(dtype) and col.values is None:
             return F.lit(None).cast(dtype)
 
-        # 2. text generators
+        # 2. text generators — the base column (default: the seed id
+        # column, matching the reference where every column's default
+        # baseColumn is 'id' and \v substitutes its values) feeds \v/\vN
         if col.template is not None:
-            base = None
-            if col.base_columns and col.base_columns != [self.seed_column]:
-                base = F.col(col.base_columns[0])
+            base = F.col(col.base_columns[0] if col.base_columns else self.seed_column)
             return tmod.template_udf_expr(
                 col.template, seed_col, base, col.escape_special_chars
             )
         if col.text is not None:
-            base = None
-            if col.base_columns and col.base_columns != [self.seed_column]:
-                base = F.col(col.base_columns[0])
+            base = F.col(col.base_columns[0] if col.base_columns else self.seed_column)
             return col.text.make_expr(seed_col, base)
 
         # 3. value lists (optionally weighted)
@@ -1047,8 +1046,93 @@ class NRange(DataRange):
         )
 
     def getDiscreteRange(self):
-        step = self.step if self.step is not None else 1
-        return (self.maxValue - self.minValue) / step
+        """Number of discrete lattice points (max itself excluded), with
+        reference semantics (``nrange.py:215-239``): int unit-step ranges
+        stay exact; fractional steps floor; unset bounds/step and zero
+        step raise ``ValueError``."""
+        if self.minValue is None or self.maxValue is None or self.step is None:
+            raise ValueError(
+                "Range must have 'minValue', 'maxValue', and 'step' defined."
+            )
+        if self.step == 0:
+            raise ValueError(
+                "Parameter 'step' must be non-zero when computing discrete range."
+            )
+        if (
+            isinstance(self.minValue, int)
+            and isinstance(self.maxValue, int)
+            and self.step == 1
+        ):
+            return float(self.maxValue - self.minValue)
+        return float(
+            _math.floor((self.maxValue - self.minValue) * (1.0 / float(self.step)))
+        )
+
+    def getContinuousRange(self):
+        """Width of the interval as a float (``nrange.py:241-250``)."""
+        if self.minValue is None or self.maxValue is None:
+            raise ValueError("Range must have 'minValue' and 'maxValue' defined.")
+        return (self.maxValue - self.minValue) * 1.0
+
+    def adjustForColumnDatatype(self, ctype):
+        """Fill unset bounds/step with the column type's defaults and
+        validate integral bounds (``nrange.py:161-213``): unset min/max
+        become the type's default range (0..type max; decimals use
+        10^(p-s)-1), integral bounds outside the representable range raise
+        ``ValueError``, and step defaults to 1 (integral) / 1.0 (float)."""
+        int_bounds = {
+            T.ByteType: (-(2 ** 7), 2 ** 7 - 1),
+            T.ShortType: (-(2 ** 15), 2 ** 15 - 1),
+            T.IntegerType: (-(2 ** 31), 2 ** 31 - 1),
+            T.LongType: (-(2 ** 63), 2 ** 63 - 1),
+        }
+        defaults = {
+            T.ByteType: (0, 2 ** 7 - 1),
+            T.ShortType: (0, 2 ** 15 - 1),
+            T.IntegerType: (0, 2 ** 31 - 1),
+            T.LongType: (0, 2 ** 63 - 1),
+            T.FloatType: (0.0, 3.402e38),
+            T.DoubleType: (0.0, 1.79769e308),
+        }
+        if isinstance(ctype, T.DecimalType):
+            default = (0.0, 10.0 ** (ctype.precision - ctype.scale) - 1.0)
+        else:
+            default = defaults.get(type(ctype))
+        if default is not None:
+            if self.minValue is None:
+                self.minValue = default[0]
+            if self.maxValue is None:
+                self.maxValue = default[1]
+
+        bounds = int_bounds.get(type(ctype))
+        if bounds is not None and self.minValue is not None and self.maxValue is not None:
+            type_min, type_max = bounds
+            type_name = type(ctype).__name__
+            # decreasing ranges (10, 1, -1) are legal: order before checking
+            if self.minValue <= self.maxValue:
+                smaller = ("minValue", self.minValue)
+                larger = ("maxValue", self.maxValue)
+            else:
+                smaller = ("maxValue", self.maxValue)
+                larger = ("minValue", self.minValue)
+            if smaller[1] < type_min:
+                raise ValueError(
+                    f"`{smaller[0]}` of {smaller[1]} is below the minimum "
+                    f"allowed {type_name} value {type_min}."
+                )
+            if larger[1] > type_max:
+                raise ValueError(
+                    f"`{larger[0]}` of {larger[1]} is above the maximum "
+                    f"allowed {type_name} value {type_max}."
+                )
+
+        if self.step is None:
+            if isinstance(ctype, (T.DoubleType, T.FloatType)):
+                self.step = 1.0
+            elif isinstance(
+                ctype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+            ):
+                self.step = 1
 
 
 class DateRange(DataRange):

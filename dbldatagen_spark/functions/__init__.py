@@ -41,6 +41,7 @@ from dbldatagen_spark.functions.similarity import (
     quantize_embeddings,
 )
 from dbldatagen_spark.functions.skew import salted_join
+from dbldatagen_spark.functions.sessions import sessionize
 from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.ranges import range_join
 from dbldatagen_spark.functions.curation import curate_corpus, strip_boilerplate_lines
@@ -67,6 +68,7 @@ from dbldatagen_spark.functions.text_analysis import (
 from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text_expr
 
 __all__ = [
+    "sessionize",
     "asof_join",
     "cross_corpus_near_duplicates",
     "assign_training_shards",

@@ -628,12 +628,25 @@ def duplicate_components(
     block storage — fast, but lost if an executor dies (a real risk on
     preemptible/spot fleets). Pass ``checkpoint_dir`` (an HDFS/object-store
     path) to use *reliable* checkpointing for long-running production runs;
-    the per-iteration write cost buys restartable lineage.
+    the per-iteration write cost buys restartable lineage. The session's
+    previous checkpoint dir is restored on return (it was unset before the
+    call and stays set to ``checkpoint_dir`` only in that case — Spark has
+    no way to un-set it). Per-iteration checkpoint files are reclaimed by
+    the ContextCleaner when ``spark.cleaner.referenceTracking
+    .cleanCheckpoints=true``; otherwise they accumulate under
+    ``checkpoint_dir`` and the caller owns deleting them.
     """
     spark = pairs.sparkSession
 
+    prev_checkpoint_dir: Optional[str] = None
     if checkpoint_dir is not None:
-        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        sc = spark.sparkContext
+        try:
+            prev = sc._jsc.sc().getCheckpointDir()
+            prev_checkpoint_dir = prev.get() if prev.isDefined() else None
+        except Exception:
+            prev_checkpoint_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
 
         def _checkpoint(df: DataFrame) -> DataFrame:
             return df.checkpoint()
@@ -642,6 +655,28 @@ def duplicate_components(
         def _checkpoint(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    try:
+        return _propagate_components(
+            pairs, id_a, id_b, max_iterations, _checkpoint
+        )
+    finally:
+        if (
+            checkpoint_dir is not None
+            and prev_checkpoint_dir is not None
+            and prev_checkpoint_dir != checkpoint_dir
+        ):
+            spark.sparkContext.setCheckpointDir(prev_checkpoint_dir)
+
+
+def _propagate_components(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int,
+    _checkpoint,
+) -> DataFrame:
+    """Min-label propagation loop of :func:`duplicate_components` (split
+    out so the checkpoint-dir save/restore wraps all eager checkpoints)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = (
         edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -807,6 +842,14 @@ def cross_corpus_near_duplicates(
     volume is bounded by band collisions *between* corpora: at 100 TB of
     train and a few GB of eval the shuffled band keys are dominated by the
     big side's hashes (8 bytes/band/doc), never its text.
+
+    Caching: with ``verify=True`` each side's shingle-hash frame feeds both
+    the band join and the exact-Jaccard verification join, so it is
+    ``persist()``-ed. The cached blocks live as long as the returned plan
+    references them — once the caller drops the result, Spark's
+    ``ContextCleaner`` (reference tracking is on by default) unpersists
+    them. With ``verify=False`` each side is read once and nothing is
+    cached.
     """
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
@@ -818,7 +861,9 @@ def cross_corpus_near_duplicates(
             F.transform(F.col("shingles"), lambda s: F.xxhash64(s)).alias(
                 f"_shash_{side}"
             ),
-        ).persist()
+        )
+        if verify:  # reused by the verification join; single-use otherwise
+            hashed = hashed.persist()
         sig_exprs = minhash_signature_exprs(
             F.col(f"_shash_{side}"), num_hashes, pre_hashed=True
         )

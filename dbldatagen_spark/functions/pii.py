@@ -23,6 +23,14 @@ from pyspark.sql import functions as F
 
 from dbldatagen_spark.functions._parallel import ensure_parallelism
 
+# A real IPv4 octet: 0-255 with no leading-zero tolerance beyond "0"
+# itself. Keeps "1.2.3.999"-style version strings out of the [IP] bucket;
+# a four-segment string of valid octets ("release 1.2.3.4") still matches
+# — redaction-side false positives are the safe direction for a training
+# pipeline, and no lookaround-free regex can tell the two apart (RE2, the
+# oracle's engine, has no lookbehind).
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+
 # kind -> (pattern, replacement token). Order matters: more specific
 # patterns run first so e.g. an SSN is not half-eaten by the phone rule.
 PII_PATTERNS: Dict[str, Tuple[str, str]] = {
@@ -34,12 +42,15 @@ PII_PATTERNS: Dict[str, Tuple[str, str]] = {
         r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b",
         "[SSN]",
     ),
+    # area code either fully parenthesized or starting at a word boundary —
+    # "(555) 123-4567" and "555-123-4567" match; the mismatched-paren
+    # "555) 123-4567" and a mid-number start ("0555 123-4567") do not.
     "phone": (
-        r"\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b",
+        r"(\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-.][0-9]{4}\b",
         "[PHONE]",
     ),
     "ipv4": (
-        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        rf"\b{_OCTET}(\.{_OCTET}){{3}}\b",
         "[IP]",
     ),
     "credit_card": (

@@ -1,0 +1,162 @@
+"""Gap-based sessionization over event tables, with a skew-safe route.
+
+The classic formulation — one window partitioned by the raw user key —
+is correct and minimal (one shuffle, reused by the follow-up groupBy),
+but a single mega-user (bot traffic) serializes that user's entire
+history onto one task at 100x scale. ``method="skew_safe"`` is the
+two-phase remedy:
+
+1. **Local phase** — the per-event window partitions by
+   ``(user, coarse time bucket)``, so a hot user's events spread across
+   ``#buckets`` tasks. Gap breaks are detected *within* each bucket and
+   the events collapse to per-segment summaries (count / min / max /
+   value sum).
+2. **Merge phase** — a second window, still per user but now over the
+   *segment* table (orders of magnitude smaller than the event table:
+   one row per contiguous run of events per bucket), stitches segments
+   whose boundary gap is within the threshold. Within-bucket segments
+   are separated by real gaps by construction, so the stitch only ever
+   joins across bucket edges — the result is exactly the single-phase
+   output.
+
+The same decomposition idea backs :func:`~dbldatagen_spark.functions
+.skew.salted_join` (spread a hot key, then recombine cheaply); for
+continuous pipelines, ``streaming/stateful.py``'s session windows
+(``applyInPandasWithState``) are the incremental route.
+
+No counterpart in the reference repo (its scope ends at generation);
+this extends the pipeline surface like ``functions/dedup.py``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: float = 1800.0,
+    value_col: Optional[str] = None,
+    method: str = "window",
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Collapse events into inactivity-gap sessions per user.
+
+    Returns one row per session: ``(user, session_seq, n_events,
+    session_start, session_end[, session_value])`` where ``session_seq``
+    is the user's 1-based session ordinal and ``session_value`` (present
+    when ``value_col`` is given) is the per-session sum.
+
+    ``method="window"`` is the classic single-pass formulation;
+    ``method="skew_safe"`` computes identical results via the two-phase
+    bucket/merge decomposition (see module docstring) and should be
+    preferred when some users can dominate the event volume. Pick
+    ``bucket_seconds`` well above ``gap_seconds`` (default: one day vs a
+    30-minute gap) so sessions rarely straddle many buckets.
+    """
+    if method == "window":
+        return _sessionize_window(df, user_col, ts_col, gap_seconds, value_col)
+    if method == "skew_safe":
+        if bucket_seconds <= gap_seconds:
+            raise ValueError(
+                f"bucket_seconds ({bucket_seconds}) must exceed gap_seconds "
+                f"({gap_seconds}) for the merge phase to be boundary-only"
+            )
+        return _sessionize_skew_safe(
+            df, user_col, ts_col, gap_seconds, value_col, bucket_seconds
+        )
+    raise ValueError(f"unknown sessionize method {method!r}")
+
+
+def _ts_double(df: DataFrame, ts_col: str):
+    """Seconds-as-double view of the timestamp column, keeping sub-second
+    precision (``unix_timestamp`` truncates). TIMESTAMP_NTZ has no direct
+    double cast — route it through TIMESTAMP (identity under a pinned
+    session timezone, and both methods share the same conversion either
+    way so their equality never depends on it)."""
+    col = F.col(ts_col)
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        col = col.cast("timestamp")
+    return col.cast("double")
+
+
+def _agg_cols(value_col: Optional[str], ts: str = "ts_d"):
+    cols = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min("_ts_orig").alias("session_start"),
+        F.max("_ts_orig").alias("session_end"),
+    ]
+    if value_col is not None:
+        cols.append(F.sum(value_col).alias("session_value"))
+    return cols
+
+
+def _sessionize_window(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    value_col: Optional[str],
+) -> DataFrame:
+    w = Window.partitionBy(user_col).orderBy("_ts_d")
+    ev = df.withColumn("_ts_d", _ts_double(df, ts_col)).withColumn(
+        "_ts_orig", F.col(ts_col)
+    )
+    gap = F.col("_ts_d") - F.lag("_ts_d").over(w)
+    with_sid = ev.withColumn(
+        "_brk", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    ).withColumn("session_seq", F.sum("_brk").over(w).cast("long"))
+    return with_sid.groupBy(user_col, "session_seq").agg(*_agg_cols(value_col))
+
+
+def _sessionize_skew_safe(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: float,
+    value_col: Optional[str],
+    bucket_seconds: int,
+) -> DataFrame:
+    ev = df.withColumn("_ts_d", _ts_double(df, ts_col)).withColumn(
+        "_ts_orig", F.col(ts_col)
+    )
+    ev = ev.withColumn(
+        "_bucket", F.floor(F.col("_ts_d") / F.lit(float(bucket_seconds)))
+    )
+    # phase 1: gap breaks within (user, bucket) — the hot-user key is split
+    wl = Window.partitionBy(user_col, "_bucket").orderBy("_ts_d")
+    gap = F.col("_ts_d") - F.lag("_ts_d").over(wl)
+    segs = (
+        ev.withColumn(
+            "_brk", F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+        )
+        .withColumn("_seg", F.sum("_brk").over(wl))
+        .groupBy(user_col, "_bucket", "_seg")
+        .agg(
+            *_agg_cols(value_col),
+            F.min("_ts_d").alias("_start_d"),
+            F.max("_ts_d").alias("_end_d"),
+        )
+    )
+    # phase 2: stitch boundary-adjacent segments per user; the input here
+    # is one row per contiguous event run, not per event
+    wm = Window.partitionBy(user_col).orderBy("_start_d")
+    boundary_gap = F.col("_start_d") - F.lag("_end_d").over(wm)
+    merged = segs.withColumn(
+        "_brk", F.when(boundary_gap.isNull() | (boundary_gap > gap_seconds), 1)
+        .otherwise(0)
+    ).withColumn("session_seq", F.sum("_brk").over(wm).cast("long"))
+    final_aggs = [
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+    ]
+    if value_col is not None:
+        final_aggs.append(F.sum("session_value").alias("session_value"))
+    return merged.groupBy(user_col, "session_seq").agg(*final_aggs)

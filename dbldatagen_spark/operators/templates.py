@@ -321,11 +321,20 @@ def template_expr(
                 (draw + 1).cast("int"),
             )
         if kind == _K_VALUE:
+            # degrade exactly like the UDF path (pandas astype(str) /
+            # str(v[i])-with-fallback): a null base renders as "None", an
+            # out-of-range \vN index as "" — and never nulls the whole
+            # concat or throws under ANSI mode.
             if base_col is None:
                 return F.lit("")
             if arg is None:
-                return base_col.cast("string")
-            return F.element_at(base_col, int(arg) + 1).cast("string")
+                return F.coalesce(base_col.cast("string"), F.lit("None"))
+            idx = int(arg) + 1
+            elem = F.try_element_at(base_col, F.lit(idx))
+            return F.when(
+                F.size(base_col) >= idx,
+                F.coalesce(elem.cast("string"), F.lit("None")),
+            ).otherwise(F.lit(""))
         raise ValueError(f"unknown slot kind {kind}")
 
     def alt_expr(tmpl: CompiledTemplate) -> Column:

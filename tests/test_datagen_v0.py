@@ -211,6 +211,31 @@ class TestF5TextAndNulls:
         assert df.select("t").where(F.col("t").rlike(r"^[a-z]+-")).count() > 0
         assert df.select("t").where(F.col("t").contains(".")).count() > 0
 
+    def test_template_expr_null_and_short_array_degrade(self, spark):
+        """expr mode degrades like the UDF path on hostile bases: a null
+        base renders 'None' (not a null concat), an out-of-range \\vN
+        renders '' (no ANSI element_at error), a null element 'None'."""
+        from dbldatagen_spark.operators.templates import template_expr
+
+        df = spark.createDataFrame(
+            [(0, None, [10, 20]), (1, "x", [30]), (2, "y", None)],
+            "id long, s string, arr array<int>",
+        )
+        out = df.select(
+            template_expr(r"q:\v", F.col("id"), F.col("s")).alias("plain"),
+            template_expr(r"b:\v1", F.col("id"), F.col("arr")).alias("idx1"),
+        ).orderBy("id").collect()
+        assert [r["plain"] for r in out] == ["q:None", "q:x", "q:y"]
+        # arr[1]: present -> value; too short -> ''; null array -> ''
+        assert [r["idx1"] for r in out] == ["b:20", "b:", "b:"]
+
+        # null element at a valid index renders 'None' like str(None)
+        one = spark.createDataFrame([(0, [None, 5])], "id long, arr array<int>")
+        got = one.select(
+            template_expr(r"\v0", F.col("id"), F.col("arr")).alias("t")
+        ).first()["t"]
+        assert got == "None"
+
     def test_template_value_substitution(self, spark):
         df = (
             DataGenerator(spark, rows=100, partitions=2)

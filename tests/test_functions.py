@@ -341,6 +341,75 @@ def test_duplicate_components_reliable_checkpoint(spark, tmp_path):
     assert any(os.scandir(ckpt)), "reliable checkpoint wrote nothing"
 
 
+def test_duplicate_components_restores_checkpoint_dir(spark, tmp_path):
+    from dbldatagen_spark.functions import duplicate_components
+
+    # the checkpoint_dir override must not leak past the call when the
+    # session already had one configured
+    prior = str(tmp_path / "prior")
+    spark.sparkContext.setCheckpointDir(prior)
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    duplicate_components(pairs, checkpoint_dir=str(tmp_path / "other")).collect()
+    # setCheckpointDir nests a UUID subdir, so compare trees not paths
+    after = spark.sparkContext._jsc.sc().getCheckpointDir()
+    assert after.isDefined()
+    assert "prior" in after.get() and "other" not in after.get()
+
+
+class TestSessionize:
+    @staticmethod
+    def _norm(df):
+        return {
+            tuple(str(x) for x in r)
+            for r in df.select(
+                "user_id", "session_seq", "n_events",
+                "session_start", "session_end", "session_value",
+            ).collect()
+        }
+
+    def test_skew_safe_matches_window_on_events(self, spark):
+        from dbldatagen_spark.functions import sessionize
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        a = sessionize(ev, "user_id", "ts", gap_seconds=1800, value_col="value")
+        b = sessionize(ev, "user_id", "ts", gap_seconds=1800, value_col="value",
+                       method="skew_safe", bucket_seconds=7200)
+        assert self._norm(a) == self._norm(b)
+
+    def test_skew_safe_matches_window_on_hot_user(self, spark):
+        import datetime as dt
+
+        from dbldatagen_spark.functions import sessionize
+
+        # one bot user with bursts that straddle bucket boundaries, plus a
+        # quiet user; small bucket (60 s) forces many cross-bucket merges
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        t = t0
+        for i in range(400):
+            # 10-event bursts 5 s apart, then a 90 s gap (> 30 s threshold)
+            step = 5 if (i % 10) else 90
+            t = t + dt.timedelta(seconds=step)
+            rows.append(("bot", t, 1.0))
+        rows.append(("quiet", t0, 2.0))
+        rows.append(("quiet", t0 + dt.timedelta(seconds=10), 2.0))
+        ev = spark.createDataFrame(rows, "user_id string, ts timestamp, value double")
+        a = sessionize(ev, "user_id", "ts", gap_seconds=30, value_col="value")
+        b = sessionize(ev, "user_id", "ts", gap_seconds=30, value_col="value",
+                       method="skew_safe", bucket_seconds=60)
+        assert self._norm(a) == self._norm(b)
+
+    def test_sessionize_validations(self, spark):
+        from dbldatagen_spark.functions import sessionize
+
+        ev = spark.createDataFrame([("u", 0.0)], "user_id string, ts double")
+        with pytest.raises(ValueError):
+            sessionize(ev, "user_id", "ts", method="nope")
+        with pytest.raises(ValueError):
+            sessionize(ev, "user_id", "ts", gap_seconds=100,
+                       method="skew_safe", bucket_seconds=50)
+
+
 def test_duplicate_components_long_chain(spark):
     from dbldatagen_spark.functions import duplicate_components
 

@@ -274,27 +274,51 @@ def test_pii_patterns_portable_across_engines(texts):
         for r in redact_pii(sdf, "doc_id", "text").collect()
     }
 
+    from dbldatagen_spark.functions.pii import PII_PATTERNS
+
+    redacted = "text"
+    counts = []
+    for _kind, (pattern, token) in PII_PATTERNS.items():
+        p = pattern.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{p}', '{token}', 'g')"
+        counts.append(f"len(regexp_extract_all(text, '{p}'))")
     con = duckdb.connect()
     con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
     con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
-    oracle = con.execute(r"""
-        SELECT doc_id,
-               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
-                   regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                       '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '[SSN]', 'g'),
-                       '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b', '[PHONE]', 'g'),
-                       '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '[IP]', 'g'),
-                       '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b', '[CARD]', 'g'),
-               len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
-               len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')),
-               len(regexp_extract_all(text, '\(?\b[0-9]{3}\)?[-. ][0-9]{3}[-.][0-9]{4}\b')),
-               len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')),
-               len(regexp_extract_all(text, '\b[0-9]{4}[- ][0-9]{4}[- ][0-9]{4}[- ][0-9]{4}\b'))
-        FROM docs
-    """).fetchall()
+    oracle = con.execute(
+        f"SELECT doc_id, {redacted}, {', '.join(counts)} FROM docs"
+    ).fetchall()
     for doc_id, *vals in oracle:
         assert got[doc_id] == tuple(vals), (
             f"engine divergence on {texts[doc_id]!r}: "
             f"spark={got[doc_id]} duckdb={tuple(vals)}"
         )
+
+
+def test_pii_ipv4_octet_and_phone_paren_semantics():
+    """Hardened classes: only real 0-255 octets form an [IP]; mismatched
+    parens / mid-number starts are not a [PHONE] (matching behavior must be
+    identical in both engines — covered by the property test above; here
+    the intended semantics themselves)."""
+    from dbldatagen_spark.functions import redact_pii
+
+    cases = [
+        ("connect to 10.0.0.255 now", "connect to [IP] now"),
+        ("v1.2.3.4 tag", "v1.2.3.4 tag"),  # no \b after a word char
+        ("release 1.2.3.4 done", "release [IP] done"),  # valid-octet quad
+        ("build 10.300.1.2 shipped", "build 10.300.1.2 shipped"),
+        ("octets 999.1.1.1 stay", "octets 999.1.1.1 stay"),
+        ("call (555) 123-4567 ok", "call [PHONE] ok"),
+        ("call 555-123-4567 ok", "call [PHONE] ok"),
+        ("weird 555) 123-4567 stays", "weird 555) 123-4567 stays"),
+        ("id 0555 123-4567 stays", "id 0555 123-4567 stays"),
+    ]
+    sdf = _spark.createDataFrame(
+        [(i, t) for i, (t, _) in enumerate(cases)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["redacted"]
+        for r in redact_pii(sdf, "doc_id", "text", counts=False).collect()
+    }
+    for i, (src, want) in enumerate(cases):
+        assert got[i] == want, f"{src!r}: got {got[i]!r}, want {want!r}"

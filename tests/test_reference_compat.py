@@ -209,3 +209,47 @@ def test_datarange_hierarchy():
     assert dr.min == "2020-01-01" and dr.max == "2020-12-31"
     assert dr.isFullyPopulated()
     assert dg.NRange().isEmpty()
+
+
+def test_nrange_discrete_range_parity():
+    """getDiscreteRange matches the reference (``nrange.py:215-239``):
+    fractional steps floor, max itself excluded, unset/zero inputs raise
+    ValueError."""
+    import pytest
+
+    assert dg.NRange(0, 1, 0.3).getDiscreteRange() == 3.0
+    assert dg.NRange(1, 5, 0.5).getDiscreteRange() == 8.0
+    assert dg.NRange(0, 4, 0.5).getDiscreteRange() == 8.0  # max excluded
+    assert dg.NRange(0, 20, 1).getDiscreteRange() == 20.0
+    with pytest.raises(ValueError):
+        dg.NRange(0, 10).getDiscreteRange()  # step unset
+    with pytest.raises(ValueError):
+        dg.NRange(0, 10, 0).getDiscreteRange()
+    assert dg.NRange(2, 10).getContinuousRange() == 8.0
+
+
+def test_nrange_adjust_for_column_datatype_parity():
+    """adjustForColumnDatatype fills type-default bounds/step and
+    validates integral representability (``nrange.py:161-213``)."""
+    import pytest
+    from pyspark.sql import types as T
+
+    nr = dg.NRange()
+    nr.adjustForColumnDatatype(T.IntegerType())
+    assert (nr.minValue, nr.maxValue, nr.step) == (0, 2 ** 31 - 1, 1)
+
+    nr = dg.NRange()
+    nr.adjustForColumnDatatype(T.DoubleType())
+    assert nr.minValue == 0.0 and nr.step == 1.0
+
+    nr = dg.NRange()
+    nr.adjustForColumnDatatype(T.DecimalType(5, 2))
+    assert nr.maxValue == 10.0 ** 3 - 1.0
+
+    # decreasing ranges are legal; out-of-type bounds raise ValueError
+    nr = dg.NRange(10, 1, -1)
+    nr.adjustForColumnDatatype(T.ByteType())
+    with pytest.raises(ValueError):
+        dg.NRange(-1000, 10).adjustForColumnDatatype(T.ByteType())
+    with pytest.raises(ValueError):
+        dg.NRange(0, 400).adjustForColumnDatatype(T.ByteType())
