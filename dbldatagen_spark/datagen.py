@@ -320,10 +320,16 @@ class DataGenerator:
                 if rng.step is not None:
                     o.setdefault("step", rng.step)
             elif isinstance(rng, DateRange):
-                o.setdefault("begin", rng.begin)
-                o.setdefault("end", rng.end)
+                # stringify so the column options stay JSON-serializable
+                if rng.begin is not None:
+                    o.setdefault("begin", _ts_str(rng.begin))
+                if rng.end is not None:
+                    o.setdefault("end", _ts_str(rng.end))
                 if rng.interval is not None:
-                    o.setdefault("interval", rng.interval)
+                    o.setdefault(
+                        "interval",
+                        f"{int(rng.interval.total_seconds())} seconds",
+                    )
             else:
                 raise SpecValidationError(
                     f"dataRange must be NRange or DateRange, got {type(rng).__name__}"
@@ -1135,31 +1141,156 @@ class NRange(DataRange):
                 self.step = 1
 
 
+def _parse_interval_td(interval):
+    """Interval string/timedelta → timedelta via the root
+    ``parse_time_interval`` (reference ``utils.py:191-250`` semantics,
+    including years = 52 weeks); also accepts ``INTERVAL n SECONDS``
+    SQL-style strings for serialization round-trips."""
+    import datetime as dt
+
+    if isinstance(interval, dt.timedelta):
+        return interval
+    from dbldatagen_spark.compat import parse_time_interval
+
+    s = str(interval).strip()
+    s = re.sub(r"(?i)^interval\s+", "", s)
+    return parse_time_interval(s)
+
+
 class DateRange(DataRange):
-    """v0-compatible date/time range object: begin/end/interval strings."""
+    """v0-compatible date/time range (reference ``daterange.py:19-280``):
+    ``begin``/``end`` parse to ``datetime``, ``interval`` to ``timedelta``;
+    ``minValue``/``maxValue``/``step`` expose the epoch-seconds lattice,
+    with ``maxValue`` snapped to the last whole interval multiple at or
+    before ``end``."""
 
-    def __init__(self, begin, end, interval=None):
-        self.begin = begin
-        self.end = end
-        self.interval = interval
+    DEFAULT_UTC_TS_FORMAT = "%Y-%m-%d %H:%M:%S"
+    DEFAULT_DATE_FORMAT = "%Y-%m-%d"
 
-    # DataRange views: begin/end stand in for min/max
+    def __init__(self, begin, end, interval=None, datetime_format=None):
+        self.datetime_format = datetime_format or self.DEFAULT_UTC_TS_FORMAT
+        self.begin = self._coerce_datetime(begin, self.datetime_format)
+        self.end = self._coerce_datetime(end, self.datetime_format)
+        self.interval = (
+            _parse_interval_td(interval) if isinstance(interval, str) else interval
+        )
+
+    @staticmethod
+    def _coerce_datetime(v, fmt):
+        import datetime as dt
+
+        if v is None or isinstance(v, dt.datetime):
+            return v
+        if isinstance(v, dt.date):
+            return dt.datetime(v.year, v.month, v.day)
+        s = str(v)
+        for f in (fmt, DateRange.DEFAULT_DATE_FORMAT):
+            try:
+                return dt.datetime.strptime(s, f)
+            except ValueError:
+                continue
+        return dt.datetime.fromisoformat(s)
+
+    @classmethod
+    def parseInterval(cls, interval_str):
+        """Parse an interval string (reference ``daterange.py:112-116``)."""
+        if interval_str is None:
+            raise ValueError("Parameter 'interval_str' must be specified")
+        return _parse_interval_td(interval_str)
+
+    @classmethod
+    def _compute(cls, begin, end, interval, unique_values, fmt):
+        import datetime as dt
+
+        effective_interval = (
+            _parse_interval_td(interval)
+            if isinstance(interval, str)
+            else (interval or dt.timedelta(days=1))
+        )
+        effective_begin = cls._coerce_datetime(begin, fmt)
+        effective_end = cls._coerce_datetime(end, fmt)
+        now_year = dt.datetime.now().year
+        if effective_begin is None:
+            effective_begin = dt.datetime(now_year - 1, 1, 1)
+        if effective_end is None:
+            effective_end = dt.datetime(now_year - 1, 12, 31, 23, 59, 59)
+        if unique_values is not None:
+            if unique_values < 1:
+                raise ValueError(
+                    "Parameter 'unique_values' must be a positive integer"
+                )
+            effective_begin = effective_end - effective_interval * (unique_values - 1)
+        return DateRange(effective_begin, effective_end, effective_interval,
+                         datetime_format=fmt)
+
+    @classmethod
+    def computeDateRange(cls, begin, end, interval, unique_values) -> "DateRange":
+        """Date range with type defaults and the ``unique_values`` back-off
+        rule: ``begin = end - interval * (unique_values - 1)`` (reference
+        ``daterange.py:156-183``)."""
+        return cls._compute(begin, end, interval, unique_values,
+                            cls.DEFAULT_DATE_FORMAT)
+
+    @classmethod
+    def computeTimestampRange(cls, begin, end, interval, unique_values) -> "DateRange":
+        """Timestamp analogue of :meth:`computeDateRange` (reference
+        ``daterange.py:185-211``)."""
+        return cls._compute(begin, end, interval, unique_values,
+                            cls.DEFAULT_UTC_TS_FORMAT)
+
+    def computeTimestampIntervals(self, start, end, interval) -> int:
+        """Whole interval count between two datetimes (reference
+        ``daterange.py:219-231``)."""
+        return _math.floor((end - start) / interval)
+
+    # epoch-seconds lattice views (reference stores these in __init__;
+    # properties keep them live if a caller mutates begin/end/interval)
     @property
     def minValue(self):  # type: ignore[override]
-        return self.begin
+        return self.begin.timestamp() if self.begin is not None else None
 
     @property
     def maxValue(self):  # type: ignore[override]
-        return self.end
+        if self.end is None:
+            return None
+        if self.begin is not None and self.interval is not None:
+            return self.begin.timestamp() + self.interval.total_seconds() * (
+                self.computeTimestampIntervals(self.begin, self.end, self.interval)
+            )
+        return self.end.timestamp()
+
+    @property
+    def step(self):
+        return self.interval.total_seconds() if self.interval is not None else None
 
     def isEmpty(self):
-        return self.begin is None and self.end is None and self.interval is None
+        # reference daterange.py:254-259 — a constructed range is never empty
+        return False
 
     def isFullyPopulated(self):
         return (
             self.begin is not None
             and self.end is not None
             and self.interval is not None
+        )
+
+    def adjustForColumnDatatype(self, ctype):
+        # no type-based adjustment for temporal ranges (daterange.py:240-245)
+        pass
+
+    def getDiscreteRange(self):
+        return (self.maxValue - self.minValue) * (1.0 / self.step)
+
+    def getContinuousRange(self):
+        return (self.maxValue - self.minValue) * 1.0
+
+    def getScale(self):
+        return 0
+
+    def __str__(self):
+        return (
+            f"DateRange({self.begin},{self.end},{self.interval} == "
+            f"{self.minValue}, {self.maxValue}, {self.step})"
         )
 
 

@@ -206,7 +206,11 @@ def test_datarange_hierarchy():
 
     dr = dg.DateRange("2020-01-01", "2020-12-31", "1 day")
     assert isinstance(dr, dg.DataRange)
-    assert dr.min == "2020-01-01" and dr.max == "2020-12-31"
+    # reference semantics: min/max are the epoch-seconds lattice bounds
+    import datetime as dt
+
+    assert dr.min == dt.datetime(2020, 1, 1).timestamp()
+    assert dr.max == dt.datetime(2020, 12, 31).timestamp()
     assert dr.isFullyPopulated()
     assert dg.NRange().isEmpty()
 
@@ -226,6 +230,51 @@ def test_nrange_discrete_range_parity():
     with pytest.raises(ValueError):
         dg.NRange(0, 10, 0).getDiscreteRange()
     assert dg.NRange(2, 10).getContinuousRange() == 8.0
+
+
+def test_daterange_reference_parity():
+    """DateRange mirrors the reference (``daterange.py:19-280``): parsed
+    datetimes/timedelta, epoch lattice min/max/step with max snapped to a
+    whole interval multiple, interval parsing, compute* classmethods with
+    the unique_values back-off, and the trivial method contracts."""
+    import datetime as dt
+
+    import pytest
+
+    dr = dg.DateRange("2024-01-01 00:00:00", "2024-01-02 01:30:00", "1 hour")
+    assert dr.begin == dt.datetime(2024, 1, 1)
+    assert dr.interval == dt.timedelta(hours=1)
+    # 25.5 intervals -> snapped to 25 whole hours past begin
+    assert dr.maxValue == dr.minValue + 25 * 3600
+    assert dr.step == 3600.0
+    assert dr.getDiscreteRange() == 25.0
+    assert dr.getContinuousRange() == 25 * 3600.0
+    assert dr.getScale() == 0
+    assert not dr.isEmpty()  # constructed ranges are never empty
+    dr.adjustForColumnDatatype(None)  # no-op contract
+
+    assert dg.DateRange.parseInterval("1 hour, 30 minutes") == dt.timedelta(
+        hours=1, minutes=30
+    )
+    with pytest.raises(ValueError):
+        dg.DateRange.parseInterval(None)
+
+    r = dg.DateRange.computeDateRange(None, "2024-06-30", "1 day", 10)
+    assert r.begin == dt.datetime(2024, 6, 21)  # end - interval*(k-1)
+    assert r.end == dt.datetime(2024, 6, 30)
+    with pytest.raises(ValueError):
+        dg.DateRange.computeDateRange(None, "2024-06-30", "1 day", 0)
+
+    r2 = dg.DateRange.computeTimestampRange(
+        "2024-01-01 00:00:00", "2024-01-01 06:00:00", "minutes=30", None
+    )
+    assert r2.step == 1800.0 and r2.getDiscreteRange() == 12.0
+
+    # datetime/timedelta inputs pass straight through; str() shows both views
+    d3 = dg.DateRange(dt.datetime(2020, 1, 1), dt.datetime(2020, 1, 2),
+                      dt.timedelta(hours=6))
+    assert d3.getDiscreteRange() == 4.0
+    assert "DateRange(" in str(d3)
 
 
 def test_nrange_adjust_for_column_datatype_parity():
