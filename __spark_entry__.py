@@ -1408,6 +1408,33 @@ def _text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only text normalization (control-char strip, typographic
+    folding, whitespace collapse) — runs entirely inside the scan."""
+    from dbldatagen_spark.functions import normalize_text
+
+    docs = _load(spark, sf_dir, "documents")
+    return normalize_text(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _text_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup: each distinct trimmed line survives only
+    at its first (doc_id, position) occurrence in corpus order."""
+    from dbldatagen_spark.functions import dedup_lines_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return dedup_lines_corpus(docs, "doc_id", "text").orderBy("doc_id")
+
+
+def _text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy per document (degenerate-text detector);
+    float fold runs over the sorted count list for partition-independence."""
+    from dbldatagen_spark.functions import token_entropy
+
+    docs = _load(spark, sf_dir, "documents")
+    return token_entropy(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _gen_constraint_stream_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Constraint streaming gate (reference ``data_generator.py:1609-1616``):
     building with a constraint whose semantics are per-micro-batch-unsound
@@ -2619,6 +2646,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_daily": _events_rollup_daily,
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
+        "text_normalize": _text_normalize,
+        "text_dedup_lines": _text_dedup_lines,
+        "text_entropy": _text_entropy,
     }
 
 
@@ -2671,6 +2701,91 @@ def _pii_oracle_sql() -> str:
         + ", ".join(counts)
         + " FROM documents ORDER BY doc_id"
     )
+
+
+def _normalize_oracle_sql() -> str:
+    """DuckDB oracle for ``text_normalize``, generated from the library's
+    own pattern/translate constants so the engines cannot drift (same
+    approach as :func:`_pii_oracle_sql`)."""
+    from dbldatagen_spark.functions.curation import (
+        CONTROL_CHARS_PATTERN,
+        NORMALIZE_TRANSLATE_DST,
+        NORMALIZE_TRANSLATE_SRC,
+        WHITESPACE_RUN_PATTERN,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    t = f"regexp_replace(text, '{q(CONTROL_CHARS_PATTERN)}', '', 'g')"
+    t = (
+        f"translate({t}, '{q(NORMALIZE_TRANSLATE_SRC)}', "
+        f"'{q(NORMALIZE_TRANSLATE_DST)}')"
+    )
+    t = f"regexp_replace({t}, '…', '...', 'g')"
+    t = f"regexp_replace({t}, '{q(WHITESPACE_RUN_PATTERN)}', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    t = f"trim({t})"
+    return (
+        f"SELECT doc_id, {t} AS normalized_text, "
+        "CAST(length(text) AS BIGINT) AS n_chars_before, "
+        f"CAST(length({t}) AS BIGINT) AS n_chars_after "
+        "FROM documents ORDER BY doc_id"
+    )
+
+
+_DEDUP_LINES_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+    l0 AS (
+        SELECT doc_id,
+               [{'pos': i - 1, 'line': ls[i]} for i in generate_series(1, len(ls))]
+               AS items
+        FROM t
+    ),
+    l AS (SELECT doc_id, unnest(items, recursive := true) FROM l0),
+    k AS (SELECT doc_id, pos, line, trim(line) AS key FROM l),
+    nb AS (
+        SELECT doc_id, pos, line,
+               row_number() OVER (PARTITION BY key ORDER BY doc_id, pos) AS rn
+        FROM k WHERE key != ''
+    ),
+    keep AS (
+        SELECT doc_id, pos, line FROM nb WHERE rn = 1
+        UNION ALL
+        SELECT doc_id, pos, line FROM k WHERE key = ''
+    ),
+    reb AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS deduped_text,
+               count(*) AS kept
+        FROM keep GROUP BY 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS total FROM l GROUP BY 1)
+    SELECT tot.doc_id, coalesce(reb.deduped_text, '') AS deduped_text,
+           CAST(tot.total - coalesce(reb.kept, 0) AS BIGINT) AS n_lines_removed
+    FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id
+"""
+
+_ENTROPY_ORACLE = r"""
+    WITH tok AS (
+        SELECT doc_id, t AS tok FROM (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+            FROM documents
+        ) WHERE t != ''
+    ),
+    c AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY 1, 2),
+    d AS (
+        SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               list_sort(list(CAST(c AS DOUBLE))) AS cs
+        FROM c GROUP BY 1
+    )
+    SELECT doc_id, n_tokens, n_distinct_tokens,
+           round(log2(CAST(n_tokens AS DOUBLE))
+                 - list_sum([x * log2(x) FOR x IN cs]) / n_tokens,
+                 4) AS entropy_bits
+    FROM d ORDER BY doc_id
+"""
 
 
 def _oracle_sql_base() -> dict[str, str]:
@@ -2777,6 +2892,9 @@ def _oracle_sql_base() -> dict[str, str]:
             ORDER BY query_id, corpus_id
         """,
         "text_pii_redaction": _pii_oracle_sql(),
+        "text_normalize": _normalize_oracle_sql(),
+        "text_dedup_lines": _DEDUP_LINES_ORACLE,
+        "text_entropy": _ENTROPY_ORACLE,
         "text_boilerplate_strip": r"""
             WITH split_docs AS (
                 SELECT doc_id, string_split(text, chr(10)) AS l FROM documents

@@ -44,7 +44,12 @@ from dbldatagen_spark.functions.skew import salted_join
 from dbldatagen_spark.functions.sessions import sessionize
 from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.ranges import range_join
-from dbldatagen_spark.functions.curation import curate_corpus, strip_boilerplate_lines
+from dbldatagen_spark.functions.curation import (
+    curate_corpus,
+    dedup_lines_corpus,
+    normalize_text,
+    strip_boilerplate_lines,
+)
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
     split_assign,
@@ -63,12 +68,16 @@ from dbldatagen_spark.functions.text_analysis import (
     quality_metrics,
     repetition_metrics,
     token_count_expr,
+    token_entropy,
     token_vocabulary,
 )
 from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text_expr
 
 __all__ = [
     "sessionize",
+    "normalize_text",
+    "dedup_lines_corpus",
+    "token_entropy",
     "asof_join",
     "cross_corpus_near_duplicates",
     "assign_training_shards",

@@ -145,3 +145,146 @@ def strip_boilerplate_lines(
             .alias("n_lines_removed"),
         )
     )
+
+
+# Character-level cleanup tables. ``translate`` (not regex) does the 1:1
+# mappings so Java (Spark) and RE2 (the DuckDB oracle) cannot diverge on
+# unicode-escape syntax; the two regexes below stay inside the
+# engine-portable subset (explicit hex classes, no \s shorthand — Java's
+# \s includes \x0b, RE2's does not).
+# curly quotes -> ' / ", en/em-dash and unicode minus -> -, NBSP -> space
+# (explicit escapes: no invisible characters in source)
+NORMALIZE_TRANSLATE_SRC = (
+    "\u2018\u2019\u201a\u201c\u201d\u201e\u2013\u2014\u2212\u00a0"
+)
+NORMALIZE_TRANSLATE_DST = "\'\'\'\"\"\"--- "
+CONTROL_CHARS_PATTERN = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+WHITESPACE_RUN_PATTERN = r"[ \t\r\f]+"
+
+
+def clean_text_expr(
+    text,
+    *,
+    strip_control: bool = True,
+    normalize_punct: bool = True,
+    collapse_whitespace: bool = True,
+    lowercase: bool = False,
+):
+    """Expression producing the cleaned text: control characters stripped,
+    typographic quotes/dashes/NBSP folded to ASCII, ellipsis expanded,
+    horizontal-whitespace runs collapsed, edges trimmed. Newlines are
+    preserved (they are document structure; see
+    :func:`dedup_lines_corpus`)."""
+    out = text
+    if strip_control:
+        out = F.regexp_replace(out, CONTROL_CHARS_PATTERN, "")
+    if normalize_punct:
+        out = F.translate(out, NORMALIZE_TRANSLATE_SRC, NORMALIZE_TRANSLATE_DST)
+        out = F.regexp_replace(out, "…", "...")
+    if collapse_whitespace:
+        out = F.regexp_replace(out, WHITESPACE_RUN_PATTERN, " ")
+        out = F.regexp_replace(out, r" ?\n ?", "\n")
+        out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    strip_control: bool = True,
+    normalize_punct: bool = True,
+    collapse_whitespace: bool = True,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Map-only text normalization pass — the first stage of every corpus
+    pipeline. Returns ``(id, normalized_text, n_chars_before,
+    n_chars_after)``; runs entirely inside the scan (no shuffle, no UDF),
+    so at 100 TB it costs one pass over the bytes.
+
+    No counterpart in the reference repo (its scope ends at generation).
+    """
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        clean_text_expr(
+            text,
+            strip_control=strip_control,
+            normalize_punct=normalize_punct,
+            collapse_whitespace=collapse_whitespace,
+            lowercase=lowercase,
+        ).alias("normalized_text"),
+        F.length(text).cast("long").alias("n_chars_before"),
+    ).withColumn("n_chars_after", F.length("normalized_text").cast("long"))
+
+
+def dedup_lines_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    trim_keys: bool = True,
+) -> DataFrame:
+    """C4-style global line deduplication: every distinct (trimmed) line is
+    kept only at its first occurrence in corpus order (smallest
+    ``(doc_id, line_position)``); all later occurrences are removed from
+    their documents. Complements :func:`strip_boilerplate_lines` (which
+    removes lines frequent across documents everywhere) — here the first
+    occurrence survives.
+
+    Returns ``(id, deduped_text, n_lines_removed)``. Blank lines are
+    structural and never deduplicated.
+
+    Scale shape: winner selection aggregates ``min(struct(doc_id, pos))``
+    per line key — the shuffle carries the line text once (as the grouping
+    key) plus 16 bytes; survivors then reassemble per document. Corpus
+    text moves at most twice, nothing is quadratic, and there is no
+    driver-side state.
+    """
+    df = ensure_parallelism(df)
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
+    )
+    key = F.trim(F.col("_line")) if trim_keys else F.col("_line")
+    lines = lines.withColumn("_key", key)
+
+    dedupable = lines.where(F.col("_key") != "")
+    winners = dedupable.groupBy("_key").agg(
+        F.min(F.struct(F.col("_id"), F.col("_pos"))).alias("_w")
+    )
+    kept_dedup = (
+        dedupable.join(winners, "_key")
+        .where(
+            (F.col("_id") == F.col("_w._id")) & (F.col("_pos") == F.col("_w._pos"))
+        )
+        .select("_id", "_pos", "_line")
+    )
+    blanks = lines.where(F.col("_key") == "").select("_id", "_pos", "_line")
+    kept = kept_dedup.unionByName(blanks)
+
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("deduped_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    totals = lines.groupBy("_id").agg(F.count(F.lit(1)).alias("_n_total"))
+    return (
+        totals.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.coalesce(F.col("deduped_text"), F.lit("")).alias("deduped_text"),
+            (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_lines_removed"),
+        )
+    )

@@ -528,3 +528,52 @@ def bm25_search(
         .orderBy(F.desc("bm25"), F.asc(id_col))
         .limit(top_k)
     )
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Unigram Shannon entropy per document, in bits — the standard
+    degenerate-text detector (near-zero entropy = one token repeated;
+    log2(n_tokens) = all tokens distinct). Returns ``(id, n_tokens,
+    n_distinct_tokens, entropy_bits)``.
+
+    Determinism at scale: entropy is a float fold, and a naive
+    ``SUM(p*log2(p))`` would depend on aggregation order (flaky under
+    repartitioning). Token counts aggregate as integers (order-safe);
+    the float fold then runs over the *sorted* per-document count list
+    via ``aggregate(array_sort(collect_list(...)))`` — a fixed order,
+    so two builds at different partition counts are bit-identical. The
+    per-document list is bounded by document vocabulary, not corpus size.
+    """
+    toks = tokens_expr(F.col(text_col))
+    tok = F.explode(toks).alias("_tok")
+    df = ensure_parallelism(df)
+    exploded = df.select(F.col(id_col), tok).where(F.col("_tok") != "")
+    if lowercase:
+        exploded = exploded.withColumn("_tok", F.lower(F.col("_tok")))
+    counts = exploded.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_tokens"),
+        F.array_sort(F.collect_list("_c")).alias("_cs"),
+    )
+    # H = log2(n) - (1/n) * sum(c * log2(c)), folded in sorted order
+    sum_clog = F.aggregate(
+        F.col("_cs"),
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    n = F.col("n_tokens").cast("double")
+    return per_doc.select(
+        F.col(id_col),
+        "n_tokens",
+        "n_distinct_tokens",
+        F.round(F.log2(n) - sum_clog / n, 4).alias("entropy_bits"),
+    )

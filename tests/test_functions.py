@@ -1173,3 +1173,69 @@ def test_cross_corpus_near_duplicates(spark):
         "doc_id", "left_anti",
     )
     assert {r["doc_id"] for r in clean.collect()} == {102}
+
+
+class TestNormalizeAndLineDedup:
+    def test_normalize_text_folds_typography(self, spark):
+        from dbldatagen_spark.functions import normalize_text
+
+        df = spark.createDataFrame(
+            [(0, "Hello ‘world’ — it’s  a test…\x07"),
+             (1, "tab\tand nbsp"),
+             (2, " edge  \n  lines ")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["normalized_text"]
+               for r in normalize_text(df, "doc_id", "text").collect()}
+        assert got[0] == "Hello 'world' - it's a test..."
+        assert got[1] == "tab and nbsp"
+        assert got[2] == "edge\nlines"  # newlines survive, edges trimmed
+
+    def test_normalize_text_is_map_only(self, spark, docs):
+        from dbldatagen_spark.functions import normalize_text
+
+        plan = normalize_text(docs, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan.replace("Exchange RoundRobin", "")
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_dedup_lines_first_occurrence_wins(self, spark):
+        from dbldatagen_spark.functions import dedup_lines_corpus
+
+        df = spark.createDataFrame(
+            [(10, "shared\nkeep10"), (11, "keep11\nshared"),
+             (12, "shared\n\nblank kept")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["deduped_text"], r["n_lines_removed"])
+               for r in dedup_lines_corpus(df, "doc_id", "text").collect()}
+        assert got[10] == ("shared\nkeep10", 0)  # first occurrence
+        assert got[11] == ("keep11", 1)
+        assert got[12] == ("\nblank kept", 1)  # blank line is structural
+
+    def test_dedup_lines_partition_invariant(self, spark, docs):
+        from dbldatagen_spark.functions import dedup_lines_corpus
+
+        a = dedup_lines_corpus(docs.repartition(2), "doc_id", "text")
+        b = dedup_lines_corpus(docs.repartition(7), "doc_id", "text")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_token_entropy_bounds(self, spark):
+        from dbldatagen_spark.functions import token_entropy
+
+        df = spark.createDataFrame(
+            [(0, "aaa aaa aaa aaa"), (1, "a b c d e f g h"), (2, "x x y y")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in token_entropy(df, "doc_id", "text").collect()}
+        assert got[0]["entropy_bits"] == 0.0
+        assert got[1]["entropy_bits"] == 3.0  # 8 distinct of 8
+        assert got[2]["entropy_bits"] == 1.0  # two 50/50 tokens
+        assert got[2]["n_tokens"] == 4 and got[2]["n_distinct_tokens"] == 2
+
+    def test_token_entropy_partition_invariant(self, spark, docs):
+        from dbldatagen_spark.functions import token_entropy
+
+        a = token_entropy(docs.repartition(2), "doc_id", "text")
+        b = token_entropy(docs.repartition(9), "doc_id", "text")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
