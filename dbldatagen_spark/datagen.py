@@ -184,7 +184,7 @@ class DataGenerator:
         name: Optional[str] = None,
         rows: int = 100000,
         partitions: Optional[int] = None,
-        randomSeed: int = 42,
+        randomSeed: Optional[int] = None,
         random: bool = False,
         seedColumnName: str = "id",
         startingId: int = 0,
@@ -198,6 +198,10 @@ class DataGenerator:
         self.name = name or "synthetic_data"
         self._rows = int(rows)
         self._partitions = partitions
+        if randomSeed is None:
+            # class-level default installed via useSeed(), else 42
+            randomSeed = (DataGenerator._class_random_seed
+                          if DataGenerator._class_random_seed is not None else 42)
         self._seed = int(randomSeed)
         self._default_random = bool(random)
         self.seed_column = seedColumnName
@@ -294,8 +298,227 @@ class DataGenerator:
             f"partitions={self._partitions})"
         )
 
-    def option(self, key: str, value: Any) -> "DataGenerator":  # parity shim
+    # -- reference-parity surface ------------------------------------------
+    # (reference data_generator.py:240-770, 973, 1484-1608, 1957-2005)
+
+    _ALLOWED_OPTION_KEYS = ("startingId", "rowCount", "row_count", "output_id")
+    _nextNameIndex = 0
+    _class_random_seed: Optional[int] = None
+
+    @classmethod
+    def useSeed(cls, seedVal: int) -> None:
+        """Set the class-level default random seed used by generators that
+        do not pass ``randomSeed`` (reference ``data_generator.py:410-417``)."""
+        cls._class_random_seed = seedVal
+
+    @classmethod
+    def use_seed(cls, seedVal: int) -> None:
+        """Deprecated alias of :meth:`useSeed`."""
+        import warnings
+
+        warnings.warn("use_seed is deprecated, use useSeed instead",
+                      DeprecationWarning, stacklevel=2)
+        cls.useSeed(seedVal)
+
+    @classmethod
+    def reset(cls) -> None:
+        """Reset class-level state (the generated-name counter)."""
+        cls._nextNameIndex = 0
+
+    @classmethod
+    def generateName(cls) -> str:
+        """Next ``Untitled_<n>`` dataset name (reference
+        ``data_generator.py:436-444``)."""
+        cls._nextNameIndex += 1
+        return f"Untitled_{cls._nextNameIndex}"
+
+    @property
+    def seedColumnName(self) -> str:
+        return self.seed_column
+
+    @property
+    def randomSeed(self) -> int:
+        return self._seed
+
+    @property
+    def random(self) -> bool:
+        """Default randomness for columns built without an explicit
+        ``random=`` argument."""
+        return self._default_random
+
+    @property
+    def constraints(self) -> List[Constraint]:
+        return list(self._constraints)
+
+    @property
+    def columnGenerationSpecs(self) -> List[_V0Column]:
+        return list(self._columns)
+
+    @property
+    def schemaFields(self) -> List[T.StructField]:
+        """Output schema fields (non-omitted, multi-column specs flattened)."""
+        return list(self.schema.fields)
+
+    def _inferred_fields(self) -> List[Tuple[str, str]]:
+        """All fields including omitted ones and the seed column — the
+        interim view the reference calls the inferred schema."""
+        fields: List[Tuple[str, str]] = [(self.seed_column, "BIGINT")]
+        for c in self._columns:
+            dt = (c.col_type or "string").upper()
+            if dt == INFER_DATATYPE.upper():
+                dt = "STRING"
+            if c.num_columns is not None and c.struct_type != "array":
+                n = c.num_columns if isinstance(c.num_columns, int) else c.num_columns[1]
+                fields.extend((f"{c.name}_{i}", dt) for i in range(n))
+            elif c.struct_type == "array":
+                fields.append((c.name, f"ARRAY<{dt}>"))
+            else:
+                fields.append((c.name, dt))
+        return fields
+
+    @property
+    def inferredSchema(self) -> T.StructType:
+        """Interim schema over every spec, including omitted columns and
+        the seed column (reference ``data_generator.py:666-678``)."""
+        return T.StructType(
+            [
+                T.StructField(name, T._parse_datatype_string(dtype))
+                for name, dtype in self._inferred_fields()
+            ]
+        )
+
+    def getInferredColumnNames(self) -> List[str]:
+        return [name for name, _ in self._inferred_fields()]
+
+    def getColumnType(self, colName: str) -> T.DataType:
+        """Spark type for a column; the seed column is LONG; untyped specs
+        report STRING (this engine's default — the reference reports
+        INTEGER for its rare untyped case)."""
+        if colName == self.seed_column:
+            return T.LongType()
+        col = next(c for c in self._columns if c.name == colName)
+        if col.col_type in (None, INFER_DATATYPE):
+            return T.StringType()
+        return T._parse_datatype_string(spark_type_name(col.col_type))
+
+    def isFieldExplicitlyDefined(self, colName: str) -> bool:
+        col = next((c for c in self._columns if c.name == colName), None)
+        return col is not None and not col.implicit
+
+    @staticmethod
+    def flatten(lst: List[Any]) -> List[Any]:
+        return [item for sublist in lst for item in sublist]
+
+    def hasColumnSpec(self, colName: str) -> bool:
+        if colName == self.seed_column:
+            return True
+        return any(c.name == colName for c in self._columns)
+
+    def getColumnSpec(self, name: str) -> _V0Column:
+        if not (name and name.strip()):
+            raise ValueError("column name must be non empty string")
+        if name == self.seed_column:
+            return _V0Column(name=self.seed_column, col_type="bigint",
+                             omit=not self._id_output)
+        col = next((c for c in self._columns if c.name == name), None)
+        if col is None:
+            raise KeyError(name)
+        return col
+
+    def __getitem__(self, key: str) -> _V0Column:
+        return self.getColumnSpec(key)
+
+    def getOutputColumnNames(self) -> List[str]:
+        return [name for name, _ in self._output_fields()]
+
+    def getOutputColumnNamesAndTypes(self) -> List[Tuple[str, T.DataType]]:
+        return [
+            (name, T._parse_datatype_string(dtype))
+            for name, dtype in self._output_fields()
+        ]
+
+    def withRowCount(self, rc: int) -> "DataGenerator":
+        self._rows = int(rc)
         return self
+
+    def setRowCount(self, rc: int) -> "DataGenerator":
+        """Deprecated alias of :meth:`withRowCount`."""
+        import warnings
+
+        warnings.warn("setRowCount is deprecated, use withRowCount instead",
+                      DeprecationWarning, stacklevel=2)
+        return self.withRowCount(rc)
+
+    def option(self, optionKey: str, optionValue: Any) -> "DataGenerator":
+        """Set a generator option (reference allowed keys: startingId,
+        rowCount/row_count, output_id); applied immediately."""
+        if optionKey not in self._ALLOWED_OPTION_KEYS:
+            raise SpecValidationError(
+                f"unknown generator option {optionKey!r} "
+                f"(allowed: {list(self._ALLOWED_OPTION_KEYS)})"
+            )
+        if optionKey == "startingId":
+            self._starting_id = int(optionValue)
+        elif optionKey in ("rowCount", "row_count"):
+            self._rows = int(optionValue)
+        elif optionKey == "output_id" and optionValue:
+            self._id_output = True
+        return self
+
+    def options(self, **kwargs: Any) -> "DataGenerator":
+        for key, value in kwargs.items():
+            self.option(key, value)
+        return self
+
+    def computeBuildPlan(self) -> "DataGenerator":
+        """Compute the debug pseudo build plan (reference
+        ``data_generator.py:1568-1607``): populates ``self._buildPlan`` /
+        ``self.executionHistory`` and marks the plan computed. Purely
+        informational — column generation order comes from the dependency
+        toposort either way."""
+        plan = [f"Build Spark data frame with seed column: '{self.seed_column}'"]
+        for phase_no, phase in enumerate(self.build_order):
+            for colname in phase:
+                col = next(c for c in self._columns if c.name == colname)
+                desc = col.expr or col.template or (
+                    f"values({len(col.values)})" if col.values else "range"
+                )
+                plan.append(f"phase {phase_no}: building column {colname} <- {desc}")
+        for con in self._constraints:
+            plan.append(f"applying constraint {type(con).__name__}")
+        self._buildPlan = plan
+        self.executionHistory: List[str] = []
+        self.buildPlanComputed = True
+        return self
+
+    def saveAsDataset(
+        self,
+        dataset: Any,
+        with_streaming: Optional[bool] = None,
+        generator_options: Optional[Dict[str, Any]] = None,
+    ):
+        """Build and write to an OutputDataset; streaming auto-detected
+        from the dataset's trigger (reference
+        ``data_generator.py:1957-1977``). Returns the StreamingQuery for
+        streaming writes, else None."""
+        from dbldatagen_spark.sources.sinks import write_data_to_output
+
+        if with_streaming is None:
+            trig = getattr(dataset, "trigger", None)
+            with_streaming = bool(trig)
+        df = self.build(withStreaming=with_streaming, options=generator_options)
+        return write_data_to_output(df, dataset)
+
+    def saveToInitializationDict(self) -> Dict[str, Any]:
+        """Spec (not data) as a plain dict (reference
+        ``data_generator.py:285-292``)."""
+        return generator_to_dict(self)
+
+    @classmethod
+    def loadFromInitializationDict(
+        cls, options: Dict[str, Any], sparkSession: Optional[SparkSession] = None
+    ) -> "DataGenerator":
+        return generator_from_dict(options, sparkSession)
 
     def _norm_options(self, options: Dict[str, Any]) -> Dict[str, Any]:
         out: Dict[str, Any] = {}
@@ -502,21 +725,32 @@ class DataGenerator:
 
     # -- (de)serialization --------------------------------------------------
 
-    def saveToJson(self, path: str) -> None:
+    def saveToJson(self, path: Optional[str] = None) -> Optional[str]:
         """Persist the generator *spec* as JSON (reference
-        ``data_generator.py:1978-1996``)."""
+        ``data_generator.py:1995-2001``). With ``path`` the JSON is
+        written to that file (and None returned); without it, the JSON
+        string is returned — the reference signature."""
         import json
 
+        if path is None:
+            return json.dumps(generator_to_dict(self))
         with open(path, "w") as f:
             json.dump(generator_to_dict(self), f, indent=2)
+        return None
 
     @classmethod
     def loadFromJson(
-        cls, path: str, sparkSession: Optional[SparkSession] = None
+        cls, options: str, sparkSession: Optional[SparkSession] = None
     ) -> "DataGenerator":
+        """Load a generator spec from a JSON string (reference
+        ``data_generator.py:1982-1992``) or from a file path containing
+        one."""
         import json
 
-        with open(path) as f:
+        s = options.lstrip()
+        if s.startswith("{"):
+            return generator_from_dict(json.loads(s), sparkSession)
+        with open(options) as f:
             return generator_from_dict(json.load(f), sparkSession)
 
     # -- expression compilation --------------------------------------------

@@ -302,3 +302,112 @@ def test_nrange_adjust_for_column_datatype_parity():
         dg.NRange(-1000, 10).adjustForColumnDatatype(T.ByteType())
     with pytest.raises(ValueError):
         dg.NRange(0, 400).adjustForColumnDatatype(T.ByteType())
+
+
+def test_datagenerator_introspection_surface(spark):
+    """The reference's introspection/utility methods exist with matching
+    semantics (``data_generator.py:240-770, 973, 1484-1608``)."""
+    gen = (
+        dg.DataGenerator(spark, name="intro", rows=100, partitions=2,
+                         randomSeed=7, seedColumnName="id")
+        .withColumn("a", "int", minValue=1, maxValue=10)
+        .withColumn("b", "string", values=["x", "y"], omit=True)
+    )
+    assert gen.seedColumnName == "id"
+    assert gen.randomSeed == 7
+    assert gen.random is False
+    assert gen.constraints == []
+    assert [c.name for c in gen.columnGenerationSpecs] == ["a", "b"]
+    assert [f.name for f in gen.schemaFields] == ["a"]  # omitted excluded
+    assert gen.getInferredColumnNames() == ["id", "a", "b"]
+    assert gen.getOutputColumnNames() == ["a"]
+    names_types = gen.getOutputColumnNamesAndTypes()
+    assert names_types[0][0] == "a"
+    from pyspark.sql import types as T
+    assert isinstance(names_types[0][1], T.IntegerType)
+    assert isinstance(gen.getColumnType("a"), T.IntegerType)
+    assert isinstance(gen.getColumnType("id"), T.LongType)
+    assert gen.hasColumnSpec("a") and gen.hasColumnSpec("id")
+    assert not gen.hasColumnSpec("zzz")
+    assert gen["a"].name == "a"  # __getitem__
+    assert gen.getColumnSpec("b").omit is True
+    assert gen.isFieldExplicitlyDefined("a")
+    assert not gen.isFieldExplicitlyDefined("zzz")
+    assert dg.DataGenerator.flatten([[1, 2], [3]]) == [1, 2, 3]
+    assert [f.name for f in gen.inferredSchema.fields] == ["id", "a", "b"]
+
+    assert gen.withRowCount(250).rowCount == 250
+    import pytest
+    with pytest.warns(DeprecationWarning):
+        gen.setRowCount(300)
+    assert gen.rowCount == 300
+
+    gen.options(startingId=5, rowCount=120)
+    assert gen._starting_id == 5 and gen.rowCount == 120
+    with pytest.raises(Exception):
+        gen.option("bogus", 1)
+
+    plan = gen.computeBuildPlan()
+    assert plan is gen and gen.buildPlanComputed
+    assert any("seed column" in line for line in gen._buildPlan)
+
+
+def test_datagenerator_class_seed_and_names(spark):
+    """useSeed installs a class default seed; generateName/reset mirror the
+    reference counter behavior."""
+    try:
+        dg.DataGenerator.useSeed(1234)
+        g = dg.DataGenerator(spark, name="seeded", rows=10)
+        assert g.randomSeed == 1234
+        explicit = dg.DataGenerator(spark, name="explicit", rows=10, randomSeed=9)
+        assert explicit.randomSeed == 9
+    finally:
+        dg.DataGenerator._class_random_seed = None
+
+    dg.DataGenerator.reset()
+    assert dg.DataGenerator.generateName() == "Untitled_1"
+    assert dg.DataGenerator.generateName() == "Untitled_2"
+    dg.DataGenerator.reset()
+    assert dg.DataGenerator.generateName() == "Untitled_1"
+
+    import warnings
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        try:
+            dg.DataGenerator.use_seed(7)
+            assert dg.DataGenerator._class_random_seed == 7
+        finally:
+            dg.DataGenerator._class_random_seed = None
+
+
+def test_datagenerator_dict_and_json_roundtrip(spark):
+    """saveToInitializationDict / loadFromInitializationDict and the
+    string form of saveToJson / loadFromJson round-trip the spec."""
+    gen = (
+        dg.DataGenerator(spark, name="rt", rows=50, partitions=2, randomSeed=3)
+        .withColumn("k", "int", minValue=0, maxValue=9)
+    )
+    d = gen.saveToInitializationDict()
+    back = dg.DataGenerator.loadFromInitializationDict(d, sparkSession=spark)
+    assert back.name == "rt" and back.rowCount == 50
+
+    js = gen.saveToJson()  # no path -> JSON string (reference signature)
+    assert isinstance(js, str) and '"kind"' in js
+    back2 = dg.DataGenerator.loadFromJson(js, sparkSession=spark)
+    assert sorted(r["k"] for r in back2.build().collect()) == \
+        sorted(r["k"] for r in gen.build().collect())
+
+
+def test_datagenerator_save_as_dataset(spark, tmp_path):
+    """saveAsDataset builds and writes through OutputDataset; batch mode
+    returns None and the parquet reads back the full row count."""
+    from dbldatagen_spark import OutputDataset
+
+    gen = (
+        dg.DataGenerator(spark, name="sad", rows=40, partitions=2)
+        .withColumn("v", "int", minValue=1, maxValue=5)
+    )
+    out = str(tmp_path / "sad_out")
+    res = gen.saveAsDataset(OutputDataset(location=out, mode="overwrite"))
+    assert res is None
+    assert spark.read.parquet(out).count() == 40
