@@ -68,6 +68,27 @@ def _cast_target(dtype: str) -> str:
     return dtype if _is_complex_type(dtype) else spark_type_name(dtype)
 
 
+_ATOMIC_TYPES = {
+    "string": T.StringType, "boolean": T.BooleanType, "tinyint": T.ByteType,
+    "smallint": T.ShortType, "int": T.IntegerType, "bigint": T.LongType,
+    "float": T.FloatType, "double": T.DoubleType, "date": T.DateType,
+    "timestamp": T.TimestampType, "binary": T.BinaryType,
+}
+
+
+def _datatype_from_string(ddl: str) -> T.DataType:
+    """DDL string -> Spark DataType. Atomic types resolve without an active
+    SparkSession (so spec introspection works driver-free); complex and
+    decimal types go through Spark's own parser."""
+    key = ddl.strip().lower()
+    if key in _ATOMIC_TYPES:
+        return _ATOMIC_TYPES[key]()
+    m = re.fullmatch(r"decimal\((\d+),\s*(\d+)\)", key)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2)))
+    return T._parse_datatype_string(ddl)
+
+
 def parse_distribution(spec: Union[str, Distribution, None]) -> Optional[Distribution]:
     """Parse ``"beta(alpha=5.0, beta=2.0)"``-style distribution strings
     (reference registry parsing,
@@ -150,6 +171,152 @@ class _V0Column:
     interval: Optional[Any] = None
     nullable: bool = True
     implicit: bool = False  # schema-imported, spec not yet customized
+
+    # -- reference ColumnGenerationSpec read surface -----------------------
+    # (reference column_generation_spec.py:458-1207; engine internals like
+    # makeGenerationExpressions are not mirrored — expression compilation
+    # lives on the generator here)
+
+    def _option_map(self) -> Dict[str, Any]:
+        return {
+            "type": self.datatype,
+            "minValue": self.min_value,
+            "maxValue": self.max_value,
+            "step": self.step,
+            "values": self.values,
+            "weights": self.weights,
+            "random": self.random,
+            "distribution": self.distribution,
+            "template": self.template,
+            "text": self.text,
+            "format": self.fmt,
+            "prefix": self.prefix,
+            "suffix": self.suffix,
+            "text_separator": self.text_separator,
+            "percentNulls": self.percent_nulls,
+            "expr": self.expr,
+            "numColumns": self.numColumns,
+            "numFeatures": self.numFeatures,
+            "structType": self.struct_type,
+            "omit": self.omit,
+            "baseColumn": self.baseColumn,
+            "baseColumnType": self.base_column_type,
+            "uniqueValues": self.unique_values,
+            "begin": self.begin,
+            "end": self.end,
+            "interval": self.interval,
+            "nullable": self.nullable,
+            "implicit": self.implicit,
+            "escapeSpecialChars": self.escape_special_chars,
+        }
+
+    @property
+    def specOptions(self) -> Dict[str, Any]:
+        """Option dict view of the spec (testing/introspection aid)."""
+        return self._option_map()
+
+    def keys(self):
+        """Names of the options carrying a value."""
+        return [k for k, v in self._option_map().items() if v is not None]
+
+    def __getitem__(self, key: str):
+        if key is None:
+            raise ValueError("key should be non-empty")
+        return self._option_map().get(key)
+
+    def getOrElse(self, key: str, default=None):
+        v = self._option_map().get(key)
+        return v if v is not None else default
+
+    @property
+    def datatype(self) -> T.DataType:
+        """Spark type generated for this column (untyped/inferred -> STRING,
+        this engine's default)."""
+        if self.col_type in (None, "__infer__"):
+            return T.StringType()
+        return _datatype_from_string(_cast_target(self.col_type))
+
+    @property
+    def isFieldOmitted(self) -> bool:
+        return self.omit
+
+    @property
+    def isRandom(self) -> bool:
+        return bool(self.random)
+
+    @property
+    def textGenerator(self):
+        return self.text
+
+    @property
+    def inferDatatype(self) -> bool:
+        return self.col_type == "__infer__"
+
+    @property
+    def isWeightedValuesColumn(self) -> bool:
+        return self.weights is not None and self.values is not None
+
+    @property
+    def baseColumn(self):
+        """The base column option as given: a single name, a list for
+        multi-column bases, or the default seed column ``id``."""
+        if not self.base_columns:
+            return "id"
+        if len(self.base_columns) == 1:
+            return self.base_columns[0]
+        return list(self.base_columns)
+
+    @property
+    def baseColumns(self) -> List[str]:
+        return list(self.base_columns) if self.base_columns else ["id"]
+
+    def setBaseColumnDatatypes(self, columnDatatypes) -> None:
+        if not isinstance(columnDatatypes, list):
+            raise ValueError("`columnDatatypes` parameter must be list")
+        self._base_column_datatypes = list(columnDatatypes)
+
+    @property
+    def min(self):
+        return self.min_value
+
+    @property
+    def max(self):
+        return self.max_value
+
+    @property
+    def exprs(self):
+        return None  # the multi-expression option has no analogue here
+
+    @property
+    def numColumns(self):
+        return self.num_columns if self.struct_type != "array" else None
+
+    @property
+    def numFeatures(self):
+        return self.num_columns if self.struct_type == "array" else None
+
+    def structType(self):
+        return self.struct_type
+
+    def getNames(self) -> List[str]:
+        """Output column names: multi-column specs expand to name_0..name_N."""
+        if self.num_columns is not None and self.struct_type != "array":
+            n = self.num_columns if isinstance(self.num_columns, int) else self.num_columns[1]
+            if n > 1:
+                return [f"{self.name}_{i}" for i in range(n)]
+        return [self.name]
+
+    def getNamesAndTypes(self) -> List[Tuple[str, T.DataType]]:
+        dt = self.datatype
+        if self.struct_type == "array":
+            dt = T.ArrayType(dt)
+        return [(n, dt) for n in self.getNames()]
+
+    def getPlanEntry(self) -> str:
+        desc = self.expr or self.template or (
+            f"values({len(self.values)})" if self.values else "range"
+        )
+        return f"building column generator for column {self.name} <- {desc}"
 
 
 _OPTION_ALIASES = {

@@ -411,3 +411,51 @@ def test_datagenerator_save_as_dataset(spark, tmp_path):
     res = gen.saveAsDataset(OutputDataset(location=out, mode="overwrite"))
     assert res is None
     assert spark.read.parquet(out).count() == 40
+
+
+def test_column_spec_introspection_surface(spark):
+    """Column specs expose the reference ColumnGenerationSpec read surface
+    (``column_generation_spec.py:458-1207``): option dict access, name
+    expansion, datatype, base-column views."""
+    from pyspark.sql import types as T
+
+    gen = (
+        dg.DataGenerator(spark, name="csintro", rows=10)
+        .withColumn("a", "int", minValue=1, maxValue=9, step=2, random=True)
+        .withColumn("m", "float", numColumns=3)
+        .withColumn("fv", "float", numFeatures=4, structType="array")
+        .withColumn("w", "string", values=["x", "y"], weights=[3, 1])
+        .withColumn("e", "int", expr="a + 1", baseColumn="a")
+    )
+    a = gen.getColumnSpec("a")
+    assert (a.min, a.max, a.step) == (1, 9, 2)
+    assert a["minValue"] == 1 and a.getOrElse("nope", 7) == 7
+    assert a.isRandom and not a.isFieldOmitted
+    assert isinstance(a.datatype, T.IntegerType)
+    assert a.baseColumn == "id" and a.baseColumns == ["id"]
+    assert "minValue" in a.keys() and "maxValue" in a.specOptions
+
+    m = gen.getColumnSpec("m")
+    assert m.getNames() == ["m_0", "m_1", "m_2"]
+    assert m.numColumns == 3 and m.numFeatures is None
+    assert [t for _, t in m.getNamesAndTypes()] == [T.FloatType()] * 3
+
+    fv = gen.getColumnSpec("fv")
+    assert fv.getNames() == ["fv"]
+    assert fv.numFeatures == 4 and fv.numColumns is None
+    assert fv.structType() == "array"
+    assert isinstance(fv.getNamesAndTypes()[0][1], T.ArrayType)
+
+    w = gen.getColumnSpec("w")
+    assert w.isWeightedValuesColumn
+    assert not a.isWeightedValuesColumn
+
+    e = gen.getColumnSpec("e")
+    assert e.expr == "a + 1" and e.baseColumn == "a"
+    assert "a + 1" in e.getPlanEntry()
+    assert e.exprs is None and not e.inferDatatype
+    e.setBaseColumnDatatypes([T.IntegerType()])
+    assert e._base_column_datatypes == [T.IntegerType()]
+    import pytest
+    with pytest.raises(ValueError):
+        e.setBaseColumnDatatypes("not-a-list")
