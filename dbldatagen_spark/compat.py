@@ -185,18 +185,84 @@ class ColumnSpecOptions:
 
         merged = dict(props or {})
         merged.update(kwargs)
-        self.options = {}
+        self._options = {}
         for k, v in merged.items():
             canonical = _OPTION_ALIASES.get(k, k)
             if canonical not in _KNOWN_OPTIONS:
                 raise DataGenError(f"unknown column spec option: {k!r}")
-            self.options[canonical] = v
+            self._options[canonical] = v
+
+    @property
+    def options(self) -> dict:
+        """Underlying options dict (reference
+        ``column_spec_options.py:225-231``)."""
+        return self._options
 
     def getOrElse(self, key: str, default: Any = None) -> Any:
-        return self.options.get(key, default)
+        return self._options.get(key, default)
 
     def __getitem__(self, key: str) -> Any:
-        return self.options[key]
+        # reference semantics (column_spec_options.py:233-246): missing
+        # options read as None, not KeyError
+        return self._options.get(key)
+
+    def checkBoolOption(self, v: Any, name: str = None, optional: bool = True) -> None:
+        """Validate that an option value is boolean (or None when
+        ``optional``) — reference ``column_spec_options.py:248-263``."""
+        if name is None:
+            raise DataGenError("`name` must be specified")
+        ok = (v is None or type(v) is bool) if optional else type(v) is bool
+        if not ok:
+            raise DataGenError(
+                f"Option `{name}` must be boolean"
+                f"{' if specified' if optional else ''} - "
+                f"value: {v}, type: {type(v)}"
+            )
+
+    def checkExclusiveOptions(self, options: list) -> None:
+        """At most one of the named options may carry a value (reference
+        ``column_spec_options.py:265-274``)."""
+        if options is None or not isinstance(options, list):
+            raise DataGenError("`options` must be a non-empty list")
+        set_count = len([x for x in options if self[x] is not None])
+        if set_count > 1:
+            raise DataGenError(
+                f"only one of the options: {options} may be specified"
+            )
+
+    def checkOptionValues(self, option: str, option_values: list) -> None:
+        """The option's value must be one of ``option_values`` (reference
+        ``column_spec_options.py:276-284``)."""
+        if not (option and option.strip()):
+            raise DataGenError("option must be non empty")
+        if not isinstance(option_values, list):
+            raise DataGenError("`option_values` must be list")
+        if self[option] not in option_values:
+            raise DataGenError(
+                f"option: `{option}` must have one of the values {option_values}"
+            )
+
+    _MAX_TYPE_RANGE = {
+        "byte": 256, "short": 65536, "integer": 4294967296,
+    }
+
+    def checkValidColumnProperties(self, columnProps: Any) -> None:
+        """Validate min/max/unique ranges against the column type's
+        representable range when the type option is a Spark integral type
+        (reference ``column_spec_options.py:286-330``)."""
+        if columnProps is None:
+            raise DataGenError("columnProps should be non-empty")
+        col_type = self["type"]
+        type_name = getattr(col_type, "typeName", lambda: None)()
+        limit = self._MAX_TYPE_RANGE.get(type_name)
+        if limit is None:
+            return
+        min_value, max_value = self["minValue"], self["maxValue"]
+        if (min_value is not None and max_value is not None
+                and (max_value - min_value) > limit):
+            raise DataGenError(
+                f"range of min and max values exceeds size of {type_name} type"
+            )
 
 
 # -- reference root-namespace utilities (``utils.py:29-370``,

@@ -65,6 +65,48 @@ class Constraint:
             combined = combined & e
         return combined
 
+    # -- reference-name surface (constraints/constraint.py:80-155,189-209) --
+
+    @staticmethod
+    def mkCombinedConstraintExpression(constraintExpressions) -> Optional[Column]:
+        """AND-combine a list of Column filter expressions (None entries
+        skipped); raises on non-list / non-Column input like the
+        reference."""
+        if constraintExpressions is None or not isinstance(constraintExpressions, list):
+            raise ValueError(
+                "Constraints must be a list of Pyspark SQL Column instances"
+            )
+        if not all(e is None or isinstance(e, Column) for e in constraintExpressions):
+            raise ValueError(
+                "Constraint expressions must be Pyspark SQL columns or None"
+            )
+        valid = [e for e in constraintExpressions if e is not None]
+        if not valid:
+            return None
+        combined = valid[0]
+        for e in valid[1:]:
+            combined = combined & e
+        return combined
+
+    @property
+    def supportsStreaming(self) -> bool:
+        return self.supports_streaming
+
+    @property
+    def filterExpression(self) -> Optional[Column]:
+        return self.filter_expression()
+
+    def prepareDataGenerator(self, dataGenerator):
+        """Reference-named form of :meth:`prepare`: may adjust the
+        generator before build; returns it for chaining."""
+        self.prepare(dataGenerator)
+        return dataGenerator
+
+    def transformDataframe(self, dataGenerator, dataFrame: DataFrame) -> DataFrame:
+        """Reference-named form of :meth:`transform` (the generator
+        argument is accepted for signature parity and unused)."""
+        return self.transform(dataFrame)
+
 
 class SqlExpr(Constraint):
     """Keep rows where the SQL expression evaluates true."""

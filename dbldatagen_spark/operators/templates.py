@@ -375,36 +375,48 @@ def iltext_udf_expr(
     w_lo, w_hi = words
 
     def _gen(seeds: pd.Series) -> pd.Series:
-        useeds = seeds.to_numpy(np.int64).astype(np.uint64)
-        out = []
-        nw = len(_WORDS)
-        for seed in useeds:
-            s = np.uint64(seed)
-            n_par = int(_mix(np.array([s ^ np.uint64(1)]))[0] % np.uint64(p_hi - p_lo + 1)) + p_lo
-            pieces = []
-            slot = 2
-            for _p in range(n_par):
-                n_sent = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(s_hi - s_lo + 1)) + s_lo
-                slot += 1
-                sent_parts = []
-                for _s in range(n_sent):
-                    n_words = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(w_hi - w_lo + 1)) + w_lo
-                    slot += 1
-                    idx = (
-                        _mix(s ^ (np.arange(slot, slot + n_words, dtype=np.uint64)
-                                  * np.uint64(0x9E3779B97F4A7C15)))
-                        % np.uint64(nw)
-                    ).astype(np.int64)
-                    slot += n_words
-                    ws = _WORDS[idx]
-                    sent = " ".join(ws)
-                    sent_parts.append(sent[0].upper() + sent[1:] + ".")
-                pieces.append(" ".join(sent_parts))
-            out.append("\n\n".join(pieces))
-        return pd.Series(out)
+        return pd.Series(expand_iltext(
+            seeds.to_numpy(np.int64).astype(np.uint64),
+            (p_lo, p_hi), (s_lo, s_hi), (w_lo, w_hi),
+        ))
 
     udf = F.pandas_udf(_gen, StringType())
     return udf(seed_col.cast("long"))
+
+
+def expand_iltext(useeds, paragraphs, sentences, words):
+    """Driver/executor-shared ILText expansion over uint64 seeds — the
+    deterministic core behind both the pandas-UDF path and the standalone
+    ``ILText.generateText`` API."""
+    p_lo, p_hi = paragraphs
+    s_lo, s_hi = sentences
+    w_lo, w_hi = words
+    out = []
+    nw = len(_WORDS)
+    for seed in useeds:
+        s = np.uint64(seed)
+        n_par = int(_mix(np.array([s ^ np.uint64(1)]))[0] % np.uint64(p_hi - p_lo + 1)) + p_lo
+        pieces = []
+        slot = 2
+        for _p in range(n_par):
+            n_sent = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(s_hi - s_lo + 1)) + s_lo
+            slot += 1
+            sent_parts = []
+            for _s in range(n_sent):
+                n_words = int(_mix(np.array([s ^ np.uint64(slot)]))[0] % np.uint64(w_hi - w_lo + 1)) + w_lo
+                slot += 1
+                idx = (
+                    _mix(s ^ (np.arange(slot, slot + n_words, dtype=np.uint64)
+                              * np.uint64(0x9E3779B97F4A7C15)))
+                    % np.uint64(nw)
+                ).astype(np.int64)
+                slot += n_words
+                ws = _WORDS[idx]
+                sent = " ".join(ws)
+                sent_parts.append(sent[0].upper() + sent[1:] + ".")
+            pieces.append(" ".join(sent_parts))
+        out.append("\n\n".join(pieces))
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -412,7 +424,119 @@ def iltext_udf_expr(
 # ---------------------------------------------------------------------------
 
 
-class ILText:
+class TextGenerator:
+    """Base for text generator objects accepted by
+    ``withColumn(..., text=...)`` (reference ``text_generators.py:248-410``).
+    Subclasses implement ``make_expr(seed_col, base_col)`` (the engine
+    integration — inside a build, seeding flows from the engine's
+    partition-independent column seed) and ``pandasGenerateText`` (the
+    standalone vectorized API)."""
+
+    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
+        raise NotImplementedError
+
+    def pandasGenerateText(self, v: "pd.Series") -> "pd.Series":
+        raise NotImplementedError(
+            "Subclasses should implement unique versions of `pandasGenerateText`"
+        )
+
+    def classicGenerateText(self, v) -> str:
+        """Row-at-a-time form: expand one base value (reference
+        ``text_generators.py:611-621``)."""
+        return str(self.pandasGenerateText(pd.Series([v])).iloc[0])
+
+    @property
+    def randomSeed(self) -> int:
+        """Seed installed via withRandomSeed (42 when unset). Note that
+        inside a build, expansion is driven by the engine's per-cell seed
+        stream; this value affects only standalone generateText use."""
+        return getattr(self, "_randomSeed", 42)
+
+    def withRandomSeed(self, seed: int) -> "TextGenerator":
+        self._randomSeed = seed
+        return self
+
+    def getNPRandomGenerator(self, forceNewInstance: bool = False):
+        """NumPy Generator seeded from randomSeed (reference
+        ``text_generators.py:294-316``); cached unless forceNewInstance."""
+        seed = self.randomSeed
+        if not isinstance(seed, (int, np.integer)) and seed is not None:
+            raise ValueError(
+                f"`random_seed` must be int or int-like not {type(seed)}"
+            )
+        rng = getattr(self, "_rngInstance", None)
+        if rng is not None and not forceNewInstance:
+            return rng
+        if seed is not None and seed not in (-1, -1.0):
+            rng = np.random.default_rng(seed=seed)
+        else:
+            rng = np.random.default_rng()
+        if not forceNewInstance:
+            self._rngInstance = rng
+        return rng
+
+    @staticmethod
+    def compactNumpyTypeForValues(listValues) -> np.dtype:
+        """Smallest unsigned numpy dtype covering the values (reference
+        ``text_generators.py:319-339``)."""
+        import math
+
+        if isinstance(listValues, list):
+            max_value = np.max(np.array(listValues).flatten())
+        else:
+            max_value = np.max(listValues.flatten()) + 1
+        bits_required = math.ceil(math.log2(max_value))
+        if bits_required <= 8:
+            return np.dtype("B")
+        nbytes = math.ceil(bits_required / 8.0)
+        pow2 = 1
+        while pow2 < nbytes:
+            pow2 *= 2
+        return np.dtype(f"u{pow2}")
+
+    @staticmethod
+    def getAsTupleOrElse(v, defaultValue, valueName: str = "value"):
+        """Bounds spec -> (min, max) pair with the reference's validation
+        (``text_generators.py:342-400``)."""
+
+        def pair(value, name):
+            if isinstance(value, bool):
+                raise ValueError(
+                    f"Parameter '{name}' must be an integer, a 2 element "
+                    f"tuple or list, or None, but a 'bool' was supplied"
+                )
+            if isinstance(value, int):
+                return value, value
+            if not isinstance(value, (tuple, list)):
+                raise ValueError(
+                    f"Parameter '{name}' must be an integer, a 2 element "
+                    f"tuple or list, or None, but a "
+                    f"'{type(value).__name__}' was supplied"
+                )
+            if len(value) != 2:
+                raise ValueError(
+                    f"Parameter '{name}' must have exactly 2 elements, "
+                    f"but {len(value)} elements were supplied"
+                )
+            if not all(isinstance(e, int) and not isinstance(e, bool)
+                       for e in value):
+                raise ValueError(
+                    f"Parameter '{name}' must only contain integer values"
+                )
+            lo, hi = value[0], value[1]
+            if lo > hi:
+                raise ValueError(
+                    f"Parameter '{name}' minimum ({lo}) must not exceed "
+                    f"maximum ({hi})"
+                )
+            return lo, hi
+
+        if not v:
+            return pair(defaultValue, "defaultValue")
+        return pair(v, valueName)
+
+
+class ILText(TextGenerator):
     """Ipsum-lorem text generator object for ``withColumn(..., text=ILText(...))``.
 
     ``paragraphs``/``sentences``/``words`` accept an int or a (min, max)
@@ -438,8 +562,21 @@ class ILText:
             seed_col, self.paragraphs, self.sentences, self.words
         )
 
+    def generateText(self, baseValues, rowCount: int = 1):
+        """Standalone expansion (reference ``text_generators.py:1046-1057``):
+        one ipsum-lorem text per base value; seeds derive from randomSeed
+        and the value's position, so output is deterministic for a given
+        withRandomSeed setting."""
+        seeds = (np.arange(rowCount, dtype=np.uint64)
+                 ^ np.uint64(self.randomSeed & 0xFFFFFFFFFFFFFFFF))
+        return expand_iltext(seeds, self.paragraphs, self.sentences, self.words)
 
-class PyfuncText:
+    def pandasGenerateText(self, v: "pd.Series") -> "pd.Series":
+        rows = v.to_numpy()
+        return pd.Series(self.generateText(rows, rows.size))
+
+
+class PyfuncText(TextGenerator):
     """User-plugin text generator mirroring the reference plugin model
     (``text_generator_plugins.py:45-178``): ``fn(context, base_value)``
     with an optional ``init(context)`` run once per executor (or per
@@ -464,6 +601,22 @@ class PyfuncText:
 
     def __str__(self) -> str:
         return f"{self.name}({self.fn!r}, init={self.init})"
+
+    def pandasGenerateText(self, v: "pd.Series") -> "pd.Series":
+        """Driver-side plugin application over a Series of base values
+        (reference ``text_generator_plugins.py:160-178`` semantics: one
+        shared context, rootProperty calling convention honored)."""
+
+        class _Ctx:
+            pass
+
+        ctx = _Ctx()
+        if self.init is not None:
+            self.init(ctx)
+        if self.root_property is not None:
+            root = getattr(ctx, self.root_property)
+            return v.map(lambda _v: str(self.fn(root)))
+        return v.map(lambda x: str(self.fn(ctx, x)))
 
     def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
         fn, init = self.fn, self.init
@@ -603,7 +756,7 @@ class FakerTextFactory(PyfuncTextFactory):
         self.withRootProperty("faker")
 
 
-class FakerText:
+class FakerText(TextGenerator):
     """Faker-backed text generator object: ``text=fakerText("email")``.
 
     Uses the same pooled architecture as the declarative FakerColumn
@@ -630,20 +783,6 @@ class FakerText:
 def fakerText(method: str, locale: Optional[str] = None, **_kw) -> FakerText:
     """v0-compatible sugar for ``FakerTextFactory``-style usage."""
     return FakerText(method, locale)
-
-
-class TextGenerator:
-    """Base marker for text generator objects accepted by
-    ``withColumn(..., text=...)`` (reference ``text_generators.py:248``).
-    Subclasses implement ``make_expr(seed_col, base_col)``."""
-
-    def make_expr(self, seed_col: Column, base_col: Optional[Column] = None) -> Column:
-        raise NotImplementedError
-
-    def withRandomSeed(self, seed: int) -> "TextGenerator":
-        """Reference-compat no-op: seeding here flows from the engine's
-        column seed, not per-generator state."""
-        return self
 
 
 class TemplateGenerator(TextGenerator):

@@ -459,3 +459,157 @@ def test_column_spec_introspection_surface(spark):
     import pytest
     with pytest.raises(ValueError):
         e.setBaseColumnDatatypes("not-a-list")
+
+
+def test_text_generator_base_surface():
+    """TextGenerator base utilities match the reference
+    (``text_generators.py:248-410``): seeded RNG, compact dtype, bounds
+    pair, classic/pandas generation on every generator class."""
+    import numpy as np
+    import pandas as pd
+
+    tg = dg.TemplateGenerator(r"ddd-AAA")
+    assert isinstance(tg, dg.TextGenerator)
+    assert tg.randomSeed == 42
+    assert tg.withRandomSeed(7) is tg and tg.randomSeed == 7
+    rng = tg.getNPRandomGenerator()
+    assert tg.getNPRandomGenerator() is rng  # cached
+    assert tg.getNPRandomGenerator(forceNewInstance=True) is not rng
+    import re
+    assert re.fullmatch(r"\d{3}-[A-Z]{3}", tg.classicGenerateText("x"))
+
+    assert dg.TextGenerator.compactNumpyTypeForValues([3, 200]) == np.dtype("B")
+    assert dg.TextGenerator.compactNumpyTypeForValues([70000]) == np.dtype("u4")
+    assert dg.TextGenerator.getAsTupleOrElse(5, (1, 2)) == (5, 5)
+    assert dg.TextGenerator.getAsTupleOrElse(None, (1, 2)) == (1, 2)
+    assert dg.TextGenerator.getAsTupleOrElse([2, 9], (1, 2)) == (2, 9)
+    import pytest
+    with pytest.raises(ValueError):
+        dg.TextGenerator.getAsTupleOrElse((5, 2), (1, 2))
+    with pytest.raises(ValueError):
+        dg.TextGenerator.getAsTupleOrElse(True, (1, 2))
+
+    il = dg.ILText(paragraphs=1, sentences=(1, 2), words=(3, 5))
+    assert isinstance(il, dg.TextGenerator)
+    texts = il.generateText(["a", "b"], 2)
+    assert il.generateText(["a", "b"], 2) == texts  # deterministic
+    assert len(il.pandasGenerateText(pd.Series(["x", "y", "z"]))) == 3
+    assert il.classicGenerateText("q").endswith(".")
+
+    pf = dg.PyfuncText(lambda ctx, v: f"<{v}>")
+    assert isinstance(pf, dg.TextGenerator)
+    assert list(pf.pandasGenerateText(pd.Series(["a", "b"]))) == ["<a>", "<b>"]
+
+
+def test_constraint_reference_names(spark):
+    """Constraint exposes the reference method names
+    (``constraints/constraint.py:80-155``)."""
+    from pyspark.sql import functions as F
+
+    c = dg.SqlExpr("a > 0")
+    assert c.supportsStreaming is True
+    assert c.filterExpression is not None
+    df = spark.createDataFrame([(1,), (-1,)], ["a"])
+    gen = dg.DataGenerator(spark, name="cx", rows=10)
+    assert c.prepareDataGenerator(gen) is gen
+    assert c.transformDataframe(gen, df).count() == 2  # filter applies later
+
+    combined = dg.Constraint.mkCombinedConstraintExpression(
+        [F.col("a") > 0, None, F.col("a") < 10]
+    )
+    assert df.where(combined).count() == 1
+    assert dg.Constraint.mkCombinedConstraintExpression([None]) is None
+    import pytest
+    with pytest.raises(ValueError):
+        dg.Constraint.mkCombinedConstraintExpression("not-a-list")
+    with pytest.raises(ValueError):
+        dg.Constraint.mkCombinedConstraintExpression(["not-a-column"])
+
+    uc = dg.UniqueCombinations(["a"])
+    assert uc.supportsStreaming is False
+
+
+def test_column_spec_options_checks():
+    """ColumnSpecOptions validation helpers
+    (``column_spec_options.py:225-330``)."""
+    from pyspark.sql.types import ByteType
+    import pytest
+
+    opts = dg.ColumnSpecOptions({"minValue": 1, "maxValue": 5, "random": True})
+    assert opts.options["minValue"] == 1  # property view
+    assert opts["nope"] is None  # missing reads None, not KeyError
+    opts.checkBoolOption(True, name="random")
+    opts.checkBoolOption(None, name="random")
+    with pytest.raises(dg.DataGenError):
+        opts.checkBoolOption("yes", name="random")
+    opts.checkExclusiveOptions(["values", "template"])  # neither set: ok
+    with pytest.raises(dg.DataGenError):
+        dg.ColumnSpecOptions({"values": [1], "template": "d"}) \
+            .checkExclusiveOptions(["values", "template"])
+    opts2 = dg.ColumnSpecOptions({"baseColumnType": "hash"})
+    opts2.checkOptionValues("baseColumnType", ["auto", "hash", "values"])
+    with pytest.raises(dg.DataGenError):
+        opts2.checkOptionValues("baseColumnType", ["auto"])
+    bad = dg.ColumnSpecOptions({"minValue": 0, "maxValue": 1000})
+    bad._options["type"] = ByteType()
+    with pytest.raises(dg.DataGenError):
+        bad.checkValidColumnProperties(object())
+
+
+def test_dataset_provider_registry_surface(spark):
+    """DatasetProvider registry classmethods and the Datasets facade
+    filters (``dataset_provider.py:100-312``, ``datasets_object.py:52-90``)."""
+    from dbldatagen_spark.datasets.registry import DatasetProvider
+
+    regs = DatasetProvider.getRegisteredDatasets()
+    assert "basic/user" in regs and len(regs) >= 9
+    p = regs["basic/user"]
+    assert p.getDatasetDefinition() is p
+    assert p.getDatasetTables() == p.tables
+    assert DatasetProvider.isValidDataProviderType(p)
+    assert not DatasetProvider.isValidDataProviderType(int)
+    # documented example: 1B rows x 10 cols -> 18 partitions, min 4
+    assert p.autoComputePartitions(1_000_000_000, 10) == 18
+    assert p.autoComputePartitions(10, 2) == 4
+    import pytest
+    with pytest.raises(ValueError):
+        p.checkOptions({"bogus": 1}, ["rows"])
+
+    df = p.getTableGenerator(spark, rows=500).build()
+    assert df.count() == 500
+
+    defs = dg.Datasets.getProviderDefinitions(pattern="basic/.*")
+    assert {d.name for d in defs} >= {"basic/user"}
+    only = dg.Datasets.getProviderDefinitions(name="basic/user")
+    assert len(only) == 1
+
+    # register/unregister bump the version and round-trip
+    import dbldatagen_spark.datasets.registry as reg
+    v0 = DatasetProvider.getRegisteredDatasetsVersion()
+    custom = reg.DatasetProvider(
+        name="test/custom", summary="s", description="d", tables=["primary"],
+        factory=lambda spark_, table, rows, partitions, **o: (
+            dg.DataGenerator(spark_, name="c", rows=rows)
+            .withColumn("x", "int", minValue=1, maxValue=3)
+        ),
+    )
+    try:
+        DatasetProvider.registerDataset(custom)
+        assert DatasetProvider.getRegisteredDatasetsVersion() == v0 + 1
+        assert dg.Datasets(spark, "test/custom").get(rows=10).build().count() == 10
+    finally:
+        DatasetProvider.unregisterDataset("test/custom")
+    assert "test/custom" not in DatasetProvider.getRegisteredDatasets()
+
+    with pytest.raises(NotImplementedError):
+        p.getAssociatedDataset(spark, tableName="primary")
+
+    # allowed_options decorator enforces the option whitelist
+    @DatasetProvider.allowed_options(["extra"])
+    def factory(sparkSession=None, tableName=None, rows=-1, partitions=-1,
+                extra=None):
+        return rows
+
+    assert factory(rows=5, extra=1) == 5
+    with pytest.raises(ValueError):
+        factory(rows=5, nope=1)
