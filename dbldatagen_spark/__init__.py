@@ -33,6 +33,7 @@ from dbldatagen_spark.plans.spec import (
     ColumnSpec,
     ConstantColumn,
     DataGenPlan,
+    DataType,
     DateColumn,
     Exponential,
     Gamma,
@@ -40,9 +41,11 @@ from dbldatagen_spark.plans.spec import (
     ExpressionColumn,
     FakerColumn,
     ForeignKeyColumn,
+    ForeignKeyRef,
     LogNormal,
     Normal,
     PatternColumn,
+    PrimaryKey,
     RangeColumn,
     SequenceColumn,
     StructColumn,

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 import re
 from dataclasses import dataclass, field
+from enum import Enum
 from typing import Any, Optional, Sequence, Union
 
 # ---------------------------------------------------------------------------
@@ -571,6 +572,91 @@ _STRING_STRATEGIES = {"uuid", "pattern", "faker"}
 # ---------------------------------------------------------------------------
 
 
+class DataType(str, Enum):
+    """Column data types (reference ``core/spec/schema.py:849-879``):
+    spellings map to the equivalent Spark SQL types; INTEGER aliases INT
+    and ``integer``/``bool``/``str`` are accepted on deserialization."""
+
+    INT = "int"
+    LONG = "long"
+    FLOAT = "float"
+    DOUBLE = "double"
+    STRING = "string"
+    BOOLEAN = "boolean"
+    DATE = "date"
+    TIMESTAMP = "timestamp"
+    DECIMAL = "decimal"
+
+    INTEGER = "int"
+
+    @classmethod
+    def _missing_(cls, value):
+        if not isinstance(value, str):
+            return None
+        aliases = {"integer": cls.INT, "bool": cls.BOOLEAN, "str": cls.STRING}
+        return aliases.get(value.lower())
+
+
+class PrimaryKey:
+    """Marks one or more columns as a table's primary key (reference
+    ``core/spec/schema.py:881-908``). Composite keys validate but this
+    engine's tables accept only single-column keys (a ForeignKeyRef can
+    only target a single-column key in the reference too)."""
+
+    def __init__(self, columns: Sequence[str]):
+        cols = list(columns)
+        _check(len(cols) >= 1, "PrimaryKey requires at least one column")
+        _check(
+            len(set(cols)) == len(cols),
+            f"PrimaryKey columns must be unique, got {cols}",
+        )
+        self.columns = cols
+
+    def __repr__(self) -> str:
+        return f"PrimaryKey(columns={self.columns!r})"
+
+    def __eq__(self, other) -> bool:
+        return isinstance(other, PrimaryKey) and self.columns == other.columns
+
+
+class ForeignKeyRef:
+    """Foreign-key reference in ``"table.column"`` form (reference
+    ``core/spec/schema.py:910-955``): optional skew distribution over
+    parent rows (WeightedValues rejected — it weights a value list, not
+    the parent index range) and an optional null fraction."""
+
+    def __init__(
+        self,
+        ref: str,
+        distribution: Optional["Distribution"] = None,
+        nullable: bool = False,
+        null_fraction: float = 0.0,
+    ):
+        parts = ref.split(".")
+        _check(
+            len(parts) == 2 and all(_IDENTIFIER_RE.match(p) for p in parts),
+            f"foreign key ref must be 'table.column', got {ref!r}",
+        )
+        if distribution is None:
+            distribution = Uniform()
+        _check(
+            not isinstance(distribution, WeightedValues),
+            "ForeignKeyRef does not support WeightedValues; use Zipf or "
+            "another continuous distribution to skew parent references",
+        )
+        _check(
+            0.0 <= null_fraction <= 1.0,
+            f"null_fraction must be in [0.0, 1.0], got {null_fraction}",
+        )
+        self.ref = ref
+        self.distribution = distribution
+        self.nullable = bool(nullable)
+        self.null_fraction = float(null_fraction)
+
+    def __repr__(self) -> str:
+        return f"ForeignKeyRef(ref={self.ref!r})"
+
+
 @dataclass(frozen=True)
 class ColumnSpec:
     """One output column (reference ``core/spec/schema.py:957-1224``).
@@ -578,17 +664,51 @@ class ColumnSpec:
     ``seed_from``: derive the per-cell seed from another column's *values*
     instead of the row id, producing correlated columns; chains are rejected
     at plan resolution (reference ``core/engine/planner.py:549-592``).
+
+    Reference-compat forms: the strategy may be passed as ``gen=`` (the
+    reference field name), and ``foreign_key=ForeignKeyRef(...)`` builds
+    the FK strategy (folding the ref's nullable/null_fraction) when no
+    explicit strategy is given.
     """
 
     name: str
-    strategy: Strategy
+    strategy: Optional[Strategy] = None
     dtype: Optional[str] = None
     nullable: bool = False
     null_fraction: Optional[float] = None
     seed_from: Optional[str] = None
     seed: Optional[int] = None
+    foreign_key: Optional[ForeignKeyRef] = None
+    gen: Optional[Strategy] = None
 
     def __post_init__(self) -> None:
+        if self.strategy is None and self.gen is not None:
+            object.__setattr__(self, "strategy", self.gen)
+        if self.foreign_key is not None:
+            fk = self.foreign_key
+            if self.strategy is None:
+                object.__setattr__(
+                    self,
+                    "strategy",
+                    ForeignKeyColumn(
+                        references=fk.ref, distribution=fk.distribution
+                    ),
+                )
+            else:
+                _check(
+                    getattr(self.strategy, "strategy", None) == "foreign_key",
+                    f"column {self.name!r}: foreign_key= requires a "
+                    "ForeignKeyColumn strategy (or none)",
+                )
+            if fk.nullable and not self.nullable:
+                object.__setattr__(self, "nullable", True)
+            if fk.null_fraction and self.null_fraction is None:
+                object.__setattr__(self, "null_fraction", fk.null_fraction)
+        _check(
+            self.strategy is not None,
+            f"column {self.name!r}: a generation strategy is required "
+            "(strategy=/gen=/foreign_key=)",
+        )
         _check(
             bool(_IDENTIFIER_RE.match(self.name)),
             f"invalid column name {self.name!r}",

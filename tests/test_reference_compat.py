@@ -613,3 +613,91 @@ def test_dataset_provider_registry_surface(spark):
     assert factory(rows=5, extra=1) == 5
     with pytest.raises(ValueError):
         factory(rows=5, nope=1)
+
+
+def test_subpackage_import_paths():
+    """Reference-style subpackage imports resolve (reference
+    ``distributions/__init__.py``, ``constraints/__init__.py``,
+    ``core/__init__.py`` module layouts)."""
+    from dbldatagen_spark.constraints import (  # noqa: F401
+        ChainedRelation, Constraint, LiteralRange, LiteralRelation,
+        NegativeValues, PositiveValues, RangedValues, SqlExpr,
+        UniqueCombinations,
+    )
+    from dbldatagen_spark.core import (  # noqa: F401
+        ColumnSpec, DataGenPlan, DataType, ForeignKeyRef, PrimaryKey,
+        ResolvedPlan, TableSpec, generate, generate_table, resolve_plan,
+    )
+    from dbldatagen_spark.core.api import generate as _g  # noqa: F401
+    from dbldatagen_spark.core.engine.generator import (  # noqa: F401
+        generate_table as _gt,
+    )
+    from dbldatagen_spark.core.engine.planner import (  # noqa: F401
+        resolve_plan as _rp,
+    )
+    from dbldatagen_spark.core.spec import TableSpec as _TS  # noqa: F401
+    from dbldatagen_spark.distributions import (  # noqa: F401
+        Beta, DataDistribution, Exponential, Gamma, Normal, Pareto,
+    )
+
+    assert isinstance(Beta(2.0, 5.0), DataDistribution)
+    assert not isinstance(object(), DataDistribution)
+
+
+def test_core_spec_reference_forms(spark):
+    """DataType/PrimaryKey/ForeignKeyRef and the gen=/foreign_key=
+    ColumnSpec forms (reference ``core/spec/schema.py:849-1005``)."""
+    import pytest
+
+    assert dg.DataType("integer") is dg.DataType.INT
+    assert dg.DataType("bool") is dg.DataType.BOOLEAN
+    assert dg.DataType.INTEGER is dg.DataType.INT
+
+    assert dg.PrimaryKey(["a", "b"]).columns == ["a", "b"]
+    with pytest.raises(Exception):
+        dg.PrimaryKey([])
+    with pytest.raises(Exception):
+        dg.PrimaryKey(["a", "a"])
+
+    fk = dg.ForeignKeyRef("orders.o_id", nullable=True, null_fraction=0.25)
+    with pytest.raises(Exception):
+        dg.ForeignKeyRef("no_dot")
+    with pytest.raises(Exception):
+        dg.ForeignKeyRef("t.c", null_fraction=1.5)
+
+    # foreign_key= builds the FK strategy and folds nullability
+    c = dg.ColumnSpec("cust_id", foreign_key=fk)
+    assert c.strategy.strategy == "foreign_key"
+    assert c.strategy.references == "orders.o_id"
+    assert c.nullable and c.null_fraction == 0.25
+
+    # gen= is the reference field name for the strategy
+    c2 = dg.ColumnSpec("x", gen=dg.RangeColumn(1, 10), dtype="int")
+    assert c2.strategy.strategy == "range"
+    with pytest.raises(Exception):
+        dg.ColumnSpec("y")  # no strategy at all
+
+    # end-to-end: a plan using the reference forms generates with RI intact
+    plan = dg.DataGenPlan(
+        tables=[
+            dg.TableSpec(
+                "parents", 50,
+                columns=[dg.ColumnSpec("pid", dg.SequenceColumn(start=0, step=1),
+                                       dtype="long")],
+                primary_key="pid",
+            ),
+            dg.TableSpec(
+                "children", 200,
+                columns=[
+                    dg.ColumnSpec("cid", dg.SequenceColumn(start=0, step=1),
+                                  dtype="long"),
+                    dg.ColumnSpec("pid", foreign_key=dg.ForeignKeyRef("parents.pid")),
+                ],
+            ),
+        ],
+        seed=42,
+    )
+    dfs = dg.generate(spark, plan)
+    parents = {r["pid"] for r in dfs["parents"].collect()}
+    child_refs = {r["pid"] for r in dfs["children"].collect()}
+    assert child_refs <= parents
