@@ -701,3 +701,46 @@ def test_core_spec_reference_forms(spark):
     parents = {r["pid"] for r in dfs["parents"].collect()}
     child_refs = {r["pid"] for r in dfs["children"].collect()}
     assert child_refs <= parents
+
+
+def test_core_spec_dsl_helpers(spark):
+    """The core DSL one-liners (reference ``core/spec/dsl.py:38-449``)
+    build a full multi-table plan that generates with RI intact."""
+    from dbldatagen_spark.core.spec.dsl import (
+        array, constant, decimal, double, expression, faker, fk, integer,
+        pattern, pk_auto, pk_pattern, pk_uuid, struct, text, timestamp,
+    )
+
+    plan = dg.DataGenPlan(tables=[
+        dg.TableSpec("customers", 100, columns=[
+            pk_auto("cid"),
+            faker("name", "name"),
+            text("tier", ["gold", "silver", "bronze"]),
+            integer("age", 18, 90),
+            double("score", 0.0, 1.0),
+            decimal("balance", 0, 10000, precision=12, scale=2),
+            timestamp("joined", "2022-01-01 00:00:00", "2023-12-31 23:59:59"),
+            pattern("code", "CUST-{digit:6}"),
+            constant("src", "webstore"),
+            struct("address", [pattern("zip", "{digit:5}"),
+                               text("city", ["a", "b"])]),
+            array("tags", dg.ValuesColumn(("x", "y", "z")), 1, 3),
+        ], primary_key="cid"),
+        dg.TableSpec("orders", 300, columns=[
+            pk_uuid("oid"),
+            fk("cid", "customers.cid", distribution=dg.Zipf(1.5)),
+            expression("flag", "length(oid) > 10"),
+        ]),
+    ], seed=42)
+    dfs = dg.generate(spark, plan)
+    cust = dfs["customers"]
+    assert cust.count() == 100
+    assert dict(cust.dtypes)["balance"] == "decimal(12,2)"
+    assert dict(cust.dtypes)["age"] == "int"
+    assert cust.where(~F.col("code").rlike(r"^CUST-\d{6}$")).count() == 0
+    assert cust.where("size(tags) < 1 OR size(tags) > 3").count() == 0
+    parents = {r["cid"] for r in cust.collect()}
+    assert {r["cid"] for r in dfs["orders"].select("cid").collect()} <= parents
+    # pk_pattern builds a patterned PK spec
+    spec = pk_pattern("k", "K-{digit:4}")
+    assert spec.strategy.strategy == "pattern"
