@@ -142,6 +142,25 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     # scrub -> strip -> dedup -> quality-filter -> shard: the full flow
+    # first pass: map-only normalization (control chars, typography,
+    # whitespace), then PII scrub — both run inside the scan
+    from dbldatagen_spark.functions import (
+        dedup_lines_corpus,
+        normalize_text,
+        token_entropy,
+    )
+
+    normed = normalize_text(docs, "doc_id", "text").select(
+        "doc_id", F.col("normalized_text").alias("text")
+    )
+    print("normalized docs:", normed.count())
+    lines_deduped = dedup_lines_corpus(normed, "doc_id", "text")
+    print("line-dedup removed:",
+          lines_deduped.agg(F.sum("n_lines_removed")).first()[0], "lines")
+    low_entropy = token_entropy(docs, "doc_id", "text").where(
+        "entropy_bits < 2.0"
+    )
+    print("low-entropy (degenerate) docs:", low_entropy.count())
     scrubbed = redact_pii(docs, "doc_id", "text").select(
         "doc_id", F.col("redacted").alias("text")
     )
@@ -189,6 +208,17 @@ def main() -> None:
     top = cosine_topk(emb, "vec_id", "embedding", q, k=3)
     print("top-3 neighbours of vec 0:",
           [(r["vec_id"], r["cosine"]) for r in top.collect()])
+
+    # ------------------------------------------------------------------
+    # 5. Event analytics: sessionization (skew-safe variant shown)
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import sessionize
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    sessions = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                          value_col="value", method="skew_safe",
+                          bucket_seconds=86400)
+    print("sessions (skew-safe):", sessions.count())
 
     spark.stop()
 
