@@ -322,3 +322,103 @@ def test_pii_ipv4_octet_and_phone_paren_semantics():
     }
     for i, (src, want) in enumerate(cases):
         assert got[i] == want, f"{src!r}: got {got[i]!r}, want {want!r}"
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet="ab \t\n\x07‘’“”– …x.",
+            min_size=0,
+            max_size=50,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_normalize_text_idempotent_and_engine_portable(texts):
+    """normalize_text is a projection onto its own fixed-point set
+    (normalize(normalize(x)) == normalize(x)) and agrees with the
+    DuckDB rendering of the same pattern chain."""
+    import duckdb
+
+    from dbldatagen_spark.functions import normalize_text
+    from dbldatagen_spark.functions.curation import (
+        CONTROL_CHARS_PATTERN,
+        NORMALIZE_TRANSLATE_DST,
+        NORMALIZE_TRANSLATE_SRC,
+        WHITESPACE_RUN_PATTERN,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    sdf = _spark.createDataFrame(rows, ["doc_id", "text"])
+    once = {
+        r["doc_id"]: r["normalized_text"]
+        for r in normalize_text(sdf, "doc_id", "text").collect()
+    }
+    again_df = _spark.createDataFrame(
+        [(i, t) for i, t in once.items()], ["doc_id", "text"]
+    )
+    twice = {
+        r["doc_id"]: r["normalized_text"]
+        for r in normalize_text(again_df, "doc_id", "text").collect()
+    }
+    assert twice == once  # idempotent
+
+    def q(s):
+        return s.replace("'", "''")
+
+    t = f"regexp_replace(text, '{q(CONTROL_CHARS_PATTERN)}', '', 'g')"
+    t = (f"translate({t}, '{q(NORMALIZE_TRANSLATE_SRC)}', "
+         f"'{q(NORMALIZE_TRANSLATE_DST)}')")
+    t = f"regexp_replace({t}, '…', '...', 'g')"
+    t = f"regexp_replace({t}, '{q(WHITESPACE_RUN_PATTERN)}', ' ', 'g')"
+    t = f"regexp_replace({t}, ' ?\\n ?', chr(10), 'g')"
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    oracle = dict(con.execute(f"SELECT doc_id, trim({t}) FROM docs").fetchall())
+    assert once == oracle  # engine-portable
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc ", min_size=0, max_size=8),
+            min_size=0, max_size=5,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_dedup_lines_idempotent_and_conservative(docs):
+    """dedup_lines_corpus is idempotent, never invents lines, and keeps
+    exactly one copy of every distinct non-blank trimmed line."""
+    from dbldatagen_spark.functions import dedup_lines_corpus
+
+    rows = [(i, "\n".join(lines)) for i, lines in enumerate(docs)]
+    sdf = _spark.createDataFrame(rows, ["doc_id", "text"])
+    once = {
+        r["doc_id"]: r["deduped_text"]
+        for r in dedup_lines_corpus(sdf, "doc_id", "text").collect()
+    }
+    # idempotent: running again removes nothing more
+    again = _spark.createDataFrame(
+        [(i, t) for i, t in once.items()], ["doc_id", "text"]
+    )
+    out2 = dedup_lines_corpus(again, "doc_id", "text")
+    assert out2.agg({"n_lines_removed": "sum"}).first()[0] in (0, None)
+
+    # every distinct non-blank trimmed line survives exactly once
+    survivors = [
+        ln.strip()
+        for t in once.values()
+        for ln in t.split("\n")
+        if ln.strip()
+    ]
+    originals = {
+        ln.strip() for _, t in rows for ln in t.split("\n") if ln.strip()
+    }
+    assert set(survivors) == originals
+    assert len(survivors) == len(set(survivors))
