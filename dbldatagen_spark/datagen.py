@@ -318,6 +318,23 @@ class _V0Column:
         )
         return f"building column generator for column {self.name} <- {desc}"
 
+    @property
+    def randomSeed(self):
+        """Per-spec random seed. None: this engine derives every column's
+        seed stream from the generator seed + column name (reference
+        ``column_generation_spec.py:490-497`` carries it per-spec)."""
+        return None
+
+    def makeGenerationExpressions(self):
+        """Expression compilation lives on the generator in this engine
+        (the spec is pure data) — use ``DataGenerator.build()`` /
+        ``computeBuildPlan()``; reference
+        ``column_generation_spec.py:1644+`` compiles per-spec instead."""
+        raise NotImplementedError(
+            "expression compilation is driven by DataGenerator.build() in "
+            "this engine; column specs are pure data"
+        )
+
 
 _OPTION_ALIASES = {
     "percent_nulls": "percentNulls",
@@ -1480,6 +1497,32 @@ class NRange(DataRange):
         if self.minValue is None or self.maxValue is None:
             raise ValueError("Range must have 'minValue' and 'maxValue' defined.")
         return (self.maxValue - self.minValue) * 1.0
+
+    @staticmethod
+    def _precision_and_scale(x):
+        """(precision, scale) of a numeric value at up to 14 significant
+        digits (``nrange.py:271-290`` semantics)."""
+        max_digits = 14
+        int_part = int(abs(x))
+        magnitude = 1 if int_part == 0 else int(_math.log10(int_part)) + 1
+        if magnitude >= max_digits:
+            return magnitude, 0
+        frac_part = abs(x) - int_part
+        multiplier = 10 ** (max_digits - magnitude)
+        frac_digits = multiplier + int(multiplier * frac_part + 0.5)
+        while frac_digits % 10 == 0:
+            frac_digits //= 10
+        scale = int(_math.log10(frac_digits))
+        return magnitude + scale, scale
+
+    def getScale(self):
+        """Maximum number of decimal places across min/max/step
+        (``nrange.py:252-269``)."""
+        scales = [0]
+        for v in (self.minValue, self.maxValue, self.step):
+            if v is not None:
+                scales.append(self._precision_and_scale(v)[1])
+        return max(scales)
 
     def adjustForColumnDatatype(self, ctype):
         """Fill unset bounds/step with the column type's defaults and

@@ -81,6 +81,60 @@ class SchemaParser:
     # reference spells it both ways across versions
     getTypeFromString = columnTypeFromString
 
+    class _TypeDefinitionParser:
+        """Minimal stand-in for the reference's pyparsing type grammar
+        (``schema_parser.py:40-179``): exposes ``parseString`` returning
+        the Spark ``DataType`` directly (the reference's parser returns
+        an AST that ``columnTypeFromString`` then converts — here the
+        conversion is one step)."""
+
+        def parseString(self, type_string: str, parseAll: bool = True):
+            return SchemaParser.columnTypeFromString(type_string)
+
+        __call__ = parseString
+
+    @classmethod
+    def getTypeDefinitionParser(cls):
+        """A parser object for Spark SQL type definitions (reference
+        ``schema_parser.py:40-179``); ``parseString("array<int>")`` etc.
+        accepts the same recursive type language, returning the Spark
+        type."""
+        return cls._TypeDefinitionParser()
+
+    @classmethod
+    def columnsReferencesFromSQLString(cls, sql_string, filterItems=None):
+        """Candidate column references in a SQL string (reference
+        ``schema_parser.py:329-361``): a textual identifier scan, not a
+        full SQL parse — string literals are blanked first so their
+        contents are never treated as references, backquoted identifiers
+        are honored, and reserved words may appear in the result (callers
+        must not assume every candidate is a real column). With
+        ``filterItems`` the result keeps only those names."""
+        if sql_string is None:
+            raise ValueError("`sql_string` must be specified")
+        if filterItems is not None and not isinstance(filterItems, (list, set)):
+            raise ValueError("`filterItems` must be a list or set")
+        # blank out single-quoted literals ('' escapes included)
+        cleansed = re.sub(r"'(?:[^']|'')*'", "' '", str(sql_string))
+        refs = []
+        for m in re.finditer(r"`((?:[^`]|``)+)`|([A-Za-z][A-Za-z0-9_]*)",
+                             cleansed):
+            name = m.group(1) if m.group(1) is not None else m.group(2)
+            if m.group(1) is not None:
+                name = name.replace("``", "`")
+            refs.append(name)
+        if filterItems is not None:
+            allowed = set(filterItems)
+            refs = [r for r in refs if r in allowed]
+        # de-duplicate preserving first occurrence
+        seen = set()
+        out = []
+        for r in refs:
+            if r not in seen:
+                seen.add(r)
+                out.append(r)
+        return out
+
     @classmethod
     def parseCreateTable(cls, sparkSession, source: str) -> T.StructType:
         """Extract the column list of a ``CREATE TABLE`` statement as a
