@@ -1379,6 +1379,64 @@ def _multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_type_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-bytes content sniffing invariants: payloads synthesized from
+    the library's own MEDIA_SIGNATURES table (so spec and test cannot
+    drift) are all detected as their planted format; deliberately
+    mislabeled rows all flag type_mismatch; garbage reads unknown; NULL
+    payloads never flag. Map-only plan (asserted in pytest)."""
+    from dbldatagen_spark.functions import detect_media_types
+    from dbldatagen_spark.functions.multimodal import MEDIA_SIGNATURES
+
+    def payload(fmt: str, off: int, sig: bytes) -> bytes:
+        prefix = b"RIFF1234" if fmt == "webp" else bytes(off)
+        return prefix + sig + b"\x00payload-tail"
+
+    rows = []
+    mid = 0
+    for fmt, off, sig in MEDIA_SIGNATURES:
+        for _ in range(3):  # correctly declared
+            rows.append((mid, payload(fmt, off, sig), fmt)); mid += 1
+        rows.append((mid, payload(fmt, off, sig), "mislabeled"))  # planted lie
+        mid += 1
+    n_garbage, n_null = 7, 5
+    for i in range(n_garbage):
+        rows.append((mid, b"\x01garbage" + bytes([i]), "jpeg")); mid += 1
+    for _ in range(n_null):
+        rows.append((mid, None, "png")); mid += 1
+
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, declared string"
+    )
+    out = detect_media_types(df, "media_id", "payload", declared_col="declared")
+    n_sigs = len(MEDIA_SIGNATURES)
+    return out.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("type_mismatch"), 1).otherwise(0))
+        .cast("long").alias("n_flagged"),
+        F.sum(F.when(F.col("detected_type") == "unknown", 1).otherwise(0))
+        .cast("long").alias("n_unknown"),
+        F.sum(F.when(F.col("detected_type").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_null_payloads"),
+        F.sum(
+            F.when(
+                F.col("detected_type").isNull()
+                | (F.col("detected_type") == "unknown")
+                | (F.col("detected_type") == F.col("declared"))
+                | (F.col("declared") == "mislabeled"),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("n_wrong_detections"),
+    ).select(
+        "n_rows",
+        # flagged = planted mislabels + garbage-with-wrong-declared
+        (F.col("n_flagged") == F.lit(n_sigs + n_garbage)).alias("flags_exact"),
+        (F.col("n_unknown") == F.lit(n_garbage)).alias("unknown_exact"),
+        (F.col("n_null_payloads") == F.lit(n_null)).alias("nulls_exact"),
+        "n_wrong_detections",
+    )
+
+
 def _text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub over the documents table: redacted text + per-kind match
     counts, all computed in-scan (map-only plan)."""
@@ -2649,6 +2707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_normalize": _text_normalize,
         "text_dedup_lines": _text_dedup_lines,
         "text_entropy": _text_entropy,
+        "multimodal_type_sniffing": _multimodal_type_sniffing,
     }
 
 
@@ -2893,6 +2952,11 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "text_pii_redaction": _pii_oracle_sql(),
         "text_normalize": _normalize_oracle_sql(),
+        "multimodal_type_sniffing": (
+            "SELECT CAST(68 AS BIGINT) AS n_rows, true AS flags_exact, "
+            "true AS unknown_exact, true AS nulls_exact, "
+            "CAST(0 AS BIGINT) AS n_wrong_detections"
+        ),
         "text_dedup_lines": _DEDUP_LINES_ORACLE,
         "text_entropy": _ENTROPY_ORACLE,
         "text_boilerplate_strip": r"""

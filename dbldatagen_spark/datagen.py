@@ -19,6 +19,7 @@ partition count.
 
 from __future__ import annotations
 
+import logging
 import math as _math
 import re
 from dataclasses import dataclass, field as dc_field
@@ -398,9 +399,27 @@ class DataGenerator:
     # -- spec building ------------------------------------------------------
 
     def clone(self) -> "DataGenerator":
+        """Deep copy of the spec sharing the same Spark session (reference
+        ``data_generator.py:446-455``; the session itself is never
+        deep-copied — ``data_generator.py:219-229`` excludes it too, since
+        a SparkSession is not copyable)."""
         import copy
 
-        return copy.deepcopy(self)
+        cls = self.__class__
+        out = cls.__new__(cls)
+        for k, v in self.__dict__.items():
+            if k == "spark":
+                out.spark = v
+            else:
+                setattr(out, k, copy.deepcopy(v))
+        return out
+
+    @property
+    def logger(self) -> logging.Logger:
+        """Instance logger (reference ``data_generator.py`` keeps one per
+        generator; a shared module logger suffices here and keeps the
+        instance deep-copyable for :meth:`clone`)."""
+        return logging.getLogger("dbldatagen_spark")
 
     @property
     def rowCount(self) -> int:
@@ -815,6 +834,17 @@ class DataGenerator:
     ) -> "DataGenerator":
         if any(c.name == colName for c in self._columns):
             raise SpecValidationError(f"duplicate column {colName!r}")
+        if colName == self.seed_column and not options.get("noWarn"):
+            # reference data_generator.py:1043-1045: warn and override
+            self.logger.warning(
+                "Adding a new column named '%s' overrides seed column '%s'",
+                colName, self.seed_column,
+            )
+            self.logger.warning(
+                "Use `seedColumnName` option on DataGenerator construction "
+                "for different seed column"
+            )
+        options.pop("noWarn", None)
         self._columns.append(self._mk_column(colName, colType, options))
         return self
 
@@ -1296,10 +1326,19 @@ class DataGenerator:
         df = self._base_dataframe(withStreaming, options)
         for level in self._dependency_levels():
             exprs: List[Column] = []
+            names: set = set()
             for c in level:
                 for out_name, e in self._column_exprs(c):
                     exprs.append(e.alias(out_name))
-            df = df.select("*", *exprs)
+                    names.add(out_name)
+            # withColumn-replace semantics: a spec that reuses an existing
+            # name (notably the seed column — reference
+            # data_generator.py:1043-1044 warns and overrides) replaces the
+            # prior column instead of producing an ambiguous duplicate. The
+            # new expression is still computed against the pre-select frame,
+            # so an overriding `id` spec draws from the raw seed.
+            keep = [n for n in df.columns if n not in names]
+            df = df.select(*keep, *exprs)
         # constraints: transforms then one fused where
         for c in self._constraints:
             df = c.transform(df)
@@ -1319,6 +1358,10 @@ class DataGenerator:
                 out_cols.extend(f"{c.name}_{i}" for i in range(n))
             else:
                 out_cols.append(c.name)
+        # a user spec overriding the seed column would otherwise be listed
+        # twice (withIdOutput + its own spec); keep the first occurrence
+        seen: set = set()
+        out_cols = [n for n in out_cols if not (n in seen or seen.add(n))]
         df = df.select(*out_cols)
         if withTempView:
             df.createOrReplaceTempView(withTempView)
@@ -1328,7 +1371,10 @@ class DataGenerator:
 
     def _output_fields(self) -> List[Tuple[str, str]]:
         fields = []
-        if self._id_output:
+        seed_overridden = any(
+            c.name == self.seed_column and not c.omit for c in self._columns
+        )
+        if self._id_output and not seed_overridden:
             fields.append((self.seed_column, "BIGINT"))
         for c in self._columns:
             if c.omit:

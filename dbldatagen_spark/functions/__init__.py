@@ -72,9 +72,16 @@ from dbldatagen_spark.functions.text_analysis import (
     token_vocabulary,
 )
 from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text_expr
+from dbldatagen_spark.functions.multimodal import (
+    MEDIA_SIGNATURES,
+    detect_media_type_expr,
+    detect_media_types,
+)
 
 __all__ = [
     "sessionize",
+    "detect_media_types",
+    "detect_media_type_expr",
     "normalize_text",
     "dedup_lines_corpus",
     "token_entropy",

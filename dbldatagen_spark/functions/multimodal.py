@@ -305,3 +305,72 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_extract, schema=_IMAGE_FEATURE_SCHEMA)
+
+
+# -- magic-bytes content sniffing -------------------------------------------
+# At ingestion scale, declared formats lie (mislabeled uploads, renamed
+# extensions, truncated files); routing by actual leading bytes is the
+# standard defense. Pure expressions over the binary column: the check
+# runs inside the scan, payloads never move.
+
+# (format, offset, signature) — offset is 0-based byte position.
+MEDIA_SIGNATURES = [
+    ("jpeg", 0, b"\xff\xd8\xff"),
+    ("png", 0, b"\x89PNG\r\n\x1a\n"),
+    ("gif", 0, b"GIF8"),
+    ("bmp", 0, b"BM"),
+    ("webp", 8, b"WEBP"),   # RIFF....WEBP — checked before generic riff
+    ("riff", 0, b"RIFF"),   # wav/avi container
+    ("mp4", 4, b"ftyp"),
+    ("mp3", 0, b"ID3"),
+    ("ogg", 0, b"OggS"),
+    ("flac", 0, b"fLaC"),
+    ("pdf", 0, b"%PDF"),
+    ("gzip", 0, b"\x1f\x8b"),
+    ("zip", 0, b"PK\x03\x04"),
+    ("ppm", 0, b"P6"),
+]
+
+
+def detect_media_type_expr(payload) -> "F.Column":
+    """Expression classifying a binary column by its magic bytes — one of
+    the MEDIA_SIGNATURES formats, ``"unknown"`` for unrecognized bytes,
+    NULL for a NULL payload. Offset-qualified signatures (webp inside
+    RIFF, mp4's ftyp at byte 4) are checked most-specific-first."""
+    out = F.lit("unknown")
+    for fmt, off, sig in reversed(MEDIA_SIGNATURES):
+        probe = F.substring(payload, off + 1, len(sig))
+        out = F.when(probe == F.lit(sig), F.lit(fmt)).otherwise(out)
+    return F.when(payload.isNull(), F.lit(None).cast("string")).otherwise(out)
+
+
+def detect_media_types(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str,
+    *,
+    declared_col: str = None,
+) -> DataFrame:
+    """Sniff every payload's actual format from its leading bytes.
+
+    Returns ``(id, detected_type[, declared, type_mismatch])`` — with
+    ``declared_col``, ``type_mismatch`` flags rows whose declared format
+    disagrees with the sniffed one (NULL-safe: a NULL payload never
+    flags). Map-only: no shuffle, no UDF, payload bytes read once in the
+    scan.
+    """
+    cols = [
+        F.col(id_col),
+        detect_media_type_expr(F.col(payload_col)).alias("detected_type"),
+    ]
+    out = df.select(*cols) if declared_col is None else df.select(
+        *cols, F.col(declared_col).alias("declared")
+    )
+    if declared_col is not None:
+        out = out.withColumn(
+            "type_mismatch",
+            F.when(F.col("detected_type").isNull(), F.lit(False)).otherwise(
+                F.col("detected_type") != F.col("declared")
+            ),
+        )
+    return out

@@ -572,3 +572,40 @@ class TestIntrospection:
         assert d["rowCount"] == 100 and d["name"] == "intro"
         assert [f.name for f in d["schema"].fields] == ["a", "b", "lab"]
         assert "rows=100" in repr(gen)
+
+
+class TestSeedColumnOverride:
+    """Reference data_generator.py:1043-1045: a column spec named like the
+    seed column warns and overrides it rather than erroring."""
+
+    def test_override_replaces_seed_and_feeds_dependents(self, spark):
+        gen = (
+            DataGenerator(spark, rows=500, partitions=2)
+            .withIdOutput()
+            .withColumn("id", "long", minValue=100, maxValue=149, noWarn=True)
+            .withColumn("dep", "long", baseColumn="id", expr="id * 2")
+        )
+        df = gen.build()
+        assert df.columns == ["id", "dep"]
+        rows = df.collect()
+        assert all(100 <= r["id"] <= 149 for r in rows)
+        assert all(r["dep"] == r["id"] * 2 for r in rows)
+        # schema report uses the override's type, listed once
+        names = [n for n, _ in gen._output_fields()]
+        assert names.count("id") == 1
+
+    def test_override_warns(self, spark, caplog):
+        import logging
+
+        with caplog.at_level(logging.WARNING, logger="dbldatagen_spark"):
+            DataGenerator(spark, rows=10).withColumn("id", "long")
+        assert any("overrides seed column" in r.message for r in caplog.records)
+
+    def test_clone_shares_session_and_builds(self, spark):
+        gen = DataGenerator(spark, rows=10).withColumn("x", "int", minValue=1, maxValue=5)
+        clone = gen.clone()
+        assert clone is not gen and clone.spark is gen.spark
+        clone.withColumn("y", "int", expr="x + 1")
+        assert clone.build().columns == ["x", "y"]
+        # mutating the clone never touches the original
+        assert gen.build().columns == ["x"]

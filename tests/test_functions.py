@@ -1239,3 +1239,51 @@ class TestNormalizeAndLineDedup:
         a = token_entropy(docs.repartition(2), "doc_id", "text")
         b = token_entropy(docs.repartition(9), "doc_id", "text")
         assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestMediaSniffing:
+    def test_detects_each_signature(self, spark):
+        from dbldatagen_spark.functions import detect_media_types
+        from dbldatagen_spark.functions.multimodal import MEDIA_SIGNATURES
+
+        rows = []
+        for i, (fmt, off, sig) in enumerate(MEDIA_SIGNATURES):
+            prefix = b"RIFF1234" if fmt == "webp" else bytes(off)
+            rows.append((i, prefix + sig + b"tail", fmt))
+        df = spark.createDataFrame(rows, "media_id long, payload binary, fmt string")
+        out = detect_media_types(df, "media_id", "payload")
+        got = {r["media_id"]: r["detected_type"] for r in out.collect()}
+        for i, (fmt, _, _) in enumerate(MEDIA_SIGNATURES):
+            assert got[i] == fmt, f"{fmt}: got {got[i]}"
+
+    def test_mismatch_flags_and_nulls(self, spark):
+        from dbldatagen_spark.functions import detect_media_types
+
+        df = spark.createDataFrame(
+            [(0, b"%PDF-1.7", "jpeg"),   # mislabeled
+             (1, b"garbage!", "png"),    # unknown + mismatch
+             (2, None, "jpeg"),          # null payload: never flags
+             (3, b"\xff\xd8\xff\xe0", "jpeg")],
+            "media_id long, payload binary, declared string",
+        )
+        out = detect_media_types(df, "media_id", "payload",
+                                 declared_col="declared")
+        got = {r["media_id"]: (r["detected_type"], r["type_mismatch"])
+               for r in out.collect()}
+        assert got[0] == ("pdf", True)
+        assert got[1] == ("unknown", True)
+        assert got[2] == (None, False)
+        assert got[3] == ("jpeg", False)
+
+    def test_map_only_plan(self, spark):
+        from dbldatagen_spark.functions import detect_media_types
+
+        df = spark.createDataFrame(
+            [(0, b"\x89PNG\r\n\x1a\n", "png")],
+            "media_id long, payload binary, declared string",
+        )
+        plan = detect_media_types(df, "media_id", "payload",
+                                  declared_col="declared") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
