@@ -2593,8 +2593,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     invariant queries (constraint streaming gate, analyzer codegen
     round-trip) are promoted into the checked cohort; family-redundant
     relational/join/ANN variants are demoted (each family keeps >=1
-    representative: relational q1+q5, events sessionize+asof, ANN
-    knn_join, embeddings quantization, temporal timestamp+unique)."""
+    representative: relational q1, events sessionize+asof, ANN
+    knn_join, temporal timestamp+unique). The round-4 operators
+    (normalize, line dedup, entropy, repetition, boilerplate strip,
+    media-type sniffing) are also promoted so they get external rows
+    the same round they land; the demotions backing those slots
+    (gen_struct_json, q5_region_revenue, analyzer_profile,
+    dedup_cluster_canonical, text_vocabulary, emb_quantization) all
+    have three rounds of green driver history and keep in-cohort
+    family coverage (struct/array via gen_array_features, relational
+    via q1, analyzer via the codegen round-trip)."""
     return {
         # --- driver-checked cohort: one row per operator family ---
         "gen_sequence": _gen_sequence,
@@ -2612,7 +2620,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_unique_combinations": _gen_unique_combinations,
         "gen_sales_order_ri": _gen_sales_order_ri,
         "gen_constant_seedfrom": _gen_constant_seedfrom,
-        "gen_struct_json": _gen_struct_json,
         "gen_format_prefix": _gen_format_prefix,
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraints": _gen_constraints,
@@ -2625,29 +2632,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_unique_temporal": _gen_unique_temporal,
         "gen_scripts_conformance": _gen_scripts_conformance,
         "gen_serialization_roundtrip": _gen_serialization_roundtrip,
-        "analyzer_profile": _analyzer_profile,
         "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
         "q1_pricing_summary": _q1_pricing_summary,
-        "q5_region_revenue": _q5_region_revenue,
         "gen_streaming_conformance": _gen_streaming_conformance,
         "events_sessionize": _events_sessionize,
         "events_asof_join": _events_asof_join,
         "ann_knn_join": _ann_knn_join,
-        "emb_quantization": _emb_quantization,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_cluster_canonical": _dedup_cluster_canonical,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_cross_corpus": _dedup_cross_corpus,
         "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
         "multimodal_ppm_decode": _multimodal_ppm_decode,
+        "multimodal_type_sniffing": _multimodal_type_sniffing,
         "text_quality": _text_quality,
         "text_langid": _text_langid,
-        "text_vocabulary": _text_vocabulary,
         "text_contamination": _text_contamination,
         "text_pii_redaction": _text_pii_redaction,
+        "text_normalize": _text_normalize,
+        "text_dedup_lines": _text_dedup_lines,
+        "text_entropy": _text_entropy,
+        "text_repetition": _text_repetition,
+        "text_boilerplate_strip": _text_boilerplate_strip,
         # --- additional variants (locally oracle-checked) ---
+        "gen_struct_json": _gen_struct_json,
+        "analyzer_profile": _analyzer_profile,
+        "q5_region_revenue": _q5_region_revenue,
+        "emb_quantization": _emb_quantization,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
+        "text_vocabulary": _text_vocabulary,
         "gen_date_cycle": _gen_date_cycle,
         "q3_top_revenue": _q3_top_unshipped,
         "q14_promo_share": _q14_promo_share,
@@ -2702,12 +2716,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "events_rollup_daily": _events_rollup_daily,
-        "text_repetition": _text_repetition,
-        "text_boilerplate_strip": _text_boilerplate_strip,
-        "text_normalize": _text_normalize,
-        "text_dedup_lines": _text_dedup_lines,
-        "text_entropy": _text_entropy,
-        "multimodal_type_sniffing": _multimodal_type_sniffing,
     }
 
 
