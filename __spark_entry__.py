@@ -678,6 +678,44 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted corpus mixing (dataset composition): rate<1
+    downsamples, rate>1 emits epoch copies with expected multiplicity
+    exactly the rate. Portable md5 mode so the oracle recomputes every
+    keep/copy decision bit-for-bit. Map-only plan: the downsample
+    predicate sits in the scan, upsampling is a map-side explode."""
+    from dbldatagen_spark.functions import mix_corpus
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        mix_corpus(
+            docs,
+            "doc_id",
+            "source",
+            {"src0": 0.5, "src1": 2.25, "src2": 1.0, "src3": 3.0},
+            seed=42,
+            hash_mode="md5",
+        )
+        .select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing placement map: documents hashed into 8
+    shards, shuffled by seeded hash, concatenated, chopped every 2048
+    tokens (n_chars stands in for the token count — packing is agnostic
+    to the counter). One shuffle (shard key) + per-shard bounded sort;
+    portable md5 mode so the oracle reproduces shard, order, and every
+    prefix-sum offset exactly."""
+    from dbldatagen_spark.functions import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    return pack_sequences(
+        docs, "doc_id", "n_chars", 2048, num_shards=8, seed=42, hash_mode="md5"
+    ).orderBy("doc_id")
+
+
 def _text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (shared explode feeds tf and df;
     df broadcast back; per-doc top-k rides the tf partitioning)."""
@@ -2656,6 +2694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
         # --- additional variants (locally oracle-checked) ---
+        # round-5 rotation leads: new ops awaiting their first driver row
+        "corpus_mix_epochs": _corpus_mix_epochs,
+        "corpus_pack_sequences": _corpus_pack_sequences,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3867,6 +3908,60 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "corpus_mix_epochs": """
+            WITH b AS (
+                SELECT doc_id, source,
+                       ('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       )::BIGINT % 1000000 AS bucket
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, source,
+                       CASE WHEN source = 'src0'
+                                THEN 0 + CASE WHEN bucket < 500000 THEN 1 ELSE 0 END
+                            WHEN source = 'src1'
+                                THEN 2 + CASE WHEN bucket < 250000 THEN 1 ELSE 0 END
+                            WHEN source = 'src2' THEN 1
+                            WHEN source = 'src3' THEN 3
+                            ELSE 0 END AS n
+                FROM b
+            )
+            SELECT doc_id, source,
+                   CAST(unnest([i FOR i IN range(n)]) AS BIGINT) AS epoch
+            FROM c WHERE n > 0
+            ORDER BY doc_id, epoch
+        """,
+        "corpus_pack_sequences": """
+            WITH b AS (
+                SELECT doc_id, n_chars,
+                       ('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       )::BIGINT % 8 AS shard,
+                       md5('43-' || CAST(doc_id AS VARCHAR)) AS ord
+                FROM documents
+            ),
+            s AS (
+                SELECT doc_id, shard, n_chars,
+                       CAST(COALESCE(SUM(n_chars) OVER (
+                           PARTITION BY shard ORDER BY ord, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS BIGINT) AS start_offset
+                FROM b
+            )
+            SELECT doc_id,
+                   CAST(shard AS BIGINT) AS shard,
+                   start_offset,
+                   CAST(n_chars AS BIGINT) AS n_tokens,
+                   CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN (start_offset + n_chars - 1) // 2048
+                             ELSE start_offset // 2048 END AS BIGINT) AS last_seq,
+                   CAST(CASE WHEN n_chars > 0
+                             THEN (start_offset + n_chars - 1) // 2048
+                             ELSE start_offset // 2048 END
+                        - start_offset // 2048 + 1 AS BIGINT) AS n_seqs
+            FROM s
+            ORDER BY doc_id
+        """,
         "sample_split_assign": """
             WITH b AS (
                 SELECT doc_id,

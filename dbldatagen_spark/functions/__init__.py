@@ -52,9 +52,11 @@ from dbldatagen_spark.functions.curation import (
 )
 from dbldatagen_spark.functions.sampling import (
     deterministic_sample,
+    mix_corpus,
     split_assign,
     stratified_sample,
 )
+from dbldatagen_spark.functions.packing import pack_sequences, packing_stats
 from dbldatagen_spark.functions.dedup import ngram_contamination
 from dbldatagen_spark.functions.text_analysis import (
     assign_training_shards,
@@ -82,6 +84,9 @@ __all__ = [
     "sessionize",
     "detect_media_types",
     "detect_media_type_expr",
+    "mix_corpus",
+    "pack_sequences",
+    "packing_stats",
     "normalize_text",
     "dedup_lines_corpus",
     "token_entropy",

@@ -1,0 +1,153 @@
+"""Sequence packing for LLM training pipelines.
+
+Tokenized documents are trained on as fixed-length sequences; the standard
+preparation concatenates documents (in a shuffled but *reproducible* order)
+into one token stream per shard and chops the stream every ``max_tokens``
+tokens. The operator that matters at corpus scale is the *placement map*:
+for every document, which shard it lands in, its byte/token offset in that
+shard's stream, and which fixed-length training sequences it spans. With
+that map, the actual tensor materialization is an embarrassingly parallel
+per-shard pass.
+
+Spark-first design — the whole computation is two expressions and one
+window:
+
+* shard assignment is a scan-local hash (no shuffle on its own);
+* the running offset is a prefix sum *within each shard* — one shuffle on
+  the shard key, and each shard's sort is bounded by ``corpus / num_shards``,
+  so sizing ``num_shards`` to the cluster (thousands at 100 TB) keeps every
+  sort in-memory. There is deliberately NO global ordering: a single global
+  prefix sum would funnel the corpus through one sort, which is exactly the
+  scale bug this formulation avoids.
+
+Determinism: both the shard and the within-shard order are content-free
+functions of the document id and the seed, so the packing is identical
+under repartitioning, re-runs, appends (for already-present ids), and
+engine choice (``hash_mode="md5"`` keeps the layout recomputable by any
+engine with an md5 function — the same portability trick
+:func:`~dbldatagen_spark.functions.sampling.split_assign` uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_key(id_col: str, seed: int, hash_mode: str) -> Column:
+    """Deterministic pseudo-random ordering key for a document id."""
+    if hash_mode == "xxhash64":
+        return F.xxhash64(F.lit(seed), F.col(id_col))
+    if hash_mode == "md5":
+        # hex string — identical lexicographic order in any engine
+        return F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string")))
+    raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    max_tokens: int,
+    *,
+    num_shards: int = 64,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Place every document into a packed fixed-length-sequence layout.
+
+    Documents are hashed into ``num_shards`` independent streams, shuffled
+    within each stream by a seeded hash, concatenated, and chopped every
+    ``max_tokens`` tokens (documents straddle sequence boundaries, the
+    GPT-style packing convention — no padding waste).
+
+    Returns one row per input row:
+
+    ``(id, shard, start_offset, n_tokens, first_seq, last_seq, n_seqs)``
+
+    where ``start_offset`` is the document's position in its shard's token
+    stream and ``first_seq``/``last_seq`` are the indices of the
+    fixed-length sequences it touches (``seq k`` covers tokens
+    ``[k*max_tokens, (k+1)*max_tokens)``). A zero-token document occupies
+    no sequence span: ``last_seq = first_seq`` and ``n_seqs = 1`` by
+    convention (it sits at a boundary point inside ``first_seq``).
+
+    ``token_count_col`` is any non-negative count column — whitespace
+    tokens, BPE counts from a tokenizer pass, even bytes; packing is
+    agnostic to how lengths were measured.
+
+    Plan: one shuffle (hash-partition by shard) + per-shard bounded sort
+    for the prefix-sum window. No UDF, no global sort, no collect.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    if num_shards <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+
+    shard = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(num_shards)) \
+        if hash_mode == "xxhash64" else F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long"),
+            F.lit(num_shards),
+        )
+    ordk = _order_key(id_col, seed + 1, hash_mode)
+
+    n_tok = F.col(token_count_col).cast("long")
+    base = df.select(
+        F.col(id_col),
+        shard.cast("long").alias("shard"),
+        ordk.alias("_ord"),
+        n_tok.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("_ord"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).alias("start_offset")
+    out = base.select(id_col, "shard", start, "n_tokens")
+    first_seq = F.floor(F.col("start_offset") / max_tokens)
+    last_seq = F.when(
+        F.col("n_tokens") > 0,
+        F.floor((F.col("start_offset") + F.col("n_tokens") - 1) / max_tokens),
+    ).otherwise(first_seq)
+    return out.select(
+        id_col,
+        "shard",
+        "start_offset",
+        "n_tokens",
+        first_seq.cast("long").alias("first_seq"),
+        last_seq.cast("long").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("long").alias("n_seqs"),
+    )
+
+
+def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
+    """Shard-level summary of a :func:`pack_sequences` layout: token
+    totals, sequence counts, and the tail-waste fraction (tokens of the
+    final partially-filled sequence per shard). One aggregation, grouped
+    on the already-partitioned shard key."""
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.ceil(F.col("total_tokens") / max_tokens).cast("long").alias("n_sequences"),
+            (
+                F.when(
+                    F.col("total_tokens") % max_tokens == 0, F.lit(0.0)
+                ).otherwise(
+                    1.0 - (F.col("total_tokens") % max_tokens) / F.lit(float(max_tokens))
+                )
+            ).alias("tail_waste_frac"),
+        )
+    )

@@ -111,3 +111,81 @@ def split_assign(
     for threshold, name in reversed(thresholds):
         expr = F.when(bucket < F.lit(threshold), F.lit(name)).otherwise(expr)
     return df.withColumn(out_col, expr)
+
+
+def mix_corpus(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict,
+    *,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic weighted corpus mixing — the dataset-composition step
+    of a training pipeline ("2 epochs of wikipedia, 0.3 of common crawl").
+
+    ``weights`` maps each source value to a sampling rate: a rate in
+    ``[0, 1]`` downsamples (each row kept iff its seeded hash bucket falls
+    below the rate), a rate above 1 upsamples — every row appears
+    ``floor(rate)`` times and one more with probability ``frac(rate)``,
+    so the expected multiplicity is exactly the rate. Sources missing
+    from ``weights`` are dropped (explicit composition only). Each
+    emitted copy carries ``epoch_col`` (0-based repeat index) so
+    downstream shuffling/packing can decorrelate epochs by hashing
+    ``(id, epoch)``.
+
+    Every decision is a content-free function of ``(seed, id)``:
+    reproducible under repartitioning, re-runs, appends, and — with
+    ``hash_mode="md5"`` — across engines (same portability trick as
+    :func:`split_assign`).
+
+    Plan shape: a scan-local filter for the pure-downsampling case and a
+    map-side ``explode`` of a ``sequence`` for upsampled sources; no
+    shuffle, no UDF, no collect. At 100 TB the downsample predicate sits
+    in the scan stage and upsampling's row amplification is exactly the
+    requested epoch multiple — nothing is buffered.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, r in weights.items():
+        if r < 0:
+            raise ValueError(f"weight for {s!r} must be >= 0, got {r}")
+    if hash_mode == "xxhash64":
+        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
+    elif hash_mode == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    else:
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+
+    # copies(source) = floor(rate) + (bucket < frac(rate)*1e6)
+    n_copies = F.lit(0)
+    for s, rate in weights.items():
+        whole = int(rate)
+        frac_thresh = int(round((rate - whole) * 1_000_000))
+        n_copies = F.when(
+            F.col(source_col) == F.lit(s),
+            F.lit(whole)
+            + F.when(bucket < F.lit(frac_thresh), F.lit(1)).otherwise(F.lit(0)),
+        ).otherwise(n_copies)
+
+    out = df.withColumn("_n_copies", n_copies).where(F.col("_n_copies") > 0)
+    return (
+        out.withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )

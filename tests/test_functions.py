@@ -1287,3 +1287,132 @@ class TestMediaSniffing:
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestPackingAndMixing:
+    def _docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_pack_sequences_gapless_prefix_sum(self, spark):
+        from dbldatagen_spark.functions import pack_sequences
+
+        packed = pack_sequences(self._docs(spark), "doc_id", "n_chars", 1024,
+                                num_shards=4)
+        rows = packed.collect()
+        assert len(rows) == self._docs(spark).count()
+        by_shard = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r)
+        for shard, docs in by_shard.items():
+            docs.sort(key=lambda r: r["start_offset"])
+            pos = 0
+            for r in docs:
+                assert r["start_offset"] == pos, f"gap in shard {shard}"
+                pos += r["n_tokens"]
+                assert r["first_seq"] == r["start_offset"] // 1024
+                if r["n_tokens"] > 0:
+                    assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // 1024
+                assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+    def test_pack_sequences_partition_independent(self, spark):
+        from dbldatagen_spark.functions import pack_sequences
+
+        docs = self._docs(spark)
+        a = sorted(map(tuple, pack_sequences(docs.repartition(3), "doc_id",
+                                             "n_chars", 512, num_shards=4).collect()))
+        b = sorted(map(tuple, pack_sequences(docs.repartition(11), "doc_id",
+                                             "n_chars", 512, num_shards=4).collect()))
+        assert a == b
+
+    def test_pack_sequences_md5_matches_duckdb(self, spark):
+        import duckdb
+        from dbldatagen_spark.functions import pack_sequences
+
+        got = sorted(
+            (r["doc_id"], r["shard"], r["start_offset"])
+            for r in pack_sequences(self._docs(spark), "doc_id", "n_chars",
+                                    2048, num_shards=8, hash_mode="md5").collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE VIEW documents AS SELECT * FROM "
+                    "read_parquet('/root/testdata/sf0.001/documents.parquet')")
+        want = sorted(map(tuple, con.execute("""
+            WITH b AS (
+              SELECT doc_id, n_chars,
+                ('0x'||substr(md5('42-'||CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 8 AS shard,
+                md5('43-'||CAST(doc_id AS VARCHAR)) AS ord
+              FROM documents)
+            SELECT doc_id, CAST(shard AS BIGINT),
+              CAST(COALESCE(SUM(n_chars) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+            FROM b
+        """).fetchall()))
+        assert got == want
+
+    def test_packing_stats(self, spark):
+        from pyspark.sql import functions as F2
+        from dbldatagen_spark.functions import pack_sequences, packing_stats
+
+        packed = pack_sequences(self._docs(spark), "doc_id", "n_chars", 1000,
+                                num_shards=4)
+        stats = {r["shard"]: r for r in packing_stats(packed, 1000).collect()}
+        tots = {r["shard"]: r["tot"] for r in
+                packed.groupBy("shard").agg(F2.sum("n_tokens").alias("tot")).collect()}
+        for shard, tot in tots.items():
+            s = stats[shard]
+            assert s["total_tokens"] == tot
+            assert s["n_sequences"] == -(-tot // 1000)
+            waste = 0.0 if tot % 1000 == 0 else 1.0 - (tot % 1000) / 1000.0
+            assert abs(s["tail_waste_frac"] - waste) < 1e-12
+
+    def test_mix_corpus_rates(self, spark):
+        from dbldatagen_spark.functions import mix_corpus
+
+        docs = self._docs(spark)
+        mixed = mix_corpus(docs, "doc_id", "source",
+                           {"src0": 0.0, "src1": 1.0, "src2": 3.0})
+        per = {r["source"]: r["cnt"] for r in
+               mixed.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+        base = {r["source"]: r["cnt"] for r in
+                docs.groupBy("source").count().withColumnRenamed("count", "cnt").collect()}
+        assert "src0" not in per                      # rate 0 drops
+        assert per["src1"] == base["src1"]            # rate 1 keeps exactly
+        assert per["src2"] == 3 * base["src2"]        # integer rate: exact copies
+        assert set(per) == {"src1", "src2"}           # unlisted sources dropped
+        epochs = {r["epoch"] for r in mixed.where("source='src2'").select("epoch").collect()}
+        assert epochs == {0, 1, 2}
+
+    def test_mix_corpus_fractional_and_deterministic(self, spark):
+        from dbldatagen_spark.functions import mix_corpus
+
+        docs = self._docs(spark)
+        w = {"src0": 0.5, "src1": 1.5}
+        a = sorted(map(tuple, mix_corpus(docs.repartition(2), "doc_id", "source", w).collect()))
+        b = sorted(map(tuple, mix_corpus(docs.repartition(7), "doc_id", "source", w).collect()))
+        assert a == b
+        # different seed -> different subset (overwhelmingly likely)
+        c = sorted(map(tuple, mix_corpus(docs, "doc_id", "source", w, seed=7).collect()))
+        assert c != a
+
+    def test_mix_corpus_plan_no_shuffle(self, spark):
+        from dbldatagen_spark.functions import mix_corpus
+
+        plan = mix_corpus(self._docs(spark), "doc_id", "source",
+                          {"src0": 2.5})._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import mix_corpus, pack_sequences
+
+        docs = self._docs(spark)
+        with _pytest.raises(ValueError):
+            mix_corpus(docs, "doc_id", "source", {})
+        with _pytest.raises(ValueError):
+            mix_corpus(docs, "doc_id", "source", {"src0": -1})
+        with _pytest.raises(ValueError):
+            pack_sequences(docs, "doc_id", "n_chars", 0)
+        with _pytest.raises(ValueError):
+            pack_sequences(docs, "doc_id", "n_chars", 10, num_shards=0)
