@@ -1417,6 +1417,65 @@ def _multimodal_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (P6 PPM decode -> integer-exact nearest-neighbor
+    -> re-encode): every output payload is re-decoded and compared
+    byte-for-byte against an independent numpy recomputation from the
+    original pixels, and the whole transform is rebuilt under a different
+    partitioning to prove determinism. Payloads stay inside their
+    partitions throughout (mapInPandas, no shuffle of blobs)."""
+    import numpy as np
+    import pandas as pd
+
+    from dbldatagen_spark.functions import resize_ppm_images
+    from dbldatagen_spark.functions.multimodal import (
+        decode_ppm,
+        synthesize_ppm_table,
+    )
+
+    tw, th, size = 6, 4, 8
+
+    def build(partitions: int) -> DataFrame:
+        media = synthesize_ppm_table(spark, rows=500, partitions=partitions, size=size)
+        return resize_ppm_images(media, target_width=tw, target_height=th)
+
+    resized = build(4)
+    orig = synthesize_ppm_table(spark, rows=500, partitions=4, size=size)
+    joined = orig.withColumnRenamed("payload", "orig_payload").join(
+        resized, "media_id"
+    )
+
+    def _check(batches):
+        for pdf in batches:
+            flags = []
+            for orig_payload, payload, w, h in zip(
+                pdf["orig_payload"], pdf["payload"], pdf["width"], pdf["height"]
+            ):
+                src = decode_ppm(bytes(orig_payload))
+                got = decode_ppm(bytes(payload))
+                ys = (np.arange(th) * src.shape[0]) // th
+                xs = (np.arange(tw) * src.shape[1]) // tw
+                flags.append(
+                    got.shape == (th, tw, 3)
+                    and (w, h) == (tw, th)
+                    and bool((got == src[ys][:, xs]).all())
+                )
+            yield pd.DataFrame({"exact": flags})
+
+    checked = joined.mapInPandas(_check, schema="exact boolean")
+    stats = checked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("exact"), 0).otherwise(1)).cast("long").alias("inexact"),
+    )
+    h1 = build(4).select("media_id", F.md5(F.col("payload")).alias("sig"))
+    h2 = build(7).select("media_id", F.md5(F.col("payload")).alias("sig"))
+    diff = (
+        h1.exceptAll(h2).union(h2.exceptAll(h1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _multimodal_type_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-bytes content sniffing invariants: payloads synthesized from
     the library's own MEDIA_SIGNATURES table (so spec and test cannot
@@ -2697,6 +2756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-5 rotation leads: new ops awaiting their first driver row
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
+        "multimodal_ppm_resize": _multimodal_ppm_resize,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3005,6 +3065,10 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(68 AS BIGINT) AS n_rows, true AS flags_exact, "
             "true AS unknown_exact, true AS nulls_exact, "
             "CAST(0 AS BIGINT) AS n_wrong_detections"
+        ),
+        "multimodal_ppm_resize": (
+            "SELECT CAST(500 AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS inexact, CAST(0 AS BIGINT) AS mismatches"
         ),
         "text_dedup_lines": _DEDUP_LINES_ORACLE,
         "text_entropy": _ENTROPY_ORACLE,

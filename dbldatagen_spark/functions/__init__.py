@@ -78,6 +78,7 @@ from dbldatagen_spark.functions.multimodal import (
     MEDIA_SIGNATURES,
     detect_media_type_expr,
     detect_media_types,
+    resize_ppm_images,
 )
 
 __all__ = [
@@ -87,6 +88,7 @@ __all__ = [
     "mix_corpus",
     "pack_sequences",
     "packing_stats",
+    "resize_ppm_images",
     "normalize_text",
     "dedup_lines_corpus",
     "token_entropy",

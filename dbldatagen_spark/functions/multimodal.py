@@ -374,3 +374,48 @@ def detect_media_types(
             ),
         )
     return out
+
+
+def resize_ppm_images(
+    df: DataFrame,
+    *,
+    target_width: int,
+    target_height: int,
+) -> DataFrame:
+    """REAL image resize over P6 PPM payloads: decode with
+    :func:`decode_ppm`, nearest-neighbor sample onto the exact
+    ``target_width x target_height`` grid (source pixel for output
+    ``(y, x)`` is ``(floor(y*h/H), floor(x*w/W))`` — integer-exact, so
+    any engine recomputes the identical output bytes), re-encode with
+    :func:`encode_ppm`.
+
+    Same scale shape as the other payload transforms: ``mapInPandas``,
+    partition-preserving (a resize never needs a shuffle), Arrow-batched,
+    payload bytes move only scan -> transform -> sink. Compressed-format
+    resize plugs into :func:`resize_images` instead (codec-gated).
+    """
+    if target_width <= 0 or target_height <= 0:
+        raise ValueError("target dimensions must be positive")
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_ppm(bytes(payload))
+                h, w = px.shape[0], px.shape[1]
+                ys = (np.arange(target_height) * h) // target_height
+                xs = (np.arange(target_width) * w) // target_width
+                resized = px[ys][:, xs]
+                out.append(
+                    {
+                        "media_id": int(media_id),
+                        "payload": encode_ppm(resized),
+                        "width": target_width,
+                        "height": target_height,
+                        "orig_width": w,
+                        "orig_height": h,
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(_resize, schema=_RESIZE_SCHEMA)

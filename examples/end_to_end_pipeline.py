@@ -220,6 +220,25 @@ def main() -> None:
                           bucket_seconds=86400)
     print("sessions (skew-safe):", sessions.count())
 
+    # ------------------------------------------------------------------
+    # 6. Training-set assembly: weighted mix -> packed sequence layout
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import (
+        mix_corpus,
+        pack_sequences,
+        packing_stats,
+    )
+
+    # 2 epochs of src0, half of src1, one pass of src2
+    mixed = mix_corpus(docs, "doc_id", "source",
+                       {"src0": 2.0, "src1": 0.5, "src2": 1.0})
+    print("mixed corpus rows:", mixed.count())
+    packed = pack_sequences(docs, "doc_id", "n_chars", 2048,
+                            num_shards=16)
+    waste = packing_stats(packed, 2048).agg(
+        F.avg("tail_waste_frac").alias("w")).first()["w"]
+    print(f"packed into 16 shards, mean tail waste {waste:.3f}")
+
     spark.stop()
 
 

@@ -1416,3 +1416,42 @@ class TestPackingAndMixing:
             pack_sequences(docs, "doc_id", "n_chars", 0)
         with _pytest.raises(ValueError):
             pack_sequences(docs, "doc_id", "n_chars", 10, num_shards=0)
+
+
+class TestPpmResize:
+    def test_nearest_neighbor_exact(self, spark):
+        import numpy as np
+        from dbldatagen_spark.functions import resize_ppm_images
+        from dbldatagen_spark.functions.multimodal import (
+            decode_ppm,
+            synthesize_ppm_table,
+        )
+
+        media = synthesize_ppm_table(spark, rows=20, partitions=2, size=8)
+        orig = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+        out = resize_ppm_images(media, target_width=6, target_height=4).collect()
+        assert len(out) == 20
+        for r in out:
+            assert (r["width"], r["height"]) == (6, 4)
+            assert (r["orig_width"], r["orig_height"]) == (8, 8)
+            px = decode_ppm(bytes(r["payload"]))
+            assert px.shape == (4, 6, 3)
+            src = decode_ppm(orig[r["media_id"]])
+            ys = (np.arange(4) * 8) // 4
+            xs = (np.arange(6) * 8) // 6
+            assert (px == src[ys][:, xs]).all()
+
+    def test_upscale_and_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import resize_ppm_images
+        from dbldatagen_spark.functions.multimodal import (
+            decode_ppm,
+            synthesize_ppm_table,
+        )
+
+        media = synthesize_ppm_table(spark, rows=3, partitions=1, size=4)
+        up = resize_ppm_images(media, target_width=8, target_height=8).collect()
+        for r in up:
+            assert decode_ppm(bytes(r["payload"])).shape == (8, 8, 3)
+        with _pytest.raises(ValueError):
+            resize_ppm_images(media, target_width=0, target_height=4)

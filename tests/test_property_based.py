@@ -422,3 +422,71 @@ def test_dedup_lines_idempotent_and_conservative(docs):
     }
     assert set(survivors) == originals
     assert len(survivors) == len(set(survivors))
+
+
+@given(
+    max_tokens=st.integers(min_value=1, max_value=500),
+    num_shards=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+    counts=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_pack_sequences_conservation_and_span(max_tokens, num_shards, seed, counts):
+    """Packing is a permutation: every doc appears once, per-shard offsets
+    are a gapless prefix sum (conservation), and the sequence span
+    arithmetic is exact for any (max_tokens, count) combination."""
+    from dbldatagen_spark.functions import pack_sequences
+
+    df = _spark.createDataFrame(
+        [(i, c) for i, c in enumerate(counts)], "doc_id long, n_tok long"
+    )
+    rows = pack_sequences(
+        df, "doc_id", "n_tok", max_tokens, num_shards=num_shards, seed=seed
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == list(range(len(counts)))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for docs in by_shard.values():
+        docs.sort(key=lambda r: r["start_offset"])
+        pos = 0
+        for r in docs:
+            assert r["start_offset"] == pos
+            pos += r["n_tokens"]
+            assert r["first_seq"] == r["start_offset"] // max_tokens
+            if r["n_tokens"]:
+                assert r["last_seq"] == (r["start_offset"] + r["n_tokens"] - 1) // max_tokens
+            else:
+                assert r["last_seq"] == r["first_seq"]
+            assert r["n_seqs"] == r["last_seq"] - r["first_seq"] + 1
+
+
+@given(
+    rate=st.floats(min_value=0.0, max_value=4.0, allow_nan=False),
+    seed=st.integers(min_value=0, max_value=2**31),
+    n=st.integers(min_value=1, max_value=60),
+)
+@settings(**_SETTINGS)
+def test_mix_corpus_multiplicity_bounds(rate, seed, n):
+    """Every row's multiplicity is floor(rate) or ceil(rate); epoch indices
+    are dense 0..copies-1; rows of unlisted sources never appear."""
+    import math
+
+    from dbldatagen_spark.functions import mix_corpus
+
+    df = _spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(n)],
+        "doc_id long, src string",
+    )
+    out = mix_corpus(df, "doc_id", "src", {"a": rate}, seed=seed).collect()
+    assert all(r["src"] == "a" for r in out)
+    per = {}
+    for r in out:
+        per.setdefault(r["doc_id"], []).append(r["epoch"])
+    lo, hi = math.floor(rate), math.ceil(rate)
+    for doc_id, epochs in per.items():
+        assert len(epochs) in (lo, hi) and len(epochs) > 0
+        assert sorted(epochs) == list(range(len(epochs)))
+    for doc_id in range(0, n, 2):
+        if doc_id not in per:
+            assert lo == 0  # absent only when downsampling can drop
