@@ -678,6 +678,18 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style char-bigram LM quality scoring, self-fit on the corpus:
+    the model is charset-bounded (one aggregation, collapsed to a single
+    broadcast row of map columns), scoring is scan-local expressions —
+    no per-char explode, no per-doc regroup, no UDF. Sorted-fold float
+    sums keep the score bit-stable across partitionings and engines."""
+    from dbldatagen_spark.functions import charlm_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return charlm_score(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _corpus_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted corpus mixing (dataset composition): rate<1
     downsamples, rate>1 emits epoch copies with expected multiplicity
@@ -2757,6 +2769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
         "multimodal_ppm_resize": _multimodal_ppm_resize,
+        "text_charlm_quality": _text_charlm_quality,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3972,6 +3985,49 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "text_charlm_quality": """
+            WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+            bgx AS (
+                SELECT doc_id,
+                       unnest([substr(s, i, 2) FOR i IN range(1, length(s))]) AS bg
+                FROM t
+            ),
+            pairs AS (
+                SELECT bg, CAST(COUNT(*) AS DOUBLE) AS nb FROM bgx GROUP BY bg
+            ),
+            ctx AS (
+                SELECT substr(bg, 1, 1) AS c1, SUM(nb) AS nc FROM pairs GROUP BY 1
+            ),
+            v AS (
+                SELECT CAST(COUNT(DISTINCT substr(bg, 2, 1)) AS DOUBLE) AS v
+                FROM pairs
+            ),
+            lp AS (
+                SELECT bg, log2((nb + 0.5) / (nc + 0.5 * v)) AS lp
+                FROM pairs JOIN ctx ON substr(pairs.bg, 1, 1) = ctx.c1 CROSS JOIN v
+            ),
+            clp AS (
+                SELECT c1, log2(0.5 / (nc + 0.5 * v)) AS clp FROM ctx CROSS JOIN v
+            ),
+            scored AS (
+                SELECT bgx.doc_id,
+                       COALESCE(lp.lp, clp.clp, d.dflt) AS x
+                FROM bgx
+                LEFT JOIN lp ON bgx.bg = lp.bg
+                LEFT JOIN clp ON substr(bgx.bg, 1, 1) = clp.c1
+                CROSS JOIN (SELECT -log2(v) AS dflt FROM v) d
+            ),
+            agg AS (
+                SELECT doc_id, list_sort(list(x)) AS xs FROM scored GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(greatest(length(t.s) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CASE WHEN length(t.s) >= 2
+                        THEN round(-list_sum(agg.xs) / (length(t.s) - 1), 4)
+                   END AS bits_per_char
+            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+            ORDER BY t.doc_id
+        """,
         "corpus_mix_epochs": """
             WITH b AS (
                 SELECT doc_id, source,

@@ -61,6 +61,7 @@ from dbldatagen_spark.functions.dedup import ngram_contamination
 from dbldatagen_spark.functions.text_analysis import (
     assign_training_shards,
     bm25_search,
+    charlm_score,
     chunk_documents,
     corpus_stats,
     tfidf_terms,
@@ -85,6 +86,7 @@ __all__ = [
     "sessionize",
     "detect_media_types",
     "detect_media_type_expr",
+    "charlm_score",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

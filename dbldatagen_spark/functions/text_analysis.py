@@ -577,3 +577,116 @@ def token_entropy(
         "n_distinct_tokens",
         F.round(F.log2(n) - sum_clog / n, 4).alias("entropy_bits"),
     )
+
+
+def _char_bigrams(text: Column) -> Column:
+    """Array of overlapping 2-char substrings of ``text`` (empty for
+    length < 2 — guarded, since ``sequence(1, 0)`` would count DOWN)."""
+    return F.when(
+        F.length(text) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(text) - 1),
+            lambda i: text.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def charlm_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    fit_df: Optional[DataFrame] = None,
+    fit_text_col: Optional[str] = None,
+    k: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Character-bigram language-model quality score — the CCNet-style
+    "perplexity filter" for corpus curation: fit an add-k-smoothed bigram
+    model on a reference corpus (``fit_df``, default: the scored corpus
+    itself), then score every document by its mean negative log2
+    probability per character transition. Natural text relative to the
+    reference scores low ``bits_per_char``; gibberish, wrong-charset, or
+    machine-mangled text scores high. Returns
+    ``(id, n_bigrams, bits_per_char)`` (null score for docs shorter than
+    2 chars).
+
+    Spark-first scale design: the fitted model is inherently tiny
+    (bounded by charset squared, not corpus size), so fitting is one
+    aggregation whose map-side combine collapses nearly everything
+    before the shuffle, and the model is then folded into a SINGLE ROW
+    of map columns cross-joined (broadcast) onto the corpus. Scoring is
+    therefore scan-local expressions — no per-character explode, no
+    per-document regroup, no UDF. Smoothing: seen pair ->
+    ``log2((n(c1c2)+k)/(n(c1.)+k*V))``; seen context, unseen pair ->
+    the same with ``n(c1c2)=0``; unseen context -> ``log2(1/V)`` (V =
+    distinct successor characters in the reference).
+
+    Determinism: the per-document float fold runs over the *sorted*
+    per-bigram log-prob list (same trick as :func:`token_entropy`), so
+    results are bit-identical across partitionings and engines.
+    """
+    if k <= 0:
+        raise ValueError(f"smoothing k must be positive, got {k}")
+    fit_df = df if fit_df is None else fit_df
+    fit_text = F.col(fit_text_col or text_col)
+    text = F.col(text_col)
+    if lowercase:
+        fit_text, text = F.lower(fit_text), F.lower(text)
+
+    # ONE corpus pass: explode -> count per bigram (map-side combine
+    # collapses to charset^2 before the shuffle). Everything downstream
+    # stays in this single lineage — context totals and successor-vocab
+    # size come from windows over the tiny pairs table (partitionless
+    # window is fine: the table is charset-bounded, never corpus-sized) —
+    # so the expensive explode appears exactly ONCE in the plan instead
+    # of being re-computed per derived branch.
+    from pyspark.sql import Window
+
+    fit_df = ensure_parallelism(fit_df)
+    pairs = (
+        fit_df.select(F.explode(_char_bigrams(fit_text)).alias("_bg"))
+        .where(F.length("_bg") == 2)
+        .groupBy("_bg")
+        .agg(F.count(F.lit(1)).cast("double").alias("_nb"))
+    )
+    w_ctx = Window.partitionBy(F.substring("_bg", 1, 1))
+    w_all = Window.partitionBy()
+    enriched = pairs.select(
+        "_bg",
+        "_nb",
+        F.sum("_nb").over(w_ctx).alias("_nc"),
+        F.size(F.collect_set(F.substring("_bg", 2, 1)).over(w_all))
+        .cast("double")
+        .alias("_v"),
+    )
+    lp_expr = F.log2((F.col("_nb") + k) / (F.col("_nc") + k * F.col("_v")))
+    clp_expr = F.log2(F.lit(k) / (F.col("_nc") + k * F.col("_v")))
+    model = enriched.agg(
+        F.map_from_entries(F.collect_list(F.struct("_bg", lp_expr))).alias("_pm"),
+        F.map_from_entries(
+            F.collect_set(F.struct(F.substring("_bg", 1, 1), clp_expr))
+        ).alias("_cm"),
+        F.first(-F.log2(F.col("_v"))).alias("_default"),
+    )
+
+    scored = ensure_parallelism(df).select(
+        F.col(id_col), _char_bigrams(text).alias("_bgs")
+    ).crossJoin(F.broadcast(model))
+    lps = F.array_sort(
+        F.transform(
+            F.col("_bgs"),
+            lambda b: F.coalesce(
+                F.try_element_at(F.col("_pm"), b),
+                F.try_element_at(F.col("_cm"), F.substring(b, 1, 1)),
+                F.col("_default"),
+            ),
+        )
+    )
+    n = F.size("_bgs")
+    total = F.aggregate(lps, F.lit(0.0), lambda acc, x: acc + x)
+    return scored.select(
+        F.col(id_col),
+        n.cast("long").alias("n_bigrams"),
+        F.when(n > 0, F.round(-total / n, 4)).alias("bits_per_char"),
+    )

@@ -1455,3 +1455,49 @@ class TestPpmResize:
             assert decode_ppm(bytes(r["payload"])).shape == (8, 8, 3)
         with _pytest.raises(ValueError):
             resize_ppm_images(media, target_width=0, target_height=4)
+
+
+class TestCharLmScore:
+    def test_gibberish_scores_higher(self, spark):
+        from dbldatagen_spark.functions import charlm_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        probe = spark.createDataFrame(
+            [(1, "the window scan over sorted columns runs in order"),
+             (2, "zq xv jk qx wz vq kj zx qq vv"),
+             (3, "a"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: (r["n_bigrams"], r["bits_per_char"])
+               for r in charlm_score(probe, "doc_id", "text", fit_df=docs).collect()}
+        assert got[2][1] > got[1][1]
+        assert got[3] == (0, None) and got[4] == (0, None)
+        assert got[1][0] == 48  # len-1 bigrams
+
+    def test_partition_independent_and_self_fit(self, spark):
+        from dbldatagen_spark.functions import charlm_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, charlm_score(docs.repartition(3), "doc_id", "text").collect()))
+        b = sorted(map(tuple, charlm_score(docs.repartition(11), "doc_id", "text").collect()))
+        assert a == b and len(a) == docs.count()
+        assert all(r[2] is not None and 0 < r[2] < 8 for r in a)
+
+    def test_smoothing_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import charlm_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with _pytest.raises(ValueError):
+            charlm_score(docs, "doc_id", "text", k=0)
+
+    def test_scoring_side_no_python_or_explode(self, spark):
+        from dbldatagen_spark.functions import charlm_score
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = charlm_score(docs, "doc_id", "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Python" not in plan
+        # the only Generate (explode) belongs to the charset-bounded fit
+        # aggregation, never to the scored corpus
+        assert plan.count("Generate explode") <= 1
