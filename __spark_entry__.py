@@ -678,6 +678,19 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring span duplication (Lee et al.-style): 10-token
+    windows every 5 tokens, corpus-wide counts, per-doc duplicated-span
+    fraction. Only (md5, doc_id) pairs shuffle — span text is hashed in
+    the scan; the oracle recomputes every window hash bit-for-bit."""
+    from dbldatagen_spark.functions import duplicated_span_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicated_span_stats(
+        docs, "doc_id", "text", window=10, stride=5, hash_mode="md5"
+    ).orderBy("doc_id")
+
+
 def _text_charlm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style char-bigram LM quality scoring, self-fit on the corpus:
     the model is charset-bounded (one aggregation, collapsed to a single
@@ -2770,6 +2783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_sequences": _corpus_pack_sequences,
         "multimodal_ppm_resize": _multimodal_ppm_resize,
         "text_charlm_quality": _text_charlm_quality,
+        "text_dup_spans": _text_dup_spans,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3985,6 +3999,31 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "text_dup_spans": r"""
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents
+            ),
+            sp AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(w, i + 1, i + 10), ' ')) AS h
+                FROM (
+                    SELECT doc_id, w,
+                           unnest([i FOR i IN range(0, greatest(len(w) - 10, 0) + 1, 5)]) AS i
+                    FROM t
+                )
+            ),
+            dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2)
+            SELECT sp.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_spans,
+                   CAST(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dup_spans,
+                   round(SUM(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                         / COUNT(*), 4) AS dup_span_fraction
+            FROM sp LEFT JOIN dup ON sp.h = dup.h
+            GROUP BY sp.doc_id
+            ORDER BY sp.doc_id
+        """,
         "text_charlm_quality": """
             WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
             bgx AS (

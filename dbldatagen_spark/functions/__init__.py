@@ -19,6 +19,7 @@ Design rules shared by every operator here:
 from dbldatagen_spark.functions.dedup import (
     cross_corpus_near_duplicates,
     duplicate_components,
+    duplicated_span_stats,
     embedding_near_duplicates,
     exact_dedup,
     minhash_cluster_dedup,
@@ -87,6 +88,7 @@ __all__ = [
     "detect_media_types",
     "detect_media_type_expr",
     "charlm_score",
+    "duplicated_span_stats",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

@@ -911,3 +911,86 @@ def cross_corpus_near_duplicates(
         .select("query_id", "corpus_id", "jaccard")
     )
     return out
+
+
+def duplicated_span_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    window: int = 10,
+    stride: int = 5,
+    min_count: int = 2,
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """Exact-substring duplication detector in the style of the
+    "Deduplicating Training Data Makes Language Models Better" pipeline
+    (Lee et al., 2022 — there built on suffix arrays): every document is
+    cut into ``window``-token spans every ``stride`` tokens; a span whose
+    exact text occurs >= ``min_count`` times corpus-wide is *duplicated*
+    (boilerplate, licenses, templated spam — the content exact doc-level
+    dedup misses because the surrounding document differs).
+
+    Returns per-document ``(id, n_spans, n_dup_spans, dup_span_fraction)``
+    — the standard curation signal (filter or strip docs above a
+    threshold). Documents shorter than ``window`` tokens contribute their
+    whole text as one span, so short exact dups still register.
+
+    Scale shape: only ``(span_hash, id)`` pairs ever shuffle — span text
+    is hashed in the scan stage and bodies never move. Two shuffles
+    (corpus-wide span counts with map-side combine; per-doc regroup) +
+    one broadcast-capable join of the hash stream against the
+    ``min_count``-filtered span table. ``stride`` trades recall for
+    explode volume: stride = window is disjoint chunking (cheapest),
+    stride 1 is the full suffix-array-equivalent cover.
+    ``hash_mode="md5"`` makes span hashes recomputable by any engine.
+    """
+    if window < 1 or stride < 1:
+        raise ValueError("window and stride must be >= 1")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+
+    if hash_mode == "xxhash64":
+        span_hash = F.xxhash64(F.col("_span"))
+    elif hash_mode == "md5":
+        span_hash = F.md5(F.col("_span"))
+    else:
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+
+    # materialize the word array in its own projection (codegen caveat on
+    # word_shingles_expr) before the windowed slice
+    w = F.col("_w")
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size(w) - F.lit(window), F.lit(0)), F.lit(stride)
+    )
+    spans = F.transform(
+        starts, lambda i: F.array_join(F.slice(w, i + 1, window), " ")
+    )
+    hashed = (
+        df.select(F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_w"))
+        .select(F.col(id_col), spans.alias("_spans"))
+        .select(F.col(id_col), F.explode("_spans").alias("_span"))
+        .select(F.col(id_col), span_hash.alias("_h"))
+    )
+    dup_spans = (
+        hashed.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    flagged = hashed.join(dup_spans.withColumn("_dup", F.lit(1)), "_h", "left")
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            id_col,
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 4).alias(
+                "dup_span_fraction"
+            ),
+        )
+    )

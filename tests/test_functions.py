@@ -1501,3 +1501,60 @@ class TestCharLmScore:
         # the only Generate (explode) belongs to the charset-bounded fit
         # aggregation, never to the scored corpus
         assert plan.count("Generate explode") <= 1
+
+
+class TestDuplicatedSpans:
+    def test_planted_boilerplate_detected(self, spark):
+        from dbldatagen_spark.functions import duplicated_span_stats
+
+        bp = "this software is provided as is without warranty of any kind"
+        docs = spark.createDataFrame(
+            [(1, bp + " alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (2, "unrelated opening words here now " + bp),
+             (3, "completely different text with no shared spans at all ok yes"),
+             (4, "tiny")],
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in duplicated_span_stats(
+            docs, "doc_id", "text", window=10, stride=5).collect()}
+        assert r[1]["n_dup_spans"] >= 1 and r[2]["n_dup_spans"] >= 1
+        assert r[3]["n_dup_spans"] == 0
+        assert r[4] ["n_spans"] == 1  # short doc -> whole text is one span
+        assert abs(r[1]["dup_span_fraction"] - r[1]["n_dup_spans"] / r[1]["n_spans"]) < 1e-4
+
+    def test_stride_and_min_count(self, spark):
+        from dbldatagen_spark.functions import duplicated_span_stats
+
+        ten = " ".join(f"w{i}" for i in range(10))
+        docs = spark.createDataFrame(
+            [(i, ten) for i in range(3)], "doc_id long, text string"
+        )
+        # span appears 3x; min_count=4 -> nothing flagged
+        r = duplicated_span_stats(docs, "doc_id", "text", window=10,
+                                  stride=10, min_count=4).collect()
+        assert all(x["n_dup_spans"] == 0 for x in r)
+        r2 = duplicated_span_stats(docs, "doc_id", "text", window=10,
+                                   stride=10, min_count=3).collect()
+        assert all(x["n_dup_spans"] == 1 for x in r2)
+
+    def test_partition_independent_md5_xxhash_agree(self, spark):
+        from dbldatagen_spark.functions import duplicated_span_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, duplicated_span_stats(
+            docs.repartition(3), "doc_id", "text").collect()))
+        b = sorted(map(tuple, duplicated_span_stats(
+            docs.repartition(9), "doc_id", "text").collect()))
+        c = sorted(map(tuple, duplicated_span_stats(
+            docs, "doc_id", "text", hash_mode="md5").collect()))
+        assert a == b == c  # stats identical whichever hash keys the counts
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import duplicated_span_stats
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        with _pytest.raises(ValueError):
+            duplicated_span_stats(docs, "doc_id", "text", window=0)
+        with _pytest.raises(ValueError):
+            duplicated_span_stats(docs, "doc_id", "text", min_count=1)
