@@ -1347,6 +1347,65 @@ def _gen_streaming_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _events_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful-streaming surface: native session windows computed by a
+    REAL Structured Streaming run (file source -> session_window agg ->
+    memory sink, availableNow) must equal both the batch run of the same
+    operator and the oracle's independent gaps-and-islands SQL. Output is
+    the per-session table (the oracle recomputes it row-for-row) plus a
+    constant mismatch count from the stream-vs-batch exceptAll probe.
+    Session semantics verified against Spark: events exactly ``gap``
+    apart merge, the break is strictly-greater, session_end is last event
+    + gap."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from dbldatagen_spark.streaming.stateful import session_window_agg
+
+    src = _load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    batch = session_window_agg(src, "user_id", "ts", gap="30 minutes")
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_evstream_")
+    name = f"sess_tbl_{uuid.uuid4().hex[:8]}"
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{tmp}/events.parquet")
+        stream = (
+            spark.readStream.schema(_load(spark, sf_dir, "events").schema)
+            .parquet(tmp)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        sess = session_window_agg(
+            stream, "user_id", "ts", gap="30 minutes", watermark="2 hours"
+        )
+        q = (
+            sess.writeStream.format("memory").queryName(name)
+            .outputMode("complete").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table(name)
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+        .withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
 def _gen_template_expr_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pure-Catalyst template fast path (TemplateGenerator mode='expr'):
     conformance + cross-partitioning determinism, with zero Python UDF
@@ -2784,6 +2843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ppm_resize": _multimodal_ppm_resize,
         "text_charlm_quality": _text_charlm_quality,
         "text_dup_spans": _text_dup_spans,
+        "events_streaming_sessions": _events_streaming_sessions,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3999,6 +4059,29 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "events_streaming_sessions": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM w
+            )
+            SELECT user_id,
+                   MIN(ts) AS session_start,
+                   MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_start
+        """,
         "text_dup_spans": r"""
             WITH t AS (
                 SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
