@@ -678,6 +678,17 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality battery (word count, mean word length,
+    symbol ratio, bullet/ellipsis lines, alpha-word fraction, stop-word
+    hits) — every rule a scan-stage expression, map-only plan; the
+    oracle recomputes all measurements and flags independently."""
+    from dbldatagen_spark.functions import gopher_quality_flags
+
+    docs = _load(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs, "doc_id", "text").orderBy("doc_id")
+
+
 def _text_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring span duplication (Lee et al.-style): 10-token
     windows every 5 tokens, corpus-wide counts, per-doc duplicated-span
@@ -2843,6 +2854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_ppm_resize": _multimodal_ppm_resize,
         "text_charlm_quality": _text_charlm_quality,
         "text_dup_spans": _text_dup_spans,
+        "text_gopher_flags": _text_gopher_flags,
         "events_streaming_sessions": _events_streaming_sessions,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
@@ -4059,6 +4071,58 @@ def _oracle_sql_base() -> dict[str, str]:
             "true AS variance_descending, true AS projected_variance_matches, "
             "true AS variance_bounded"
         ),
+        "text_gopher_flags": r"""
+            WITH t AS (
+                SELECT doc_id, text,
+                       [w FOR w IN string_split_regex(trim(text), '\s+') IF w != ''] AS words,
+                       [l FOR l IN string_split(text, chr(10)) IF trim(l) != ''] AS lines
+                FROM documents
+            ),
+            m AS (
+                SELECT doc_id,
+                       len(words) AS n_words,
+                       greatest(len(words), 1) AS sw,
+                       greatest(len(lines), 1) AS sl,
+                       CAST(list_sum([length(w) FOR w IN words]) AS DOUBLE)
+                           / greatest(len(words), 1) AS mean_wlen,
+                       (length(text) - length(replace(text, '#', ''))
+                        + len(string_split(text, '...')) - 1
+                        + length(text) - length(replace(text, '…', ''))
+                       )::DOUBLE / greatest(len(words), 1) AS sym_ratio,
+                       len([l FOR l IN lines
+                            IF regexp_matches(trim(l), '^[•*-]')]) AS bullet_lines,
+                       len([l FOR l IN lines
+                            IF regexp_matches(trim(l), '(\.\.\.|…)$')]) AS ellipsis_lines,
+                       len([w FOR w IN words
+                            IF regexp_matches(w, '[A-Za-z]')]) AS alpha_words,
+                       len(list_intersect(
+                           list_distinct([lower(w) FOR w IN words]),
+                           ['the','be','to','of','and','that','have','with']
+                       )) AS stop_hits
+                FROM t
+            )
+            SELECT doc_id,
+                   CAST(n_words AS BIGINT) AS n_words,
+                   mean_wlen AS mean_word_len,
+                   sym_ratio AS symbol_word_ratio,
+                   CAST(stop_hits AS BIGINT) AS stop_word_hits,
+                   (n_words >= 50 AND n_words <= 100000) AS ok_word_count,
+                   (mean_wlen >= 3.0 AND mean_wlen <= 10.0) AS ok_mean_word_len,
+                   (sym_ratio < 0.1) AS ok_symbol_ratio,
+                   (bullet_lines::DOUBLE / sl < 0.9) AS ok_bullet_lines,
+                   (ellipsis_lines::DOUBLE / sl < 0.3) AS ok_ellipsis_lines,
+                   (alpha_words::DOUBLE / sw >= 0.8) AS ok_alpha_words,
+                   (stop_hits >= 2) AS ok_stop_words,
+                   ((n_words >= 50 AND n_words <= 100000)
+                    AND (mean_wlen >= 3.0 AND mean_wlen <= 10.0)
+                    AND (sym_ratio < 0.1)
+                    AND (bullet_lines::DOUBLE / sl < 0.9)
+                    AND (ellipsis_lines::DOUBLE / sl < 0.3)
+                    AND (alpha_words::DOUBLE / sw >= 0.8)
+                    AND (stop_hits >= 2)) AS pass_all
+            FROM m
+            ORDER BY doc_id
+        """,
         "events_streaming_sessions": """
             WITH w AS (
                 SELECT user_id, ts, value,

@@ -64,6 +64,7 @@ from dbldatagen_spark.functions.text_analysis import (
     bm25_search,
     charlm_score,
     chunk_documents,
+    gopher_quality_flags,
     corpus_stats,
     tfidf_terms,
     detect_language,
@@ -89,6 +90,7 @@ __all__ = [
     "detect_media_type_expr",
     "charlm_score",
     "duplicated_span_stats",
+    "gopher_quality_flags",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

@@ -690,3 +690,102 @@ def charlm_score(
         n.cast("long").alias("n_bigrams"),
         F.when(n > 0, F.round(-total / n, 4)).alias("bits_per_char"),
     )
+
+
+GOPHER_STOP_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_word_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule-based quality filters (Rae et al. 2021, App. A) —
+    the standard pre-filter battery before model-based scoring. One
+    boolean per rule plus ``pass_all``, with the raw measurements, so a
+    pipeline can tighten or drop individual rules without recomputing:
+
+    * word count in ``[min_words, max_words]``
+    * mean word length in ``[min_mean_word_len, max_mean_word_len]``
+    * ``#``/``...`` symbol-to-word ratio below ``max_symbol_word_ratio``
+    * under ``max_bullet_line_frac`` of lines starting with a bullet
+    * under ``max_ellipsis_line_frac`` of lines ending with an ellipsis
+    * at least ``min_alpha_word_frac`` of words containing a letter
+    * at least ``min_stop_word_hits`` distinct Gopher stop words present
+
+    Map-only: every measurement is a scan-stage expression over the text
+    column (split / regexp counts / array folds) — no shuffle, no UDF,
+    no collect — so at 100 TB this runs at scan speed and the filter
+    predicate pushes into the curation pipeline's first pass. The regex
+    subset used is portable across Java and RE2 engines.
+    """
+    text = F.col(text_col)
+    words = F.filter(F.split(F.trim(text), r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1))
+    mean_wlen = (
+        F.aggregate(words, F.lit(0).cast("long"), lambda a, w: a + F.length(w))
+        .cast("double")
+        / safe_words
+    )
+    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1 + (
+        F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    )
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_words
+    lines = F.filter(F.split(text, "\n", -1), lambda l: F.trim(l) != "")
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1))
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"^[•*-]"))
+    )
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: F.trim(l).rlike(r"(\.\.\.|…)$"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    stop_arr = F.array(*[F.lit(w) for w in GOPHER_STOP_WORDS])
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, F.lower)), stop_arr
+        )
+    )
+
+    flags = {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (mean_wlen >= min_mean_word_len)
+        & (mean_wlen <= max_mean_word_len),
+        "ok_symbol_ratio": symbol_ratio < max_symbol_word_ratio,
+        "ok_bullet_lines": bullet_lines.cast("double") / safe_lines
+        < max_bullet_line_frac,
+        "ok_ellipsis_lines": ellipsis_lines.cast("double") / safe_lines
+        < max_ellipsis_line_frac,
+        "ok_alpha_words": alpha_words.cast("double") / safe_words
+        >= min_alpha_word_frac,
+        "ok_stop_words": stop_hits >= min_stop_word_hits,
+    }
+    # ratios stay unrounded: each is one IEEE division of exact integers,
+    # bit-identical across engines, while decimal rounding is not (the
+    # round-half-tie caveat documented on repetition_metrics)
+    cols = [
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        stop_hits.cast("long").alias("stop_word_hits"),
+    ]
+    cols += [v.alias(k) for k, v in flags.items()]
+    pass_all = None
+    for v in flags.values():
+        pass_all = v if pass_all is None else (pass_all & v)
+    cols.append(pass_all.alias("pass_all"))
+    return df.select(*cols)

@@ -1558,3 +1558,41 @@ class TestDuplicatedSpans:
             duplicated_span_stats(docs, "doc_id", "text", window=0)
         with _pytest.raises(ValueError):
             duplicated_span_stats(docs, "doc_id", "text", min_count=1)
+
+
+class TestGopherFlags:
+    def test_rules_fire_individually(self, spark):
+        from dbldatagen_spark.functions import gopher_quality_flags
+
+        good = ("the quick brown fox jumps over the lazy dog "
+                "and that is fine to see ") * 5
+        probe = spark.createDataFrame(
+            [(1, good),
+             (2, "word " * 30),                    # < 50 words
+             (3, ("• item one\n" * 10) + good),    # bullet-heavy
+             (4, good.replace("the", "###")),      # symbol ratio
+             (5, " ".join(["1234"] * 60))],        # no alpha, no stops
+            "doc_id long, text string",
+        )
+        r = {x["doc_id"]: x for x in
+             gopher_quality_flags(probe, "doc_id", "text").collect()}
+        assert r[1]["pass_all"]
+        assert not r[2]["ok_word_count"]
+        assert not r[3]["ok_bullet_lines"]
+        assert not r[4]["ok_symbol_ratio"]
+        assert not r[5]["ok_alpha_words"] and not r[5]["ok_stop_words"]
+
+    def test_map_only_plan_and_thresholds(self, spark):
+        from dbldatagen_spark.functions import gopher_quality_flags
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = gopher_quality_flags(docs, "doc_id", "text", min_words=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        # threshold override actually loosens the rule
+        strict = {r["doc_id"]: r["ok_word_count"] for r in
+                  gopher_quality_flags(docs, "doc_id", "text",
+                                       min_words=10**6).collect()}
+        assert not any(strict.values())
