@@ -678,6 +678,19 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (target domain = source 'src0' documents,
+    raw = whole corpus): total log2 likelihood ratio between the
+    target-fit and self-fit char-bigram LMs. Two charset-bounded model
+    fits + scan-local scoring + an id join of metadata-sized frames —
+    document text never shuffles."""
+    from dbldatagen_spark.functions import dsir_importance
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_importance(docs, "doc_id", "text", target).orderBy("doc_id")
+
+
 def _text_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher rule-based quality battery (word count, mean word length,
     symbol ratio, bullet/ellipsis lines, alpha-word fraction, stop-word
@@ -2855,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_charlm_quality": _text_charlm_quality,
         "text_dup_spans": _text_dup_spans,
         "text_gopher_flags": _text_gopher_flags,
+        "text_dsir_importance": _text_dsir_importance,
         "events_streaming_sessions": _events_streaming_sessions,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
@@ -3031,6 +3045,61 @@ _DEDUP_LINES_ORACLE = """
            CAST(tot.total - coalesce(reb.kept, 0) AS BIGINT) AS n_lines_removed
     FROM tot LEFT JOIN reb USING (doc_id) ORDER BY doc_id
 """
+
+def _charlm_sql(fit_where: str = "") -> str:
+    """Char-bigram LM scoring as DuckDB SQL: fit an add-0.5-smoothed
+    bigram model on ``documents`` (optionally restricted by
+    ``fit_where``), score EVERY document. Mirrors
+    ``functions/text_analysis.py charlm_score`` term for term, including
+    the sorted-fold float sum."""
+    return f"""
+        WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
+        ft AS (SELECT lower(text) AS s FROM documents {fit_where}),
+        fbg AS (
+            SELECT unnest([substr(s, i, 2) FOR i IN range(1, length(s))]) AS bg
+            FROM ft
+        ),
+        pairs AS (
+            SELECT bg, CAST(COUNT(*) AS DOUBLE) AS nb FROM fbg GROUP BY bg
+        ),
+        ctx AS (
+            SELECT substr(bg, 1, 1) AS c1, SUM(nb) AS nc FROM pairs GROUP BY 1
+        ),
+        v AS (
+            SELECT CAST(COUNT(DISTINCT substr(bg, 2, 1)) AS DOUBLE) AS v
+            FROM pairs
+        ),
+        lp AS (
+            SELECT bg, log2((nb + 0.5) / (nc + 0.5 * v)) AS lp
+            FROM pairs JOIN ctx ON substr(pairs.bg, 1, 1) = ctx.c1 CROSS JOIN v
+        ),
+        clp AS (
+            SELECT c1, log2(0.5 / (nc + 0.5 * v)) AS clp FROM ctx CROSS JOIN v
+        ),
+        sbg AS (
+            SELECT doc_id,
+                   unnest([substr(s, i, 2) FOR i IN range(1, length(s))]) AS bg
+            FROM t
+        ),
+        scored AS (
+            SELECT sbg.doc_id,
+                   COALESCE(lp.lp, clp.clp, d.dflt) AS x
+            FROM sbg
+            LEFT JOIN lp ON sbg.bg = lp.bg
+            LEFT JOIN clp ON substr(sbg.bg, 1, 1) = clp.c1
+            CROSS JOIN (SELECT -log2(v) AS dflt FROM v) d
+        ),
+        agg AS (
+            SELECT doc_id, list_sort(list(x)) AS xs FROM scored GROUP BY doc_id
+        )
+        SELECT t.doc_id,
+               CAST(greatest(length(t.s) - 1, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN length(t.s) >= 2
+                    THEN round(-list_sum(agg.xs) / (length(t.s) - 1), 4)
+               END AS bits_per_char
+        FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+    """
+
 
 _ENTROPY_ORACLE = r"""
     WITH tok AS (
@@ -4171,48 +4240,17 @@ def _oracle_sql_base() -> dict[str, str]:
             GROUP BY sp.doc_id
             ORDER BY sp.doc_id
         """,
-        "text_charlm_quality": """
-            WITH t AS (SELECT doc_id, lower(text) AS s FROM documents),
-            bgx AS (
-                SELECT doc_id,
-                       unnest([substr(s, i, 2) FOR i IN range(1, length(s))]) AS bg
-                FROM t
-            ),
-            pairs AS (
-                SELECT bg, CAST(COUNT(*) AS DOUBLE) AS nb FROM bgx GROUP BY bg
-            ),
-            ctx AS (
-                SELECT substr(bg, 1, 1) AS c1, SUM(nb) AS nc FROM pairs GROUP BY 1
-            ),
-            v AS (
-                SELECT CAST(COUNT(DISTINCT substr(bg, 2, 1)) AS DOUBLE) AS v
-                FROM pairs
-            ),
-            lp AS (
-                SELECT bg, log2((nb + 0.5) / (nc + 0.5 * v)) AS lp
-                FROM pairs JOIN ctx ON substr(pairs.bg, 1, 1) = ctx.c1 CROSS JOIN v
-            ),
-            clp AS (
-                SELECT c1, log2(0.5 / (nc + 0.5 * v)) AS clp FROM ctx CROSS JOIN v
-            ),
-            scored AS (
-                SELECT bgx.doc_id,
-                       COALESCE(lp.lp, clp.clp, d.dflt) AS x
-                FROM bgx
-                LEFT JOIN lp ON bgx.bg = lp.bg
-                LEFT JOIN clp ON substr(bgx.bg, 1, 1) = clp.c1
-                CROSS JOIN (SELECT -log2(v) AS dflt FROM v) d
-            ),
-            agg AS (
-                SELECT doc_id, list_sort(list(x)) AS xs FROM scored GROUP BY doc_id
-            )
-            SELECT t.doc_id,
-                   CAST(greatest(length(t.s) - 1, 0) AS BIGINT) AS n_bigrams,
-                   CASE WHEN length(t.s) >= 2
-                        THEN round(-list_sum(agg.xs) / (length(t.s) - 1), 4)
-                   END AS bits_per_char
-            FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
-            ORDER BY t.doc_id
+        "text_charlm_quality": _charlm_sql() + " ORDER BY t.doc_id",
+        "text_dsir_importance": f"""
+            SELECT a.doc_id,
+                   a.n_bigrams,
+                   a.bits_per_char AS bits_raw,
+                   b.bits_per_char AS bits_target,
+                   round(a.n_bigrams * (a.bits_per_char - b.bits_per_char), 4)
+                       AS log2_weight
+            FROM ({_charlm_sql()}) a
+            JOIN ({_charlm_sql("WHERE source = 'src0'")}) b USING (doc_id)
+            ORDER BY a.doc_id
         """,
         "corpus_mix_epochs": """
             WITH b AS (

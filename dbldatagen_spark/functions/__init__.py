@@ -68,6 +68,7 @@ from dbldatagen_spark.functions.text_analysis import (
     corpus_stats,
     tfidf_terms,
     detect_language,
+    dsir_importance,
     document_fingerprint,
     ngram_counts,
     quality_metrics,
@@ -91,6 +92,7 @@ __all__ = [
     "charlm_score",
     "duplicated_span_stats",
     "gopher_quality_flags",
+    "dsir_importance",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

@@ -789,3 +789,58 @@ def gopher_quality_flags(
         pass_all = v if pass_all is None else (pass_all & v)
     cols.append(pass_all.alias("pass_all"))
     return df.select(*cols)
+
+
+def dsir_importance(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    *,
+    target_text_col: Optional[str] = None,
+    k: float = 0.5,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Data Selection with Importance Resampling (after Xie et al. 2023):
+    weight every raw-corpus document by how much more likely it is under
+    a model of the *target* domain than under a model of the raw corpus
+    itself. Here both models are the char-bigram LMs of
+    :func:`charlm_score` (the published method uses hashed n-gram
+    models — same estimator family, same ratio).
+
+    Returns ``(id, n_bigrams, bits_raw, bits_target, log2_weight)`` with
+    ``log2_weight = n_bigrams * (bits_raw - bits_target)`` — the total
+    log2 likelihood ratio. Select by thresholding ``log2_weight`` or
+    feed normalized weights into hash-based sampling (compose with
+    :func:`~dbldatagen_spark.functions.sampling.split_assign`-style
+    thresholds) for the resampling step.
+
+    Scale shape: two charset-bounded model fits (one pass over each
+    corpus) + two scan-local scoring passes + an id-keyed join of two
+    metadata-sized frames. Document text never shuffles.
+    """
+    scored_raw = charlm_score(
+        df, id_col, text_col, k=k, lowercase=lowercase
+    ).select(
+        F.col(id_col),
+        "n_bigrams",
+        F.col("bits_per_char").alias("bits_raw"),
+    )
+    scored_target = charlm_score(
+        df,
+        id_col,
+        text_col,
+        fit_df=target_df,
+        fit_text_col=target_text_col or text_col,
+        k=k,
+        lowercase=lowercase,
+    ).select(F.col(id_col), F.col("bits_per_char").alias("bits_target"))
+    return scored_raw.join(scored_target, id_col).select(
+        id_col,
+        "n_bigrams",
+        "bits_raw",
+        "bits_target",
+        F.round(
+            F.col("n_bigrams") * (F.col("bits_raw") - F.col("bits_target")), 4
+        ).alias("log2_weight"),
+    )

@@ -1596,3 +1596,26 @@ class TestGopherFlags:
                   gopher_quality_flags(docs, "doc_id", "text",
                                        min_words=10**6).collect()}
         assert not any(strict.values())
+
+
+class TestDsirImportance:
+    def test_target_domain_docs_weight_higher(self, spark):
+        from pyspark.sql import functions as F2
+        from dbldatagen_spark.functions import dsir_importance
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        target = docs.where(F2.col("source") == "src0")
+        out = dsir_importance(docs, "doc_id", "text", target)
+        joined = out.join(docs.select("doc_id", "source"), "doc_id")
+        means = {r["in_target"]: r["m"] for r in (
+            joined.groupBy((F2.col("source") == "src0").alias("in_target"))
+            .agg(F2.avg("log2_weight").alias("m")).collect())}
+        # docs from the target domain must look more target-like on average
+        assert means[True] > means[False]
+
+    def test_self_target_weights_zero(self, spark):
+        from dbldatagen_spark.functions import dsir_importance
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = dsir_importance(docs, "doc_id", "text", docs)
+        assert out.where("log2_weight != 0.0").count() == 0
