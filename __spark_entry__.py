@@ -678,6 +678,21 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with a pre-existing clustering (the
+    label column): within each cluster, any vector with a smaller-id
+    neighbor at cosine >= 0.45 is dropped; the oracle reproduces every
+    keep/drop decision exactly. The kmeans/LSH clustering methods are
+    pytest-covered (clustering quality is invariant-checked by
+    ann_kmeans_ivf)."""
+    from dbldatagen_spark.functions import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, "vec_id", "embedding", cluster_col="label", threshold=0.45
+    ).orderBy("vec_id")
+
+
 def _text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (target domain = source 'src0' documents,
     raw = whole corpus): total log2 likelihood ratio between the
@@ -2869,6 +2884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dup_spans": _text_dup_spans,
         "text_gopher_flags": _text_gopher_flags,
         "text_dsir_importance": _text_dsir_importance,
+        "dedup_semantic": _dedup_semantic,
         "events_streaming_sessions": _events_streaming_sessions,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
@@ -4191,6 +4207,22 @@ def _oracle_sql_base() -> dict[str, str]:
                     AND (stop_hits >= 2)) AS pass_all
             FROM m
             ORDER BY doc_id
+        """,
+        "dedup_semantic": """
+            WITH e AS (
+                SELECT vec_id, CAST(label AS BIGINT) AS cluster,
+                       CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings
+            ),
+            dropped AS (
+                SELECT DISTINCT b.vec_id
+                FROM e a JOIN e b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= 0.45
+            )
+            SELECT e.vec_id, e.cluster, (d.vec_id IS NULL) AS keep
+            FROM e LEFT JOIN dropped d ON e.vec_id = d.vec_id
+            ORDER BY e.vec_id
         """,
         "events_streaming_sessions": """
             WITH w AS (

@@ -25,6 +25,7 @@ from dbldatagen_spark.functions.dedup import (
     minhash_cluster_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
+    semantic_dedup,
     simhash_signatures,
 )
 from dbldatagen_spark.functions.similarity import (
@@ -93,6 +94,7 @@ __all__ = [
     "duplicated_span_stats",
     "gopher_quality_flags",
     "dsir_importance",
+    "semantic_dedup",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

@@ -994,3 +994,86 @@ def duplicated_span_stats(
             ),
         )
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    method: str = "kmeans",
+    cluster_col: Optional[str] = None,
+    k: int = 16,
+    num_planes: int = 16,
+    seed: int = 42,
+    max_iter: int = 5,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (after Abbas et al. 2023):
+    partition the embedding space into clusters, then within each
+    cluster drop every vector that has a more-canonical (smaller-id)
+    neighbor at cosine >= ``threshold``. The smallest id of every
+    near-duplicate group always survives; distant pairs are never
+    compared, which is the whole point — the quadratic step is bounded
+    by cluster size, not corpus size (size ``k`` to the corpus so
+    ``n/k`` stays small).
+
+    Clustering: ``method="kmeans"`` (Lloyd's via :func:`kmeans_fit`,
+    deterministic init), ``method="lsh"`` (random-hyperplane signature —
+    pure expressions, no driver round-trips), or pass ``cluster_col``
+    to use an existing partition (topic, label, shard).
+
+    Returns ``(id, cluster, keep)`` for every input row. Plan shape: the
+    cluster assignment is map-only (kmeans adds one bounded
+    driver-reduce per fit iteration); pruning is one self-equi-join on
+    the cluster key plus a broadcast-capable anti-join of dropped ids.
+    """
+    from dbldatagen_spark.functions.similarity import (
+        cosine_similarity_expr,
+        hyperplane_signature_expr,
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    if cluster_col is not None:
+        assigned = df.select(
+            F.col(id_col),
+            F.col(vec_col).alias("_v"),
+            F.col(cluster_col).cast("long").alias("_cluster"),
+        )
+    elif method == "kmeans":
+        cents, _ = kmeans_fit(base, "_v", k, id_col=id_col, max_iter=max_iter)
+        assigned = kmeans_assign(base, "_v", cents, out_col="_cluster")
+        assigned = assigned.withColumn("_cluster", F.col("_cluster").cast("long"))
+    elif method == "lsh":
+        assigned = base.withColumn(
+            "_cluster", hyperplane_signature_expr(F.col("_v"), num_planes, seed)
+        )
+    else:
+        raise ValueError(f"method must be kmeans|lsh, got {method!r}")
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(
+            b,
+            (F.col("a._cluster") == F.col("b._cluster"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(
+            F.round(
+                cosine_similarity_expr(F.col("a._v"), F.col("b._v")), 4
+            )
+            >= F.lit(threshold)
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(1)), id_col, "left")
+        .select(
+            id_col,
+            F.col("_cluster").alias("cluster"),
+            F.col("_drop").isNull().alias("keep"),
+        )
+    )

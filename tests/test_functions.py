@@ -1619,3 +1619,44 @@ class TestDsirImportance:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         out = dsir_importance(docs, "doc_id", "text", docs)
         assert out.where("log2_weight != 0.0").count() == 0
+
+
+class TestSemanticDedup:
+    def test_min_id_survives_and_methods_run(self, spark):
+        from dbldatagen_spark.functions import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        for kw in (dict(cluster_col="label", threshold=0.45),
+                   dict(method="kmeans", k=8, threshold=0.45),
+                   dict(method="lsh", num_planes=8, threshold=0.45)):
+            out = semantic_dedup(emb, "vec_id", "embedding", **kw)
+            rows = out.collect()
+            assert len(rows) == emb.count()
+            by_cluster = {}
+            for r in rows:
+                by_cluster.setdefault(r["cluster"], []).append(r)
+            for members in by_cluster.values():
+                # the smallest id in a cluster can never be dropped
+                assert min(members, key=lambda r: r["vec_id"])["keep"]
+
+    def test_planted_duplicate_dropped(self, spark):
+        from dbldatagen_spark.functions import semantic_dedup
+
+        rows = [(0, [1.0, 0.0, 0.0], 0),
+                (1, [1.0, 0.001, 0.0], 0),   # near-identical to 0
+                (2, [0.0, 1.0, 0.0], 0),
+                (3, [0.0, 0.0, 1.0], 1)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        got = {r["vec_id"]: r["keep"] for r in semantic_dedup(
+            emb, "vec_id", "embedding", cluster_col="label",
+            threshold=0.95).collect()}
+        assert got == {0: True, 1: False, 2: True, 3: True}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        with _pytest.raises(ValueError):
+            semantic_dedup(emb, "vec_id", "embedding", method="nope")
