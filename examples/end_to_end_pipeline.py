@@ -221,6 +221,38 @@ def main() -> None:
     print("sessions (skew-safe):", sessions.count())
 
     # ------------------------------------------------------------------
+    # 5b. Quality cascade: rules -> LM scoring -> targeted selection
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import (
+        charlm_score,
+        dsir_importance,
+        duplicated_span_stats,
+        gopher_quality_flags,
+        semantic_dedup,
+    )
+
+    # synthetic vocab carries only "the" from the stop list -> loosen
+    # that one rule; every threshold is an argument for exactly this
+    flags = gopher_quality_flags(docs, "doc_id", "text", min_words=10,
+                                 min_stop_word_hits=1)
+    print("gopher pass_all:", flags.where("pass_all").count(), "/",
+          flags.count())
+    lm = charlm_score(docs, "doc_id", "text")
+    print("median bits/char:",
+          lm.approxQuantile("bits_per_char", [0.5], 0.01)[0])
+    target = docs.where(F.col("source") == "src0")
+    dsir = dsir_importance(docs, "doc_id", "text", target)
+    print("docs weighted toward src0 domain:",
+          dsir.where("log2_weight > 0").count())
+    spans = duplicated_span_stats(docs, "doc_id", "text",
+                                  window=10, stride=5)
+    print("docs with duplicated spans:",
+          spans.where("n_dup_spans > 0").count())
+    sem = semantic_dedup(emb, "vec_id", "embedding",
+                         method="kmeans", k=8, threshold=0.9)
+    print("semantic dedup kept:", sem.where("keep").count(), "/", sem.count())
+
+    # ------------------------------------------------------------------
     # 6. Training-set assembly: weighted mix -> packed sequence layout
     # ------------------------------------------------------------------
     from dbldatagen_spark.functions import (

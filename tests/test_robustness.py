@@ -160,3 +160,60 @@ class TestBoundaryRanges:
                     )
                 ],
             )
+
+
+class TestPipelineOpsDegenerateInputs:
+    """Empty frames and null/empty text through the round-4 operators —
+    none may throw; each has a documented degenerate result."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string, source string")
+
+    def test_empty_frames(self, spark):
+        from dbldatagen_spark.functions import (
+            charlm_score,
+            duplicated_span_stats,
+            gopher_quality_flags,
+            mix_corpus,
+            pack_sequences,
+        )
+
+        empty = self._empty_docs(spark)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert duplicated_span_stats(empty, "doc_id", "text").count() == 0
+        assert gopher_quality_flags(empty, "doc_id", "text").count() == 0
+        assert mix_corpus(empty, "doc_id", "source", {"a": 1.0}).count() == 0
+        empty_counts = spark.createDataFrame([], "doc_id long, n long")
+        assert pack_sequences(empty_counts, "doc_id", "n", 100).count() == 0
+        # empty corpus to SCORE with a real fit corpus
+        assert charlm_score(empty, "doc_id", "text", fit_df=docs).count() == 0
+
+    def test_null_and_empty_text(self, spark):
+        from pyspark.sql import functions as F
+        from dbldatagen_spark.functions import (
+            charlm_score,
+            gopher_quality_flags,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        probe = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "   ")], "doc_id long, text string"
+        )
+        lm = {r["doc_id"]: r for r in
+              charlm_score(probe, "doc_id", "text", fit_df=docs).collect()}
+        assert all(lm[i]["bits_per_char"] is None for i in (1, 2))
+        g = {r["doc_id"]: r for r in
+             gopher_quality_flags(probe, "doc_id", "text").collect()}
+        # null text -> null measurements, never a crash or a spurious pass
+        assert g[1]["pass_all"] is None or g[1]["pass_all"] is False
+        assert g[2]["pass_all"] is False or g[2]["pass_all"] is None
+
+    def test_semantic_dedup_single_row_cluster(self, spark):
+        from dbldatagen_spark.functions import semantic_dedup
+
+        one = spark.createDataFrame(
+            [(7, [1.0, 0.0], 3)], "vec_id long, embedding array<double>, label int"
+        )
+        rows = semantic_dedup(one, "vec_id", "embedding",
+                              cluster_col="label").collect()
+        assert len(rows) == 1 and rows[0]["keep"]
