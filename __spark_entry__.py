@@ -678,6 +678,70 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-micro-batch global dedup via applyInPandasWithState, run as
+    a REAL two-micro-batch stream: the documents corpus arrives first,
+    then an exact duplicate of every document (new ids, later
+    timestamps) in a second file — only first occurrences may emit. The
+    oracle recomputes the expected survivor set (min (ts, id) per
+    normalized content) independently; stream-vs-batch equality rides
+    along as a constant column."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.stateful import global_dedup_with_state
+
+    base = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' "
+            "+ make_interval(0, 0, 0, 0, 0, cast(doc_id % 100000 as int), 0)"
+        ).alias("ts"),
+    )
+    dups = base.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        F.expr("ts + interval 1 day").alias("ts"),
+    )
+    both = base.union(dups)
+    batch = global_dedup_with_state(both, "doc_id", "text")
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_dedupstream_")
+    try:
+        base.coalesce(1).write.parquet(f"{tmp}/src")
+        dups.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            global_dedup_with_state(stream, "doc_id", "text")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.select(
+            "doc_id",
+            F.col("first_seen_ts").cast("timestamp_ntz").alias("first_seen_ts"),
+        )
+        .withColumn("stream_batch_mismatches", F.lit(int(mismatches)).cast("long"))
+        .orderBy("doc_id")
+    )
+
+
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup with a pre-existing clustering (the
     label column): within each cluster, any vector with a smaller-id
@@ -2886,6 +2950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dsir_importance": _text_dsir_importance,
         "dedup_semantic": _dedup_semantic,
         "events_streaming_sessions": _events_streaming_sessions,
+        "docs_streaming_dedup": _docs_streaming_dedup,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4206,6 +4271,32 @@ def _oracle_sql_base() -> dict[str, str]:
                     AND (alpha_words::DOUBLE / sw >= 0.8)
                     AND (stop_hits >= 2)) AS pass_all
             FROM m
+            ORDER BY doc_id
+        """,
+        "docs_streaming_dedup": r"""
+            WITH unioned AS (
+                SELECT doc_id,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content,
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + (doc_id % 100000) * INTERVAL 1 MINUTE AS ts
+                FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                       TIMESTAMP '2024-01-01 00:00:00'
+                           + (doc_id % 100000) * INTERVAL 1 MINUTE
+                           + INTERVAL 1 DAY
+                FROM documents
+            ),
+            ranked AS (
+                SELECT doc_id, ts,
+                       row_number() OVER (PARTITION BY content
+                                          ORDER BY ts, doc_id) AS rn
+                FROM unioned
+            )
+            SELECT doc_id, ts AS first_seen_ts,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM ranked WHERE rn = 1
             ORDER BY doc_id
         """,
         "dedup_semantic": """
