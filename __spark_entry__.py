@@ -678,6 +678,16 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two token-length histogram (packing/budget planning).
+    Bucket index is exact integer arithmetic (binary-string length), so
+    power-of-two boundary counts can never misbucket to libm error."""
+    from dbldatagen_spark.functions import sequence_length_histogram
+
+    docs = _load(spark, sf_dir, "documents")
+    return sequence_length_histogram(docs, "n_chars").orderBy("bucket")
+
+
 def _docs_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-micro-batch global dedup via applyInPandasWithState, run as
     a REAL two-micro-batch stream: the documents corpus arrives first,
@@ -2951,6 +2961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": _dedup_semantic,
         "events_streaming_sessions": _events_streaming_sessions,
         "docs_streaming_dedup": _docs_streaming_dedup,
+        "corpus_length_histogram": _corpus_length_histogram,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4272,6 +4283,24 @@ def _oracle_sql_base() -> dict[str, str]:
                     AND (stop_hits >= 2)) AS pass_all
             FROM m
             ORDER BY doc_id
+        """,
+        "corpus_length_histogram": """
+            WITH b AS (
+                SELECT CASE WHEN n_chars <= 0 THEN CAST(-1 AS BIGINT)
+                            ELSE CAST(length(bin(n_chars)) - 1 AS BIGINT)
+                       END AS bucket,
+                       n_chars
+                FROM documents
+            )
+            SELECT bucket,
+                   CASE WHEN bucket < 0 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << bucket END AS bucket_lo,
+                   CASE WHEN bucket < 0 THEN CAST(1 AS BIGINT)
+                        ELSE CAST(1 AS BIGINT) << (bucket + 1) END AS bucket_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS total_tokens
+            FROM b GROUP BY bucket
+            ORDER BY bucket
         """,
         "docs_streaming_dedup": r"""
             WITH unioned AS (

@@ -58,7 +58,11 @@ from dbldatagen_spark.functions.sampling import (
     split_assign,
     stratified_sample,
 )
-from dbldatagen_spark.functions.packing import pack_sequences, packing_stats
+from dbldatagen_spark.functions.packing import (
+    pack_sequences,
+    packing_stats,
+    sequence_length_histogram,
+)
 from dbldatagen_spark.functions.dedup import ngram_contamination
 from dbldatagen_spark.functions.text_analysis import (
     assign_training_shards,
@@ -98,6 +102,7 @@ __all__ = [
     "mix_corpus",
     "pack_sequences",
     "packing_stats",
+    "sequence_length_histogram",
     "resize_ppm_images",
     "normalize_text",
     "dedup_lines_corpus",

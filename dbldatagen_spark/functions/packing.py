@@ -151,3 +151,49 @@ def packing_stats(packed: DataFrame, max_tokens: int) -> DataFrame:
             ).alias("tail_waste_frac"),
         )
     )
+
+
+def sequence_length_histogram(
+    df: DataFrame,
+    count_col: str,
+) -> DataFrame:
+    """Power-of-two histogram of a token-count column — the planning
+    input for :func:`pack_sequences` (choosing ``max_tokens`` and
+    ``num_shards``) and for tokenizer/sequence-budget decisions.
+
+    Rows: ``(bucket, bucket_lo, bucket_hi, n_docs, total_tokens)`` where
+    bucket ``b`` covers counts in ``[2^b, 2^(b+1))``; zero-length docs
+    land in bucket ``-1`` (``[0, 1)``). One map-side-combined
+    aggregation over at most ~64 distinct buckets — scan-bound at any
+    corpus size.
+    """
+    n = F.col(count_col).cast("long")
+    # floor(log2(n)) computed EXACTLY as len(binary(n)) - 1: libm log2 of
+    # a power of two can land a hair under the integer and floor() then
+    # misbuckets; string length of the binary form cannot
+    bucket = F.when(n <= 0, F.lit(-1).cast("long")).otherwise(
+        (F.length(F.bin(n)) - 1).cast("long")
+    )
+    return (
+        df.select(bucket.alias("bucket"), n.alias("_n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            # pyspark's shiftleft() only takes an int literal for numBits;
+            # the SQL form accepts a column
+            F.when(F.col("bucket") < 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("shiftleft(cast(1 as bigint), cast(bucket as int))"))
+            .alias("bucket_lo"),
+            F.when(F.col("bucket") < 0, F.lit(1).cast("long"))
+            .otherwise(
+                F.expr("shiftleft(cast(1 as bigint), cast(bucket + 1 as int))")
+            )
+            .alias("bucket_hi"),
+            "n_docs",
+            "total_tokens",
+        )
+    )

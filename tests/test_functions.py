@@ -1660,3 +1660,34 @@ class TestSemanticDedup:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with _pytest.raises(ValueError):
             semantic_dedup(emb, "vec_id", "embedding", method="nope")
+
+
+class TestLengthHistogram:
+    def test_buckets_exact_at_power_boundaries(self, spark):
+        from dbldatagen_spark.functions import sequence_length_histogram
+
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate([0, 1, 2, 3, 4, 7, 8, 1023, 1024, 4096])],
+            "doc_id long, n long",
+        )
+        got = {r["bucket"]: (r["bucket_lo"], r["bucket_hi"], r["n_docs"],
+                             r["total_tokens"])
+               for r in sequence_length_histogram(df, "n").collect()}
+        assert got[-1] == (0, 1, 1, 0)          # zero-length doc
+        assert got[0] == (1, 2, 1, 1)
+        assert got[1] == (2, 4, 2, 5)           # 2, 3
+        assert got[2] == (4, 8, 2, 11)          # 4, 7
+        assert got[3] == (8, 16, 1, 8)          # exactly 8 -> bucket 3, not 2
+        assert got[9] == (512, 1024, 1, 1023)
+        assert got[10] == (1024, 2048, 1, 1024) # power boundary exact
+        assert got[12] == (4096, 8192, 1, 4096)
+
+    def test_conservation(self, spark):
+        from pyspark.sql import functions as F2
+        from dbldatagen_spark.functions import sequence_length_histogram
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        h = sequence_length_histogram(docs, "n_chars")
+        tot = h.agg(F2.sum("n_docs"), F2.sum("total_tokens")).first()
+        want = docs.agg(F2.count("*"), F2.sum("n_chars")).first()
+        assert (tot[0], tot[1]) == (want[0], want[1])
