@@ -678,6 +678,73 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState) with a
+    max-events cap — a close rule native session_window cannot express —
+    run as a REAL two-micro-batch stream with sessions spanning the
+    batch boundary. Deterministic comparison set: gap- and cap-closed
+    sessions only (timeout emissions depend on end-of-stream watermark
+    timing and are filtered on both sides); the oracle recomputes them
+    via gaps-and-islands + per-island cap subdivision, excluding each
+    user's trailing still-open session unless the cap closed it."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.stateful import sessionize_with_state
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    tmid = ev.selectExpr("percentile(cast(ts as double), 0.5) p").first()["p"]
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_capsess_")
+    try:
+        ev.where(F.col("ts").cast("double") <= tmid).coalesce(1).write.parquet(
+            f"{tmp}/src"
+        )
+        ev.where(F.col("ts").cast("double") > tmid).coalesce(1).write.mode(
+            "append"
+        ).parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        sess = sessionize_with_state(
+            stream, gap_minutes=720, max_events=3, watermark="2 hours"
+        )
+        q = (
+            sess.writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.read.parquet(f"{tmp}/out")
+        out = (
+            got.where(F.col("closed_by").isin(0, 1))
+            .select(
+                "user_id",
+                F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+                F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+                F.col("n_events").cast("long").alias("n_events"),
+                F.round("value_sum", 2).alias("value_sum"),
+                F.col("closed_by").cast("long").alias("closed_by"),
+            )
+            .orderBy("user_id", "session_start")
+        )
+        # materialize before the temp dir disappears
+        rows = out.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp_ntz, session_end timestamp_ntz, "
+        "n_events long, value_sum double, closed_by long",
+    ).orderBy("user_id", "session_start")
+
+
 def _corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Power-of-two token-length histogram (packing/budget planning).
     Bucket index is exact integer arithmetic (binary-string length), so
@@ -2962,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_sessions": _events_streaming_sessions,
         "docs_streaming_dedup": _docs_streaming_dedup,
         "corpus_length_histogram": _corpus_length_histogram,
+        "events_capped_sessions": _events_capped_sessions,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4283,6 +4351,45 @@ def _oracle_sql_base() -> dict[str, str]:
                     AND (stop_hits >= 2)) AS pass_all
             FROM m
             ORDER BY doc_id
+        """,
+        "events_capped_sessions": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 43200
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS island
+                FROM w
+            ),
+            r AS (
+                SELECT user_id, ts, value, island,
+                       row_number() OVER (PARTITION BY user_id, island
+                                          ORDER BY ts) - 1 AS rn
+                FROM s
+            ),
+            g AS (
+                SELECT user_id, island, rn // 3 AS sub,
+                       MIN(ts) AS session_start, MAX(ts) AS session_end,
+                       CAST(COUNT(*) AS BIGINT) AS n_events,
+                       ROUND(SUM(value), 2) AS value_sum
+                FROM r GROUP BY user_id, island, rn // 3
+            ),
+            k AS (
+                SELECT *,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY session_start DESC) AS rdesc
+                FROM g
+            )
+            SELECT user_id, session_start, session_end, n_events, value_sum,
+                   CAST(CASE WHEN n_events = 3 THEN 1 ELSE 0 END AS BIGINT)
+                       AS closed_by
+            FROM k WHERE rdesc > 1 OR n_events = 3
+            ORDER BY user_id, session_start
         """,
         "corpus_length_histogram": """
             WITH b AS (
