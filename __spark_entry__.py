@@ -1740,6 +1740,49 @@ def _multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode (mono 16-bit PCM WAV, numpy-only — RIFF chunk
+    walk, no codec libs): synthesized decodable clips flow through the
+    mapInPandas extractor; invariants prove true decoding (exact sample
+    counts and duration from the header, unit-scale energy bounds, sane
+    zero-crossing rates for the planted sine frequencies) and rebuild
+    determinism across partitionings."""
+    from dbldatagen_spark.functions import extract_audio_features
+    from dbldatagen_spark.functions.multimodal import synthesize_wav_table
+
+    def feats(partitions: int) -> DataFrame:
+        media = synthesize_wav_table(spark, rows=500, partitions=partitions)
+        return extract_audio_features(media)
+
+    f = feats(4)
+    stats = f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(
+            F.when(
+                (F.col("sample_rate") == 16000)
+                & (F.col("n_samples") == 800)
+                & (F.abs(F.col("duration_ms") - 50.0) < 1e-9),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("bad_dims"),
+        F.sum(
+            F.when(
+                (F.col("rms") > 0.2) & (F.col("rms") < 0.7)
+                & (F.col("peak") <= 1.0)
+                & (F.col("zero_crossing_rate") > 0.0)
+                & (F.col("zero_crossing_rate") < 0.7),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("out_of_range"),
+    )
+    d1, d2 = feats(4), feats(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _multimodal_type_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-bytes content sniffing invariants: payloads synthesized from
     the library's own MEDIA_SIGNATURES table (so spec and test cannot
@@ -3030,6 +3073,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_streaming_dedup": _docs_streaming_dedup,
         "corpus_length_histogram": _corpus_length_histogram,
         "events_capped_sessions": _events_capped_sessions,
+        "multimodal_wav_decode": _multimodal_wav_decode,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3397,6 +3441,11 @@ def _oracle_sql_base() -> dict[str, str]:
         "multimodal_ppm_resize": (
             "SELECT CAST(500 AS BIGINT) AS n_rows, "
             "CAST(0 AS BIGINT) AS inexact, CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_wav_decode": (
+            "SELECT CAST(500 AS BIGINT) AS n_rows, "
+            "CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS out_of_range, "
+            "CAST(0 AS BIGINT) AS mismatches"
         ),
         "text_dedup_lines": _DEDUP_LINES_ORACLE,
         "text_entropy": _ENTROPY_ORACLE,

@@ -87,6 +87,7 @@ from dbldatagen_spark.functions.multimodal import (
     MEDIA_SIGNATURES,
     detect_media_type_expr,
     detect_media_types,
+    extract_audio_features,
     resize_ppm_images,
 )
 
@@ -104,6 +105,7 @@ __all__ = [
     "packing_stats",
     "sequence_length_histogram",
     "resize_ppm_images",
+    "extract_audio_features",
     "normalize_text",
     "dedup_lines_corpus",
     "token_entropy",

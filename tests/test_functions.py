@@ -1691,3 +1691,42 @@ class TestLengthHistogram:
         tot = h.agg(F2.sum("n_docs"), F2.sum("total_tokens")).first()
         want = docs.agg(F2.count("*"), F2.sum("n_chars")).first()
         assert (tot[0], tot[1]) == (want[0], want[1])
+
+
+class TestWavAudio:
+    def test_roundtrip_and_chunk_walk(self, spark):
+        import numpy as np
+        import struct
+        from dbldatagen_spark.functions.multimodal import decode_wav, encode_wav
+
+        s = np.array([0, 1, -1, 32767, -32768, 12345], dtype=np.int16)
+        dec, rate = decode_wav(encode_wav(s, 22050))
+        assert rate == 22050 and (dec == s).all()
+        # extra LIST chunk before data must be skipped
+        payload = encode_wav(s, 8000)
+        head, data = payload[:36], payload[36:]
+        extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+        dec2, rate2 = decode_wav(head + extra + data)
+        assert rate2 == 8000 and (dec2 == s).all()
+
+    def test_feature_extraction_invariants(self, spark):
+        from dbldatagen_spark.functions import extract_audio_features
+        from dbldatagen_spark.functions.multimodal import synthesize_wav_table
+
+        media = synthesize_wav_table(spark, rows=30, partitions=2)
+        feats = extract_audio_features(media).collect()
+        assert len(feats) == 30
+        for r in feats:
+            assert r["sample_rate"] == 16000 and r["n_samples"] == 800
+            assert abs(r["duration_ms"] - 50.0) < 1e-9
+            assert 0.2 < r["rms"] < 0.7 and r["peak"] <= 1.0
+            assert 0.0 < r["zero_crossing_rate"] < 0.7
+
+    def test_rejects_non_pcm(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions.multimodal import decode_wav
+
+        with _pytest.raises(ValueError):
+            decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
+        with _pytest.raises(ValueError):
+            decode_wav(b"garbage")
