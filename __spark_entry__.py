@@ -1783,6 +1783,56 @@ def _multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (P6-stream container — self-delimiting
+    frames, numpy-only multi-frame decode): every 4th frame of 12-frame
+    clips is decoded and characterized. Invariants: exact sampled-frame
+    count and indices, per-frame dimensions from the headers, the
+    planted monotone brightness ramp across each clip's sampled frames,
+    and rebuild determinism across partitionings."""
+    from dbldatagen_spark.functions import sample_video_frames
+    from dbldatagen_spark.functions.multimodal import synthesize_ppm_video_table
+
+    def frames(partitions: int) -> DataFrame:
+        media = synthesize_ppm_video_table(
+            spark, rows=300, partitions=partitions, n_frames=12, size=8
+        )
+        return sample_video_frames(media, every_n=4)
+
+    f = frames(4)
+    ramp = (
+        f.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min_by("mean_brightness", "frame_idx").alias("_first"),
+            F.max_by("mean_brightness", "frame_idx").alias("_last"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_videos"),
+            F.sum(F.when(F.col("_n") == 3, 0).otherwise(1))
+            .cast("long").alias("bad_counts"),
+            F.sum(F.when(F.col("_first") < F.col("_last"), 0).otherwise(1))
+            .cast("long").alias("ramp_violations"),
+        )
+    )
+    dims = f.agg(
+        F.sum(
+            F.when(
+                (F.col("width") == 8) & (F.col("height") == 8)
+                & (F.col("n_frames") == 12)
+                & F.col("frame_idx").isin(0, 4, 8),
+                0,
+            ).otherwise(1)
+        ).cast("long").alias("bad_dims")
+    )
+    d1, d2 = frames(4), frames(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return ramp.crossJoin(dims).crossJoin(diff)
+
+
 def _multimodal_type_sniffing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-bytes content sniffing invariants: payloads synthesized from
     the library's own MEDIA_SIGNATURES table (so spec and test cannot
@@ -3074,6 +3124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_length_histogram": _corpus_length_histogram,
         "events_capped_sessions": _events_capped_sessions,
         "multimodal_wav_decode": _multimodal_wav_decode,
+        "multimodal_video_frames": _multimodal_video_frames,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3446,6 +3497,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(500 AS BIGINT) AS n_rows, "
             "CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS out_of_range, "
             "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_video_frames": (
+            "SELECT CAST(300 AS BIGINT) AS n_videos, "
+            "CAST(0 AS BIGINT) AS bad_counts, "
+            "CAST(0 AS BIGINT) AS ramp_violations, "
+            "CAST(0 AS BIGINT) AS bad_dims, CAST(0 AS BIGINT) AS mismatches"
         ),
         "text_dedup_lines": _DEDUP_LINES_ORACLE,
         "text_entropy": _ENTROPY_ORACLE,

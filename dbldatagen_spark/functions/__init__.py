@@ -89,6 +89,7 @@ from dbldatagen_spark.functions.multimodal import (
     detect_media_types,
     extract_audio_features,
     resize_ppm_images,
+    sample_video_frames,
 )
 
 __all__ = [
@@ -106,6 +107,7 @@ __all__ = [
     "sequence_length_histogram",
     "resize_ppm_images",
     "extract_audio_features",
+    "sample_video_frames",
     "normalize_text",
     "dedup_lines_corpus",
     "token_entropy",

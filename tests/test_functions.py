@@ -1730,3 +1730,45 @@ class TestWavAudio:
             decode_wav(b"RIFF\x00\x00\x00\x00AVI ")
         with _pytest.raises(ValueError):
             decode_wav(b"garbage")
+
+
+class TestVideoFrames:
+    def test_roundtrip_and_sampling(self, spark):
+        import numpy as np
+        from dbldatagen_spark.functions import sample_video_frames
+        from dbldatagen_spark.functions.multimodal import (
+            decode_ppm_video,
+            encode_ppm_video,
+            synthesize_ppm_video_table,
+        )
+
+        frames = [np.full((4, 6, 3), i * 7, dtype=np.uint8) for i in range(5)]
+        dec = decode_ppm_video(encode_ppm_video(frames))
+        assert len(dec) == 5
+        assert all((a == b).all() for a, b in zip(frames, dec))
+
+        media = synthesize_ppm_video_table(spark, rows=20, partitions=2,
+                                           n_frames=12)
+        out = sample_video_frames(media, every_n=4).collect()
+        assert len(out) == 20 * 3
+        assert all(r["frame_idx"] in (0, 4, 8) and r["n_frames"] == 12
+                   for r in out)
+        by = {}
+        for r in out:
+            by.setdefault(r["media_id"], {})[r["frame_idx"]] = r["mean_brightness"]
+        # planted brightness ramp survives decode
+        assert all(d[0] < d[4] < d[8] for d in by.values())
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import sample_video_frames
+        from dbldatagen_spark.functions.multimodal import (
+            decode_ppm_video,
+            synthesize_ppm_video_table,
+        )
+
+        with _pytest.raises(ValueError):
+            decode_ppm_video(b"NOTPPM")
+        media = synthesize_ppm_video_table(spark, rows=1, partitions=1)
+        with _pytest.raises(ValueError):
+            sample_video_frames(media, every_n=0)
