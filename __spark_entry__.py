@@ -819,6 +819,25 @@ def _docs_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_fuzzy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked entity resolution over customer names: candidate pairs
+    within one Levenshtein edit, generated inside 16-char prefix blocks
+    (JVM levenshtein, one self-equi-join on the block key, no UDF, no
+    cross product; the 16-char block bounds every block at ~100 records
+    so the quadratic step stays constant-sized as the corpus grows).
+    The oracle recomputes every pair and distance."""
+    from dbldatagen_spark.functions import fuzzy_match_records
+
+    cust = _load(spark, sf_dir, "customer")
+    return (
+        fuzzy_match_records(
+            cust, "c_custkey", "c_name", max_distance=1, block_len=16
+        )
+        .select("id_a", "id_b", F.col("distance").cast("int").alias("distance"))
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup with a pre-existing clustering (the
     label column): within each cluster, any vector with a smaller-id
@@ -3125,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_capped_sessions": _events_capped_sessions,
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_video_frames": _multimodal_video_frames,
+        "dedup_fuzzy_records": _dedup_fuzzy_records,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4540,6 +4560,22 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS stream_batch_mismatches
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "dedup_fuzzy_records": r"""
+            WITH c AS (
+                SELECT c_custkey,
+                       lower(regexp_replace(trim(c_name), '\s+', ' ', 'g')) AS nm
+                FROM customer
+            ),
+            b AS (
+                SELECT c_custkey, nm, substr(nm, 1, 16) AS blk FROM c
+            )
+            SELECT a.c_custkey AS id_a, b2.c_custkey AS id_b,
+                   CAST(levenshtein(a.nm, b2.nm) AS INTEGER) AS distance
+            FROM b a JOIN b b2
+              ON a.blk = b2.blk AND a.c_custkey < b2.c_custkey
+            WHERE levenshtein(a.nm, b2.nm) <= 1
+            ORDER BY id_a, id_b
         """,
         "dedup_semantic": """
             WITH e AS (

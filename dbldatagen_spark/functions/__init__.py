@@ -22,6 +22,7 @@ from dbldatagen_spark.functions.dedup import (
     duplicated_span_stats,
     embedding_near_duplicates,
     exact_dedup,
+    fuzzy_match_records,
     minhash_cluster_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -101,6 +102,7 @@ __all__ = [
     "gopher_quality_flags",
     "dsir_importance",
     "semantic_dedup",
+    "fuzzy_match_records",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

@@ -1077,3 +1077,55 @@ def semantic_dedup(
             F.col("_drop").isNull().alias("keep"),
         )
     )
+
+
+
+def fuzzy_match_records(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    *,
+    max_distance: int = 2,
+    block_len: int = 4,
+    normalize: bool = True,
+) -> DataFrame:
+    """Entity-resolution candidate pairs: records whose (normalized) name
+    strings are within ``max_distance`` Levenshtein edits, generated
+    inside prefix blocks — the classic blocked record-linkage shape.
+
+    Returns ``(id_a, id_b, distance)`` with ``id_a < id_b``. Blocking on
+    the first ``block_len`` normalized characters bounds the quadratic
+    comparison at block size (names differing inside the prefix are
+    assumed distinct entities — the standard recall/cost dial; lower
+    ``block_len`` for higher recall). The edit distance itself runs in
+    the JVM (``levenshtein`` is a built-in), so the whole operator is
+    one self-equi-join on a short block key — no UDF, no full cross
+    product, text enters the shuffle only as the (typically short) name
+    column.
+    """
+    if max_distance < 0:
+        raise ValueError(f"max_distance must be >= 0, got {max_distance}")
+    if block_len < 1:
+        raise ValueError(f"block_len must be >= 1, got {block_len}")
+    name = F.col(name_col)
+    if normalize:
+        name = normalize_text_expr(name)
+    base = df.select(
+        F.col(id_col),
+        name.alias("_nm"),
+        F.substring(name, 1, block_len).alias("_blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.levenshtein(F.col("a._nm"), F.col("b._nm")).alias("distance"),
+        )
+        .where(F.col("distance") <= F.lit(max_distance))
+    )

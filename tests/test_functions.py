@@ -1772,3 +1772,47 @@ class TestVideoFrames:
         media = synthesize_ppm_video_table(spark, rows=1, partitions=1)
         with _pytest.raises(ValueError):
             sample_video_frames(media, every_n=0)
+
+
+class TestFuzzyMatchRecords:
+    def test_planted_variants_match(self, spark):
+        from dbldatagen_spark.functions import fuzzy_match_records
+
+        probe = spark.createDataFrame(
+            [(1, "John Smith"), (2, "John Smyth"), (3, "John  Smith"),
+             (4, "Jane Doe"), (5, " jane doe"), (6, "Completely Other")],
+            "rec_id long, name string",
+        )
+        pairs = {(r["id_a"], r["id_b"]): r["distance"]
+                 for r in fuzzy_match_records(probe, "rec_id", "name",
+                                              max_distance=2,
+                                              block_len=4).collect()}
+        assert pairs[(1, 3)] == 0   # whitespace collapse
+        assert pairs[(4, 5)] == 0   # trim + case fold
+        assert pairs[(1, 2)] == 1   # smith ~ smyth within the 'john' block
+        assert not any(6 in p for p in pairs)
+
+    def test_blocking_is_the_recall_dial(self, spark):
+        from dbldatagen_spark.functions import fuzzy_match_records
+
+        probe = spark.createDataFrame(
+            [(1, "abcd"), (2, "zbcd")],  # distance 1 but first char differs
+            "rec_id long, name string",
+        )
+        wide = fuzzy_match_records(probe, "rec_id", "name", block_len=1,
+                                   max_distance=1).count()
+        narrow = fuzzy_match_records(probe, "rec_id", "name", block_len=2,
+                                     max_distance=1).count()
+        assert wide == 0 and narrow == 0  # differing prefixes never pair
+        probe2 = spark.createDataFrame(
+            [(1, "abcd"), (2, "abzd")], "rec_id long, name string")
+        assert fuzzy_match_records(probe2, "rec_id", "name", block_len=2,
+                                   max_distance=1).count() == 1
+
+    def test_no_udf_in_plan(self, spark):
+        from dbldatagen_spark.functions import fuzzy_match_records
+
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        plan = fuzzy_match_records(cust, "c_custkey", "c_name") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
