@@ -678,6 +678,24 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 6-hour lattice with forward fill: last observation per
+    bucket (deterministic by event_id), every bucket between each user's
+    first and last observation emitted, values carried across gaps.
+    Lattice explode is bounded by span/interval per key; all epoch math
+    integer-exact, so the oracle reproduces every row."""
+    from dbldatagen_spark.functions import time_gap_fill
+
+    ev = _load(spark, sf_dir, "events")
+    return (
+        time_gap_fill(
+            ev, "user_id", "ts", "value",
+            interval_seconds=21600, order_col="event_id",
+        )
+        .orderBy("user_id", "bucket_ts")
+    )
+
+
 def _events_capped_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful sessionization (applyInPandasWithState) with a
     max-events cap — a close rule native session_window cannot express —
@@ -3145,6 +3163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_wav_decode": _multimodal_wav_decode,
         "multimodal_video_frames": _multimodal_video_frames,
         "dedup_fuzzy_records": _dedup_fuzzy_records,
+        "events_gap_fill": _events_gap_fill,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4560,6 +4579,41 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS stream_batch_mismatches
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "events_gap_fill": """
+            WITH obs AS (
+                SELECT user_id,
+                       -- floor, not ::BIGINT: the cast ROUNDS fractional
+                       -- seconds while Spark's unix_timestamp truncates
+                       (CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600
+                           AS bucket,
+                       arg_max(value, event_id) AS v
+                FROM events
+                GROUP BY 1, 2
+            ),
+            spans AS (
+                SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+                FROM obs GROUP BY 1
+            ),
+            lattice AS (
+                SELECT user_id,
+                       unnest([b FOR b IN range(lo, hi + 1, 21600)]) AS bucket
+                FROM spans
+            ),
+            j AS (
+                SELECT l.user_id, l.bucket, obs.v
+                FROM lattice l LEFT JOIN obs
+                  ON l.user_id = obs.user_id AND l.bucket = obs.bucket
+            )
+            SELECT user_id,
+                   to_timestamp(bucket)::TIMESTAMP AS bucket_ts,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS value,
+                   (v IS NOT NULL) AS was_observed
+            FROM j
+            ORDER BY user_id, bucket_ts
         """,
         "dedup_fuzzy_records": r"""
             WITH c AS (

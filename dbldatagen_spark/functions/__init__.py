@@ -59,6 +59,7 @@ from dbldatagen_spark.functions.sampling import (
     split_assign,
     stratified_sample,
 )
+from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.packing import (
     pack_sequences,
     packing_stats,
@@ -107,6 +108,7 @@ __all__ = [
     "pack_sequences",
     "packing_stats",
     "sequence_length_histogram",
+    "time_gap_fill",
     "resize_ppm_images",
     "extract_audio_features",
     "sample_video_frames",

@@ -1816,3 +1816,56 @@ class TestFuzzyMatchRecords:
         plan = fuzzy_match_records(cust, "c_custkey", "c_name") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestTimeGapFill:
+    def test_fill_semantics(self, spark):
+        import datetime as dt
+        from dbldatagen_spark.functions import time_gap_fill
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, 1, t0, 10.0),
+            (2, 1, t0 + dt.timedelta(hours=3), 30.0),   # 2-bucket gap after
+            (3, 1, t0 + dt.timedelta(hours=1), 20.0),   # same bucket as 10.0? no: next hour
+            (4, 2, t0, 5.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, value double")
+        out = sorted(
+            time_gap_fill(df, "user_id", "ts", "value",
+                          interval_seconds=3600, order_col="event_id").collect(),
+            key=lambda r: (r["user_id"], r["bucket_ts"]),
+        )
+        u1 = [r for r in out if r["user_id"] == 1]
+        assert [r["value"] for r in u1] == [10.0, 20.0, 20.0, 30.0]
+        assert [r["was_observed"] for r in u1] == [True, True, False, True]
+        u2 = [r for r in out if r["user_id"] == 2]
+        assert len(u2) == 1 and u2[0]["value"] == 5.0
+
+    def test_last_per_bucket_is_by_order_col(self, spark):
+        import datetime as dt
+        from dbldatagen_spark.functions import time_gap_fill
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = spark.createDataFrame(
+            [(1, 1, t0, 1.0), (9, 1, t0 + dt.timedelta(minutes=5), 9.0),
+             (5, 1, t0 + dt.timedelta(minutes=10), 5.0)],
+            "event_id long, user_id long, ts timestamp, value double",
+        )
+        out = time_gap_fill(df, "user_id", "ts", "value",
+                            interval_seconds=3600, order_col="event_id").collect()
+        assert len(out) == 1 and out[0]["value"] == 9.0  # max event_id wins
+
+    def test_validation_and_plan(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import time_gap_fill
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with _pytest.raises(ValueError):
+            time_gap_fill(ev, "user_id", "ts", "value",
+                          interval_seconds=0, order_col="event_id")
+        plan = time_gap_fill(ev, "user_id", "ts", "value",
+                             interval_seconds=21600, order_col="event_id") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
