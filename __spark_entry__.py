@@ -678,6 +678,25 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release gate over (nation, market
+    segment) quasi-identifiers with account balance as the sensitive
+    attribute — one bounded hash aggregation; the oracle recomputes
+    every class."""
+    from dbldatagen_spark.functions import k_anonymity_report
+
+    cust = _load(spark, sf_dir, "customer")
+    return (
+        k_anonymity_report(
+            cust,
+            ["c_nationkey", "c_mktsegment"],
+            sensitive_col="c_acctbal",
+            k_threshold=5,
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
 def _events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 6-hour lattice with forward fill: last observation per
     bucket (deterministic by event_id), every bucket between each user's
@@ -3164,6 +3183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_frames": _multimodal_video_frames,
         "dedup_fuzzy_records": _dedup_fuzzy_records,
         "events_gap_fill": _events_gap_fill,
+        "privacy_k_anonymity": _privacy_k_anonymity,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4579,6 +4599,16 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS stream_batch_mismatches
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "privacy_k_anonymity": """
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(COUNT(*) AS BIGINT) AS class_size,
+                   CAST(COUNT(DISTINCT c_acctbal) AS BIGINT) AS l_distinct,
+                   (COUNT(*) < 5) AS violates_k,
+                   (COUNT(DISTINCT c_acctbal) <= 1) AS homogeneous
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            ORDER BY c_nationkey, c_mktsegment
         """,
         "events_gap_fill": """
             WITH obs AS (

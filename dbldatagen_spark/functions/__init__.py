@@ -84,7 +84,12 @@ from dbldatagen_spark.functions.text_analysis import (
     token_entropy,
     token_vocabulary,
 )
-from dbldatagen_spark.functions.pii import PII_PATTERNS, redact_pii, redact_text_expr
+from dbldatagen_spark.functions.pii import (
+    PII_PATTERNS,
+    k_anonymity_report,
+    redact_pii,
+    redact_text_expr,
+)
 from dbldatagen_spark.functions.multimodal import (
     MEDIA_SIGNATURES,
     detect_media_type_expr,
@@ -109,6 +114,7 @@ __all__ = [
     "packing_stats",
     "sequence_length_histogram",
     "time_gap_fill",
+    "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",
     "sample_video_frames",

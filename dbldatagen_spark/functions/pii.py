@@ -103,3 +103,40 @@ def redact_pii(
                 F.regexp_count(text, F.lit(pattern)).cast("long").alias(f"n_{kind}")
             )
     return df.select(*cols)
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    quasi_cols: Sequence[str],
+    *,
+    sensitive_col: Optional[str] = None,
+    k_threshold: int = 5,
+) -> DataFrame:
+    """Per-equivalence-class k-anonymity (and, with ``sensitive_col``,
+    l-diversity) report — the release gate for quasi-identifier
+    combinations in a training or published dataset.
+
+    One row per distinct combination of ``quasi_cols``:
+    ``(quasi..., class_size, violates_k[, l_distinct, l_distinct ==
+    1 -> homogeneous])``. A class smaller than ``k_threshold`` is
+    re-identifiable (``violates_k``); a class whose sensitive attribute
+    takes a single value leaks it outright (``homogeneous``).
+
+    One hash aggregation on the quasi columns with map-side combine —
+    the output is bounded by distinct quasi combinations, not rows, so
+    the report stays small at any corpus size.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k_threshold < 1:
+        raise ValueError(f"k_threshold must be >= 1, got {k_threshold}")
+    aggs = [F.count(F.lit(1)).cast("long").alias("class_size")]
+    if sensitive_col is not None:
+        aggs.append(
+            F.count_distinct(F.col(sensitive_col)).cast("long").alias("l_distinct")
+        )
+    out = df.groupBy(*[F.col(c) for c in quasi_cols]).agg(*aggs)
+    out = out.withColumn("violates_k", F.col("class_size") < F.lit(k_threshold))
+    if sensitive_col is not None:
+        out = out.withColumn("homogeneous", F.col("l_distinct") <= 1)
+    return out

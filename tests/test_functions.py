@@ -1869,3 +1869,36 @@ class TestTimeGapFill:
                              interval_seconds=21600, order_col="event_id") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+
+class TestKAnonymity:
+    def test_classes_flags_and_l_diversity(self, spark):
+        from dbldatagen_spark.functions import k_anonymity_report
+
+        df = spark.createDataFrame(
+            [("us", "a", 1.0), ("us", "a", 2.0), ("us", "a", 2.0),
+             ("us", "b", 5.0),                        # singleton class
+             ("de", "a", 7.0), ("de", "a", 7.0)],     # homogeneous
+            "country string, seg string, salary double",
+        )
+        r = {(x["country"], x["seg"]): x for x in k_anonymity_report(
+            df, ["country", "seg"], sensitive_col="salary",
+            k_threshold=3).collect()}
+        assert r[("us", "a")]["class_size"] == 3
+        assert not r[("us", "a")]["violates_k"]
+        assert r[("us", "a")]["l_distinct"] == 2
+        assert r[("us", "b")]["violates_k"]
+        assert r[("de", "a")]["homogeneous"]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import k_anonymity_report
+
+        cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+        with _pytest.raises(ValueError):
+            k_anonymity_report(cust, [])
+        with _pytest.raises(ValueError):
+            k_anonymity_report(cust, ["c_nationkey"], k_threshold=0)
+        # without sensitive col, no l columns
+        cols = k_anonymity_report(cust, ["c_nationkey"]).columns
+        assert "l_distinct" not in cols and "homogeneous" not in cols
