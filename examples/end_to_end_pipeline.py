@@ -253,6 +253,28 @@ def main() -> None:
     print("semantic dedup kept:", sem.where("keep").count(), "/", sem.count())
 
     # ------------------------------------------------------------------
+    # 5c. Structured-data gates: entity resolution, privacy, gap fill
+    # ------------------------------------------------------------------
+    from dbldatagen_spark.functions import (
+        fuzzy_match_records,
+        k_anonymity_report,
+        time_gap_fill,
+    )
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    er = fuzzy_match_records(cust, "c_custkey", "c_name",
+                             max_distance=1, block_len=16)
+    print("near-duplicate name pairs:", er.count())
+    ka = k_anonymity_report(cust, ["c_nationkey", "c_mktsegment"],
+                            sensitive_col="c_acctbal", k_threshold=5)
+    print("quasi-classes violating k=5:",
+          ka.where("violates_k").count(), "/", ka.count())
+    filled = time_gap_fill(ev, "user_id", "ts", "value",
+                           interval_seconds=21600, order_col="event_id")
+    print("gap-filled lattice rows:", filled.count(),
+          "(", filled.where("NOT was_observed").count(), "filled )")
+
+    # ------------------------------------------------------------------
     # 6. Training-set assembly: weighted mix -> packed sequence layout
     # ------------------------------------------------------------------
     from dbldatagen_spark.functions import (
