@@ -132,8 +132,10 @@ def main() -> None:
     # needs a few executions before the generated loops run at full speed —
     # measured here: the same 10M-row generate goes 9.6s -> 6.8s -> 1.9s on
     # consecutive runs.  At production scale these costs amortize to nothing,
-    # so: one untimed warmup execution, then the best of two timed runs.
-    def _best_of(fn, runs: int = 2) -> float:
+    # so: one untimed warmup execution, then the best of three timed runs
+    # (two occasionally still catches a C2 recompile on the heavier
+    # two-build queries — observed as a 3x outlier on gen_determinism).
+    def _best_of(fn, runs: int = 3) -> float:
         fn()  # untimed compile/JIT warmup
         best = float("inf")
         for _ in range(runs):
