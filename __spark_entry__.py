@@ -678,6 +678,17 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile: the 20 hottest user_ids with counts, row
+    share, and deterministic rank — the pre-salting measurement for
+    skew-aware planning. Top-k compiles to per-partition heads, no full
+    sort; the oracle recomputes the profile exactly."""
+    from dbldatagen_spark.functions import hot_key_report
+
+    ev = _load(spark, sf_dir, "events")
+    return hot_key_report(ev, "user_id", top_k=20)
+
+
 def _privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity release gate over (nation, market
     segment) quasi-identifiers with account balance as the sensitive
@@ -3184,6 +3195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_records": _dedup_fuzzy_records,
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
+        "events_hot_keys": _events_hot_keys,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4599,6 +4611,20 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS stream_batch_mismatches
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "events_hot_keys": """
+            WITH c AS (
+                SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id
+            ),
+            t AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM events)
+            SELECT user_id, cnt,
+                   cnt / total AS share,
+                   CAST(row_number() OVER (ORDER BY cnt DESC, user_id)
+                        AS INTEGER) AS rank
+            FROM c CROSS JOIN t
+            ORDER BY rank
+            LIMIT 20
         """,
         "privacy_k_anonymity": """
             SELECT c_nationkey, c_mktsegment,

@@ -43,7 +43,7 @@ from dbldatagen_spark.functions.similarity import (
     normalize_embeddings,
     quantize_embeddings,
 )
-from dbldatagen_spark.functions.skew import salted_join
+from dbldatagen_spark.functions.skew import hot_key_report, salted_join
 from dbldatagen_spark.functions.sessions import sessionize
 from dbldatagen_spark.functions.asof import asof_join
 from dbldatagen_spark.functions.ranges import range_join
@@ -132,6 +132,7 @@ __all__ = [
     "token_vocabulary",
     "range_join",
     "salted_join",
+    "hot_key_report",
     "normalize_embeddings",
     "quantize_embeddings",
     "chunk_documents",

@@ -63,3 +63,42 @@ def salted_join(
     )
     out = l_salted.join(r_salted, on=[*on, "_salt"], how=how)
     return out.drop("_salt")
+
+
+def hot_key_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    top_k: int = 20,
+) -> DataFrame:
+    """Join/aggregation-key skew profile: the ``top_k`` hottest keys with
+    their counts and share of all rows — the measurement that decides
+    whether a key needs :func:`salted_join` / salting before it becomes
+    the straggler task at scale (one bot-heavy user serializes a
+    sessionization; one viral document serializes a posting list).
+
+    ``(key, cnt, share, rank)``, hottest first; ties broken by key value
+    so the report is deterministic. One map-side-combined aggregation +
+    a top-k (TakeOrderedAndProject — per-partition heads, no full sort);
+    ``share`` is a single integer division, engine-portable.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(F.col(key_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    total = df.count()
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            key_col,
+            "cnt",
+            (F.col("cnt") / F.lit(float(total))).alias("share"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )

@@ -1902,3 +1902,25 @@ class TestKAnonymity:
         # without sensitive col, no l columns
         cols = k_anonymity_report(cust, ["c_nationkey"]).columns
         assert "l_distinct" not in cols and "homogeneous" not in cols
+
+
+class TestHotKeyReport:
+    def test_ranks_counts_and_share(self, spark):
+        from dbldatagen_spark.functions import hot_key_report
+
+        df = spark.createDataFrame(
+            [(k,) for k in [1]*5 + [2]*3 + [3]*1 + [4]*1],
+            "k long",
+        )
+        rows = hot_key_report(df, "k", top_k=3).collect()
+        assert [(r["k"], r["cnt"], r["rank"]) for r in rows] == \
+            [(1, 5, 1), (2, 3, 2), (3, 1, 3)]  # tie 3 vs 4 -> smaller key
+        assert abs(rows[0]["share"] - 0.5) < 1e-12
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import hot_key_report
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(ValueError):
+            hot_key_report(df, "k", top_k=0)
