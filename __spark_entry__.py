@@ -678,6 +678,37 @@ def _sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-increment ingestion gate: the 'new batch' is the upper
+    half of the documents table plus exact re-submissions of five seen
+    docs (new ids) and one internal duplicate pair; the 'seen corpus' is
+    the lower half. Survivors = upper-half originals minus re-seen
+    content, with the internal dup collapsed to its min id. Only 32-byte
+    content hashes shuffle; the oracle reproduces the survivor set."""
+    from dbldatagen_spark.functions import incremental_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    n = docs.count()
+    half = n // 2
+    seen = docs.where(F.col("doc_id") < half)
+    upper = docs.where(F.col("doc_id") >= half)
+    resubmits = (
+        docs.where(F.col("doc_id") < 5)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+                "lang", "source", "n_chars")
+    )
+    internal_dup = upper.where(F.col("doc_id") == half).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text",
+        "lang", "source", "n_chars",
+    )
+    new_batch = upper.unionByName(resubmits).unionByName(internal_dup)
+    return (
+        incremental_dedup(new_batch, seen, "doc_id", "text")
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _events_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew profile: the 20 hottest user_ids with counts, row
     share, and deterministic rank — the pre-salting measurement for
@@ -3196,6 +3227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
+        "dedup_incremental": _dedup_incremental,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -4611,6 +4643,34 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS stream_batch_mismatches
             FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "dedup_incremental": r"""
+            WITH norm AS (
+                SELECT doc_id, text,
+                       lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content
+                FROM documents
+            ),
+            half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+            seen AS (
+                SELECT DISTINCT content FROM norm, half WHERE doc_id < h
+            ),
+            newb AS (
+                SELECT doc_id, content FROM norm, half WHERE doc_id >= h
+                UNION ALL
+                SELECT doc_id + 1000000, content FROM norm WHERE doc_id < 5
+                UNION ALL
+                SELECT doc_id + 2000000, content FROM norm, half WHERE doc_id = h
+            ),
+            batch_dedup AS (
+                SELECT doc_id, content,
+                       row_number() OVER (PARTITION BY content
+                                          ORDER BY doc_id) AS rn
+                FROM newb
+            )
+            SELECT b.doc_id
+            FROM batch_dedup b LEFT JOIN seen s ON b.content = s.content
+            WHERE b.rn = 1 AND s.content IS NULL
+            ORDER BY b.doc_id
         """,
         "events_hot_keys": """
             WITH c AS (

@@ -23,6 +23,7 @@ from dbldatagen_spark.functions.dedup import (
     embedding_near_duplicates,
     exact_dedup,
     fuzzy_match_records,
+    incremental_dedup,
     minhash_cluster_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -109,6 +110,7 @@ __all__ = [
     "dsir_importance",
     "semantic_dedup",
     "fuzzy_match_records",
+    "incremental_dedup",
     "mix_corpus",
     "pack_sequences",
     "packing_stats",

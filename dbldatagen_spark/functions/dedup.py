@@ -1129,3 +1129,47 @@ def fuzzy_match_records(
         )
         .where(F.col("distance") <= F.lit(max_distance))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    normalize: bool = True,
+    within_batch: bool = True,
+) -> DataFrame:
+    """Snapshot-increment dedup: rows of ``new_df`` whose content has
+    never been seen — the daily-crawl ingestion gate (today's batch
+    minus the accumulated corpus).
+
+    Content is compared by sha256 of the (optionally normalized) text,
+    so the anti-join shuffles 32-byte keys, never documents, and AQE
+    picks broadcast vs sort-merge by the seen side's actual size. With
+    ``within_batch`` (default) the new batch is also self-deduped first
+    (min-id representative per content), so re-submitted duplicates
+    inside one increment collapse too.
+
+    Returns the surviving ``new_df`` rows (all original columns).
+    """
+    def key(df: DataFrame) -> Column:
+        content = F.col(text_col)
+        if normalize:
+            content = normalize_text_expr(content)
+        return F.sha2(content, 256)
+
+    new_keyed = new_df.withColumn("_content_key", key(new_df))
+    if within_batch:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_content_key").orderBy(F.col(id_col))
+        new_keyed = (
+            new_keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    seen_keys = seen_df.select(key(seen_df).alias("_content_key")).distinct()
+    return new_keyed.join(seen_keys, "_content_key", "left_anti").drop(
+        "_content_key"
+    )

@@ -1924,3 +1924,45 @@ class TestHotKeyReport:
         df = spark.createDataFrame([(1,)], "k long")
         with _pytest.raises(ValueError):
             hot_key_report(df, "k", top_k=0)
+
+
+class TestIncrementalDedup:
+    def test_seen_resubmits_and_internal_dups_drop(self, spark):
+        from dbldatagen_spark.functions import incremental_dedup
+
+        seen = spark.createDataFrame(
+            [(1, "already ingested"), (2, "also known")],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(10, "brand new"),
+             (11, "Already  INGESTED"),   # normalized re-submit -> drop
+             (12, "fresh pair"),
+             (13, "fresh pair"),          # internal dup -> min id survives
+             (14, "also known")],         # exact re-submit -> drop
+            "doc_id long, text string",
+        )
+        got = sorted(r["doc_id"] for r in
+                     incremental_dedup(new, seen, "doc_id", "text").collect())
+        assert got == [10, 12]
+
+    def test_within_batch_off_keeps_internal_dups(self, spark):
+        from dbldatagen_spark.functions import incremental_dedup
+
+        seen = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        new = spark.createDataFrame(
+            [(10, "y"), (11, "y")], "doc_id long, text string")
+        got = sorted(r["doc_id"] for r in incremental_dedup(
+            new, seen, "doc_id", "text", within_batch=False).collect())
+        assert got == [10, 11]
+
+    def test_hash_only_shuffle(self, spark):
+        from dbldatagen_spark.functions import incremental_dedup
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        seen = docs.where("doc_id < 250")
+        new = docs.where("doc_id >= 250")
+        out = incremental_dedup(new, seen, "doc_id", "text")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert out.count() <= new.count()
