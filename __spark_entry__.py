@@ -927,9 +927,13 @@ def _dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbldatagen_spark.functions import semantic_dedup
 
     emb = _load(spark, sf_dir, "embeddings")
-    return semantic_dedup(
-        emb, "vec_id", "embedding", cluster_col="label", threshold=0.45
-    ).orderBy("vec_id")
+    return (
+        semantic_dedup(
+            emb, "vec_id", "embedding", cluster_col="label", threshold=0.45
+        )
+        .withColumn("cluster", F.col("cluster").cast("long"))
+        .orderBy("vec_id")
+    )
 
 
 def _text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:

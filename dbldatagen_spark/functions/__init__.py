@@ -22,6 +22,7 @@ from dbldatagen_spark.functions.dedup import (
     duplicated_span_stats,
     embedding_near_duplicates,
     exact_dedup,
+    fuzzy_block_report,
     fuzzy_match_records,
     incremental_dedup,
     minhash_cluster_dedup,
@@ -110,6 +111,7 @@ __all__ = [
     "dsir_importance",
     "semantic_dedup",
     "fuzzy_match_records",
+    "fuzzy_block_report",
     "incremental_dedup",
     "mix_corpus",
     "pack_sequences",

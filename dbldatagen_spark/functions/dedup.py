@@ -1008,6 +1008,7 @@ def semantic_dedup(
     num_planes: int = 16,
     seed: int = 42,
     max_iter: int = 5,
+    max_cluster_size: Optional[int] = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (after Abbas et al. 2023):
     partition the embedding space into clusters, then within each
@@ -1015,18 +1016,28 @@ def semantic_dedup(
     neighbor at cosine >= ``threshold``. The smallest id of every
     near-duplicate group always survives; distant pairs are never
     compared, which is the whole point — the quadratic step is bounded
-    by cluster size, not corpus size (size ``k`` to the corpus so
-    ``n/k`` stays small).
+    by cluster size, not corpus size (scale ``k`` with the corpus so
+    ``n/k`` stays small, or set ``max_cluster_size`` to enforce the
+    bound mechanically).
 
     Clustering: ``method="kmeans"`` (Lloyd's via :func:`kmeans_fit`,
     deterministic init), ``method="lsh"`` (random-hyperplane signature —
     pure expressions, no driver round-trips), or pass ``cluster_col``
-    to use an existing partition (topic, label, shard).
+    to use an existing partition (topic, label, shard — any type; the
+    self-join keys on the column's native type, never a numeric cast).
+
+    ``max_cluster_size``: occupancy guard for 100-TB scale — clusters
+    whose row count exceeds the cap are re-split by extra random
+    hyperplane bits (doubling the split per plane) until every
+    comparison block is under the cap or ``8`` extra planes are spent.
+    Re-splitting only prunes comparisons (the standard recall/cost
+    dial); reported ``cluster`` stays the original assignment.
 
     Returns ``(id, cluster, keep)`` for every input row. Plan shape: the
     cluster assignment is map-only (kmeans adds one bounded
     driver-reduce per fit iteration); pruning is one self-equi-join on
     the cluster key plus a broadcast-capable anti-join of dropped ids.
+    The occupancy guard adds one metadata-only count-per-cluster join.
     """
     from dbldatagen_spark.functions.similarity import (
         cosine_similarity_expr,
@@ -1040,7 +1051,7 @@ def semantic_dedup(
         assigned = df.select(
             F.col(id_col),
             F.col(vec_col).alias("_v"),
-            F.col(cluster_col).cast("long").alias("_cluster"),
+            F.col(cluster_col).alias("_cluster"),
         )
     elif method == "kmeans":
         cents, _ = kmeans_fit(base, "_v", k, id_col=id_col, max_iter=max_iter)
@@ -1053,11 +1064,53 @@ def semantic_dedup(
     else:
         raise ValueError(f"method must be kmeans|lsh, got {method!r}")
 
+    # comparison key: the cluster itself, or — above the occupancy cap —
+    # the cluster refined by enough extra hyperplane bits to fit under it
+    assigned = assigned.withColumn("_ck", F.col("_cluster").cast("string"))
+    if max_cluster_size is not None:
+        if max_cluster_size < 1:
+            raise ValueError(
+                f"max_cluster_size must be >= 1, got {max_cluster_size}"
+            )
+        sizes = assigned.groupBy("_ck").agg(F.count(F.lit(1)).alias("_csz"))
+        # extra planes needed: each plane halves an (isotropic) cluster,
+        # so ceil(log2(size / cap)) bits, capped at 8 (256-way split)
+        extra = F.least(
+            F.lit(8),
+            F.ceil(F.log2(F.col("_csz") / F.lit(float(max_cluster_size)))).cast("int"),
+        )
+        sizes = sizes.select(
+            "_ck",
+            F.when(F.col("_csz") > max_cluster_size, extra)
+            .otherwise(F.lit(0))
+            .alias("_extra"),
+        )
+        assigned = (
+            assigned.join(sizes, "_ck")
+            .withColumn(
+                "_ck",
+                F.when(
+                    F.col("_extra") > 0,
+                    F.concat(
+                        F.col("_ck"),
+                        F.lit("#"),
+                        (
+                            hyperplane_signature_expr(
+                                F.col("_v"), 8, seed + 1
+                            )
+                            % F.pow(F.lit(2), F.col("_extra")).cast("long")
+                        ).cast("string"),
+                    ),
+                ).otherwise(F.col("_ck")),
+            )
+            .drop("_extra")
+        )
+
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(
             b,
-            (F.col("a._cluster") == F.col("b._cluster"))
+            (F.col("a._ck") == F.col("b._ck"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .where(
@@ -1088,6 +1141,7 @@ def fuzzy_match_records(
     max_distance: int = 2,
     block_len: int = 4,
     normalize: bool = True,
+    max_block_size: Optional[int] = None,
 ) -> DataFrame:
     """Entity-resolution candidate pairs: records whose (normalized) name
     strings are within ``max_distance`` Levenshtein edits, generated
@@ -1102,11 +1156,26 @@ def fuzzy_match_records(
     one self-equi-join on a short block key — no UDF, no full cross
     product, text enters the shuffle only as the (typically short) name
     column.
+
+    ``max_block_size``: occupancy guard for 100-TB scale — a prefix
+    block only bounds the quadratic step while its occupancy stays
+    constant; at 100x the corpus a hot prefix ("john", "mari") grows
+    linearly and its pair count quadratically (the same failure
+    ``ngram_jaccard_pairs`` caps with ``max_posting_len``). Blocks over
+    the cap are first re-split on a doubled prefix (``2 * block_len``
+    characters); blocks still over the cap after re-splitting are
+    dropped from pair generation — never silently: use
+    :func:`fuzzy_block_report` on the same inputs to see exactly which
+    blocks were re-split or dropped and how many rows they held.
     """
     if max_distance < 0:
         raise ValueError(f"max_distance must be >= 0, got {max_distance}")
     if block_len < 1:
         raise ValueError(f"block_len must be >= 1, got {block_len}")
+    if max_block_size is not None and max_block_size < 2:
+        raise ValueError(
+            f"max_block_size must be >= 2 (a pair needs 2 rows), got {max_block_size}"
+        )
     name = F.col(name_col)
     if normalize:
         name = normalize_text_expr(name)
@@ -1115,6 +1184,8 @@ def fuzzy_match_records(
         name.alias("_nm"),
         F.substring(name, 1, block_len).alias("_blk"),
     )
+    if max_block_size is not None:
+        base = _cap_fuzzy_blocks(base, block_len, max_block_size)
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(
@@ -1129,6 +1200,85 @@ def fuzzy_match_records(
         )
         .where(F.col("distance") <= F.lit(max_distance))
     )
+
+
+def _cap_fuzzy_blocks(base: DataFrame, block_len: int, cap: int) -> DataFrame:
+    """Enforce the ``max_block_size`` occupancy cap on ``(_blk, _nm, id)``
+    rows: oversized blocks re-key to a ``2 * block_len`` prefix, blocks
+    still oversized after the re-split are removed. Two metadata-only
+    count-per-key joins — the name column never fans out."""
+    sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
+    resplit = (
+        base.join(sizes, "_blk")
+        .withColumn(
+            "_blk",
+            F.when(
+                F.col("_bsz") > cap, F.substring(F.col("_nm"), 1, 2 * block_len)
+            ).otherwise(F.col("_blk")),
+        )
+        .drop("_bsz")
+    )
+    sizes2 = resplit.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
+    return (
+        resplit.join(sizes2, "_blk")
+        .where(F.col("_bsz") <= cap)
+        .drop("_bsz")
+    )
+
+
+def fuzzy_block_report(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    *,
+    block_len: int = 4,
+    normalize: bool = True,
+    max_block_size: int = 1000,
+) -> DataFrame:
+    """Companion audit for :func:`fuzzy_match_records` with
+    ``max_block_size`` set — "no silent caps": one row per block that the
+    cap touched, ``(block, n_rows, action)`` where ``action`` is
+    ``'resplit'`` (over the cap on the ``block_len`` prefix, re-keyed to
+    ``2 * block_len``) or ``'dropped'`` (still over the cap after the
+    re-split — excluded from pair generation). Empty result = the cap
+    never fired and fuzzy matching was exhaustive at this block length.
+    """
+    if block_len < 1:
+        raise ValueError(f"block_len must be >= 1, got {block_len}")
+    if max_block_size < 2:
+        raise ValueError(
+            f"max_block_size must be >= 2 (a pair needs 2 rows), got {max_block_size}"
+        )
+    name = F.col(name_col)
+    if normalize:
+        name = normalize_text_expr(name)
+    base = df.select(
+        F.col(id_col),
+        name.alias("_nm"),
+        F.substring(name, 1, block_len).alias("_blk"),
+    )
+    sizes = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_bsz"))
+    over = sizes.where(F.col("_bsz") > max_block_size)
+    resplit_rows = (
+        base.join(over.select("_blk"), "_blk")
+        .withColumn("_blk2", F.substring(F.col("_nm"), 1, 2 * block_len))
+    )
+    still_over = (
+        resplit_rows.groupBy("_blk2")
+        .agg(F.count(F.lit(1)).alias("_bsz2"))
+        .where(F.col("_bsz2") > max_block_size)
+    )
+    dropped = still_over.select(
+        F.col("_blk2").alias("block"),
+        F.col("_bsz2").cast("long").alias("n_rows"),
+        F.lit("dropped").alias("action"),
+    )
+    resplit = over.select(
+        F.col("_blk").alias("block"),
+        F.col("_bsz").cast("long").alias("n_rows"),
+        F.lit("resplit").alias("action"),
+    )
+    return resplit.unionByName(dropped).orderBy("action", "block")
 
 
 def incremental_dedup(

@@ -222,10 +222,12 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
-def decode_ppm(payload: bytes) -> np.ndarray:
-    """Decode a binary P6 PPM payload to an (h, w, 3) uint8 array — a
-    *real* image decode implemented on numpy alone (PPM is uncompressed,
-    so no codec library is needed)."""
+def _decode_ppm_sized(payload: bytes) -> "tuple[np.ndarray, int]":
+    """Decode one P6 frame at the start of ``payload`` and return
+    ``(frame, consumed)`` where ``consumed`` counts the header + pixel
+    bytes actually parsed — so multi-frame streams advance by what the
+    decoder read, not by a re-encode of canonical output (external P6
+    with comments / different header whitespace stays in sync)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM payload")
     # header = magic, width, height, maxval as whitespace-separated tokens
@@ -248,8 +250,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     w, h, maxval = (int(t) for t in tokens)
     if maxval != 255:
         raise ValueError(f"only maxval=255 supported, got {maxval}")
-    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return data.reshape(h, w, 3)
+    n_pixels = w * h * 3
+    if i + n_pixels > len(payload):
+        raise ValueError("truncated P6 payload")
+    data = np.frombuffer(payload, dtype=np.uint8, count=n_pixels, offset=i)
+    return data.reshape(h, w, 3), i + n_pixels
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary P6 PPM payload to an (h, w, 3) uint8 array — a
+    *real* image decode implemented on numpy alone (PPM is uncompressed,
+    so no codec library is needed)."""
+    frame, _ = _decode_ppm_sized(payload)
+    return frame
 
 
 def synthesize_ppm_table(spark, rows: int = 500, partitions: int = 4,
@@ -568,10 +581,9 @@ def decode_ppm_video(payload: bytes):
     while pos < len(payload):
         if payload[pos:pos + 2] != b"P6":
             raise ValueError(f"bad frame magic at offset {pos}")
-        frame = decode_ppm(payload[pos:])
+        frame, consumed = _decode_ppm_sized(payload[pos:])
         frames.append(frame)
-        # recompute this frame's encoded length to advance
-        pos += len(encode_ppm(frame))
+        pos += consumed
     return frames
 
 

@@ -87,17 +87,21 @@ def hot_key_report(
     counts = df.groupBy(F.col(key_col)).agg(
         F.count(F.lit(1)).cast("long").alias("cnt")
     )
-    total = df.count()
+    # limit-after-orderBy compiles to TakeOrderedAndProject: per-partition
+    # heads of size top_k, no single-task global sort, no eager action.
+    topk = counts.orderBy(F.col("cnt").desc(), F.col(key_col)).limit(top_k)
+    total = counts.agg(F.sum("cnt").cast("double").alias("_total"))
     from pyspark.sql import Window
 
+    # the window ranks only the <= top_k surviving rows — trivially bounded
     w = Window.orderBy(F.col("cnt").desc(), F.col(key_col))
     return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= top_k)
+        topk.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w))
         .select(
             key_col,
             "cnt",
-            (F.col("cnt") / F.lit(float(total))).alias("share"),
+            (F.col("cnt") / F.col("_total")).alias("share"),
             F.col("rank").cast("int").alias("rank"),
         )
         .orderBy("rank")

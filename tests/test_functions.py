@@ -1660,6 +1660,62 @@ class TestSemanticDedup:
         emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
         with _pytest.raises(ValueError):
             semantic_dedup(emb, "vec_id", "embedding", method="nope")
+        with _pytest.raises(ValueError):
+            semantic_dedup(emb, "vec_id", "embedding", cluster_col="label",
+                           max_cluster_size=0)
+
+    def test_string_cluster_labels(self, spark):
+        # regression: cluster_col used to cast('long'), which throws under
+        # ANSI for non-numeric labels (topic/shard strings are the
+        # documented use case)
+        from dbldatagen_spark.functions import semantic_dedup
+
+        rows = [(0, [1.0, 0.0], "news"),
+                (1, [1.0, 0.001], "news"),     # near-dup of 0, same topic
+                (2, [1.0, 0.0], "sports"),     # identical vector, other topic
+                (3, [0.0, 1.0], "news")]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, topic string")
+        got = {r["vec_id"]: (r["cluster"], r["keep"])
+               for r in semantic_dedup(emb, "vec_id", "embedding",
+                                       cluster_col="topic",
+                                       threshold=0.95).collect()}
+        assert got[0] == ("news", True)
+        assert got[1] == ("news", False)     # dropped inside its topic
+        assert got[2] == ("sports", True)    # cross-topic never compared
+        assert got[3] == ("news", True)
+
+    def test_max_cluster_size_resplits_skewed_cluster(self, spark):
+        # planted skew: one giant cluster, orthogonal vectors inside it —
+        # the cap must re-split the comparison key while keep-decisions
+        # for genuinely identical vectors survive (same signature bits)
+        from dbldatagen_spark.functions import semantic_dedup
+
+        rows = [(i, [1.0 + 0.0001 * 0, 0.0, 0.0], 0) for i in range(20)]
+        rows += [(100 + i, [0.0, 1.0, 0.0], 0) for i in range(20)]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        out = semantic_dedup(emb, "vec_id", "embedding", cluster_col="label",
+                             threshold=0.95, max_cluster_size=25).collect()
+        assert len(out) == 40
+        by_keep = {r["vec_id"]: r["keep"] for r in out}
+        # identical vectors share every hyperplane bit, so each identical
+        # family still dedups to exactly one survivor per comparison block;
+        # at minimum the global min id of each family must be kept
+        assert by_keep[0] and by_keep[100]
+        dropped = [v for v, k in by_keep.items() if not k]
+        assert len(dropped) >= 36  # 38 duplicates, re-split may keep ~1 extra per block
+
+    def test_max_cluster_size_noop_when_under_cap(self, spark):
+        from dbldatagen_spark.functions import semantic_dedup
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        base = semantic_dedup(emb, "vec_id", "embedding", cluster_col="label",
+                              threshold=0.45).orderBy("vec_id").collect()
+        capped = semantic_dedup(emb, "vec_id", "embedding", cluster_col="label",
+                                threshold=0.45,
+                                max_cluster_size=10**9).orderBy("vec_id").collect()
+        assert base == capped
 
 
 class TestLengthHistogram:
@@ -1773,6 +1829,34 @@ class TestVideoFrames:
         with _pytest.raises(ValueError):
             sample_video_frames(media, every_n=0)
 
+    def test_externally_produced_headers_stay_in_sync(self, spark):
+        # regression: the stream used to advance by len(encode_ppm(frame)),
+        # assuming every frame header is byte-identical to our canonical
+        # encoder output — external P6 with comments or extra whitespace
+        # desynchronized. Now we advance by the bytes actually consumed.
+        import numpy as np
+        from dbldatagen_spark.functions.multimodal import decode_ppm_video
+
+        f0 = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+        f1 = (f0 + 100).astype(np.uint8)
+        # frame 0: comment line + CRLF-ish extra whitespace in the header;
+        # frame 1: multi-space separators — neither matches encode_ppm output
+        stream = (
+            b"P6\n# produced by an external tool\n3 2\n255\n" + f0.tobytes()
+            + b"P6  3\t2\n# trailing comment\n255 " + f1.tobytes()
+        )
+        dec = decode_ppm_video(stream)
+        assert len(dec) == 2
+        assert (dec[0] == f0).all()
+        assert (dec[1] == f1).all()
+
+    def test_truncated_payload_raises(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions.multimodal import decode_ppm
+
+        with _pytest.raises(ValueError):
+            decode_ppm(b"P6\n4 4\n255\n\x00\x01")
+
 
 class TestFuzzyMatchRecords:
     def test_planted_variants_match(self, spark):
@@ -1816,6 +1900,62 @@ class TestFuzzyMatchRecords:
         plan = fuzzy_match_records(cust, "c_custkey", "c_name") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
+
+    def test_max_block_size_caps_planted_hot_block(self, spark):
+        from dbldatagen_spark.functions import fuzzy_match_records
+
+        # hot block: 50 names sharing the 'john' prefix but diverging at
+        # char 5+ (so the doubled prefix re-splits them); plus one cold
+        # pair that must be unaffected by the cap
+        rows = [(i, f"john {chr(97 + i % 26)}{i:04d}") for i in range(50)]
+        rows += [(1000, "zoe a"), (1001, "zoe b")]
+        probe = spark.createDataFrame(rows, "rec_id long, name string")
+
+        uncapped = fuzzy_match_records(probe, "rec_id", "name", block_len=4,
+                                       max_distance=50)
+        capped = fuzzy_match_records(probe, "rec_id", "name", block_len=4,
+                                     max_distance=50, max_block_size=10)
+        n_un, n_cap = uncapped.count(), capped.count()
+        assert n_un >= 50 * 49 / 2  # the hot block went quadratic
+        assert n_cap < n_un         # the cap actually pruned comparisons
+        # the cold pair survives the cap untouched
+        cold = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+        assert (1000, 1001) in cold
+        # no pair crosses re-split blocks: every capped pair is a subset
+        # of the uncapped pair set (the cap only removes, never invents)
+        full = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+        assert cold <= full
+
+    def test_fuzzy_block_report_names_resplit_and_dropped(self, spark):
+        from dbldatagen_spark.functions import fuzzy_block_report
+
+        # 'aaaa...' block: oversized AND identical through 2x block_len →
+        # still oversized after re-split → dropped. 'john ...' block:
+        # oversized but divergent at char 5 → resplit only.
+        rows = [(i, "aaaaaaaaaa" + str(i)) for i in range(30)]
+        rows += [(100 + i, f"john {chr(97 + i)}xx") for i in range(20)]
+        rows += [(1000, "zoe a")]
+        probe = spark.createDataFrame(rows, "rec_id long, name string")
+        rep = {(r["action"], r["block"]): r["n_rows"]
+               for r in fuzzy_block_report(probe, "rec_id", "name",
+                                           block_len=4,
+                                           max_block_size=10).collect()}
+        assert rep[("resplit", "aaaa")] == 30
+        assert rep[("resplit", "john")] == 20
+        assert rep[("dropped", "aaaaaaaa")] == 30
+        assert not any(a == "dropped" and b.startswith("john")
+                       for (a, b) in rep)
+        # empty report when the cap never fires
+        assert fuzzy_block_report(probe, "rec_id", "name", block_len=4,
+                                  max_block_size=1000).count() == 0
+
+    def test_max_block_size_validation(self, spark):
+        import pytest as _pytest
+        from dbldatagen_spark.functions import fuzzy_match_records
+
+        probe = spark.createDataFrame([(1, "a")], "rec_id long, name string")
+        with _pytest.raises(ValueError):
+            fuzzy_match_records(probe, "rec_id", "name", max_block_size=1)
 
 
 class TestTimeGapFill:
@@ -1924,6 +2064,17 @@ class TestHotKeyReport:
         df = spark.createDataFrame([(1,)], "k long")
         with _pytest.raises(ValueError):
             hot_key_report(df, "k", top_k=0)
+
+    def test_topk_is_take_ordered_not_global_sort(self, spark):
+        # the profiler must not itself be the straggler: the top-k must
+        # compile to TakeOrderedAndProject (per-partition heads), and the
+        # only window may run over the <= top_k surviving rows
+        from dbldatagen_spark.functions import hot_key_report
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = hot_key_report(ev, "user_id", top_k=5) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
 
 
 class TestIncrementalDedup:
