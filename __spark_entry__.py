@@ -898,6 +898,165 @@ def _docs_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-bounded streaming dedup run as a REAL two-micro-batch
+    stream: the events rows arrive first, then exact duplicates of every
+    fourth user's rows in a second file — dropDuplicatesWithinWatermark
+    must suppress them all (the watermark delay covers the corpus span,
+    so no key state evicts and the stream output equals batch DISTINCT,
+    which the oracle recomputes). Stream-vs-batch equality rides along
+    as a constant mismatch column."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.windows import dedup_within_watermark
+
+    keys = ["user_id", "ts", "value"]
+    base = _load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    dups = base.where(F.col("user_id") % 4 == 0)
+    batch = dedup_within_watermark(base.union(dups), keys, "ts", "3650 days")
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_wmdedup_")
+    try:
+        base.coalesce(1).write.parquet(f"{tmp}/src")
+        dups.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            dedup_within_watermark(stream, keys, "ts", "3650 days")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "value",
+        )
+        .withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("user_id", "ts", "value")
+    )
+
+
+def _events_watermark_late_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermark late-data path exercised end-to-end on a REAL
+    four-micro-batch stream of hourly windowed counts (append mode, so
+    only watermark-finalized windows emit): batch 1 is the events table
+    (max event time T, which sets the watermark to T-1h), batch 2 plants
+    a row 30 minutes behind T (inside the 1-hour delay -> admitted),
+    batch 3 plants a row 3 hours behind T (beyond the delay -> dropped
+    by the watermark; Spark filters input against the PREVIOUS trigger's
+    watermark, so the drop row must arrive one batch after the
+    watermark-setting data), and batch 4 plants a single future row at
+    T+3h whose only job is to advance the watermark to T+2h and flush
+    every earlier window. The emitted set must therefore equal the batch
+    windows over (events + the admitted probe) exactly — which the
+    oracle recomputes — with the too-late row absent and the future
+    row's own window unfinalized."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.windows import windowed_event_counts
+
+    base = _load(spark, sf_dir, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    t_max = base.agg(F.max("ts")).first()[0]
+    admitted = spark.createDataFrame(
+        [(t_max - datetime.timedelta(minutes=30), "late_probe", 1.5)],
+        base.schema,
+    )
+    too_late = spark.createDataFrame(
+        [(t_max - datetime.timedelta(hours=3), "late_probe", 99.0)],
+        base.schema,
+    )
+    flush = spark.createDataFrame(
+        [(t_max + datetime.timedelta(hours=3), "flush", 0.0)],
+        base.schema,
+    )
+    expected = windowed_event_counts(
+        base.union(admitted), "ts", window="1 hour", group_col="event_type"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_wmlate_")
+    try:
+        import glob
+        import os
+        import time
+
+        # one file per micro-batch, arrival order enforced through file
+        # mtimes (the file source batches by modification time; the
+        # writes can otherwise land in the same millisecond and collapse
+        # into one batch, which would process the too-late row before the
+        # watermark ever advanced)
+        seen: list = []
+        now = time.time()
+        for i, frame in enumerate((base, admitted, too_late, flush)):
+            frame.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+            for f in sorted(glob.glob(f"{tmp}/src/*.parquet")):
+                if f not in seen:
+                    os.utime(f, (now + 1000 * i, now + 1000 * i))
+                    seen.append(f)
+        stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            windowed_event_counts(
+                stream, "ts", window="1 hour", watermark="1 hour",
+                group_col="event_type",
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        mismatches = (
+            streamed.exceptAll(expected)
+            .union(expected.exceptAll(streamed))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        expected.select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            F.col("window_end").cast("timestamp_ntz").alias("window_end"),
+            "event_type",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("value_sum", 2).alias("value_sum"),
+        )
+        .withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
 def _dedup_fuzzy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution over customer names: candidate pairs
     within one Levenshtein edit, generated inside 16-char prefix blocks
@@ -3144,56 +3303,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events joins, ANN/embeddings, dedup, sampling, multimodal, text);
     redundant variants of already-covered shapes follow after.
 
-    Round-4 rotation: the round-3 operators (ILText, Faker, template
-    fast path, PII, PPM decode, cross-corpus dedup) plus the two new
-    invariant queries (constraint streaming gate, analyzer codegen
-    round-trip) are promoted into the checked cohort; family-redundant
-    relational/join/ANN variants are demoted (each family keeps >=1
-    representative: relational q1, events sessionize+asof, ANN
-    knn_join, temporal timestamp+unique). The round-4 operators
-    (normalize, line dedup, entropy, repetition, boilerplate strip,
-    media-type sniffing) are also promoted so they get external rows
-    the same round they land; the demotions backing those slots
-    (gen_struct_json, q5_region_revenue, analyzer_profile,
-    dedup_cluster_canonical, text_vocabulary, emb_quantization) all
-    have three rounds of green driver history and keep in-cohort
-    family coverage (struct/array via gen_array_features, relational
-    via q1, analyzer via the codegen round-trip)."""
+    Round-5 rotation: the 19 round-4 operators (real Structured
+    Streaming sessions/dedup/capped sessions, WAV/video/PPM-resize
+    decoders, charlm/gopher/DSIR quality scoring, semantic/fuzzy/
+    incremental dedup, gap fill, k-anonymity, hot-key profiling,
+    packing/mixing/length histogram) get their first driver rows;
+    TPC-H q9 (3-broadcast star) and q21 (anti-join-heavy) rejoin the
+    window so the join family keeps live external rows, and
+    dedup_embedding_cosine returns for the core LLM-dedup family.
+    Demoted: the 20 generator stalwarts plus events_sessionize and
+    ann_knn_join, each with >=3 consecutive green driver rounds;
+    generation coverage stays via the conformance/round-trip suite
+    (sink, scripts, serialization, streaming, template/iltext/faker,
+    constraint gate, analyzer codegen), sessionization via the three
+    streaming-state queries, ANN via the embedding-cosine dedup."""
     return {
         # --- driver-checked cohort: one row per operator family ---
-        "gen_sequence": _gen_sequence,
-        "gen_range_cycle": _gen_range_cycle,
-        "gen_values_cycle": _gen_values_cycle,
-        "gen_timestamp_cycle": _gen_timestamp_cycle,
-        "gen_expression": _gen_expression,
-        "gen_fk_integrity": _gen_fk_integrity,
-        "gen_determinism": _gen_determinism,
-        "gen_uuid_conformance": _gen_uuid_conformance,
-        "gen_pattern_conformance": _gen_pattern_conformance,
-        "gen_null_fraction": _gen_null_fraction,
-        "gen_weighted_shape": _gen_weighted_shape,
-        "gen_distribution_shapes": _gen_distribution_shapes,
-        "gen_unique_combinations": _gen_unique_combinations,
-        "gen_sales_order_ri": _gen_sales_order_ri,
-        "gen_constant_seedfrom": _gen_constant_seedfrom,
-        "gen_format_prefix": _gen_format_prefix,
         "gen_sink_roundtrip": _gen_sink_roundtrip,
-        "gen_constraints": _gen_constraints,
         "gen_constraint_stream_gate": _gen_constraint_stream_gate,
-        "gen_template_conformance": _gen_template_conformance,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
         "gen_iltext_conformance": _gen_iltext_conformance,
         "gen_faker_conformance": _gen_faker_conformance,
-        "gen_array_features": _gen_array_features,
-        "gen_unique_temporal": _gen_unique_temporal,
         "gen_scripts_conformance": _gen_scripts_conformance,
         "gen_serialization_roundtrip": _gen_serialization_roundtrip,
         "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
         "q1_pricing_summary": _q1_pricing_summary,
         "gen_streaming_conformance": _gen_streaming_conformance,
-        "events_sessionize": _events_sessionize,
         "events_asof_join": _events_asof_join,
-        "ann_knn_join": _ann_knn_join,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -3211,27 +3347,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _text_entropy,
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
-        # --- additional variants (locally oracle-checked) ---
-        # round-5 rotation leads: new ops awaiting their first driver row
-        "corpus_mix_epochs": _corpus_mix_epochs,
-        "corpus_pack_sequences": _corpus_pack_sequences,
+        # round-5 promotions: real streaming state, real media decoders,
+        # quality/packing/privacy/skew ops, rejoined TPC-H star + anti-join,
+        # and the embedding-cosine dedup representative
+        "events_streaming_sessions": _events_streaming_sessions,
+        "docs_streaming_dedup": _docs_streaming_dedup,
+        "events_capped_sessions": _events_capped_sessions,
         "multimodal_ppm_resize": _multimodal_ppm_resize,
+        "multimodal_wav_decode": _multimodal_wav_decode,
+        "multimodal_video_frames": _multimodal_video_frames,
         "text_charlm_quality": _text_charlm_quality,
         "text_dup_spans": _text_dup_spans,
         "text_gopher_flags": _text_gopher_flags,
         "text_dsir_importance": _text_dsir_importance,
         "dedup_semantic": _dedup_semantic,
-        "events_streaming_sessions": _events_streaming_sessions,
-        "docs_streaming_dedup": _docs_streaming_dedup,
-        "corpus_length_histogram": _corpus_length_histogram,
-        "events_capped_sessions": _events_capped_sessions,
-        "multimodal_wav_decode": _multimodal_wav_decode,
-        "multimodal_video_frames": _multimodal_video_frames,
         "dedup_fuzzy_records": _dedup_fuzzy_records,
+        "dedup_incremental": _dedup_incremental,
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
-        "dedup_incremental": _dedup_incremental,
+        "corpus_mix_epochs": _corpus_mix_epochs,
+        "corpus_pack_sequences": _corpus_pack_sequences,
+        "corpus_length_histogram": _corpus_length_histogram,
+        "q9_product_profit": _q9_product_profit,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        # --- additional variants (locally oracle-checked) ---
+        # round-6 rotation leads: real-run watermark path (streaming dedup
+        # within watermark, late-data admission/drop on windowed counts)
+        "events_watermark_dedup": _events_watermark_dedup,
+        "events_watermark_late_counts": _events_watermark_late_counts,
+        # round-5 demotions: >=3 consecutive green driver rounds each;
+        # family coverage stays in-cohort (generation via the conformance
+        # suite + sink/scripts/serialization round-trips, sessions via the
+        # streaming session queries, ANN via embedding-cosine dedup)
+        "gen_sequence": _gen_sequence,
+        "gen_range_cycle": _gen_range_cycle,
+        "gen_values_cycle": _gen_values_cycle,
+        "gen_timestamp_cycle": _gen_timestamp_cycle,
+        "gen_expression": _gen_expression,
+        "gen_fk_integrity": _gen_fk_integrity,
+        "gen_determinism": _gen_determinism,
+        "gen_uuid_conformance": _gen_uuid_conformance,
+        "gen_pattern_conformance": _gen_pattern_conformance,
+        "gen_null_fraction": _gen_null_fraction,
+        "gen_weighted_shape": _gen_weighted_shape,
+        "gen_distribution_shapes": _gen_distribution_shapes,
+        "gen_unique_combinations": _gen_unique_combinations,
+        "gen_sales_order_ri": _gen_sales_order_ri,
+        "gen_constant_seedfrom": _gen_constant_seedfrom,
+        "gen_format_prefix": _gen_format_prefix,
+        "gen_constraints": _gen_constraints,
+        "gen_template_conformance": _gen_template_conformance,
+        "gen_array_features": _gen_array_features,
+        "gen_unique_temporal": _gen_unique_temporal,
+        "events_sessionize": _events_sessionize,
+        "ann_knn_join": _ann_knn_join,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "q5_region_revenue": _q5_region_revenue,
@@ -3256,18 +3427,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q8_market_share": _q8_market_share,
-        "q9_product_profit": _q9_product_profit,
         "q13_customer_distribution": _q13_customer_distribution,
         "q15_top_supplier": _q15_top_supplier,
         "q16_supplier_counts": _q16_supplier_counts,
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q20_excess_suppliers": _q20_excess_suppliers,
-        "q21_waiting_supplier": _q21_waiting_supplier,
         "q22_global_sales_opportunity": _q22_global_sales_opportunity,
         "events_hourly_windows": _events_hourly_windows,
         "events_json_extract": _events_json_extract,
         "emb_label_centroids": _emb_label_centroids,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
         "dedup_components": _dedup_components,
         "dedup_simhash": _dedup_simhash,
         "ann_cosine_topk": _ann_cosine_topk,
@@ -4621,6 +4789,35 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(SUM(n_chars) AS BIGINT) AS total_tokens
             FROM b GROUP BY bucket
             ORDER BY bucket
+        """,
+        "events_watermark_dedup": """
+            SELECT DISTINCT user_id, ts, value,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM events
+            ORDER BY user_id, ts, value
+        """,
+        "events_watermark_late_counts": """
+            WITH m AS (SELECT max(ts) AS mx FROM events),
+            probe AS (
+                SELECT mx - INTERVAL 30 MINUTE AS ts,
+                       'late_probe' AS event_type,
+                       1.5 AS value
+                FROM m
+            ),
+            allrows AS (
+                SELECT ts, event_type, value FROM events
+                UNION ALL
+                SELECT ts, event_type, value FROM probe
+            )
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM allrows
+            GROUP BY 1, 2, 3
+            ORDER BY window_start, event_type
         """,
         "docs_streaming_dedup": r"""
             WITH unioned AS (
