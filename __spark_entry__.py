@@ -1057,6 +1057,69 @@ def _events_watermark_late_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def _events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build over the events change stream: per
+    user, consecutive events with the same event_type collapse into one
+    validity interval [effective_from, effective_to) with per-key version
+    numbers and an is_current flag on the open interval. One shuffle on
+    user_id; the change-detection lag, the interval-close lead, and the
+    version running sum all reuse that partitioning (single Exchange in
+    the plan). The oracle rebuilds the intervals with the same lag/lead
+    windows in DuckDB."""
+    from dbldatagen_spark.functions import scd2_intervals
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        scd2_intervals(
+            events, "user_id", "ts", ["event_type"], order_col="event_id"
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("effective_from").cast("timestamp_ntz").alias("effective_from"),
+            F.col("effective_to").cast("timestamp_ntz").alias("effective_to"),
+            "version",
+            "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def _events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time lookup against the SCD2 event_type dimension: every
+    event probes the dimension 30 minutes after its own timestamp and
+    the resolved (as-of) event_type distribution is aggregated. The
+    equi-join on user_id carries the interval containment as a residual
+    predicate, so Catalyst keeps an ordinary hash join — disjoint
+    intervals guarantee no row amplification (asserted by construction:
+    one output row per probe). Probes beyond a user's last event resolve
+    to the open current version; probes before the first version (none
+    here, since probes are event-anchored) would bucket as
+    '__unmatched__'."""
+    from dbldatagen_spark.functions import scd2_intervals, scd2_lookup
+
+    events = _load(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        events, "user_id", "ts", ["event_type"], order_col="event_id"
+    )
+    probes = events.select(
+        "user_id",
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("probe_ts"),
+    )
+    resolved = scd2_lookup(
+        probes, dim, "user_id", "probe_ts"
+    ).select(
+        F.coalesce(F.col("event_type"), F.lit("__unmatched__")).alias(
+            "valid_type"
+        )
+    )
+    return (
+        resolved.groupBy("valid_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_probes"))
+        .orderBy("valid_type")
+    )
+
+
 def _dedup_fuzzy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution over customer names: candidate pairs
     within one Levenshtein edit, generated inside 16-char prefix blocks
@@ -3377,6 +3440,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within watermark, late-data admission/drop on windowed counts)
         "events_watermark_dedup": _events_watermark_dedup,
         "events_watermark_late_counts": _events_watermark_late_counts,
+        "events_scd2_intervals": _events_scd2_intervals,
+        "events_scd2_lookup": _events_scd2_lookup,
         # round-5 demotions: >=3 consecutive green driver rounds each;
         # family coverage stays in-cohort (generation via the conformance
         # suite + sink/scripts/serialization round-trips, sessions via the
@@ -4818,6 +4883,90 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM allrows
             GROUP BY 1, 2, 3
             ORDER BY window_start, event_type
+        """,
+        "events_scd2_intervals": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_type, event_id,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(event_type) OVER w AS prev_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            flagged AS (
+                SELECT user_id, ts, event_type, event_id,
+                       CASE
+                           WHEN prev_ts IS NULL THEN 1
+                           WHEN event_type IS DISTINCT FROM prev_type THEN 1
+                           ELSE 0
+                       END AS chg
+                FROM ordered
+            ),
+            versions AS (
+                SELECT user_id, ts, event_type, chg,
+                       SUM(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS ver
+                FROM flagged
+            )
+            SELECT user_id, event_type,
+                   ts AS effective_from,
+                   lead(ts) OVER wv AS effective_to,
+                   CAST(ver AS BIGINT) AS version,
+                   (lead(ts) OVER wv IS NULL) AS is_current
+            FROM versions
+            WHERE chg = 1
+            WINDOW wv AS (PARTITION BY user_id ORDER BY ver)
+            ORDER BY user_id, version
+        """,
+        "events_scd2_lookup": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_type, event_id,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(event_type) OVER w AS prev_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            flagged AS (
+                SELECT user_id, ts, event_type, event_id,
+                       CASE
+                           WHEN prev_ts IS NULL THEN 1
+                           WHEN event_type IS DISTINCT FROM prev_type THEN 1
+                           ELSE 0
+                       END AS chg
+                FROM ordered
+            ),
+            versions AS (
+                SELECT user_id, ts, event_type, chg,
+                       SUM(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS ver
+                FROM flagged
+            ),
+            dim AS (
+                SELECT user_id, event_type,
+                       ts AS effective_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ver
+                       ) AS effective_to
+                FROM versions
+                WHERE chg = 1
+            ),
+            probes AS (
+                SELECT user_id, ts + INTERVAL 30 MINUTE AS probe_ts
+                FROM events
+            ),
+            resolved AS (
+                SELECT COALESCE(d.event_type, '__unmatched__') AS valid_type
+                FROM probes p
+                LEFT JOIN dim d
+                  ON p.user_id = d.user_id
+                 AND p.probe_ts >= d.effective_from
+                 AND (d.effective_to IS NULL OR p.probe_ts < d.effective_to)
+            )
+            SELECT valid_type, CAST(count(*) AS BIGINT) AS n_probes
+            FROM resolved
+            GROUP BY valid_type
+            ORDER BY valid_type
         """,
         "docs_streaming_dedup": r"""
             WITH unioned AS (

@@ -62,6 +62,7 @@ from dbldatagen_spark.functions.sampling import (
     stratified_sample,
 )
 from dbldatagen_spark.functions.timeseries import time_gap_fill
+from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
     pack_sequences,
     packing_stats,
@@ -118,6 +119,8 @@ __all__ = [
     "packing_stats",
     "sequence_length_histogram",
     "time_gap_fill",
+    "scd2_intervals",
+    "scd2_lookup",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

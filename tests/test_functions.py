@@ -2117,3 +2117,93 @@ class TestIncrementalDedup:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan
         assert out.count() <= new.count()
+
+
+class TestSCD2:
+    def _changes(self, spark):
+        rows = [
+            (1, "2024-01-01 00:00:00", "bronze", 10),
+            (1, "2024-01-05 00:00:00", "bronze", 11),  # no tier change
+            (1, "2024-02-01 00:00:00", "silver", 12),
+            (1, "2024-03-01 00:00:00", "gold", 13),
+            (2, "2024-01-10 00:00:00", "silver", 20),
+            (3, "2024-01-01 00:00:00", None, 30),      # NULL attr
+            (3, "2024-01-02 00:00:00", None, 31),      # NULL->NULL: no change
+            (3, "2024-01-03 00:00:00", "bronze", 32),
+        ]
+        return spark.createDataFrame(
+            rows, ["user_id", "ts", "tier", "event_id"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_intervals_collapse_and_version(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals
+
+        out = scd2_intervals(
+            self._changes(spark), "user_id", "ts", ["tier"], order_col="event_id"
+        )
+        u1 = sorted(
+            out.where("user_id = 1").collect(), key=lambda r: r.version
+        )
+        assert [r.tier for r in u1] == ["bronze", "silver", "gold"]
+        assert [r.version for r in u1] == [1, 2, 3]
+        # half-open chaining: each effective_to equals the next from
+        assert u1[0].effective_to == u1[1].effective_from
+        assert u1[1].effective_to == u1[2].effective_from
+        assert u1[2].effective_to is None and u1[2].is_current
+        # the no-change event did not open a new version
+        assert str(u1[1].effective_from).startswith("2024-02-01")
+
+    def test_intervals_null_attr_no_change(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals
+
+        out = scd2_intervals(
+            self._changes(spark), "user_id", "ts", ["tier"], order_col="event_id"
+        )
+        u3 = sorted(out.where("user_id = 3").collect(), key=lambda r: r.version)
+        assert len(u3) == 2  # NULL run collapsed, then bronze
+        assert u3[0].tier is None and u3[1].tier == "bronze"
+
+    def test_lookup_point_in_time(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals, scd2_lookup
+
+        dim = scd2_intervals(
+            self._changes(spark), "user_id", "ts", ["tier"], order_col="event_id"
+        )
+        facts = spark.createDataFrame(
+            [
+                (1, "2024-01-15 00:00:00"),  # bronze
+                (1, "2024-02-01 00:00:00"),  # boundary: silver starts (closed from)
+                (1, "2024-06-01 00:00:00"),  # gold (open interval)
+                (2, "2024-01-01 00:00:00"),  # before any version -> NULL
+                (9, "2024-01-01 00:00:00"),  # unknown key -> NULL
+            ],
+            ["user_id", "probe_ts"],
+        ).withColumn("probe_ts", F.col("probe_ts").cast("timestamp"))
+        got = {
+            (r.user_id, str(r.probe_ts)): r.tier
+            for r in scd2_lookup(
+                facts, dim, "user_id", "probe_ts", broadcast_dim=True
+            ).collect()
+        }
+        assert got[(1, "2024-01-15 00:00:00")] == "bronze"
+        assert got[(1, "2024-02-01 00:00:00")] == "silver"
+        assert got[(1, "2024-06-01 00:00:00")] == "gold"
+        assert got[(2, "2024-01-01 00:00:00")] is None
+        assert got[(9, "2024-01-01 00:00:00")] is None
+
+    def test_lookup_never_amplifies(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals, scd2_lookup
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        dim = scd2_intervals(
+            events, "user_id", "ts", ["event_type"], order_col="event_id"
+        )
+        probes = events.select("user_id", F.col("ts").alias("probe_ts"))
+        joined = scd2_lookup(probes, dim, "user_id", "probe_ts")
+        assert joined.count() == probes.count()
+
+    def test_intervals_requires_attrs(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals
+
+        with pytest.raises(ValueError):
+            scd2_intervals(self._changes(spark), "user_id", "ts", [])
