@@ -1120,6 +1120,74 @@ def _events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: every source keeps at most 50
+    documents, chosen by md5-of-id priority so the subset is
+    deterministic, partitioning-independent, and reproducible by any
+    engine that can hash (the oracle re-derives the identical subset
+    with the same md5 ranking). Spark plans the rank-filter as a
+    WindowGroupLimit — per-map-task top-50 BEFORE the exchange — so a
+    billion-row hot domain ships 50 rows per task, not its whole
+    history."""
+    from dbldatagen_spark.functions import quota_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        quota_sample(docs, "source", "doc_id", 50, hash_mode="md5")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def _docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget selection: longest documents first
+    (ties by id), kept while each source's running character total stays
+    within 100k — the corpus-composition step that fixes every source's
+    token share. The inclusive running sum is emitted as cum_weight so
+    the keep decision is auditable; one shuffle on source shared by the
+    ranking sort and the windowed sum. The oracle replays the same
+    greedy prefix with a windowed SUM."""
+    from dbldatagen_spark.functions import budget_select
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        budget_select(docs, "source", "doc_id", "n_chars", 100_000.0)
+        .select("source", "doc_id", "n_chars", "cum_weight")
+        .orderBy("source", "cum_weight")
+    )
+
+
+def _events_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type metric summary: event values are clipped to
+    the exact global [p01, p99] (Spark `percentile` and DuckDB
+    `quantile_cont` are the same linear-interpolation estimator, so the
+    thresholds — and every clipped value — are engine-portable), then
+    summarized per event_type with the clip thresholds and the count of
+    clipped rows. One all-reduce to two doubles broadcast back over the
+    scan, one map-side-combined aggregation; the value column never
+    shuffles."""
+    from dbldatagen_spark.functions import winsorize
+
+    events = _load(spark, sf_dir, "events")
+    w = winsorize(events, "value", lower_q=0.01, upper_q=0.99)
+    return (
+        w.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum("value_winsorized"), 2).alias("clipped_sum"),
+            F.round(F.min("value_winsorized"), 4).alias("clipped_min"),
+            F.round(F.max("value_winsorized"), 4).alias("clipped_max"),
+            F.sum(
+                (
+                    (F.col("value") < F.col("_clip_lo"))
+                    | (F.col("value") > F.col("_clip_hi"))
+                ).cast("long")
+            ).alias("n_clipped"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _dedup_fuzzy_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked entity resolution over customer names: candidate pairs
     within one Levenshtein edit, generated inside 16-char prefix blocks
@@ -3442,6 +3510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_watermark_late_counts": _events_watermark_late_counts,
         "events_scd2_intervals": _events_scd2_intervals,
         "events_scd2_lookup": _events_scd2_lookup,
+        "docs_source_quota": _docs_source_quota,
+        "docs_token_budget": _docs_token_budget,
+        "events_winsorized_stats": _events_winsorized_stats,
         # round-5 demotions: >=3 consecutive green driver rounds each;
         # family coverage stays in-cohort (generation via the conformance
         # suite + sink/scripts/serialization round-trips, sessions via the
@@ -4967,6 +5038,56 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM resolved
             GROUP BY valid_type
             ORDER BY valid_type
+        """,
+        "docs_source_quota": """
+            WITH ranked AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            )
+            SELECT doc_id, source, n_chars
+            FROM ranked WHERE rn <= 50
+            ORDER BY doc_id
+        """,
+        "docs_token_budget": """
+            WITH running AS (
+                SELECT source, doc_id, n_chars,
+                       SUM(CAST(n_chars AS DOUBLE)) OVER (
+                           PARTITION BY source
+                           ORDER BY n_chars DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS cum_weight
+                FROM documents
+            )
+            SELECT source, doc_id, n_chars, cum_weight
+            FROM running WHERE cum_weight <= 100000.0
+            ORDER BY source, cum_weight
+        """,
+        "events_winsorized_stats": """
+            WITH clips AS (
+                SELECT quantile_cont(value, 0.01) AS lo,
+                       quantile_cont(value, 0.99) AS hi
+                FROM events
+            ),
+            clipped AS (
+                SELECT e.event_type, e.value,
+                       LEAST(GREATEST(e.value, c.lo), c.hi) AS vw,
+                       c.lo, c.hi
+                FROM events e CROSS JOIN clips c
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(SUM(vw), 2) AS clipped_sum,
+                   ROUND(MIN(vw), 4) AS clipped_min,
+                   ROUND(MAX(vw), 4) AS clipped_max,
+                   CAST(SUM(CASE WHEN value < lo OR value > hi
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+            FROM clipped
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "docs_streaming_dedup": r"""
             WITH unioned AS (

@@ -56,11 +56,14 @@ from dbldatagen_spark.functions.curation import (
     strip_boilerplate_lines,
 )
 from dbldatagen_spark.functions.sampling import (
+    budget_select,
     deterministic_sample,
     mix_corpus,
+    quota_sample,
     split_assign,
     stratified_sample,
 )
+from dbldatagen_spark.functions.outliers import robust_outlier_flags, winsorize
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -121,6 +124,10 @@ __all__ = [
     "time_gap_fill",
     "scd2_intervals",
     "scd2_lookup",
+    "quota_sample",
+    "budget_select",
+    "winsorize",
+    "robust_outlier_flags",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

@@ -1,0 +1,97 @@
+"""Robust numeric-outlier handling for feature and metric columns.
+
+Training-data pipelines clip (winsorize) heavy-tailed numeric features
+before normalization, and monitoring flags rows outside robust fences.
+Both decompose into one exact-quantile aggregation (a single reduce to a
+few doubles) broadcast back over the scan — no second shuffle, no UDF.
+
+Spark's ``percentile`` is the exact linear-interpolation estimator
+(matching DuckDB's ``quantile_cont``), so the clip thresholds — and
+therefore every clipped value — are engine-portable bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lower_q: float = 0.01,
+    upper_q: float = 0.99,
+    by: Optional[str] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Clip ``value_col`` to its exact [``lower_q``, ``upper_q``]
+    quantile range — globally, or per ``by`` group.
+
+    Adds ``out_col`` (default ``{value_col}_winsorized``) plus the
+    thresholds used (``_clip_lo`` / ``_clip_hi`` columns), leaving the
+    original column untouched so the clip is auditable.
+
+    Plan shape: one exact-percentile aggregation (global: a single
+    all-reduce to two doubles joined back by broadcast; grouped: one
+    map-side-combined hash aggregation on the group key joined back by
+    broadcast when small, hash join otherwise) followed by a map-only
+    ``least/greatest``. The value column itself never shuffles.
+    """
+    if not 0.0 <= lower_q < upper_q <= 1.0:
+        raise ValueError(
+            f"need 0 <= lower_q < upper_q <= 1, got ({lower_q}, {upper_q})"
+        )
+    out = out_col or f"{value_col}_winsorized"
+    v = F.col(value_col).cast("double")
+    agg = [
+        F.expr(f"percentile({value_col}, {lower_q!r})").alias("_clip_lo"),
+        F.expr(f"percentile({value_col}, {upper_q!r})").alias("_clip_hi"),
+    ]
+    if by is None:
+        clips = df.agg(*agg)
+        joined = df.crossJoin(F.broadcast(clips))
+    else:
+        clips = df.groupBy(by).agg(*agg)
+        joined = df.join(F.broadcast(clips), by)
+    return joined.withColumn(
+        out, F.least(F.greatest(v, F.col("_clip_lo")), F.col("_clip_hi"))
+    )
+
+
+def robust_outlier_flags(
+    df: DataFrame,
+    value_col: str,
+    *,
+    k: float = 1.5,
+    by: Optional[str] = None,
+) -> DataFrame:
+    """Tukey-fence outlier flags: mark rows outside
+    ``[q1 - k*iqr, q3 + k*iqr]`` (``k=1.5`` classic, ``3.0`` "far out"),
+    globally or per ``by`` group.
+
+    Adds ``is_outlier`` plus the fences (``_fence_lo`` / ``_fence_hi``).
+    Same single-aggregation + broadcast-back shape as :func:`winsorize`;
+    exact interpolated quartiles keep the fences engine-portable.
+    """
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+    q1 = F.expr(f"percentile({value_col}, 0.25)")
+    q3 = F.expr(f"percentile({value_col}, 0.75)")
+    agg = [
+        (q1 - (q3 - q1) * F.lit(float(k))).alias("_fence_lo"),
+        (q3 + (q3 - q1) * F.lit(float(k))).alias("_fence_hi"),
+    ]
+    if by is None:
+        fences = df.agg(*agg)
+        joined = df.crossJoin(F.broadcast(fences))
+    else:
+        fences = df.groupBy(by).agg(*agg)
+        joined = df.join(F.broadcast(fences), by)
+    v = F.col(value_col).cast("double")
+    return joined.withColumn(
+        "is_outlier",
+        (v < F.col("_fence_lo")) | (v > F.col("_fence_hi")),
+    )

@@ -189,3 +189,96 @@ def mix_corpus(
         )
         .drop("_n_copies")
     )
+
+
+def quota_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    max_per_group: int,
+    *,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Cap every group at ``max_per_group`` rows, keeping a deterministic
+    pseudo-random subset — the per-domain quota step of web-corpus
+    curation (no single domain may dominate the training mix).
+
+    Row priority inside a group is the hash of the id (``md5`` hex by
+    default — lexicographic order on the hex digest is engine-portable,
+    so an external system can reproduce the exact subset; ``xxhash64``
+    for the cheaper JVM-only variant), ties broken by id. Rows ranked
+    past the cap are dropped.
+
+    Scale shape: one shuffle on the group key; Spark rewrites the
+    rank-filter into a ``WindowGroupLimit`` (partial top-k per input
+    partition BEFORE the exchange), so a billion-row hot domain ships at
+    most ``max_per_group`` rows per map task rather than sorting the
+    whole domain in one reducer.
+    """
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    sid = F.col(id_col).cast("string")
+    if hash_mode == "md5":
+        priority = F.md5(sid)
+    elif hash_mode == "xxhash64":
+        priority = F.xxhash64(sid)
+    else:
+        raise ValueError(f"hash_mode must be md5|xxhash64, got {hash_mode!r}")
+    w = Window.partitionBy(group_col).orderBy(priority, F.col(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(max_per_group))
+        .drop("_rn")
+    )
+
+
+def budget_select(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    budget_per_group: float,
+    *,
+    priority_col: str | None = None,
+    ascending: bool = False,
+) -> DataFrame:
+    """Greedy per-group selection under a weight budget — "take the best
+    documents from each source until its token budget is spent", the
+    standard corpus-composition step when mixing sources at fixed token
+    counts.
+
+    Rows are ranked inside each group by ``priority_col`` (descending by
+    default — highest quality first; ``ascending=True`` flips it), ties
+    broken by id, and kept while the running INCLUSIVE sum of
+    ``weight_col`` stays within ``budget_per_group`` — a strict greedy
+    prefix (not knapsack): the first row past the budget ends the
+    group's selection, so the kept set is exactly the longest affordable
+    priority-prefix and is reproducible by any engine with a windowed
+    sum.
+
+    Returns the input rows plus ``cum_weight`` (the inclusive running
+    sum that justified keeping each row).
+
+    Scale shape: one shuffle on the group key; the ranking sort and the
+    running sum share the same window partitioning (single exchange).
+    The per-group sort is the cost — groups are sources/domains, whose
+    row counts are bounded by the quota step upstream; run
+    :func:`quota_sample` first on unbounded domains.
+    """
+    if budget_per_group <= 0:
+        raise ValueError(
+            f"budget_per_group must be positive, got {budget_per_group}"
+        )
+    prio = F.col(priority_col if priority_col else weight_col)
+    order = [prio.asc() if ascending else prio.desc(), F.col(id_col)]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn(
+            "cum_weight", F.sum(F.col(weight_col).cast("double")).over(w)
+        )
+        .where(F.col("cum_weight") <= F.lit(float(budget_per_group)))
+    )

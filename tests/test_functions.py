@@ -2207,3 +2207,111 @@ class TestSCD2:
 
         with pytest.raises(ValueError):
             scd2_intervals(self._changes(spark), "user_id", "ts", [])
+
+
+class TestQuotaBudget:
+    def test_quota_caps_every_group(self, spark, docs):
+        from dbldatagen_spark.functions import quota_sample
+
+        out = quota_sample(docs, "source", "doc_id", 5)
+        sizes = out.groupBy("source").count().collect()
+        assert sizes and all(r["count"] <= 5 for r in sizes)
+        # small groups pass through untouched
+        small = docs.groupBy("source").count().where("count <= 5").count()
+        kept_small = out.groupBy("source").count().where("count <= 5").count()
+        assert kept_small >= small
+
+    def test_quota_deterministic_across_partitioning(self, spark, docs):
+        from dbldatagen_spark.functions import quota_sample
+
+        a = {r.doc_id for r in quota_sample(docs, "source", "doc_id", 7).collect()}
+        b = {
+            r.doc_id
+            for r in quota_sample(
+                docs.repartition(13), "source", "doc_id", 7
+            ).collect()
+        }
+        assert a == b
+
+    def test_quota_hash_modes_and_validation(self, spark, docs):
+        from dbldatagen_spark.functions import quota_sample
+
+        xx = quota_sample(docs, "source", "doc_id", 3, hash_mode="xxhash64")
+        assert xx.groupBy("source").count().agg(F.max("count")).first()[0] <= 3
+        with pytest.raises(ValueError):
+            quota_sample(docs, "source", "doc_id", 0)
+        with pytest.raises(ValueError):
+            quota_sample(docs, "source", "doc_id", 1, hash_mode="sha1")
+
+    def test_budget_select_prefix_semantics(self, spark):
+        from dbldatagen_spark.functions import budget_select
+
+        df = spark.createDataFrame(
+            [
+                ("a", 1, 40.0, 9.0),
+                ("a", 2, 40.0, 8.0),
+                ("a", 3, 10.0, 7.0),   # overflows at cum 90 > 85? no: 90>85 drop
+                ("a", 4, 1.0, 6.0),    # after overflow: cum 91 also dropped
+                ("b", 5, 100.0, 1.0),  # single row over budget -> dropped
+            ],
+            ["src", "id", "tokens", "quality"],
+        )
+        kept = budget_select(
+            df, "src", "id", "tokens", 85.0, priority_col="quality"
+        ).collect()
+        assert {r.id for r in kept} == {1, 2}
+        by_id = {r.id: r.cum_weight for r in kept}
+        assert by_id[1] == 40.0 and by_id[2] == 80.0
+
+    def test_budget_select_on_docs(self, spark, docs):
+        from dbldatagen_spark.functions import budget_select
+
+        out = budget_select(docs, "source", "doc_id", "n_chars", 5000.0)
+        per = out.groupBy("source").agg(F.max("cum_weight").alias("mx"))
+        assert per.where("mx > 5000").count() == 0
+        with pytest.raises(ValueError):
+            budget_select(docs, "source", "doc_id", "n_chars", 0)
+
+
+class TestOutliers:
+    def test_winsorize_global(self, spark):
+        from dbldatagen_spark.functions import winsorize
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], ["id", "v"]
+        )
+        out = winsorize(df, "v", lower_q=0.05, upper_q=0.95)
+        rows = out.collect()
+        assert all(r._clip_lo <= r.v_winsorized <= r._clip_hi for r in rows)
+        assert min(r.v_winsorized for r in rows) > 1.0
+        assert max(r.v_winsorized for r in rows) < 100.0
+        # interior values untouched
+        mid = [r for r in rows if r.id == 50][0]
+        assert mid.v_winsorized == 50.0
+
+    def test_winsorize_grouped_and_validation(self, spark):
+        from dbldatagen_spark.functions import winsorize
+
+        df = spark.createDataFrame(
+            [("g1", float(i)) for i in range(100)]
+            + [("g2", float(i * 1000)) for i in range(100)],
+            ["g", "v"],
+        )
+        out = winsorize(df, "v", by="g")
+        lo = {r.g: r._clip_lo for r in out.select("g", "_clip_lo").distinct().collect()}
+        assert lo["g2"] > lo["g1"]
+        with pytest.raises(ValueError):
+            winsorize(df, "v", lower_q=0.9, upper_q=0.1)
+
+    def test_robust_flags(self, spark):
+        from dbldatagen_spark.functions import robust_outlier_flags
+
+        df = spark.createDataFrame(
+            [(i, float(i % 10)) for i in range(100)] + [(999, 1e6)],
+            ["id", "v"],
+        )
+        out = robust_outlier_flags(df, "v")
+        flagged = {r.id for r in out.where("is_outlier").collect()}
+        assert flagged == {999}
+        with pytest.raises(ValueError):
+            robust_outlier_flags(df, "v", k=-1)
