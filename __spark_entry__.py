@@ -1120,6 +1120,97 @@ def _events_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style stream-stream interval join run as a REAL
+    two-source Structured Streaming job: the click events and the
+    purchase events are written to separate directories, read back as
+    two independent file streams, and joined on user_id with purchases
+    constrained to [click_ts, click_ts + 1 hour] — the time-range
+    predicate that lets Spark bound both sides' join state (state is
+    evicted as the watermark passes each row's participation window; the
+    probe watermark here covers the corpus span so every pair emits).
+    The batch expression is the identical equi-join + range residual,
+    which the oracle recomputes; stream-vs-batch equality rides along as
+    a constant mismatch column."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.windows import interval_join_streams
+
+    events = _load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+
+    def _pairs(left, right):
+        joined = interval_join_streams(
+            left,
+            right,
+            "user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            max_delay="1 hour",
+            watermark="3650 days",
+        )
+        return joined.select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            (
+                F.floor(
+                    F.unix_timestamp("purchase_ts")
+                    - F.unix_timestamp("click_ts")
+                ).cast("long")
+            ).alias("seconds_to_purchase"),
+        )
+
+    batch = _pairs(clicks, purchases)
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_ssjoin_")
+    try:
+        clicks.coalesce(1).write.parquet(f"{tmp}/clicks")
+        purchases.coalesce(1).write.parquet(f"{tmp}/purchases")
+        lstream = (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/clicks")
+        )
+        rstream = (
+            spark.readStream.schema(purchases.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/purchases")
+        )
+        q = (
+            _pairs(lstream, rstream)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def _docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling: every source keeps at most 50
     documents, chosen by md5-of-id priority so the subset is
@@ -3510,6 +3601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_watermark_late_counts": _events_watermark_late_counts,
         "events_scd2_intervals": _events_scd2_intervals,
         "events_scd2_lookup": _events_scd2_lookup,
+        "events_stream_stream_join": _events_stream_stream_join,
         "docs_source_quota": _docs_source_quota,
         "docs_token_budget": _docs_token_budget,
         "events_winsorized_stats": _events_winsorized_stats,
@@ -5038,6 +5130,21 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM resolved
             GROUP BY valid_type
             ORDER BY valid_type
+        """,
+        "events_stream_stream_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.ts)) AS BIGINT)
+                       AS seconds_to_purchase,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM events c
+            JOIN events p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 1 HOUR
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+            ORDER BY click_id, purchase_id
         """,
         "docs_source_quota": """
             WITH ranked AS (

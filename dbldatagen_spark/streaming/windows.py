@@ -76,3 +76,44 @@ def windowed_event_counts(
     if group_col:
         cols.append(F.col(group_col))
     return out.select(*cols, "n_events", "value_sum")
+
+
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    *,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left row with
+    right rows for the same key whose timestamp falls in
+    ``[left_ts, left_ts + max_delay]`` — the attribution-join shape
+    (click -> purchase within the window).
+
+    On streams, both sides get the same watermark and the time-range
+    predicate itself is what lets Spark bound join state: each side's
+    buffered rows are evicted once the watermark passes their
+    participation window, so state is O(rows per watermark horizon), not
+    O(stream history). On batch frames the identical expression is an
+    ordinary equi-join on the key with the range as residual predicate.
+
+    ``left`` and ``right`` must not share column names other than
+    ``key_col`` (alias before calling); the joined frame keeps the
+    left key column. ``how``: ``inner`` (default) or the streaming-
+    supported outer variants (``leftOuter``/``rightOuter``/``fullOuter``
+    — outer rows emit only after the watermark closes their window).
+    """
+    lts, rts = F.col(left_ts), F.col(right_ts)
+    if left.isStreaming or right.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key_col] == right[key_col])
+        & (rts >= lts)
+        & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, how).drop(right[key_col])

@@ -295,3 +295,78 @@ def test_global_dedup_with_state_batch(spark):
     )
     got = sorted(r["doc_id"] for r in global_dedup_with_state(df, "doc_id", "text").collect())
     assert got == [11, 12]
+
+
+def test_interval_join_batch_semantics(spark):
+    from dbldatagen_spark.streaming.windows import interval_join_streams
+
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00"), (2, 11, "2024-01-01 10:00:00")],
+        ["user_id", "click_id", "cts"],
+    ).withColumn("cts", F.col("cts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [
+            (1, 100, "2024-01-01 10:30:00"),  # in window
+            (1, 101, "2024-01-01 11:00:00"),  # boundary: exactly +1h, inclusive
+            (1, 102, "2024-01-01 11:00:01"),  # past window
+            (1, 103, "2024-01-01 09:59:59"),  # before click
+            (2, 104, "2024-01-01 10:15:00"),  # other user, in window
+            (3, 105, "2024-01-01 10:15:00"),  # unmatched user
+        ],
+        ["user_id", "purchase_id", "pts"],
+    ).withColumn("pts", F.col("pts").cast("timestamp"))
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in interval_join_streams(
+            left, right, "user_id",
+            left_ts="cts", right_ts="pts", max_delay="1 hour",
+        ).collect()
+    }
+    assert got == {(10, 100), (10, 101), (11, 104)}
+
+
+def test_interval_join_stream_matches_batch(spark, events, tmp_path):
+    from dbldatagen_spark.streaming.windows import interval_join_streams
+
+    clicks = events.where("event_type = 'click'").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    views = events.where("event_type = 'view'").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("vts"),
+    )
+    kwargs = dict(
+        left_ts="cts", right_ts="vts",
+        max_delay="2 hours", watermark="3650 days",
+    )
+    expected = sorted(
+        (r.click_id, r.view_id)
+        for r in interval_join_streams(clicks, views, "user_id", **kwargs)
+        .select("click_id", "view_id")
+        .collect()
+    )
+    assert expected  # fixture must actually produce pairs
+
+    clicks.coalesce(1).write.parquet(str(tmp_path / "l"))
+    views.coalesce(1).write.parquet(str(tmp_path / "r"))
+    ls = spark.readStream.schema(clicks.schema).parquet(str(tmp_path / "l"))
+    rs = spark.readStream.schema(views.schema).parquet(str(tmp_path / "r"))
+    q = (
+        interval_join_streams(ls, rs, "user_id", **kwargs)
+        .select("click_id", "view_id")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.click_id, r.view_id)
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+    assert got == expected
