@@ -1211,6 +1211,53 @@ def _events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-to-state reduction: events replayed as a CDC log keyed
+    by user_id with event_id as the log sequence number — error events
+    are tombstones, everything else upserts. Each user's final state is
+    the highest-sequence operation, and users whose last operation is a
+    tombstone are absent. One key shuffle; the descending-seq top-1
+    plans as a pre-exchange WindowGroupLimit, so a hot key's update
+    history never sorts in one reducer. The oracle replays the same
+    last-writer-wins rule with a rank window."""
+    from dbldatagen_spark.functions import apply_cdc
+
+    events = _load(spark, sf_dir, "events")
+    log = events.withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(
+            F.lit("U")
+        ),
+    )
+    return (
+        apply_cdc(log, ["user_id"], "event_id", op_col="op")
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp_ntz").alias("ts"),
+            "event_type",
+            "value",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
+    20 documents per source with inclusion probability proportional to
+    n_chars, via the key ln(u)/w over a 60-bit md5-derived uniform — a
+    deterministic, partitioning-independent, engine-portable draw (the
+    oracle recomputes the identical keys and ranks). Same pre-exchange
+    WindowGroupLimit top-n shape as the quota sampler."""
+    from dbldatagen_spark.functions import weighted_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        weighted_sample(docs, "source", "doc_id", "n_chars", 20)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 def _docs_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quota sampling: every source keeps at most 50
     documents, chosen by md5-of-id priority so the subset is
@@ -3602,6 +3649,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_intervals": _events_scd2_intervals,
         "events_scd2_lookup": _events_scd2_lookup,
         "events_stream_stream_join": _events_stream_stream_join,
+        "events_cdc_apply": _events_cdc_apply,
+        "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
         "docs_token_budget": _docs_token_budget,
         "events_winsorized_stats": _events_winsorized_stats,
@@ -5145,6 +5194,39 @@ def _oracle_sql_base() -> dict[str, str]:
              AND p.ts <= c.ts + INTERVAL 1 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             ORDER BY click_id, purchase_id
+        """,
+        "events_cdc_apply": """
+            WITH ranked AS (
+                SELECT user_id, ts, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id, ts, event_type, value
+            FROM ranked
+            WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id
+        """,
+        "docs_weighted_sample": """
+            WITH keyed AS (
+                SELECT doc_id, source, n_chars,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY
+                               ln((('0x' || substr(
+                                       md5(CAST(doc_id AS VARCHAR)), 1, 15
+                                   ))::BIGINT + 1)
+                                  / 1152921504606846976.0)
+                               / CAST(n_chars AS DOUBLE) DESC,
+                               doc_id
+                       ) AS rn
+                FROM documents
+                WHERE n_chars > 0
+            )
+            SELECT doc_id, source, n_chars
+            FROM keyed WHERE rn <= 20
+            ORDER BY doc_id
         """,
         "docs_source_quota": """
             WITH ranked AS (

@@ -62,8 +62,10 @@ from dbldatagen_spark.functions.sampling import (
     quota_sample,
     split_assign,
     stratified_sample,
+    weighted_sample,
 )
 from dbldatagen_spark.functions.outliers import robust_outlier_flags, winsorize
+from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -126,8 +128,11 @@ __all__ = [
     "scd2_lookup",
     "quota_sample",
     "budget_select",
+    "weighted_sample",
     "winsorize",
     "robust_outlier_flags",
+    "apply_cdc",
+    "cdc_change_counts",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

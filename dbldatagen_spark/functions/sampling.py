@@ -282,3 +282,46 @@ def budget_select(
         )
         .where(F.col("cum_weight") <= F.lit(float(budget_per_group)))
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    n_per_group: int,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement: ``n_per_group`` rows per
+    group, each row's inclusion probability proportional to its weight —
+    Efraimidis–Spirakis A-ES keys, the one-pass distributed analogue of
+    sequential weighted draws.
+
+    Each row gets the key ``ln(u) / w`` where ``u`` is a deterministic
+    60-bit uniform derived from ``md5(id)`` (engine-portable: any system
+    with md5 reproduces the exact sample, and the draw is independent of
+    partitioning); the ``n`` largest keys per group win — equivalent to
+    ranking by ``u^(1/w)`` as in the original algorithm, without the
+    overflow-prone pow. Rows with non-positive weight are excluded (they
+    have zero sampling mass).
+
+    Scale shape: identical to :func:`quota_sample` — one shuffle on the
+    group key with a pre-exchange ``WindowGroupLimit`` top-n, so hot
+    groups ship n candidates per map task.
+    """
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    hv = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # (hv + 1) / 2^60: uniform in (0, 1], never 0 so ln() is finite
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    w = Window.partitionBy(group_col).orderBy(
+        key.desc(), F.col(id_col)
+    )
+    return (
+        df.where(F.col(weight_col) > 0)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(n_per_group))
+        .drop("_rn")
+    )

@@ -2315,3 +2315,90 @@ class TestOutliers:
         assert flagged == {999}
         with pytest.raises(ValueError):
             robust_outlier_flags(df, "v", k=-1)
+
+
+class TestCDC:
+    def _log(self, spark):
+        rows = [
+            (1, 1, "I", "alice", 10.0),
+            (1, 2, "U", "alice2", 11.0),
+            (2, 3, "I", "bob", 20.0),
+            (2, 4, "D", None, None),       # deleted
+            (3, 5, "I", "carol", 30.0),
+            (3, 6, "D", None, None),
+            (3, 7, "I", "carol2", 31.0),   # re-inserted after delete
+        ]
+        return spark.createDataFrame(
+            rows, ["key", "seq", "op", "name", "score"]
+        )
+
+    def test_apply_cdc_latest_wins(self, spark):
+        from dbldatagen_spark.functions import apply_cdc
+
+        out = {r.key: r for r in apply_cdc(self._log(spark), ["key"], "seq").collect()}
+        assert set(out) == {1, 3}
+        assert out[1].name == "alice2" and out[3].name == "carol2"
+        assert "op" not in out[1].asDict() and "seq" not in out[1].asDict()
+
+    def test_apply_cdc_keep_op_cols_and_segments(self, spark):
+        from dbldatagen_spark.functions import apply_cdc
+
+        log = self._log(spark)
+        out = apply_cdc(log, ["key"], "seq", keep_op_cols=True)
+        assert {"op", "seq"} <= set(out.columns)
+        # associativity: applying over union of segments == over full log
+        seg = apply_cdc(
+            log.where("seq <= 4").union(log.where("seq > 4")), ["key"], "seq"
+        )
+        full = apply_cdc(log, ["key"], "seq")
+        assert sorted(map(tuple, seg.collect())) == sorted(map(tuple, full.collect()))
+        with pytest.raises(ValueError):
+            apply_cdc(log, [], "seq")
+
+    def test_cdc_change_counts(self, spark):
+        from dbldatagen_spark.functions import cdc_change_counts
+
+        out = {r.op: (r.n_ops, r.n_keys) for r in cdc_change_counts(
+            self._log(spark), ["key"]
+        ).collect()}
+        assert out == {"I": (4, 3), "U": (1, 1), "D": (2, 2)}
+
+
+class TestWeightedSample:
+    def test_weighted_sample_caps_and_determinism(self, spark, docs):
+        from dbldatagen_spark.functions import weighted_sample
+
+        out = weighted_sample(docs, "source", "doc_id", "n_chars", 10)
+        assert out.groupBy("source").count().agg(F.max("count")).first()[0] <= 10
+        a = {r.doc_id for r in out.collect()}
+        b = {
+            r.doc_id
+            for r in weighted_sample(
+                docs.repartition(17), "source", "doc_id", "n_chars", 10
+            ).collect()
+        }
+        assert a == b
+
+    def test_weighted_sample_bias(self, spark):
+        from dbldatagen_spark.functions import weighted_sample
+
+        # 1000 light rows (w=1) + 50 heavy rows (w=1000): heavy rows should
+        # dominate a 20-row sample despite being 5% of the population
+        rows = [("g", i, 1.0) for i in range(1000)] + [
+            ("g", 10_000 + i, 1000.0) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, ["g", "id", "w"])
+        picked = weighted_sample(df, "g", "id", "w", 20).collect()
+        heavy = sum(1 for r in picked if r.id >= 10_000)
+        assert heavy >= 15
+
+    def test_weighted_sample_excludes_nonpositive(self, spark):
+        from dbldatagen_spark.functions import weighted_sample
+
+        df = spark.createDataFrame(
+            [("g", 1, 0.0), ("g", 2, -5.0), ("g", 3, 2.0)], ["g", "id", "w"]
+        )
+        out = weighted_sample(df, "g", "id", "w", 10).collect()
+        assert {r.id for r in out} == {3}
+        with pytest.raises(ValueError):
+            weighted_sample(df, "g", "id", "w", 0)
