@@ -1211,6 +1211,43 @@ def _events_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: users reaching each
+    stage, where each stage's event must be strictly after the event
+    that satisfied the previous stage. One shuffle on user_id; each
+    user's funnel events are sorted and folded through a stage machine
+    with F.aggregate (JVM higher-order function — no UDF, no per-step
+    join). Greedy-earliest is optimal, so the oracle's chain of
+    min-after-min aggregations computes the identical reach counts."""
+    from dbldatagen_spark.functions import funnel_steps
+
+    events = _load(spark, sf_dir, "events")
+    return funnel_steps(
+        events, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    ).select(
+        F.col("step_index").cast("long").alias("step_index"),
+        "step",
+        "n_users",
+    )
+
+
+def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix: users cohorted by the Monday of
+    their first activity week; each (cohort, offset) cell counts
+    distinct users active that many weeks later (offset 0 = cohort
+    size). One shuffle on user_id (the cohort min-window shares the
+    partitioning with the distinct-activity dedup) plus one
+    map-side-combined aggregation on (cohort, offset) — dates and keys
+    shuffle, never payloads. Integer-exact date arithmetic keeps the
+    matrix engine-portable."""
+    from dbldatagen_spark.functions import cohort_retention
+
+    events = _load(spark, sf_dir, "events")
+    return cohort_retention(
+        events, "user_id", "ts", period="week", max_offset=10
+    )
+
+
 def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-to-state reduction: events replayed as a CDC log keyed
     by user_id with event_id as the log sequence number — error events
@@ -3650,6 +3687,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_lookup": _events_scd2_lookup,
         "events_stream_stream_join": _events_stream_stream_join,
         "events_cdc_apply": _events_cdc_apply,
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
         "docs_token_budget": _docs_token_budget,
@@ -5194,6 +5233,51 @@ def _oracle_sql_base() -> dict[str, str]:
              AND p.ts <= c.ts + INTERVAL 1 HOUR
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
             ORDER BY click_id, purchase_id
+        """,
+        "events_funnel": """
+            WITH s1 AS (
+                SELECT user_id, min(ts) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id
+            ),
+            s2 AS (
+                SELECT e.user_id, min(e.ts) AS t2
+                FROM events e JOIN s1 ON e.user_id = s1.user_id
+                WHERE e.event_type = 'click' AND e.ts > s1.t1
+                GROUP BY e.user_id
+            ),
+            s3 AS (
+                SELECT e.user_id, min(e.ts) AS t3
+                FROM events e JOIN s2 ON e.user_id = s2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+                GROUP BY e.user_id
+            )
+            SELECT CAST(step_index AS BIGINT) AS step_index, step,
+                   CAST(n_users AS BIGINT) AS n_users
+            FROM (
+                VALUES
+                    (1, 'view', (SELECT count(*) FROM s1)),
+                    (2, 'click', (SELECT count(*) FROM s2)),
+                    (3, 'purchase', (SELECT count(*) FROM s3))
+            ) AS t(step_index, step, n_users)
+            ORDER BY step_index
+        """,
+        "events_cohort_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id,
+                       date_trunc('week', ts)::DATE AS p
+                FROM events
+            ),
+            firstp AS (
+                SELECT user_id, min(p) AS cohort
+                FROM activity GROUP BY user_id
+            )
+            SELECT f.cohort AS cohort_start,
+                   CAST((a.p - f.cohort) / 7 AS BIGINT) AS period_offset,
+                   CAST(count(*) AS BIGINT) AS n_active
+            FROM activity a JOIN firstp f ON a.user_id = f.user_id
+            WHERE (a.p - f.cohort) / 7 <= 10
+            GROUP BY 1, 2
+            ORDER BY cohort_start, period_offset
         """,
         "events_cdc_apply": """
             WITH ranked AS (

@@ -66,6 +66,7 @@ from dbldatagen_spark.functions.sampling import (
 )
 from dbldatagen_spark.functions.outliers import robust_outlier_flags, winsorize
 from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
+from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -133,6 +134,8 @@ __all__ = [
     "robust_outlier_flags",
     "apply_cdc",
     "cdc_change_counts",
+    "funnel_steps",
+    "cohort_retention",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

@@ -1,0 +1,150 @@
+"""Behavioral analytics operators: ordered funnels and cohort retention.
+
+Product analytics at warehouse scale reduces to two shapes Spark has no
+verb for: "did each user do A then B then C, in order" and "of the users
+who first appeared in week W, how many were active k weeks later". Both
+are built here as single-key-shuffle plans:
+
+- the funnel folds each user's time-sorted events through a stage
+  machine with ``F.aggregate`` (a JVM higher-order function — no UDF,
+  no per-step re-scan of the input, one shuffle on the user key);
+- retention is two aggregations on (user) and (cohort, offset) where
+  only keys and dates shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    step_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Ordered-funnel conversion: for each user, walk ``steps`` in order
+    and record the deepest stage reached, where stage k+1 requires an
+    event of that step STRICTLY after the event that satisfied stage k.
+    Returns one row per funnel step:
+
+    ``(step_index, step, n_users)``
+
+    with ``n_users`` = users who reached at least that stage. The
+    greedy-earliest walk is optimal (taking the earliest admissible
+    event for each stage never excludes a deeper completion), so this
+    equals "exists an increasing subsequence matching the step list" —
+    the definition an oracle can replay with a chain of min-after-min
+    aggregations.
+
+    Scale shape: events are filtered to funnel steps at the scan, then
+    ONE shuffle on the user key; each user's (ts, step) pairs are sorted
+    and folded through a stage machine via ``F.aggregate`` — JVM
+    higher-order function, no UDF, no join per step. Per-user state is
+    the user's own funnel events only; the final count is a bounded
+    conditional aggregation.
+    """
+    if not steps:
+        raise ValueError("steps must name at least one funnel step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"steps must be distinct, got {steps!r}")
+    n = len(steps)
+    step_arr = F.array(*[F.lit(s) for s in steps])
+
+    per_user = (
+        df.where(F.col(step_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("_u"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("t"),
+                F.col(step_col).alias("s"),
+            ).alias("_e"),
+        )
+        .groupBy("_u")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    )
+
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("last"),
+    )
+
+    def _advance(acc, e):
+        match = (
+            (acc["stage"] < F.lit(n))
+            & (e["s"] == F.element_at(step_arr, acc["stage"] + 1))
+            & ((acc["stage"] == 0) | (e["t"] > acc["last"]))
+        )
+        return F.struct(
+            F.when(match, acc["stage"] + 1).otherwise(acc["stage"]).alias("stage"),
+            F.when(match, e["t"]).otherwise(acc["last"]).alias("last"),
+        )
+
+    staged = per_user.select(
+        F.aggregate(F.col("_evts"), init, _advance)["stage"].alias("_stage")
+    )
+    reached = staged.agg(
+        *[
+            F.sum((F.col("_stage") >= F.lit(i + 1)).cast("long")).alias(f"_r{i}")
+            for i in range(n)
+        ]
+    )
+    stack = ", ".join(f"{i + 1}, '{steps[i]}', _r{i}" for i in range(n))
+    return reached.selectExpr(
+        f"stack({n}, {stack}) AS (step_index, step, n_users)"
+    ).orderBy("step_index")
+
+
+def cohort_retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    period: str = "week",
+    max_offset: int = 12,
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the ``period``
+    (``week``/``month``/``day``) of their first activity; for each
+    (cohort, offset) cell, count the distinct users active ``offset``
+    periods after their cohort period (offset 0 = the cohort size).
+
+    Returns ``(cohort_start, period_offset, n_active)`` for offsets up
+    to ``max_offset``.
+
+    Scale shape: one shuffle on the user key (a min-window shares the
+    partitioning with the distinct-activity dedup), then one
+    map-side-combined aggregation on (cohort, offset) — dates and keys
+    shuffle, never event payloads. Offsets are exact integer arithmetic
+    on truncated dates, so any engine reproduces the matrix.
+    """
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day|week|month, got {period!r}")
+    if max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    w = Window.partitionBy("_u")
+    active = (
+        df.select(F.col(user_col).alias("_u"), p.alias("_p"))
+        .withColumn("_cohort", F.min("_p").over(w))
+        .distinct()
+    )
+    if period == "month":
+        offset = (F.months_between(F.col("_p"), F.col("_cohort"))).cast("long")
+    elif period == "week":
+        offset = (F.datediff(F.col("_p"), F.col("_cohort")) / 7).cast("long")
+    else:
+        offset = F.datediff(F.col("_p"), F.col("_cohort")).cast("long")
+    return (
+        active.withColumn("_off", offset)
+        .where(F.col("_off") <= F.lit(max_offset))
+        .groupBy(
+            F.col("_cohort").alias("cohort_start"),
+            F.col("_off").alias("period_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .orderBy("cohort_start", "period_offset")
+    )

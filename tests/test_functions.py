@@ -2402,3 +2402,96 @@ class TestWeightedSample:
         assert {r.id for r in out} == {3}
         with pytest.raises(ValueError):
             weighted_sample(df, "g", "id", "w", 0)
+
+
+class TestAnalytics:
+    def test_funnel_ordered_semantics(self, spark):
+        from dbldatagen_spark.functions import funnel_steps
+
+        rows = [
+            # u1 completes view -> click -> purchase in order
+            (1, "2024-01-01 10:00:00", "view"),
+            (1, "2024-01-01 10:05:00", "click"),
+            (1, "2024-01-01 10:10:00", "purchase"),
+            # u2 has all three but purchase BEFORE click -> stops at click
+            (2, "2024-01-01 10:00:00", "view"),
+            (2, "2024-01-01 10:01:00", "purchase"),
+            (2, "2024-01-01 10:02:00", "click"),
+            # u3 only views
+            (3, "2024-01-01 10:00:00", "view"),
+            # u4 greedy trap: early click before view, later click after view
+            (4, "2024-01-01 09:00:00", "click"),
+            (4, "2024-01-01 10:00:00", "view"),
+            (4, "2024-01-01 11:00:00", "click"),
+            # u5 never enters the funnel
+            (5, "2024-01-01 10:00:00", "error"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts", "step"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            r.step: r.n_users
+            for r in funnel_steps(
+                df, "user_id", "ts", "step", ["view", "click", "purchase"]
+            ).collect()
+        }
+        assert out == {"view": 4, "click": 3, "purchase": 1}
+
+    def test_funnel_strictly_after(self, spark):
+        from dbldatagen_spark.functions import funnel_steps
+
+        # same-timestamp step2 does NOT count (strictly after)
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "a"), (1, "2024-01-01 10:00:00", "b")],
+            ["u", "ts", "s"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r.step: r.n_users for r in funnel_steps(df, "u", "ts", "s", ["a", "b"]).collect()}
+        assert out == {"a": 1, "b": 0}
+        with pytest.raises(ValueError):
+            funnel_steps(df, "u", "ts", "s", [])
+        with pytest.raises(ValueError):
+            funnel_steps(df, "u", "ts", "s", ["a", "a"])
+
+    def test_cohort_retention_matrix(self, spark):
+        from dbldatagen_spark.functions import cohort_retention
+
+        rows = [
+            # u1: cohort week of Jan 1 (Mon), active weeks 0, 1, 3
+            (1, "2024-01-02 10:00:00"),
+            (1, "2024-01-03 10:00:00"),   # same week, must not double count
+            (1, "2024-01-10 10:00:00"),
+            (1, "2024-01-22 10:00:00"),
+            # u2: same cohort, active week 0 only
+            (2, "2024-01-05 10:00:00"),
+            # u3: cohort week of Jan 8, active weeks 0 and 1
+            (3, "2024-01-08 10:00:00"),
+            (3, "2024-01-16 10:00:00"),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            (str(r.cohort_start), r.period_offset): r.n_active
+            for r in cohort_retention(df, "user_id", "ts").collect()
+        }
+        assert out == {
+            ("2024-01-01", 0): 2,
+            ("2024-01-01", 1): 1,
+            ("2024-01-01", 3): 1,
+            ("2024-01-08", 0): 1,
+            ("2024-01-08", 1): 1,
+        }
+
+    def test_cohort_retention_max_offset_and_validation(self, spark):
+        from dbldatagen_spark.functions import cohort_retention
+
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00"), (1, "2024-06-01 00:00:00")],
+            ["u", "ts"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = cohort_retention(df, "u", "ts", max_offset=2).collect()
+        assert all(r.period_offset <= 2 for r in out)
+        with pytest.raises(ValueError):
+            cohort_retention(df, "u", "ts", period="quarter")
+        with pytest.raises(ValueError):
+            cohort_retention(df, "u", "ts", max_offset=-1)
