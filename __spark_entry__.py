@@ -1278,6 +1278,21 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling: every document gets
+    2 negatives from its hash bucket's pseudo-random ring — balanced
+    (each row also SERVES as a negative exactly twice), no repeats, no
+    driver state, no cross join. Two windows over the bucket
+    partitioning + one co-partitioned equi-join on (bucket, rank); md5
+    mode keeps bucket and ring order recomputable by the oracle."""
+    from dbldatagen_spark.functions import contrastive_negatives
+
+    docs = _load(spark, sf_dir, "documents")
+    return contrastive_negatives(
+        docs, "doc_id", k=2, num_buckets=16, seed=42, hash_mode="md5"
+    ).orderBy("anchor_id", "neg_index")
+
+
 def _docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis-Spirakis A-ES):
     20 documents per source with inclusion probability proportional to
@@ -3689,6 +3704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "docs_contrastive_negatives": _docs_contrastive_negatives,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
         "docs_token_budget": _docs_token_budget,
@@ -5291,6 +5307,35 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "docs_contrastive_negatives": """
+            WITH ranked AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('42-' || CAST(doc_id AS VARCHAR)), 1, 15)
+                       )::BIGINT % 16 AS b,
+                       md5('43-' || CAST(doc_id AS VARCHAR)) AS ord
+                FROM documents
+            ),
+            rr AS (
+                SELECT doc_id, b,
+                       row_number() OVER (
+                           PARTITION BY b ORDER BY ord, doc_id
+                       ) AS r,
+                       count(*) OVER (PARTITION BY b) AS n
+                FROM ranked
+            ),
+            anchors AS (
+                SELECT rr.doc_id AS anchor_id, rr.b,
+                       t.j AS neg_index,
+                       ((rr.r - 1 + t.j) % rr.n) + 1 AS target
+                FROM rr, unnest([1, 2]) AS t(j)
+            )
+            SELECT a.anchor_id, n.doc_id AS negative_id,
+                   CAST(a.neg_index AS INTEGER) AS neg_index
+            FROM anchors a
+            JOIN rr n ON a.b = n.b AND a.target = n.r
+            WHERE a.anchor_id <> n.doc_id
+            ORDER BY anchor_id, neg_index
         """,
         "docs_weighted_sample": """
             WITH keyed AS (

@@ -67,6 +67,7 @@ from dbldatagen_spark.functions.sampling import (
 from dbldatagen_spark.functions.outliers import robust_outlier_flags, winsorize
 from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
+from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -136,6 +137,7 @@ __all__ = [
     "cdc_change_counts",
     "funnel_steps",
     "cohort_retention",
+    "contrastive_negatives",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

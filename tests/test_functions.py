@@ -2495,3 +2495,48 @@ class TestAnalytics:
             cohort_retention(df, "u", "ts", period="quarter")
         with pytest.raises(ValueError):
             cohort_retention(df, "u", "ts", max_offset=-1)
+
+
+class TestContrastivePairs:
+    def test_negatives_count_and_balance(self, spark, docs):
+        from dbldatagen_spark.functions import contrastive_negatives
+
+        out = contrastive_negatives(docs, "doc_id", k=2, num_buckets=8).cache()
+        n_docs = docs.count()
+        # every anchor gets exactly k negatives (buckets are >> k here)
+        per_anchor = out.groupBy("anchor_id").count()
+        assert per_anchor.where("count != 2").count() == 0
+        assert per_anchor.count() == n_docs
+        # ring property: every row serves as a negative exactly k times
+        per_neg = out.groupBy("negative_id").count()
+        assert per_neg.where("count != 2").count() == 0
+        # no self pairs, no duplicate (anchor, negative) pairs
+        assert out.where("anchor_id = negative_id").count() == 0
+        assert out.select("anchor_id", "negative_id").distinct().count() == out.count()
+        out.unpersist()
+
+    def test_negatives_deterministic(self, spark, docs):
+        from dbldatagen_spark.functions import contrastive_negatives
+
+        a = set(
+            map(tuple, contrastive_negatives(docs, "doc_id", k=1).collect())
+        )
+        b = set(
+            map(
+                tuple,
+                contrastive_negatives(
+                    docs.repartition(19), "doc_id", k=1
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_tiny_bucket_self_pair_filtered(self, spark):
+        from dbldatagen_spark.functions import contrastive_negatives
+
+        df = spark.createDataFrame([(1,)], ["id"])
+        assert contrastive_negatives(df, "id", k=3, num_buckets=1).count() == 0
+        with pytest.raises(ValueError):
+            contrastive_negatives(df, "id", k=0)
+        with pytest.raises(ValueError):
+            contrastive_negatives(df, "id", num_buckets=0)
