@@ -1278,6 +1278,33 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-engineering pass: global exact-quartile bucketing of the
+    value column (the scale-safe NTILE — cut points from one bounded
+    aggregation broadcast over the scan, no global sort) composed with
+    per-event-type robust z-scores (median-centered, IQR-scaled), then
+    summarized per (type, bucket). Thresholds are exact interpolated
+    percentiles, so every bucket edge and z-score is engine-portable."""
+    from dbldatagen_spark.functions import quantile_bucket, zscore_normalize
+
+    events = _load(spark, sf_dir, "events")
+    bucketed = quantile_bucket(events, "value", 4)
+    scaled = zscore_normalize(
+        bucketed, "value", by="event_type", robust=True
+    )
+    return (
+        scaled.groupBy(
+            "event_type", F.col("value_bucket").cast("int").alias("value_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.min("value_z"), 4).alias("z_min"),
+            F.round(F.max("value_z"), 4).alias("z_max"),
+        )
+        .orderBy("event_type", "value_bucket")
+    )
+
+
 def _docs_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic contrastive negative sampling: every document gets
     2 negatives from its hash bucket's pseudo-random ring — balanced
@@ -3704,6 +3731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_feature_scaling": _events_feature_scaling,
         "docs_contrastive_negatives": _docs_contrastive_negatives,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
@@ -5307,6 +5335,41 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_feature_scaling": """
+            WITH cuts AS (
+                SELECT quantile_cont(value, 0.25) AS q0,
+                       quantile_cont(value, 0.5) AS q1,
+                       quantile_cont(value, 0.75) AS q2
+                FROM events
+            ),
+            stats AS (
+                SELECT event_type,
+                       quantile_cont(value, 0.5) AS c,
+                       quantile_cont(value, 0.75)
+                           - quantile_cont(value, 0.25) AS s
+                FROM events GROUP BY event_type
+            ),
+            scored AS (
+                SELECT e.event_type,
+                       1 + CAST(e.value > cu.q0 AS INTEGER)
+                         + CAST(e.value > cu.q1 AS INTEGER)
+                         + CAST(e.value > cu.q2 AS INTEGER) AS value_bucket,
+                       CASE WHEN st.s > 0
+                            THEN (e.value - st.c) / st.s
+                            ELSE 0.0 END AS z
+                FROM events e
+                CROSS JOIN cuts cu
+                JOIN stats st ON e.event_type = st.event_type
+            )
+            SELECT event_type,
+                   CAST(value_bucket AS INTEGER) AS value_bucket,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   ROUND(min(z), 4) AS z_min,
+                   ROUND(max(z), 4) AS z_max
+            FROM scored
+            GROUP BY 1, 2
+            ORDER BY event_type, value_bucket
         """,
         "docs_contrastive_negatives": """
             WITH ranked AS (

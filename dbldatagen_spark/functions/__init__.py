@@ -64,7 +64,12 @@ from dbldatagen_spark.functions.sampling import (
     stratified_sample,
     weighted_sample,
 )
-from dbldatagen_spark.functions.outliers import robust_outlier_flags, winsorize
+from dbldatagen_spark.functions.outliers import (
+    quantile_bucket,
+    robust_outlier_flags,
+    winsorize,
+    zscore_normalize,
+)
 from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.pairs import contrastive_negatives
@@ -133,6 +138,8 @@ __all__ = [
     "weighted_sample",
     "winsorize",
     "robust_outlier_flags",
+    "zscore_normalize",
+    "quantile_bucket",
     "apply_cdc",
     "cdc_change_counts",
     "funnel_steps",

@@ -95,3 +95,93 @@ def robust_outlier_flags(
         "is_outlier",
         (v < F.col("_fence_lo")) | (v > F.col("_fence_hi")),
     )
+
+
+def zscore_normalize(
+    df: DataFrame,
+    value_col: str,
+    *,
+    by: Optional[str] = None,
+    out_col: Optional[str] = None,
+    robust: bool = False,
+) -> DataFrame:
+    """Standardize ``value_col`` to zero mean / unit variance — globally
+    or per ``by`` group. ``robust=True`` uses median and IQR instead
+    (median-centered, IQR-scaled — insensitive to the tails that motivate
+    winsorizing in the first place).
+
+    Adds ``out_col`` (default ``{value_col}_z``) plus the center/scale
+    used (``_center`` / ``_scale``). Degenerate groups (zero variance or
+    zero IQR) produce 0.0, not NULL/inf.
+
+    Same plan shape as :func:`winsorize`: one bounded aggregation
+    broadcast back over the scan; the value column never shuffles.
+    ``stddev_pop`` (not sample) so a one-row group is its own center.
+    """
+    out = out_col or f"{value_col}_z"
+    v = F.col(value_col).cast("double")
+    if robust:
+        center = F.expr(f"percentile({value_col}, 0.5)")
+        scale = F.expr(f"percentile({value_col}, 0.75)") - F.expr(
+            f"percentile({value_col}, 0.25)"
+        )
+    else:
+        center = F.avg(v)
+        scale = F.stddev_pop(v)
+    agg = [center.alias("_center"), scale.alias("_scale")]
+    if by is None:
+        stats = df.agg(*agg)
+        joined = df.crossJoin(F.broadcast(stats))
+    else:
+        stats = df.groupBy(by).agg(*agg)
+        joined = df.join(F.broadcast(stats), by)
+    return joined.withColumn(
+        out,
+        F.when(F.col("_scale") > 0, (v - F.col("_center")) / F.col("_scale"))
+        .otherwise(F.lit(0.0)),
+    )
+
+
+def quantile_bucket(
+    df: DataFrame,
+    value_col: str,
+    num_buckets: int,
+    *,
+    by: Optional[str] = None,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Assign each row its quantile bucket in ``1..num_buckets`` — the
+    scale-safe NTILE: instead of a single global sort (what
+    ``ntile() OVER (ORDER BY ...)`` costs — one task owns the whole
+    ordering), compute the ``num_buckets - 1`` exact interior quantile
+    cut points in one bounded aggregation, broadcast them, and bucket
+    each row with a count of thresholds at or below its value.
+
+    Ties collapse onto the same bucket (rows with equal values always
+    land together — unlike NTILE, which splits ties to equalize bucket
+    sizes; bucket populations are therefore only approximately equal
+    under heavy ties, which is the correct behavior for feature
+    binning). Exact interpolated quantiles keep bucket edges
+    engine-portable.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    out = out_col or f"{value_col}_bucket"
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    agg = [
+        F.expr(f"percentile({value_col}, {q!r})").alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    if by is None:
+        cuts = df.agg(*agg)
+        joined = df.crossJoin(F.broadcast(cuts))
+    else:
+        cuts = df.groupBy(by).agg(*agg)
+        joined = df.join(F.broadcast(cuts), by)
+    v = F.col(value_col).cast("double")
+    bucket = F.lit(1)
+    for i in range(len(qs)):
+        bucket = bucket + (v > F.col(f"_q{i}")).cast("int")
+    return joined.withColumn(out, bucket).drop(
+        *[f"_q{i}" for i in range(len(qs))]
+    )

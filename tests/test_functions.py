@@ -2540,3 +2540,64 @@ class TestContrastivePairs:
             contrastive_negatives(df, "id", k=0)
         with pytest.raises(ValueError):
             contrastive_negatives(df, "id", num_buckets=0)
+
+
+class TestFeatureScaling:
+    def test_zscore_global(self, spark):
+        from dbldatagen_spark.functions import zscore_normalize
+
+        df = spark.createDataFrame(
+            [(i, float(v)) for i, v in enumerate([2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0])],
+            ["id", "v"],
+        )
+        rows = zscore_normalize(df, "v").collect()
+        # mean 5, stddev_pop 2 -> v=9 maps to 2.0
+        z = {r.id: r.v_z for r in rows}
+        assert abs(z[7] - 2.0) < 1e-12 and abs(z[0] + 1.5) < 1e-12
+        # mean-zero property
+        assert abs(sum(r.v_z for r in rows)) < 1e-9
+
+    def test_zscore_degenerate_and_robust(self, spark):
+        from dbldatagen_spark.functions import zscore_normalize
+
+        const = spark.createDataFrame([(1, 5.0), (2, 5.0)], ["id", "v"])
+        assert all(r.v_z == 0.0 for r in zscore_normalize(const, "v").collect())
+        grouped = spark.createDataFrame(
+            [("a", float(i)) for i in range(1, 101)]
+            + [("b", float(i * 10)) for i in range(1, 101)],
+            ["g", "v"],
+        )
+        out = zscore_normalize(grouped, "v", by="g", robust=True)
+        med = {r.g: r._center for r in out.select("g", "_center").distinct().collect()}
+        assert med["a"] == 50.5 and med["b"] == 505.0
+
+    def test_quantile_bucket_assignment(self, spark):
+        from dbldatagen_spark.functions import quantile_bucket
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], ["id", "v"]
+        )
+        out = quantile_bucket(df, "v", 4).collect()
+        b = {r.id: r.v_bucket for r in out}
+        assert b[1] == 1 and b[100] == 4
+        assert min(b.values()) == 1 and max(b.values()) == 4
+        # quartiles of 1..100 are ~25.75/50.5/75.25: counts near equal
+        from collections import Counter
+        counts = Counter(b.values())
+        assert all(20 <= c <= 30 for c in counts.values())
+
+    def test_quantile_bucket_ties_and_validation(self, spark):
+        from dbldatagen_spark.functions import quantile_bucket
+
+        ties = spark.createDataFrame(
+            [(i, 1.0) for i in range(10)] + [(100 + i, 2.0) for i in range(10)],
+            ["id", "v"],
+        )
+        out = quantile_bucket(ties, "v", 4).collect()
+        by_val = {}
+        for r in out:
+            by_val.setdefault(r.v, set()).add(r.v_bucket)
+        # equal values always land in the same bucket
+        assert all(len(s) == 1 for s in by_val.values())
+        with pytest.raises(ValueError):
+            quantile_bucket(ties, "v", 1)
