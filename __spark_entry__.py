@@ -1278,6 +1278,62 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-x-interval overlap join: each user's daily click span
+    ([first, last] click of the day) paired with their daily purchase
+    spans wherever the two time ranges intersect. Bucket blocking on
+    (user, hour-bucket) turns the theta join into an ordinary hash
+    equi-join, and the canonical-bucket rule (only the bucket containing
+    the intersection's start emits) yields exactly one row per
+    overlapping pair with NO distinct stage. Integer epoch bounds keep
+    overlap durations engine-exact; the oracle recomputes the pairs
+    with a plain theta join."""
+    from dbldatagen_spark.functions import interval_overlap_join
+
+    events = _load(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp"))).alias("ep"),
+    )
+
+    def _spans(etype, day_alias, s_alias, e_alias):
+        return (
+            base.where(F.col("event_type") == etype)
+            .groupBy("user_id", F.col("day").alias(day_alias))
+            .agg(
+                F.min("ep").alias(s_alias),
+                F.max("ep").alias(e_alias),
+            )
+        )
+
+    clicks = _spans("click", "click_day", "cs", "ce")
+    purchases = _spans("purchase", "purchase_day", "ps", "pe")
+    return (
+        interval_overlap_join(
+            clicks,
+            purchases,
+            "cs",
+            "ce",
+            "ps",
+            "pe",
+            equi_keys=["user_id"],
+            bucket_width_seconds=3600,
+        )
+        .select(
+            "user_id",
+            "click_day",
+            "purchase_day",
+            (
+                F.least(F.col("ce"), F.col("pe"))
+                - F.greatest(F.col("cs"), F.col("ps"))
+            ).cast("long").alias("overlap_seconds"),
+        )
+        .orderBy("user_id", "click_day", "purchase_day")
+    )
+
+
 def _events_feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-engineering pass: global exact-quartile bucketing of the
     value column (the scale-safe NTILE — cut points from one bounded
@@ -3731,6 +3787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_span_overlap": _events_span_overlap,
         "events_feature_scaling": _events_feature_scaling,
         "docs_contrastive_negatives": _docs_contrastive_negatives,
         "docs_weighted_sample": _docs_weighted_sample,
@@ -5335,6 +5392,34 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_span_overlap": """
+            WITH base AS (
+                SELECT user_id, event_type,
+                       CAST(ts AS DATE) AS day,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep
+                FROM events
+            ),
+            clicks AS (
+                SELECT user_id, day AS click_day,
+                       min(ep) AS cs, max(ep) AS ce
+                FROM base WHERE event_type = 'click'
+                GROUP BY user_id, day
+            ),
+            purchases AS (
+                SELECT user_id, day AS purchase_day,
+                       min(ep) AS ps, max(ep) AS pe
+                FROM base WHERE event_type = 'purchase'
+                GROUP BY user_id, day
+            )
+            SELECT c.user_id, c.click_day, p.purchase_day,
+                   CAST(LEAST(c.ce, p.pe) - GREATEST(c.cs, p.ps) AS BIGINT)
+                       AS overlap_seconds
+            FROM clicks c
+            JOIN purchases p
+              ON c.user_id = p.user_id
+             AND c.cs <= p.pe AND p.ps <= c.ce
+            ORDER BY c.user_id, click_day, purchase_day
         """,
         "events_feature_scaling": """
             WITH cuts AS (

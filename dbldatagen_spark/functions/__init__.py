@@ -48,7 +48,7 @@ from dbldatagen_spark.functions.similarity import (
 from dbldatagen_spark.functions.skew import hot_key_report, salted_join
 from dbldatagen_spark.functions.sessions import sessionize
 from dbldatagen_spark.functions.asof import asof_join
-from dbldatagen_spark.functions.ranges import range_join
+from dbldatagen_spark.functions.ranges import interval_overlap_join, range_join
 from dbldatagen_spark.functions.curation import (
     curate_corpus,
     dedup_lines_corpus,
@@ -162,6 +162,7 @@ __all__ = [
     "ngram_counts",
     "token_vocabulary",
     "range_join",
+    "interval_overlap_join",
     "salted_join",
     "hot_key_report",
     "normalize_embeddings",

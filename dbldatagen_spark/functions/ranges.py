@@ -102,3 +102,84 @@ def range_join(
         cond = cond & (F.col(k) == F.col(f"_r_{k}"))
     joined = pts.join(iv2, cond, "left")
     return joined.drop(*[f"_r_{k}" for k in on], "_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    equi_keys: Sequence[str] = (),
+    bucket_width_seconds: int = 3600,
+    max_covered_buckets: Optional[int] = 10_000,
+) -> DataFrame:
+    """Inner-join interval pairs that OVERLAP: rows where
+    ``[left_start, left_end]`` and ``[right_start, right_end]``
+    intersect (closed intervals, and equal ``equi_keys`` if given) —
+    the interval-x-interval generalization of :func:`range_join`.
+
+    Same bucket-blocking scheme, applied to both sides: each interval
+    explodes into the buckets it covers, candidates meet through an
+    ordinary hash equi-join on (keys…, bucket), and the exact overlap
+    predicate re-checks. A pair of overlapping intervals co-covers every
+    bucket of their intersection, so to emit each pair exactly once
+    WITHOUT a distinct (which would shuffle the whole output), the join
+    keeps only the canonical bucket — the one containing the
+    intersection's start, ``floor(max(starts) / width)``. Every
+    overlapping pair has exactly one such bucket; non-overlapping
+    bucket-mates fail the overlap predicate.
+
+    Cost at scale: one shuffle of both exploded sides (amplification
+    ``len/width + 1`` per interval, guarded by ``max_covered_buckets``
+    exactly as in :func:`range_join`); no dedup stage, no cartesian.
+    """
+    if bucket_width_seconds <= 0:
+        raise ValueError("bucket_width_seconds must be positive")
+    equi_keys = list(equi_keys)
+    collide = set(left.columns) & set(right.columns) - set(equi_keys)
+    if collide:
+        raise ValueError(
+            f"column collision outside equi keys: {sorted(collide)}"
+        )
+
+    w = F.lit(int(bucket_width_seconds))
+
+    def _explode(df, start_col, end_col):
+        first = F.floor(F.col(start_col).cast("double") / w)
+        last = F.floor(F.col(end_col).cast("double") / w)
+        if max_covered_buckets is not None:
+            last = F.when(
+                last - first >= int(max_covered_buckets),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "interval_overlap_join: interval covers too"
+                            " many buckets: "
+                        ),
+                        (last - first + 1).cast("string"),
+                    )
+                ).cast("bigint"),
+            ).otherwise(last)
+        return df.select(
+            "*", F.explode(F.sequence(first, last)).alias("_bucket")
+        )
+
+    lv = _explode(left, left_start, left_end)
+    rv = _explode(right, right_start, right_end)
+
+    overlaps = (F.col(left_start) <= F.col(right_end)) & (
+        F.col(right_start) <= F.col(left_end)
+    )
+    canonical = F.col("_bucket") == F.floor(
+        F.greatest(
+            F.col(left_start).cast("double"), F.col(right_start).cast("double")
+        )
+        / w
+    )
+    return (
+        lv.join(rv, on=[*equi_keys, "_bucket"], how="inner")
+        .where(overlaps & canonical)
+        .drop("_bucket")
+    )

@@ -2601,3 +2601,61 @@ class TestFeatureScaling:
         assert all(len(s) == 1 for s in by_val.values())
         with pytest.raises(ValueError):
             quantile_bucket(ties, "v", 1)
+
+
+class TestIntervalOverlapJoin:
+    def test_overlap_semantics(self, spark):
+        from dbldatagen_spark.functions import interval_overlap_join
+
+        left = spark.createDataFrame(
+            [
+                (1, "a1", 100.0, 200.0),
+                (1, "a2", 300.0, 400.0),
+                (2, "a3", 100.0, 200.0),
+            ],
+            ["k", "lid", "ls", "le"],
+        )
+        right = spark.createDataFrame(
+            [
+                (1, "b1", 150.0, 250.0),   # overlaps a1
+                (1, "b2", 200.0, 210.0),   # touches a1 at boundary (closed)
+                (1, "b3", 401.0, 500.0),   # just misses a2
+                (2, "b4", 50.0, 99.0),     # just misses a3
+                (3, "b5", 100.0, 200.0),   # no matching key
+            ],
+            ["k", "rid", "rs", "re"],
+        )
+        got = {
+            (r.lid, r.rid)
+            for r in interval_overlap_join(
+                left, right, "ls", "le", "rs", "re",
+                equi_keys=["k"], bucket_width_seconds=60,
+            ).collect()
+        }
+        assert got == {("a1", "b1"), ("a1", "b2")}
+
+    def test_each_pair_emitted_once(self, spark):
+        from dbldatagen_spark.functions import interval_overlap_join
+
+        # long overlap spanning many buckets must still emit exactly once
+        left = spark.createDataFrame([("L", 0.0, 10_000.0)], ["lid", "ls", "le"])
+        right = spark.createDataFrame([("R", 5.0, 9_999.0)], ["rid", "rs", "re"])
+        out = interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_width_seconds=10
+        ).collect()
+        assert len(out) == 1
+
+    def test_guards(self, spark):
+        from dbldatagen_spark.functions import interval_overlap_join
+
+        df = spark.createDataFrame([("x", 0.0, 10.0)], ["id", "s", "e"])
+        df2 = spark.createDataFrame([("y", 0.0, 10.0)], ["id2", "s2", "e2"])
+        with pytest.raises(ValueError):
+            interval_overlap_join(df, df2, "s", "e", "s2", "e2", bucket_width_seconds=0)
+        with pytest.raises(ValueError):
+            interval_overlap_join(df, df, "s", "e", "s", "e")  # collision
+        with pytest.raises(Exception):
+            interval_overlap_join(
+                df, df2, "s", "e", "s2", "e2",
+                bucket_width_seconds=1, max_covered_buckets=5,
+            ).collect()
