@@ -1278,6 +1278,44 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate over lineitem: five named boolean
+    expectations evaluated in ONE map-side-combined aggregation over a
+    single scan (each rule is a conditional count in the same agg —
+    adding rules adds expressions, never passes; NULL evaluates as a
+    failure). The oracle recomputes every rule as a conditional SUM."""
+    from dbldatagen_spark.functions import expectation_report
+
+    li = _load(spark, sf_dir, "lineitem")
+    return expectation_report(
+        li,
+        {
+            "quantity_in_range": "l_quantity BETWEEN 1 AND 50",
+            "price_positive": "l_extendedprice > 0",
+            "discount_bounded": "l_discount BETWEEN 0.0 AND 0.2",
+            "tax_bounded": "l_tax BETWEEN 0.0 AND 0.2",
+            "flag_known": "l_returnflag IN ('A', 'N', 'R')",
+        },
+    )
+
+
+def _events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: PSI of the event value column, first
+    half of the month (reference) vs the rest (current), over the
+    reference's exact quintile buckets. One bounded quantile aggregation
+    broadcast to both scans, one count per (frame, bucket), a 5-row
+    join — values never shuffle. Shares clamp at 1e-6 so empty buckets
+    stay finite; the oracle recomputes buckets, shares, and ln terms
+    bit-for-bit (rounded at 6 decimals)."""
+    from dbldatagen_spark.functions import psi_report
+
+    events = _load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ref = events.where(F.col("ts") < cut)
+    cur = events.where(F.col("ts") >= cut)
+    return psi_report(ref, cur, "value", num_buckets=5)
+
+
 def _events_span_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-x-interval overlap join: each user's daily click span
     ([first, last] click of the day) paired with their daily purchase
@@ -3787,6 +3825,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "lineitem_expectations": _lineitem_expectations,
+        "events_psi_drift": _events_psi_drift,
         "events_span_overlap": _events_span_overlap,
         "events_feature_scaling": _events_feature_scaling,
         "docs_contrastive_negatives": _docs_contrastive_negatives,
@@ -5392,6 +5432,92 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "lineitem_expectations": """
+            WITH agg AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p_qty,
+                       CAST(SUM(CASE WHEN l_extendedprice > 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p_price,
+                       CAST(SUM(CASE WHEN l_discount BETWEEN 0.0 AND 0.2
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p_disc,
+                       CAST(SUM(CASE WHEN l_tax BETWEEN 0.0 AND 0.2
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p_tax,
+                       CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R')
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS p_flag
+                FROM lineitem
+            )
+            SELECT rule, n AS n_rows, n_pass, n - n_pass AS n_fail
+            FROM (
+                SELECT n, 'discount_bounded' AS rule, p_disc AS n_pass FROM agg
+                UNION ALL
+                SELECT n, 'flag_known', p_flag FROM agg
+                UNION ALL
+                SELECT n, 'price_positive', p_price FROM agg
+                UNION ALL
+                SELECT n, 'quantity_in_range', p_qty FROM agg
+                UNION ALL
+                SELECT n, 'tax_bounded', p_tax FROM agg
+            )
+            ORDER BY rule
+        """,
+        "events_psi_drift": """
+            WITH ref AS (
+                SELECT value FROM events
+                WHERE ts < TIMESTAMP '2024-01-16 00:00:00'
+            ),
+            cur AS (
+                SELECT value FROM events
+                WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'
+            ),
+            cuts AS (
+                SELECT quantile_cont(value, 0.2) AS q0,
+                       quantile_cont(value, 0.4) AS q1,
+                       quantile_cont(value, 0.6) AS q2,
+                       quantile_cont(value, 0.8) AS q3
+                FROM ref
+            ),
+            eb AS (
+                SELECT 1 + CAST(r.value > c.q0 AS INTEGER)
+                         + CAST(r.value > c.q1 AS INTEGER)
+                         + CAST(r.value > c.q2 AS INTEGER)
+                         + CAST(r.value > c.q3 AS INTEGER) AS bucket,
+                       count(*) AS c
+                FROM ref r CROSS JOIN cuts c GROUP BY 1
+            ),
+            ab AS (
+                SELECT 1 + CAST(a.value > c.q0 AS INTEGER)
+                         + CAST(a.value > c.q1 AS INTEGER)
+                         + CAST(a.value > c.q2 AS INTEGER)
+                         + CAST(a.value > c.q3 AS INTEGER) AS bucket,
+                       count(*) AS c
+                FROM cur a CROSS JOIN cuts c GROUP BY 1
+            ),
+            es AS (
+                SELECT bucket, c / (SELECT SUM(c) FROM eb) AS expected_share
+                FROM eb
+            ),
+            asx AS (
+                SELECT bucket, c / (SELECT SUM(c) FROM ab) AS actual_share
+                FROM ab
+            ),
+            joined AS (
+                SELECT COALESCE(es.bucket, asx.bucket) AS bucket,
+                       COALESCE(expected_share, 0.0) AS expected_share,
+                       COALESCE(actual_share, 0.0) AS actual_share
+                FROM es FULL JOIN asx ON es.bucket = asx.bucket
+            )
+            SELECT CAST(bucket AS INTEGER) AS bucket,
+                   ROUND(expected_share, 6) AS expected_share,
+                   ROUND(actual_share, 6) AS actual_share,
+                   ROUND((GREATEST(actual_share, 1e-6)
+                          - GREATEST(expected_share, 1e-6))
+                         * ln(GREATEST(actual_share, 1e-6)
+                              / GREATEST(expected_share, 1e-6)), 6)
+                       AS psi_term
+            FROM joined
+            ORDER BY bucket
         """,
         "events_span_overlap": """
             WITH base AS (

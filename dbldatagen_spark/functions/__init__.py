@@ -73,6 +73,7 @@ from dbldatagen_spark.functions.outliers import (
 from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.pairs import contrastive_negatives
+from dbldatagen_spark.functions.expectations import expectation_report, psi_report
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -145,6 +146,8 @@ __all__ = [
     "funnel_steps",
     "cohort_retention",
     "contrastive_negatives",
+    "expectation_report",
+    "psi_report",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

@@ -1,0 +1,140 @@
+"""Data-quality gates: declarative expectations and distribution drift.
+
+The generation side of this engine enforces constraints while *writing*
+data; these operators are the consuming side's mirror — assert properties
+of data you *received*, before training on it:
+
+- :func:`expectation_report` evaluates a rule set in ONE scan (every
+  rule becomes a conditional count in the same aggregation — no
+  per-rule pass, no collect);
+- :func:`psi_report` quantifies distribution drift between a reference
+  sample and a production sample with the Population Stability Index
+  over exact-quantile buckets (the standard go/no-go monitor for
+  feature and score drift).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def expectation_report(
+    df: DataFrame,
+    rules: Mapping[str, str],
+) -> DataFrame:
+    """Evaluate named boolean SQL expectations against every row.
+
+    ``rules`` maps a rule name to a SQL boolean expression (evaluated
+    with ``F.expr``, NULL counts as a failure — an unknown is not a
+    pass). Returns one row per rule:
+
+    ``(rule, n_rows, n_pass, n_fail)``
+
+    sorted by rule name. The whole report is ONE map-side-combined
+    aggregation over a single scan — adding rules adds expressions, not
+    passes — so it costs the same at 100 TB as the cheapest count.
+    """
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for i, (_, expr) in enumerate(sorted(rules.items())):
+        aggs.append(
+            F.sum(
+                F.coalesce(F.expr(expr).cast("boolean"), F.lit(False)).cast(
+                    "long"
+                )
+            ).alias(f"_p{i}")
+        )
+    row = df.agg(*aggs)
+    names = sorted(rules)
+    stack = ", ".join(f"'{n}', _p{i}" for i, n in enumerate(names))
+    return (
+        row.selectExpr("_n", f"stack({len(names)}, {stack}) AS (rule, n_pass)")
+        .select(
+            "rule",
+            F.col("_n").alias("n_rows"),
+            F.col("n_pass").cast("long").alias("n_pass"),
+            (F.col("_n") - F.col("n_pass")).cast("long").alias("n_fail"),
+        )
+        .orderBy("rule")
+    )
+
+
+def psi_report(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    *,
+    num_buckets: int = 10,
+    min_share: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between a reference distribution and a
+    current one, over the reference's exact quantile buckets.
+
+    Bucket edges are the ``num_buckets - 1`` interior exact quantiles of
+    ``expected`` (interpolated — engine-portable); both frames are
+    bucketed against those SAME edges, shares are computed per bucket,
+    and each bucket contributes ``(pa - pe) * ln(pa / pe)`` with shares
+    clamped to ``min_share`` so empty buckets stay finite. Returns one
+    row per bucket:
+
+    ``(bucket, expected_share, actual_share, psi_term)``
+
+    Total PSI is ``sum(psi_term)`` (conventional reading: < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted).
+
+    Plan shape: one bounded quantile aggregation on the reference,
+    broadcast to both scans; one map-side-combined count per (frame,
+    bucket); a final join of two ``num_buckets``-row frames. Values
+    never shuffle.
+    """
+    if num_buckets < 2:
+        raise ValueError(f"num_buckets must be >= 2, got {num_buckets}")
+    if not 0 < min_share < 1:
+        raise ValueError(f"min_share must be in (0, 1), got {min_share}")
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    cuts = expected.agg(
+        *[
+            F.expr(f"percentile({value_col}, {q!r})").alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ]
+    )
+
+    def _shares(df, share_alias):
+        v = F.col(value_col).cast("double")
+        bucket = F.lit(1)
+        for i in range(len(qs)):
+            bucket = bucket + (v > F.col(f"_q{i}")).cast("int")
+        counted = (
+            df.crossJoin(F.broadcast(cuts))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        total = counted.agg(F.sum("_c").alias("_t"))
+        return counted.crossJoin(F.broadcast(total)).select(
+            "bucket", (F.col("_c") / F.col("_t")).alias(share_alias)
+        )
+
+    e = _shares(expected, "expected_share")
+    a = _shares(actual, "actual_share")
+    lo = F.lit(float(min_share))
+    pe = F.greatest(F.coalesce(F.col("expected_share"), F.lit(0.0)), lo)
+    pa = F.greatest(F.coalesce(F.col("actual_share"), F.lit(0.0)), lo)
+    return (
+        e.join(a, "bucket", "full")
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.round(F.coalesce(F.col("expected_share"), F.lit(0.0)), 6).alias(
+                "expected_share"
+            ),
+            F.round(F.coalesce(F.col("actual_share"), F.lit(0.0)), 6).alias(
+                "actual_share"
+            ),
+            F.round((pa - pe) * F.log(pa / pe), 6).alias("psi_term"),
+        )
+        .orderBy("bucket")
+    )

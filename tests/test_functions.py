@@ -2659,3 +2659,57 @@ class TestIntervalOverlapJoin:
                 df, df2, "s", "e", "s2", "e2",
                 bucket_width_seconds=1, max_covered_buckets=5,
             ).collect()
+
+
+class TestExpectations:
+    def test_expectation_report_single_pass(self, spark):
+        from dbldatagen_spark.functions import expectation_report
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, -5.0, "b"), (3, None, "a"), (4, 7.0, None)],
+            ["id", "v", "cat"],
+        )
+        out = {
+            r.rule: (r.n_rows, r.n_pass, r.n_fail)
+            for r in expectation_report(
+                df,
+                {
+                    "v_positive": "v > 0",
+                    "cat_not_null": "cat IS NOT NULL",
+                    "id_unique_range": "id BETWEEN 1 AND 4",
+                },
+            ).collect()
+        }
+        # NULL v counts as failure, not pass
+        assert out["v_positive"] == (4, 2, 2)
+        assert out["cat_not_null"] == (4, 3, 1)
+        assert out["id_unique_range"] == (4, 4, 0)
+        with pytest.raises(ValueError):
+            expectation_report(df, {})
+
+    def test_psi_identical_distributions(self, spark):
+        from dbldatagen_spark.functions import psi_report
+
+        df = spark.createDataFrame(
+            [(i, float(i % 100)) for i in range(1000)], ["id", "v"]
+        )
+        out = psi_report(df, df, "v", num_buckets=5).collect()
+        assert len(out) == 5
+        assert all(abs(r.psi_term) < 1e-9 for r in out)
+        assert abs(sum(r.expected_share for r in out) - 1.0) < 1e-6
+
+    def test_psi_detects_shift(self, spark):
+        from dbldatagen_spark.functions import psi_report
+
+        ref = spark.createDataFrame(
+            [(i, float(i % 100)) for i in range(1000)], ["id", "v"]
+        )
+        shifted = spark.createDataFrame(
+            [(i, float(i % 100) + 50.0) for i in range(1000)], ["id", "v"]
+        )
+        total = sum(r.psi_term for r in psi_report(ref, shifted, "v").collect())
+        assert total > 0.25  # conventional "drifted" threshold
+        with pytest.raises(ValueError):
+            psi_report(ref, shifted, "v", num_buckets=1)
+        with pytest.raises(ValueError):
+            psi_report(ref, shifted, "v", min_share=2.0)
