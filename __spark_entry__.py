@@ -1278,6 +1278,32 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (user bucket, hour bucket):
+    the multidimensional file-layout trick — interleave the bits of the
+    normalized dimensions into one long, range-partition and sort by it,
+    and min/max file stats prune on BOTH columns at once. The key is a
+    flat sum of shift/mask terms (whole-stage codegen, no UDF), which
+    the oracle recomputes bit-for-bit; the range exchange itself is
+    sampled-boundary and skew-resistant. Output is each event's z-value
+    (the layout key a writer would sort by)."""
+    from dbldatagen_spark.functions import zorder_value_expr
+
+    events = _load(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1024))
+    y = F.pmod(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600),
+        F.lit(1024),
+    )
+    return (
+        events.select(
+            "event_id",
+            zorder_value_expr([x, y], bits=10).alias("zvalue"),
+        )
+        .orderBy("event_id")
+    )
+
+
 def _lineitem_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality gate over lineitem: five named boolean
     expectations evaluated in ONE map-side-combined aggregation over a
@@ -3825,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_zorder_layout": _events_zorder_layout,
         "lineitem_expectations": _lineitem_expectations,
         "events_psi_drift": _events_psi_drift,
         "events_span_overlap": _events_span_overlap,
@@ -5432,6 +5459,39 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_zorder_layout": """
+            WITH norm AS (
+                SELECT event_id,
+                       user_id % 1024 AS x,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 % 1024 AS y
+                FROM events
+            )
+            SELECT event_id,
+                   CAST(
+                     ((x >> 0) & 1) * 1
+                   + ((y >> 0) & 1) * 2
+                   + ((x >> 1) & 1) * 4
+                   + ((y >> 1) & 1) * 8
+                   + ((x >> 2) & 1) * 16
+                   + ((y >> 2) & 1) * 32
+                   + ((x >> 3) & 1) * 64
+                   + ((y >> 3) & 1) * 128
+                   + ((x >> 4) & 1) * 256
+                   + ((y >> 4) & 1) * 512
+                   + ((x >> 5) & 1) * 1024
+                   + ((y >> 5) & 1) * 2048
+                   + ((x >> 6) & 1) * 4096
+                   + ((y >> 6) & 1) * 8192
+                   + ((x >> 7) & 1) * 16384
+                   + ((y >> 7) & 1) * 32768
+                   + ((x >> 8) & 1) * 65536
+                   + ((y >> 8) & 1) * 131072
+                   + ((x >> 9) & 1) * 262144
+                   + ((y >> 9) & 1) * 524288
+                   AS BIGINT) AS zvalue
+            FROM norm
+            ORDER BY event_id
         """,
         "lineitem_expectations": """
             WITH agg AS (

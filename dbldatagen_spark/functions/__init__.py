@@ -74,6 +74,7 @@ from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.expectations import expectation_report, psi_report
+from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
@@ -148,6 +149,8 @@ __all__ = [
     "contrastive_negatives",
     "expectation_report",
     "psi_report",
+    "zorder_value_expr",
+    "zorder_sort",
     "k_anonymity_report",
     "resize_ppm_images",
     "extract_audio_features",

@@ -124,3 +124,47 @@ def write_data_to_output(df: DataFrame, output: OutputDataset):
     else:
         writer.save(output.location)
     return None
+
+
+def foreach_batch_idempotent_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint_location: str,
+    *,
+    fmt: str = "parquet",
+    trigger: dict | None = None,
+):
+    """Exactly-once file sink via ``foreachBatch`` + epoch-keyed commits.
+
+    Structured Streaming guarantees at-least-once delivery to
+    ``foreachBatch``: after a crash between "wrote the data" and
+    "committed the offset", the SAME batch (same ``batch_id``) is
+    redelivered. This sink makes the write idempotent by keying each
+    commit on the batch id:
+
+    - each batch writes to ``{path}/batch_id={id}`` with
+      ``mode("overwrite")`` — a redelivered batch overwrites its own
+      partition byte-for-byte instead of appending duplicates;
+    - readers see ``batch_id`` as an ordinary partition column and can
+      prune on it.
+
+    Returns the started ``StreamingQuery``. This is the pattern for
+    sinks without transactional support (plain parquet/csv directories);
+    transactional stores would instead use the batch id as an
+    idempotence token in their own commit protocol.
+    """
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.write.format(fmt)
+            .mode("overwrite")
+            .save(f"{path}/batch_id={batch_id}")
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()

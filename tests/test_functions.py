@@ -2713,3 +2713,54 @@ class TestExpectations:
             psi_report(ref, shifted, "v", num_buckets=1)
         with pytest.raises(ValueError):
             psi_report(ref, shifted, "v", min_share=2.0)
+
+
+class TestZOrder:
+    def test_morton_interleave_known_values(self, spark):
+        from dbldatagen_spark.functions import zorder_value_expr
+
+        df = spark.createDataFrame(
+            [(0, 0), (1, 0), (0, 1), (1, 1), (3, 5)], ["x", "y"]
+        )
+        out = df.select("x", "y", zorder_value_expr(["x", "y"], bits=4).alias("z")).collect()
+        got = {(r.x, r.y): r.z for r in out}
+        # classic Morton: z(1,0)=1, z(0,1)=2, z(1,1)=3
+        assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+        assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+        # 3=0b011, 5=0b101 -> interleaved (y bits at odd positions) = 0b100111 = 39
+        assert got[(3, 5)] == 39
+
+    def test_locality_property(self, spark):
+        from dbldatagen_spark.functions import zorder_value_expr
+
+        # points in the same 2x2 cell have closer z-values than far cells
+        df = spark.createDataFrame(
+            [(0, 0), (1, 1), (15, 15)], ["x", "y"]
+        )
+        z = {
+            (r.x, r.y): r.z
+            for r in df.select(
+                "x", "y", zorder_value_expr(["x", "y"], bits=4).alias("z")
+            ).collect()
+        }
+        assert abs(z[(0, 0)] - z[(1, 1)]) < abs(z[(0, 0)] - z[(15, 15)])
+
+    def test_zorder_sort_orders_partitions(self, spark):
+        from dbldatagen_spark.functions import zorder_sort
+
+        df = spark.createDataFrame(
+            [(i, (i * 7) % 64, (i * 13) % 64) for i in range(256)],
+            ["id", "x", "y"],
+        )
+        out = zorder_sort(df, ["x", "y"], bits=6, num_partitions=4)
+        # each partition is internally sorted by _zvalue
+        def _check(it):
+            vals = [r._zvalue for r in it]
+            assert vals == sorted(vals)
+            return iter([len(vals)])
+        sizes = out.rdd.mapPartitions(lambda it: _check(list(it))).collect()
+        assert sum(sizes) == 256
+        with pytest.raises(ValueError):
+            zorder_sort(df, [], bits=6)
+        with pytest.raises(ValueError):
+            zorder_sort(df, ["x", "y"], bits=32)
