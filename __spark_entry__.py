@@ -1278,6 +1278,59 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation over orders: per customer recency (days since
+    last order, vs the corpus max date), frequency (order count) and
+    monetary (lifetime spend, rounded before bucketing so the value is
+    engine-exact), each quintile-bucketed with the scale-safe exact-
+    quantile NTILE (cut points broadcast — no global sort) and composed
+    into the classic RxFyMz segment label. One shuffle on custkey for
+    the per-customer rollup; everything after operates on the (small)
+    customer aggregate. The oracle recomputes buckets from identical
+    quantile_cont cut points."""
+    from dbldatagen_spark.functions import quantile_bucket
+
+    orders = _load(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("_mx"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("_last"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("_mx"), F.col("_last")).cast("long").alias(
+                "recency_days"
+            ),
+            "n_orders",
+            "monetary",
+        )
+    )
+    b = quantile_bucket(per_cust, "recency_days", 5, out_col="r_bucket")
+    b = quantile_bucket(b, "n_orders", 5, out_col="f_bucket")
+    b = quantile_bucket(b, "monetary", 5, out_col="m_bucket")
+    return (
+        b.select(
+            "o_custkey",
+            "recency_days",
+            "n_orders",
+            "monetary",
+            F.col("r_bucket").cast("int").alias("r_bucket"),
+            F.col("f_bucket").cast("int").alias("f_bucket"),
+            F.col("m_bucket").cast("int").alias("m_bucket"),
+            F.concat(
+                F.lit("R"), F.col("r_bucket").cast("string"),
+                F.lit("F"), F.col("f_bucket").cast("string"),
+                F.lit("M"), F.col("m_bucket").cast("string"),
+            ).alias("segment"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
 def _events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over (user bucket, hour bucket):
     the multidimensional file-layout trick — interleave the bits of the
@@ -3851,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "customers_rfm_segments": _customers_rfm_segments,
         "events_zorder_layout": _events_zorder_layout,
         "lineitem_expectations": _lineitem_expectations,
         "events_psi_drift": _events_psi_drift,
@@ -5459,6 +5513,56 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "customers_rfm_segments": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', max(o_orderdate),
+                            (SELECT max(o_orderdate) FROM orders))
+                            AS BIGINT) AS recency_days,
+                       CAST(count(*) AS BIGINT) AS n_orders,
+                       ROUND(SUM(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY o_custkey
+            ),
+            cuts AS (
+                SELECT quantile_cont(recency_days, 0.2) AS r0,
+                       quantile_cont(recency_days, 0.4) AS r1,
+                       quantile_cont(recency_days, 0.6) AS r2,
+                       quantile_cont(recency_days, 0.8) AS r3,
+                       quantile_cont(n_orders, 0.2) AS f0,
+                       quantile_cont(n_orders, 0.4) AS f1,
+                       quantile_cont(n_orders, 0.6) AS f2,
+                       quantile_cont(n_orders, 0.8) AS f3,
+                       quantile_cont(monetary, 0.2) AS m0,
+                       quantile_cont(monetary, 0.4) AS m1,
+                       quantile_cont(monetary, 0.6) AS m2,
+                       quantile_cont(monetary, 0.8) AS m3
+                FROM per_cust
+            ),
+            bucketed AS (
+                SELECT p.o_custkey, p.recency_days, p.n_orders, p.monetary,
+                       1 + CAST(p.recency_days > c.r0 AS INTEGER)
+                         + CAST(p.recency_days > c.r1 AS INTEGER)
+                         + CAST(p.recency_days > c.r2 AS INTEGER)
+                         + CAST(p.recency_days > c.r3 AS INTEGER) AS r_bucket,
+                       1 + CAST(p.n_orders > c.f0 AS INTEGER)
+                         + CAST(p.n_orders > c.f1 AS INTEGER)
+                         + CAST(p.n_orders > c.f2 AS INTEGER)
+                         + CAST(p.n_orders > c.f3 AS INTEGER) AS f_bucket,
+                       1 + CAST(p.monetary > c.m0 AS INTEGER)
+                         + CAST(p.monetary > c.m1 AS INTEGER)
+                         + CAST(p.monetary > c.m2 AS INTEGER)
+                         + CAST(p.monetary > c.m3 AS INTEGER) AS m_bucket
+                FROM per_cust p CROSS JOIN cuts c
+            )
+            SELECT o_custkey, recency_days, n_orders, monetary,
+                   CAST(r_bucket AS INTEGER) AS r_bucket,
+                   CAST(f_bucket AS INTEGER) AS f_bucket,
+                   CAST(m_bucket AS INTEGER) AS m_bucket,
+                   'R' || r_bucket || 'F' || f_bucket || 'M' || m_bucket
+                       AS segment
+            FROM bucketed
+            ORDER BY o_custkey
         """,
         "events_zorder_layout": """
             WITH norm AS (
