@@ -569,3 +569,114 @@ def test_ppm_resize_nearest_neighbor_property(h, w, th, tw, seed):
             assert (resized[y, x] == px[(y * h) // th, (x * w) // tw]).all()
     # and the payload roundtrip preserves it exactly
     assert (decode_ppm(encode_ppm(resized)) == resized).all()
+
+
+# --- pipeline-operator invariants (round 5 additions) ---
+
+
+@given(
+    n_rows=st.integers(min_value=1, max_value=60),
+    cap=st.integers(min_value=1, max_value=12),
+    n_groups=st.integers(min_value=1, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_quota_sample_invariants(n_rows, cap, n_groups):
+    from dbldatagen_spark.functions import quota_sample
+
+    rows = [(i, f"g{i % n_groups}") for i in range(n_rows)]
+    df = _spark.createDataFrame(rows, ["id", "g"])
+    out = quota_sample(df, "g", "id", cap).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r.g, set()).add(r.id)
+    sizes = {g: len(ids) for g, ids in by_g.items()}
+    # per-group cap holds; groups at or under the cap pass through whole
+    for g in {f"g{i % n_groups}" for i in range(n_rows)}:
+        orig = sum(1 for i in range(n_rows) if f"g{i % n_groups}" == g)
+        assert sizes.get(g, 0) == min(cap, orig)
+    # partitioning invariance
+    out2 = quota_sample(df.repartition(5), "g", "id", cap).collect()
+    assert {(r.g, r.id) for r in out} == {(r.g, r.id) for r in out2}
+
+
+@given(
+    weights=st.lists(
+        st.floats(min_value=0.1, max_value=100.0, allow_nan=False),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.floats(min_value=0.5, max_value=500.0, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_budget_select_prefix_invariant(weights, budget):
+    from dbldatagen_spark.functions import budget_select
+
+    rows = [("g", i, float(w)) for i, w in enumerate(weights)]
+    df = _spark.createDataFrame(rows, ["g", "id", "w"])
+    kept = sorted(
+        budget_select(df, "g", "id", "w", budget).collect(),
+        key=lambda r: r.cum_weight,
+    )
+    # kept set is exactly the longest affordable priority prefix
+    order = sorted(rows, key=lambda t: (-t[2], t[1]))
+    cum, expect = 0.0, []
+    for _, i, w in order:
+        cum += w
+        if cum > budget:
+            break
+        expect.append(i)
+    assert [r.id for r in kept] == expect
+
+
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # key
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_apply_cdc_equals_sequential_replay(ops):
+    from dbldatagen_spark.functions import apply_cdc
+
+    rows = [(k, seq, op, f"v{seq}") for seq, (k, op) in enumerate(ops)]
+    df = _spark.createDataFrame(rows, ["k", "seq", "op", "payload"])
+    got = {r.k: r.payload for r in apply_cdc(df, ["k"], "seq").collect()}
+    # sequential replay reference
+    state = {}
+    for k, seq, op, payload in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = payload
+    # apply_cdc keeps a key iff its LAST op is not a delete — replay agrees
+    assert got == state
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=4,
+        max_size=60,
+    ),
+    nb=st.integers(min_value=2, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_quantile_bucket_monotone(vals, nb):
+    from dbldatagen_spark.functions import quantile_bucket
+
+    df = _spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(vals)], ["id", "v"]
+    )
+    out = sorted(quantile_bucket(df, "v", nb).collect(), key=lambda r: r.v)
+    # bucket is monotone in value and within [1, nb]; ties share buckets
+    buckets = [r.v_bucket for r in out]
+    assert buckets == sorted(buckets)
+    assert 1 <= min(buckets) and max(buckets) <= nb
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r.v, set()).add(r.v_bucket)
+    assert all(len(s) == 1 for s in by_val.values())
