@@ -1278,6 +1278,111 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap detection over a deliberately holed id sequence
+    (every id ending in 3 dropped, plus the 500-549 range): maximal
+    missing runs inside [min, max]. The naive lag-over-global-order
+    funnels everything through one task; this plan buckets ids, finds
+    within-bucket gaps in parallel, and closes cross-bucket gaps on the
+    one-row-per-bucket summary. The oracle uses the single-task global
+    lag — fine for DuckDB at test scale, exactly what the distributed
+    plan avoids."""
+    from dbldatagen_spark.functions import sequence_gaps
+
+    events = _load(spark, sf_dir, "events")
+    holed = events.where(
+        (F.col("event_id") % 10 != 3)
+        & ~F.col("event_id").between(500, 549)
+    )
+    return sequence_gaps(holed, "event_id", bucket_size=100)
+
+
+def _privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-mechanism noisy histogram of event types (sensitivity 1,
+    scale 1/epsilon): noise drawn by inverse-CDF from a 60-bit md5
+    uniform of (seed, group) so the release is deterministic and
+    oracle-reproducible — the documented caveat being that a known seed
+    voids the DP guarantee (production draws a fresh secret seed; the
+    calibration is unchanged). One map-side-combined aggregation; noise
+    is scan-local arithmetic on the tiny per-group result."""
+    from dbldatagen_spark.functions import dp_noisy_counts
+
+    events = _load(spark, sf_dir, "events")
+    out = dp_noisy_counts(events, ["event_type"], epsilon=1.0, seed=42)
+    return out.select(
+        "event_type",
+        "true_count",
+        F.round("noisy_count", 4).alias("noisy_count"),
+    ).orderBy("event_type")
+
+
+def _events_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment run as a REAL streaming job: the events
+    file stream joins a small static weight dimension (broadcast — the
+    stateless stream-static join needs no watermark and no state store)
+    and every enriched row lands in an append-mode parquet sink. The
+    weighted value is one IEEE multiply, so stream, batch, and the
+    oracle agree bit-for-bit; stream-vs-batch equality rides along as a
+    constant mismatch column."""
+    import shutil
+    import tempfile
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    dim = spark.createDataFrame(
+        [
+            ("click", 1.0),
+            ("view", 0.5),
+            ("purchase", 10.0),
+            ("signup", 5.0),
+            ("error", 0.0),
+        ],
+        ["event_type", "weight"],
+    )
+
+    def _enrich(src):
+        return src.join(F.broadcast(dim), "event_type").select(
+            "event_id",
+            "event_type",
+            "weight",
+            (F.col("value") * F.col("weight")).alias("weighted_value"),
+        )
+
+    batch = _enrich(events)
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_ssj_")
+    try:
+        events.coalesce(2).write.parquet(f"{tmp}/src")
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            _enrich(stream)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        streamed = spark.read.parquet(f"{tmp}/out")
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("event_id")
+    )
+
+
 def _customers_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation over orders: per customer recency (days since
     last order, vs the corpus max date), frequency (order count) and
@@ -3904,6 +4009,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_sequence_gaps": _events_sequence_gaps,
+        "privacy_dp_counts": _privacy_dp_counts,
+        "events_stream_static_join": _events_stream_static_join,
         "customers_rfm_segments": _customers_rfm_segments,
         "events_zorder_layout": _events_zorder_layout,
         "lineitem_expectations": _lineitem_expectations,
@@ -5513,6 +5621,57 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_sequence_gaps": """
+            WITH ids AS (
+                SELECT DISTINCT event_id AS id FROM events
+                WHERE event_id % 10 <> 3
+                  AND NOT (event_id BETWEEN 500 AND 549)
+            ),
+            lagged AS (
+                SELECT id, lag(id) OVER (ORDER BY id) AS prev FROM ids
+            )
+            SELECT prev + 1 AS gap_start,
+                   id - 1 AS gap_end,
+                   id - prev - 1 AS gap_len
+            FROM lagged
+            WHERE prev IS NOT NULL AND id > prev + 1
+            ORDER BY gap_start
+        """,
+        "privacy_dp_counts": """
+            WITH counts AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS true_count
+                FROM events GROUP BY event_type
+            ),
+            noised AS (
+                SELECT event_type, true_count,
+                       (('0x' || substr(
+                            md5('42-' || event_type), 1, 15
+                        ))::BIGINT + 0.5) / 1152921504606846976.0 AS u
+                FROM counts
+            )
+            SELECT event_type, true_count,
+                   ROUND(true_count
+                         - 1.0 * sign(u - 0.5)
+                               * ln(1.0 - 2.0 * abs(u - 0.5)), 4)
+                       AS noisy_count
+            FROM noised
+            ORDER BY event_type
+        """,
+        "events_stream_static_join": """
+            WITH dim AS (
+                SELECT * FROM (VALUES
+                    ('click', 1.0), ('view', 0.5), ('purchase', 10.0),
+                    ('signup', 5.0), ('error', 0.0)
+                ) AS t(event_type, weight)
+            )
+            SELECT e.event_id, e.event_type,
+                   CAST(d.weight AS DOUBLE) AS weight,
+                   e.value * CAST(d.weight AS DOUBLE) AS weighted_value,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM events e JOIN dim d ON e.event_type = d.event_type
+            ORDER BY e.event_id
         """,
         "customers_rfm_segments": """
             WITH per_cust AS (

@@ -73,7 +73,11 @@ from dbldatagen_spark.functions.outliers import (
 from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.pairs import contrastive_negatives
-from dbldatagen_spark.functions.expectations import expectation_report, psi_report
+from dbldatagen_spark.functions.expectations import (
+    expectation_report,
+    psi_report,
+    sequence_gaps,
+)
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
 from dbldatagen_spark.functions.timeseries import time_gap_fill
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
@@ -103,6 +107,7 @@ from dbldatagen_spark.functions.text_analysis import (
 )
 from dbldatagen_spark.functions.pii import (
     PII_PATTERNS,
+    dp_noisy_counts,
     k_anonymity_report,
     redact_pii,
     redact_text_expr,
@@ -149,9 +154,11 @@ __all__ = [
     "contrastive_negatives",
     "expectation_report",
     "psi_report",
+    "sequence_gaps",
     "zorder_value_expr",
     "zorder_sort",
     "k_anonymity_report",
+    "dp_noisy_counts",
     "resize_ppm_images",
     "extract_audio_features",
     "sample_video_frames",

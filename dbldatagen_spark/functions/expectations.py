@@ -138,3 +138,68 @@ def psi_report(
         )
         .orderBy("bucket")
     )
+
+
+def sequence_gaps(
+    df: DataFrame,
+    id_col: str,
+    *,
+    bucket_size: int = 1_000_000,
+) -> DataFrame:
+    """Find missing ranges in a supposedly-contiguous id sequence — the
+    ingestion QA check for "did we drop events between min and max".
+
+    Returns ``(gap_start, gap_end, gap_len)`` for every maximal missing
+    run strictly inside ``[min(id), max(id)]``, sorted by ``gap_start``.
+
+    Scale shape: a naive ``lag() OVER (ORDER BY id)`` funnels the whole
+    table through ONE task. Instead ids are bucketed by
+    ``id // bucket_size``; within-bucket gaps come from a lag window
+    over the bucket partitioning (parallel across buckets), and
+    cross-bucket gaps — including whole missing buckets — come from a
+    lag over the per-bucket (min, max) summary, which is bounded at one
+    row per bucket. Duplicate ids are harmless (dedup happens on the
+    bucketed projection of ids only).
+    """
+    if bucket_size < 2:
+        raise ValueError(f"bucket_size must be >= 2, got {bucket_size}")
+    from pyspark.sql import Window
+
+    ids = df.select(F.col(id_col).cast("long").alias("_id")).distinct()
+    b = ids.withColumn("_b", F.floor(F.col("_id") / F.lit(int(bucket_size))))
+
+    w_in = Window.partitionBy("_b").orderBy("_id")
+    inner = (
+        b.withColumn("_prev", F.lag("_id").over(w_in))
+        .where(F.col("_prev").isNotNull() & (F.col("_id") > F.col("_prev") + 1))
+        .select(
+            (F.col("_prev") + 1).alias("gap_start"),
+            (F.col("_id") - 1).alias("gap_end"),
+        )
+    )
+
+    summary = b.groupBy("_b").agg(
+        F.min("_id").alias("_lo"), F.max("_id").alias("_hi")
+    )
+    w_s = Window.orderBy("_b")  # one row per bucket — bounded, not row-scale
+    cross = (
+        summary.withColumn("_prev_hi", F.lag("_hi").over(w_s))
+        .where(
+            F.col("_prev_hi").isNotNull()
+            & (F.col("_lo") > F.col("_prev_hi") + 1)
+        )
+        .select(
+            (F.col("_prev_hi") + 1).alias("gap_start"),
+            (F.col("_lo") - 1).alias("gap_end"),
+        )
+    )
+
+    return (
+        inner.union(cross)
+        .select(
+            "gap_start",
+            "gap_end",
+            (F.col("gap_end") - F.col("gap_start") + 1).alias("gap_len"),
+        )
+        .orderBy("gap_start")
+    )

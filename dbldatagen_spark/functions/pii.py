@@ -140,3 +140,51 @@ def k_anonymity_report(
     if sensitive_col is not None:
         out = out.withColumn("homogeneous", F.col("l_distinct") <= 1)
     return out
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    epsilon: float = 1.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Laplace-mechanism noisy counts per group — the release shape of a
+    differentially-private histogram (sensitivity 1, scale
+    ``1/epsilon``).
+
+    Returns ``(group_cols..., true_count, noisy_count)`` where the noise
+    is a Laplace(1/epsilon) draw derived by inverse-CDF from a 60-bit
+    md5 uniform of ``(seed, group key)`` — fully deterministic and
+    engine-portable, so releases are reproducible and testable by an
+    oracle. THE CAVEAT THAT MAKES THIS TESTABLE ALSO BOUNDS ITS
+    GUARANTEE: with a known or reused seed this is NOT differential
+    privacy — in production draw ``seed`` fresh per release and treat it
+    as a secret (the mechanism and its calibration are unchanged;
+    only the noise source's secrecy is).
+
+    One map-side-combined aggregation; noise is a scan-local expression
+    over the (tiny) per-group result. ``true_count`` is returned for
+    pipeline QA — drop it before any actual release.
+    """
+    if not group_cols:
+        raise ValueError("group_cols must name at least one column")
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be positive, got {epsilon}")
+    counts = df.groupBy(*[F.col(c) for c in group_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    key = F.concat_ws(
+        "-", F.lit(seed), *[F.col(c).cast("string") for c in group_cols]
+    )
+    hv = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    # u in (0, 1): never 0 or 1, so both log args stay positive
+    u = (hv.cast("double") + F.lit(0.5)) / F.lit(float(1 << 60))
+    b = F.lit(1.0 / float(epsilon))
+    centered = u - F.lit(0.5)
+    noise = -b * F.signum(centered) * F.log(
+        F.lit(1.0) - F.lit(2.0) * F.abs(centered)
+    )
+    return counts.withColumn(
+        "noisy_count", F.col("true_count") + noise
+    )

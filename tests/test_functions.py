@@ -2764,3 +2764,76 @@ class TestZOrder:
             zorder_sort(df, [], bits=6)
         with pytest.raises(ValueError):
             zorder_sort(df, ["x", "y"], bits=32)
+
+
+class TestSequenceGaps:
+    def test_finds_gaps_within_and_across_buckets(self, spark):
+        from dbldatagen_spark.functions import sequence_gaps
+
+        ids = [1, 2, 3, 7, 8, 25, 26, 40]  # gaps: 4-6, 9-24, 27-39
+        df = spark.createDataFrame([(i,) for i in ids], ["id"])
+        out = [
+            (r.gap_start, r.gap_end, r.gap_len)
+            for r in sequence_gaps(df, "id", bucket_size=10).collect()
+        ]
+        assert out == [(4, 6, 3), (9, 24, 16), (27, 39, 13)]
+
+    def test_no_gaps_and_duplicates(self, spark):
+        from dbldatagen_spark.functions import sequence_gaps
+
+        df = spark.createDataFrame(
+            [(i,) for i in [5, 6, 6, 7, 7, 8]], ["id"]
+        )
+        assert sequence_gaps(df, "id", bucket_size=3).count() == 0
+        with pytest.raises(ValueError):
+            sequence_gaps(df, "id", bucket_size=1)
+
+    def test_whole_missing_bucket(self, spark):
+        from dbldatagen_spark.functions import sequence_gaps
+
+        # bucket_size=5: ids in buckets 0 and 2, bucket 1 entirely missing
+        df = spark.createDataFrame([(3,), (4,), (12,)], ["id"])
+        out = [(r.gap_start, r.gap_end) for r in sequence_gaps(df, "id", bucket_size=5).collect()]
+        assert out == [(5, 11)]
+
+
+class TestDPNoisyCounts:
+    def test_noise_shape_and_determinism(self, spark):
+        from dbldatagen_spark.functions import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 4}") for i in range(400)], ["id", "g"]
+        )
+        out = {r.g: (r.true_count, r.noisy_count) for r in dp_noisy_counts(
+            df, ["g"], epsilon=1.0
+        ).collect()}
+        assert all(t == 100 for t, _ in out.values())
+        # noise is nonzero but Laplace(1)-scale bounded in practice
+        assert any(abs(n - t) > 1e-6 for t, n in out.values())
+        assert all(abs(n - t) < 50 for t, n in out.values())
+        out2 = {r.g: r.noisy_count for r in dp_noisy_counts(
+            df.repartition(7), ["g"], epsilon=1.0
+        ).collect()}
+        assert {g: n for g, (_, n) in out.items()} == out2
+        # different seed -> different noise
+        out3 = {r.g: r.noisy_count for r in dp_noisy_counts(
+            df, ["g"], epsilon=1.0, seed=7
+        ).collect()}
+        assert out3 != out2
+
+    def test_epsilon_scales_noise(self, spark):
+        from dbldatagen_spark.functions import dp_noisy_counts
+
+        df = spark.createDataFrame(
+            [(i, f"g{i % 32}") for i in range(3200)], ["id", "g"]
+        )
+        tight = dp_noisy_counts(df, ["g"], epsilon=10.0).collect()
+        loose = dp_noisy_counts(df, ["g"], epsilon=0.1).collect()
+        mean_abs = lambda rows: sum(
+            abs(r.noisy_count - r.true_count) for r in rows
+        ) / len(rows)
+        assert mean_abs(loose) > mean_abs(tight) * 10
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, ["g"], epsilon=0)
+        with pytest.raises(ValueError):
+            dp_noisy_counts(df, [])
