@@ -5825,11 +5825,16 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT bucket, c / (SELECT SUM(c) FROM ab) AS actual_share
                 FROM ab
             ),
+            spine AS (
+                SELECT t.b AS bucket FROM unnest([1, 2, 3, 4, 5]) AS t(b)
+            ),
             joined AS (
-                SELECT COALESCE(es.bucket, asx.bucket) AS bucket,
+                SELECT sp.bucket,
                        COALESCE(expected_share, 0.0) AS expected_share,
                        COALESCE(actual_share, 0.0) AS actual_share
-                FROM es FULL JOIN asx ON es.bucket = asx.bucket
+                FROM spine sp
+                LEFT JOIN es ON sp.bucket = es.bucket
+                LEFT JOIN asx ON sp.bucket = asx.bucket
             )
             SELECT CAST(bucket AS INTEGER) AS bucket,
                    ROUND(expected_share, 6) AS expected_share,

@@ -124,6 +124,7 @@ def main() -> None:
         "text_vocabulary",
         "text_pii_redaction",
         "corpus_pack_sequences",
+        "events_funnel",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}

@@ -124,8 +124,16 @@ def psi_report(
     lo = F.lit(float(min_share))
     pe = F.greatest(F.coalesce(F.col("expected_share"), F.lit(0.0)), lo)
     pa = F.greatest(F.coalesce(F.col("actual_share"), F.lit(0.0)), lo)
+    # canonical bucket spine + two broadcast LEFT joins: a full outer
+    # join here cannot broadcast (Spark plans it sort-merge); the spine
+    # keeps both joins broadcast AND guarantees every bucket row exists
+    # even when one side leaves a bucket empty
+    spine = expected.sparkSession.range(1, num_buckets + 1).select(
+        F.col("id").cast("int").alias("bucket")
+    )
     return (
-        e.join(a, "bucket", "full")
+        spine.join(F.broadcast(e), "bucket", "left")
+        .join(F.broadcast(a), "bucket", "left")
         .select(
             F.col("bucket").cast("int").alias("bucket"),
             F.round(F.coalesce(F.col("expected_share"), F.lit(0.0)), 6).alias(
