@@ -1278,6 +1278,100 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC materialization run as a REAL two-micro-batch job:
+    the events change log (error = tombstone, event_id = sequence)
+    replays through applyInPandasWithState, which keeps one
+    (seq, alive, payload) row of state per key and emits a key's new
+    current row whenever a batch advances it — the continuous
+    counterpart of apply_cdc, with tombstones emitted dead rather than
+    dropped so sinks can propagate deletes. The final emission per key
+    must equal the batch path (one ranked window), which the oracle
+    recomputes; stream-vs-batch equality rides along as a constant
+    mismatch column."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from dbldatagen_spark.streaming.stateful import cdc_latest_with_state
+
+    events = _load(spark, sf_dir, "events")
+    log = events.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.to_json(F.struct("event_type", "value")).alias("payload"),
+    )
+    batch_final = cdc_latest_with_state(
+        log, "user_id", "seq", payload_col="payload"
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_cdcstate_")
+    try:
+        mid = log.agg(F.expr("percentile(seq, 0.5)")).first()[0]
+        log.where(F.col("seq") <= mid).coalesce(1).write.parquet(f"{tmp}/src")
+        log.where(F.col("seq") > mid).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/src"
+        )
+        now = time.time()
+        for i, f in enumerate(sorted(glob.glob(f"{tmp}/src/*.parquet"))):
+            os.utime(f, (now + 1000 * i, now + 1000 * i))
+        stream = (
+            spark.readStream.schema(log.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            cdc_latest_with_state(stream, "user_id", "seq", payload_col="payload")
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emissions = spark.read.parquet(f"{tmp}/out")
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        final = (
+            emissions.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        mismatches = (
+            final.exceptAll(batch_final)
+            .union(batch_final.exceptAll(final))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    # re-derive the payload fields relationally (JSON text formats differ
+    # across engines, so the hash-compared columns come from the source row)
+    src = events.select(
+        F.col("event_id").alias("seq"), "event_type", "value"
+    )
+    return (
+        batch_final.join(src, "seq")
+        .select(
+            F.col("key").alias("user_id"),
+            F.col("seq").alias("last_seq"),
+            "alive",
+            "event_type",
+            "value",
+        )
+        .withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("user_id")
+    )
+
+
 def _events_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-gap detection over a deliberately holed id sequence
     (every id ending in 3 dropped, plus the 500-549 range): maximal
@@ -4009,6 +4103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_streaming_cdc": _events_streaming_cdc,
         "events_sequence_gaps": _events_sequence_gaps,
         "privacy_dp_counts": _privacy_dp_counts,
         "events_stream_static_join": _events_stream_static_join,
@@ -5620,6 +5715,24 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, ts, event_type, value
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
+            ORDER BY user_id
+        """,
+        "events_streaming_cdc": """
+            WITH ranked AS (
+                SELECT user_id, event_id, event_type, value,
+                       row_number() OVER (
+                           PARTITION BY user_id ORDER BY event_id DESC
+                       ) AS rn
+                FROM events
+            )
+            SELECT user_id,
+                   event_id AS last_seq,
+                   CAST(event_type <> 'error' AS BIGINT) AS alive,
+                   event_type,
+                   value,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM ranked
+            WHERE rn = 1
             ORDER BY user_id
         """,
         "events_sequence_gaps": """

@@ -29,6 +29,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -257,6 +258,103 @@ def global_dedup_with_state(
         _fn,
         outputStructType=out_schema,
         stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_CDC_STATE_SCHEMA = StructType(
+    [
+        StructField("seq", LongType()),
+        StructField("alive", LongType()),
+        StructField("payload", StringType()),
+    ]
+)
+
+
+def cdc_latest_with_state(
+    df: DataFrame,
+    key_col: str,
+    seq_col: str,
+    *,
+    op_col: str = "op",
+    payload_col: str = "payload",
+    delete_ops: Tuple[str, ...] = ("D", "DELETE", "delete"),
+) -> DataFrame:
+    """Streaming materialized view of a CDC log: per key, maintain the
+    highest-sequence operation in state and emit the key's new current
+    row whenever a micro-batch changes it — the continuous counterpart
+    of :func:`dbldatagen_spark.functions.apply_cdc` (last writer wins,
+    tombstones mark the key dead instead of dropping the row, so
+    downstream sinks can propagate deletes).
+
+    Emits ``(key, seq, alive, payload)`` rows; the LAST emission per key
+    (highest seq) is the current state, and equals the batch
+    ``apply_cdc`` result on the same prefix of the log. Out-of-order
+    arrivals across batches are handled: a batch whose max sequence is
+    behind the state is ignored (no emission).
+
+    ``payload_col`` should be a single (pre-serialized — e.g. ``to_json``
+    of the tracked columns) string so state stays one fixed-size row per
+    key; the shuffle carries (key, seq, op, payload) only. On a batch
+    frame the identical semantics come from one ranked window.
+    """
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(seq_col).cast("long").alias("seq"),
+        F.col(op_col).cast("string").alias("_op"),
+        F.col(payload_col).cast("string").alias("payload"),
+    )
+    dels = list(delete_ops)
+
+    if not df.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+        return (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "key",
+                "seq",
+                (~F.col("_op").isin(dels)).cast("long").alias("alive"),
+                "payload",
+            )
+        )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("seq", LongType()),
+            StructField("alive", LongType()),
+            StructField("payload", StringType()),
+        ]
+    )
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        rows = pd.concat(list(pdfs)).sort_values("seq")
+        last = rows.iloc[-1]
+        new_seq = int(last["seq"])
+        if state.exists and state.get[0] >= new_seq:
+            return  # stale/redelivered batch: state already newer
+        alive = 0 if str(last["_op"]) in dels else 1
+        payload = "" if last["payload"] is None else str(last["payload"])
+        state.update((new_seq, alive, payload))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])],
+                "seq": [new_seq],
+                "alive": [alive],
+                "payload": [payload],
+            }
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_CDC_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -417,3 +417,89 @@ def test_foreach_batch_idempotent_sink(spark, events, tmp_path):
     assert sorted(r.event_id for r in again.collect()) == sorted(
         r.event_id for r in src.collect()
     )
+
+
+def test_cdc_latest_with_state_batch_semantics(spark):
+    from dbldatagen_spark.streaming.stateful import cdc_latest_with_state
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "I", "a"),
+            (1, 2, "U", "b"),
+            (2, 3, "I", "c"),
+            (2, 4, "D", None),
+            (3, 5, "I", "d"),
+        ],
+        ["k", "seq", "op", "p"],
+    )
+    out = {
+        r.key: (r.seq, r.alive, r.payload)
+        for r in cdc_latest_with_state(
+            log, "k", "seq", op_col="op", payload_col="p"
+        ).collect()
+    }
+    assert out[1] == (2, 1, "b")
+    assert out[2][1] == 0          # tombstoned key is emitted dead, not dropped
+    assert out[3] == (5, 1, "d")
+
+
+def test_cdc_latest_with_state_stream(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dbldatagen_spark.streaming.stateful import cdc_latest_with_state
+
+    log = events.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.to_json(F.struct("event_type", "value")).alias("payload"),
+    )
+    batch_final = cdc_latest_with_state(
+        log, "user_id", "seq", payload_col="payload"
+    )
+
+    # two micro-batches: first then second half of the log by sequence
+    mid = log.agg(F.expr("percentile(seq, 0.5)")).first()[0]
+    log.where(F.col("seq") <= mid).coalesce(1).write.parquet(
+        str(tmp_path / "src")
+    )
+    log.where(F.col("seq") > mid).coalesce(1).write.mode("append").parquet(
+        str(tmp_path / "src")
+    )
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(str(tmp_path / "src" / "*.parquet")))):
+        os.utime(f, (now + 1000 * i, now + 1000 * i))
+
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        cdc_latest_with_state(stream, "user_id", "seq", payload_col="payload")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.read.parquet(str(tmp_path / "out"))
+    # a key whose state changed in both batches emitted twice
+    assert emissions.count() >= batch_final.count()
+    # final streamed state (last emission per key) == batch result
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("key").orderBy(F.col("seq").desc())
+    final = (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    assert final.exceptAll(batch_final).count() == 0
+    assert batch_final.exceptAll(final).count() == 0
