@@ -1278,6 +1278,55 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation maintenance: the month's per-type metric
+    state built as mergeable (n, sum, min, max) states from two separate
+    "days" and MERGED — never rescanning day one — must equal the full
+    recompute, which is exactly what the oracle does. The merge shuffles
+    one state row per key, not events; avg derives at read time."""
+    from dbldatagen_spark.functions import (
+        merge_aggregates,
+        mergeable_aggregate,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    day1 = mergeable_aggregate(
+        events.where(F.col("ts") < cut), ["event_type"], "value"
+    )
+    day2 = mergeable_aggregate(
+        events.where(F.col("ts") >= cut), ["event_type"], "value"
+    )
+    merged = merge_aggregates(day1, day2, ["event_type"])
+    return merged.select(
+        "event_type",
+        "n",
+        F.round("sum", 2).alias("value_sum"),
+        F.round("min", 6).alias("value_min"),
+        F.round("max", 6).alias("value_max"),
+        F.round(F.col("sum") / F.col("n"), 6).alias("value_avg"),
+    ).orderBy("event_type")
+
+
+def _emb_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation of the embedding table to its first 8
+    components with L2 re-normalization — map-only slice + one
+    aggregate fold per row, no UDF, no shuffle. The oracle rebuilds the
+    prefix, norm, and normalized components positionally (rounded at 6
+    decimals to absorb group-sum association order)."""
+    from dbldatagen_spark.functions import truncate_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    t = truncate_embeddings(emb, "embedding", 8)
+    return t.select(
+        "vec_id",
+        F.round("embedding_mrl_norm", 6).alias("mrl_norm"),
+        F.transform(
+            F.col("embedding_mrl"), lambda x: F.round(x, 6)
+        ).alias("vec_mrl"),
+    ).orderBy("vec_id")
+
+
 def _events_streaming_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC materialization run as a REAL two-micro-batch job:
     the events change log (error = tombstone, event_id = sequence)
@@ -4103,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_incremental_agg": _events_incremental_agg,
+        "emb_mrl_truncation": _emb_mrl_truncation,
         "events_streaming_cdc": _events_streaming_cdc,
         "events_sequence_gaps": _events_sequence_gaps,
         "privacy_dp_counts": _privacy_dp_counts,
@@ -5716,6 +5767,36 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_incremental_agg": """
+            SELECT event_type,
+                   CAST(count(value) AS BIGINT) AS n,
+                   ROUND(SUM(value), 2) AS value_sum,
+                   ROUND(MIN(value), 6) AS value_min,
+                   ROUND(MAX(value), 6) AS value_max,
+                   ROUND(SUM(value) / count(value), 6) AS value_avg
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
+        """,
+        "emb_mrl_truncation": """
+            WITH expl AS (
+                SELECT e.vec_id, t.i,
+                       CAST(e.embedding[t.i] AS DOUBLE) AS x
+                FROM embeddings e, range(1, 9) t(i)
+            ),
+            norms AS (
+                SELECT vec_id, sqrt(SUM(x * x)) AS nrm
+                FROM expl GROUP BY vec_id
+            )
+            SELECT e.vec_id,
+                   ROUND(n.nrm, 6) AS mrl_norm,
+                   list(ROUND(
+                       CASE WHEN n.nrm > 0 THEN e.x / n.nrm ELSE e.x END,
+                       6) ORDER BY e.i) AS vec_mrl
+            FROM expl e JOIN norms n ON e.vec_id = n.vec_id
+            GROUP BY e.vec_id, n.nrm
+            ORDER BY e.vec_id
         """,
         "events_streaming_cdc": """
             WITH ranked AS (

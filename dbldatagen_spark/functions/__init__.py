@@ -44,6 +44,7 @@ from dbldatagen_spark.functions.similarity import (
     lsh_bucket_ann_topk,
     normalize_embeddings,
     quantize_embeddings,
+    truncate_embeddings,
 )
 from dbldatagen_spark.functions.skew import hot_key_report, salted_join
 from dbldatagen_spark.functions.sessions import sessionize
@@ -70,7 +71,12 @@ from dbldatagen_spark.functions.outliers import (
     winsorize,
     zscore_normalize,
 )
-from dbldatagen_spark.functions.cdc import apply_cdc, cdc_change_counts
+from dbldatagen_spark.functions.cdc import (
+    apply_cdc,
+    cdc_change_counts,
+    merge_aggregates,
+    mergeable_aggregate,
+)
 from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
 from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.expectations import (
@@ -149,6 +155,9 @@ __all__ = [
     "quantile_bucket",
     "apply_cdc",
     "cdc_change_counts",
+    "mergeable_aggregate",
+    "merge_aggregates",
+    "truncate_embeddings",
     "funnel_steps",
     "cohort_retention",
     "contrastive_negatives",

@@ -82,3 +82,79 @@ def cdc_change_counts(
         )
         .orderBy(op_col)
     )
+
+
+def mergeable_aggregate(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-key mergeable aggregate state:
+    ``(keys…, n, sum, min, max)`` — the decomposition that makes an
+    aggregation incrementally maintainable (avg = sum/n is derived at
+    read time, never stored). One map-side-combined hash aggregation.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one key column")
+    v = F.col(value_col).cast("double")
+    return df.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.count(v).cast("long").alias("n"),
+        F.sum(v).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+
+
+def merge_aggregates(
+    old: DataFrame,
+    delta: DataFrame,
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Merge two mergeable-aggregate states (both in
+    :func:`mergeable_aggregate`'s schema) into one — the incremental
+    path: yesterday's state + today's batch state, without rescanning
+    yesterday's data. Count/sum add, min/max combine; keys present in
+    only one side pass through.
+
+    The merge is associative and commutative, so daily states fold in
+    any order and any grouping — re-running over the union of N deltas
+    equals N successive merges (the invariant pytest asserts). One
+    shuffle of two *state* frames (a row per key, not per event).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one key column")
+    keys = list(key_cols)
+    o = old.select(
+        *keys,
+        F.col("n").alias("_on"),
+        F.col("sum").alias("_os"),
+        F.col("min").alias("_omin"),
+        F.col("max").alias("_omax"),
+    )
+    d = delta.select(
+        *keys,
+        F.col("n").alias("_dn"),
+        F.col("sum").alias("_ds"),
+        F.col("min").alias("_dmin"),
+        F.col("max").alias("_dmax"),
+    )
+    j = o.join(d, keys, "full")
+    zero = F.lit(0).cast("long")
+    return j.select(
+        *keys,
+        (F.coalesce(F.col("_on"), zero) + F.coalesce(F.col("_dn"), zero)).alias(
+            "n"
+        ),
+        (
+            F.coalesce(F.col("_os"), F.lit(0.0))
+            + F.coalesce(F.col("_ds"), F.lit(0.0))
+        ).alias("sum"),
+        F.least(
+            F.coalesce(F.col("_omin"), F.col("_dmin")),
+            F.coalesce(F.col("_dmin"), F.col("_omin")),
+        ).alias("min"),
+        F.greatest(
+            F.coalesce(F.col("_omax"), F.col("_dmax")),
+            F.coalesce(F.col("_dmax"), F.col("_omax")),
+        ).alias("max"),
+    )

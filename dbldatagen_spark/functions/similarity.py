@@ -567,3 +567,46 @@ def kmeans_assign(
         list(df.schema.fields) + [StructField(out_col, IntegerType())]
     )
     return df.mapInPandas(assign, schema).select(*fields, out_col)
+
+
+def truncate_embeddings(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    *,
+    renormalize: bool = True,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Matryoshka-style truncation: keep the first ``dim`` components of
+    an embedding and (by default) rescale to unit L2 norm — the
+    cheap-retrieval trick for MRL-trained embeddings where prefixes are
+    themselves valid lower-dimensional representations.
+
+    Adds ``out_col`` (default ``{vec_col}_mrl``) as ``array<double>``
+    plus ``{out_col}_norm``, the PRE-normalization L2 norm of the
+    truncated prefix (the quantity retrieval needs to debias scores;
+    zero vectors stay zero rather than dividing by 0). Map-only: a
+    ``slice`` plus one ``aggregate`` fold per row, no UDF, no shuffle.
+    """
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    out = out_col or f"{vec_col}_mrl"
+    prefix = F.transform(
+        F.slice(F.col(vec_col), 1, dim), lambda x: x.cast("double")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            prefix, F.lit(0.0), lambda acc, x: acc + x * x
+        )
+    )
+    with_norm = df.withColumn("_pfx", prefix).withColumn(
+        f"{out}_norm", norm
+    )
+    if renormalize:
+        vec = F.when(
+            F.col(f"{out}_norm") > 0,
+            F.transform(F.col("_pfx"), lambda x: x / F.col(f"{out}_norm")),
+        ).otherwise(F.col("_pfx"))
+    else:
+        vec = F.col("_pfx")
+    return with_norm.withColumn(out, vec).drop("_pfx")

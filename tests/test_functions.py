@@ -2837,3 +2837,104 @@ class TestDPNoisyCounts:
             dp_noisy_counts(df, ["g"], epsilon=0)
         with pytest.raises(ValueError):
             dp_noisy_counts(df, [])
+
+
+class TestMergeableAggregates:
+    def test_merge_equals_full_recompute(self, spark):
+        from dbldatagen_spark.functions import (
+            merge_aggregates,
+            mergeable_aggregate,
+        )
+
+        df = spark.createDataFrame(
+            [(i % 5, float(i)) for i in range(100)], ["k", "v"]
+        )
+        day1 = df.where("v < 60")
+        day2 = df.where("v >= 60")
+        merged = merge_aggregates(
+            mergeable_aggregate(day1, ["k"], "v"),
+            mergeable_aggregate(day2, ["k"], "v"),
+            ["k"],
+        )
+        full = mergeable_aggregate(df, ["k"], "v")
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, full.collect())
+        )
+
+    def test_merge_disjoint_keys_and_order(self, spark):
+        from dbldatagen_spark.functions import (
+            merge_aggregates,
+            mergeable_aggregate,
+        )
+
+        a = spark.createDataFrame([(1, 10.0), (1, 20.0)], ["k", "v"])
+        b = spark.createDataFrame([(2, 5.0)], ["k", "v"])
+        sa, sb = (
+            mergeable_aggregate(a, ["k"], "v"),
+            mergeable_aggregate(b, ["k"], "v"),
+        )
+        ab = sorted(map(tuple, merge_aggregates(sa, sb, ["k"]).collect()))
+        ba = sorted(map(tuple, merge_aggregates(sb, sa, ["k"]).collect()))
+        assert ab == ba  # commutative
+        assert ab == [(1, 2, 30.0, 10.0, 20.0), (2, 1, 5.0, 5.0, 5.0)]
+        with pytest.raises(ValueError):
+            merge_aggregates(sa, sb, [])
+
+
+class TestTruncateEmbeddings:
+    def test_prefix_and_renorm(self, spark):
+        from dbldatagen_spark.functions import truncate_embeddings
+
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0, 100.0]), (2, [0.0, 0.0, 9.0])],
+            ["id", "vec"],
+        )
+        out = {r.id: r for r in truncate_embeddings(df, "vec", 2).collect()}
+        assert abs(out[1].vec_mrl_norm - 5.0) < 1e-12
+        assert [round(x, 6) for x in out[1].vec_mrl] == [0.6, 0.8]
+        # zero prefix stays zero (no division by zero)
+        assert out[2].vec_mrl == [0.0, 0.0] and out[2].vec_mrl_norm == 0.0
+
+    def test_no_renorm_and_validation(self, spark):
+        from dbldatagen_spark.functions import truncate_embeddings
+
+        df = spark.createDataFrame([(1, [3.0, 4.0, 5.0])], ["id", "vec"])
+        out = truncate_embeddings(df, "vec", 2, renormalize=False).first()
+        assert out.vec_mrl == [3.0, 4.0]
+        with pytest.raises(ValueError):
+            truncate_embeddings(df, "vec", 0)
+
+    def test_prefix_retrieval_quality(self, spark, emb):
+        from dbldatagen_spark.functions import truncate_embeddings
+        from pyspark.sql import functions as FF
+
+        # truncated-prefix cosine should broadly agree with full cosine
+        # on label structure: same-label mean similarity > cross-label
+        t = truncate_embeddings(emb, "embedding", 8)
+        a = t.select(
+            FF.col("vec_id").alias("ia"),
+            FF.col("label").alias("la"),
+            FF.col("embedding_mrl").alias("va"),
+        )
+        b = t.select(
+            FF.col("vec_id").alias("ib"),
+            FF.col("label").alias("lb"),
+            FF.col("embedding_mrl").alias("vb"),
+        )
+        pairs = (
+            a.join(b, FF.col("ia") < FF.col("ib"))
+            .where((FF.col("ia") % 10 == 0) & (FF.col("ib") % 10 == 0))
+            .select(
+                (FF.col("la") == FF.col("lb")).alias("same"),
+                FF.aggregate(
+                    FF.zip_with(
+                        "va", "vb", lambda x, y: x * y
+                    ),
+                    FF.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("cos"),
+            )
+        )
+        rows = pairs.groupBy("same").agg(FF.avg("cos").alias("m")).collect()
+        m = {r.same: r.m for r in rows}
+        assert m[True] > m[False]
