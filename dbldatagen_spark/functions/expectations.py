@@ -56,8 +56,12 @@ def expectation_report(
         .select(
             "rule",
             F.col("_n").alias("n_rows"),
-            F.col("n_pass").cast("long").alias("n_pass"),
-            (F.col("_n") - F.col("n_pass")).cast("long").alias("n_fail"),
+            # coalesce: sum over an empty frame is NULL, but "0 rows
+            # passed" is the truthful report for an empty input
+            F.coalesce(F.col("n_pass").cast("long"), F.lit(0)).alias("n_pass"),
+            F.coalesce(
+                (F.col("_n") - F.col("n_pass")).cast("long"), F.lit(0)
+            ).alias("n_fail"),
         )
         .orderBy("rule")
     )

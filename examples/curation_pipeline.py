@@ -1,0 +1,121 @@
+"""LLM training-data curation, end to end: the round-5 operator set
+chained the way a production pipeline would run it.
+
+    raw documents
+      -> per-domain quota (no source dominates)
+      -> exact dedup  -> MinHash near-dup scrub
+      -> quality gates (Gopher flags + expectation suite)
+      -> token-budget selection per source
+      -> contrastive negatives for the retrieval head
+      -> sequence packing stats + split assignment
+    plus the monitoring lane: PSI drift, hot keys, sequence gaps.
+
+Run: python examples/curation_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions import (
+        contrastive_negatives,
+        budget_select,
+        exact_dedup,
+        expectation_report,
+        gopher_quality_flags,
+        hot_key_report,
+        minhash_cluster_dedup,
+        psi_report,
+        quota_sample,
+        sequence_gaps,
+        split_assign,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("curation-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. per-domain quota: no source may exceed 100 docs
+    capped = quota_sample(docs, "source", "doc_id", 100)
+
+    # 2. exact dedup: keep one row per normalized content
+    uniq = capped.join(
+        exact_dedup(capped, "doc_id", "text").select("doc_id"), "doc_id"
+    )
+
+    # 3. near-dup scrub: drop MinHash cluster non-canonicals
+    clusters = minhash_cluster_dedup(uniq, "doc_id", "text", threshold=0.7)
+    scrubbed = uniq.join(
+        clusters.where(F.col("doc_id") == F.col("canonical_id")).select(
+            "doc_id"
+        ),
+        "doc_id",
+    )
+
+    # 4. quality gates: report the full Gopher battery, filter on the
+    # length rule (the synthetic corpus is too short for the whole set)
+    flags = gopher_quality_flags(scrubbed, "doc_id", "text")
+    n_gopher = flags.where(F.col("pass_all")).count()
+    good = scrubbed.join(
+        flags.where(F.col("ok_word_count")).select("doc_id"), "doc_id"
+    )
+    gates = expectation_report(
+        good,
+        {
+            "nonempty": "length(text) > 0",
+            "lang_known": "lang IS NOT NULL",
+            "chars_consistent": "n_chars = length(text)",
+        },
+    )
+
+    # 5. token-budget selection: best (longest) docs per source within 50k chars
+    selected = budget_select(good, "source", "doc_id", "n_chars", 50_000.0)
+
+    # 6. retrieval negatives + train/val/test split
+    negs = contrastive_negatives(selected, "doc_id", k=2, num_buckets=8)
+    splits = split_assign(
+        selected, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+
+    # monitoring lane
+    drift = psi_report(
+        docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "n_chars"
+    )
+    hot = hot_key_report(docs, "source", top_k=5)
+    gaps = sequence_gaps(selected, "doc_id", bucket_size=1000)
+
+    n_sel = selected.count()
+    print(f"docs: raw={n0} -> selected={n_sel} (full-Gopher passers: {n_gopher})")
+    print("gates:")
+    gates.show(truncate=False)
+    print(f"negatives: {negs.count()} pairs for {n_sel} docs")
+    print("split sizes:", {r.split: r["count"] for r in splits.groupBy("split").count().collect()})
+    print(f"psi total: {sum(r.psi_term for r in drift.collect()):.4f}")
+    print("hottest sources:")
+    hot.show(truncate=False)
+    print(f"id gaps in selected set: {gaps.count()}")
+
+    assert n_sel <= n0
+    assert negs.count() == 2 * n_sel
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
