@@ -89,7 +89,12 @@ def funnel_steps(
     )
     reached = staged.agg(
         *[
-            F.sum((F.col("_stage") >= F.lit(i + 1)).cast("long")).alias(f"_r{i}")
+            # coalesce: sum over an empty frame is NULL, but "0 users
+            # reached" is the truthful report for an empty input
+            F.coalesce(
+                F.sum((F.col("_stage") >= F.lit(i + 1)).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"_r{i}")
             for i in range(n)
         ]
     )

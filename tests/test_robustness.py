@@ -217,3 +217,82 @@ class TestPipelineOpsDegenerateInputs:
         rows = semantic_dedup(one, "vec_id", "embedding",
                               cluster_col="label").collect()
         assert len(rows) == 1 and rows[0]["keep"]
+
+
+class TestRound5OpsDegenerateInputs:
+    """Empty frames, single rows, and null values through the round-5
+    operators — none may throw; each has a documented degenerate result."""
+
+    def test_empty_frames(self, spark):
+        from dbldatagen_spark.functions import (
+            apply_cdc,
+            budget_select,
+            cohort_retention,
+            contrastive_negatives,
+            funnel_steps,
+            merge_aggregates,
+            mergeable_aggregate,
+            quantile_bucket,
+            quota_sample,
+            scd2_intervals,
+            sequence_gaps,
+            weighted_sample,
+            winsorize,
+            zscore_normalize,
+        )
+
+        empty = spark.createDataFrame(
+            [], "id long, g string, v double, ts timestamp, op string"
+        )
+        assert quota_sample(empty, "g", "id", 5).count() == 0
+        assert budget_select(empty, "g", "id", "v", 10.0).count() == 0
+        assert weighted_sample(empty, "g", "id", "v", 5).count() == 0
+        assert apply_cdc(empty, ["g"], "id").count() == 0
+        assert scd2_intervals(empty, "g", "ts", ["v"]).count() == 0
+        assert funnel_steps(empty, "g", "ts", "op", ["a", "b"]).select(
+            "n_users"
+        ).collect() == [  # report rows exist, all zero
+            spark.createDataFrame([(0,)], "n_users long").first(),
+        ] * 2
+        assert cohort_retention(empty, "g", "ts").count() == 0
+        assert sequence_gaps(empty, "id").count() == 0
+        assert contrastive_negatives(empty, "id").count() == 0
+        # winsorize/zscore/quantile_bucket on empty: no rows out, no throw
+        assert winsorize(empty, "v").count() == 0
+        assert zscore_normalize(empty, "v").count() == 0
+        assert quantile_bucket(empty, "v", 4).count() == 0
+        s = mergeable_aggregate(empty, ["g"], "v")
+        assert merge_aggregates(s, s, ["g"]).count() == 0
+
+    def test_single_row_and_nulls(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbldatagen_spark.functions import (
+            psi_report,
+            quantile_bucket,
+            scd2_intervals,
+            winsorize,
+            zscore_normalize,
+        )
+
+        one = spark.createDataFrame([(1, 5.0)], ["id", "v"])
+        w = winsorize(one, "v").first()
+        assert w.v_winsorized == 5.0
+        z = zscore_normalize(one, "v").first()
+        assert z.v_z == 0.0  # stddev 0 -> degenerate maps to 0
+        b = quantile_bucket(one, "v", 4).first()
+        assert 1 <= b.v_bucket <= 4
+        out = psi_report(one, one, "v", num_buckets=2).collect()
+        assert len(out) == 2 and all(abs(r.psi_term) < 1e-9 for r in out)
+
+        # null values: ignored by percentile paths, null-safe in SCD2
+        withnull = spark.createDataFrame(
+            [(1, None), (2, 5.0), (3, 7.0)], "id long, v double"
+        )
+        assert winsorize(withnull, "v").count() == 3
+        ch = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", None), (1, "2024-01-02 00:00:00", "x")],
+            ["k", "ts", "attr"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        ivals = scd2_intervals(ch, "k", "ts", ["attr"], order_col="ts").collect()
+        assert len(ivals) == 2  # NULL -> 'x' is a change
