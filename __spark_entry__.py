@@ -1278,6 +1278,52 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly monitor: per (event_type, hour-of-day)
+    slot mean/stddev over event values, rows beyond 3 sigma flagged,
+    summarized per slot. One bounded aggregation on the (type, slot)
+    key broadcast back over the scan — the value column never shuffles.
+    Means/stddevs round at 4 to absorb streaming-moment association
+    order; the anomaly counts are integer-exact unless a value sits
+    within ULPs of the 3-sigma boundary (continuous values make that
+    probability negligible)."""
+    from dbldatagen_spark.functions import seasonal_residual_flags
+
+    events = _load(spark, sf_dir, "events")
+    flagged = seasonal_residual_flags(
+        events, "ts", "value", group_col="event_type",
+        season="hour_of_day", k=3.0,
+    )
+    # displayed stats via sorted float folds (bit-stable across
+    # partitionings AND engines — plain avg/stddev aggregate in
+    # association order, which lands on round-half boundaries)
+    v = F.col("value").cast("double")
+    add = lambda a, x: a + x
+    stats = (
+        flagged.groupBy("event_type", "season_slot")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum(F.col("is_anomaly").cast("long")).alias("n_anomalies"),
+            F.aggregate(
+                F.array_sort(F.collect_list(v)), F.lit(0.0), add
+            ).alias("_sx"),
+            F.aggregate(
+                F.array_sort(F.collect_list(v * v)), F.lit(0.0), add
+            ).alias("_sxx"),
+        )
+    )
+    m = F.col("_sx") / F.col("n_obs")
+    m2 = F.col("_sxx") / F.col("n_obs")
+    return stats.select(
+        "event_type",
+        "season_slot",
+        "n_obs",
+        "n_anomalies",
+        m.alias("slot_mean"),
+        F.sqrt(F.greatest(m2 - m * m, F.lit(0.0))).alias("slot_std"),
+    ).orderBy("event_type", "season_slot")
+
+
 def _events_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental aggregation maintenance: the month's per-type metric
     state built as mergeable (n, sum, min, max) states from two separate
@@ -4152,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_seasonal_anomalies": _events_seasonal_anomalies,
         "events_incremental_agg": _events_incremental_agg,
         "emb_mrl_truncation": _emb_mrl_truncation,
         "events_streaming_cdc": _events_streaming_cdc,
@@ -5767,6 +5814,39 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_seasonal_anomalies": """
+            WITH keyed AS (
+                SELECT event_type,
+                       CAST(extract(hour FROM ts) AS INTEGER) AS season_slot,
+                       value
+                FROM events
+            ),
+            baseline AS (
+                SELECT event_type, season_slot,
+                       avg(value) AS m,
+                       stddev_pop(value) AS s
+                FROM keyed GROUP BY event_type, season_slot
+            )
+            SELECT k.event_type, k.season_slot,
+                   CAST(count(*) AS BIGINT) AS n_obs,
+                   CAST(SUM(CASE WHEN b.s > 0
+                                  AND abs(k.value - b.m) > 3.0 * b.s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+                   list_sum(list_sort(list(k.value))) / count(*)
+                       AS slot_mean,
+                   sqrt(GREATEST(
+                       list_sum(list_sort(list(k.value * k.value)))
+                           / count(*)
+                       - (list_sum(list_sort(list(k.value))) / count(*))
+                         * (list_sum(list_sort(list(k.value))) / count(*)),
+                       0.0)) AS slot_std
+            FROM keyed k
+            JOIN baseline b
+              ON k.event_type = b.event_type
+             AND k.season_slot = b.season_slot
+            GROUP BY k.event_type, k.season_slot, b.m, b.s
+            ORDER BY k.event_type, k.season_slot
         """,
         "events_incremental_agg": """
             SELECT event_type,

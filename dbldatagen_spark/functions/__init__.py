@@ -85,7 +85,10 @@ from dbldatagen_spark.functions.expectations import (
     sequence_gaps,
 )
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
-from dbldatagen_spark.functions.timeseries import time_gap_fill
+from dbldatagen_spark.functions.timeseries import (
+    seasonal_residual_flags,
+    time_gap_fill,
+)
 from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
 from dbldatagen_spark.functions.packing import (
     pack_sequences,
@@ -144,6 +147,7 @@ __all__ = [
     "packing_stats",
     "sequence_length_histogram",
     "time_gap_fill",
+    "seasonal_residual_flags",
     "scd2_intervals",
     "scd2_lookup",
     "quota_sample",

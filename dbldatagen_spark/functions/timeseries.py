@@ -75,3 +75,67 @@ def time_gap_fill(
         F.last("_v", ignorenulls=True).over(w).alias(value_col),
         F.col("_v").isNotNull().alias("was_observed"),
     )
+
+
+def seasonal_residual_flags(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    *,
+    group_col: str | None = None,
+    season: str = "hour_of_week",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-baseline anomaly flags: compare each observation to the
+    mean of its seasonal slot (same hour-of-week / hour-of-day /
+    day-of-week, optionally per ``group_col``) and flag rows more than
+    ``k`` population standard deviations away — the classic first-line
+    monitor for metrics with daily/weekly shape, where a global
+    threshold would fire on every rush hour.
+
+    Adds ``season_slot``, ``season_mean``, ``season_std``,
+    ``residual`` (value - slot mean) and ``is_anomaly``. Slots with zero
+    variance (constant or single-observation) never flag — a repeat of
+    the constant is not anomalous, and a first observation has no
+    baseline.
+
+    Masking caveat: a point inside its own n-observation baseline can
+    never exceed z = sqrt(n-1), so ``k=3`` needs slots with well over
+    10 observations — pick the coarsest ``season`` your data's shape
+    allows (hour_of_day pools 7x more than hour_of_week), or fit the
+    baseline on a reference window and score a disjoint one.
+
+    Plan shape: one map-side-combined aggregation on the (group, slot)
+    key — a few thousand rows at most — broadcast-joined back over the
+    scan. The value column never shuffles; two passes over the input
+    (baseline + score), both scan-local.
+    """
+    ts = F.col(ts_col).cast("timestamp")
+    if season == "hour_of_week":
+        slot = (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    elif season == "hour_of_day":
+        slot = F.hour(ts)
+    elif season == "day_of_week":
+        slot = F.dayofweek(ts) - 1
+    else:
+        raise ValueError(
+            "season must be hour_of_week|hour_of_day|day_of_week, "
+            f"got {season!r}"
+        )
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
+
+    v = F.col(value_col).cast("double")
+    keyed = df.withColumn("season_slot", slot.cast("int"))
+    group_keys = (["season_slot", group_col] if group_col else ["season_slot"])
+    baseline = keyed.groupBy(*group_keys).agg(
+        F.avg(v).alias("season_mean"),
+        F.stddev_pop(v).alias("season_std"),
+    )
+    scored = keyed.join(F.broadcast(baseline), group_keys)
+    resid = v - F.col("season_mean")
+    return scored.withColumn("residual", resid).withColumn(
+        "is_anomaly",
+        (F.col("season_std") > 0)
+        & (F.abs(resid) > F.lit(float(k)) * F.col("season_std")),
+    )

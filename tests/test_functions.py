@@ -2938,3 +2938,60 @@ class TestTruncateEmbeddings:
         rows = pairs.groupBy("same").agg(FF.avg("cos").alias("m")).collect()
         m = {r.same: r.m for r in rows}
         assert m[True] > m[False]
+
+
+class TestSeasonalResiduals:
+    def test_flags_planted_spike(self, spark):
+        from dbldatagen_spark.functions import seasonal_residual_flags
+
+        # 4 weeks of hourly-ish data at value 10, one planted 1000 spike
+        import datetime as dt
+
+        rows = []
+        t0 = dt.datetime(2024, 1, 1)
+        for d in range(28):
+            for h in (9, 15):
+                rows.append((len(rows), t0 + dt.timedelta(days=d, hours=h), 10.0))
+        rows[13] = (13, rows[13][1], 1000.0)
+        df = spark.createDataFrame(rows, ["id", "ts", "v"])
+        # hour_of_day pools 28 observations per slot, so the single
+        # spike's z-score (~5.2) clears k=3; with only 4 obs per slot
+        # (hour_of_week) a lone in-sample outlier cannot exceed sqrt(3)
+        out = seasonal_residual_flags(df, "ts", "v", season="hour_of_day", k=3.0)
+        flagged = [r.id for r in out.where("is_anomaly").collect()]
+        assert flagged == [13]
+
+    def test_constant_slot_never_flags(self, spark):
+        from dbldatagen_spark.functions import seasonal_residual_flags
+
+        import datetime as dt
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1 + i, 9), 5.0) for i in range(7)
+        ]
+        df = spark.createDataFrame(rows, ["id", "ts", "v"])
+        out = seasonal_residual_flags(df, "ts", "v", season="hour_of_day")
+        assert out.where("is_anomaly").count() == 0
+        with pytest.raises(ValueError):
+            seasonal_residual_flags(df, "ts", "v", season="month")
+        with pytest.raises(ValueError):
+            seasonal_residual_flags(df, "ts", "v", k=-1)
+
+    def test_grouped_baselines(self, spark):
+        from dbldatagen_spark.functions import seasonal_residual_flags
+
+        import datetime as dt
+
+        rows = []
+        for i in range(20):
+            ts = dt.datetime(2024, 1, 1 + (i % 7), 9)
+            rows.append((i, ts, "a", 10.0 + (i % 3)))
+            rows.append((100 + i, ts, "b", 1000.0 + (i % 3)))
+        df = spark.createDataFrame(rows, ["id", "ts", "g", "v"])
+        out = seasonal_residual_flags(
+            df, "ts", "v", group_col="g", season="day_of_week"
+        )
+        # group b's large values are normal within its own baseline
+        assert out.where("is_anomaly").count() == 0
+        means = {r.g: r.season_mean for r in out.select("g", "season_mean").distinct().collect()}
+        assert means["b"] > means["a"]
