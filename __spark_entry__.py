@@ -1278,6 +1278,47 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof direction=
+    'nearest' at cluster scale): each click finds the closest purchase
+    by the same user in EITHER direction within a 1-day tolerance, ties
+    breaking backward. Composed from the backward and forward union+
+    ordered-window passes — one shuffle each on the user key, zero row
+    amplification at any skew — while the oracle brute-forces the
+    nearest pair per click (fine for DuckDB at test scale, exactly the
+    quadratic the distributed plan avoids)."""
+    from dbldatagen_spark.functions import asof_join_nearest
+
+    events = _load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    return (
+        asof_join_nearest(
+            clicks,
+            purchases,
+            ["user_id"],
+            "ts",
+            ["value"],
+            tolerance_seconds=86400.0,
+        )
+        .select(
+            "user_id",
+            "click_id",
+            F.col("asof_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("asof_value").alias("purchase_value"),
+        )
+        .orderBy("click_id")
+    )
+
+
 def _events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seasonal-baseline anomaly monitor: per (event_type, hour-of-day)
     slot mean/stddev over event values, rows beyond 3 sigma flagged,
@@ -4198,6 +4239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_asof_nearest": _events_asof_nearest,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "events_incremental_agg": _events_incremental_agg,
         "emb_mrl_truncation": _emb_mrl_truncation,
@@ -5814,6 +5856,36 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_asof_nearest": """
+            WITH clicks AS (
+                SELECT user_id, event_id AS click_id, ts
+                FROM events WHERE event_type = 'click'
+            ),
+            purch AS (
+                SELECT user_id, ts, value
+                FROM events WHERE event_type = 'purchase'
+            ),
+            pairs AS (
+                SELECT c.click_id, p.ts AS pts, p.value,
+                       abs(epoch(p.ts) - epoch(c.ts)) AS dist,
+                       CASE WHEN p.ts <= c.ts THEN 0 ELSE 1 END AS fwd
+                FROM clicks c JOIN purch p ON c.user_id = p.user_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY click_id ORDER BY dist, fwd
+                ) AS rn
+                FROM pairs
+            )
+            SELECT c.user_id, c.click_id,
+                   r.pts AS purchase_ts,
+                   r.value AS purchase_value
+            FROM clicks c
+            LEFT JOIN ranked r
+              ON c.click_id = r.click_id AND r.rn = 1
+             AND r.dist <= 86400.0
+            ORDER BY c.click_id
         """,
         "events_seasonal_anomalies": """
             WITH keyed AS (

@@ -48,7 +48,11 @@ from dbldatagen_spark.functions.similarity import (
 )
 from dbldatagen_spark.functions.skew import hot_key_report, salted_join
 from dbldatagen_spark.functions.sessions import sessionize
-from dbldatagen_spark.functions.asof import asof_join
+from dbldatagen_spark.functions.asof import (
+    asof_join,
+    asof_join_forward,
+    asof_join_nearest,
+)
 from dbldatagen_spark.functions.ranges import interval_overlap_join, range_join
 from dbldatagen_spark.functions.curation import (
     curate_corpus,
@@ -179,6 +183,8 @@ __all__ = [
     "dedup_lines_corpus",
     "token_entropy",
     "asof_join",
+    "asof_join_forward",
+    "asof_join_nearest",
     "cross_corpus_near_duplicates",
     "assign_training_shards",
     "bm25_search",

@@ -74,3 +74,110 @@ def asof_join(
         ],
     )
     return filled.where(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    payload_prefix: str = "asof_",
+) -> DataFrame:
+    """Forward as-of join: each left row gains the EARLIEST right-side
+    payload with ``right.ts >= left.ts`` — "what happens next" lookups
+    (next price tick, next maintenance event). Same union + ordered-
+    window shape as :func:`asof_join`, with the window reversed
+    (unbounded FOLLOWING, ``first(ignorenulls)``) and left rows sorting
+    first at equal timestamps so ``>=`` is inclusive. Identical cost:
+    one shuffle, one sort, zero row amplification at any key skew.
+    """
+    by = list(by)
+    carried = [ts_col, *payload_cols]
+    left_cols = [c for c in left.columns if c not in by]
+
+    l_side = left.select(
+        *by,
+        F.col(ts_col).alias("_ats"),
+        F.lit(0).alias("_side"),
+        *[F.col(c) for c in left_cols],
+        *[
+            F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}")
+            for c in carried
+        ],
+    )
+    r_side = right.select(
+        *by,
+        F.col(ts_col).alias("_ats"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"_r_{c}") for c in carried],
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = l_side.unionByName(r_side).select(
+        *by,
+        "_side",
+        *left_cols,
+        *[
+            F.first(f"_r_{c}", ignorenulls=True)
+            .over(w)
+            .alias(f"{payload_prefix}{c}")
+            for c in carried
+        ],
+    )
+    return filled.where(F.col("_side") == 0).drop("_side")
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: Sequence[str],
+    ts_col: str,
+    payload_cols: Sequence[str],
+    payload_prefix: str = "asof_",
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """Nearest as-of join: each left row gains the right-side payload
+    whose timestamp is CLOSEST in either direction (ties break backward
+    — the earlier right row wins, matching pandas ``merge_asof``
+    ``direction='nearest'``). ``tolerance_seconds`` nulls matches
+    farther than the bound.
+
+    Composes the backward and forward passes (two shuffles on the same
+    key — Catalyst reuses the exchange) and picks per row by absolute
+    distance; no row amplification.
+    """
+    back = asof_join(left, right, by, ts_col, payload_cols, "_b_")
+    both = asof_join_forward(
+        back, right, by, ts_col, payload_cols, "_f_"
+    )
+    lts = F.col(ts_col).cast("double")
+    bd = lts - F.col(f"_b_{ts_col}").cast("double")
+    fd = F.col(f"_f_{ts_col}").cast("double") - lts
+    use_back = F.col(f"_b_{ts_col}").isNotNull() & (
+        F.col(f"_f_{ts_col}").isNull() | (bd <= fd)
+    )
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else F.when(use_back, bd <= float(tolerance_seconds)).otherwise(
+            fd <= float(tolerance_seconds)
+        )
+    )
+    out = both
+    for c in [ts_col, *payload_cols]:
+        picked = F.when(
+            use_back, F.col(f"_b_{c}")
+        ).otherwise(F.col(f"_f_{c}"))
+        out = out.withColumn(
+            f"{payload_prefix}{c}",
+            F.when(within, picked),
+        )
+    return out.drop(
+        *[f"_b_{c}" for c in [ts_col, *payload_cols]],
+        *[f"_f_{c}" for c in [ts_col, *payload_cols]],
+    )

@@ -2995,3 +2995,65 @@ class TestSeasonalResiduals:
         assert out.where("is_anomaly").count() == 0
         means = {r.g: r.season_mean for r in out.select("g", "season_mean").distinct().collect()}
         assert means["b"] > means["a"]
+
+
+class TestAsofDirections:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 100.0, "L1"), (1, 205.0, "L2"), (2, 50.0, "L3")],
+            ["k", "ts", "tag"],
+        )
+        right = spark.createDataFrame(
+            [(1, 90.0, 9.0), (1, 200.0, 20.0), (1, 208.0, 21.0), (2, 400.0, 40.0)],
+            ["k", "ts", "px"],
+        )
+        return left, right
+
+    def test_forward_semantics(self, spark):
+        from dbldatagen_spark.functions import asof_join_forward
+
+        left, right = self._frames(spark)
+        out = {
+            r.tag: (r.asof_ts, r.asof_px)
+            for r in asof_join_forward(left, right, ["k"], "ts", ["px"]).collect()
+        }
+        assert out["L1"] == (200.0, 20.0)   # next right at/after 100
+        assert out["L2"] == (208.0, 21.0)
+        assert out["L3"] == (400.0, 40.0)
+
+    def test_forward_inclusive_boundary(self, spark):
+        from dbldatagen_spark.functions import asof_join_forward
+
+        left = spark.createDataFrame([(1, 200.0, "L")], ["k", "ts", "tag"])
+        right = spark.createDataFrame([(1, 200.0, 7.0)], ["k", "ts", "px"])
+        out = asof_join_forward(left, right, ["k"], "ts", ["px"]).first()
+        assert out.asof_px == 7.0  # >= is inclusive
+
+    def test_nearest_semantics_and_tolerance(self, spark):
+        from dbldatagen_spark.functions import asof_join_nearest
+
+        left, right = self._frames(spark)
+        out = {
+            r.tag: (r.asof_ts, r.asof_px)
+            for r in asof_join_nearest(left, right, ["k"], "ts", ["px"]).collect()
+        }
+        assert out["L1"] == (90.0, 9.0)     # 10 behind beats 100 ahead
+        assert out["L2"] == (208.0, 21.0)   # 3 ahead beats 5 behind
+        assert out["L3"] == (400.0, 40.0)   # only a forward match exists
+        tol = {
+            r.tag: r.asof_px
+            for r in asof_join_nearest(
+                left, right, ["k"], "ts", ["px"], tolerance_seconds=5.0
+            ).collect()
+        }
+        assert tol["L1"] is None and tol["L2"] == 21.0 and tol["L3"] is None
+
+    def test_nearest_tie_breaks_backward(self, spark):
+        from dbldatagen_spark.functions import asof_join_nearest
+
+        left = spark.createDataFrame([(1, 100.0, "L")], ["k", "ts", "tag"])
+        right = spark.createDataFrame(
+            [(1, 95.0, 1.0), (1, 105.0, 2.0)], ["k", "ts", "px"]
+        )
+        out = asof_join_nearest(left, right, ["k"], "ts", ["px"]).first()
+        assert out.asof_px == 1.0
