@@ -119,7 +119,11 @@ def merge_aggregates(
     The merge is associative and commutative, so daily states fold in
     any order and any grouping — re-running over the union of N deltas
     equals N successive merges (the invariant pytest asserts). One
-    shuffle of two *state* frames (a row per key, not per event).
+    shuffle of two *state* frames (a row per key, not per event); the
+    full outer join plans sort-merge DELIBERATELY — both sides are
+    key-scale state tables, so a keyed merge is the right physical
+    shape (a broadcast would assume one side stays small, which state
+    tables don't).
     """
     if not key_cols:
         raise ValueError("key_cols must name at least one key column")
