@@ -1278,6 +1278,48 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_scd2_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 integrity gate over a deliberately corrupted dimension: the
+    clean interval table built from events gets deterministic defects —
+    every 7th version's start pulled 1 hour early (overlaps), every
+    19th version inverted (to < from, which also opens a gap to the next
+    version), and the first version of every 13th user left open (a
+    second current row). scd2_validate reports each as (key, from,
+    violation); one key shuffle shared by the ordered lag and the
+    open-version count. The oracle rebuilds the dim, applies the same
+    corruption, and re-derives every violation kind in SQL."""
+    from dbldatagen_spark.functions import scd2_intervals, scd2_validate
+
+    events = _load(spark, sf_dir, "events")
+    dim = scd2_intervals(
+        events, "user_id", "ts", ["event_type"], order_col="event_id"
+    )
+    corrupted = dim.select(
+        "user_id",
+        F.when(
+            (F.col("version") % 7 == 0) & (F.col("version") > 1),
+            F.col("effective_from") - F.expr("INTERVAL 1 HOUR"),
+        )
+        .otherwise(F.col("effective_from"))
+        .alias("effective_from"),
+        F.when(
+            F.col("version") % 19 == 0,
+            F.col("effective_from") - F.expr("INTERVAL 1 HOUR"),
+        )
+        .when(
+            (F.col("version") == 1) & (F.col("user_id") % 13 == 0),
+            F.lit(None).cast("timestamp"),
+        )
+        .otherwise(F.col("effective_to"))
+        .alias("effective_to"),
+    )
+    return scd2_validate(corrupted, "user_id").select(
+        "key",
+        F.col("effective_from").cast("timestamp_ntz").alias("effective_from"),
+        "violation",
+    )
+
+
 def _events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-direction as-of join (pandas merge_asof direction=
     'nearest' at cluster scale): each click finds the closest purchase
@@ -4239,6 +4281,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_scd2_validate": _events_scd2_validate,
         "events_asof_nearest": _events_asof_nearest,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "events_incremental_agg": _events_incremental_agg,
@@ -5856,6 +5899,79 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_scd2_validate": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_type, event_id,
+                       lag(ts) OVER w AS prev_ts,
+                       lag(event_type) OVER w AS prev_type
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            flagged AS (
+                SELECT user_id, ts, event_type, event_id,
+                       CASE
+                           WHEN prev_ts IS NULL THEN 1
+                           WHEN event_type IS DISTINCT FROM prev_type THEN 1
+                           ELSE 0
+                       END AS chg
+                FROM ordered
+            ),
+            versions AS (
+                SELECT user_id, ts, chg,
+                       SUM(chg) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS ver
+                FROM flagged
+            ),
+            dim AS (
+                SELECT user_id, ts AS effective_from,
+                       lead(ts) OVER (
+                           PARTITION BY user_id ORDER BY ver
+                       ) AS effective_to,
+                       ver
+                FROM versions WHERE chg = 1
+            ),
+            corrupted AS (
+                SELECT user_id,
+                       CASE WHEN ver % 7 = 0 AND ver > 1
+                            THEN effective_from - INTERVAL 1 HOUR
+                            ELSE effective_from END AS effective_from,
+                       CASE WHEN ver % 19 = 0
+                            THEN effective_from - INTERVAL 1 HOUR
+                            WHEN ver = 1 AND user_id % 13 = 0
+                            THEN NULL
+                            ELSE effective_to END AS effective_to
+                FROM dim
+            ),
+            checked AS (
+                SELECT user_id AS key, effective_from,
+                       effective_to AS _to,
+                       lag(effective_to) OVER (
+                           PARTITION BY user_id ORDER BY effective_from
+                       ) AS _prev_to,
+                       SUM(CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id) AS _n_open
+                FROM corrupted
+            )
+            SELECT key, effective_from, violation FROM (
+                SELECT key, effective_from, 'inverted' AS violation
+                FROM checked
+                WHERE _to IS NOT NULL AND _to <= effective_from
+                UNION ALL
+                SELECT key, effective_from, 'overlap'
+                FROM checked
+                WHERE _prev_to IS NOT NULL AND effective_from < _prev_to
+                UNION ALL
+                SELECT key, effective_from, 'gap'
+                FROM checked
+                WHERE _prev_to IS NOT NULL AND effective_from > _prev_to
+                UNION ALL
+                SELECT key, effective_from, 'multiple_current'
+                FROM checked
+                WHERE _n_open > 1 AND _to IS NULL
+            )
+            ORDER BY key, effective_from, violation
         """,
         "events_asof_nearest": """
             WITH clicks AS (

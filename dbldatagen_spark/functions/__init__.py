@@ -93,7 +93,7 @@ from dbldatagen_spark.functions.timeseries import (
     seasonal_residual_flags,
     time_gap_fill,
 )
-from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup
+from dbldatagen_spark.functions.scd import scd2_intervals, scd2_lookup, scd2_validate
 from dbldatagen_spark.functions.packing import (
     pack_sequences,
     packing_stats,
@@ -154,6 +154,7 @@ __all__ = [
     "seasonal_residual_flags",
     "scd2_intervals",
     "scd2_lookup",
+    "scd2_validate",
     "quota_sample",
     "budget_select",
     "weighted_sample",

@@ -123,3 +123,69 @@ def scd2_lookup(
         & (d[to_col].isNull() | (probe < d[to_col]))
     )
     return facts.join(d, cond, how).drop(d[key_col])
+
+
+def scd2_validate(
+    dim: DataFrame,
+    key_col: str,
+    *,
+    from_col: str = "effective_from",
+    to_col: str = "effective_to",
+) -> DataFrame:
+    """Integrity check for an externally-supplied SCD2 dimension —
+    the QA gate before trusting someone else's interval table in a
+    point-in-time join. Returns one row per violation:
+
+    ``(key, effective_from, violation)`` with ``violation`` in
+
+    - ``inverted``        — ``to <= from`` (empty or negative interval)
+    - ``overlap``         — interval starts before the previous one ends
+    - ``gap``             — interval starts after the previous one ends
+      (a hole in history: lookups in the hole silently miss)
+    - ``multiple_current``— more than one open (NULL ``to``) version
+
+    A clean dimension returns zero rows; :func:`scd2_intervals` output
+    is clean by construction. One shuffle on the key; the ordered lag
+    and the open-version count share the partitioning. The half-open
+    convention ``[from, to)`` is assumed: back-to-back intervals where
+    ``from == prev_to`` are correct (neither gap nor overlap).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(from_col))
+    prev_to = F.lag(F.col(to_col)).over(w)
+    n_open = F.sum(
+        F.col(to_col).isNull().cast("int")
+    ).over(Window.partitionBy(key_col))
+
+    checked = dim.select(
+        F.col(key_col).alias("key"),
+        F.col(from_col).alias("effective_from"),
+        F.col(to_col).alias("_to"),
+        prev_to.alias("_prev_to"),
+        n_open.alias("_n_open"),
+    )
+    inverted = checked.where(
+        F.col("_to").isNotNull() & (F.col("_to") <= F.col("effective_from"))
+    ).select("key", "effective_from", F.lit("inverted").alias("violation"))
+    overlap = checked.where(
+        F.col("_prev_to").isNotNull()
+        & (F.col("effective_from") < F.col("_prev_to"))
+    ).select("key", "effective_from", F.lit("overlap").alias("violation"))
+    gap = checked.where(
+        F.col("_prev_to").isNotNull()
+        & (F.col("effective_from") > F.col("_prev_to"))
+    ).select("key", "effective_from", F.lit("gap").alias("violation"))
+    multi = (
+        checked.where(F.col("_n_open") > 1)
+        .where(F.col("_to").isNull())
+        .select(
+            "key",
+            "effective_from",
+            F.lit("multiple_current").alias("violation"),
+        )
+    )
+    return (
+        inverted.union(overlap)
+        .union(gap)
+        .union(multi)
+        .orderBy("key", "effective_from", "violation")
+    )

@@ -3057,3 +3057,57 @@ class TestAsofDirections:
         )
         out = asof_join_nearest(left, right, ["k"], "ts", ["px"]).first()
         assert out.asof_px == 1.0
+
+
+class TestSCD2Validate:
+    def test_detects_all_violation_kinds(self, spark):
+        from dbldatagen_spark.functions import scd2_validate
+
+        rows = [
+            # key 1: clean back-to-back history
+            (1, "2024-01-01", "2024-02-01"),
+            (1, "2024-02-01", None),
+            # key 2: overlap (second starts before first ends)
+            (2, "2024-01-01", "2024-03-01"),
+            (2, "2024-02-01", None),
+            # key 3: gap
+            (3, "2024-01-01", "2024-02-01"),
+            (3, "2024-03-01", None),
+            # key 4: inverted interval
+            (4, "2024-05-01", "2024-04-01"),
+            # key 5: two open versions
+            (5, "2024-01-01", None),
+            (5, "2024-02-01", None),
+        ]
+        dim = spark.createDataFrame(
+            rows, ["k", "effective_from", "effective_to"]
+        ).select(
+            "k",
+            F.col("effective_from").cast("date").alias("effective_from"),
+            F.col("effective_to").cast("date").alias("effective_to"),
+        )
+        got = {
+            (r.key, r.violation)
+            for r in scd2_validate(dim, "k").collect()
+        }
+        assert (1, "overlap") not in got and (1, "gap") not in got
+        assert (2, "overlap") in got
+        assert (3, "gap") in got
+        assert (4, "inverted") in got
+        assert sum(1 for k, v in got if k == 5 and v == "multiple_current") == 1
+        # both open rows of key 5 flag
+        n5 = sum(
+            1
+            for r in scd2_validate(dim, "k").collect()
+            if r.key == 5 and r.violation == "multiple_current"
+        )
+        assert n5 == 2
+
+    def test_generated_intervals_are_clean(self, spark):
+        from dbldatagen_spark.functions import scd2_intervals, scd2_validate
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        dim = scd2_intervals(
+            events, "user_id", "ts", ["event_type"], order_col="event_id"
+        )
+        assert scd2_validate(dim, "user_id").count() == 0
