@@ -1278,6 +1278,20 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user:
+    lag window on the user key (one shuffle of state names only), one
+    map-side-combined pair aggregation, row-normalized over the
+    metadata-sized matrix. Probabilities are single integer divisions —
+    emitted unrounded, bit-identical across engines."""
+    from dbldatagen_spark.functions import transition_matrix
+
+    events = _load(spark, sf_dir, "events")
+    return transition_matrix(
+        events, "user_id", "ts", "event_type", order_col="event_id"
+    )
+
+
 def _events_scd2_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 integrity gate over a deliberately corrupted dimension: the
     clean interval table built from events gets deterministic defects —
@@ -4281,6 +4295,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_transition_matrix": _events_transition_matrix,
         "events_scd2_validate": _events_scd2_validate,
         "events_asof_nearest": _events_asof_nearest,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
@@ -5899,6 +5914,27 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_transition_matrix": """
+            WITH pairs AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS from_state,
+                       event_type AS to_state
+                FROM events
+            ),
+            counts AS (
+                SELECT from_state, to_state,
+                       CAST(count(*) AS BIGINT) AS n_transitions
+                FROM pairs WHERE from_state IS NOT NULL
+                GROUP BY from_state, to_state
+            )
+            SELECT from_state, to_state, n_transitions,
+                   n_transitions / SUM(n_transitions) OVER (
+                       PARTITION BY from_state
+                   ) AS prob
+            FROM counts
+            ORDER BY from_state, to_state
         """,
         "events_scd2_validate": """
             WITH ordered AS (

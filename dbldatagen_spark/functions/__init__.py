@@ -81,7 +81,11 @@ from dbldatagen_spark.functions.cdc import (
     merge_aggregates,
     mergeable_aggregate,
 )
-from dbldatagen_spark.functions.analytics import cohort_retention, funnel_steps
+from dbldatagen_spark.functions.analytics import (
+    cohort_retention,
+    funnel_steps,
+    transition_matrix,
+)
 from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.expectations import (
     expectation_report,
@@ -169,6 +173,7 @@ __all__ = [
     "truncate_embeddings",
     "funnel_steps",
     "cohort_retention",
+    "transition_matrix",
     "contrastive_negatives",
     "expectation_report",
     "psi_report",

@@ -14,7 +14,7 @@ are built here as single-key-shuffle plans:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -152,4 +152,50 @@ def cohort_retention(
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
         .orderBy("cohort_start", "period_offset")
+    )
+
+
+def transition_matrix(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key event
+    sequences: for each key, consecutive events (ordered by ``ts_col``,
+    ties by ``order_col``) contribute one ``(from_state, to_state)``
+    transition; the matrix aggregates them across keys with row-
+    normalized probabilities — the journey model behind "what do users
+    do after X" and behavioral-simulation generators.
+
+    Returns ``(from_state, to_state, n_transitions, prob)`` where
+    ``prob`` is ``n / sum(n over from_state)`` — one integer division
+    per cell, engine-exact.
+
+    Scale shape: one shuffle on the key for the lag window, then one
+    map-side-combined aggregation on the (from, to) pair — state names
+    only, never payloads; the row normalization is a window over the
+    (|states|^2)-row matrix, which is metadata-sized.
+    """
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (
+        df.select(
+            F.lag(F.col(state_col)).over(w).alias("from_state"),
+            F.col(state_col).alias("to_state"),
+        )
+        .where(F.col("from_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    wn = Window.partitionBy("from_state")
+    return (
+        counts.withColumn(
+            "prob",
+            F.col("n_transitions") / F.sum("n_transitions").over(wn),
+        )
+        .orderBy("from_state", "to_state")
     )

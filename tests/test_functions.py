@@ -3111,3 +3111,41 @@ class TestSCD2Validate:
             events, "user_id", "ts", ["event_type"], order_col="event_id"
         )
         assert scd2_validate(dim, "user_id").count() == 0
+
+
+class TestTransitionMatrix:
+    def test_known_sequence(self, spark):
+        from dbldatagen_spark.functions import transition_matrix
+
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "b"),
+            (2, 5, "a"), (2, 6, "a"),
+            (3, 7, "b"),  # single event: no transitions
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "s"])
+        out = {
+            (r.from_state, r.to_state): (r.n_transitions, r.prob)
+            for r in transition_matrix(df, "k", "ts", "s").collect()
+        }
+        # from a: a->b twice (user1), a->a once (user2) -> probs 2/3, 1/3
+        assert out[("a", "b")][0] == 2 and abs(out[("a", "b")][1] - 2 / 3) < 1e-12
+        assert out[("a", "a")][0] == 1
+        # from b: only b->a (user1, event3)
+        assert out[("b", "a")] == (1, 1.0)
+        assert ("b", "b") not in out
+        # no cross-user transitions leaked (user boundaries respected)
+        assert sum(n for n, _ in out.values()) == 4
+
+    def test_row_normalization(self, spark):
+        from dbldatagen_spark.functions import transition_matrix
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        out = transition_matrix(
+            events, "user_id", "ts", "event_type", order_col="event_id"
+        )
+        sums = (
+            out.groupBy("from_state")
+            .agg(F.round(F.sum("prob"), 9).alias("s"))
+            .collect()
+        )
+        assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
