@@ -90,6 +90,7 @@ from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.expectations import (
     expectation_report,
     psi_report,
+    schema_diff,
     sequence_gaps,
 )
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
@@ -178,6 +179,7 @@ __all__ = [
     "expectation_report",
     "psi_report",
     "sequence_gaps",
+    "schema_diff",
     "zorder_value_expr",
     "zorder_sort",
     "k_anonymity_report",

@@ -215,3 +215,31 @@ def sequence_gaps(
         )
         .orderBy("gap_start")
     )
+
+
+def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
+    """Schema-evolution report between two frames (yesterday's table vs
+    today's): one row per difference —
+
+    ``(column, change, before_type, after_type)``
+
+    with ``change`` in ``added`` / ``removed`` / ``type_changed``.
+    Purely metadata (no job runs, nothing is scanned); the result is a
+    small local DataFrame so it can join into expectation pipelines.
+    Nullability changes are ignored on purpose — parquet writers flip
+    nullability freely and alerting on it is noise.
+    """
+    b = {f.name: f.dataType.simpleString() for f in before.schema.fields}
+    a = {f.name: f.dataType.simpleString() for f in after.schema.fields}
+    rows = []
+    for name in sorted(set(b) | set(a)):
+        if name not in a:
+            rows.append((name, "removed", b[name], None))
+        elif name not in b:
+            rows.append((name, "added", None, a[name]))
+        elif b[name] != a[name]:
+            rows.append((name, "type_changed", b[name], a[name]))
+    spark = before.sparkSession
+    return spark.createDataFrame(
+        rows, "column string, change string, before_type string, after_type string"
+    )

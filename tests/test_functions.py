@@ -3149,3 +3149,26 @@ class TestTransitionMatrix:
             .collect()
         )
         assert all(abs(r.s - 1.0) < 1e-9 for r in sums)
+
+
+class TestSchemaDiff:
+    def test_detects_changes(self, spark):
+        from dbldatagen_spark.functions import schema_diff
+
+        before = spark.createDataFrame([], "a int, b string, c double")
+        after = spark.createDataFrame([], "a long, b string, d boolean")
+        out = {
+            r.column: (r.change, r.before_type, r.after_type)
+            for r in schema_diff(before, after).collect()
+        }
+        assert out == {
+            "a": ("type_changed", "int", "bigint"),
+            "c": ("removed", "double", None),
+            "d": ("added", None, "boolean"),
+        }
+
+    def test_identical_schemas_empty(self, spark):
+        from dbldatagen_spark.functions import schema_diff
+
+        df = spark.createDataFrame([], "x int, y string")
+        assert schema_diff(df, df).count() == 0
