@@ -1248,6 +1248,118 @@ def _events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER stream-stream interval join run for real: clicks LEFT OUTER
+    purchases within 1 hour per user. Matched pairs emit as soon as both
+    sides arrive; the unmatched-click null rows are the hard part — Spark
+    holds them in state until the watermark passes their join window, so
+    the run plants a flush row far past the corpus max in BOTH streams
+    to advance the global watermark and release every outer row. The
+    batch expression is the identical left join, which the oracle
+    recomputes; stream-vs-batch equality (flush probes excluded) rides
+    along as a constant mismatch column."""
+    import datetime
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.streaming.windows import interval_join_streams
+
+    events = _load(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").cast("timestamp").alias("click_ts"),
+    )
+    purchases = events.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("timestamp").alias("purchase_ts"),
+    )
+
+    def _joined(left, right):
+        out = interval_join_streams(
+            left,
+            right,
+            "user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            max_delay="1 hour",
+            watermark="1 hour",
+            how="leftOuter",
+        )
+        return out.select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            F.floor(
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("click_ts")
+            ).cast("long").alias("seconds_to_purchase"),
+        )
+
+    batch = _joined(clicks, purchases).where(F.col("click_id") >= 0)
+
+    t_max = events.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
+    flush_ts = t_max + datetime.timedelta(hours=10)
+    flush_click = spark.createDataFrame(
+        [(-1, -1, flush_ts)], clicks.schema
+    )
+    flush_purchase = spark.createDataFrame(
+        [(-1, -2, flush_ts)], purchases.schema
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_ssoj_")
+    try:
+        clicks.coalesce(1).write.parquet(f"{tmp}/clicks")
+        flush_click.coalesce(1).write.mode("append").parquet(f"{tmp}/clicks")
+        purchases.coalesce(1).write.parquet(f"{tmp}/purchases")
+        flush_purchase.coalesce(1).write.mode("append").parquet(
+            f"{tmp}/purchases"
+        )
+        import glob
+        import os
+        import time
+
+        now = time.time()
+        for d in ("clicks", "purchases"):
+            for i, f in enumerate(sorted(glob.glob(f"{tmp}/{d}/*.parquet"))):
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+        lstream = (
+            spark.readStream.schema(clicks.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/clicks")
+        )
+        rstream = (
+            spark.readStream.schema(purchases.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/purchases")
+        )
+        q = (
+            _joined(lstream, rstream)
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(240)
+        streamed = spark.read.parquet(f"{tmp}/out").where(
+            F.col("click_id") >= 0
+        )
+        mismatches = (
+            streamed.exceptAll(batch).union(batch.exceptAll(streamed)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        batch.withColumn(
+            "stream_batch_mismatches", F.lit(int(mismatches)).cast("long")
+        )
+        .orderBy("click_id", "purchase_id")
+    )
+
+
 def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog-to-state reduction: events replayed as a CDC log keyed
     by user_id with event_id as the log sequence number — error events
@@ -4292,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_intervals": _events_scd2_intervals,
         "events_scd2_lookup": _events_scd2_lookup,
         "events_stream_stream_join": _events_stream_stream_join,
+        "events_stream_stream_left_join": _events_stream_stream_left_join,
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -5901,6 +6014,20 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE (a.p - f.cohort) / 7 <= 10
             GROUP BY 1, 2
             ORDER BY cohort_start, period_offset
+        """,
+        "events_stream_stream_left_join": """
+            SELECT c.user_id,
+                   c.event_id AS click_id,
+                   p.event_id AS purchase_id,
+                   CAST(FLOOR(epoch(p.ts)) - FLOOR(epoch(c.ts)) AS BIGINT)
+                       AS seconds_to_purchase,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND p.ts <= c.ts + INTERVAL 1 HOUR
+            ORDER BY click_id, purchase_id
         """,
         "events_cdc_apply": """
             WITH ranked AS (

@@ -116,4 +116,18 @@ def interval_join_streams(
         & (rts >= lts)
         & (rts <= lts + F.expr(f"INTERVAL {max_delay}"))
     )
-    return left.join(right, cond, how).drop(right[key_col])
+    joined = left.join(right, cond, how)
+    # rebuild the projection explicitly: with both inputs derived from
+    # the same source, drop(right[key_col]) can resolve to the LEFT key
+    # (nulling it on outer rows); coalesce covers the outer directions
+    if how in ("rightOuter", "right_outer"):
+        out_key = right[key_col]
+    elif how in ("fullOuter", "full_outer", "full", "outer"):
+        out_key = F.coalesce(left[key_col], right[key_col])
+    else:
+        out_key = left[key_col]
+    return joined.select(
+        out_key.alias(key_col),
+        *[left[c] for c in left.columns if c != key_col],
+        *[right[c] for c in right.columns if c != key_col],
+    )
