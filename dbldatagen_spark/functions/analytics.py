@@ -74,9 +74,13 @@ def funnel_steps(
     )
 
     def _advance(acc, e):
+        # index clamped to n: once the walk completes, stage+1 would be
+        # out of bounds, and ANSI element_at throws on invalid indices —
+        # the guard conjunct alone must not be relied on to short-circuit
+        nxt = F.element_at(step_arr, F.least(acc["stage"] + 1, F.lit(n)))
         match = (
             (acc["stage"] < F.lit(n))
-            & (e["s"] == F.element_at(step_arr, acc["stage"] + 1))
+            & (e["s"] == nxt)
             & ((acc["stage"] == 0) | (e["t"] > acc["last"]))
         )
         return F.struct(

@@ -51,7 +51,12 @@ def apply_cdc(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
-    alive = latest.where(~F.col(op_col).isin(list(delete_ops)))
+    # NULL op is an upsert, not a silent drop: bare ~isin evaluates to
+    # NULL on NULL input and the filter would discard the key entirely
+    is_delete = F.coalesce(
+        F.col(op_col).isin(list(delete_ops)), F.lit(False)
+    )
+    alive = latest.where(~is_delete)
     return alive if keep_op_cols else alive.drop(op_col, seq_col)
 
 

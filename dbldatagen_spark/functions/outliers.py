@@ -18,6 +18,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_group_stats(df: DataFrame, stats: DataFrame, by: str) -> DataFrame:
+    """Broadcast-join per-group stats back onto the scan, null-safely:
+    a plain equi-join on the group column silently DROPS rows whose
+    group is NULL (their stats row exists — groupBy keeps a NULL
+    group — but ``=`` never matches NULL). The stats key is renamed
+    first so the join never mis-resolves against the input's own
+    column (both frames share lineage)."""
+    st = stats.withColumnRenamed(by, "_grp_key")
+    return df.join(
+        F.broadcast(st), df[by].eqNullSafe(F.col("_grp_key"))
+    ).drop("_grp_key")
+
+
 def winsorize(
     df: DataFrame,
     value_col: str,
@@ -55,7 +68,7 @@ def winsorize(
         joined = df.crossJoin(F.broadcast(clips))
     else:
         clips = df.groupBy(by).agg(*agg)
-        joined = df.join(F.broadcast(clips), by)
+        joined = _join_group_stats(df, clips, by)
     return joined.withColumn(
         out, F.least(F.greatest(v, F.col("_clip_lo")), F.col("_clip_hi"))
     )
@@ -89,7 +102,7 @@ def robust_outlier_flags(
         joined = df.crossJoin(F.broadcast(fences))
     else:
         fences = df.groupBy(by).agg(*agg)
-        joined = df.join(F.broadcast(fences), by)
+        joined = _join_group_stats(df, fences, by)
     v = F.col(value_col).cast("double")
     return joined.withColumn(
         "is_outlier",
@@ -134,7 +147,7 @@ def zscore_normalize(
         joined = df.crossJoin(F.broadcast(stats))
     else:
         stats = df.groupBy(by).agg(*agg)
-        joined = df.join(F.broadcast(stats), by)
+        joined = _join_group_stats(df, stats, by)
     return joined.withColumn(
         out,
         F.when(F.col("_scale") > 0, (v - F.col("_center")) / F.col("_scale"))
@@ -177,7 +190,7 @@ def quantile_bucket(
         joined = df.crossJoin(F.broadcast(cuts))
     else:
         cuts = df.groupBy(by).agg(*agg)
-        joined = df.join(F.broadcast(cuts), by)
+        joined = _join_group_stats(df, cuts, by)
     v = F.col(value_col).cast("double")
     bucket = F.lit(1)
     for i in range(len(qs)):

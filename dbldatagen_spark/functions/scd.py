@@ -115,14 +115,18 @@ def scd2_lookup(
     side this is one shuffle of the fact keys or zero with a broadcast
     dim; never a cartesian.
     """
-    d = F.broadcast(dim) if broadcast_dim else dim
+    # rename the dim key before joining: when dim derives from the same
+    # source as facts, drop(d[key_col]) can resolve to the FACT key and
+    # null it on unmatched left rows
+    dim_r = dim.withColumnRenamed(key_col, "_scd2_key")
+    d = F.broadcast(dim_r) if broadcast_dim else dim_r
     probe = facts[probe_ts_col]
     cond = (
-        (facts[key_col] == d[key_col])
+        (facts[key_col] == d["_scd2_key"])
         & (probe >= d[from_col])
         & (d[to_col].isNull() | (probe < d[to_col]))
     )
-    return facts.join(d, cond, how).drop(d[key_col])
+    return facts.join(d, cond, how).drop("_scd2_key")
 
 
 def scd2_validate(

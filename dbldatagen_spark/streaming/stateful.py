@@ -317,7 +317,11 @@ def cdc_latest_with_state(
             .select(
                 "key",
                 "seq",
-                (~F.col("_op").isin(dels)).cast("long").alias("alive"),
+                # NULL op counts as an upsert (alive), matching the
+                # streaming path's str() comparison
+                (~F.coalesce(F.col("_op").isin(dels), F.lit(False)))
+                .cast("long")
+                .alias("alive"),
                 "payload",
             )
         )

@@ -3172,3 +3172,47 @@ class TestSchemaDiff:
 
         df = spark.createDataFrame([], "x int, y string")
         assert schema_diff(df, df).count() == 0
+
+
+class TestRound5NullSafety:
+    def test_apply_cdc_null_op_is_upsert(self, spark):
+        from dbldatagen_spark.functions import apply_cdc
+
+        log = spark.createDataFrame(
+            [(1, 1, "I", "a"), (1, 2, None, "b"), (2, 3, "D", None)],
+            "k long, seq long, op string, payload string",
+        )
+        out = {r.k: r.payload for r in apply_cdc(log, ["k"], "seq").collect()}
+        assert out == {1: "b"}  # NULL op kept key 1 alive with latest payload
+
+    def test_grouped_percentile_ops_keep_null_groups(self, spark):
+        from dbldatagen_spark.functions import winsorize, zscore_normalize
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 100.0), (3, None, 5.0), (4, None, 6.0)],
+            "id long, g string, v double",
+        )
+        w = winsorize(df, "v", by="g")
+        assert w.count() == 4  # NULL-group rows keep their own stats
+        z = zscore_normalize(df, "v", by="g")
+        nulls = {r.id: r.v_z for r in z.where("g IS NULL").collect()}
+        assert set(nulls) == {3, 4}
+
+    def test_scd2_lookup_shared_lineage_outer_rows(self, spark):
+        from pyspark.sql import functions as F
+
+        from dbldatagen_spark.functions import scd2_intervals, scd2_lookup
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        dim = scd2_intervals(
+            events, "user_id", "ts", ["event_type"], order_col="event_id"
+        )
+        # probe BEFORE every user's first interval: left rows must keep
+        # their own user_id (the shared-lineage drop() hazard)
+        probes = events.groupBy("user_id").agg(
+            (F.min("ts") - F.expr("INTERVAL 1 HOUR")).alias("probe_ts")
+        )
+        out = scd2_lookup(probes, dim, "user_id", "probe_ts")
+        assert out.where("user_id IS NULL").count() == 0
+        assert out.where("event_type IS NOT NULL").count() == 0
+        assert out.count() == probes.count()
