@@ -113,7 +113,10 @@ def psi_report(
         for i in range(len(qs)):
             bucket = bucket + (v > F.col(f"_q{i}")).cast("int")
         counted = (
-            df.crossJoin(F.broadcast(cuts))
+            # NULL values carry no distribution mass: left in, they form
+            # a NULL bucket that silently deflates every share
+            df.where(F.col(value_col).isNotNull())
+            .crossJoin(F.broadcast(cuts))
             .select(bucket.alias("bucket"))
             .groupBy("bucket")
             .agg(F.count(F.lit(1)).alias("_c"))

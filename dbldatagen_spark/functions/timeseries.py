@@ -132,7 +132,17 @@ def seasonal_residual_flags(
         F.avg(v).alias("season_mean"),
         F.stddev_pop(v).alias("season_std"),
     )
-    scored = keyed.join(F.broadcast(baseline), group_keys)
+    # null-safe join-back: a plain equi-join would silently drop rows
+    # whose group value is NULL even though their baseline row exists
+    renamed = baseline
+    for gk in group_keys:
+        renamed = renamed.withColumnRenamed(gk, f"_bl_{gk}")
+    cond = F.lit(True)
+    for gk in group_keys:
+        cond = cond & keyed[gk].eqNullSafe(F.col(f"_bl_{gk}"))
+    scored = keyed.join(F.broadcast(renamed), cond).drop(
+        *[f"_bl_{gk}" for gk in group_keys]
+    )
     resid = v - F.col("season_mean")
     return scored.withColumn("residual", resid).withColumn(
         "is_anomaly",

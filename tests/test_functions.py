@@ -3216,3 +3216,35 @@ class TestRound5NullSafety:
         assert out.where("user_id IS NULL").count() == 0
         assert out.where("event_type IS NOT NULL").count() == 0
         assert out.count() == probes.count()
+
+
+class TestRound5NullSafety2:
+    def test_psi_ignores_null_values(self, spark):
+        from dbldatagen_spark.functions import psi_report
+
+        clean = spark.createDataFrame(
+            [(i, float(i % 50)) for i in range(500)], ["id", "v"]
+        )
+        withnull = clean.union(
+            spark.createDataFrame([(9999, None)], "id long, v double")
+        )
+        out = psi_report(clean, withnull, "v", num_buckets=5).collect()
+        # the NULL row carries no mass: shares still sum to 1, PSI ~ 0
+        assert abs(sum(r.actual_share for r in out) - 1.0) < 1e-6
+        assert all(abs(r.psi_term) < 1e-9 for r in out)
+
+    def test_seasonal_null_group_kept(self, spark):
+        import datetime as dt
+
+        from dbldatagen_spark.functions import seasonal_residual_flags
+
+        rows = [
+            (i, dt.datetime(2024, 1, 1, 9, i), None if i % 2 else "a", 5.0)
+            for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "id long, ts timestamp, g string, v double")
+        out = seasonal_residual_flags(
+            df, "ts", "v", group_col="g", season="hour_of_day"
+        )
+        assert out.count() == 10  # NULL-group rows keep their own baseline
+        assert out.where("g IS NULL").count() == 5
