@@ -1390,6 +1390,22 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top click-path mining: every window of 3 consecutive events in a
+    user's sequence counts as one path occurrence; the 25 most common
+    paths win, ties broken by path string. One key shuffle shared by
+    both lags, one map-side-combined count on the path string, and the
+    top-k compiles to TakeOrderedAndProject (per-partition heads, no
+    global sort)."""
+    from dbldatagen_spark.functions import common_paths
+
+    events = _load(spark, sf_dir, "events")
+    return common_paths(
+        events, "user_id", "ts", "event_type",
+        path_len=3, top_k=25, order_col="event_id",
+    )
+
+
 def _events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-order Markov transition matrix of event types per user:
     lag window on the user key (one shuffle of state names only), one
@@ -4408,6 +4424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_common_paths": _events_common_paths,
         "events_transition_matrix": _events_transition_matrix,
         "events_scd2_validate": _events_scd2_validate,
         "events_asof_nearest": _events_asof_nearest,
@@ -6041,6 +6058,33 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_common_paths": """
+            WITH lagged AS (
+                SELECT lag(event_type, 2) OVER w AS s0,
+                       lag(event_type, 1) OVER w AS s1,
+                       event_type AS s2
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            paths AS (
+                SELECT s0 || ' > ' || s1 || ' > ' || s2 AS path
+                FROM lagged WHERE s0 IS NOT NULL
+            ),
+            counts AS (
+                SELECT path, CAST(count(*) AS BIGINT) AS n_occurrences
+                FROM paths GROUP BY path
+            ),
+            ranked AS (
+                SELECT path, n_occurrences,
+                       row_number() OVER (
+                           ORDER BY n_occurrences DESC, path
+                       ) AS rank
+                FROM counts
+            )
+            SELECT path, n_occurrences, CAST(rank AS INTEGER) AS rank
+            FROM ranked WHERE rank <= 25
+            ORDER BY rank
         """,
         "events_transition_matrix": """
             WITH pairs AS (

@@ -83,6 +83,7 @@ from dbldatagen_spark.functions.cdc import (
 )
 from dbldatagen_spark.functions.analytics import (
     cohort_retention,
+    common_paths,
     funnel_steps,
     transition_matrix,
 )
@@ -175,6 +176,7 @@ __all__ = [
     "funnel_steps",
     "cohort_retention",
     "transition_matrix",
+    "common_paths",
     "contrastive_negatives",
     "expectation_report",
     "psi_report",

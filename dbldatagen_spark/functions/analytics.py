@@ -203,3 +203,58 @@ def transition_matrix(
         )
         .orderBy("from_state", "to_state")
     )
+
+
+def common_paths(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    path_len: int = 3,
+    top_k: int = 20,
+    order_col: Optional[str] = None,
+    separator: str = " > ",
+) -> DataFrame:
+    """Most common length-``path_len`` event paths: every window of
+    ``path_len`` consecutive events inside a key's sequence counts as
+    one path occurrence — the higher-order companion to
+    :func:`transition_matrix` ("what are the top click-paths"), and the
+    n-gram miner behind journey simulation.
+
+    Returns ``(path, n_occurrences, rank)`` for the ``top_k`` paths,
+    ties broken by path string so the report is deterministic.
+
+    Scale shape: one shuffle on the key; the ``path_len - 1`` lags all
+    share that window; path counting is one map-side-combined
+    aggregation on the path string; top-k compiles to
+    TakeOrderedAndProject (per-partition heads, no global sort) with
+    rank assigned over the tiny surviving set.
+    """
+    if path_len < 2:
+        raise ValueError(f"path_len must be >= 2, got {path_len}")
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    steps = [
+        F.lag(F.col(state_col), path_len - 1 - i).over(w)
+        for i in range(path_len)
+    ]
+    paths = (
+        df.select(F.concat_ws(separator, *steps).alias("path"), *[
+            s.alias(f"_s{i}") for i, s in enumerate(steps)
+        ])
+        .where(F.col("_s0").isNotNull())  # window not yet full
+        .select("path")
+    )
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    topk = counts.orderBy(F.col("n_occurrences").desc(), F.col("path")).limit(
+        top_k
+    )
+    wr = Window.orderBy(F.col("n_occurrences").desc(), F.col("path"))
+    return topk.withColumn("rank", F.row_number().over(wr).cast("int")).orderBy(
+        "rank"
+    )

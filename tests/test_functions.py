@@ -3248,3 +3248,40 @@ class TestRound5NullSafety2:
         )
         assert out.count() == 10  # NULL-group rows keep their own baseline
         assert out.where("g IS NULL").count() == 5
+
+
+class TestCommonPaths:
+    def test_trigram_paths(self, spark):
+        from dbldatagen_spark.functions import common_paths
+
+        rows = [
+            (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+            (2, 5, "a"), (2, 6, "b"), (2, 7, "c"),
+            (3, 8, "x"), (3, 9, "y"),  # too short for a trigram
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "s"])
+        out = {
+            r.path: (r.n_occurrences, r.rank)
+            for r in common_paths(df, "k", "ts", "s", path_len=3).collect()
+        }
+        assert out["a > b > c"] == (2, 1)
+        assert out["b > c > a"] == (1, 2)
+        assert len(out) == 2  # no cross-user windows, no short sequences
+
+    def test_top_k_and_validation(self, spark):
+        from dbldatagen_spark.functions import common_paths
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        out = common_paths(
+            events, "user_id", "ts", "event_type",
+            path_len=2, top_k=5, order_col="event_id",
+        ).collect()
+        assert len(out) == 5
+        assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+        # counts non-increasing by rank
+        ns = [r.n_occurrences for r in out]
+        assert ns == sorted(ns, reverse=True)
+        with pytest.raises(ValueError):
+            common_paths(events, "user_id", "ts", "event_type", path_len=1)
+        with pytest.raises(ValueError):
+            common_paths(events, "user_id", "ts", "event_type", top_k=0)
