@@ -1390,6 +1390,22 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-to-bar compaction: hourly OHLC bars of the event value per
+    event type — ONE map-side-combined aggregation on (type, hour
+    bucket); open/close ride min_by/max_by over a packed (epoch, id)
+    sort key, so there is no window, no sort, no second shuffle. The
+    oracle re-derives open/close with rank windows over the same
+    integer-exact epoch math."""
+    from dbldatagen_spark.functions import ohlc_bars
+
+    events = _load(spark, sf_dir, "events")
+    return ohlc_bars(
+        events, "event_type", "ts", "value",
+        interval_seconds=3600, order_col="event_id",
+    ).orderBy("event_type", "bar_ts")
+
+
 def _events_common_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top click-path mining: every window of 3 consecutive events in a
     user's sequence counts as one path occurrence; the 25 most common
@@ -4424,6 +4440,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_ohlc_bars": _events_ohlc_bars,
         "events_common_paths": _events_common_paths,
         "events_transition_matrix": _events_transition_matrix,
         "events_scd2_validate": _events_scd2_validate,
@@ -6058,6 +6075,39 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_ohlc_bars": """
+            WITH keyed AS (
+                SELECT event_type,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT)
+                           // 3600 * 3600 AS b,
+                       value,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+                       event_id
+                FROM events
+            ),
+            ranked AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY event_type, b
+                           ORDER BY e, event_id
+                       ) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY event_type, b
+                           ORDER BY e DESC, event_id DESC
+                       ) AS rn_d
+                FROM keyed
+            )
+            SELECT event_type,
+                   make_timestamp(b * 1000000) AS bar_ts,
+                   MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+                   MAX(value) AS high,
+                   MIN(value) AS low,
+                   MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM ranked
+            GROUP BY event_type, b
+            ORDER BY event_type, bar_ts
         """,
         "events_common_paths": """
             WITH lagged AS (

@@ -96,6 +96,7 @@ from dbldatagen_spark.functions.expectations import (
 )
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
 from dbldatagen_spark.functions.timeseries import (
+    ohlc_bars,
     seasonal_residual_flags,
     time_gap_fill,
 )
@@ -158,6 +159,7 @@ __all__ = [
     "sequence_length_histogram",
     "time_gap_fill",
     "seasonal_residual_flags",
+    "ohlc_bars",
     "scd2_intervals",
     "scd2_lookup",
     "scd2_validate",

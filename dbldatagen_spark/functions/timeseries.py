@@ -149,3 +149,66 @@ def seasonal_residual_flags(
         (F.col("season_std") > 0)
         & (F.abs(resid) > F.lit(float(k)) * F.col("season_std")),
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    interval_seconds: int = 3600,
+    order_col: str,
+) -> DataFrame:
+    """Downsample a per-key value stream into OHLC bars (open / high /
+    low / close + observation count) on a fixed time lattice — the
+    standard tick-to-bar compaction for prices, sensor readings, and
+    metric rollups.
+
+    ``open``/``close`` are the FIRST/LAST observations of each bar by
+    ``(ts, order_col)`` — ``order_col`` (a unique id) makes the pick
+    deterministic when timestamps collide. Returns
+    ``(key, bar_ts, open, high, low, close, n_obs)``.
+
+    Scale shape: ONE map-side-combined aggregation on (key, bucket) —
+    open/close ride ``min_by``/``max_by`` over a packed (epoch, order)
+    sort key, so there is no window, no sort, no second shuffle; the
+    epoch math is integer-exact and engine-portable.
+    """
+    if interval_seconds <= 0:
+        raise ValueError(
+            f"interval_seconds must be positive, got {interval_seconds}"
+        )
+    step = F.lit(int(interval_seconds)).cast("long")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    bucket = (F.floor(epoch / step) * step).cast("long")
+
+    keyed = df.select(
+        F.col(key_col),
+        bucket.alias("_bucket"),
+        F.col(value_col).cast("double").alias("_v"),
+        F.struct(
+            epoch.alias("e"), F.col(order_col).alias("o")
+        ).alias("_ord"),
+    )
+    return (
+        keyed.groupBy(key_col, "_bucket")
+        .agg(
+            F.expr("min_by(_v, _ord)").alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.expr("max_by(_v, _ord)").alias("close"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+        .select(
+            key_col,
+            F.to_timestamp(F.col("_bucket"))
+            .cast("timestamp_ntz")
+            .alias("bar_ts"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_obs",
+        )
+    )

@@ -3285,3 +3285,42 @@ class TestCommonPaths:
             common_paths(events, "user_id", "ts", "event_type", path_len=1)
         with pytest.raises(ValueError):
             common_paths(events, "user_id", "ts", "event_type", top_k=0)
+
+
+class TestOHLCBars:
+    def test_known_bars(self, spark):
+        from dbldatagen_spark.functions import ohlc_bars
+
+        rows = [
+            ("X", "2024-01-01 09:00:05", 10.0, 1),
+            ("X", "2024-01-01 09:20:00", 15.0, 2),
+            ("X", "2024-01-01 09:40:00", 8.0, 3),
+            ("X", "2024-01-01 09:59:59", 12.0, 4),
+            ("X", "2024-01-01 10:00:01", 13.0, 5),   # next bar
+            ("Y", "2024-01-01 09:30:00", 100.0, 6),
+        ]
+        df = spark.createDataFrame(rows, ["sym", "ts", "px", "id"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = {
+            (r.sym, str(r.bar_ts)): (r.open, r.high, r.low, r.close, r.n_obs)
+            for r in ohlc_bars(
+                df, "sym", "ts", "px", interval_seconds=3600, order_col="id"
+            ).collect()
+        }
+        assert out[("X", "2024-01-01 09:00:00")] == (10.0, 15.0, 8.0, 12.0, 4)
+        assert out[("X", "2024-01-01 10:00:00")] == (13.0, 13.0, 13.0, 13.0, 1)
+        assert out[("Y", "2024-01-01 09:00:00")] == (100.0, 100.0, 100.0, 100.0, 1)
+
+    def test_same_ts_tiebreak_and_validation(self, spark):
+        from dbldatagen_spark.functions import ohlc_bars
+
+        df = spark.createDataFrame(
+            [("X", "2024-01-01 09:00:00", 1.0, 10),
+             ("X", "2024-01-01 09:00:00", 2.0, 11)],
+            ["sym", "ts", "px", "id"],
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        r = ohlc_bars(df, "sym", "ts", "px", order_col="id").first()
+        assert r.open == 1.0 and r.close == 2.0  # id breaks the tie
+        with pytest.raises(ValueError):
+            ohlc_bars(df, "sym", "ts", "px", interval_seconds=0, order_col="id")
