@@ -1390,6 +1390,27 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-artifact screening over a deterministically corrupted
+    corpus: docs with id % 7 == 0 get a Latin-1-mojibake suffix and ids
+    % 11 == 0 a U+FFFD decode failure; mojibake_stats counts the marker
+    hits by pure replace-and-measure string arithmetic (no regex), so
+    every count and ratio is engine-exact. Map-only — text never leaves
+    the scan."""
+    from dbldatagen_spark.functions import mojibake_stats
+
+    docs = _load(spark, sf_dir, "documents")
+    corrupted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" cafÃ© â€œquote")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" �")).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return mojibake_stats(corrupted, "doc_id", "text").orderBy("doc_id")
+
+
 def _events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tick-to-bar compaction: hourly OHLC bars of the event value per
     event type — ONE map-side-combined aggregation on (type, hour
@@ -4440,6 +4461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "text_mojibake": _text_mojibake,
         "events_ohlc_bars": _events_ohlc_bars,
         "events_common_paths": _events_common_paths,
         "events_transition_matrix": _events_transition_matrix,
@@ -6075,6 +6097,40 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "text_mojibake": """
+            WITH corrupted AS (
+                SELECT doc_id,
+                       text
+                       || CASE WHEN doc_id % 7 = 0
+                               THEN ' cafÃ© â€œquote'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 11 = 0
+                               THEN ' �' ELSE '' END AS t
+                FROM documents
+            ),
+            scored AS (
+                SELECT doc_id,
+                       CAST(length(t) AS BIGINT) AS n_chars,
+                       CAST(
+                         (length(t) - length(replace(t, '�', '')))
+                       + (length(t) - length(replace(t, 'Ã©', ''))) // 2
+                       + (length(t) - length(replace(t, 'Ã±', ''))) // 2
+                       + (length(t) - length(replace(t, 'Ã¼', ''))) // 2
+                       + (length(t) - length(replace(t, 'â€', ''))) // 2
+                       + (length(t) - length(replace(t, 'Â ', ''))) // 2
+                       AS BIGINT) AS n_mojibake
+                FROM corrupted
+            )
+            SELECT doc_id, n_chars, n_mojibake,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_mojibake AS DOUBLE) / n_chars
+                        ELSE 0.0 END AS mojibake_ratio,
+                   (CASE WHEN n_chars > 0
+                         THEN CAST(n_mojibake AS DOUBLE) / n_chars
+                         ELSE 0.0 END) > 0.001 AS is_mojibake
+            FROM scored
+            ORDER BY doc_id
         """,
         "events_ohlc_bars": """
             WITH keyed AS (

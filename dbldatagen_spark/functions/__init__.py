@@ -121,6 +121,7 @@ from dbldatagen_spark.functions.text_analysis import (
     ngram_counts,
     quality_metrics,
     repetition_metrics,
+    mojibake_stats,
     token_count_expr,
     token_entropy,
     token_vocabulary,
@@ -242,4 +243,5 @@ __all__ = [
     "stratified_sample",
     "strip_boilerplate_lines",
     "token_count_expr",
+    "mojibake_stats",
 ]

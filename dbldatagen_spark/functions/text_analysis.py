@@ -844,3 +844,59 @@ def dsir_importance(
             F.col("n_bigrams") * (F.col("bits_raw") - F.col("bits_target")), 4
         ).alias("log2_weight"),
     )
+
+
+MOJIBAKE_MARKERS = (
+    "�",   # U+FFFD replacement character — decode failure
+    "Ã©",  # 'Ã©' — UTF-8 é read as Latin-1
+    "Ã±",  # 'Ã±' — ñ
+    "Ã¼",  # 'Ã¼' — ü
+    "â€",  # 'â€' — UTF-8 punctuation (’ “ ” –) read as Latin-1
+    "Â ",  # 'Â ' — non-breaking space double-encoded
+)
+
+
+def mojibake_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    markers: tuple = MOJIBAKE_MARKERS,
+    flag_threshold: float = 0.001,
+) -> DataFrame:
+    """Encoding-artifact detection: count the classic mojibake markers
+    (UTF-8 bytes decoded as Latin-1 — 'Ã©', 'â€™' — plus U+FFFD decode
+    failures) per document and flag documents whose marker density
+    exceeds ``flag_threshold`` — the corpus-cleaning signal for "this
+    shard went through the wrong charset".
+
+    Returns ``(id, n_chars, n_mojibake, mojibake_ratio, is_mojibake)``.
+
+    Every count is the replace-and-measure identity
+    ``(len(s) - len(replace(s, m, ''))) / len(m)`` — pure string
+    arithmetic, no regex engine involved, so any SQL dialect reproduces
+    the numbers exactly. Map-only; text never leaves the scan.
+    """
+    if not markers:
+        raise ValueError("markers must be non-empty")
+    if flag_threshold < 0:
+        raise ValueError(f"flag_threshold must be >= 0, got {flag_threshold}")
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.lit(0).cast("long")
+    for m in markers:
+        hits = (
+            (F.length(t) - F.length(F.replace(t, F.lit(m), F.lit(""))))
+            / F.lit(len(m))
+        ).cast("long")
+        total = total + hits
+    n_chars = F.length(t).cast("long")
+    ratio = F.when(
+        n_chars > 0, total.cast("double") / n_chars.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        total.alias("n_mojibake"),
+        ratio.alias("mojibake_ratio"),
+        (ratio > F.lit(float(flag_threshold))).alias("is_mojibake"),
+    )

@@ -3324,3 +3324,35 @@ class TestOHLCBars:
         assert r.open == 1.0 and r.close == 2.0  # id breaks the tie
         with pytest.raises(ValueError):
             ohlc_bars(df, "sym", "ts", "px", interval_seconds=0, order_col="id")
+
+
+class TestMojibake:
+    def test_detects_planted_artifacts(self, spark):
+        from dbldatagen_spark.functions import mojibake_stats
+
+        rows = [
+            (1, "perfectly clean ascii text " * 4),
+            (2, "caf\u00c3\u00a9 menu \u00c3\u00a9toile"),
+            (3, "bad bytes \ufffd\ufffd here"),
+            (4, "smart quote gone wrong \u00e2\u20acs"),
+            (5, None),
+            (6, ""),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r.doc_id: r for r in mojibake_stats(df, "doc_id", "text").collect()}
+        assert out[1].n_mojibake == 0 and not out[1].is_mojibake
+        assert out[2].n_mojibake == 2 and out[2].is_mojibake
+        assert out[3].n_mojibake == 2 and out[3].is_mojibake
+        assert out[4].n_mojibake == 1 and out[4].is_mojibake
+        assert out[5].n_chars == 0 and not out[5].is_mojibake
+        assert out[6].mojibake_ratio == 0.0
+        with pytest.raises(ValueError):
+            mojibake_stats(df, "doc_id", "text", markers=())
+        with pytest.raises(ValueError):
+            mojibake_stats(df, "doc_id", "text", flag_threshold=-1)
+
+    def test_clean_corpus_all_zero(self, spark, docs):
+        from dbldatagen_spark.functions import mojibake_stats
+
+        out = mojibake_stats(docs, "doc_id", "text")
+        assert out.where("n_mojibake > 0").count() == 0
