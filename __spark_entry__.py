@@ -1390,6 +1390,61 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _gen_stock_ticker_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """basic/stock_ticker provider conformance: 2000 generated rows must
+    have the declared shape (one row per symbol per day: 100 symbols x
+    20 days), positive prices, high >= max(open, close) and
+    low <= min(open, close) everywhere, strictly increasing dates per
+    symbol, and bit-identical rebuilds under a different partition
+    count (the partition-independence invariant). Constant-frame
+    oracle."""
+    from dbldatagen_spark.datasets.registry import Datasets
+
+    rows = 2000
+    df = Datasets(spark, "basic/stock_ticker").get(rows=rows).build().cache()
+    n_rows = df.count()
+    n_symbols = df.select("symbol").distinct().count()
+    n_days = df.select("post_date").distinct().count()
+    bad_prices = df.where(
+        (F.col("open") <= 0)
+        | (F.col("close") <= 0)
+        | (F.col("high") < F.greatest("open", "close"))
+        | (F.col("low") > F.least("open", "close"))
+    ).count()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("symbol").orderBy("post_date")
+    non_monotone = (
+        df.withColumn("_prev", F.lag("post_date").over(w))
+        .where(F.col("_prev").isNotNull() & (F.col("post_date") <= F.col("_prev")))
+        .count()
+    )
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(
+        map(
+            tuple,
+            Datasets(spark, "basic/stock_ticker").get(rows=rows).build()
+            .repartition(7)
+            .collect(),
+        )
+    )
+    df.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_rows,
+                n_symbols,
+                n_days,
+                bad_prices,
+                non_monotone,
+                a == b,
+            )
+        ],
+        "n_rows long, n_symbols long, n_days long, bad_prices long, "
+        "non_monotone long, rebuild_identical boolean",
+    )
+
+
 def _text_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encoding-artifact screening over a deterministically corrupted
     corpus: docs with id % 7 == 0 get a Latin-1-mojibake suffix and ids
@@ -4461,6 +4516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
         "text_mojibake": _text_mojibake,
         "events_ohlc_bars": _events_ohlc_bars,
         "events_common_paths": _events_common_paths,
@@ -6098,6 +6154,14 @@ def _oracle_sql_base() -> dict[str, str]:
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
         """,
+        "gen_stock_ticker_conformance": (
+            "SELECT CAST(2000 AS BIGINT) AS n_rows, "
+            "CAST(100 AS BIGINT) AS n_symbols, "
+            "CAST(20 AS BIGINT) AS n_days, "
+            "CAST(0 AS BIGINT) AS bad_prices, "
+            "CAST(0 AS BIGINT) AS non_monotone, "
+            "true AS rebuild_identical"
+        ),
         "text_mojibake": """
             WITH corrupted AS (
                 SELECT doc_id,
