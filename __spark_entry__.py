@@ -1390,6 +1390,27 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate limiting (at most 3 events per user per
+    trailing day): a genuinely RECURSIVE admission rule — each decision
+    depends on which earlier events were admitted — folded through
+    F.aggregate over per-user time-sorted events with the admitted-epoch
+    state pruned to the window (O(max_events) per row, one key shuffle,
+    no UDF). The oracle replays the identical walk with a recursive CTE;
+    the streaming twin (rate_limit_with_state) is asserted
+    decision-for-decision equal in pytest's real checkpointed run."""
+    from dbldatagen_spark.functions import rate_limit_events
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        rate_limit_events(
+            events, "user_id", "ts",
+            max_events=3, window_seconds=86400, order_col="event_id",
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def _gen_stock_ticker_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """basic/stock_ticker provider conformance: 2000 generated rows must
     have the declared shape (one row per symbol per day: 100 symbols x
@@ -4516,6 +4537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_rate_limit": _events_rate_limit,
         "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
         "text_mojibake": _text_mojibake,
         "events_ohlc_bars": _events_ohlc_bars,
@@ -6153,6 +6175,39 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_rate_limit": """
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                    event_id
+                       ) AS rn
+                FROM events
+            ),
+            walk AS (
+                SELECT user_id, 0 AS rn, []::BIGINT[] AS adm,
+                       NULL::BIGINT AS event_id, NULL::BOOLEAN AS allowed
+                FROM (SELECT DISTINCT user_id FROM ordered)
+                UNION ALL
+                SELECT o.user_id, o.rn,
+                       CASE WHEN len(list_filter(
+                                w.adm, a -> a > o.e - 86400)) < 3
+                            THEN list_append(list_filter(
+                                w.adm, a -> a > o.e - 86400), o.e)
+                            ELSE list_filter(
+                                w.adm, a -> a > o.e - 86400) END,
+                       o.event_id,
+                       len(list_filter(w.adm, a -> a > o.e - 86400)) < 3
+                FROM walk w
+                JOIN ordered o
+                  ON o.user_id = w.user_id AND o.rn = w.rn + 1
+            )
+            SELECT user_id, event_id, allowed
+            FROM walk WHERE rn > 0
+            ORDER BY user_id, event_id
         """,
         "gen_stock_ticker_conformance": (
             "SELECT CAST(2000 AS BIGINT) AS n_rows, "

@@ -88,6 +88,7 @@ from dbldatagen_spark.functions.analytics import (
     transition_matrix,
 )
 from dbldatagen_spark.functions.pairs import contrastive_negatives
+from dbldatagen_spark.functions.ratelimit import rate_limit_events
 from dbldatagen_spark.functions.expectations import (
     expectation_report,
     psi_report,
@@ -181,6 +182,7 @@ __all__ = [
     "transition_matrix",
     "common_paths",
     "contrastive_negatives",
+    "rate_limit_events",
     "expectation_report",
     "psi_report",
     "sequence_gaps",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -359,6 +360,90 @@ def cdc_latest_with_state(
         _fn,
         outputStructType=out_schema,
         stateStructType=_CDC_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_RATE_STATE_SCHEMA = StructType(
+    [StructField("admitted", ArrayType(LongType()))]
+)
+
+
+def rate_limit_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    *,
+    max_events: int,
+    window_seconds: int,
+    order_col: str,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`dbldatagen_spark.functions.ratelimit.rate_limit_events`:
+    per-key token-bucket admission across micro-batches. State is the
+    admitted-epoch list pruned to the trailing window — O(max_events)
+    longs per key, never history-sized. Assumes per-key event-time
+    order across batches (replay in order or pre-sort the backlog);
+    within a batch rows are processed in (ts, order) order. Emits
+    ``(key, order, allowed)`` per event; identical decisions to the
+    batch fold on an in-order stream (the real-run pytest asserts it).
+    On a batch frame it simply delegates to the batch fold.
+    """
+    if not df.isStreaming:
+        from dbldatagen_spark.functions.ratelimit import rate_limit_events
+
+        return rate_limit_events(
+            df,
+            key_col,
+            ts_col,
+            max_events=max_events,
+            window_seconds=window_seconds,
+            order_col=order_col,
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.floor(
+            F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+        ).cast("long").alias("_e"),
+        F.col(order_col).cast("long").alias("o"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("o", LongType()),
+            StructField("allowed", LongType()),
+        ]
+    )
+
+    win = int(window_seconds)
+    cap = int(max_events)
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        admitted = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs)).sort_values(["_e", "o"])
+        orders, flags = [], []
+        for e, o in zip(rows["_e"], rows["o"]):
+            e = int(e)
+            admitted = [a for a in admitted if a > e - win]
+            ok = len(admitted) < cap
+            if ok:
+                admitted.append(e)
+            orders.append(int(o))
+            flags.append(1 if ok else 0)
+        state.update((admitted,))
+        yield pd.DataFrame(
+            {"key": [int(key[0])] * len(orders), "o": orders, "allowed": flags}
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_RATE_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

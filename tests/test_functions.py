@@ -3356,3 +3356,53 @@ class TestMojibake:
 
         out = mojibake_stats(docs, "doc_id", "text")
         assert out.where("n_mojibake > 0").count() == 0
+
+
+class TestRateLimit:
+    def test_token_bucket_semantics(self, spark):
+        from dbldatagen_spark.functions import rate_limit_events
+
+        # key 1: N=2 per 60s. events at t=0,10,20,70,75,80
+        # t=0 ok, t=10 ok, t=20 denied (2 admitted in window),
+        # t=70 ok (t=0 aged out; t=10 still in (10,70]) -> window has {10}
+        # t=75 denied ({10 out? 75-60=15 -> 10 aged; admitted recent={70}} ok!)
+        rows = [
+            (1, 0, 1), (1, 10, 2), (1, 20, 3),
+            (1, 70, 4), (1, 75, 5), (1, 80, 6),
+            (2, 0, 7),
+        ]
+        df = spark.createDataFrame(rows, ["k", "sec", "id"]).withColumn(
+            "ts", F.to_timestamp(F.col("sec").cast("long"))
+        )
+        out = {
+            r.id: r.allowed
+            for r in rate_limit_events(
+                df, "k", "ts", max_events=2, window_seconds=60, order_col="id"
+            ).collect()
+        }
+        # manual fold: t0 ok {0}; t10 ok {0,10}; t20 deny (2 in window);
+        # t70: recent admitted >10 -> {} after prune(>=11)... 0,10 <= 10 -> pruned,
+        #   ok {70}; t75: recent {70} size1 ok {70,75}; t80: recent {70,75} deny
+        assert out == {1: True, 2: True, 3: False, 4: True, 5: True, 6: False, 7: True}
+
+    def test_deterministic_and_ties(self, spark):
+        from dbldatagen_spark.functions import rate_limit_events
+
+        # two events at identical ts: order_col breaks the tie; N=1
+        df = spark.createDataFrame(
+            [(1, 100, 11), (1, 100, 10)], ["k", "sec", "id"]
+        ).withColumn("ts", F.to_timestamp(F.col("sec").cast("long")))
+        out = {
+            r.id: r.allowed
+            for r in rate_limit_events(
+                df, "k", "ts", max_events=1, window_seconds=60, order_col="id"
+            ).collect()
+        }
+        assert out == {10: True, 11: False}
+        a = rate_limit_events(df, "k", "ts", max_events=1, window_seconds=60, order_col="id").collect()
+        b = rate_limit_events(df.repartition(5), "k", "ts", max_events=1, window_seconds=60, order_col="id").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        with pytest.raises(ValueError):
+            rate_limit_events(df, "k", "ts", max_events=0, window_seconds=60, order_col="id")
+        with pytest.raises(ValueError):
+            rate_limit_events(df, "k", "ts", max_events=1, window_seconds=0, order_col="id")

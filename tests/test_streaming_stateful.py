@@ -503,3 +503,58 @@ def test_cdc_latest_with_state_stream(spark, events, tmp_path):
     )
     assert final.exceptAll(batch_final).count() == 0
     assert batch_final.exceptAll(final).count() == 0
+
+
+def test_rate_limit_stream_matches_batch(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dbldatagen_spark.streaming.stateful import rate_limit_with_state
+
+    src = events.select("user_id", "ts", "event_id")
+    kwargs = dict(max_events=3, window_seconds=86400, order_col="event_id")
+    batch = rate_limit_with_state(src, "user_id", "ts", **kwargs)
+    n_denied = batch.where("NOT allowed").count()
+    assert n_denied > 0  # the fixture must actually exercise denials
+
+    # two in-event-time-order micro-batches. Split on a FLOORED-second
+    # boundary: the fold orders by (epoch-second, id), so two events in
+    # the same second must never land in different batches (the stream
+    # would process them in batch order, not id order)
+    e = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    mid = int(src.agg(F.expr(
+        "percentile(floor(unix_timestamp(cast(ts as timestamp))), 0.5)"
+    )).first()[0])
+    # mtimes must follow WRITE order, not filename order (part-file
+    # names are random UUIDs) — track which files each write produced
+    now = time.time()
+    seen: list = []
+    for i, frame in enumerate((src.where(e < mid), src.where(e >= mid))):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        rate_limit_with_state(stream, "user_id", "ts", **kwargs)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "out")).select(
+        "key", "o", (F.col("allowed") == 1).alias("allowed")
+    )
+    b = {(r.user_id, r.event_id): r.allowed for r in batch.collect()}
+    s = {(r.key, r.o): r.allowed for r in streamed.collect()}
+    assert b == s
