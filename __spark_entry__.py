@@ -1390,6 +1390,24 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine completeness per event type: hour buckets between
+    each type's first and last event that received NO data. The spine
+    explodes from (min, max) per group — bounded by span/period, never
+    by event count — and the anti-join compares bucket sets, not
+    events. Integer-exact hour truncation keeps the spine engine-
+    portable."""
+    from dbldatagen_spark.functions import missing_periods
+
+    events = _load(spark, sf_dir, "events")
+    return missing_periods(
+        events, "ts", period="hour", group_col="event_type"
+    ).select(
+        "event_type",
+        F.col("missing_start").cast("timestamp_ntz").alias("missing_start"),
+    )
+
+
 def _events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-bucket rate limiting (at most 3 events per user per
     trailing day): a genuinely RECURSIVE admission rule — each decision
@@ -4537,6 +4555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_missing_hours": _events_missing_hours,
         "events_rate_limit": _events_rate_limit,
         "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
         "text_mojibake": _text_mojibake,
@@ -6175,6 +6194,28 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_missing_hours": """
+            WITH observed AS (
+                SELECT DISTINCT event_type,
+                       date_trunc('hour', ts) AS p
+                FROM events
+            ),
+            spans AS (
+                SELECT event_type, min(p) AS lo, max(p) AS hi
+                FROM observed GROUP BY event_type
+            ),
+            spine AS (
+                SELECT event_type,
+                       unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS p
+                FROM spans
+            )
+            SELECT s.event_type, s.p AS missing_start
+            FROM spine s
+            LEFT JOIN observed o
+              ON s.event_type = o.event_type AND s.p = o.p
+            WHERE o.p IS NULL
+            ORDER BY s.event_type, missing_start
         """,
         "events_rate_limit": """
             WITH RECURSIVE ordered AS (

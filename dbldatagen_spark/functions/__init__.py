@@ -91,6 +91,7 @@ from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.ratelimit import rate_limit_events
 from dbldatagen_spark.functions.expectations import (
     expectation_report,
+    missing_periods,
     psi_report,
     schema_diff,
     sequence_gaps,
@@ -187,6 +188,7 @@ __all__ = [
     "psi_report",
     "sequence_gaps",
     "schema_diff",
+    "missing_periods",
     "zorder_value_expr",
     "zorder_sort",
     "k_anonymity_report",

@@ -246,3 +246,51 @@ def schema_diff(before: DataFrame, after: DataFrame) -> DataFrame:
     return spark.createDataFrame(
         rows, "column string, change string, before_type string, after_type string"
     )
+
+
+def missing_periods(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    period: str = "day",
+    group_col: Optional[str] = None,
+) -> DataFrame:
+    """Calendar-spine completeness check: which ``period`` buckets
+    between a series' first and last observation have NO data — the
+    time-based sibling of :func:`sequence_gaps` ("did we ingest
+    anything for March 14th"), per group when ``group_col`` is given.
+
+    Returns ``(group?, missing_start)`` — one row per empty bucket,
+    sorted. The spine explodes per group from (min, max) only — bounded
+    by span/period, never by row count — and the observed buckets
+    arrive pre-aggregated, so the anti-join compares two bucket-count-
+    sized sets, not events.
+    """
+    if period not in ("day", "week", "month", "hour"):
+        raise ValueError(
+            f"period must be hour|day|week|month, got {period!r}"
+        )
+    p = F.date_trunc(period, F.col(ts_col).cast("timestamp"))
+    keys = [group_col] if group_col else []
+    observed = df.select(*keys, p.alias("_p")).distinct()
+    step = {
+        "hour": "interval 1 hour",
+        "day": "interval 1 day",
+        "week": "interval 7 days",
+        "month": "interval 1 month",
+    }[period]
+    spans = observed.groupBy(*keys).agg(
+        F.min("_p").alias("_lo"), F.max("_p").alias("_hi")
+    )
+    spine = spans.select(
+        *keys,
+        F.explode(
+            F.expr(f"sequence(_lo, _hi, {step})")
+        ).alias("_p"),
+    )
+    out_cols = [*keys, F.col("_p").alias("missing_start")]
+    return (
+        spine.join(observed, [*keys, "_p"], "left_anti")
+        .select(*out_cols)
+        .orderBy(*keys, "missing_start")
+    )

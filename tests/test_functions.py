@@ -3406,3 +3406,36 @@ class TestRateLimit:
             rate_limit_events(df, "k", "ts", max_events=0, window_seconds=60, order_col="id")
         with pytest.raises(ValueError):
             rate_limit_events(df, "k", "ts", max_events=1, window_seconds=0, order_col="id")
+
+
+class TestMissingPeriods:
+    def test_detects_missing_days(self, spark):
+        from dbldatagen_spark.functions import missing_periods
+
+        rows = [
+            (1, "2024-01-01 10:00:00"), (2, "2024-01-02 09:00:00"),
+            (3, "2024-01-05 08:00:00"),  # 3rd and 4th missing
+            (4, "2024-01-05 23:00:00"),
+        ]
+        df = spark.createDataFrame(rows, ["id", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = [str(r.missing_start)[:10] for r in missing_periods(df, "ts").collect()]
+        assert out == ["2024-01-03", "2024-01-04"]
+
+    def test_grouped_and_complete(self, spark):
+        from dbldatagen_spark.functions import missing_periods
+
+        rows = [
+            ("a", "2024-01-01"), ("a", "2024-01-03"),
+            ("b", "2024-01-01"), ("b", "2024-01-02"),
+        ]
+        df = spark.createDataFrame(rows, ["g", "d"]).withColumn(
+            "ts", F.col("d").cast("timestamp")
+        )
+        out = [(r.g, str(r.missing_start)[:10]) for r in missing_periods(
+            df, "ts", group_col="g"
+        ).collect()]
+        assert out == [("a", "2024-01-02")]
+        with pytest.raises(ValueError):
+            missing_periods(df, "ts", period="year")
