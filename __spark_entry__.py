@@ -1390,6 +1390,37 @@ def _events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-store session rows: inactivity-gap sessions rolled into
+    the standard engagement features (count, duration, entry/exit
+    event types via min_by/max_by on a packed (epoch, id) key, bounce
+    flag, value sum). The session lag window and the feature rollup
+    share one user-key shuffle; integer epochs keep durations exact.
+    The oracle replays the identical assignment and rollup with rank
+    windows."""
+    from dbldatagen_spark.functions import session_features
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        session_features(
+            events, "user_id", "ts",
+            event_type_col="event_type", order_col="event_id",
+            value_col="value",
+        )
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            "duration_seconds",
+            "entry_type",
+            "exit_type",
+            "is_bounce",
+            F.round("session_value", 4).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def _events_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine completeness per event type: hour buckets between
     each type's first and last event that received NO data. The spine
@@ -4555,6 +4586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cdc_apply": _events_cdc_apply,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        "events_session_features": _events_session_features,
         "events_missing_hours": _events_missing_hours,
         "events_rate_limit": _events_rate_limit,
         "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
@@ -6194,6 +6226,47 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM ranked
             WHERE rn = 1 AND event_type <> 'error'
             ORDER BY user_id
+        """,
+        "events_session_features": """
+            WITH w AS (
+                SELECT user_id, event_type, value, event_id,
+                       CAST(FLOOR(epoch(ts)) AS BIGINT) AS e,
+                       lag(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS pe
+                FROM events
+            ),
+            s AS (
+                SELECT *,
+                       SUM(CASE WHEN pe IS NULL OR e - pe > 1800
+                                THEN 1 ELSE 0 END) OVER (
+                           PARTITION BY user_id ORDER BY e, event_id
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS sid
+                FROM w
+            ),
+            r AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY user_id, sid ORDER BY e, event_id
+                       ) AS rn_a,
+                       row_number() OVER (
+                           PARTITION BY user_id, sid
+                           ORDER BY e DESC, event_id DESC
+                       ) AS rn_d
+                FROM s
+            )
+            SELECT user_id,
+                   CAST(sid AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(e) - min(e) AS BIGINT) AS duration_seconds,
+                   MAX(CASE WHEN rn_a = 1 THEN event_type END) AS entry_type,
+                   MAX(CASE WHEN rn_d = 1 THEN event_type END) AS exit_type,
+                   count(*) = 1 AS is_bounce,
+                   ROUND(SUM(value), 4) AS session_value
+            FROM r
+            GROUP BY user_id, sid
+            ORDER BY user_id, session_seq
         """,
         "events_missing_hours": """
             WITH observed AS (

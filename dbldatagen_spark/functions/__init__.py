@@ -47,7 +47,7 @@ from dbldatagen_spark.functions.similarity import (
     truncate_embeddings,
 )
 from dbldatagen_spark.functions.skew import hot_key_report, salted_join
-from dbldatagen_spark.functions.sessions import sessionize
+from dbldatagen_spark.functions.sessions import session_features, sessionize
 from dbldatagen_spark.functions.asof import (
     asof_join,
     asof_join_forward,
@@ -146,6 +146,7 @@ from dbldatagen_spark.functions.multimodal import (
 
 __all__ = [
     "sessionize",
+    "session_features",
     "detect_media_types",
     "detect_media_type_expr",
     "charlm_score",

@@ -160,3 +160,67 @@ def _sessionize_skew_safe(
     if value_col is not None:
         final_aggs.append(F.sum("session_value").alias("session_value"))
     return merged.groupBy(user_col, "session_seq").agg(*final_aggs)
+
+
+def session_features(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    gap_seconds: float = 1800.0,
+    event_type_col: str,
+    order_col: str,
+    value_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-session ML feature table: the feature-store composite built
+    on inactivity-gap sessions. One row per session with
+
+    ``(user, session_seq, n_events, duration_seconds, entry_type,
+    exit_type, is_bounce[, session_value])``
+
+    where ``entry_type``/``exit_type`` are the first/last event types
+    (ties at equal timestamps broken by ``order_col``) and
+    ``is_bounce`` marks single-event sessions — the standard
+    engagement-feature row for churn/conversion models.
+
+    Scale shape: the session assignment is one lag + running-sum window
+    on the user key; the feature rollup is one aggregation on
+    (user, session) that REUSES the same partitioning (entry/exit ride
+    ``min_by``/``max_by`` — no second sort). Integer-exact epochs keep
+    durations engine-portable.
+    """
+    from pyspark.sql import Window
+
+    epoch = F.floor(
+        F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+    ).cast("long")
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    gap = epoch - F.lag(epoch).over(w)
+    assigned = df.withColumn(
+        "_new",
+        F.when(gap.isNull() | (gap > F.lit(float(gap_seconds))), 1).otherwise(
+            0
+        ),
+    ).withColumn("_sid", F.sum("_new").over(w))
+
+    ordkey = F.struct(epoch.alias("e"), F.col(order_col).alias("o"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max(epoch) - F.min(epoch)).cast("long").alias("duration_seconds"),
+        F.expr(f"min_by({event_type_col}, struct(_ek, _ok))").alias(
+            "entry_type"
+        ),
+        F.expr(f"max_by({event_type_col}, struct(_ek, _ok))").alias(
+            "exit_type"
+        ),
+    ]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("session_value"))
+    out = (
+        assigned.withColumn("_ek", epoch)
+        .withColumn("_ok", F.col(order_col))
+        .groupBy(F.col(user_col), F.col("_sid").cast("long").alias("session_seq"))
+        .agg(*aggs)
+        .withColumn("is_bounce", F.col("n_events") == 1)
+    )
+    return out

@@ -3439,3 +3439,45 @@ class TestMissingPeriods:
         assert out == [("a", "2024-01-02")]
         with pytest.raises(ValueError):
             missing_periods(df, "ts", period="year")
+
+
+class TestSessionFeatures:
+    def test_feature_row_shape(self, spark):
+        from dbldatagen_spark.functions import session_features
+
+        rows = [
+            (1, "2024-01-01 10:00:00", "view", 1, 1.0),
+            (1, "2024-01-01 10:10:00", "click", 2, 2.0),
+            (1, "2024-01-01 10:20:00", "purchase", 3, 3.0),
+            (1, "2024-01-01 12:00:00", "view", 4, 4.0),   # new session (bounce)
+            (2, "2024-01-01 09:00:00", "error", 5, 5.0),  # bounce
+        ]
+        df = spark.createDataFrame(
+            rows, ["user_id", "ts", "event_type", "event_id", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {
+            (r.user_id, r.session_seq): r
+            for r in session_features(
+                df, "user_id", "ts",
+                event_type_col="event_type", order_col="event_id",
+                value_col="value",
+            ).collect()
+        }
+        s1 = out[(1, 1)]
+        assert (s1.n_events, s1.duration_seconds) == (3, 1200)
+        assert (s1.entry_type, s1.exit_type) == ("view", "purchase")
+        assert not s1.is_bounce and s1.session_value == 6.0
+        assert out[(1, 2)].is_bounce and out[(1, 2)].duration_seconds == 0
+        assert out[(2, 1)].is_bounce
+
+    def test_matches_sessionize_counts(self, spark):
+        from dbldatagen_spark.functions import session_features, sessionize
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        feats = session_features(
+            events, "user_id", "ts",
+            event_type_col="event_type", order_col="event_id",
+        )
+        base = sessionize(events, "user_id", "ts")
+        assert feats.count() == base.count()
+        assert feats.agg(F.sum("n_events")).first()[0] == events.count()
