@@ -87,6 +87,13 @@ from dbldatagen_spark.functions.analytics import (
     funnel_steps,
     transition_matrix,
 )
+from dbldatagen_spark.functions.bloom import (
+    bloom_anti_join,
+    bloom_build,
+    bloom_contains_expr,
+    bloom_positions_expr,
+    bloom_semi_join,
+)
 from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.ratelimit import rate_limit_events
 from dbldatagen_spark.functions.expectations import (
@@ -249,4 +256,9 @@ __all__ = [
     "strip_boilerplate_lines",
     "token_count_expr",
     "mojibake_stats",
+    "bloom_anti_join",
+    "bloom_build",
+    "bloom_contains_expr",
+    "bloom_positions_expr",
+    "bloom_semi_join",
 ]

@@ -1,0 +1,238 @@
+"""Broadcast Bloom filters for join prefiltering (runtime-filter pattern).
+
+The canonical 100-TB join problem: a huge fact table semi/anti-joined
+against a selective dimension subset.  A plain join shuffles the entire
+fact side on the key; the production remedy (Spark's own
+``spark.sql.optimizer.runtimeFilter.bloomFilter``, ORC/Parquet bloom
+indexes, Flink's runtime filters) is to build a small bit set from the
+dimension keys, broadcast it, and discard fact rows map-side BEFORE the
+shuffle.  Bloom filters have no false negatives, so the prefilter is
+lossless for semi joins; for anti joins, a bloom miss proves absence, so
+only the (few) "maybe" rows need the exact join.
+
+This module builds the filter distributively — per-partition bitmaps are
+OR-merged by a ``bit_or`` aggregation on the word index, so driver
+traffic is ``num_bits / 64`` longs regardless of key count — and tests
+membership with pure Catalyst expressions (no UDF) against the broadcast
+word array.
+
+Hashing is the repo's engine-portable idiom (``conv(substr(md5(..),1,15),
+16,10)`` == DuckDB ``('0x'||substr(md5(..),1,15))::BIGINT``), so an
+external SQL oracle can replay bit positions bit-for-bit.
+
+Reference parity: dbldatagen has no bloom surface; this extends the
+training-pipeline toolkit (dedup/contamination anti-joins are its main
+consumers).
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_positions_expr",
+    "bloom_build",
+    "bloom_contains_expr",
+    "bloom_semi_join",
+    "bloom_anti_join",
+]
+
+
+def _require_pow2_words(num_bits: int) -> int:
+    if num_bits < 64 or num_bits % 64 != 0:
+        raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    return num_bits // 64
+
+
+def bloom_positions_expr(
+    key: Column, *, num_bits: int, num_hashes: int, seed: int = 0
+) -> Column:
+    """``array<long>`` of ``num_hashes`` bit positions in ``[0, num_bits)``
+    for ``key``.  Each hash is an independent 60-bit md5-derived value
+    (salted by hash index and ``seed``) reduced mod ``num_bits`` —
+    deterministic, partition-independent, and replayable in any engine
+    with ``md5``.
+    """
+    _require_pow2_words(num_bits)
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    s = key.cast("string")
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws(":", F.lit(seed), F.lit(i), s)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(num_bits),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    *,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    seed: int = 0,
+) -> List[int]:
+    """Build the filter: returns ``num_bits / 64`` packed little-endian
+    words (word ``w`` holds positions ``[64w, 64w+64)``; position ``p``
+    sets bit ``p % 64``).
+
+    Plan shape: positions explode map-side, distinct positions hash-agg
+    (map-side combine; cardinality bounded by ``num_bits``), then a
+    ``bit_or`` aggregation per word index — the ONLY driver traffic is
+    at most ``num_bits / 64`` (word, bits) rows.  NULL keys are skipped
+    (SQL join semantics: NULL matches nothing).
+    """
+    n_words = _require_pow2_words(num_bits)
+    pos = (
+        df.select(F.col(key_col).alias("_k"))
+        .where(F.col("_k").isNotNull())
+        .select(
+            F.explode(
+                bloom_positions_expr(
+                    F.col("_k"), num_bits=num_bits, num_hashes=num_hashes, seed=seed
+                )
+            ).alias("_p")
+        )
+        .distinct()
+    )
+    words_rows = (
+        pos.groupBy((F.col("_p") / 64).cast("int").alias("_w"))
+        .agg(F.expr("bit_or(shiftleft(1L, cast(_p % 64 as int)))").alias("_bits"))
+        .collect()
+    )
+    words = [0] * n_words
+    for r in words_rows:
+        words[r["_w"]] = r["_bits"]
+    return words
+
+
+def bloom_contains_expr(
+    key: Column,
+    words: List[int],
+    *,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+) -> Column:
+    """Membership test (``true`` = maybe present, ``false`` = definitely
+    absent) as a pure expression: every hash position's bit must be set
+    in the broadcast literal word array.  NULL keys test ``false``.
+    """
+    n_words = _require_pow2_words(num_bits)
+    if len(words) != n_words:
+        raise ValueError(f"words must have {n_words} entries, got {len(words)}")
+    lit_words = F.lit(words)
+    pos = bloom_positions_expr(
+        key, num_bits=num_bits, num_hashes=num_hashes, seed=seed
+    )
+    hit = F.aggregate(
+        pos,
+        F.lit(True),
+        lambda acc, p: acc
+        & (
+            F.expr("0L")
+            != F.element_at(lit_words, (p / 64).cast("int") + 1).bitwiseAND(
+                F.call_function(
+                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+                )
+            )
+        ),
+    )
+    return F.when(key.isNotNull(), hit).otherwise(F.lit(False))
+
+
+def _build_and_filter(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    num_bits: int,
+    num_hashes: int,
+    seed: int,
+) -> Tuple[DataFrame, DataFrame]:
+    words = bloom_build(
+        small, small_key, num_bits=num_bits, num_hashes=num_hashes, seed=seed
+    )
+    maybe = bloom_contains_expr(
+        F.col(big_key), words, num_bits=num_bits, num_hashes=num_hashes, seed=seed
+    )
+    return big.where(maybe), big.where(~maybe)
+
+
+def bloom_semi_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    small_on: str | None = None,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """``big LEFT SEMI JOIN small`` with a broadcast-bloom prefilter:
+    fact rows whose key misses the bloom are discarded BEFORE the
+    shuffle (no false negatives, so the result is exactly the semi
+    join); survivors — true matches plus the bloom's false positives —
+    go through the exact semi join, which at typical selectivity is now
+    broadcast-able even when ``big`` was not.
+
+    Scale shape: one driver round-trip of ``num_bits / 64`` longs to
+    build the filter, then the map-side discard removes
+    ``(1 - selectivity - fpp)`` of the fact side from the join exchange.
+    """
+    sk = small_on or on
+    maybe, _ = _build_and_filter(big, small, on, sk, num_bits, num_hashes, seed)
+    dim = small.select(sk).distinct()
+    cond = maybe[on] == dim[sk]
+    return maybe.join(dim, cond, "left_semi").select(*big.columns)
+
+
+def bloom_anti_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    small_on: str | None = None,
+    num_bits: int = 1 << 17,
+    num_hashes: int = 5,
+    seed: int = 0,
+) -> DataFrame:
+    """``big LEFT ANTI JOIN small`` with a broadcast-bloom shortcut: a
+    bloom miss PROVES the key is absent from ``small``, so those rows
+    are emitted with no join at all; only the "maybe" sliver (true
+    matches + false positives) pays the exact anti join.  This is the
+    decontamination-scrub shape: ``small`` = banned/eval keys, ``big`` =
+    the corpus, and virtually the whole corpus short-circuits map-side.
+
+    The two branches scan ``big`` twice; at scale that is a column-
+    pruned, predicate-pushed parquet re-scan — strictly cheaper than
+    shuffling the full fact side, which is what the plain anti join
+    does.  NULL fact keys follow SQL anti-join semantics (kept).
+    """
+    sk = small_on or on
+    maybe, definite_miss = _build_and_filter(
+        big, small, on, sk, num_bits, num_hashes, seed
+    )
+    null_rows = big.where(F.col(on).isNull())
+    dim = small.select(sk).distinct()
+    cond = maybe[on] == dim[sk]
+    checked = maybe.join(dim, cond, "left_anti")
+    return (
+        definite_miss.where(F.col(on).isNotNull())
+        .unionByName(checked)
+        .unionByName(null_rows)
+        .select(*big.columns)
+    )

@@ -3481,3 +3481,89 @@ class TestSessionFeatures:
         base = sessionize(events, "user_id", "ts")
         assert feats.count() == base.count()
         assert feats.agg(F.sum("n_events")).first()[0] == events.count()
+
+
+class TestBloomJoins:
+    def test_positions_deterministic_and_in_range(self, spark):
+        from dbldatagen_spark.functions import bloom_positions_expr
+
+        df = spark.range(0, 200).select(
+            bloom_positions_expr(
+                F.col("id"), num_bits=1024, num_hashes=4, seed=7
+            ).alias("pos")
+        )
+        rows = df.collect()
+        assert all(len(r.pos) == 4 for r in rows)
+        assert all(0 <= p < 1024 for r in rows for p in r.pos)
+        again = df.repartition(7).collect()
+        assert sorted(map(tuple, (r.pos for r in rows))) == sorted(
+            map(tuple, (r.pos for r in again))
+        )
+
+    def test_no_false_negatives(self, spark):
+        from dbldatagen_spark.functions import (
+            bloom_build,
+            bloom_contains_expr,
+        )
+
+        keys = spark.range(0, 500).withColumn("k", F.col("id") * 3)
+        words = bloom_build(keys, "k", num_bits=4096, num_hashes=5, seed=1)
+        hits = keys.select(
+            bloom_contains_expr(
+                F.col("k"), words, num_bits=4096, num_hashes=5, seed=1
+            ).alias("hit")
+        )
+        assert hits.where(~F.col("hit")).count() == 0
+
+    def test_null_keys_skipped_and_test_false(self, spark):
+        from dbldatagen_spark.functions import bloom_build, bloom_contains_expr
+
+        df = spark.createDataFrame([(1,), (None,)], "k long")
+        words = bloom_build(df, "k", num_bits=256, num_hashes=3, seed=0)
+        out = df.select(
+            bloom_contains_expr(
+                F.col("k"), words, num_bits=256, num_hashes=3, seed=0
+            ).alias("hit"),
+            "k",
+        ).collect()
+        assert {r.k: r.hit for r in out} == {1: True, None: False}
+
+    def test_semi_join_matches_exact(self, spark):
+        from dbldatagen_spark.functions import bloom_semi_join
+
+        big = spark.range(0, 2000).select((F.col("id") % 700).alias("k"), "id")
+        small = spark.range(0, 50).select((F.col("id") * 13).alias("k"))
+        got = bloom_semi_join(big, small, "k", num_bits=1024, num_hashes=4)
+        exact = big.join(small.distinct(), "k", "left_semi")
+        assert got.count() == exact.count()
+        assert got.exceptAll(exact).count() == 0
+        assert exact.exceptAll(got).count() == 0
+
+    def test_anti_join_matches_exact_including_nulls(self, spark):
+        from dbldatagen_spark.functions import bloom_anti_join
+
+        big = spark.createDataFrame(
+            [(i % 90,) for i in range(600)] + [(None,)] * 3, "k int"
+        ).withColumn("payload", F.md5(F.col("k").cast("string")))
+        small = spark.range(0, 30).select((F.col("id") * 4).cast("int").alias("k"))
+        got = bloom_anti_join(big, small, "k", num_bits=512, num_hashes=4)
+        exact = big.join(small.distinct(), big["k"] == small["k"], "left_anti")
+        assert got.count() == exact.count()
+        assert got.where(F.col("k").isNull()).count() == 3
+        assert got.exceptAll(exact).count() == 0
+
+    def test_build_bounds_driver_traffic(self, spark):
+        from dbldatagen_spark.functions import bloom_build
+
+        words = bloom_build(
+            spark.range(0, 10_000), "id", num_bits=64 * 8, num_hashes=2
+        )
+        assert len(words) == 8  # word-packed, never per-key driver rows
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import bloom_build, bloom_positions_expr
+
+        with pytest.raises(ValueError):
+            bloom_build(spark.range(1), "id", num_bits=100)
+        with pytest.raises(ValueError):
+            bloom_positions_expr(F.col("id"), num_bits=64, num_hashes=0)
