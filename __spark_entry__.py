@@ -4566,6 +4566,40 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k-minimum-values, Bar-Yossef et al.):
+    per event type, estimate the distinct-user count from the 32
+    smallest md5-derived hash values and report it against the exact
+    count. The row_number()<=k pruning plans as a pre-exchange
+    WindowGroupLimit (each map task forwards at most k hashes per
+    group), so the sketch cost is O(groups*k) rows after the distinct —
+    values never shuffle, only 8-byte hashes. The oracle replays the
+    identical hash/min-k/estimator arithmetic in SQL."""
+    from dbldatagen_spark.functions import kmv_sketch
+
+    k = 32
+    events = _load(spark, sf_dir, "events")
+    sk = kmv_sketch(events, "user_id", group_cols=["event_type"], k=k)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        sk.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.col("n_kept").alias("n_kept"),
+            F.round(F.col("dv_estimate"), 4).alias("dv_est"),
+            F.round(
+                F.abs(F.col("dv_estimate") - F.col("n_exact"))
+                / F.col("n_exact"),
+                4,
+            ).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -4766,6 +4800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "events_rollup_daily": _events_rollup_daily,
         "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
+        "events_kmv_distinct": _events_kmv_distinct,
     }
 
 
@@ -5724,6 +5759,45 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
             ORDER BY day, event_type
+        """,
+        "events_kmv_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+            ),
+            s AS (
+                SELECT event_type,
+                       COUNT(*) AS n_kept,
+                       MAX(hv) AS kth
+                FROM r WHERE rn <= 32
+                GROUP BY event_type
+            ),
+            e AS (
+                SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+                FROM events GROUP BY event_type
+            )
+            SELECT s.event_type, e.n_exact, s.n_kept,
+                   ROUND(CASE WHEN n_kept < 32
+                              THEN CAST(n_kept AS DOUBLE)
+                              ELSE 31.0 / ((CAST(kth AS DOUBLE) + 0.5)
+                                           / 1152921504606846976.0)
+                         END, 4) AS dv_est,
+                   ROUND(ABS(CASE WHEN n_kept < 32
+                                  THEN CAST(n_kept AS DOUBLE)
+                                  ELSE 31.0 / ((CAST(kth AS DOUBLE) + 0.5)
+                                               / 1152921504606846976.0)
+                             END - n_exact) / n_exact, 4) AS rel_err
+            FROM s JOIN e USING (event_type)
+            ORDER BY event_type
         """,
         "lineitem_bloom_prefilter": """
             WITH ref AS (

@@ -94,6 +94,12 @@ from dbldatagen_spark.functions.bloom import (
     bloom_positions_expr,
     bloom_semi_join,
 )
+from dbldatagen_spark.functions.sketches import (
+    kmv_estimate_expr,
+    kmv_hash_expr,
+    kmv_merge_expr,
+    kmv_sketch,
+)
 from dbldatagen_spark.functions.pairs import contrastive_negatives
 from dbldatagen_spark.functions.ratelimit import rate_limit_events
 from dbldatagen_spark.functions.expectations import (
@@ -261,4 +267,8 @@ __all__ = [
     "bloom_contains_expr",
     "bloom_positions_expr",
     "bloom_semi_join",
+    "kmv_estimate_expr",
+    "kmv_hash_expr",
+    "kmv_merge_expr",
+    "kmv_sketch",
 ]

@@ -3567,3 +3567,67 @@ class TestBloomJoins:
             bloom_build(spark.range(1), "id", num_bits=100)
         with pytest.raises(ValueError):
             bloom_positions_expr(F.col("id"), num_bits=64, num_hashes=0)
+
+
+class TestKMVSketch:
+    def test_exact_below_k(self, spark):
+        from dbldatagen_spark.functions import kmv_sketch
+
+        df = spark.range(0, 1000).select((F.col("id") % 20).alias("v"))
+        out = kmv_sketch(df, "v", k=64).first()
+        assert out.n_kept == 20
+        assert out.dv_estimate == 20.0
+        assert len(out.sketch) == 20
+
+    def test_estimate_accuracy_above_k(self, spark):
+        from dbldatagen_spark.functions import kmv_sketch
+
+        df = spark.range(0, 20_000).select((F.col("id") % 5000).alias("v"))
+        est = kmv_sketch(df, "v", k=256).first().dv_estimate
+        assert abs(est - 5000) / 5000 < 0.15  # ~1/sqrt(k) error band
+
+    def test_grouped_and_null_excluded(self, spark):
+        from dbldatagen_spark.functions import kmv_sketch
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", None), ("b", 7)], "g string, v int"
+        )
+        out = {r.g: r for r in kmv_sketch(df, "v", group_cols=["g"], k=8).collect()}
+        assert out["a"].n_kept == 2 and out["a"].dv_estimate == 2.0
+        assert out["b"].n_kept == 1
+
+    def test_merge_equals_whole(self, spark):
+        from dbldatagen_spark.functions import (
+            kmv_estimate_expr,
+            kmv_merge_expr,
+            kmv_sketch,
+        )
+
+        k = 32
+        df = spark.range(0, 4000).select(
+            (F.col("id") % 4).alias("part"), (F.col("id") % 700).alias("v")
+        )
+        per_part = kmv_sketch(df, "v", group_cols=["part"], k=k)
+        merged = per_part.agg(
+            F.collect_list("sketch").alias("all_sketches")
+        ).select(
+            kmv_estimate_expr(
+                kmv_merge_expr(F.col("all_sketches"), k), k
+            ).alias("est")
+        ).first().est
+        whole = kmv_sketch(df, "v", k=k).first().dv_estimate
+        assert merged == whole
+
+    def test_partition_independent(self, spark):
+        from dbldatagen_spark.functions import kmv_sketch
+
+        df = spark.range(0, 3000).select((F.col("id") % 311).alias("v"))
+        a = kmv_sketch(df.repartition(3), "v", k=16).first()
+        b = kmv_sketch(df.repartition(11), "v", k=16).first()
+        assert a.sketch == b.sketch and a.dv_estimate == b.dv_estimate
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import kmv_sketch
+
+        with pytest.raises(ValueError):
+            kmv_sketch(spark.range(1), "id", k=1)
