@@ -4600,6 +4600,25 @@ def _events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values —
+    a genuinely recursive smoother (s_i = a*v_i + (1-a)*s_{i-1}) no
+    window frame can express, folded through F.aggregate over each
+    user's time-sorted events (one key shuffle, no UDF) and exploded
+    back to one row per event. alpha=0.25 and its complement are exact
+    binary fractions and the fold order is total (ts, event_id), so the
+    oracle's recursive-CTE replay reproduces every double bit-for-bit —
+    no rounding anywhere."""
+    from dbldatagen_spark.functions import ewma
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        ewma(events, "user_id", "ts", "value", alpha=0.25, order_col="event_id")
+        .select("user_id", "event_id", "value", "ewma")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -4801,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup_daily": _events_rollup_daily,
         "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
         "events_kmv_distinct": _events_kmv_distinct,
+        "events_ewma": _events_ewma,
     }
 
 
@@ -5759,6 +5779,30 @@ def _oracle_sql_base() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP(strftime(ts, '%Y-%m-%d'), event_type)
             ORDER BY day, event_type
+        """,
+        "events_ewma": """
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            walk AS (
+                SELECT user_id, 0 AS rn, NULL::DOUBLE AS s,
+                       NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+                FROM (SELECT DISTINCT user_id FROM ordered)
+                UNION ALL
+                SELECT o.user_id, o.rn,
+                       CASE WHEN w.s IS NULL THEN o.value
+                            ELSE 0.25 * o.value + 0.75 * w.s END,
+                       o.event_id, o.value
+                FROM walk w
+                JOIN ordered o
+                  ON o.user_id = w.user_id AND o.rn = w.rn + 1
+            )
+            SELECT user_id, event_id, value, s AS ewma
+            FROM walk WHERE rn > 0
+            ORDER BY user_id, event_id
         """,
         "events_kmv_distinct": """
             WITH h AS (

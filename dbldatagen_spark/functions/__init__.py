@@ -111,6 +111,7 @@ from dbldatagen_spark.functions.expectations import (
 )
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
 from dbldatagen_spark.functions.timeseries import (
+    ewma,
     ohlc_bars,
     seasonal_residual_flags,
     time_gap_fill,
@@ -271,4 +272,5 @@ __all__ = [
     "kmv_hash_expr",
     "kmv_merge_expr",
     "kmv_sketch",
+    "ewma",
 ]

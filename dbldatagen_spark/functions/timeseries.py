@@ -212,3 +212,76 @@ def ohlc_bars(
             "n_obs",
         )
     )
+
+
+def ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    order_col: str,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average per key over time order:
+    ``s_0 = v_0``, ``s_i = alpha*v_i + (1-alpha)*s_{i-1}`` — a genuinely
+    recursive smoother (each output depends on the previous output), so
+    no window frame can express it. Folded through ``F.aggregate`` over
+    the key's time-sorted ``(ts, order, value)`` structs — JVM
+    higher-order function, no UDF, ONE shuffle on the key — then
+    exploded back to one output row per input row:
+    ``(key, ts, order, value, out_col)``.
+
+    Ties on ``ts`` break by ``order_col`` (total order => deterministic
+    floats: both this fold and an external replay add in the identical
+    sequence, so results are bit-reproducible). NULL values are
+    excluded before smoothing.
+
+    Scale shape: per-key state is the key's own event list — the same
+    bound as any per-entity sequence model (cf. ``funnel_steps``,
+    ``rate_limit_events``); keys fan out across the cluster, and
+    nothing but ``(ts, order, value)`` triples ever shuffles.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = F.lit(float(alpha))
+    ev = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    )
+    init = F.struct(
+        F.array().cast("array<double>").alias("arr"),
+        F.lit(None).cast("double").alias("last"),
+    )
+
+    def _step(acc, e):
+        nxt = F.when(acc["last"].isNull(), e["v"]).otherwise(
+            a * e["v"] + (F.lit(1.0) - a) * acc["last"]
+        )
+        return F.struct(
+            F.concat(acc["arr"], F.array(nxt)).alias("arr"), nxt.alias("last")
+        )
+
+    smoothed = ev.withColumn(
+        "_sm", F.aggregate(F.col("_evts"), init, _step, lambda acc: acc["arr"])
+    )
+    z = smoothed.select(
+        "_k", F.explode(F.arrays_zip("_evts", "_sm")).alias("_z")
+    )
+    return z.select(
+        F.col("_k").alias(key_col),
+        F.col("_z._evts.t").alias(ts_col),
+        F.col("_z._evts.o").alias(order_col),
+        F.col("_z._evts.v").alias(value_col),
+        F.col("_z._sm").alias(out_col),
+    )

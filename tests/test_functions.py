@@ -3631,3 +3631,58 @@ class TestKMVSketch:
 
         with pytest.raises(ValueError):
             kmv_sketch(spark.range(1), "id", k=1)
+
+
+class TestEWMA:
+    def test_recurrence_exact(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01 00:00:00", 1, 10.0),
+             ("u", "2024-01-01 00:01:00", 2, 20.0),
+             ("u", "2024-01-01 00:02:00", 3, 30.0)],
+            "k string, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r.oid: r.ewma for r in
+               ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid").collect()}
+        assert out[1] == 10.0
+        assert out[2] == 0.5 * 20.0 + 0.5 * 10.0
+        assert out[3] == 0.5 * 30.0 + 0.5 * out[2]
+
+    def test_alpha_one_is_identity(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        out = ewma(events, "user_id", "ts", "value",
+                   alpha=1.0, order_col="event_id")
+        assert out.where(F.col("ewma") != F.col("value")).count() == 0
+        assert out.count() == events.where(F.col("value").isNotNull()).count()
+
+    def test_ts_ties_break_by_order_col(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        df = spark.createDataFrame(
+            [("u", "2024-01-01", 2, 100.0), ("u", "2024-01-01", 1, 0.0)],
+            "k string, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r.oid: r.ewma for r in
+               ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid").collect()}
+        assert out[1] == 0.0 and out[2] == 50.0
+
+    def test_partition_independent(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        a = sorted(map(tuple, ewma(events.repartition(3), "user_id", "ts",
+                                   "value", alpha=0.25,
+                                   order_col="event_id").collect()))
+        b = sorted(map(tuple, ewma(events.repartition(13), "user_id", "ts",
+                                   "value", alpha=0.25,
+                                   order_col="event_id").collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        with pytest.raises(ValueError):
+            ewma(spark.range(1), "id", "id", "id", alpha=0.0, order_col="id")
