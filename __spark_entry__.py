@@ -4619,6 +4619,30 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _customers_derive_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC derivation: two deterministic snapshots of the
+    customer table (before drops custkey%10==0; after drops %13==0 and
+    bumps acctbal by 100 where %7==0) are diffed into the I/U/D
+    changelog that turns one into the other. Each side reduces map-side
+    to (key, payload fingerprint) so the single shuffle moves 8-byte
+    hashes, never the payload — the oracle's FULL OUTER JOIN is exactly
+    the physical shape the operator avoids."""
+    from dbldatagen_spark.functions import derive_cdc
+
+    cust = _load(spark, sf_dir, "customer")
+    before = cust.where("c_custkey % 10 != 0").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    after = cust.where("c_custkey % 13 != 0").select(
+        "c_custkey",
+        "c_name",
+        F.when(F.col("c_custkey") % 7 == 0, F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    return derive_cdc(before, after, ["c_custkey"]).orderBy("c_custkey")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -4821,6 +4845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
         "events_kmv_distinct": _events_kmv_distinct,
         "events_ewma": _events_ewma,
+        "customers_derive_cdc": _customers_derive_cdc,
     }
 
 
@@ -5803,6 +5828,29 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id, value, s AS ewma
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
+        """,
+        "customers_derive_cdc": """
+            WITH before AS (
+                SELECT c_custkey, c_name, c_acctbal
+                FROM customer WHERE c_custkey % 10 <> 0
+            ),
+            after AS (
+                SELECT c_custkey, c_name,
+                       CASE WHEN c_custkey % 7 = 0
+                            THEN c_acctbal + 100.0 ELSE c_acctbal END
+                           AS c_acctbal
+                FROM customer WHERE c_custkey % 13 <> 0
+            )
+            SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+                   CASE WHEN b.c_custkey IS NULL THEN 'I'
+                        WHEN a.c_custkey IS NULL THEN 'D'
+                        ELSE 'U' END AS op
+            FROM before b
+            FULL OUTER JOIN after a ON b.c_custkey = a.c_custkey
+            WHERE b.c_custkey IS NULL OR a.c_custkey IS NULL
+               OR b.c_name IS DISTINCT FROM a.c_name
+               OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
+            ORDER BY c_custkey
         """,
         "events_kmv_distinct": """
             WITH h AS (

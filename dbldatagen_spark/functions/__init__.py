@@ -78,6 +78,7 @@ from dbldatagen_spark.functions.outliers import (
 from dbldatagen_spark.functions.cdc import (
     apply_cdc,
     cdc_change_counts,
+    derive_cdc,
     merge_aggregates,
     mergeable_aggregate,
 )
@@ -190,6 +191,7 @@ __all__ = [
     "quantile_bucket",
     "apply_cdc",
     "cdc_change_counts",
+    "derive_cdc",
     "mergeable_aggregate",
     "merge_aggregates",
     "truncate_embeddings",

@@ -89,6 +89,81 @@ def cdc_change_counts(
     )
 
 
+def derive_cdc(
+    before: DataFrame,
+    after: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    compare_cols: Sequence[str] | None = None,
+    op_col: str = "op",
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """The inverse of :func:`apply_cdc`: given two keyed snapshots of
+    the same table, derive the changelog that turns ``before`` into
+    ``after`` — one row per changed key with ``op_col`` in
+    ``'I'`` (key only in ``after``), ``'D'`` (only in ``before``),
+    ``'U'`` (present in both, compared payload differs). Unchanged keys
+    are dropped unless ``include_unchanged=True`` (then tagged ``'N'``).
+    This is snapshot-diff CDC derivation — the path used when the
+    upstream system can't emit a changelog and all you get is
+    yesterday's and today's table.
+
+    ``compare_cols`` defaults to every non-key column the two frames
+    share (in ``after``'s column order). Keys are assumed unique per
+    snapshot (it's a keyed table); with duplicates the comparison uses
+    the max payload fingerprint per side — deterministic, but fix the
+    input.
+
+    Scale shape: each side is reduced map-side to
+    ``(keys…, xxhash64(to_json(payload-struct)))`` — 8 bytes of
+    fingerprint instead of the payload — so the single union+groupBy
+    shuffle moves keys and hashes only; a wide table diffs at the cost
+    of a narrow one. ``to_json`` (not a bare struct hash) because
+    Spark's hash functions skip NULL fields, which would collide
+    ``(NULL, x)`` with ``(x, NULL)``; JSON keeps field positions
+    distinct. No full outer join anywhere (a snapshot diff as FULL
+    OUTER JOIN sort-merges two full tables; the union+groupBy shape
+    is one exchange of hashes and AQE-friendly).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one key column")
+    keys = list(key_cols)
+    if compare_cols is None:
+        compare_cols = [
+            c for c in after.columns if c not in keys and c in before.columns
+        ]
+    if not compare_cols:
+        raise ValueError("no compare columns: snapshots share no non-key columns")
+    missing = [c for c in list(keys) + list(compare_cols) if c not in before.columns]
+    if missing:
+        raise ValueError(f"columns missing from before snapshot: {missing}")
+
+    def _fingerprinted(df: DataFrame, tag: int) -> DataFrame:
+        return df.select(
+            *[F.col(k) for k in keys],
+            F.xxhash64(
+                F.to_json(F.struct(*[F.col(c) for c in compare_cols]))
+            ).alias("_h"),
+            F.lit(tag).alias("_src"),
+        )
+
+    u = _fingerprinted(before, 0).unionByName(_fingerprinted(after, 1))
+    g = u.groupBy(*[F.col(k) for k in keys]).agg(
+        F.max(F.when(F.col("_src") == 0, F.col("_h"))).alias("_hb"),
+        F.max(F.when(F.col("_src") == 1, F.col("_h"))).alias("_ha"),
+    )
+    op = (
+        F.when(F.col("_hb").isNull(), F.lit("I"))
+        .when(F.col("_ha").isNull(), F.lit("D"))
+        .when(F.col("_hb") != F.col("_ha"), F.lit("U"))
+        .otherwise(F.lit("N"))
+    )
+    out = g.select(*keys, op.alias(op_col))
+    if not include_unchanged:
+        out = out.where(F.col(op_col) != "N")
+    return out
+
+
 def mergeable_aggregate(
     df: DataFrame,
     key_cols: Sequence[str],

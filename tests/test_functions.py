@@ -3686,3 +3686,72 @@ class TestEWMA:
 
         with pytest.raises(ValueError):
             ewma(spark.range(1), "id", "id", "id", alpha=0.0, order_col="id")
+
+
+class TestDeriveCDC:
+    def _snapshots(self, spark):
+        before = spark.createDataFrame(
+            [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0),
+             (4, None, 40.0)],
+            "key int, name string, score double",
+        )
+        after = spark.createDataFrame(
+            [(1, "alice", 10.0),          # unchanged
+             (2, "bob", 25.0),            # updated
+             (4, "dave", None),           # updated (null moves column)
+             (5, "erin", 50.0)],          # inserted; 3 deleted
+            "key int, name string, score double",
+        )
+        return before, after
+
+    def test_ops(self, spark):
+        from dbldatagen_spark.functions import derive_cdc
+
+        before, after = self._snapshots(spark)
+        out = {r.key: r.op for r in derive_cdc(before, after, ["key"]).collect()}
+        assert out == {2: "U", 3: "D", 4: "U", 5: "I"}
+
+    def test_include_unchanged_and_null_positions(self, spark):
+        from dbldatagen_spark.functions import derive_cdc
+
+        before, after = self._snapshots(spark)
+        out = {r.key: r.op for r in
+               derive_cdc(before, after, ["key"], include_unchanged=True).collect()}
+        assert out[1] == "N" and len(out) == 5
+        # (NULL, x) vs (x, NULL) must NOT collide to "unchanged"
+        b = spark.createDataFrame([(1, None, "x")], "key int, a string, b string")
+        a = spark.createDataFrame([(1, "x", None)], "key int, a string, b string")
+        assert derive_cdc(b, a, ["key"]).collect()[0].op == "U"
+
+    def test_roundtrip_apply(self, spark):
+        """apply_cdc(before-as-inserts + derived changelog) == after."""
+        from dbldatagen_spark.functions import apply_cdc, derive_cdc
+
+        before, after = self._snapshots(spark)
+        ops = derive_cdc(before, after, ["key"])
+        # payload for I/U comes from `after`; D rows carry null payload
+        log = (
+            before.selectExpr("key", "name", "score", "'I' as op", "0L as seq")
+            .unionByName(
+                ops.join(after, "key", "left")
+                .selectExpr("key", "name", "score", "op", "1L as seq")
+            )
+        )
+        got = sorted(map(tuple, apply_cdc(log, ["key"], "seq").collect()))
+        want = sorted(map(tuple, after.collect()))
+        assert got == want
+
+    def test_compare_cols_subset_and_validation(self, spark):
+        from dbldatagen_spark.functions import derive_cdc
+
+        before, after = self._snapshots(spark)
+        out = {r.key: r.op for r in
+               derive_cdc(before, after, ["key"], compare_cols=["name"]).collect()}
+        assert out == {3: "D", 4: "U", 5: "I"}  # key 2 only changed score
+        with pytest.raises(ValueError):
+            derive_cdc(before, after, [])
+        with pytest.raises(ValueError):
+            derive_cdc(before.select("key"), after.select("key"), ["key"])
+        with pytest.raises(ValueError):
+            derive_cdc(before.select("key", "name"), after, ["key"],
+                       compare_cols=["score"])
