@@ -4619,6 +4619,32 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user two-sided CUSUM change-point detection, self-calibrated
+    to each user's own mean (computed as a sorted fold so the oracle's
+    list_sum(list_sort(...)) reproduces the double bit-for-bit), with
+    the standard reset-after-alarm. Recursive like ewma — folded
+    through F.aggregate over each user's time-sorted events (one key
+    shuffle, no UDF) and replayed by the oracle's recursive CTE.
+    drift=0.25, threshold=1.5; all doubles emitted unrounded."""
+    from dbldatagen_spark.functions import cusum_flags
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        cusum_flags(
+            events,
+            "user_id",
+            "ts",
+            "value",
+            drift=0.25,
+            threshold=1.5,
+            order_col="event_id",
+        )
+        .select("user_id", "event_id", "value", "cusum_pos", "cusum_neg", "alarm")
+        .orderBy("user_id", "event_id")
+    )
+
+
 def _customers_derive_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-diff CDC derivation: two deterministic snapshots of the
     customer table (before drops custkey%10==0; after drops %13==0 and
@@ -4845,6 +4871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
         "events_kmv_distinct": _events_kmv_distinct,
         "events_ewma": _events_ewma,
+        "events_cusum_flags": _events_cusum_flags,
         "customers_derive_cdc": _customers_derive_cdc,
     }
 
@@ -5826,6 +5853,49 @@ def _oracle_sql_base() -> dict[str, str]:
                   ON o.user_id = w.user_id AND o.rn = w.rn + 1
             )
             SELECT user_id, event_id, value, s AS ewma
+            FROM walk WHERE rn > 0
+            ORDER BY user_id, event_id
+        """,
+        "events_cusum_flags": """
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            mu AS (
+                SELECT user_id,
+                       list_sum(list_sort(list(value))) / count(value) AS mu
+                FROM events WHERE value IS NOT NULL
+                GROUP BY user_id
+            ),
+            walk AS (
+                SELECT user_id, 0 AS rn,
+                       0.0::DOUBLE AS sp, 0.0::DOUBLE AS sn,
+                       NULL::DOUBLE AS cp, NULL::DOUBLE AS cn,
+                       NULL::BIGINT AS event_id, NULL::DOUBLE AS value
+                FROM (SELECT DISTINCT user_id FROM ordered)
+                UNION ALL
+                SELECT o.user_id, o.rn,
+                       CASE WHEN greatest(0.0, w.sp + (o.value - m.mu - 0.25)) > 1.5
+                              OR greatest(0.0, w.sn + (m.mu - o.value - 0.25)) > 1.5
+                            THEN 0.0
+                            ELSE greatest(0.0, w.sp + (o.value - m.mu - 0.25)) END,
+                       CASE WHEN greatest(0.0, w.sp + (o.value - m.mu - 0.25)) > 1.5
+                              OR greatest(0.0, w.sn + (m.mu - o.value - 0.25)) > 1.5
+                            THEN 0.0
+                            ELSE greatest(0.0, w.sn + (m.mu - o.value - 0.25)) END,
+                       greatest(0.0, w.sp + (o.value - m.mu - 0.25)),
+                       greatest(0.0, w.sn + (m.mu - o.value - 0.25)),
+                       o.event_id, o.value
+                FROM walk w
+                JOIN ordered o
+                  ON o.user_id = w.user_id AND o.rn = w.rn + 1
+                JOIN mu m ON m.user_id = w.user_id
+            )
+            SELECT user_id, event_id, value,
+                   cp AS cusum_pos, cn AS cusum_neg,
+                   (cp > 1.5 OR cn > 1.5) AS alarm
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
         """,

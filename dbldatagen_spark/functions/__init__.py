@@ -112,6 +112,7 @@ from dbldatagen_spark.functions.expectations import (
 )
 from dbldatagen_spark.functions.layout import zorder_sort, zorder_value_expr
 from dbldatagen_spark.functions.timeseries import (
+    cusum_flags,
     ewma,
     ohlc_bars,
     seasonal_residual_flags,
@@ -275,4 +276,5 @@ __all__ = [
     "kmv_merge_expr",
     "kmv_sketch",
     "ewma",
+    "cusum_flags",
 ]

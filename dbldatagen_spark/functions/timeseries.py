@@ -10,6 +10,8 @@ forward fill is one per-key ordered window — no UDF anywhere.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -284,4 +286,107 @@ def ewma(
         F.col("_z._evts.o").alias(order_col),
         F.col("_z._evts.v").alias(value_col),
         F.col("_z._sm").alias(out_col),
+    )
+
+
+def cusum_flags(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    drift: float,
+    threshold: float,
+    order_col: str,
+    target: Optional[float] = None,
+    reset_on_alarm: bool = True,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection per key over time order:
+    ``s+_i = max(0, s+_{i-1} + (v_i - target - drift))`` (and the
+    mirrored ``s-`` for downward shifts), alarm when either statistic
+    exceeds ``threshold``. Like :func:`ewma` this is a genuinely
+    recursive statistic no window frame can express — folded through
+    ``F.aggregate`` over each key's time-sorted events (JVM
+    higher-order function, no UDF, ONE shuffle on the key) and exploded
+    back to one row per event: ``(key, ts, order, value, cusum_pos,
+    cusum_neg, alarm)``.
+
+    ``target`` is the in-control level the statistic accumulates
+    deviations from; ``None`` (default) self-calibrates to the key's
+    own mean, computed as a sorted fold (``F.aggregate`` over
+    ``array_sort``) so an external replay summing in the same sorted
+    order reproduces the double bit-for-bit. ``reset_on_alarm=True``
+    restarts both statistics at zero after an alarm fires (standard
+    practice: detect each shift once, not forever). NULL values are
+    excluded; ties on ``ts`` break by ``order_col`` (total order =>
+    bit-reproducible floats).
+
+    Scale shape: identical to :func:`ewma` — per-key state is the
+    key's own event list, keys fan out across the cluster, and only
+    ``(ts, order, value)`` triples shuffle.
+    """
+    if drift < 0.0:
+        raise ValueError(f"drift must be >= 0, got {drift}")
+    if threshold <= 0.0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    d = F.lit(float(drift))
+    h = F.lit(float(threshold))
+    ev = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    )
+    if target is None:
+        vals = F.array_sort(F.transform(F.col("_evts"), lambda e: e["v"]))
+        mu = F.aggregate(
+            vals, F.lit(0.0), lambda acc, v: acc + v
+        ) / F.size(vals).cast("double")
+    else:
+        mu = F.lit(float(target))
+    ev = ev.withColumn("_mu", mu)
+
+    init = F.struct(
+        F.array().cast("array<double>").alias("ap"),
+        F.array().cast("array<double>").alias("an"),
+        F.lit(0.0).alias("sp"),
+        F.lit(0.0).alias("sn"),
+    )
+
+    def _step(acc, e):
+        rp = F.greatest(F.lit(0.0), acc["sp"] + (e["v"] - F.col("_mu") - d))
+        rn = F.greatest(F.lit(0.0), acc["sn"] + (F.col("_mu") - e["v"] - d))
+        alarm = (rp > h) | (rn > h)
+        carry = F.lit(reset_on_alarm) & alarm
+        return F.struct(
+            F.concat(acc["ap"], F.array(rp)).alias("ap"),
+            F.concat(acc["an"], F.array(rn)).alias("an"),
+            F.when(carry, F.lit(0.0)).otherwise(rp).alias("sp"),
+            F.when(carry, F.lit(0.0)).otherwise(rn).alias("sn"),
+        )
+
+    folded = ev.withColumn("_st", F.aggregate(F.col("_evts"), init, _step))
+    z = folded.select(
+        "_k",
+        F.explode(
+            F.arrays_zip(F.col("_evts"), F.col("_st.ap"), F.col("_st.an"))
+        ).alias("_z"),
+    )
+    rp = F.col("_z.ap")
+    rn = F.col("_z.an")
+    return z.select(
+        F.col("_k").alias(key_col),
+        F.col("_z._evts.t").alias(ts_col),
+        F.col("_z._evts.o").alias(order_col),
+        F.col("_z._evts.v").alias(value_col),
+        rp.alias("cusum_pos"),
+        rn.alias("cusum_neg"),
+        ((rp > h) | (rn > h)).alias("alarm"),
     )

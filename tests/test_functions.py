@@ -3755,3 +3755,70 @@ class TestDeriveCDC:
         with pytest.raises(ValueError):
             derive_cdc(before.select("key", "name"), after, ["key"],
                        compare_cols=["score"])
+
+
+class TestCUSUM:
+    def _shift(self, spark):
+        # in-control at 0.0 for 5 points, then a +2 level shift
+        rows = [("u", f"2024-01-01 00:0{i}:00", i, 0.0) for i in range(5)]
+        rows += [("u", f"2024-01-01 00:1{i}:00", 10 + i, 2.0) for i in range(5)]
+        return spark.createDataFrame(
+            rows, "k string, ts string, oid int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_detects_upward_shift(self, spark):
+        from dbldatagen_spark.functions import cusum_flags
+
+        out = cusum_flags(self._shift(spark), "k", "ts", "v",
+                          drift=0.5, threshold=2.0, order_col="oid",
+                          target=0.0)
+        rows = {r.oid: r for r in out.collect()}
+        assert not any(rows[i].alarm for i in range(5))       # in control
+        assert rows[11].alarm                                 # 1.5+1.5 > 2
+        assert rows[10].cusum_pos == 1.5 and rows[11].cusum_pos == 3.0
+
+    def test_reset_on_alarm(self, spark):
+        from dbldatagen_spark.functions import cusum_flags
+
+        df = self._shift(spark)
+        reset = {r.oid: r.cusum_pos for r in
+                 cusum_flags(df, "k", "ts", "v", drift=0.5, threshold=2.0,
+                             order_col="oid", target=0.0).collect()}
+        hold = {r.oid: r.cusum_pos for r in
+                cusum_flags(df, "k", "ts", "v", drift=0.5, threshold=2.0,
+                            order_col="oid", target=0.0,
+                            reset_on_alarm=False).collect()}
+        assert reset[12] == 1.5 and hold[12] == 4.5  # restarted vs kept
+
+    def test_downward_shift_and_self_target(self, spark):
+        from dbldatagen_spark.functions import cusum_flags
+
+        rows = [("u", f"2024-01-01 00:{i:02d}:00", i, 10.0) for i in range(10)]
+        rows += [("u", f"2024-01-01 01:{i:02d}:00", 100 + i, 0.0)
+                 for i in range(3)]
+        df = spark.createDataFrame(
+            rows, "k string, ts string, oid int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = cusum_flags(df, "k", "ts", "v", drift=1.0, threshold=5.0,
+                          order_col="oid")  # target = key mean (~7.7)
+        assert any(r.alarm and r.cusum_neg > 5.0 for r in out.collect())
+
+    def test_partition_independent(self, spark):
+        from dbldatagen_spark.functions import cusum_flags
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        def run(n):
+            return sorted(map(tuple, cusum_flags(
+                events.repartition(n), "user_id", "ts", "value",
+                drift=0.25, threshold=1.5, order_col="event_id").collect()))
+        assert run(3) == run(13)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import cusum_flags
+
+        with pytest.raises(ValueError):
+            cusum_flags(spark.range(1), "id", "id", "id",
+                        drift=-1.0, threshold=1.0, order_col="id")
+        with pytest.raises(ValueError):
+            cusum_flags(spark.range(1), "id", "id", "id",
+                        drift=0.0, threshold=0.0, order_col="id")
