@@ -4619,6 +4619,32 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch point queries: a width=64/depth=3 CMS of
+    per-user event frequencies (narrow on purpose — collisions are the
+    interesting case) probed for every user_id % 7 == 0, alongside the
+    exact count. CMS cells are commutative sums, so the sketch is
+    order-independent and the oracle reproduces every cell — and hence
+    every min-over-rows estimate — exactly. Estimates never undershoot:
+    cms_count >= exact_count by construction."""
+    from dbldatagen_spark.functions import cms_estimate, cms_sketch
+
+    events = _load(spark, sf_dir, "events")
+    sk = cms_sketch(events, "user_id", width=64, depth=3, seed=7)
+    probes = events.where("user_id % 7 = 0")
+    est = cms_estimate(sk, probes, "user_id", width=64, depth=3, seed=7)
+    exact = (
+        events.where("user_id IS NOT NULL")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_count"))
+    )
+    return (
+        est.join(exact, "user_id")
+        .select("user_id", "exact_count", "cms_count")
+        .orderBy("user_id")
+    )
+
+
 def _events_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user two-sided CUSUM change-point detection, self-calibrated
     to each user's own mean (computed as a sorted fold so the oracle's
@@ -4873,6 +4899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ewma": _events_ewma,
         "events_cusum_flags": _events_cusum_flags,
         "customers_derive_cdc": _customers_derive_cdc,
+        "events_cms_user_counts": _events_cms_user_counts,
     }
 
 
@@ -5855,6 +5882,39 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id, value, s AS ewma
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
+        """,
+        "events_cms_user_counts": """
+            WITH vals AS (
+                SELECT user_id, count(*)::BIGINT AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            sk AS (
+                SELECT t.d AS depth_idx,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 64 AS bucket,
+                       sum(v.w)::BIGINT AS cnt
+                FROM vals v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+                GROUP BY 1, 2
+            ),
+            pb AS (
+                SELECT p.user_id, t.d AS depth_idx,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, p.user_id)),
+                                       1, 15))::BIGINT % 64 AS bucket
+                FROM (SELECT DISTINCT user_id FROM events
+                      WHERE user_id IS NOT NULL AND user_id % 7 = 0) p
+                CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+            ),
+            est AS (
+                SELECT pb.user_id,
+                       min(coalesce(s.cnt, 0))::BIGINT AS cms_count
+                FROM pb LEFT JOIN sk s
+                  ON s.depth_idx = pb.depth_idx AND s.bucket = pb.bucket
+                GROUP BY pb.user_id
+            )
+            SELECT e.user_id, v.w AS exact_count, e.cms_count
+            FROM est e JOIN vals v ON v.user_id = e.user_id
+            ORDER BY e.user_id
         """,
         "events_cusum_flags": """
             WITH RECURSIVE ordered AS (

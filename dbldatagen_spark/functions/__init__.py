@@ -97,6 +97,10 @@ from dbldatagen_spark.functions.bloom import (
 )
 from dbldatagen_spark.functions.sketches import (
     kmv_estimate_expr,
+    cms_bucket_expr,
+    cms_estimate,
+    cms_merge,
+    cms_sketch,
     kmv_hash_expr,
     kmv_merge_expr,
     kmv_sketch,
@@ -275,6 +279,10 @@ __all__ = [
     "kmv_hash_expr",
     "kmv_merge_expr",
     "kmv_sketch",
+    "cms_bucket_expr",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
     "ewma",
     "cusum_flags",
 ]

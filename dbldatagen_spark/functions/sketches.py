@@ -33,7 +33,16 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_hash_expr", "kmv_sketch", "kmv_merge_expr", "kmv_estimate_expr"]
+__all__ = [
+    "kmv_hash_expr",
+    "kmv_sketch",
+    "kmv_merge_expr",
+    "kmv_estimate_expr",
+    "cms_bucket_expr",
+    "cms_sketch",
+    "cms_merge",
+    "cms_estimate",
+]
 
 _TWO_60 = float(1 << 60)
 
@@ -104,3 +113,156 @@ def kmv_sketch(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     return agg.withColumn("dv_estimate", kmv_estimate_expr(F.col("sketch"), k))
+
+
+def cms_bucket_expr(
+    value: Column, depth_idx: Column, *, width: int, seed: int = 0
+) -> Column:
+    """Count-min bucket for ``value`` in hash row ``depth_idx``:
+    the 60-bit md5-derived portable hash of ``seed:row:value`` modulo
+    ``width`` (DuckDB twin:
+    ``('0x' || substr(md5(concat_ws(':', seed, d, v)), 1, 15))::BIGINT
+    % width``)."""
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(seed),
+                    depth_idx.cast("string"),
+                    value.cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(hv, F.lit(width)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 0,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of
+    ``value_col``'s frequencies, one sketch per group:
+    ``group_cols + (depth_idx, bucket, cnt)`` in sparse form (cells
+    never incremented are absent — an estimate reads them as 0).
+    Counter updates commute, so unlike quantile or heavy-hitter
+    sketches the result is **order-independent**: every cell is exactly
+    ``SUM(count of colliding values)``, which is why an external SQL
+    oracle reproduces it cell-for-cell.
+
+    Plan: one map-side-combined hash-agg per distinct ``(group,
+    value)`` — raw rows collapse *before* anything widens — then a
+    ``depth``-way explode of 8-byte hashes into the bounded
+    ``(group, depth, bucket)`` cell aggregation.  The sketch itself is
+    at most ``groups x depth x width`` rows regardless of input size,
+    which is the whole point: merge (:func:`cms_merge`) and estimate
+    (:func:`cms_estimate`) touch state tables, never data.
+
+    NULL values are excluded.  Point-query error bound: with
+    probability ``1 - (1/2)^depth`` the estimate overshoots by at most
+    ``2n/width`` (never undershoots).
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    groups = list(group_cols or [])
+    vals = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, F.col(value_col).alias("_v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+    )
+    exploded = vals.select(
+        *groups,
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_idx"),
+        F.col("_v"),
+        F.col("_w"),
+    )
+    return (
+        exploded.select(
+            *groups,
+            F.col("depth_idx"),
+            cms_bucket_expr(
+                F.col("_v"), F.col("depth_idx"), width=width, seed=seed
+            ).alias("bucket"),
+            F.col("_w"),
+        )
+        .groupBy(*groups, "depth_idx", "bucket")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+    )
+
+
+def cms_merge(
+    sketches: Sequence[DataFrame],
+    *,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge sparse count-min sketches built with the same
+    ``(width, depth, seed)``: union the cells and re-sum.  Cell-wise
+    addition is associative and commutative, so daily sketches fold in
+    any order — ``cms_sketch(A union B) == cms_merge([cms_sketch(A),
+    cms_sketch(B)])`` cell-for-cell (the invariant the pytest
+    asserts).  One bounded shuffle of state rows."""
+    if not sketches:
+        raise ValueError("sketches must name at least one sketch frame")
+    groups = list(group_cols or [])
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*groups, "depth_idx", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    *,
+    width: int,
+    depth: int,
+    seed: int = 0,
+    out_col: str = "cms_count",
+) -> DataFrame:
+    """Point-query a count-min sketch: for each distinct probe value,
+    the estimate is the MIN over the ``depth`` hash rows of that
+    value's cell (absent cell = 0).  Returns ``(value_col, out_col)``.
+    Never undershoots the true count; overshoot is bounded by
+    collisions (see :func:`cms_sketch`).
+
+    Plan: probes explode ``depth`` ways, the sketch side is broadcast
+    (bounded by ``depth x width`` rows), and the min folds back — no
+    shuffle touches the probed table beyond its own distinct."""
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    pb = (
+        probes.where(F.col(value_col).isNotNull())
+        .select(F.col(value_col).alias("_v"))
+        .distinct()
+        .select(
+            F.col("_v"),
+            F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("depth_idx"),
+        )
+        .withColumn(
+            "bucket",
+            cms_bucket_expr(F.col("_v"), F.col("depth_idx"), width=width, seed=seed),
+        )
+    )
+    joined = pb.join(F.broadcast(sketch), ["depth_idx", "bucket"], "left")
+    return (
+        joined.groupBy("_v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
+        .withColumnRenamed("_v", value_col)
+    )

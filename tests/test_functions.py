@@ -3822,3 +3822,68 @@ class TestCUSUM:
         with pytest.raises(ValueError):
             cusum_flags(spark.range(1), "id", "id", "id",
                         drift=0.0, threshold=0.0, order_col="id")
+
+
+class TestCMS:
+    def test_never_undershoots_and_exact_when_wide(self, spark):
+        from dbldatagen_spark.functions import cms_estimate, cms_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        exact = {r.user_id: r.cnt for r in
+                 events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+        # narrow sketch: estimates may collide but never undershoot
+        sk = cms_sketch(events, "user_id", width=16, depth=3, seed=7)
+        est = {r.user_id: r.cms_count for r in
+               cms_estimate(sk, events, "user_id",
+                            width=16, depth=3, seed=7).collect()}
+        assert set(est) == set(exact)
+        assert all(est[u] >= exact[u] for u in exact)
+        # wide sketch: no collisions at this cardinality -> exact
+        wide = cms_sketch(events, "user_id", width=4096, depth=4, seed=7)
+        est_w = {r.user_id: r.cms_count for r in
+                 cms_estimate(wide, events, "user_id",
+                              width=4096, depth=4, seed=7).collect()}
+        assert est_w == exact
+
+    def test_merge_equals_union(self, spark):
+        from dbldatagen_spark.functions import cms_merge, cms_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        a = events.where("event_id % 2 = 0")
+        b = events.where("event_id % 2 = 1")
+        merged = cms_merge(
+            [cms_sketch(a, "user_id", width=32, depth=3),
+             cms_sketch(b, "user_id", width=32, depth=3)]
+        )
+        whole = cms_sketch(events, "user_id", width=32, depth=3)
+        assert sorted(map(tuple, merged.collect())) == \
+               sorted(map(tuple, whole.collect()))
+
+    def test_absent_probe_is_zero(self, spark):
+        from dbldatagen_spark.functions import cms_estimate, cms_sketch
+
+        df = spark.createDataFrame([(1,), (1,), (2,)], ["v"])
+        sk = cms_sketch(df, "v", width=1024, depth=4)
+        probes = spark.createDataFrame([(1,), (99,)], ["v"])
+        est = {r.v: r.cms_count for r in
+               cms_estimate(sk, probes, "v", width=1024, depth=4).collect()}
+        assert est == {1: 2, 99: 0}
+
+    def test_sketch_is_bounded(self, spark):
+        from dbldatagen_spark.functions import cms_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        sk = cms_sketch(events, "event_id", width=8, depth=2)  # all distinct
+        assert sk.count() <= 8 * 2
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import cms_estimate, cms_merge, cms_sketch
+
+        with pytest.raises(ValueError):
+            cms_sketch(spark.range(1), "id", width=1)
+        with pytest.raises(ValueError):
+            cms_sketch(spark.range(1), "id", depth=0)
+        with pytest.raises(ValueError):
+            cms_merge([])
+        with pytest.raises(ValueError):
+            cms_estimate(spark.range(1), spark.range(1), "id", width=1, depth=1)
