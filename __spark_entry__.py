@@ -4645,6 +4645,36 @@ def _events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation from sketches alone: the CMS
+    inner-product estimate (min over depth rows of sum-of-cell-products)
+    for the user_id equi-join of the two event-id parity halves,
+    alongside the exact join size — the optimizer probe that sizes a
+    join from two bounded depth x width state tables without touching
+    either input. Cell sums commute, so the oracle reproduces the
+    estimate exactly; by construction estimate >= exact."""
+    from dbldatagen_spark.functions import cms_join_size, cms_sketch
+
+    events = _load(spark, sf_dir, "events")
+    a = events.where("event_id % 2 = 0")
+    b = events.where("event_id % 2 = 1")
+    est = cms_join_size(
+        cms_sketch(a, "user_id", width=64, depth=3, seed=7),
+        cms_sketch(b, "user_id", width=64, depth=3, seed=7),
+    )
+    exact = (
+        a.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("_na"))
+        .join(b.groupBy("user_id").agg(F.count(F.lit(1)).alias("_nb")), "user_id")
+        .agg(
+            F.coalesce(F.sum(F.col("_na") * F.col("_nb")), F.lit(0))
+            .cast("long")
+            .alias("exact_join_size")
+        )
+    )
+    return est.crossJoin(exact).select("join_size_estimate", "exact_join_size")
+
+
 def _events_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user two-sided CUSUM change-point detection, self-calibrated
     to each user's own mean (computed as a sorted fold so the oracle's
@@ -4900,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_flags": _events_cusum_flags,
         "customers_derive_cdc": _customers_derive_cdc,
         "events_cms_user_counts": _events_cms_user_counts,
+        "events_cms_join_size": _events_cms_join_size,
     }
 
 
@@ -5882,6 +5913,46 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id, value, s AS ewma
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
+        """,
+        "events_cms_join_size": """
+            WITH av AS (
+                SELECT user_id, count(*)::BIGINT AS w FROM events
+                WHERE user_id IS NOT NULL AND event_id % 2 = 0
+                GROUP BY user_id
+            ),
+            bv AS (
+                SELECT user_id, count(*)::BIGINT AS w FROM events
+                WHERE user_id IS NOT NULL AND event_id % 2 = 1
+                GROUP BY user_id
+            ),
+            ask AS (
+                SELECT t.d,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 64 AS bucket,
+                       sum(v.w)::BIGINT AS cnt
+                FROM av v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+                GROUP BY 1, 2
+            ),
+            bsk AS (
+                SELECT t.d,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 64 AS bucket,
+                       sum(v.w)::BIGINT AS cnt
+                FROM bv v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+                GROUP BY 1, 2
+            ),
+            per_row AS (
+                SELECT sp.sd,
+                       coalesce((SELECT sum(a.cnt * b.cnt)
+                                 FROM ask a JOIN bsk b
+                                   ON a.d = sp.sd AND b.d = sp.sd
+                                  AND a.bucket = b.bucket), 0) AS s
+                FROM (SELECT unnest([0, 1, 2]) AS sd) sp
+            )
+            SELECT (SELECT min(s) FROM per_row)::BIGINT AS join_size_estimate,
+                   coalesce((SELECT sum(av.w * bv.w) FROM av
+                             JOIN bv ON av.user_id = bv.user_id),
+                            0)::BIGINT AS exact_join_size
         """,
         "events_cms_user_counts": """
             WITH vals AS (

@@ -99,6 +99,7 @@ from dbldatagen_spark.functions.sketches import (
     kmv_estimate_expr,
     cms_bucket_expr,
     cms_estimate,
+    cms_join_size,
     cms_merge,
     cms_sketch,
     kmv_hash_expr,
@@ -283,6 +284,7 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "cms_join_size",
     "ewma",
     "cusum_flags",
 ]

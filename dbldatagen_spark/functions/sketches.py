@@ -42,6 +42,7 @@ __all__ = [
     "cms_sketch",
     "cms_merge",
     "cms_estimate",
+    "cms_join_size",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -265,4 +266,45 @@ def cms_estimate(
         joined.groupBy("_v")
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias(out_col))
         .withColumnRenamed("_v", value_col)
+    )
+
+
+def cms_join_size(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches built
+    with the same ``(width, depth, seed)`` on the respective join keys
+    (Cormode & Muthukrishnan's inner-product estimate): per depth row,
+    the sum over buckets of ``cntA * cntB``; the estimate is the MIN
+    over rows.  Never undershoots ``|A JOIN B|`` — collisions only add.
+    Returns one row: ``(join_size_estimate)``.
+
+    This is the classic optimizer probe: size a prospective join from
+    two bounded state tables (``depth x width`` rows each) without
+    touching either input — decide broadcast vs shuffle vs prefilter
+    (cf. :mod:`dbldatagen_spark.functions.bloom`) before paying for the
+    real thing.  Cells absent from either side contribute zero, so the
+    sparse inner join is exact.  Products accumulate in
+    ``decimal(38,0)`` (two near-2^63 cells would overflow a long) and
+    the final estimate is emitted as a long.
+    """
+    a = sk_a.select(
+        "depth_idx", "bucket", F.col("cnt").cast("decimal(19,0)").alias("_ca")
+    )
+    b = sk_b.select(
+        "depth_idx", "bucket", F.col("cnt").cast("decimal(19,0)").alias("_cb")
+    )
+    sums = (
+        a.join(F.broadcast(b), ["depth_idx", "bucket"])
+        .groupBy("depth_idx")
+        .agg(F.sum((F.col("_ca") * F.col("_cb")).cast("decimal(38,0)")).alias("_s"))
+    )
+    # a depth row with NO overlapping cells has inner-product 0 — it must
+    # drive the min to 0, not vanish from the inner join
+    spine = a.select("depth_idx").union(b.select("depth_idx")).distinct()
+    per_row = spine.join(sums, "depth_idx", "left").select(
+        F.coalesce(F.col("_s"), F.lit(0).cast("decimal(38,0)")).alias("_s")
+    )
+    return per_row.agg(
+        F.coalesce(F.min("_s").cast("long"), F.lit(0).cast("long")).alias(
+            "join_size_estimate"
+        )
     )

@@ -3887,3 +3887,34 @@ class TestCMS:
             cms_merge([])
         with pytest.raises(ValueError):
             cms_estimate(spark.range(1), spark.range(1), "id", width=1, depth=1)
+
+
+class TestCMSJoinSize:
+    def test_never_undershoots_exact_when_wide(self, spark):
+        from dbldatagen_spark.functions import cms_join_size, cms_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        a = events.where("event_id % 2 = 0")
+        b = events.where("event_id % 2 = 1")
+        exact = a.join(b, "user_id").count()
+        est_n = cms_join_size(
+            cms_sketch(a, "user_id", width=16, depth=3),
+            cms_sketch(b, "user_id", width=16, depth=3),
+        ).collect()[0].join_size_estimate
+        assert est_n >= exact
+        est_w = cms_join_size(
+            cms_sketch(a, "user_id", width=4096, depth=4),
+            cms_sketch(b, "user_id", width=4096, depth=4),
+        ).collect()[0].join_size_estimate
+        assert est_w == exact
+
+    def test_disjoint_keys_wide_sketch_is_zero(self, spark):
+        from dbldatagen_spark.functions import cms_join_size, cms_sketch
+
+        a = spark.createDataFrame([(i,) for i in range(50)], ["v"])
+        b = spark.createDataFrame([(i,) for i in range(100, 150)], ["v"])
+        est = cms_join_size(
+            cms_sketch(a, "v", width=8192, depth=4),
+            cms_sketch(b, "v", width=8192, depth=4),
+        ).collect()[0].join_size_estimate
+        assert est == 0
