@@ -4645,6 +4645,34 @@ def _events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bin histogram sketch (lo=0, hi=600, 240 bins of
+    width 2.5) of event values per event_type, probed for p50/p90/p99
+    via cumulative-walk linear interpolation. Bin increments commute so
+    the sketch is order-independent, and the interpolation arithmetic
+    is plain double math in a fixed order — the oracle's window-
+    cumulative replay agrees bit-for-bit. Boundary targets resolve to
+    the shared bin edge (single-valued by construction)."""
+    from dbldatagen_spark.functions import histogram_quantiles, histogram_sketch
+
+    events = _load(spark, sf_dir, "events")
+    sk = histogram_sketch(
+        events, "value", lo=0.0, hi=600.0, bins=240, group_cols=["event_type"]
+    )
+    return (
+        histogram_quantiles(
+            sk,
+            [0.5, 0.9, 0.99],
+            lo=0.0,
+            hi=600.0,
+            bins=240,
+            group_cols=["event_type"],
+        )
+        .select("event_type", "q", "estimate")
+        .orderBy("event_type", "q")
+    )
+
+
 def _events_cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality estimation from sketches alone: the CMS
     inner-product estimate (min over depth rows of sum-of-cell-products)
@@ -4931,6 +4959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_derive_cdc": _customers_derive_cdc,
         "events_cms_user_counts": _events_cms_user_counts,
         "events_cms_join_size": _events_cms_join_size,
+        "events_histogram_quantiles": _events_histogram_quantiles,
     }
 
 
@@ -5913,6 +5942,29 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id, value, s AS ewma
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
+        """,
+        "events_histogram_quantiles": """
+            WITH hist AS (
+                SELECT event_type,
+                       least(239, greatest(0,
+                           floor((value - 0.0) / 2.5)::INTEGER)) AS bin,
+                       count(*)::BIGINT AS cnt
+                FROM events WHERE value IS NOT NULL
+                GROUP BY 1, 2
+            ),
+            cum AS (
+                SELECT event_type, bin, cnt,
+                       sum(cnt) OVER (PARTITION BY event_type
+                                      ORDER BY bin) AS c,
+                       sum(cnt) OVER (PARTITION BY event_type) AS n
+                FROM hist
+            ),
+            probes AS (SELECT unnest([0.5, 0.9, 0.99]::DOUBLE[]) AS q)
+            SELECT event_type, q,
+                   0.0 + (bin + (q * n - (c - cnt)) / cnt) * 2.5 AS estimate
+            FROM cum CROSS JOIN probes
+            WHERE c >= q * n AND (c - cnt) < q * n
+            ORDER BY event_type, q
         """,
         "events_cms_join_size": """
             WITH av AS (

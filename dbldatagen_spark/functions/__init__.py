@@ -102,6 +102,9 @@ from dbldatagen_spark.functions.sketches import (
     cms_join_size,
     cms_merge,
     cms_sketch,
+    histogram_merge,
+    histogram_quantiles,
+    histogram_sketch,
     kmv_hash_expr,
     kmv_merge_expr,
     kmv_sketch,
@@ -285,6 +288,9 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_join_size",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantiles",
     "ewma",
     "cusum_flags",
 ]

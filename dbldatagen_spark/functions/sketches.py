@@ -43,6 +43,9 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_join_size",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_quantiles",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -307,4 +310,143 @@ def cms_join_size(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         F.coalesce(F.min("_s").cast("long"), F.lit(0).cast("long")).alias(
             "join_size_estimate"
         )
+    )
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Fixed-bin histogram sketch of ``value_col``:
+    ``group_cols + (bin, cnt)`` in sparse form (empty bins absent).
+    Bin ``i`` covers ``[lo + i*w, lo + (i+1)*w)`` with
+    ``w = (hi - lo) / bins``; values outside ``[lo, hi]`` clamp into
+    the edge bins (documented, not silent — the edge-bin mass IS the
+    out-of-range mass).  Bin increments commute, so like
+    :func:`cms_sketch` the result is order-independent and an external
+    SQL oracle reproduces it bin-for-bin — this is the mergeable
+    approximate-quantile path (:func:`histogram_quantiles`), where
+    exact ``percentile`` would need a full sort and Spark's
+    ``approx_percentile`` state is neither mergeable across engines
+    nor replayable.
+
+    One map-side-combined hash-agg; only ``(group, bin-int)`` pairs
+    shuffle and the sketch is at most ``groups x bins`` rows.
+    """
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    groups = list(group_cols or [])
+    w = (float(hi) - float(lo)) / float(bins)
+    b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w))
+    clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b.cast("int")))
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*groups, clamped.alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def histogram_merge(
+    sketches: Sequence[DataFrame],
+    *,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Merge histogram sketches built with the same ``(lo, hi, bins)``:
+    union the bins and re-sum.  Associative and commutative —
+    ``histogram_sketch(A union B) == histogram_merge([sketch(A),
+    sketch(B)])`` bin-for-bin."""
+    if not sketches:
+        raise ValueError("sketches must name at least one sketch frame")
+    groups = list(group_cols or [])
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy(*groups, "bin").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Quantile estimates from a :func:`histogram_sketch`: per group
+    and per ``q`` in ``qs`` (each in ``(0, 1]``), walk the cumulative
+    bin counts to the first bin where ``cum >= q*n`` and interpolate
+    linearly inside it (uniform-within-bin assumption — the same
+    estimator as Prometheus' ``histogram_quantile``; error is bounded
+    by one bin width, this is NOT exact ``percentile_cont``).  Returns
+    ``group_cols + (q, estimate)``.
+
+    When ``q*n`` lands exactly on a bin boundary the walk resolves to
+    the earlier bin at fraction 1.0 — the shared edge — so the answer
+    is single-valued and an external cumulative-sum oracle agrees
+    bit-for-bit (all-double interpolation arithmetic, no rounding).
+
+    Plan: the per-group bin list is bounded by ``bins``, so the sort +
+    fold runs on arrays of known size — one bounded ``collect_list``
+    per group, one explode over ``len(qs)`` probes, no window over the
+    data.
+    """
+    if not qs:
+        raise ValueError("qs must name at least one quantile")
+    for q in qs:
+        if not (0.0 < q <= 1.0):
+            raise ValueError(f"each q must be in (0, 1], got {q}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got lo={lo} hi={hi}")
+    groups = list(group_cols or [])
+    w = (float(hi) - float(lo)) / float(bins)
+    packed = sketch.groupBy(*groups).agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("bin").alias("b"), F.col("cnt").alias("c")))
+        ).alias("_bins"),
+        F.sum("cnt").cast("long").alias("_n"),
+    )
+    probes = packed.select(
+        *groups,
+        "_bins",
+        "_n",
+        F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+    )
+    target = F.col("q") * F.col("_n").cast("double")
+    # fold state: (cum long, found bool, bin int, before long, cnt long)
+    init = F.struct(
+        F.lit(0).cast("long").alias("cum"),
+        F.lit(False).alias("found"),
+        F.lit(0).alias("bin"),
+        F.lit(0).cast("long").alias("before"),
+        F.lit(0).cast("long").alias("cnt"),
+    )
+
+    def _step(acc, e):
+        newcum = acc["cum"] + e["c"]
+        hit = (~acc["found"]) & (newcum.cast("double") >= target)
+        return F.struct(
+            newcum.alias("cum"),
+            (acc["found"] | hit).alias("found"),
+            F.when(hit, e["b"]).otherwise(acc["bin"]).alias("bin"),
+            F.when(hit, acc["cum"]).otherwise(acc["before"]).alias("before"),
+            F.when(hit, e["c"]).otherwise(acc["cnt"]).alias("cnt"),
+        )
+
+    st = F.aggregate(F.col("_bins"), init, _step)
+    frac = (target - st["before"].cast("double")) / st["cnt"].cast("double")
+    est = F.lit(float(lo)) + (st["bin"].cast("double") + frac) * F.lit(w)
+    return probes.select(
+        *groups,
+        F.col("q"),
+        F.when(F.col("_n") > 0, est).alias("estimate"),
     )

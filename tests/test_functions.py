@@ -3918,3 +3918,86 @@ class TestCMSJoinSize:
             cms_sketch(b, "v", width=8192, depth=4),
         ).collect()[0].join_size_estimate
         assert est == 0
+
+
+class TestHistogramSketch:
+    def test_bins_and_clamping(self, spark):
+        from dbldatagen_spark.functions import histogram_sketch
+
+        df = spark.createDataFrame(
+            [(-5.0,), (0.0,), (2.5,), (7.5,), (10.0,), (99.0,)], ["v"]
+        )
+        sk = {r.bin: r.cnt for r in
+              histogram_sketch(df, "v", lo=0.0, hi=10.0, bins=4).collect()}
+        # w=2.5: bin0=[-inf clamp,2.5) gets -5,0; bin1 gets 2.5; bin3 gets 7.5,10,99
+        assert sk == {0: 2, 1: 1, 3: 3}
+
+    def test_merge_equals_union(self, spark):
+        from dbldatagen_spark.functions import histogram_merge, histogram_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        a = events.where("event_id % 2 = 0")
+        b = events.where("event_id % 2 = 1")
+        merged = histogram_merge(
+            [histogram_sketch(a, "value", lo=0.0, hi=100.0, bins=64),
+             histogram_sketch(b, "value", lo=0.0, hi=100.0, bins=64)]
+        )
+        whole = histogram_sketch(events, "value", lo=0.0, hi=100.0, bins=64)
+        assert sorted(map(tuple, merged.collect())) == \
+               sorted(map(tuple, whole.collect()))
+
+    def test_quantile_within_bin_width_of_rank_value(self, spark):
+        import math
+
+        from dbldatagen_spark.functions import histogram_quantiles, histogram_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        sk = histogram_sketch(events, "value", lo=0.0, hi=600.0, bins=1200)
+        est = {r.q: r.estimate for r in
+               histogram_quantiles(sk, [0.5, 0.9], lo=0.0, hi=600.0,
+                                   bins=1200).collect()}
+        # the walk stops at the bin holding rank ceil(q*n), so the value
+        # at that rank bounds the estimate to one bin width (w=0.5)
+        vals = sorted(r.value for r in events.select("value").collect()
+                      if r.value is not None)
+        for q in (0.5, 0.9):
+            rank_val = vals[math.ceil(q * len(vals)) - 1]
+            assert abs(est[q] - rank_val) <= 0.5, (q, est[q], rank_val)
+
+    def test_boundary_lands_on_shared_edge(self, spark):
+        from dbldatagen_spark.functions import histogram_quantiles, histogram_sketch
+
+        # 4 values: two in bin0, two in bin1; q=0.5 -> target=2 = cum of bin0
+        df = spark.createDataFrame([(1.0,), (2.0,), (6.0,), (7.0,)], ["v"])
+        sk = histogram_sketch(df, "v", lo=0.0, hi=10.0, bins=2)
+        est = histogram_quantiles(sk, [0.5], lo=0.0, hi=10.0, bins=2).collect()
+        assert est[0].estimate == 5.0  # upper edge of bin0 == lower of bin1
+
+    def test_grouped_and_q1_is_max_edge(self, spark):
+        from dbldatagen_spark.functions import histogram_quantiles, histogram_sketch
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        sk = histogram_sketch(events, "value", lo=0.0, hi=100.0, bins=32,
+                              group_cols=["event_type"])
+        out = histogram_quantiles(sk, [1.0], lo=0.0, hi=100.0, bins=32,
+                                  group_cols=["event_type"])
+        for r in out.collect():
+            assert 0.0 < r.estimate <= 100.0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import (
+            histogram_merge, histogram_quantiles, histogram_sketch,
+        )
+
+        df = spark.range(1).selectExpr("cast(id as double) as v")
+        with pytest.raises(ValueError):
+            histogram_sketch(df, "v", lo=0.0, hi=0.0, bins=4)
+        with pytest.raises(ValueError):
+            histogram_sketch(df, "v", lo=0.0, hi=1.0, bins=0)
+        with pytest.raises(ValueError):
+            histogram_merge([])
+        sk = histogram_sketch(df, "v", lo=0.0, hi=1.0, bins=4)
+        with pytest.raises(ValueError):
+            histogram_quantiles(sk, [], lo=0.0, hi=1.0, bins=4)
+        with pytest.raises(ValueError):
+            histogram_quantiles(sk, [0.0], lo=0.0, hi=1.0, bins=4)
