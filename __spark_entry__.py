@@ -4645,6 +4645,37 @@ def _events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-screened heavy hitters with a no-false-negative
+    guarantee: users whose event count reaches 1.3x the mean
+    (threshold derived from two exact scalars, identically in both
+    engines), screened through a deliberately narrow width=32 CMS so
+    collision impostors appear — flagged is_heavy=false by the exact
+    verify pass rather than silently dropped. The exact pass counts
+    only rows whose user survived the broadcast-semi screen."""
+    import math
+
+    from dbldatagen_spark.functions import cms_heavy_hitters
+
+    events = _load(spark, sf_dir, "events")
+    n, d = (
+        events.where("user_id IS NOT NULL")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("d"),
+        )
+        .collect()[0]
+    )
+    thresh = int(math.ceil(1.3 * n / d))
+    return (
+        cms_heavy_hitters(
+            events, "user_id", threshold=thresh, width=32, depth=3, seed=7
+        )
+        .select("user_id", "cms_count", "exact_count", "is_heavy")
+        .orderBy("user_id")
+    )
+
+
 def _events_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable fixed-bin histogram sketch (lo=0, hi=600, 240 bins of
     width 2.5) of event values per event_type, probed for p50/p90/p99
@@ -4960,6 +4991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_user_counts": _events_cms_user_counts,
         "events_cms_join_size": _events_cms_join_size,
         "events_histogram_quantiles": _events_histogram_quantiles,
+        "events_cms_heavy_hitters": _events_cms_heavy_hitters,
     }
 
 
@@ -5942,6 +5974,46 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT user_id, event_id, value, s AS ewma
             FROM walk WHERE rn > 0
             ORDER BY user_id, event_id
+        """,
+        "events_cms_heavy_hitters": """
+            WITH vals AS (
+                SELECT user_id, count(*)::BIGINT AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id
+            ),
+            th AS (
+                SELECT ceil(1.3 * count(*) / count(DISTINCT user_id))::BIGINT
+                           AS t
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            sk AS (
+                SELECT t.d AS depth_idx,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 32 AS bucket,
+                       sum(v.w)::BIGINT AS cnt
+                FROM vals v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+                GROUP BY 1, 2
+            ),
+            pb AS (
+                SELECT v.user_id, t.d AS depth_idx,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 32 AS bucket
+                FROM vals v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+            ),
+            est AS (
+                SELECT pb.user_id,
+                       min(coalesce(s.cnt, 0))::BIGINT AS cms_count
+                FROM pb LEFT JOIN sk s
+                  ON s.depth_idx = pb.depth_idx AND s.bucket = pb.bucket
+                GROUP BY pb.user_id
+            )
+            SELECT e.user_id, e.cms_count, v.w AS exact_count,
+                   (v.w >= th.t) AS is_heavy
+            FROM est e
+            JOIN vals v ON v.user_id = e.user_id
+            CROSS JOIN th
+            WHERE e.cms_count >= th.t
+            ORDER BY e.user_id
         """,
         "events_histogram_quantiles": """
             WITH hist AS (

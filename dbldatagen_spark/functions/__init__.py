@@ -99,6 +99,7 @@ from dbldatagen_spark.functions.sketches import (
     kmv_estimate_expr,
     cms_bucket_expr,
     cms_estimate,
+    cms_heavy_hitters,
     cms_join_size,
     cms_merge,
     cms_sketch,
@@ -288,6 +289,7 @@ __all__ = [
     "cms_merge",
     "cms_estimate",
     "cms_join_size",
+    "cms_heavy_hitters",
     "histogram_sketch",
     "histogram_merge",
     "histogram_quantiles",

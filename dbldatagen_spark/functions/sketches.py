@@ -46,6 +46,7 @@ __all__ = [
     "histogram_sketch",
     "histogram_merge",
     "histogram_quantiles",
+    "cms_heavy_hitters",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -449,4 +450,51 @@ def histogram_quantiles(
         *groups,
         F.col("q"),
         F.when(F.col("_n") > 0, est).alias("estimate"),
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    *,
+    threshold: int,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 0,
+) -> DataFrame:
+    """Heavy hitters with NO false negatives: values whose frequency
+    reaches ``threshold``, found by screening every distinct value
+    against a count-min sketch and exactly counting only the survivors.
+    Returns ``(value_col, cms_count, exact_count, is_heavy)`` for the
+    screened candidates — ``is_heavy`` marks true hitters; screened-in
+    impostors (CMS collisions) surface with ``is_heavy = false`` rather
+    than silently vanishing, so the screen's precision is auditable.
+
+    The guarantee direction is the useful one: CMS never undershoots,
+    so every true heavy hitter survives the screen; the exact pass then
+    removes the overshoot impostors.  The exact count runs only over
+    rows whose value survived (a broadcast semi join of candidate
+    values prunes the scan before the count shuffles).
+
+    Scale shape: screening is sketch-sized work (:func:`cms_estimate`);
+    the exact pass shuffles only rows of surviving values — with a
+    sane ``threshold`` that is a vanishing fraction of the input.
+    """
+    if threshold < 1:
+        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    sk = cms_sketch(df, value_col, width=width, depth=depth, seed=seed)
+    screened = cms_estimate(
+        sk, df, value_col, width=width, depth=depth, seed=seed
+    ).where(F.col("cms_count") >= threshold)
+    pruned = df.join(
+        F.broadcast(screened.select(value_col)), value_col, "semi"
+    )
+    exact = pruned.groupBy(value_col).agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    return screened.join(exact, value_col).select(
+        value_col,
+        "cms_count",
+        "exact_count",
+        (F.col("exact_count") >= threshold).alias("is_heavy"),
     )

@@ -4001,3 +4001,31 @@ class TestHistogramSketch:
             histogram_quantiles(sk, [], lo=0.0, hi=1.0, bins=4)
         with pytest.raises(ValueError):
             histogram_quantiles(sk, [0.0], lo=0.0, hi=1.0, bins=4)
+
+
+class TestCMSHeavyHitters:
+    def test_no_false_negatives_and_impostors_flagged(self, spark):
+        from dbldatagen_spark.functions import cms_heavy_hitters
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        exact = {r.user_id: r.cnt for r in
+                 events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+        thresh = sorted(exact.values())[-3]  # threshold at the 3rd-largest count
+        out = {r.user_id: r for r in
+               cms_heavy_hitters(events, "user_id", threshold=thresh,
+                                 width=16, depth=2).collect()}
+        true_heavy = {u for u, c in exact.items() if c >= thresh}
+        # every true hitter survives the narrow screen…
+        assert true_heavy <= set(out)
+        assert all(out[u].is_heavy for u in true_heavy)
+        # …impostors are present but flagged, with correct exact counts
+        for u, r in out.items():
+            assert r.exact_count == exact[u]
+            assert r.cms_count >= r.exact_count
+            assert r.is_heavy == (exact[u] >= thresh)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import cms_heavy_hitters
+
+        with pytest.raises(ValueError):
+            cms_heavy_hitters(spark.range(1), "id", threshold=0)
