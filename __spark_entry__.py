@@ -4608,7 +4608,9 @@ def _events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     back to one row per event. alpha=0.25 and its complement are exact
     binary fractions and the fold order is total (ts, event_id), so the
     oracle's recursive-CTE replay reproduces every double bit-for-bit —
-    no rounding anywhere."""
+    no rounding anywhere. The streaming twin (ewma_with_state, one
+    double of state per key) is asserted bit-for-bit equal in pytest's
+    real checkpointed run."""
     from dbldatagen_spark.functions import ewma
 
     events = _load(spark, sf_dir, "events")

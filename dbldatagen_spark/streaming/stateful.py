@@ -447,3 +447,95 @@ def rate_limit_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_EWMA_STATE_SCHEMA = StructType([StructField("last", DoubleType())])
+
+
+def ewma_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    order_col: str,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`dbldatagen_spark.functions.timeseries.ewma`: per-key
+    exponentially weighted moving average across micro-batches. State
+    is ONE double per key (the last smoothed value) — the minimal
+    possible streaming state. Assumes per-key event-time order across
+    batches (replay in order or pre-sort the backlog); within a batch
+    rows are processed in ``(ts, order)`` order. NULL values are
+    skipped without touching state, mirroring the batch fold's NULL
+    exclusion. Emits ``(key, o, value, ewma)`` per non-null event.
+
+    The recurrence ``a*v + (1-a)*s`` runs in IEEE doubles in the same
+    order as the batch fold, so an in-order stream reproduces the
+    batch result bit-for-bit (the real-run pytest asserts exact
+    equality). On a batch frame it simply delegates to the batch fold.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not df.isStreaming:
+        from dbldatagen_spark.functions.timeseries import ewma
+
+        return ewma(
+            df, key_col, ts_col, value_col, alpha=alpha, order_col=order_col
+        ).select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("value"),
+            F.col("ewma"),
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("o", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ewma", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        last = float(state.get[0]) if state.exists else None
+        rows = pd.concat(list(pdfs)).sort_values(["_t", "o"])
+        orders, vals, smoothed = [], [], []
+        for o, v in zip(rows["o"], rows["v"]):
+            if pd.isna(v):
+                continue
+            v = float(v)
+            last = v if last is None else a * v + (1.0 - a) * last
+            orders.append(int(o))
+            vals.append(v)
+            smoothed.append(last)
+        if last is not None:
+            state.update((last,))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(orders),
+                "o": orders,
+                "value": vals,
+                "ewma": smoothed,
+            }
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
