@@ -4743,7 +4743,10 @@ def _events_cusum_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard reset-after-alarm. Recursive like ewma — folded
     through F.aggregate over each user's time-sorted events (one key
     shuffle, no UDF) and replayed by the oracle's recursive CTE.
-    drift=0.25, threshold=1.5; all doubles emitted unrounded."""
+    drift=0.25, threshold=1.5; all doubles emitted unrounded. The
+    streaming twin (cusum_with_state, two doubles of state per key,
+    explicit target) is asserted bit-for-bit equal in pytest's real
+    checkpointed run."""
     from dbldatagen_spark.functions import cusum_flags
 
     events = _load(spark, sf_dir, "events")

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
+    BooleanType,
     DoubleType,
     LongType,
     StringType,
@@ -536,6 +537,123 @@ def ewma_with_state(
         _fn,
         outputStructType=out_schema,
         stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [StructField("sp", DoubleType()), StructField("sn", DoubleType())]
+)
+
+
+def cusum_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    drift: float,
+    threshold: float,
+    target: float,
+    order_col: str,
+    reset_on_alarm: bool = True,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`dbldatagen_spark.functions.timeseries.cusum_flags`: two-sided
+    CUSUM change-point detection across micro-batches with TWO doubles
+    of state per key (the carried s+/s- statistics). ``target`` is
+    required here — the batch fold's self-calibrated per-key mean is a
+    two-pass statistic a stream cannot know upfront; pass a monitoring
+    target (and the batch call the pytest compares against uses the
+    same explicit target). Same ordering contract as the other twins:
+    per-key event-time order across batches, ``(ts, order)`` within a
+    batch. Emits ``(key, o, value, cusum_pos, cusum_neg, alarm)``;
+    bit-for-bit equal to the batch fold on an in-order stream. On a
+    batch frame it delegates to the batch fold.
+    """
+    if drift < 0.0:
+        raise ValueError(f"drift must be >= 0, got {drift}")
+    if threshold <= 0.0:
+        raise ValueError(f"threshold must be > 0, got {threshold}")
+    if not df.isStreaming:
+        from dbldatagen_spark.functions.timeseries import cusum_flags
+
+        return cusum_flags(
+            df,
+            key_col,
+            ts_col,
+            value_col,
+            drift=drift,
+            threshold=threshold,
+            target=target,
+            order_col=order_col,
+            reset_on_alarm=reset_on_alarm,
+        ).select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("value"),
+            F.col("cusum_pos"),
+            F.col("cusum_neg"),
+            F.col("alarm"),
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("o", LongType()),
+            StructField("value", DoubleType()),
+            StructField("cusum_pos", DoubleType()),
+            StructField("cusum_neg", DoubleType()),
+            StructField("alarm", BooleanType()),
+        ]
+    )
+    d = float(drift)
+    h = float(threshold)
+    mu = float(target)
+    reset = bool(reset_on_alarm)
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        sp, sn = state.get if state.exists else (0.0, 0.0)
+        rows = pd.concat(list(pdfs)).sort_values(["_t", "o"])
+        orders, vals, rps, rns, alarms = [], [], [], [], []
+        for o, v in zip(rows["o"], rows["v"]):
+            if pd.isna(v):
+                continue
+            v = float(v)
+            rp = max(0.0, sp + (v - mu - d))
+            rn = max(0.0, sn + (mu - v - d))
+            alarm = rp > h or rn > h
+            sp, sn = (0.0, 0.0) if (reset and alarm) else (rp, rn)
+            orders.append(int(o))
+            vals.append(v)
+            rps.append(rp)
+            rns.append(rn)
+            alarms.append(alarm)
+        state.update((float(sp), float(sn)))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(orders),
+                "o": orders,
+                "value": vals,
+                "cusum_pos": rps,
+                "cusum_neg": rns,
+                "alarm": alarms,
+            }
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_CUSUM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

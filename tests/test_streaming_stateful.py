@@ -613,3 +613,60 @@ def test_ewma_with_state_validation(spark, events):
     with pytest.raises(ValueError):
         ewma_with_state(events, "user_id", "ts", "value",
                         alpha=1.5, order_col="event_id")
+
+
+def test_cusum_stream_matches_batch_bitexact(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dbldatagen_spark.streaming.stateful import cusum_with_state
+
+    src = events.select("user_id", "ts", "event_id", "value")
+    kwargs = dict(drift=0.25, threshold=1.5, target=3.5, order_col="event_id")
+    batch = cusum_with_state(src, "user_id", "ts", "value", **kwargs)
+    assert batch.where("alarm").count() > 0  # fixture exercises alarms
+
+    mid = int(src.agg(F.expr(
+        "percentile(floor(unix_timestamp(cast(ts as timestamp))), 0.5)"
+    )).first()[0])
+    e = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    now = time.time()
+    seen: list = []
+    for i, frame in enumerate((src.where(e < mid), src.where(e >= mid))):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        cusum_with_state(stream, "user_id", "ts", "value", **kwargs)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+    b = {(r.key, r.o): (r.value, r.cusum_pos, r.cusum_neg, r.alarm)
+         for r in batch.collect()}
+    s = {(r.key, r.o): (r.value, r.cusum_pos, r.cusum_neg, r.alarm)
+         for r in streamed.collect()}
+    assert b == s  # exact double equality
+
+
+def test_cusum_with_state_validation(spark, events):
+    from dbldatagen_spark.streaming.stateful import cusum_with_state
+
+    with pytest.raises(ValueError):
+        cusum_with_state(events, "user_id", "ts", "value",
+                         drift=-1.0, threshold=1.0, target=0.0,
+                         order_col="event_id")
