@@ -4647,6 +4647,39 @@ def _events_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-duplication over REAL decodable PPM
+    payloads: 60 seeded images plus byte-identical twins at id+1000 flow
+    through decode -> average-hash -> banded Hamming join (pigeonhole
+    guarantee: hamming <= 3 with 4 bands can't miss). Invariants prove
+    it: every planted twin found at hamming 0, no spurious pairs among
+    the 60 distinct random images, and the pair set is identical under
+    a different partitioning. Constant oracle."""
+    from dbldatagen_spark.functions import image_near_duplicates
+    from dbldatagen_spark.functions.multimodal import synthesize_ppm_table
+
+    def pairs(partitions: int) -> DataFrame:
+        base = synthesize_ppm_table(spark, rows=60, partitions=partitions, size=16)
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        return image_near_duplicates(base.unionByName(dup))
+
+    p = pairs(4)
+    stats = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("id_b") - F.col("id_a") == 1000) & (F.col("hamming") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_planted"),
+        F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
+    )
+    d1, d2 = pairs(4), pairs(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-screened heavy hitters with a no-false-negative
     guarantee: users whose event count reaches 1.3x the mean
@@ -4997,6 +5030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_join_size": _events_cms_join_size,
         "events_histogram_quantiles": _events_histogram_quantiles,
         "events_cms_heavy_hitters": _events_cms_heavy_hitters,
+        "multimodal_image_near_dup": _multimodal_image_near_dup,
     }
 
 
@@ -5264,6 +5298,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(500 AS BIGINT) AS n_rows, "
             "CAST(0 AS BIGINT) AS bad_dims, "
             "CAST(0 AS BIGINT) AS out_of_range, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_image_near_dup": (
+            "SELECT CAST(60 AS BIGINT) AS n_pairs, "
+            "CAST(60 AS BIGINT) AS n_planted, "
+            "CAST(0 AS BIGINT) AS max_hamming, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "dedup_cross_corpus": """

@@ -165,6 +165,8 @@ from dbldatagen_spark.functions.multimodal import (
     detect_media_type_expr,
     detect_media_types,
     extract_audio_features,
+    image_near_duplicates,
+    image_phash,
     resize_ppm_images,
     sample_video_frames,
 )
@@ -174,6 +176,8 @@ __all__ = [
     "session_features",
     "detect_media_types",
     "detect_media_type_expr",
+    "image_phash",
+    "image_near_duplicates",
     "charlm_score",
     "duplicated_span_stats",
     "gopher_quality_flags",

@@ -663,3 +663,151 @@ def sample_video_frames(df: DataFrame, *, every_n: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(_sample, schema=_FRAME_FEATURE_SCHEMA)
+
+
+# -- perceptual-hash image near-duplication ----------------------------------
+# The LAION-style pipeline step after decode: near-identical images
+# (re-encodes, resizes, mild noise) must collapse before training. An
+# average-hash is resolution- and brightness-shift-tolerant where the
+# byte-level sha256 of the payload is not.
+
+def _phash_from_pixels(px: "np.ndarray", hash_size: int) -> int:
+    """Average-hash of an RGB pixel array: grayscale -> block-mean
+    downsample to hash_size x hash_size -> threshold at the mean ->
+    bits packed row-major (MSB first) into a signed 64-bit int."""
+    gray = px.astype(np.float64).mean(axis=2)
+    h, w = gray.shape
+    ys = (np.arange(hash_size + 1) * h) // hash_size
+    xs = (np.arange(hash_size + 1) * w) // hash_size
+    blocks = np.empty((hash_size, hash_size), dtype=np.float64)
+    for i in range(hash_size):
+        for j in range(hash_size):
+            blocks[i, j] = gray[ys[i]:ys[i + 1], xs[j]:xs[j + 1]].mean()
+    bits = (blocks >= blocks.mean()).flatten()
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+def image_phash(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    hash_size: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash over REAL P6 PPM payloads: decode
+    (:func:`decode_ppm`), grayscale, block-mean downsample to
+    ``hash_size x hash_size``, threshold at the mean, pack into one
+    signed 64-bit long.  Returns ``(id_col, phash)``.  Near-identical
+    images agree on most bits, so Hamming distance ranks similarity —
+    the image twin of :func:`dbldatagen_spark.functions.dedup.
+    simhash_signatures`.
+
+    ``hash_size`` must be 8 (64 bits fills the long exactly; other
+    sizes would change the banding contract downstream).
+
+    Scale shape: ``mapInPandas``, partition-preserving — payload blobs
+    never shuffle; what leaves the scan is 8 bytes per image.
+    """
+    if hash_size != 8:
+        raise ValueError(f"hash_size must be 8 (64-bit hash), got {hash_size}")
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                px = decode_ppm(bytes(payload))
+                out.append(
+                    {id_col: int(mid),
+                     "phash": _phash_from_pixels(px, hash_size)}
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    return df.mapInPandas(_hash, schema=schema)
+
+
+def image_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs via banded perceptual-hash blocking:
+    split each 64-bit :func:`image_phash` into ``bands`` contiguous
+    16-bit band keys, equi-join on ``(band index, band key)``, then
+    verify candidates exactly with ``bit_count(a XOR b) <= max_hamming``.
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, one row per
+    pair.
+
+    Pigeonhole guarantee: ``max_hamming < bands`` means every true pair
+    differs in fewer bits than there are bands, so at least one band
+    matches exactly — NO false negatives (the default 3 < 4 keeps the
+    guarantee; a larger ``max_hamming`` is best-effort recall and the
+    validation refuses silently degraded settings unless the caller
+    raises ``bands`` too).
+
+    Scale shape: hashing is scan-local (blobs never move); the join
+    shuffles ``bands`` 10-byte rows per image; candidate volume is
+    bucket-bounded exactly like the SimHash text path
+    (``dedup.py simhash_near_duplicates``).
+    """
+    if bands not in (1, 2, 4, 8):
+        raise ValueError(f"bands must divide 64 bits evenly (1/2/4/8), got {bands}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses the pigeonhole "
+            "no-false-negative guarantee; raise bands or lower max_hamming"
+        )
+    hashes = image_phash(df, id_col=id_col, payload_col=payload_col)
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.col("phash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("b"),
+                    F.shiftrightunsigned(F.col("phash"), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("k"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_band"),
+    ).select(id_col, "phash", F.col("_band.b").alias("_b"), F.col("_band.k").alias("_k"))
+    left = banded.select(
+        F.col("_b"), F.col("_k"),
+        F.col(id_col).alias("id_a"), F.col("phash").alias("_ha"),
+    )
+    right = banded.select(
+        F.col("_b"), F.col("_k"),
+        F.col(id_col).alias("id_b"), F.col("phash").alias("_hb"),
+    )
+    cand = (
+        left.join(right, ["_b", "_k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

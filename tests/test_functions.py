@@ -4029,3 +4029,59 @@ class TestCMSHeavyHitters:
 
         with pytest.raises(ValueError):
             cms_heavy_hitters(spark.range(1), "id", threshold=0)
+
+
+class TestImagePhash:
+    def test_identical_images_hash_equal(self, spark):
+        from dbldatagen_spark.functions import image_phash
+        from dbldatagen_spark.functions.multimodal import synthesize_ppm_table
+
+        base = synthesize_ppm_table(spark, rows=20, partitions=2, size=16)
+        dup = base.selectExpr("media_id + 100 as media_id", "payload")
+        hashes = {r.media_id: r.phash
+                  for r in image_phash(base.unionByName(dup)).collect()}
+        for i in range(20):
+            assert hashes[i] == hashes[i + 100]
+
+    def test_brightness_shift_invariance(self, spark):
+        """The average-hash thresholds each block at the image mean, so
+        a uniform brightness shift (no clipping) cannot change it."""
+        import numpy as np
+
+        from dbldatagen_spark.functions import image_phash
+        from dbldatagen_spark.functions.multimodal import encode_ppm
+
+        rows = []
+        for i in range(10):
+            rng = np.random.default_rng(i)
+            px = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+            rows.append((i, bytearray(encode_ppm(px))))
+            rows.append((i + 100, bytearray(encode_ppm(px + 40))))  # <=239
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        hashes = {r.media_id: r.phash for r in image_phash(df).collect()}
+        for i in range(10):
+            assert hashes[i] == hashes[i + 100]
+
+    def test_near_duplicates_finds_planted_pairs(self, spark):
+        from dbldatagen_spark.functions import image_near_duplicates
+        from dbldatagen_spark.functions.multimodal import synthesize_ppm_table
+
+        base = synthesize_ppm_table(spark, rows=30, partitions=3, size=16)
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        pairs = image_near_duplicates(base.unionByName(dup))
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        for i in range(30):
+            assert got[(i, i + 1000)] == 0  # every planted pair, hamming 0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import image_near_duplicates, image_phash
+
+        df = spark.range(1)
+        with pytest.raises(ValueError):
+            image_phash(df, hash_size=16)
+        with pytest.raises(ValueError):
+            image_near_duplicates(df, bands=3)
+        with pytest.raises(ValueError):
+            image_near_duplicates(df, max_hamming=4, bands=4)  # pigeonhole
+        with pytest.raises(ValueError):
+            image_near_duplicates(df, max_hamming=-1)
