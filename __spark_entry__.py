@@ -4680,6 +4680,41 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplication over REAL decodable PCM WAV clips: 60
+    seeded clips plus byte-identical twins at id+1000 flow through
+    decode -> gain-invariant RMS-envelope fingerprint -> the shared
+    banded Hamming kernel (pigeonhole guarantee, hamming <= 3 with 4
+    bands). Invariants: every planted twin found at hamming 0, exactly
+    4 additional same-tone pairs (the synthesizer reuses frequencies
+    every 40 ids, so clips differing only in seeded noise are
+    legitimately near by the envelope — max hamming 2), and a
+    partition-independent pair set. Constant oracle."""
+    from dbldatagen_spark.functions import audio_near_duplicates
+    from dbldatagen_spark.functions.multimodal import synthesize_wav_table
+
+    def pairs(partitions: int) -> DataFrame:
+        base = synthesize_wav_table(spark, rows=60, partitions=partitions)
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        return audio_near_duplicates(base.unionByName(dup))
+
+    p = pairs(4)
+    stats = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("id_b") - F.col("id_a") == 1000) & (F.col("hamming") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_planted"),
+        F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
+    )
+    d1, d2 = pairs(4), pairs(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-screened heavy hitters with a no-false-negative
     guarantee: users whose event count reaches 1.3x the mean
@@ -5031,6 +5066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_histogram_quantiles": _events_histogram_quantiles,
         "events_cms_heavy_hitters": _events_cms_heavy_hitters,
         "multimodal_image_near_dup": _multimodal_image_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
     }
 
 
@@ -5304,6 +5340,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(60 AS BIGINT) AS n_pairs, "
             "CAST(60 AS BIGINT) AS n_planted, "
             "CAST(0 AS BIGINT) AS max_hamming, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_audio_near_dup": (
+            "SELECT CAST(64 AS BIGINT) AS n_pairs, "
+            "CAST(60 AS BIGINT) AS n_planted, "
+            "CAST(2 AS BIGINT) AS max_hamming, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "dedup_cross_corpus": """

@@ -1323,3 +1323,80 @@ def incremental_dedup(
     return new_keyed.join(seen_keys, "_content_key", "left_anti").drop(
         "_content_key"
     )
+
+
+def hamming_near_duplicates(
+    hashes: DataFrame,
+    id_col: str,
+    hash_col: str,
+    *,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Generic banded Hamming self-join over any 64-bit signature
+    column — the blocking kernel shared by SimHash text signatures,
+    image average-hashes (``multimodal.image_phash``) and audio
+    envelope fingerprints (``multimodal.audio_fingerprint``): split
+    each signature into ``bands`` contiguous ``64/bands``-bit keys,
+    equi-join on ``(band index, band key)``, verify candidates exactly
+    with ``bit_count(a XOR b) <= max_hamming``.  Returns
+    ``(id_a, id_b, hamming)`` with ``id_a < id_b``.
+
+    Pigeonhole guarantee: ``max_hamming < bands`` means a true pair
+    differs in fewer bits than there are bands, so at least one band
+    matches exactly — no false negatives; the validation refuses
+    settings that silently lose the guarantee.
+
+    Scale shape: ``bands`` 10-byte rows shuffle per signature;
+    candidate volume is band-bucket bounded, identical to the SimHash
+    path above.
+    """
+    if bands not in (1, 2, 4, 8):
+        raise ValueError(f"bands must divide 64 bits evenly (1/2/4/8), got {bands}")
+    if max_hamming < 0:
+        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} >= bands={bands} loses the pigeonhole "
+            "no-false-negative guarantee; raise bands or lower max_hamming"
+        )
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    banded = hashes.select(
+        F.col(id_col),
+        F.col(hash_col).alias("_h"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("b"),
+                    F.shiftrightunsigned(F.col(hash_col), i * band_bits)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("k"),
+                )
+                for i in range(bands)
+            ])
+        ).alias("_band"),
+    ).select(
+        id_col, "_h", F.col("_band.b").alias("_b"), F.col("_band.k").alias("_k")
+    )
+    left = banded.select(
+        F.col("_b"), F.col("_k"),
+        F.col(id_col).alias("id_a"), F.col("_h").alias("_ha"),
+    )
+    right = banded.select(
+        F.col("_b"), F.col("_k"),
+        F.col(id_col).alias("id_b"), F.col("_h").alias("_hb"),
+    )
+    cand = (
+        left.join(right, ["_b", "_k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_ha", "_hb")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -758,56 +758,90 @@ def image_near_duplicates(
     validation refuses silently degraded settings unless the caller
     raises ``bands`` too).
 
-    Scale shape: hashing is scan-local (blobs never move); the join
-    shuffles ``bands`` 10-byte rows per image; candidate volume is
-    bucket-bounded exactly like the SimHash text path
-    (``dedup.py simhash_near_duplicates``).
+    Scale shape: hashing is scan-local (blobs never move); the banded
+    join (`dedup.hamming_near_duplicates`, the kernel shared with
+    SimHash text and audio fingerprints) shuffles ``bands`` 10-byte
+    rows per image; candidate volume is bucket-bounded.
     """
-    if bands not in (1, 2, 4, 8):
-        raise ValueError(f"bands must divide 64 bits evenly (1/2/4/8), got {bands}")
-    if max_hamming < 0:
-        raise ValueError(f"max_hamming must be >= 0, got {max_hamming}")
-    if max_hamming >= bands:
-        raise ValueError(
-            f"max_hamming={max_hamming} >= bands={bands} loses the pigeonhole "
-            "no-false-negative guarantee; raise bands or lower max_hamming"
-        )
+    from dbldatagen_spark.functions.dedup import hamming_near_duplicates
+
     hashes = image_phash(df, id_col=id_col, payload_col=payload_col)
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    banded = hashes.select(
-        F.col(id_col),
-        F.col("phash"),
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(i).alias("b"),
-                    F.shiftrightunsigned(F.col("phash"), i * band_bits)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("k"),
-                )
-                for i in range(bands)
-            ])
-        ).alias("_band"),
-    ).select(id_col, "phash", F.col("_band.b").alias("_b"), F.col("_band.k").alias("_k"))
-    left = banded.select(
-        F.col("_b"), F.col("_k"),
-        F.col(id_col).alias("id_a"), F.col("phash").alias("_ha"),
+    return hamming_near_duplicates(
+        hashes, id_col, "phash", max_hamming=max_hamming, bands=bands
     )
-    right = banded.select(
-        F.col("_b"), F.col("_k"),
-        F.col(id_col).alias("id_b"), F.col("phash").alias("_hb"),
+
+
+def audio_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_frames: int = 64,
+) -> DataFrame:
+    """Gain-invariant audio fingerprint over REAL mono PCM WAV
+    payloads: decode (:func:`decode_wav`), split the samples into
+    ``n_frames`` equal frames, compute the RMS energy envelope,
+    threshold each frame at the envelope's median, pack the bits into
+    one signed 64-bit long.  Returns ``(id_col, afp)``.
+
+    Volume scaling multiplies every frame's RMS equally and the median
+    scales with them, so the bit pattern is invariant under gain — the
+    byte-level hash of the payload is not.  ``n_frames`` must be 64
+    (the long is the banding contract downstream).
+
+    Scale shape: ``mapInPandas``, partition-preserving — audio blobs
+    never shuffle; 8 bytes per clip leave the scan.
+    """
+    if n_frames != 64:
+        raise ValueError(f"n_frames must be 64 (64-bit fingerprint), got {n_frames}")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                samples, _ = decode_wav(bytes(payload))
+                x = samples.astype(np.float64)
+                n = len(x)
+                edges = (np.arange(n_frames + 1) * n) // n_frames
+                rms = np.array([
+                    np.sqrt(np.mean(x[edges[i]:edges[i + 1]] ** 2))
+                    if edges[i + 1] > edges[i] else 0.0
+                    for i in range(n_frames)
+                ])
+                bits = rms >= np.median(rms)
+                v = 0
+                for b in bits:
+                    v = (v << 1) | int(b)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append({id_col: int(mid), "afp": v})
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("afp", T.LongType(), False),
+        ]
     )
-    cand = (
-        left.join(right, ["_b", "_k"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_ha", "_hb")
-        .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return df.mapInPandas(_fp, schema=schema)
+
+
+def audio_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate audio pairs: :func:`audio_fingerprint` envelopes
+    joined by the shared banded Hamming kernel
+    (``dedup.hamming_near_duplicates`` — same pigeonhole
+    no-false-negative guarantee and scale shape as the image and
+    SimHash paths).  Returns ``(id_a, id_b, hamming)``."""
+    from dbldatagen_spark.functions.dedup import hamming_near_duplicates
+
+    fps = audio_fingerprint(df, id_col=id_col, payload_col=payload_col)
+    return hamming_near_duplicates(
+        fps, id_col, "afp", max_hamming=max_hamming, bands=bands
     )

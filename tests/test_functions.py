@@ -4085,3 +4085,52 @@ class TestImagePhash:
             image_near_duplicates(df, max_hamming=4, bands=4)  # pigeonhole
         with pytest.raises(ValueError):
             image_near_duplicates(df, max_hamming=-1)
+
+
+class TestAudioFingerprint:
+    def test_identical_and_gain_scaled_clips(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import audio_fingerprint
+        from dbldatagen_spark.functions.multimodal import encode_wav
+
+        rows = []
+        for i in range(10):
+            rng = np.random.default_rng(i + 1)
+            t = np.arange(800) / 16000.0
+            wave = 0.6 * np.sin(2 * np.pi * (200 + i * 100) * t)
+            wave += 0.1 * rng.standard_normal(800)
+            pcm = np.clip(wave * 32767, -32768, 32767).astype(np.int16)
+            rows.append((i, bytearray(encode_wav(pcm))))
+            rows.append((i + 100, bytearray(encode_wav(pcm))))        # twin
+            rows.append((i + 200, bytearray(encode_wav(pcm // 2))))   # -6 dB
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        fps = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+        for i in range(10):
+            assert fps[i] == fps[i + 100]                      # exact twin
+            ham = bin((fps[i] ^ fps[i + 200]) & (2**64 - 1)).count("1")
+            assert ham <= 3, (i, ham)                          # gain invariant
+
+    def test_near_duplicates_finds_planted(self, spark):
+        from dbldatagen_spark.functions import audio_near_duplicates
+        from dbldatagen_spark.functions.multimodal import synthesize_wav_table
+
+        base = synthesize_wav_table(spark, rows=30, partitions=3)
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        pairs = audio_near_duplicates(base.unionByName(dup))
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        for i in range(30):
+            assert got[(i, i + 1000)] == 0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import (
+            audio_fingerprint, hamming_near_duplicates,
+        )
+
+        df = spark.range(1)
+        with pytest.raises(ValueError):
+            audio_fingerprint(df, n_frames=32)
+        with pytest.raises(ValueError):
+            hamming_near_duplicates(df, "id", "id", bands=5)
+        with pytest.raises(ValueError):
+            hamming_near_duplicates(df, "id", "id", max_hamming=8, bands=8)
