@@ -125,6 +125,7 @@ def main() -> None:
         "text_pii_redaction",
         "corpus_pack_sequences",
         "events_funnel",
+        "events_ewma",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}
