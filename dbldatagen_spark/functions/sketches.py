@@ -229,6 +229,18 @@ def cms_merge(
     )
 
 
+def _require_global_cms(sketch: DataFrame, op: str) -> None:
+    """Reject grouped sketches where joining on (depth_idx, bucket)
+    alone would silently mix groups' cells."""
+    extra = [c for c in sketch.columns if c not in ("depth_idx", "bucket", "cnt")]
+    if extra:
+        raise ValueError(
+            f"{op} needs a GLOBAL sketch (depth_idx, bucket, cnt); this one "
+            f"carries group columns {extra} — filter to one group and drop "
+            "them first (joining on cells alone would mix groups)"
+        )
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,
@@ -247,11 +259,16 @@ def cms_estimate(
 
     Plan: probes explode ``depth`` ways, the sketch side is broadcast
     (bounded by ``depth x width`` rows), and the min folds back — no
-    shuffle touches the probed table beyond its own distinct."""
+    shuffle touches the probed table beyond its own distinct.
+
+    Accepts GLOBAL sketches only (``(depth_idx, bucket, cnt)``): a
+    grouped sketch would silently mix every group's cells into one
+    min, so it is rejected — filter to one group first."""
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
+    _require_global_cms(sketch, "cms_estimate")
     pb = (
         probes.where(F.col(value_col).isNotNull())
         .select(F.col(value_col).alias("_v"))
@@ -289,7 +306,12 @@ def cms_join_size(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
     sparse inner join is exact.  Products accumulate in
     ``decimal(38,0)`` (two near-2^63 cells would overflow a long) and
     the final estimate is emitted as a long.
+
+    Accepts GLOBAL sketches only — a grouped sketch would silently sum
+    cross-group cell products; filter to one group first.
     """
+    _require_global_cms(sk_a, "cms_join_size")
+    _require_global_cms(sk_b, "cms_join_size")
     a = sk_a.select(
         "depth_idx", "bucket", F.col("cnt").cast("decimal(19,0)").alias("_ca")
     )

@@ -4134,3 +4134,19 @@ class TestAudioFingerprint:
             hamming_near_duplicates(df, "id", "id", bands=5)
         with pytest.raises(ValueError):
             hamming_near_duplicates(df, "id", "id", max_hamming=8, bands=8)
+
+
+class TestCMSGlobalGuard:
+    def test_grouped_sketch_rejected(self, spark):
+        from dbldatagen_spark.functions import (
+            cms_estimate, cms_join_size, cms_sketch,
+        )
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        grouped = cms_sketch(events, "user_id", width=32, depth=2,
+                             group_cols=["event_type"])
+        with pytest.raises(ValueError, match="GLOBAL sketch"):
+            cms_estimate(grouped, events, "user_id", width=32, depth=2)
+        glob = cms_sketch(events, "user_id", width=32, depth=2)
+        with pytest.raises(ValueError, match="GLOBAL sketch"):
+            cms_join_size(glob, grouped)
