@@ -134,9 +134,12 @@ def derive_cdc(
         ]
     if not compare_cols:
         raise ValueError("no compare columns: snapshots share no non-key columns")
-    missing = [c for c in list(keys) + list(compare_cols) if c not in before.columns]
-    if missing:
-        raise ValueError(f"columns missing from before snapshot: {missing}")
+    for side, frame in (("before", before), ("after", after)):
+        missing = [
+            c for c in list(keys) + list(compare_cols) if c not in frame.columns
+        ]
+        if missing:
+            raise ValueError(f"columns missing from {side} snapshot: {missing}")
 
     def _fingerprinted(df: DataFrame, tag: int) -> DataFrame:
         return df.select(

@@ -243,7 +243,13 @@ def ewma(
     Scale shape: per-key state is the key's own event list — the same
     bound as any per-entity sequence model (cf. ``funnel_steps``,
     ``rate_limit_events``); keys fan out across the cluster, and
-    nothing but ``(ts, order, value)`` triples ever shuffles.
+    nothing but ``(ts, order, value)`` triples ever shuffles.  Honest
+    limit: the fold appends to its output array each step, which is
+    quadratic ELEMENT-COPY work within one key — negligible to ~10k
+    events/key, but for a single very hot key (millions of events)
+    run the streaming twin
+    (``streaming.stateful.ewma_with_state`` — O(1) state, O(n) work)
+    over the key's ordered history instead.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -323,7 +329,9 @@ def cusum_flags(
 
     Scale shape: identical to :func:`ewma` — per-key state is the
     key's own event list, keys fan out across the cluster, and only
-    ``(ts, order, value)`` triples shuffle.
+    ``(ts, order, value)`` triples shuffle; the same hot-key
+    quadratic-copy caveat applies, with the same remedy
+    (``streaming.stateful.cusum_with_state``, O(1) state).
     """
     if drift < 0.0:
         raise ValueError(f"drift must be >= 0, got {drift}")
