@@ -4715,6 +4715,40 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-duplication over REAL decodable P6-stream clips: 60
+    seeded videos plus byte-identical twins at id+1000 flow through
+    frame decode -> per-frame average-hash -> majority-vote clip
+    fingerprint -> the shared banded Hamming kernel. Invariants: every
+    planted twin found at hamming 0, no spurious pairs, partition-
+    independent pair set. Constant oracle."""
+    from dbldatagen_spark.functions import video_near_duplicates
+    from dbldatagen_spark.functions.multimodal import synthesize_ppm_video_table
+
+    def pairs(partitions: int) -> DataFrame:
+        base = synthesize_ppm_video_table(
+            spark, rows=60, partitions=partitions, size=16
+        )
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        return video_near_duplicates(base.unionByName(dup))
+
+    p = pairs(4)
+    stats = p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(
+            F.when((F.col("id_b") - F.col("id_a") == 1000) & (F.col("hamming") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_planted"),
+        F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
+    )
+    d1, d2 = pairs(4), pairs(7)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-screened heavy hitters with a no-false-negative
     guarantee: users whose event count reaches 1.3x the mean
@@ -5067,6 +5101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cms_heavy_hitters": _events_cms_heavy_hitters,
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "multimodal_video_near_dup": _multimodal_video_near_dup,
     }
 
 
@@ -5346,6 +5381,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(64 AS BIGINT) AS n_pairs, "
             "CAST(60 AS BIGINT) AS n_planted, "
             "CAST(2 AS BIGINT) AS max_hamming, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "multimodal_video_near_dup": (
+            "SELECT CAST(60 AS BIGINT) AS n_pairs, "
+            "CAST(60 AS BIGINT) AS n_planted, "
+            "CAST(0 AS BIGINT) AS max_hamming, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "dedup_cross_corpus": """

@@ -845,3 +845,87 @@ def audio_near_duplicates(
     return hamming_near_duplicates(
         fps, id_col, "afp", max_hamming=max_hamming, bands=bands
     )
+
+
+def video_fingerprint(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+) -> DataFrame:
+    """Temporal perceptual fingerprint over REAL P6-stream video
+    payloads: decode (:func:`decode_ppm_video`), average-hash every
+    ``every_n``-th frame (:func:`_phash_from_pixels` — the image
+    kernel), then majority-vote each of the 64 bit positions across
+    the sampled frames into one signed long.  Returns
+    ``(id_col, vfp, n_frames)``.
+
+    Majority voting makes the fingerprint robust to what video
+    near-dups actually differ in — a few re-encoded, trimmed, or
+    brightness-ramped frames — while byte hashing breaks on the first
+    changed byte.  Ties (even frame counts) round toward 1, fixed and
+    engine-independent.
+
+    Scale shape: ``mapInPandas``, partition-preserving — video blobs
+    never shuffle; 8 bytes + a count per clip leave the scan.
+    """
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+
+    def _fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = decode_ppm_video(bytes(payload))
+                sampled = frames[::every_n]
+                votes = np.zeros(64, dtype=np.int64)
+                for fr in sampled:
+                    h = _phash_from_pixels(fr, 8) & ((1 << 64) - 1)
+                    bits = np.array(
+                        [(h >> (63 - i)) & 1 for i in range(64)], dtype=np.int64
+                    )
+                    votes += bits
+                maj = votes * 2 >= len(sampled)  # ties round toward 1
+                v = 0
+                for b in maj:
+                    v = (v << 1) | int(b)
+                if v >= 1 << 63:
+                    v -= 1 << 64
+                out.append(
+                    {id_col: int(mid), "vfp": v, "n_frames": len(frames)}
+                )
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("vfp", T.LongType(), False),
+            T.StructField("n_frames", T.IntegerType(), False),
+        ]
+    )
+    return df.mapInPandas(_fp, schema=schema)
+
+
+def video_near_duplicates(
+    df: DataFrame,
+    *,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    every_n: int = 1,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate video pairs: :func:`video_fingerprint` majority
+    hashes joined by the shared banded Hamming kernel
+    (``dedup.hamming_near_duplicates`` — pigeonhole no-false-negative
+    guarantee, same scale shape as the image/audio/SimHash paths).
+    Returns ``(id_a, id_b, hamming)``."""
+    from dbldatagen_spark.functions.dedup import hamming_near_duplicates
+
+    fps = video_fingerprint(
+        df, id_col=id_col, payload_col=payload_col, every_n=every_n
+    ).select(id_col, "vfp")
+    return hamming_near_duplicates(
+        fps, id_col, "vfp", max_hamming=max_hamming, bands=bands
+    )

@@ -4150,3 +4150,50 @@ class TestCMSGlobalGuard:
         glob = cms_sketch(events, "user_id", width=32, depth=2)
         with pytest.raises(ValueError, match="GLOBAL sketch"):
             cms_join_size(glob, grouped)
+
+
+class TestVideoFingerprint:
+    def test_twins_and_trimmed_clip(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import video_fingerprint
+        from dbldatagen_spark.functions.multimodal import encode_ppm_video
+
+        rows = []
+        for i in range(8):
+            rng = np.random.default_rng(i + 1)
+            base = rng.integers(0, 200, size=(16, 16, 3), dtype=np.uint8)
+            frames = [
+                np.clip(base.astype(np.int32) + 3 * j, 0, 255).astype(np.uint8)
+                for j in range(12)
+            ]
+            rows.append((i, bytearray(encode_ppm_video(frames))))
+            rows.append((i + 100, bytearray(encode_ppm_video(frames))))
+            rows.append((i + 200, bytearray(encode_ppm_video(frames[:10]))))
+        df = spark.createDataFrame(rows, "media_id long, payload binary")
+        fps = {r.media_id: (r.vfp, r.n_frames)
+               for r in video_fingerprint(df).collect()}
+        for i in range(8):
+            assert fps[i] == fps[i + 100]            # byte twin, exact
+            assert fps[i + 200][1] == 10             # trimmed clip decoded
+            ham = bin((fps[i][0] ^ fps[i + 200][0]) & (2**64 - 1)).count("1")
+            assert ham <= 3, (i, ham)                # majority vote robust
+
+    def test_near_duplicates_finds_planted(self, spark):
+        from dbldatagen_spark.functions import video_near_duplicates
+        from dbldatagen_spark.functions.multimodal import (
+            synthesize_ppm_video_table,
+        )
+
+        base = synthesize_ppm_video_table(spark, rows=20, partitions=2, size=16)
+        dup = base.selectExpr("media_id + 1000 as media_id", "payload")
+        pairs = video_near_duplicates(base.unionByName(dup))
+        got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+        for i in range(20):
+            assert got[(i, i + 1000)] == 0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import video_fingerprint
+
+        with pytest.raises(ValueError):
+            video_fingerprint(spark.range(1), every_n=0)
