@@ -680,3 +680,74 @@ def test_quantile_bucket_monotone(vals, nb):
     for r in out:
         by_val.setdefault(r.v, set()).add(r.v_bucket)
     assert all(len(s) == 1 for s in by_val.values())
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=30,
+    ),
+    alpha_pct=st.integers(min_value=1, max_value=100),
+)
+@settings(**_SETTINGS)
+def test_ewma_matches_python_reference(vals, alpha_pct):
+    """Spark's F.aggregate EWMA fold must equal a plain-Python replay
+    bit-for-bit for any value sequence and alpha."""
+    from dbldatagen_spark.functions import ewma
+
+    alpha = alpha_pct / 100.0
+    df = _spark.createDataFrame(
+        [("k", i, float(v)) for i, v in enumerate(vals)],
+        "k string, oid long, v double",
+    ).withColumn("ts", F.to_timestamp(F.lit("2024-01-01")))
+    got = {r.oid: r.ewma for r in
+           ewma(df, "k", "ts", "v", alpha=alpha, order_col="oid").collect()}
+    s = None
+    for i, v in enumerate(vals):
+        s = v if s is None else alpha * v + (1.0 - alpha) * s
+        assert got[i] == s, (i, got[i], s)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50),
+                  min_size=1, max_size=60),
+    width=st.sampled_from([4, 16, 64]),
+)
+@settings(**_SETTINGS)
+def test_cms_estimate_never_undershoots(vals, width):
+    from collections import Counter
+
+    from dbldatagen_spark.functions import cms_estimate, cms_sketch
+
+    df = _spark.createDataFrame([(int(v),) for v in vals], "v int")
+    sk = cms_sketch(df, "v", width=width, depth=3)
+    est = {r.v: r.cms_count for r in
+           cms_estimate(sk, df, "v", width=width, depth=3).collect()}
+    exact = Counter(vals)
+    for v, c in exact.items():
+        assert est[v] >= c, (v, est[v], c)
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=100.0, allow_nan=False),
+        min_size=1, max_size=40,
+    ),
+    split=st.integers(min_value=0, max_value=39),
+)
+@settings(**_SETTINGS)
+def test_histogram_merge_equals_whole(vals, split):
+    from dbldatagen_spark.functions import histogram_merge, histogram_sketch
+
+    split = min(split, len(vals))
+    a = _spark.createDataFrame([(float(v),) for v in vals[:split]] or [(None,)],
+                               "v double")
+    b = _spark.createDataFrame([(float(v),) for v in vals[split:]] or [(None,)],
+                               "v double")
+    whole = _spark.createDataFrame([(float(v),) for v in vals], "v double")
+    kw = dict(lo=0.0, hi=100.0, bins=16)
+    merged = histogram_merge(
+        [histogram_sketch(a, "v", **kw), histogram_sketch(b, "v", **kw)]
+    )
+    assert sorted(map(tuple, merged.collect())) == \
+           sorted(map(tuple, histogram_sketch(whole, "v", **kw).collect()))
