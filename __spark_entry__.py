@@ -4715,6 +4715,44 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _events_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV merge law under the oracle, not just in pytest: per-day
+    user_id sketches merged (distinct-union, re-sorted, first k) must
+    be CELL-IDENTICAL to the whole-corpus sketch — the lossless-union
+    property that makes daily sketch states incrementally maintainable
+    — and both estimators must agree. Emits the merged and direct
+    estimates (rounded like events_kmv_distinct), the identity flag,
+    and the exact distinct count."""
+    from dbldatagen_spark.functions import (
+        kmv_estimate_expr,
+        kmv_merge_expr,
+        kmv_sketch,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    days = events.withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    daily = kmv_sketch(days, "user_id", group_cols=["day"], k=32)
+    merged = daily.agg(
+        kmv_merge_expr(F.collect_list("sketch"), 32).alias("m_sketch")
+    )
+    direct = kmv_sketch(events, "user_id", k=32).select(
+        F.col("sketch").alias("d_sketch")
+    )
+    exact = events.where("user_id IS NOT NULL").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return (
+        merged.crossJoin(direct)
+        .crossJoin(exact)
+        .select(
+            F.round(kmv_estimate_expr(F.col("m_sketch"), 32), 4).alias("dv_merged"),
+            F.round(kmv_estimate_expr(F.col("d_sketch"), 32), 4).alias("dv_direct"),
+            (F.col("m_sketch") == F.col("d_sketch")).alias("sketches_identical"),
+            F.col("n_exact"),
+        )
+    )
+
+
 def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-duplication over REAL decodable P6-stream clips: 60
     seeded videos plus byte-identical twins at id+1000 flow through
@@ -5102,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
+        "events_kmv_daily_merge": _events_kmv_daily_merge,
     }
 
 
@@ -6304,6 +6343,48 @@ def _oracle_sql_base() -> dict[str, str]:
                OR b.c_name IS DISTINCT FROM a.c_name
                OR b.c_acctbal IS DISTINCT FROM a.c_acctbal
             ORDER BY c_custkey
+        """,
+        "events_kmv_daily_merge": """
+            WITH h AS (
+                SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            daily AS (
+                SELECT day, hv,
+                       row_number() OVER (PARTITION BY day ORDER BY hv) AS rn
+                FROM h
+            ),
+            merged AS (
+                SELECT DISTINCT hv FROM daily WHERE rn <= 32
+            ),
+            m AS (
+                SELECT list(hv ORDER BY hv)[:32] AS sk FROM merged
+            ),
+            direct AS (
+                SELECT DISTINCT hv FROM h
+            ),
+            d AS (
+                SELECT list(hv ORDER BY hv)[:32] AS sk FROM direct
+            ),
+            e AS (
+                SELECT COUNT(DISTINCT user_id)::BIGINT AS n_exact
+                FROM events WHERE user_id IS NOT NULL
+            )
+            SELECT
+                ROUND(CASE WHEN len(m.sk) < 32 THEN CAST(len(m.sk) AS DOUBLE)
+                           ELSE 31.0 / ((CAST(m.sk[32] AS DOUBLE) + 0.5)
+                                        / 1152921504606846976.0)
+                      END, 4) AS dv_merged,
+                ROUND(CASE WHEN len(d.sk) < 32 THEN CAST(len(d.sk) AS DOUBLE)
+                           ELSE 31.0 / ((CAST(d.sk[32] AS DOUBLE) + 0.5)
+                                        / 1152921504606846976.0)
+                      END, 4) AS dv_direct,
+                (m.sk = d.sk) AS sketches_identical,
+                e.n_exact
+            FROM m CROSS JOIN d CROSS JOIN e
         """,
         "events_kmv_distinct": """
             WITH h AS (
