@@ -501,6 +501,13 @@ def cms_heavy_hitters(
     Scale shape: screening is sketch-sized work (:func:`cms_estimate`);
     the exact pass shuffles only rows of surviving values — with a
     sane ``threshold`` that is a vanishing fraction of the input.
+    Size ``width`` for the screen to earn its keep: the average cell
+    holds ``n/width``, so ``width >> n/threshold`` keeps collision
+    noise under the threshold and the survivor set near the true
+    hitters; a too-narrow sketch still returns correct answers but
+    screens everything in and the exact pass degenerates to a full
+    count (the registry query demonstrates this failure mode on
+    purpose at width=32).
     """
     if threshold < 1:
         raise ValueError(f"threshold must be >= 1, got {threshold}")
