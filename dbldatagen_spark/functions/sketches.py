@@ -155,6 +155,7 @@ def cms_sketch(
     depth: int = 4,
     seed: int = 0,
     group_cols: Optional[Sequence[str]] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) of
     ``value_col``'s frequencies, one sketch per group:
@@ -175,17 +176,26 @@ def cms_sketch(
 
     NULL values are excluded.  Point-query error bound: with
     probability ``1 - (1/2)^depth`` the estimate overshoots by at most
-    ``2n/width`` (never undershoots).
+    ``2n/width`` (never undershoots).  ``weight_col`` (integer counts,
+    e.g. per-document token totals) switches cells from row counts to
+    weight sums — the token-share sketch a corpus-mixing job wants —
+    keeping every guarantee (weights must be non-negative for the
+    never-undershoots bound).
     """
     if width < 2:
         raise ValueError(f"width must be >= 2, got {width}")
     if depth < 1:
         raise ValueError(f"depth must be >= 1, got {depth}")
     groups = list(group_cols or [])
+    w_expr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).cast("long")
+    )
     vals = (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*groups, F.col(value_col).alias("_v"))
-        .agg(F.count(F.lit(1)).cast("long").alias("_w"))
+        .agg(w_expr.alias("_w"))
     )
     exploded = vals.select(
         *groups,
@@ -344,6 +354,7 @@ def histogram_sketch(
     hi: float,
     bins: int,
     group_cols: Optional[Sequence[str]] = None,
+    weight_col: Optional[str] = None,
 ) -> DataFrame:
     """Fixed-bin histogram sketch of ``value_col``:
     ``group_cols + (bin, cnt)`` in sparse form (empty bins absent).
@@ -360,6 +371,10 @@ def histogram_sketch(
 
     One map-side-combined hash-agg; only ``(group, bin-int)`` pairs
     shuffle and the sketch is at most ``groups x bins`` rows.
+    ``weight_col`` (non-negative integer weights) switches bins from
+    row counts to weight sums — e.g. a token-mass distribution over
+    document quality scores; :func:`histogram_quantiles` then answers
+    "below what score sits 90% of the TOKENS" instead of documents.
     """
     if bins < 1:
         raise ValueError(f"bins must be >= 1, got {bins}")
@@ -369,10 +384,15 @@ def histogram_sketch(
     w = (float(hi) - float(lo)) / float(bins)
     b = F.floor((F.col(value_col).cast("double") - F.lit(float(lo))) / F.lit(w))
     clamped = F.least(F.lit(bins - 1), F.greatest(F.lit(0), b.cast("int")))
+    w_expr = (
+        F.count(F.lit(1)).cast("long")
+        if weight_col is None
+        else F.sum(F.col(weight_col).cast("long")).cast("long")
+    )
     return (
         df.where(F.col(value_col).isNotNull())
         .groupBy(*groups, clamped.alias("bin"))
-        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .agg(w_expr.alias("cnt"))
     )
 
 

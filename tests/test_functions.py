@@ -4197,3 +4197,30 @@ class TestVideoFingerprint:
 
         with pytest.raises(ValueError):
             video_fingerprint(spark.range(1), every_n=0)
+
+
+class TestWeightedSketches:
+    def test_weighted_cms_sums_weights(self, spark):
+        from dbldatagen_spark.functions import cms_estimate, cms_sketch
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 5), ("b", 7)], "v string, n_tokens int"
+        )
+        sk = cms_sketch(df, "v", width=1024, depth=4, weight_col="n_tokens")
+        est = {r.v: r.cms_count for r in
+               cms_estimate(sk, df, "v", width=1024, depth=4).collect()}
+        assert est == {"a": 15, "b": 7}
+
+    def test_weighted_histogram_token_mass(self, spark):
+        from dbldatagen_spark.functions import histogram_quantiles, histogram_sketch
+
+        # one low-score doc carries 90 of 100 tokens
+        df = spark.createDataFrame(
+            [(0.1, 90), (0.9, 5), (0.95, 5)], "score double, n_tokens int"
+        )
+        sk = histogram_sketch(df, "score", lo=0.0, hi=1.0, bins=10,
+                              weight_col="n_tokens")
+        assert {r.bin: r.cnt for r in sk.collect()} == {1: 90, 9: 10}
+        p50 = histogram_quantiles(sk, [0.5], lo=0.0, hi=1.0,
+                                  bins=10).collect()[0].estimate
+        assert 0.1 <= p50 < 0.2  # half the TOKEN mass sits in the 0.1 bin
