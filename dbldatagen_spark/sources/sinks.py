@@ -168,3 +168,63 @@ def foreach_batch_idempotent_sink(
     if trigger:
         writer = writer.trigger(**trigger)
     return writer.start()
+
+
+def foreach_batch_histogram_sink(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint_location: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int,
+    group_cols=None,
+    trigger: dict | None = None,
+):
+    """Incremental distribution maintenance over a stream: per
+    micro-batch, build the batch's histogram sketch
+    (:func:`dbldatagen_spark.functions.sketches.histogram_sketch` —
+    bounded ``groups x bins`` rows) and commit it epoch-keyed exactly
+    like :func:`foreach_batch_idempotent_sink` (a redelivered batch
+    overwrites its own ``batch_id`` partition, so retries cannot
+    double-count).  The persisted state is SKETCHES, never data — a
+    day of micro-batches costs ``batches x bins`` rows on disk.
+
+    Read the running distribution back with
+    :func:`read_merged_histogram`; merge-on-read is exact because bin
+    counts are commutative sums (``histogram_merge`` law, asserted in
+    pytest against the whole-input batch sketch on a real checkpointed
+    run).  Returns the started ``StreamingQuery``.
+    """
+    from dbldatagen_spark.functions.sketches import histogram_sketch
+
+    groups = list(group_cols or [])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = histogram_sketch(
+            batch_df, value_col, lo=lo, hi=hi, bins=bins, group_cols=groups
+        )
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_merged_histogram(spark, path: str, *, group_cols=None) -> DataFrame:
+    """Merge-on-read for :func:`foreach_batch_histogram_sink` state:
+    union all epoch partitions and re-sum the bins (the
+    ``histogram_merge`` law).  One bounded aggregation over
+    ``batches x bins`` sketch rows."""
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols or [])
+    df = spark.read.parquet(path)
+    return df.groupBy(*groups, "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

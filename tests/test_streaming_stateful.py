@@ -670,3 +670,53 @@ def test_cusum_with_state_validation(spark, events):
         cusum_with_state(events, "user_id", "ts", "value",
                          drift=-1.0, threshold=1.0, target=0.0,
                          order_col="event_id")
+
+
+def test_histogram_sink_merge_on_read_matches_batch(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dbldatagen_spark.functions import histogram_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_histogram_sink,
+        read_merged_histogram,
+    )
+
+    src = events.select("event_type", "value")
+    kw = dict(lo=0.0, hi=600.0, bins=120)
+    whole = histogram_sketch(src, "value", group_cols=["event_type"], **kw)
+
+    # two micro-batches (any split works — bin sums commute)
+    now = time.time()
+    seen: list = []
+    halves = (events.where("event_id % 2 = 0").select("event_type", "value"),
+              events.where("event_id % 2 = 1").select("event_type", "value"))
+    for i, frame in enumerate(halves):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = foreach_batch_histogram_sink(
+        stream, "value", str(tmp_path / "state"), str(tmp_path / "ck"),
+        group_cols=["event_type"],
+        trigger={"availableNow": True}, **kw,
+    )
+    q.awaitTermination(120)
+    merged = read_merged_histogram(
+        spark, str(tmp_path / "state"), group_cols=["event_type"]
+    )
+    assert sorted(map(tuple, merged.select("event_type", "bin", "cnt").collect())) \
+        == sorted(map(tuple, whole.collect()))
+    # state really is epoch-partitioned sketches
+    import pathlib
+    parts = {p.name for p in pathlib.Path(tmp_path / "state").iterdir()
+             if p.is_dir()}
+    assert {"batch_id=0", "batch_id=1"} <= parts
