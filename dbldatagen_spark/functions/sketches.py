@@ -110,9 +110,15 @@ def kmv_sketch(
     )
     if groups:
         w = Window.partitionBy(*groups).orderBy("_h")
+        kept = hashed.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= k
+        )
     else:
-        w = Window.partitionBy(F.lit(1)).orderBy("_h")
-    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= k)
+        # global sketch: limit-after-orderBy plans as
+        # TakeOrderedAndProject (per-partition heads) — a
+        # partitionBy(lit(1)) window would funnel EVERY distinct hash
+        # through one task, the exact straggler hot_key_report avoids
+        kept = hashed.orderBy("_h").limit(k)
     agg = kept.groupBy(*groups).agg(
         F.array_sort(F.collect_list("_h")).alias("sketch"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
