@@ -121,9 +121,12 @@ def derive_cdc(
     of a narrow one. ``to_json`` (not a bare struct hash) because
     Spark's hash functions skip NULL fields, which would collide
     ``(NULL, x)`` with ``(x, NULL)``; JSON keeps field positions
-    distinct. No full outer join anywhere (a snapshot diff as FULL
-    OUTER JOIN sort-merges two full tables; the union+groupBy shape
-    is one exchange of hashes and AQE-friendly).
+    distinct. Known edge: payloads differing only as ``0.0`` vs
+    ``-0.0`` serialize differently and flag ``'U'`` — the safe
+    direction (a spurious update, never a missed change). No full
+    outer join anywhere (a snapshot diff as FULL OUTER JOIN
+    sort-merges two full tables; the union+groupBy shape is one
+    exchange of hashes and AQE-friendly).
     """
     if not key_cols:
         raise ValueError("key_cols must name at least one key column")

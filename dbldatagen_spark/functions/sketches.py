@@ -541,9 +541,11 @@ def cms_heavy_hitters(
     screened = cms_estimate(
         sk, df, value_col, width=width, depth=depth, seed=seed
     ).where(F.col("cms_count") >= threshold)
-    pruned = df.join(
-        F.broadcast(screened.select(value_col)), value_col, "semi"
-    )
+    # no broadcast hint on purpose: a well-sized screen survives few
+    # values, but a too-low threshold makes the survivor set input-sized
+    # and a forced broadcast would OOM the driver — AQE picks broadcast
+    # when the set is actually small
+    pruned = df.join(screened.select(value_col), value_col, "semi")
     exact = pruned.groupBy(value_col).agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
