@@ -4715,6 +4715,47 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _gen_copula_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian-copula correlated generation (beyond the reference —
+    its columns correlate only through baseColumn chaining, never to a
+    TARGET correlation): three jointly normal columns built from a
+    Cholesky-weighted sum of decorrelated Box-Muller draws must hit the
+    requested correlation matrix within sampling tolerance at 40k rows,
+    carry unit marginals, and rebuild bit-identically under a different
+    partition count (zero shuffle, pure expressions over the row id).
+    Constant oracle."""
+    from dbldatagen_spark.operators.distributions import correlated_normal_exprs
+
+    corr = [[1.0, 0.7, 0.2], [0.7, 1.0, 0.4], [0.2, 0.4, 1.0]]
+
+    def build(parts: int) -> DataFrame:
+        cols = correlated_normal_exprs(F.col("id"), corr, seed=42)
+        return spark.range(0, 40000, 1, parts).select(
+            "id", *[c.alias(f"z{i}") for i, c in enumerate(cols)]
+        )
+
+    d = build(8)
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            (F.abs(F.corr("z0", "z1") - 0.7) < 0.03)
+            & (F.abs(F.corr("z0", "z2") - 0.2) < 0.03)
+            & (F.abs(F.corr("z1", "z2") - 0.4) < 0.03)
+        ).alias("corr_on_target"),
+        (
+            (F.abs(F.mean("z0")) < 0.03)
+            & (F.abs(F.stddev("z1") - 1.0) < 0.03)
+            & (F.abs(F.stddev("z2") - 1.0) < 0.03)
+        ).alias("marginals_standard"),
+    )
+    d1, d2 = build(8), build(13)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _events_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV merge law under the oracle, not just in pytest: per-day
     user_id sketches merged (distinct-union, re-sorted, first k) must
@@ -5141,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
         "events_kmv_daily_merge": _events_kmv_daily_merge,
+        "gen_copula_conformance": _gen_copula_conformance,
     }
 
 
@@ -5426,6 +5468,12 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(60 AS BIGINT) AS n_pairs, "
             "CAST(60 AS BIGINT) AS n_planted, "
             "CAST(0 AS BIGINT) AS max_hamming, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "gen_copula_conformance": (
+            "SELECT CAST(40000 AS BIGINT) AS n_rows, "
+            "TRUE AS corr_on_target, "
+            "TRUE AS marginals_standard, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "dedup_cross_corpus": """

@@ -33,6 +33,8 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from dbldatagen_spark.operators.seed import (
+    cell_seed,
+    decorrelate,
     uniform_fraction,
     uniform_fraction_open,
 )
@@ -207,3 +209,54 @@ def weighted_index_expr(seed_col: Column, weights: Sequence[float]) -> Column:
     for threshold, i in reversed(conds):
         expr = F.when(u < F.lit(threshold), F.lit(i).cast("long")).otherwise(expr)
     return expr
+
+
+def correlated_normal_exprs(
+    id_col: Column,
+    corr: Sequence[Sequence[float]],
+    *,
+    seed: int,
+) -> "list[Column]":
+    """k jointly Gaussian ``N(0,1)`` columns with the given correlation
+    matrix, as pure expressions over the row id — the Gaussian-copula
+    building block the reference has no equivalent of (its columns
+    correlate only through ``baseColumn`` chaining, which cannot hit a
+    target correlation).  ``z = L e``: the driver Cholesky-factors the
+    k x k matrix once (numpy, raises ``ValueError`` if not symmetric
+    positive-definite) and each output is a literal-weighted sum of k
+    independent Box–Muller normals drawn from decorrelated cell seeds.
+
+    Marginals: transform each z through any inverse CDF for a copula
+    with those marginals (rank correlation is preserved; Pearson
+    correlation exactly holds for the normals themselves).
+
+    Scale shape: like every generator expression — zero shuffle,
+    whole-stage codegen, partition-independent (seeds hash the row id,
+    never the partition), so the same spec yields identical columns at
+    any parallelism.
+    """
+    import numpy as np
+
+    A = np.asarray(corr, dtype=float)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"corr must be a square matrix, got shape {A.shape}")
+    if not np.allclose(A, A.T):
+        raise ValueError("corr must be symmetric")
+    if not np.allclose(np.diag(A), 1.0):
+        raise ValueError("corr must have a unit diagonal")
+    try:
+        L = np.linalg.cholesky(A)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(f"corr is not positive-definite: {exc}") from exc
+    k = A.shape[0]
+    es = [
+        standard_normal_expr(cell_seed(decorrelate(seed, 0x100 + j), id_col))
+        for j in range(k)
+    ]
+    out: "list[Column]" = []
+    for i in range(k):
+        acc = F.lit(float(L[i][0])) * es[0]
+        for j in range(1, i + 1):
+            acc = acc + F.lit(float(L[i][j])) * es[j]
+        out.append(acc)
+    return out

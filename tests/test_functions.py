@@ -4224,3 +4224,53 @@ class TestWeightedSketches:
         p50 = histogram_quantiles(sk, [0.5], lo=0.0, hi=1.0,
                                   bins=10).collect()[0].estimate
         assert 0.1 <= p50 < 0.2  # half the TOKEN mass sits in the 0.1 bin
+
+
+class TestCorrelatedNormals:
+    CORR = [[1.0, 0.7, 0.2], [0.7, 1.0, 0.4], [0.2, 0.4, 1.0]]
+
+    def test_hits_target_correlations(self, spark):
+        from dbldatagen_spark.operators.distributions import (
+            correlated_normal_exprs,
+        )
+
+        cols = correlated_normal_exprs(F.col("id"), self.CORR, seed=42)
+        out = spark.range(40000).select(
+            *[c.alias(f"z{i}") for i, c in enumerate(cols)]
+        )
+        r = out.agg(
+            F.corr("z0", "z1"), F.corr("z0", "z2"), F.corr("z1", "z2"),
+            F.mean("z0"), F.stddev("z2"),
+        ).collect()[0]
+        for got, want in zip(r[:3], (0.7, 0.2, 0.4)):
+            assert abs(got - want) < 0.03, (got, want)
+        assert abs(r[3]) < 0.03 and abs(r[4] - 1.0) < 0.03
+
+    def test_partition_independent(self, spark):
+        from dbldatagen_spark.operators.distributions import (
+            correlated_normal_exprs,
+        )
+
+        def build(parts):
+            cols = correlated_normal_exprs(F.col("id"), self.CORR, seed=7)
+            return sorted(map(tuple, spark.range(0, 2000, 1, parts).select(
+                "id", *[c.alias(f"z{i}") for i, c in enumerate(cols)]
+            ).collect()))
+        assert build(2) == build(11)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.operators.distributions import (
+            correlated_normal_exprs,
+        )
+
+        with pytest.raises(ValueError, match="square"):
+            correlated_normal_exprs(F.col("id"), [[1.0, 0.5]], seed=1)
+        with pytest.raises(ValueError, match="symmetric"):
+            correlated_normal_exprs(
+                F.col("id"), [[1.0, 0.5], [0.1, 1.0]], seed=1)
+        with pytest.raises(ValueError, match="unit diagonal"):
+            correlated_normal_exprs(
+                F.col("id"), [[2.0, 0.5], [0.5, 1.0]], seed=1)
+        with pytest.raises(ValueError, match="positive-definite"):
+            correlated_normal_exprs(
+                F.col("id"), [[1.0, 1.0], [1.0, 1.0]], seed=1)
