@@ -4756,6 +4756,54 @@ def _gen_copula_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _gen_markov_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov-chain sequence generation (beyond the reference — its
+    rows are independent; here each step's distribution is the
+    transition row of the previous state): 20k users x 20-step chains,
+    empirical transition frequencies measured by the engine's own
+    transition_matrix operator must sit within 0.02 of every target
+    cell, and the build must be bit-identical under a different
+    partition count (zero shuffle, pure fold over per-step decorrelated
+    uniforms). Constant oracle."""
+    from dbldatagen_spark.functions import transition_matrix
+    from dbldatagen_spark.operators.distributions import markov_sequence_expr
+
+    target = [[0.8, 0.15, 0.05], [0.3, 0.6, 0.1], [0.1, 0.2, 0.7]]
+
+    def build(parts: int) -> DataFrame:
+        seq = markov_sequence_expr(F.col("id"), target, seed=42, length=20)
+        return spark.range(0, 20000, 1, parts).select(
+            F.col("id").alias("user_id"),
+            F.posexplode(seq).alias("step", "state"),
+        )
+
+    seqs = build(8)
+    emp = transition_matrix(seqs, "user_id", "step", "state")
+    checks = []
+    for i in range(3):
+        for j in range(3):
+            p = F.max(
+                F.when(
+                    (F.col("from_state") == i) & (F.col("to_state") == j),
+                    F.col("prob"),
+                )
+            )
+            checks.append(F.abs(F.coalesce(p, F.lit(0.0)) - target[i][j]) < 0.02)
+    on_target = checks[0]
+    for c in checks[1:]:
+        on_target = on_target & c
+    stats = emp.agg(
+        on_target.alias("transitions_on_target"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+    )
+    d1, d2 = build(8), build(13)
+    diff = (
+        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
+    )
+    return stats.crossJoin(diff)
+
+
 def _events_kmv_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The KMV merge law under the oracle, not just in pytest: per-day
     user_id sketches merged (distinct-union, re-sorted, first k) must
@@ -5183,6 +5231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_near_dup": _multimodal_video_near_dup,
         "events_kmv_daily_merge": _events_kmv_daily_merge,
         "gen_copula_conformance": _gen_copula_conformance,
+        "gen_markov_conformance": _gen_markov_conformance,
     }
 
 
@@ -5474,6 +5523,11 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT CAST(40000 AS BIGINT) AS n_rows, "
             "TRUE AS corr_on_target, "
             "TRUE AS marginals_standard, "
+            "CAST(0 AS BIGINT) AS mismatches"
+        ),
+        "gen_markov_conformance": (
+            "SELECT TRUE AS transitions_on_target, "
+            "CAST(9 AS BIGINT) AS n_cells, "
             "CAST(0 AS BIGINT) AS mismatches"
         ),
         "dedup_cross_corpus": """

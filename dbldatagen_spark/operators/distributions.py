@@ -260,3 +260,83 @@ def correlated_normal_exprs(
             acc = acc + F.lit(float(L[i][j])) * es[j]
         out.append(acc)
     return out
+
+
+def markov_sequence_expr(
+    id_col: Column,
+    transition: Sequence[Sequence[float]],
+    *,
+    seed: int,
+    length: int,
+    init: Sequence[float] | None = None,
+) -> Column:
+    """A ``length``-step Markov chain per row as one ``array<int>`` of
+    state indices — controlled-dynamics sequence generation (user
+    journeys, protocol states, market regimes) the reference cannot
+    express: its rows are independent, while here each step's
+    distribution is the ``transition`` row of the previous step's
+    state.
+
+    ``transition`` is a k x k row-stochastic matrix; ``init`` is the
+    first-step distribution (uniform over states when omitted).  The
+    chain is a pure ``F.aggregate`` fold over per-step decorrelated
+    uniforms: step t draws ``u_t``, looks up the current state's CDF
+    row (a 2-D literal), and moves to the first state whose cumulative
+    mass exceeds ``u_t``.  No UDF, no RNG state.
+
+    Scale shape: zero shuffle, partition-independent (every uniform
+    hashes ``(seed, step, row id)``), whole-stage codegen; cost is
+    ``length x k`` comparisons per row.  Empirical transition
+    frequencies converge to ``transition`` (the conformance query
+    asserts it within sampling tolerance).
+    """
+    import numpy as np
+
+    A = np.asarray(transition, dtype=float)
+    if A.ndim != 2 or A.shape[0] != A.shape[1]:
+        raise ValueError(f"transition must be square, got shape {A.shape}")
+    if (A < 0).any() or not np.allclose(A.sum(axis=1), 1.0):
+        raise ValueError("transition rows must be non-negative and sum to 1")
+    if length < 1:
+        raise ValueError(f"length must be >= 1, got {length}")
+    k = A.shape[0]
+    if init is None:
+        p0 = np.full(k, 1.0 / k)
+    else:
+        p0 = np.asarray(init, dtype=float)
+        if p0.shape != (k,) or (p0 < 0).any() or not np.isclose(p0.sum(), 1.0):
+            raise ValueError("init must be a length-k distribution")
+
+    def _cdf_lit(row: "np.ndarray") -> Column:
+        return F.array(*[F.lit(float(v)) for v in np.cumsum(row)])
+
+    cdf_rows = F.array(*[_cdf_lit(A[i]) for i in range(k)])
+    init_cdf = _cdf_lit(p0)
+
+    def _u(step: Column) -> Column:
+        return uniform_fraction_open(
+            F.xxhash64(F.lit(decorrelate(seed, 0x3A7)), step, id_col)
+        )
+
+    def _pick(cdf: Column, u: Column) -> Column:
+        # first index whose cumulative mass exceeds u; u<1 keeps it in range
+        return F.aggregate(
+            cdf,
+            F.lit(0),
+            lambda acc, p: acc + F.when(u >= p, 1).otherwise(0),
+        )
+
+    first = _pick(init_cdf, _u(F.lit(0)))
+    init_state = F.struct(
+        F.array(first).alias("arr"), first.alias("cur")
+    )
+
+    def _step(acc, t):
+        row = F.element_at(cdf_rows, acc["cur"] + 1)
+        nxt = _pick(row, _u(t))
+        return F.struct(
+            F.concat(acc["arr"], F.array(nxt)).alias("arr"), nxt.alias("cur")
+        )
+
+    steps = F.sequence(F.lit(1), F.lit(length - 1)) if length > 1 else F.array().cast("array<int>")
+    return F.aggregate(steps, init_state, _step, lambda acc: acc["arr"])

@@ -4274,3 +4274,68 @@ class TestCorrelatedNormals:
         with pytest.raises(ValueError, match="positive-definite"):
             correlated_normal_exprs(
                 F.col("id"), [[1.0, 1.0], [1.0, 1.0]], seed=1)
+
+
+class TestMarkovSequence:
+    T = [[0.8, 0.15, 0.05], [0.3, 0.6, 0.1], [0.1, 0.2, 0.7]]
+
+    def test_sequence_shape_and_states(self, spark):
+        from dbldatagen_spark.operators.distributions import markov_sequence_expr
+
+        seq = markov_sequence_expr(F.col("id"), self.T, seed=1, length=20)
+        out = spark.range(100).select(seq.alias("s"))
+        assert out.where(F.size("s") != 20).count() == 0
+        bad = out.select(F.explode("s").alias("v")).where("v < 0 OR v > 2")
+        assert bad.count() == 0
+
+    def test_empirical_transitions_on_target(self, spark):
+        from dbldatagen_spark.operators.distributions import markov_sequence_expr
+
+        seqs = spark.range(10000).select(
+            "id",
+            F.posexplode(
+                markov_sequence_expr(F.col("id"), self.T, seed=42, length=20)
+            ).alias("t", "s"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy("t")
+        tr = (
+            seqs.withColumn("nxt", F.lead("s").over(w))
+            .where("nxt IS NOT NULL")
+            .groupBy("s", "nxt").count()
+        )
+        counts = {(r.s, r.nxt): r["count"] for r in tr.collect()}
+        for i in range(3):
+            row_n = sum(counts.get((i, j), 0) for j in range(3))
+            for j in range(3):
+                emp = counts.get((i, j), 0) / row_n
+                assert abs(emp - self.T[i][j]) < 0.02, (i, j, emp)
+
+    def test_init_distribution_and_partition_independence(self, spark):
+        from dbldatagen_spark.operators.distributions import markov_sequence_expr
+
+        # init pinned to state 2
+        seq = markov_sequence_expr(F.col("id"), self.T, seed=5, length=3,
+                                   init=[0.0, 0.0, 1.0])
+        firsts = spark.range(200).select(F.element_at(seq, 1).alias("f"))
+        assert firsts.where("f != 2").count() == 0
+
+        def build(parts):
+            s = markov_sequence_expr(F.col("id"), self.T, seed=9, length=8)
+            return sorted(map(tuple, spark.range(0, 500, 1, parts)
+                              .select("id", s.alias("s")).collect()))
+        assert build(2) == build(7)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.operators.distributions import markov_sequence_expr
+
+        c = F.col("id")
+        with pytest.raises(ValueError, match="square"):
+            markov_sequence_expr(c, [[1.0, 0.0]], seed=1, length=2)
+        with pytest.raises(ValueError, match="sum to 1"):
+            markov_sequence_expr(c, [[0.5, 0.4], [0.5, 0.5]], seed=1, length=2)
+        with pytest.raises(ValueError, match="length"):
+            markov_sequence_expr(c, [[1.0]], seed=1, length=0)
+        with pytest.raises(ValueError, match="init"):
+            markov_sequence_expr(c, [[1.0]], seed=1, length=2, init=[0.5])
