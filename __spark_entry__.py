@@ -4715,6 +4715,52 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral trajectory similarity (cf. REPOSE, ICDE 2021 —
+    signature-based distributed trajectory search): every user's value
+    series is resampled to a 16-point time-normalized envelope (bucket
+    means over the user's own span, value-sorted folds, forward fill),
+    then the lowest-user-id probe ranks the 3 most-similar other users
+    by envelope cosine. All doubles are bit-exact: bucket means and the
+    key mean use the portable sorted-fold idiom, and dot products fold
+    in index order seeded with 0.0 — the oracle's list_reduce replays
+    them term for term."""
+    from dbldatagen_spark.functions import trajectory_vectors
+
+    events = _load(spark, sf_dir, "events")
+    traj = trajectory_vectors(events, "user_id", "ts", "value", n_points=16)
+    probe = traj.orderBy("user_id").limit(1).select(
+        F.col("user_id").alias("_qid"), F.col("traj").alias("_qt")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    t = F.col("traj")
+    q = F.col("_qt")
+    scored = (
+        traj.crossJoin(F.broadcast(probe))
+        .where(F.col("user_id") != F.col("_qid"))
+        .select(
+            "user_id",
+            dot(t, q).alias("_dot"),
+            dot(t, t).alias("_nb"),
+            dot(q, q).alias("_nq"),
+        )
+        .where((F.col("_nb") > 0) & (F.col("_nq") > 0))
+        .select(
+            "user_id",
+            (F.col("_dot") / (F.sqrt(F.col("_nq")) * F.sqrt(F.col("_nb"))))
+            .alias("cosine_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cosine_sim").desc(), "user_id").limit(3)
+
+
 def _gen_copula_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaussian-copula correlated generation (beyond the reference —
     its columns correlate only through baseColumn chaining, never to a
@@ -5232,6 +5278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kmv_daily_merge": _events_kmv_daily_merge,
         "gen_copula_conformance": _gen_copula_conformance,
         "gen_markov_conformance": _gen_markov_conformance,
+        "events_trajectory_similarity": _events_trajectory_similarity,
     }
 
 
@@ -6379,6 +6426,75 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "events_trajectory_similarity": """
+            WITH ev AS (
+                SELECT user_id, FLOOR(epoch(ts)) AS t, value AS v
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL
+            ),
+            spans AS (
+                SELECT user_id,
+                       min(t)::DOUBLE AS t0, max(t)::DOUBLE AS t1,
+                       list_sum(list_sort(list(v))) / count(v) AS kmean
+                FROM ev GROUP BY user_id
+            ),
+            bucketed AS (
+                SELECT e.user_id,
+                       CASE WHEN s.t1 > s.t0
+                            THEN least(15, greatest(0,
+                                 CAST(floor((e.t - s.t0) / (s.t1 - s.t0)
+                                            * 16.0) AS INTEGER)))
+                            ELSE 0 END AS b,
+                       e.v
+                FROM ev e JOIN spans s USING (user_id)
+            ),
+            bmeans AS (
+                SELECT user_id, b,
+                       list_sum(list_sort(list(v))) / count(v) AS m
+                FROM bucketed GROUP BY user_id, b
+            ),
+            lattice AS (
+                SELECT s.user_id, g.b, s.kmean
+                FROM spans s CROSS JOIN (SELECT unnest(range(0, 16)) AS b) g
+            ),
+            filled AS (
+                SELECT l.user_id, l.b,
+                       coalesce(
+                           last_value(bm.m IGNORE NULLS) OVER (
+                               PARTITION BY l.user_id ORDER BY l.b),
+                           l.kmean) AS val
+                FROM lattice l
+                LEFT JOIN bmeans bm ON bm.user_id = l.user_id AND bm.b = l.b
+            ),
+            traj AS (
+                SELECT user_id, list(val ORDER BY b) AS traj
+                FROM filled GROUP BY user_id
+            ),
+            probe AS (
+                SELECT user_id AS qid, traj AS qt
+                FROM traj ORDER BY user_id LIMIT 1
+            ),
+            scored AS (
+                SELECT t.user_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 17),
+                                          i -> t.traj[i] * p.qt[i])),
+                           (acc, x) -> acc + x) AS dot,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 17),
+                                          i -> t.traj[i] * t.traj[i])),
+                           (acc, x) -> acc + x) AS nb,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, 17),
+                                          i -> p.qt[i] * p.qt[i])),
+                           (acc, x) -> acc + x) AS nq
+                FROM traj t CROSS JOIN probe p
+                WHERE t.user_id <> p.qid
+            )
+            SELECT user_id, dot / (sqrt(nq) * sqrt(nb)) AS cosine_sim
+            FROM scored WHERE nb > 0 AND nq > 0
+            ORDER BY cosine_sim DESC, user_id LIMIT 3
         """,
         "events_cusum_flags": """
             WITH RECURSIVE ordered AS (

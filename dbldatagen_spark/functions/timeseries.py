@@ -398,3 +398,104 @@ def cusum_flags(
         rn.alias("cusum_neg"),
         ((rp > h) | (rn > h)).alias("alarm"),
     )
+
+
+def trajectory_vectors(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    n_points: int = 16,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """Fixed-length trajectory envelope per key — the signature that
+    makes behavioral similarity search tractable at scale (cf. REPOSE,
+    ICDE 2021: distributed top-k trajectory search runs on compact
+    per-trajectory signatures, never raw point sets): each key's
+    ``[min_ts, max_ts]`` span divides into ``n_points`` equal buckets,
+    the vector holds bucket mean values (time-normalized, so keys with
+    different spans and rates compare), empty buckets forward-fill and
+    leading gaps take the key mean.  Returns
+    ``(key, traj array<double>, n_obs)``.
+
+    Engine-exact: bucket means fold over VALUE-sorted per-bucket lists
+    and the key mean over the value-sorted full list (the repo's
+    portable sorted-fold idiom), so an external SQL replay reproduces
+    every double bit-for-bit.
+
+    Scale shape: one shuffle of ``(key, (ts, value))`` pairs — the
+    same per-key event-list bound as :func:`ewma`; the n_points x
+    events bucket scan is map-side after the exchange, and what leaves
+    is ``n_points`` doubles per key.  Downstream similarity search
+    (cosine top-k, LSH, kNN join over ``traj``) is sketch-sized work.
+    """
+    if n_points < 2:
+        raise ValueError(f"n_points must be >= 2, got {n_points}")
+    ev = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+                .cast("double")
+                .alias("t"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy("_k")
+        .agg(
+            F.collect_list("_e").alias("_evts"),
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+        )
+    )
+    evts = F.col("_evts")
+    t0 = F.array_min(F.transform(evts, lambda e: e["t"]))
+    t1 = F.array_max(F.transform(evts, lambda e: e["t"]))
+    span = t1 - t0
+
+    def _sorted_mean(vals: Column) -> Column:
+        s = F.array_sort(vals)
+        return F.when(
+            F.size(s) > 0,
+            F.aggregate(s, F.lit(0.0), lambda a, v: a + v)
+            / F.size(s).cast("double"),
+        )
+
+    def _bucket_of(e: Column) -> Column:
+        # span==0 (single instant) puts everything in bucket 0
+        raw = F.when(
+            span > 0.0,
+            F.floor((e["t"] - t0) / span * F.lit(float(n_points))).cast("int"),
+        ).otherwise(F.lit(0))
+        return F.least(F.lit(n_points - 1), F.greatest(F.lit(0), raw))
+
+    raw_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(n_points - 1)),
+        lambda b: _sorted_mean(
+            F.transform(
+                F.filter(evts, lambda e: _bucket_of(e) == b), lambda e: e["v"]
+            )
+        ),
+    )
+    key_mean = _sorted_mean(F.transform(evts, lambda e: e["v"]))
+    # forward fill empty buckets; leading gaps take the key mean
+    filled = F.aggregate(
+        raw_vec,
+        F.struct(
+            F.array().cast("array<double>").alias("arr"),
+            key_mean.alias("last"),
+        ),
+        lambda acc, v: F.struct(
+            F.concat(
+                acc["arr"], F.array(F.coalesce(v, acc["last"]))
+            ).alias("arr"),
+            F.coalesce(v, acc["last"]).alias("last"),
+        ),
+        lambda acc: acc["arr"],
+    )
+    return ev.select(
+        F.col("_k").alias(key_col),
+        filled.alias("traj"),
+        F.col("n_obs"),
+    )

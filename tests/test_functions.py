@@ -4339,3 +4339,43 @@ class TestMarkovSequence:
             markov_sequence_expr(c, [[1.0]], seed=1, length=0)
         with pytest.raises(ValueError, match="init"):
             markov_sequence_expr(c, [[1.0]], seed=1, length=2, init=[0.5])
+
+
+class TestTrajectoryVectors:
+    def test_shape_fill_and_normalization(self, spark):
+        from dbldatagen_spark.functions import trajectory_vectors
+
+        rows = [
+            # user a: ramp 0..3 over 4 points; bucket 2 empty -> ffill
+            ("a", "2024-01-01 00:00:00", 0.0),
+            ("a", "2024-01-01 00:01:00", 1.0),
+            ("a", "2024-01-01 00:03:00", 3.0),
+            # user b: same SHAPE over a 10x longer span (time-normalized)
+            ("b", "2024-01-01 00:00:00", 0.0),
+            ("b", "2024-01-01 00:10:00", 1.0),
+            ("b", "2024-01-01 00:30:00", 3.0),
+            # user c: single instant
+            ("c", "2024-01-01 00:00:00", 5.0),
+        ]
+        df = spark.createDataFrame(rows, "k string, ts string, v double")
+        out = {r.k: r.traj for r in
+               trajectory_vectors(df, "k", "ts", "v", n_points=4).collect()}
+        assert out["a"] == out["b"] == [0.0, 1.0, 1.0, 3.0]  # ffilled bucket 2
+        assert out["c"] == [5.0, 5.0, 5.0, 5.0]  # span 0 -> key mean fill
+        assert all(len(v) == 4 for v in out.values())
+
+    def test_partition_independent(self, spark):
+        from dbldatagen_spark.functions import trajectory_vectors
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        def run(n):
+            return sorted(map(tuple, trajectory_vectors(
+                events.repartition(n), "user_id", "ts", "value",
+                n_points=8).select("user_id", "traj").collect()))
+        assert run(3) == run(13)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import trajectory_vectors
+
+        with pytest.raises(ValueError):
+            trajectory_vectors(spark.range(1), "id", "id", "id", n_points=1)
