@@ -319,11 +319,17 @@ def markov_sequence_expr(
         )
 
     def _pick(cdf: Column, u: Column) -> Column:
-        # first index whose cumulative mass exceeds u; u<1 keeps it in range
-        return F.aggregate(
-            cdf,
-            F.lit(0),
-            lambda acc, p: acc + F.when(u >= p, 1).otherwise(0),
+        # first index whose cumulative mass exceeds u. The clamp is not
+        # paranoia: the row's float cumsum can end at 0.999…9 < 1, and a
+        # u landing in that sliver would index state k — out of range,
+        # and the next step's element_at throws under ANSI
+        return F.least(
+            F.lit(k - 1),
+            F.aggregate(
+                cdf,
+                F.lit(0),
+                lambda acc, p: acc + F.when(u >= p, 1).otherwise(0),
+            ),
         )
 
     first = _pick(init_cdf, _u(F.lit(0)))
