@@ -4715,6 +4715,39 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _customers_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent portable table checksum: the decimal(38,0) sum
+    of per-row 60-bit md5 hashes over (custkey, name, mktsegment) —
+    dataset equality at scale without a sort or shuffle, recomputable
+    by ANY engine with md5 (the oracle recomputes the identical sum).
+    Also asserts the incremental law: the checksums of the two custkey
+    parity halves add up to the whole."""
+    from dbldatagen_spark.functions import table_checksum
+
+    cust = _load(spark, sf_dir, "customer")
+    cols = ["c_custkey", "c_name", "c_mktsegment"]
+    whole = table_checksum(cust, cols)
+    p1 = table_checksum(cust.where("c_custkey % 2 = 0"), cols).select(
+        F.col("checksum").alias("_c1")
+    )
+    p2 = table_checksum(cust.where("c_custkey % 2 = 1"), cols).select(
+        F.col("checksum").alias("_c2")
+    )
+    return (
+        whole.crossJoin(p1)
+        .crossJoin(p2)
+        .select(
+            "n_rows",
+            # decimal(38,0) exceeds a long and decimals render differently
+            # across driver fetch paths — ship the exact digits as a string
+            F.col("checksum").cast("string").alias("checksum"),
+            (F.col("checksum") == F.col("_c1") + F.col("_c2")).alias(
+                "halves_additive"
+            ),
+        )
+    )
+
+
 def _events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral trajectory similarity (cf. REPOSE, ICDE 2021 —
     signature-based distributed trajectory search): every user's value
@@ -5279,6 +5312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_copula_conformance": _gen_copula_conformance,
         "gen_markov_conformance": _gen_markov_conformance,
         "events_trajectory_similarity": _events_trajectory_similarity,
+        "customers_checksum": _customers_checksum,
     }
 
 
@@ -6426,6 +6460,21 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "customers_checksum": """
+            WITH h AS (
+                SELECT ('0x' || substr(md5(concat_ws(':', 0, c_custkey,
+                                                     c_name, c_mktsegment)),
+                                       1, 15))::BIGINT AS hv,
+                       c_custkey
+                FROM customer
+            )
+            SELECT count(*)::BIGINT AS n_rows,
+                   sum(hv)::DECIMAL(38,0)::VARCHAR AS checksum,
+                   (sum(hv) = (SELECT sum(hv) FROM h WHERE c_custkey % 2 = 0)
+                            + (SELECT sum(hv) FROM h WHERE c_custkey % 2 = 1))
+                       AS halves_additive
+            FROM h
         """,
         "events_trajectory_similarity": """
             WITH ev AS (

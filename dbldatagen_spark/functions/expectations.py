@@ -15,7 +15,7 @@ of data you *received*, before training on it:
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -293,4 +293,47 @@ def missing_periods(
         spine.join(observed, [*keys, "_p"], "left_anti")
         .select(*out_cols)
         .orderBy(*keys, "missing_start")
+    )
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Order-independent content checksum of ``cols``: one row
+    ``(n_rows, checksum)`` where ``checksum`` is the exact
+    ``decimal(38,0)`` SUM of each row's 60-bit md5-derived hash of the
+    ``:``-joined column values (NULL encoded as an explicit sentinel so
+    ``(NULL, 'x')`` and ``('x', NULL)`` differ). Two frames hold the
+    same multiset of rows over ``cols`` iff their ``(n_rows,
+    checksum)`` pairs match (modulo the astronomically unlikely sum
+    collision) — dataset equality at 100 TB without a sort, a shuffle,
+    or moving either table: one scan each, map-side partial sums, a
+    single number compared.
+
+    The hash is the repo's engine-portable md5 idiom, so an external
+    system (or the DuckDB oracle) recomputes the identical checksum —
+    cross-engine replication verification, not just Spark-vs-Spark.
+    Column VALUES are compared as their canonical string forms; for
+    doubles use only when both sides render identically (ints, strings,
+    dates are always safe).
+
+    Summation is commutative, so the checksum is also incrementally
+    maintainable: checksum(A union B) = checksum(A) + checksum(B) row
+    counts and sums both add (the pytest asserts it).
+    """
+    if not cols:
+        raise ValueError("cols must name at least one column")
+    parts: list = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00null\x00")))
+    row_str = F.concat_ws(":", F.lit(seed), *parts)
+    hv = F.conv(F.substring(F.md5(row_str), 1, 15), 16, 10).cast("decimal(38,0)")
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.sum(hv), F.lit(0).cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("checksum"),
     )

@@ -4379,3 +4379,46 @@ class TestTrajectoryVectors:
 
         with pytest.raises(ValueError):
             trajectory_vectors(spark.range(1), "id", "id", "id", n_points=1)
+
+
+class TestTableChecksum:
+    def test_order_independent_and_detects_change(self, spark):
+        from dbldatagen_spark.functions import table_checksum
+
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        cols = ["c_custkey", "c_name", "c_mktsegment"]
+        a = table_checksum(cust, cols).collect()[0]
+        b = table_checksum(cust.orderBy(F.rand(1)).repartition(7), cols).collect()[0]
+        assert (a.n_rows, a.checksum) == (b.n_rows, b.checksum)
+        mutated = cust.withColumn(
+            "c_name",
+            F.when(F.col("c_custkey") == 1, F.lit("X")).otherwise(F.col("c_name")),
+        )
+        c = table_checksum(mutated, cols).collect()[0]
+        assert c.checksum != a.checksum and c.n_rows == a.n_rows
+
+    def test_null_positions_differ_and_incremental(self, spark):
+        from dbldatagen_spark.functions import table_checksum
+
+        x = spark.createDataFrame([(None, "v")], "a string, b string")
+        y = spark.createDataFrame([("v", None)], "a string, b string")
+        cx = table_checksum(x, ["a", "b"]).collect()[0].checksum
+        cy = table_checksum(y, ["a", "b"]).collect()[0].checksum
+        assert cx != cy
+        cust = spark.read.parquet(f"{SF}/customer.parquet")
+        cols = ["c_custkey", "c_name"]
+        h1 = cust.where("c_custkey % 2 = 0")
+        h2 = cust.where("c_custkey % 2 = 1")
+        whole = table_checksum(cust, cols).collect()[0]
+        p1 = table_checksum(h1, cols).collect()[0]
+        p2 = table_checksum(h2, cols).collect()[0]
+        assert whole.checksum == p1.checksum + p2.checksum
+        assert whole.n_rows == p1.n_rows + p2.n_rows
+
+    def test_validation_and_empty(self, spark):
+        from dbldatagen_spark.functions import table_checksum
+
+        with pytest.raises(ValueError):
+            table_checksum(spark.range(1), [])
+        r = table_checksum(spark.range(0), ["id"]).collect()[0]
+        assert r.n_rows == 0 and r.checksum == 0
