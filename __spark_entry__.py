@@ -4715,6 +4715,21 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over l_extendedprice (a
+    naturally multiplicative magnitude): per digit 1-9 the observed
+    count, the integer-ratio observed fraction, the closed-form
+    log10(1+1/d) expectation, and the absolute deviation — the
+    data-integrity check fabricated numbers fail. Digit extraction is
+    string arithmetic (no float log at power-of-ten boundaries), and
+    the value range keeps both engines in plain decimal rendering, so
+    the oracle reproduces every row exactly."""
+    from dbldatagen_spark.functions import benford_report
+
+    li = _load(spark, sf_dir, "lineitem")
+    return benford_report(li, "l_extendedprice")
+
+
 def _customers_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent portable table checksum: the decimal(38,0) sum
     of per-row 60-bit md5 hashes over (custkey, name, mktsegment) —
@@ -5313,6 +5328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_markov_conformance": _gen_markov_conformance,
         "events_trajectory_similarity": _events_trajectory_similarity,
         "customers_checksum": _customers_checksum,
+        "lineitem_benford": _lineitem_benford,
     }
 
 
@@ -6460,6 +6476,28 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "lineitem_benford": """
+            WITH d AS (
+                SELECT CAST(substr(regexp_replace(regexp_replace(
+                           CAST(abs(l_extendedprice) AS VARCHAR),
+                           '[.\\-]', '', 'g'), '^0+', ''), 1, 1) AS INTEGER)
+                           AS digit
+                FROM lineitem
+                WHERE l_extendedprice > 0
+            ),
+            base AS (
+                SELECT digit, count(*)::BIGINT AS n
+                FROM d WHERE digit BETWEEN 1 AND 9
+                GROUP BY digit
+            ),
+            t AS (SELECT sum(n)::DOUBLE AS total FROM base)
+            SELECT digit, n,
+                   n / t.total AS observed_frac,
+                   log10(1.0 + 1.0 / digit) AS expected_frac,
+                   abs(n / t.total - log10(1.0 + 1.0 / digit)) AS abs_dev
+            FROM base CROSS JOIN t
+            ORDER BY digit
         """,
         "customers_checksum": """
             WITH h AS (

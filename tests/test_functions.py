@@ -4422,3 +4422,30 @@ class TestTableChecksum:
             table_checksum(spark.range(1), [])
         r = table_checksum(spark.range(0), ["id"]).collect()[0]
         assert r.n_rows == 0 and r.checksum == 0
+
+
+class TestBenfordReport:
+    def test_benford_distributed_data_conforms(self, spark):
+        from dbldatagen_spark.functions import benford_report
+
+        # exponential growth is the canonical Benford-conformant series
+        df = spark.range(1, 2000).selectExpr("pow(1.01, id) as v")
+        out = {r.digit: r for r in benford_report(df, "v").collect()}
+        assert set(out) == set(range(1, 10))
+        for d in range(1, 10):
+            assert out[d].abs_dev < 0.02, (d, out[d])
+        import math
+        assert out[1].expected_frac == math.log10(2.0)
+
+    def test_uniform_data_deviates_and_digit_extraction(self, spark):
+        from dbldatagen_spark.functions import benford_report
+
+        uni = spark.range(10000, 100000).selectExpr("cast(id as double) as v")
+        out = {r.digit: r for r in benford_report(uni, "v").collect()}
+        assert abs(out[1].observed_frac - 1.0 / 9.0) < 0.01  # uniform digits
+        assert out[1].abs_dev > 0.15  # far from Benford's 0.301
+        # sub-1 values: leading zeros stripped (0.0042 -> digit 4)
+        small = spark.createDataFrame([(0.0042,), (0.91,), (-230.0,), (0.0,)],
+                                      ["v"])
+        got = {r.digit: r.n for r in benford_report(small, "v").collect()}
+        assert got == {4: 1, 9: 1}  # negatives and zeros excluded
