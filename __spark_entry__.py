@@ -4715,6 +4715,25 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of event values — the
+    persistence profile separating trending signals from noise. Every
+    sum folds left-to-right over the explicit (ts, event_id) total
+    order with a 0.0 seed, so the oracle's list_reduce over the same
+    ordered list reproduces each double bit-for-bit; NULL where
+    undefined (single event or zero variance)."""
+    from dbldatagen_spark.functions import autocorrelation
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        autocorrelation(
+            events, "user_id", "ts", "value", lag=1, order_col="event_id"
+        )
+        .select("user_id", "n", "acf")
+        .orderBy("user_id")
+    )
+
+
 def _lineitem_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford's-law first-digit screen over l_extendedprice (a
     naturally multiplicative magnitude): per digit 1-9 the observed
@@ -5329,6 +5348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trajectory_similarity": _events_trajectory_similarity,
         "customers_checksum": _customers_checksum,
         "lineitem_benford": _lineitem_benford,
+        "events_autocorrelation": _events_autocorrelation,
     }
 
 
@@ -6476,6 +6496,36 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "events_autocorrelation": """
+            WITH s AS (
+                SELECT user_id,
+                       list(value ORDER BY ts, event_id) AS vs
+                FROM events WHERE value IS NOT NULL
+                GROUP BY user_id
+            ),
+            m AS (
+                SELECT user_id, vs, len(vs) AS n,
+                       list_reduce(list_prepend(0.0::DOUBLE, vs),
+                                   (a, x) -> a + x) / len(vs) AS mu
+                FROM s
+            ),
+            f AS (
+                SELECT user_id, n, mu,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(range(1, greatest(n - 1, 1) + 1),
+                               i -> (vs[least(i, n)] - mu)
+                                    * (vs[least(i + 1, n)] - mu))),
+                           (a, x) -> a + x) AS num,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(vs, v -> (v - mu) * (v - mu))),
+                           (a, x) -> a + x) AS den
+                FROM m
+            )
+            SELECT user_id, n::BIGINT AS n,
+                   CASE WHEN n > 1 AND den > 0.0 THEN num / den END AS acf
+            FROM f
+            ORDER BY user_id
         """,
         "lineitem_benford": """
             WITH d AS (

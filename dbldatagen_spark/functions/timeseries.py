@@ -499,3 +499,72 @@ def trajectory_vectors(
         filled.alias("traj"),
         F.col("n_obs"),
     )
+
+
+def autocorrelation(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    lag: int = 1,
+    order_col: str,
+    out_col: str = "acf",
+) -> DataFrame:
+    """Per-key lag-``k`` autocorrelation of a value series — the
+    persistence/burstiness profile (near 1: trending metric; near 0:
+    noise; negative: oscillation) that separates real signals from
+    shuffled ones before a forecasting model ever trains:
+    ``r_k = sum((x_t - mu)(x_{t+k} - mu)) / sum((x_t - mu)^2)`` over
+    the key's time-ordered series.  Returns ``(key, n, out_col)`` with
+    NULL where undefined (``n <= lag`` or zero variance).
+
+    Engine-exact: every sum folds LEFT-TO-RIGHT over the explicit
+    ``(ts, order)`` total order with a 0.0 seed — the same sequence an
+    external list fold replays — so the doubles match bit-for-bit.
+    Ties on ``ts`` break by ``order_col``.
+
+    Scale shape: the :func:`ewma` bound — one shuffle of
+    ``(ts, order, value)`` triples per key; the lagged products are an
+    index walk over the key's own array, map-side.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    ev = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        )
+        .groupBy("_k")
+        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    )
+    vals = F.transform(F.col("_evts"), lambda e: e["v"])
+    n = F.size(vals)
+
+    def _fold(arr: Column) -> Column:
+        return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
+
+    mu = _fold(vals) / n.cast("double")
+    # ANSI element_at throws out-of-bounds and sequence(1, 0) DESCENDS,
+    # so both the range and the indices clamp — never rely on the outer
+    # when() to short-circuit evaluation
+    lagged = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(lag), F.lit(1))),
+        lambda i: (F.element_at(vals, F.least(i, n)) - mu)
+        * (F.element_at(vals, F.least(i + F.lit(lag), n)) - mu),
+    )
+    centered = F.transform(
+        vals, lambda v: (v - mu) * (v - mu)
+    )
+    num = F.when(n > lag, _fold(lagged)).otherwise(F.lit(0.0))
+    den = _fold(centered)
+    return ev.select(
+        F.col("_k").alias(key_col),
+        n.cast("long").alias("n"),
+        F.when((n > lag) & (den > 0.0), num / den).alias(out_col),
+    )

@@ -4449,3 +4449,59 @@ class TestBenfordReport:
                                       ["v"])
         got = {r.digit: r.n for r in benford_report(small, "v").collect()}
         assert got == {4: 1, 9: 1}  # negatives and zeros excluded
+
+
+class TestAutocorrelation:
+    def test_known_series(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import autocorrelation
+
+        vals = [1.0, 2.0, 3.0, 2.0, 1.0, 2.0, 3.0, 2.0, 1.0]
+        df = spark.createDataFrame(
+            [("k", f"2024-01-01 00:{i:02d}:00", i, v)
+             for i, v in enumerate(vals)],
+            "k string, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        got = autocorrelation(df, "k", "ts", "v", lag=1,
+                              order_col="oid").collect()[0]
+        x = np.array(vals)
+        mu = x.sum() / len(x)
+        want = ((x[:-1] - mu) * (x[1:] - mu)).sum() / ((x - mu) ** 2).sum()
+        assert abs(got.acf - want) < 1e-12 and got.n == 9
+
+    def test_trend_vs_shuffled_and_edges(self, spark):
+        from dbldatagen_spark.functions import autocorrelation
+
+        trend = spark.createDataFrame(
+            [("t", f"2024-01-01 00:{i:02d}:00", i, float(i))
+             for i in range(30)],
+            "k string, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        r = autocorrelation(trend, "k", "ts", "v", lag=1,
+                            order_col="oid").collect()[0].acf
+        assert r > 0.8  # a ramp is strongly persistent
+        # n <= lag and zero-variance keys -> NULL, not an error
+        edge = spark.createDataFrame(
+            [("single", "2024-01-01", 1, 5.0),
+             ("const", "2024-01-01", 1, 2.0),
+             ("const", "2024-01-02", 2, 2.0)],
+            "k string, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        out = {r.k: r.acf for r in
+               autocorrelation(edge, "k", "ts", "v", lag=1,
+                               order_col="oid").collect()}
+        assert out == {"single": None, "const": None}
+
+    def test_partition_independent_and_validation(self, spark):
+        from dbldatagen_spark.functions import autocorrelation
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        def run(p):
+            return sorted(map(tuple, autocorrelation(
+                events.repartition(p), "user_id", "ts", "value",
+                lag=2, order_col="event_id").collect()))
+        assert run(3) == run(11)
+        with pytest.raises(ValueError):
+            autocorrelation(events, "user_id", "ts", "value", lag=0,
+                            order_col="event_id")
