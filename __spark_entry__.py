@@ -4715,6 +4715,27 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _events_behavior_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral signatures: each user's own 5x5 event-type
+    transition-frequency matrix, row-flattened over a FIXED vocabulary
+    (stable feature order across runs) — the categorical twin of the
+    trajectory envelope; cosine/kNN over `behavior` finds users who
+    behave alike. Frequencies are integer ratios assembled in fixed
+    index order, so the oracle reproduces every array element
+    exactly."""
+    from dbldatagen_spark.functions import behavior_vectors
+
+    events = _load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        behavior_vectors(
+            events, "user_id", "ts", "event_type",
+            order_col="event_id", states=types,
+        )
+        .orderBy("user_id")
+    )
+
+
 def _events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user lag-1 autocorrelation of event values — the
     persistence profile separating trending signals from noise. Every
@@ -5349,6 +5370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customers_checksum": _customers_checksum,
         "lineitem_benford": _lineitem_benford,
         "events_autocorrelation": _events_autocorrelation,
+        "events_behavior_vectors": _events_behavior_vectors,
     }
 
 
@@ -6496,6 +6518,43 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "events_behavior_vectors": """
+            WITH vocab(name, i) AS (
+                VALUES ('click', 0), ('error', 1), ('purchase', 2),
+                       ('signup', 3), ('view', 4)
+            ),
+            led AS (
+                SELECT user_id, event_type AS ft,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS tt
+                FROM events
+            ),
+            pairs AS (
+                SELECT l.user_id, (vf.i * 5 + vt.i) AS idx
+                FROM led l
+                JOIN vocab vf ON vf.name = l.ft
+                JOIN vocab vt ON vt.name = l.tt
+            ),
+            counts AS (
+                SELECT user_id, idx, count(*)::BIGINT AS c
+                FROM pairs GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT user_id, sum(c)::BIGINT AS t FROM counts GROUP BY 1
+            ),
+            spine AS (
+                SELECT t.user_id, g.i AS idx, t.t
+                FROM tot t CROSS JOIN (SELECT unnest(range(0, 25)) AS i) g
+            )
+            SELECT s.user_id,
+                   list(coalesce(c.c, 0)::DOUBLE / s.t ORDER BY s.idx)
+                       AS behavior,
+                   max(s.t)::BIGINT AS n_transitions
+            FROM spine s
+            LEFT JOIN counts c ON c.user_id = s.user_id AND c.idx = s.idx
+            GROUP BY s.user_id
+            ORDER BY s.user_id
         """,
         "events_autocorrelation": """
             WITH s AS (

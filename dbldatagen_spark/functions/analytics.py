@@ -258,3 +258,73 @@ def common_paths(
     return topk.withColumn("rank", F.row_number().over(wr).cast("int")).orderBy(
         "rank"
     )
+
+
+def behavior_vectors(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    order_col: str,
+    states: Sequence[str],
+) -> DataFrame:
+    """Per-key behavioral signature: the row-flattened ``k x k`` matrix
+    of the KEY'S OWN transition frequencies over the explicit
+    ``states`` vocabulary — ``vec[i*k + j] = n(i -> j) / total`` — the
+    categorical twin of ``timeseries.trajectory_vectors``: cosine or
+    kNN over ``behavior`` finds keys that *behave* alike, k-means over
+    it clusters personas.  :func:`transition_matrix` aggregates the
+    whole population; this keeps one distribution per key.
+
+    ``states`` is explicit so dimensionality and index order are fixed
+    (stable features across runs and datasets); transitions touching
+    states outside the vocabulary are ignored and keys with no
+    in-vocabulary transitions are dropped.  Frequencies are integer
+    ratios — engine-exact.  Returns ``(key, behavior array<double>,
+    n_transitions)``.
+
+    Scale shape: one key shuffle for the lag window, reused by the
+    per-key aggregation; only ``(key, state-pair index)`` rows move and
+    the vector assembles from a bounded ``k^2`` map per key.
+    """
+    if len(states) < 2:
+        raise ValueError(f"states needs >= 2 entries, got {len(states)}")
+    if len(set(states)) != len(states):
+        raise ValueError("states must be distinct")
+    k = len(states)
+    vocab = F.array(*[F.lit(s) for s in states])
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).cast("timestamp"), F.col(order_col)
+    )
+    # array_position is 1-based, 0 when absent
+    fi = F.array_position(vocab, F.col(state_col)) - 1
+    ti = F.array_position(vocab, F.lead(state_col).over(w)) - 1
+    pairs = (
+        df.withColumn("_fi", fi)
+        .withColumn("_ti", ti)
+        .where((F.col("_fi") >= 0) & (F.col("_ti") >= 0))
+        .select(
+            F.col(key_col),
+            (F.col("_fi") * k + F.col("_ti")).cast("int").alias("_idx"),
+        )
+    )
+    counts = pairs.groupBy(key_col, "_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    per_key = counts.groupBy(key_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_idx"), F.col("_c")))
+        ).alias("_m"),
+        F.sum("_c").cast("long").alias("n_transitions"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(k * k - 1)),
+        lambda i: F.coalesce(
+            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+        ).cast("double")
+        / F.col("n_transitions").cast("double"),
+    )
+    return per_key.select(
+        F.col(key_col), vec.alias("behavior"), F.col("n_transitions")
+    )

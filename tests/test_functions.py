@@ -4505,3 +4505,52 @@ class TestAutocorrelation:
         with pytest.raises(ValueError):
             autocorrelation(events, "user_id", "ts", "value", lag=0,
                             order_col="event_id")
+
+
+class TestBehaviorVectors:
+    def test_known_pattern(self, spark):
+        from dbldatagen_spark.functions import behavior_vectors
+
+        rows = [("u", f"2024-01-01 00:{i:02d}:00", i, s)
+                for i, s in enumerate(["a", "b", "a", "b", "c"])]
+        df = spark.createDataFrame(rows, "k string, ts string, oid int, s string")
+        out = behavior_vectors(df, "k", "ts", "s", order_col="oid",
+                               states=["a", "b", "c"]).collect()[0]
+        # transitions: a->b (x2), b->a, b->c over 4 total
+        assert out.n_transitions == 4
+        v = out.behavior
+        assert v[0 * 3 + 1] == 0.5            # a->b
+        assert v[1 * 3 + 0] == 0.25           # b->a
+        assert v[1 * 3 + 2] == 0.25           # b->c
+        assert sum(v) == 1.0 and len(v) == 9
+
+    def test_vocab_filter_and_similarity_use(self, spark):
+        from dbldatagen_spark.functions import behavior_vectors
+
+        rows = [("u", "2024-01-01 00:00:00", 0, "a"),
+                ("u", "2024-01-01 00:01:00", 1, "zzz"),   # out of vocab
+                ("u", "2024-01-01 00:02:00", 2, "b"),
+                ("solo", "2024-01-01 00:00:00", 0, "a")]  # no transitions
+        df = spark.createDataFrame(rows, "k string, ts string, oid int, s string")
+        out = {r.k: r for r in behavior_vectors(
+            df, "k", "ts", "s", order_col="oid", states=["a", "b"]).collect()}
+        assert "solo" not in out  # dropped, not a zero vector
+        assert "u" not in out     # its only pairs touch zzz -> ignored
+
+    def test_events_and_validation(self, spark):
+        from dbldatagen_spark.functions import behavior_vectors
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        types = [r.event_type for r in
+                 events.select("event_type").distinct().orderBy("event_type").collect()]
+        out = behavior_vectors(events, "user_id", "ts", "event_type",
+                               order_col="event_id", states=types)
+        r = out.collect()
+        assert all(abs(sum(x.behavior) - 1.0) < 1e-9 for x in r)
+        assert all(len(x.behavior) == len(types) ** 2 for x in r)
+        with pytest.raises(ValueError):
+            behavior_vectors(events, "user_id", "ts", "event_type",
+                             order_col="event_id", states=["x"])
+        with pytest.raises(ValueError):
+            behavior_vectors(events, "user_id", "ts", "event_type",
+                             order_col="event_id", states=["x", "x"])
