@@ -4715,6 +4715,50 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.crossJoin(diff)
 
 
+def _docs_hybrid_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers over documents — the
+    standard hybrid-search combiner: retriever A ranks by length
+    (n_chars), retriever B by query-term hit count, each contributing
+    its TOP-100 candidate list (limit-after-orderBy plans as
+    TakeOrderedAndProject, so the rank window runs over <= 100 rows,
+    never the corpus — the realistic fuse-the-heads shape). Both ranks
+    are integer sorts with id tiebreaks and the fused score is a
+    sorted fold of 1/(60+rank) terms, so every double reproduces
+    exactly; top-15 emitted."""
+    from pyspark.sql import Window
+
+    from dbldatagen_spark.functions import rrf_fuse
+
+    docs = _load(spark, sf_dir, "documents")
+    ra_base = docs.select("doc_id", "n_chars").orderBy(
+        F.col("n_chars").desc(), "doc_id"
+    ).limit(100)
+    ra = ra_base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("token"),
+    )
+    hits = (
+        toks.where(F.col("token").isin("window", "column", "scan"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    rb_base = hits.orderBy(F.col("_c").desc(), "doc_id").limit(100)
+    rb = rb_base.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("_c").desc(), "doc_id"))
+        .alias("rank"),
+    )
+    fused = rrf_fuse([ra, rb], "doc_id", k=60)
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(15)
+
+
 def _events_behavior_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral signatures: each user's own 5x5 event-type
     transition-frequency matrix, row-flattened over a FIXED vocabulary
@@ -5371,6 +5415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": _lineitem_benford,
         "events_autocorrelation": _events_autocorrelation,
         "events_behavior_vectors": _events_behavior_vectors,
+        "docs_hybrid_ranking": _docs_hybrid_ranking,
     }
 
 
@@ -6518,6 +6563,54 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT e.user_id, v.w AS exact_count, e.cms_count
             FROM est e JOIN vals v ON v.user_id = e.user_id
             ORDER BY e.user_id
+        """,
+        "docs_hybrid_ranking": """
+            WITH ra_base AS (
+                SELECT doc_id, n_chars FROM documents
+                ORDER BY n_chars DESC, doc_id LIMIT 100
+            ),
+            ra AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                           AS rank
+                FROM ra_base
+            ),
+            toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(trim(text)), '\\s+'))
+                           AS token
+                FROM documents
+            ),
+            hits AS (
+                SELECT doc_id, count(*)::BIGINT AS c
+                FROM toks WHERE token IN ('window', 'column', 'scan')
+                GROUP BY doc_id
+            ),
+            rb_base AS (
+                SELECT doc_id, c FROM hits ORDER BY c DESC, doc_id LIMIT 100
+            ),
+            rb AS (
+                SELECT doc_id,
+                       row_number() OVER (ORDER BY c DESC, doc_id) AS rank
+                FROM rb_base
+            ),
+            u AS (
+                SELECT doc_id,
+                       1.0::DOUBLE / (60.0::DOUBLE + rank) AS s FROM ra
+                UNION ALL
+                SELECT doc_id,
+                       1.0::DOUBLE / (60.0::DOUBLE + rank) FROM rb
+            ),
+            f AS (
+                SELECT doc_id,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                                                list_sort(list(s))),
+                                   (a, x) -> a + x) AS rrf_score,
+                       count(*)::BIGINT AS n_rankings
+                FROM u GROUP BY doc_id
+            )
+            SELECT doc_id, rrf_score, n_rankings
+            FROM f ORDER BY rrf_score DESC, doc_id LIMIT 15
         """,
         "events_behavior_vectors": """
             WITH vocab(name, i) AS (

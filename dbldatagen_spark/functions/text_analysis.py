@@ -900,3 +900,53 @@ def mojibake_stats(
         ratio.alias("mojibake_ratio"),
         (ratio > F.lit(float(flag_threshold))).alias("is_mojibake"),
     )
+
+
+def rrf_fuse(
+    rankings: "Sequence[DataFrame]",
+    id_col: str,
+    rank_col: str = "rank",
+    *,
+    k: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: given N rankings of the same id
+    space (BM25, vector cosine, recency, …), each item scores
+    ``sum over rankings of 1 / (k + rank)``.  Rank-based fusion needs
+    no score normalization across heterogeneous retrievers, which is
+    why it is the default hybrid in RAG stacks.  Returns
+    ``(id, rrf_score, n_rankings)`` — items missing from a ranking
+    simply contribute nothing for it.
+
+    Engine-exact: the per-id contributions fold over the SORTED score
+    list (the repo's portable sorted-fold idiom), so the sum is
+    identical under any engine or ranking order, not just for two
+    rankings where commutativity alone suffices.
+
+    Scale shape: one union + one map-side-combined aggregation of
+    ``(id, 8-byte score)`` rows — fusing N rankings of M items moves
+    ``N x M`` tiny rows, never documents or vectors.
+    """
+    if not rankings:
+        raise ValueError("rankings must name at least one ranking frame")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double")))
+            .alias("_s"),
+        )
+        u = part if u is None else u.unionByName(part)
+    return (
+        u.groupBy(id_col)
+        .agg(
+            F.aggregate(
+                F.array_sort(F.collect_list("_s")),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ).alias("rrf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_rankings"),
+        )
+    )

@@ -4554,3 +4554,40 @@ class TestBehaviorVectors:
         with pytest.raises(ValueError):
             behavior_vectors(events, "user_id", "ts", "event_type",
                              order_col="event_id", states=["x", "x"])
+
+
+class TestRRFFuse:
+    def test_fusion_arithmetic_and_missing_items(self, spark):
+        from dbldatagen_spark.functions import rrf_fuse
+
+        a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["id", "rank"])
+        b = spark.createDataFrame([(3, 1), (1, 2)], ["id", "rank"])
+        out = {r.id: r for r in rrf_fuse([a, b], "id", k=60).collect()}
+        assert out[1].rrf_score == sorted([1/61, 1/62])[0] + sorted([1/61, 1/62])[1]
+        assert abs(out[1].rrf_score - (1/61 + 1/62)) < 1e-15
+        assert out[2].n_rankings == 1 and out[2].rrf_score == 1/62
+        assert out[3].n_rankings == 2
+        # consensus item 1 (ranks 1,2) beats single-list leader 3 (1, 3)? no:
+        # 3 has ranks 3 and 1 -> 1/63 + 1/61; 1 has 1/61 + 1/62 -> 1 wins
+        assert out[1].rrf_score > out[3].rrf_score
+
+    def test_order_of_rankings_irrelevant(self, spark):
+        from dbldatagen_spark.functions import rrf_fuse
+
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        from pyspark.sql import Window
+        r1 = docs.select("doc_id", F.row_number().over(
+            Window.orderBy(F.col("n_chars").desc(), "doc_id")).alias("rank"))
+        r2 = docs.select("doc_id", F.row_number().over(
+            Window.orderBy(F.col("lang"), "doc_id")).alias("rank"))
+        ab = sorted(map(tuple, rrf_fuse([r1, r2], "doc_id").collect()))
+        ba = sorted(map(tuple, rrf_fuse([r2, r1], "doc_id").collect()))
+        assert ab == ba
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import rrf_fuse
+
+        with pytest.raises(ValueError):
+            rrf_fuse([], "id")
+        with pytest.raises(ValueError):
+            rrf_fuse([spark.range(1)], "id", k=0)
