@@ -4663,7 +4663,9 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup = base.selectExpr("media_id + 1000 as media_id", "payload")
         return image_near_duplicates(base.unionByName(dup))
 
-    p = pairs(4)
+    # decode once per partitioning: cache each pair set so the invariant
+    # stats and the partitioning-stability diff share one decode pass
+    p, d2 = pairs(4).cache(), pairs(7).cache()
     stats = p.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(
@@ -4672,9 +4674,8 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_planted"),
         F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
     )
-    d1, d2 = pairs(4), pairs(7)
     diff = (
-        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
     return stats.crossJoin(diff)
@@ -4698,7 +4699,9 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup = base.selectExpr("media_id + 1000 as media_id", "payload")
         return audio_near_duplicates(base.unionByName(dup))
 
-    p = pairs(4)
+    # decode once per partitioning: cache each pair set so the invariant
+    # stats and the partitioning-stability diff share one decode pass
+    p, d2 = pairs(4).cache(), pairs(7).cache()
     stats = p.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(
@@ -4707,9 +4710,8 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_planted"),
         F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
     )
-    d1, d2 = pairs(4), pairs(7)
     diff = (
-        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
     return stats.crossJoin(diff)
@@ -5037,7 +5039,9 @@ def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         dup = base.selectExpr("media_id + 1000 as media_id", "payload")
         return video_near_duplicates(base.unionByName(dup))
 
-    p = pairs(4)
+    # decode once per partitioning: cache each pair set so the invariant
+    # stats and the partitioning-stability diff share one decode pass
+    p, d2 = pairs(4).cache(), pairs(7).cache()
     stats = p.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.sum(
@@ -5046,9 +5050,8 @@ def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_planted"),
         F.coalesce(F.max("hamming"), F.lit(0)).cast("long").alias("max_hamming"),
     )
-    d1, d2 = pairs(4), pairs(7)
     diff = (
-        d1.exceptAll(d2).union(d2.exceptAll(d1))
+        p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
     return stats.crossJoin(diff)
@@ -5199,26 +5202,85 @@ def _customers_derive_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
-    family (generation, scripts/serialization, analyzer, relational,
-    events joins, ANN/embeddings, dedup, sampling, multimodal, text);
-    redundant variants of already-covered shapes follow after.
+    family; redundant variants of already-covered shapes follow after.
 
-    Round-5 rotation: the 19 round-4 operators (real Structured
-    Streaming sessions/dedup/capped sessions, WAV/video/PPM-resize
-    decoders, charlm/gopher/DSIR quality scoring, semantic/fuzzy/
-    incremental dedup, gap fill, k-anonymity, hot-key profiling,
-    packing/mixing/length histogram) get their first driver rows;
-    TPC-H q9 (3-broadcast star) and q21 (anti-join-heavy) rejoin the
-    window so the join family keeps live external rows, and
-    dedup_embedding_cosine returns for the core LLM-dedup family.
-    Demoted: the 20 generator stalwarts plus events_sessionize and
-    ann_knn_join, each with >=3 consecutive green driver rounds;
-    generation coverage stays via the conformance/round-trip suite
-    (sink, scripts, serialization, streaming, template/iltext/faker,
-    constraint gate, analyzer codegen), sessionization via the three
-    streaming-state queries, ANN via the embedding-cosine dedup."""
+    Round-6 rotation (family-triaged per VERDICT r5): every family with
+    zero driver history gets a representative — SCD2/CDC, watermark and
+    stream-stream/stream-static streaming, ANN (k-means IVF / LSH recall /
+    brute cosine), retrieval (TF-IDF/BM25/RRF), the session-2 sketch+fold
+    cohort (EWMA/CUSUM/CMS/KMV/histogram/behavior/trajectory/
+    autocorrelation), perceptual multimodal near-dup, behavioral
+    analytics (funnel/cohort/transition/seasonal), privacy/quality
+    profiling, and document sampling.  TPC-H q3+q5 rejoin (last rows r3),
+    and four demoted core generator queries return (distribution shapes,
+    null fraction, unique temporal, FK integrity).  Demoted: the entire
+    round-5 cohort — all 50 were green on their most recent exposure.
+    The full query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- driver-checked cohort: one row per operator family ---
+        # --- round-6 driver window: family-triaged rotation ---
+        # core generator machinery rejoins (distributions, null mask,
+        # unique values, FK integrity) + never-checked conformance gens
+        "gen_distribution_shapes": _gen_distribution_shapes,
+        "gen_null_fraction": _gen_null_fraction,
+        "gen_unique_temporal": _gen_unique_temporal,
+        "gen_fk_integrity": _gen_fk_integrity,
+        "gen_copula_conformance": _gen_copula_conformance,
+        "gen_markov_conformance": _gen_markov_conformance,
+        "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
+        # TPC-H rotation: q3 + q5 back for live driver rows
+        "q3_top_revenue": _q3_top_unshipped,
+        "q5_region_revenue": _q5_region_revenue,
+        # SCD2 / CDC family
+        "events_scd2_intervals": _events_scd2_intervals,
+        "events_scd2_lookup": _events_scd2_lookup,
+        "events_cdc_apply": _events_cdc_apply,
+        "customers_derive_cdc": _customers_derive_cdc,
+        "events_streaming_cdc": _events_streaming_cdc,
+        # watermark + stream-stream + stream-static (real checkpointed runs)
+        "events_watermark_dedup": _events_watermark_dedup,
+        "events_watermark_late_counts": _events_watermark_late_counts,
+        "events_stream_stream_left_join": _events_stream_stream_left_join,
+        "events_stream_static_join": _events_stream_static_join,
+        # ANN / embeddings
+        "ann_kmeans_ivf": _ann_kmeans_ivf,
+        "ann_lsh_recall": _ann_lsh_recall,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "emb_mrl_truncation": _emb_mrl_truncation,
+        # retrieval (TF-IDF / BM25 / reciprocal-rank fusion)
+        "text_tfidf": _text_tfidf,
+        "text_bm25_search": _text_bm25_search,
+        "docs_hybrid_ranking": _docs_hybrid_ranking,
+        # mergeable sketches + per-key folds
+        "events_ewma": _events_ewma,
+        "events_cusum_flags": _events_cusum_flags,
+        "events_cms_heavy_hitters": _events_cms_heavy_hitters,
+        "events_cms_join_size": _events_cms_join_size,
+        "events_histogram_quantiles": _events_histogram_quantiles,
+        "events_kmv_daily_merge": _events_kmv_daily_merge,
+        "events_behavior_vectors": _events_behavior_vectors,
+        "events_trajectory_similarity": _events_trajectory_similarity,
+        "events_autocorrelation": _events_autocorrelation,
+        "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
+        # perceptual near-dup over real PPM/WAV decoders
+        "multimodal_image_near_dup": _multimodal_image_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "multimodal_video_near_dup": _multimodal_video_near_dup,
+        # behavioral analytics
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_seasonal_anomalies": _events_seasonal_anomalies,
+        # quality / privacy / profiling
+        "privacy_dp_counts": _privacy_dp_counts,
+        "lineitem_expectations": _lineitem_expectations,
+        "events_psi_drift": _events_psi_drift,
+        "customers_rfm_segments": _customers_rfm_segments,
+        "customers_checksum": _customers_checksum,
+        "lineitem_benford": _lineitem_benford,
+        # document sampling
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_source_quota": _docs_source_quota,
+        # --- additional variants (locally oracle-checked; see ROTATION.md) ---
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraint_stream_gate": _gen_constraint_stream_gate,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
@@ -5247,9 +5309,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _text_entropy,
         "text_repetition": _text_repetition,
         "text_boilerplate_strip": _text_boilerplate_strip,
-        # round-5 promotions: real streaming state, real media decoders,
-        # quality/packing/privacy/skew ops, rejoined TPC-H star + anti-join,
-        # and the embedding-cosine dedup representative
         "events_streaming_sessions": _events_streaming_sessions,
         "docs_streaming_dedup": _docs_streaming_dedup,
         "events_capped_sessions": _events_capped_sessions,
@@ -5272,62 +5331,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
-        # --- additional variants (locally oracle-checked) ---
-        # round-6 rotation leads: real-run watermark path (streaming dedup
-        # within watermark, late-data admission/drop on windowed counts)
-        "events_watermark_dedup": _events_watermark_dedup,
-        "events_watermark_late_counts": _events_watermark_late_counts,
-        "events_scd2_intervals": _events_scd2_intervals,
-        "events_scd2_lookup": _events_scd2_lookup,
         "events_stream_stream_join": _events_stream_stream_join,
-        "events_stream_stream_left_join": _events_stream_stream_left_join,
-        "events_cdc_apply": _events_cdc_apply,
-        "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
         "events_session_features": _events_session_features,
         "events_missing_hours": _events_missing_hours,
         "events_rate_limit": _events_rate_limit,
-        "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
         "text_mojibake": _text_mojibake,
         "events_ohlc_bars": _events_ohlc_bars,
         "events_common_paths": _events_common_paths,
-        "events_transition_matrix": _events_transition_matrix,
         "events_scd2_validate": _events_scd2_validate,
         "events_asof_nearest": _events_asof_nearest,
-        "events_seasonal_anomalies": _events_seasonal_anomalies,
         "events_incremental_agg": _events_incremental_agg,
-        "emb_mrl_truncation": _emb_mrl_truncation,
-        "events_streaming_cdc": _events_streaming_cdc,
         "events_sequence_gaps": _events_sequence_gaps,
-        "privacy_dp_counts": _privacy_dp_counts,
-        "events_stream_static_join": _events_stream_static_join,
-        "customers_rfm_segments": _customers_rfm_segments,
         "events_zorder_layout": _events_zorder_layout,
-        "lineitem_expectations": _lineitem_expectations,
-        "events_psi_drift": _events_psi_drift,
         "events_span_overlap": _events_span_overlap,
         "events_feature_scaling": _events_feature_scaling,
         "docs_contrastive_negatives": _docs_contrastive_negatives,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "docs_source_quota": _docs_source_quota,
         "docs_token_budget": _docs_token_budget,
         "events_winsorized_stats": _events_winsorized_stats,
-        # round-5 demotions: >=3 consecutive green driver rounds each;
-        # family coverage stays in-cohort (generation via the conformance
-        # suite + sink/scripts/serialization round-trips, sessions via the
-        # streaming session queries, ANN via embedding-cosine dedup)
         "gen_sequence": _gen_sequence,
         "gen_range_cycle": _gen_range_cycle,
         "gen_values_cycle": _gen_values_cycle,
         "gen_timestamp_cycle": _gen_timestamp_cycle,
         "gen_expression": _gen_expression,
-        "gen_fk_integrity": _gen_fk_integrity,
         "gen_determinism": _gen_determinism,
         "gen_uuid_conformance": _gen_uuid_conformance,
         "gen_pattern_conformance": _gen_pattern_conformance,
-        "gen_null_fraction": _gen_null_fraction,
         "gen_weighted_shape": _gen_weighted_shape,
-        "gen_distribution_shapes": _gen_distribution_shapes,
         "gen_unique_combinations": _gen_unique_combinations,
         "gen_sales_order_ri": _gen_sales_order_ri,
         "gen_constant_seedfrom": _gen_constant_seedfrom,
@@ -5335,17 +5364,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_constraints": _gen_constraints,
         "gen_template_conformance": _gen_template_conformance,
         "gen_array_features": _gen_array_features,
-        "gen_unique_temporal": _gen_unique_temporal,
         "events_sessionize": _events_sessionize,
         "ann_knn_join": _ann_knn_join,
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
-        "q5_region_revenue": _q5_region_revenue,
         "emb_quantization": _emb_quantization,
         "dedup_cluster_canonical": _dedup_cluster_canonical,
         "text_vocabulary": _text_vocabulary,
         "gen_date_cycle": _gen_date_cycle,
-        "q3_top_revenue": _q3_top_unshipped,
         "q14_promo_share": _q14_promo_share,
         "q11_important_parts": _q11_important_parts,
         "events_session_range_join": _events_session_range_join,
@@ -5373,17 +5399,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_label_centroids": _emb_label_centroids,
         "dedup_components": _dedup_components,
         "dedup_simhash": _dedup_simhash,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "ann_lsh_recall": _ann_lsh_recall,
         "text_token_stats": _text_token_stats,
         "text_fingerprint": _text_fingerprint,
         "text_chunking": _text_chunking,
         "text_ngram_counts": _text_ngram_counts,
         "text_training_shards": _text_training_shards,
         "corpus_sketch_stats": _corpus_sketch_stats,
-        "text_tfidf": _text_tfidf,
-        "text_bm25_search": _text_bm25_search,
-        "ann_kmeans_ivf": _ann_kmeans_ivf,
         "events_pivot_daily": _events_pivot_daily,
         "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
@@ -5395,27 +5416,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_deterministic": _sample_deterministic,
         "sample_stratified": _sample_stratified,
         "events_rollup_daily": _events_rollup_daily,
-        "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
         "events_kmv_distinct": _events_kmv_distinct,
-        "events_ewma": _events_ewma,
-        "events_cusum_flags": _events_cusum_flags,
-        "customers_derive_cdc": _customers_derive_cdc,
         "events_cms_user_counts": _events_cms_user_counts,
-        "events_cms_join_size": _events_cms_join_size,
-        "events_histogram_quantiles": _events_histogram_quantiles,
-        "events_cms_heavy_hitters": _events_cms_heavy_hitters,
-        "multimodal_image_near_dup": _multimodal_image_near_dup,
-        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
-        "multimodal_video_near_dup": _multimodal_video_near_dup,
-        "events_kmv_daily_merge": _events_kmv_daily_merge,
-        "gen_copula_conformance": _gen_copula_conformance,
-        "gen_markov_conformance": _gen_markov_conformance,
-        "events_trajectory_similarity": _events_trajectory_similarity,
-        "customers_checksum": _customers_checksum,
-        "lineitem_benford": _lineitem_benford,
-        "events_autocorrelation": _events_autocorrelation,
-        "events_behavior_vectors": _events_behavior_vectors,
-        "docs_hybrid_ranking": _docs_hybrid_ranking,
     }
 
 

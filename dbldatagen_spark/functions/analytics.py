@@ -19,6 +19,11 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dbldatagen_spark.functions.timeseries import (
+    DEFAULT_MAX_EVENTS_SCAN_FOLD,
+    _divert_oversized_keys,
+)
+
 
 def funnel_steps(
     df: DataFrame,
@@ -26,6 +31,8 @@ def funnel_steps(
     ts_col: str,
     step_col: str,
     steps: Sequence[str],
+    *,
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
 ) -> DataFrame:
     """Ordered-funnel conversion: for each user, walk ``steps`` in order
     and record the deepest stage reached, where stage k+1 requires an
@@ -46,7 +53,12 @@ def funnel_steps(
     and folded through a stage machine via ``F.aggregate`` — JVM
     higher-order function, no UDF, no join per step. Per-user state is
     the user's own funnel events only; the final count is a bounded
-    conditional aggregation.
+    conditional aggregation.  A user with a viral event count would be
+    one straggler task, so ``max_events_per_key`` (default
+    ``timeseries.DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts oversized
+    users before their array builds; audit with
+    ``timeseries.fold_key_report(df, user_col,
+    where=f"{step_col} IN (...)")`` — no silent caps.
     """
     if not steps:
         raise ValueError("steps must name at least one funnel step")
@@ -55,18 +67,17 @@ def funnel_steps(
     n = len(steps)
     step_arr = F.array(*[F.lit(s) for s in steps])
 
-    per_user = (
-        df.where(F.col(step_col).isin(list(steps)))
-        .select(
+    per_user = _divert_oversized_keys(
+        df.where(F.col(step_col).isin(list(steps))).select(
             F.col(user_col).alias("_u"),
             F.struct(
                 F.col(ts_col).cast("timestamp").alias("t"),
                 F.col(step_col).alias("s"),
             ).alias("_e"),
-        )
-        .groupBy("_u")
-        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
-    )
+        ),
+        "_u",
+        max_events_per_key,
+    ).groupBy("_u").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
 
     init = F.struct(
         F.lit(0).alias("stage"),

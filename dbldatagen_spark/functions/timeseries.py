@@ -15,6 +15,83 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Default per-key event caps for the batch fold family.  The folds
+# collect one key's full (filtered) event history into a single array
+# and fold it in one task, so a viral key is a straggler, the
+# append-folds (ewma/cusum) do quadratic element-copy work, and at the
+# extreme the 2 GB array ceiling applies.  APPEND_FOLD covers the
+# folds that rebuild their output array each step (quadratic copies —
+# ~100k events is already ~5e9 element moves in one task); SCAN_FOLD
+# covers the O(n)-per-key folds whose bound is memory/straggler only.
+DEFAULT_MAX_EVENTS_APPEND_FOLD = 100_000
+DEFAULT_MAX_EVENTS_SCAN_FOLD = 1_000_000
+
+
+def _divert_oversized_keys(
+    ev: DataFrame, key: str, cap: Optional[int]
+) -> DataFrame:
+    """Enforce a ``max_events_per_key`` cap on a pre-fold
+    ``(key, event)`` frame: keys whose (post-filter) event count
+    exceeds ``cap`` are diverted — removed BEFORE any ``collect_list``
+    materializes their history, so the hot key never builds its array
+    at all.  ``cap=None`` disables the guard (explicit opt-out).
+
+    Scale shape: one extra count-per-key aggregation (map-side
+    combined, only ``(key, long)`` pairs shuffle) and a left-anti join
+    whose right side is the oversized-key set — by premise a handful
+    of viral keys, so AQE broadcasts it.  Divert, don't die: the
+    bounded keys still compute, and :func:`fold_key_report` (run with
+    the same filter) names every diverted key — no silent caps.  Point
+    diverted keys at the O(1)-state streaming twins
+    (``streaming.stateful.ewma_with_state`` / ``cusum_with_state``)
+    replayed over the key's ordered history.
+    """
+    if cap is None:
+        return ev
+    if cap < 1:
+        raise ValueError(f"max_events_per_key must be >= 1, got {cap}")
+    over = (
+        ev.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n_ev"))
+        .where(F.col("_n_ev") > cap)
+        .select(key)
+    )
+    return ev.join(over, key, "left_anti")
+
+
+def fold_key_report(
+    df: DataFrame,
+    key_col: str,
+    *,
+    max_events_per_key: int,
+    where: Optional[str] = None,
+) -> DataFrame:
+    """Companion audit for the fold family's ``max_events_per_key``
+    guard — "no silent caps": one row per key the cap diverted,
+    ``(key, n_events, action='diverted')``, descending by size.  Pass
+    the same event filter the guarded fold applies via ``where`` (a
+    SQL boolean expression): ``"value IS NOT NULL"`` for
+    :func:`ewma` / :func:`cusum_flags` / :func:`trajectory_vectors` /
+    :func:`autocorrelation`, ``"step IN (...)"`` for
+    ``analytics.funnel_steps``.  Empty result = the guard never fired
+    and the fold covered every key.
+
+    Scale shape: count-only aggregation — ``(key, long)`` pairs
+    shuffle, nothing else.
+    """
+    if max_events_per_key < 1:
+        raise ValueError(
+            f"max_events_per_key must be >= 1, got {max_events_per_key}"
+        )
+    base = df.where(F.expr(where)) if where else df
+    return (
+        base.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .where(F.col("n_events") > max_events_per_key)
+        .select("key", "n_events", F.lit("diverted").alias("action"))
+        .orderBy(F.col("n_events").desc(), "key")
+    )
+
 
 def time_gap_fill(
     df: DataFrame,
@@ -225,6 +302,7 @@ def ewma(
     alpha: float,
     order_col: str,
     out_col: str = "ewma",
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
 ) -> DataFrame:
     """Exponentially weighted moving average per key over time order:
     ``s_0 = v_0``, ``s_i = alpha*v_i + (1-alpha)*s_{i-1}`` — a genuinely
@@ -246,27 +324,31 @@ def ewma(
     nothing but ``(ts, order, value)`` triples ever shuffles.  Honest
     limit: the fold appends to its output array each step, which is
     quadratic ELEMENT-COPY work within one key — negligible to ~10k
-    events/key, but for a single very hot key (millions of events)
-    run the streaming twin
+    events/key, but a single very hot key (millions of events) would
+    be one straggler task and ultimately the 2 GB array ceiling — so
+    ``max_events_per_key`` (default ``DEFAULT_MAX_EVENTS_APPEND_FOLD``)
+    guards it: oversized keys are DIVERTED before their array ever
+    builds (count-per-key pre-pass, only ``(key, long)`` shuffles), and
+    :func:`fold_key_report` with ``where=f"{value_col} IS NOT NULL"``
+    names every diverted key — no silent caps.  Run the streaming twin
     (``streaming.stateful.ewma_with_state`` — O(1) state, O(n) work)
-    over the key's ordered history instead.
+    over a diverted key's ordered history instead.  ``None`` opts out.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     a = F.lit(float(alpha))
-    ev = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
+    ev = _divert_oversized_keys(
+        df.where(F.col(value_col).isNotNull()).select(
             F.col(key_col).alias("_k"),
             F.struct(
                 F.col(ts_col).alias("t"),
                 F.col(order_col).alias("o"),
                 F.col(value_col).cast("double").alias("v"),
             ).alias("_e"),
-        )
-        .groupBy("_k")
-        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
-    )
+        ),
+        "_k",
+        max_events_per_key,
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
     init = F.struct(
         F.array().cast("array<double>").alias("arr"),
         F.lit(None).cast("double").alias("last"),
@@ -306,6 +388,7 @@ def cusum_flags(
     order_col: str,
     target: Optional[float] = None,
     reset_on_alarm: bool = True,
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per key over time order:
     ``s+_i = max(0, s+_{i-1} + (v_i - target - drift))`` (and the
@@ -330,8 +413,12 @@ def cusum_flags(
     Scale shape: identical to :func:`ewma` — per-key state is the
     key's own event list, keys fan out across the cluster, and only
     ``(ts, order, value)`` triples shuffle; the same hot-key
-    quadratic-copy caveat applies, with the same remedy
-    (``streaming.stateful.cusum_with_state``, O(1) state).
+    quadratic-copy bound applies and the same
+    ``max_events_per_key`` guard closes it (oversized keys diverted
+    pre-collect, audited via :func:`fold_key_report`; remedy for the
+    diverted keys: ``streaming.stateful.cusum_with_state``, O(1)
+    state — note the streaming twin needs an explicit ``target``,
+    self-calibration is a two-pass batch luxury).
     """
     if drift < 0.0:
         raise ValueError(f"drift must be >= 0, got {drift}")
@@ -339,19 +426,18 @@ def cusum_flags(
         raise ValueError(f"threshold must be > 0, got {threshold}")
     d = F.lit(float(drift))
     h = F.lit(float(threshold))
-    ev = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
+    ev = _divert_oversized_keys(
+        df.where(F.col(value_col).isNotNull()).select(
             F.col(key_col).alias("_k"),
             F.struct(
                 F.col(ts_col).alias("t"),
                 F.col(order_col).alias("o"),
                 F.col(value_col).cast("double").alias("v"),
             ).alias("_e"),
-        )
-        .groupBy("_k")
-        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
-    )
+        ),
+        "_k",
+        max_events_per_key,
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
     if target is None:
         vals = F.array_sort(F.transform(F.col("_evts"), lambda e: e["v"]))
         mu = F.aggregate(
@@ -408,6 +494,7 @@ def trajectory_vectors(
     *,
     n_points: int = 16,
     order_col: Optional[str] = None,
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
 ) -> DataFrame:
     """Fixed-length trajectory envelope per key — the signature that
     makes behavioral similarity search tractable at scale (cf. REPOSE,
@@ -429,12 +516,15 @@ def trajectory_vectors(
     events bucket scan is map-side after the exchange, and what leaves
     is ``n_points`` doubles per key.  Downstream similarity search
     (cosine top-k, LSH, kNN join over ``traj``) is sketch-sized work.
+    The scan is linear (no append-fold), so the hot-key bound is
+    memory/straggler only — ``max_events_per_key`` (default
+    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts viral keys pre-collect;
+    audit with :func:`fold_key_report`.
     """
     if n_points < 2:
         raise ValueError(f"n_points must be >= 2, got {n_points}")
-    ev = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
+    ev = _divert_oversized_keys(
+        df.where(F.col(value_col).isNotNull()).select(
             F.col(key_col).alias("_k"),
             F.struct(
                 F.unix_timestamp(F.col(ts_col).cast("timestamp"))
@@ -442,12 +532,12 @@ def trajectory_vectors(
                 .alias("t"),
                 F.col(value_col).cast("double").alias("v"),
             ).alias("_e"),
-        )
-        .groupBy("_k")
-        .agg(
-            F.collect_list("_e").alias("_evts"),
-            F.count(F.lit(1)).cast("long").alias("n_obs"),
-        )
+        ),
+        "_k",
+        max_events_per_key,
+    ).groupBy("_k").agg(
+        F.collect_list("_e").alias("_evts"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
     )
     evts = F.col("_evts")
     t0 = F.array_min(F.transform(evts, lambda e: e["t"]))
@@ -510,6 +600,7 @@ def autocorrelation(
     lag: int = 1,
     order_col: str,
     out_col: str = "acf",
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
 ) -> DataFrame:
     """Per-key lag-``k`` autocorrelation of a value series — the
     persistence/burstiness profile (near 1: trending metric; near 0:
@@ -526,23 +617,25 @@ def autocorrelation(
 
     Scale shape: the :func:`ewma` bound — one shuffle of
     ``(ts, order, value)`` triples per key; the lagged products are an
-    index walk over the key's own array, map-side.
+    index walk over the key's own array, map-side (linear, no
+    append-fold).  ``max_events_per_key`` (default
+    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts viral keys pre-collect;
+    audit with :func:`fold_key_report`.
     """
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")
-    ev = (
-        df.where(F.col(value_col).isNotNull())
-        .select(
+    ev = _divert_oversized_keys(
+        df.where(F.col(value_col).isNotNull()).select(
             F.col(key_col).alias("_k"),
             F.struct(
                 F.col(ts_col).cast("timestamp").alias("t"),
                 F.col(order_col).alias("o"),
                 F.col(value_col).cast("double").alias("v"),
             ).alias("_e"),
-        )
-        .groupBy("_k")
-        .agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
-    )
+        ),
+        "_k",
+        max_events_per_key,
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
     vals = F.transform(F.col("_evts"), lambda e: e["v"])
     n = F.size(vals)
 

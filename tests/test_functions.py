@@ -3688,6 +3688,110 @@ class TestEWMA:
             ewma(spark.range(1), "id", "id", "id", alpha=0.0, order_col="id")
 
 
+class TestFoldKeyGuard:
+    """max_events_per_key hot-key guard across the batch fold family:
+    a planted viral key is diverted BEFORE its array builds, bounded
+    keys are bit-identical to the unguarded run, and fold_key_report
+    names every diverted key — no silent caps."""
+
+    def _hot_cold(self, spark, n_hot=12, n_cold=3):
+        rows = [("hot", f"2024-01-01 00:{i:02d}:00", i, float(i))
+                for i in range(n_hot)]
+        rows += [("cold", f"2024-01-01 00:{i:02d}:00", 100 + i, 10.0 * i)
+                 for i in range(n_cold)]
+        rows.append(("hot", "2024-01-01 01:00:00", 999, None))  # null excluded
+        return spark.createDataFrame(
+            rows, "k string, ts string, oid int, v double"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    def test_ewma_diverts_hot_key_others_bitexact(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        df = self._hot_cold(spark)
+        capped = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                      max_events_per_key=10)
+        assert capped.where(F.col("k") == "hot").count() == 0
+        cold_capped = sorted(map(tuple,
+                                 capped.where(F.col("k") == "cold").collect()))
+        full = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                    max_events_per_key=None)
+        cold_full = sorted(map(tuple,
+                               full.where(F.col("k") == "cold").collect()))
+        assert cold_capped == cold_full
+        assert full.where(F.col("k") == "hot").count() == 12
+
+    def test_cap_counts_post_filter_events(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        # hot has 12 non-null events + 1 null; cap=12 must keep it
+        # (the null row is excluded before counting)
+        df = self._hot_cold(spark)
+        out = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                   max_events_per_key=12)
+        assert out.where(F.col("k") == "hot").count() == 12
+
+    def test_report_names_diverted_keys(self, spark):
+        from dbldatagen_spark.functions import fold_key_report
+
+        df = self._hot_cold(spark)
+        rep = fold_key_report(df, "k", max_events_per_key=10,
+                              where="v IS NOT NULL").collect()
+        assert [(r.key, r.n_events, r.action) for r in rep] == [
+            ("hot", 12, "diverted")
+        ]
+        # cap above every key -> empty report (guard never fired)
+        assert fold_key_report(df, "k", max_events_per_key=100,
+                               where="v IS NOT NULL").count() == 0
+
+    def test_cusum_trajectory_autocorr_respect_cap(self, spark):
+        from dbldatagen_spark.functions import (
+            autocorrelation, cusum_flags, trajectory_vectors,
+        )
+
+        df = self._hot_cold(spark)
+        cu = cusum_flags(df, "k", "ts", "v", drift=0.1, threshold=5.0,
+                         order_col="oid", max_events_per_key=10)
+        assert cu.where(F.col("k") == "hot").count() == 0
+        assert cu.where(F.col("k") == "cold").count() == 3
+        tv = trajectory_vectors(df, "k", "ts", "v", n_points=4,
+                                max_events_per_key=10)
+        assert [r.k for r in tv.collect()] == ["cold"]
+        ac = autocorrelation(df, "k", "ts", "v", lag=1, order_col="oid",
+                             max_events_per_key=10)
+        assert [r.k for r in ac.collect()] == ["cold"]
+
+    def test_funnel_diverts_hot_user(self, spark):
+        from dbldatagen_spark.functions import funnel_steps
+
+        rows = [(1, f"2024-01-01 00:{i:02d}:00", "view") for i in range(8)]
+        rows += [(1, "2024-01-01 01:00:00", "click")]
+        rows += [(2, "2024-01-01 00:00:00", "view"),
+                 (2, "2024-01-01 00:01:00", "click"),
+                 (2, "2024-01-01 02:00:00", "ignored")]  # filtered pre-count
+        df = spark.createDataFrame(
+            rows, "user_id int, ts string, step string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        capped = {r.step: r.n_users
+                  for r in funnel_steps(df, "user_id", "ts", "step",
+                                        ["view", "click"],
+                                        max_events_per_key=5).collect()}
+        assert capped == {"view": 1, "click": 1}  # user 1 (9 events) diverted
+        full = {r.step: r.n_users
+                for r in funnel_steps(df, "user_id", "ts", "step",
+                                      ["view", "click"],
+                                      max_events_per_key=None).collect()}
+        assert full == {"view": 2, "click": 2}
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import ewma, fold_key_report
+
+        with pytest.raises(ValueError):
+            ewma(spark.range(1), "id", "id", "id", alpha=0.5,
+                 order_col="id", max_events_per_key=0)
+        with pytest.raises(ValueError):
+            fold_key_report(spark.range(1), "id", max_events_per_key=0)
+
+
 class TestDeriveCDC:
     def _snapshots(self, spark):
         before = spark.createDataFrame(
