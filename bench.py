@@ -108,7 +108,23 @@ def main() -> None:
         "k", "id", "sum(id) OVER (PARTITION BY k ORDER BY id) AS rs"
     ).orderBy("k", "id").limit(10).collect()
     warm.selectExpr("k", "explode(split(s, '-')) AS tok").distinct().count()
-    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    # quiesce pass: force a full data-page read of every input table so the
+    # OS page cache is hot before any timed run — when the driver runs this
+    # bench right after a full-registry sweep, cold parquet reads otherwise
+    # inflate the first queries by ~25% (observed BENCH_r05 16.9s vs 13.5s
+    # solo for identical plans).
+    for t in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        d = spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+        # count over the all-column hash: evaluates the hash per row, so
+        # every data page is actually read (a bare count() would satisfy
+        # itself from parquet metadata); count can't overflow ANSI mode
+        d.selectExpr(
+            "count(xxhash64(" + ", ".join(d.columns) + ")) AS chk"
+        ).collect()
 
     qs = entrymod.queries()
     headline = [
@@ -126,6 +142,7 @@ def main() -> None:
         "corpus_pack_sequences",
         "events_funnel",
         "events_ewma",
+        "events_cms_heavy_hitters",
         "gen_determinism",
     ]
     timings: dict[str, float] = {}
@@ -142,13 +159,21 @@ def main() -> None:
     # 1.70s cold -> 0.36-0.45s steady, so round-to-round swings between
     # ~0.33s and ~1.1s on that query are JIT/page-cache timing, not plan
     # regressions (its plan is unchanged: two shuffles of hash keys only).
+    spreads: list[float] = []
+
     def _best_of(fn, runs: int = 3) -> float:
         fn()  # untimed compile/JIT warmup
         best = float("inf")
+        first = None
         for _ in range(runs):
             t0 = time.perf_counter()
             fn()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if first is None:
+                first = dt
+            best = min(best, dt)
+        if best > 0.05:  # sub-50ms queries are all scheduler noise
+            spreads.append(first / best)
         return round(best, 3)
 
     timings["gen_10m_rows"] = _best_of(lambda: _bench_generate(spark))
@@ -159,6 +184,16 @@ def main() -> None:
         timings[name] = _best_of(
             lambda name=name: qs[name](spark, SF_DIR).collect()
         )
+
+    # contention heuristic: each query's first timed run comes AFTER its own
+    # untimed warmup, so on a quiet machine first/best stays near 1.  A
+    # median spread over 1.4 means something else is stealing the cores
+    # (e.g. the driver's sweep still draining) and the totals read high —
+    # the number is still a valid upper bound, but not comparable
+    # round-to-round.
+    spreads.sort()
+    median_spread = spreads[len(spreads) // 2] if spreads else 1.0
+    contended = median_spread > 1.4
 
     total = round(sum(timings.values()), 3)
     sf = 0.1
@@ -174,6 +209,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "contended": contended,
+                "median_first_over_best": round(median_spread, 3),
             }
         )
     )
