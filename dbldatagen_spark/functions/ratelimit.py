@@ -20,8 +20,15 @@ any engine with a list fold, which is what the oracle does.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from dbldatagen_spark.functions.timeseries import (
+    DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    _divert_oversized_keys,
+)
 
 
 def rate_limit_events(
@@ -32,6 +39,7 @@ def rate_limit_events(
     max_events: int,
     window_seconds: int,
     order_col: str,
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
 ) -> DataFrame:
     """Per-event admission decisions for the trailing-window rate limit.
 
@@ -39,7 +47,13 @@ def rate_limit_events(
     (boolean) — join back on ``order_col`` for full rows. Scale shape:
     ONE shuffle on the key; the fold state is at most ``max_events``
     admitted epochs (older ones are pruned as the window slides), so
-    per-row work is O(max_events) regardless of history length.
+    per-row work is O(max_events) regardless of history length — but
+    the decisions array appends per event (quadratic element copies on
+    one hot key), so ``max_events_per_key`` (default
+    ``timeseries.DEFAULT_MAX_EVENTS_APPEND_FOLD``) diverts viral keys
+    before their array builds; audit with
+    ``timeseries.fold_key_report`` and point diverted keys at the
+    streaming twin.  ``None`` opts out.
     """
     if max_events < 1:
         raise ValueError(f"max_events must be >= 1, got {max_events}")
@@ -53,17 +67,17 @@ def rate_limit_events(
         F.unix_timestamp(F.col(ts_col).cast("timestamp"))
     ).cast("long")
 
-    per_key = (
+    per_key = _divert_oversized_keys(
         df.select(
             F.col(key_col).alias("_k"),
             F.struct(
                 epoch.alias("e"),
                 F.col(order_col).cast("long").alias("o"),
             ).alias("_ev"),
-        )
-        .groupBy("_k")
-        .agg(F.array_sort(F.collect_list("_ev")).alias("_evts"))
-    )
+        ),
+        "_k",
+        max_events_per_key,
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_ev")).alias("_evts"))
 
     init = F.struct(
         F.array().cast("array<bigint>").alias("adm"),

@@ -3782,6 +3782,19 @@ class TestFoldKeyGuard:
                                       max_events_per_key=None).collect()}
         assert full == {"view": 2, "click": 2}
 
+    def test_rate_limit_diverts_hot_key(self, spark):
+        from dbldatagen_spark.functions import rate_limit_events
+
+        df = self._hot_cold(spark)
+        out = rate_limit_events(df, "k", "ts", max_events=2,
+                                window_seconds=3600, order_col="oid",
+                                max_events_per_key=10)
+        assert {r.k for r in out.collect()} == {"cold"}  # hot diverted
+        full = rate_limit_events(df, "k", "ts", max_events=2,
+                                 window_seconds=3600, order_col="oid",
+                                 max_events_per_key=None)
+        assert {r.k for r in full.collect()} == {"cold", "hot"}
+
     def test_validation(self, spark):
         from dbldatagen_spark.functions import ewma, fold_key_report
 
