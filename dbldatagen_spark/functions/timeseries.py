@@ -538,11 +538,19 @@ def trajectory_vectors(
     ).groupBy("_k").agg(
         F.collect_list("_e").alias("_evts"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
+        # span endpoints as AGGREGATES, not array_min/array_max over the
+        # collected list: agg outputs are leaf attributes, so the bucket
+        # lambda below references two scalars per element.  Inlining the
+        # array scans into the lambda re-evaluates an O(n) min/max per
+        # ELEMENT per bucket — O(n_points * n^2) interpreted HOF work per
+        # key; measured at sf0.1 (1500 keys x ~67 events) that was 103 s
+        # for the envelope projection vs ~1 s this way.
+        F.min(F.col("_e").getField("t")).alias("_t0"),
+        F.max(F.col("_e").getField("t")).alias("_t1"),
     )
     evts = F.col("_evts")
-    t0 = F.array_min(F.transform(evts, lambda e: e["t"]))
-    t1 = F.array_max(F.transform(evts, lambda e: e["t"]))
-    span = t1 - t0
+    t0 = F.col("_t0")
+    span = F.col("_t1") - F.col("_t0")
 
     def _sorted_mean(vals: Column) -> Column:
         s = F.array_sort(vals)
@@ -635,14 +643,27 @@ def autocorrelation(
         ),
         "_k",
         max_events_per_key,
-    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
-    vals = F.transform(F.col("_evts"), lambda e: e["v"])
+    ).groupBy("_k").agg(
+        # project the time-ordered value array INSIDE the agg so `_vals`
+        # is a leaf attribute: `element_at(vals, i)` inside the lagged
+        # lambda would otherwise re-evaluate the whole transform per
+        # sequence element — O(n^2) interpreted HOF work per key
+        F.transform(
+            F.array_sort(F.collect_list("_e")), lambda e: e["v"]
+        ).alias("_vals")
+    )
+    vals = F.col("_vals")
     n = F.size(vals)
 
     def _fold(arr: Column) -> Column:
         return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x)
 
-    mu = _fold(vals) / n.cast("double")
+    # materialize the O(n)-fold mean once per key: `mu` is referenced
+    # inside both per-element lambdas below, and inlining the fold there
+    # re-evaluates it per element (the CollapseProject multi-reference
+    # check keeps this projection intact)
+    ev = ev.select("_k", "_vals", (_fold(vals) / n.cast("double")).alias("_mu"))
+    mu = F.col("_mu")
     # ANSI element_at throws out-of-bounds and sequence(1, 0) DESCENDS,
     # so both the range and the indices clamp — never rely on the outer
     # when() to short-circuit evaluation
