@@ -19,7 +19,9 @@ driver-side failure the old ``%.6g`` normalization masked):
    two hashes differ the query's values depend on aggregation order and
    will flake on the driver's local[32] even if they pass here.
 
-Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]
+  --window checks exactly the driver's gate: the FIRST 50 queries()
+  entries (the current rotation window).
 """
 
 from __future__ import annotations
@@ -103,12 +105,20 @@ def _type_problems(sdf, arrow_schema):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--window"]
+    window_only = "--window" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod
+
+    if window_only:
+        # --window: exactly the driver's gate — the FIRST 50 queries()
+        # entries (the rotation window); combine with names to subset
+        window = list(entrymod.queries())[:50]
+        only = (only & set(window)) if only else set(window)
 
     spark = (
         SparkSession.builder.master("local[8]")
