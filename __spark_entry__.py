@@ -4521,18 +4521,23 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = part.where(F.col("p_type").like("PROMO%"))
     dim = promo.select(F.col("p_partkey").alias("l_partkey"))
 
+    # hash_method="md5" (not the xxhash64 library default): the DuckDB
+    # oracle replays the md5 hex-window positions bit-for-bit
     words = bloom_build(
-        promo, "p_partkey", num_bits=num_bits, num_hashes=num_hashes, seed=seed
+        promo, "p_partkey", num_bits=num_bits, num_hashes=num_hashes,
+        seed=seed, hash_method="md5",
     )
     passed = lineitem.where(
         bloom_contains_expr(
             F.col("l_partkey"), words,
             num_bits=num_bits, num_hashes=num_hashes, seed=seed,
+            hash_method="md5",
         )
     )
     semi = bloom_semi_join(
         lineitem, dim, "l_partkey",
         num_bits=num_bits, num_hashes=num_hashes, seed=seed,
+        hash_method="md5",
     )
     exact_semi = lineitem.join(dim.distinct(), "l_partkey", "left_semi").select(
         *lineitem.columns
@@ -4540,14 +4545,24 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = bloom_anti_join(
         lineitem, dim, "l_partkey",
         num_bits=num_bits, num_hashes=num_hashes, seed=seed,
+        hash_method="md5",
     )
     exact_anti = lineitem.join(dim.distinct(), "l_partkey", "left_anti").select(
         *lineitem.columns
     )
 
-    def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
-        return a.exceptAll(b).unionByName(b.exceptAll(a)).count()
+    # both sides of each symmetric diff are row subsets of the SAME
+    # lineitem scan, so set equality over full rows == set equality over
+    # the (l_orderkey, l_linenumber) primary key — compare 2 columns, not
+    # 16, and cache each side so the bloom membership (5 md5s/row) and
+    # the exact joins evaluate once, not once per exceptAll branch
+    pk = ["l_orderkey", "l_linenumber"]
 
+    def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
+        ka, kb = a.select(*pk).cache(), b.select(*pk).cache()
+        return ka.exceptAll(kb).unionByName(kb.exceptAll(ka)).count()
+
+    semi = semi.cache()
     stats = semi.agg(
         F.count(F.lit(1)).cast("long").alias("n_match_rows"),
         F.round(
@@ -6939,17 +6954,21 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT DISTINCT p_partkey FROM part WHERE p_type LIKE 'PROMO%'
             ),
             refpos AS (
+                -- hash i = 24-bit hex window [1 + 6*i, 6] of ONE digest
+                -- md5(seed:0:key), mod 2^14 — mirrors bloom_positions_expr
                 SELECT DISTINCT
-                       ('0x' || substr(md5('42:' || i || ':'
-                                       || CAST(p_partkey AS VARCHAR)), 1, 15)
+                       ('0x' || substr(md5('42:0:'
+                                       || CAST(p_partkey AS VARCHAR)),
+                                       1 + 6 * i, 6)
                        )::BIGINT % 16384 AS p
                 FROM ref, unnest([0, 1, 2, 3, 4]) AS t(i)
             ),
             keys AS (SELECT DISTINCT l_partkey FROM lineitem),
             kp AS (
                 SELECT l_partkey,
-                       ('0x' || substr(md5('42:' || i || ':'
-                                       || CAST(l_partkey AS VARCHAR)), 1, 15)
+                       ('0x' || substr(md5('42:0:'
+                                       || CAST(l_partkey AS VARCHAR)),
+                                       1 + 6 * i, 6)
                        )::BIGINT % 16384 AS p
                 FROM keys, unnest([0, 1, 2, 3, 4]) AS t(i)
             ),

@@ -16,9 +16,12 @@ traffic is ``num_bits / 64`` longs regardless of key count — and tests
 membership with pure Catalyst expressions (no UDF) against the broadcast
 word array.
 
-Hashing is the repo's engine-portable idiom (``conv(substr(md5(..),1,15),
-16,10)`` == DuckDB ``('0x'||substr(md5(..),1,15))::BIGINT``), so an
-external SQL oracle can replay bit positions bit-for-bit.
+Hashing is dual-mode: ``hash_method="xxhash64"`` (default) keeps the
+membership scan pure codegen arithmetic — the scale path; ``"md5"``
+derives positions from hex windows of md5 digests (the repo's
+engine-portable idiom: ``conv(substr(md5(..)),16,10)`` == DuckDB
+``('0x'||substr(md5(..)))::BIGINT``) so an external SQL oracle can
+replay bit positions bit-for-bit, at ~10x the per-row scan cost.
 
 Reference parity: dbldatagen has no bloom surface; this extends the
 training-pipeline toolkit (dedup/contamination anti-joins are its main
@@ -48,33 +51,86 @@ def _require_pow2_words(num_bits: int) -> int:
 
 
 def bloom_positions_expr(
-    key: Column, *, num_bits: int, num_hashes: int, seed: int = 0
+    key: Column,
+    *,
+    num_bits: int,
+    num_hashes: int,
+    seed: int = 0,
+    hash_method: str = "xxhash64",
 ) -> Column:
     """``array<long>`` of ``num_hashes`` bit positions in ``[0, num_bits)``
-    for ``key``.  Each hash is an independent 60-bit md5-derived value
-    (salted by hash index and ``seed``) reduced mod ``num_bits`` —
-    deterministic, partition-independent, and replayable in any engine
-    with ``md5``.
+    for ``key`` — deterministic and partition-independent.
+
+    ``hash_method="xxhash64"`` (default) is the scale path: salted
+    native hashes, pure codegen.  ``hash_method="md5"`` derives each
+    position from a 24-bit hex window of ``md5(seed:(i//5):key)``
+    (window ``i%5``; one digest serves five positions) — ~10x the
+    per-row cost, but replayable in any engine with ``md5``/``substr``
+    for external verification.  Both are unbiased mod the power-of-2
+    ``num_bits``.
     """
     _require_pow2_words(num_bits)
     if num_hashes < 1:
         raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
-    s = key.cast("string")
+    if hash_method == "md5" and num_bits > (1 << 24):
+        raise ValueError(
+            f"num_bits must be <= 2^24 for md5 (24-bit digest windows), "
+            f"got {num_bits}"
+        )
     return F.array(
-        *[
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat_ws(":", F.lit(seed), F.lit(i), s)), 1, 15
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(num_bits),
-            )
+        *_position_cols(
+            key,
+            num_bits=num_bits,
+            num_hashes=num_hashes,
+            seed=seed,
+            hash_method=hash_method,
+        )
+    )
+
+
+def _position_cols(
+    key: Column,
+    *,
+    num_bits: int,
+    num_hashes: int,
+    seed: int,
+    hash_method: str = "xxhash64",
+) -> List[Column]:
+    """The individual position expressions behind
+    :func:`bloom_positions_expr` — kept as plain columns so
+    :func:`bloom_contains_expr` can AND them flat and stay inside
+    whole-stage codegen (higher-order functions evaluate interpreted).
+
+    ``hash_method="xxhash64"`` (default): salted native hashes — the
+    scale path; the membership scan is pure codegen arithmetic.
+    ``hash_method="md5"``: 24-bit hex windows of md5 digests — ~10x the
+    per-row cost (hex ``conv`` parsing), but replayable in any engine
+    with ``md5``/``substr``, which is what an external oracle needs.
+    Both are unbiased mod the power-of-2 ``num_bits``.
+    """
+    if hash_method == "xxhash64":
+        return [
+            F.pmod(F.xxhash64(F.lit(seed), F.lit(i), key), F.lit(num_bits))
             for i in range(num_hashes)
         ]
-    )
+    if hash_method != "md5":
+        raise ValueError(
+            f"hash_method must be 'xxhash64' or 'md5', got {hash_method!r}"
+        )
+    s = key.cast("string")
+    digests = {
+        g: F.md5(F.concat_ws(":", F.lit(seed), F.lit(g), s))
+        for g in range((num_hashes + 4) // 5)
+    }
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(digests[i // 5], 1 + 6 * (i % 5), 6), 16, 10
+            ).cast("long"),
+            F.lit(num_bits),
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def bloom_build(
@@ -84,6 +140,7 @@ def bloom_build(
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
     seed: int = 0,
+    hash_method: str = "xxhash64",
 ) -> List[int]:
     """Build the filter: returns ``num_bits / 64`` packed little-endian
     words (word ``w`` holds positions ``[64w, 64w+64)``; position ``p``
@@ -102,7 +159,8 @@ def bloom_build(
         .select(
             F.explode(
                 bloom_positions_expr(
-                    F.col("_k"), num_bits=num_bits, num_hashes=num_hashes, seed=seed
+                    F.col("_k"), num_bits=num_bits, num_hashes=num_hashes,
+                    seed=seed, hash_method=hash_method,
                 )
             ).alias("_p")
         )
@@ -126,6 +184,7 @@ def bloom_contains_expr(
     num_bits: int,
     num_hashes: int,
     seed: int = 0,
+    hash_method: str = "xxhash64",
 ) -> Column:
     """Membership test (``true`` = maybe present, ``false`` = definitely
     absent) as a pure expression: every hash position's bit must be set
@@ -135,22 +194,21 @@ def bloom_contains_expr(
     if len(words) != n_words:
         raise ValueError(f"words must have {n_words} entries, got {len(words)}")
     lit_words = F.lit(words)
-    pos = bloom_positions_expr(
-        key, num_bits=num_bits, num_hashes=num_hashes, seed=seed
-    )
-    hit = F.aggregate(
-        pos,
-        F.lit(True),
-        lambda acc, p: acc
-        & (
-            F.expr("0L")
-            != F.element_at(lit_words, (p / 64).cast("int") + 1).bitwiseAND(
-                F.call_function(
-                    "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
-                )
-            )
-        ),
-    )
+    # flat AND of the per-position bit tests, NOT an F.aggregate fold over
+    # the positions array: higher-order functions evaluate interpreted and
+    # break whole-stage codegen for the scan they sit in; on the md5 path
+    # codegen subexpression elimination additionally shares each digest
+    # across its five windowed positions
+    hit = F.lit(True)
+    for p in _position_cols(
+        key, num_bits=num_bits, num_hashes=num_hashes, seed=seed,
+        hash_method=hash_method,
+    ):
+        word = F.element_at(lit_words, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % 64).cast("int")
+        )
+        hit = hit & (F.expr("0L") != word.bitwiseAND(bit))
     return F.when(key.isNotNull(), hit).otherwise(F.lit(False))
 
 
@@ -162,12 +220,15 @@ def _build_and_filter(
     num_bits: int,
     num_hashes: int,
     seed: int,
+    hash_method: str = "xxhash64",
 ) -> Tuple[DataFrame, DataFrame]:
     words = bloom_build(
-        small, small_key, num_bits=num_bits, num_hashes=num_hashes, seed=seed
+        small, small_key, num_bits=num_bits, num_hashes=num_hashes, seed=seed,
+        hash_method=hash_method,
     )
     maybe = bloom_contains_expr(
-        F.col(big_key), words, num_bits=num_bits, num_hashes=num_hashes, seed=seed
+        F.col(big_key), words, num_bits=num_bits, num_hashes=num_hashes,
+        seed=seed, hash_method=hash_method,
     )
     return big.where(maybe), big.where(~maybe)
 
@@ -181,6 +242,7 @@ def bloom_semi_join(
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
     seed: int = 0,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """``big LEFT SEMI JOIN small`` with a broadcast-bloom prefilter:
     fact rows whose key misses the bloom are discarded BEFORE the
@@ -194,7 +256,9 @@ def bloom_semi_join(
     ``(1 - selectivity - fpp)`` of the fact side from the join exchange.
     """
     sk = small_on or on
-    maybe, _ = _build_and_filter(big, small, on, sk, num_bits, num_hashes, seed)
+    maybe, _ = _build_and_filter(
+        big, small, on, sk, num_bits, num_hashes, seed, hash_method
+    )
     dim = small.select(sk).distinct()
     cond = maybe[on] == dim[sk]
     return maybe.join(dim, cond, "left_semi").select(*big.columns)
@@ -209,6 +273,7 @@ def bloom_anti_join(
     num_bits: int = 1 << 17,
     num_hashes: int = 5,
     seed: int = 0,
+    hash_method: str = "xxhash64",
 ) -> DataFrame:
     """``big LEFT ANTI JOIN small`` with a broadcast-bloom shortcut: a
     bloom miss PROVES the key is absent from ``small``, so those rows
@@ -224,7 +289,7 @@ def bloom_anti_join(
     """
     sk = small_on or on
     maybe, definite_miss = _build_and_filter(
-        big, small, on, sk, num_bits, num_hashes, seed
+        big, small, on, sk, num_bits, num_hashes, seed, hash_method
     )
     null_rows = big.where(F.col(on).isNull())
     dim = small.select(sk).distinct()

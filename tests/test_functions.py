@@ -3528,6 +3528,42 @@ class TestBloomJoins:
         ).collect()
         assert {r.k: r.hit for r in out} == {1: True, None: False}
 
+    def test_md5_method_no_false_negatives_and_validation(self, spark):
+        from dbldatagen_spark.functions import (
+            bloom_build,
+            bloom_contains_expr,
+            bloom_positions_expr,
+        )
+
+        keys = spark.range(0, 300).select(F.col("id").alias("k"))
+        words = bloom_build(
+            keys, "k", num_bits=2048, num_hashes=5, seed=3, hash_method="md5"
+        )
+        hits = keys.where(
+            bloom_contains_expr(
+                F.col("k"), words, num_bits=2048, num_hashes=5, seed=3,
+                hash_method="md5",
+            )
+        )
+        assert hits.count() == 300  # every inserted key must test true
+        # md5 and xxhash64 disagree on positions by design
+        a = keys.select(bloom_positions_expr(
+            F.col("k"), num_bits=2048, num_hashes=5, seed=3,
+            hash_method="md5").alias("p")).collect()
+        b = keys.select(bloom_positions_expr(
+            F.col("k"), num_bits=2048, num_hashes=5, seed=3,
+            hash_method="xxhash64").alias("p")).collect()
+        assert [r.p for r in a] != [r.p for r in b]
+        with pytest.raises(ValueError):
+            bloom_positions_expr(
+                F.col("k"), num_bits=2048, num_hashes=5, hash_method="sha9"
+            )
+        with pytest.raises(ValueError):
+            # md5 windows are 24-bit: num_bits above 2^24 must refuse
+            bloom_positions_expr(
+                F.col("k"), num_bits=1 << 25, num_hashes=5, hash_method="md5"
+            )
+
     def test_semi_join_matches_exact(self, spark):
         from dbldatagen_spark.functions import bloom_semi_join
 
