@@ -1064,10 +1064,11 @@ def semantic_dedup(
     The occupancy guard adds one metadata-only count-per-cluster join.
     """
     from dbldatagen_spark.functions.similarity import (
-        cosine_similarity_expr,
+        dot_expr,
         hyperplane_signature_expr,
         kmeans_assign,
         kmeans_fit,
+        norm_expr,
     )
 
     base = df.select(F.col(id_col), F.col(vec_col).alias("_v"))
@@ -1130,19 +1131,23 @@ def semantic_dedup(
             .drop("_extra")
         )
 
+    # norm once per ROW (an attribute crossing the join boundary), not per
+    # candidate pair — the within-cluster pairwise filter then pays a
+    # single dot fold per pair (same trick as embedding_near_duplicates;
+    # bit-identical: same folds, same product)
+    assigned = assigned.withColumn("_n", norm_expr(F.col("_v")))
     a, b = assigned.alias("a"), assigned.alias("b")
+    denom = F.col("a._n") * F.col("b._n")
+    cos = F.when(
+        denom > 0, dot_expr(F.col("a._v"), F.col("b._v")) / denom
+    ).otherwise(F.lit(0.0))
     dropped = (
         a.join(
             b,
             (F.col("a._ck") == F.col("b._ck"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .where(
-            F.round(
-                cosine_similarity_expr(F.col("a._v"), F.col("b._v")), 4
-            )
-            >= F.lit(threshold)
-        )
+        .where(F.round(cos, 4) >= F.lit(threshold))
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
