@@ -59,6 +59,22 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _DEC = "decimal(18,2)"
 
 
+def _detach(spark: SparkSession, df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Materialize a SMALL summary frame, release the caches that fed
+    it, and hand back a local equivalent.  Several conformance queries
+    cache intermediate frames (decoded media pair sets, bloom semi-join
+    sides) so invariant stats and stability diffs share one evaluation;
+    returning the lazy frame would populate those caches at the
+    driver's collect and never free them — across a 50-query driver
+    session the cached full-row frames accumulate in executor memory.
+    Only for O(1)-row results: the collect here is the same work the
+    driver's collect would do anyway."""
+    rows = df.collect()
+    for c in cached:
+        c.unpersist()
+    return spark.createDataFrame(rows, df.schema)
+
+
 def _dec(name: str):
     """Column cast to exact money decimal; mirror of CAST(c AS DECIMAL(18,2))."""
     return F.col(name).cast(_DEC)
@@ -1746,7 +1762,14 @@ def _emb_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     components with L2 re-normalization — map-only slice + one
     aggregate fold per row, no UDF, no shuffle. The oracle rebuilds the
     prefix, norm, and normalized components positionally (rounded at 6
-    decimals to absorb group-sum association order)."""
+    decimals to absorb group-sum association order). The component
+    array is rendered to ONE '|'-joined fixed-6-decimal string — the
+    driver's canonicalizer sorts rows via pandas and cannot hash
+    list-typed cells (r6 red row), so conformance queries must emit
+    scalar cells only; ROUND-then-%.6f is tie-free on both engines
+    (a post-round double is never an exact 7-decimal dyadic), so Java's
+    half-up and C's half-even formatters agree. The library function
+    keeps returning the real array column."""
     from dbldatagen_spark.functions import truncate_embeddings
 
     emb = _load(spark, sf_dir, "embeddings")
@@ -1754,8 +1777,12 @@ def _emb_mrl_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "vec_id",
         F.round("embedding_mrl_norm", 6).alias("mrl_norm"),
-        F.transform(
-            F.col("embedding_mrl"), lambda x: F.round(x, 6)
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("embedding_mrl"),
+                lambda x: F.format_string("%.6f", F.round(x, 6)),
+            ),
         ).alias("vec_mrl"),
     ).orderBy("vec_id")
 
@@ -4560,7 +4587,11 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
         ka, kb = a.select(*pk).cache(), b.select(*pk).cache()
-        return ka.exceptAll(kb).unionByName(kb.exceptAll(ka)).count()
+        try:
+            return ka.exceptAll(kb).unionByName(kb.exceptAll(ka)).count()
+        finally:
+            ka.unpersist()
+            kb.unpersist()
 
     semi = semi.cache()
     stats = semi.agg(
@@ -4569,7 +4600,7 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("promo_revenue"),
     ).crossJoin(passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass_rows")))
-    return stats.select(
+    out = stats.select(
         F.lit(promo.select("p_partkey").distinct().count())
         .cast("long").alias("n_ref_keys"),
         "n_pass_rows",
@@ -4579,6 +4610,7 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_sym_diff_count(semi, exact_semi)).cast("long").alias("semi_mismatch"),
         F.lit(_sym_diff_count(anti, exact_anti)).cast("long").alias("anti_mismatch"),
     )
+    return _detach(spark, out, semi)
 
 
 def _events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4693,7 +4725,7 @@ def _multimodal_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
-    return stats.crossJoin(diff)
+    return _detach(spark, stats.crossJoin(diff), p, d2)
 
 
 def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4729,7 +4761,7 @@ def _multimodal_audio_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
-    return stats.crossJoin(diff)
+    return _detach(spark, stats.crossJoin(diff), p, d2)
 
 
 def _docs_hybrid_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4782,19 +4814,32 @@ def _events_behavior_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stable feature order across runs) — the categorical twin of the
     trajectory envelope; cosine/kNN over `behavior` finds users who
     behave alike. Frequencies are integer ratios assembled in fixed
-    index order, so the oracle reproduces every array element
-    exactly."""
+    index order, so the oracle reproduces every array element exactly;
+    the signature is rendered to ONE '|'-joined fixed-6-decimal string
+    because the driver's canonicalizer cannot hash list cells (r6 red
+    row) — ROUND before %.6f so a dyadic ratio like 1/128 (an exact
+    .xxxxxx5 in binary) cannot hit the Java-half-up vs C-half-even
+    formatter tie. The library function keeps returning the real
+    array."""
     from dbldatagen_spark.functions import behavior_vectors
 
     events = _load(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
-    return (
-        behavior_vectors(
-            events, "user_id", "ts", "event_type",
-            order_col="event_id", states=types,
-        )
-        .orderBy("user_id")
+    bv = behavior_vectors(
+        events, "user_id", "ts", "event_type",
+        order_col="event_id", states=types,
     )
+    return bv.select(
+        "user_id",
+        F.concat_ws(
+            "|",
+            F.transform(
+                F.col("behavior"),
+                lambda x: F.format_string("%.6f", F.round(x, 6)),
+            ),
+        ).alias("behavior"),
+        "n_transitions",
+    ).orderBy("user_id")
 
 
 def _events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5069,7 +5114,7 @@ def _multimodal_video_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.exceptAll(d2).union(d2.exceptAll(p))
         .agg(F.count(F.lit(1)).cast("long").alias("mismatches"))
     )
-    return stats.crossJoin(diff)
+    return _detach(spark, stats.crossJoin(diff), p, d2)
 
 
 def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5232,9 +5277,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     round-5 cohort — all 50 were green on their most recent exposure.
     The full query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-6 driver window: family-triaged rotation ---
-        # core generator machinery rejoins (distributions, null mask,
-        # unique values, FK integrity) + never-checked conformance gens
+        # --- round-7 driver window: full rotation-debt drain ---
+        # 2 retries (r6 red only on driver canonicalization — arrays
+        # now rendered as scalar strings) + ALL 41 never-driver-checked
+        # registry queries + the 7 stalest ledger rows (r2). After this
+        # window every one of the 187 registry queries has >=1 driver row.
+        "emb_mrl_truncation": _emb_mrl_truncation,
+        "events_behavior_vectors": _events_behavior_vectors,
+        "events_stream_stream_join": _events_stream_stream_join,
+        "events_session_features": _events_session_features,
+        "events_missing_hours": _events_missing_hours,
+        "events_rate_limit": _events_rate_limit,
+        "text_mojibake": _text_mojibake,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "events_common_paths": _events_common_paths,
+        "events_scd2_validate": _events_scd2_validate,
+        "events_asof_nearest": _events_asof_nearest,
+        "events_incremental_agg": _events_incremental_agg,
+        "events_sequence_gaps": _events_sequence_gaps,
+        "events_zorder_layout": _events_zorder_layout,
+        "events_span_overlap": _events_span_overlap,
+        "events_feature_scaling": _events_feature_scaling,
+        "docs_contrastive_negatives": _docs_contrastive_negatives,
+        "docs_token_budget": _docs_token_budget,
+        "events_winsorized_stats": _events_winsorized_stats,
+        "events_hourly_windows": _events_hourly_windows,
+        "events_json_extract": _events_json_extract,
+        "emb_label_centroids": _emb_label_centroids,
+        "dedup_components": _dedup_components,
+        "dedup_simhash": _dedup_simhash,
+        "text_token_stats": _text_token_stats,
+        "text_fingerprint": _text_fingerprint,
+        "text_chunking": _text_chunking,
+        "text_ngram_counts": _text_ngram_counts,
+        "text_training_shards": _text_training_shards,
+        "corpus_sketch_stats": _corpus_sketch_stats,
+        "events_pivot_daily": _events_pivot_daily,
+        "events_sliding_windows": _events_sliding_windows,
+        "events_value_quantiles": _events_value_quantiles,
+        "events_rolling_avg": _events_rolling_avg,
+        "events_cube_counts": _events_cube_counts,
+        "customers_set_ops": _customers_set_ops,
+        "events_unpivot_daily": _events_unpivot_daily,
+        "corpus_curation": _corpus_curation,
+        "sample_deterministic": _sample_deterministic,
+        "sample_stratified": _sample_stratified,
+        "events_rollup_daily": _events_rollup_daily,
+        "events_kmv_distinct": _events_kmv_distinct,
+        "events_cms_user_counts": _events_cms_user_counts,
+        "gen_weighted_cycle": _gen_weighted_cycle,
+        "q12_returnflag_priority": _q12_returnflag_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q18_large_orders": _q18_large_orders,
+        "q7_nation_volume": _q7_nation_volume,
+        "q10_returned_items": _q10_returned_items,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "gen_distribution_shapes": _gen_distribution_shapes,
         "gen_null_fraction": _gen_null_fraction,
         "gen_unique_temporal": _gen_unique_temporal,
@@ -5242,60 +5340,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_copula_conformance": _gen_copula_conformance,
         "gen_markov_conformance": _gen_markov_conformance,
         "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
-        # TPC-H rotation: q3 + q5 back for live driver rows
         "q3_top_revenue": _q3_top_unshipped,
         "q5_region_revenue": _q5_region_revenue,
-        # SCD2 / CDC family
         "events_scd2_intervals": _events_scd2_intervals,
         "events_scd2_lookup": _events_scd2_lookup,
         "events_cdc_apply": _events_cdc_apply,
         "customers_derive_cdc": _customers_derive_cdc,
         "events_streaming_cdc": _events_streaming_cdc,
-        # watermark + stream-stream + stream-static (real checkpointed runs)
         "events_watermark_dedup": _events_watermark_dedup,
         "events_watermark_late_counts": _events_watermark_late_counts,
         "events_stream_stream_left_join": _events_stream_stream_left_join,
         "events_stream_static_join": _events_stream_static_join,
-        # ANN / embeddings
         "ann_kmeans_ivf": _ann_kmeans_ivf,
         "ann_lsh_recall": _ann_lsh_recall,
         "ann_cosine_topk": _ann_cosine_topk,
-        "emb_mrl_truncation": _emb_mrl_truncation,
-        # retrieval (TF-IDF / BM25 / reciprocal-rank fusion)
         "text_tfidf": _text_tfidf,
         "text_bm25_search": _text_bm25_search,
         "docs_hybrid_ranking": _docs_hybrid_ranking,
-        # mergeable sketches + per-key folds
         "events_ewma": _events_ewma,
         "events_cusum_flags": _events_cusum_flags,
         "events_cms_heavy_hitters": _events_cms_heavy_hitters,
         "events_cms_join_size": _events_cms_join_size,
         "events_histogram_quantiles": _events_histogram_quantiles,
         "events_kmv_daily_merge": _events_kmv_daily_merge,
-        "events_behavior_vectors": _events_behavior_vectors,
         "events_trajectory_similarity": _events_trajectory_similarity,
         "events_autocorrelation": _events_autocorrelation,
         "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
-        # perceptual near-dup over real PPM/WAV decoders
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
-        # behavioral analytics
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
         "events_transition_matrix": _events_transition_matrix,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
-        # quality / privacy / profiling
         "privacy_dp_counts": _privacy_dp_counts,
         "lineitem_expectations": _lineitem_expectations,
         "events_psi_drift": _events_psi_drift,
         "customers_rfm_segments": _customers_rfm_segments,
         "customers_checksum": _customers_checksum,
         "lineitem_benford": _lineitem_benford,
-        # document sampling
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
-        # --- additional variants (locally oracle-checked; see ROTATION.md) ---
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraint_stream_gate": _gen_constraint_stream_gate,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
@@ -5346,23 +5431,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "events_stream_stream_join": _events_stream_stream_join,
-        "events_session_features": _events_session_features,
-        "events_missing_hours": _events_missing_hours,
-        "events_rate_limit": _events_rate_limit,
-        "text_mojibake": _text_mojibake,
-        "events_ohlc_bars": _events_ohlc_bars,
-        "events_common_paths": _events_common_paths,
-        "events_scd2_validate": _events_scd2_validate,
-        "events_asof_nearest": _events_asof_nearest,
-        "events_incremental_agg": _events_incremental_agg,
-        "events_sequence_gaps": _events_sequence_gaps,
-        "events_zorder_layout": _events_zorder_layout,
-        "events_span_overlap": _events_span_overlap,
-        "events_feature_scaling": _events_feature_scaling,
-        "docs_contrastive_negatives": _docs_contrastive_negatives,
-        "docs_token_budget": _docs_token_budget,
-        "events_winsorized_stats": _events_winsorized_stats,
         "gen_sequence": _gen_sequence,
         "gen_range_cycle": _gen_range_cycle,
         "gen_values_cycle": _gen_values_cycle,
@@ -5393,13 +5461,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": _events_salted_join,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_pca_invariants": _emb_pca_invariants,
-        "gen_weighted_cycle": _gen_weighted_cycle,
-        "q12_returnflag_priority": _q12_returnflag_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_order_priority": _q4_order_priority,
-        "q18_large_orders": _q18_large_orders,
-        "q7_nation_volume": _q7_nation_volume,
-        "q10_returned_items": _q10_returned_items,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q8_market_share": _q8_market_share,
@@ -5409,30 +5470,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "q22_global_sales_opportunity": _q22_global_sales_opportunity,
-        "events_hourly_windows": _events_hourly_windows,
-        "events_json_extract": _events_json_extract,
-        "emb_label_centroids": _emb_label_centroids,
-        "dedup_components": _dedup_components,
-        "dedup_simhash": _dedup_simhash,
-        "text_token_stats": _text_token_stats,
-        "text_fingerprint": _text_fingerprint,
-        "text_chunking": _text_chunking,
-        "text_ngram_counts": _text_ngram_counts,
-        "text_training_shards": _text_training_shards,
-        "corpus_sketch_stats": _corpus_sketch_stats,
-        "events_pivot_daily": _events_pivot_daily,
-        "events_sliding_windows": _events_sliding_windows,
-        "events_value_quantiles": _events_value_quantiles,
-        "events_rolling_avg": _events_rolling_avg,
-        "events_cube_counts": _events_cube_counts,
-        "customers_set_ops": _customers_set_ops,
-        "events_unpivot_daily": _events_unpivot_daily,
-        "corpus_curation": _corpus_curation,
-        "sample_deterministic": _sample_deterministic,
-        "sample_stratified": _sample_stratified,
-        "events_rollup_daily": _events_rollup_daily,
-        "events_kmv_distinct": _events_kmv_distinct,
-        "events_cms_user_counts": _events_cms_user_counts,
     }
 
 
@@ -6658,8 +6695,10 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM tot t CROSS JOIN (SELECT unnest(range(0, 25)) AS i) g
             )
             SELECT s.user_id,
-                   list(coalesce(c.c, 0)::DOUBLE / s.t ORDER BY s.idx)
-                       AS behavior,
+                   string_agg(
+                       printf('%.6f',
+                              ROUND(coalesce(c.c, 0)::DOUBLE / s.t, 6)),
+                       '|' ORDER BY s.idx) AS behavior,
                    max(s.t)::BIGINT AS n_transitions
             FROM spine s
             LEFT JOIN counts c ON c.user_id = s.user_id AND c.idx = s.idx
@@ -7944,9 +7983,11 @@ def _oracle_sql_base() -> dict[str, str]:
             )
             SELECT e.vec_id,
                    ROUND(n.nrm, 6) AS mrl_norm,
-                   list(ROUND(
-                       CASE WHEN n.nrm > 0 THEN e.x / n.nrm ELSE e.x END,
-                       6) ORDER BY e.i) AS vec_mrl
+                   string_agg(
+                       printf('%.6f', ROUND(
+                           CASE WHEN n.nrm > 0 THEN e.x / n.nrm
+                                ELSE e.x END, 6)),
+                       '|' ORDER BY e.i) AS vec_mrl
             FROM expl e JOIN norms n ON e.vec_id = n.vec_id
             GROUP BY e.vec_id, n.nrm
             ORDER BY e.vec_id

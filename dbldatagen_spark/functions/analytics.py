@@ -33,6 +33,7 @@ def funnel_steps(
     steps: Sequence[str],
     *,
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Ordered-funnel conversion: for each user, walk ``steps`` in order
     and record the deepest stage reached, where stage k+1 requires an
@@ -55,8 +56,10 @@ def funnel_steps(
     the user's own funnel events only; the final count is a bounded
     conditional aggregation.  A user with a viral event count would be
     one straggler task, so ``max_events_per_key`` (default
-    ``timeseries.DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts oversized
-    users before their array builds; audit with
+    ``timeseries.DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the
+    default ``on_oversized="error"`` fails loudly naming oversized
+    users (results always cover every user, or the call raises);
+    ``"divert"`` drops them before their array builds — audit with
     ``timeseries.fold_key_report(df, user_col,
     where=f"{step_col} IN (...)")`` — no silent caps.
     """
@@ -77,6 +80,7 @@ def funnel_steps(
         ),
         "_u",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_u").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
 
     init = F.struct(

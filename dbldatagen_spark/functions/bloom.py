@@ -26,6 +26,17 @@ replay bit positions bit-for-bit, at ~10x the per-row scan cost.
 Reference parity: dbldatagen has no bloom surface; this extends the
 training-pipeline toolkit (dedup/contamination anti-joins are its main
 consumers).
+
+.. rubric:: Compatibility note (breaking change)
+
+The default ``hash_method`` changed from the md5-derived scheme to
+``"xxhash64"`` (~5x faster scans), and the ``"md5"`` scheme's position
+derivation itself changed: positions now come from independent 24-bit
+hex windows of ``md5(seed:i//5:key)`` (5 positions per digest) instead
+of the old 60-bit ``md5(seed:i:key)`` prefix.  Filters serialized or
+positions replayed against an earlier revision will NOT line up —
+rebuild the filter and its oracle together.  Every in-repo caller and
+oracle uses the current scheme consistently.
 """
 
 from __future__ import annotations

@@ -40,6 +40,7 @@ def rate_limit_events(
     window_seconds: int,
     order_col: str,
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Per-event admission decisions for the trailing-window rate limit.
 
@@ -50,9 +51,10 @@ def rate_limit_events(
     per-row work is O(max_events) regardless of history length — but
     the decisions array appends per event (quadratic element copies on
     one hot key), so ``max_events_per_key`` (default
-    ``timeseries.DEFAULT_MAX_EVENTS_APPEND_FOLD``) diverts viral keys
-    before their array builds; audit with
-    ``timeseries.fold_key_report`` and point diverted keys at the
+    ``timeseries.DEFAULT_MAX_EVENTS_APPEND_FOLD``) guards it: the
+    default ``on_oversized="error"`` fails loudly naming viral keys;
+    ``"divert"`` drops them before their array builds — audit with
+    ``timeseries.fold_key_report`` and point hot keys at the
     streaming twin.  ``None`` opts out.
     """
     if max_events < 1:
@@ -77,6 +79,7 @@ def rate_limit_events(
         ),
         "_k",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_ev")).alias("_evts"))
 
     init = F.struct(

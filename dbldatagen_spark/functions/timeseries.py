@@ -28,35 +28,63 @@ DEFAULT_MAX_EVENTS_SCAN_FOLD = 1_000_000
 
 
 def _divert_oversized_keys(
-    ev: DataFrame, key: str, cap: Optional[int]
+    ev: DataFrame, key: str, cap: Optional[int], on_oversized: str = "error"
 ) -> DataFrame:
     """Enforce a ``max_events_per_key`` cap on a pre-fold
-    ``(key, event)`` frame: keys whose (post-filter) event count
-    exceeds ``cap`` are diverted — removed BEFORE any ``collect_list``
-    materializes their history, so the hot key never builds its array
-    at all.  ``cap=None`` disables the guard (explicit opt-out).
+    ``(key, event)`` frame.  The folds collect one key's full history
+    into a single array in one task, so an unbounded viral key is a
+    straggler / 2 GB-array hazard — but a cap must never SILENTLY
+    change results (the fold family's oracle contract is "folds every
+    key it returns, bit-for-bit").  Two explicit modes:
 
-    Scale shape: one extra count-per-key aggregation (map-side
-    combined, only ``(key, long)`` pairs shuffle) and a left-anti join
-    whose right side is the oversized-key set — by premise a handful
-    of viral keys, so AQE broadcasts it.  Divert, don't die: the
-    bounded keys still compute, and :func:`fold_key_report` (run with
-    the same filter) names every diverted key — no silent caps.  Point
-    diverted keys at the O(1)-state streaming twins
-    (``streaming.stateful.ewma_with_state`` / ``cusum_with_state``)
-    replayed over the key's ordered history.
+    - ``on_oversized="error"`` (default): EAGERLY count events per key
+      (one Spark job at call time — the only eager step in this
+      module, accepted for the loud contract) and raise naming the
+      offending keys; if none exceed the cap the frame passes through
+      UNTOUCHED, so the healthy-path plan keeps its single key shuffle
+      (no anti-join).  Result rows are therefore always exactly the
+      all-keys fold — equal to any external replay by construction.
+    - ``on_oversized="divert"``: lazily remove oversized keys BEFORE
+      any ``collect_list`` materializes their history (count pre-pass,
+      only ``(key, long)`` pairs shuffle; the oversized-key set is a
+      handful of viral keys, so AQE broadcasts the anti-join).  This
+      mode DROPS those keys from the output — opt-in, and
+      :func:`fold_key_report` with the same filter names every
+      diverted key.  Point diverted keys at the O(1)-state streaming
+      twins (``streaming.stateful.ewma_with_state`` /
+      ``cusum_with_state``) replayed over the key's ordered history.
+
+    ``cap=None`` disables the guard entirely (explicit opt-out for
+    known-bounded keys — also skips the eager count job).
     """
     if cap is None:
         return ev
     if cap < 1:
         raise ValueError(f"max_events_per_key must be >= 1, got {cap}")
+    if on_oversized not in ("error", "divert"):
+        raise ValueError(
+            f"on_oversized must be 'error' or 'divert', got {on_oversized!r}"
+        )
     over = (
         ev.groupBy(key)
         .agg(F.count(F.lit(1)).alias("_n_ev"))
         .where(F.col("_n_ev") > cap)
-        .select(key)
     )
-    return ev.join(over, key, "left_anti")
+    if on_oversized == "divert":
+        return ev.join(over.select(key), key, "left_anti")
+    hot = over.orderBy(F.col("_n_ev").desc(), key).limit(5).collect()
+    if hot:
+        names = ", ".join(f"{r[0]}={r[1]} events" for r in hot)
+        raise ValueError(
+            f"keys exceed max_events_per_key={cap} (top: {names}). A hot "
+            f"key folds its whole history in one task (append-folds do "
+            f"quadratic element copies). Either raise the cap, pass "
+            f"max_events_per_key=None to fold everything anyway, pass "
+            f"on_oversized='divert' to drop these keys (audit with "
+            f"fold_key_report), or replay them through the O(1)-state "
+            f"streaming twins (streaming.stateful)."
+        )
+    return ev
 
 
 def fold_key_report(
@@ -303,6 +331,7 @@ def ewma(
     order_col: str,
     out_col: str = "ewma",
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Exponentially weighted moving average per key over time order:
     ``s_0 = v_0``, ``s_i = alpha*v_i + (1-alpha)*s_{i-1}`` — a genuinely
@@ -327,12 +356,16 @@ def ewma(
     events/key, but a single very hot key (millions of events) would
     be one straggler task and ultimately the 2 GB array ceiling — so
     ``max_events_per_key`` (default ``DEFAULT_MAX_EVENTS_APPEND_FOLD``)
-    guards it: oversized keys are DIVERTED before their array ever
-    builds (count-per-key pre-pass, only ``(key, long)`` shuffles), and
-    :func:`fold_key_report` with ``where=f"{value_col} IS NOT NULL"``
-    names every diverted key — no silent caps.  Run the streaming twin
+    guards it.  By default (``on_oversized="error"``) an oversized key
+    FAILS the call loudly, naming the offenders — results therefore
+    always fold every key, equal to any external replay by
+    construction, never silently missing rows.  Opt into
+    ``on_oversized="divert"`` to drop oversized keys pre-collect
+    instead (count pre-pass, only ``(key, long)`` shuffles) and audit
+    them via :func:`fold_key_report` with
+    ``where=f"{value_col} IS NOT NULL"``.  Run the streaming twin
     (``streaming.stateful.ewma_with_state`` — O(1) state, O(n) work)
-    over a diverted key's ordered history instead.  ``None`` opts out.
+    over a hot key's ordered history instead.  ``None`` opts out.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -348,6 +381,7 @@ def ewma(
         ),
         "_k",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
     init = F.struct(
         F.array().cast("array<double>").alias("arr"),
@@ -389,6 +423,7 @@ def cusum_flags(
     target: Optional[float] = None,
     reset_on_alarm: bool = True,
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Two-sided CUSUM change-point detection per key over time order:
     ``s+_i = max(0, s+_{i-1} + (v_i - target - drift))`` (and the
@@ -414,11 +449,13 @@ def cusum_flags(
     key's own event list, keys fan out across the cluster, and only
     ``(ts, order, value)`` triples shuffle; the same hot-key
     quadratic-copy bound applies and the same
-    ``max_events_per_key`` guard closes it (oversized keys diverted
-    pre-collect, audited via :func:`fold_key_report`; remedy for the
-    diverted keys: ``streaming.stateful.cusum_with_state``, O(1)
-    state — note the streaming twin needs an explicit ``target``,
-    self-calibration is a two-pass batch luxury).
+    ``max_events_per_key`` guard closes it (default
+    ``on_oversized="error"`` fails loudly naming the hot keys;
+    ``"divert"`` drops them pre-collect, audited via
+    :func:`fold_key_report`; remedy for hot keys:
+    ``streaming.stateful.cusum_with_state``, O(1) state — note the
+    streaming twin needs an explicit ``target``, self-calibration is a
+    two-pass batch luxury).
     """
     if drift < 0.0:
         raise ValueError(f"drift must be >= 0, got {drift}")
@@ -437,6 +474,7 @@ def cusum_flags(
         ),
         "_k",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
     if target is None:
         vals = F.array_sort(F.transform(F.col("_evts"), lambda e: e["v"]))
@@ -495,6 +533,7 @@ def trajectory_vectors(
     n_points: int = 16,
     order_col: Optional[str] = None,
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Fixed-length trajectory envelope per key — the signature that
     makes behavioral similarity search tractable at scale (cf. REPOSE,
@@ -518,8 +557,10 @@ def trajectory_vectors(
     (cosine top-k, LSH, kNN join over ``traj``) is sketch-sized work.
     The scan is linear (no append-fold), so the hot-key bound is
     memory/straggler only — ``max_events_per_key`` (default
-    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts viral keys pre-collect;
-    audit with :func:`fold_key_report`.
+    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
+    ``on_oversized="error"`` fails loudly naming viral keys,
+    ``"divert"`` drops them pre-collect (audit with
+    :func:`fold_key_report`).
     """
     if n_points < 2:
         raise ValueError(f"n_points must be >= 2, got {n_points}")
@@ -535,6 +576,7 @@ def trajectory_vectors(
         ),
         "_k",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_k").agg(
         F.collect_list("_e").alias("_evts"),
         F.count(F.lit(1)).cast("long").alias("n_obs"),
@@ -609,6 +651,7 @@ def autocorrelation(
     order_col: str,
     out_col: str = "acf",
     max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_SCAN_FOLD,
+    on_oversized: str = "error",
 ) -> DataFrame:
     """Per-key lag-``k`` autocorrelation of a value series — the
     persistence/burstiness profile (near 1: trending metric; near 0:
@@ -627,8 +670,10 @@ def autocorrelation(
     ``(ts, order, value)`` triples per key; the lagged products are an
     index walk over the key's own array, map-side (linear, no
     append-fold).  ``max_events_per_key`` (default
-    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) diverts viral keys pre-collect;
-    audit with :func:`fold_key_report`.
+    ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
+    ``on_oversized="error"`` fails loudly naming viral keys,
+    ``"divert"`` drops them pre-collect (audit with
+    :func:`fold_key_report`).
     """
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")
@@ -643,6 +688,7 @@ def autocorrelation(
         ),
         "_k",
         max_events_per_key,
+        on_oversized,
     ).groupBy("_k").agg(
         # project the time-ordered value array INSIDE the agg so `_vals`
         # is a leaf attribute: `element_at(vals, i)` inside the lagged

@@ -55,6 +55,31 @@ _TYPE_OK = {
 }
 
 
+def canon_shape_problems(dtypes) -> list:
+    """Reject output schemas the DRIVER's canonicalizer cannot sort.
+
+    The driver sorts result rows via pandas ``sort_values`` over every
+    column before hashing; Array/Map/Struct cells arrive as python
+    lists/dicts/Rows — unhashable, so the gate dies with
+    ``TypeError: unhashable type: 'list'`` BEFORE any value comparison
+    (round-6 red rows ``emb_mrl_truncation`` / ``events_behavior_vectors``).
+    This local gate historically stringified cells (stricter on values,
+    weaker on dtype shape) and passed what the driver cannot sort —
+    so nested output types are now a hard local failure too.  Render
+    arrays to delimited full-precision strings or explode to rows;
+    library functions may still RETURN arrays — only registry
+    conformance queries must project scalar cells.
+
+    ``dtypes`` is ``DataFrame.dtypes`` (name, simpleString) pairs.
+    """
+    return [
+        f"col {name!r} is {dt} — driver canonicalizer cannot sort "
+        f"nested cells; render to string or explode to rows"
+        for name, dt in dtypes
+        if dt.startswith(("array", "map", "struct"))
+    ]
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
@@ -161,6 +186,13 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL  {name}: spark error: {e}")
             failures += 1
+            continue
+        shape_probs = canon_shape_problems(sdf.dtypes)
+        if shape_probs:
+            failures += 1
+            print(f"FAIL  {name}: canon-shape audit:")
+            for p in shape_probs:
+                print(f"      {p}")
             continue
         if ssig != ssig2:
             failures += 1

@@ -3745,7 +3745,7 @@ class TestFoldKeyGuard:
 
         df = self._hot_cold(spark)
         capped = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
-                      max_events_per_key=10)
+                      max_events_per_key=10, on_oversized="divert")
         assert capped.where(F.col("k") == "hot").count() == 0
         cold_capped = sorted(map(tuple,
                                  capped.where(F.col("k") == "cold").collect()))
@@ -3786,14 +3786,17 @@ class TestFoldKeyGuard:
 
         df = self._hot_cold(spark)
         cu = cusum_flags(df, "k", "ts", "v", drift=0.1, threshold=5.0,
-                         order_col="oid", max_events_per_key=10)
+                         order_col="oid", max_events_per_key=10,
+                         on_oversized="divert")
         assert cu.where(F.col("k") == "hot").count() == 0
         assert cu.where(F.col("k") == "cold").count() == 3
         tv = trajectory_vectors(df, "k", "ts", "v", n_points=4,
-                                max_events_per_key=10)
+                                max_events_per_key=10,
+                                on_oversized="divert")
         assert [r.k for r in tv.collect()] == ["cold"]
         ac = autocorrelation(df, "k", "ts", "v", lag=1, order_col="oid",
-                             max_events_per_key=10)
+                             max_events_per_key=10,
+                             on_oversized="divert")
         assert [r.k for r in ac.collect()] == ["cold"]
 
     def test_funnel_diverts_hot_user(self, spark):
@@ -3810,7 +3813,8 @@ class TestFoldKeyGuard:
         capped = {r.step: r.n_users
                   for r in funnel_steps(df, "user_id", "ts", "step",
                                         ["view", "click"],
-                                        max_events_per_key=5).collect()}
+                                        max_events_per_key=5,
+                                        on_oversized="divert").collect()}
         assert capped == {"view": 1, "click": 1}  # user 1 (9 events) diverted
         full = {r.step: r.n_users
                 for r in funnel_steps(df, "user_id", "ts", "step",
@@ -3824,12 +3828,44 @@ class TestFoldKeyGuard:
         df = self._hot_cold(spark)
         out = rate_limit_events(df, "k", "ts", max_events=2,
                                 window_seconds=3600, order_col="oid",
-                                max_events_per_key=10)
+                                max_events_per_key=10,
+                                on_oversized="divert")
         assert {r.k for r in out.collect()} == {"cold"}  # hot diverted
         full = rate_limit_events(df, "k", "ts", max_events=2,
                                  window_seconds=3600, order_col="oid",
                                  max_events_per_key=None)
         assert {r.k for r in full.collect()} == {"cold", "hot"}
+
+    def test_default_errors_loudly_on_hot_key(self, spark):
+        # the default is FAIL, not silent row removal: results either
+        # cover every key (equal to any oracle replay by construction)
+        # or the call raises naming the offenders
+        from dbldatagen_spark.functions import ewma
+
+        df = self._hot_cold(spark)
+        with pytest.raises(ValueError, match="hot=12 events"):
+            ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                 max_events_per_key=10)
+
+    def test_default_passes_through_when_bounded(self, spark):
+        # healthy data under the default mode folds ALL keys and the
+        # plan keeps its single key shuffle (no anti-join)
+        from dbldatagen_spark.functions import ewma
+
+        df = self._hot_cold(spark)
+        out = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                   max_events_per_key=100)
+        assert out.count() == 15  # 12 hot + 3 cold non-null events
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" not in plan
+
+    def test_bad_mode_rejected(self, spark):
+        from dbldatagen_spark.functions import ewma
+
+        with pytest.raises(ValueError, match="on_oversized"):
+            ewma(self._hot_cold(spark), "k", "ts", "v", alpha=0.5,
+                 order_col="oid", max_events_per_key=10,
+                 on_oversized="drop")
 
     def test_validation(self, spark):
         from dbldatagen_spark.functions import ewma, fold_key_report

@@ -296,3 +296,54 @@ class TestRound5OpsDegenerateInputs:
         ).withColumn("ts", F.col("ts").cast("timestamp"))
         ivals = scd2_intervals(ch, "k", "ts", ["attr"], order_col="ts").collect()
         assert len(ivals) == 2  # NULL -> 'x' is a change
+
+
+class TestDriverCanonShape:
+    """The driver's correctness gate sorts result rows via pandas over
+    every output column before hashing; nested cells (list/dict/Row)
+    are unhashable there and kill the gate BEFORE value comparison —
+    the round-6 red rows. ``check_oracle.canon_shape_problems`` is the
+    guard that keeps such schemas out of the registry."""
+
+    def _guard(self):
+        import importlib.util
+        import os
+
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "check_oracle.py",
+        )
+        spec = importlib.util.spec_from_file_location("check_oracle", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.canon_shape_problems
+
+    def test_array_output_rejected(self, spark):
+        guard = self._guard()
+        df = spark.createDataFrame([(1, [0.1, 0.2])], "id long, vec array<double>")
+        probs = guard(df.dtypes)
+        assert len(probs) == 1 and "vec" in probs[0]
+
+    def test_map_and_struct_rejected(self):
+        guard = self._guard()
+        probs = guard(
+            [("m", "map<string,bigint>"), ("s", "struct<a:bigint>"), ("ok", "bigint")]
+        )
+        assert len(probs) == 2
+
+    def test_scalar_schema_accepted(self, spark):
+        guard = self._guard()
+        df = spark.createDataFrame(
+            [(1, "a|b", 0.5, True)], "id long, s string, d double, b boolean"
+        )
+        assert guard(df.dtypes) == []
+
+    def test_fixed_conformance_queries_project_scalars(self, spark):
+        # the two round-6 red rows must never regress to nested outputs
+        import __spark_entry__ as entrymod
+
+        qs = entrymod.queries()
+        for name in ("emb_mrl_truncation", "events_behavior_vectors"):
+            sdf = qs[name](spark, "/root/testdata/sf0.001")
+            assert self._guard()(sdf.dtypes) == [], name
