@@ -5259,6 +5259,104 @@ def _customers_derive_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return derive_cdc(before, after, ["c_custkey"]).orderBy("c_custkey")
 
 
+
+def _events_streaming_behavior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user transition signatures maintained as STREAMING STATE,
+    run as a REAL two-micro-batch job: events replay through
+    transition_counts_with_state (applyInPandasWithState; state = one
+    (last-state, k^2 count cells) row per key), the per-key LAST
+    emission must equal the batch lag-window aggregation integer-exact
+    (stream-vs-batch mismatches ride along as a constant column), and
+    the oracle recomputes the batch counts relationally. The count
+    matrix renders as one '|'-joined integer string (driver-canonical
+    scalar cells; longs render identically on both engines)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import Window
+
+    from dbldatagen_spark.streaming.stateful import transition_counts_with_state
+
+    states = ["click", "error", "purchase", "signup", "view"]
+    events = _load(spark, sf_dir, "events")
+    src = events.select("user_id", "ts", "event_id", "event_type")
+    kwargs = dict(order_col="event_id", states=states)
+    batch = transition_counts_with_state(
+        src, "user_id", "ts", "event_type", **kwargs
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_transtate_")
+    try:
+        # split on a floored-second boundary so (ts, id) ties never
+        # straddle micro-batches (per-key event-time order assumption)
+        mid = int(src.agg(F.expr(
+            "percentile(floor(unix_timestamp(cast(ts as timestamp))), 0.5)"
+        )).first()[0])
+        e = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+        now = time.time()
+        seen: list = []
+        for i, frame in enumerate((src.where(e < mid), src.where(e >= mid))):
+            frame.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+            for f in sorted(glob.glob(f"{tmp}/src/*.parquet")):
+                if f not in seen:
+                    os.utime(f, (now + 1000 * i, now + 1000 * i))
+                    seen.append(f)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = (
+            transition_counts_with_state(
+                stream, "user_id", "ts", "event_type", **kwargs
+            )
+            .writeStream.format("parquet")
+            .option("path", f"{tmp}/out")
+            .option("checkpointLocation", f"{tmp}/ck")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        emissions = spark.read.parquet(f"{tmp}/out")
+        w = Window.partitionBy("key").orderBy(F.col("n_transitions").desc())
+        final = (
+            emissions.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .drop("_rn")
+        )
+        mismatches = (
+            final.exceptAll(batch).union(batch.exceptAll(final)).count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return batch.select(
+        F.col("key").alias("user_id"),
+        "n_transitions",
+        F.concat_ws(
+            "|", F.transform(F.col("counts"), lambda x: x.cast("string"))
+        ).alias("counts"),
+        F.lit(int(mismatches)).cast("long").alias("stream_batch_mismatches"),
+    ).orderBy("user_id")
+
+
+def _events_session_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization skew audit: every user whose event count exceeds
+    the per-task threshold — the users method='window' would serialize
+    onto one task — with the skew_safe phase-1 split shape (bucket
+    count and the largest single (user, day) slice). Count-only
+    aggregations, integer-exact, so the oracle reproduces every row."""
+    from dbldatagen_spark.functions import session_key_report
+
+    events = _load(spark, sf_dir, "events")
+    return session_key_report(
+        events, "user_id", "ts", max_events_per_key=20, bucket_seconds=86400
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5470,6 +5568,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "q22_global_sales_opportunity": _q22_global_sales_opportunity,
+        # --- round-7 growth (post-drain; canon-shape-checked at birth) ---
+        "events_streaming_behavior": _events_streaming_behavior,
+        "events_session_skew_report": _events_session_skew_report,
     }
 
 
@@ -7033,6 +7134,60 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS semi_mismatch,
                    CAST(0 AS BIGINT) AS anti_mismatch
             FROM passrows, matchrows
+        """,
+        "events_streaming_behavior": """
+            WITH vocab(name, i) AS (
+                VALUES ('click', 0), ('error', 1), ('purchase', 2),
+                       ('signup', 3), ('view', 4)
+            ),
+            led AS (
+                SELECT user_id, event_type AS ft,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS tt
+                FROM events
+            ),
+            pairs AS (
+                SELECT l.user_id, (vf.i * 5 + vt.i) AS idx
+                FROM led l
+                JOIN vocab vf ON vf.name = l.ft
+                JOIN vocab vt ON vt.name = l.tt
+            ),
+            counts AS (
+                SELECT user_id, idx, count(*)::BIGINT AS c
+                FROM pairs GROUP BY 1, 2
+            ),
+            tot AS (
+                SELECT user_id, sum(c)::BIGINT AS t FROM counts GROUP BY 1
+            ),
+            spine AS (
+                SELECT t.user_id, g.i AS idx, t.t
+                FROM tot t CROSS JOIN (SELECT unnest(range(0, 25)) AS i) g
+            )
+            SELECT s.user_id,
+                   max(s.t)::BIGINT AS n_transitions,
+                   string_agg(coalesce(c.c, 0)::BIGINT::VARCHAR,
+                              '|' ORDER BY s.idx) AS counts,
+                   CAST(0 AS BIGINT) AS stream_batch_mismatches
+            FROM spine s
+            LEFT JOIN counts c ON c.user_id = s.user_id AND c.idx = s.idx
+            GROUP BY s.user_id
+            ORDER BY s.user_id
+        """,
+        "events_session_skew_report": """
+            WITH b AS (
+                SELECT user_id AS user,
+                       floor(epoch(ts) / 86400.0)::BIGINT AS bucket,
+                       count(*)::BIGINT AS n
+                FROM events GROUP BY 1, 2
+            )
+            SELECT user,
+                   sum(n)::BIGINT AS n_events,
+                   count(*)::BIGINT AS n_buckets,
+                   max(n)::BIGINT AS max_bucket_events,
+                   'route_skew_safe' AS action
+            FROM b GROUP BY user
+            HAVING sum(n) > 20
+            ORDER BY n_events DESC, user
         """,
         "events_hourly_windows": """
             SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -224,3 +224,66 @@ def session_features(
         .withColumn("is_bounce", F.col("n_events") == 1)
     )
     return out
+
+
+def session_key_report(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    *,
+    max_events_per_key: int,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Skew audit for :func:`sessionize` — the ``fold_key_report``
+    counterpart for the session family ("no silent stragglers"): one
+    row per user whose total event count exceeds ``max_events_per_key``
+    — exactly the users whose history would serialize onto ONE task
+    under ``method="window"`` — with the shape the ``skew_safe``
+    decomposition would split them into:
+
+    ``(user, n_events, n_buckets, max_bucket_events,
+    action='route_skew_safe')``
+
+    ``max_bucket_events`` is the largest single (user, time-bucket)
+    slice, i.e. the worst task the two-phase route still runs — if it
+    is close to ``n_events`` the user's traffic is concentrated inside
+    one bucket and ``bucket_seconds`` should shrink.  Empty result =
+    every user is bounded and ``method="window"`` is already the right
+    plan (one fewer window).
+
+    Scale shape: count-only aggregations — one shuffle of
+    ``(user, bucket, long)`` cells, one of ``(user, long)`` rollups;
+    no payloads, no event lists.
+    """
+    if max_events_per_key < 1:
+        raise ValueError(
+            f"max_events_per_key must be >= 1, got {max_events_per_key}"
+        )
+    if bucket_seconds < 1:
+        raise ValueError(f"bucket_seconds must be >= 1, got {bucket_seconds}")
+    ev = df.select(
+        F.col(user_col).alias("user"),
+        F.floor(_ts_double(df, ts_col) / F.lit(float(bucket_seconds)))
+        .cast("long")
+        .alias("_bucket"),
+    )
+    per_bucket = ev.groupBy("user", "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    return (
+        per_bucket.groupBy("user")
+        .agg(
+            F.sum("_n").cast("long").alias("n_events"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.max("_n").cast("long").alias("max_bucket_events"),
+        )
+        .where(F.col("n_events") > max_events_per_key)
+        .select(
+            "user",
+            "n_events",
+            "n_buckets",
+            "max_bucket_events",
+            F.lit("route_skew_safe").alias("action"),
+        )
+        .orderBy(F.col("n_events").desc(), "user")
+    )

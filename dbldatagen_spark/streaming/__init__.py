@@ -27,6 +27,7 @@ from dbldatagen_spark.streaming.stateful import (
     global_dedup_with_state,
     session_window_agg,
     sessionize_with_state,
+    transition_counts_with_state,
 )
 from dbldatagen_spark.streaming.windows import (
     dedup_within_watermark,

@@ -657,3 +657,118 @@ def cusum_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_TRANSITION_STATE_SCHEMA = StructType(
+    [
+        StructField("last", LongType()),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def transition_counts_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    *,
+    order_col: str,
+    states,
+) -> DataFrame:
+    """Streaming twin of the per-key categorical transition signature
+    (:func:`dbldatagen_spark.functions.analytics.behavior_vectors`
+    without the final normalization — counts, not frequencies): each
+    key's cumulative ``k x k`` transition-count matrix over the explicit
+    ``states`` vocabulary, maintained across micro-batches.  This was
+    the one stateful family without a streaming twin: ewma/cusum carry
+    one-double state, CDC carries one row — here state is
+    ``(last-state index, k^2 count cells)`` per key, O(k^2) longs,
+    never history-sized.
+
+    Semantics mirror the batch lag-window exactly: a transition counts
+    only when BOTH endpoints are in-vocabulary, and an out-of-vocabulary
+    event BREAKS the chain (``a -> X -> b`` contributes nothing), so an
+    in-order replay's final emission equals the batch signature
+    bit-for-bit (integer counts — asserted by the real-run pytest and
+    the registry conformance query).  Assumes per-key event-time order
+    across batches; within a batch rows sort by ``(ts, order)``.
+
+    Emits ``(key, n_transitions, counts)`` per key per batch — the
+    CUMULATIVE signature after that batch (keys with no in-vocabulary
+    transitions yet emit nothing, mirroring the batch drop); take each
+    key's last emission for current state, exactly like
+    :func:`cdc_latest_with_state`.  On a batch frame it delegates to
+    the batch aggregation (``counts = round(behavior * n)`` — exact:
+    the frequencies are integer ratios ``c/n`` and ``|c| < 2^52``).
+
+    Scale shape: one key shuffle into the stateful operator; state and
+    per-emission payload are both ``k^2 + 1`` longs per key regardless
+    of history length.
+    """
+    if len(states) < 2:
+        raise ValueError(f"states needs >= 2 entries, got {len(states)}")
+    if len(set(states)) != len(states):
+        raise ValueError("states must be distinct")
+    k = len(states)
+    if not df.isStreaming:
+        from dbldatagen_spark.functions.analytics import behavior_vectors
+
+        bv = behavior_vectors(
+            df, key_col, ts_col, state_col, order_col=order_col, states=states
+        )
+        n = F.col("n_transitions").cast("double")
+        return bv.select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col("n_transitions").cast("long").alias("n_transitions"),
+            F.transform(
+                F.col("behavior"), lambda x: F.round(x * n).cast("long")
+            ).alias("counts"),
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(state_col).cast("string").alias("s"),
+    )
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("n_transitions", LongType()),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+    idx = {s: i for i, s in enumerate(states)}
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            last, counts = int(state.get[0]), list(state.get[1])
+        else:
+            last, counts = -1, [0] * (k * k)
+        rows = pd.concat(list(pdfs)).sort_values(["_t", "o"])
+        for s in rows["s"]:
+            cur = idx.get(s, -1)
+            if last >= 0 and cur >= 0:
+                counts[last * k + cur] += 1
+            last = cur  # out-of-vocab sets -1: breaks the chain, as batch
+        state.update((last, counts))
+        n = sum(counts)
+        if n:
+            yield pd.DataFrame(
+                {
+                    "key": [int(key[0])],
+                    "n_transitions": [n],
+                    "counts": [counts],
+                }
+            )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_TRANSITION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -87,7 +87,9 @@ def main() -> None:
         " family-first: any operator family with zero driver history"
         " outranks recency.",
         f"2. **Registry growth pauses while the never-checked count"
-        f" exceeds {GROWTH_CEILING}.** Currently {never_total}"
+        f" OUTSIDE the current window exceeds {GROWTH_CEILING}**"
+        " (in-window rows drain when the driver runs, so the ceiling"
+        f" is the post-drain backlog). Currently {never_total}"
         f" never-checked in total; {never_after} outside the current"
         " window (i.e., remaining after it drains).",
         "3. Demotion requires >=1 green driver round AND family coverage"

@@ -4780,3 +4780,43 @@ class TestRRFFuse:
             rrf_fuse([], "id")
         with pytest.raises(ValueError):
             rrf_fuse([spark.range(1)], "id", k=0)
+
+
+class TestSessionKeyReport:
+    """Skew audit for sessionize: names users whose history would
+    serialize onto one task under method='window' and reports the
+    skew_safe phase-1 split shape."""
+
+    def test_hot_user_named_with_split_shape(self, spark):
+        rows = [(1, f"2024-01-0{d} 0{h}:00:00") for d in (1, 2)
+                for h in range(4)]                      # user 1: 8 events, 2 days
+        rows += [(2, "2024-01-01 00:00:00"), (2, "2024-01-01 01:00:00")]
+        df = spark.createDataFrame(rows, "user_id long, ts string") \
+                  .withColumn("ts", F.col("ts").cast("timestamp"))
+        from dbldatagen_spark.functions import session_key_report
+
+        rep = session_key_report(df, "user_id", "ts",
+                                 max_events_per_key=5,
+                                 bucket_seconds=86400).collect()
+        assert [(r.user, r.n_events, r.n_buckets, r.max_bucket_events,
+                 r.action) for r in rep] == [(1, 8, 2, 4, "route_skew_safe")]
+
+    def test_bounded_users_empty_report(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00")], "user_id long, ts string"
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        from dbldatagen_spark.functions import session_key_report
+
+        assert session_key_report(df, "user_id", "ts",
+                                  max_events_per_key=10).count() == 0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import session_key_report
+
+        df = spark.range(1).selectExpr("id as user_id",
+                                       "current_timestamp() as ts")
+        with pytest.raises(ValueError):
+            session_key_report(df, "user_id", "ts", max_events_per_key=0)
+        with pytest.raises(ValueError):
+            session_key_report(df, "user_id", "ts", max_events_per_key=5,
+                               bucket_seconds=0)

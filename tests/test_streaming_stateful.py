@@ -720,3 +720,93 @@ def test_histogram_sink_merge_on_read_matches_batch(spark, events, tmp_path):
     parts = {p.name for p in pathlib.Path(tmp_path / "state").iterdir()
              if p.is_dir()}
     assert {"batch_id=0", "batch_id=1"} <= parts
+
+
+def test_transition_counts_stream_matches_batch(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from pyspark.sql import Window
+
+    from dbldatagen_spark.streaming.stateful import transition_counts_with_state
+
+    states = ["click", "error", "purchase", "signup", "view"]
+    src = events.select("user_id", "ts", "event_id", "event_type")
+    kwargs = dict(order_col="event_id", states=states)
+    batch = transition_counts_with_state(
+        src, "user_id", "ts", "event_type", **kwargs
+    )
+
+    mid = int(src.agg(F.expr(
+        "percentile(floor(unix_timestamp(cast(ts as timestamp))), 0.5)"
+    )).first()[0])
+    e = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    now = time.time()
+    seen: list = []
+    for i, frame in enumerate((src.where(e < mid), src.where(e >= mid))):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        transition_counts_with_state(stream, "user_id", "ts", "event_type", **kwargs)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.read.parquet(str(tmp_path / "out"))
+    # cumulative emissions: the key's LAST (max n_transitions) must equal batch
+    w = Window.partitionBy("key").orderBy(F.col("n_transitions").desc())
+    final = (
+        emissions.withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1").drop("_rn")
+    )
+    b = {r.key: (r.n_transitions, list(r.counts)) for r in batch.collect()}
+    s = {r.key: (r.n_transitions, list(r.counts)) for r in final.collect()}
+    assert b == s  # integer-exact
+
+
+def test_transition_counts_chain_break_and_batch_delegation(spark):
+    from dbldatagen_spark.streaming.stateful import transition_counts_with_state
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 00:01:00", 2, "X"),  # out-of-vocab: breaks chain
+        (1, "2024-01-01 00:02:00", 3, "b"),
+        (1, "2024-01-01 00:03:00", 4, "a"),
+        (2, "2024-01-01 00:00:00", 5, "X"),  # no in-vocab transition: dropped
+        (2, "2024-01-01 00:01:00", 6, "a"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.key: (r.n_transitions, list(r.counts))
+           for r in transition_counts_with_state(
+               df, "user_id", "ts", "state",
+               order_col="event_id", states=["a", "b"]).collect()}
+    # user 1: only b->a counts (a->X and X->b break); user 2 has none
+    assert out == {1: (1, [0, 0, 1, 0])}
+
+
+def test_transition_counts_validation(spark, events):
+    from dbldatagen_spark.streaming.stateful import transition_counts_with_state
+
+    with pytest.raises(ValueError):
+        transition_counts_with_state(events, "user_id", "ts", "event_type",
+                                     order_col="event_id", states=["a"])
+    with pytest.raises(ValueError):
+        transition_counts_with_state(events, "user_id", "ts", "event_type",
+                                     order_col="event_id",
+                                     states=["a", "a", "b"])
