@@ -85,7 +85,10 @@ def main() -> None:
     print("prospective day1 x day2 user join size estimate:", est)
 
     # 4. change-detection lane: smooth each user's values, alarm on
-    #    sustained level shifts
+    #    sustained level shifts. The folds guard against viral keys:
+    #    the default fails loudly naming any key over max_events_per_key
+    #    (pass on_oversized="divert" to drop-and-audit via
+    #    fold_key_report, or max_events_per_key=None for bounded feeds).
     smoothed = ewma(events, "user_id", "ts", "value", alpha=0.25,
                     order_col="event_id")
     alarms = cusum_flags(events, "user_id", "ts", "value", drift=0.25,
