@@ -5357,6 +5357,24 @@ def _events_session_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka retrieval-quality audit: recall@10 of prefix-dim
+    cosine rankings (8/16/32 of 64) vs the full-vector ranking over 20
+    deterministic md5-selected probe vectors — the measurement that
+    decides which truncate_embeddings prefix is safe to serve. Rankings
+    order by round(cosine, 4) with id tiebreaks (the repo's portable
+    ranking convention), overlaps are integer sums, so the oracle
+    reproduces every row exactly; the per-(query, dim) top-k plans as a
+    pre-exchange WindowGroupLimit so only candidate ids shuffle."""
+    from dbldatagen_spark.functions import mrl_recall_report
+
+    emb = _load(spark, sf_dir, "embeddings")
+    return mrl_recall_report(
+        emb, "vec_id", "embedding", dims=[8, 16, 32], k=10, n_queries=20
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5571,6 +5589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- round-7 growth (post-drain; canon-shape-checked at birth) ---
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
+        "emb_mrl_recall": _emb_mrl_recall,
     }
 
 
@@ -7134,6 +7153,51 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS semi_mismatch,
                    CAST(0 AS BIGINT) AS anti_mismatch
             FROM passrows, matchrows
+        """,
+        "emb_mrl_recall": """
+            WITH q AS (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 20
+            ),
+            pairs AS (
+                SELECT e.vec_id AS cid, q.qid,
+                       CAST(e.embedding AS DOUBLE[]) AS cv, q.qv
+                FROM embeddings e, q WHERE e.vec_id <> q.qid
+            ),
+            scored AS (
+                SELECT qid, cid, d.dim,
+                       ROUND(list_cosine_similarity(
+                           CASE WHEN d.dim = 0 THEN cv
+                                ELSE cv[1:d.dim] END,
+                           CASE WHEN d.dim = 0 THEN qv
+                                ELSE qv[1:d.dim] END), 4) AS cos
+                FROM pairs, (SELECT unnest([0, 8, 16, 32]) AS dim) d
+            ),
+            topk AS (
+                SELECT qid, dim, cid,
+                       row_number() OVER (PARTITION BY qid, dim
+                                          ORDER BY cos DESC, cid) AS rn
+                FROM scored
+            ),
+            t AS (SELECT qid, cid FROM topk WHERE dim = 0 AND rn <= 10),
+            c AS (SELECT qid, dim, cid FROM topk WHERE dim <> 0 AND rn <= 10),
+            ov AS (
+                SELECT c.dim, count(*)::BIGINT AS total_overlap
+                FROM c JOIN t ON t.qid = c.qid AND t.cid = c.cid
+                GROUP BY 1
+            ),
+            nq AS (SELECT count(*)::BIGINT AS n FROM q)
+            SELECT CAST(s.dim AS INTEGER) AS dim,
+                   CAST(10 AS INTEGER) AS k,
+                   nq.n AS n_queries,
+                   coalesce(ov.total_overlap, 0)::BIGINT AS total_overlap,
+                   ROUND(coalesce(ov.total_overlap, 0)::DOUBLE
+                         / (10 * nq.n), 4) AS recall
+            FROM (SELECT unnest([8, 16, 32]) AS dim) s
+            LEFT JOIN ov ON ov.dim = s.dim
+            CROSS JOIN nq
+            ORDER BY dim
         """,
         "events_streaming_behavior": """
             WITH vocab(name, i) AS (

@@ -610,3 +610,127 @@ def truncate_embeddings(
     else:
         vec = F.col("_pfx")
     return with_norm.withColumn(out, vec).drop("_pfx")
+
+
+def mrl_recall_report(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dims: Sequence[int],
+    k: int = 10,
+    n_queries: int = 20,
+) -> DataFrame:
+    """Matryoshka retrieval-quality audit: recall@k of PREFIX-dimension
+    cosine rankings against the full-dimension ranking — the measurement
+    that tells you which MRL truncation (:func:`truncate_embeddings`) is
+    safe to serve.  For each of ``n_queries`` deterministic probe
+    vectors (smallest ``md5(id)`` — portable across engines) and each
+    prefix length in ``dims``, the top-``k`` neighbors by prefix cosine
+    are compared to the full-vector top-``k``; one row per dim:
+
+    ``(dim, k, n_queries, total_overlap, recall)``
+
+    where ``total_overlap`` sums the per-query intersection sizes
+    (integer — engine-exact) and ``recall = total_overlap /
+    (k * n_queries)``.  Rankings order by the cosine ROUNDED at 4
+    decimals with id tiebreaks, so the ranking itself is engine-portable
+    (the same convention as :func:`cosine_topk`).  Cosine over a prefix
+    is unaffected by re-normalization, so raw slices are compared.
+    ``dims`` entries must not exceed the vector length.
+
+    Scale shape: the probe set is an ``n_queries``-row broadcast; the
+    corpus scans ONCE computing all prefix cosines fused per row
+    (``len(dims)+1`` folds); each per-(query, dim) top-k plans as a
+    pre-exchange WindowGroupLimit, so the rank shuffle carries at most
+    ``n_queries x (len(dims)+1) x k`` candidate rows per map task —
+    never the corpus, never the vectors. Driver traffic is the
+    ``len(dims)``-row report.
+    """
+    dims = list(dims)
+    if not dims or any(d < 1 for d in dims):
+        raise ValueError(f"dims must be >= 1, got {dims}")
+    if len(set(dims)) != len(dims):
+        raise ValueError("dims must be distinct")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+
+    from pyspark.sql import Window
+
+    qsel = (
+        df.select(F.col(id_col).alias("_qid"), F.col(vec_col).alias("_qv"))
+        .orderBy(F.md5(F.col("_qid").cast("string")), "_qid")
+        .limit(n_queries)
+    )
+    pairs = (
+        ensure_parallelism(df)
+        .select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("_cv"))
+        .crossJoin(F.broadcast(qsel))
+        .where(F.col("_cid") != F.col("_qid"))
+    )
+
+    def _cos(dim: Optional[int]) -> Column:
+        if dim is None:  # full vector = the ranking being recalled against
+            a, b = F.col("_cv"), F.col("_qv")
+        else:
+            a, b = F.slice(F.col("_cv"), 1, dim), F.slice(F.col("_qv"), 1, dim)
+        return F.round(cosine_similarity_expr(a, b), 4)
+
+    # dim 0 marks the full-vector truth ranking
+    scored = (
+        pairs.select(
+            "_qid",
+            "_cid",
+            F.explode(
+                F.array(
+                    F.struct(F.lit(0).alias("_dim"), _cos(None).alias("_cos")),
+                    *[
+                        F.struct(
+                            F.lit(int(d)).alias("_dim"), _cos(d).alias("_cos")
+                        )
+                        for d in dims
+                    ],
+                )
+            ).alias("_e"),
+        )
+        .select("_qid", "_cid", F.col("_e._dim").alias("_dim"),
+                F.col("_e._cos").alias("_cos"))
+    )
+    w = Window.partitionBy("_qid", "_dim").orderBy(F.desc("_cos"), "_cid")
+    topk = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("_qid", "_dim", "_cid")
+    )
+    truth = topk.where(F.col("_dim") == 0).select("_qid", "_cid")
+    overlap = (
+        topk.where(F.col("_dim") != 0)
+        .join(truth, ["_qid", "_cid"])
+        .groupBy("_dim")
+        .agg(F.count(F.lit(1)).cast("long").alias("total_overlap"))
+    )
+    spark = df.sparkSession
+    spine = spark.range(1).select(
+        F.explode(F.array(*[F.lit(int(d)) for d in dims])).alias("_dim")
+    )
+    nq = qsel.agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+    return (
+        spine.join(overlap, "_dim", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("_dim").cast("int").alias("dim"),
+            F.lit(int(k)).cast("int").alias("k"),
+            "n_queries",
+            F.coalesce(F.col("total_overlap"), F.lit(0).cast("long")).alias(
+                "total_overlap"
+            ),
+            F.round(
+                F.coalesce(F.col("total_overlap"), F.lit(0)).cast("double")
+                / (F.lit(int(k)) * F.col("n_queries")).cast("double"),
+                4,
+            ).alias("recall"),
+        )
+        .orderBy("dim")
+    )

@@ -4820,3 +4820,60 @@ class TestSessionKeyReport:
         with pytest.raises(ValueError):
             session_key_report(df, "user_id", "ts", max_events_per_key=5,
                                bucket_seconds=0)
+
+
+class TestMrlRecallReport:
+    """recall@k of prefix-dimension cosine rankings vs the full ranking
+    — the audit that decides which Matryoshka truncation is servable."""
+
+    def test_recall_counts_planted_geometry(self, spark):
+        from dbldatagen_spark.functions import mrl_recall_report
+
+        # corpus of 4-d vectors; query = id 0 (single query).
+        # full-dim nearest of q is id 1 (identical); by the first-2 prefix
+        # id 2 ([1,0,...]) ties id 1 exactly, ids break the tie -> same
+        # top-2 SET either way => recall@2(dim=2) = 1.0; dim=3 likewise.
+        rows = [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0, 0.0]),   # exact duplicate of q
+            (2, [1.0, 0.0, 9.0, 0.0]),   # prefix-identical, full-div
+            (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        rep = {r.dim: (r.total_overlap, r.recall)
+               for r in mrl_recall_report(df, "vec_id", "v",
+                                          dims=[2], k=2, n_queries=1).collect()}
+        # full top-2 of q: ids 1 (cos 1.0) and 2 (cos ~0.110); prefix-2
+        # top-2: ids 1 and 2 (both cos 1.0) -> overlap 2 of 2
+        assert rep == {2: (2, 1.0)}
+
+    def test_full_dim_prefix_is_perfect_recall(self, spark):
+        # a prefix equal to the full dimension must reproduce the truth
+        # ranking exactly -> recall 1.0 regardless of data
+        import random
+
+        from dbldatagen_spark.functions import mrl_recall_report
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        rep = {r.dim: r.recall
+               for r in mrl_recall_report(df, "vec_id", "v",
+                                          dims=[8, 4], k=5,
+                                          n_queries=6).collect()}
+        assert rep[8] == 1.0
+        assert 0.0 <= rep[4] <= 1.0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import mrl_recall_report
+
+        df = spark.createDataFrame([(1, [1.0])], "vec_id long, v array<double>")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            mrl_recall_report(df, "vec_id", "v", dims=[])
+        with _pytest.raises(ValueError):
+            mrl_recall_report(df, "vec_id", "v", dims=[2, 2])
+        with _pytest.raises(ValueError):
+            mrl_recall_report(df, "vec_id", "v", dims=[2], k=0)
+        with _pytest.raises(ValueError):
+            mrl_recall_report(df, "vec_id", "v", dims=[2], n_queries=0)
