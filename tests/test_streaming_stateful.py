@@ -810,3 +810,40 @@ def test_transition_counts_validation(spark, events):
         transition_counts_with_state(events, "user_id", "ts", "event_type",
                                      order_col="event_id",
                                      states=["a", "a", "b"])
+
+
+def test_transition_counts_batch_delegation_randomized(spark):
+    """Bulk randomized check: the batch delegation (round(behavior*n))
+    must reproduce pure-Python pair counting exactly, including
+    out-of-vocab chain breaks, across many keys and sequences."""
+    import random
+
+    from dbldatagen_spark.streaming.stateful import transition_counts_with_state
+
+    rng = random.Random(42)
+    states = ["a", "b", "c"]
+    vocab = {s: i for i, s in enumerate(states)}
+    alphabet = states + ["X", "Y"]  # 2 out-of-vocab symbols
+    rows, expected = [], {}
+    eid = 0
+    for key in range(10):
+        seq = [rng.choice(alphabet) for _ in range(rng.randint(1, 60))]
+        counts = [0] * 9
+        last = -1
+        for j, s in enumerate(seq):
+            eid += 1
+            rows.append((key, f"2024-01-01 00:{j:02d}:00", eid, s))
+            cur = vocab.get(s, -1)
+            if last >= 0 and cur >= 0:
+                counts[last * 3 + cur] += 1
+            last = cur
+        if sum(counts):
+            expected[key] = (sum(counts), counts)
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, state string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r.key: (r.n_transitions, list(r.counts))
+           for r in transition_counts_with_state(
+               df, "user_id", "ts", "state",
+               order_col="event_id", states=states).collect()}
+    assert got == expected
