@@ -5380,24 +5380,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-6 rotation (family-triaged per VERDICT r5): every family with
-    zero driver history gets a representative — SCD2/CDC, watermark and
-    stream-stream/stream-static streaming, ANN (k-means IVF / LSH recall /
-    brute cosine), retrieval (TF-IDF/BM25/RRF), the session-2 sketch+fold
-    cohort (EWMA/CUSUM/CMS/KMV/histogram/behavior/trajectory/
-    autocorrelation), perceptual multimodal near-dup, behavioral
-    analytics (funnel/cohort/transition/seasonal), privacy/quality
-    profiling, and document sampling.  TPC-H q3+q5 rejoin (last rows r3),
-    and four demoted core generator queries return (distribution shapes,
-    null fraction, unique temporal, FK integrity).  Demoted: the entire
-    round-5 cohort — all 50 were green on their most recent exposure.
-    The full query -> last-driver-round ledger lives in ROTATION.md."""
+    Round-8 rotation (stalest-first per VERDICT r7): after round 7's
+    full backlog drain, every pre-r7 registry query has >=1 green
+    driver row, so this window is pure staleness refresh — the 3
+    never-checked round-7 growth rows lead (never-checked outranks
+    recency), followed by the r2 TPC-H cohort, then the r3/r4/r5-head
+    cohorts in ledger order.  Demoted: the entire round-7 window — all
+    50 were green on their r7 exposure.  The full
+    query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-7 driver window: full rotation-debt drain ---
-        # 2 retries (r6 red only on driver canonicalization — arrays
-        # now rendered as scalar strings) + ALL 41 never-driver-checked
-        # registry queries + the 7 stalest ledger rows (r2). After this
-        # window every one of the 187 registry queries has >=1 driver row.
+        # --- round-8 driver window (stalest-first; see ROTATION.md) ---
+        # 3 never-checked round-7 growth rows first (policy: never-checked
+        # outranks recency), then the 9 r2 TPC-H rows, the 12-row r3
+        # cohort, the 18-row r4 generator cohort, and the head of the r5
+        # cohort to fill 50. After this window no ledger row is older
+        # than r5, and the never-checked backlog is zero.
+        "events_streaming_behavior": _events_streaming_behavior,
+        "events_session_skew_report": _events_session_skew_report,
+        "emb_mrl_recall": _emb_mrl_recall,
+        # r2-stale TPC-H cohort (last driver row round 2)
+        "q19_discounted_revenue": _q19_discounted_revenue,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q8_market_share": _q8_market_share,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_excess_suppliers": _q20_excess_suppliers,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
+        # r3-stale cohort
+        "gen_struct_json": _gen_struct_json,
+        "analyzer_profile": _analyzer_profile,
+        "emb_quantization": _emb_quantization,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
+        "text_vocabulary": _text_vocabulary,
+        "gen_date_cycle": _gen_date_cycle,
+        "q14_promo_share": _q14_promo_share,
+        "q11_important_parts": _q11_important_parts,
+        "events_session_range_join": _events_session_range_join,
+        "events_salted_join": _events_salted_join,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_pca_invariants": _emb_pca_invariants,
+        # r4-stale generator cohort
+        "gen_sequence": _gen_sequence,
+        "gen_range_cycle": _gen_range_cycle,
+        "gen_values_cycle": _gen_values_cycle,
+        "gen_timestamp_cycle": _gen_timestamp_cycle,
+        "gen_expression": _gen_expression,
+        "gen_determinism": _gen_determinism,
+        "gen_uuid_conformance": _gen_uuid_conformance,
+        "gen_pattern_conformance": _gen_pattern_conformance,
+        "gen_weighted_shape": _gen_weighted_shape,
+        "gen_unique_combinations": _gen_unique_combinations,
+        "gen_sales_order_ri": _gen_sales_order_ri,
+        "gen_constant_seedfrom": _gen_constant_seedfrom,
+        "gen_format_prefix": _gen_format_prefix,
+        "gen_constraints": _gen_constraints,
+        "gen_template_conformance": _gen_template_conformance,
+        "gen_array_features": _gen_array_features,
+        "events_sessionize": _events_sessionize,
+        "ann_knn_join": _ann_knn_join,
+        # r5-stale head (fills the window to 50)
+        "gen_sink_roundtrip": _gen_sink_roundtrip,
+        "gen_constraint_stream_gate": _gen_constraint_stream_gate,
+        "gen_template_expr_conformance": _gen_template_expr_conformance,
+        "gen_iltext_conformance": _gen_iltext_conformance,
+        "gen_faker_conformance": _gen_faker_conformance,
+        "gen_scripts_conformance": _gen_scripts_conformance,
+        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
+        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "emb_mrl_truncation": _emb_mrl_truncation,
         "events_behavior_vectors": _events_behavior_vectors,
         "events_stream_stream_join": _events_stream_stream_join,
@@ -5448,7 +5500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q7_nation_volume": _q7_nation_volume,
         "q10_returned_items": _q10_returned_items,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "gen_distribution_shapes": _gen_distribution_shapes,
         "gen_null_fraction": _gen_null_fraction,
         "gen_unique_temporal": _gen_unique_temporal,
@@ -5497,14 +5548,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": _lineitem_benford,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
-        "gen_sink_roundtrip": _gen_sink_roundtrip,
-        "gen_constraint_stream_gate": _gen_constraint_stream_gate,
-        "gen_template_expr_conformance": _gen_template_expr_conformance,
-        "gen_iltext_conformance": _gen_iltext_conformance,
-        "gen_faker_conformance": _gen_faker_conformance,
-        "gen_scripts_conformance": _gen_scripts_conformance,
-        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
-        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
         "q1_pricing_summary": _q1_pricing_summary,
         "gen_streaming_conformance": _gen_streaming_conformance,
         "events_asof_join": _events_asof_join,
@@ -5547,49 +5590,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q9_product_profit": _q9_product_profit,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
-        "gen_sequence": _gen_sequence,
-        "gen_range_cycle": _gen_range_cycle,
-        "gen_values_cycle": _gen_values_cycle,
-        "gen_timestamp_cycle": _gen_timestamp_cycle,
-        "gen_expression": _gen_expression,
-        "gen_determinism": _gen_determinism,
-        "gen_uuid_conformance": _gen_uuid_conformance,
-        "gen_pattern_conformance": _gen_pattern_conformance,
-        "gen_weighted_shape": _gen_weighted_shape,
-        "gen_unique_combinations": _gen_unique_combinations,
-        "gen_sales_order_ri": _gen_sales_order_ri,
-        "gen_constant_seedfrom": _gen_constant_seedfrom,
-        "gen_format_prefix": _gen_format_prefix,
-        "gen_constraints": _gen_constraints,
-        "gen_template_conformance": _gen_template_conformance,
-        "gen_array_features": _gen_array_features,
-        "events_sessionize": _events_sessionize,
-        "ann_knn_join": _ann_knn_join,
-        "gen_struct_json": _gen_struct_json,
-        "analyzer_profile": _analyzer_profile,
-        "emb_quantization": _emb_quantization,
-        "dedup_cluster_canonical": _dedup_cluster_canonical,
-        "text_vocabulary": _text_vocabulary,
-        "gen_date_cycle": _gen_date_cycle,
-        "q14_promo_share": _q14_promo_share,
-        "q11_important_parts": _q11_important_parts,
-        "events_session_range_join": _events_session_range_join,
-        "events_salted_join": _events_salted_join,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "emb_pca_invariants": _emb_pca_invariants,
-        "q19_discounted_revenue": _q19_discounted_revenue,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q8_market_share": _q8_market_share,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "q20_excess_suppliers": _q20_excess_suppliers,
-        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
-        # --- round-7 growth (post-drain; canon-shape-checked at birth) ---
-        "events_streaming_behavior": _events_streaming_behavior,
-        "events_session_skew_report": _events_session_skew_report,
-        "emb_mrl_recall": _emb_mrl_recall,
     }
 
 
@@ -7165,14 +7165,25 @@ def _oracle_sql_base() -> dict[str, str]:
                        CAST(e.embedding AS DOUBLE[]) AS cv, q.qv
                 FROM embeddings e, q WHERE e.vec_id <> q.qid
             ),
-            scored AS (
+            sliced AS (
                 SELECT qid, cid, d.dim,
-                       ROUND(list_cosine_similarity(
-                           CASE WHEN d.dim = 0 THEN cv
-                                ELSE cv[1:d.dim] END,
-                           CASE WHEN d.dim = 0 THEN qv
-                                ELSE qv[1:d.dim] END), 4) AS cos
+                       CASE WHEN d.dim = 0 THEN cv
+                            ELSE cv[1:d.dim] END AS ca,
+                       CASE WHEN d.dim = 0 THEN qv
+                            ELSE qv[1:d.dim] END AS qa
                 FROM pairs, (SELECT unnest([0, 8, 16, 32]) AS dim) d
+            ),
+            -- zero-norm convention mirrors Spark cosine_similarity_expr:
+            -- a prefix slice can be all-zero even when the full vector
+            -- is not, and DuckDB's list_cosine_similarity NaNs there
+            scored AS (
+                SELECT qid, cid, dim,
+                       ROUND(CASE WHEN list_dot_product(ca, ca) = 0
+                                    OR list_dot_product(qa, qa) = 0
+                                  THEN 0.0
+                                  ELSE list_cosine_similarity(ca, qa)
+                             END, 4) AS cos
+                FROM sliced
             ),
             topk AS (
                 SELECT qid, dim, cid,

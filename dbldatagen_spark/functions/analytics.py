@@ -61,7 +61,10 @@ def funnel_steps(
     users (results always cover every user, or the call raises);
     ``"divert"`` drops them before their array builds — audit with
     ``timeseries.fold_key_report(df, user_col,
-    where=f"{step_col} IN (...)")`` — no silent caps.
+    where=f"{step_col} IN (...)")`` — no silent caps.  The
+    ``"error"`` default's count pre-pass is EAGER and re-evaluates the
+    upstream plan (cache the input, or pass ``"divert"``/``None``, for
+    expensive upstreams — see ``timeseries.ewma``).
     """
     if not steps:
         raise ValueError("steps must name at least one funnel step")

@@ -55,7 +55,10 @@ def rate_limit_events(
     default ``on_oversized="error"`` fails loudly naming viral keys;
     ``"divert"`` drops them before their array builds — audit with
     ``timeseries.fold_key_report`` and point hot keys at the
-    streaming twin.  ``None`` opts out.
+    streaming twin.  ``None`` opts out.  The ``"error"`` default's
+    count pre-pass is EAGER and re-evaluates the upstream plan (cache
+    the input, or pass ``"divert"``/``None``, for expensive upstreams
+    — see ``timeseries.ewma``).
     """
     if max_events < 1:
         raise ValueError(f"max_events must be >= 1, got {max_events}")

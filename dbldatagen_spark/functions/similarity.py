@@ -637,7 +637,10 @@ def mrl_recall_report(
     decimals with id tiebreaks, so the ranking itself is engine-portable
     (the same convention as :func:`cosine_topk`).  Cosine over a prefix
     is unaffected by re-normalization, so raw slices are compared.
-    ``dims`` entries must not exceed the vector length.
+    ``dims`` entries must not exceed the vector length — validated
+    against a sampled row at call time (``F.slice`` would otherwise
+    silently return the whole array and report a misleading 1.0
+    recall for every oversized dim).
 
     Scale shape: the probe set is an ``n_queries``-row broadcast; the
     corpus scans ONCE computing all prefix cosines fused per row
@@ -656,6 +659,17 @@ def mrl_recall_report(
         raise ValueError(f"k must be >= 1, got {k}")
     if n_queries < 1:
         raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    # one-row probe: F.slice past the end silently returns the whole
+    # array, which would score oversized dims as perfect (recall 1.0)
+    sampled = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if sampled and sampled[0]["n"] is not None:
+        vec_len = int(sampled[0]["n"])
+        too_big = [d for d in dims if d > vec_len]
+        if too_big:
+            raise ValueError(
+                f"dims {too_big} exceed the embedding length {vec_len} "
+                f"(sampled from column {vec_col!r})"
+            )
 
     from pyspark.sql import Window
 

@@ -366,6 +366,12 @@ def ewma(
     ``where=f"{value_col} IS NOT NULL"``.  Run the streaming twin
     (``streaming.stateful.ewma_with_state`` — O(1) state, O(n) work)
     over a hot key's ordered history instead.  ``None`` opts out.
+    Guard cost: the ``"error"`` default runs an EAGER count job at
+    call time, so the upstream plan is evaluated once for the guard
+    and again at the real action — for an expensive upstream (joins,
+    UDF decode) ``.cache()`` the input first, run the guard once and
+    pass ``max_events_per_key=None`` on repeated folds over the same
+    frame, or use ``on_oversized="divert"`` to stay fully lazy.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -455,7 +461,10 @@ def cusum_flags(
     :func:`fold_key_report`; remedy for hot keys:
     ``streaming.stateful.cusum_with_state``, O(1) state — note the
     streaming twin needs an explicit ``target``, self-calibration is a
-    two-pass batch luxury).
+    two-pass batch luxury).  The ``"error"`` default's count pre-pass
+    is EAGER and re-evaluates the upstream plan (cache the input, or
+    pass ``"divert"``/``None``, for expensive upstreams — see
+    :func:`ewma`).
     """
     if drift < 0.0:
         raise ValueError(f"drift must be >= 0, got {drift}")
@@ -560,7 +569,10 @@ def trajectory_vectors(
     ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
     ``on_oversized="error"`` fails loudly naming viral keys,
     ``"divert"`` drops them pre-collect (audit with
-    :func:`fold_key_report`).
+    :func:`fold_key_report`).  The ``"error"`` default's count
+    pre-pass is EAGER and re-evaluates the upstream plan (cache the
+    input, or pass ``"divert"``/``None``, for expensive upstreams —
+    see :func:`ewma`).
     """
     if n_points < 2:
         raise ValueError(f"n_points must be >= 2, got {n_points}")
@@ -673,7 +685,10 @@ def autocorrelation(
     ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
     ``on_oversized="error"`` fails loudly naming viral keys,
     ``"divert"`` drops them pre-collect (audit with
-    :func:`fold_key_report`).
+    :func:`fold_key_report`).  The ``"error"`` default's count
+    pre-pass is EAGER and re-evaluates the upstream plan (cache the
+    input, or pass ``"divert"``/``None``, for expensive upstreams —
+    see :func:`ewma`).
     """
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")

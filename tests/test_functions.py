@@ -4877,3 +4877,17 @@ class TestMrlRecallReport:
             mrl_recall_report(df, "vec_id", "v", dims=[2], k=0)
         with _pytest.raises(ValueError):
             mrl_recall_report(df, "vec_id", "v", dims=[2], n_queries=0)
+
+    def test_oversized_dim_rejected(self, spark):
+        # F.slice past the array end silently returns the whole array,
+        # which would report a misleading perfect recall — the call must
+        # raise instead (dims validated against a sampled row)
+        from dbldatagen_spark.functions import mrl_recall_report
+
+        df = spark.createDataFrame(
+            [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(5)],
+            "vec_id long, v array<double>",
+        )
+        with pytest.raises(ValueError, match="exceed the embedding length"):
+            mrl_recall_report(df, "vec_id", "v", dims=[2, 128], k=2,
+                              n_queries=2)
