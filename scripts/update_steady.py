@@ -1,0 +1,96 @@
+"""Regenerate bench_steady.json — the per-query steady-state bests that
+bench.py's straggler pass compares against.
+
+The table used to be a hand-maintained dict inside bench.py; that
+drifts two ways: a new headline query silently misses straggler
+protection, and an optimized query false-positives against a stale
+constant.  This script derives it instead, merging by per-query MIN
+(a steady-state best can only improve; a contended run can never
+lower a min, so all rounds are safe to include):
+
+  - every ``BENCH_r*.json`` in the repo root — driver runs at sf0.1;
+    the bench one-liner is embedded in the driver wrapper's ``tail``
+  - every entry already in ``bench_steady.json`` (so isolation
+    re-timings and solo-run bests are never lost)
+  - any extra bench-output JSON files passed on argv (solo runs:
+    ``python bench.py > /tmp/solo.json`` then pass that path)
+
+Only sf=0.1 runs count: steady state is defined at the headline scale
+factor.  bench.py scales the comparison by the session's own median
+best/steady ratio, so the table stays usable on slower hardware and
+at other SFs without edits here.
+
+Usage: python scripts/update_steady.py [extra_bench_output.json ...]
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "bench_steady.json")
+
+
+def _bench_lines(path: str):
+    """Yield bench one-liner dicts found in a file — either a raw
+    bench.py output line or a driver wrapper with the line in tail."""
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except ValueError:
+        d = None
+    if isinstance(d, dict) and d.get("metric") == "headline_total":
+        yield d
+        return
+    # driver wrapper: the one-liner sits somewhere inside "tail"
+    hay = d.get("tail", "") if isinstance(d, dict) else text
+    for m in re.finditer(r'\{"metric": "headline_total".*?\}(?=\s|$)', hay):
+        try:
+            yield json.loads(m.group(0))
+        except ValueError:
+            continue
+
+
+def main() -> None:
+    steady: dict[str, float] = {}
+    if os.path.exists(OUT):
+        steady.update(json.load(open(OUT)))
+
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    paths += sys.argv[1:]
+    used = 0
+    for path in paths:
+        for line in _bench_lines(path):
+            if line.get("sf") != 0.1:
+                continue
+            used += 1
+            for q, best in line.get("queries", {}).items():
+                if not isinstance(best, (int, float)) or best <= 0:
+                    continue
+                if q not in steady or best < steady[q]:
+                    steady[q] = round(float(best), 3)
+
+    with open(OUT, "w") as f:
+        json.dump(dict(sorted(steady.items())), f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(f"bench_steady.json written: {len(steady)} queries "
+          f"from {used} sf0.1 runs")
+
+    # loud coverage check: headline queries without an entry fall back
+    # to the weaker spread-only straggler heuristic
+    sys.path.insert(0, REPO)
+    import bench
+
+    missing = [q for q in ["gen_10m_rows", *bench.HEADLINE]
+               if q not in steady]
+    if missing:
+        print(f"WARNING: headline queries missing a steady entry: "
+              f"{missing} — run bench.py solo and pass its output here")
+
+
+if __name__ == "__main__":
+    main()
