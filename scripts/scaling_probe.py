@@ -1,0 +1,182 @@
+"""Scaling probe: does the sf0.1 -> sf1 (10x rows) wall-time ratio stay
+near-linear for the heaviest headline queries?
+
+The bench only ever runs at sf0.1; this script builds a 10x-scale
+events/documents/embeddings set with the repo's own generator (the
+generator is the product), runs the 5 heaviest headline queries at
+both scales in one session, and prints the ratio table that
+docs/PROFILES.md records.  A ratio near 10 validates the linear-scan
+claims; anything superlinear names the next optimization target.
+
+The synthetic sf1 tables mirror the driver testdata's statistical
+shape at 10x: 1M events / 15k users / 5 event types over 30 days,
+50k documents of ~50-word soup from a ~30-token vocabulary across 5
+languages and 20 sources, 20k 64-d embeddings in 10 label classes.
+Everything is pure-Catalyst generation (no UDFs) — writing sf1 takes
+seconds.
+
+Usage:
+    python scripts/scaling_probe.py [--dir /tmp/sf1-scale] [gen|run|all]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "events_sessionize",
+    "events_ewma",
+    "events_cms_heavy_hitters",
+    "text_quality",
+]
+
+VOCAB = [
+    "spark", "batch", "part", "line", "column", "order", "small", "sort",
+    "fast", "value", "scan", "hash", "slow", "group", "vector", "query",
+    "agg", "table", "key", "stream", "filter", "customer", "the",
+    "window", "join", "shuffle", "page", "row", "index", "cache",
+]
+
+
+def _session():
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("scaling-probe")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .getOrCreate()
+    )
+
+
+def generate(spark, out_dir: str) -> None:
+    from dbldatagen_spark import DataGenerator
+
+    vocab_sql = "array(" + ", ".join(f"'{w}'" for w in VOCAB) + ")"
+    os.makedirs(out_dir, exist_ok=True)
+
+    events = (
+        DataGenerator(spark, name="events_sf1", rows=1_000_000, partitions=32)
+        .withColumn("event_id", "long", uniqueValues=1_000_000)
+        .withColumn("ts", "timestamp", begin="2024-01-01 00:00:00",
+                    end="2024-01-30 23:59:59", random=True)
+        .withColumn("user_id", "long", minValue=1, maxValue=15_000,
+                    random=True)
+        .withColumn("event_type", "string",
+                    values=["click", "error", "purchase", "signup", "view"],
+                    random=True)
+        .withColumn("value", "double", minValue=0.0, maxValue=100.0,
+                    random=True)
+        .withColumn("props", "string",
+                    expr="concat('{\"k\": ', pmod(xxhash64(id, 7), 100), '}')")
+        .build()
+    )
+    events.write.mode("overwrite").parquet(f"{out_dir}/events.parquet")
+
+    documents = (
+        DataGenerator(spark, name="documents_sf1", rows=50_000, partitions=32)
+        .withColumn("doc_id", "long", uniqueValues=50_000)
+        .withColumn("text", "string", expr=(
+            "array_join(transform(sequence(1, 40 + int(pmod(xxhash64(id, 1),"
+            " 21))), i -> element_at(" + vocab_sql +
+            ", int(pmod(xxhash64(id, i + 100), 30)) + 1)), ' ')"))
+        .withColumn("lang", "string",
+                    values=["en", "zh", "es", "de", "fr"],
+                    weights=[41, 15, 15, 14, 15], random=True)
+        .withColumn("source", "string",
+                    values=[f"src{i}" for i in range(20)], random=True)
+        .withColumn("n_chars", "long", expr="length(text)",
+                    baseColumn="text")
+        .build()
+    )
+    documents.write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+
+    embeddings = (
+        DataGenerator(spark, name="embeddings_sf1", rows=20_000, partitions=32)
+        .withColumn("vec_id", "long", uniqueValues=20_000)
+        .withColumn("embedding", "array<float>", expr=(
+            "transform(sequence(1, 64), i -> cast(cast(pmod(xxhash64(id, i),"
+            " 9007199254740992) as double) / 4503599627370496.0 - 1.0"
+            " as float))"))
+        .withColumn("label", "integer", minValue=0, maxValue=9, random=True)
+        .build()
+    )
+    embeddings.write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    for t in ("events", "documents", "embeddings"):
+        n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
+        print(f"  generated {t}: {n} rows")
+
+
+def run(spark, sf1_dir: str) -> None:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # hot page cache on both scales before any timed run
+    for d in (SF01, sf1_dir):
+        for t in ("events", "documents", "embeddings"):
+            df = spark.read.parquet(f"{d}/{t}.parquet")
+            df.selectExpr(
+                "count(xxhash64(" + ", ".join(df.columns) + "))"
+            ).collect()
+
+    def best_of(fn, runs=2):
+        fn()  # untimed codegen/JIT warmup
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+
+    report = {}
+    for name in HEAVY:
+        t_small = best_of(lambda: qs[name](spark, SF01).collect())
+        t_big = best_of(lambda: qs[name](spark, sf1_dir).collect())
+        report[name] = {
+            "sf0.1_sec": t_small,
+            "sf1_sec": t_big,
+            "ratio": round(t_big / max(t_small, 1e-9), 2),
+        }
+        print(f"  {name}: {t_small}s -> {t_big}s  ratio "
+              f"{report[name]['ratio']}")
+    print(json.dumps({"metric": "sf1_over_sf01", "queries": report}))
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    out_dir = "/tmp/sf1-scale"
+    if "--dir" in args:
+        i = args.index("--dir")
+        out_dir = args[i + 1]
+        del args[i:i + 2]
+    mode = args[0] if args else "all"
+    spark = _session()
+    spark.sparkContext.setLogLevel("ERROR")
+    if mode in ("gen", "all"):
+        print(f"generating sf1 set at {out_dir} ...")
+        generate(spark, out_dir)
+    if mode in ("run", "all"):
+        print("timing heavy queries at sf0.1 vs sf1 ...")
+        run(spark, out_dir)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
