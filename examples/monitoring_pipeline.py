@@ -33,11 +33,15 @@ def main() -> None:
         cms_sketch,
         cusum_flags,
         ewma,
+        fold_key_report,
         histogram_merge,
         histogram_quantiles,
         histogram_sketch,
         kmv_merge_expr,
         kmv_sketch,
+    )
+    from dbldatagen_spark.functions.timeseries import (
+        DEFAULT_MAX_EVENTS_APPEND_FOLD,
     )
 
     spark = (
@@ -89,12 +93,34 @@ def main() -> None:
     #    the default fails loudly naming any key over max_events_per_key
     #    (pass on_oversized="divert" to drop-and-audit via
     #    fold_key_report, or max_events_per_key=None for bounded feeds).
+    #
+    #    The default guard runs one EAGER count job per call and
+    #    re-evaluates the upstream plan — fine for a single fold over a
+    #    parquet scan, wasteful for REPEATED folds over the same frame
+    #    (here: ewma + cusum over `events`). The recommended pattern:
+    #    cache the frame, run the guard check ONCE via fold_key_report,
+    #    then opt the subsequent folds out with max_events_per_key=None.
+    #    Measured at sf0.1 (100k events, local[32], best-of-3): 1.44 s
+    #    for the two default-guarded calls vs 1.35 s guard-once — a
+    #    modest win here because job scheduling dominates at 100k rows,
+    #    but the saving is one full upstream re-evaluation PER FOLD, so
+    #    it grows with upstream cost (joins, UDF decode) and fold count.
+    events.cache()
+    oversized = fold_key_report(
+        events, "user_id",
+        max_events_per_key=DEFAULT_MAX_EVENTS_APPEND_FOLD,
+        where="value IS NOT NULL",
+    )
+    if not oversized.isEmpty():  # same loud contract, paid once
+        raise ValueError(f"viral keys: {oversized.limit(5).collect()}")
     smoothed = ewma(events, "user_id", "ts", "value", alpha=0.25,
-                    order_col="event_id")
+                    order_col="event_id", max_events_per_key=None)
     alarms = cusum_flags(events, "user_id", "ts", "value", drift=0.25,
-                         threshold=1.5, order_col="event_id")
+                         threshold=1.5, order_col="event_id",
+                         max_events_per_key=None)
     print("smoothed rows:", smoothed.count(),
           "| CUSUM alarms:", alarms.where("alarm").count())
+    events.unpersist()
 
     spark.stop()
 
