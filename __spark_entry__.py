@@ -5375,6 +5375,61 @@ def _emb_mrl_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-routed sessionization: ``method="auto"`` runs a count-only
+    pre-pass (``choose_sessionize_method``) and picks the plan per
+    call — bounded users keep the cheap single-window route, a
+    detected mega-user routes through the two-phase skew_safe
+    decomposition. Both routes are exercised here: a cap of 50 routes
+    skew_safe (every testdata user holds ~67 events), the default cap
+    keeps the window plan. The emitted sessions come from the
+    skew-safe route; ``route_mismatch_rows`` counts row differences
+    between the two on the integer/timestamp session identity (always
+    0 — the routes are result-identical by construction) and
+    ``values_close`` bounds the float session sums' associativity
+    drift at 1e-6 (observed ~1e-13)."""
+    from dbldatagen_spark.functions import (
+        choose_sessionize_method,
+        sessionize,
+    )
+
+    ev = _load(spark, sf_dir, "events")
+    route_low = choose_sessionize_method(ev, "user_id",
+                                         max_events_per_key=50)
+    route_default = choose_sessionize_method(ev, "user_id")
+    lo = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                    value_col="value", method="auto",
+                    max_events_per_key=50)
+    hi = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                    value_col="value", method="auto")
+    ident = ["user_id", "session_seq", "n_events", "session_start",
+             "session_end"]
+    mism = (
+        lo.select(*ident).exceptAll(hi.select(*ident))
+        .union(hi.select(*ident).exceptAll(lo.select(*ident)))
+        .count()
+    )
+    drift = (
+        lo.select(*ident[:2], F.col("session_value").alias("_a"))
+        .join(hi.select(*ident[:2], F.col("session_value").alias("_b")),
+              ident[:2])
+        .agg(F.max(F.abs(F.col("_a") - F.col("_b"))).alias("d"))
+        .first()["d"]
+    )
+    return (
+        lo.select(
+            *ident, F.round("session_value", 2).alias("session_value")
+        )
+        .withColumn("route_low_cap", F.lit(route_low))
+        .withColumn("route_default_cap", F.lit(route_default))
+        .withColumn("route_mismatch_rows",
+                    F.lit(int(mism)).cast("long"))
+        .withColumn("values_close",
+                    F.lit(bool(drift is None or drift < 1e-6)))
+        .orderBy("user_id", "session_seq")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5398,6 +5453,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
         "emb_mrl_recall": _emb_mrl_recall,
+        # round-8 growth (canon-shape-compliant at birth, windowed
+        # immediately so they get driver rows this round)
+        "events_sessionize_auto": _events_sessionize_auto,
         # r2-stale TPC-H cohort (last driver row round 2)
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
@@ -6524,6 +6582,31 @@ def _oracle_sql_base() -> dict[str, str]:
                    COUNT(*) AS n_events,
                    MIN(ts) AS session_start, MAX(ts) AS session_end,
                    ROUND(SUM(value), 2) AS session_value
+            FROM s GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
+        """,
+        "events_sessionize_auto": """
+            WITH w AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                                 OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)) > 1800
+                            THEN 1 ELSE 0 END AS new_s
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts, value,
+                       SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS session_seq
+                FROM w
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end,
+                   ROUND(SUM(value), 2) AS session_value,
+                   'skew_safe' AS route_low_cap,
+                   'window' AS route_default_cap,
+                   CAST(0 AS BIGINT) AS route_mismatch_rows,
+                   true AS values_close
             FROM s GROUP BY user_id, session_seq
             ORDER BY user_id, session_seq
         """,

@@ -35,6 +35,47 @@ from typing import Optional
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# per-user event count above which the single-window plan's one-task
+# serialization of that user's history is treated as a straggler
+# hazard and method="auto" routes to the skew_safe decomposition.
+# Larger than the fold family's caps because a window sorts rows
+# without materializing a per-key array — the bound is task time, not
+# the 2 GB array ceiling.
+DEFAULT_MAX_EVENTS_WINDOW = 1_000_000
+
+
+def choose_sessionize_method(
+    df: DataFrame,
+    user_col: str,
+    *,
+    max_events_per_key: int = DEFAULT_MAX_EVENTS_WINDOW,
+) -> str:
+    """The ``method="auto"`` routing decision, exposed so callers can
+    log/emit which plan ran: ``"skew_safe"`` if ANY user's event count
+    exceeds ``max_events_per_key`` (that user's history would
+    serialize onto one task under ``method="window"``), else
+    ``"window"`` (one fewer window pass).  This closes the loop
+    :func:`session_key_report` opens — the audit names the users, this
+    routes around them.
+
+    Cost: one EAGER count-only job at call time (``(user, long)``
+    pairs shuffle with map-side combine, then an existence probe) —
+    the same trade as the fold family's loud guard; cache ``df`` if
+    its upstream is expensive, or pick the method explicitly to stay
+    fully lazy.
+    """
+    if max_events_per_key < 1:
+        raise ValueError(
+            f"max_events_per_key must be >= 1, got {max_events_per_key}"
+        )
+    over = (
+        df.groupBy(user_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_events_per_key)
+        .limit(1)
+    )
+    return "skew_safe" if not over.isEmpty() else "window"
+
 
 def sessionize(
     df: DataFrame,
@@ -45,6 +86,7 @@ def sessionize(
     value_col: Optional[str] = None,
     method: str = "window",
     bucket_seconds: int = 86400,
+    max_events_per_key: int = DEFAULT_MAX_EVENTS_WINDOW,
 ) -> DataFrame:
     """Collapse events into inactivity-gap sessions per user.
 
@@ -59,7 +101,18 @@ def sessionize(
     preferred when some users can dominate the event volume. Pick
     ``bucket_seconds`` well above ``gap_seconds`` (default: one day vs a
     30-minute gap) so sessions rarely straddle many buckets.
+
+    ``method="auto"`` runs :func:`choose_sessionize_method` first (one
+    eager count-only job, ``max_events_per_key`` threshold) and picks
+    the plan per call: bounded users get the cheaper single-window
+    route, a detected mega-user routes everyone through the skew-safe
+    decomposition.  Both routes produce identical session rows
+    (pytest-asserted), so auto never changes results — only the plan.
     """
+    if method == "auto":
+        method = choose_sessionize_method(
+            df, user_col, max_events_per_key=max_events_per_key
+        )
     if method == "window":
         return _sessionize_window(df, user_col, ts_col, gap_seconds, value_col)
     if method == "skew_safe":

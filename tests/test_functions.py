@@ -409,6 +409,37 @@ class TestSessionize:
             sessionize(ev, "user_id", "ts", gap_seconds=100,
                        method="skew_safe", bucket_seconds=50)
 
+    def test_auto_routes_by_key_size(self, spark):
+        from dbldatagen_spark.functions import (
+            choose_sessionize_method,
+            sessionize,
+        )
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        # every user holds ~67 events in the testdata: a cap of 10
+        # detects a "mega user", a cap of 10^6 does not
+        assert choose_sessionize_method(
+            ev, "user_id", max_events_per_key=10) == "skew_safe"
+        assert choose_sessionize_method(
+            ev, "user_id", max_events_per_key=1_000_000) == "window"
+        # both auto routes produce the single-window result exactly
+        want = self._norm(
+            sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                       value_col="value")
+        )
+        for cap in (10, 1_000_000):
+            got = sessionize(ev, "user_id", "ts", gap_seconds=1800,
+                             value_col="value", method="auto",
+                             max_events_per_key=cap)
+            assert self._norm(got) == want
+
+    def test_auto_validation(self, spark):
+        from dbldatagen_spark.functions import choose_sessionize_method
+
+        ev = spark.createDataFrame([("u", 0.0)], "user_id string, ts double")
+        with pytest.raises(ValueError):
+            choose_sessionize_method(ev, "user_id", max_events_per_key=0)
+
 
 def test_duplicate_components_long_chain(spark):
     from dbldatagen_spark.functions import duplicate_components
