@@ -5430,6 +5430,115 @@ def _events_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_streaming_sketch_sinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV + CMS sink twins, run as REAL checkpointed
+    foreachBatch jobs over two file-source micro-batches: each epoch
+    commits its own sketch partition (idempotent under redelivery),
+    and merge-on-read must equal the whole-input batch sketch EXACTLY
+    — KMV because the k smallest distinct hashes of a union are
+    recoverable from each part's k smallest (lossless union law), CMS
+    because cells are commutative sums (the same laws the batch-side
+    pytests assert; here re-proven on a live streaming run). One row
+    per event type: the merged KMV state (kept hashes, estimate) and
+    the type's CMS occupancy/mass, with stream==batch equality riding
+    as boolean columns. The oracle replays the md5 sketch arithmetic
+    relationally; the booleans are constants by the merge laws."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from dbldatagen_spark.functions import cms_sketch, kmv_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_cms_sink,
+        foreach_batch_kmv_sink,
+        read_merged_cms,
+        read_merged_kmv,
+    )
+
+    k = 32
+    cms_kw = dict(width=64, depth=3, seed=7)
+    events = _load(spark, sf_dir, "events")
+    src = events.select("event_type", "user_id", "event_id")
+    kmv_batch = kmv_sketch(src, "user_id", group_cols=["event_type"], k=k)
+    cms_batch = cms_sketch(
+        src, "user_id", group_cols=["event_type"], **cms_kw
+    )
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_sketchsink_")
+    try:
+        now = time.time()
+        seen: list = []
+        halves = (src.where("event_id % 2 = 0"),
+                  src.where("event_id % 2 = 1"))
+        for i, frame in enumerate(halves):
+            frame.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+            for f in sorted(glob.glob(f"{tmp}/src/*.parquet")):
+                if f not in seen:
+                    os.utime(f, (now + 1000 * i, now + 1000 * i))
+                    seen.append(f)
+
+        def _stream():
+            return (
+                spark.readStream.schema(src.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(f"{tmp}/src")
+            )
+
+        q1 = foreach_batch_kmv_sink(
+            _stream(), "user_id", f"{tmp}/kmv", f"{tmp}/ck_kmv",
+            k=k, group_cols=["event_type"],
+            trigger={"availableNow": True},
+        )
+        q1.awaitTermination(180)
+        q2 = foreach_batch_cms_sink(
+            _stream(), "user_id", f"{tmp}/cms", f"{tmp}/ck_cms",
+            group_cols=["event_type"], trigger={"availableNow": True},
+            **cms_kw,
+        )
+        q2.awaitTermination(180)
+
+        kmv_merged = read_merged_kmv(
+            spark, f"{tmp}/kmv", k=k, group_cols=["event_type"]
+        )
+        cms_merged = read_merged_cms(
+            spark, f"{tmp}/cms", group_cols=["event_type"]
+        )
+        kmv_mism = (
+            kmv_merged.select("event_type", "sketch")
+            .exceptAll(kmv_batch.select("event_type", "sketch"))
+            .union(
+                kmv_batch.select("event_type", "sketch")
+                .exceptAll(kmv_merged.select("event_type", "sketch"))
+            )
+            .count()
+        )
+        cms_mism = (
+            cms_merged.exceptAll(cms_batch)
+            .union(cms_batch.exceptAll(cms_merged))
+            .count()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    cms_stats = cms_batch.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("cms_cells"),
+        F.sum("cnt").cast("long").alias("cms_total"),
+    )
+    return (
+        kmv_batch.select(
+            "event_type",
+            F.col("n_kept").alias("kmv_n_kept"),
+            F.round("dv_estimate", 4).alias("kmv_dv_est"),
+        )
+        .join(cms_stats, "event_type")
+        .withColumn("kmv_stream_matches", F.lit(bool(kmv_mism == 0)))
+        .withColumn("cms_stream_matches", F.lit(bool(cms_mism == 0)))
+        .orderBy("event_type")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5456,6 +5565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-8 growth (canon-shape-compliant at birth, windowed
         # immediately so they get driver rows this round)
         "events_sessionize_auto": _events_sessionize_auto,
+        "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
         # r2-stale TPC-H cohort (last driver row round 2)
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
@@ -7190,6 +7300,58 @@ def _oracle_sql_base() -> dict[str, str]:
                              END - n_exact) / n_exact, 4) AS rel_err
             FROM s JOIN e USING (event_type)
             ORDER BY event_type
+        """,
+        "events_streaming_sketch_sinks": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events
+                WHERE user_id IS NOT NULL
+            ),
+            r AS (
+                SELECT event_type, hv,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY hv) AS rn
+                FROM h
+            ),
+            kmv AS (
+                SELECT event_type,
+                       COUNT(*)::BIGINT AS kmv_n_kept,
+                       MAX(hv) AS kth
+                FROM r WHERE rn <= 32
+                GROUP BY event_type
+            ),
+            vals AS (
+                SELECT event_type, user_id, count(*)::BIGINT AS w
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY event_type, user_id
+            ),
+            cms AS (
+                SELECT event_type, t.d AS depth_idx,
+                       ('0x' || substr(md5(concat_ws(':', 7, t.d, v.user_id)),
+                                       1, 15))::BIGINT % 64 AS bucket,
+                       sum(v.w)::BIGINT AS cnt
+                FROM vals v CROSS JOIN (SELECT unnest([0, 1, 2]) AS d) t
+                GROUP BY 1, 2, 3
+            ),
+            cstats AS (
+                SELECT event_type,
+                       COUNT(*)::BIGINT AS cms_cells,
+                       SUM(cnt)::BIGINT AS cms_total
+                FROM cms GROUP BY event_type
+            )
+            SELECT k.event_type, k.kmv_n_kept,
+                   ROUND(CASE WHEN k.kmv_n_kept < 32
+                              THEN CAST(k.kmv_n_kept AS DOUBLE)
+                              ELSE 31.0 / ((CAST(k.kth AS DOUBLE) + 0.5)
+                                           / 1152921504606846976.0)
+                         END, 4) AS kmv_dv_est,
+                   c.cms_cells, c.cms_total,
+                   true AS kmv_stream_matches,
+                   true AS cms_stream_matches
+            FROM kmv k JOIN cstats c USING (event_type)
+            ORDER BY k.event_type
         """,
         "lineitem_bloom_prefilter": """
             WITH ref AS (

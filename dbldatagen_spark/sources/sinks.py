@@ -228,3 +228,146 @@ def read_merged_histogram(spark, path: str, *, group_cols=None) -> DataFrame:
     return df.groupBy(*groups, "bin").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+def foreach_batch_kmv_sink(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint_location: str,
+    *,
+    k: int = 64,
+    seed: int = 0,
+    group_cols=None,
+    trigger: dict | None = None,
+):
+    """Streaming distinct-count maintenance: per micro-batch, build the
+    batch's KMV sketch (:func:`dbldatagen_spark.functions.sketches
+    .kmv_sketch` — at most ``groups x k`` 8-byte hashes) and commit it
+    epoch-keyed like :func:`foreach_batch_histogram_sink` (a
+    redelivered batch overwrites its own ``batch_id`` partition, so
+    retries cannot corrupt the union).  The persisted state is
+    SKETCHES, never values — a day of micro-batches costs
+    ``batches x groups x k`` longs on disk.
+
+    Read the running estimate back with :func:`read_merged_kmv`;
+    merge-on-read is EXACT because the k smallest distinct hashes of a
+    union are a subset of the union of each part's k smallest
+    (``kmv_merge_expr`` law, asserted batch-side in pytest and again
+    here against the whole-input sketch on a real checkpointed run).
+    Returns the started ``StreamingQuery``.
+    """
+    from dbldatagen_spark.functions.sketches import kmv_sketch
+
+    groups = list(group_cols or [])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = kmv_sketch(
+            batch_df, value_col, group_cols=groups, k=k, seed=seed
+        )
+        sk.select(*groups, "sketch").write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_merged_kmv(spark, path: str, *, k: int, group_cols=None) -> DataFrame:
+    """Merge-on-read for :func:`foreach_batch_kmv_sink` state: union
+    the per-epoch sketches and fold them with ``kmv_merge_expr``
+    (distinct-union, sort, first k — associative and commutative), then
+    re-estimate.  Returns ``group_cols + (sketch, n_kept,
+    dv_estimate)`` — the same shape ``kmv_sketch`` emits, so batch and
+    streaming consumers share downstream code.  One bounded
+    aggregation over ``batches x groups`` sketch rows; the
+    ``collect_list`` holds at most ``batches`` arrays of ``k`` longs
+    per group."""
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions.sketches import (
+        kmv_estimate_expr,
+        kmv_merge_expr,
+    )
+
+    groups = list(group_cols or [])
+    df = spark.read.parquet(path)
+    merged = df.groupBy(*groups).agg(
+        kmv_merge_expr(F.collect_list("sketch"), k).alias("sketch")
+    )
+    return merged.select(
+        *groups,
+        "sketch",
+        F.size("sketch").cast("long").alias("n_kept"),
+        kmv_estimate_expr(F.col("sketch"), k).alias("dv_estimate"),
+    )
+
+
+def foreach_batch_cms_sink(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint_location: str,
+    *,
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 0,
+    group_cols=None,
+    weight_col=None,
+    trigger: dict | None = None,
+):
+    """Streaming frequency maintenance: per micro-batch, build the
+    batch's count-min sketch (:func:`dbldatagen_spark.functions
+    .sketches.cms_sketch` — at most ``groups x depth x width`` cells)
+    and commit it epoch-keyed (idempotent under redelivery, as above).
+
+    Read the running sketch back with :func:`read_merged_cms`;
+    merge-on-read is EXACT because CMS cells are commutative sums
+    (``cms_merge`` law) — the merged sketch equals the whole-input
+    batch sketch cell-for-cell, so every downstream estimate
+    (``cms_estimate`` / ``cms_heavy_hitters`` / ``cms_join_size``)
+    is identical too.  Returns the started ``StreamingQuery``.
+    """
+    from dbldatagen_spark.functions.sketches import cms_sketch
+
+    groups = list(group_cols or [])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = cms_sketch(
+            batch_df,
+            value_col,
+            width=width,
+            depth=depth,
+            seed=seed,
+            group_cols=groups,
+            weight_col=weight_col,
+        )
+        sk.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_merged_cms(spark, path: str, *, group_cols=None) -> DataFrame:
+    """Merge-on-read for :func:`foreach_batch_cms_sink` state: union
+    the per-epoch cells and re-sum (the ``cms_merge`` law).  Returns
+    the standard sparse sketch shape ``group_cols + (depth_idx,
+    bucket, cnt)``.  One bounded aggregation over
+    ``batches x groups x depth x width`` cells."""
+    from pyspark.sql import functions as F
+
+    groups = list(group_cols or [])
+    df = spark.read.parquet(path)
+    return df.groupBy(*groups, "depth_idx", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )

@@ -847,3 +847,117 @@ def test_transition_counts_batch_delegation_randomized(spark):
                df, "user_id", "ts", "state",
                order_col="event_id", states=states).collect()}
     assert got == expected
+
+
+def _two_microbatch_source(spark, events, tmp_path, cols):
+    """Write events as two file-source micro-batches (mtime-spaced,
+    maxFilesPerTrigger=1) and return the readStream frame."""
+    import glob
+    import os
+    import time
+
+    src = events.select(*cols)
+    now = time.time()
+    seen: list = []
+    halves = (src.where("event_id % 2 = 0"), src.where("event_id % 2 = 1"))
+    for i, frame in enumerate(halves):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+    return (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+
+
+def test_kmv_sink_merge_on_read_matches_batch(spark, events, tmp_path):
+    import pathlib
+
+    from dbldatagen_spark.functions import kmv_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_kmv_sink,
+        read_merged_kmv,
+    )
+
+    k = 32
+    whole = kmv_sketch(
+        events.select("event_type", "user_id"), "user_id",
+        group_cols=["event_type"], k=k,
+    )
+    stream = _two_microbatch_source(
+        spark, events, tmp_path, ["event_type", "user_id", "event_id"]
+    )
+    q = foreach_batch_kmv_sink(
+        stream, "user_id", str(tmp_path / "state"), str(tmp_path / "ck"),
+        k=k, group_cols=["event_type"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    merged = read_merged_kmv(
+        spark, str(tmp_path / "state"), k=k, group_cols=["event_type"]
+    )
+    # the KMV union law is lossless: merged state == whole-input sketch,
+    # hash-for-hash, hence identical estimates
+    b = {r["event_type"]: (r["sketch"], r["n_kept"], r["dv_estimate"])
+         for r in whole.collect()}
+    s = {r["event_type"]: (r["sketch"], r["n_kept"], r["dv_estimate"])
+         for r in merged.collect()}
+    assert b == s
+    parts = {p.name for p in pathlib.Path(tmp_path / "state").iterdir()
+             if p.is_dir()}
+    assert {"batch_id=0", "batch_id=1"} <= parts
+
+
+def test_cms_sink_merge_on_read_matches_batch(spark, events, tmp_path):
+    from dbldatagen_spark.functions import cms_estimate, cms_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_cms_sink,
+        read_merged_cms,
+    )
+
+    kw = dict(width=64, depth=3, seed=7)
+    whole = cms_sketch(events.select("user_id", "event_id"), "user_id", **kw)
+    stream = _two_microbatch_source(
+        spark, events, tmp_path, ["user_id", "event_id"]
+    )
+    q = foreach_batch_cms_sink(
+        stream, "user_id", str(tmp_path / "state"), str(tmp_path / "ck"),
+        trigger={"availableNow": True}, **kw,
+    )
+    q.awaitTermination(120)
+    merged = read_merged_cms(spark, str(tmp_path / "state"))
+    # CMS cells are commutative sums: merged state == whole-input sketch
+    # cell-for-cell, hence identical point estimates downstream
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    probes = events.where("user_id % 5 = 0")
+    eb = sorted(map(tuple,
+                cms_estimate(whole, probes, "user_id", **kw).collect()))
+    es = sorted(map(tuple,
+                cms_estimate(merged, probes, "user_id", **kw).collect()))
+    assert eb == es
+
+
+def test_kmv_sink_global_sketch(spark, events, tmp_path):
+    # no group columns: one global sketch row merges correctly
+    from dbldatagen_spark.functions import kmv_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_kmv_sink,
+        read_merged_kmv,
+    )
+
+    k = 16
+    whole = kmv_sketch(events.select("user_id", "event_id"), "user_id", k=k)
+    stream = _two_microbatch_source(
+        spark, events, tmp_path, ["user_id", "event_id"]
+    )
+    q = foreach_batch_kmv_sink(
+        stream, "user_id", str(tmp_path / "state"), str(tmp_path / "ck"),
+        k=k, trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    merged = read_merged_kmv(spark, str(tmp_path / "state"), k=k)
+    assert merged.count() == 1
+    assert whole.first()["sketch"] == merged.first()["sketch"]
