@@ -5539,6 +5539,60 @@ def _events_streaming_sketch_sinks(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _emb_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebooks over the embeddings table
+    (Jegou et al. 2011): 8 subspaces x 16 codewords over the 64-d
+    vectors — each vector compresses to 8 small ints (32x smaller
+    than 64 floats), the 100 TB-realistic ANN compression next to
+    the scalar quantize_embeddings. The conformance row per subspace
+    carries the invariants that hold regardless of float jitter:
+    Lloyd inertia is non-increasing, reconstruction MSE never exceeds
+    the subspace variance (law of total variance; fresh assignment
+    only lowers within-cell SS), and every emitted code is in [0, k).
+    Booleans + integers only — centroid floats drift ~1e-15 across
+    partitionings (driver-side partial-sum order), so they stay out
+    of the emitted cells, the ann_kmeans_ivf convention."""
+    from dbldatagen_spark.functions import (
+        pq_encode,
+        pq_reconstruction_report,
+        pq_train,
+    )
+
+    m, k = 8, 16
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb, hist = pq_train(emb, "v", m=m, k=k, id_col="vec_id", max_iter=6)
+    inertia_monotone = all(
+        a >= b - 1e-9 for a, b in zip(hist, hist[1:])
+    )
+    codes = pq_encode(emb, "v", cb)
+    code_stats = codes.select(
+        F.min(F.array_min("pq_codes")).alias("lo"),
+        F.max(F.array_max("pq_codes")).alias("hi"),
+        F.min(F.size("pq_codes")).alias("w_lo"),
+        F.max(F.size("pq_codes")).alias("w_hi"),
+    ).first()
+    codes_in_range = bool(
+        code_stats["lo"] >= 0
+        and code_stats["hi"] < k
+        and code_stats["w_lo"] == m
+        and code_stats["w_hi"] == m
+    )
+    rep = pq_reconstruction_report(emb, "v", cb)
+    return (
+        rep.select(
+            "subspace",
+            "k",
+            "n_vectors",
+            "mse_improves",
+            F.lit(bool(inertia_monotone)).alias("inertia_monotone"),
+            F.lit(codes_in_range).alias("codes_in_range"),
+        )
+        .orderBy("subspace")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5555,10 +5609,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-8 driver window (stalest-first; see ROTATION.md) ---
         # 3 never-checked round-7 growth rows first (policy: never-checked
-        # outranks recency), then the 9 r2 TPC-H rows, the 12-row r3
-        # cohort, the 18-row r4 generator cohort, and the head of the r5
-        # cohort to fill 50. After this window no ledger row is older
-        # than r5, and the never-checked backlog is zero.
+        # outranks recency), then the 3 round-8 growth rows (windowed at
+        # birth so they draw driver rows immediately), the 9 r2 TPC-H
+        # rows, the 12-row r3 cohort, the 18-row r4 generator cohort,
+        # and the head of the r5 cohort to fill 50. After this window no
+        # ledger row is older than r5 and the never-checked backlog is
+        # zero.
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
         "emb_mrl_recall": _emb_mrl_recall,
@@ -5566,6 +5622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # immediately so they get driver rows this round)
         "events_sessionize_auto": _events_sessionize_auto,
         "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
+        "emb_pq_codebooks": _emb_pq_codebooks,
         # r2-stale TPC-H cohort (last driver row round 2)
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
@@ -9213,6 +9270,16 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"
         ),
+        "emb_pq_codebooks": """
+            SELECT CAST(g.sub AS INTEGER) AS subspace,
+                   CAST(16 AS INTEGER) AS k,
+                   (SELECT count(*) FROM embeddings)::BIGINT AS n_vectors,
+                   true AS mse_improves,
+                   true AS inertia_monotone,
+                   true AS codes_in_range
+            FROM (SELECT unnest([0, 1, 2, 3, 4, 5, 6, 7]) AS sub) g
+            ORDER BY subspace
+        """,
         "gen_scripts_conformance": (
             "SELECT true AS ctas_header, true AS ctas_schema, "
             "true AS ctas_format_location, true AS merge_header, "

@@ -569,6 +569,292 @@ def kmeans_assign(
     return df.mapInPandas(assign, schema).select(*fields, out_col)
 
 
+def _pq_validate(df: DataFrame, vec_col: str, m: int, k: int) -> int:
+    """Shared PQ argument checks; returns the subvector width."""
+    if m < 1:
+        raise ValueError(f"m must be >= 1, got {m}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sampled = df.select(F.size(F.col(vec_col)).alias("n")).limit(1).collect()
+    if not sampled or sampled[0]["n"] is None:
+        raise ValueError(f"column {vec_col!r} has no vectors to sample")
+    d = int(sampled[0]["n"])
+    if d % m != 0:
+        raise ValueError(
+            f"embedding length {d} is not divisible by m={m} subspaces"
+        )
+    return d // m
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    *,
+    m: int,
+    k: int,
+    id_col: Optional[str] = None,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+):
+    """Product-quantization codebooks (Jegou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search"): split each
+    ``d``-dim vector into ``m`` contiguous ``d/m``-dim subvectors and
+    k-means each subspace independently; a vector then compresses to
+    ``m`` byte-ish codes (``m * log2(k)`` bits instead of ``d``
+    floats) — the 100 TB-realistic embedding compression, vs the
+    scalar (per-component) :func:`quantize_embeddings`.
+
+    Returns ``(codebooks, inertia_history)``: a ``(m, k, d/m)`` numpy
+    array and the per-iteration total inertia summed across subspaces
+    (non-increasing).  Deterministic init, as :func:`kmeans_fit`: the
+    k vectors with the smallest ``id_col`` (first k rows otherwise)
+    seed every subspace.
+
+    Scale shape: ALL ``m`` subspaces train in ONE fused ``mapInPandas``
+    pass per Lloyd iteration (the corpus scans once per iteration, not
+    once per subspace); each partition emits ``m x k`` partial rows of
+    ``(count, component-sum, inertia)``, so driver traffic per
+    iteration is O(partitions * m * k * d/m) = O(partitions * k * d) —
+    independent of row count, the :func:`kmeans_fit` bound.
+    """
+    import pandas as pd
+
+    dsub = _pq_validate(df, vec_col, m, k)
+    order = [F.col(id_col)] if id_col else []
+    seed_rows = (
+        df.select(*([F.col(id_col)] if id_col else []), F.col(vec_col))
+        .orderBy(*order)
+        .limit(k)
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
+    seeds = np.vstack(
+        [np.asarray(r[vec_col], dtype=float) for r in seed_rows]
+    )
+    # (m, k, dsub): subspace s seeds from the same k rows' s-th slice
+    codebooks = np.stack(
+        [seeds[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
+    )
+    vecs = df.select(F.col(vec_col))
+
+    inertia_history = []
+    prev = None
+    for _ in range(max_iter):
+        cents = codebooks.copy()
+
+        def partial(batches, _c=cents):
+            counts = np.zeros((m, k))
+            sums = np.zeros((m, k, dsub))
+            inertia = np.zeros(m)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+                for s in range(m):
+                    sub = mat[:, s * dsub:(s + 1) * dsub]
+                    c = _c[s]
+                    d2 = (
+                        (sub * sub).sum(axis=1)[:, None]
+                        - 2.0 * sub @ c.T
+                        + (c * c).sum(axis=1)[None, :]
+                    )
+                    cell = d2.argmin(axis=1)
+                    inertia[s] += float(
+                        d2[np.arange(len(sub)), cell].sum()
+                    )
+                    np.add.at(counts[s], cell, 1)
+                    np.add.at(sums[s], cell, sub)
+            yield pd.DataFrame(
+                {
+                    "sub": np.repeat(range(m), k),
+                    "cell": list(range(k)) * m,
+                    "n": counts.reshape(-1).astype("int64"),
+                    "s": [row.tolist() for row in sums.reshape(m * k, dsub)],
+                    "inertia": [
+                        inertia[i] if j == 0 else 0.0
+                        for i in range(m)
+                        for j in range(k)
+                    ],
+                }
+            )
+
+        parts = vecs.mapInPandas(
+            partial, "sub int, cell int, n long, s array<double>, inertia double"
+        ).collect()
+        counts = np.zeros((m, k))
+        sums = np.zeros((m, k, dsub))
+        inertia = 0.0
+        for r in parts:
+            counts[r["sub"], r["cell"]] += r["n"]
+            sums[r["sub"], r["cell"]] += np.asarray(r["s"])
+            inertia += r["inertia"]
+        inertia_history.append(inertia)
+        nonempty = counts > 0
+        codebooks[nonempty] = sums[nonempty] / counts[nonempty][:, None]
+        if prev is not None and prev - inertia <= tol * max(prev, 1.0):
+            break
+        prev = inertia
+    return codebooks, inertia_history
+
+
+def pq_encode(
+    df: DataFrame,
+    vec_col: str,
+    codebooks,
+    *,
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Append each vector's PQ code word — ``array<int>`` of length
+    ``m``, the nearest-codeword index per subspace.  One vectorized
+    ``mapInPandas`` pass; the ``(m, k, d/m)`` codebook tensor travels
+    in the closure (``m*k*d/m = k*d`` floats — a broadcast-sized
+    constant).  Map-only, no shuffle; downstream ADC scoring or
+    storage sees ``m`` small ints per row instead of ``d`` floats."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=float)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, k, dsub), got shape {cb.shape}"
+        )
+    m, k, dsub = cb.shape
+    fields = df.schema.fieldNames()
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(mat), m), dtype="int32")
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                c = cb[s]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ c.T
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                codes[:, s] = d2.argmin(axis=1)
+            pdf = pdf.copy()
+            pdf[out_col] = [row.tolist() for row in codes]
+            yield pdf
+
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_col, ArrayType(IntegerType()))]
+    )
+    return df.mapInPandas(encode, schema).select(*fields, out_col)
+
+
+def pq_reconstruction_report(
+    df: DataFrame,
+    vec_col: str,
+    codebooks,
+) -> DataFrame:
+    """Audit a PQ codebook: per subspace, the mean squared
+    reconstruction error of nearest-codeword assignment versus the
+    subspace VARIANCE (= the k=1 codebook's MSE about the subspace
+    mean) — the baseline any useful codebook must beat.  Returns one
+    row per subspace: ``(subspace, k, n_vectors, mse, variance,
+    mse_improves)``.
+
+    Law of total variance guarantee: after any Lloyd update the
+    within-cell sum of squares is at most the total sum of squares,
+    and fresh nearest-codeword assignment only lowers it further — so
+    ``mse <= variance`` always holds for :func:`pq_train` output (the
+    invariant the conformance query emits).
+
+    Scale shape: one fused ``mapInPandas`` pass emits per-partition
+    ``(n, sq-err sum, component sum, component sumsq)`` partials per
+    subspace; driver traffic is O(partitions * m * d/m) — row-count
+    independent.  The ``m``-row report is built driver-side."""
+    import pandas as pd
+
+    cb = np.asarray(codebooks, dtype=float)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, k, dsub), got shape {cb.shape}"
+        )
+    m, k, dsub = cb.shape
+
+    def partial(batches):
+        n = 0
+        err = np.zeros(m)
+        comp_sum = np.zeros((m, dsub))
+        comp_sq = np.zeros(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf.iloc[:, 0].to_numpy()).astype(np.float64)
+            n += len(mat)
+            for s in range(m):
+                sub = mat[:, s * dsub:(s + 1) * dsub]
+                c = cb[s]
+                d2 = (
+                    (sub * sub).sum(axis=1)[:, None]
+                    - 2.0 * sub @ c.T
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                err[s] += float(d2.min(axis=1).sum())
+                comp_sum[s] += sub.sum(axis=0)
+                comp_sq[s] += float((sub * sub).sum())
+        yield pd.DataFrame(
+            {
+                "sub": range(m),
+                "n": [n] * m,
+                "err": err,
+                "csum": [row.tolist() for row in comp_sum],
+                "csq": comp_sq,
+            }
+        )
+
+    parts = (
+        df.select(F.col(vec_col))
+        .mapInPandas(
+            partial,
+            "sub int, n long, err double, csum array<double>, csq double",
+        )
+        .collect()
+    )
+    n_total = 0
+    err = np.zeros(m)
+    comp_sum = np.zeros((m, dsub))
+    comp_sq = np.zeros(m)
+    first_seen: set = set()
+    for r in parts:
+        if r["sub"] == 0:
+            n_total += r["n"]
+        err[r["sub"]] += r["err"]
+        comp_sum[r["sub"]] += np.asarray(r["csum"])
+        comp_sq[r["sub"]] += r["csq"]
+        first_seen.add(r["sub"])
+    if n_total == 0:
+        raise ValueError(f"column {vec_col!r} has no vectors to audit")
+    rows = []
+    for s in range(m):
+        mse = err[s] / n_total
+        mean = comp_sum[s] / n_total
+        # E[|x - mean|^2] = E[|x|^2] - |mean|^2, per subspace
+        variance = comp_sq[s] / n_total - float(mean @ mean)
+        rows.append(
+            (s, int(k), int(n_total), float(mse), float(variance),
+             bool(mse <= variance + 1e-9))
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "subspace int, k int, n_vectors long, mse double, "
+        "variance double, mse_improves boolean",
+    )
+
+
 def truncate_embeddings(
     df: DataFrame,
     vec_col: str,

@@ -4853,6 +4853,81 @@ class TestSessionKeyReport:
                                bucket_seconds=0)
 
 
+class TestProductQuantization:
+    """PQ codebooks: per-subspace k-means, nearest-codeword codes, and
+    the reconstruction-error audit (mse <= subspace variance)."""
+
+    @staticmethod
+    def _vectors(spark, n=60, d=8, seed=11):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(d)])
+                for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_train_encode_report_roundtrip(self, spark):
+        from dbldatagen_spark.functions import (
+            pq_encode,
+            pq_reconstruction_report,
+            pq_train,
+        )
+
+        df = self._vectors(spark)
+        cb, hist = pq_train(df, "v", m=4, k=8, id_col="vec_id", max_iter=6)
+        assert cb.shape == (4, 8, 2)
+        # Lloyd inertia is non-increasing
+        assert all(a >= b - 1e-9 for a, b in zip(hist, hist[1:]))
+        coded = pq_encode(df, "v", cb)
+        rows = coded.collect()
+        assert all(len(r["pq_codes"]) == 4 for r in rows)
+        assert all(0 <= c < 8 for r in rows for c in r["pq_codes"])
+        rep = pq_reconstruction_report(df, "v", cb).collect()
+        assert [r["subspace"] for r in sorted(rep, key=lambda r: r.subspace)] \
+            == [0, 1, 2, 3]
+        for r in rep:
+            assert r["n_vectors"] == 60 and r["k"] == 8
+            assert r["mse_improves"]
+            assert 0.0 <= r["mse"] <= r["variance"] + 1e-9
+
+    def test_exact_codebook_reconstructs_exactly(self, spark):
+        # k >= distinct vectors: every vector IS a codeword -> mse 0
+        from dbldatagen_spark.functions import pq_reconstruction_report, pq_train
+
+        rows = [(i, [float(i % 4), float((i * 3) % 4)]) for i in range(16)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        cb, _ = pq_train(df, "v", m=2, k=4, id_col="vec_id", max_iter=8)
+        rep = pq_reconstruction_report(df, "v", cb).collect()
+        assert all(abs(r["mse"]) < 1e-12 for r in rep)
+
+    def test_train_is_partitioning_stable(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import pq_train
+
+        df = self._vectors(spark, n=40)
+        cb1, _ = pq_train(df.repartition(2), "v", m=2, k=4,
+                          id_col="vec_id", max_iter=4)
+        cb2, _ = pq_train(df.repartition(7), "v", m=2, k=4,
+                          id_col="vec_id", max_iter=4)
+        assert np.allclose(cb1, cb2, atol=1e-9)
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import pq_encode, pq_train
+
+        df = self._vectors(spark, n=10, d=6)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(df, "v", m=4, k=2)
+        with pytest.raises(ValueError):
+            pq_train(df, "v", m=0, k=2)
+        with pytest.raises(ValueError):
+            pq_train(df, "v", m=2, k=0)
+        with pytest.raises(ValueError, match="at least k"):
+            pq_train(df, "v", m=2, k=100, id_col="vec_id")
+        with pytest.raises(ValueError, match="codebooks"):
+            pq_encode(df, "v", [[1.0, 2.0]])
+
+
 class TestMrlRecallReport:
     """recall@k of prefix-dimension cosine rankings vs the full ranking
     — the audit that decides which Matryoshka truncation is servable."""
