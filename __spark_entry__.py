@@ -5593,6 +5593,143 @@ def _emb_pq_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches (Beyer et al.):
+    for three event-type pairs, the merged k-minimum set of the two
+    per-type user sketches yields union / Jaccard / intersection
+    estimates WITHOUT ever joining the audiences — the join moves
+    k=32 longs per pair, never user sets. Exact distinct counts ride
+    along as the accuracy reference. Every emitted number is integer
+    or a ratio of integers over the portable md5 hash sets, so the
+    oracle replays the identical arithmetic relationally."""
+    from dbldatagen_spark.functions import kmv_set_ops, kmv_sketch
+
+    k = 32
+    events = _load(spark, sf_dir, "events")
+    sk = kmv_sketch(
+        events, "user_id", group_cols=["event_type"], k=k
+    ).cache()
+    pairs = [("purchase", "view"), ("click", "error"),
+             ("signup", "purchase")]
+    outs = []
+    for ta, tb in pairs:
+        ops = kmv_set_ops(
+            sk.where(F.col("event_type") == ta).drop("event_type"),
+            sk.where(F.col("event_type") == tb).drop("event_type"),
+            k=k,
+        )
+        exact = events.where(
+            F.col("event_type").isin([ta, tb])
+            & F.col("user_id").isNotNull()
+        ).agg(
+            F.countDistinct("user_id").alias("exact_union"),
+        )
+        both = (
+            events.where(F.col("user_id").isNotNull())
+            .groupBy("user_id")
+            .agg(
+                F.max(F.when(F.col("event_type") == ta, 1).otherwise(0))
+                .alias("_a"),
+                F.max(F.when(F.col("event_type") == tb, 1).otherwise(0))
+                .alias("_b"),
+            )
+            .where("_a = 1 AND _b = 1")
+            .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+        )
+        outs.append(
+            ops.crossJoin(F.broadcast(exact))
+            .crossJoin(F.broadcast(both))
+            .select(
+                F.lit(f"{ta}|{tb}").alias("pair"),
+                "n_union_kept",
+                "n_common",
+                F.round("union_estimate", 4).alias("union_est"),
+                F.round("jaccard_estimate", 4).alias("jaccard_est"),
+                F.round("intersection_estimate", 4).alias(
+                    "intersection_est"
+                ),
+                "exact_union",
+                "exact_intersection",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("pair")
+
+
+def _emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ serving path: ADC (asymmetric distance) shortlist over the
+    coded corpus, then exact re-rank — the standard IVF-PQ pattern.
+    The corpus scans as m=8 small ints per row (never the floats);
+    each probe's shortlist of L = max(100, n/10) candidates is pure
+    whole-stage-codegen lookup arithmetic planned as a per-partition
+    top-k. Invariant emitted per md5-selected probe: the exact top-10
+    overlaps the ADC shortlist by >= 3 (measured 5-10 at all three
+    SFs — these UNIFORM random embeddings are PQ's worst case, no
+    cluster structure, so the floor is deliberately loose; the
+    raw per-probe overlaps are jitter-exposed integers and stay out
+    of the emitted cells). ADC == decode-then-distance is definitional
+    and pytest-proven (test_adc_equals_decode_then_distance), not
+    re-proven here. Structural columns (candidate and shortlist
+    sizes) are exact and the oracle recomputes them relationally."""
+    from dbldatagen_spark.functions import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    L = max(100, n // 10)
+    cb, _ = pq_train(emb, "v", m=8, k=16, id_col="vec_id", max_iter=6)
+    coded = pq_encode(emb, "v", cb).select("vec_id", "pq_codes").cache()
+    probes = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    rows = []
+    try:
+        for p in probes:
+            q = list(p["v"])
+            shortlist = {
+                r["vec_id"]
+                for r in pq_adc_topk(
+                    coded, "vec_id", "pq_codes", cb, q, k=L,
+                    exclude_id=p["vec_id"],
+                ).collect()
+            }
+            qa = F.array(*[F.lit(float(x)) for x in q])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), qa, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            exact = {
+                r["vec_id"]
+                for r in emb.where(F.col("vec_id") != p["vec_id"])
+                .select("vec_id", F.round(d, 4).alias("d"))
+                .orderBy("d", "vec_id")
+                .limit(10)
+                .collect()
+            }
+            overlap = len(shortlist & exact)
+            rows.append(
+                (int(p["vec_id"]), int(n - 1), int(min(L, n - 1)),
+                 bool(overlap >= 3))
+            )
+    finally:
+        coded.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "qid long, n_candidates long, shortlist_size long, "
+        "recall_floor_ok boolean",
+    ).orderBy("qid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5609,7 +5746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- round-8 driver window (stalest-first; see ROTATION.md) ---
         # 3 never-checked round-7 growth rows first (policy: never-checked
-        # outranks recency), then the 3 round-8 growth rows (windowed at
+        # outranks recency), then the 5 round-8 growth rows (windowed at
         # birth so they draw driver rows immediately), the 9 r2 TPC-H
         # rows, the 12-row r3 cohort, the 18-row r4 generator cohort,
         # and the head of the r5 cohort to fill 50. After this window no
@@ -5623,6 +5760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_auto": _events_sessionize_auto,
         "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
         "emb_pq_codebooks": _emb_pq_codebooks,
+        "events_kmv_overlap": _events_kmv_overlap,
+        "emb_pq_adc": _emb_pq_adc,
         # r2-stale TPC-H cohort (last driver row round 2)
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
@@ -7357,6 +7496,97 @@ def _oracle_sql_base() -> dict[str, str]:
                              END - n_exact) / n_exact, 4) AS rel_err
             FROM s JOIN e USING (event_type)
             ORDER BY event_type
+        """,
+        "events_kmv_overlap": """
+            WITH pairs(pair, ta, tb) AS (
+                VALUES ('click|error', 'click', 'error'),
+                       ('purchase|view', 'purchase', 'view'),
+                       ('signup|purchase', 'signup', 'purchase')
+            ),
+            h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            sa AS (
+                SELECT pair, hv FROM (
+                    SELECT p.pair, h.hv,
+                           row_number() OVER (PARTITION BY p.pair
+                                              ORDER BY h.hv) AS rn
+                    FROM pairs p JOIN h ON h.event_type = p.ta
+                ) WHERE rn <= 32
+            ),
+            sb AS (
+                SELECT pair, hv FROM (
+                    SELECT p.pair, h.hv,
+                           row_number() OVER (PARTITION BY p.pair
+                                              ORDER BY h.hv) AS rn
+                    FROM pairs p JOIN h ON h.event_type = p.tb
+                ) WHERE rn <= 32
+            ),
+            m AS (
+                SELECT pair, hv FROM (
+                    SELECT pair, hv,
+                           row_number() OVER (PARTITION BY pair
+                                              ORDER BY hv) AS rn
+                    FROM (SELECT pair, hv FROM sa
+                          UNION SELECT pair, hv FROM sb)
+                ) WHERE rn <= 32
+            ),
+            stats AS (
+                SELECT m.pair,
+                       COUNT(*)::BIGINT AS n_union_kept,
+                       MAX(m.hv) AS kth,
+                       SUM(CASE WHEN sa2.hv IS NOT NULL
+                                 AND sb2.hv IS NOT NULL
+                                THEN 1 ELSE 0 END)::BIGINT AS n_common
+                FROM m
+                LEFT JOIN sa sa2 ON sa2.pair = m.pair AND sa2.hv = m.hv
+                LEFT JOIN sb sb2 ON sb2.pair = m.pair AND sb2.hv = m.hv
+                GROUP BY m.pair
+            ),
+            eu AS (
+                SELECT p.pair,
+                       COUNT(DISTINCT e.user_id)::BIGINT AS exact_union
+                FROM pairs p
+                JOIN events e ON e.event_type IN (p.ta, p.tb)
+                WHERE e.user_id IS NOT NULL
+                GROUP BY p.pair
+            ),
+            ei AS (
+                SELECT pair, COUNT(*)::BIGINT AS exact_intersection FROM (
+                    SELECT p.pair, e.user_id,
+                           MAX(CASE WHEN e.event_type = p.ta
+                                    THEN 1 ELSE 0 END) AS fa,
+                           MAX(CASE WHEN e.event_type = p.tb
+                                    THEN 1 ELSE 0 END) AS fb
+                    FROM pairs p CROSS JOIN events e
+                    WHERE e.user_id IS NOT NULL
+                    GROUP BY p.pair, e.user_id
+                ) WHERE fa = 1 AND fb = 1 GROUP BY pair
+            )
+            SELECT s.pair, s.n_union_kept, s.n_common,
+                   ROUND(CASE WHEN s.n_union_kept < 32
+                              THEN CAST(s.n_union_kept AS DOUBLE)
+                              ELSE 31.0 / ((CAST(s.kth AS DOUBLE) + 0.5)
+                                           / 1152921504606846976.0)
+                         END, 4) AS union_est,
+                   ROUND(CAST(s.n_common AS DOUBLE) / s.n_union_kept,
+                         4) AS jaccard_est,
+                   ROUND((CAST(s.n_common AS DOUBLE) / s.n_union_kept)
+                         * CASE WHEN s.n_union_kept < 32
+                                THEN CAST(s.n_union_kept AS DOUBLE)
+                                ELSE 31.0 / ((CAST(s.kth AS DOUBLE) + 0.5)
+                                             / 1152921504606846976.0)
+                           END, 4) AS intersection_est,
+                   coalesce(eu.exact_union, 0) AS exact_union,
+                   coalesce(ei.exact_intersection, 0)
+                       AS exact_intersection
+            FROM stats s
+            LEFT JOIN eu ON eu.pair = s.pair
+            LEFT JOIN ei ON ei.pair = s.pair
+            ORDER BY s.pair
         """,
         "events_streaming_sketch_sinks": """
             WITH h AS (
@@ -9270,6 +9500,21 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"
         ),
+        "emb_pq_adc": """
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),
+            q AS (
+                SELECT vec_id AS qid FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 5
+            )
+            SELECT q.qid,
+                   n.c - 1 AS n_candidates,
+                   CASE WHEN greatest(100, n.c // 10) < n.c - 1
+                        THEN greatest(100, n.c // 10)
+                        ELSE n.c - 1 END AS shortlist_size,
+                   true AS recall_floor_ok
+            FROM q CROSS JOIN n
+            ORDER BY q.qid
+        """,
         "emb_pq_codebooks": """
             SELECT CAST(g.sub AS INTEGER) AS subspace,
                    CAST(16 AS INTEGER) AS k,

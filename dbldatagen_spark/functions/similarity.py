@@ -754,6 +754,67 @@ def pq_encode(
     return df.mapInPandas(encode, schema).select(*fields, out_col)
 
 
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    codes_col: str,
+    codebooks,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    exclude_id: Optional[int] = None,
+    out_col: str = "adc_dist",
+) -> DataFrame:
+    """Asymmetric distance computation (ADC) top-k over PQ codes: the
+    query stays a full-precision vector, the corpus stays ``m`` small
+    ints per row — the search never touches (or decodes) stored
+    vectors.  Per subspace the driver precomputes the squared-L2
+    lookup table ``lut[s][c] = ||q_s - codebook[s][c]||^2`` (``m x k``
+    doubles); a row's distance is the sum of ``m`` ``element_at``
+    lookups on literal arrays — pure whole-stage-codegen arithmetic,
+    no UDF, and by construction EQUAL to ``||q - decode(codes)||^2``.
+
+    Ranking follows the repo's portable convention
+    (:func:`cosine_topk`): order by the distance ROUNDED at 4 decimals
+    with id tiebreaks; ``orderBy ... limit k`` plans as a
+    per-partition top-k (TakeOrderedAndProject) — no full sort, no
+    wide shuffle, even at 1e9 coded rows.  This is the serving path
+    PQ compression buys: a 100 TB corpus of 64-float embeddings scans
+    as 8-byte code words.
+    """
+    cb = np.asarray(codebooks, dtype=float)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, k, dsub), got shape {cb.shape}"
+        )
+    m, n_codes, dsub = cb.shape
+    q = np.asarray(list(query), dtype=float)
+    if q.shape != (m * dsub,):
+        raise ValueError(
+            f"query length {q.shape[0]} != m*dsub = {m * dsub}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    # (m, n_codes) squared distances from each query subvector to each
+    # codeword — the only float work; everything after is lookups
+    lut = (
+        (cb - q.reshape(m, 1, dsub)) ** 2
+    ).sum(axis=2)
+    dist = None
+    for s in range(m):
+        lut_arr = F.array(*[F.lit(float(x)) for x in lut[s]])
+        term = F.element_at(
+            lut_arr, F.element_at(F.col(codes_col), s + 1) + F.lit(1)
+        )
+        dist = term if dist is None else dist + term
+    out = ensure_parallelism(df).select(
+        F.col(id_col), F.round(dist, 4).alias(out_col)
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    return out.orderBy(F.col(out_col), F.col(id_col)).limit(k)
+
+
 def pq_reconstruction_report(
     df: DataFrame,
     vec_col: str,

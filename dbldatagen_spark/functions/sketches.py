@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_hash_expr",
     "kmv_sketch",
+    "kmv_set_ops",
     "kmv_merge_expr",
     "kmv_estimate_expr",
     "cms_bucket_expr",
@@ -124,6 +125,77 @@ def kmv_sketch(
         F.count(F.lit(1)).cast("long").alias("n_kept"),
     )
     return agg.withColumn("dv_estimate", kmv_estimate_expr(F.col("sketch"), k))
+
+
+def kmv_set_ops(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    *,
+    k: int,
+    join_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Set operations on two KMV sketches built with the same
+    ``(k, seed)`` — the audience-overlap arithmetic (Beyer et al.,
+    "On Synopses for Distinct-Value Estimation"): from the merged
+    k-minimum set ``M`` of the union,
+
+    - ``union_estimate``: the standard KMV estimate over ``M``
+      (lossless union law — identical to sketching the union),
+    - ``jaccard_estimate``: ``|M ∩ A ∩ B| / |M|`` — ``M`` is a uniform
+      hash-sample of the union, so the fraction of its members seen by
+      BOTH sides estimates ``|A ∩ B| / |A ∪ B|``,
+    - ``intersection_estimate``: ``jaccard * union_estimate``.
+
+    Inputs are ``kmv_sketch`` outputs (``sketch`` + optional group
+    columns). With ``join_cols`` the sketches pair up per group (inner
+    join); without, both must be single-row global sketches (checked)
+    and pair via a broadcast cross join. Returns ``join_cols +
+    (n_union_kept, n_common, union_estimate, jaccard_estimate,
+    intersection_estimate)``.
+
+    Everything is integer/array arithmetic over two <=k-element
+    arrays — engine-portable (the md5 hash basis), deterministic, and
+    cheap: the join moves ``k`` longs per group, never values.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    keys = list(join_cols or [])
+    a = sketch_a.select(*keys, F.col("sketch").alias("_sa"))
+    b = sketch_b.select(*keys, F.col("sketch").alias("_sb"))
+    if keys:
+        joined = a.join(b, keys)
+    else:
+        if a.count() != 1 or b.count() != 1:
+            raise ValueError(
+                "global kmv_set_ops needs single-row sketches; pass "
+                "join_cols for grouped sketches"
+            )
+        joined = a.crossJoin(F.broadcast(b))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_sa", "_sb"))), 1, k
+    )
+    out = joined.withColumn("_m", merged).select(
+        *keys,
+        F.size("_m").cast("long").alias("n_union_kept"),
+        F.size(
+            F.filter(
+                F.col("_m"),
+                lambda h: F.array_contains(F.col("_sa"), h)
+                & F.array_contains(F.col("_sb"), h),
+            )
+        )
+        .cast("long")
+        .alias("n_common"),
+        kmv_estimate_expr(F.col("_m"), k).alias("union_estimate"),
+    )
+    jaccard = F.when(
+        F.col("n_union_kept") > 0,
+        F.col("n_common").cast("double") / F.col("n_union_kept"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("jaccard_estimate", jaccard).withColumn(
+        "intersection_estimate",
+        F.col("jaccard_estimate") * F.col("union_estimate"),
+    )
 
 
 def cms_bucket_expr(

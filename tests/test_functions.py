@@ -3700,6 +3700,67 @@ class TestKMVSketch:
             kmv_sketch(spark.range(1), "id", k=1)
 
 
+class TestKMVSetOps:
+    def test_exact_below_k_reproduces_set_algebra(self, spark):
+        # both sides' distinct counts fit under k, so the sketches ARE
+        # the exact hash sets and every estimate is exact
+        from dbldatagen_spark.functions import kmv_set_ops, kmv_sketch
+
+        a = spark.range(0, 30).select(F.col("id").alias("v"))       # {0..29}
+        b = spark.range(20, 50).select(F.col("id").alias("v"))      # {20..49}
+        k = 64
+        out = kmv_set_ops(
+            kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k), k=k
+        ).first()
+        assert out.n_union_kept == 50          # |A ∪ B| exactly
+        assert out.n_common == 10              # |A ∩ B| exactly
+        assert out.union_estimate == 50.0
+        assert abs(out.jaccard_estimate - 10 / 50) < 1e-12
+        assert abs(out.intersection_estimate - 10.0) < 1e-9
+
+    def test_estimates_above_k_in_error_band(self, spark):
+        from dbldatagen_spark.functions import kmv_set_ops, kmv_sketch
+
+        n, overlap, k = 4000, 1000, 256
+        a = spark.range(0, n).select(F.col("id").alias("v"))
+        b = spark.range(n - overlap, 2 * n - overlap).select(
+            F.col("id").alias("v")
+        )
+        out = kmv_set_ops(
+            kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k), k=k
+        ).first()
+        true_union = 2 * n - overlap
+        assert abs(out.union_estimate - true_union) / true_union < 0.2
+        assert abs(out.intersection_estimate - overlap) / overlap < 0.5
+
+    def test_grouped_pairs(self, spark):
+        from dbldatagen_spark.functions import kmv_set_ops, kmv_sketch
+
+        df = spark.createDataFrame(
+            [("g1", 1), ("g1", 2), ("g2", 7), ("g2", 8)], "g string, v int"
+        )
+        sa = kmv_sketch(df, "v", group_cols=["g"], k=8)
+        out = {r.g: r for r in kmv_set_ops(
+            sa, sa, k=8, join_cols=["g"]).collect()}
+        # a sketch against itself: union == intersection == itself
+        for g, n in (("g1", 2), ("g2", 2)):
+            assert out[g].n_union_kept == n and out[g].n_common == n
+            assert abs(out[g].jaccard_estimate - 1.0) < 1e-12
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import kmv_set_ops, kmv_sketch
+
+        df = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "g string, v int"
+        )
+        grouped = kmv_sketch(df, "v", group_cols=["g"], k=4)
+        glob = kmv_sketch(df, "v", k=4)
+        with pytest.raises(ValueError, match="single-row"):
+            kmv_set_ops(grouped, glob, k=4)
+        with pytest.raises(ValueError):
+            kmv_set_ops(glob, glob, k=1)
+
+
 class TestEWMA:
     def test_recurrence_exact(self, spark):
         from dbldatagen_spark.functions import ewma
@@ -4926,6 +4987,65 @@ class TestProductQuantization:
             pq_train(df, "v", m=2, k=100, id_col="vec_id")
         with pytest.raises(ValueError, match="codebooks"):
             pq_encode(df, "v", [[1.0, 2.0]])
+
+    def test_adc_equals_decode_then_distance(self, spark):
+        # definitional: ADC(q, codes) == ||q - decode(codes)||^2
+        import numpy as np
+
+        from dbldatagen_spark.functions import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        df = self._vectors(spark, n=50, d=8)
+        cb, _ = pq_train(df, "v", m=4, k=8, id_col="vec_id", max_iter=5)
+        coded = pq_encode(df, "v", cb).select("vec_id", "pq_codes")
+        q = [0.3, -0.1, 0.7, 0.2, -0.5, 0.9, 0.0, 0.4]
+        got = pq_adc_topk(coded, "vec_id", "pq_codes", cb, q, k=50)
+        codes = {r["vec_id"]: r["pq_codes"] for r in coded.collect()}
+        qv = np.asarray(q)
+        for r in got.collect():
+            dec = np.concatenate(
+                [cb[s, codes[r["vec_id"]][s]] for s in range(4)]
+            )
+            want = float(((qv - dec) ** 2).sum())
+            assert abs(r["adc_dist"] - round(want, 4)) < 1e-9
+
+    def test_adc_finds_planted_neighbor(self, spark):
+        # a corpus vector equal to a codeword grid point: querying that
+        # exact point must rank it first (ADC distance 0)
+        from dbldatagen_spark.functions import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        rows = [(i, [float(i % 3), float((i * 7) % 3)]) for i in range(24)]
+        df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+        cb, _ = pq_train(df, "v", m=2, k=3, id_col="vec_id", max_iter=8)
+        coded = pq_encode(df, "v", cb).select("vec_id", "pq_codes")
+        top = pq_adc_topk(
+            coded, "vec_id", "pq_codes", cb, [0.0, 0.0], k=3
+        ).collect()
+        # vector (0,0) exists in the corpus (i=0, i=3, ...) and the
+        # codebook reconstructs it exactly (k=3 covers the 3-point grid
+        # per axis) -> distance 0 at the head, id tiebreak gives vec 0
+        assert top[0]["vec_id"] == 0 and top[0]["adc_dist"] == 0.0
+
+    def test_adc_validation(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import pq_adc_topk
+
+        df = spark.createDataFrame(
+            [(1, [0, 1])], "vec_id long, pq_codes array<int>"
+        )
+        cb = np.zeros((2, 4, 3))
+        with pytest.raises(ValueError, match="query length"):
+            pq_adc_topk(df, "vec_id", "pq_codes", cb, [1.0, 2.0], k=1)
+        with pytest.raises(ValueError):
+            pq_adc_topk(df, "vec_id", "pq_codes", cb, [0.0] * 6, k=0)
 
 
 class TestMrlRecallReport:
