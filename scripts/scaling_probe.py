@@ -16,7 +16,11 @@ Everything is pure-Catalyst generation (no UDFs) — writing sf1 takes
 seconds.
 
 Usage:
-    python scripts/scaling_probe.py [--dir /tmp/sf1-scale] [gen|run|all]
+    python scripts/scaling_probe.py [--dir /tmp/sf1-scale]
+        [--queries q1,q2,...] [gen|run|all]
+
+``--queries`` overrides the default heavy-headline list — any registry
+query that reads only events/documents/embeddings works.
 """
 
 from __future__ import annotations
@@ -124,10 +128,11 @@ def generate(spark, out_dir: str) -> None:
         print(f"  generated {t}: {n} rows")
 
 
-def run(spark, sf1_dir: str) -> None:
+def run(spark, sf1_dir: str, queries=None) -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
+    heavy = list(queries) if queries else HEAVY
     # hot page cache on both scales before any timed run
     for d in (SF01, sf1_dir):
         for t in ("events", "documents", "embeddings"):
@@ -146,7 +151,7 @@ def run(spark, sf1_dir: str) -> None:
         return round(best, 3)
 
     report = {}
-    for name in HEAVY:
+    for name in heavy:
         t_small = best_of(lambda: qs[name](spark, SF01).collect())
         t_big = best_of(lambda: qs[name](spark, sf1_dir).collect())
         report[name] = {
@@ -162,9 +167,14 @@ def run(spark, sf1_dir: str) -> None:
 def main() -> None:
     args = [a for a in sys.argv[1:]]
     out_dir = "/tmp/sf1-scale"
+    queries = None
     if "--dir" in args:
         i = args.index("--dir")
         out_dir = args[i + 1]
+        del args[i:i + 2]
+    if "--queries" in args:
+        i = args.index("--queries")
+        queries = [q for q in args[i + 1].split(",") if q]
         del args[i:i + 2]
     mode = args[0] if args else "all"
     spark = _session()
@@ -174,7 +184,7 @@ def main() -> None:
         generate(spark, out_dir)
     if mode in ("run", "all"):
         print("timing heavy queries at sf0.1 vs sf1 ...")
-        run(spark, out_dir)
+        run(spark, out_dir, queries)
     spark.stop()
 
 
