@@ -466,13 +466,14 @@ def kmeans_fit(
 
     if k < 1:
         raise ValueError("k must be >= 1")
-    order = [F.col(id_col)] if id_col else []
-    seed_rows = (
-        df.select(*([F.col(id_col)] if id_col else []), F.col(vec_col))
-        .orderBy(*order)
-        .limit(k)
-        .collect()
+    # Without an id column the seed draw is first-k-rows (fast but not
+    # partition-stable); pass id_col for deterministic output.
+    seed_df = df.select(
+        *([F.col(id_col)] if id_col else []), F.col(vec_col)
     )
+    if id_col:
+        seed_df = seed_df.orderBy(F.col(id_col))
+    seed_rows = seed_df.limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
     centroids = np.vstack([np.asarray(r[vec_col], dtype=float) for r in seed_rows])
@@ -620,13 +621,14 @@ def pq_train(
     import pandas as pd
 
     dsub = _pq_validate(df, vec_col, m, k)
-    order = [F.col(id_col)] if id_col else []
-    seed_rows = (
-        df.select(*([F.col(id_col)] if id_col else []), F.col(vec_col))
-        .orderBy(*order)
-        .limit(k)
-        .collect()
+    # Without an id column the seed draw is first-k-rows (fast but not
+    # partition-stable); pass id_col for deterministic output.
+    seed_df = df.select(
+        *([F.col(id_col)] if id_col else []), F.col(vec_col)
     )
+    if id_col:
+        seed_df = seed_df.orderBy(F.col(id_col))
+    seed_rows = seed_df.limit(k).collect()
     if len(seed_rows) < k:
         raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
     seeds = np.vstack(
@@ -803,8 +805,12 @@ def pq_adc_topk(
     dist = None
     for s in range(m):
         lut_arr = F.array(*[F.lit(float(x)) for x in lut[s]])
-        term = F.element_at(
-            lut_arr, F.element_at(F.col(codes_col), s + 1) + F.lit(1)
+        # try_element_at: an out-of-range code (or short codes array)
+        # yields NULL instead of an ANSI runtime error; NULL distances
+        # are filtered below so corrupt rows can't occupy the top-k.
+        term = F.try_element_at(
+            lut_arr,
+            F.try_element_at(F.col(codes_col), F.lit(s + 1)) + F.lit(1),
         )
         dist = term if dist is None else dist + term
     out = ensure_parallelism(df).select(
@@ -812,6 +818,12 @@ def pq_adc_topk(
     )
     if exclude_id is not None:
         out = out.where(F.col(id_col) != F.lit(exclude_id))
+    # An out-of-range code makes element_at return NULL and the summed
+    # distance NULL; a plain ascending sort would put such corrupt rows
+    # FIRST, silently occupying the top-k.  Codes from pq_encode are
+    # always in range, so dropping NULL distances only shields against
+    # externally-produced code columns.
+    out = out.where(F.col(out_col).isNotNull())
     return out.orderBy(F.col(out_col), F.col(id_col)).limit(k)
 
 
@@ -889,14 +901,12 @@ def pq_reconstruction_report(
     err = np.zeros(m)
     comp_sum = np.zeros((m, dsub))
     comp_sq = np.zeros(m)
-    first_seen: set = set()
     for r in parts:
         if r["sub"] == 0:
             n_total += r["n"]
         err[r["sub"]] += r["err"]
         comp_sum[r["sub"]] += np.asarray(r["csum"])
         comp_sq[r["sub"]] += r["csq"]
-        first_seen.add(r["sub"])
     if n_total == 0:
         raise ValueError(f"column {vec_col!r} has no vectors to audit")
     rows = []

@@ -20,11 +20,24 @@ factor.  bench.py scales the comparison by the session's own median
 best/steady ratio, so the table stays usable on slower hardware and
 at other SFs without edits here.
 
-Usage: python scripts/update_steady.py [extra_bench_output.json ...]
+Because entries are monotone minima, a DELIBERATE plan change that
+makes a query genuinely slower would leave an unreachable stale
+minimum that flags the query as a straggler forever.  ``--rebase``
+resets that: it discards the existing table (and, with
+``--since-round N``, any BENCH history before round N) and rebuilds
+from the remaining runs; ``--drop q1,q2`` instead surgically removes
+only the named queries before the normal merge, letting included
+history repopulate them.
+
+Usage:
+  python scripts/update_steady.py [extra_bench_output.json ...]
+  python scripts/update_steady.py --rebase [--since-round N] [extra ...]
+  python scripts/update_steady.py --drop q1,q2 [extra ...]
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -55,13 +68,43 @@ def _bench_lines(path: str):
             continue
 
 
+def _bench_round(path: str) -> int | None:
+    m = re.search(r"BENCH_r(\d+)\.json$", path)
+    return int(m.group(1)) if m else None
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser(
+        description="Regenerate bench_steady.json from bench history")
+    ap.add_argument("extra", nargs="*",
+                    help="extra bench-output JSON files (solo runs)")
+    ap.add_argument("--rebase", action="store_true",
+                    help="discard the existing table and rebuild from "
+                         "history only (resets stale minima after a "
+                         "deliberate plan regression)")
+    ap.add_argument("--since-round", type=int, default=None, metavar="N",
+                    help="with --rebase: only use BENCH_r*.json from "
+                         "round N onward (extra files always count)")
+    ap.add_argument("--drop", default=None, metavar="Q1,Q2",
+                    help="remove the named queries from the existing "
+                         "table before merging, so included history "
+                         "repopulates them")
+    args = ap.parse_args()
+    if args.since_round is not None and not args.rebase:
+        ap.error("--since-round requires --rebase")
+
     steady: dict[str, float] = {}
-    if os.path.exists(OUT):
+    if not args.rebase and os.path.exists(OUT):
         steady.update(json.load(open(OUT)))
+    if args.drop:
+        for q in args.drop.split(","):
+            steady.pop(q.strip(), None)
 
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    paths += sys.argv[1:]
+    if args.rebase and args.since_round is not None:
+        paths = [p for p in paths
+                 if (_bench_round(p) or 0) >= args.since_round]
+    paths += args.extra
     used = 0
     for path in paths:
         for line in _bench_lines(path):
