@@ -1429,3 +1429,86 @@ def hamming_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting_len: Optional[int] = 1000,
+) -> DataFrame:
+    """Document pairs with high shingle CONTAINMENT — the asymmetric
+    near-dup measure (Broder 1997, "On the resemblance and containment
+    of documents"): ``c(A in B) = |A ∩ B| / |A|``.  Jaccard misses the
+    quote/subset case a training corpus cares about most — a short doc
+    wholly embedded in a long one scores near-zero Jaccard (the union
+    is dominated by the long doc) but containment 1.0.  Emits every
+    pair where EITHER direction clears ``threshold``:
+    ``(id_a, id_b, n_a, n_b, n_common, containment_a_in_b,
+    containment_b_in_a)`` with ``id_a < id_b``.
+
+    Blocking and scale shape are shared with
+    :func:`ngram_jaccard_pairs`: the inverted shingle index generates
+    only pairs with >= 1 common shingle, and ``max_posting_len`` (the
+    stop-shingle cut) bounds per-shingle candidate work at cap^2 so a
+    viral boilerplate phrase can't go cartesian at 100 TB.  Both
+    containments are exact over full distinct-shingle sets regardless
+    of the cut; all emitted numbers are integers or single ratios of
+    integers — exactly replayable by a SQL oracle.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
+    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("_sz"))
+    posting = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_sh")
+    )
+    if max_posting_len is not None:
+        if max_posting_len < 2:
+            raise ValueError("max_posting_len must be >= 2")
+        keep = (
+            posting.groupBy("_sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_posting_len)
+            .select("_sh")
+        )
+        posting = posting.join(keep, "_sh")
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a._sh") == F.col("b._sh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "n_a")
+    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "n_b")
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment_a_in_b",
+            F.round(F.col("n_common") / F.col("n_a"), 4),
+        )
+        .withColumn(
+            "containment_b_in_a",
+            F.round(F.col("n_common") / F.col("n_b"), 4),
+        )
+    )
+    return out.where(
+        (F.col("containment_a_in_b") >= F.lit(threshold))
+        | (F.col("containment_b_in_a") >= F.lit(threshold))
+    ).select(
+        "id_a", "id_b",
+        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        "n_common", "containment_a_in_b", "containment_b_in_a",
+    )

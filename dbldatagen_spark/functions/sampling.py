@@ -325,3 +325,101 @@ def weighted_sample(
         .where(F.col("_rn") <= F.lit(n_per_group))
         .drop("_rn")
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_cols=None,
+    seed: int = 0,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007, "Priority
+    sampling for estimation of arbitrary subset sums"): keep the ``k``
+    rows with the largest priorities ``q_i = w_i / u_i`` and attach the
+    estimator weight ``w_hat_i = max(w_i, tau)`` where ``tau`` is the
+    (k+1)-th largest priority.  For ANY subset ``S``,
+    ``sum(w_hat_i, i in sample ∩ S)`` is an unbiased estimate of
+    ``sum(w_i, i in S)`` — one tiny sample answers every subset-sum
+    question after the fact, which is the whole trick for sizing
+    ad-hoc slices of a 100 TB corpus without rescanning it.
+
+    ``u_i`` is the repo's deterministic md5 uniform in (0, 1] (seeded,
+    partitioning-independent, engine-portable), so the sample and the
+    estimates replay exactly in any engine with ``md5``.  Groups with
+    at most ``k`` rows are kept whole with ``w_hat = w`` (tau = 0, the
+    exact regime).  Rows with non-positive weight are excluded.
+
+    Returns ``group_cols + (id, weight, priority, tau, w_hat)``.
+
+    Scale shape: ``row_number() <= k+1`` over ``(group ORDER BY
+    priority DESC)`` plans as a pre-exchange ``WindowGroupLimit`` —
+    each map task forwards at most ``k+1`` rows per group; the tau
+    extraction and estimator join then touch ``O(groups * k)`` rows
+    total.  Without groups the top-(k+1) is a single
+    ``TakeOrderedAndProject``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    groups = list(group_cols or [])
+    hv = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    # (hv + 1) / 2^60: uniform in (0, 1], never 0
+    u = (hv + F.lit(1)).cast("double") / F.lit(float(1 << 60))
+    base = df.where(F.col(weight_col) > 0).select(
+        *groups,
+        F.col(id_col),
+        F.col(weight_col).cast("double").alias("_w"),
+        (F.col(weight_col).cast("double") / u).alias("_q"),
+    )
+    if groups:
+        w = Window.partitionBy(*groups).orderBy(
+            F.col("_q").desc(), F.col(id_col)
+        )
+        top = base.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= F.lit(k + 1)
+        )
+    else:
+        top = (
+            base.orderBy(F.col("_q").desc(), F.col(id_col))
+            .limit(k + 1)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(F.lit(1)).orderBy(
+                        F.col("_q").desc(), F.col(id_col)
+                    )
+                ),
+            )
+        )
+    # tau = the (k+1)-th priority when the group overflows, else 0
+    tau = top.groupBy(*groups).agg(
+        F.coalesce(
+            F.max(F.when(F.col("_rn") == k + 1, F.col("_q"))), F.lit(0.0)
+        ).alias("tau")
+    )
+    sample = top.where(F.col("_rn") <= k).drop("_rn")
+    joined = (
+        sample.join(F.broadcast(tau), groups)
+        if groups
+        else sample.crossJoin(F.broadcast(tau))
+    )
+    return joined.select(
+        *groups,
+        F.col(id_col),
+        F.col("_w").alias("weight"),
+        F.col("_q").alias("priority"),
+        F.col("tau"),
+        F.greatest(F.col("_w"), F.col("tau")).alias("w_hat"),
+    )

@@ -48,6 +48,10 @@ __all__ = [
     "histogram_merge",
     "histogram_quantiles",
     "cms_heavy_hitters",
+    "hll_register_exprs",
+    "hll_sketch",
+    "hll_merge_expr",
+    "hll_estimate_expr",
 ]
 
 _TWO_60 = float(1 << 60)
@@ -626,4 +630,145 @@ def cms_heavy_hitters(
         "cms_count",
         "exact_count",
         (F.col("exact_count") >= threshold).alias("is_heavy"),
+    )
+
+
+def _hll_alpha(m: int) -> float:
+    """Bias-correction constant from Flajolet et al. 2007 ("HyperLogLog:
+    the analysis of a near-optimal cardinality estimation algorithm")."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_register_exprs(
+    value: Column, *, p: int = 8, seed: int = 0
+) -> tuple[Column, Column]:
+    """``(bucket, rho)`` for one value under a ``2^p``-register HLL over
+    the repo's portable 60-bit md5 hash basis (:func:`kmv_hash_expr`).
+    The LOW ``p`` bits pick the register; ``rho`` is the position of
+    the highest set bit counted from the top of the remaining
+    ``60 - p`` bits (1-based; an all-zero remainder scores
+    ``60 - p + 1``).  Integer-only, so a SQL oracle replays it exactly:
+    ``bucket = h % 2^p``, ``rem = h // 2^p``,
+    ``rho = CASE WHEN rem = 0 THEN 61 - p ELSE 61 - p - length(bin(rem))
+    END``.  NOTE ``h DIV 2^p`` must be an INTEGER division — a float
+    ``floor(h / 2^p)`` loses bits past 2^53 and derails the oracle.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    h = kmv_hash_expr(value, seed=seed)
+    bucket = (h % F.lit(1 << p)).cast("int")
+    rem = F.shiftright(h, p)
+    rmax = 61 - p
+    rho = (
+        F.when(rem == 0, F.lit(rmax))
+        .otherwise(F.lit(rmax) - F.length(F.bin(rem)))
+        .cast("int")
+    )
+    return bucket, rho
+
+
+def hll_estimate_expr(registers: Column, *, p: int = 8) -> Column:
+    """Cardinality estimate from a dense ``array<int>`` register vector
+    (0 = empty register).  Engine-portable by construction: the
+    indicator sum ``S = sum_j 2^(rmax - r_j)`` is computed in BIGINT
+    (each term is an exact power of two, the sum is order-independent
+    integer arithmetic, and ``max S = 2^61`` fits), so the only float
+    steps are ONE division by ``S`` and — in the small-range
+    linear-counting branch (Flajolet's ``E <= 2.5m`` rule) — one
+    ``m * ln(m / zeros)``.  A DuckDB oracle replays both bit-for-bit.
+    """
+    m = 1 << p
+    rmax = 61 - p
+    s_int = F.aggregate(
+        registers,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc
+        + F.pow(F.lit(2.0), F.lit(rmax) - r).cast("long"),
+    )
+    zeros = F.size(F.filter(registers, lambda r: r == 0))
+    # alpha * m^2 * 2^rmax collapsed to one Python-computed literal so
+    # both engines parse the identical double and divide once
+    c = _hll_alpha(m) * float(m) * float(m) * float(1 << rmax)
+    raw = F.lit(c) / s_int.cast("double")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return F.when(
+        (raw <= F.lit(2.5 * m)) & (zeros > 0), linear
+    ).otherwise(raw)
+
+
+def hll_merge_expr(sketches: Column, *, p: int = 8) -> Column:
+    """Merge an ``array<array<int>>`` of dense register vectors by
+    element-wise max — the lossless HLL union law (associative,
+    commutative, idempotent), same contract as :func:`kmv_merge_expr`."""
+    m = 1 << p
+    empty = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)), lambda i: F.lit(0)
+    )
+    return F.aggregate(
+        sketches,
+        empty,
+        lambda acc, s: F.zip_with(acc, s, lambda a, b: F.greatest(a, b)),
+    )
+
+
+def hll_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Optional[Sequence[str]] = None,
+    p: int = 8,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-group HyperLogLog sketch of ``value_col``'s distinct count
+    (Flajolet, Fusy, Gandouet & Meunier 2007).  Returns ``group_cols +
+    (registers array<int> of length 2^p, n_zero_registers,
+    dv_estimate)``.  NULLs are excluded (``COUNT(DISTINCT)``
+    semantics).
+
+    Why next to :func:`kmv_sketch`: KMV keeps ``k`` longs and answers
+    set operations; HLL keeps ``2^p`` BYTES-worth of small ints and
+    wins when only cardinality is needed — the classic trade.  Unlike
+    Spark's ``approx_count_distinct`` (whose HLL state is opaque and
+    engine-specific), these registers are a plain column built on the
+    portable md5 basis: storable, mergeable (:func:`hll_merge_expr`),
+    and exactly replayable by a DuckDB oracle.
+
+    Scale shape: ``(group, bucket) -> max(rho)`` is a hash aggregate
+    with map-side combine — at most ``groups * 2^p`` rows shuffle, each
+    a couple of ints, regardless of row count.  The dense register
+    vector is assembled AFTER that reduction (``map_from_entries`` over
+    <= ``2^p`` entries per group), never per input row.
+    """
+    groups = list(group_cols or [])
+    bucket, rho = hll_register_exprs(F.col(value_col), p=p, seed=seed)
+    m = 1 << p
+    per_bucket = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*groups, bucket.alias("_b"), rho.alias("_r"))
+        .groupBy(*groups, "_b")
+        .agg(F.max("_r").alias("_r"))
+    )
+    as_map = per_bucket.groupBy(*groups).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_r")))
+        ).alias("_m")
+    )
+    registers = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+    )
+    out = as_map.select(*groups, registers.alias("registers"))
+    return out.select(
+        *groups,
+        "registers",
+        F.size(F.filter(F.col("registers"), lambda r: r == 0))
+        .cast("int")
+        .alias("n_zero_registers"),
+        hll_estimate_expr(F.col("registers"), p=p).alias("dv_estimate"),
     )

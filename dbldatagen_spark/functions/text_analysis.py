@@ -950,3 +950,142 @@ def rrf_fuse(
             F.count(F.lit(1)).cast("long").alias("n_rankings"),
         )
     )
+
+
+def _bpe_words(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
+    """Distinct lowercase alphabetic words with occurrence counts —
+    the vocabulary pre-aggregation every BPE pass runs over.  The
+    corpus collapses to its vocabulary FIRST (one hash aggregate with
+    map-side combine), so all per-word symbol work downstream costs
+    O(|vocab|), not O(corpus) — at 100 TB the vocabulary is millions
+    of rows while the corpus is trillions of tokens."""
+    words = F.explode(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+")
+    ).alias("word")
+    return (
+        ensure_parallelism(df)
+        .select(words)
+        .where(
+            (F.length("word") >= 2) & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("word_n"))
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str,
+    *,
+    max_word_len: int = 40,
+) -> DataFrame:
+    """Corpus-wide adjacent character-pair frequencies — the statistic
+    one BPE merge step ranks (Sennrich, Haddow & Birch 2016, "Neural
+    Machine Translation of Rare Words with Subword Units").  Words are
+    lowercase alphabetic runs; each word contributes its ``len - 1``
+    character bigrams weighted by the word's corpus frequency.
+    Returns ``(pair, n)`` — pure integer arithmetic over a
+    deterministic tokenization, so a SQL oracle replays it exactly.
+    """
+    vocab = _bpe_words(df, text_col, max_word_len)
+    pair = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word") - 1),
+            lambda i: F.col("word").substr(i, F.lit(2)),
+        )
+    ).alias("pair")
+    return (
+        vocab.select(pair, "word_n")
+        .groupBy("pair")
+        .agg(F.sum("word_n").alias("n"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    num_merges: int,
+    *,
+    max_word_len: int = 40,
+    checkpoint_every: int = 4,
+) -> List[tuple]:
+    """Learn ``num_merges`` BPE merges over the corpus.  Returns
+    ``[(left, right, count), ...]`` in merge order — ties on count
+    break lexicographically on ``(left, right)`` so training is
+    deterministic on any partitioning.
+
+    The driver loop is inherent to BPE (merge ``t+1`` depends on the
+    vocabulary state after merge ``t``), but every step inside it is
+    distributed and runs over the *vocabulary*, not the corpus:
+
+    1. pair counting — explode each word's adjacent symbol pairs,
+       weighted hash-aggregate (map-side combine);
+    2. argmax — a 2-row ``orderBy ... limit`` (TakeOrderedAndProject);
+    3. merge application — a left fold (``F.aggregate``) over each
+       word's symbol array that greedily joins leftmost-first
+       non-overlapping occurrences of the winning pair, the reference
+       BPE semantics.
+
+    ``checkpoint_every`` bounds lineage growth: the symbols DataFrame
+    is ``localCheckpoint``-ed every N merges so the plan doesn't
+    deepen linearly with merges."""
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    state = (
+        _bpe_words(df, text_col, max_word_len)
+        .select(chars.alias("syms"), "word_n")
+        .localCheckpoint()
+    )
+    merges: List[tuple] = []
+    for step in range(num_merges):
+        # single-symbol words have no pairs; sequence(1, 0) would DESCEND
+        # ([1, 0]) and index past the array, so filter them first
+        pairs = state.where(F.size("syms") > 1).select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("syms") - 1),
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("l"),
+                        F.element_at("syms", i + F.lit(1)).alias("r"),
+                    ),
+                )
+            ).alias("p"),
+            "word_n",
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p").getField("l").alias("l"),
+                F.col("p").getField("r").alias("r"),
+            )
+            .agg(F.sum("word_n").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("l"), F.col("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], int(best[0]["n"])
+        merges.append((l, r, n))
+        joined = l + r
+        # leftmost-first greedy merge: fold symbols into a new array,
+        # joining when the accumulated tail is `l` and the next is `r`
+        merged = F.aggregate(
+            F.col("syms"),
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(l))
+                & (s == F.lit(r)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(joined))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        state = state.select(merged.alias("syms"), "word_n")
+        if (step + 1) % checkpoint_every == 0:
+            state = state.localCheckpoint()
+    return merges

@@ -743,3 +743,122 @@ def autocorrelation(
         n.cast("long").alias("n"),
         F.when((n > lag) & (den > 0.0), num / den).alias(out_col),
     )
+
+
+def resample_interpolate(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    interval_seconds: int,
+    order_col: str,
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed time lattice
+    with LINEAR interpolation — the numeric sibling of
+    :func:`time_gap_fill` (which carries the last value forward, a
+    step function; this draws the line between the bracketing
+    observations, the right call for continuous signals like sensor
+    values or prices).
+
+    Grid points span ``ceil(first_obs / step) .. floor(last_obs /
+    step)`` per key, so every grid point is bracketed by observations
+    and no extrapolation happens.  A grid point landing exactly on an
+    observation returns that observation's value (``was_exact``
+    true).  Duplicate timestamps within a key resolve deterministically
+    to the observation with the highest ``order_col`` (a unique id).
+
+    Returns ``(key, grid_ts, value, was_exact)``.
+
+    Portability: timestamps become integer epoch seconds, so the
+    bracketing and the interpolation ratio ``(t - t_prev) / (t_next -
+    t_prev)`` are built from exact integers; the interpolation itself
+    is ``v_prev + (v_next - v_prev) * ratio`` — one subtraction, one
+    multiply, one add in that order, replayed identically by a SQL
+    oracle.
+
+    Scale shape: the observation dedupe is a (key, second) hash
+    aggregate with map-side combine; the lattice explode is bounded by
+    ``span / interval`` rows per key; the prev/next brackets are two
+    window frames over the SAME (key ORDER BY ts) sort — Spark plans
+    one exchange + one sort feeding both WindowExecs, so the whole
+    operator costs one shuffle on the key.
+    """
+    if interval_seconds <= 0:
+        raise ValueError(
+            f"interval_seconds must be positive, got {interval_seconds}"
+        )
+    step = F.lit(int(interval_seconds)).cast("long")
+    epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
+
+    obs = (
+        df.select(
+            F.col(key_col),
+            epoch.alias("_t"),
+            F.col(value_col).cast("double").alias("_v"),
+            F.col(order_col).alias("_ord"),
+        )
+        .groupBy(key_col, "_t")
+        .agg(F.expr("max_by(_v, _ord)").alias("_v"))
+    )
+    spans = obs.groupBy(key_col).agg(
+        F.min("_t").alias("_lo"), F.max("_t").alias("_hi")
+    )
+    lattice = spans.where(
+        F.ceil(F.col("_lo") / step) * step <= F.col("_hi")
+    ).select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(
+                (F.ceil(F.col("_lo") / step) * step).cast("long"),
+                F.col("_hi").cast("long"),
+                step,
+            )
+        ).alias("_t"),
+    )
+    # union grid (flag 1, null value) with observations (flag 0);
+    # at an exact hit the observation sorts first and becomes _pv/_pt
+    unioned = obs.select(
+        key_col, "_t", "_v", F.lit(0).alias("_g")
+    ).unionByName(
+        lattice.select(
+            key_col, "_t", F.lit(None).cast("double").alias("_v"),
+            F.lit(1).alias("_g"),
+        )
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_g")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy("_t", "_g")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    prev_t = F.last(F.when(F.col("_v").isNotNull(), F.col("_t")), True).over(back)
+    prev_v = F.last("_v", ignorenulls=True).over(back)
+    next_t = F.first(F.when(F.col("_v").isNotNull(), F.col("_t")), True).over(fwd)
+    next_v = F.first("_v", ignorenulls=True).over(fwd)
+    # brackets are computed over the FULL union (observations included),
+    # THEN the grid rows are kept — filtering first would leave the
+    # windows nothing to bracket with
+    bracketed = unioned.select(
+        F.col(key_col),
+        F.col("_t"),
+        F.col("_g"),
+        prev_t.alias("_pt"), prev_v.alias("_pv"),
+        next_t.alias("_nt"), next_v.alias("_nv"),
+    ).where(F.col("_g") == 1)
+    ratio = (F.col("_t") - F.col("_pt")).cast("double") / (
+        F.col("_nt") - F.col("_pt")
+    ).cast("double")
+    value = F.when(F.col("_t") == F.col("_pt"), F.col("_pv")).otherwise(
+        F.col("_pv") + (F.col("_nv") - F.col("_pv")) * ratio
+    )
+    return bracketed.select(
+        F.col(key_col),
+        F.to_timestamp(F.col("_t")).cast("timestamp_ntz").alias("grid_ts"),
+        value.alias(value_col),
+        (F.col("_t") == F.col("_pt")).alias("was_exact"),
+    )

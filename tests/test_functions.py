@@ -5117,3 +5117,285 @@ class TestMrlRecallReport:
         with pytest.raises(ValueError, match="exceed the embedding length"):
             mrl_recall_report(df, "vec_id", "v", dims=[2, 128], k=2,
                               n_queries=2)
+
+
+class TestHllSketch:
+    def test_estimate_accuracy_and_zero_registers(self, spark):
+        from dbldatagen_spark.functions import hll_sketch
+
+        df = spark.range(0, 5000).select(
+            (F.col("id") % 2).alias("g"), F.col("id").alias("v")
+        )
+        out = {r["g"]: r for r in hll_sketch(
+            df, "v", group_cols=["g"], p=8
+        ).collect()}
+        for g in (0, 1):
+            est = out[g]["dv_estimate"]
+            assert abs(est / 2500.0 - 1.0) < 0.15, (g, est)
+            assert len(out[g]["registers"]) == 256
+            assert out[g]["n_zero_registers"] == sum(
+                1 for r in out[g]["registers"] if r == 0
+            )
+
+    def test_small_range_linear_counting(self, spark):
+        from dbldatagen_spark.functions import hll_sketch
+
+        df = spark.range(0, 10).select(F.col("id").alias("v"))
+        est = hll_sketch(df, "v", p=8).collect()[0]["dv_estimate"]
+        # LC regime: 10 distinct with 256 registers is near-exact
+        assert abs(est - 10.0) < 1.0, est
+
+    def test_merge_law_exact(self, spark):
+        from dbldatagen_spark.functions import hll_merge_expr, hll_sketch
+
+        df = spark.range(0, 3000).select(
+            (F.col("id") % 3).alias("part"), (F.col("id") % 700).alias("v")
+        )
+        direct = hll_sketch(df, "v", p=8).collect()[0]["registers"]
+        per_part = hll_sketch(df, "v", group_cols=["part"], p=8)
+        merged = (
+            per_part.agg(F.collect_list("registers").alias("s"))
+            .select(hll_merge_expr(F.col("s"), p=8).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert list(merged) == list(direct)
+
+    def test_partitioning_stable(self, spark):
+        from dbldatagen_spark.functions import hll_sketch
+
+        df = spark.range(0, 2000).select(F.col("id").alias("v"))
+        a = hll_sketch(df.repartition(2), "v", p=6).collect()[0]
+        b = hll_sketch(df.repartition(7), "v", p=6).collect()[0]
+        assert list(a["registers"]) == list(b["registers"])
+        assert a["dv_estimate"] == b["dv_estimate"]
+
+    def test_nulls_excluded_and_validation(self, spark):
+        from dbldatagen_spark.functions import hll_sketch
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (None,)], "v int"
+        )
+        est = hll_sketch(df, "v", p=8).collect()[0]["dv_estimate"]
+        assert abs(est - 2.0) < 0.5
+        with pytest.raises(ValueError, match="p must be"):
+            from dbldatagen_spark.functions import hll_register_exprs
+            hll_register_exprs(F.col("v"), p=2)
+
+
+class TestPrioritySample:
+    def test_unbiased_total_and_exact_small_groups(self, spark):
+        from dbldatagen_spark.functions import priority_sample
+
+        df = spark.createDataFrame(
+            [(i, "big", float(1 + i % 17)) for i in range(400)]
+            + [(1000 + i, "small", 5.0) for i in range(3)],
+            "id long, g string, w double",
+        )
+        out = priority_sample(df, "id", "w", 8, group_cols=["g"])
+        rows = out.collect()
+        small = [r for r in rows if r["g"] == "small"]
+        # a group under k is kept whole in the exact regime
+        assert len(small) == 3
+        assert all(r["tau"] == 0.0 and r["w_hat"] == 5.0 for r in small)
+        big = [r for r in rows if r["g"] == "big"]
+        assert len(big) == 8
+        tau = big[0]["tau"]
+        assert tau > 0.0
+        for r in big:
+            assert r["w_hat"] == max(r["weight"], tau)
+            assert r["priority"] >= tau
+
+    def test_global_topk_and_determinism(self, spark):
+        from dbldatagen_spark.functions import priority_sample
+
+        df = spark.range(0, 500).select(
+            F.col("id"), (F.col("id") % 13 + 1).cast("double").alias("w")
+        )
+        a = priority_sample(df.repartition(3), "id", "w", 10).collect()
+        b = priority_sample(df.repartition(8), "id", "w", 10).collect()
+        ka = sorted((r["id"], r["w_hat"]) for r in a)
+        kb = sorted((r["id"], r["w_hat"]) for r in b)
+        assert ka == kb
+        assert len(ka) == 10
+
+    def test_estimator_tracks_subset_sums(self, spark):
+        # mean ratio over several disjoint subsets should hover near 1
+        from dbldatagen_spark.functions import priority_sample
+
+        df = spark.range(0, 2000).select(
+            F.col("id"), (F.col("id") % 97 + 1).cast("double").alias("w"),
+            (F.col("id") % 4).alias("bucket"),
+        )
+        s = priority_sample(df, "id", "w", 200)
+        joined = s.join(df.select("id", "bucket"), "id")
+        est = {r["bucket"]: r["e"] for r in joined.groupBy("bucket")
+               .agg(F.sum("w_hat").alias("e")).collect()}
+        exact = {r["bucket"]: r["e"] for r in df.groupBy("bucket")
+                 .agg(F.sum("w").alias("e")).collect()}
+        ratios = [est[b] / exact[b] for b in exact]
+        assert all(0.6 < x < 1.4 for x in ratios), ratios
+        with pytest.raises(ValueError, match="k must be"):
+            priority_sample(df, "id", "w", 0)
+
+
+class TestBpe:
+    def test_pair_counts_match_python(self, spark):
+        from dbldatagen_spark.functions import bpe_pair_counts
+
+        texts = ["the cat the hat", "that there the", "CAT cat!"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = {r["pair"]: r["n"] for r in bpe_pair_counts(df, "text").collect()}
+        import re
+        from collections import Counter
+        ref = Counter()
+        for t in texts:
+            for w in re.split("[^a-z]+", t.lower()):
+                if 2 <= len(w) <= 40:
+                    for i in range(len(w) - 1):
+                        ref[w[i:i + 2]] += 1
+        assert got == dict(ref)
+
+    def test_train_matches_reference_bpe(self, spark):
+        from dbldatagen_spark.functions import bpe_train
+
+        texts = ["low lower lowest", "new newer newest", "low low new"]
+        df = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = bpe_train(df, "text", 6)
+
+        # pure-Python reference: greedy leftmost merges over word counts
+        import re
+        from collections import Counter
+        vocab = Counter()
+        for t in texts:
+            for w in re.split("[^a-z]+", t.lower()):
+                if 2 <= len(w) <= 40:
+                    vocab[w] += 1
+        words = {w: list(w) for w in vocab}
+        ref = []
+        for _ in range(6):
+            pairs = Counter()
+            for w, syms in words.items():
+                for i in range(len(syms) - 1):
+                    pairs[(syms[i], syms[i + 1])] += vocab[w]
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (l, r), n = best
+            ref.append((l, r, n))
+            for w, syms in words.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                words[w] = out
+        assert got == ref
+
+    def test_train_validation(self, spark):
+        from dbldatagen_spark.functions import bpe_train
+
+        df = spark.createDataFrame([("ab",)], "text string")
+        with pytest.raises(ValueError, match="num_merges"):
+            bpe_train(df, "text", 0)
+
+
+class TestContainmentPairs:
+    def test_subset_doc_detected(self, spark):
+        from dbldatagen_spark.functions import containment_pairs
+
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        short = "gamma delta epsilon zeta"          # embedded in long
+        other = "one two three four five six seven"
+        df = spark.createDataFrame(
+            [(1, long), (2, short), (3, other)], "doc_id long, text string"
+        )
+        rows = containment_pairs(
+            df, "doc_id", "text", k=3, threshold=0.9,
+            max_posting_len=None,
+        ).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        # every shingle of the short doc appears in the long doc
+        assert r["containment_b_in_a"] == 1.0
+        # but Jaccard would be low: the long doc has many more shingles
+        assert r["n_common"] / (r["n_a"] + r["n_b"] - r["n_common"]) < 0.5
+
+    def test_direction_and_threshold(self, spark):
+        from dbldatagen_spark.functions import containment_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y z w v u")],
+            "doc_id long, text string",
+        )
+        assert containment_pairs(
+            df, "doc_id", "text", threshold=0.5, max_posting_len=None
+        ).count() == 0
+        with pytest.raises(ValueError, match="threshold"):
+            containment_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+class TestResampleInterpolate:
+    def test_linear_values_and_exact_hits(self, spark):
+        from dbldatagen_spark.functions import resample_interpolate
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 0.0, 1),
+            (1, "2024-01-01 00:30:00", 30.0, 2),   # off-grid
+            (1, "2024-01-01 02:00:00", 120.0, 3),  # exact grid hit
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts string, v double, eid long"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v", "eid")
+        out = {r["grid_ts"].isoformat(): r for r in resample_interpolate(
+            df, "k", "ts", "v", interval_seconds=3600, order_col="eid"
+        ).collect()}
+        assert out["2024-01-01T00:00:00"]["v"] == 0.0
+        assert out["2024-01-01T00:00:00"]["was_exact"]
+        # 01:00 sits between 00:30 (30.0) and 02:00 (120.0): 30 + 90*(30/90)
+        assert out["2024-01-01T01:00:00"]["v"] == pytest.approx(60.0)
+        assert not out["2024-01-01T01:00:00"]["was_exact"]
+        assert out["2024-01-01T02:00:00"]["v"] == 120.0
+        assert out["2024-01-01T02:00:00"]["was_exact"]
+
+    def test_duplicate_ts_resolves_by_order_col(self, spark):
+        from dbldatagen_spark.functions import resample_interpolate
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 5.0, 1),
+            (1, "2024-01-01 00:00:00", 7.0, 2),   # wins (higher eid)
+            (1, "2024-01-01 01:00:00", 9.0, 3),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts string, v double, eid long"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v", "eid")
+        out = {r["grid_ts"].isoformat(): r["v"] for r in resample_interpolate(
+            df, "k", "ts", "v", interval_seconds=3600, order_col="eid"
+        ).collect()}
+        assert out["2024-01-01T00:00:00"] == 7.0
+
+    def test_no_extrapolation_and_partition_stability(self, spark):
+        from dbldatagen_spark.functions import resample_interpolate
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        a = resample_interpolate(
+            ev.repartition(2), "user_id", "ts", "value",
+            interval_seconds=7200, order_col="event_id",
+        )
+        b = resample_interpolate(
+            ev.repartition(7), "user_id", "ts", "value",
+            interval_seconds=7200, order_col="event_id",
+        )
+        ra = sorted((r["user_id"], r["grid_ts"], round(r["value"], 9))
+                    for r in a.collect())
+        rb = sorted((r["user_id"], r["grid_ts"], round(r["value"], 9))
+                    for r in b.collect())
+        assert ra == rb
+        assert all(v is not None for _, _, v in ra)  # always bracketed
+        with pytest.raises(ValueError, match="interval_seconds"):
+            resample_interpolate(ev, "user_id", "ts", "value",
+                                 interval_seconds=0, order_col="event_id")
