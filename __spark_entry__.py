@@ -5730,39 +5730,249 @@ def _emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007): per
+    event type, a dense 256-register HLL over the portable md5 hash
+    basis estimates the distinct-user count next to the exact count.
+    The register indicator sum stays in BIGINT (every term an exact
+    power of two), so the estimate's only float steps — one division,
+    and the linear-counting ln in the small-range regime — replay
+    bit-for-bit in the SQL oracle.  merged_matches additionally
+    asserts the HLL union law at register granularity: per-day
+    sketches merged by element-wise max must equal the direct sketch.
+    KMV twin: events_kmv_distinct (same hash basis, set-operation
+    capable); HLL is the fixed-size-registers trade."""
+    from dbldatagen_spark.functions import hll_merge_expr, hll_sketch
+
+    p = 8
+    events = _load(spark, sf_dir, "events")
+    direct = hll_sketch(events, "user_id", group_cols=["event_type"], p=p)
+    daily = hll_sketch(
+        events.withColumn("day", F.to_date("ts")),
+        "user_id",
+        group_cols=["event_type", "day"],
+        p=p,
+    )
+    merged = (
+        daily.groupBy("event_type")
+        .agg(F.collect_list("registers").alias("_s"))
+        .select(
+            "event_type", hll_merge_expr(F.col("_s"), p=p).alias("_m")
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        direct.join(merged, "event_type")
+        .join(exact, "event_type")
+        .select(
+            "event_type",
+            F.round(F.col("dv_estimate"), 4).alias("est_hll"),
+            "exact_distinct",
+            F.col("n_zero_registers").cast("long").alias("n_zero_registers"),
+            (F.col("_m") == F.col("registers")).alias("merged_matches"),
+            (
+                F.abs(F.col("dv_estimate") / F.col("exact_distinct") - 1)
+                <= 0.2
+            ).alias("rel_err_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): an 8-document sample
+    per source with w_hat = max(w, tau) estimator weights answers the
+    subset-sum question "how many characters does each source hold?"
+    without a full scan.  tau (the 9th-largest priority) and the
+    deterministic md5 uniforms make sample AND estimates exactly
+    replayable; ratio_sane brackets the estimator against the exact
+    per-source totals."""
+    from dbldatagen_spark.functions import priority_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    s = priority_sample(docs, "doc_id", "n_chars", 8, group_cols=["source"])
+    est = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sampled"),
+        F.round(F.max("tau"), 4).alias("tau"),
+        F.round(F.sum("w_hat"), 4).alias("est_total_chars"),
+    )
+    exact = (
+        docs.where(F.col("n_chars") > 0)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("exact_total_chars"))
+    )
+    ratio = F.col("est_total_chars") / F.col("exact_total_chars")
+    return (
+        est.join(exact, "source")
+        .select(
+            "source",
+            "n_sampled",
+            "tau",
+            "est_total_chars",
+            "exact_total_chars",
+            ((ratio >= 0.3) & (ratio <= 3.0)).alias("ratio_sane"),
+        )
+        .orderBy("source")
+    )
+
+
+def _text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-step statistics (Sennrich et al. 2016): corpus-wide
+    adjacent character-pair frequencies over the distinct-word
+    vocabulary (the corpus collapses to its vocabulary FIRST — the
+    move that keeps full BPE training tractable at 100 TB), ranked to
+    the top 25 merge candidates.  Pure integer arithmetic over a
+    deterministic tokenization; ties break on the pair string.  The
+    full iterative bpe_train loop shares this exact counting pass and
+    is pytest-verified against a pure-Python reference."""
+    from pyspark.sql import Window
+
+    from dbldatagen_spark.functions import bpe_pair_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    top = (
+        bpe_pair_counts(docs, "text")
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(25)
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return top.select(
+        "pair", "n", F.row_number().over(w).cast("int").alias("rank")
+    ).orderBy("rank")
+
+
+def _dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection (Broder 1997): pairs
+    where one document's 3-word shingle set is >= 80% contained in the
+    other's — the quote/subset duplicates Jaccard structurally misses
+    (a short doc inside a long one has near-zero Jaccard but
+    containment 1.0).  Candidates come from the shared inverted
+    shingle index; every emitted number is an integer or a single
+    ratio of integers, replayed exactly by the oracle."""
+    from dbldatagen_spark.functions import containment_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", k=3, threshold=0.8, max_posting_len=None
+    ).orderBy("id_a", "id_b")
+
+
+def _events_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation resampling onto a 6-hour lattice: each
+    user's irregular value series becomes a regular grid, every grid
+    point bracketed by real observations (no extrapolation) and
+    interpolated on integer epoch-second arithmetic — the continuous
+    sibling of the forward-fill gap filler (events_gap_fill).  Both
+    bracket windows ride one (user ORDER BY ts) sort, so the operator
+    costs a single shuffle at any scale."""
+    from dbldatagen_spark.functions import resample_interpolate
+
+    events = _load(spark, sf_dir, "events")
+    out = resample_interpolate(
+        events,
+        "user_id",
+        "ts",
+        "value",
+        interval_seconds=6 * 3600,
+        order_col="event_id",
+    )
+    # two-decimal endpoints interpolated at rational ratios land
+    # EXACTLY on decimal halves, where Spark's HALF_UP and DuckDB's
+    # multiply-then-round disagree — so the conformance cell is the
+    # FLOORED 1e-4 quantum (one multiply + floor on the identical
+    # double, stable in both engines); pytest checks the true values
+    return out.select(
+        "user_id",
+        "grid_ts",
+        F.floor(F.col("value") * 10000).cast("long").alias("value_q4"),
+        "was_exact",
+    ).orderBy("user_id", "grid_ts")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-8 rotation (stalest-first per VERDICT r7): after round 7's
-    full backlog drain, every pre-r7 registry query has >=1 green
-    driver row, so this window is pure staleness refresh — the 3
-    never-checked round-7 growth rows lead (never-checked outranks
-    recency), followed by the r2 TPC-H cohort, then the r3/r4/r5-head
-    cohorts in ledger order.  Demoted: the entire round-7 window — all
-    50 were green on their r7 exposure.  The full
+    Round-9 rotation: round 8 drained the never-checked backlog to
+    zero, so this window is growth-at-birth plus pure staleness
+    refresh — the 5 round-9 growth rows first, then the 5 r5-head rows
+    that sat just past position 50 in the round-8 window, then the
+    r5-stale cohort in ledger order.  Demoted: the entire round-8
+    window — all 50 were green on their r8 exposure.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-8 driver window (stalest-first; see ROTATION.md) ---
-        # 3 never-checked round-7 growth rows first (policy: never-checked
-        # outranks recency), then the 5 round-8 growth rows (windowed at
-        # birth so they draw driver rows immediately), the 9 r2 TPC-H
-        # rows, the 12-row r3 cohort, the 18-row r4 generator cohort,
-        # and the head of the r5 cohort to fill 50. After this window no
-        # ledger row is older than r5 and the never-checked backlog is
-        # zero.
+        # --- round-9 driver window (see ROTATION.md) ---
+        # The 5 round-9 growth rows lead (never-checked outranks
+        # recency; windowed at birth), then the 5 r5-head rows that
+        # overflowed the round-8 window at positions 51-55, then the
+        # r5-stale cohort in ledger order from q1_pricing_summary.
+        # Exactly 50 entries precede the demoted marker; the last 2
+        # r5 rows (q21_waiting_supplier, dedup_embedding_cosine) wait
+        # for the r10 draw with the r6 cohort.
+        "events_hll_distinct": _events_hll_distinct,
+        "docs_priority_sample": _docs_priority_sample,
+        "text_bpe_pairs": _text_bpe_pairs,
+        "dedup_containment": _dedup_containment,
+        "events_interp_resample": _events_interp_resample,
+        # r5-head overflow from the round-8 window (r5-green)
+        "gen_iltext_conformance": _gen_iltext_conformance,
+        "gen_faker_conformance": _gen_faker_conformance,
+        "gen_scripts_conformance": _gen_scripts_conformance,
+        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
+        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
+        # r5-stale cohort (last driver row round 5, ledger order)
+        "q1_pricing_summary": _q1_pricing_summary,
+        "gen_streaming_conformance": _gen_streaming_conformance,
+        "events_asof_join": _events_asof_join,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_cross_corpus": _dedup_cross_corpus,
+        "sample_split_assign": _sample_split_assign,
+        "multimodal_features": _multimodal_features,
+        "multimodal_ppm_decode": _multimodal_ppm_decode,
+        "multimodal_type_sniffing": _multimodal_type_sniffing,
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "text_contamination": _text_contamination,
+        "text_pii_redaction": _text_pii_redaction,
+        "text_normalize": _text_normalize,
+        "text_dedup_lines": _text_dedup_lines,
+        "text_entropy": _text_entropy,
+        "text_repetition": _text_repetition,
+        "text_boilerplate_strip": _text_boilerplate_strip,
+        "events_streaming_sessions": _events_streaming_sessions,
+        "docs_streaming_dedup": _docs_streaming_dedup,
+        "events_capped_sessions": _events_capped_sessions,
+        "multimodal_ppm_resize": _multimodal_ppm_resize,
+        "multimodal_wav_decode": _multimodal_wav_decode,
+        "multimodal_video_frames": _multimodal_video_frames,
+        "text_charlm_quality": _text_charlm_quality,
+        "text_dup_spans": _text_dup_spans,
+        "text_gopher_flags": _text_gopher_flags,
+        "text_dsir_importance": _text_dsir_importance,
+        "dedup_semantic": _dedup_semantic,
+        "dedup_fuzzy_records": _dedup_fuzzy_records,
+        "dedup_incremental": _dedup_incremental,
+        "events_gap_fill": _events_gap_fill,
+        "privacy_k_anonymity": _privacy_k_anonymity,
+        "events_hot_keys": _events_hot_keys,
+        "corpus_mix_epochs": _corpus_mix_epochs,
+        "corpus_pack_sequences": _corpus_pack_sequences,
+        "corpus_length_histogram": _corpus_length_histogram,
+        "q9_product_profit": _q9_product_profit,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
         "emb_mrl_recall": _emb_mrl_recall,
-        # round-8 growth (canon-shape-compliant at birth, windowed
-        # immediately so they get driver rows this round)
         "events_sessionize_auto": _events_sessionize_auto,
         "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
         "emb_pq_codebooks": _emb_pq_codebooks,
         "events_kmv_overlap": _events_kmv_overlap,
         "emb_pq_adc": _emb_pq_adc,
-        # r2-stale TPC-H cohort (last driver row round 2)
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q8_market_share": _q8_market_share,
@@ -5772,7 +5982,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": _q17_small_quantity_revenue,
         "q20_excess_suppliers": _q20_excess_suppliers,
         "q22_global_sales_opportunity": _q22_global_sales_opportunity,
-        # r3-stale cohort
         "gen_struct_json": _gen_struct_json,
         "analyzer_profile": _analyzer_profile,
         "emb_quantization": _emb_quantization,
@@ -5785,7 +5994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_salted_join": _events_salted_join,
         "ann_ivf_topk": _ann_ivf_topk,
         "emb_pca_invariants": _emb_pca_invariants,
-        # r4-stale generator cohort
         "gen_sequence": _gen_sequence,
         "gen_range_cycle": _gen_range_cycle,
         "gen_values_cycle": _gen_values_cycle,
@@ -5804,16 +6012,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_array_features": _gen_array_features,
         "events_sessionize": _events_sessionize,
         "ann_knn_join": _ann_knn_join,
-        # r5-stale head (fills the window to 50)
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraint_stream_gate": _gen_constraint_stream_gate,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
-        "gen_iltext_conformance": _gen_iltext_conformance,
-        "gen_faker_conformance": _gen_faker_conformance,
-        "gen_scripts_conformance": _gen_scripts_conformance,
-        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
-        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "emb_mrl_truncation": _emb_mrl_truncation,
         "events_behavior_vectors": _events_behavior_vectors,
         "events_stream_stream_join": _events_stream_stream_join,
@@ -5912,46 +6113,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": _lineitem_benford,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "gen_streaming_conformance": _gen_streaming_conformance,
-        "events_asof_join": _events_asof_join,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_cross_corpus": _dedup_cross_corpus,
-        "sample_split_assign": _sample_split_assign,
-        "multimodal_features": _multimodal_features,
-        "multimodal_ppm_decode": _multimodal_ppm_decode,
-        "multimodal_type_sniffing": _multimodal_type_sniffing,
-        "text_quality": _text_quality,
-        "text_langid": _text_langid,
-        "text_contamination": _text_contamination,
-        "text_pii_redaction": _text_pii_redaction,
-        "text_normalize": _text_normalize,
-        "text_dedup_lines": _text_dedup_lines,
-        "text_entropy": _text_entropy,
-        "text_repetition": _text_repetition,
-        "text_boilerplate_strip": _text_boilerplate_strip,
-        "events_streaming_sessions": _events_streaming_sessions,
-        "docs_streaming_dedup": _docs_streaming_dedup,
-        "events_capped_sessions": _events_capped_sessions,
-        "multimodal_ppm_resize": _multimodal_ppm_resize,
-        "multimodal_wav_decode": _multimodal_wav_decode,
-        "multimodal_video_frames": _multimodal_video_frames,
-        "text_charlm_quality": _text_charlm_quality,
-        "text_dup_spans": _text_dup_spans,
-        "text_gopher_flags": _text_gopher_flags,
-        "text_dsir_importance": _text_dsir_importance,
-        "dedup_semantic": _dedup_semantic,
-        "dedup_fuzzy_records": _dedup_fuzzy_records,
-        "dedup_incremental": _dedup_incremental,
-        "events_gap_fill": _events_gap_fill,
-        "privacy_k_anonymity": _privacy_k_anonymity,
-        "events_hot_keys": _events_hot_keys,
-        "corpus_mix_epochs": _corpus_mix_epochs,
-        "corpus_pack_sequences": _corpus_pack_sequences,
-        "corpus_length_histogram": _corpus_length_histogram,
-        "q9_product_profit": _q9_product_profit,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
@@ -9661,6 +9822,228 @@ def _oracle_sql_base() -> dict[str, str]:
         "multimodal_features": (
             "SELECT CAST(500 AS BIGINT) AS n_rows, CAST(500 AS BIGINT) AS n_valid"
         ),
+        # HLL: bucket = h % 256, rho from the bit length of h // 256
+        # (INTEGER division — float floor(h/256) loses bits past 2^53).
+        # The indicator sum stays in BIGINT so the estimate's only float
+        # steps (one division; ln in the linear-counting branch) match
+        # Spark bit-for-bit.  4.2399330249068963e+20 is
+        # alpha_256 * 256^2 * 2^53 collapsed to one literal, the same
+        # double the library builds.  merged_matches is the HLL union
+        # law (max of per-day register maxima == direct maxima) — an
+        # identity here; the Spark side computes it from real merges.
+        "events_hll_distinct": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            reg AS (
+                SELECT event_type, hv % 256 AS b,
+                       MAX(CASE WHEN hv // 256 = 0 THEN 53
+                                ELSE 53 - length(bin(hv // 256)) END) AS r
+                FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(pow(2, 53 - r) AS BIGINT)) AS BIGINT)
+                       + (256 - COUNT(*)) * CAST(pow(2, 53) AS BIGINT)
+                         AS s_int,
+                       256 - COUNT(*) AS zeros
+                FROM reg GROUP BY 1
+            ),
+            est AS (
+                SELECT event_type, zeros,
+                       CASE WHEN 4.2399330249068963e+20 / s_int <= 640.0
+                                 AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE 4.2399330249068963e+20 / s_int
+                       END AS e
+                FROM agg
+            ),
+            ex AS (
+                SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+                FROM events GROUP BY 1
+            )
+            SELECT est.event_type,
+                   ROUND(e, 4) AS est_hll,
+                   ex.exact_distinct,
+                   CAST(zeros AS BIGINT) AS n_zero_registers,
+                   TRUE AS merged_matches,
+                   (ABS(e / exact_distinct - 1) <= 0.2) AS rel_err_ok
+            FROM est JOIN ex USING (event_type)
+            ORDER BY event_type
+        """,
+        # priority sampling: q = w / ((h+1)/2^60), tau = 9th-largest
+        # priority per source (0 when the source has <= 8 docs),
+        # w_hat = greatest(w, tau) — identical arithmetic order to the
+        # library, so sample membership and estimates replay exactly
+        "docs_priority_sample": """
+            WITH base AS (
+                SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+                       CAST(n_chars AS DOUBLE)
+                       / ((('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)),
+                                           1, 15))::BIGINT + 1)
+                          / 1152921504606846976.0) AS q
+                FROM documents WHERE n_chars > 0
+            ),
+            r AS (
+                SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY q DESC, doc_id) AS rn
+                FROM base
+            ),
+            t AS (
+                SELECT source,
+                       COALESCE(MAX(CASE WHEN rn = 9 THEN q END), 0.0) AS tau
+                FROM r WHERE rn <= 9 GROUP BY source
+            ),
+            samp AS (
+                SELECT r.source, r.w, t.tau, GREATEST(r.w, t.tau) AS w_hat
+                FROM r JOIN t USING (source) WHERE rn <= 8
+            ),
+            est AS (
+                SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+                       ROUND(MAX(tau), 4) AS tau,
+                       ROUND(SUM(w_hat), 4) AS est_total_chars
+                FROM samp GROUP BY source
+            ),
+            ex AS (
+                SELECT source,
+                       CAST(SUM(n_chars) AS BIGINT) AS exact_total_chars
+                FROM documents WHERE n_chars > 0 GROUP BY source
+            )
+            SELECT est.source, n_sampled, tau, est_total_chars,
+                   exact_total_chars,
+                   (est_total_chars / exact_total_chars >= 0.3
+                    AND est_total_chars / exact_total_chars <= 3.0)
+                     AS ratio_sane
+            FROM est JOIN ex USING (source)
+            ORDER BY source
+        """,
+        # BPE pair counts: lowercase alphabetic words, length 2..40,
+        # weighted character bigrams — integer-exact
+        "text_bpe_pairs": """
+            WITH w AS (
+                SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+                FROM documents
+            ),
+            v AS (
+                SELECT w, COUNT(*) AS wn FROM w
+                WHERE length(w) BETWEEN 2 AND 40 GROUP BY w
+            ),
+            p AS (
+                SELECT unnest([substr(w, i, 2)
+                               for i in generate_series(1, length(w) - 1)])
+                         AS pair,
+                       wn
+                FROM v
+            ),
+            c AS (
+                SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+                FROM p GROUP BY pair
+            )
+            SELECT pair, n,
+                   CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT)
+                     AS rank
+            FROM c ORDER BY n DESC, pair LIMIT 25
+        """,
+        # containment: same 3-word shingle basis as the jaccard oracle;
+        # both directional ratios are single integer divisions
+        "dedup_containment": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       list_distinct(
+                           [concat_ws(' ', w[i], w[i+1], w[i+2])
+                            for i in generate_series(1, greatest(len(w)-2, 1))]
+                       ) AS shingles
+                FROM t
+            ),
+            sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+            sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            pair AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       CAST(count(*) AS BIGINT) AS n_common
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(s1.n AS BIGINT) AS n_a,
+                   CAST(s2.n AS BIGINT) AS n_b,
+                   n_common,
+                   ROUND(n_common / s1.n, 4) AS containment_a_in_b,
+                   ROUND(n_common / s2.n, 4) AS containment_b_in_a
+            FROM pair
+            JOIN sz s1 ON id_a = s1.doc_id
+            JOIN sz s2 ON id_b = s2.doc_id
+            WHERE ROUND(n_common / s1.n, 4) >= 0.8
+               OR ROUND(n_common / s2.n, 4) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # linear interpolation on a 6h lattice: integer epoch seconds
+        # (date_trunc matches Spark's unix_timestamp flooring of
+        # sub-second timestamps), observations dedupe by arg_max over
+        # event_id, brackets via IGNORE NULLS window frames over the
+        # grid/observation union, ratio arithmetic mirrored exactly
+        "events_interp_resample": """
+            WITH obs AS (
+                SELECT user_id,
+                       CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
+                       arg_max(value, event_id) AS v
+                FROM events GROUP BY 1, 2
+            ),
+            spans AS (
+                SELECT user_id,
+                       CAST(CEIL(MIN(t) / 21600.0) * 21600 AS BIGINT) AS lo,
+                       MAX(t) AS hi
+                FROM obs GROUP BY 1
+            ),
+            grid AS (
+                SELECT user_id,
+                       unnest([lo + 21600 * i
+                               for i in generate_series(0, (hi - lo) // 21600)])
+                         AS t
+                FROM spans WHERE lo <= hi
+            ),
+            u AS (
+                SELECT user_id, t, v, 0 AS g FROM obs
+                UNION ALL
+                SELECT user_id, t, NULL AS v, 1 AS g FROM grid
+            ),
+            b AS (
+                SELECT user_id, t, g,
+                       last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY t, g
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pt,
+                       last_value(v IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY t, g
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND 1 PRECEDING) AS pv,
+                       first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY t, g
+                                 ROWS BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS nt,
+                       first_value(v IGNORE NULLS)
+                           OVER (PARTITION BY user_id ORDER BY t, g
+                                 ROWS BETWEEN 1 FOLLOWING
+                                          AND UNBOUNDED FOLLOWING) AS nv
+                FROM u
+            )
+            SELECT user_id,
+                   epoch_ms(t * 1000) AS grid_ts,
+                   CAST(FLOOR((CASE WHEN t = pt THEN pv
+                               ELSE pv + (nv - pv)
+                                    * (CAST(t - pt AS DOUBLE)
+                                       / CAST(nt - pt AS DOUBLE))
+                          END) * 10000) AS BIGINT) AS value_q4,
+                   (t = pt) AS was_exact
+            FROM b WHERE g = 1
+            ORDER BY user_id, grid_ts
+        """,
     }
 
 
