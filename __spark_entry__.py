@@ -5891,6 +5891,48 @@ def _events_interp_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "grid_ts")
 
 
+def _events_holt_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend smoother (double exponential smoothing) —
+    the trend-aware sibling of events_ewma: level AND trend are
+    mutually recursive, folded through one F.aggregate over each
+    user's time-sorted events (one key shuffle, no UDF) and exploded
+    to one row per event.  alpha=0.25 / beta=0.125 are exact binary
+    fractions and the fold order is total (ts, event_id), so the
+    oracle's recursive-CTE replay reproduces level and trend
+    bit-for-bit — no rounding anywhere.  The streaming twin
+    (holt_with_state, TWO doubles of state per key) is asserted
+    bit-for-bit equal in pytest's real checkpointed run."""
+    from dbldatagen_spark.functions import holt_linear
+
+    events = _load(spark, sf_dir, "events")
+    return (
+        holt_linear(
+            events, "user_id", "ts", "value",
+            alpha=0.25, beta=0.125, order_col="event_id",
+        )
+        .select("user_id", "event_id", "value", "level", "trend")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def _dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-estimated containment (Broder 1997 §4) — the 100 TB path
+    for dedup_containment: documents collapse to 24 bottom-k shingle
+    hashes each, the sketch doubles as the blocking index, and the
+    per-pair estimate |M∩A∩B|/|M∩A| is array arithmetic over two
+    24-long arrays (full shingle sets never shuffle).  Every emitted
+    number is an integer or one ratio of integers over the md5 basis,
+    so the oracle replays estimates exactly; pytest checks the
+    estimates track exact containment within a few percent on the
+    same corpus."""
+    from dbldatagen_spark.functions import containment_sketch_pairs
+
+    docs = _load(spark, sf_dir, "documents")
+    return containment_sketch_pairs(
+        docs, "doc_id", "text", k=3, sketch_k=24, threshold=0.7
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5898,25 +5940,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-9 rotation: round 8 drained the never-checked backlog to
     zero, so this window is growth-at-birth plus pure staleness
-    refresh — the 5 round-9 growth rows first, then the 5 r5-head rows
+    refresh — the 7 round-9 growth rows first, then the 5 r5-head rows
     that sat just past position 50 in the round-8 window, then the
     r5-stale cohort in ledger order.  Demoted: the entire round-8
     window — all 50 were green on their r8 exposure.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-9 driver window (see ROTATION.md) ---
-        # The 5 round-9 growth rows lead (never-checked outranks
+        # The 7 round-9 growth rows lead (never-checked outranks
         # recency; windowed at birth), then the 5 r5-head rows that
         # overflowed the round-8 window at positions 51-55, then the
         # r5-stale cohort in ledger order from q1_pricing_summary.
-        # Exactly 50 entries precede the demoted marker; the last 2
-        # r5 rows (q21_waiting_supplier, dedup_embedding_cosine) wait
-        # for the r10 draw with the r6 cohort.
+        # Exactly 50 entries precede the demoted marker; the last 4
+        # r5 rows (corpus_length_histogram, q9_product_profit,
+        # q21_waiting_supplier, dedup_embedding_cosine) wait for the
+        # r10 draw with the r6 cohort.
         "events_hll_distinct": _events_hll_distinct,
         "docs_priority_sample": _docs_priority_sample,
         "text_bpe_pairs": _text_bpe_pairs,
         "dedup_containment": _dedup_containment,
         "events_interp_resample": _events_interp_resample,
+        "events_holt_trend": _events_holt_trend,
+        "dedup_containment_sketch": _dedup_containment_sketch,
         # r5-head overflow from the round-8 window (r5-green)
         "gen_iltext_conformance": _gen_iltext_conformance,
         "gen_faker_conformance": _gen_faker_conformance,
@@ -5962,9 +6007,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hot_keys": _events_hot_keys,
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "corpus_length_histogram": _corpus_length_histogram,
         "q9_product_profit": _q9_product_profit,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
         "emb_mrl_recall": _emb_mrl_recall,
@@ -9981,6 +10026,117 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN sz s2 ON id_b = s2.doc_id
             WHERE ROUND(n_common / s1.n, 4) >= 0.8
                OR ROUND(n_common / s2.n, 4) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        # Holt level+trend: dyadic alpha/beta (0.25/0.125) + total
+        # (ts, event_id) fold order => the recursive CTE reproduces
+        # every double bit-for-bit, like events_ewma
+        "events_holt_trend": """
+            WITH RECURSIVE ordered AS (
+                SELECT user_id, event_id, value,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events WHERE value IS NOT NULL
+            ),
+            walk AS (
+                SELECT user_id, 0 AS rn, NULL::DOUBLE AS l,
+                       NULL::DOUBLE AS b, NULL::BIGINT AS event_id,
+                       NULL::DOUBLE AS value
+                FROM (SELECT DISTINCT user_id FROM ordered)
+                UNION ALL
+                SELECT user_id, rn, l,
+                       CASE WHEN prev_l IS NULL THEN 0.0
+                            ELSE 0.125 * (l - prev_l) + 0.875 * prev_b
+                       END AS b,
+                       event_id, value
+                FROM (
+                    SELECT o.user_id, o.rn,
+                           CASE WHEN w.l IS NULL THEN o.value
+                                ELSE 0.25 * o.value
+                                     + 0.75 * (w.l + w.b)
+                           END AS l,
+                           w.l AS prev_l, w.b AS prev_b,
+                           o.event_id, o.value
+                    FROM walk w
+                    JOIN ordered o
+                      ON o.user_id = w.user_id AND o.rn = w.rn + 1
+                )
+            )
+            SELECT user_id, event_id, value, l AS level, b AS trend
+            FROM walk WHERE rn > 0
+            ORDER BY user_id, event_id
+        """,
+        # bottom-k containment estimation: same shingle basis as
+        # dedup_containment, md5-hashed, bottom-24 per doc; the pair
+        # merge and both estimates are integer arithmetic replayed
+        # relationally (rank the pair's union hashes, count membership)
+        "dedup_containment_sketch": """
+            WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       list_distinct(
+                           [concat_ws(' ', w[i], w[i+1], w[i+2])
+                            for i in generate_series(1, greatest(len(w)-2, 1))]
+                       ) AS shingles
+                FROM t
+            ),
+            sh AS (SELECT doc_id, unnest(shingles) AS s FROM sh0),
+            hv AS (
+                SELECT doc_id,
+                       ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT AS h
+                FROM sh
+            ),
+            sk AS (
+                SELECT doc_id, h FROM (
+                    SELECT doc_id, h,
+                           row_number() OVER (PARTITION BY doc_id
+                                              ORDER BY h) AS rn
+                    FROM hv
+                ) WHERE rn <= 24
+            ),
+            pairs AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sk a JOIN sk b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+            ),
+            u AS (
+                SELECT p.id_a, p.id_b, s.h,
+                       MAX(CASE WHEN s.doc_id = p.id_a THEN 1 ELSE 0 END)
+                         AS in_a,
+                       MAX(CASE WHEN s.doc_id = p.id_b THEN 1 ELSE 0 END)
+                         AS in_b
+                FROM pairs p
+                JOIN sk s ON s.doc_id = p.id_a OR s.doc_id = p.id_b
+                GROUP BY 1, 2, 3
+            ),
+            m AS (
+                SELECT id_a, id_b, in_a, in_b,
+                       row_number() OVER (PARTITION BY id_a, id_b
+                                          ORDER BY h) AS rn
+                FROM u
+            ),
+            c AS (
+                SELECT id_a, id_b,
+                       CAST(SUM(in_a) AS BIGINT) AS n_m_a,
+                       CAST(SUM(in_b) AS BIGINT) AS n_m_b,
+                       CAST(SUM(in_a * in_b) AS BIGINT) AS n_m_both
+                FROM m WHERE rn <= 24 GROUP BY 1, 2
+            )
+            SELECT id_a, id_b, n_m_a, n_m_b, n_m_both,
+                   CASE WHEN n_m_a > 0
+                        THEN ROUND(n_m_both / n_m_a, 4) ELSE 0.0
+                   END AS est_a_in_b,
+                   CASE WHEN n_m_b > 0
+                        THEN ROUND(n_m_both / n_m_b, 4) ELSE 0.0
+                   END AS est_b_in_a
+            FROM c
+            WHERE (CASE WHEN n_m_a > 0
+                        THEN ROUND(n_m_both / n_m_a, 4) ELSE 0.0 END) >= 0.7
+               OR (CASE WHEN n_m_b > 0
+                        THEN ROUND(n_m_both / n_m_b, 4) ELSE 0.0 END) >= 0.7
             ORDER BY id_a, id_b
         """,
         # linear interpolation on a 6h lattice: integer epoch seconds

@@ -1512,3 +1512,137 @@ def containment_pairs(
         F.col("n_a").cast("long"), F.col("n_b").cast("long"),
         "n_common", "containment_a_in_b", "containment_b_in_a",
     )
+
+
+def containment_sketch_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 3,
+    sketch_k: int = 32,
+    threshold: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Containment estimation from bottom-k shingle sketches — the
+    100 TB path for :func:`containment_pairs` (Broder 1997 §4: with
+    ``M`` the bottom-k sketch of ``A ∪ B``,
+    ``|M ∩ S_A ∩ S_B| / |M ∩ S_A|`` estimates ``|A ∩ B| / |A|``).
+    Documents collapse to ``sketch_k`` longs each; the sketch doubles
+    as the blocking index (candidate pairs = docs sharing any bottom-k
+    hash — a pair with high containment shares low hashes with high
+    probability), so full shingle sets are never joined, shuffled, or
+    even kept.
+
+    Returns pairs where EITHER direction's estimate clears
+    ``threshold``: ``(id_a, id_b, n_m_a, n_m_b, n_m_both,
+    est_a_in_b, est_b_in_a)`` with ``id_a < id_b``.  Every number is
+    an integer or one ratio of integers over the deterministic md5
+    hash basis, so a SQL oracle replays estimates exactly.
+
+    Scale shape: per-doc bottom-k prunes via ``row_number() <=
+    sketch_k`` (pre-exchange ``WindowGroupLimit``); the candidate join
+    moves 8-byte hashes; the per-pair merge is array arithmetic over
+    two <= ``sketch_k``-element arrays (the :func:`kmv_set_ops`
+    shape).
+    """
+    if sketch_k < 2:
+        raise ValueError(f"sketch_k must be >= 2, got {sketch_k}")
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
+    hashed = shingled.select(
+        F.col(id_col), F.explode("shingles").alias("_sh")
+    ).select(
+        F.col(id_col),
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("_sh"))), 1, 15
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("_h"),
+    )
+    w = Window.partitionBy(id_col).orderBy("_h")
+    kept = hashed.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") <= sketch_k
+    )
+    sketches = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_h")).alias("_sk")
+    )
+    posting = sketches.select(F.col(id_col), F.explode("_sk").alias("_h"))
+    pairs = (
+        posting.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a._h") == F.col("b._h"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sa = sketches.select(
+        F.col(id_col).alias("id_a"), F.col("_sk").alias("_sa")
+    )
+    sb = sketches.select(
+        F.col(id_col).alias("id_b"), F.col("_sk").alias("_sb")
+    )
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("_sa", "_sb"))),
+        1,
+        sketch_k,
+    )
+    joined = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("_m", merged)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.col("_m"), lambda h: F.array_contains(F.col("_sa"), h)
+                )
+            )
+            .cast("long")
+            .alias("n_m_a"),
+            F.size(
+                F.filter(
+                    F.col("_m"), lambda h: F.array_contains(F.col("_sb"), h)
+                )
+            )
+            .cast("long")
+            .alias("n_m_b"),
+            F.size(
+                F.filter(
+                    F.col("_m"),
+                    lambda h: F.array_contains(F.col("_sa"), h)
+                    & F.array_contains(F.col("_sb"), h),
+                )
+            )
+            .cast("long")
+            .alias("n_m_both"),
+        )
+    )
+    est_a = F.when(
+        F.col("n_m_a") > 0,
+        F.round(F.col("n_m_both") / F.col("n_m_a"), 4),
+    ).otherwise(F.lit(0.0))
+    est_b = F.when(
+        F.col("n_m_b") > 0,
+        F.round(F.col("n_m_both") / F.col("n_m_b"), 4),
+    ).otherwise(F.lit(0.0))
+    out = joined.withColumn("est_a_in_b", est_a).withColumn(
+        "est_b_in_a", est_b
+    )
+    return out.where(
+        (F.col("est_a_in_b") >= F.lit(threshold))
+        | (F.col("est_b_in_a") >= F.lit(threshold))
+    )

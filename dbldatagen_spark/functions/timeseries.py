@@ -862,3 +862,94 @@ def resample_interpolate(
         value.alias(value_col),
         (F.col("_t") == F.col("_pt")).alias("was_exact"),
     )
+
+
+def holt_linear(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    order_col: str,
+    max_events_per_key: Optional[int] = DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    on_oversized: str = "error",
+) -> DataFrame:
+    """Holt's linear-trend smoother (double exponential smoothing) per
+    key over time order — the trend-aware sibling of :func:`ewma`:
+
+    - ``l_0 = v_0``, ``b_0 = 0``
+    - ``l_i = alpha*v_i + (1-alpha)*(l_{i-1} + b_{i-1})``
+    - ``b_i = beta*(l_i - l_{i-1}) + (1-beta)*b_{i-1}``
+
+    Level AND trend are genuinely recursive (each depends on the
+    previous outputs), so no window frame can express them; both fold
+    through one ``F.aggregate`` over the key's time-sorted events —
+    JVM higher-order function, no UDF, ONE shuffle on the key — and
+    explode back to one row per event:
+    ``(key, ts, order, value, level, trend)``.  ``level + trend`` is
+    the one-step-ahead forecast, the usual anomaly baseline.
+
+    Ties on ``ts`` break by ``order_col`` (total order => deterministic
+    floats); with dyadic ``alpha``/``beta`` (0.25, 0.125, ...) every
+    coefficient is an exact binary fraction, so an external
+    recursive-CTE replay reproduces each double bit-for-bit.  NULLs
+    are excluded before smoothing.  Scale shape, hot-key guard
+    (``max_events_per_key`` / ``on_oversized``), and the streaming
+    twin contract (``streaming.stateful.holt_with_state``, TWO doubles
+    of state per key) all mirror :func:`ewma`.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 < beta <= 1.0):
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    a = F.lit(float(alpha))
+    bta = F.lit(float(beta))
+    ev = _divert_oversized_keys(
+        df.where(F.col(value_col).isNotNull()).select(
+            F.col(key_col).alias("_k"),
+            F.struct(
+                F.col(ts_col).alias("t"),
+                F.col(order_col).alias("o"),
+                F.col(value_col).cast("double").alias("v"),
+            ).alias("_e"),
+        ),
+        "_k",
+        max_events_per_key,
+        on_oversized,
+    ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    init = F.struct(
+        F.array().cast("array<struct<l:double,b:double>>").alias("arr"),
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("b"),
+    )
+
+    def _step(acc, e):
+        l_new = F.when(acc["l"].isNull(), e["v"]).otherwise(
+            a * e["v"] + (F.lit(1.0) - a) * (acc["l"] + acc["b"])
+        )
+        b_new = F.when(acc["l"].isNull(), F.lit(0.0)).otherwise(
+            bta * (l_new - acc["l"]) + (F.lit(1.0) - bta) * acc["b"]
+        )
+        pair = F.struct(l_new.alias("l"), b_new.alias("b"))
+        return F.struct(
+            F.concat(acc["arr"], F.array(pair)).alias("arr"),
+            l_new.alias("l"),
+            b_new.alias("b"),
+        )
+
+    smoothed = ev.withColumn(
+        "_sm", F.aggregate(F.col("_evts"), init, _step, lambda acc: acc["arr"])
+    )
+    z = smoothed.select(
+        "_k", F.explode(F.arrays_zip("_evts", "_sm")).alias("_z")
+    )
+    return z.select(
+        F.col("_k").alias(key_col),
+        F.col("_z._evts.t").alias(ts_col),
+        F.col("_z._evts.o").alias(order_col),
+        F.col("_z._evts.v").alias(value_col),
+        F.col("_z._sm.l").alias("level"),
+        F.col("_z._sm.b").alias("trend"),
+    )

@@ -772,3 +772,113 @@ def transition_counts_with_state(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_HOLT_STATE_SCHEMA = StructType(
+    [StructField("l", DoubleType()), StructField("b", DoubleType())]
+)
+
+
+def holt_with_state(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    *,
+    alpha: float,
+    beta: float,
+    order_col: str,
+) -> DataFrame:
+    """Streaming twin of
+    :func:`dbldatagen_spark.functions.timeseries.holt_linear`: Holt's
+    linear-trend smoother across micro-batches with TWO doubles of
+    state per key (the carried level and trend).  Same ordering
+    contract as the other twins: per-key event-time order across
+    batches, ``(ts, order)`` within a batch; NULL values skip without
+    touching state, mirroring the batch fold's NULL exclusion.  The
+    recurrences run in IEEE doubles in the identical sequence as the
+    batch fold, so an in-order stream reproduces level AND trend
+    bit-for-bit (the real-run pytest asserts exact equality).  On a
+    batch frame it delegates to the batch fold.  Emits
+    ``(key, o, value, level, trend)`` per non-null event.
+    """
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not (0.0 < beta <= 1.0):
+        raise ValueError(f"beta must be in (0, 1], got {beta}")
+    if not df.isStreaming:
+        from dbldatagen_spark.functions.timeseries import holt_linear
+
+        return holt_linear(
+            df, key_col, ts_col, value_col,
+            alpha=alpha, beta=beta, order_col=order_col,
+        ).select(
+            F.col(key_col).cast("long").alias("key"),
+            F.col(order_col).cast("long").alias("o"),
+            F.col(value_col).cast("double").alias("value"),
+            F.col("level"),
+            F.col("trend"),
+        )
+
+    keyed = df.select(
+        F.col(key_col).cast("long").alias("key"),
+        F.col(ts_col).cast("timestamp").alias("_t"),
+        F.col(order_col).cast("long").alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("key", LongType()),
+            StructField("o", LongType()),
+            StructField("value", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+        ]
+    )
+    a = float(alpha)
+    bt = float(beta)
+
+    def _fn(
+        key: Tuple[int], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            lvl, trd = float(state.get[0]), float(state.get[1])
+            have = True
+        else:
+            lvl, trd, have = 0.0, 0.0, False
+        rows = pd.concat(list(pdfs)).sort_values(["_t", "o"])
+        orders, vals, levels, trends = [], [], [], []
+        for o, v in zip(rows["o"], rows["v"]):
+            if pd.isna(v):
+                continue
+            v = float(v)
+            if not have:
+                lvl, trd, have = v, 0.0, True
+            else:
+                l_new = a * v + (1.0 - a) * (lvl + trd)
+                trd = bt * (l_new - lvl) + (1.0 - bt) * trd
+                lvl = l_new
+            orders.append(int(o))
+            vals.append(v)
+            levels.append(lvl)
+            trends.append(trd)
+        if have:
+            state.update((lvl, trd))
+        yield pd.DataFrame(
+            {
+                "key": [int(key[0])] * len(orders),
+                "o": orders,
+                "value": vals,
+                "level": levels,
+                "trend": trends,
+            }
+        )
+
+    return keyed.groupBy("key").applyInPandasWithState(
+        _fn,
+        outputStructType=out_schema,
+        stateStructType=_HOLT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5399,3 +5399,138 @@ class TestResampleInterpolate:
         with pytest.raises(ValueError, match="interval_seconds"):
             resample_interpolate(ev, "user_id", "ts", "value",
                                  interval_seconds=0, order_col="event_id")
+
+
+class TestHoltLinear:
+    def test_matches_python_reference_bitexact(self, spark):
+        from dbldatagen_spark.functions import holt_linear
+
+        rows = [
+            (1, "2024-01-01 00:00:00", 10.0, 1),
+            (1, "2024-01-01 01:00:00", 12.0, 2),
+            (1, "2024-01-01 02:00:00", 15.0, 3),
+            (1, "2024-01-01 03:00:00", 13.0, 4),
+            (2, "2024-01-01 00:30:00", 5.0, 5),
+            (2, "2024-01-01 01:30:00", None, 6),   # NULL excluded
+            (2, "2024-01-01 02:30:00", 7.0, 7),
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts string, v double, eid long"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v", "eid")
+        out = holt_linear(
+            df, "k", "ts", "v", alpha=0.25, beta=0.125, order_col="eid"
+        )
+        got = {(r["k"], r["eid"]): (r["level"], r["trend"])
+               for r in out.collect()}
+
+        a, bt = 0.25, 0.125
+        ref = {}
+        for k in (1, 2):
+            seq = [(eid, v) for kk, _, v, eid in rows
+                   if kk == k and v is not None]
+            lvl = trd = None
+            for eid, v in seq:
+                if lvl is None:
+                    lvl, trd = v, 0.0
+                else:
+                    l_new = a * v + (1.0 - a) * (lvl + trd)
+                    trd = bt * (l_new - lvl) + (1.0 - bt) * trd
+                    lvl = l_new
+                ref[(k, eid)] = (lvl, trd)
+        assert got == ref  # exact doubles, not approx
+
+    def test_partitioning_stable_and_validation(self, spark):
+        from dbldatagen_spark.functions import holt_linear
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        kw = dict(alpha=0.25, beta=0.125, order_col="event_id")
+        a = holt_linear(ev.repartition(2), "user_id", "ts", "value", **kw)
+        b = holt_linear(ev.repartition(7), "user_id", "ts", "value", **kw)
+        ra = sorted((r["user_id"], r["event_id"], r["level"], r["trend"])
+                    for r in a.collect())
+        rb = sorted((r["user_id"], r["event_id"], r["level"], r["trend"])
+                    for r in b.collect())
+        assert ra == rb
+        with pytest.raises(ValueError, match="alpha"):
+            holt_linear(ev, "user_id", "ts", "value",
+                        alpha=0.0, beta=0.5, order_col="event_id")
+        with pytest.raises(ValueError, match="beta"):
+            holt_linear(ev, "user_id", "ts", "value",
+                        alpha=0.5, beta=2.0, order_col="event_id")
+
+    def test_trend_tracks_linear_series(self, spark):
+        # on a perfectly linear series the trend converges toward the slope
+        from dbldatagen_spark.functions import holt_linear
+
+        rows = [(1, f"2024-01-01 {h:02d}:00:00", float(10 + 3 * h), h)
+                for h in range(24)]
+        df = spark.createDataFrame(
+            rows, "k long, ts string, v double, eid long"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v", "eid")
+        last = (holt_linear(df, "k", "ts", "v", alpha=0.5, beta=0.5,
+                            order_col="eid")
+                .orderBy(F.col("eid").desc()).limit(1).collect()[0])
+        assert abs(last["trend"] - 3.0) < 0.2
+        assert abs(last["level"] - last["v"]) < 1.0
+
+
+class TestContainmentSketch:
+    def test_estimates_track_exact(self, spark):
+        from dbldatagen_spark.functions import (
+            containment_pairs,
+            containment_sketch_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        est = {(r["id_a"], r["id_b"]): (r["est_a_in_b"], r["est_b_in_a"])
+               for r in containment_sketch_pairs(
+                   docs, "doc_id", "text", k=3, sketch_k=24, threshold=0.7
+               ).collect()}
+        exact = {(r["id_a"], r["id_b"]):
+                 (r["containment_a_in_b"], r["containment_b_in_a"])
+                 for r in containment_pairs(
+                     docs, "doc_id", "text", k=3, threshold=0.7,
+                     max_posting_len=None,
+                 ).collect()}
+        assert exact, "fixture should contain near-dup pairs"
+        # every exact pair is found by the sketch path, and estimates
+        # track the exact containments closely
+        missing = set(exact) - set(est)
+        assert not missing, missing
+        for p in exact:
+            assert abs(est[p][0] - exact[p][0]) < 0.15, (p, est[p], exact[p])
+            assert abs(est[p][1] - exact[p][1]) < 0.15, (p, est[p], exact[p])
+
+    def test_small_docs_exact_regime(self, spark):
+        # docs with <= sketch_k shingles: the sketch IS the shingle set,
+        # so the estimates are exact
+        from dbldatagen_spark.functions import containment_sketch_pairs
+
+        long = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        short = "gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(1, long), (2, short)], "doc_id long, text string"
+        )
+        rows = containment_sketch_pairs(
+            df, "doc_id", "text", k=3, sketch_k=32, threshold=0.9
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["est_b_in_a"] == 1.0
+
+    def test_partitioning_stable_and_validation(self, spark):
+        from dbldatagen_spark.functions import containment_sketch_pairs
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted((r["id_a"], r["id_b"], r["est_a_in_b"])
+                   for r in containment_sketch_pairs(
+                       docs.repartition(2), "doc_id", "text",
+                       sketch_k=16, threshold=0.8).collect())
+        b = sorted((r["id_a"], r["id_b"], r["est_a_in_b"])
+                   for r in containment_sketch_pairs(
+                       docs.repartition(7), "doc_id", "text",
+                       sketch_k=16, threshold=0.8).collect())
+        assert a == b
+        with pytest.raises(ValueError, match="sketch_k"):
+            containment_sketch_pairs(docs, "doc_id", "text", sketch_k=1)
+        with pytest.raises(ValueError, match="threshold"):
+            containment_sketch_pairs(docs, "doc_id", "text", threshold=1.5)

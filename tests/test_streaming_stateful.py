@@ -961,3 +961,59 @@ def test_kmv_sink_global_sketch(spark, events, tmp_path):
     merged = read_merged_kmv(spark, str(tmp_path / "state"), k=k)
     assert merged.count() == 1
     assert whole.first()["sketch"] == merged.first()["sketch"]
+
+
+def test_holt_stream_matches_batch_bitexact(spark, events, tmp_path):
+    import glob
+    import os
+    import time
+
+    from dbldatagen_spark.streaming.stateful import holt_with_state
+
+    src = events.select("user_id", "ts", "event_id", "value")
+    kwargs = dict(alpha=0.25, beta=0.125, order_col="event_id")
+    batch = holt_with_state(src, "user_id", "ts", "value", **kwargs)
+
+    # two in-event-time-order micro-batches, split on a floored-second
+    # boundary so (ts, id) ties never straddle batches
+    mid = int(src.agg(F.expr(
+        "percentile(floor(unix_timestamp(cast(ts as timestamp))), 0.5)"
+    )).first()[0])
+    e = F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")))
+    now = time.time()
+    seen: list = []
+    for i, frame in enumerate((src.where(e < mid), src.where(e >= mid))):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = (
+        holt_with_state(stream, "user_id", "ts", "value", **kwargs)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(str(tmp_path / "out"))
+    b = {(r.key, r.o): (r.value, r.level, r.trend) for r in batch.collect()}
+    s = {(r.key, r.o): (r.value, r.level, r.trend)
+         for r in streamed.collect()}
+    assert b == s  # exact double equality on level AND trend
+
+
+def test_holt_with_state_validation(spark, events):
+    from dbldatagen_spark.streaming.stateful import holt_with_state
+
+    with pytest.raises(ValueError):
+        holt_with_state(events, "user_id", "ts", "value",
+                        alpha=0.25, beta=0.0, order_col="event_id")
