@@ -10097,10 +10097,14 @@ def _oracle_sql_base() -> dict[str, str]:
                     FROM hv
                 ) WHERE rn <= 24
             ),
+            keep AS (
+                SELECT h FROM sk GROUP BY h HAVING COUNT(*) <= 1000
+            ),
             pairs AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM sk a JOIN sk b
-                  ON a.h = b.h AND a.doc_id < b.doc_id
+                FROM sk a
+                JOIN keep USING (h)
+                JOIN sk b ON a.h = b.h AND a.doc_id < b.doc_id
             ),
             u AS (
                 SELECT p.id_a, p.id_b, s.h,

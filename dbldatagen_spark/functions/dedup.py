@@ -1523,6 +1523,7 @@ def containment_sketch_pairs(
     sketch_k: int = 32,
     threshold: float = 0.5,
     seed: int = 0,
+    max_posting_len: Optional[int] = 1000,
 ) -> DataFrame:
     """Containment estimation from bottom-k shingle sketches — the
     100 TB path for :func:`containment_pairs` (Broder 1997 §4: with
@@ -1544,12 +1545,21 @@ def containment_sketch_pairs(
     sketch_k`` (pre-exchange ``WindowGroupLimit``); the candidate join
     moves 8-byte hashes; the per-pair merge is array arithmetic over
     two <= ``sketch_k``-element arrays (the :func:`kmv_set_ops`
-    shape).
+    shape).  ``max_posting_len`` is the stop-hash cut (the
+    :func:`ngram_jaccard_pairs` convention applied to sketch hashes):
+    a shingle shared by ``d`` documents puts the same minimum hash in
+    ``d`` sketches and would generate d^2 candidate pairs — one viral
+    boilerplate phrase at corpus scale is a cartesian explosion, so
+    hashes posted by more than the cap are dropped from the BLOCKING
+    index only (surviving pairs' estimates still use full sketches).
+    Pass ``None`` for exact small-corpus blocking.
     """
     if sketch_k < 2:
         raise ValueError(f"sketch_k must be >= 2, got {sketch_k}")
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_posting_len is not None and max_posting_len < 2:
+        raise ValueError("max_posting_len must be >= 2")
     from pyspark.sql import Window
 
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
@@ -1571,10 +1581,23 @@ def containment_sketch_pairs(
     kept = hashed.withColumn("_rn", F.row_number().over(w)).where(
         F.col("_rn") <= sketch_k
     )
+    # the sketch frame feeds THREE consumers (the blocking index and
+    # both join sides); without a cache the shingle+hash+window
+    # pipeline re-executes per consumer — measured 3x the wall at 50k
+    # docs (exchange reuse does not canonicalize across the renamed
+    # branches).  One row of k longs per doc, so the cache is tiny.
     sketches = kept.groupBy(id_col).agg(
         F.array_sort(F.collect_list("_h")).alias("_sk")
-    )
+    ).cache()
     posting = sketches.select(F.col(id_col), F.explode("_sk").alias("_h"))
+    if max_posting_len is not None:
+        keep = (
+            posting.groupBy("_h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_posting_len)
+            .select("_h")
+        )
+        posting = posting.join(keep, "_h")
     pairs = (
         posting.alias("a")
         .join(
