@@ -5933,6 +5933,204 @@ def _dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _events_streaming_hll_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL sink twin, run as a REAL checkpointed foreachBatch
+    job over two file-source micro-batches: each epoch commits its own
+    register-vector partition (idempotent under redelivery — and
+    element-wise max is itself idempotent), and merge-on-read must
+    equal the whole-input batch sketch EXACTLY at register granularity
+    (max of per-part maxima == max of the union).  One row per event
+    type with the merged estimate, the exact distinct count, and the
+    stream==batch register equality riding as a boolean.  The oracle
+    replays the md5 register arithmetic relationally; registers_match
+    is a constant by the merge law."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from dbldatagen_spark.functions import hll_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_hll_sink,
+        read_merged_hll,
+    )
+
+    p = 8
+    events = _load(spark, sf_dir, "events")
+    src = events.select("event_type", "user_id", "event_id")
+    batch = hll_sketch(src, "user_id", group_cols=["event_type"], p=p)
+
+    tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_hllsink_")
+    try:
+        now = time.time()
+        seen: list = []
+        halves = (src.where("event_id % 2 = 0"),
+                  src.where("event_id % 2 = 1"))
+        for i, frame in enumerate(halves):
+            frame.coalesce(1).write.mode("append").parquet(f"{tmp}/src")
+            for f in sorted(glob.glob(f"{tmp}/src/*.parquet")):
+                if f not in seen:
+                    os.utime(f, (now + 1000 * i, now + 1000 * i))
+                    seen.append(f)
+
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{tmp}/src")
+        )
+        q = foreach_batch_hll_sink(
+            stream, "user_id", f"{tmp}/hll", f"{tmp}/ck_hll",
+            p=p, group_cols=["event_type"],
+            trigger={"availableNow": True},
+        )
+        q.awaitTermination(180)
+
+        merged = read_merged_hll(
+            spark, f"{tmp}/hll", p=p, group_cols=["event_type"]
+        )
+        per_type = (
+            merged.select(
+                "event_type",
+                F.col("registers").alias("_mr"),
+                F.col("dv_estimate").alias("_me"),
+            )
+            .join(
+                batch.select(
+                    "event_type", "registers", "n_zero_registers",
+                    "dv_estimate",
+                ),
+                "event_type",
+            )
+            .select(
+                "event_type",
+                (F.col("_mr") == F.col("registers")).alias("_rm"),
+                (F.col("_me") == F.col("dv_estimate")).alias("_em"),
+                "n_zero_registers",
+                "dv_estimate",
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    rows = [
+        (
+            r["event_type"],
+            float(r["dv_estimate"]),
+            int(exact[r["event_type"]]),
+            int(r["n_zero_registers"]),
+            bool(r["_rm"]) and bool(r["_em"]),
+            abs(float(r["dv_estimate"]) / exact[r["event_type"]] - 1)
+            <= 0.2,
+        )
+        for r in per_type
+    ]
+    # rounding happens in Spark (HALF_UP), matching the oracle's ROUND
+    return (
+        spark.createDataFrame(
+            rows,
+            "event_type string, est_raw double, exact_distinct long, "
+            "n_zero_registers long, registers_match boolean, "
+            "rel_err_ok boolean",
+        )
+        .select(
+            "event_type",
+            F.round(F.col("est_raw"), 4).alias("est_hll"),
+            "exact_distinct",
+            "n_zero_registers",
+            "registers_match",
+            "rel_err_ok",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window distinct counts WITHOUT rescanning: per
+    (event_type, day) HLL register vectors merge across a 7-day
+    calendar window (element-wise max over the joined days), so a
+    month of trailing-week distinct-user curves costs one pass over
+    the events plus arithmetic on 256-int vectors — the mergeable
+    sketch pattern that replaces daily COUNT(DISTINCT) rescans at
+    100 TB.  The BIGINT indicator sum keeps every estimate (including
+    linear-counting) bit-replayable by the oracle; exact trailing
+    counts ride along as the accuracy reference."""
+    from dbldatagen_spark.functions import hll_merge_expr, hll_sketch
+    from dbldatagen_spark.functions.sketches import hll_estimate_expr
+
+    p = 8
+    events = _load(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    with_day = events.select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_sketch(
+        with_day, "user_id", group_cols=["event_type", "day"], p=p
+    )
+    days = with_day.select("event_type", "day").distinct()
+    a = days.alias("d")
+    b = daily.alias("r")
+    merged = (
+        a.join(
+            b,
+            (F.col("d.event_type") == F.col("r.event_type"))
+            & (
+                F.col("r.day").between(
+                    F.date_sub(F.col("d.day"), 6), F.col("d.day")
+                )
+            ),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"),
+                 F.col("d.day").alias("day"))
+        .agg(F.collect_list("r.registers").alias("_s"))
+        .select(
+            "event_type",
+            "day",
+            hll_merge_expr(F.col("_s"), p=p).alias("_m"),
+        )
+    )
+    triples = with_day.distinct()
+    t = triples.alias("t")
+    exact = (
+        a.join(
+            t,
+            (F.col("d.event_type") == F.col("t.event_type"))
+            & (
+                F.col("t.day").between(
+                    F.date_sub(F.col("d.day"), 6), F.col("d.day")
+                )
+            ),
+        )
+        .groupBy(F.col("d.event_type").alias("event_type"),
+                 F.col("d.day").alias("day"))
+        .agg(F.countDistinct("t.user_id").alias("exact_7d"))
+    )
+    est = hll_estimate_expr(F.col("_m"), p=p)
+    return (
+        merged.join(exact, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            F.round(est, 4).alias("est_7d"),
+            "exact_7d",
+            F.size(F.filter(F.col("_m"), lambda r: r == 0))
+            .cast("long")
+            .alias("n_zero_registers"),
+            (F.abs(est / F.col("exact_7d") - 1) <= 0.2).alias("rel_err_ok"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
@@ -5940,19 +6138,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Round-9 rotation: round 8 drained the never-checked backlog to
     zero, so this window is growth-at-birth plus pure staleness
-    refresh — the 7 round-9 growth rows first, then the 5 r5-head rows
+    refresh — the 9 round-9 growth rows first, then the 5 r5-head rows
     that sat just past position 50 in the round-8 window, then the
     r5-stale cohort in ledger order.  Demoted: the entire round-8
     window — all 50 were green on their r8 exposure.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-9 driver window (see ROTATION.md) ---
-        # The 7 round-9 growth rows lead (never-checked outranks
+        # The 9 round-9 growth rows lead (never-checked outranks
         # recency; windowed at birth), then the 5 r5-head rows that
         # overflowed the round-8 window at positions 51-55, then the
         # r5-stale cohort in ledger order from q1_pricing_summary.
-        # Exactly 50 entries precede the demoted marker; the last 4
-        # r5 rows (corpus_length_histogram, q9_product_profit,
+        # Exactly 50 entries precede the demoted marker; the last 6
+        # r5 rows (corpus_mix_epochs, corpus_pack_sequences,
+        # corpus_length_histogram, q9_product_profit,
         # q21_waiting_supplier, dedup_embedding_cosine) wait for the
         # r10 draw with the r6 cohort.
         "events_hll_distinct": _events_hll_distinct,
@@ -5962,6 +6161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_interp_resample": _events_interp_resample,
         "events_holt_trend": _events_holt_trend,
         "dedup_containment_sketch": _dedup_containment_sketch,
+        "events_streaming_hll_sink": _events_streaming_hll_sink,
+        "events_hll_sliding": _events_hll_sliding,
         # r5-head overflow from the round-8 window (r5-green)
         "gen_iltext_conformance": _gen_iltext_conformance,
         "gen_faker_conformance": _gen_faker_conformance,
@@ -6005,9 +6206,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "corpus_length_histogram": _corpus_length_histogram,
         "q9_product_profit": _q9_product_profit,
         "events_streaming_behavior": _events_streaming_behavior,
@@ -9918,6 +10119,116 @@ def _oracle_sql_base() -> dict[str, str]:
                    (ABS(e / exact_distinct - 1) <= 0.2) AS rel_err_ok
             FROM est JOIN ex USING (event_type)
             ORDER BY event_type
+        """,
+        # streaming HLL sink: merge-on-read equals the whole-input
+        # sketch register-for-register (element-wise-max union law), so
+        # the oracle replays the batch registers and states the
+        # equality as a constant
+        "events_streaming_hll_sink": """
+            WITH h AS (
+                SELECT DISTINCT event_type,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            reg AS (
+                SELECT event_type, hv % 256 AS b,
+                       MAX(CASE WHEN hv // 256 = 0 THEN 53
+                                ELSE 53 - length(bin(hv // 256)) END) AS r
+                FROM h GROUP BY 1, 2
+            ),
+            agg AS (
+                SELECT event_type,
+                       CAST(SUM(CAST(pow(2, 53 - r) AS BIGINT)) AS BIGINT)
+                       + (256 - COUNT(*)) * CAST(pow(2, 53) AS BIGINT)
+                         AS s_int,
+                       256 - COUNT(*) AS zeros
+                FROM reg GROUP BY 1
+            ),
+            est AS (
+                SELECT event_type, zeros,
+                       CASE WHEN 4.2399330249068963e+20 / s_int <= 640.0
+                                 AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE 4.2399330249068963e+20 / s_int
+                       END AS e
+                FROM agg
+            ),
+            ex AS (
+                SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+                FROM events WHERE user_id IS NOT NULL GROUP BY 1
+            )
+            SELECT est.event_type,
+                   ROUND(e, 4) AS est_hll,
+                   ex.exact_distinct,
+                   CAST(zeros AS BIGINT) AS n_zero_registers,
+                   TRUE AS registers_match,
+                   (ABS(e / exact_distinct - 1) <= 0.2) AS rel_err_ok
+            FROM est JOIN ex USING (event_type)
+            ORDER BY event_type
+        """,
+        # sliding 7-day HLL: per-(type, day) registers merged over the
+        # calendar window by max-per-bucket — identical to merging the
+        # vectors element-wise; BIGINT indicator sum as everywhere
+        "events_hll_sliding": """
+            WITH e AS (
+                SELECT event_type, CAST(ts AS DATE) AS day, user_id
+                FROM events WHERE user_id IS NOT NULL
+            ),
+            h AS (
+                SELECT DISTINCT event_type, day,
+                       ('0x' || substr(md5('0:' || CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS hv
+                FROM e
+            ),
+            reg AS (
+                SELECT event_type, day, hv % 256 AS b,
+                       MAX(CASE WHEN hv // 256 = 0 THEN 53
+                                ELSE 53 - length(bin(hv // 256)) END) AS r
+                FROM h GROUP BY 1, 2, 3
+            ),
+            days AS (SELECT DISTINCT event_type, day FROM e),
+            win AS (
+                SELECT d.event_type, d.day, r.b, MAX(r.r) AS r
+                FROM days d
+                JOIN reg r
+                  ON r.event_type = d.event_type
+                 AND r.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1, 2, 3
+            ),
+            agg AS (
+                SELECT event_type, day,
+                       CAST(SUM(CAST(pow(2, 53 - r) AS BIGINT)) AS BIGINT)
+                       + (256 - COUNT(*)) * CAST(pow(2, 53) AS BIGINT)
+                         AS s_int,
+                       256 - COUNT(*) AS zeros
+                FROM win GROUP BY 1, 2
+            ),
+            est AS (
+                SELECT event_type, day, zeros,
+                       CASE WHEN 4.2399330249068963e+20 / s_int <= 640.0
+                                 AND zeros > 0
+                            THEN 256.0 * ln(256.0 / zeros)
+                            ELSE 4.2399330249068963e+20 / s_int
+                       END AS e
+                FROM agg
+            ),
+            ex AS (
+                SELECT d.event_type, d.day,
+                       COUNT(DISTINCT t.user_id) AS exact_7d
+                FROM days d
+                JOIN e t
+                  ON t.event_type = d.event_type
+                 AND t.day BETWEEN d.day - 6 AND d.day
+                GROUP BY 1, 2
+            )
+            SELECT est.event_type, est.day,
+                   ROUND(e, 4) AS est_7d,
+                   ex.exact_7d,
+                   CAST(zeros AS BIGINT) AS n_zero_registers,
+                   (ABS(e / exact_7d - 1) <= 0.2) AS rel_err_ok
+            FROM est JOIN ex USING (event_type, day)
+            ORDER BY event_type, day
         """,
         # priority sampling: q = w / ((h+1)/2^60), tau = 9th-largest
         # priority per source (0 when the source has <= 8 docs),

@@ -371,3 +371,83 @@ def read_merged_cms(spark, path: str, *, group_cols=None) -> DataFrame:
     return df.groupBy(*groups, "depth_idx", "bucket").agg(
         F.sum("cnt").cast("long").alias("cnt")
     )
+
+
+def foreach_batch_hll_sink(
+    df: DataFrame,
+    value_col: str,
+    path: str,
+    checkpoint_location: str,
+    *,
+    p: int = 8,
+    seed: int = 0,
+    group_cols=None,
+    trigger: dict | None = None,
+):
+    """Streaming distinct-count maintenance with HyperLogLog — the
+    fixed-size sibling of :func:`foreach_batch_kmv_sink`: per micro
+    batch, build the batch's dense register vector
+    (:func:`dbldatagen_spark.functions.sketches.hll_sketch` — exactly
+    ``groups x 2^p`` small ints regardless of batch size) and commit
+    it epoch-keyed (a redelivered batch overwrites its own
+    ``batch_id`` partition, so retries cannot corrupt the union —
+    element-wise max is also idempotent, a belt-and-braces property
+    KMV's union shares).
+
+    Read the running estimate back with :func:`read_merged_hll`;
+    merge-on-read is EXACT at register granularity because
+    ``max(max(a), max(b)) = max(a ∪ b)`` per register
+    (``hll_merge_expr`` law, asserted against the whole-input sketch
+    on a real checkpointed run in pytest and in the registry query).
+    Returns the started ``StreamingQuery``.
+    """
+    from dbldatagen_spark.functions.sketches import hll_sketch
+
+    groups = list(group_cols or [])
+
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        sk = hll_sketch(
+            batch_df, value_col, group_cols=groups, p=p, seed=seed
+        )
+        sk.select(*groups, "registers").write.mode("overwrite").parquet(
+            f"{path}/batch_id={batch_id}"
+        )
+
+    writer = (
+        df.writeStream.foreachBatch(_write)
+        .option("checkpointLocation", checkpoint_location)
+    )
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def read_merged_hll(spark, path: str, *, p: int = 8, group_cols=None) -> DataFrame:
+    """Merge-on-read for :func:`foreach_batch_hll_sink` state: union
+    the per-epoch register vectors and fold them with
+    ``hll_merge_expr`` (element-wise max — associative, commutative,
+    idempotent), then re-estimate.  Returns ``group_cols +
+    (registers, n_zero_registers, dv_estimate)`` — the same shape
+    ``hll_sketch`` emits, so batch and streaming consumers share
+    downstream code.  One bounded aggregation over ``batches x
+    groups`` vectors of ``2^p`` ints each."""
+    from pyspark.sql import functions as F
+
+    from dbldatagen_spark.functions.sketches import (
+        hll_estimate_expr,
+        hll_merge_expr,
+    )
+
+    groups = list(group_cols or [])
+    df = spark.read.parquet(path)
+    merged = df.groupBy(*groups).agg(
+        hll_merge_expr(F.collect_list("registers"), p=p).alias("registers")
+    )
+    return merged.select(
+        *groups,
+        "registers",
+        F.size(F.filter(F.col("registers"), lambda r: r == 0))
+        .cast("int")
+        .alias("n_zero_registers"),
+        hll_estimate_expr(F.col("registers"), p=p).alias("dv_estimate"),
+    )

@@ -1017,3 +1017,56 @@ def test_holt_with_state_validation(spark, events):
     with pytest.raises(ValueError):
         holt_with_state(events, "user_id", "ts", "value",
                         alpha=0.25, beta=0.0, order_col="event_id")
+
+
+def test_hll_sink_merge_equals_whole_input(spark, events, tmp_path):
+    import glob
+    import os
+    import pathlib
+    import time
+
+    from dbldatagen_spark.functions import hll_sketch
+    from dbldatagen_spark.sources.sinks import (
+        foreach_batch_hll_sink,
+        read_merged_hll,
+    )
+
+    src = events.select("event_type", "user_id")
+    whole = hll_sketch(src, "user_id", group_cols=["event_type"], p=6)
+
+    # two micro-batches (any split works — element-wise max commutes
+    # and is idempotent)
+    now = time.time()
+    seen: list = []
+    halves = (
+        events.where("event_id % 2 = 0").select("event_type", "user_id"),
+        events.where("event_id % 2 = 1").select("event_type", "user_id"),
+    )
+    for i, frame in enumerate(halves):
+        frame.coalesce(1).write.mode("append").parquet(str(tmp_path / "src"))
+        for f in sorted(glob.glob(str(tmp_path / "src" / "*.parquet"))):
+            if f not in seen:
+                os.utime(f, (now + 1000 * i, now + 1000 * i))
+                seen.append(f)
+
+    stream = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "src"))
+    )
+    q = foreach_batch_hll_sink(
+        stream, "user_id", str(tmp_path / "state"), str(tmp_path / "ck"),
+        p=6, group_cols=["event_type"], trigger={"availableNow": True},
+    )
+    q.awaitTermination(120)
+    merged = read_merged_hll(
+        spark, str(tmp_path / "state"), p=6, group_cols=["event_type"]
+    )
+    m = {r["event_type"]: (list(r["registers"]), r["dv_estimate"])
+         for r in merged.collect()}
+    w = {r["event_type"]: (list(r["registers"]), r["dv_estimate"])
+         for r in whole.collect()}
+    assert m == w  # register-for-register AND estimate-for-estimate
+    parts = {p.name for p in pathlib.Path(tmp_path / "state").iterdir()
+             if p.is_dir()}
+    assert {"batch_id=0", "batch_id=1"} <= parts
