@@ -751,3 +751,115 @@ def test_histogram_merge_equals_whole(vals, split):
     )
     assert sorted(map(tuple, merged.collect())) == \
            sorted(map(tuple, histogram_sketch(whole, "v", **kw).collect()))
+
+
+@given(
+    n=st.integers(min_value=1, max_value=4000),
+    stride=st.integers(min_value=1, max_value=97),
+    parts=st.integers(min_value=1, max_value=7),
+)
+@settings(**_SETTINGS)
+def test_hll_estimate_and_merge_properties(n, stride, parts):
+    # for ANY distinct-int set: the estimate stays within a generous
+    # error envelope (theoretical sigma at m=256 is ~6.5%), and
+    # merging ANY partition of the set reproduces the direct registers
+    # exactly (element-wise-max union law)
+    from dbldatagen_spark.functions import hll_merge_expr, hll_sketch
+
+    df = _spark.range(0, n).select((F.col("id") * stride).alias("v"))
+    direct = hll_sketch(df, "v", p=8).collect()[0]
+    est = direct["dv_estimate"]
+    assert abs(est / n - 1.0) < 0.3, (n, est)
+
+    split = df.withColumn("part", F.col("v") % parts)
+    merged = (
+        hll_sketch(split, "v", group_cols=["part"], p=8)
+        .agg(F.collect_list("registers").alias("s"))
+        .select(hll_merge_expr(F.col("s"), p=8).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert list(merged) == list(direct["registers"])
+
+
+@given(
+    n=st.integers(min_value=1, max_value=300),
+    k=st.integers(min_value=1, max_value=20),
+    wmod=st.integers(min_value=1, max_value=50),
+)
+@settings(**_SETTINGS)
+def test_priority_sample_estimator_contract(n, k, wmod):
+    # DLT contract for ANY (n, k, weights): tau is the (k+1)-th
+    # priority (0 in the exact regime), the sample is exactly the
+    # top-min(k, n) by priority, and w_hat = max(w, tau); in the exact
+    # regime (n <= k) the estimator is the identity
+    import hashlib
+
+    from dbldatagen_spark.functions import priority_sample
+
+    df = _spark.range(0, n).select(
+        F.col("id"), (F.col("id") % wmod + 1).cast("double").alias("w")
+    )
+    got = {r["id"]: r for r in priority_sample(df, "id", "w", k).collect()}
+
+    def u(i):
+        hv = int(hashlib.md5(f"0:{i}".encode()).hexdigest()[:15], 16)
+        return (hv + 1) / float(1 << 60)
+
+    pri = sorted(
+        ((float(i % wmod + 1) / u(i), i) for i in range(n)),
+        key=lambda t: (-t[0], t[1]),
+    )
+    tau = pri[k][0] if n > k else 0.0
+    expect = {i for _, i in pri[:k]}
+    assert set(got) == expect
+    for i, r in got.items():
+        assert r["tau"] == tau
+        assert r["w_hat"] == max(r["weight"], tau)
+        if n <= k:
+            assert r["w_hat"] == r["weight"]
+
+
+@given(
+    data=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),   # offset seconds
+            st.floats(min_value=-100, max_value=100,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: t[0],
+    ),
+    step=st.sampled_from([60, 300, 900]),
+)
+@settings(**_SETTINGS)
+def test_resample_interpolate_bracket_property(data, step):
+    # every emitted grid value lies within [min, max] of its bracketing
+    # observations (linear interpolation never over/undershoots), and
+    # exact hits return the observation value
+    from dbldatagen_spark.functions import resample_interpolate
+
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    rows = [(1, t + base, float(v), i) for i, (t, v) in enumerate(data)]
+    df = _spark.createDataFrame(
+        rows, "k long, te long, v double, eid long"
+    ).select("k", F.to_timestamp(F.col("te")).alias("ts"), "v", "eid")
+    out = resample_interpolate(
+        df, "k", "ts", "v", interval_seconds=step, order_col="eid"
+    ).collect()
+    obs = sorted((t + base, v) for t, v in data)
+    import bisect
+
+    for r in out:
+        g = int(r["grid_ts"].replace(tzinfo=__import__("datetime").timezone.utc).timestamp())
+        assert obs[0][0] <= g <= obs[-1][0]  # never extrapolates
+        j = bisect.bisect_right([t for t, _ in obs], g)
+        lo = obs[j - 1]
+        if lo[0] == g:
+            assert r["v"] == lo[1]
+            assert r["was_exact"]
+        else:
+            hi = obs[j]
+            lo_v, hi_v = sorted((lo[1], hi[1]))
+            assert lo_v - 1e-9 <= r["v"] <= hi_v + 1e-9
+            assert not r["was_exact"]
