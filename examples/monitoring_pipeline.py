@@ -118,8 +118,16 @@ def main() -> None:
     alarms = cusum_flags(events, "user_id", "ts", "value", drift=0.25,
                          threshold=1.5, order_col="event_id",
                          max_events_per_key=None)
+    # trend-aware sibling: Holt level+trend; level+trend is the
+    # one-step forecast a drift monitor alerts against
+    from dbldatagen_spark.functions import holt_linear
+
+    trended = holt_linear(events, "user_id", "ts", "value",
+                          alpha=0.25, beta=0.125, order_col="event_id",
+                          max_events_per_key=None)
     print("smoothed rows:", smoothed.count(),
-          "| CUSUM alarms:", alarms.where("alarm").count())
+          "| CUSUM alarms:", alarms.where("alarm").count(),
+          "| holt rows:", trended.count())
     events.unpersist()
 
     spark.stop()
