@@ -5793,10 +5793,18 @@ def _docs_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     s = priority_sample(docs, "doc_id", "n_chars", 8, group_cols=["source"])
+    # SUM over doubles is partial-aggregation-order dependent; fold the
+    # sample in doc_id order instead so the conformance cell is the same
+    # IEEE sum in both engines (0.0 + x1 + x2 + ... left-to-right)
+    ordered_sum = F.aggregate(
+        F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("w_hat")))),
+        F.lit(0.0),
+        lambda acc, x: acc + x["w_hat"],
+    )
     est = s.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_sampled"),
         F.round(F.max("tau"), 4).alias("tau"),
-        F.round(F.sum("w_hat"), 4).alias("est_total_chars"),
+        F.round(ordered_sum, 4).alias("est_total_chars"),
     )
     exact = (
         docs.where(F.col("n_chars") > 0)
@@ -10254,13 +10262,18 @@ def _oracle_sql_base() -> dict[str, str]:
                 FROM r WHERE rn <= 9 GROUP BY source
             ),
             samp AS (
-                SELECT r.source, r.w, t.tau, GREATEST(r.w, t.tau) AS w_hat
+                SELECT r.source, r.doc_id, r.w, t.tau,
+                       GREATEST(r.w, t.tau) AS w_hat
                 FROM r JOIN t USING (source) WHERE rn <= 8
             ),
             est AS (
+                -- deterministic-order sum: left-fold in doc_id order,
+                -- matching Spark's F.aggregate over the sorted sample
                 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sampled,
                        ROUND(MAX(tau), 4) AS tau,
-                       ROUND(SUM(w_hat), 4) AS est_total_chars
+                       ROUND(list_reduce(list(w_hat ORDER BY doc_id),
+                                         (acc, x) -> acc + x),
+                             4) AS est_total_chars
                 FROM samp GROUP BY source
             ),
             ex AS (
@@ -10464,7 +10477,7 @@ def _oracle_sql_base() -> dict[str, str]:
                 SELECT user_id,
                        CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS t,
                        arg_max(value, event_id) AS v
-                FROM events GROUP BY 1, 2
+                FROM events WHERE value IS NOT NULL GROUP BY 1, 2
             ),
             spans AS (
                 SELECT user_id,

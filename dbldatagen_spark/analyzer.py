@@ -111,6 +111,18 @@ class DataAnalyzer:
         lines.append(")")
         return "\n".join(lines)
 
+    @staticmethod
+    def _bounded_distinct(df: DataFrame, col: str, cap: int = 20):
+        """Distinct values of ``col`` with PROVABLY bounded driver
+        traffic: the ``approx_count_distinct <= cap`` gate that routes
+        here can undercount, so collect at most ``cap + 1`` rows and
+        return ``None`` (caller falls back to a range/template spec)
+        when the true cardinality exceeds the cap."""
+        rows = df.select(col).distinct().orderBy(col).limit(cap + 1).collect()
+        if len(rows) > cap:
+            return None
+        return [r[0] for r in rows]
+
     def scriptDataGeneratorFromData(self, name: str = "synthetic_data") -> str:
         """Like ``scriptDataGeneratorFromSchema`` but bounds numeric/temporal
         options by the observed min/max and flags low-cardinality string
@@ -138,15 +150,20 @@ class DataAnalyzer:
             if isinstance(f.dataType, T.NumericType):
                 opt = f"minValue={mn}, maxValue={mx}, random=True"
                 if 0 < distinct <= 20:
-                    vals = [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
-                    opt = f"values={vals!r}, random=True"
+                    vals = self._bounded_distinct(df, c)
+                    if vals is not None:
+                        opt = f"values={vals!r}, random=True"
             elif isinstance(f.dataType, T.TimestampType):
                 opt = f"begin='{mn}', end='{mx}', random=True"
             elif isinstance(f.dataType, T.DateType):
                 opt = f"begin='{mn}', end='{mx}', random=True"
             elif isinstance(f.dataType, T.StringType) and 0 < distinct <= 20:
-                vals = [r[0] for r in df.select(c).distinct().orderBy(c).collect()]
-                opt = f"values={vals!r}, random=True"
+                vals = self._bounded_distinct(df, c)
+                opt = (
+                    f"values={vals!r}, random=True"
+                    if vals is not None
+                    else "template=r'\\w'"
+                )
             else:
                 opt = "template=r'\\w'"
             lines.append(f"    .withColumn({c!r}, {dt!r}, {opt})")

@@ -125,19 +125,20 @@ def _pair_jaccard(
 
     ``max_posting_len`` is the stop-shingle cut: shingles appearing in
     more than that many documents are dropped from the *blocking* index
-    (Jaccard is still computed over full shingle sets). A shingle with a
-    d-document posting list contributes d^2 candidate pairs — one viral
-    boilerplate phrase at 100 TB is a cartesian explosion; capping bounds
-    per-shingle work at cap^2. Only pairs whose every common shingle is
-    that frequent are lost, and such pairs are overwhelmingly
+    ONLY — candidate pairs are generated from the cut index, then the
+    exact Jaccard is computed per candidate from the full distinct
+    shingle arrays (``array_intersect``), so the cut affects recall
+    (which pairs are considered) but never the measure itself. A shingle
+    with a d-document posting list contributes d^2 candidate pairs — one
+    viral boilerplate phrase at 100 TB is a cartesian explosion; capping
+    bounds per-shingle work at cap^2. Only pairs whose every common
+    shingle is that frequent are lost, and such pairs are overwhelmingly
     boilerplate-only (below-threshold) matches.
     """
-    sizes = shingled.select(
-        F.col(id_col), F.size("shingles").alias("_sz")
-    )
     posting = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_sh")
     )
+    blocking = posting
     if max_posting_len is not None:
         if max_posting_len < 2:
             raise ValueError("max_posting_len must be >= 2")
@@ -147,28 +148,37 @@ def _pair_jaccard(
             .where(F.col("_df") <= max_posting_len)
             .select("_sh")
         )
-        posting = posting.join(keep, "_sh")
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
+        blocking = posting.join(keep, "_sh")
+    a = blocking.alias("a")
+    b = blocking.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col(f"a._sh") == F.col(f"b._sh"))
+            (F.col("a._sh") == F.col("b._sh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "_sz_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "_sz_b")
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+    )
+    inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("long")
     jac = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("_inter", inter)
         .withColumn(
             "jaccard",
             F.round(
                 F.col("_inter")
-                / (F.col("_sz_a") + F.col("_sz_b") - F.col("_inter")),
+                / (F.size("_sh_a") + F.size("_sh_b") - F.col("_inter")),
                 4,
             ),
         )
@@ -1454,18 +1464,21 @@ def containment_pairs(
     :func:`ngram_jaccard_pairs`: the inverted shingle index generates
     only pairs with >= 1 common shingle, and ``max_posting_len`` (the
     stop-shingle cut) bounds per-shingle candidate work at cap^2 so a
-    viral boilerplate phrase can't go cartesian at 100 TB.  Both
-    containments are exact over full distinct-shingle sets regardless
-    of the cut; all emitted numbers are integers or single ratios of
-    integers — exactly replayable by a SQL oracle.
+    viral boilerplate phrase can't go cartesian at 100 TB.  The cut
+    applies to the blocking index ONLY: candidate pairs come from the
+    cut index, then ``n_common`` / both containments are computed
+    exactly from the full distinct-shingle arrays per candidate
+    (``array_intersect``) — the cut affects recall, never the measure.
+    All emitted numbers are integers or single ratios of integers —
+    exactly replayable by a SQL oracle.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
-    sizes = shingled.select(F.col(id_col), F.size("shingles").alias("_sz"))
     posting = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_sh")
     )
+    blocking = posting
     if max_posting_len is not None:
         if max_posting_len < 2:
             raise ValueError("max_posting_len must be >= 2")
@@ -1475,26 +1488,36 @@ def containment_pairs(
             .where(F.col("_df") <= max_posting_len)
             .select("_sh")
         )
-        posting = posting.join(keep, "_sh")
-    a = posting.alias("a")
-    b = posting.alias("b")
-    inter = (
+        blocking = posting.join(keep, "_sh")
+    a = blocking.alias("a")
+    b = blocking.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a._sh") == F.col("b._sh"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
-        .groupBy(
+        .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .distinct()
     )
-    sa = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sz", "n_a")
-    sb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sz", "n_b")
+    sh_a = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+    )
+    sh_b = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+    )
     out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn(
+            "n_common",
+            F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("long"),
+        )
+        .withColumn("n_a", F.size("_sh_a").cast("long"))
+        .withColumn("n_b", F.size("_sh_b").cast("long"))
         .withColumn(
             "containment_a_in_b",
             F.round(F.col("n_common") / F.col("n_a"), 4),
@@ -1508,8 +1531,7 @@ def containment_pairs(
         (F.col("containment_a_in_b") >= F.lit(threshold))
         | (F.col("containment_b_in_a") >= F.lit(threshold))
     ).select(
-        "id_a", "id_b",
-        F.col("n_a").cast("long"), F.col("n_b").cast("long"),
+        "id_a", "id_b", "n_a", "n_b",
         "n_common", "containment_a_in_b", "containment_b_in_a",
     )
 

@@ -759,9 +759,12 @@ def hll_sketch(
             F.collect_list(F.struct(F.col("_b"), F.col("_r")))
         ).alias("_m")
     )
+    # try_element_at, not element_at: sparse groups are GUARANTEED to
+    # miss buckets, and ANSI mode makes map element_at throw on a
+    # missing key (same convention as pq_adc_topk in similarity.py)
     registers = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("_m"), i), F.lit(0)),
+        lambda i: F.coalesce(F.try_element_at(F.col("_m"), i), F.lit(0)),
     )
     out = as_map.select(*groups, registers.alias("registers"))
     return out.select(

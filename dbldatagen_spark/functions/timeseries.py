@@ -763,10 +763,13 @@ def resample_interpolate(
 
     Grid points span ``ceil(first_obs / step) .. floor(last_obs /
     step)`` per key, so every grid point is bracketed by observations
-    and no extrapolation happens.  A grid point landing exactly on an
-    observation returns that observation's value (``was_exact``
-    true).  Duplicate timestamps within a key resolve deterministically
-    to the observation with the highest ``order_col`` (a unique id).
+    and no extrapolation happens.  NULL-valued rows are dropped up
+    front (matching :func:`holt_linear`): they are not observations,
+    do not extend the lattice span, and can never produce NULL grid
+    values.  A grid point landing exactly on an observation returns
+    that observation's value (``was_exact`` true).  Duplicate
+    timestamps within a key resolve deterministically to the
+    observation with the highest ``order_col`` (a unique id).
 
     Returns ``(key, grid_ts, value, was_exact)``.
 
@@ -792,7 +795,8 @@ def resample_interpolate(
     epoch = F.unix_timestamp(F.col(ts_col).cast("timestamp"))
 
     obs = (
-        df.select(
+        df.where(F.col(value_col).isNotNull())
+        .select(
             F.col(key_col),
             epoch.alias("_t"),
             F.col(value_col).cast("double").alias("_v"),

@@ -901,10 +901,14 @@ def test_stop_shingle_cap(spark):
     capped = ngram_jaccard_pairs(
         df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=3
     )
-    un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
-    cp = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    un = {(r["id_a"], r["id_b"]): r["jaccard"] for r in uncapped.collect()}
+    cp = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
     # the distinctive pair survives the cap
     assert (1, 2) in cp
+    # the cut affects blocking only: surviving pairs keep the EXACT
+    # jaccard of the uncapped run (intersection from full shingle sets)
+    for pair, jac in cp.items():
+        assert jac == un[pair]
     # boilerplate-only pairs (blocked solely by the 6-doc shingle) are cut
     assert any(a >= 3 for a, _ in un)
     assert not any(a >= 3 for a, _ in cp)
@@ -912,7 +916,7 @@ def test_stop_shingle_cap(spark):
     wide = ngram_jaccard_pairs(
         df, "doc_id", "text", k=3, threshold=0.1, max_posting_len=1000
     )
-    assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == un
+    assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == set(un)
 
 
 def test_minhash_bucket_cap(spark, docs):
@@ -5169,6 +5173,23 @@ class TestHllSketch:
         assert list(a["registers"]) == list(b["registers"])
         assert a["dv_estimate"] == b["dv_estimate"]
 
+    def test_ansi_mode_parity(self, spark):
+        # sparse groups are guaranteed to miss register buckets; the
+        # densify must use try_element_at so ANSI mode (which makes map
+        # element_at THROW on a missing key) returns identical sketches
+        from dbldatagen_spark.functions import hll_sketch
+
+        df = spark.range(0, 500).select(F.col("id").alias("v"))
+        base = hll_sketch(df, "v", p=8).collect()[0]
+        old = spark.conf.get("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            ansi = hll_sketch(df, "v", p=8).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+        assert list(ansi["registers"]) == list(base["registers"])
+        assert ansi["dv_estimate"] == base["dv_estimate"]
+
     def test_nulls_excluded_and_validation(self, spark):
         from dbldatagen_spark.functions import hll_sketch
 
@@ -5338,6 +5359,40 @@ class TestContainmentPairs:
         with pytest.raises(ValueError, match="threshold"):
             containment_pairs(df, "doc_id", "text", threshold=0.0)
 
+    def test_posting_cut_blocks_only_never_biases_measure(self, spark):
+        # the stop-shingle cut drops viral shingles from the BLOCKING
+        # index only: a pair that still survives blocking must report the
+        # same exact n_common/containment as the uncut run — the cut may
+        # cost recall, never correctness of the measure
+        from dbldatagen_spark.functions import containment_pairs
+
+        boiler = "the quick brown fox"   # shared by ALL docs (df > cap)
+        rows = [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"{boiler} alpha beta gamma epsilon"),
+        ] + [(i, f"{boiler} unique{i} pad{i} fill{i}") for i in range(3, 9)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        uncut = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["containment_a_in_b"],
+                                     r["containment_b_in_a"])
+            for r in containment_pairs(
+                df, "doc_id", "text", k=3, threshold=0.3,
+                max_posting_len=None,
+            ).collect()
+        }
+        cut = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["containment_a_in_b"],
+                                     r["containment_b_in_a"])
+            for r in containment_pairs(
+                df, "doc_id", "text", k=3, threshold=0.3,
+                max_posting_len=3,
+            ).collect()
+        }
+        assert (1, 2) in cut                     # distinctive pair survives
+        for pair, stats in cut.items():
+            assert stats == uncut[pair]          # measure identical
+        assert set(cut) <= set(uncut)            # cut only loses pairs
+
 
 class TestResampleInterpolate:
     def test_linear_values_and_exact_hits(self, spark):
@@ -5377,6 +5432,31 @@ class TestResampleInterpolate:
             df, "k", "ts", "v", interval_seconds=3600, order_col="eid"
         ).collect()}
         assert out["2024-01-01T00:00:00"] == 7.0
+
+    def test_null_observations_do_not_define_the_span(self, spark):
+        # a key whose earliest/latest rows carry NULL values must not
+        # get grid points outside the non-NULL bracket — NULL rows are
+        # not observations, and no grid row may ever emit NULL
+        from dbldatagen_spark.functions import resample_interpolate
+
+        rows = [
+            (1, "2024-01-01 00:00:00", None, 1),   # NULL head
+            (1, "2024-01-01 01:00:00", 10.0, 2),
+            (1, "2024-01-01 03:00:00", 30.0, 3),
+            (1, "2024-01-01 05:00:00", None, 4),   # NULL tail
+        ]
+        df = spark.createDataFrame(
+            rows, "k long, ts string, v double, eid long"
+        ).select("k", F.to_timestamp("ts").alias("ts"), "v", "eid")
+        out = {r["grid_ts"].isoformat(): r["v"] for r in resample_interpolate(
+            df, "k", "ts", "v", interval_seconds=3600, order_col="eid"
+        ).collect()}
+        # span is [01:00, 03:00], NOT [00:00, 05:00]
+        assert sorted(out) == [
+            "2024-01-01T01:00:00", "2024-01-01T02:00:00", "2024-01-01T03:00:00"
+        ]
+        assert out["2024-01-01T02:00:00"] == pytest.approx(20.0)
+        assert all(v is not None for v in out.values())
 
     def test_no_extrapolation_and_partition_stability(self, spark):
         from dbldatagen_spark.functions import resample_interpolate

@@ -157,6 +157,17 @@ class TestAnalyzer:
         out = env["generation_spec"].build()
         assert set(out.columns) == set(df.columns)
 
+    def test_bounded_distinct_guard(self, spark):
+        # the approx_count_distinct <= 20 gate can undercount; the
+        # collect must still be provably bounded (limit cap+1) and fall
+        # back to a range spec when the true cardinality exceeds the cap
+        from dbldatagen_spark.analyzer import DataAnalyzer
+
+        wide = spark.range(1000).selectExpr("id AS v")
+        assert DataAnalyzer._bounded_distinct(wide, "v") is None
+        narrow = spark.range(100).selectExpr("id % 7 AS v")
+        assert DataAnalyzer._bounded_distinct(narrow, "v") == list(range(7))
+
 
 class TestStreaming:
     def test_rate_source_build_and_write(self, spark, tmp_path):
