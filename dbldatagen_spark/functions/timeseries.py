@@ -27,8 +27,113 @@ DEFAULT_MAX_EVENTS_APPEND_FOLD = 100_000
 DEFAULT_MAX_EVENTS_SCAN_FOLD = 1_000_000
 
 
+class FoldKeyGuard:
+    """ONE shared eager pre-pass for N guarded folds over the same
+    frame.  Every fold in the family (:func:`ewma`,
+    :func:`cusum_flags`, :func:`holt_linear`,
+    :func:`trajectory_vectors`, :func:`autocorrelation`,
+    ``analytics.funnel_steps``, ``ratelimit.rate_limit_events``)
+    accepts an instance wherever it takes ``max_events_per_key``; the
+    key-count job runs exactly once — here, at construction — and the
+    folds themselves add NO further jobs or plan nodes on the healthy
+    path::
+
+        guard = FoldKeyGuard(events, "user_id",
+                             max_events_per_key=100_000,
+                             where="value IS NOT NULL")
+        a = ewma(events, "user_id", "ts", "value", order_col="event_id",
+                 max_events_per_key=guard)
+        b = cusum_flags(events, "user_id", "ts", "value",
+                        order_col="event_id", max_events_per_key=guard)
+
+    Modes mirror the per-fold guard: ``on_oversized="error"``
+    (default) raises AT CONSTRUCTION naming the hottest keys;
+    ``"divert"`` collects the oversized-key set once (bounded by
+    ``max_diverted_keys`` — viral keys are a handful by assumption,
+    and the collect is ``limit``-capped so driver traffic is provably
+    bounded) and each fold drops them via one broadcast anti-join.
+
+    ``where`` should be the same event filter the guarded folds apply
+    (``"value IS NOT NULL"`` for the numeric folds, ``"step IN
+    (...)"`` for funnels — the :func:`fold_key_report` convention).
+    Omitting it is safe but conservative: the guard counts MORE rows
+    than the fold folds, so it can only over-trigger, never let a hot
+    key through.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        key_col: str,
+        *,
+        max_events_per_key: int = DEFAULT_MAX_EVENTS_APPEND_FOLD,
+        on_oversized: str = "error",
+        where: Optional[str] = None,
+        max_diverted_keys: int = 100_000,
+    ) -> None:
+        if max_events_per_key is None or int(max_events_per_key) < 1:
+            raise ValueError(
+                f"max_events_per_key must be >= 1, got {max_events_per_key}"
+            )
+        if on_oversized not in ("error", "divert"):
+            raise ValueError(
+                f"on_oversized must be 'error' or 'divert', got {on_oversized!r}"
+            )
+        self.key_col = key_col
+        self.max_events_per_key = int(max_events_per_key)
+        self.on_oversized = on_oversized
+        self.where = where
+        base = df.where(F.expr(where)) if where else df
+        over = (
+            base.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("_n_ev"))
+            .where(F.col("_n_ev") > self.max_events_per_key)
+        )
+        self._key_type = over.schema[key_col].dataType
+        if on_oversized == "error":
+            hot = over.orderBy(F.col("_n_ev").desc(), key_col).limit(5).collect()
+            if hot:
+                names = ", ".join(f"{r[0]}={r[1]} events" for r in hot)
+                raise ValueError(
+                    f"keys exceed max_events_per_key="
+                    f"{self.max_events_per_key} (top: {names}). Raise the "
+                    f"cap, construct the guard with on_oversized='divert' "
+                    f"to drop these keys from every guarded fold, or "
+                    f"replay them through the O(1)-state streaming twins "
+                    f"(streaming.stateful)."
+                )
+            self._over_keys: list = []
+        else:
+            rows = over.select(key_col).limit(max_diverted_keys + 1).collect()
+            if len(rows) > max_diverted_keys:
+                raise ValueError(
+                    f"more than max_diverted_keys={max_diverted_keys} keys "
+                    f"exceed the cap — the oversized set is no longer 'a "
+                    f"handful of viral keys' and broadcast diversion is the "
+                    f"wrong tool; raise the cap or restructure the pipeline."
+                )
+            self._over_keys = [r[0] for r in rows]
+
+    def apply(self, ev: DataFrame, key: str) -> DataFrame:
+        """Drop this guard's oversized keys from ``ev`` (whose key
+        column is named ``key``).  No-op in ``"error"`` mode (the
+        construction already proved every key fits) and when the
+        diverted set is empty — the healthy path keeps its single key
+        shuffle."""
+        if not self._over_keys:
+            return ev
+        from pyspark.sql import types as _T
+
+        spark = ev.sparkSession
+        over_df = spark.createDataFrame(
+            [(k,) for k in self._over_keys],
+            _T.StructType([_T.StructField(key, self._key_type)]),
+        )
+        return ev.join(F.broadcast(over_df), key, "left_anti")
+
+
 def _divert_oversized_keys(
-    ev: DataFrame, key: str, cap: Optional[int], on_oversized: str = "error"
+    ev: DataFrame, key: str, cap, on_oversized: str = "error"
 ) -> DataFrame:
     """Enforce a ``max_events_per_key`` cap on a pre-fold
     ``(key, event)`` frame.  The folds collect one key's full history
@@ -55,10 +160,15 @@ def _divert_oversized_keys(
       ``cusum_with_state``) replayed over the key's ordered history.
 
     ``cap=None`` disables the guard entirely (explicit opt-out for
-    known-bounded keys — also skips the eager count job).
+    known-bounded keys — also skips the eager count job).  ``cap`` may
+    also be a :class:`FoldKeyGuard`: the shared pre-pass already ran at
+    guard construction, so this adds no job — passthrough in
+    ``"error"`` mode, one broadcast anti-join in ``"divert"`` mode.
     """
     if cap is None:
         return ev
+    if isinstance(cap, FoldKeyGuard):
+        return cap.apply(ev, key)
     if cap < 1:
         raise ValueError(f"max_events_per_key must be >= 1, got {cap}")
     if on_oversized not in ("error", "divert"):

@@ -33,7 +33,7 @@ def main() -> None:
         cms_sketch,
         cusum_flags,
         ewma,
-        fold_key_report,
+        FoldKeyGuard,
         histogram_merge,
         histogram_quantiles,
         histogram_sketch,
@@ -97,34 +97,33 @@ def main() -> None:
     #    The default guard runs one EAGER count job per call and
     #    re-evaluates the upstream plan — fine for a single fold over a
     #    parquet scan, wasteful for REPEATED folds over the same frame
-    #    (here: ewma + cusum over `events`). The recommended pattern:
-    #    cache the frame, run the guard check ONCE via fold_key_report,
-    #    then opt the subsequent folds out with max_events_per_key=None.
+    #    (here: ewma + cusum + holt over `events`). For that, construct
+    #    ONE FoldKeyGuard (the count job runs once, at construction,
+    #    with the same loud error contract) and hand it to every fold
+    #    via max_events_per_key=guard — the folds add no further jobs.
     #    Measured at sf0.1 (100k events, local[32], best-of-3): 1.44 s
-    #    for the two default-guarded calls vs 1.35 s guard-once — a
-    #    modest win here because job scheduling dominates at 100k rows,
-    #    but the saving is one full upstream re-evaluation PER FOLD, so
-    #    it grows with upstream cost (joins, UDF decode) and fold count.
+    #    for two default-guarded calls vs 1.35 s guard-once — a modest
+    #    win here because job scheduling dominates at 100k rows, but
+    #    the saving is one full upstream re-evaluation PER FOLD, so it
+    #    grows with upstream cost (joins, UDF decode) and fold count.
     events.cache()
-    oversized = fold_key_report(
+    guard = FoldKeyGuard(
         events, "user_id",
         max_events_per_key=DEFAULT_MAX_EVENTS_APPEND_FOLD,
         where="value IS NOT NULL",
-    )
-    if not oversized.isEmpty():  # same loud contract, paid once
-        raise ValueError(f"viral keys: {oversized.limit(5).collect()}")
+    )  # raises loudly at construction if any key exceeds the cap
     smoothed = ewma(events, "user_id", "ts", "value", alpha=0.25,
-                    order_col="event_id", max_events_per_key=None)
+                    order_col="event_id", max_events_per_key=guard)
     alarms = cusum_flags(events, "user_id", "ts", "value", drift=0.25,
                          threshold=1.5, order_col="event_id",
-                         max_events_per_key=None)
+                         max_events_per_key=guard)
     # trend-aware sibling: Holt level+trend; level+trend is the
     # one-step forecast a drift monitor alerts against
     from dbldatagen_spark.functions import holt_linear
 
     trended = holt_linear(events, "user_id", "ts", "value",
                           alpha=0.25, beta=0.125, order_col="event_id",
-                          max_events_per_key=None)
+                          max_events_per_key=guard)
     print("smoothed rows:", smoothed.count(),
           "| CUSUM alarms:", alarms.where("alarm").count(),
           "| holt rows:", trended.count())

@@ -3895,6 +3895,63 @@ class TestFoldKeyGuard:
                              on_oversized="divert")
         assert [r.k for r in ac.collect()] == ["cold"]
 
+    def test_shared_guard_one_prepass_for_three_folds(self, spark):
+        # FoldKeyGuard runs the eager key-count job ONCE at
+        # construction; three guarded folds then add ZERO further jobs
+        # until their own actions, and results match the cap=None path
+        from dbldatagen_spark.functions import (
+            FoldKeyGuard, cusum_flags, ewma, trajectory_vectors,
+        )
+
+        df = self._hot_cold(spark)
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        sc.setJobGroup("foldguard-prepass", "guard-once test")
+        try:
+            guard = FoldKeyGuard(df, "k", max_events_per_key=100,
+                                 where="v IS NOT NULL")
+            after_guard = set(tracker.getJobIdsForGroup("foldguard-prepass"))
+            a = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                     max_events_per_key=guard)
+            b = cusum_flags(df, "k", "ts", "v", drift=0.1, threshold=5.0,
+                            order_col="oid", max_events_per_key=guard)
+            c = trajectory_vectors(df, "k", "ts", "v", n_points=4,
+                                   max_events_per_key=guard)
+            after_folds = set(tracker.getJobIdsForGroup("foldguard-prepass"))
+        finally:
+            sc.setJobGroup("", "")
+        assert len(after_guard) >= 1          # the single pre-pass ran
+        assert after_folds == after_guard     # folds added no jobs
+        ref = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                   max_events_per_key=None)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, ref.collect()))
+        assert b.count() == cusum_flags(
+            df, "k", "ts", "v", drift=0.1, threshold=5.0,
+            order_col="oid", max_events_per_key=None,
+        ).count()
+        assert c.count() == 2
+
+    def test_shared_guard_error_and_divert_modes(self, spark):
+        from dbldatagen_spark.functions import FoldKeyGuard, ewma
+
+        df = self._hot_cold(spark)
+        # error mode raises at construction, naming the hot key
+        with pytest.raises(ValueError, match="hot=12 events"):
+            FoldKeyGuard(df, "k", max_events_per_key=10,
+                         where="v IS NOT NULL")
+        # divert mode: one collect at construction, every guarded fold
+        # drops the same key set via a broadcast anti-join
+        guard = FoldKeyGuard(df, "k", max_events_per_key=10,
+                             on_oversized="divert", where="v IS NOT NULL")
+        out = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                   max_events_per_key=guard)
+        assert out.where(F.col("k") == "hot").count() == 0
+        assert out.where(F.col("k") == "cold").count() == 3
+        with pytest.raises(ValueError, match="max_events_per_key"):
+            FoldKeyGuard(df, "k", max_events_per_key=0)
+        with pytest.raises(ValueError, match="on_oversized"):
+            FoldKeyGuard(df, "k", max_events_per_key=5, on_oversized="nope")
+
     def test_funnel_diverts_hot_user(self, spark):
         from dbldatagen_spark.functions import funnel_steps
 
