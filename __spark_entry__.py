@@ -453,6 +453,71 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction — the
+    standard pre-dedup web normalizer (scheme/www/default-port/
+    tracking-param/fragment/trailing-slash noise collapses to one
+    scheme-agnostic key; PSL-style owner domain feeds quota_sample
+    and per-domain dedup).  Conformance runs over an adversarial
+    fixture set (case soup, userinfo, ports, multi-part TLDs, IPv4,
+    bare params, garbage, NULL) against HAND-DERIVED expected outputs
+    in the oracle — independent truth, not a mirrored implementation.
+    The op itself is map-only whole-stage-codegen expressions
+    (pytest-asserted: no exchange, no Python eval in the plan)."""
+    from dbldatagen_spark.functions import canonicalize_urls
+
+    fixtures = [
+        (1, "HTTP://WWW.Example.COM:80/a//b/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a/b?a=1&b=2"),
+        (3, "example.com/"),
+        (4, "https://user:pw@Sub.Shop.co.uk:8080/Path/"),
+        (5, "http://192.168.0.1:443/x"),
+        (6, "https://blog.example.github.io/post?"),
+        (7, "ftp://files.example.org./data"),
+        (8, "not a url at all"),
+        (9, None),
+        (10, "localhost:8000/api?fbclid=zzz&q=term"),
+        (11, "example.com/s?q&UTM_CAMPAIGN=x"),
+        (12, "https://news.bbc.CO.UK//world///europe/?_ga=1.2&id=9#top"),
+    ]
+    df = spark.createDataFrame(fixtures, "id long, url string")
+    return (
+        canonicalize_urls(df, "url")
+        .select("id", "url_canonical", "registrable_domain")
+        .orderBy("id")
+    )
+
+
+def _dedup_lsh_tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-driven LSH banding: lsh_tune derives (bands, rows)
+    from the target Jaccard via the s-curve 1-(1-s^r)^b — largest r
+    (sharpest curve, fewest sub-threshold candidates: the cost that
+    matters at 100 TB where every candidate is a verification-join
+    row) whose recall at the threshold still clears 0.95.  For
+    threshold 0.8 over 128 hashes the tuner lands on 32 bands x 4
+    rows (recall 1-5e-8, midpoint 0.42 < 0.8 — the curve brackets
+    the threshold, asserted in the emitted boolean and hardcoded in
+    the oracle since the tuner is pure deterministic math).  The
+    verified pair output equals the exact >=0.8 Jaccard pair set,
+    replayed relationally by the oracle."""
+    from dbldatagen_spark.functions import lsh_tune, minhash_near_duplicates
+
+    b, r, recall, midpoint = lsh_tune(0.8, num_hashes=128, target_recall=0.95)
+    docs = _load(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        docs, "doc_id", "text", k=3, threshold=0.8,
+        num_hashes=128, bands="auto",
+    )
+    return pairs.select(
+        "id_a", "id_b", "jaccard",
+        F.lit(int(b)).cast("int").alias("bands"),
+        F.lit(int(r)).cast("int").alias("rows_per_band"),
+        F.lit(bool(recall >= 0.95 and midpoint <= 0.8)).alias(
+            "curve_brackets_threshold"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
 def _dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dbldatagen_spark.functions import embedding_near_duplicates
 
@@ -5730,6 +5795,78 @@ def _emb_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ residual serving index (Jegou et al. 2011 IVFADC) — the
+    standard 100 TB ANN layout: a coarse k-means quantizer routes each
+    vector to one of 8 inverted lists and PQ compresses the RESIDUAL
+    to m=8 codes, so the serving state is 8 small ints + a cell id per
+    row and a probe touches only n_probe=4 cells' codes via per-cell
+    literal lookup tables (cell IN (...) is a pushable scan predicate;
+    partition the index by cell at scale and it partition-prunes).
+    Per md5-selected probe the exact L2 top-10 must overlap the
+    ADC shortlist of L = max(50, n/10) by >= 3 (measured 6-10 at all
+    three SFs; uniform random embeddings are PQ's worst case, and the
+    floor is deliberately loose per the emb_pq_adc convention — the
+    jitter-exposed raw overlaps stay out of the emitted cells).  The
+    ADC==centroid+decode law is pytest-proven
+    (test_adc_equals_centroid_plus_decode_distance)."""
+    from dbldatagen_spark.functions import ivfpq_build, ivfpq_topk
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = emb.count()
+    L = max(50, n // 10)
+    idx, cents, cb = ivfpq_build(
+        emb, "vec_id", "v", n_cells=8, m=8, k=16,
+        coarse_max_iter=6, pq_max_iter=6,
+    )
+    idx = idx.cache()
+    probes = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(3)
+        .collect()
+    )
+    rows = []
+    try:
+        idx.count()  # materialize once; 3 probes + exact lanes reuse it
+        for p in probes:
+            q = list(p["v"])
+            shortlist = {
+                r["vec_id"]
+                for r in ivfpq_topk(
+                    idx, "vec_id", cents, cb, q, k=L, n_probe=4,
+                    exclude_id=p["vec_id"],
+                ).collect()
+            }
+            qa = F.array(*[F.lit(float(x)) for x in q])
+            d = F.aggregate(
+                F.zip_with(F.col("v"), qa, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            exact = {
+                r["vec_id"]
+                for r in emb.where(F.col("vec_id") != p["vec_id"])
+                .select("vec_id", F.round(d, 4).alias("d"))
+                .orderBy("d", "vec_id")
+                .limit(10)
+                .collect()
+            }
+            overlap = len(shortlist & exact)
+            rows.append(
+                (int(p["vec_id"]), int(n), 8, 4, int(min(L, n - 1)),
+                 bool(overlap >= 3))
+            )
+    finally:
+        idx.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "qid long, n_vectors long, n_cells int, n_probe int, "
+        "shortlist_cap long, recall_floor_ok boolean",
+    ).orderBy("qid")
+
+
 def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007): per
     event type, a dense 256-register HLL over the portable md5 hash
@@ -6227,6 +6364,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codebooks": _emb_pq_codebooks,
         "events_kmv_overlap": _events_kmv_overlap,
         "emb_pq_adc": _emb_pq_adc,
+        "ann_ivf_pq": _ann_ivf_pq,
+        "dedup_lsh_tuned": _dedup_lsh_tuned,
+        "text_url_canonical": _text_url_canonical,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q8_market_share": _q8_market_share,
@@ -8234,6 +8374,17 @@ def _oracle_sql_base() -> dict[str, str]:
         """,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_minhash_lsh": _NGRAM_JACCARD_ORACLE,
+        # tuned banding is pure deterministic math: (0.8, 128, 0.95)
+        # -> 32 bands x 4 rows, curve brackets the threshold
+        "dedup_lsh_tuned": f"""
+            SELECT id_a, id_b, jaccard,
+                   CAST(32 AS INTEGER) AS bands,
+                   CAST(4 AS INTEGER) AS rows_per_band,
+                   true AS curve_brackets_threshold
+            FROM ({_NGRAM_JACCARD_ORACLE})
+            WHERE jaccard >= 0.8
+            ORDER BY id_a, id_b
+        """,
         "dedup_simhash": r"""
             WITH t AS (
                 SELECT doc_id,
@@ -9915,6 +10066,42 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"
         ),
+        # hand-derived expected canonicalizations — independent truth
+        # for the adversarial URL fixture set (NOT a mirrored impl)
+        "text_url_canonical": """
+            SELECT * FROM (VALUES
+                (1::BIGINT, 'example.com/a/b?a=1&b=2', 'example.com'),
+                (2, 'example.com/a/b?a=1&b=2', 'example.com'),
+                (3, 'example.com', 'example.com'),
+                (4, 'sub.shop.co.uk:8080/Path', 'shop.co.uk'),
+                (5, '192.168.0.1/x', '192.168.0.1'),
+                (6, 'blog.example.github.io/post', 'example.github.io'),
+                (7, 'files.example.org/data', 'example.org'),
+                (8, NULL, NULL),
+                (9, NULL, NULL),
+                (10, 'localhost:8000/api?q=term', 'localhost'),
+                (11, 'example.com/s?q', 'example.com'),
+                (12, 'news.bbc.co.uk/world/europe?id=9', 'bbc.co.uk')
+            ) AS t(id, url_canonical, registrable_domain)
+            ORDER BY id
+        """,
+        "ann_ivf_pq": """
+            WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),
+            q AS (
+                SELECT vec_id AS qid FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 3
+            )
+            SELECT q.qid,
+                   n.c AS n_vectors,
+                   CAST(8 AS INTEGER) AS n_cells,
+                   CAST(4 AS INTEGER) AS n_probe,
+                   CASE WHEN greatest(50, n.c // 10) < n.c - 1
+                        THEN greatest(50, n.c // 10)
+                        ELSE n.c - 1 END AS shortlist_cap,
+                   true AS recall_floor_ok
+            FROM q CROSS JOIN n
+            ORDER BY q.qid
+        """,
         "emb_pq_adc": """
             WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),
             q AS (

@@ -288,3 +288,119 @@ def dedup_lines_corpus(
             .alias("n_lines_removed"),
         )
     )
+
+
+# Tracking parameters stripped by canonicalize_urls — the common
+# analytics/click identifiers that vary per visit without changing the
+# resource (the standard pre-dedup URL noise).
+_TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|igshid|twclid|yclid"
+    "|mc_cid|mc_eid|s_kwcid|ref|ref_src|spm|_ga)$"
+)
+
+# Common multi-part public suffixes for the registrable-domain
+# heuristic — a deliberately small, documented subset of the public
+# suffix list (the full PSL is ~10k entries and updates monthly; ship
+# it as data and swap this set when exactness matters).
+_SECOND_LEVEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "ac.in",
+    "com.br", "net.br", "org.br",
+    "com.mx", "com.ar", "com.cn", "net.cn", "org.cn",
+    "com.sg", "com.hk", "com.tw", "co.kr", "or.kr",
+    "com.tr", "co.za", "org.za", "co.il", "org.il",
+    "github.io", "gitlab.io", "blogspot.com",
+]
+
+
+def canonicalize_urls(
+    df: DataFrame,
+    url_col: str,
+    *,
+    out_col: str = "url_canonical",
+    domain_col: str = "registrable_domain",
+) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction — the
+    standard pre-dedup normalizer for web corpora: two crawls of the
+    same page differ by scheme, www, default port, tracking params,
+    param order, fragment, and trailing slash, so deduplicating (or
+    quota-sampling) on the RAW url undercounts duplicates and
+    overcounts domains.
+
+    The canonical form is the scheme-agnostic dedup key
+    ``host[:port][/path][?query]``:
+
+    - scheme and fragment dropped (http/https of one page collapse);
+    - host lowercased, leading ``www.`` and trailing dot stripped,
+      userinfo removed; ports 80/443 dropped, others kept;
+    - path keeps its case (paths are case-sensitive), duplicate
+      slashes collapse, the trailing slash is stripped (root path
+      becomes the bare host);
+    - query params are split, tracking params (``utm_*``, ``gclid``,
+      ``fbclid``, ...) and empties removed, the rest SORTED and
+      rejoined — param order never distinguishes resources.
+
+    ``registrable_domain`` is the PSL-style owner domain (``a.b.co.uk``
+    -> ``b.co.uk``; ``x.github.io`` -> ``x.github.io``) via the
+    documented suffix subset above; IPv4 hosts and single-label hosts
+    pass through unchanged.  Rows whose host fails to parse (empty, or
+    containing characters no hostname allows) get NULL in both output
+    columns — loud downstream, never a silently-wrong key.
+
+    Scale shape: map-only whole-stage-codegen expressions (regex +
+    array ops on each row's own URL) — no UDF, no shuffle, safe to run
+    inline in any scan.
+    """
+    u = F.trim(F.col(url_col))
+    no_scheme = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    no_frag = F.regexp_replace(no_scheme, "#.*$", "")
+    authority = F.regexp_extract(no_frag, "^([^/?]*)", 1)
+    host_port = F.regexp_replace(authority, "^[^@]*@", "")
+    port = F.regexp_extract(host_port, ":([0-9]+)$", 1)
+    host = F.lower(F.regexp_replace(host_port, ":[0-9]*$", ""))
+    host = F.regexp_replace(host, r"\.$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    keep_port = (port != "") & (port != "80") & (port != "443")
+    path = F.regexp_extract(no_frag, r"^[^/?]*(/[^?]*)?", 1)
+    path = F.regexp_replace(path, "/{2,}", "/")
+    path = F.regexp_replace(path, "/$", "")
+    qs = F.regexp_extract(no_frag, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~F.lower(F.element_at(F.split(p, "="), 1)).rlike(
+            _TRACKING_PARAM_RE
+        ),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    valid = (host != "") & host.rlike(r"^[a-z0-9._\-]+$")
+    canon = F.concat(
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(canon_q != "", F.concat(F.lit("?"), canon_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
+    last1 = F.try_element_at(labels, F.lit(-1))
+    last2 = F.try_element_at(labels, F.lit(-2))
+    last3 = F.try_element_at(labels, F.lit(-3))
+    sld = F.concat_ws(".", last2, last1)
+    suffixes = F.array(*[F.lit(s) for s in _SECOND_LEVEL_SUFFIXES])
+    dom = (
+        F.when(is_ip | (n <= 1), host)
+        .when(
+            F.array_contains(suffixes, sld) & (n >= 3),
+            F.concat_ws(".", last3, last2, last1),
+        )
+        .otherwise(sld)
+    )
+    return df.withColumn(
+        out_col, F.when(valid, canon)
+    ).withColumn(domain_col, F.when(valid, dom))

@@ -243,6 +243,59 @@ def minhash_signature_exprs(
     return out
 
 
+def lsh_tune(
+    threshold: float,
+    *,
+    num_hashes: int = 128,
+    target_recall: float = 0.95,
+):
+    """Derive ``(bands, rows_per_band)`` from a target Jaccard
+    threshold via the banded-LSH s-curve (Leskovec, Rajaraman &
+    Ullman, *Mining of Massive Datasets* §3.4.3): with ``r`` rows per
+    band and ``b`` bands, a pair of Jaccard ``s`` collides in at least
+    one band with probability ``1 - (1 - s^r)^b``.
+
+    Among the divisor pairs ``b * r = num_hashes`` this picks the
+    LARGEST ``r`` whose recall at ``threshold`` still meets
+    ``target_recall`` — the sharpest s-curve, hence the fewest
+    sub-threshold false-positive candidates.  That is the knob that
+    matters at 100 TB: every candidate is a row in the verification
+    join, so a lazily-flat curve (small ``r``) buries the cluster in
+    boilerplate-pair verification work, while an over-sharp curve
+    silently drops true pairs.  Falls back to ``r=1`` (maximum recall)
+    if no divisor pair meets the target.
+
+    Returns ``(bands, rows_per_band, recall_at_threshold, midpoint)``
+    where ``midpoint = (1/b)^(1/r)`` is the similarity at which the
+    curve crosses ~63% collision probability; for any chosen pair the
+    curve BRACKETS the threshold: ``midpoint <= threshold`` and
+    ``recall_at_threshold >= target_recall``.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError(
+            f"target_recall must be in (0, 1), got {target_recall}"
+        )
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    chosen = None
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r != 0:
+            continue
+        b = num_hashes // r
+        recall = 1.0 - (1.0 - threshold ** r) ** b
+        if recall >= target_recall:
+            chosen = (b, r, recall)
+            break
+    if chosen is None:  # r=1 always divides, so only hit when even
+        b, r = num_hashes, 1  # b bands of 1 row: the max-recall curve
+        chosen = (b, r, 1.0 - (1.0 - threshold) ** b)
+    b, r, recall = chosen
+    midpoint = (1.0 / b) ** (1.0 / r)
+    return b, r, recall, midpoint
+
+
 def minhash_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -250,7 +303,7 @@ def minhash_near_duplicates(
     *,
     k: int = 3,
     num_hashes: int = 64,
-    bands: int = 32,
+    bands=32,
     threshold: float = 0.7,
     verify: bool = True,
     cache: bool = True,
@@ -274,7 +327,13 @@ def minhash_near_duplicates(
     Cost note: signature evaluation is interpreted (Spark never codegens
     higher-order functions), so it scales with num_hashes x shingles; 64
     hashes is the sweet spot between that cost and band recall.
+
+    ``bands="auto"`` derives the banding from the threshold via
+    :func:`lsh_tune` (s-curve bracketing at the default 0.95 recall
+    target) instead of hand-picking.
     """
+    if bands == "auto":
+        bands, _r, _, _ = lsh_tune(threshold, num_hashes=num_hashes)
     if num_hashes % bands != 0:
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     rows_per_band = num_hashes // bands

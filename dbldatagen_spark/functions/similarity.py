@@ -926,6 +926,156 @@ def pq_reconstruction_report(
     )
 
 
+def ivfpq_build(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    n_cells: int,
+    m: int,
+    k: int,
+    coarse_max_iter: int = 10,
+    pq_max_iter: int = 10,
+    cell_col: str = "cell",
+    codes_col: str = "pq_codes",
+):
+    """Build an IVF-PQ RESIDUAL serving index (Jegou, Douze & Schmid
+    2011 §IV, "IVFADC") — the standard 100 TB ANN layout: a coarse
+    k-means quantizer routes each vector to one of ``n_cells``
+    inverted lists, and product quantization compresses the RESIDUAL
+    ``x - centroid(cell)`` (not the raw vector) to ``m`` small codes.
+    Residual PQ is what makes the combination work: residuals
+    concentrate near zero with far less variance than raw vectors, so
+    the same codebook budget yields much finer distances.
+
+    Returns ``(index_df, centroids, codebooks)``:
+
+    - ``index_df`` — ``(id, cell, codes)``: the entire serving state,
+      ``m`` small ints + a cell id per row (the corpus floats are
+      gone);
+    - ``centroids`` — ``(n_cells, d)`` numpy coarse centroids;
+    - ``codebooks`` — ``(m, k, d/m)`` numpy residual codebooks.
+
+    Scale shape: coarse train is :func:`kmeans_fit` (driver traffic
+    O(partitions * n_cells * d) per iteration, row-count independent);
+    assignment is one vectorized ``mapInPandas`` pass; the residual is
+    pure JVM expression arithmetic (``zip_with`` against a literal
+    centroid lookup — no second Python pass); residual PQ train is
+    :func:`pq_train`'s fused single-scan-per-iteration shape.  Nothing
+    here collects data rows to the driver.
+    """
+    cents, _ = kmeans_fit(
+        df, vec_col, k=n_cells, id_col=id_col, max_iter=coarse_max_iter
+    )
+    assigned = kmeans_assign(df, vec_col, cents, out_col=cell_col)
+    # residual via a literal centroid table: n_cells * d floats in the
+    # plan — broadcast-sized by construction (n_cells rows)
+    cent_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in row]) for row in cents
+    ])
+    res = assigned.select(
+        F.col(id_col),
+        F.col(cell_col),
+        F.zip_with(
+            F.col(vec_col),
+            F.try_element_at(cent_lit, F.col(cell_col) + F.lit(1)),
+            lambda a, b: a - b,
+        ).alias("_res"),
+    )
+    codebooks, _ = pq_train(
+        res, "_res", m=m, k=k, id_col=id_col, max_iter=pq_max_iter
+    )
+    index_df = pq_encode(res, "_res", codebooks, out_col=codes_col).select(
+        id_col, cell_col, codes_col
+    )
+    return index_df, cents, codebooks
+
+
+def ivfpq_topk(
+    index_df: DataFrame,
+    id_col: str,
+    centroids,
+    codebooks,
+    query: Sequence[float],
+    k: int = 10,
+    *,
+    n_probe: int = 2,
+    cell_col: str = "cell",
+    codes_col: str = "pq_codes",
+    exclude_id: Optional[int] = None,
+    out_col: str = "adc_dist",
+) -> DataFrame:
+    """Serve a query from an :func:`ivfpq_build` index: probe the
+    ``n_probe`` cells whose coarse centroids are nearest the query,
+    then ADC-score ONLY those cells' codes against per-cell residual
+    lookup tables — the IVFADC search of Jegou et al. 2011 §IV.
+
+    Because codes quantize residuals, each probed cell ``c`` gets its
+    own table ``lut_c[s][j] = ||(q - centroid_c)_s - codebook[s][j]||^2``
+    (computed driver-side: ``n_probe * m * k`` doubles, a literal in
+    the plan); a row's distance is ``m`` lookups into its cell's
+    table, and by construction equals
+    ``||q - (centroid_cell + decode(codes))||^2``.
+
+    Scale shape: ``cell IN (probes)`` is a pushable scan predicate
+    (partition-prune when the index is written partitioned by cell —
+    the intended layout at 100 TB), the score is whole-stage-codegen
+    lookup arithmetic (no UDF), and ``orderBy ... limit k`` plans as
+    per-partition top-k (TakeOrderedAndProject) — the query never
+    shuffles or decodes the corpus.  Ranking follows the portable
+    convention (round 4, id tiebreak); NULL distances (corrupt or
+    foreign code rows) are filtered as in :func:`pq_adc_topk`.
+    """
+    cents = np.asarray(centroids, dtype=float)
+    cb = np.asarray(codebooks, dtype=float)
+    if cb.ndim != 3:
+        raise ValueError(
+            f"codebooks must be (m, k, dsub), got shape {cb.shape}"
+        )
+    m, n_codes, dsub = cb.shape
+    q = np.asarray(list(query), dtype=float)
+    if q.shape != (cents.shape[1],):
+        raise ValueError(
+            f"query length {q.shape[0]} != centroid dim {cents.shape[1]}"
+        )
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1:
+        raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+    # coarse ranking: exact L2 from the query to every centroid —
+    # n_cells rows, a driver-side decision like ivf_ann_topk
+    d2cell = ((cents - q[None, :]) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.lexsort((np.arange(len(d2cell)), d2cell))[:n_probe]]
+    # per-probed-cell LUT over the cell's residual query, flattened to
+    # m*k doubles and exposed as one literal map keyed by cell id
+    lut_arrays = []
+    for c in probe_cells:
+        qr = (q - cents[c]).reshape(m, 1, dsub)
+        lut = ((cb - qr) ** 2).sum(axis=2)  # (m, k)
+        lut_arrays.append(F.array(*[F.lit(float(x)) for x in lut.reshape(-1)]))
+    lut_map = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in probe_cells]),
+        F.array(*lut_arrays),
+    )
+    cell_lut = F.try_element_at(lut_map, F.col(cell_col))
+    dist = None
+    for s in range(m):
+        code_s = F.try_element_at(F.col(codes_col), F.lit(s + 1))
+        term = F.try_element_at(
+            cell_lut, code_s + F.lit(s * n_codes + 1)
+        )
+        dist = term if dist is None else dist + term
+    out = ensure_parallelism(
+        index_df.where(F.col(cell_col).isin(probe_cells))
+    ).select(
+        F.col(id_col), F.col(cell_col), F.round(dist, 4).alias(out_col)
+    )
+    if exclude_id is not None:
+        out = out.where(F.col(id_col) != F.lit(exclude_id))
+    out = out.where(F.col(out_col).isNotNull())
+    return out.orderBy(F.col(out_col), F.col(id_col)).limit(k)
+
+
 def truncate_embeddings(
     df: DataFrame,
     vec_col: str,

@@ -919,6 +919,60 @@ def test_stop_shingle_cap(spark):
     assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == set(un)
 
 
+class TestLshTune:
+    def test_known_values(self):
+        from dbldatagen_spark.functions import lsh_tune
+
+        assert lsh_tune(0.8, num_hashes=128)[:2] == (32, 4)
+        assert lsh_tune(0.7, num_hashes=64)[:2] == (16, 4)
+        assert lsh_tune(0.9, num_hashes=128)[:2] == (16, 8)
+
+    def test_curve_brackets_threshold_everywhere(self):
+        # for every (threshold, num_hashes) the chosen pair must put the
+        # s-curve midpoint at or below the threshold with recall >= target
+        from dbldatagen_spark.functions import lsh_tune
+
+        for nh in (16, 32, 64, 128, 256):
+            for t10 in range(1, 10):
+                t = t10 / 10.0
+                b, r, recall, mid = lsh_tune(t, num_hashes=nh)
+                assert b * r == nh
+                assert recall >= 0.95 or r == 1   # r=1 = max-recall fallback
+                assert mid <= t + 1e-12
+                # sharper alternative (next-larger divisor r) must MISS
+                # the target — i.e. r is maximal
+                sharper = [rr for rr in range(r + 1, nh + 1) if nh % rr == 0]
+                if sharper and recall >= 0.95:
+                    rr = sharper[0]
+                    bb = nh // rr
+                    assert 1.0 - (1.0 - t ** rr) ** bb < 0.95
+
+    def test_validation(self):
+        from dbldatagen_spark.functions import lsh_tune
+
+        with pytest.raises(ValueError, match="threshold"):
+            lsh_tune(0.0)
+        with pytest.raises(ValueError, match="target_recall"):
+            lsh_tune(0.5, target_recall=1.0)
+        with pytest.raises(ValueError, match="num_hashes"):
+            lsh_tune(0.5, num_hashes=0)
+
+    def test_auto_bands_matches_explicit(self, spark, docs):
+        from dbldatagen_spark.functions import minhash_near_duplicates
+
+        auto = minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=128,
+            bands="auto",
+        )
+        explicit = minhash_near_duplicates(
+            docs, "doc_id", "text", threshold=0.8, num_hashes=128,
+            bands=32,
+        )
+        assert sorted(map(tuple, auto.collect())) == sorted(
+            map(tuple, explicit.collect())
+        )
+
+
 def test_minhash_bucket_cap(spark, docs):
     from dbldatagen_spark.functions import minhash_near_duplicates
 
@@ -1120,6 +1174,59 @@ def test_repetition_metrics(spark):
     # short/empty docs degrade to zeros, not nulls or errors
     assert rows[3]["top_bigram_share"] == 0.0
     assert rows[4]["dup_line_fraction"] == 0.0
+
+
+class TestCanonicalizeUrls:
+    """Pre-dedup URL normalizer: two crawls of one page must collapse
+    to one canonical key; malformed hosts go NULL, never wrong."""
+
+    def _canon(self, spark, urls):
+        from dbldatagen_spark.functions import canonicalize_urls
+
+        df = spark.createDataFrame(
+            list(enumerate(urls)), "id long, url string"
+        )
+        return {
+            r["id"]: (r["url_canonical"], r["registrable_domain"])
+            for r in canonicalize_urls(df, "url").collect()
+        }
+
+    def test_variants_of_one_page_collapse(self, spark):
+        out = self._canon(spark, [
+            "HTTP://WWW.Example.COM:80/a//b/?utm_source=x&b=2&a=1#frag",
+            "https://example.com/a/b?a=1&b=2",
+            "example.com/a/b/?b=2&a=1&fbclid=abc",
+        ])
+        assert len({v for v in out.values()}) == 1
+        assert out[0] == ("example.com/a/b?a=1&b=2", "example.com")
+
+    def test_edges(self, spark):
+        out = self._canon(spark, [
+            "https://user:pw@Sub.Shop.co.uk:8080/Path/",  # userinfo, port, case
+            "http://192.168.0.1:443/x",                   # IPv4, default port
+            "https://blog.example.github.io/post?",       # PSL-ish suffix
+            "ftp://files.example.org./data",              # trailing-dot host
+            "localhost:8000/api?fbclid=zzz&q=term",       # single label
+            "example.com/s?q&UTM_CAMPAIGN=x",             # bare param, upper tracking
+            "not a url at all",
+            None,
+        ])
+        assert out[0] == ("sub.shop.co.uk:8080/Path", "shop.co.uk")
+        assert out[1] == ("192.168.0.1/x", "192.168.0.1")
+        assert out[2] == ("blog.example.github.io/post", "example.github.io")
+        assert out[3] == ("files.example.org/data", "example.org")
+        assert out[4] == ("localhost:8000/api?q=term", "localhost")
+        assert out[5] == ("example.com/s?q", "example.com")
+        assert out[6] == (None, None)
+        assert out[7] == (None, None)
+
+    def test_map_only_plan(self, spark):
+        from dbldatagen_spark.functions import canonicalize_urls
+
+        df = spark.createDataFrame([(1, "https://a.com/x")], "id long, url string")
+        plan = canonicalize_urls(df, "url")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_strip_boilerplate_lines(spark):
@@ -5107,6 +5214,110 @@ class TestProductQuantization:
             pq_adc_topk(df, "vec_id", "pq_codes", cb, [1.0, 2.0], k=1)
         with pytest.raises(ValueError):
             pq_adc_topk(df, "vec_id", "pq_codes", cb, [0.0] * 6, k=0)
+
+
+class TestIvfPq:
+    """IVF-PQ residual serving index: coarse cells route, PQ codes
+    compress the residual, per-cell LUTs score — the IVFADC layout."""
+
+    @staticmethod
+    def _clustered(spark, n_per=30, d=4, seed=5):
+        # three well-separated clusters so the coarse quantizer is
+        # meaningful and residuals are small
+        import random
+
+        rng = random.Random(seed)
+        centers = [[0.0] * d, [10.0] * d, [-10.0, 10.0] * (d // 2)]
+        rows = []
+        for ci, c in enumerate(centers):
+            for j in range(n_per):
+                rows.append((ci * n_per + j,
+                             [c[t] + rng.uniform(-1, 1) for t in range(d)]))
+        return spark.createDataFrame(rows, "vec_id long, v array<double>")
+
+    def test_build_index_schema_and_state_size(self, spark):
+        from dbldatagen_spark.functions import ivfpq_build
+
+        df = self._clustered(spark)
+        idx, cents, cb = ivfpq_build(
+            df, "vec_id", "v", n_cells=3, m=2, k=4,
+            coarse_max_iter=6, pq_max_iter=6,
+        )
+        assert idx.columns == ["vec_id", "cell", "pq_codes"]
+        assert cents.shape == (3, 4)
+        assert cb.shape == (2, 4, 2)
+        rows = idx.collect()
+        assert len(rows) == 90
+        assert all(len(r["pq_codes"]) == 2 for r in rows)
+        assert all(0 <= c < 4 for r in rows for c in r["pq_codes"])
+
+    def test_adc_equals_centroid_plus_decode_distance(self, spark):
+        # definitional law: served distance == ||q - (centroid_cell +
+        # decode(codes))||^2 for every returned row
+        import numpy as np
+
+        from dbldatagen_spark.functions import ivfpq_build, ivfpq_topk
+
+        df = self._clustered(spark)
+        idx, cents, cb = ivfpq_build(
+            df, "vec_id", "v", n_cells=3, m=2, k=4,
+        )
+        q = [9.5, 10.5, 9.8, 10.2]
+        got = ivfpq_topk(idx, "vec_id", cents, cb, q, k=90, n_probe=3)
+        by_id = {r["vec_id"]: r for r in idx.collect()}
+        qv = np.asarray(q)
+        rows = got.collect()
+        assert rows
+        for r in rows:
+            cell = by_id[r["vec_id"]]["cell"]
+            codes = by_id[r["vec_id"]]["pq_codes"]
+            dec = cents[cell] + np.concatenate(
+                [cb[s, codes[s]] for s in range(2)]
+            )
+            want = float(((qv - dec) ** 2).sum())
+            assert abs(r["adc_dist"] - round(want, 4)) < 1e-9
+
+    def test_probe_recall_on_clustered_data(self, spark):
+        # query near cluster 1: n_probe=1 must already return that
+        # cluster's members with high exact-top-k overlap
+        import numpy as np
+
+        from dbldatagen_spark.functions import ivfpq_build, ivfpq_topk
+
+        df = self._clustered(spark)
+        idx, cents, cb = ivfpq_build(df, "vec_id", "v", n_cells=3, m=2, k=16)
+        q = np.asarray([10.0, 10.0, 10.0, 10.0])
+        approx = {r["vec_id"] for r in
+                  ivfpq_topk(idx, "vec_id", cents, cb, list(q), k=10,
+                             n_probe=1).collect()}
+        vecs = {r["vec_id"]: np.asarray(r["v"]) for r in df.collect()}
+        exact = sorted(vecs, key=lambda i: (float(((vecs[i] - q) ** 2).sum()), i))[:10]
+        assert len(approx & set(exact)) >= 7  # measured 8 (k=16 codewords)
+        # full probe can only improve on single-probe recall
+        full = {r["vec_id"] for r in
+                ivfpq_topk(idx, "vec_id", cents, cb, list(q), k=10,
+                           n_probe=3).collect()}
+        assert len(full & set(exact)) >= len(approx & set(exact))
+
+    def test_partition_stability_and_validation(self, spark):
+        import numpy as np
+
+        from dbldatagen_spark.functions import ivfpq_build, ivfpq_topk
+
+        df = self._clustered(spark)
+        i1, c1, b1 = ivfpq_build(df.repartition(2), "vec_id", "v",
+                                 n_cells=3, m=2, k=4)
+        i2, c2, b2 = ivfpq_build(df.repartition(7), "vec_id", "v",
+                                 n_cells=3, m=2, k=4)
+        assert np.allclose(c1, c2, atol=1e-9)
+        assert np.allclose(b1, b2, atol=1e-9)
+        assert sorted(map(tuple, i1.collect())) == sorted(map(tuple, i2.collect()))
+        with pytest.raises(ValueError, match="query length"):
+            ivfpq_topk(i1, "vec_id", c1, b1, [0.0, 1.0], k=1)
+        with pytest.raises(ValueError, match="n_probe"):
+            ivfpq_topk(i1, "vec_id", c1, b1, [0.0] * 4, k=1, n_probe=0)
+        with pytest.raises(ValueError, match="k must be"):
+            ivfpq_topk(i1, "vec_id", c1, b1, [0.0] * 4, k=0)
 
 
 class TestMrlRecallReport:
