@@ -6281,24 +6281,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-9 rotation: round 8 drained the never-checked backlog to
-    zero, so this window is growth-at-birth plus pure staleness
-    refresh — the 9 round-9 growth rows first, then the 5 r5-head rows
-    that sat just past position 50 in the round-8 window, then the
-    r5-stale cohort in ledger order.  Demoted: the entire round-8
-    window — all 50 were green on their r8 exposure.  The full
+    Round-10 rotation: pure growth-at-birth plus staleness refresh —
+    the 3 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
+    text_url_canonical), then the last 6 r5-stale rows, then the
+    r6-stale cohort in ledger order from gen_distribution_shapes
+    through privacy_dp_counts.  Demoted: the entire round-9 window —
+    all 50 were green on their r9 exposure.  The 7 r6 rows from
+    lineitem_expectations onward overflow to the r11 draw.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-9 driver window (see ROTATION.md) ---
-        # The 9 round-9 growth rows lead (never-checked outranks
-        # recency; windowed at birth), then the 5 r5-head rows that
-        # overflowed the round-8 window at positions 51-55, then the
-        # r5-stale cohort in ledger order from q1_pricing_summary.
-        # Exactly 50 entries precede the demoted marker; the last 6
-        # r5 rows (corpus_mix_epochs, corpus_pack_sequences,
-        # corpus_length_histogram, q9_product_profit,
-        # q21_waiting_supplier, dedup_embedding_cosine) wait for the
-        # r10 draw with the r6 cohort.
+        # --- round-10 driver window (see ROTATION.md) ---
+        # The 3 round-10 growth rows lead (windowed at birth),
+        # then the 6 remaining r5-stale rows, then the r6-stale
+        # cohort in ledger order from gen_distribution_shapes.
+        # Exactly 50 entries precede the demoted marker; the 7
+        # r6 rows from lineitem_expectations onward wait for the
+        # r11 draw (they head it, with any r11 growth rows).
+        "ann_ivf_pq": _ann_ivf_pq,
+        "dedup_lsh_tuned": _dedup_lsh_tuned,
+        "text_url_canonical": _text_url_canonical,
+        # r5-stale rows (last driver row round 5, ledger order)
+        "corpus_mix_epochs": _corpus_mix_epochs,
+        "corpus_pack_sequences": _corpus_pack_sequences,
+        "corpus_length_histogram": _corpus_length_histogram,
+        "q9_product_profit": _q9_product_profit,
+        "q21_waiting_supplier": _q21_waiting_supplier,
+        "dedup_embedding_cosine": _dedup_embedding_cosine,
+        # r6-stale cohort (last driver row round 6, ledger order)
+        "gen_distribution_shapes": _gen_distribution_shapes,
+        "gen_null_fraction": _gen_null_fraction,
+        "gen_unique_temporal": _gen_unique_temporal,
+        "gen_fk_integrity": _gen_fk_integrity,
+        "gen_copula_conformance": _gen_copula_conformance,
+        "gen_markov_conformance": _gen_markov_conformance,
+        "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
+        "q3_top_revenue": _q3_top_unshipped,
+        "q5_region_revenue": _q5_region_revenue,
+        "events_scd2_intervals": _events_scd2_intervals,
+        "events_scd2_lookup": _events_scd2_lookup,
+        "events_cdc_apply": _events_cdc_apply,
+        "customers_derive_cdc": _customers_derive_cdc,
+        "events_streaming_cdc": _events_streaming_cdc,
+        "events_watermark_dedup": _events_watermark_dedup,
+        "events_watermark_late_counts": _events_watermark_late_counts,
+        "events_stream_stream_left_join": _events_stream_stream_left_join,
+        "events_stream_static_join": _events_stream_static_join,
+        "ann_kmeans_ivf": _ann_kmeans_ivf,
+        "ann_lsh_recall": _ann_lsh_recall,
+        "ann_cosine_topk": _ann_cosine_topk,
+        "text_tfidf": _text_tfidf,
+        "text_bm25_search": _text_bm25_search,
+        "docs_hybrid_ranking": _docs_hybrid_ranking,
+        "events_ewma": _events_ewma,
+        "events_cusum_flags": _events_cusum_flags,
+        "events_cms_heavy_hitters": _events_cms_heavy_hitters,
+        "events_cms_join_size": _events_cms_join_size,
+        "events_histogram_quantiles": _events_histogram_quantiles,
+        "events_kmv_daily_merge": _events_kmv_daily_merge,
+        "events_trajectory_similarity": _events_trajectory_similarity,
+        "events_autocorrelation": _events_autocorrelation,
+        "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
+        "multimodal_image_near_dup": _multimodal_image_near_dup,
+        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
+        "multimodal_video_near_dup": _multimodal_video_near_dup,
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_seasonal_anomalies": _events_seasonal_anomalies,
+        "privacy_dp_counts": _privacy_dp_counts,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "events_hll_distinct": _events_hll_distinct,
         "docs_priority_sample": _docs_priority_sample,
         "text_bpe_pairs": _text_bpe_pairs,
@@ -6308,13 +6359,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment_sketch": _dedup_containment_sketch,
         "events_streaming_hll_sink": _events_streaming_hll_sink,
         "events_hll_sliding": _events_hll_sliding,
-        # r5-head overflow from the round-8 window (r5-green)
         "gen_iltext_conformance": _gen_iltext_conformance,
         "gen_faker_conformance": _gen_faker_conformance,
         "gen_scripts_conformance": _gen_scripts_conformance,
         "gen_serialization_roundtrip": _gen_serialization_roundtrip,
         "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
-        # r5-stale cohort (last driver row round 5, ledger order)
         "q1_pricing_summary": _q1_pricing_summary,
         "gen_streaming_conformance": _gen_streaming_conformance,
         "events_asof_join": _events_asof_join,
@@ -6351,11 +6400,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        "corpus_mix_epochs": _corpus_mix_epochs,
-        "corpus_pack_sequences": _corpus_pack_sequences,
-        "corpus_length_histogram": _corpus_length_histogram,
-        "q9_product_profit": _q9_product_profit,
         "events_streaming_behavior": _events_streaming_behavior,
         "events_session_skew_report": _events_session_skew_report,
         "emb_mrl_recall": _emb_mrl_recall,
@@ -6364,9 +6408,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codebooks": _emb_pq_codebooks,
         "events_kmv_overlap": _events_kmv_overlap,
         "emb_pq_adc": _emb_pq_adc,
-        "ann_ivf_pq": _ann_ivf_pq,
-        "dedup_lsh_tuned": _dedup_lsh_tuned,
-        "text_url_canonical": _text_url_canonical,
         "q19_discounted_revenue": _q19_discounted_revenue,
         "q2_min_cost_supplier": _q2_min_cost_supplier,
         "q8_market_share": _q8_market_share,
@@ -6459,47 +6500,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q7_nation_volume": _q7_nation_volume,
         "q10_returned_items": _q10_returned_items,
-        "gen_distribution_shapes": _gen_distribution_shapes,
-        "gen_null_fraction": _gen_null_fraction,
-        "gen_unique_temporal": _gen_unique_temporal,
-        "gen_fk_integrity": _gen_fk_integrity,
-        "gen_copula_conformance": _gen_copula_conformance,
-        "gen_markov_conformance": _gen_markov_conformance,
-        "gen_stock_ticker_conformance": _gen_stock_ticker_conformance,
-        "q3_top_revenue": _q3_top_unshipped,
-        "q5_region_revenue": _q5_region_revenue,
-        "events_scd2_intervals": _events_scd2_intervals,
-        "events_scd2_lookup": _events_scd2_lookup,
-        "events_cdc_apply": _events_cdc_apply,
-        "customers_derive_cdc": _customers_derive_cdc,
-        "events_streaming_cdc": _events_streaming_cdc,
-        "events_watermark_dedup": _events_watermark_dedup,
-        "events_watermark_late_counts": _events_watermark_late_counts,
-        "events_stream_stream_left_join": _events_stream_stream_left_join,
-        "events_stream_static_join": _events_stream_static_join,
-        "ann_kmeans_ivf": _ann_kmeans_ivf,
-        "ann_lsh_recall": _ann_lsh_recall,
-        "ann_cosine_topk": _ann_cosine_topk,
-        "text_tfidf": _text_tfidf,
-        "text_bm25_search": _text_bm25_search,
-        "docs_hybrid_ranking": _docs_hybrid_ranking,
-        "events_ewma": _events_ewma,
-        "events_cusum_flags": _events_cusum_flags,
-        "events_cms_heavy_hitters": _events_cms_heavy_hitters,
-        "events_cms_join_size": _events_cms_join_size,
-        "events_histogram_quantiles": _events_histogram_quantiles,
-        "events_kmv_daily_merge": _events_kmv_daily_merge,
-        "events_trajectory_similarity": _events_trajectory_similarity,
-        "events_autocorrelation": _events_autocorrelation,
-        "lineitem_bloom_prefilter": _lineitem_bloom_prefilter,
-        "multimodal_image_near_dup": _multimodal_image_near_dup,
-        "multimodal_audio_near_dup": _multimodal_audio_near_dup,
-        "multimodal_video_near_dup": _multimodal_video_near_dup,
-        "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_transition_matrix": _events_transition_matrix,
-        "events_seasonal_anomalies": _events_seasonal_anomalies,
-        "privacy_dp_counts": _privacy_dp_counts,
         "lineitem_expectations": _lineitem_expectations,
         "events_psi_drift": _events_psi_drift,
         "customers_rfm_segments": _customers_rfm_segments,
@@ -6507,8 +6507,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": _lineitem_benford,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
-        "q21_waiting_supplier": _q21_waiting_supplier,
-        "dedup_embedding_cosine": _dedup_embedding_cosine,
     }
 
 

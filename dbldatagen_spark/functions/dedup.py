@@ -113,12 +113,65 @@ def shingled_df(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     )
 
 
+DEFAULT_MAX_CANDIDATE_PAIRS = 50_000_000
+
+
+def _candidate_density_guard(
+    posting: DataFrame,
+    sh_col: str,
+    max_posting_len: Optional[int],
+    max_candidate_pairs: Optional[int],
+    op_name: str,
+) -> None:
+    """Loud self-defense for inverted-index blocking — the fold-guard
+    contract applied to pair generation.  The per-posting stop cut
+    bounds any SINGLE viral shingle, but an adversarially dense corpus
+    (tiny shared vocabulary) reaches near-all-pairs candidate density
+    with every posting individually under the cap.  This estimates the
+    candidate-pair upper bound as ``sum over kept postings of
+    C(df, 2)`` — one cheap count-aggregate on the document-frequency
+    frame the cut already computes — and raises with knob guidance
+    instead of silently crawling (measured 243 s for 9 true pairs on
+    the PROFILES adversarial corpus).  ``max_candidate_pairs=None``
+    opts out, the explicit fold-guard-style escape hatch.
+    """
+    if max_candidate_pairs is None:
+        return
+    if max_candidate_pairs < 1:
+        raise ValueError(
+            f"max_candidate_pairs must be >= 1, got {max_candidate_pairs}"
+        )
+    dfreq = posting.groupBy(sh_col).agg(F.count(F.lit(1)).alias("_df"))
+    if max_posting_len is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_posting_len)
+    est_row = dfreq.agg(
+        F.sum(F.col("_df") * (F.col("_df") - F.lit(1)) / F.lit(2))
+        .cast("long")
+        .alias("_est")
+    ).collect()[0]
+    est = int(est_row["_est"] or 0)
+    if est > max_candidate_pairs:
+        raise ValueError(
+            f"{op_name}: estimated candidate-pair upper bound {est:,} "
+            f"exceeds max_candidate_pairs={max_candidate_pairs:,} (sum of "
+            f"C(df,2) over kept postings) — the corpus is too dense for "
+            f"the current blocking and the verify join would crawl. "
+            f"Lower max_posting_len (drops the densest postings from "
+            f"blocking only), widen the shingles (larger k) or the sketch "
+            f"(larger sketch_k), raise max_candidate_pairs if that join "
+            f"cost is intended, or pass max_candidate_pairs=None to opt "
+            f"out of this guard."
+        )
+
+
 def _pair_jaccard(
     shingled: DataFrame,
     id_col: str,
     *,
     threshold: float,
     max_posting_len: Optional[int] = None,
+    max_candidate_pairs: Optional[int] = DEFAULT_MAX_CANDIDATE_PAIRS,
+    op_name: str = "ngram_jaccard_pairs",
 ) -> DataFrame:
     """Inverted-index pair generation + exact Jaccard from a DataFrame of
     ``(id, shingles: array<string>)``.
@@ -149,6 +202,9 @@ def _pair_jaccard(
             .select("_sh")
         )
         blocking = posting.join(keep, "_sh")
+    _candidate_density_guard(
+        posting, "_sh", max_posting_len, max_candidate_pairs, op_name
+    )
     a = blocking.alias("a")
     b = blocking.alias("b")
     cand = (
@@ -196,6 +252,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.7,
     max_posting_len: Optional[int] = 1000,
+    max_candidate_pairs: Optional[int] = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """All document pairs with exact k-word-shingle Jaccard >= threshold.
 
@@ -210,7 +267,9 @@ def ngram_jaccard_pairs(
     """
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     return _pair_jaccard(
-        shingled, id_col, threshold=threshold, max_posting_len=max_posting_len
+        shingled, id_col, threshold=threshold,
+        max_posting_len=max_posting_len,
+        max_candidate_pairs=max_candidate_pairs,
     )
 
 
@@ -1508,6 +1567,7 @@ def containment_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_posting_len: Optional[int] = 1000,
+    max_candidate_pairs: Optional[int] = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Document pairs with high shingle CONTAINMENT — the asymmetric
     near-dup measure (Broder 1997, "On the resemblance and containment
@@ -1548,6 +1608,10 @@ def containment_pairs(
             .select("_sh")
         )
         blocking = posting.join(keep, "_sh")
+    _candidate_density_guard(
+        posting, "_sh", max_posting_len, max_candidate_pairs,
+        "containment_pairs",
+    )
     a = blocking.alias("a")
     b = blocking.alias("b")
     cand = (
@@ -1605,6 +1669,7 @@ def containment_sketch_pairs(
     threshold: float = 0.5,
     seed: int = 0,
     max_posting_len: Optional[int] = 1000,
+    max_candidate_pairs: Optional[int] = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Containment estimation from bottom-k shingle sketches — the
     100 TB path for :func:`containment_pairs` (Broder 1997 §4: with
@@ -1671,6 +1736,10 @@ def containment_sketch_pairs(
         F.array_sort(F.collect_list("_h")).alias("_sk")
     ).cache()
     posting = sketches.select(F.col(id_col), F.explode("_sk").alias("_h"))
+    _candidate_density_guard(
+        posting, "_h", max_posting_len, max_candidate_pairs,
+        "containment_sketch_pairs",
+    )
     if max_posting_len is not None:
         keep = (
             posting.groupBy("_h")

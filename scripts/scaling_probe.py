@@ -11,9 +11,19 @@ claims; anything superlinear names the next optimization target.
 The synthetic sf1 tables mirror the driver testdata's statistical
 shape at 10x: 1M events / 15k users / 5 event types over 30 days,
 50k documents of ~50-word soup from a ~30-token vocabulary across 5
-languages and 20 sources, 20k 64-d embeddings in 10 label classes.
+languages and 20 sources, 20k 64-d embeddings in 10 label classes,
+PLUS the full TPC-H-ish star (6M lineitem / 1.5M orders / 150k
+customer / 200k part / 10k supplier / 25 nation / 5 region, same
+value domains and key ranges as the driver set) so the ENTIRE
+headline bench runs at sf1:
+
+    python scripts/scaling_probe.py --dir /tmp/sf1-scale gen
+    SPARK_GRAFT_SF_DIR=/tmp/sf1-scale python bench.py   # sf1 lane
+
 Everything is pure-Catalyst generation (no UDFs) — writing sf1 takes
-seconds.
+seconds.  bench.py records the run under the sf1 steady lane
+(bench_steady.json is two-lane; scripts/update_steady.py folds sf1
+outputs in via the BENCH_sf1*.json glob or explicit paths).
 
 Usage:
     python scripts/scaling_probe.py [--dir /tmp/sf1-scale]
@@ -123,7 +133,133 @@ def generate(spark, out_dir: str) -> None:
     embeddings.write.mode("overwrite").parquet(
         f"{out_dir}/embeddings.parquet"
     )
-    for t in ("events", "documents", "embeddings"):
+
+    # TPC-H-ish star schema at 10x the driver sf0.1 shape, so the FULL
+    # headline set (q1/q3/q5/q9 included) runs at sf1 — value domains
+    # and key ranges mirror /root/testdata (join selectivities and
+    # filter fractions carry over): 6M lineitem / 1.5M orders / 150k
+    # customer / 200k part / 10k supplier / 25 nation / 5 region.
+    region = spark.createDataFrame(
+        [(i, n) for i, n in enumerate(
+            ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])],
+        "r_regionkey int, r_name string",
+    )
+    region.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/region.parquet")
+
+    nation = spark.createDataFrame(
+        [(i, f"NATION_{i}", i % 5) for i in range(25)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    nation.coalesce(1).write.mode("overwrite").parquet(
+        f"{out_dir}/nation.parquet")
+
+    customer = (
+        DataGenerator(spark, name="customer_sf1", rows=150_000, partitions=16)
+        .withColumn("c_custkey", "long", uniqueValues=150_000)
+        .withColumn("c_name", "string",
+                    expr="concat('Customer#', lpad(cast(id as string), 9, '0'))")
+        .withColumn("c_nationkey", "integer", minValue=0, maxValue=24,
+                    random=True)
+        .withColumn("c_acctbal", "double", minValue=-999.99,
+                    maxValue=9999.99, random=True)
+        .withColumn("c_mktsegment", "string",
+                    values=["AUTOMOBILE", "BUILDING", "FURNITURE",
+                            "HOUSEHOLD", "MACHINERY"], random=True)
+        .build()
+    )
+    customer.write.mode("overwrite").parquet(f"{out_dir}/customer.parquet")
+
+    supplier = (
+        DataGenerator(spark, name="supplier_sf1", rows=10_000, partitions=8)
+        .withColumn("s_suppkey", "long", uniqueValues=10_000)
+        .withColumn("s_name", "string",
+                    expr="concat('Supplier#', lpad(cast(id as string), 9, '0'))")
+        .withColumn("s_nationkey", "integer", minValue=0, maxValue=24,
+                    random=True)
+        .withColumn("s_acctbal", "double", minValue=-999.99,
+                    maxValue=9999.99, random=True)
+        .build()
+    )
+    supplier.write.mode("overwrite").parquet(f"{out_dir}/supplier.parquet")
+
+    # p_name = "adjective noun" with 'gear' one of 8 nouns (q9's LIKE
+    # '%gear%' keeps ~1/8 of parts, the driver-testdata fraction)
+    adjectives = ("large hot blue old small red green new shiny plain "
+                  "dark light").split()
+    nouns = "ring bolt gear plate wheel cap rod pin".split()
+    adj_sql = "array(" + ", ".join(f"'{w}'" for w in adjectives) + ")"
+    noun_sql = "array(" + ", ".join(f"'{w}'" for w in nouns) + ")"
+    part = (
+        DataGenerator(spark, name="part_sf1", rows=200_000, partitions=16)
+        .withColumn("p_partkey", "long", uniqueValues=200_000)
+        .withColumn("p_name", "string", expr=(
+            f"concat(element_at({adj_sql}, int(pmod(xxhash64(id, 11), 12))"
+            f" + 1), ' ', element_at({noun_sql},"
+            f" int(pmod(xxhash64(id, 13), 8)) + 1))"))
+        .withColumn("p_brand", "string",
+                    expr="concat('Brand#', pmod(xxhash64(id, 17), 25))")
+        .withColumn("p_type", "string",
+                    values=["ECONOMY", "SMALL", "MEDIUM", "LARGE",
+                            "STANDARD", "PROMO"], random=True)
+        .withColumn("p_size", "integer", minValue=1, maxValue=50,
+                    random=True)
+        .withColumn("p_retailprice", "double", minValue=900.0,
+                    maxValue=999.9, random=True)
+        .build()
+    )
+    part.write.mode("overwrite").parquet(f"{out_dir}/part.parquet")
+
+    orders = (
+        DataGenerator(spark, name="orders_sf1", rows=1_500_000,
+                      partitions=32)
+        .withColumn("o_orderkey", "long", uniqueValues=1_500_000)
+        .withColumn("o_custkey", "long", minValue=0, maxValue=149_999,
+                    random=True)
+        .withColumn("o_orderstatus", "string", values=["O", "F", "P"],
+                    weights=[5, 4, 1], random=True)
+        .withColumn("o_totalprice", "double", minValue=1000.0,
+                    maxValue=400_000.0, random=True)
+        .withColumn("o_orderdate", "timestamp", begin="1995-01-01 00:00:00",
+                    end="2001-08-01 00:00:00", random=True)
+        .withColumn("o_orderpriority", "string",
+                    values=["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "5-LOW"], random=True)
+        .build()
+    )
+    orders.write.mode("overwrite").parquet(f"{out_dir}/orders.parquet")
+
+    lineitem = (
+        DataGenerator(spark, name="lineitem_sf1", rows=6_000_000,
+                      partitions=32)
+        .withColumn("l_orderkey", "long", minValue=0, maxValue=1_499_999,
+                    random=True)
+        .withColumn("l_partkey", "long", minValue=0, maxValue=199_999,
+                    random=True)
+        .withColumn("l_suppkey", "long", minValue=0, maxValue=9_999,
+                    random=True)
+        .withColumn("l_linenumber", "integer", minValue=1, maxValue=7,
+                    random=True)
+        .withColumn("l_quantity", "double", minValue=1.0, maxValue=50.0,
+                    step=1.0, random=True)
+        .withColumn("l_extendedprice", "double", minValue=900.0,
+                    maxValue=105_000.0, random=True)
+        .withColumn("l_discount", "double", minValue=0.0, maxValue=0.1,
+                    step=0.01, random=True)
+        .withColumn("l_tax", "double", minValue=0.0, maxValue=0.08,
+                    step=0.01, random=True)
+        .withColumn("l_returnflag", "string", values=["A", "N", "R"],
+                    weights=[1, 2, 1], random=True)
+        .withColumn("l_linestatus", "string", values=["O", "F"],
+                    random=True)
+        .withColumn("l_shipdate", "timestamp", begin="1995-01-02 00:00:00",
+                    end="2001-11-04 00:00:00", random=True)
+        .build()
+    )
+    lineitem.write.mode("overwrite").parquet(f"{out_dir}/lineitem.parquet")
+
+    for t in ("events", "documents", "embeddings", "region", "nation",
+              "customer", "supplier", "part", "orders", "lineitem"):
         n = spark.read.parquet(f"{out_dir}/{t}.parquet").count()
         print(f"  generated {t}: {n} rows")
 

@@ -93,46 +93,65 @@ def main() -> None:
     if args.since_round is not None and not args.rebase:
         ap.error("--since-round requires --rebase")
 
-    steady: dict[str, float] = {}
+    # two-lane table: sf0.1 (driver testdata) and sf1 (the
+    # scripts/scaling_probe set); a legacy flat table reads as sf0.1
+    lanes: dict[str, dict[str, float]] = {"sf0.1": {}, "sf1": {}}
     if not args.rebase and os.path.exists(OUT):
-        steady.update(json.load(open(OUT)))
+        existing = json.load(open(OUT))
+        if existing and all(isinstance(v, dict) for v in existing.values()):
+            for lane, table in existing.items():
+                lanes.setdefault(lane, {}).update(table)
+        else:
+            lanes["sf0.1"].update(existing)
     if args.drop:
         for q in args.drop.split(","):
-            steady.pop(q.strip(), None)
+            for table in lanes.values():
+                table.pop(q.strip(), None)
 
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    paths += sorted(glob.glob(os.path.join(REPO, "BENCH_sf1*.json")))
     if args.rebase and args.since_round is not None:
         paths = [p for p in paths
-                 if (_bench_round(p) or 0) >= args.since_round]
+                 if _bench_round(p) is None
+                 or _bench_round(p) >= args.since_round]
     paths += args.extra
-    used = 0
+    used = {"sf0.1": 0, "sf1": 0}
     for path in paths:
         for line in _bench_lines(path):
-            if line.get("sf") != 0.1:
+            sf = line.get("sf")
+            lane = {0.1: "sf0.1", 1: "sf1"}.get(sf)
+            if lane is None:
                 continue
-            used += 1
+            used[lane] += 1
+            table = lanes[lane]
             for q, best in line.get("queries", {}).items():
                 if not isinstance(best, (int, float)) or best <= 0:
                     continue
-                if q not in steady or best < steady[q]:
-                    steady[q] = round(float(best), 3)
+                if q not in table or best < table[q]:
+                    table[q] = round(float(best), 3)
 
     with open(OUT, "w") as f:
-        json.dump(dict(sorted(steady.items())), f, indent=1, sort_keys=True)
+        json.dump(
+            {lane: dict(sorted(t.items())) for lane, t in sorted(lanes.items())},
+            f, indent=1, sort_keys=True,
+        )
         f.write("\n")
-    print(f"bench_steady.json written: {len(steady)} queries "
-          f"from {used} sf0.1 runs")
+    print(f"bench_steady.json written: "
+          f"{len(lanes['sf0.1'])} sf0.1 queries from {used['sf0.1']} runs, "
+          f"{len(lanes['sf1'])} sf1 queries from {used['sf1']} runs")
 
     # loud coverage check: headline queries without an entry fall back
     # to the weaker spread-only straggler heuristic
     sys.path.insert(0, REPO)
     import bench
 
-    missing = [q for q in ["gen_10m_rows", *bench.HEADLINE]
-               if q not in steady]
-    if missing:
-        print(f"WARNING: headline queries missing a steady entry: "
-              f"{missing} — run bench.py solo and pass its output here")
+    for lane in ("sf0.1", "sf1"):
+        missing = [q for q in ["gen_10m_rows", *bench.HEADLINE]
+                   if q not in lanes[lane]]
+        if missing:
+            print(f"WARNING: {lane} lane missing steady entries: "
+                  f"{missing} — run bench.py solo at that SF and pass "
+                  f"its output here")
 
 
 if __name__ == "__main__":

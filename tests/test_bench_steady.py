@@ -20,23 +20,43 @@ def _steady():
 
 
 class TestBenchSteadyArtifact:
-    def test_every_headline_query_has_a_steady_entry(self):
+    def test_every_headline_query_has_a_steady_entry_in_both_lanes(self):
         steady = _steady()
-        missing = [
-            q for q in ["gen_10m_rows", *bench.HEADLINE] if q not in steady
-        ]
-        assert not missing, (
-            f"headline queries without a steady entry fall back to the "
-            f"weaker spread-only straggler check: {missing} — run "
-            f"bench.py solo and feed its output to "
-            f"scripts/update_steady.py"
+        assert set(steady) >= {"sf0.1", "sf1"}, (
+            "bench_steady.json must carry BOTH bench lanes "
+            "(regenerate with scripts/update_steady.py)"
         )
+        for lane in ("sf0.1", "sf1"):
+            missing = [
+                q for q in ["gen_10m_rows", *bench.HEADLINE]
+                if q not in steady[lane]
+            ]
+            assert not missing, (
+                f"{lane} lane: headline queries without a steady entry "
+                f"fall back to the weaker spread-only straggler check: "
+                f"{missing} — run bench.py solo at that SF and feed its "
+                f"output to scripts/update_steady.py"
+            )
 
     def test_entries_are_sane_positive_seconds(self):
         steady = _steady()
         assert steady, "bench_steady.json is empty"
-        for q, v in steady.items():
-            assert isinstance(v, (int, float)) and 0 < v < 600, (q, v)
+        for lane, table in steady.items():
+            assert table, f"{lane} lane is empty"
+            for q, v in table.items():
+                assert isinstance(v, (int, float)) and 0 < v < 600, (
+                    lane, q, v,
+                )
+
+    def test_sf1_lane_slower_than_sf01_on_data_queries(self):
+        # 10x the data should never be FASTER: a sf1 minimum below the
+        # sf0.1 minimum means a run was recorded under the wrong lane
+        steady = _steady()
+        for q, v1 in steady.get("sf1", {}).items():
+            v01 = steady["sf0.1"].get(q)
+            if v01 is None or q.startswith("gen"):
+                continue  # generation queries are SF-independent
+            assert v1 >= 0.5 * v01, (q, v01, v1)
 
     def test_loader_tolerates_missing_artifact(self, tmp_path, monkeypatch):
         # bench must still run (spread-only mode) if the artifact is gone
@@ -44,6 +64,27 @@ class TestBenchSteadyArtifact:
             bench, "_STEADY_PATH", str(tmp_path / "nope.json")
         )
         assert bench._load_steady() == {}
+        assert bench._load_steady(1) == {}
+
+    def test_loader_reads_lanes_and_legacy(self, tmp_path, monkeypatch):
+        two = tmp_path / "two.json"
+        two.write_text(json.dumps(
+            {"sf0.1": {"qa": 1.0}, "sf1": {"qa": 5.0}}
+        ))
+        monkeypatch.setattr(bench, "_STEADY_PATH", str(two))
+        assert bench._load_steady(0.1) == {"qa": 1.0}
+        assert bench._load_steady(1) == {"qa": 5.0}
+        legacy = tmp_path / "legacy.json"
+        legacy.write_text(json.dumps({"qa": 2.0}))
+        monkeypatch.setattr(bench, "_STEADY_PATH", str(legacy))
+        assert bench._load_steady(0.1) == {"qa": 2.0}
+        assert bench._load_steady(1) == {}
+
+    def test_sf_of_directory_convention(self):
+        assert bench._sf_of("/root/testdata/sf0.1") == 0.1
+        assert bench._sf_of("/root/testdata/sf0.01") == 0.01
+        assert bench._sf_of("/tmp/sf1-scale") == 1
+        assert bench._sf_of("/somewhere/else") == 0.1
 
     def test_update_steady_parses_driver_wrapper(self, tmp_path):
         # the driver wraps the bench one-liner inside a "tail" field;

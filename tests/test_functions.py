@@ -919,6 +919,75 @@ def test_stop_shingle_cap(spark):
     assert {(r["id_a"], r["id_b"]) for r in wide.collect()} == set(un)
 
 
+class TestCandidateDensityGuard:
+    """Blocking self-defense: an adversarially dense corpus (tiny
+    shared vocabulary — near-all-pairs density with every posting
+    individually under the cut) must FAIL LOUDLY with knob guidance
+    instead of silently crawling through the verify join."""
+
+    @staticmethod
+    def _dense(spark, n=40):
+        # every doc shares the same 3-word shingles; df per shingle = n
+        rows = [(i, "alpha beta gamma delta epsilon") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_ngram_jaccard_raises_with_guidance(self, spark):
+        from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+        df = self._dense(spark)
+        # ~3 shingles x C(40,2) = 2340 candidate pairs > cap=100
+        with pytest.raises(ValueError, match="max_posting_len"):
+            ngram_jaccard_pairs(
+                df, "doc_id", "text", max_posting_len=None,
+                max_candidate_pairs=100,
+            ).collect()
+
+    def test_containment_exact_and_sketch_raise(self, spark):
+        from dbldatagen_spark.functions import (
+            containment_pairs, containment_sketch_pairs,
+        )
+
+        df = self._dense(spark)
+        with pytest.raises(ValueError, match="containment_pairs"):
+            containment_pairs(
+                df, "doc_id", "text", max_posting_len=None,
+                max_candidate_pairs=100,
+            )
+        with pytest.raises(ValueError, match="containment_sketch_pairs"):
+            containment_sketch_pairs(
+                df, "doc_id", "text", max_posting_len=None,
+                max_candidate_pairs=100,
+            )
+
+    def test_cut_postings_do_not_count(self, spark):
+        # with the stop cut active the dense postings leave the
+        # blocking index, so the SAME corpus passes the guard
+        from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+        df = self._dense(spark)
+        out = ngram_jaccard_pairs(
+            df, "doc_id", "text", max_posting_len=10,
+            max_candidate_pairs=100,
+        )
+        assert out.count() == 0  # every posting was cut: no candidates
+
+    def test_opt_out_and_validation(self, spark):
+        from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+        df = self._dense(spark, n=10)
+        # None disables the guard: the dense corpus folds through and
+        # every pair is an exact duplicate (jaccard 1.0)
+        out = ngram_jaccard_pairs(
+            df, "doc_id", "text", max_posting_len=None,
+            max_candidate_pairs=None,
+        )
+        assert out.count() == 45
+        with pytest.raises(ValueError, match="max_candidate_pairs"):
+            ngram_jaccard_pairs(
+                df, "doc_id", "text", max_candidate_pairs=0
+            )
+
+
 class TestLshTune:
     def test_known_values(self):
         from dbldatagen_spark.functions import lsh_tune
