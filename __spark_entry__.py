@@ -453,6 +453,99 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _docs_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-probe shingle search: the corpus ranked by EXACT 3-word-
+    shingle Jaccard against one literal query — contamination lookups
+    and "find the source of this quote" triage.  The query's shingles
+    are a constant array in the plan, so the whole search is map-only
+    per-row array arithmetic + a per-partition top-k
+    (TakeOrderedAndProject): no join, no shuffle, the corpus streams
+    through once at any scale.  Every emitted number is an integer or
+    one ratio of integers — exactly replayed by the oracle."""
+    from dbldatagen_spark.functions import jaccard_topk
+
+    docs = _load(spark, sf_dir, "documents")
+    return jaccard_topk(
+        docs, "doc_id", "text",
+        "spark batch part line column order",
+        k=3, top_k=10,
+    ).orderBy(F.desc("jaccard"), "doc_id")
+
+
+_BPE_ENCODE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def _text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING at corpus scale — the apply half of bpe_train, as
+    pure JVM expressions: each word becomes a prefix-marker symbol
+    string (" t h e") and each merge is one literal replace, leftmost
+    non-overlapping == the greedy training fold (pytest-proven
+    symbol-for-symbol vs a pure-Python reference, including the
+    cross-boundary and adjacent-merge-site traps).  Map-only: no UDF,
+    no shuffle, no vocabulary broadcast — tokenization rides the same
+    scan that filters and dedups, the property that matters at 100 TB.
+    The merge table is a FIXED literal (training itself is oracle-
+    checked via text_bpe_pairs), so the oracle replays the identical
+    replace chain; per-language token totals are pure integers."""
+    from dbldatagen_spark.functions import bpe_encode
+
+    docs = _load(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, "text", _BPE_ENCODE_MERGES)
+    n_words = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), "[^a-z]+"), lambda w: w != ""
+        )
+    )
+    return (
+        enc.select("lang", n_words.alias("_w"),
+                   F.size("bpe_tokens").alias("_t"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_w").cast("long").alias("n_words"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _layout_file_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-per-file layout audit — the small-files detector: writes a
+    bucket-partitioned parquet dataset (7 hash-routed buckets over 10k
+    rows) and measures the produced layout with file_rows_report (one
+    count-only aggregate over input_file_name metadata).  The oracle
+    replays the expected layout from first principles (bucket
+    cardinalities of id % 7), so the conformance covers the write ->
+    list -> measure path end-to-end, not just the arithmetic."""
+    import shutil
+    import tempfile
+
+    from dbldatagen_spark.functions import file_rows_report
+
+    tmp = tempfile.mkdtemp(prefix="layout_rows_")
+    try:
+        (
+            spark.range(10_000)
+            .withColumn("bucket", (F.col("id") % 7).cast("int"))
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(f"{tmp}/t")
+        )
+        rep = file_rows_report(
+            spark.read.parquet(f"{tmp}/t"), target_rows_per_file=3000
+        )
+        rows = rep.collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, rep.schema
+    )
+
+
 def _text_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registrable-domain extraction — the
     standard pre-dedup web normalizer (scheme/www/default-port/
@@ -6282,24 +6375,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family; redundant variants of already-covered shapes follow after.
 
     Round-10 rotation: pure growth-at-birth plus staleness refresh —
-    the 3 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
-    text_url_canonical), then the last 6 r5-stale rows, then the
+    the 6 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
+    text_url_canonical, docs_jaccard_search, text_bpe_encode,
+    layout_file_rows), then the last 6 r5-stale rows, then the
     r6-stale cohort in ledger order from gen_distribution_shapes
-    through privacy_dp_counts.  Demoted: the entire round-9 window —
-    all 50 were green on their r9 exposure.  The 7 r6 rows from
-    lineitem_expectations onward overflow to the r11 draw.  The full
-    query -> last-driver-round ledger lives in ROTATION.md."""
+    through events_cohort_retention.  Demoted: the entire round-9
+    window — all 50 were green on their r9 exposure.  The 10 r6 rows
+    from events_transition_matrix / lineitem_expectations onward
+    overflow to the r11 draw.  The full query -> last-driver-round
+    ledger lives in ROTATION.md."""
     return {
         # --- round-10 driver window (see ROTATION.md) ---
-        # The 3 round-10 growth rows lead (windowed at birth),
+        # The 6 round-10 growth rows lead (windowed at birth),
         # then the 6 remaining r5-stale rows, then the r6-stale
         # cohort in ledger order from gen_distribution_shapes.
-        # Exactly 50 entries precede the demoted marker; the 7
-        # r6 rows from lineitem_expectations onward wait for the
-        # r11 draw (they head it, with any r11 growth rows).
+        # Exactly 50 entries precede the demoted marker; the 10
+        # r6 rows from events_transition_matrix onward wait for
+        # the r11 draw (they head it, with any r11 growth rows).
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
+        "docs_jaccard_search": _docs_jaccard_search,
+        "text_bpe_encode": _text_bpe_encode,
+        "layout_file_rows": _layout_file_rows,
         # r5-stale rows (last driver row round 5, ledger order)
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
@@ -6346,10 +6444,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_video_near_dup": _multimodal_video_near_dup,
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
+        # (the three r6 rows below overflowed when the wave-2 growth
+        # rows entered the window; they head the r11 draw)
         "events_transition_matrix": _events_transition_matrix,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "privacy_dp_counts": _privacy_dp_counts,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
         "events_hll_distinct": _events_hll_distinct,
         "docs_priority_sample": _docs_priority_sample,
         "text_bpe_pairs": _text_bpe_pairs,
@@ -10064,6 +10164,88 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"
         ),
+        "docs_jaccard_search": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            sh0 AS (
+                SELECT doc_id,
+                       list_distinct([concat_ws(' ', w[i], w[i+1], w[i+2])
+                                      for i in generate_series(
+                                          1, greatest(len(w)-2, 1))])
+                         AS shingles
+                FROM t
+            ),
+            sc AS (
+                SELECT doc_id,
+                       CAST(len(list_intersect(shingles,
+                            ['spark batch part', 'batch part line',
+                             'part line column', 'line column order']))
+                            AS BIGINT) AS n_common,
+                       len(shingles) AS n_d
+                FROM sh0
+            )
+            SELECT doc_id, n_common,
+                   ROUND(n_common::DOUBLE / (n_d + 4 - n_common), 4)
+                     AS jaccard
+            FROM sc WHERE n_common > 0
+            ORDER BY jaccard DESC, doc_id LIMIT 10
+        """,
+        # fixed literal merge table; the replace chain is the encoder
+        "text_bpe_encode": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS w
+                FROM documents
+            ),
+            nz AS (SELECT * FROM w WHERE w <> ''),
+            e AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split(
+                           replace(replace(replace(replace(replace(
+                           replace(replace(replace(
+                               ' ' || array_to_string(
+                                   string_split(w, ''), ' '),
+                           ' t h', ' th'), ' th e', ' the'),
+                           ' i n', ' in'), ' a n', ' an'),
+                           ' an d', ' and'), ' e r', ' er'),
+                           ' o n', ' on'), ' r e', ' re'),
+                       ' '), x -> x <> '')) AS n_tok
+                FROM nz
+            ),
+            agg AS (
+                SELECT lang, count(*) AS n_words,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM e GROUP BY lang
+            )
+            SELECT d.lang,
+                   count(*)::BIGINT AS n_docs,
+                   CAST(COALESCE(MAX(agg.n_words), 0) AS BIGINT) AS n_words,
+                   CAST(COALESCE(MAX(agg.n_tokens), 0) AS BIGINT)
+                     AS n_tokens
+            FROM documents d LEFT JOIN agg ON d.lang = agg.lang
+            GROUP BY d.lang
+            ORDER BY d.lang
+        """,
+        # layout replayed from first principles: bucket cardinalities
+        # of id % 7 over 10k rows, one file per bucket
+        "layout_file_rows": """
+            WITH b AS (
+                SELECT i % 7 AS bucket, count(*) AS n
+                FROM generate_series(0, 9999) t(i) GROUP BY 1
+            )
+            SELECT count(*)::BIGINT AS n_files,
+                   CAST(SUM(n) AS BIGINT) AS total_rows,
+                   CAST(MIN(n) AS BIGINT) AS min_rows,
+                   CAST(MAX(n) AS BIGINT) AS max_rows,
+                   CAST(FLOOR(SUM(n) / count(*)) AS BIGINT) AS avg_rows,
+                   CAST(CEIL(SUM(n) / 3000.0) AS BIGINT)
+                     AS recommended_files
+            FROM b
+        """,
         # hand-derived expected canonicalizations — independent truth
         # for the adversarial URL fixture set (NOT a mirrored impl)
         "text_url_canonical": """

@@ -23,6 +23,7 @@ Scale design (the point of each operator at 100 TB):
 
 from __future__ import annotations
 
+import re
 from typing import List, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -92,10 +93,17 @@ def word_shingles_expr(text: Column, k: int = 3) -> Column:
 def _shingles_from_words(words: Column, k: int) -> Column:
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    # try_element_at: a text shorter than k words indexes past the end
+    # (its single truncated shingle comes from concat_ws skipping the
+    # NULLs) — plain element_at THROWS there under ANSI mode
     shingle = F.transform(
         idx,
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, (i + F.lit(j + 1)).cast("int")) for j in range(k)]
+            " ",
+            *[
+                F.try_element_at(words, (i + F.lit(j + 1)).cast("int"))
+                for j in range(k)
+            ],
         ),
     )
     return F.array_distinct(shingle)
@@ -300,6 +308,66 @@ def minhash_signature_exprs(
             F.array_min(F.transform(base, _salted(salt))).alias(f"mh_{i}")
         )
     return out
+
+
+def query_shingles(text: str, k: int = 3) -> List[str]:
+    """Driver-side twin of :func:`shingled_df`'s shingle construction
+    for ONE query string: k-word shingles over a whitespace split,
+    distinct, first-occurrence order.  Texts shorter than ``k`` words
+    produce their single truncated shingle, matching the expression
+    path (``concat_ws`` skips the NULLs past the end)."""
+    words = [w for w in re.split(r"\s+", text.strip()) if w]
+    if not words:
+        return []
+    out: List[str] = []
+    seen = set()
+    for i in range(max(len(words) - k, 0) + 1):
+        s = " ".join(words[i:i + k])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def jaccard_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_text: str,
+    *,
+    k: int = 3,
+    top_k: int = 10,
+) -> DataFrame:
+    """Top-``top_k`` documents by EXACT k-word-shingle Jaccard against
+    ONE query text — shingle search, the retrieval twin of
+    :func:`ngram_jaccard_pairs` (which finds all high pairs; this
+    ranks the corpus against a single probe — contamination lookups,
+    "find the source of this quote", near-dup triage).
+
+    Scale shape: the query's shingles are a LITERAL array in the plan,
+    so each document's intersection is per-row array arithmetic
+    against a constant — map-only, no join, no shuffle of anything;
+    ``orderBy ... limit`` plans as a per-partition top-k
+    (TakeOrderedAndProject), so the corpus streams through once even
+    at 100 TB.  Returns ``(id, n_common, jaccard)`` with the portable
+    round-4 ratio and id tiebreak.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    qsh = query_shingles(query_text, k)
+    if not qsh:
+        raise ValueError("query_text has no words to shingle")
+    qarr = F.array(*[F.lit(s) for s in qsh])
+    shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
+    inter = F.size(F.array_intersect(F.col("shingles"), qarr)).cast("long")
+    out = shingled.select(
+        F.col(id_col),
+        inter.alias("n_common"),
+        F.round(
+            inter / (F.size("shingles") + F.lit(len(qsh)) - inter), 4
+        ).alias("jaccard"),
+    ).where(F.col("n_common") > 0)
+    return out.orderBy(F.desc("jaccard"), F.col(id_col)).limit(top_k)
 
 
 def lsh_tune(

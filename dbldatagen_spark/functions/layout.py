@@ -83,3 +83,47 @@ def zorder_sort(
         else z.repartitionByRange(out_col)
     )
     return parts.sortWithinPartitions(out_col)
+
+
+def file_rows_report(
+    df: DataFrame,
+    *,
+    target_rows_per_file: Optional[int] = None,
+) -> DataFrame:
+    """Rows-per-file layout audit over a file-backed DataFrame — the
+    small-files detector.  At 100 TB the small-files problem kills
+    scans twice (NameNode/listing pressure, then per-file open cost
+    and un-fillable vectorized batches), and its inverse — a few
+    giant files — kills parallelism; this reports the shape before it
+    hurts: one row of ``(n_files, total_rows, min_rows, max_rows,
+    avg_rows)`` plus, given ``target_rows_per_file``, the
+    ``recommended_files`` repartition target ``ceil(total /
+    target)``.
+
+    Scale shape: ``input_file_name()`` is metadata already attached
+    to every scanned row, so the audit is one count-only hash
+    aggregate — (file, long) pairs shuffle, never data.  Works on any
+    file-based source (parquet/orc/json/csv).
+    """
+    per_file = df.groupBy(F.input_file_name().alias("_f")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    agg = per_file.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("_n").cast("long").alias("total_rows"),
+        F.min("_n").cast("long").alias("min_rows"),
+        F.max("_n").cast("long").alias("max_rows"),
+        F.floor(F.avg("_n")).cast("long").alias("avg_rows"),
+    )
+    if target_rows_per_file is not None:
+        if target_rows_per_file < 1:
+            raise ValueError(
+                f"target_rows_per_file must be >= 1, got "
+                f"{target_rows_per_file}"
+            )
+        agg = agg.withColumn(
+            "recommended_files",
+            F.ceil(F.col("total_rows") / F.lit(target_rows_per_file))
+            .cast("long"),
+        )
+    return agg

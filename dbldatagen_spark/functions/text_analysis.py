@@ -952,6 +952,71 @@ def rrf_fuse(
     )
 
 
+def bpe_encode(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    *,
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply a learned BPE merge table to every document — the ENCODE
+    half of :func:`bpe_train`, as PURE JVM expressions.  Each
+    lowercase-alphabetic word becomes a space-separated character
+    sequence and each merge ``(l, r)`` — in merge order — is one
+    literal ``replace(seq, "l r", "lr")``: string replace is leftmost
+    non-overlapping, exactly the greedy merge application of training
+    (pytest asserts encode == the training fold, symbol for symbol).
+    ``merges`` accepts :func:`bpe_train` output ``[(l, r, count)]`` or
+    bare ``[(l, r)]`` pairs.
+
+    Scale shape: tokenization is MAP-ONLY — no UDF, no shuffle, no
+    vocabulary broadcast (the merge table is a constant expression
+    chain, one ``replace`` node per merge) — so encoding runs inline
+    in any scan at any scale; this is the property that lets a 100 TB
+    corpus tokenize in the same pass that filters and dedups it.
+    Output: ``out_col`` = ``array<string>`` of BPE tokens in word
+    order (non-alphabetic characters delimit words, as in training).
+    """
+    pairs = [(m[0], m[1]) for m in merges]
+    if not pairs:
+        raise ValueError("merges must contain at least one (left, right)")
+    for l_sym, r_sym in pairs:
+        if not l_sym or not r_sym or " " in l_sym or " " in r_sym:
+            raise ValueError(
+                f"invalid merge pair ({l_sym!r}, {r_sym!r}): symbols "
+                f"must be non-empty and space-free"
+            )
+
+    # PREFIX-marker representation: every symbol is rendered " sym"
+    # (leading space), concatenated — " t h e".  A merge pattern
+    # " l r" -> " lr" then matches ONLY at a symbol boundary whose left
+    # symbol is exactly l: with a between-symbols separator instead,
+    # ["o","the","r"] renders "o the r" and merge (e, r) falsely
+    # matches the "e r" INSIDE "the r"; and adjacent merge sites share
+    # the boundary space, so leftmost-non-overlapping replace skips
+    # every second site ("e r e r" -> "er e r").  The prefix form has
+    # neither problem (each match consumes exactly its own marker).
+    def encode_word(w):
+        seq = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.length(w)),
+                lambda i: F.concat(F.lit(" "), w.substr(i, F.lit(1))),
+            ),
+            "",
+        )
+        for l_sym, r_sym in pairs:
+            seq = F.replace(
+                seq, F.lit(f" {l_sym} {r_sym}"), F.lit(f" {l_sym}{r_sym}")
+            )
+        return F.filter(F.split(seq, " "), lambda t: t != "")
+
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != "",
+    )
+    return df.withColumn(out_col, F.flatten(F.transform(words, encode_word)))
+
+
 def _bpe_words(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
     """Distinct lowercase alphabetic words with occurrence counts —
     the vocabulary pre-aggregation every BPE pass runs over.  The

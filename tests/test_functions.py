@@ -5951,3 +5951,164 @@ class TestContainmentSketch:
             containment_sketch_pairs(docs, "doc_id", "text", sketch_k=1)
         with pytest.raises(ValueError, match="threshold"):
             containment_sketch_pairs(docs, "doc_id", "text", threshold=1.5)
+
+
+class TestJaccardTopk:
+    """Single-probe shingle search: map-only exact Jaccard against a
+    literal query shingle set, per-partition top-k."""
+
+    def test_identical_doc_ranks_first_with_jaccard_one(self, spark):
+        from dbldatagen_spark.functions import jaccard_topk
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "one two three four five"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        top = jaccard_topk(
+            df, "doc_id", "text", "alpha beta gamma delta epsilon", top_k=3
+        ).collect()
+        assert top[0]["doc_id"] == 1 and top[0]["jaccard"] == 1.0
+        assert top[1]["doc_id"] == 2 and 0 < top[1]["jaccard"] < 1
+        # doc 3 shares no shingle: excluded entirely
+        assert [r["doc_id"] for r in top] == [1, 2]
+
+    def test_short_query_and_validation(self, spark):
+        from dbldatagen_spark.functions import jaccard_topk, query_shingles
+
+        assert query_shingles("a b", 3) == ["a b"]
+        assert query_shingles("   ", 3) == []
+        df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+        top = jaccard_topk(df, "doc_id", "text", "a b", top_k=1).collect()
+        assert top[0]["jaccard"] == 1.0
+        with pytest.raises(ValueError, match="no words"):
+            jaccard_topk(df, "doc_id", "text", "  ")
+        with pytest.raises(ValueError, match="top_k"):
+            jaccard_topk(df, "doc_id", "text", "a b", top_k=0)
+
+    def test_map_only_topk_plan(self, spark):
+        from dbldatagen_spark.functions import jaccard_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = jaccard_topk(
+            docs, "doc_id", "text", "spark batch part line"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        # the only exchange allowed is the ensure_parallelism repartition
+        assert plan.count("Exchange") <= 1
+        assert "Join" not in plan
+
+
+class TestBpeEncode:
+    """Expression-only BPE application: one replace node per merge over
+    the prefix-marker symbol string; greedy-leftmost == training fold."""
+
+    MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r")]
+
+    @staticmethod
+    def _py_encode(text, merges):
+        import re as _re
+
+        toks = []
+        for w in _re.split("[^a-z]+", text.lower()):
+            if not w:
+                continue
+            syms = list(w)
+            for l, r in [(m[0], m[1]) for m in merges]:
+                i, out = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == l
+                            and syms[i + 1] == r):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    def test_boundary_adjacency_overlap_cases(self, spark):
+        from dbldatagen_spark.functions import bpe_encode
+
+        rows = [
+            # (e,r) must NOT fire across the "the|r" token boundary
+            (1, "other"),
+            # adjacent merge sites must BOTH fire (no shared-space skip)
+            (2, "erer rere"),
+            # overlapping sites resolve leftmost-first
+            (3, "aaa"),
+            (4, "The THIN and!! other?"),
+        ]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: list(r["bpe_tokens"])
+               for r in bpe_encode(df, "text", self.MERGES).collect()}
+        assert got[1] == ["o", "the", "r"]
+        assert got[2] == self._py_encode("erer rere", self.MERGES)
+        overlap = bpe_encode(
+            spark.createDataFrame([(1, "aaa")], "id long, text string"),
+            "text", [("a", "a")],
+        ).collect()[0]["bpe_tokens"]
+        assert list(overlap) == ["aa", "a"]
+        for i, (_, text) in enumerate(rows, start=1):
+            assert got[i] == self._py_encode(text, self.MERGES), text
+
+    def test_trained_merges_roundtrip(self, spark):
+        # encode with bpe_train's own merges == the python reference
+        # applying the same merges (training fold semantics carry over)
+        from dbldatagen_spark.functions import bpe_encode, bpe_train
+
+        rows = [(i, t) for i, t in enumerate(
+            ["the thin other there", "another thing neither",
+             "thin the and other", "era the rethink"] * 3)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        merges = bpe_train(df, "text", num_merges=6)
+        got = {r["id"]: list(r["bpe_tokens"])
+               for r in bpe_encode(df, "text", merges).collect()}
+        for i, t in rows:
+            assert got[i] == self._py_encode(t, merges), (t, merges)
+
+    def test_map_only_plan_and_validation(self, spark):
+        from dbldatagen_spark.functions import bpe_encode
+
+        df = spark.createDataFrame([(1, "abc")], "id long, text string")
+        plan = bpe_encode(df, "text", self.MERGES)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+        with pytest.raises(ValueError, match="at least one"):
+            bpe_encode(df, "text", [])
+        with pytest.raises(ValueError, match="space-free"):
+            bpe_encode(df, "text", [("a b", "c")])
+
+
+class TestFileRowsReport:
+    def test_partitioned_write_layout(self, spark, tmp_path):
+        from dbldatagen_spark.functions import file_rows_report
+
+        path = str(tmp_path / "t")
+        (spark.range(10_000)
+         .withColumn("bucket", F.col("id") % 7)
+         .repartition("bucket")
+         .write.partitionBy("bucket").parquet(path))
+        rep = file_rows_report(
+            spark.read.parquet(path), target_rows_per_file=3000
+        ).collect()[0]
+        assert rep["n_files"] == 7
+        assert rep["total_rows"] == 10_000
+        # 10000 = 7*1428 + 4: four buckets get 1429
+        assert (rep["min_rows"], rep["max_rows"]) == (1428, 1429)
+        assert rep["recommended_files"] == 4  # ceil(10000/3000)
+
+    def test_single_file_and_validation(self, spark):
+        from dbldatagen_spark.functions import file_rows_report
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rep = file_rows_report(df).collect()[0]
+        assert rep["n_files"] == 1
+        assert rep["total_rows"] == df.count()
+        assert "recommended_files" not in rep.asDict()
+        with pytest.raises(ValueError, match="target_rows_per_file"):
+            file_rows_report(df, target_rows_per_file=0)
