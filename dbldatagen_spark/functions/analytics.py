@@ -336,10 +336,14 @@ def behavior_vectors(
         ).alias("_m"),
         F.sum("_c").cast("long").alias("n_transitions"),
     )
+    # try_element_at: the transition map is SPARSE by construction
+    # (most of the k*k cells are unobserved), and ANSI mode makes map
+    # element_at throw on a missing key (hll_sketch convention)
     vec = F.transform(
         F.sequence(F.lit(0), F.lit(k * k - 1)),
         lambda i: F.coalesce(
-            F.element_at(F.col("_m"), i.cast("int")), F.lit(0).cast("long")
+            F.try_element_at(F.col("_m"), i.cast("int")),
+            F.lit(0).cast("long"),
         ).cast("double")
         / F.col("n_transitions").cast("double"),
     )

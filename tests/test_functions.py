@@ -5042,6 +5042,25 @@ class TestBehaviorVectors:
         assert v[1 * 3 + 2] == 0.25           # b->c
         assert sum(v) == 1.0 and len(v) == 9
 
+    def test_ansi_mode_parity(self, spark):
+        # the transition map is sparse by construction; densify must
+        # use try_element_at (ANSI map element_at throws on a miss)
+        from dbldatagen_spark.functions import behavior_vectors
+
+        rows = [("u", f"2024-01-01 00:{i:02d}:00", i, s)
+                for i, s in enumerate(["a", "b", "a"])]
+        df = spark.createDataFrame(rows, "k string, ts string, oid int, s string")
+        base = behavior_vectors(df, "k", "ts", "s", order_col="oid",
+                                states=["a", "b", "c"]).collect()[0]
+        old = spark.conf.get("spark.sql.ansi.enabled", "false")
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        try:
+            ansi = behavior_vectors(df, "k", "ts", "s", order_col="oid",
+                                    states=["a", "b", "c"]).collect()[0]
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+        assert list(ansi.behavior) == list(base.behavior)
+
     def test_vocab_filter_and_similarity_use(self, spark):
         from dbldatagen_spark.functions import behavior_vectors
 
