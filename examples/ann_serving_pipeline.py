@@ -14,7 +14,11 @@ The 100 TB ANN story end-to-end over the embeddings table:
    ONLY the code column (pure whole-stage-codegen lookups, planned as
    a per-partition top-k), then the generous-L shortlist re-ranks
    against true vectors — the standard IVF-PQ serving pattern.
-4. **Estimate audience overlap without joining audiences** —
+4. **Probe an IVF-PQ residual index** — `ivfpq_build`/`ivfpq_topk`
+   add the coarse-cell routing of the full IVFADC layout: residual
+   PQ codes per inverted list, per-cell lookup tables, and a pushable
+   cell predicate, so a query scans only `n_probe` cells' codes.
+5. **Estimate audience overlap without joining audiences** —
    `kmv_set_ops` on two per-label KMV sketches gives union / Jaccard /
    intersection estimates from k=64 longs per side.
 
@@ -93,6 +97,21 @@ def main() -> None:
     print(f"query vec {probe['vec_id']}: ADC shortlist L={L}, "
           f"re-ranked top-10:")
     reranked.show()
+
+    # 3b. IVF-PQ residual index: coarse cells route, PQ codes
+    #     compress the RESIDUAL to the cell centroid — the full IVFADC
+    #     layout. The index is 8 ints + a cell id per row; the probe
+    #     touches only n_probe cells' codes via per-cell lookup
+    #     tables, with `cell IN (...)` as a pushable scan predicate.
+    from dbldatagen_spark.functions import ivfpq_build, ivfpq_topk
+
+    idx, cents, rcb = ivfpq_build(emb, "vec_id", "v", n_cells=8, m=8, k=16)
+    ivf_top = ivfpq_topk(
+        idx, "vec_id", cents, rcb, list(probe["v"]), k=10, n_probe=2,
+        exclude_id=probe["vec_id"],
+    )
+    print("IVF-PQ residual index, n_probe=2/8 cells, top-10 by ADC:")
+    ivf_top.show()
 
     # 4. audience overlap from sketches: labels 0 vs 1, no join of rows
     sk = kmv_sketch(emb, "vec_id", group_cols=["label"], k=64)

@@ -52,6 +52,22 @@ def main() -> None:
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     n0 = docs.count()
 
+    # 0. URL canonicalization: the documents table has no URL column,
+    #    so demonstrate on synthetic crawl URLs — scheme/www/tracking
+    #    noise collapses to one dedup key; the registrable domain is
+    #    the quota unit a crawl pipeline would use in step 1.
+    from dbldatagen_spark.functions import canonicalize_urls
+
+    crawl = spark.createDataFrame(
+        [(1, "HTTP://WWW.Example.COM/a?utm_source=x&b=2"),
+         (2, "https://example.com/a?b=2"),
+         (3, "https://blog.shop.co.uk/p?gclid=z")],
+        "id long, url string",
+    )
+    canon = canonicalize_urls(crawl, "url")
+    print("canonical URL keys (1 and 2 collapse):")
+    canon.show(truncate=False)
+
     # 1. per-domain quota: no source may exceed 100 docs
     capped = quota_sample(docs, "source", "doc_id", 100)
 
@@ -60,7 +76,8 @@ def main() -> None:
         exact_dedup(capped, "doc_id", "text").select("doc_id"), "doc_id"
     )
 
-    # 3. near-dup scrub: drop MinHash cluster non-canonicals
+    # 3. near-dup scrub: drop MinHash cluster non-canonicals (the
+    #    banding is auto-tuned from the threshold via the LSH s-curve)
     clusters = minhash_cluster_dedup(uniq, "doc_id", "text", threshold=0.7)
     scrubbed = uniq.join(
         clusters.where(F.col("doc_id") == F.col("canonical_id")).select(
