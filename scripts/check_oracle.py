@@ -20,8 +20,15 @@ driver-side failure the old ``%.6g`` normalization masked):
    will flake on the driver's local[32] even if they pass here.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]
+                                       [--chunk I/N]
   --window checks exactly the driver's gate: the FIRST 50 queries()
   entries (the current rotation window).
+  --chunk I/N (1-based) checks the I-th of N contiguous slices of the
+  full registry — the full-registry certification runs as N short
+  sessions instead of one session that outlives the timeout:
+      for i in $(seq 1 9); do
+          python scripts/check_oracle.py /root/testdata/sf0.01 --chunk $i/9
+      done
 """
 
 from __future__ import annotations
@@ -130,8 +137,14 @@ def _type_problems(sdf, arrow_schema):
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--window"]
-    window_only = "--window" in sys.argv[1:]
+    raw = sys.argv[1:]
+    chunk_spec = None
+    if "--chunk" in raw:
+        i = raw.index("--chunk")
+        chunk_spec = raw[i + 1]
+        del raw[i:i + 2]
+    args = [a for a in raw if a != "--window"]
+    window_only = "--window" in raw
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -144,6 +157,17 @@ def main() -> int:
         # entries (the rotation window); combine with names to subset
         window = list(entrymod.queries())[:50]
         only = (only & set(window)) if only else set(window)
+    if chunk_spec is not None:
+        try:
+            idx, total = (int(x) for x in chunk_spec.split("/"))
+        except ValueError:
+            raise SystemExit(f"--chunk expects I/N, got {chunk_spec!r}")
+        if not 1 <= idx <= total:
+            raise SystemExit(f"--chunk index {idx} outside 1..{total}")
+        names = sorted(only) if only else list(entrymod.queries())
+        per = -(-len(names) // total)  # ceil
+        only = set(names[(idx - 1) * per: idx * per])
+        print(f"chunk {idx}/{total}: {len(only)} queries")
 
     spark = (
         SparkSession.builder.master("local[8]")
