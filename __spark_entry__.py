@@ -453,6 +453,44 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-SCRIPT composition per document — the multilingual
+    splitter langid alone can't provide (routing, tokenizer selection,
+    and mixed-script spam filters branch on script counts, not
+    language guesses).  Counts are defined by Unicode script
+    properties, evaluated by Java regex here and RE2's \\p{Script} in
+    the oracle — the conformance fixture covers ten scripts plus
+    mixed, empty, and NULL rows against HAND-COUNTED expected values
+    (independent truth).  The op itself is map-only regex arithmetic
+    (plan pytest-asserted: no exchange, no Python)."""
+    from dbldatagen_spark.functions import script_profile
+
+    fixtures = [
+        (1, "Hello world"),
+        (2, "Привет мир"),
+        (3, "你好世界"),
+        (4, "Hello Привет 123!"),
+        (5, "مرحبا"),
+        (6, "नमस्ते"),
+        (7, "안녕하세요"),
+        (8, "こんにちはカタカナ"),
+        (9, "γειά σου"),
+        (10, "שלום"),
+        (11, ""),
+        (12, None),
+    ]
+    df = spark.createDataFrame(fixtures, "id long, text string")
+    return (
+        script_profile(df, "text")
+        .select(
+            "id", "n_chars", "latin", "cyrillic", "han", "arabic",
+            "devanagari", "hangul", "hiragana", "katakana", "greek",
+            "hebrew", "digits", "dominant_script",
+        )
+        .orderBy("id")
+    )
+
+
 def _docs_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe shingle search: the corpus ranked by EXACT 3-word-
     shingle Jaccard against one literal query — contamination lookups
@@ -6375,22 +6413,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family; redundant variants of already-covered shapes follow after.
 
     Round-10 rotation: pure growth-at-birth plus staleness refresh —
-    the 6 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
+    the 7 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
     text_url_canonical, docs_jaccard_search, text_bpe_encode,
-    layout_file_rows), then the last 6 r5-stale rows, then the
-    r6-stale cohort in ledger order from gen_distribution_shapes
-    through events_cohort_retention.  Demoted: the entire round-9
-    window — all 50 were green on their r9 exposure.  The 10 r6 rows
-    from events_transition_matrix / lineitem_expectations onward
-    overflow to the r11 draw.  The full query -> last-driver-round
-    ledger lives in ROTATION.md."""
+    layout_file_rows, text_script_profile), then the last 6 r5-stale
+    rows, then the r6-stale cohort in ledger order from
+    gen_distribution_shapes through events_funnel.  Demoted: the
+    entire round-9 window — all 50 were green on their r9 exposure.
+    The 11 r6 rows from events_cohort_retention onward overflow to
+    the r11 draw.  The full query -> last-driver-round ledger lives
+    in ROTATION.md."""
     return {
         # --- round-10 driver window (see ROTATION.md) ---
-        # The 6 round-10 growth rows lead (windowed at birth),
+        # The 7 round-10 growth rows lead (windowed at birth),
         # then the 6 remaining r5-stale rows, then the r6-stale
         # cohort in ledger order from gen_distribution_shapes.
-        # Exactly 50 entries precede the demoted marker; the 10
-        # r6 rows from events_transition_matrix onward wait for
+        # Exactly 50 entries precede the demoted marker; the 11
+        # r6 rows from events_cohort_retention onward wait for
         # the r11 draw (they head it, with any r11 growth rows).
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
@@ -6398,6 +6436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_jaccard_search": _docs_jaccard_search,
         "text_bpe_encode": _text_bpe_encode,
         "layout_file_rows": _layout_file_rows,
+        "text_script_profile": _text_script_profile,
         # r5-stale rows (last driver row round 5, ledger order)
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
@@ -6443,10 +6482,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
         "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the three r6 rows below overflowed when the wave-2 growth
-        # rows entered the window; they head the r11 draw)
+        # (the r6 rows below overflowed when the wave-2/3 growth rows
+        # entered the window; they head the r11 draw)
+        "events_cohort_retention": _events_cohort_retention,
         "events_transition_matrix": _events_transition_matrix,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
         "privacy_dp_counts": _privacy_dp_counts,
@@ -10164,6 +10203,29 @@ def _oracle_sql_base() -> dict[str, str]:
             "SELECT true AS inertia_monotone, CAST(16 AS INTEGER) AS cells_used, "
             "true AS recall_ok"
         ),
+        # hand-counted Unicode-script expectations for the fixture set
+        "text_script_profile": """
+            SELECT * FROM (VALUES
+                (1::BIGINT, 11::BIGINT, 10::BIGINT, 0::BIGINT, 0::BIGINT,
+                 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+                 0::BIGINT, 0::BIGINT, 0::BIGINT, 'latin'),
+                (2, 10, 0, 9, 0, 0, 0, 0, 0, 0, 0, 0, 0, 'cyrillic'),
+                (3, 4, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0, 0, 'han'),
+                (4, 17, 5, 6, 0, 0, 0, 0, 0, 0, 0, 0, 3, 'cyrillic'),
+                (5, 5, 0, 0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 'arabic'),
+                (6, 6, 0, 0, 0, 0, 6, 0, 0, 0, 0, 0, 0, 'devanagari'),
+                (7, 5, 0, 0, 0, 0, 0, 5, 0, 0, 0, 0, 0, 'hangul'),
+                (8, 9, 0, 0, 0, 0, 0, 0, 5, 4, 0, 0, 0, 'hiragana'),
+                (9, 8, 0, 0, 0, 0, 0, 0, 0, 0, 7, 0, 0, 'greek'),
+                (10, 4, 0, 0, 0, 0, 0, 0, 0, 0, 0, 4, 0, 'hebrew'),
+                (11, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 'none'),
+                (12, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+                 NULL, NULL, NULL, NULL, 'none')
+            ) AS t(id, n_chars, latin, cyrillic, han, arabic, devanagari,
+                   hangul, hiragana, katakana, greek, hebrew, digits,
+                   dominant_script)
+            ORDER BY id
+        """,
         "docs_jaccard_search": """
             WITH t AS (
                 SELECT doc_id,

@@ -1154,3 +1154,78 @@ def bpe_train(
         if (step + 1) % checkpoint_every == 0:
             state = state.localCheckpoint()
     return merges
+
+
+# Unicode script classes profiled by script_profile — Java regex class
+# name per script (the DuckDB oracle uses RE2's \p{Script} spelling of
+# the same Unicode property, so counts agree by definition).
+_SCRIPT_CLASSES = [
+    ("latin", "IsLatin"),
+    ("cyrillic", "IsCyrillic"),
+    ("han", "IsHan"),
+    ("arabic", "IsArabic"),
+    ("devanagari", "IsDevanagari"),
+    ("hangul", "IsHangul"),
+    ("hiragana", "IsHiragana"),
+    ("katakana", "IsKatakana"),
+    ("greek", "IsGreek"),
+    ("hebrew", "IsHebrew"),
+]
+
+
+def script_profile(
+    df: DataFrame,
+    text_col: str,
+    *,
+    out_prefix: str = "",
+) -> DataFrame:
+    """Per-document Unicode-SCRIPT composition — the multilingual
+    corpus splitter langid alone can't provide: language ID says
+    "probably Russian", script counts say "38% Cyrillic, 5% Han, rest
+    punctuation", which is what routing, tokenizer selection, and
+    mixed-script spam filters actually branch on.
+
+    Appends one count column per script class (``latin``,
+    ``cyrillic``, ``han``, ``arabic``, ``devanagari``, ``hangul``,
+    ``hiragana``, ``katakana``, ``greek``, ``hebrew``), plus
+    ``digits``, ``n_chars``, and ``dominant_script`` (the largest
+    script count; ties break toward the lexicographically greatest
+    name; ``none`` when every script count is zero).
+
+    Scale shape: map-only — each count is
+    ``length(s) - length(regexp_replace(s, '\\p{Script}', ''))``, a
+    fixed set of regex passes per row inside whole-stage codegen; no
+    UDF, no shuffle, safe to run inline in any scan.  Counts are
+    defined by Unicode script properties, so any engine (Java regex
+    here, RE2 in the SQL oracle) reproduces them exactly.
+    """
+    s = F.col(text_col)
+    out = df.withColumn(f"{out_prefix}n_chars", F.length(s).cast("long"))
+
+    def n_of(java_class: str):
+        return (
+            F.length(s)
+            - F.length(F.regexp_replace(s, f"[\\p{{{java_class}}}]", ""))
+        ).cast("long")
+
+    counts = []
+    for name, jclass in _SCRIPT_CLASSES:
+        out = out.withColumn(f"{out_prefix}{name}", n_of(jclass))
+        counts.append(name)
+    out = out.withColumn(
+        f"{out_prefix}digits",
+        (F.length(s) - F.length(F.regexp_replace(s, r"[0-9]", ""))).cast("long"),
+    )
+    ranked = F.array_max(
+        F.array(*[
+            F.struct(
+                F.col(f"{out_prefix}{name}").alias("n"),
+                F.lit(name).alias("script"),
+            )
+            for name in counts
+        ])
+    )
+    return out.withColumn(
+        f"{out_prefix}dominant_script",
+        F.when(ranked["n"] > 0, ranked["script"]).otherwise(F.lit("none")),
+    )

@@ -1087,3 +1087,4 @@ def holt_linear(
         F.col("_z._l").alias("level"),
         F.col("_z._b").alias("trend"),
     )
+

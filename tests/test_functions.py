@@ -6131,3 +6131,32 @@ class TestFileRowsReport:
         assert "recommended_files" not in rep.asDict()
         with pytest.raises(ValueError, match="target_rows_per_file"):
             file_rows_report(df, target_rows_per_file=0)
+
+
+class TestScriptProfile:
+    def test_fixture_counts_and_dominance(self, spark):
+        from dbldatagen_spark.functions import script_profile
+
+        rows = [(1, "Hello world"), (2, "Привет мир"), (3, "你好世界"),
+                (4, "Hello Привет 123!"), (5, ""), (6, None),
+                (7, "こんにちはカタカナ")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: r for r in script_profile(df, "text").collect()}
+        assert (got[1]["latin"], got[1]["dominant_script"]) == (10, "latin")
+        assert (got[2]["cyrillic"], got[2]["dominant_script"]) == (9, "cyrillic")
+        assert (got[3]["han"], got[3]["n_chars"]) == (4, 4)
+        assert (got[4]["latin"], got[4]["cyrillic"], got[4]["digits"]) == (5, 6, 3)
+        assert got[4]["dominant_script"] == "cyrillic"
+        assert got[5]["dominant_script"] == "none"
+        assert got[6]["n_chars"] is None
+        assert (got[7]["hiragana"], got[7]["katakana"]) == (5, 4)
+        assert got[7]["dominant_script"] == "hiragana"
+
+    def test_map_only_plan(self, spark):
+        from dbldatagen_spark.functions import script_profile
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = script_profile(docs, "text")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
