@@ -453,6 +453,41 @@ def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _json_flatten_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-inference JSON flattening — the generic semi-structured
+    ETL step (event props / API payloads) without hand-written
+    get_json_object paths: the schema merges across a bounded sample
+    (fields missing from some rows still appear), nested structs
+    flatten to dotted-path columns, arrays stay arrays, and
+    unparseable or NULL rows yield NULLs everywhere instead of
+    vanishing.  The parse+flatten itself is map-only from_json (plan
+    pytest-asserted).  Conformance runs the adversarial fixture set
+    (nested structs, row-varying fields, corrupt JSON, NULL) against
+    HAND-DERIVED expected values; array cells are projected to
+    scalar size/joined forms for the gate."""
+    from dbldatagen_spark.functions import flatten_json
+
+    fixtures = [
+        (1, '{"k": 1, "user": {"name": "a", "geo": {"cc": "US"}},'
+            ' "tags": ["x","y"]}'),
+        (2, '{"k": 2, "user": {"name": "b"}, "extra": 3.5}'),
+        (3, '{"k": 3, "tags": []}'),
+        (4, "not json at all"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(fixtures, "id long, props string")
+    out = flatten_json(df, "props")
+    return out.select(
+        "id",
+        "k",
+        F.col("extra"),
+        F.col("user_name"),
+        F.col("user_geo_cc"),
+        F.size("tags").cast("int").alias("n_tags"),
+        F.array_join("tags", ",").alias("tags_csv"),
+    ).orderBy("id")
+
+
 def _text_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unicode-SCRIPT composition per document — the multilingual
     splitter langid alone can't provide (routing, tokenizer selection,
@@ -6413,23 +6448,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     family; redundant variants of already-covered shapes follow after.
 
     Round-10 rotation: pure growth-at-birth plus staleness refresh —
-    the 7 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
+    the 8 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
     text_url_canonical, docs_jaccard_search, text_bpe_encode,
-    layout_file_rows, text_script_profile), then the last 6 r5-stale
-    rows, then the r6-stale cohort in ledger order from
-    gen_distribution_shapes through events_funnel.  Demoted: the
-    entire round-9 window — all 50 were green on their r9 exposure.
-    The 11 r6 rows from events_cohort_retention onward overflow to
-    the r11 draw.  The full query -> last-driver-round ledger lives
-    in ROTATION.md."""
+    layout_file_rows, text_script_profile,
+    json_flatten_conformance), then the last 6 r5-stale rows, then
+    the r6-stale cohort in ledger order from gen_distribution_shapes
+    through multimodal_video_near_dup.  Demoted: the entire round-9
+    window — all 50 were green on their r9 exposure.  The 12 r6 rows
+    from events_funnel onward overflow to the r11 draw.  The full
+    query -> last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-10 driver window (see ROTATION.md) ---
-        # The 7 round-10 growth rows lead (windowed at birth),
+        # The 8 round-10 growth rows lead (windowed at birth),
         # then the 6 remaining r5-stale rows, then the r6-stale
         # cohort in ledger order from gen_distribution_shapes.
-        # Exactly 50 entries precede the demoted marker; the 11
-        # r6 rows from events_cohort_retention onward wait for
-        # the r11 draw (they head it, with any r11 growth rows).
+        # Exactly 50 entries precede the demoted marker; the 12
+        # r6 rows from events_funnel onward wait for the r11
+        # draw (they head it, with any r11 growth rows).
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
@@ -6437,6 +6472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": _text_bpe_encode,
         "layout_file_rows": _layout_file_rows,
         "text_script_profile": _text_script_profile,
+        "json_flatten_conformance": _json_flatten_conformance,
         # r5-stale rows (last driver row round 5, ledger order)
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
@@ -6481,10 +6517,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
-        "events_funnel": _events_funnel,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r6 rows below overflowed when the wave-2/3 growth rows
-        # entered the window; they head the r11 draw)
+        # (the r6 rows below overflowed when the wave-2/3/4 growth
+        # rows entered the window; they head the r11 draw)
+        "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
         "events_transition_matrix": _events_transition_matrix,
         "events_seasonal_anomalies": _events_seasonal_anomalies,
@@ -10224,6 +10260,18 @@ def _oracle_sql_base() -> dict[str, str]:
             ) AS t(id, n_chars, latin, cyrillic, han, arabic, devanagari,
                    hangul, hiragana, katakana, greek, hebrew, digits,
                    dominant_script)
+            ORDER BY id
+        """,
+        # hand-derived expected flattening for the JSON fixture set
+        "json_flatten_conformance": """
+            SELECT * FROM (VALUES
+                (1::BIGINT, 1::BIGINT, NULL::DOUBLE, 'a', 'US',
+                 2::INTEGER, 'x,y'),
+                (2, 2, 3.5, 'b', NULL, NULL, NULL),
+                (3, 3, NULL, NULL, NULL, 0, ''),
+                (4, NULL, NULL, NULL, NULL, NULL, NULL),
+                (5, NULL, NULL, NULL, NULL, NULL, NULL)
+            ) AS t(id, k, extra, user_name, user_geo_cc, n_tags, tags_csv)
             ORDER BY id
         """,
         "docs_jaccard_search": """

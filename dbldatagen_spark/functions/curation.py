@@ -18,6 +18,7 @@ from typing import Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dbldatagen_spark.functions.dedup import (
     duplicate_components,
@@ -404,3 +405,80 @@ def canonicalize_urls(
     return df.withColumn(
         out_col, F.when(valid, canon)
     ).withColumn(domain_col, F.when(valid, dom))
+
+
+def flatten_json(
+    df: DataFrame,
+    json_col: str,
+    *,
+    sample_size: int = 100,
+    sep: str = "_",
+    drop: bool = True,
+):
+    """Turn a JSON-string column into typed top-level columns: infer
+    the schema from a bounded sample, parse with ``from_json``, and
+    flatten every nested struct field into a flat column named by its
+    dotted path (joined with ``sep``) — the standard semi-structured
+    ETL step for event ``props`` / API payloads, without hand-writing
+    ``get_json_object`` paths per field.
+
+    Inference reads at most ``sample_size`` non-NULL rows to the
+    driver (provably bounded, the analyzer convention) and lets
+    Spark's JSON reader merge their schemas, so fields missing from
+    some rows still appear (as NULLs where absent).  Rows whose JSON
+    fails to parse get NULLs in every flattened column — loud
+    downstream, never silently wrong.
+
+    Arrays are kept as arrays (exploding is a row-multiplying decision
+    the caller should make explicitly); nested structs flatten
+    recursively.  Returns the DataFrame with the flattened columns
+    appended (and the raw JSON column dropped unless ``drop=False``).
+
+    Scale shape: the sample is one ``limit`` collect; the parse +
+    flatten is map-only ``from_json`` + column projection — no UDF,
+    no shuffle, safe inline in any scan at 100 TB.
+    """
+    if sample_size < 1:
+        raise ValueError(f"sample_size must be >= 1, got {sample_size}")
+    spark = df.sparkSession
+    sample = [
+        r[0]
+        for r in df.select(json_col)
+        .where(F.col(json_col).isNotNull())
+        .limit(sample_size)
+        .collect()
+    ]
+    if not sample:
+        raise ValueError(f"column {json_col!r} has no non-NULL JSON to sample")
+    schema = spark.read.json(
+        spark.sparkContext.parallelize(sample, 1)
+    ).schema
+    # the JSON reader surfaces unparseable rows via _corrupt_record;
+    # that is sampling noise, not a field
+    schema = T.StructType(
+        [f for f in schema.fields if f.name != "_corrupt_record"]
+    )
+    if not schema.fields:
+        raise ValueError(
+            f"could not infer any JSON fields from {json_col!r}"
+        )
+    parsed = df.withColumn("_fj", F.from_json(F.col(json_col), schema))
+
+    def leaf_paths(struct, prefix):
+        out = []
+        for f in struct.fields:
+            path = prefix + [f.name]
+            if isinstance(f.dataType, T.StructType):
+                out.extend(leaf_paths(f.dataType, path))
+            else:
+                out.append(path)
+        return out
+
+    cols = [
+        F.col(".".join(["_fj"] + p)).alias(sep.join(p))
+        for p in leaf_paths(schema, [])
+    ]
+    out = parsed.select(
+        *[c for c in df.columns if not (drop and c == json_col)], *cols
+    )
+    return out

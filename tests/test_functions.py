@@ -6160,3 +6160,49 @@ class TestScriptProfile:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+
+class TestFlattenJson:
+    def test_nested_flatten_and_schema_merge(self, spark):
+        from dbldatagen_spark.functions import flatten_json
+
+        rows = [
+            (1, '{"k": 1, "user": {"name": "a", "geo": {"cc": "US"}},'
+                ' "tags": ["x","y"]}'),
+            (2, '{"k": 2, "user": {"name": "b"}, "extra": 3.5}'),
+            (3, "not json at all"),
+            (4, None),
+        ]
+        df = spark.createDataFrame(rows, "id long, props string")
+        out = flatten_json(df, "props")
+        assert "props" not in out.columns           # dropped by default
+        got = {r["id"]: r for r in out.collect()}
+        assert got[1]["k"] == 1 and got[1]["user_geo_cc"] == "US"
+        assert list(got[1]["tags"]) == ["x", "y"]   # arrays kept as arrays
+        assert got[2]["extra"] == 3.5 and got[2]["user_geo_cc"] is None
+        # unparseable / NULL rows -> NULLs everywhere, never dropped
+        assert got[3]["k"] is None and got[4]["k"] is None
+        kept = flatten_json(df, "props", drop=False)
+        assert "props" in kept.columns
+
+    def test_real_props_column_and_validation(self, spark):
+        from dbldatagen_spark.functions import flatten_json
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = flatten_json(ev, "props")
+        assert "k" in out.columns
+        assert out.where(F.col("k").isNotNull()).count() == ev.count()
+        with pytest.raises(ValueError, match="sample_size"):
+            flatten_json(ev, "props", sample_size=0)
+        empty = spark.createDataFrame([(1, None)], "id long, j string")
+        with pytest.raises(ValueError, match="no non-NULL"):
+            flatten_json(empty, "j")
+
+    def test_map_only_after_sampling(self, spark):
+        from dbldatagen_spark.functions import flatten_json
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        plan = flatten_json(ev, "props")._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
