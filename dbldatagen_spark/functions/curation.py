@@ -14,7 +14,8 @@ is bytes-per-doc, not payload.
 
 from __future__ import annotations
 
-from typing import Optional
+import itertools
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -293,11 +294,17 @@ def dedup_lines_corpus(
 
 # Tracking parameters stripped by canonicalize_urls — the common
 # analytics/click identifiers that vary per visit without changing the
-# resource (the standard pre-dedup URL noise).
-_TRACKING_PARAM_RE = (
-    "^(utm_[a-z0-9_]*|gclid|dclid|fbclid|msclkid|igshid|twclid|yclid"
-    "|mc_cid|mc_eid|s_kwcid|ref|ref_src|spm|_ga)$"
+# resource (the standard pre-dedup URL noise).  Deliberately EXCLUDES
+# ambiguous names that select resources on common hosts: bare `ref` is
+# a branch/tag selector on Git hosting and a route param on some CMSes,
+# and `spm` carries position context some storefronts route on —
+# stripping either can collapse distinct resources into one dedup key.
+# Callers who know their corpus can widen the set per call.
+_TRACKING_PARAMS = (
+    "utm_[a-z0-9_]*", "gclid", "dclid", "fbclid", "msclkid", "igshid",
+    "twclid", "yclid", "mc_cid", "mc_eid", "s_kwcid", "ref_src", "_ga",
 )
+_TRACKING_PARAM_RE = "^(" + "|".join(_TRACKING_PARAMS) + ")$"
 
 # Common multi-part public suffixes for the registrable-domain
 # heuristic — a deliberately small, documented subset of the public
@@ -323,6 +330,7 @@ def canonicalize_urls(
     *,
     out_col: str = "url_canonical",
     domain_col: str = "registrable_domain",
+    tracking_params: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """URL canonicalization + registrable-domain extraction — the
     standard pre-dedup normalizer for web corpora: two crawls of the
@@ -343,6 +351,12 @@ def canonicalize_urls(
     - query params are split, tracking params (``utm_*``, ``gclid``,
       ``fbclid``, ...) and empties removed, the rest SORTED and
       rejoined — param order never distinguishes resources.
+      ``tracking_params`` overrides the default strip set (a sequence
+      of case-insensitive param-name REGEXES, each anchored whole-name
+      on match).  The default deliberately keeps ``ref`` and ``spm``:
+      both select resources on common hosts (Git-hosting branch
+      selectors, storefront routes), so stripping them can wrongly
+      collapse distinct pages into one dedup key.
 
     ``registrable_domain`` is the PSL-style owner domain (``a.b.co.uk``
     -> ``b.co.uk``; ``x.github.io`` -> ``x.github.io``) via the
@@ -355,6 +369,11 @@ def canonicalize_urls(
     array ops on each row's own URL) — no UDF, no shuffle, safe to run
     inline in any scan.
     """
+    strip_re = (
+        _TRACKING_PARAM_RE
+        if tracking_params is None
+        else "^(" + "|".join(tracking_params) + ")$"
+    )
     u = F.trim(F.col(url_col))
     no_scheme = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     no_frag = F.regexp_replace(no_scheme, "#.*$", "")
@@ -372,9 +391,7 @@ def canonicalize_urls(
     params = F.filter(
         F.split(qs, "&"),
         lambda p: (p != "")
-        & ~F.lower(F.element_at(F.split(p, "="), 1)).rlike(
-            _TRACKING_PARAM_RE
-        ),
+        & ~F.lower(F.element_at(F.split(p, "="), 1)).rlike(strip_re),
     )
     canon_q = F.array_join(F.array_sort(params), "&")
     valid = (host != "") & host.rlike(r"^[a-z0-9._\-]+$")
@@ -414,55 +431,95 @@ def flatten_json(
     sample_size: int = 100,
     sep: str = "_",
     drop: bool = True,
+    schema: Optional[T.StructType] = None,
 ):
     """Turn a JSON-string column into typed top-level columns: infer
-    the schema from a bounded sample, parse with ``from_json``, and
-    flatten every nested struct field into a flat column named by its
-    dotted path (joined with ``sep``) — the standard semi-structured
-    ETL step for event ``props`` / API payloads, without hand-writing
-    ``get_json_object`` paths per field.
+    the schema from a bounded sample (or take it from ``schema``),
+    parse with ``from_json``, and flatten every nested struct field
+    into a flat column named by its dotted path (joined with ``sep``)
+    — the standard semi-structured ETL step for event ``props`` / API
+    payloads, without hand-writing ``get_json_object`` paths per
+    field.
 
-    Inference reads at most ``sample_size`` non-NULL rows to the
-    driver (provably bounded, the analyzer convention) and lets
-    Spark's JSON reader merge their schemas, so fields missing from
-    some rows still appear (as NULLs where absent).  Rows whose JSON
-    fails to parse get NULLs in every flattened column — loud
-    downstream, never silently wrong.
+    Inference collects at most ``sample_size`` non-NULL rows to the
+    driver (provably bounded, the analyzer convention), STRIPED ACROSS
+    PARTITIONS — the head of every partition contributes, so a field
+    that first appears late in a time-partitioned corpus (schema drift
+    in event payloads) is still seen, unlike a plain ``limit`` which
+    reads only the first partitions.  Within the sample Spark's JSON
+    reader merges per-row schemas, so fields missing from some rows
+    still appear (as NULLs where absent).  Residual caveat: only
+    partition HEADS are read (early-terminating — the whole point),
+    so a field appearing exclusively deep inside one partition AND in
+    no other partition's head can still be missed; pass ``schema``
+    explicitly when the payload schema is known (skips sampling
+    entirely, the production-pipeline path).  Rows whose JSON fails to parse get
+    NULLs in every flattened column — loud downstream, never silently
+    wrong.
+
+    Flattened names are checked against the surviving input columns
+    and each other; a collision raises (ambiguous columns would
+    otherwise surface as confusing analyzer errors far downstream).
+    Field names containing dots or backticks are safe: resolution is
+    structural (``getItem`` chains), never string-parsed paths.
 
     Arrays are kept as arrays (exploding is a row-multiplying decision
     the caller should make explicitly); nested structs flatten
     recursively.  Returns the DataFrame with the flattened columns
     appended (and the raw JSON column dropped unless ``drop=False``).
 
-    Scale shape: the sample is one ``limit`` collect; the parse +
-    flatten is map-only ``from_json`` + column projection — no UDF,
-    no shuffle, safe inline in any scan at 100 TB.
+    Scale shape: the sample is one early-terminating per-partition
+    head collect; the parse + flatten is map-only ``from_json`` +
+    column projection — no UDF, no shuffle, safe inline in any scan
+    at 100 TB.
     """
-    if sample_size < 1:
-        raise ValueError(f"sample_size must be >= 1, got {sample_size}")
     spark = df.sparkSession
-    sample = [
-        r[0]
-        for r in df.select(json_col)
-        .where(F.col(json_col).isNotNull())
-        .limit(sample_size)
-        .collect()
-    ]
-    if not sample:
-        raise ValueError(f"column {json_col!r} has no non-NULL JSON to sample")
-    schema = spark.read.json(
-        spark.sparkContext.parallelize(sample, 1)
-    ).schema
-    # the JSON reader surfaces unparseable rows via _corrupt_record;
-    # that is sampling noise, not a field
-    schema = T.StructType(
-        [f for f in schema.fields if f.name != "_corrupt_record"]
-    )
+    if schema is None:
+        if sample_size < 1:
+            raise ValueError(
+                f"sample_size must be >= 1, got {sample_size}"
+            )
+        non_null = df.select(json_col).where(F.col(json_col).isNotNull())
+        n_parts = max(1, non_null.rdd.getNumPartitions())
+        if n_parts <= sample_size:
+            # head of every partition; iterator islice stops the scan
+            # early, so the cost is ~sample_size rows, not a full pass
+            per_part = max(1, sample_size // n_parts)
+            stride = 1
+        else:
+            # more partitions than budget: 1 row from every stride-th
+            per_part = 1
+            stride = n_parts // sample_size
+
+        def _heads(idx, it):
+            if idx % stride != 0:
+                return iter(())
+            return itertools.islice((row[0] for row in it), per_part)
+
+        # bounded: per_part * n_parts <= sample_size rows in the first
+        # branch, one row per sampled partition (< 2x sample_size) in
+        # the second
+        sample = non_null.rdd.mapPartitionsWithIndex(_heads).collect()
+        if not sample:
+            raise ValueError(
+                f"column {json_col!r} has no non-NULL JSON to sample"
+            )
+        schema = spark.read.json(
+            spark.sparkContext.parallelize(sample, 1)
+        ).schema
+        # the JSON reader surfaces unparseable rows via _corrupt_record;
+        # that is sampling noise, not a field
+        schema = T.StructType(
+            [f for f in schema.fields if f.name != "_corrupt_record"]
+        )
     if not schema.fields:
         raise ValueError(
             f"could not infer any JSON fields from {json_col!r}"
         )
-    parsed = df.withColumn("_fj", F.from_json(F.col(json_col), schema))
+    tmp = "_fj"
+    while tmp in df.columns:
+        tmp += "_"
+    parsed = df.withColumn(tmp, F.from_json(F.col(json_col), schema))
 
     def leaf_paths(struct, prefix):
         out = []
@@ -474,11 +531,24 @@ def flatten_json(
                 out.append(path)
         return out
 
-    cols = [
-        F.col(".".join(["_fj"] + p)).alias(sep.join(p))
-        for p in leaf_paths(schema, [])
-    ]
-    out = parsed.select(
-        *[c for c in df.columns if not (drop and c == json_col)], *cols
-    )
-    return out
+    base_cols = [c for c in df.columns if not (drop and c == json_col)]
+    paths = leaf_paths(schema, [])
+    names = [sep.join(p) for p in paths]
+    seen = set(base_cols)
+    clashes = sorted({n for n in names if n in seen or names.count(n) > 1})
+    if clashes:
+        raise ValueError(
+            f"flatten_json: flattened column name(s) {clashes} collide "
+            f"with existing columns or each other (sep={sep!r}) — "
+            f"rename the inputs, change sep, or drop the clashing "
+            f"fields via an explicit schema"
+        )
+
+    def resolve(path):
+        c = parsed[tmp]
+        for part in path:
+            c = c.getItem(part)
+        return c
+
+    cols = [resolve(p).alias(n) for p, n in zip(paths, names)]
+    return parsed.select(*base_cols, *cols)

@@ -125,9 +125,7 @@ DEFAULT_MAX_CANDIDATE_PAIRS = 50_000_000
 
 
 def _candidate_density_guard(
-    posting: DataFrame,
-    sh_col: str,
-    max_posting_len: Optional[int],
+    dfreq: DataFrame,
     max_candidate_pairs: Optional[int],
     op_name: str,
 ) -> None:
@@ -137,11 +135,13 @@ def _candidate_density_guard(
     (tiny shared vocabulary) reaches near-all-pairs candidate density
     with every posting individually under the cap.  This estimates the
     candidate-pair upper bound as ``sum over kept postings of
-    C(df, 2)`` — one cheap count-aggregate on the document-frequency
-    frame the cut already computes — and raises with knob guidance
-    instead of silently crawling (measured 243 s for 9 true pairs on
-    the PROFILES adversarial corpus).  ``max_candidate_pairs=None``
-    opts out, the explicit fold-guard-style escape hatch.
+    C(df, 2)`` — one count-aggregate over ``dfreq``, the
+    document-frequency frame (already cut to kept postings by the
+    caller) — and raises with knob guidance instead of silently
+    crawling (measured 243 s for 9 true pairs on the PROFILES
+    adversarial corpus).  EAGER: runs a Spark job at call time.
+    ``max_candidate_pairs=None`` opts out, the explicit
+    fold-guard-style escape hatch.
     """
     if max_candidate_pairs is None:
         return
@@ -149,9 +149,6 @@ def _candidate_density_guard(
         raise ValueError(
             f"max_candidate_pairs must be >= 1, got {max_candidate_pairs}"
         )
-    dfreq = posting.groupBy(sh_col).agg(F.count(F.lit(1)).alias("_df"))
-    if max_posting_len is not None:
-        dfreq = dfreq.where(F.col("_df") <= max_posting_len)
     est_row = dfreq.agg(
         F.sum(F.col("_df") * (F.col("_df") - F.lit(1)) / F.lit(2))
         .cast("long")
@@ -170,6 +167,35 @@ def _candidate_density_guard(
             f"cost is intended, or pass max_candidate_pairs=None to opt "
             f"out of this guard."
         )
+
+
+def _blocked_posting(
+    posting: DataFrame,
+    key_col: str,
+    max_posting_len: Optional[int],
+    max_candidate_pairs: Optional[int],
+    op_name: str,
+) -> DataFrame:
+    """Stop cut + density guard over an inverted-index posting frame,
+    sharing ONE document-frequency aggregate: the same ``dfreq`` frame
+    feeds the guard's eager estimate and the keep-cut join.  When both
+    are active the frame is persisted (MEMORY_AND_DISK, LRU-evicted,
+    one row per kept posting key) so the guard job materializes what
+    the cut then reads back — without it the full posting shuffle
+    would run twice, once for the estimate and once for the cut.
+    Returns the blocking posting frame (cut applied when requested).
+    """
+    if max_posting_len is not None and max_posting_len < 2:
+        raise ValueError("max_posting_len must be >= 2")
+    dfreq = posting.groupBy(key_col).agg(F.count(F.lit(1)).alias("_df"))
+    if max_posting_len is not None:
+        dfreq = dfreq.where(F.col("_df") <= max_posting_len)
+        if max_candidate_pairs is not None:
+            dfreq = dfreq.persist()
+    _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
+    if max_posting_len is not None:
+        return posting.join(dfreq.select(key_col), key_col)
+    return posting
 
 
 def _pair_jaccard(
@@ -199,18 +225,7 @@ def _pair_jaccard(
     posting = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_sh")
     )
-    blocking = posting
-    if max_posting_len is not None:
-        if max_posting_len < 2:
-            raise ValueError("max_posting_len must be >= 2")
-        keep = (
-            posting.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_posting_len)
-            .select("_sh")
-        )
-        blocking = posting.join(keep, "_sh")
-    _candidate_density_guard(
+    blocking = _blocked_posting(
         posting, "_sh", max_posting_len, max_candidate_pairs, op_name
     )
     a = blocking.alias("a")
@@ -272,6 +287,11 @@ def ngram_jaccard_pairs(
     d^2 cartesian explosion. Pass ``max_posting_len=None`` for exact
     small-corpus runs where every shared shingle must count toward
     blocking; ``minhash_near_duplicates`` is the cheaper path at scale.
+
+    NOTE: the candidate-density guard runs an EAGER count-aggregate
+    Spark job at call time (one pass over the document-frequency
+    frame, which the stop-cut then reuses via a persisted share);
+    pass ``max_candidate_pairs=None`` for a fully lazy plan.
     """
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     return _pair_jaccard(
@@ -394,9 +414,15 @@ def lsh_tune(
 
     Returns ``(bands, rows_per_band, recall_at_threshold, midpoint)``
     where ``midpoint = (1/b)^(1/r)`` is the similarity at which the
-    curve crosses ~63% collision probability; for any chosen pair the
-    curve BRACKETS the threshold: ``midpoint <= threshold`` and
-    ``recall_at_threshold >= target_recall``.
+    curve crosses ~63% collision probability.  When a divisor pair
+    meets the recall target, the chosen curve BRACKETS the threshold:
+    ``midpoint <= threshold`` and ``recall_at_threshold >=
+    target_recall``.  The ``r=1`` fallback (no divisor pair meets the
+    target — very low thresholds or few hashes) is best-effort only:
+    it is the maximum-recall curve available, but its recall can still
+    sit below ``target_recall`` and its midpoint above ``threshold``,
+    so callers should check the returned recall when tuning near the
+    extremes.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -415,8 +441,11 @@ def lsh_tune(
         if recall >= target_recall:
             chosen = (b, r, recall)
             break
-    if chosen is None:  # r=1 always divides, so only hit when even
-        b, r = num_hashes, 1  # b bands of 1 row: the max-recall curve
+    if chosen is None:
+        # no divisor pair met the target; fall back to r=1 (b bands of
+        # one row), the maximum-recall curve num_hashes can express —
+        # best-effort, may still miss the recall target (docstring)
+        b, r = num_hashes, 1
         chosen = (b, r, 1.0 - (1.0 - threshold) ** b)
     b, r, recall = chosen
     midpoint = (1.0 / b) ** (1.0 / r)
@@ -1658,6 +1687,11 @@ def containment_pairs(
     (``array_intersect``) — the cut affects recall, never the measure.
     All emitted numbers are integers or single ratios of integers —
     exactly replayable by a SQL oracle.
+
+    NOTE: the candidate-density guard runs an EAGER count-aggregate
+    Spark job at call time (shared with the stop-cut via a persisted
+    document-frequency frame); ``max_candidate_pairs=None`` keeps the
+    plan fully lazy.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -1665,18 +1699,7 @@ def containment_pairs(
     posting = shingled.select(
         F.col(id_col), F.explode("shingles").alias("_sh")
     )
-    blocking = posting
-    if max_posting_len is not None:
-        if max_posting_len < 2:
-            raise ValueError("max_posting_len must be >= 2")
-        keep = (
-            posting.groupBy("_sh")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_posting_len)
-            .select("_sh")
-        )
-        blocking = posting.join(keep, "_sh")
-    _candidate_density_guard(
+    blocking = _blocked_posting(
         posting, "_sh", max_posting_len, max_candidate_pairs,
         "containment_pairs",
     )
@@ -1767,6 +1790,11 @@ def containment_sketch_pairs(
     hashes posted by more than the cap are dropped from the BLOCKING
     index only (surviving pairs' estimates still use full sketches).
     Pass ``None`` for exact small-corpus blocking.
+
+    NOTE: the candidate-density guard runs an EAGER count-aggregate
+    Spark job at call time (shared with the stop-cut via a persisted
+    document-frequency frame); ``max_candidate_pairs=None`` keeps the
+    plan fully lazy.
     """
     if sketch_k < 2:
         raise ValueError(f"sketch_k must be >= 2, got {sketch_k}")
@@ -1804,18 +1832,10 @@ def containment_sketch_pairs(
         F.array_sort(F.collect_list("_h")).alias("_sk")
     ).cache()
     posting = sketches.select(F.col(id_col), F.explode("_sk").alias("_h"))
-    _candidate_density_guard(
+    posting = _blocked_posting(
         posting, "_h", max_posting_len, max_candidate_pairs,
         "containment_sketch_pairs",
     )
-    if max_posting_len is not None:
-        keep = (
-            posting.groupBy("_h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_posting_len)
-            .select("_h")
-        )
-        posting = posting.join(keep, "_h")
     pairs = (
         posting.alias("a")
         .join(

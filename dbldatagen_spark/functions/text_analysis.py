@@ -958,6 +958,8 @@ def bpe_encode(
     merges,
     *,
     out_col: str = "bpe_tokens",
+    max_merges: int = 128,
+    checkpoint_chunk: "Optional[int]" = None,
 ) -> DataFrame:
     """Apply a learned BPE merge table to every document — the ENCODE
     half of :func:`bpe_train`, as PURE JVM expressions.  Each
@@ -969,13 +971,31 @@ def bpe_encode(
     ``merges`` accepts :func:`bpe_train` output ``[(l, r, count)]`` or
     bare ``[(l, r)]`` pairs.
 
-    Scale shape: tokenization is MAP-ONLY — no UDF, no shuffle, no
-    vocabulary broadcast (the merge table is a constant expression
-    chain, one ``replace`` node per merge) — so encoding runs inline
-    in any scan at any scale; this is the property that lets a 100 TB
-    corpus tokenize in the same pass that filters and dedups it.
-    Output: ``out_col`` = ``array<string>`` of BPE tokens in word
-    order (non-alphabetic characters delimit words, as in training).
+    PLAN-WIDTH GUARD (the fold-guard contract): one expression node
+    per merge means a production-size merge table (30k-50k merges)
+    blows up Catalyst analysis long before execution — MEASURED: the
+    recursive column-node conversion overflows the JVM stack between
+    200 and 300 nested replaces on Spark 4.1 (a StackOverflowError at
+    ``withColumn`` time), so the default ``max_merges=128`` keeps ~2x
+    margin.  Wider tables raise unless ``checkpoint_chunk`` (<=
+    ``max_merges``) opts into the CHUNKED path: merges apply in
+    ``checkpoint_chunk``-sized chunks with a (lazy)
+    ``localCheckpoint`` between chunks, so no single Catalyst plan or
+    codegen unit ever sees more than one chunk's replaces while
+    execution still streams each row through every chunk in one job.
+    Checkpoint blocks live in executor storage until the RDD is
+    garbage collected — for full vocabularies where even that is too
+    slow, a pandas-UDF tokenizer holding the merge table as a dict is
+    the escape hatch.
+
+    Scale shape (single-plan path): tokenization is MAP-ONLY — no
+    UDF, no shuffle, no vocabulary broadcast (the merge table is a
+    constant expression chain, one ``replace`` node per merge) — so
+    encoding runs inline in any scan at any scale; this is the
+    property that lets a 100 TB corpus tokenize in the same pass that
+    filters and dedups it.  Output: ``out_col`` = ``array<string>``
+    of BPE tokens in word order (non-alphabetic characters delimit
+    words, as in training).
     """
     pairs = [(m[0], m[1]) for m in merges]
     if not pairs:
@@ -986,6 +1006,26 @@ def bpe_encode(
                 f"invalid merge pair ({l_sym!r}, {r_sym!r}): symbols "
                 f"must be non-empty and space-free"
             )
+    if max_merges < 1:
+        raise ValueError(f"max_merges must be >= 1, got {max_merges}")
+    if checkpoint_chunk is not None and not (
+        1 <= checkpoint_chunk <= max_merges
+    ):
+        raise ValueError(
+            f"checkpoint_chunk must be in [1, max_merges={max_merges}], "
+            f"got {checkpoint_chunk} — each chunk is one Catalyst plan "
+            f"and is subject to the same width limit"
+        )
+    if len(pairs) > max_merges and checkpoint_chunk is None:
+        raise ValueError(
+            f"bpe_encode: {len(pairs):,} merges exceeds "
+            f"max_merges={max_merges:,} — one replace node per merge "
+            f"would blow up Catalyst analysis at this width. Pass "
+            f"checkpoint_chunk (e.g. {max_merges}) to apply the table "
+            f"in localCheckpoint-separated chunks, raise max_merges if "
+            f"this width is intended, or use a pandas-UDF tokenizer "
+            f"for full production vocabularies."
+        )
 
     # PREFIX-marker representation: every symbol is rendered " sym"
     # (leading space), concatenated — " t h e".  A merge pattern
@@ -996,25 +1036,57 @@ def bpe_encode(
     # the boundary space, so leftmost-non-overlapping replace skips
     # every second site ("e r e r" -> "er e r").  The prefix form has
     # neither problem (each match consumes exactly its own marker).
-    def encode_word(w):
-        seq = F.array_join(
+    def apply_merges(seq, chunk):
+        for l_sym, r_sym in chunk:
+            seq = F.replace(
+                seq, F.lit(f" {l_sym} {r_sym}"), F.lit(f" {l_sym}{r_sym}")
+            )
+        return seq
+
+    def char_seq(w):
+        return F.array_join(
             F.transform(
                 F.sequence(F.lit(1), F.length(w)),
                 lambda i: F.concat(F.lit(" "), w.substr(i, F.lit(1))),
             ),
             "",
         )
-        for l_sym, r_sym in pairs:
-            seq = F.replace(
-                seq, F.lit(f" {l_sym} {r_sym}"), F.lit(f" {l_sym}{r_sym}")
-            )
-        return F.filter(F.split(seq, " "), lambda t: t != "")
 
     words = F.filter(
         F.split(F.lower(F.col(text_col)), "[^a-z]+"),
         lambda w: w != "",
     )
-    return df.withColumn(out_col, F.flatten(F.transform(words, encode_word)))
+    to_tokens = lambda s: F.filter(F.split(s, " "), lambda t: t != "")
+
+    if checkpoint_chunk is None or len(pairs) <= checkpoint_chunk:
+        return df.withColumn(
+            out_col,
+            F.flatten(
+                F.transform(
+                    words, lambda w: to_tokens(apply_merges(char_seq(w), pairs))
+                )
+            ),
+        )
+
+    # chunked path: hold the per-word partially-merged seq strings in a
+    # temp column, truncating the Catalyst plan between chunks
+    tmp = "_bpe_seq"
+    while tmp in df.columns:
+        tmp += "_"
+    # NB: F.transform treats a 2-param callable as (element, index),
+    # so the chunk must bind via a closure factory, not a default arg
+    def chunk_fn(chunk):
+        return lambda s: apply_merges(s, chunk)
+
+    cur = df.withColumn(tmp, F.transform(words, char_seq))
+    for i in range(0, len(pairs), checkpoint_chunk):
+        cur = cur.withColumn(
+            tmp,
+            F.transform(F.col(tmp), chunk_fn(pairs[i : i + checkpoint_chunk])),
+        ).localCheckpoint(eager=False)
+    return cur.withColumn(
+        out_col, F.flatten(F.transform(F.col(tmp), to_tokens))
+    ).drop(tmp)
 
 
 def _bpe_words(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:

@@ -20,9 +20,12 @@ driver-side failure the old ``%.6g`` normalization masked):
    will flake on the driver's local[32] even if they pass here.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...] [--window]
-                                       [--chunk I/N]
+                                       [--chunk I/N] [--ansi]
   --window checks exactly the driver's gate: the FIRST 50 queries()
   entries (the current rotation window).
+  --ansi runs the Spark side under spark.sql.ansi.enabled=true — the
+  standing pre-rotation gate (ROTATION.md policy #5): ANSI mode turns
+  silent out-of-range element_at / cast corner cases into loud errors.
   --chunk I/N (1-based) checks the I-th of N contiguous slices of the
   full registry — the full-registry certification runs as N short
   sessions instead of one session that outlives the timeout:
@@ -143,8 +146,9 @@ def main() -> int:
         i = raw.index("--chunk")
         chunk_spec = raw[i + 1]
         del raw[i:i + 2]
-    args = [a for a in raw if a != "--window"]
+    args = [a for a in raw if a not in ("--window", "--ansi")]
     window_only = "--window" in raw
+    ansi = "--ansi" in raw
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
 
@@ -179,6 +183,11 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    if ansi:
+        # standing rotation gate (the round-10 sweep caught two latent
+        # element_at hazards): run the Spark side under ANSI mode
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+        print("ANSI mode: spark.sql.ansi.enabled=true")
 
     con = duckdb.connect()
     for t in TABLES:

@@ -100,6 +100,12 @@ def main() -> None:
         " audit, partitioning-stability double-run) runs on the whole"
         " window before each rotation commit and on rotation candidates"
         " before promotion.",
+        "5. **ANSI gate**: the current window also runs under"
+        " `scripts/check_oracle.py --ansi`"
+        " (`spark.sql.ansi.enabled=true`) before each rotation commit"
+        " — ANSI mode turns silent out-of-range `element_at` / cast"
+        " corners into loud errors (the round-10 full-registry sweep"
+        " caught two latent hazards this way).",
         "",
         "## Ledger",
         "",

@@ -86,6 +86,16 @@ class TestBenchSteadyArtifact:
         assert bench._sf_of("/tmp/sf1-scale") == 1
         assert bench._sf_of("/somewhere/else") == 0.1
 
+    def test_sf_of_requires_delimiter_bounded_tag(self):
+        # a bare substring match would route these into the sf1 lane
+        # and compare timings against the wrong minima
+        assert bench._sf_of("/data/sf10") == 0.1        # not sf1
+        assert bench._sf_of("/tmp/mysf1-old") == 0.1    # not sf1
+        assert bench._sf_of("/x/sf1/") == 1             # trailing slash ok
+        assert bench._sf_of("run_sf1") == 1
+        assert bench._sf_of("/a/sf0.1-copy") == 0.1
+        assert bench._sf_of("/a/xsf0.1") == 0.1         # no boundary
+
     def test_update_steady_parses_driver_wrapper(self, tmp_path):
         # the driver wraps the bench one-liner inside a "tail" field;
         # regeneration must find it there and take per-query minima

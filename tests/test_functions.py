@@ -1297,6 +1297,33 @@ class TestCanonicalizeUrls:
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
+    def test_resource_selecting_params_survive_by_default(self, spark):
+        # `ref` selects branches on Git hosting and `spm` routes some
+        # storefronts — stripping them would wrongly collapse distinct
+        # resources into one dedup key, so the DEFAULT set keeps both
+        # (while ref_src, a pure tracking param, still goes)
+        out = self._canon(spark, [
+            "https://git.example.com/repo/tree?ref=main",
+            "https://git.example.com/repo/tree?ref=dev",
+            "https://shop.example.com/item?spm=a1.2&ref_src=tw",
+        ])
+        assert out[0] == ("git.example.com/repo/tree?ref=main", "example.com")
+        assert out[1] == ("git.example.com/repo/tree?ref=dev", "example.com")
+        assert out[2] == ("shop.example.com/item?spm=a1.2", "example.com")
+
+    def test_tracking_params_override(self, spark):
+        from dbldatagen_spark.functions import canonicalize_urls
+
+        df = spark.createDataFrame(
+            [(1, "https://x.com/p?ref=main&utm_source=a&sess=9")],
+            "id long, url string",
+        )
+        row = canonicalize_urls(
+            df, "url", tracking_params=["ref", "sess"]
+        ).collect()[0]
+        # the override REPLACES the default set: utm_source survives
+        assert row["url_canonical"] == "x.com/p?utm_source=a"
+
 
 def test_strip_boilerplate_lines(spark):
     from dbldatagen_spark.functions import strip_boilerplate_lines
@@ -6102,6 +6129,45 @@ class TestBpeEncode:
         with pytest.raises(ValueError, match="space-free"):
             bpe_encode(df, "text", [("a b", "c")])
 
+    def test_plan_width_guard_raises_actionably(self, spark):
+        # a production-size merge table must fail LOUDLY at call time
+        # (Catalyst analysis would blow up long before execution), and
+        # the message must name the chunked escape hatch
+        from dbldatagen_spark.functions import bpe_encode
+
+        df = spark.createDataFrame([(1, "abc")], "id long, text string")
+        big = self.MERGES + [
+            (f"zq{chr(97 + i % 26)}", f"xv{chr(97 + i // 26 % 26)}{i}")
+            for i in range(2000 - len(self.MERGES))
+        ]
+        with pytest.raises(ValueError, match="checkpoint_chunk"):
+            bpe_encode(df, "text", big)
+        with pytest.raises(ValueError, match="max_merges"):
+            bpe_encode(df, "text", self.MERGES, max_merges=0)
+        with pytest.raises(ValueError, match="checkpoint_chunk"):
+            bpe_encode(df, "text", self.MERGES, checkpoint_chunk=0)
+
+    def test_chunked_path_matches_single_plan(self, spark):
+        # 2,000 merges through the localCheckpoint-chunked path encode
+        # identically to the python greedy reference; cross-chunk merge
+        # dependencies (later merges consuming earlier merges' symbols)
+        # are exercised by chunking the REAL merges one per chunk
+        from dbldatagen_spark.functions import bpe_encode
+
+        rows = [(1, "other there"), (2, "erer the rethink")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        pad = [(f"zq{i}", f"xv{i}") for i in range(2000 - len(self.MERGES))]
+        big = self.MERGES + pad  # pad merges never match (no such syms)
+        got = {r["id"]: list(r["bpe_tokens"])
+               for r in bpe_encode(
+                   df, "text", big, checkpoint_chunk=128).collect()}
+        for i, t in rows:
+            assert got[i] == self._py_encode(t, self.MERGES), t
+        tight = {r["id"]: list(r["bpe_tokens"])
+                 for r in bpe_encode(
+                     df, "text", self.MERGES, checkpoint_chunk=1).collect()}
+        assert tight == {i: self._py_encode(t, self.MERGES) for i, t in rows}
+
 
 class TestFileRowsReport:
     def test_partitioned_write_layout(self, spark, tmp_path):
@@ -6206,3 +6272,67 @@ class TestFlattenJson:
             .executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
+
+    def test_tail_only_field_is_sampled(self, spark):
+        # schema drift across a partitioned corpus: a field that first
+        # appears in the LAST partition must still be inferred — the
+        # striped per-partition sample sees every partition's head,
+        # where a plain limit() would read only the first partitions
+        from dbldatagen_spark.functions import flatten_json
+
+        rows = [(i, '{"a": 1}') for i in range(60)] + [
+            (100 + i, '{"a": 2, "late": "x"}') for i in range(5)
+        ]
+        # 13 explicit partitions of 5 rows: the last partition holds
+        # exactly the late rows (parallelize slices the list in order)
+        rdd = spark.sparkContext.parallelize(rows, 13)
+        df = spark.createDataFrame(rdd, "id long, props string")
+        out = flatten_json(df, "props", sample_size=10)
+        assert "late" in out.columns
+        got = {r["id"]: r for r in out.collect()}
+        assert got[100]["late"] == "x" and got[0]["late"] is None
+
+    def test_explicit_schema_skips_sampling(self, spark):
+        from dbldatagen_spark.functions import flatten_json
+        from pyspark.sql import types as T
+
+        df = spark.createDataFrame(
+            [(1, '{"u": {"n": 7}}'), (2, None)], "id long, props string"
+        )
+        schema = T.StructType([
+            T.StructField("u", T.StructType([
+                T.StructField("n", T.LongType()),
+            ])),
+            T.StructField("ghost", T.StringType()),
+        ])
+        out = flatten_json(df, "props", schema=schema)
+        got = {r["id"]: r for r in out.collect()}
+        assert got[1]["u_n"] == 7 and got[1]["ghost"] is None
+        assert got[2]["u_n"] is None  # NULL json row survives
+        with pytest.raises(ValueError, match="could not infer|fields"):
+            flatten_json(df, "props", schema=T.StructType([]))
+
+    def test_name_collisions_raise_and_odd_names_resolve(self, spark):
+        from dbldatagen_spark.functions import flatten_json
+
+        # flattened name colliding with a surviving input column
+        df = spark.createDataFrame(
+            [(1, "kept", '{"k": 9}')], "id long, k string, props string"
+        )
+        with pytest.raises(ValueError, match="collide"):
+            flatten_json(df, "props")
+        # dropping the json col doesn't save a clash with 'k'
+        out = flatten_json(df.drop("k"), "props")
+        assert out.collect()[0]["k"] == 9
+        # dotted field names resolve structurally (no F.col path parse)
+        dotted = spark.createDataFrame(
+            [(1, '{"a.b": 5, "x": {"c.d": 6}}')], "id long, props string"
+        )
+        row = flatten_json(dotted, "props").collect()[0]
+        assert row["a.b"] == 5 and row["x_c.d"] == 6
+        # an existing _fj column must not be clobbered by the temp
+        shadow = spark.createDataFrame(
+            [(1, "keepme", '{"v": 3}')], "id long, _fj string, props string"
+        )
+        row = flatten_json(shadow, "props").collect()[0]
+        assert row["_fj"] == "keepme" and row["v"] == 3
