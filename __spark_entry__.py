@@ -6033,6 +6033,119 @@ def _ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+def _ann_ivfpq_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted IVF-PQ serving layout — the twin of ann_ivf_pq that
+    makes the 100 TB storage contract REAL instead of promised: the
+    index is written partitioned by cell (ivfpq_write_index — one
+    compact file per cell), read back, and probed.  Asserted per
+    md5-selected query: (a) the probe predicate lands in the scan's
+    PartitionFilters (partition pruning, checked in the executed
+    plan), (b) the probed cells' footprint is <= n_probe of the
+    written files (the scan never touches the other cells), and
+    (c) the served top-k equals the in-memory index's top-k row for
+    row — persistence changes where bytes live, never the ranking."""
+    import re
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from dbldatagen_spark.functions import (
+        ivfpq_build, ivfpq_read_index, ivfpq_topk, ivfpq_write_index,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    idx, cents, cb = ivfpq_build(
+        emb, "vec_id", "v", n_cells=8, m=8, k=16,
+        coarse_max_iter=6, pq_max_iter=6,
+    )
+    idx = idx.cache()
+    n_probe = 4
+    tmp = tempfile.mkdtemp(prefix="ivfpq_persist_")
+    rows = []
+    try:
+        ivfpq_write_index(idx, f"{tmp}/index")
+        stored = ivfpq_read_index(spark, f"{tmp}/index")
+        probes = (
+            emb.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+            .limit(2)
+            .collect()
+        )
+        for p in probes:
+            q = np.asarray(list(p["v"]), dtype=float)
+            served = ivfpq_topk(
+                stored, "vec_id", cents, cb, list(q), k=10,
+                n_probe=n_probe, exclude_id=p["vec_id"],
+            )
+            mem = ivfpq_topk(
+                idx, "vec_id", cents, cb, list(q), k=10,
+                n_probe=n_probe, exclude_id=p["vec_id"],
+            )
+            plan = served._jdf.queryExecution().executedPlan().toString()
+            pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+            pruned = bool(pf and "cell" in pf.group(1))
+            # recompute the probe set exactly as ivfpq_topk ranks it
+            d2 = ((np.asarray(cents) - q[None, :]) ** 2).sum(axis=1)
+            cells = [int(c) for c in
+                     np.lexsort((np.arange(len(d2)), d2))[:n_probe]]
+            files_scanned = (
+                stored.where(F.col("cell").isin(cells))
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .count()
+            )
+            same = [tuple(r) for r in served.collect()] == \
+                [tuple(r) for r in mem.collect()]
+            rows.append(
+                (int(p["vec_id"]), 8, n_probe, bool(pruned),
+                 bool(files_scanned <= n_probe), bool(same))
+            )
+    finally:
+        idx.unpersist()
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows,
+        "qid long, n_cells int, n_probe int, partition_pruned boolean, "
+        "files_scanned_le_probe boolean, matches_memory boolean",
+    ).orderBy("qid")
+
+
+def _docs_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-style exact substring dedup (Lee et al. 2022 ExactSubstr,
+    Spark-first as the k-gram cover): a token position is covered iff
+    some 8-token window containing it occurs >= 2 times corpus-wide;
+    maximal covered runs are the duplicate spans, removed from EVERY
+    occurrence.  Per affected document the oracle replays span count,
+    tokens removed, and the md5 of the REBUILT text — so the removal
+    itself (not just the statistics) is verified relationally.  Only
+    (k-gram md5, id, pos) rows ever shuffle; span location is one
+    count-aggregate + one join + one per-doc window, and the rebuild
+    joins one small span array back per affected doc."""
+    from dbldatagen_spark.functions import (
+        substring_dedup, substring_dedup_spans,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    spans = substring_dedup_spans(docs, "doc_id", "text", k=8)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("span_tokens").cast("long").alias("tokens_removed"),
+    )
+    clean = substring_dedup(docs, "doc_id", "text", k=8).select(
+        "doc_id", "n_tokens", F.md5("deduped_text").alias("deduped_md5")
+    )
+    return (
+        agg.join(clean, "doc_id")
+        .select(
+            "doc_id", "n_spans", "tokens_removed", "n_tokens",
+            "deduped_md5",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007): per
     event type, a dense 256-register HLL over the portable md5 hash
@@ -6465,6 +6578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Exactly 50 entries precede the demoted marker; the 12
         # r6 rows from events_funnel onward wait for the r11
         # draw (they head it, with any r11 growth rows).
+        "ann_ivfpq_persisted": _ann_ivfpq_persisted,
+        "docs_substring_dedup": _docs_substring_dedup,
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
@@ -10374,6 +10489,91 @@ def _oracle_sql_base() -> dict[str, str]:
                 (12, 'news.bbc.co.uk/world/europe?id=9', 'bbc.co.uk')
             ) AS t(id, url_canonical, registrable_domain)
             ORDER BY id
+        """,
+        # persisted-layout twin: every emitted cell is a structural
+        # invariant of the write/serve contract (pruned plan, <=
+        # n_probe files, persisted == in-memory ranking), so the
+        # oracle is the hand-stated expectation over the same
+        # md5-selected probe ids
+        "ann_ivfpq_persisted": """
+            WITH q AS (
+                SELECT vec_id AS qid FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 2
+            )
+            SELECT qid,
+                   CAST(8 AS INTEGER) AS n_cells,
+                   CAST(4 AS INTEGER) AS n_probe,
+                   true AS partition_pruned,
+                   true AS files_scanned_le_probe,
+                   true AS matches_memory
+            FROM q ORDER BY qid
+        """,
+        # full relational replay of the k-gram-cover substring dedup:
+        # duplicated 8-grams -> covered positions -> gaps-and-islands
+        # span merge -> rebuilt text md5 (the removal itself verified)
+        "docs_substring_dedup": """
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, i AS pos,
+                       md5(array_to_string(w[i:i+7], ' ')) AS h
+                FROM t,
+                     unnest([x for x in generate_series(1, len(w) - 7)])
+                     s(i)
+            ),
+            d AS (SELECT h FROM g GROUP BY h HAVING count(*) >= 2),
+            p AS (SELECT doc_id, pos FROM g JOIN d USING (h)),
+            isl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN pos - lag(pos) OVER (
+                                PARTITION BY doc_id ORDER BY pos) <= 8
+                            THEN 0 ELSE 1 END AS brk
+                FROM p
+            ),
+            sid AS (
+                SELECT doc_id, pos,
+                       SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS UNBOUNDED PRECEDING) AS s
+                FROM isl
+            ),
+            spans AS (
+                SELECT doc_id, s, MIN(pos) AS a, MAX(pos) + 7 AS b
+                FROM sid GROUP BY doc_id, s
+            ),
+            agg AS (
+                SELECT doc_id, count(*)::BIGINT AS n_spans,
+                       CAST(SUM(b - a + 1) AS BIGINT) AS tokens_removed
+                FROM spans GROUP BY doc_id
+            ),
+            toks AS (
+                SELECT doc_id, j AS pos, w[j] AS tok
+                FROM t,
+                     unnest([x for x in generate_series(1, len(w))]) s(j)
+            ),
+            kept AS (
+                SELECT tk.doc_id, tk.pos, tk.tok
+                FROM toks tk
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = tk.doc_id
+                      AND tk.pos BETWEEN sp.a AND sp.b
+                )
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       array_to_string(list(tok ORDER BY pos), ' ') AS txt
+                FROM kept GROUP BY doc_id
+            ),
+            ntok AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM t)
+            SELECT a.doc_id, a.n_spans, a.tokens_removed, ntok.n_tokens,
+                   md5(COALESCE(r.txt, '')) AS deduped_md5
+            FROM agg a
+            JOIN ntok USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY a.doc_id
         """,
         "ann_ivf_pq": """
             WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),

@@ -1245,6 +1245,161 @@ def duplicated_span_stats(
     )
 
 
+def substring_dedup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """Maximal duplicated token SPANS per document — the span-locating
+    half of suffix-style exact substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", §4
+    ExactSubstr; there built on one suffix array over the concatenated
+    corpus).  The Spark-first re-expression is the k-gram cover: a
+    token position is COVERED iff some ``k``-token window containing
+    it occurs >= ``min_count`` times corpus-wide; maximal runs of
+    covered window starts (gaps <= ``k`` merge, so their covered
+    intervals are contiguous) become the emitted spans.
+
+    Guarantee direction: any substring of >= ``k`` tokens that appears
+    verbatim more than once has ALL its k-grams duplicated, so it is
+    fully covered — no verbatim duplicate of length >= k escapes.
+    Coverage may extend past the exact duplicate's edges (adjacent
+    independently-duplicated k-grams stitch), the conservative
+    direction for training-data curation.  Positions are 1-based
+    token indices; ``span_end`` is inclusive.
+
+    Returns ``(id, span_start, span_end, span_tokens)`` — one row per
+    maximal span; documents with no duplicated k-gram emit nothing.
+    Spans of one document never overlap (a merge-gap > ``k`` implies
+    disjoint covered intervals).
+
+    Scale shape: only ``(k-gram md5, id, pos)`` rows shuffle — span
+    text never moves; one corpus-wide count aggregate (map-side
+    combine), one join of the position stream against the duplicated
+    k-gram set, one per-document window (single key shuffle + sort)
+    for the gaps-and-islands merge.  The md5 basis makes every hash —
+    hence every span — replayable by any engine.  Unlike
+    :func:`duplicated_span_stats` (fixed windows, per-doc FRACTION
+    signal), this locates exact maximal spans so the duplicate text
+    itself can be removed.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = ensure_parallelism(df).select(F.col(id_col), w.alias("_w"))
+    starts = F.when(
+        F.size("_w") >= k, F.sequence(F.lit(1), F.size("_w") - F.lit(k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    g = toks.select(
+        F.col(id_col),
+        F.col("_w"),
+        F.explode(starts).alias("_pos"),
+    ).select(
+        F.col(id_col),
+        F.col("_pos"),
+        F.md5(F.array_join(F.slice(F.col("_w"), F.col("_pos"), k), " ")).alias(
+            "_h"
+        ),
+    )
+    dup = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") >= min_count)
+        .select("_h")
+    )
+    dpos = g.join(dup, "_h").select(F.col(id_col), F.col("_pos"))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    islands = dpos.withColumn(
+        "_brk",
+        F.when(
+            F.col("_pos") - F.lag("_pos").over(win) <= k, F.lit(0)
+        ).otherwise(F.lit(1)),
+    ).withColumn(
+        "_span",
+        F.sum("_brk").over(
+            win.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        islands.groupBy(id_col, "_span")
+        .agg(
+            F.min("_pos").cast("long").alias("span_start"),
+            (F.max("_pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            F.col(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 10,
+    min_count: int = 2,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """Exact substring REMOVAL (Lee et al. 2022 ExactSubstr applied):
+    drop every token covered by a :func:`substring_dedup_spans` span —
+    all occurrences go, matching the paper's remove-every-copy rule —
+    and rebuild the document from the surviving tokens.
+
+    Returns the input columns plus ``out_col`` (space-joined surviving
+    tokens; empty string when the whole document was duplicated),
+    ``n_tokens`` and ``n_tokens_removed``.  Documents with no
+    duplicated k-gram pass through with their whitespace normalized
+    (single spaces), the tokenization the measure is defined over.
+
+    Scale shape: spans collapse to one small array per affected
+    document (spans are maximal and disjoint, so the array length is
+    bounded by ``n_tokens / k``); the rebuild is a per-row two-level
+    higher-order filter against that array — document bodies cross the
+    wire once, for the final join of span arrays back onto the corpus
+    (broadcast-sized when duplication is sparse).
+    """
+    spans = substring_dedup_spans(
+        df, id_col, text_col, k=k, min_count=min_count
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+    )
+    w = F.split(F.trim(F.col(text_col)), r"\s+")
+    joined = df.join(per_doc, id_col, "left").withColumn(
+        "_spans", F.coalesce(F.col("_spans"), F.array())
+    )
+    kept = F.filter(
+        w,
+        lambda x, i: ~F.exists(
+            F.col("_spans"),
+            lambda s: (s["span_start"] <= i + F.lit(1))
+            & (i + F.lit(1) <= s["span_end"]),
+        ),
+    )
+    return (
+        joined.withColumn("n_tokens", F.size(w).cast("long"))
+        .withColumn(out_col, F.array_join(kept, " "))
+        .withColumn(
+            "n_tokens_removed",
+            (F.size(w) - F.size(kept)).cast("long"),
+        )
+        .drop("_spans")
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,

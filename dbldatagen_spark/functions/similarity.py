@@ -1076,6 +1076,68 @@ def ivfpq_topk(
     return out.orderBy(F.col(out_col), F.col(id_col)).limit(k)
 
 
+def ivfpq_write_index(
+    index_df: DataFrame,
+    path: str,
+    *,
+    cell_col: str = "cell",
+    mode: str = "overwrite",
+) -> None:
+    """Persist an :func:`ivfpq_build` index in the SERVING layout: one
+    hive-style directory per cell (``partitionBy(cell)``), the layout
+    :func:`ivfpq_topk`'s docstring promises — its ``cell IN (probes)``
+    predicate then PARTITION-PRUNES the scan, so a query reads only
+    its ``n_probe`` cells' files and never lists, opens, or decodes
+    the rest of the index.  At 100 TB this is the difference between
+    a query touching ``n_probe/n_cells`` of the data and touching all
+    of it.
+
+    The frame is repartitioned on ``cell_col`` before the write (one
+    shuffle, paid once at build time) so each cell directory holds ONE
+    compact file instead of one fragment per upstream task — the
+    small-files failure mode :func:`file_rows_report` flags.  For
+    indexes where single-file cells exceed a comfortable file size
+    (~1 GB), pre-repartition by ``(cell, salt)`` and pass the result
+    here instead.
+
+    Reference parity: dbldatagen has no serving-index persistence; this
+    is beyond-reference surface for the ANN pipeline ops.
+    """
+    from dbldatagen_spark.sources.sinks import (
+        OutputDataset, write_data_to_output,
+    )
+
+    write_data_to_output(
+        index_df.repartition(F.col(cell_col)),
+        OutputDataset(
+            location=path, partition_by=[cell_col], mode=mode,
+        ),
+    )
+
+
+def ivfpq_read_index(
+    spark,
+    path: str,
+    *,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Open a persisted :func:`ivfpq_write_index` layout for serving.
+    The returned frame feeds :func:`ivfpq_topk` directly; because the
+    data sits partitioned by ``cell_col``, the probe predicate shows
+    up as ``PartitionFilters`` in the scan (pytest-asserted) and reads
+    exactly the probed cells' files.
+    """
+    df = spark.read.parquet(path)
+    missing = [c for c in (cell_col,) if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"{path} is not an ivfpq index layout: missing column(s) "
+            f"{missing} (expected a partitioned write from "
+            f"ivfpq_write_index)"
+        )
+    return df
+
+
 def truncate_embeddings(
     df: DataFrame,
     vec_col: str,

@@ -1798,6 +1798,117 @@ class TestDuplicatedSpans:
             duplicated_span_stats(docs, "doc_id", "text", min_count=1)
 
 
+class TestSubstringDedup:
+    """Lee et al. 2022 ExactSubstr applied: maximal duplicated token
+    spans are located via the k-gram cover and removed from EVERY
+    occurrence (the paper's remove-all-copies rule)."""
+
+    LICENSE = ("this document is licensed under the creative commons "
+               "attribution license version four")
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "alpha beta " + self.LICENSE + " gamma delta"),
+             (2, "unrelated words here " + self.LICENSE
+                 + " trailing content words"),
+             (3, "totally unique text with no duplication at all"),
+             (4, self.LICENSE),
+             (5, "ti ny")],
+            "doc_id long, text string",
+        )
+
+    @staticmethod
+    def _py_spans(texts, k, min_count=2):
+        # brute-force coverage reference: position covered iff its
+        # k-gram occurs >= min_count times corpus-wide
+        from collections import Counter
+
+        toks = {i: t.split() for i, t in texts}
+        c = Counter()
+        for w in toks.values():
+            for i in range(len(w) - k + 1):
+                c[" ".join(w[i:i + k])] += 1
+        spans = {}
+        for i, w in toks.items():
+            covered = set()
+            for p in range(len(w) - k + 1):
+                if c[" ".join(w[p:p + k])] >= min_count:
+                    covered.update(range(p, p + k))
+            runs, cur = [], None
+            for t in sorted(covered):
+                if cur and t == cur[1] + 1:
+                    cur[1] = t
+                else:
+                    cur = [t, t]
+                    runs.append(cur)
+            spans[i] = [(a + 1, b + 1) for a, b in runs]  # 1-based
+        return spans
+
+    def test_planted_license_spans_and_removal(self, spark):
+        from dbldatagen_spark.functions import (
+            substring_dedup, substring_dedup_spans,
+        )
+
+        df = self._docs(spark)
+        texts = [(r["doc_id"], r["text"]) for r in df.collect()]
+        want = self._py_spans(texts, k=5)
+        got = {}
+        for r in substring_dedup_spans(df, "doc_id", "text", k=5).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"])
+            )
+        for i in got:
+            got[i] = sorted(got[i])
+        assert got == {i: s for i, s in want.items() if s}
+        # all 12 license tokens removed from every occurrence
+        out = {r["doc_id"]: r for r in substring_dedup(
+            df, "doc_id", "text", k=5).collect()}
+        assert out[1]["deduped_text"] == "alpha beta gamma delta"
+        assert out[2]["deduped_text"] == \
+            "unrelated words here trailing content words"
+        assert out[4]["deduped_text"] == ""   # whole doc was duplicate
+        assert out[4]["n_tokens_removed"] == 12
+        assert out[3]["n_tokens_removed"] == 0
+        assert out[5]["deduped_text"] == "ti ny"  # shorter than k
+
+    def test_adjacent_duplicated_kgrams_stitch(self, spark):
+        # two docs share two DIFFERENT k-grams that sit adjacent in a
+        # third doc: the third doc's covered intervals merge into one
+        # maximal span even though no single source repeats the whole
+        from dbldatagen_spark.functions import substring_dedup_spans
+
+        a = "q w e r t"     # 5 tokens, k=5 -> one k-gram
+        b = "y u i o p"
+        df = spark.createDataFrame(
+            [(1, a), (2, b), (3, a + " " + b)],
+            "doc_id long, text string",
+        )
+        got = {(r["doc_id"], r["span_start"], r["span_end"])
+               for r in substring_dedup_spans(
+                   df, "doc_id", "text", k=5).collect()}
+        assert (3, 1, 10) in got  # stitched, not two 5-token spans
+
+    def test_corpus_run_partition_stable(self, spark):
+        from dbldatagen_spark.functions import substring_dedup_spans
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, substring_dedup_spans(
+            docs.repartition(3), "doc_id", "text", k=8).collect()))
+        b = sorted(map(tuple, substring_dedup_spans(
+            docs.repartition(11), "doc_id", "text", k=8).collect()))
+        assert a == b and len(a) > 0  # natural dups exist in testdata
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import substring_dedup_spans
+
+        df = self._docs(spark)
+        with pytest.raises(ValueError, match="k must be"):
+            substring_dedup_spans(df, "doc_id", "text", k=1)
+        with pytest.raises(ValueError, match="min_count"):
+            substring_dedup_spans(df, "doc_id", "text", min_count=1)
+
+
 class TestGopherFlags:
     def test_rules_fire_individually(self, spark):
         from dbldatagen_spark.functions import gopher_quality_flags
@@ -5413,6 +5524,52 @@ class TestIvfPq:
                 ivfpq_topk(idx, "vec_id", cents, cb, list(q), k=10,
                            n_probe=3).collect()}
         assert len(full & set(exact)) >= len(approx & set(exact))
+
+    def test_persisted_index_partition_prunes(self, spark, tmp_path):
+        # the serving layout contract: written partitioned by cell, a
+        # probe's `cell IN (...)` becomes PartitionFilters and the scan
+        # reads ONLY the probed cells' files — and serves the exact
+        # same ranking as the in-memory index
+        import re
+
+        from dbldatagen_spark.functions import (
+            file_rows_report, ivfpq_build, ivfpq_read_index, ivfpq_topk,
+            ivfpq_write_index,
+        )
+
+        df = self._clustered(spark)
+        idx, cents, cb = ivfpq_build(df, "vec_id", "v",
+                                     n_cells=3, m=2, k=4)
+        path = str(tmp_path / "ivfpq_index")
+        ivfpq_write_index(idx, path)
+        stored = ivfpq_read_index(spark, path)
+        # layout audit: one compact file per non-empty cell
+        rep = file_rows_report(stored).collect()[0]
+        n_cells_written = stored.select("cell").distinct().count()
+        assert rep["n_files"] == n_cells_written
+        assert rep["total_rows"] == 90
+
+        q = [9.5, 10.5, 9.8, 10.2]
+        served = ivfpq_topk(stored, "vec_id", cents, cb, q, k=10,
+                            n_probe=1)
+        mem = ivfpq_topk(idx, "vec_id", cents, cb, q, k=10, n_probe=1)
+        assert [tuple(r) for r in served.collect()] == \
+            [tuple(r) for r in mem.collect()]
+        # plan: the probe predicate must land in PartitionFilters
+        plan = served._jdf.queryExecution().executedPlan().toString()
+        pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert pf and "cell" in pf.group(1), plan
+        # the pruned scan touches exactly the probed cell's file(s)
+        probed = stored.where(F.col("cell").isin(
+            [int(r["cell"]) for r in served.collect()]
+        ))
+        files_read = probed.select(
+            F.input_file_name().alias("f")).distinct().count()
+        assert files_read < rep["n_files"]
+        with pytest.raises(ValueError, match="ivfpq index layout"):
+            plain = str(tmp_path / "plain")
+            df.write.parquet(plain)
+            ivfpq_read_index(spark, plain)
 
     def test_partition_stability_and_validation(self, spark):
         import numpy as np
