@@ -6555,31 +6555,160 @@ def _events_hll_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus routing (the CCNet splitter shape):
+    stopword language ID when it fires, und-<script> from the dominant
+    Unicode script otherwise, und as the floor — written partitioned
+    by route and read BACK, so the row verifies the full
+    split-write-readback path, not just the expression.  The fixture
+    covers every branch (5 languages, 8 script buckets incl. the
+    two-kana fold to und-jpan, language-beats-script on mixed text,
+    latin-without-stopwords, digits-only, empty, NULL) against
+    hand-derived route counts.  The route itself is one scan-stage
+    expression (pytest-asserted: no exchange, no Python, and the
+    write compiles with codegen fallback disabled)."""
+    import os
+    import tempfile
+
+    from dbldatagen_spark.functions import route_by_language
+
+    fixtures = [
+        (1, "the quick brown fox and the lazy dog is that for with a"),
+        (2, "der hund und die katze ist nicht ein tier mit zu"),
+        (3, "le chat et la maison les des est une dans pour que"),
+        (4, "el perro la casa que de los una por con para es"),
+        (5, "你好世界 这是 中文"),
+        (6, "Привет мир как дела"),
+        (7, "مرحبا بالعالم"),
+        (8, "नमस्ते दुनिया"),
+        (9, "안녕하세요 세계"),
+        (10, "こんにちは せかい"),
+        (11, "カタカナ テキスト"),
+        (12, "γειά σου κόσμε"),
+        (13, "שלום עולם"),
+        (14, "the мир and the дела of it"),
+        (15, "zxqwv plmkj trfde"),
+        (16, "12345 67890"),
+        (17, ""),
+        (18, None),
+    ]
+    df = spark.createDataFrame(fixtures, "doc_id long, text string")
+    out_dir = os.path.join(
+        tempfile.gettempdir(), "dbldatagen_spark_route_split"
+    )
+    route_by_language(df, "doc_id", "text", out_path=out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("route")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("route")
+    )
+
+
+def _text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring as pure exprs: a logistic over the
+    standard web-corpus features (the post-Gopher filter stage —
+    fastText-style classifiers reduce to exactly this once
+    featurized).  Every feature is one IEEE division of exact integer
+    counts and the logit is a left-to-right multiply-add fold in the
+    documented feature order, so the oracle replays the LINEAR MODEL
+    bit-exactly — no rounding anywhere in this row.  keep thresholds
+    in logit space (0.0 ≡ prob 0.5), avoiding the one non-portable
+    step (exp differs in the last ULP across math libraries).
+    Map-only: scores at scan speed at any scale."""
+    from dbldatagen_spark.functions import quality_classifier_score
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        quality_classifier_score(docs, "doc_id", "text")
+        .select(
+            "doc_id", "alpha_ratio", "digit_ratio", "punct_ratio",
+            "distinct_ratio", "stop_ratio", "length_score", "logit",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-10 rotation: pure growth-at-birth plus staleness refresh —
-    the 8 round-10 growth rows first (ann_ivf_pq, dedup_lsh_tuned,
-    text_url_canonical, docs_jaccard_search, text_bpe_encode,
-    layout_file_rows, text_script_profile,
-    json_flatten_conformance), then the last 6 r5-stale rows, then
-    the r6-stale cohort in ledger order from gen_distribution_shapes
-    through multimodal_video_near_dup.  Demoted: the entire round-9
-    window — all 50 were green on their r9 exposure.  The 12 r6 rows
-    from events_funnel onward overflow to the r11 draw.  The full
+    Round-11 rotation: growth-at-birth plus staleness refresh — the 4
+    round-11 growth rows first (ann_ivfpq_persisted,
+    docs_substring_dedup, corpus_language_routing,
+    text_quality_classifier), then the 12 remaining r6-stale rows
+    (events_funnel through docs_source_quota, ledger order), then the
+    r7-stale cohort in ledger order from emb_mrl_truncation through
+    events_rolling_avg.  Demoted: the entire round-10 window — all 50
+    were green on their r10 exposure.  The r7 rows from
+    events_cube_counts onward overflow to the r12 draw.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-10 driver window (see ROTATION.md) ---
-        # The 8 round-10 growth rows lead (windowed at birth),
-        # then the 6 remaining r5-stale rows, then the r6-stale
-        # cohort in ledger order from gen_distribution_shapes.
-        # Exactly 50 entries precede the demoted marker; the 12
-        # r6 rows from events_funnel onward wait for the r11
-        # draw (they head it, with any r11 growth rows).
+        # --- round-11 driver window (see ROTATION.md) ---
+        # The 4 round-11 growth rows lead (windowed at birth),
+        # then the 12 remaining r6-stale rows (ledger order),
+        # then the r7-stale cohort in ledger order from
+        # emb_mrl_truncation through events_rolling_avg.
+        # Exactly 50 entries precede the demoted marker; the
+        # r7 rows from events_cube_counts onward wait for the
+        # r12 draw (they head it, with any r12 growth rows).
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
+        "corpus_language_routing": _corpus_language_routing,
+        "text_quality_classifier": _text_quality_classifier,
+        # r6-stale rows (last driver row round 6, ledger order)
+        "events_funnel": _events_funnel,
+        "events_cohort_retention": _events_cohort_retention,
+        "events_transition_matrix": _events_transition_matrix,
+        "events_seasonal_anomalies": _events_seasonal_anomalies,
+        "privacy_dp_counts": _privacy_dp_counts,
+        "lineitem_expectations": _lineitem_expectations,
+        "events_psi_drift": _events_psi_drift,
+        "customers_rfm_segments": _customers_rfm_segments,
+        "customers_checksum": _customers_checksum,
+        "lineitem_benford": _lineitem_benford,
+        "docs_weighted_sample": _docs_weighted_sample,
+        "docs_source_quota": _docs_source_quota,
+        # r7-stale cohort (last driver row round 7, ledger order)
+        "emb_mrl_truncation": _emb_mrl_truncation,
+        "events_behavior_vectors": _events_behavior_vectors,
+        "events_stream_stream_join": _events_stream_stream_join,
+        "events_session_features": _events_session_features,
+        "events_missing_hours": _events_missing_hours,
+        "events_rate_limit": _events_rate_limit,
+        "text_mojibake": _text_mojibake,
+        "events_ohlc_bars": _events_ohlc_bars,
+        "events_common_paths": _events_common_paths,
+        "events_scd2_validate": _events_scd2_validate,
+        "events_asof_nearest": _events_asof_nearest,
+        "events_incremental_agg": _events_incremental_agg,
+        "events_sequence_gaps": _events_sequence_gaps,
+        "events_zorder_layout": _events_zorder_layout,
+        "events_span_overlap": _events_span_overlap,
+        "events_feature_scaling": _events_feature_scaling,
+        "docs_contrastive_negatives": _docs_contrastive_negatives,
+        "docs_token_budget": _docs_token_budget,
+        "events_winsorized_stats": _events_winsorized_stats,
+        "events_hourly_windows": _events_hourly_windows,
+        "events_json_extract": _events_json_extract,
+        "emb_label_centroids": _emb_label_centroids,
+        "dedup_components": _dedup_components,
+        "dedup_simhash": _dedup_simhash,
+        "text_token_stats": _text_token_stats,
+        "text_fingerprint": _text_fingerprint,
+        "text_chunking": _text_chunking,
+        "text_ngram_counts": _text_ngram_counts,
+        "text_training_shards": _text_training_shards,
+        "corpus_sketch_stats": _corpus_sketch_stats,
+        "events_pivot_daily": _events_pivot_daily,
+        "events_sliding_windows": _events_sliding_windows,
+        "events_value_quantiles": _events_value_quantiles,
+        "events_rolling_avg": _events_rolling_avg,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
+        # (the r7 rows from events_cube_counts onward overflowed
+        # the 50-row window; they head the r12 draw)
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
@@ -6588,14 +6717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_file_rows": _layout_file_rows,
         "text_script_profile": _text_script_profile,
         "json_flatten_conformance": _json_flatten_conformance,
-        # r5-stale rows (last driver row round 5, ledger order)
         "corpus_mix_epochs": _corpus_mix_epochs,
         "corpus_pack_sequences": _corpus_pack_sequences,
         "corpus_length_histogram": _corpus_length_histogram,
         "q9_product_profit": _q9_product_profit,
         "q21_waiting_supplier": _q21_waiting_supplier,
         "dedup_embedding_cosine": _dedup_embedding_cosine,
-        # r6-stale cohort (last driver row round 6, ledger order)
         "gen_distribution_shapes": _gen_distribution_shapes,
         "gen_null_fraction": _gen_null_fraction,
         "gen_unique_temporal": _gen_unique_temporal,
@@ -6632,14 +6759,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r6 rows below overflowed when the wave-2/3/4 growth
-        # rows entered the window; they head the r11 draw)
-        "events_funnel": _events_funnel,
-        "events_cohort_retention": _events_cohort_retention,
-        "events_transition_matrix": _events_transition_matrix,
-        "events_seasonal_anomalies": _events_seasonal_anomalies,
-        "privacy_dp_counts": _privacy_dp_counts,
         "events_hll_distinct": _events_hll_distinct,
         "docs_priority_sample": _docs_priority_sample,
         "text_bpe_pairs": _text_bpe_pairs,
@@ -6740,40 +6859,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_sink_roundtrip": _gen_sink_roundtrip,
         "gen_constraint_stream_gate": _gen_constraint_stream_gate,
         "gen_template_expr_conformance": _gen_template_expr_conformance,
-        "emb_mrl_truncation": _emb_mrl_truncation,
-        "events_behavior_vectors": _events_behavior_vectors,
-        "events_stream_stream_join": _events_stream_stream_join,
-        "events_session_features": _events_session_features,
-        "events_missing_hours": _events_missing_hours,
-        "events_rate_limit": _events_rate_limit,
-        "text_mojibake": _text_mojibake,
-        "events_ohlc_bars": _events_ohlc_bars,
-        "events_common_paths": _events_common_paths,
-        "events_scd2_validate": _events_scd2_validate,
-        "events_asof_nearest": _events_asof_nearest,
-        "events_incremental_agg": _events_incremental_agg,
-        "events_sequence_gaps": _events_sequence_gaps,
-        "events_zorder_layout": _events_zorder_layout,
-        "events_span_overlap": _events_span_overlap,
-        "events_feature_scaling": _events_feature_scaling,
-        "docs_contrastive_negatives": _docs_contrastive_negatives,
-        "docs_token_budget": _docs_token_budget,
-        "events_winsorized_stats": _events_winsorized_stats,
-        "events_hourly_windows": _events_hourly_windows,
-        "events_json_extract": _events_json_extract,
-        "emb_label_centroids": _emb_label_centroids,
-        "dedup_components": _dedup_components,
-        "dedup_simhash": _dedup_simhash,
-        "text_token_stats": _text_token_stats,
-        "text_fingerprint": _text_fingerprint,
-        "text_chunking": _text_chunking,
-        "text_ngram_counts": _text_ngram_counts,
-        "text_training_shards": _text_training_shards,
-        "corpus_sketch_stats": _corpus_sketch_stats,
-        "events_pivot_daily": _events_pivot_daily,
-        "events_sliding_windows": _events_sliding_windows,
-        "events_value_quantiles": _events_value_quantiles,
-        "events_rolling_avg": _events_rolling_avg,
         "events_cube_counts": _events_cube_counts,
         "customers_set_ops": _customers_set_ops,
         "events_unpivot_daily": _events_unpivot_daily,
@@ -6790,13 +6875,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q18_large_orders": _q18_large_orders,
         "q7_nation_volume": _q7_nation_volume,
         "q10_returned_items": _q10_returned_items,
-        "lineitem_expectations": _lineitem_expectations,
-        "events_psi_drift": _events_psi_drift,
-        "customers_rfm_segments": _customers_rfm_segments,
-        "customers_checksum": _customers_checksum,
-        "lineitem_benford": _lineitem_benford,
-        "docs_weighted_sample": _docs_weighted_sample,
-        "docs_source_quota": _docs_source_quota,
     }
 
 
@@ -10574,6 +10652,67 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN ntok USING (doc_id)
             LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY a.doc_id
+        """,
+        # hand-derived route counts for the 18-row multilingual fixture
+        # (5 languages, 8 script buckets with both kana scripts folding
+        # to und-jpan, language-beats-script, no-stopword latin,
+        # digits-only, empty, NULL)
+        "corpus_language_routing": """
+            SELECT * FROM (VALUES
+                ('de', 1::BIGINT), ('en', 2), ('es', 1), ('fr', 1),
+                ('und', 4), ('und-arab', 1), ('und-cyrl', 1),
+                ('und-deva', 1), ('und-grek', 1), ('und-hang', 1),
+                ('und-hebr', 1), ('und-jpan', 2), ('zh', 1)
+            ) AS t(route, n_docs)
+            ORDER BY route
+        """,
+        # same integer-count features as text_quality (unrounded: each
+        # is one IEEE division), logit folded left-to-right in the
+        # documented feature order — bit-exact, no ROUND anywhere
+        "text_quality_classifier": """
+            WITH raw AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       len(list_intersect(list_distinct(toks),
+                           ['the','and','of','to','in','is','that','for','with','a'])) AS stop_hits,
+                       alpha, digits, punct
+                FROM raw
+            ),
+            f AS (
+                SELECT doc_id,
+                       alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+                       digits::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+                       punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                       n_distinct::DOUBLE / greatest(n_tokens, 1) AS distinct_ratio,
+                       stop_hits::DOUBLE / 10.0 AS stop_ratio,
+                       least(n_tokens::DOUBLE / 100.0, 1.0) AS length_score
+                FROM feat
+            ),
+            lg AS (
+                SELECT *,
+                       ((((((-3.0 + 3.5 * alpha_ratio)
+                            + (-3.0) * digit_ratio)
+                            + (-1.0) * punct_ratio)
+                            + 1.5 * distinct_ratio)
+                            + 2.0 * stop_ratio)
+                            + 1.5 * length_score) AS logit
+                FROM f
+            )
+            SELECT doc_id, alpha_ratio, digit_ratio, punct_ratio,
+                   distinct_ratio, stop_ratio, length_score, logit,
+                   logit >= 0.0 AS keep
+            FROM lg
+            ORDER BY doc_id
         """,
         "ann_ivf_pq": """
             WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),

@@ -28,6 +28,8 @@ from dbldatagen_spark.functions.dedup import (
 from dbldatagen_spark.functions._parallel import ensure_parallelism
 from dbldatagen_spark.functions.text_analysis import (
     detect_language,
+    dominant_script_expr,
+    language_expr,
     quality_metrics,
 )
 
@@ -552,3 +554,83 @@ def flatten_json(
 
     cols = [resolve(p).alias(n) for p, n in zip(paths, names)]
     return parsed.select(*base_cols, *cols)
+
+
+# Script → route tag for documents the stopword language ID can't place
+# (detected_lang = 'und'). BCP-47-style und-<script> buckets: the CCNet
+# shape — route first, then run per-route models/tokenizers. Both kana
+# scripts fold into the Japanese bucket; Han-dominant text normally hits
+# the CJK → 'zh' rule upstream, so 'und-hani' only catches Han characters
+# outside the BMP unified block.
+SCRIPT_ROUTE_TAGS = {
+    "cyrillic": "und-cyrl",
+    "arabic": "und-arab",
+    "devanagari": "und-deva",
+    "hangul": "und-hang",
+    "hiragana": "und-jpan",
+    "katakana": "und-jpan",
+    "greek": "und-grek",
+    "hebrew": "und-hebr",
+    "han": "und-hani",
+    "latin": "und",
+    "none": "und",
+}
+
+
+def route_by_language(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    route_col: str = "route",
+    out_path: Optional[str] = None,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Per-language corpus routing — the CCNet splitter shape: every
+    document gets a ``route`` bucket (stopword language ID when it fires,
+    otherwise a ``und-<script>`` tag from the dominant Unicode script,
+    otherwise ``und``), and the corpus is optionally written partitioned
+    by that bucket so each language's pipeline reads ONLY its directory.
+
+    Composition, not new machinery: the language and script signals are
+    :func:`~dbldatagen_spark.functions.text_analysis.language_expr` and
+    :func:`~dbldatagen_spark.functions.text_analysis.dominant_script_expr`
+    — the exact expressions behind ``detect_language`` /
+    ``script_profile``, so routing can never disagree with the profiling
+    ops it composes.
+
+    Returns ``df`` plus the ``route_col`` column (always computed from
+    the returned frame, whether or not a write happened, so callers can
+    keep composing). With ``out_path`` set, also writes
+    ``partitionBy(route_col)`` in ``format``.
+
+    Scale shape: the route is a scan-stage expression (regex counts +
+    array intersects inside whole-stage codegen — no UDF, no shuffle, no
+    collect); the write is the standard Hive-style partitioned layout,
+    one directory per route, so downstream per-language reads partition-
+    prune to their bucket. Each write task emits at most one file per
+    route it sees — with the ~dozen routes this splitter produces that
+    is bounded and healthy at any scale; repartition on a finer key
+    first if you need per-route file-count control.
+    """
+    lang_expr_, _hits = language_expr(F.col(text_col))
+    dom = dominant_script_expr(F.col(text_col))
+    # literal-map lookup, not a chained when: the dominant-script
+    # expression appears ONCE in the tree (a when chain re-inlines it
+    # per branch and blows the JVM's 64 KB generated-method limit once
+    # composed into the partitioned write's sorter)
+    route_map = F.create_map(*itertools.chain.from_iterable(
+        (F.lit(k), F.lit(v)) for k, v in SCRIPT_ROUTE_TAGS.items()
+    ))
+    # try_element_at: every dominant_script_expr output is a covered key,
+    # but ANSI mode makes plain element_at throw on a miss — same
+    # hardening as the hll_sketch ANSI fix
+    script_route = F.coalesce(F.try_element_at(route_map, dom), F.lit("und"))
+    route = F.when(lang_expr_ != "und", lang_expr_).otherwise(script_route)
+    routed = df.withColumn(route_col, route)
+    if out_path is not None:
+        routed.write.format(format).mode(mode).partitionBy(route_col).save(
+            out_path
+        )
+    return routed

@@ -40,6 +40,50 @@ def token_count_expr(text: Column, *, mode: str = "whitespace") -> Column:
     raise ValueError(f"unknown token mode {mode!r}")
 
 
+def language_expr(text: Column) -> "tuple[Column, Column]":
+    """``(detected_lang, stopword_hits)`` expressions over a text column —
+    the building block shared by :func:`detect_language` and
+    :func:`~dbldatagen_spark.functions.curation.route_by_language` so the
+    two can never drift apart.
+
+    CJK characters dominate (→ ``zh``); otherwise the language whose
+    stopword list has the most *distinct* hits among the document's tokens
+    wins; ties resolve in LANG_ORDER; zero hits (or NULL text) → ``und``.
+    """
+    toks = F.array_distinct(tokens_expr(text))
+    hit_cols = {
+        lang: F.size(
+            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
+        )
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    best = F.greatest(*hit_cols.values())
+    # One array_max over (hits, priority, code) structs instead of a
+    # chained when over per-language equality tests: the winner is the
+    # max hit count, ties resolve to the HIGHEST priority = earliest
+    # LANG_ORDER entry — identical semantics, but each stopword
+    # intersect appears once in the expression tree, which keeps the
+    # generated code bounded (the chained form blew past the JVM's
+    # 64 KB method limit once composed into a partitioned write's
+    # sorter). NULL hits (NULL text) coalesce to -1 so they can never
+    # clear the `> 0` gate.
+    n_langs = len(LANG_ORDER)
+    ranked = F.array_max(
+        F.array(*[
+            F.struct(
+                F.coalesce(hit_cols[lang], F.lit(-1)).alias("n"),
+                F.lit(n_langs - i).alias("r"),
+                F.lit(lang).alias("code"),
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ])
+    )
+    lang_expr = F.when(ranked["n"] > 0, ranked["code"]).otherwise(F.lit("und"))
+    has_cjk = text.rlike("[\\u4e00-\\u9fff]")
+    lang_expr = F.when(has_cjk, F.lit("zh")).otherwise(lang_expr)
+    return lang_expr, best.cast("long")
+
+
 def detect_language(
     df: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -50,23 +94,9 @@ def detect_language(
     wins; ties resolve in LANG_ORDER; zero hits → ``und``.
     """
     df = ensure_parallelism(df)
-    toks = F.array_distinct(tokens_expr(F.col(text_col)))
-    hit_cols = {
-        lang: F.size(
-            F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))
-        )
-        for lang, words in LANG_STOPWORDS.items()
-    }
-    best = F.greatest(*hit_cols.values())
-    lang_expr = F.lit("und")
-    for lang in reversed(LANG_ORDER):
-        lang_expr = F.when(
-            (hit_cols[lang] == best) & (best > 0), F.lit(lang)
-        ).otherwise(lang_expr)
-    has_cjk = F.col(text_col).rlike("[\\u4e00-\\u9fff]")
-    lang_expr = F.when(has_cjk, F.lit("zh")).otherwise(lang_expr)
+    lang_expr, hits = language_expr(F.col(text_col))
     return df.select(
-        F.col(id_col), lang_expr.alias("detected_lang"), best.cast("long").alias("stopword_hits")
+        F.col(id_col), lang_expr.alias("detected_lang"), hits.alias("stopword_hits")
     )
 
 
@@ -1245,6 +1275,32 @@ _SCRIPT_CLASSES = [
 ]
 
 
+def _script_count_expr(s: Column, java_class: str) -> Column:
+    """Count of characters in one Unicode script class (regex strip diff)."""
+    return (
+        F.length(s)
+        - F.length(F.regexp_replace(s, f"[\\p{{{java_class}}}]", ""))
+    ).cast("long")
+
+
+def dominant_script_expr(text: Column) -> Column:
+    """The document's dominant Unicode script, by the same rule as
+    :func:`script_profile` (largest count wins; ties break toward the
+    lexicographically greatest name; ``none`` when every count is zero
+    or the text is NULL/empty) — as a single reusable expression so
+    routing compositions don't need the full per-script column fan-out."""
+    ranked = F.array_max(
+        F.array(*[
+            F.struct(
+                _script_count_expr(text, jclass).alias("n"),
+                F.lit(name).alias("script"),
+            )
+            for name, jclass in _SCRIPT_CLASSES
+        ])
+    )
+    return F.when(ranked["n"] > 0, ranked["script"]).otherwise(F.lit("none"))
+
+
 def script_profile(
     df: DataFrame,
     text_col: str,
@@ -1274,15 +1330,9 @@ def script_profile(
     s = F.col(text_col)
     out = df.withColumn(f"{out_prefix}n_chars", F.length(s).cast("long"))
 
-    def n_of(java_class: str):
-        return (
-            F.length(s)
-            - F.length(F.regexp_replace(s, f"[\\p{{{java_class}}}]", ""))
-        ).cast("long")
-
     counts = []
     for name, jclass in _SCRIPT_CLASSES:
-        out = out.withColumn(f"{out_prefix}{name}", n_of(jclass))
+        out = out.withColumn(f"{out_prefix}{name}", _script_count_expr(s, jclass))
         counts.append(name)
     out = out.withColumn(
         f"{out_prefix}digits",
@@ -1300,4 +1350,122 @@ def script_profile(
     return out.withColumn(
         f"{out_prefix}dominant_script",
         F.when(ranked["n"] > 0, ranked["script"]).otherwise(F.lit("none")),
+    )
+
+
+# Canonical feature order for quality_classifier_score. The logit is a
+# left-to-right fold in EXACTLY this order, so any engine that replays
+# the same multiply-adds over the same integer-ratio features reproduces
+# it bit for bit (each feature is one IEEE division of exact integer
+# counts; each step is one multiply and one add — no re-association).
+QUALITY_CLASSIFIER_FEATURES = (
+    "alpha_ratio",
+    "digit_ratio",
+    "punct_ratio",
+    "distinct_ratio",
+    "stop_ratio",
+    "length_score",
+)
+
+# Default coefficients: a hand-set logistic separating prose from junk —
+# prose-positive mass on letters/diversity/stopwords/length, junk-negative
+# mass on digit and punctuation density. Callers training a real model
+# (fastText-style quality classifiers reduce to exactly this shape once
+# featurized) pass their own weights/bias; the plan is identical.
+QUALITY_CLASSIFIER_WEIGHTS: Dict[str, float] = {
+    "alpha_ratio": 3.5,
+    "digit_ratio": -3.0,
+    "punct_ratio": -1.0,
+    "distinct_ratio": 1.5,
+    "stop_ratio": 2.0,
+    "length_score": 1.5,
+}
+QUALITY_CLASSIFIER_BIAS = -3.0
+
+
+def quality_classifier_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    weights: Optional[Dict[str, float]] = None,
+    bias: Optional[float] = None,
+    keep_threshold_logit: float = 0.0,
+) -> DataFrame:
+    """Model-based quality scoring as pure column expressions: a logistic
+    regression over the standard web-corpus quality features (the same
+    measurements as :func:`quality_metrics`, unrounded), the filter stage
+    that runs AFTER the Gopher rule battery in published curation
+    pipelines (CCNet / fastText-classifier style — a linear model over
+    cheap text features, applied corpus-wide).
+
+    Returns ``(id, <six features>, logit, prob, keep)`` where
+
+    * each feature is one IEEE division of exact integer counts
+      (bit-identical across engines),
+    * ``logit = bias + Σ w_f · f`` folded left-to-right over
+      ``QUALITY_CLASSIFIER_FEATURES`` order — bit-exact multiply-adds,
+      so an external oracle replaying the same arithmetic matches
+      exactly,
+    * ``prob = 1 / (1 + exp(-logit))`` (``exp`` may differ in the last
+      ULP across math libraries — compare ``logit``/``keep`` when you
+      need bit-exactness),
+    * ``keep = logit >= keep_threshold_logit`` — thresholding in logit
+      space avoids the ``exp`` entirely (0.0 ≡ prob 0.5).
+
+    ``weights`` may cover any subset of ``QUALITY_CLASSIFIER_FEATURES``
+    (absent features contribute nothing); unknown names raise.
+
+    Scale shape: map-only — every feature, the fold, and the threshold
+    are scan-stage expressions inside whole-stage codegen; no shuffle,
+    no UDF, no collect. At 100 TB this scores at scan speed and the
+    ``keep`` predicate pushes into the pipeline's first pass.
+    """
+    if weights is None:
+        weights = QUALITY_CLASSIFIER_WEIGHTS
+    if bias is None:
+        bias = QUALITY_CLASSIFIER_BIAS
+    unknown = sorted(set(weights) - set(QUALITY_CLASSIFIER_FEATURES))
+    if unknown:
+        raise ValueError(
+            f"quality_classifier_score: unknown feature(s) {unknown}; "
+            f"valid features are {list(QUALITY_CLASSIFIER_FEATURES)}"
+        )
+
+    df = ensure_parallelism(df)
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens_expr(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+
+    safe_tokens = F.greatest(n_tokens, F.lit(1))
+    safe_chars = F.greatest(n_chars, F.lit(1))
+    feats: Dict[str, Column] = {
+        "alpha_ratio": alpha.cast("double") / safe_chars,
+        "digit_ratio": digits.cast("double") / safe_chars,
+        "punct_ratio": punct.cast("double") / safe_chars,
+        "distinct_ratio": n_distinct.cast("double") / safe_tokens,
+        "stop_ratio": stop_hits.cast("double")
+        / F.lit(float(len(LANG_STOPWORDS["en"]))),
+        "length_score": F.least(
+            n_tokens.cast("double") / F.lit(100.0), F.lit(1.0)
+        ),
+    }
+    logit: Column = F.lit(float(bias))
+    for name in QUALITY_CLASSIFIER_FEATURES:
+        if name in weights:
+            logit = logit + F.lit(float(weights[name])) * feats[name]
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.select(
+        F.col(id_col),
+        *[feats[name].alias(name) for name in QUALITY_CLASSIFIER_FEATURES],
+        logit.alias("logit"),
+        prob.alias("prob"),
+        (logit >= F.lit(float(keep_threshold_logit))).alias("keep"),
     )

@@ -6493,3 +6493,161 @@ class TestFlattenJson:
         )
         row = flatten_json(shadow, "props").collect()[0]
         assert row["_fj"] == "keepme" and row["v"] == 3
+
+
+class TestLanguageRouting:
+    FIXTURES = [
+        (1, "the quick brown fox and the lazy dog is that for with a", "en"),
+        (2, "der hund und die katze ist nicht ein tier mit zu", "de"),
+        (3, "le chat et la maison les des est une dans pour que", "fr"),
+        (4, "el perro la casa que de los una por con para es", "es"),
+        (5, "你好世界 这是 中文", "zh"),
+        (6, "Привет мир как дела", "und-cyrl"),
+        (7, "مرحبا بالعالم", "und-arab"),
+        (8, "नमस्ते दुनिया", "und-deva"),
+        (9, "안녕하세요 세계", "und-hang"),
+        (10, "こんにちは せかい", "und-jpan"),
+        (11, "カタカナ テキスト", "und-jpan"),
+        (12, "γειά σου κόσμε", "und-grek"),
+        (13, "שלום עולם", "und-hebr"),
+        # language ID outranks script when stopwords fire on mixed text
+        (14, "the мир and the дела of it", "en"),
+        (15, "zxqwv plmkj trfde", "und"),   # latin, zero stopword hits
+        (16, "12345 67890", "und"),          # digits only: no script
+        (17, "", "und"),
+        (18, None, "und"),
+    ]
+
+    def test_route_branches(self, spark):
+        from dbldatagen_spark.functions import route_by_language
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.FIXTURES], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["route"]
+            for r in route_by_language(df, "doc_id", "text").collect()
+        }
+        assert got == {i: want for i, _, want in self.FIXTURES}
+
+    def test_route_plan_map_only(self, spark, docs):
+        from dbldatagen_spark.functions import route_by_language
+
+        plan = (
+            route_by_language(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+
+    def test_route_write_partition_layout(self, spark, tmp_path):
+        """Partitioned-write splitter: Hive-style route=<tag> directories,
+        read-back identical routing, and — regression for the 64 KB
+        generated-code blowup the chained-when formulation hit — the
+        write must succeed with codegen fallback DISABLED (a compile
+        failure then raises instead of silently interpreting)."""
+        import os
+
+        from dbldatagen_spark.functions import route_by_language
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t, _ in self.FIXTURES], "doc_id long, text string"
+        )
+        out = str(tmp_path / "routed")
+        old = spark.conf.get("spark.sql.codegen.fallback", "true")
+        spark.conf.set("spark.sql.codegen.fallback", "false")
+        try:
+            route_by_language(df, "doc_id", "text", out_path=out)
+        finally:
+            spark.conf.set("spark.sql.codegen.fallback", old)
+        dirs = {d for d in os.listdir(out) if d.startswith("route=")}
+        want_routes = {want for _, _, want in self.FIXTURES}
+        assert dirs == {f"route={r}" for r in want_routes}
+        back = spark.read.parquet(out)
+        got = {r["doc_id"]: r["route"] for r in back.collect()}
+        assert got == {i: want for i, _, want in self.FIXTURES}
+        # per-language read partition-prunes to one directory
+        en_only = back.where(F.col("route") == "en")
+        assert en_only.count() == 2
+        scan = en_only._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(route" in scan
+
+
+class TestQualityClassifier:
+    TEXT = "the cat and the dog runs 123 fast !!! extra words here now"
+
+    @staticmethod
+    def _features(text):
+        import re
+
+        toks = re.split(r"\s+", text.strip().lower())
+        n_chars = len(text)
+        n_tokens = max(len(toks), 1)
+        n_distinct = len(set(toks))
+        alpha = len(re.sub(r"[^A-Za-z]", "", text))
+        digits = len(re.sub(r"[^0-9]", "", text))
+        punct = len(re.sub(r"[^.,;:!?'\"()-]", "", text))
+        en = {"the", "and", "of", "to", "in", "is", "that", "for", "with", "a"}
+        stop_hits = len(set(toks) & en)
+        return {
+            "alpha_ratio": alpha / max(n_chars, 1),
+            "digit_ratio": digits / max(n_chars, 1),
+            "punct_ratio": punct / max(n_chars, 1),
+            "distinct_ratio": n_distinct / n_tokens,
+            "stop_ratio": stop_hits / 10.0,
+            "length_score": min(len(toks) / 100.0, 1.0),
+        }
+
+    def test_logit_bit_exact(self, spark):
+        """The logit is a left-to-right IEEE fold in the documented
+        feature order — the Python replay (same doubles, same order)
+        must match EXACTLY, not approximately."""
+        from dbldatagen_spark.functions import (
+            QUALITY_CLASSIFIER_BIAS,
+            QUALITY_CLASSIFIER_FEATURES,
+            QUALITY_CLASSIFIER_WEIGHTS,
+            quality_classifier_score,
+        )
+
+        df = spark.createDataFrame([(1, self.TEXT)], "doc_id long, text string")
+        row = quality_classifier_score(df, "doc_id", "text").collect()[0]
+        feats = self._features(self.TEXT)
+        logit = QUALITY_CLASSIFIER_BIAS
+        for name in QUALITY_CLASSIFIER_FEATURES:
+            logit = logit + QUALITY_CLASSIFIER_WEIGHTS[name] * feats[name]
+        for name in QUALITY_CLASSIFIER_FEATURES:
+            assert row[name] == feats[name], name
+        assert row["logit"] == logit
+        assert row["keep"] == (logit >= 0.0)
+
+    def test_custom_weights_subset_and_threshold(self, spark):
+        from dbldatagen_spark.functions import quality_classifier_score
+
+        df = spark.createDataFrame([(1, self.TEXT)], "doc_id long, text string")
+        feats = self._features(self.TEXT)
+        row = quality_classifier_score(
+            df, "doc_id", "text",
+            weights={"alpha_ratio": 2.0}, bias=-1.0,
+            keep_threshold_logit=0.5,
+        ).collect()[0]
+        want = -1.0 + 2.0 * feats["alpha_ratio"]
+        assert row["logit"] == want
+        assert row["keep"] == (want >= 0.5)
+
+    def test_unknown_feature_raises(self, spark):
+        from dbldatagen_spark.functions import quality_classifier_score
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="unknown feature"):
+            quality_classifier_score(
+                df, "doc_id", "text", weights={"nope": 1.0}
+            )
+
+    def test_plan_map_only(self, spark, docs):
+        from dbldatagen_spark.functions import quality_classifier_score
+
+        plan = (
+            quality_classifier_score(docs, "doc_id", "text")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Python" not in plan
