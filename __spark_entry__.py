@@ -6592,16 +6592,29 @@ def _corpus_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         (17, ""),
         (18, None),
     ]
+    import shutil
+
     df = spark.createDataFrame(fixtures, "doc_id long, text string")
-    out_dir = os.path.join(
-        tempfile.gettempdir(), "dbldatagen_spark_route_split"
-    )
-    route_by_language(df, "doc_id", "text", out_path=out_dir)
-    back = spark.read.parquet(out_dir)
-    return (
-        back.groupBy("route")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .orderBy("route")
+    # private mkdtemp + collect + rmtree (the _ann_ivfpq_persisted
+    # pattern): a fixed shared path would race concurrent check
+    # sessions and leak the directory
+    out_dir = tempfile.mkdtemp(prefix="route_split_")
+    try:
+        route_by_language(
+            df, "doc_id", "text", out_path=os.path.join(out_dir, "r")
+        )
+        back = spark.read.parquet(os.path.join(out_dir, "r"))
+        rows = [
+            (r["route"], r["n_docs"])
+            for r in back.groupBy("route")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+            .orderBy("route")
+            .collect()
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "route string, n_docs long").orderBy(
+        "route"
     )
 
 

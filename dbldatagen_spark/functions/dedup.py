@@ -179,11 +179,17 @@ def _blocked_posting(
     """Stop cut + density guard over an inverted-index posting frame,
     sharing ONE document-frequency aggregate: the same ``dfreq`` frame
     feeds the guard's eager estimate and the keep-cut join.  When both
-    are active the frame is persisted (MEMORY_AND_DISK, LRU-evicted,
-    one row per kept posting key) so the guard job materializes what
-    the cut then reads back — without it the full posting shuffle
-    would run twice, once for the estimate and once for the cut.
-    Returns the blocking posting frame (cut applied when requested).
+    are active the frame is materialized once via an eager
+    ``localCheckpoint`` (one row per kept posting key) so the guard's
+    estimate and the cut both read the materialized blocks — without
+    it the full posting shuffle would run twice, once for the
+    estimate and once for the cut.  localCheckpoint rather than
+    ``persist``: the ContextCleaner frees the blocks once the frame is
+    garbage-collected, so neither the healthy path nor a guard raise
+    leaks cached partitions into a long-lived session (a persisted
+    frame would sit in the cache manager until explicitly
+    unpersisted).  Returns the blocking posting frame (cut applied
+    when requested).
     """
     if max_posting_len is not None and max_posting_len < 2:
         raise ValueError("max_posting_len must be >= 2")
@@ -191,7 +197,7 @@ def _blocked_posting(
     if max_posting_len is not None:
         dfreq = dfreq.where(F.col("_df") <= max_posting_len)
         if max_candidate_pairs is not None:
-            dfreq = dfreq.persist()
+            dfreq = dfreq.localCheckpoint()
     _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
     if max_posting_len is not None:
         return posting.join(dfreq.select(key_col), key_col)
@@ -1308,13 +1314,18 @@ def substring_dedup_spans(
             "_h"
         ),
     )
-    dup = (
-        g.groupBy("_h")
-        .agg(F.count(F.lit(1)).alias("_c"))
+    # corpus-wide count as a window over the k-gram hash, NOT an
+    # aggregate + self-join: the two branches of a join would each
+    # re-evaluate g (re-tokenize + re-hash the whole corpus — the
+    # dominant cost); the window form shuffles the (hash, id, pos)
+    # stream once and counts within each hash partition, so the
+    # corpus is scanned and hashed exactly once
+    win_h = Window.partitionBy("_h")
+    dpos = (
+        g.withColumn("_c", F.count(F.lit(1)).over(win_h))
         .where(F.col("_c") >= min_count)
-        .select("_h")
+        .select(F.col(id_col), F.col("_pos"))
     )
-    dpos = g.join(dup, "_h").select(F.col(id_col), F.col("_pos"))
     win = Window.partitionBy(id_col).orderBy("_pos")
     islands = dpos.withColumn(
         "_brk",
@@ -1371,20 +1382,34 @@ def substring_dedup(
     wire once, for the final join of span arrays back onto the corpus
     (broadcast-sized when duplication is sparse).
     """
+    clashes = sorted(
+        {out_col, "n_tokens", "n_tokens_removed"} & set(df.columns)
+    )
+    if clashes:
+        raise ValueError(
+            f"substring_dedup: output column(s) {clashes} already exist "
+            f"on the input — rename them or pass a different out_col"
+        )
+    # collision-free internal name (an input _spans column must neither
+    # clash in the join nor be clobbered) — same contract as
+    # flatten_json's temp column
+    spans_col = "_spans"
+    while spans_col in df.columns:
+        spans_col += "_"
     spans = substring_dedup_spans(
         df, id_col, text_col, k=k, min_count=min_count
     )
     per_doc = spans.groupBy(id_col).agg(
-        F.collect_list(F.struct("span_start", "span_end")).alias("_spans")
+        F.collect_list(F.struct("span_start", "span_end")).alias(spans_col)
     )
     w = F.split(F.trim(F.col(text_col)), r"\s+")
     joined = df.join(per_doc, id_col, "left").withColumn(
-        "_spans", F.coalesce(F.col("_spans"), F.array())
+        spans_col, F.coalesce(F.col(spans_col), F.array())
     )
     kept = F.filter(
         w,
         lambda x, i: ~F.exists(
-            F.col("_spans"),
+            F.col(spans_col),
             lambda s: (s["span_start"] <= i + F.lit(1))
             & (i + F.lit(1) <= s["span_end"]),
         ),
@@ -1396,7 +1421,7 @@ def substring_dedup(
             "n_tokens_removed",
             (F.size(w) - F.size(kept)).cast("long"),
         )
-        .drop("_spans")
+        .drop(spans_col)
     )
 
 

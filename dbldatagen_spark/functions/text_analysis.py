@@ -1414,7 +1414,9 @@ def quality_classifier_score(
       space avoids the ``exp`` entirely (0.0 ≡ prob 0.5).
 
     ``weights`` may cover any subset of ``QUALITY_CLASSIFIER_FEATURES``
-    (absent features contribute nothing); unknown names raise.
+    (absent features contribute nothing); unknown names raise.  A
+    NULL-text row yields NULL for every feature, the logit, and
+    ``keep`` — identically under default and ANSI modes.
 
     Scale shape: map-only — every feature, the fold, and the threshold
     are scan-stage expressions inside whole-stage codegen; no shuffle,
@@ -1462,10 +1464,19 @@ def quality_classifier_score(
         if name in weights:
             logit = logit + F.lit(float(weights[name])) * feats[name]
     prob = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    # NULL text -> every output NULL. Without the gate, size(NULL) is
+    # -1 under default config but NULL under ANSI mode, so NULL-text
+    # rows would emit garbage negative features that CHANGE under the
+    # standing --ansi verification gate; the explicit isNotNull guard
+    # makes the contract deterministic in both modes.
+    nn = text.isNotNull()
     return df.select(
         F.col(id_col),
-        *[feats[name].alias(name) for name in QUALITY_CLASSIFIER_FEATURES],
-        logit.alias("logit"),
-        prob.alias("prob"),
-        (logit >= F.lit(float(keep_threshold_logit))).alias("keep"),
+        *[
+            F.when(nn, feats[name]).alias(name)
+            for name in QUALITY_CLASSIFIER_FEATURES
+        ],
+        F.when(nn, logit).alias("logit"),
+        F.when(nn, prob).alias("prob"),
+        F.when(nn, logit >= F.lit(float(keep_threshold_logit))).alias("keep"),
     )

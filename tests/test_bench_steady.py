@@ -96,6 +96,15 @@ class TestBenchSteadyArtifact:
         assert bench._sf_of("/a/sf0.1-copy") == 0.1
         assert bench._sf_of("/a/xsf0.1") == 0.1         # no boundary
 
+    def test_sf_of_dot_is_a_delimiter(self):
+        # dot-separated names must route to the RIGHT lane, not fall
+        # back to sf0.1 and get compared against the tighter minima
+        assert bench._sf_of("/root/testdata.sf1") == 1
+        assert bench._sf_of("/data/v2.sf1") == 1
+        assert bench._sf_of("/data/sf1.old") == 1
+        assert bench._sf_of("/a/run.sf0.01.bak") == 0.01
+        assert bench._sf_of("/data/v2.sf10") == 0.1     # still not sf1
+
     def test_update_steady_parses_driver_wrapper(self, tmp_path):
         # the driver wraps the bench one-liner inside a "tail" field;
         # regeneration must find it there and take per-query minima

@@ -1908,6 +1908,39 @@ class TestSubstringDedup:
         with pytest.raises(ValueError, match="min_count"):
             substring_dedup_spans(df, "doc_id", "text", min_count=1)
 
+    def test_input_spans_column_survives(self, spark):
+        """An input that already carries a _spans column (output of
+        another stats op) must pass through untouched — the internal
+        span array uses a collision-free name."""
+        from dbldatagen_spark.functions import substring_dedup
+
+        df = self._docs(spark).withColumn("_spans", F.lit("keepme"))
+        out = substring_dedup(df, "doc_id", "text", k=5)
+        rows = {r["doc_id"]: r["_spans"] for r in out.collect()}
+        assert set(rows.values()) == {"keepme"}
+
+    def test_output_collision_raises(self, spark):
+        from dbldatagen_spark.functions import substring_dedup
+
+        df = self._docs(spark).withColumn("n_tokens", F.lit(0))
+        with pytest.raises(ValueError, match="already exist"):
+            substring_dedup(df, "doc_id", "text", k=5)
+
+    def test_single_corpus_pass_plan(self, spark):
+        """The duplicated-k-gram count is a window over the hash, not
+        an aggregate + self-join: the tokenize+hash projection of the
+        corpus must appear ONCE in the plan (a join form re-evaluates
+        it per branch — the dominant cost at scale)."""
+        from dbldatagen_spark.functions import substring_dedup_spans
+
+        df = self._docs(spark)
+        plan = (
+            substring_dedup_spans(df, "doc_id", "text", k=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("md5") == 1
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
 
 class TestGopherFlags:
     def test_rules_fire_individually(self, spark):
@@ -6651,3 +6684,33 @@ class TestQualityClassifier:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "Python" not in plan
+
+    def test_null_text_all_null_in_both_ansi_modes(self, spark):
+        """NULL text -> every output NULL, identically under default
+        and ANSI configs (ungated, size(NULL) is -1 vs NULL between
+        the modes and would leak garbage negative features)."""
+        from dbldatagen_spark.functions import (
+            QUALITY_CLASSIFIER_FEATURES,
+            quality_classifier_score,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "the and of it")], "doc_id long, text string"
+        )
+        old = spark.conf.get("spark.sql.ansi.enabled", "false")
+        try:
+            for mode in ("false", "true"):
+                spark.conf.set("spark.sql.ansi.enabled", mode)
+                rows = {
+                    r["doc_id"]: r
+                    for r in quality_classifier_score(
+                        df, "doc_id", "text"
+                    ).collect()
+                }
+                cols = list(QUALITY_CLASSIFIER_FEATURES) + [
+                    "logit", "prob", "keep",
+                ]
+                assert all(rows[1][c] is None for c in cols), mode
+                assert all(rows[2][c] is not None for c in cols), mode
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
