@@ -71,10 +71,31 @@ def main() -> None:
     # 1. per-domain quota: no source may exceed 100 docs
     capped = quota_sample(docs, "source", "doc_id", 100)
 
+    # 1b. per-language routing (the CCNet splitter shape): language ID
+    #     when stopwords fire, und-<script> from the dominant Unicode
+    #     script otherwise; with out_path= this writes partitioned by
+    #     route so each language's pipeline reads only its directory
+    from dbldatagen_spark.functions import route_by_language
+
+    routes = route_by_language(capped, "doc_id", "text")
+    print("language routes:")
+    routes.groupBy("route").count().orderBy("route").show()
+
     # 2. exact dedup: keep one row per normalized content
     uniq = capped.join(
         exact_dedup(capped, "doc_id", "text").select("doc_id"), "doc_id"
     )
+
+    # 2b. span-level exact substring audit (Lee et al. 2022
+    #     ExactSubstr): sentences duplicated verbatim across documents,
+    #     located via the corpus-wide k-gram cover — rewrite text with
+    #     deduped_text to apply the removal; here we report the volume
+    from dbldatagen_spark.functions import substring_dedup
+
+    span_report = substring_dedup(uniq, "doc_id", "text", k=8)
+    n_span_tokens = span_report.agg(
+        F.sum("n_tokens_removed")
+    ).first()[0]
 
     # 3. near-dup scrub: drop MinHash cluster non-canonicals (the
     #    banding is auto-tuned from the threshold via the LSH s-curve)
@@ -102,6 +123,14 @@ def main() -> None:
         },
     )
 
+    # 4b. model-based quality AFTER the rule battery (the production
+    #     order): a logistic over the same feature family as pure
+    #     expressions — swap in trained coefficients via weights=
+    from dbldatagen_spark.functions import quality_classifier_score
+
+    qc = quality_classifier_score(good, "doc_id", "text")
+    n_model_keep = qc.where("keep").count()
+
     # 5. token-budget selection: best (longest) docs per source within 50k chars
     selected = budget_select(good, "source", "doc_id", "n_chars", 50_000.0)
 
@@ -120,6 +149,8 @@ def main() -> None:
 
     n_sel = selected.count()
     print(f"docs: raw={n0} -> selected={n_sel} (full-Gopher passers: {n_gopher})")
+    print(f"substring-dup tokens (removable, all occurrences): {n_span_tokens}")
+    print(f"model-quality keepers (logit >= 0): {n_model_keep}")
     print("gates:")
     gates.show(truncate=False)
     print(f"negatives: {negs.count()} pairs for {n_sel} docs")
