@@ -6643,34 +6643,90 @@ def _text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual rebalance
+    rule: sample group g ∝ count^alpha; alpha=0.5 the standard
+    small-language up-sampling).  Exactness by construction: sqrt of
+    integer counts is correctly rounded IEEE everywhere, and the
+    normalizing sum folds over groups SORTED BY KEY (the
+    priority-sample ordered-fold precedent), so the oracle replays
+    weight and floor(budget*weight) bit-for-bit.  One count aggregate
+    over the corpus; everything after runs on one row per group."""
+    from dbldatagen_spark.functions import temperature_weights
+
+    docs = _load(spark, sf_dir, "documents")
+    return temperature_weights(
+        docs, "lang", alpha=0.5, total_budget=100_000
+    ).orderBy("lang")
+
+
+def _docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail per language — quality terciles from a
+    fixed-bin HISTOGRAM, the quantile bucketing that survives 100 TB
+    (an ntile window sorts each language in one task; exact percentile
+    buffers every value per group; histogram thresholds shuffle only
+    (lang, bin) keys and assign map-side via broadcast).  Composes
+    quality_classifier_score's bit-exact logit; every bucketing step
+    is integer counts + one fixed IEEE expression, replayed in full by
+    the oracle (thresholds, assignment, and per-bucket count/min/max)."""
+    from dbldatagen_spark.functions import (
+        quality_classifier_score,
+        score_buckets,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    scored = docs.select("doc_id", "lang").join(
+        quality_classifier_score(docs, "doc_id", "text").select(
+            "doc_id", "logit"
+        ),
+        "doc_id",
+    )
+    return (
+        score_buckets(
+            scored, "doc_id", "logit",
+            group_col="lang", n_buckets=3, n_bins=64,
+        )
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("logit").alias("min_logit"),
+            F.max("logit").alias("max_logit"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-11 rotation: growth-at-birth plus staleness refresh — the 4
+    Round-11 rotation: growth-at-birth plus staleness refresh — the 6
     round-11 growth rows first (ann_ivfpq_persisted,
     docs_substring_dedup, corpus_language_routing,
-    text_quality_classifier), then the 12 remaining r6-stale rows
+    text_quality_classifier, corpus_temperature_mix,
+    docs_quality_buckets), then the 12 remaining r6-stale rows
     (events_funnel through docs_source_quota, ledger order), then the
     r7-stale cohort in ledger order from emb_mrl_truncation through
-    events_rolling_avg.  Demoted: the entire round-10 window — all 50
-    were green on their r10 exposure.  The r7 rows from
-    events_cube_counts onward overflow to the r12 draw.  The full
+    events_sliding_windows.  Demoted: the entire round-10 window — all
+    50 were green on their r10 exposure.  The r7 rows from
+    events_value_quantiles onward overflow to the r12 draw.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-11 driver window (see ROTATION.md) ---
-        # The 4 round-11 growth rows lead (windowed at birth),
+        # The 6 round-11 growth rows lead (windowed at birth),
         # then the 12 remaining r6-stale rows (ledger order),
         # then the r7-stale cohort in ledger order from
-        # emb_mrl_truncation through events_rolling_avg.
-        # Exactly 50 entries precede the demoted marker; the
-        # r7 rows from events_cube_counts onward wait for the
+        # emb_mrl_truncation through events_sliding_windows.
+        # Exactly 50 entries precede the demoted marker; the r7
+        # rows from events_value_quantiles onward wait for the
         # r12 draw (they head it, with any r12 growth rows).
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
         "corpus_language_routing": _corpus_language_routing,
         "text_quality_classifier": _text_quality_classifier,
+        "corpus_temperature_mix": _corpus_temperature_mix,
+        "docs_quality_buckets": _docs_quality_buckets,
         # r6-stale rows (last driver row round 6, ledger order)
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -6717,11 +6773,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sketch_stats": _corpus_sketch_stats,
         "events_pivot_daily": _events_pivot_daily,
         "events_sliding_windows": _events_sliding_windows,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
+        # (the r7 rows from events_value_quantiles onward
+        # overflowed the 50-row window; they head the r12 draw)
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r7 rows from events_cube_counts onward overflowed
-        # the 50-row window; they head the r12 draw)
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
@@ -10726,6 +10782,116 @@ def _oracle_sql_base() -> dict[str, str]:
                    logit >= 0.0 AS keep
             FROM lg
             ORDER BY doc_id
+        """,
+        # sqrt of integer counts + key-ordered fold: bit-exact weights
+        "corpus_temperature_mix": """
+            WITH c AS (
+                SELECT lang, COUNT(*)::BIGINT AS n_docs
+                FROM documents GROUP BY lang
+            ),
+            t AS (
+                SELECT list_reduce(
+                    list_prepend(0.0, list(sqrt(n_docs::DOUBLE)
+                                           ORDER BY lang)),
+                    (a, b) -> a + b) AS tot
+                FROM c
+            )
+            SELECT lang, n_docs,
+                   sqrt(n_docs::DOUBLE) / tot AS weight,
+                   CAST(floor(100000.0 * (sqrt(n_docs::DOUBLE) / tot))
+                        AS BIGINT) AS target_docs
+            FROM c, t
+            ORDER BY lang
+        """,
+        # the classifier logit CTE, then the full histogram bucketing:
+        # per-lang min/max range, 64 fixed bins, cumulative counts,
+        # tercile threshold bins, map-side assignment — all integer
+        # counts + fixed-form IEEE expressions
+        "docs_quality_buckets": """
+            WITH raw AS (
+                SELECT doc_id, lang,
+                       length(text) AS n_chars,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, lang, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       len(list_intersect(list_distinct(toks),
+                           ['the','and','of','to','in','is','that','for','with','a'])) AS stop_hits,
+                       alpha, digits, punct
+                FROM raw
+            ),
+            f AS (
+                SELECT doc_id, lang,
+                       alpha::DOUBLE / greatest(n_chars, 1) AS alpha_ratio,
+                       digits::DOUBLE / greatest(n_chars, 1) AS digit_ratio,
+                       punct::DOUBLE / greatest(n_chars, 1) AS punct_ratio,
+                       n_distinct::DOUBLE / greatest(n_tokens, 1) AS distinct_ratio,
+                       stop_hits::DOUBLE / 10.0 AS stop_ratio,
+                       least(n_tokens::DOUBLE / 100.0, 1.0) AS length_score
+                FROM feat
+            ),
+            lg AS (
+                SELECT doc_id, lang,
+                       ((((((-3.0 + 3.5 * alpha_ratio)
+                            + (-3.0) * digit_ratio)
+                            + (-1.0) * punct_ratio)
+                            + 1.5 * distinct_ratio)
+                            + 2.0 * stop_ratio)
+                            + 1.5 * length_score) AS logit
+                FROM f
+            ),
+            rng AS (
+                SELECT lang, min(logit) AS lo, max(logit) AS hi
+                FROM lg GROUP BY lang
+            ),
+            binned AS (
+                SELECT lg.doc_id, lg.lang, lg.logit,
+                       CASE WHEN rng.hi - rng.lo > 0 THEN
+                           least(63, greatest(0, CAST(floor(
+                               (lg.logit - rng.lo) / (rng.hi - rng.lo)
+                               * 64.0) AS INTEGER)))
+                       ELSE 0 END AS bin
+                FROM lg JOIN rng USING (lang)
+            ),
+            hist AS (
+                SELECT lang, bin, COUNT(*) AS c
+                FROM binned GROUP BY lang, bin
+            ),
+            cum AS (
+                SELECT lang, bin, c,
+                       SUM(c) OVER (PARTITION BY lang ORDER BY bin
+                                    ROWS UNBOUNDED PRECEDING) AS cumc,
+                       SUM(c) OVER (PARTITION BY lang) AS n
+                FROM hist
+            ),
+            thr AS (
+                SELECT lang,
+                       min(CASE WHEN cumc >= ceil(n * 1 / 3.0)
+                                THEN bin END) AS t1,
+                       min(CASE WHEN cumc >= ceil(n * 2 / 3.0)
+                                THEN bin END) AS t2
+                FROM cum GROUP BY lang
+            ),
+            assigned AS (
+                SELECT b.lang, b.logit,
+                       1 + (CASE WHEN b.bin > t.t1 THEN 1 ELSE 0 END)
+                         + (CASE WHEN b.bin > t.t2 THEN 1 ELSE 0 END)
+                         AS bucket
+                FROM binned b JOIN thr t USING (lang)
+            )
+            SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+                   COUNT(*)::BIGINT AS n_docs,
+                   min(logit) AS min_logit,
+                   max(logit) AS max_logit
+            FROM assigned
+            GROUP BY lang, bucket
+            ORDER BY lang, bucket
         """,
         "ann_ivf_pq": """
             WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),

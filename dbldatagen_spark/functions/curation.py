@@ -634,3 +634,131 @@ def route_by_language(
             out_path
         )
     return routed
+
+
+def score_buckets(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    group_col: Optional[str] = None,
+    n_buckets: int = 3,
+    n_bins: int = 1024,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """CCNet-style quality buckets at scale: split each group's score
+    distribution into ``n_buckets`` quantile bands (3 = the classic
+    head/middle/tail) WITHOUT a per-group global sort.  Thresholds
+    come from a fixed-bin histogram — per group, bucket ``b``'s lower
+    threshold is the smallest bin whose cumulative count reaches
+    ``ceil(n * b / n_buckets)`` — and every document is then assigned
+    map-side by comparing its bin to the broadcast thresholds.
+    ``bucket`` is 1..n_buckets from LOWEST scores (tail) to HIGHEST
+    (head); documents sharing a histogram bin always share a bucket
+    (bin-granular splits — raise ``n_bins`` for sharper cuts).
+
+    ``lo``/``hi`` fix the histogram range; left unset they come from a
+    per-group min/max aggregate.  All arithmetic is integer counts
+    plus one fixed-form IEEE expression per row, so any engine
+    replays the bucketing exactly.
+
+    Scale shape: this is the quantile-bucketing that survives 100 TB —
+    an ``ntile`` window would sort each group in ONE task (the 'en'
+    route of a web corpus in a single partition), and exact
+    ``percentile`` buffers every value per group.  Here the corpus is
+    scanned twice (min/max, then histogram — once with ``lo``/``hi``
+    pinned), the shuffles carry only (group, bin) keys, the
+    cumulative-threshold window runs over at most ``groups x n_bins``
+    rows, and the assignment rides the scan via a broadcast join.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if n_bins < n_buckets:
+        raise ValueError(
+            f"n_bins ({n_bins}) must be >= n_buckets ({n_buckets})"
+        )
+    if (lo is None) != (hi is None):
+        raise ValueError("lo and hi must be set together")
+    if bucket_col in df.columns:
+        raise ValueError(
+            f"score_buckets: bucket_col {bucket_col!r} already exists on "
+            f"the input — rename it or pass a different bucket_col"
+        )
+    from pyspark.sql import Window
+
+    groups = [group_col] if group_col else []
+    score = F.col(score_col).cast("double")
+
+    if lo is None:
+        rng = df.groupBy(*groups).agg(
+            F.min(score).alias("_lo"), F.max(score).alias("_hi")
+        )
+    else:
+        rng = (
+            df.select(*groups).distinct()
+            if groups
+            else df.limit(1).select(F.lit(1).alias("_one")).drop("_one")
+        )
+        rng = rng.withColumn("_lo", F.lit(float(lo))).withColumn(
+            "_hi", F.lit(float(hi))
+        )
+
+    def _bin_expr(s, lo_c, hi_c):
+        span = hi_c - lo_c
+        raw = F.floor((s - lo_c) / span * F.lit(float(n_bins)))
+        clamped = F.least(
+            F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
+        )
+        return F.when(span > 0, clamped).otherwise(F.lit(0))
+
+    if groups:
+        binned = df.join(F.broadcast(rng), groups)
+    else:
+        binned = df.crossJoin(F.broadcast(rng))
+    binned = binned.withColumn(
+        "_bin", _bin_expr(score, F.col("_lo"), F.col("_hi"))
+    )
+
+    hist = binned.groupBy(*groups, "_bin").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wg = (
+        Window.partitionBy(*groups).orderBy("_bin")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("_bin")
+    )
+    cum = hist.withColumn(
+        "_cum",
+        F.sum("_c").over(
+            wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).withColumn("_n", F.sum("_c").over(Window.partitionBy(*groups) if groups
+                                        else Window.partitionBy(F.lit(1))))
+    # threshold bin for each interior quantile: smallest bin whose
+    # cumulative count reaches ceil(n * b / n_buckets)
+    thr_cols = [
+        F.min(
+            F.when(
+                F.col("_cum")
+                >= F.ceil(F.col("_n") * F.lit(b) / F.lit(n_buckets)),
+                F.col("_bin"),
+            )
+        ).alias(f"_t{b}")
+        for b in range(1, n_buckets)
+    ]
+    thr = cum.groupBy(*groups).agg(*thr_cols)
+
+    if groups:
+        assigned = binned.join(F.broadcast(thr), groups)
+    else:
+        assigned = binned.crossJoin(F.broadcast(thr))
+    bucket = F.lit(1)
+    for b in range(1, n_buckets):
+        bucket = bucket + F.when(
+            F.col("_bin") > F.col(f"_t{b}"), F.lit(1)
+        ).otherwise(F.lit(0))
+    return assigned.withColumn(bucket_col, bucket.cast("int")).drop(
+        "_lo", "_hi", "_bin", *[f"_t{b}" for b in range(1, n_buckets)]
+    )

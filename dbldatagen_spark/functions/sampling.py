@@ -423,3 +423,75 @@ def priority_sample(
         F.col("tau"),
         F.greatest(F.col("_w"), F.col("tau")).alias("w_hat"),
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    *,
+    alpha: float = 0.5,
+    total_budget=None,
+) -> DataFrame:
+    """Temperature-scaled mixture weights (the multilingual-corpus
+    rebalancing rule: sample group ``g`` proportionally to
+    ``count_g ** alpha``).  ``alpha = 1`` keeps natural proportions,
+    ``alpha = 0`` is uniform, and the standard ``alpha = 0.5``
+    up-samples small languages/sources without letting the biggest
+    dominate.
+
+    Returns one row per group: ``(group, n_docs, weight)`` plus
+    ``target_docs = floor(total_budget * weight)`` when a budget is
+    given (floor — unambiguous across engines; distribute the
+    remainder with :func:`mix_corpus`-style largest-remainder if the
+    sum must be exact).
+
+    Determinism: the normalizing sum folds over the groups SORTED BY
+    GROUP KEY (one ``array_sort`` + ``aggregate`` over the tiny
+    per-group frame), so the IEEE addition order is fixed and any
+    engine replays ``weight`` bit-for-bit.  ``alpha = 0.5`` uses
+    ``sqrt`` (correctly rounded everywhere); other exponents use
+    ``pow``, which may differ in the last ULP across math libraries —
+    prefer 0.5/1.0/0.0 when cross-engine bit-parity matters.
+
+    Scale shape: one count aggregate (map-side combined, group keys
+    only), then driver-free arithmetic over the per-group frame (one
+    row per group — languages/sources, not documents); the fold and
+    broadcast total never touch the corpus.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    n = F.col("n_docs").cast("double")
+    if alpha == 0.5:
+        w_raw = F.sqrt(n)
+    elif alpha == 1.0:
+        w_raw = n
+    elif alpha == 0.0:
+        w_raw = F.lit(1.0)
+    else:
+        w_raw = F.pow(n, F.lit(float(alpha)))
+    per = per.withColumn("_wr", w_raw)
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(group_col).alias("g"), F.col("_wr").alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("_tot")
+    )
+    out = per.crossJoin(F.broadcast(tot)).withColumn(
+        "weight", F.col("_wr") / F.col("_tot")
+    )
+    cols = [F.col(group_col), F.col("n_docs"), F.col("weight")]
+    if total_budget is not None:
+        cols.append(
+            F.floor(F.lit(float(total_budget)) * F.col("weight"))
+            .cast("long")
+            .alias("target_docs")
+        )
+    return out.select(*cols)

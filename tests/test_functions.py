@@ -6714,3 +6714,116 @@ class TestQualityClassifier:
                 assert all(rows[2][c] is not None for c in cols), mode
         finally:
             spark.conf.set("spark.sql.ansi.enabled", old)
+
+
+class TestTemperatureWeights:
+    def test_alpha_half_exact(self, spark):
+        from dbldatagen_spark.functions import temperature_weights
+
+        rows = [(i, g) for g, n in (("a", 4), ("b", 1), ("c", 9))
+                for i in range(n)]
+        df = spark.createDataFrame(rows, "id long, grp string")
+        got = {
+            r["grp"]: r
+            for r in temperature_weights(
+                df, "grp", alpha=0.5, total_budget=12
+            ).collect()
+        }
+        # sqrt counts 2,1,3; ordered fold a,b,c: ((0+2)+1)+3 = 6
+        assert got["a"]["weight"] == 2.0 / 6.0
+        assert got["b"]["weight"] == 1.0 / 6.0
+        assert got["c"]["weight"] == 3.0 / 6.0
+        assert [got[g]["target_docs"] for g in "abc"] == [4, 2, 6]
+
+    def test_alpha_extremes(self, spark):
+        from dbldatagen_spark.functions import temperature_weights
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "b"), (4, "b")], "id long, grp string"
+        )
+        nat = {r["grp"]: r["weight"]
+               for r in temperature_weights(df, "grp", alpha=1.0).collect()}
+        assert nat == {"a": 0.25, "b": 0.75}
+        uni = {r["grp"]: r["weight"]
+               for r in temperature_weights(df, "grp", alpha=0.0).collect()}
+        assert uni == {"a": 0.5, "b": 0.5}
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_weights(df, "grp", alpha=-1)
+
+    def test_no_budget_no_target_col(self, spark):
+        from dbldatagen_spark.functions import temperature_weights
+
+        df = spark.createDataFrame([(1, "a")], "id long, grp string")
+        assert "target_docs" not in temperature_weights(df, "grp").columns
+
+
+class TestScoreBuckets:
+    def test_even_terciles(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 10)], "id long, s double"
+        )
+        got = {r["id"]: r["bucket"]
+               for r in score_buckets(df, "id", "s", n_bins=256).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 2,
+                       7: 3, 8: 3, 9: 3}
+
+    def test_constant_scores_single_bucket(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        df = spark.createDataFrame(
+            [(i, 5.0) for i in range(6)], "id long, s double"
+        )
+        buckets = {r["bucket"]
+                   for r in score_buckets(df, "id", "s").collect()}
+        assert buckets == {1}
+
+    def test_grouped_and_fixed_range(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        rows = [(i, "g1", float(i)) for i in range(1, 10)]
+        rows += [(100 + i, "g2", float(10 * i)) for i in range(1, 10)]
+        df = spark.createDataFrame(rows, "id long, grp string, s double")
+        out = score_buckets(df, "id", "s", group_col="grp", n_bins=512)
+        counts = {(r["grp"], r["bucket"]): r["count"]
+                  for r in out.groupBy("grp", "bucket").count().collect()}
+        assert all(v == 3 for v in counts.values()) and len(counts) == 6
+        # fixed range: same bins regardless of group extremes
+        fixed = score_buckets(
+            df, "id", "s", group_col="grp", lo=0.0, hi=100.0, n_bins=100
+        )
+        assert fixed.where("bucket IS NULL").count() == 0
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        df = spark.createDataFrame([(1, 1.0)], "id long, s double")
+        with pytest.raises(ValueError, match="n_buckets"):
+            score_buckets(df, "id", "s", n_buckets=1)
+        with pytest.raises(ValueError, match="n_bins"):
+            score_buckets(df, "id", "s", n_buckets=3, n_bins=2)
+        with pytest.raises(ValueError, match="lo and hi"):
+            score_buckets(df, "id", "s", lo=0.0)
+        with pytest.raises(ValueError, match="bucket_col"):
+            score_buckets(df.withColumn("bucket", F.lit(1)), "id", "s")
+
+    def test_no_global_sort_in_plan(self, spark, docs):
+        """The scale claim: no per-group global sort of the corpus — the only
+        window runs over the (group, bin) histogram, and assignment is
+        a broadcast join."""
+        from dbldatagen_spark.functions import (
+            quality_classifier_score,
+            score_buckets,
+        )
+
+        q = quality_classifier_score(docs, "doc_id", "text").select(
+            "doc_id", "logit"
+        )
+        scored = docs.select("doc_id", "lang").join(q, "doc_id")
+        plan = (
+            score_buckets(scored, "doc_id", "logit", group_col="lang")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "SortMergeJoin" not in plan
+        assert "Python" not in plan
