@@ -131,6 +131,30 @@ def main() -> None:
     qc = quality_classifier_score(good, "doc_id", "text")
     n_model_keep = qc.where("keep").count()
 
+    # 4c. CCNet head/middle/tail: quality terciles per language from
+    #     histogram thresholds (no per-group global sort — the
+    #     bucketing that survives a web-scale 'en' route)
+    from dbldatagen_spark.functions import score_buckets
+
+    scored = good.select("doc_id", "lang").join(
+        qc.select("doc_id", "logit"), "doc_id"
+    )
+    tiers = score_buckets(
+        scored, "doc_id", "logit", group_col="lang", n_buckets=3
+    )
+    print("quality tiers per language (1=tail .. 3=head):")
+    tiers.groupBy("lang", "bucket").count().orderBy("lang", "bucket").show(6)
+
+    # 4d. temperature-scaled mixture: how many docs each language
+    #     contributes per epoch at alpha=0.5 (small languages
+    #     up-sampled, the multilingual pretraining standard)
+    from dbldatagen_spark.functions import temperature_weights
+
+    print("temperature mixture (alpha=0.5, 10k-doc epoch):")
+    temperature_weights(
+        good, "lang", alpha=0.5, total_budget=10_000
+    ).orderBy("lang").show()
+
     # 5. token-budget selection: best (longest) docs per source within 50k chars
     selected = budget_select(good, "source", "doc_id", "n_chars", 50_000.0)
 
