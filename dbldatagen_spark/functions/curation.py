@@ -658,6 +658,9 @@ def score_buckets(
     ``bucket`` is 1..n_buckets from LOWEST scores (tail) to HIGHEST
     (head); documents sharing a histogram bin always share a bucket
     (bin-granular splits — raise ``n_bins`` for sharper cuts).
+    NULL and NaN scores get a NULL bucket and are EXCLUDED from the
+    range and the thresholds (one NaN would otherwise poison a whole
+    group's min/max), identically under default and ANSI modes.
 
     ``lo``/``hi`` fix the histogram range; left unset they come from a
     per-group min/max aggregate.  All arithmetic is integer counts
@@ -667,11 +670,13 @@ def score_buckets(
     Scale shape: this is the quantile-bucketing that survives 100 TB —
     an ``ntile`` window would sort each group in ONE task (the 'en'
     route of a web corpus in a single partition), and exact
-    ``percentile`` buffers every value per group.  Here the corpus is
-    scanned twice (min/max, then histogram — once with ``lo``/``hi``
-    pinned), the shuffles carry only (group, bin) keys, the
-    cumulative-threshold window runs over at most ``groups x n_bins``
-    rows, and the assignment rides the scan via a broadcast join.
+    ``percentile`` buffers every value per group.  Here the input is
+    scanned three times (min/max range, histogram, assignment — twice
+    when ``lo``/``hi`` are pinned; persist the scored frame upstream
+    if it is itself expensive to recompute), the shuffles carry only
+    (group, bin) keys, the cumulative-threshold window runs over at
+    most ``groups x n_bins`` rows, and the assignment rides the scan
+    via a broadcast join.
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
@@ -688,21 +693,31 @@ def score_buckets(
         )
     from pyspark.sql import Window
 
+    # collision-free internal prefix (flatten_json / substring_dedup
+    # contract: user columns are never clobbered or made ambiguous)
+    pfx = "_sb"
+    while any(c.startswith(pfx) for c in df.columns):
+        pfx += "_"
+    c_lo, c_hi, c_bin = f"{pfx}lo", f"{pfx}hi", f"{pfx}bin"
+
     groups = [group_col] if group_col else []
     score = F.col(score_col).cast("double")
+    valid = score.isNotNull() & ~F.isnan(score)
+    stats_src = df.where(valid)
 
+    rng = None
     if lo is None:
-        rng = df.groupBy(*groups).agg(
-            F.min(score).alias("_lo"), F.max(score).alias("_hi")
+        rng = stats_src.groupBy(*groups).agg(
+            F.min(score).alias(c_lo), F.max(score).alias(c_hi)
         )
-    else:
+    elif groups:
+        # literal range: every group gets it (derived from df, not the
+        # valid subset, so an all-invalid group still keeps its rows)
         rng = (
-            df.select(*groups).distinct()
-            if groups
-            else df.limit(1).select(F.lit(1).alias("_one")).drop("_one")
-        )
-        rng = rng.withColumn("_lo", F.lit(float(lo))).withColumn(
-            "_hi", F.lit(float(hi))
+            df.select(*groups)
+            .distinct()
+            .withColumn(c_lo, F.lit(float(lo)))
+            .withColumn(c_hi, F.lit(float(hi)))
         )
 
     def _bin_expr(s, lo_c, hi_c):
@@ -711,54 +726,72 @@ def score_buckets(
         clamped = F.least(
             F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
         )
-        return F.when(span > 0, clamped).otherwise(F.lit(0))
+        # NULL unless the row is valid AND its group has a range row
+        return F.when(
+            valid & lo_c.isNotNull(),
+            F.when(span > 0, clamped).otherwise(F.lit(0)),
+        )
 
-    if groups:
-        binned = df.join(F.broadcast(rng), groups)
+    if rng is None:
+        # ungrouped with pinned lo/hi: no join needed at all
+        binned = df.withColumn(c_lo, F.lit(float(lo))).withColumn(
+            c_hi, F.lit(float(hi))
+        )
+    elif groups:
+        binned = df.join(F.broadcast(rng), groups, "left")
     else:
         binned = df.crossJoin(F.broadcast(rng))
     binned = binned.withColumn(
-        "_bin", _bin_expr(score, F.col("_lo"), F.col("_hi"))
+        c_bin, _bin_expr(score, F.col(c_lo), F.col(c_hi))
     )
 
-    hist = binned.groupBy(*groups, "_bin").agg(
-        F.count(F.lit(1)).alias("_c")
+    hist = (
+        binned.where(F.col(c_bin).isNotNull())
+        .groupBy(*groups, c_bin)
+        .agg(F.count(F.lit(1)).alias(f"{pfx}c"))
     )
     wg = (
-        Window.partitionBy(*groups).orderBy("_bin")
+        Window.partitionBy(*groups).orderBy(c_bin)
         if groups
-        else Window.partitionBy(F.lit(1)).orderBy("_bin")
+        else Window.partitionBy(F.lit(1)).orderBy(c_bin)
     )
     cum = hist.withColumn(
-        "_cum",
-        F.sum("_c").over(
+        f"{pfx}cum",
+        F.sum(f"{pfx}c").over(
             wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    ).withColumn("_n", F.sum("_c").over(Window.partitionBy(*groups) if groups
-                                        else Window.partitionBy(F.lit(1))))
+    ).withColumn(
+        f"{pfx}n",
+        F.sum(f"{pfx}c").over(
+            Window.partitionBy(*groups)
+            if groups
+            else Window.partitionBy(F.lit(1))
+        ),
+    )
     # threshold bin for each interior quantile: smallest bin whose
     # cumulative count reaches ceil(n * b / n_buckets)
     thr_cols = [
         F.min(
             F.when(
-                F.col("_cum")
-                >= F.ceil(F.col("_n") * F.lit(b) / F.lit(n_buckets)),
-                F.col("_bin"),
+                F.col(f"{pfx}cum")
+                >= F.ceil(F.col(f"{pfx}n") * F.lit(b) / F.lit(n_buckets)),
+                F.col(c_bin),
             )
-        ).alias(f"_t{b}")
+        ).alias(f"{pfx}t{b}")
         for b in range(1, n_buckets)
     ]
     thr = cum.groupBy(*groups).agg(*thr_cols)
 
     if groups:
-        assigned = binned.join(F.broadcast(thr), groups)
+        assigned = binned.join(F.broadcast(thr), groups, "left")
     else:
         assigned = binned.crossJoin(F.broadcast(thr))
     bucket = F.lit(1)
     for b in range(1, n_buckets):
         bucket = bucket + F.when(
-            F.col("_bin") > F.col(f"_t{b}"), F.lit(1)
+            F.col(c_bin) > F.col(f"{pfx}t{b}"), F.lit(1)
         ).otherwise(F.lit(0))
+    bucket = F.when(F.col(c_bin).isNotNull(), bucket)
     return assigned.withColumn(bucket_col, bucket.cast("int")).drop(
-        "_lo", "_hi", "_bin", *[f"_t{b}" for b in range(1, n_buckets)]
+        c_lo, c_hi, c_bin, *[f"{pfx}t{b}" for b in range(1, n_buckets)]
     )

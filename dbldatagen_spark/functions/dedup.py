@@ -179,17 +179,17 @@ def _blocked_posting(
     """Stop cut + density guard over an inverted-index posting frame,
     sharing ONE document-frequency aggregate: the same ``dfreq`` frame
     feeds the guard's eager estimate and the keep-cut join.  When both
-    are active the frame is materialized once via an eager
-    ``localCheckpoint`` (one row per kept posting key) so the guard's
-    estimate and the cut both read the materialized blocks — without
-    it the full posting shuffle would run twice, once for the
-    estimate and once for the cut.  localCheckpoint rather than
-    ``persist``: the ContextCleaner frees the blocks once the frame is
-    garbage-collected, so neither the healthy path nor a guard raise
-    leaks cached partitions into a long-lived session (a persisted
-    frame would sit in the cache manager until explicitly
-    unpersisted).  Returns the blocking posting frame (cut applied
-    when requested).
+    are active the frame is persisted (MEMORY_AND_DISK — LRU-evicted
+    and lineage-recoverable, so lost executors recompute rather than
+    fail; one row per kept posting key) so the guard job materializes
+    what the cut then reads back — without it the full posting shuffle
+    would run twice, once for the estimate and once for the cut.  On
+    the guard's raise path the frame is unpersisted before the error
+    propagates; on the healthy path it stays cached for the caller's
+    pair job and is then LRU-evictable (pass
+    ``max_candidate_pairs=None`` to skip both the eager job and the
+    cache).  Returns the blocking posting frame (cut applied when
+    requested).
     """
     if max_posting_len is not None and max_posting_len < 2:
         raise ValueError("max_posting_len must be >= 2")
@@ -197,7 +197,13 @@ def _blocked_posting(
     if max_posting_len is not None:
         dfreq = dfreq.where(F.col("_df") <= max_posting_len)
         if max_candidate_pairs is not None:
-            dfreq = dfreq.localCheckpoint()
+            dfreq = dfreq.persist()
+            try:
+                _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
+            except Exception:
+                dfreq.unpersist()
+                raise
+            return posting.join(dfreq.select(key_col), key_col)
     _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
     if max_posting_len is not None:
         return posting.join(dfreq.select(key_col), key_col)
@@ -1283,10 +1289,11 @@ def substring_dedup_spans(
     disjoint covered intervals).
 
     Scale shape: only ``(k-gram md5, id, pos)`` rows shuffle — span
-    text never moves; one corpus-wide count aggregate (map-side
-    combine), one join of the position stream against the duplicated
-    k-gram set, one per-document window (single key shuffle + sort)
-    for the gaps-and-islands merge.  The md5 basis makes every hash —
+    text never moves; ONE hash-keyed exchange of that stream with a
+    window count over the k-gram hash (an aggregate + self-join form
+    would re-tokenize and re-hash the whole corpus once per branch),
+    then one per-document window (single key shuffle + sort) for the
+    gaps-and-islands merge.  The md5 basis makes every hash —
     hence every span — replayable by any engine.  Unlike
     :func:`duplicated_span_stats` (fixed windows, per-doc FRACTION
     signal), this locates exact maximal spans so the duplicate text
@@ -1374,6 +1381,8 @@ def substring_dedup(
     ``n_tokens`` and ``n_tokens_removed``.  Documents with no
     duplicated k-gram pass through with their whitespace normalized
     (single spaces), the tokenization the measure is defined over.
+    NULL-text rows yield NULL for all three added columns, identically
+    under default and ANSI modes.
 
     Scale shape: spans collapse to one small array per affected
     document (spans are maximal and disjoint, so the array length is
@@ -1414,12 +1423,18 @@ def substring_dedup(
             & (i + F.lit(1) <= s["span_end"]),
         ),
     )
+    # NULL text -> NULL outputs in BOTH ANSI modes (ungated, size(NULL)
+    # is -1 under default config but NULL under ANSI — the same
+    # mode-dependent divergence gated in quality_classifier_score)
+    nn = F.col(text_col).isNotNull()
     return (
-        joined.withColumn("n_tokens", F.size(w).cast("long"))
-        .withColumn(out_col, F.array_join(kept, " "))
+        joined.withColumn(
+            "n_tokens", F.when(nn, F.size(w)).cast("long")
+        )
+        .withColumn(out_col, F.when(nn, F.array_join(kept, " ")))
         .withColumn(
             "n_tokens_removed",
-            (F.size(w) - F.size(kept)).cast("long"),
+            F.when(nn, F.size(w) - F.size(kept)).cast("long"),
         )
         .drop(spans_col)
     )

@@ -460,6 +460,13 @@ def temperature_weights(
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
+    reserved = {"n_docs", "weight", "target_docs", "_wr", "_tot"}
+    if group_col in reserved:
+        raise ValueError(
+            f"temperature_weights: group_col {group_col!r} collides with "
+            f"an output/internal column ({sorted(reserved)}) — alias the "
+            f"group column first"
+        )
     per = df.groupBy(group_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )

@@ -88,14 +88,15 @@ def main() -> None:
 
     # 2b. span-level exact substring audit (Lee et al. 2022
     #     ExactSubstr): sentences duplicated verbatim across documents,
-    #     located via the corpus-wide k-gram cover — rewrite text with
-    #     deduped_text to apply the removal; here we report the volume
-    from dbldatagen_spark.functions import substring_dedup
+    #     located via the corpus-wide k-gram cover.  Spans are maximal
+    #     and disjoint, so sum(span_tokens) equals what the full
+    #     substring_dedup rebuild would remove — use substring_dedup
+    #     itself when you want the rewritten text, the spans op when
+    #     you only need the report (no rebuild join over the corpus)
+    from dbldatagen_spark.functions import substring_dedup_spans
 
-    span_report = substring_dedup(uniq, "doc_id", "text", k=8)
-    n_span_tokens = span_report.agg(
-        F.sum("n_tokens_removed")
-    ).first()[0]
+    spans = substring_dedup_spans(uniq, "doc_id", "text", k=8)
+    n_span_tokens = spans.agg(F.sum("span_tokens")).first()[0]
 
     # 3. near-dup scrub: drop MinHash cluster non-canonicals (the
     #    banding is auto-tuned from the threshold via the LSH s-curve)

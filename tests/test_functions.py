@@ -6827,3 +6827,86 @@ class TestScoreBuckets:
         )
         assert "SortMergeJoin" not in plan
         assert "Python" not in plan
+
+
+class TestReviewHardening:
+    """Regression tests for the round-11 review findings."""
+
+    def test_guard_raise_path_unpersists(self, spark):
+        """When the density guard raises on the persisted-dfreq path
+        (max_posting_len AND max_candidate_pairs set), the shared
+        document-frequency cache must be released before the error
+        propagates — a retry loop must not accumulate cached frames."""
+        from dbldatagen_spark.functions import ngram_jaccard_pairs
+
+        rows = [(i, "alpha beta gamma delta epsilon") for i in range(40)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        with pytest.raises(ValueError, match="max_posting_len"):
+            ngram_jaccard_pairs(
+                df, "doc_id", "text",
+                max_posting_len=100, max_candidate_pairs=100,
+            )
+        assert jsc.getPersistentRDDs().size() == before
+
+    def test_substring_dedup_null_text_both_modes(self, spark):
+        from dbldatagen_spark.functions import substring_dedup
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "a b c a b c a b c")],
+            "doc_id long, text string",
+        )
+        old = spark.conf.get("spark.sql.ansi.enabled", "false")
+        try:
+            for mode in ("false", "true"):
+                spark.conf.set("spark.sql.ansi.enabled", mode)
+                rows = {r["doc_id"]: r
+                        for r in substring_dedup(
+                            df, "doc_id", "text", k=2).collect()}
+                for c in ("n_tokens", "deduped_text", "n_tokens_removed"):
+                    assert rows[1][c] is None, (mode, c)
+                assert rows[2]["n_tokens"] == 9, mode
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    def test_score_buckets_null_and_nan_scores(self, spark):
+        """NULL/NaN scores: NULL bucket, excluded from range and
+        thresholds — one NaN must not poison the group's min/max."""
+        from dbldatagen_spark.functions import score_buckets
+
+        rows = [(i, float(i)) for i in range(1, 10)]
+        rows += [(100, None), (101, float("nan"))]
+        df = spark.createDataFrame(rows, "id long, s double")
+        got = {r["id"]: r["bucket"]
+               for r in score_buckets(df, "id", "s", n_bins=256).collect()}
+        assert got[100] is None and got[101] is None
+        # the 1..9 terciles are unaffected by the invalid rows
+        assert [got[i] for i in range(1, 10)] == [1, 1, 1, 2, 2, 2, 3, 3, 3]
+
+    def test_score_buckets_internal_name_collisions(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        df = spark.createDataFrame(
+            [(i, float(i), "x") for i in range(1, 10)],
+            "id long, s double, _sblo string",
+        )
+        out = score_buckets(df, "id", "s", n_bins=64)
+        assert set(df.columns) <= set(out.columns)  # _sblo survives
+        assert {r["_sblo"] for r in out.collect()} == {"x"}
+
+    def test_score_buckets_all_invalid_group_keeps_rows(self, spark):
+        from dbldatagen_spark.functions import score_buckets
+
+        rows = [(1, "g1", 1.0), (2, "g1", 2.0), (3, "g2", None)]
+        df = spark.createDataFrame(rows, "id long, grp string, s double")
+        out = score_buckets(df, "id", "s", group_col="grp", n_buckets=2)
+        got = {r["id"]: r["bucket"] for r in out.collect()}
+        assert len(got) == 3 and got[3] is None
+
+    def test_temperature_weights_group_col_collision_raises(self, spark):
+        from dbldatagen_spark.functions import temperature_weights
+
+        df = spark.createDataFrame([(1, "a")], "id long, weight string")
+        with pytest.raises(ValueError, match="collides"):
+            temperature_weights(df, "weight")
