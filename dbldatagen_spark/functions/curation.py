@@ -587,7 +587,8 @@ def route_by_language(
     format: str = "parquet",
     mode: str = "overwrite",
 ) -> DataFrame:
-    """Per-language corpus routing — the CCNet splitter shape: every
+    """Per-language corpus routing — the CCNet splitter shape (Wenzek
+    et al. 2020: language-ID first, then per-language processing): every
     document gets a ``route`` bucket (stopword language ID when it fires,
     otherwise a ``und-<script>`` tag from the dominant Unicode script,
     otherwise ``und``), and the corpus is optionally written partitioned
@@ -648,9 +649,11 @@ def score_buckets(
     hi: Optional[float] = None,
     bucket_col: str = "bucket",
 ) -> DataFrame:
-    """CCNet-style quality buckets at scale: split each group's score
-    distribution into ``n_buckets`` quantile bands (3 = the classic
-    head/middle/tail) WITHOUT a per-group global sort.  Thresholds
+    """CCNet-style quality buckets at scale (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data" — per-language head/middle/tail perplexity terciles):
+    split each group's score distribution into ``n_buckets`` quantile
+    bands WITHOUT a per-group global sort.  Thresholds
     come from a fixed-bin histogram — per group, bucket ``b``'s lower
     threshold is the smallest bin whose cumulative count reaches
     ``ceil(n * b / n_buckets)`` — and every document is then assigned

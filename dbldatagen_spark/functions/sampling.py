@@ -432,9 +432,12 @@ def temperature_weights(
     alpha: float = 0.5,
     total_budget=None,
 ) -> DataFrame:
-    """Temperature-scaled mixture weights (the multilingual-corpus
-    rebalancing rule: sample group ``g`` proportionally to
-    ``count_g ** alpha``).  ``alpha = 1`` keeps natural proportions,
+    """Temperature-scaled mixture weights — the multilingual-corpus
+    rebalancing rule popularized by multilingual pretraining work
+    (exponentiated-count sampling in Lample & Conneau 2019 "Cross-
+    lingual Language Model Pretraining" and the XLM-R corpus recipe):
+    sample group ``g`` proportionally to ``count_g ** alpha``.
+    ``alpha = 1`` keeps natural proportions,
     ``alpha = 0`` is uniform, and the standard ``alpha = 0.5``
     up-samples small languages/sources without letting the biggest
     dominate.

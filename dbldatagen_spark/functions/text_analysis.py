@@ -1396,8 +1396,10 @@ def quality_classifier_score(
     regression over the standard web-corpus quality features (the same
     measurements as :func:`quality_metrics`, unrounded), the filter stage
     that runs AFTER the Gopher rule battery in published curation
-    pipelines (CCNet / fastText-classifier style — a linear model over
-    cheap text features, applied corpus-wide).
+    pipelines (CCNet / fastText-classifier style — Joulin et al. 2017
+    "Bag of Tricks for Efficient Text Classification" reduces to
+    exactly this linear-over-features shape once featurized; GPT-3 and
+    PaLM data work used the same quality-classifier pattern).
 
     Returns ``(id, <six features>, logit, prob, keep)`` where
 
