@@ -6696,30 +6696,57 @@ def _docs_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection: near-dup clusters (star-
+    contraction minhash, same graph as dedup_cluster_canonical)
+    surrender every copy except their HIGHEST-quality member — argmax
+    of the classifier logit, ties to the smallest id, a deterministic
+    max over (score, -id) the oracle replays via the identical struct
+    max over the exact >=0.5-Jaccard component graph.  Ids and scores
+    shuffle; document bodies never move."""
+    from dbldatagen_spark.functions import (
+        keep_best_canonicals,
+        minhash_cluster_dedup,
+        quality_classifier_score,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    clusters = minhash_cluster_dedup(docs, "doc_id", "text", threshold=0.5)
+    scores = quality_classifier_score(docs, "doc_id", "text").select(
+        "doc_id", "logit"
+    )
+    return (
+        keep_best_canonicals(clusters, scores, "doc_id", "logit")
+        .select("doc_id", "canonical_id", "best_id", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-11 rotation: growth-at-birth plus staleness refresh — the 6
+    Round-11 rotation: growth-at-birth plus staleness refresh — the 7
     round-11 growth rows first (ann_ivfpq_persisted,
     docs_substring_dedup, corpus_language_routing,
     text_quality_classifier, corpus_temperature_mix,
-    docs_quality_buckets), then the 12 remaining r6-stale rows
-    (events_funnel through docs_source_quota, ledger order), then the
-    r7-stale cohort in ledger order from emb_mrl_truncation through
-    events_sliding_windows.  Demoted: the entire round-10 window — all
-    50 were green on their r10 exposure.  The r7 rows from
-    events_value_quantiles onward overflow to the r12 draw.  The full
-    query -> last-driver-round ledger lives in ROTATION.md."""
+    docs_quality_buckets, dedup_keep_best), then the 12 remaining
+    r6-stale rows (events_funnel through docs_source_quota, ledger
+    order), then the r7-stale cohort in ledger order from
+    emb_mrl_truncation through events_pivot_daily.  Demoted: the
+    entire round-10 window — all 50 were green on their r10 exposure.
+    The r7 rows from events_sliding_windows onward overflow to the
+    r12 draw.  The full query -> last-driver-round ledger lives in
+    ROTATION.md."""
     return {
         # --- round-11 driver window (see ROTATION.md) ---
-        # The 6 round-11 growth rows lead (windowed at birth),
+        # The 7 round-11 growth rows lead (windowed at birth),
         # then the 12 remaining r6-stale rows (ledger order),
         # then the r7-stale cohort in ledger order from
-        # emb_mrl_truncation through events_sliding_windows.
+        # emb_mrl_truncation through events_pivot_daily.
         # Exactly 50 entries precede the demoted marker; the r7
-        # rows from events_value_quantiles onward wait for the
+        # rows from events_sliding_windows onward wait for the
         # r12 draw (they head it, with any r12 growth rows).
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
@@ -6727,6 +6754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_classifier": _text_quality_classifier,
         "corpus_temperature_mix": _corpus_temperature_mix,
         "docs_quality_buckets": _docs_quality_buckets,
+        "dedup_keep_best": _dedup_keep_best,
         # r6-stale rows (last driver row round 6, ledger order)
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
@@ -6772,10 +6800,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_shards": _text_training_shards,
         "corpus_sketch_stats": _corpus_sketch_stats,
         "events_pivot_daily": _events_pivot_daily,
-        "events_sliding_windows": _events_sliding_windows,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r7 rows from events_value_quantiles onward
+        # (the r7 rows from events_sliding_windows onward
         # overflowed the 50-row window; they head the r12 draw)
+        "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
         "ann_ivf_pq": _ann_ivf_pq,
@@ -8879,6 +8907,69 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(comp.component, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
             ORDER BY d.doc_id
+        """,
+        # same component graph as dedup_cluster_canonical + the
+        # classifier logit; argmax via the identical (score, -id, id)
+        # struct max, NULL scores coalesced below every real score
+        "dedup_keep_best": f"""
+            WITH RECURSIVE
+            pairs AS (SELECT id_a, id_b FROM ({_NGRAM_JACCARD_ORACLE})),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ),
+            reach(v, lbl) AS (
+                SELECT src, src FROM edges
+                UNION
+                SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.v
+            ),
+            comp AS (SELECT v, MIN(lbl) AS component FROM reach GROUP BY v),
+            lab AS (
+                SELECT d.doc_id,
+                       COALESCE(comp.component, d.doc_id) AS canonical_id
+                FROM documents d LEFT JOIN comp ON d.doc_id = comp.v
+            ),
+            raw AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       string_split_regex(lower(trim(text)), '\\s+') AS toks,
+                       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                       length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits,
+                       length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS punct
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id, n_chars,
+                       len(toks) AS n_tokens,
+                       len(list_distinct(toks)) AS n_distinct,
+                       len(list_intersect(list_distinct(toks),
+                           ['the','and','of','to','in','is','that','for','with','a'])) AS stop_hits,
+                       alpha, digits, punct
+                FROM raw
+            ),
+            lg AS (
+                SELECT doc_id,
+                       ((((((-3.0 + 3.5 * (alpha::DOUBLE / greatest(n_chars, 1)))
+                            + (-3.0) * (digits::DOUBLE / greatest(n_chars, 1)))
+                            + (-1.0) * (punct::DOUBLE / greatest(n_chars, 1)))
+                            + 1.5 * (n_distinct::DOUBLE / greatest(n_tokens, 1)))
+                            + 2.0 * (stop_hits::DOUBLE / 10.0))
+                            + 1.5 * least(n_tokens::DOUBLE / 100.0, 1.0)) AS logit
+                FROM feat
+            ),
+            best AS (
+                SELECT canonical_id,
+                       (max({{'s': COALESCE(logit, '-infinity'::DOUBLE),
+                             'n': -lab.doc_id,
+                             'b': lab.doc_id}})).b AS best_id
+                FROM lab JOIN lg ON lab.doc_id = lg.doc_id
+                GROUP BY canonical_id
+            )
+            SELECT lab.doc_id, lab.canonical_id, best.best_id,
+                   lab.doc_id = best.best_id AS keep
+            FROM lab JOIN best USING (canonical_id)
+            ORDER BY lab.doc_id
         """,
         "dedup_embedding_cosine": """
             WITH e AS (

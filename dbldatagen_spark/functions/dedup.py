@@ -2102,3 +2102,61 @@ def containment_sketch_pairs(
         (F.col("est_a_in_b") >= F.lit(threshold))
         | (F.col("est_b_in_a") >= F.lit(threshold))
     )
+
+
+def keep_best_canonicals(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    cluster_col: str = "canonical_id",
+) -> DataFrame:
+    """Quality-aware survivor selection for duplicate clusters: instead
+    of keeping each cluster's minimum-id member (the
+    :func:`minhash_cluster_dedup` / :func:`duplicate_components`
+    default), keep its HIGHEST-SCORING member — near-dup groups in a
+    training corpus should surrender their truncated, boilerplate-laden
+    copies to the cleanest one, not to whichever crawled first.
+
+    ``clusters`` is any ``(id, cluster label)`` frame (e.g.
+    ``minhash_cluster_dedup`` output); ``scores`` any ``(id, score)``
+    frame (e.g. ``quality_classifier_score``'s ``logit``).  Returns the
+    ``clusters`` columns plus ``best_id`` (the cluster's arg-max-score
+    member — ties break to the smallest id, NULL scores rank below
+    every real score) and ``keep = (id == best_id)``.  The selection is
+    a deterministic max over ``(score, -id)``, so any engine replays
+    it exactly.
+
+    Scale shape: one inner join of ids to scores (keyed by id), one
+    max-aggregate keyed by cluster (map-side combined to one row per
+    cluster), and one join of the tiny ``(cluster, best_id)`` frame
+    back — ids and scores shuffle, never document bodies.
+    """
+    for c in ("best_id", "keep"):
+        if c in clusters.columns:
+            raise ValueError(
+                f"keep_best_canonicals: output column {c!r} already "
+                f"exists on the clusters frame — rename it first"
+            )
+    neg_inf = F.lit(float("-inf"))
+    j = clusters.select(id_col, cluster_col).join(
+        scores.select(
+            F.col(id_col),
+            F.coalesce(F.col(score_col).cast("double"), neg_inf).alias("_s"),
+        ),
+        id_col,
+    )
+    ranked = j.groupBy(cluster_col).agg(
+        F.max(
+            F.struct(
+                F.col("_s").alias("s"),
+                (-F.col(id_col)).alias("n"),
+                F.col(id_col).alias("b"),
+            )
+        ).alias("_r")
+    )
+    best = ranked.select(cluster_col, F.col("_r")["b"].alias("best_id"))
+    return clusters.join(best, cluster_col).withColumn(
+        "keep", F.col(id_col) == F.col("best_id")
+    )

@@ -98,14 +98,24 @@ def main() -> None:
     spans = substring_dedup_spans(uniq, "doc_id", "text", k=8)
     n_span_tokens = spans.agg(F.sum("span_tokens")).first()[0]
 
-    # 3. near-dup scrub: drop MinHash cluster non-canonicals (the
-    #    banding is auto-tuned from the threshold via the LSH s-curve)
+    # 3. near-dup scrub, quality-aware: each MinHash cluster keeps its
+    #    HIGHEST-quality member (argmax classifier logit), not whichever
+    #    id is smallest — truncated/boilerplate copies lose to the
+    #    cleanest one
+    from dbldatagen_spark.functions import (
+        keep_best_canonicals,
+        quality_classifier_score,
+    )
+
     clusters = minhash_cluster_dedup(uniq, "doc_id", "text", threshold=0.7)
+    cluster_scores = quality_classifier_score(uniq, "doc_id", "text").select(
+        "doc_id", "logit"
+    )
+    survivors = keep_best_canonicals(
+        clusters, cluster_scores, "doc_id", "logit"
+    )
     scrubbed = uniq.join(
-        clusters.where(F.col("doc_id") == F.col("canonical_id")).select(
-            "doc_id"
-        ),
-        "doc_id",
+        survivors.where("keep").select("doc_id"), "doc_id"
     )
 
     # 4. quality gates: report the full Gopher battery, filter on the

@@ -6910,3 +6910,53 @@ class TestReviewHardening:
         df = spark.createDataFrame([(1, "a")], "id long, weight string")
         with pytest.raises(ValueError, match="collides"):
             temperature_weights(df, "weight")
+
+
+class TestKeepBestCanonicals:
+    def test_argmax_with_ties_and_nulls(self, spark):
+        from dbldatagen_spark.functions import keep_best_canonicals
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+            "doc_id long, canonical_id long",
+        )
+        scores = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.9), (10, None), (20, None), (21, None)],
+            "doc_id long, logit double",
+        )
+        out = keep_best_canonicals(clusters, scores, "doc_id", "logit")
+        best = {r["canonical_id"]: r["best_id"] for r in out.collect()}
+        # tie at 0.9 between 2 and 3 -> smallest id wins
+        assert best == {1: 2, 10: 10, 20: 20}
+        keep = {r["doc_id"]: r["keep"] for r in out.collect()}
+        assert keep == {1: False, 2: True, 3: False,
+                        10: True, 20: True, 21: False}
+
+    def test_output_collision_raises(self, spark):
+        from dbldatagen_spark.functions import keep_best_canonicals
+
+        clusters = spark.createDataFrame(
+            [(1, 1, True)], "doc_id long, canonical_id long, keep boolean"
+        )
+        scores = spark.createDataFrame([(1, 0.5)], "doc_id long, s double")
+        with pytest.raises(ValueError, match="keep"):
+            keep_best_canonicals(clusters, scores, "doc_id", "s")
+
+    def test_composes_with_minhash_clusters(self, spark, docs):
+        from dbldatagen_spark.functions import (
+            keep_best_canonicals,
+            minhash_cluster_dedup,
+            quality_classifier_score,
+        )
+
+        clusters = minhash_cluster_dedup(docs, "doc_id", "text", threshold=0.5)
+        scores = quality_classifier_score(docs, "doc_id", "text").select(
+            "doc_id", "logit"
+        )
+        out = keep_best_canonicals(clusters, scores, "doc_id", "logit")
+        # exactly one keeper per cluster; keeper's score is the max
+        per = out.groupBy("canonical_id").agg(
+            F.sum(F.col("keep").cast("int")).alias("n_keep")
+        )
+        assert per.where("n_keep != 1").count() == 0
+        assert out.count() == docs.count()
