@@ -2123,15 +2123,19 @@ def keep_best_canonicals(
     ``minhash_cluster_dedup`` output); ``scores`` any ``(id, score)``
     frame (e.g. ``quality_classifier_score``'s ``logit``).  Returns the
     ``clusters`` columns plus ``best_id`` (the cluster's arg-max-score
-    member — ties break to the smallest id, NULL scores rank below
-    every real score) and ``keep = (id == best_id)``.  The selection is
-    a deterministic max over ``(score, -id)``, so any engine replays
-    it exactly.
+    member — ties break to the smallest id, which also works for STRING
+    ids; NULL or missing scores rank below every real score) and
+    ``keep = (id == best_id)``.  Rows whose cluster label is NULL are
+    their own survivors (``best_id = id``, ``keep = true``) — no row is
+    ever silently dropped.  The selection is a deterministic two-step
+    (max score per cluster, then min id among the achievers), so any
+    engine replays it exactly.
 
-    Scale shape: one inner join of ids to scores (keyed by id), one
-    max-aggregate keyed by cluster (map-side combined to one row per
-    cluster), and one join of the tiny ``(cluster, best_id)`` frame
-    back — ids and scores shuffle, never document bodies.
+    Scale shape: one left join of ids to scores (keyed by id), a
+    max-aggregate and a min-among-achievers aggregate keyed by cluster
+    (both map-side combined to one row per cluster), and one join of
+    the tiny ``(cluster, best_id)`` frame back — ids and scores
+    shuffle, never document bodies.
     """
     for c in ("best_id", "keep"):
         if c in clusters.columns:
@@ -2140,23 +2144,35 @@ def keep_best_canonicals(
                 f"exists on the clusters frame — rename it first"
             )
     neg_inf = F.lit(float("-inf"))
-    j = clusters.select(id_col, cluster_col).join(
+    labeled = clusters.where(F.col(cluster_col).isNotNull())
+    unlabeled = clusters.where(F.col(cluster_col).isNull())
+    # LEFT join: an id with no scores row behaves exactly like a NULL
+    # score (below every real score), never a dropped document
+    j = labeled.select(id_col, cluster_col).join(
         scores.select(
-            F.col(id_col),
-            F.coalesce(F.col(score_col).cast("double"), neg_inf).alias("_s"),
+            F.col(id_col), F.col(score_col).cast("double").alias("_s")
         ),
         id_col,
+        "left",
+    ).withColumn("_s", F.coalesce(F.col("_s"), neg_inf))
+    # two-step argmax (max score, then MIN id among achievers): unlike
+    # a struct max over (score, -id), this needs no id negation, so
+    # string ids tie-break correctly and nothing casts under ANSI
+    smax = j.groupBy(cluster_col).agg(F.max("_s").alias("_smax"))
+    best = (
+        j.join(smax, cluster_col)
+        .where(F.col("_s") == F.col("_smax"))
+        .groupBy(cluster_col)
+        .agg(F.min(id_col).alias("best_id"))
     )
-    ranked = j.groupBy(cluster_col).agg(
-        F.max(
-            F.struct(
-                F.col("_s").alias("s"),
-                (-F.col(id_col)).alias("n"),
-                F.col(id_col).alias("b"),
-            )
-        ).alias("_r")
-    )
-    best = ranked.select(cluster_col, F.col("_r")["b"].alias("best_id"))
-    return clusters.join(best, cluster_col).withColumn(
+    out = labeled.join(best, cluster_col).withColumn(
         "keep", F.col(id_col) == F.col("best_id")
     )
+    solo = unlabeled.withColumn("best_id", F.col(id_col)).withColumn(
+        "keep", F.lit(True)
+    )
+    # always lazy-union (an isEmpty() probe would run an eager job over
+    # the whole upstream clustering on every call); the plan references
+    # `clusters` from several branches, so persist it upstream if it is
+    # itself expensive to recompute
+    return out.unionByName(solo.select(*out.columns))

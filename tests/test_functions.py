@@ -6960,3 +6960,59 @@ class TestKeepBestCanonicals:
         )
         assert per.where("n_keep != 1").count() == 0
         assert out.count() == docs.count()
+
+
+class TestKeepBestCanonicalsHardening:
+    """Round-11 second-review findings: missing scores, string ids,
+    NULL cluster labels — no silent row loss anywhere."""
+
+    def test_missing_scores_behave_like_null(self, spark):
+        from dbldatagen_spark.functions import keep_best_canonicals
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (5, 5)], "doc_id long, canonical_id long"
+        )
+        scores = spark.createDataFrame(
+            [(2, 0.9)], "doc_id long, s double"  # 1 and 5 unscored
+        )
+        out = keep_best_canonicals(clusters, scores, "doc_id", "s")
+        got = {r["doc_id"]: (r["best_id"], r["keep"]) for r in out.collect()}
+        # cluster 1: only scored member wins; cluster 5: all-unscored
+        # singleton keeps itself — never dropped
+        assert got == {1: (2, False), 2: (2, True), 5: (5, True)}
+
+    def test_string_ids_tie_to_smallest(self, spark):
+        from dbldatagen_spark.functions import keep_best_canonicals
+
+        clusters = spark.createDataFrame(
+            [("b", "a"), ("a", "a"), ("c", "a")],
+            "doc_id string, canonical_id string",
+        )
+        scores = spark.createDataFrame(
+            [("a", 0.5), ("b", 0.5), ("c", 0.1)], "doc_id string, s double"
+        )
+        old = spark.conf.get("spark.sql.ansi.enabled", "false")
+        try:
+            for mode in ("false", "true"):
+                spark.conf.set("spark.sql.ansi.enabled", mode)
+                got = {r["doc_id"]: r["keep"]
+                       for r in keep_best_canonicals(
+                           clusters, scores, "doc_id", "s").collect()}
+                assert got == {"a": True, "b": False, "c": False}, mode
+        finally:
+            spark.conf.set("spark.sql.ansi.enabled", old)
+
+    def test_null_cluster_rows_survive_as_singletons(self, spark):
+        from dbldatagen_spark.functions import keep_best_canonicals
+
+        clusters = spark.createDataFrame(
+            [(1, 1), (2, 1), (7, None)], "doc_id long, canonical_id long"
+        )
+        scores = spark.createDataFrame(
+            [(1, 0.1), (2, 0.9), (7, 0.5)], "doc_id long, s double"
+        )
+        out = keep_best_canonicals(clusters, scores, "doc_id", "s")
+        got = {r["doc_id"]: (r["canonical_id"], r["best_id"], r["keep"])
+               for r in out.collect()}
+        assert got[7] == (None, 7, True)
+        assert got[1] == (1, 2, False) and got[2] == (1, 2, True)
