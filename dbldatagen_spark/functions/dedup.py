@@ -2127,15 +2127,18 @@ def keep_best_canonicals(
     ids; NULL or missing scores rank below every real score) and
     ``keep = (id == best_id)``.  Rows whose cluster label is NULL are
     their own survivors (``best_id = id``, ``keep = true``) — no row is
-    ever silently dropped.  The selection is a deterministic two-step
-    (max score per cluster, then min id among the achievers), so any
-    engine replays it exactly.
+    ever silently dropped.  The selection is one deterministic
+    ``row_number`` over ``(cluster ORDER BY score DESC, id ASC)``, so
+    any engine — and any id type — replays it exactly.
 
-    Scale shape: one left join of ids to scores (keyed by id), a
-    max-aggregate and a min-among-achievers aggregate keyed by cluster
-    (both map-side combined to one row per cluster), and one join of
-    the tiny ``(cluster, best_id)`` frame back — ids and scores
-    shuffle, never document bodies.
+    Scale shape: one left join of ids to scores (keyed by id), one
+    rank window over the (cluster, id, score) stream — it plans as a
+    pre-exchange ``WindowGroupLimit``, each map task forwarding one
+    candidate per cluster it sees, and per-cluster sort state is a
+    duplicate group, not a corpus — and one join of the
+    one-row-per-cluster ``best`` frame back.  Ids and scores shuffle,
+    never document bodies; ``clusters`` is referenced twice, so
+    persist it upstream if it is itself expensive to recompute.
     """
     for c in ("best_id", "keep"):
         if c in clusters.columns:
@@ -2143,36 +2146,35 @@ def keep_best_canonicals(
                 f"keep_best_canonicals: output column {c!r} already "
                 f"exists on the clusters frame — rename it first"
             )
+    from pyspark.sql import Window
+
     neg_inf = F.lit(float("-inf"))
-    labeled = clusters.where(F.col(cluster_col).isNotNull())
-    unlabeled = clusters.where(F.col(cluster_col).isNull())
     # LEFT join: an id with no scores row behaves exactly like a NULL
     # score (below every real score), never a dropped document
-    j = labeled.select(id_col, cluster_col).join(
-        scores.select(
-            F.col(id_col), F.col(score_col).cast("double").alias("_s")
-        ),
-        id_col,
-        "left",
-    ).withColumn("_s", F.coalesce(F.col("_s"), neg_inf))
-    # two-step argmax (max score, then MIN id among achievers): unlike
-    # a struct max over (score, -id), this needs no id negation, so
-    # string ids tie-break correctly and nothing casts under ANSI
-    smax = j.groupBy(cluster_col).agg(F.max("_s").alias("_smax"))
+    j = (
+        clusters.select(id_col, cluster_col)
+        .where(F.col(cluster_col).isNotNull())
+        .join(
+            scores.select(
+                F.col(id_col), F.col(score_col).cast("double").alias("_s")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn("_s", F.coalesce(F.col("_s"), neg_inf))
+    )
+    w = Window.partitionBy(cluster_col).orderBy(
+        F.col("_s").desc(), F.col(id_col).asc()
+    )
     best = (
-        j.join(smax, cluster_col)
-        .where(F.col("_s") == F.col("_smax"))
-        .groupBy(cluster_col)
-        .agg(F.min(id_col).alias("best_id"))
+        j.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(cluster_col, F.col(id_col).alias("best_id"))
     )
-    out = labeled.join(best, cluster_col).withColumn(
-        "keep", F.col(id_col) == F.col("best_id")
+    # LEFT join + coalesce: NULL-label rows never match (NULL equi-join
+    # keys) and fall back to themselves — singleton survivors
+    return (
+        clusters.join(best, cluster_col, "left")
+        .withColumn("best_id", F.coalesce(F.col("best_id"), F.col(id_col)))
+        .withColumn("keep", F.col(id_col) == F.col("best_id"))
     )
-    solo = unlabeled.withColumn("best_id", F.col(id_col)).withColumn(
-        "keep", F.lit(True)
-    )
-    # always lazy-union (an isEmpty() probe would run an eager job over
-    # the whole upstream clustering on every call); the plan references
-    # `clusters` from several branches, so persist it upstream if it is
-    # itself expensive to recompute
-    return out.unionByName(solo.select(*out.columns))
