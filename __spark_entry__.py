@@ -6601,7 +6601,7 @@ def _corpus_language_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = tempfile.mkdtemp(prefix="route_split_")
     try:
         route_by_language(
-            df, "doc_id", "text", out_path=os.path.join(out_dir, "r")
+            df, "text", out_path=os.path.join(out_dir, "r")
         )
         back = spark.read.parquet(os.path.join(out_dir, "r"))
         rows = [

@@ -579,7 +579,6 @@ SCRIPT_ROUTE_TAGS = {
 
 def route_by_language(
     df: DataFrame,
-    id_col: str,
     text_col: str,
     *,
     route_col: str = "route",
@@ -661,9 +660,12 @@ def score_buckets(
     ``bucket`` is 1..n_buckets from LOWEST scores (tail) to HIGHEST
     (head); documents sharing a histogram bin always share a bucket
     (bin-granular splits — raise ``n_bins`` for sharper cuts).
-    NULL and NaN scores get a NULL bucket and are EXCLUDED from the
-    range and the thresholds (one NaN would otherwise poison a whole
-    group's min/max), identically under default and ANSI modes.
+    NULL, NaN, and +/-inf scores get a NULL bucket and are EXCLUDED
+    from the range and the thresholds (one NaN or inf would otherwise
+    poison a whole group's min/max), identically under default and
+    ANSI modes; finite scores outside a pinned ``lo``/``hi`` clamp to
+    the edge buckets with the clamp applied in long arithmetic, so no
+    magnitude can overflow the bin cast.
 
     ``lo``/``hi`` fix the histogram range; left unset they come from a
     per-group min/max aggregate.  All arithmetic is integer counts
@@ -705,7 +707,17 @@ def score_buckets(
 
     groups = [group_col] if group_col else []
     score = F.col(score_col).cast("double")
-    valid = score.isNotNull() & ~F.isnan(score)
+    # +/-inf excluded alongside NULL/NaN: an infinite score would
+    # poison a derived group range (span = inf => every finite row in
+    # bin 0) and, with a pinned range, ride the floor/cast path with
+    # engine-dependent overflow — exclusion keeps the contract
+    # identical under default and ANSI modes
+    valid = (
+        score.isNotNull()
+        & ~F.isnan(score)
+        & (score != F.lit(float("inf")))
+        & (score != F.lit(float("-inf")))
+    )
     stats_src = df.where(valid)
 
     rng = None
@@ -726,9 +738,16 @@ def score_buckets(
     def _bin_expr(s, lo_c, hi_c):
         span = hi_c - lo_c
         raw = F.floor((s - lo_c) / span * F.lit(float(n_bins)))
+        # clamp in LONG (floor's type) BEFORE the int cast: with a
+        # pinned range a score ~span*2^31/n_bins above hi overflows a
+        # long-to-int cast — loud under ANSI, silently wrapped (and
+        # possibly landing in a tail bucket) under default; the
+        # least/greatest coercion stays in long so the final cast is
+        # always in [0, n_bins-1]
         clamped = F.least(
-            F.lit(n_bins - 1), F.greatest(F.lit(0), raw.cast("int"))
-        )
+            F.lit(n_bins - 1).cast("long"),
+            F.greatest(F.lit(0).cast("long"), raw),
+        ).cast("int")
         # NULL unless the row is valid AND its group has a range row
         return F.when(
             valid & lo_c.isNotNull(),

@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 from typing import List, Optional
 
+from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -1289,12 +1290,27 @@ def substring_dedup_spans(
     disjoint covered intervals).
 
     Scale shape: only ``(k-gram md5, id, pos)`` rows shuffle — span
-    text never moves; ONE hash-keyed exchange of that stream with a
-    window count over the k-gram hash (an aggregate + self-join form
-    would re-tokenize and re-hash the whole corpus once per branch),
-    then one per-document window (single key shuffle + sort) for the
-    gaps-and-islands merge.  The md5 basis makes every hash —
-    hence every span — replayable by any engine.  Unlike
+    text never moves.  The corpus-wide count is a map-side-combined
+    ``groupBy("_h").count()`` joined back onto the PERSISTED k-gram
+    stream — deliberately NOT a window over the hash: k-gram frequency
+    in a web corpus is Zipfian, and ``Window.partitionBy(hash)``
+    buffers every occurrence of one k-gram in a single task's group (a
+    viral boilerplate 8-gram — license header, cookie banner — becomes
+    one straggler/spill task, and AQE's skew splitting never applies
+    to windows).  Partial aggregation bounds the count's reducer
+    volume at distinct-keys x map-tasks regardless of skew, and the
+    join-back is a shuffled join AQE CAN skew-split.  The persist
+    (MEMORY_AND_DISK, lineage-recoverable, LRU-evictable — the
+    :func:`_blocked_posting` contract) is what keeps the corpus
+    tokenized + hashed exactly once across the aggregate and probe
+    branches.  No stop-cut guard is offered here on purpose: unlike
+    pair blocking (quadratic in posting length, hence
+    ``_candidate_density_guard``), a hot k-gram's cost is LINEAR — its
+    rows stream through one aggregate and one join — and dropping it
+    would exempt precisely the most-duplicated text from dedup.
+    After the count, one per-document window (single key shuffle +
+    sort) does the gaps-and-islands merge.  The md5 basis makes every
+    hash — hence every span — replayable by any engine.  Unlike
     :func:`duplicated_span_stats` (fixed windows, per-doc FRACTION
     signal), this locates exact maximal spans so the duplicate text
     itself can be removed.
@@ -1321,18 +1337,18 @@ def substring_dedup_spans(
             "_h"
         ),
     )
-    # corpus-wide count as a window over the k-gram hash, NOT an
-    # aggregate + self-join: the two branches of a join would each
-    # re-evaluate g (re-tokenize + re-hash the whole corpus — the
-    # dominant cost); the window form shuffles the (hash, id, pos)
-    # stream once and counts within each hash partition, so the
-    # corpus is scanned and hashed exactly once
-    win_h = Window.partitionBy("_h")
-    dpos = (
-        g.withColumn("_c", F.count(F.lit(1)).over(win_h))
+    # skew-safe corpus-wide count: partial-aggregated groupBy + join
+    # back, with g persisted so tokenize+hash runs once even though
+    # two plan branches read it (a window over _h would buffer every
+    # occurrence of a hot k-gram in one task — see docstring)
+    g = g.persist(StorageLevel.MEMORY_AND_DISK)
+    dup_h = (
+        g.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .where(F.col("_c") >= min_count)
-        .select(F.col(id_col), F.col("_pos"))
+        .select("_h")
     )
+    dpos = g.join(dup_h, "_h").select(F.col(id_col), F.col("_pos"))
     win = Window.partitionBy(id_col).orderBy("_pos")
     islands = dpos.withColumn(
         "_brk",
@@ -2124,7 +2140,10 @@ def keep_best_canonicals(
     frame (e.g. ``quality_classifier_score``'s ``logit``).  Returns the
     ``clusters`` columns plus ``best_id`` (the cluster's arg-max-score
     member — ties break to the smallest id, which also works for STRING
-    ids; NULL or missing scores rank below every real score) and
+    ids; NULL, NaN, or missing scores rank below every real score —
+    NaN is folded explicitly because Spark's ordering ranks NaN ABOVE
+    every real double and would otherwise silently crown a NaN-scored
+    member; a literal ``-inf`` score ties with them, breaking by id) and
     ``keep = (id == best_id)``.  Rows whose cluster label is NULL are
     their own survivors (``best_id = id``, ``keep = true``) — no row is
     ever silently dropped.  The selection is one deterministic
@@ -2150,7 +2169,10 @@ def keep_best_canonicals(
 
     neg_inf = F.lit(float("-inf"))
     # LEFT join: an id with no scores row behaves exactly like a NULL
-    # score (below every real score), never a dropped document
+    # score (below every real score), never a dropped document.  NaN
+    # folds to -inf too: Spark sorts NaN above every real double, so
+    # an unfolded NaN would win the arg-max (score_buckets excludes
+    # NaN for the same reason)
     j = (
         clusters.select(id_col, cluster_col)
         .where(F.col(cluster_col).isNotNull())
@@ -2161,7 +2183,12 @@ def keep_best_canonicals(
             id_col,
             "left",
         )
-        .withColumn("_s", F.coalesce(F.col("_s"), neg_inf))
+        .withColumn(
+            "_s",
+            F.when(
+                F.col("_s").isNull() | F.isnan("_s"), neg_inf
+            ).otherwise(F.col("_s")),
+        )
     )
     w = Window.partitionBy(cluster_col).orderBy(
         F.col("_s").desc(), F.col(id_col).asc()

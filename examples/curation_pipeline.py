@@ -77,7 +77,7 @@ def main() -> None:
     #     route so each language's pipeline reads only its directory
     from dbldatagen_spark.functions import route_by_language
 
-    routes = route_by_language(capped, "doc_id", "text")
+    routes = route_by_language(capped, "text")
     print("language routes:")
     routes.groupBy("route").count().orderBy("route").show()
 
