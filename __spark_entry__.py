@@ -6722,32 +6722,221 @@ def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _corpus_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget temperature mixing (round 12): the XLM-R-style
+    ``mass ** alpha`` rebalance re-based on TOKEN totals — the unit
+    training budgets are written in — with the 1M-token budget split
+    EXACTLY by the deterministic largest-remainder (Hamilton) rule:
+    floor every share, hand leftover units to the largest fractional
+    parts, ties to the ascending group key.  The oracle replays the
+    whole allocation bit-for-bit: integer token counts, sqrt masses,
+    the key-ordered IEEE normalizing fold, and the same
+    floor/frac/rank arithmetic."""
+    from dbldatagen_spark.functions import temperature_token_allocation
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    return temperature_token_allocation(
+        toks, "lang", "n_tok", alpha=0.5, target_tokens=1_000_000
+    ).orderBy("lang")
+
+
+def _docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granular dedup (round 12, RefinedWeb shape): chunk
+    every document into 12-token paragraphs, plant a full duplicate of
+    the corpus (doc_id + 1,000,000 twins), dedup at PARAGRAPH
+    granularity, and rebuild each document from its surviving
+    paragraphs.  The exact arm (first-occurrence winner over the
+    trimmed paragraph key) is replayed relationally per doc — span
+    counts AND the md5 of the rebuilt text, so the reassembly itself
+    is verified; every planted twin must collapse to ''.  The minhash
+    arm runs on the same corpus and is pinned by the containment
+    invariant ``minhash_removed_ge_exact``: exact-duplicate paragraphs
+    share every band bucket and survive verification at any threshold,
+    so near-dup clustering can only remove MORE, never less."""
+    from dbldatagen_spark.functions import paragraph_dedup
+
+    docs = _load(spark, sf_dir, "documents")
+    chunk = 12
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(F.size(w) / F.lit(float(chunk))).cast("int"), F.lit(1)
+    )
+    ptext = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - F.lit(1)),
+            lambda i: F.array_join(
+                F.slice(w, i * F.lit(chunk) + F.lit(1), chunk), " "
+            ),
+        ),
+        "\n\n",
+    )
+    base = docs.select("doc_id", ptext.alias("ptext"))
+    corpus = base.unionByName(
+        base.select(
+            (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "ptext"
+        )
+    )
+    ex = paragraph_dedup(corpus, "doc_id", "ptext", method="exact")
+    mh = paragraph_dedup(
+        corpus, "doc_id", "ptext", method="minhash", threshold=0.9
+    )
+    inv = (
+        ex.agg(F.sum("n_paragraphs_removed").alias("_e"))
+        .crossJoin(mh.agg(F.sum("n_paragraphs_removed").alias("_m")))
+        .select(
+            (F.col("_m") >= F.col("_e")).alias("minhash_removed_ge_exact")
+        )
+    )
+    return (
+        ex.select(
+            "doc_id",
+            "n_paragraphs",
+            "n_paragraphs_removed",
+            F.md5(F.col("deduped_text")).alias("deduped_md5"),
+        )
+        .crossJoin(F.broadcast(inv))
+        .orderBy("doc_id")
+    )
+
+
+def _ann_ivfpq_nprobe_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ n_probe auto-tuner (round 12): per md5-selected probe
+    query, the ROUTING recall@10 of each candidate n_probe — the
+    fraction of exact L2 top-10 neighbors whose coarse cell falls in
+    the n_probe nearest cells (the knob ann_ivfpq_persisted
+    hardcodes).  Asserted per query: the recall curve is monotone
+    nondecreasing (probed-cell sets are nested prefixes of one fixed
+    centroid ranking), probing every cell reaches recall 1.0, and a
+    second run under different partitioning replays every row
+    identically (the measurement is a pure function of the corpus)."""
+    from dbldatagen_spark.functions import ivfpq_build, ivfpq_tune_nprobe
+
+    emb = _load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    idx, cents, _cb = ivfpq_build(
+        emb, "vec_id", "v", n_cells=8, m=8, k=16,
+        coarse_max_iter=6, pq_max_iter=6,
+    )
+    idx = idx.cache()
+    try:
+        rows = ivfpq_tune_nprobe(
+            idx, emb, "vec_id", "v", cents, k=10,
+            n_probes=(1, 2, 4, 8), n_queries=3,
+        ).collect()
+        rows2 = ivfpq_tune_nprobe(
+            idx.repartition(5), emb.repartition(3), "vec_id", "v", cents,
+            k=10, n_probes=(1, 2, 4, 8), n_queries=3,
+        ).collect()
+    finally:
+        idx.unpersist()
+    stable = sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+    per: dict = {}
+    for r in rows:
+        per.setdefault(r["qid"], []).append((r["n_probe"], r["recall"]))
+    out = []
+    for qid, lst in sorted(per.items()):
+        lst.sort()
+        recs = [x[1] for x in lst]
+        out.append(
+            (
+                int(qid),
+                len(lst),
+                bool(recs == sorted(recs)),
+                bool(recs[-1] == 1.0),
+                bool(stable),
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "qid long, n_levels int, monotone boolean, "
+        "full_probe_recall_one boolean, replayable boolean",
+    ).orderBy("qid")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-11 rotation: growth-at-birth plus staleness refresh — the 7
-    round-11 growth rows first (ann_ivfpq_persisted,
-    docs_substring_dedup, corpus_language_routing,
-    text_quality_classifier, corpus_temperature_mix,
-    docs_quality_buckets, dedup_keep_best), then the 12 remaining
-    r6-stale rows (events_funnel through docs_source_quota, ledger
-    order), then the r7-stale cohort in ledger order from
-    emb_mrl_truncation through events_pivot_daily.  Demoted: the
-    entire round-10 window — all 50 were green on their r10 exposure.
-    The r7 rows from events_sliding_windows onward overflow to the
-    r12 draw.  The full query -> last-driver-round ledger lives in
-    ROTATION.md."""
+    Round-12 rotation: growth-at-birth plus staleness refresh — the 3
+    round-12 growth rows first (corpus_token_budget_mix,
+    docs_paragraph_dedup, ann_ivfpq_nprobe_tune), then the r7-stale
+    overflow from the r11 draw (events_sliding_windows,
+    events_value_quantiles, events_rolling_avg), then the r8-stale
+    cohort in ledger order from events_streaming_behavior through
+    gen_template_conformance.  Demoted: the entire round-11 window —
+    all 50 were green on their r11 exposure.  The r8 rows from
+    gen_array_features onward overflow to the r13 draw.  The full
+    query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-11 driver window (see ROTATION.md) ---
-        # The 7 round-11 growth rows lead (windowed at birth),
-        # then the 12 remaining r6-stale rows (ledger order),
-        # then the r7-stale cohort in ledger order from
-        # emb_mrl_truncation through events_pivot_daily.
-        # Exactly 50 entries precede the demoted marker; the r7
-        # rows from events_sliding_windows onward wait for the
-        # r12 draw (they head it, with any r12 growth rows).
+        # --- round-12 driver window (see ROTATION.md) ---
+        # The 3 round-12 growth rows lead (windowed at birth),
+        # then the r7-stale overflow (events_sliding_windows,
+        # events_value_quantiles, events_rolling_avg), then the
+        # r8-stale cohort in ledger order from
+        # events_streaming_behavior through
+        # gen_template_conformance.  Exactly 50 entries precede
+        # the demoted marker; the r8 rows from gen_array_features
+        # onward wait for the r13 draw (they head it, with any
+        # r13 growth rows).
+        "corpus_token_budget_mix": _corpus_token_budget_mix,
+        "docs_paragraph_dedup": _docs_paragraph_dedup,
+        "ann_ivfpq_nprobe_tune": _ann_ivfpq_nprobe_tune,
+        "events_sliding_windows": _events_sliding_windows,
+        "events_value_quantiles": _events_value_quantiles,
+        "events_rolling_avg": _events_rolling_avg,
+        "events_streaming_behavior": _events_streaming_behavior,
+        "events_session_skew_report": _events_session_skew_report,
+        "emb_mrl_recall": _emb_mrl_recall,
+        "events_sessionize_auto": _events_sessionize_auto,
+        "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
+        "emb_pq_codebooks": _emb_pq_codebooks,
+        "events_kmv_overlap": _events_kmv_overlap,
+        "emb_pq_adc": _emb_pq_adc,
+        "q19_discounted_revenue": _q19_discounted_revenue,
+        "q2_min_cost_supplier": _q2_min_cost_supplier,
+        "q8_market_share": _q8_market_share,
+        "q13_customer_distribution": _q13_customer_distribution,
+        "q15_top_supplier": _q15_top_supplier,
+        "q16_supplier_counts": _q16_supplier_counts,
+        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
+        "q20_excess_suppliers": _q20_excess_suppliers,
+        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
+        "gen_struct_json": _gen_struct_json,
+        "analyzer_profile": _analyzer_profile,
+        "emb_quantization": _emb_quantization,
+        "dedup_cluster_canonical": _dedup_cluster_canonical,
+        "text_vocabulary": _text_vocabulary,
+        "gen_date_cycle": _gen_date_cycle,
+        "q14_promo_share": _q14_promo_share,
+        "q11_important_parts": _q11_important_parts,
+        "events_session_range_join": _events_session_range_join,
+        "events_salted_join": _events_salted_join,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "emb_pca_invariants": _emb_pca_invariants,
+        "gen_sequence": _gen_sequence,
+        "gen_range_cycle": _gen_range_cycle,
+        "gen_values_cycle": _gen_values_cycle,
+        "gen_timestamp_cycle": _gen_timestamp_cycle,
+        "gen_expression": _gen_expression,
+        "gen_determinism": _gen_determinism,
+        "gen_uuid_conformance": _gen_uuid_conformance,
+        "gen_pattern_conformance": _gen_pattern_conformance,
+        "gen_weighted_shape": _gen_weighted_shape,
+        "gen_unique_combinations": _gen_unique_combinations,
+        "gen_sales_order_ri": _gen_sales_order_ri,
+        "gen_constant_seedfrom": _gen_constant_seedfrom,
+        "gen_format_prefix": _gen_format_prefix,
+        "gen_constraints": _gen_constraints,
+        "gen_template_conformance": _gen_template_conformance,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
+        # (the r8 rows from gen_array_features onward overflowed
+        # the 50-row window; they head the r13 draw)
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
         "corpus_language_routing": _corpus_language_routing,
@@ -6755,7 +6944,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_temperature_mix": _corpus_temperature_mix,
         "docs_quality_buckets": _docs_quality_buckets,
         "dedup_keep_best": _dedup_keep_best,
-        # r6-stale rows (last driver row round 6, ledger order)
         "events_funnel": _events_funnel,
         "events_cohort_retention": _events_cohort_retention,
         "events_transition_matrix": _events_transition_matrix,
@@ -6768,7 +6956,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_benford": _lineitem_benford,
         "docs_weighted_sample": _docs_weighted_sample,
         "docs_source_quota": _docs_source_quota,
-        # r7-stale cohort (last driver row round 7, ledger order)
         "emb_mrl_truncation": _emb_mrl_truncation,
         "events_behavior_vectors": _events_behavior_vectors,
         "events_stream_stream_join": _events_stream_stream_join,
@@ -6800,12 +6987,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_training_shards": _text_training_shards,
         "corpus_sketch_stats": _corpus_sketch_stats,
         "events_pivot_daily": _events_pivot_daily,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r7 rows from events_sliding_windows onward
-        # overflowed the 50-row window; they head the r12 draw)
-        "events_sliding_windows": _events_sliding_windows,
-        "events_value_quantiles": _events_value_quantiles,
-        "events_rolling_avg": _events_rolling_avg,
         "ann_ivf_pq": _ann_ivf_pq,
         "dedup_lsh_tuned": _dedup_lsh_tuned,
         "text_url_canonical": _text_url_canonical,
@@ -6906,50 +7087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
-        "events_streaming_behavior": _events_streaming_behavior,
-        "events_session_skew_report": _events_session_skew_report,
-        "emb_mrl_recall": _emb_mrl_recall,
-        "events_sessionize_auto": _events_sessionize_auto,
-        "events_streaming_sketch_sinks": _events_streaming_sketch_sinks,
-        "emb_pq_codebooks": _emb_pq_codebooks,
-        "events_kmv_overlap": _events_kmv_overlap,
-        "emb_pq_adc": _emb_pq_adc,
-        "q19_discounted_revenue": _q19_discounted_revenue,
-        "q2_min_cost_supplier": _q2_min_cost_supplier,
-        "q8_market_share": _q8_market_share,
-        "q13_customer_distribution": _q13_customer_distribution,
-        "q15_top_supplier": _q15_top_supplier,
-        "q16_supplier_counts": _q16_supplier_counts,
-        "q17_small_quantity_revenue": _q17_small_quantity_revenue,
-        "q20_excess_suppliers": _q20_excess_suppliers,
-        "q22_global_sales_opportunity": _q22_global_sales_opportunity,
-        "gen_struct_json": _gen_struct_json,
-        "analyzer_profile": _analyzer_profile,
-        "emb_quantization": _emb_quantization,
-        "dedup_cluster_canonical": _dedup_cluster_canonical,
-        "text_vocabulary": _text_vocabulary,
-        "gen_date_cycle": _gen_date_cycle,
-        "q14_promo_share": _q14_promo_share,
-        "q11_important_parts": _q11_important_parts,
-        "events_session_range_join": _events_session_range_join,
-        "events_salted_join": _events_salted_join,
-        "ann_ivf_topk": _ann_ivf_topk,
-        "emb_pca_invariants": _emb_pca_invariants,
-        "gen_sequence": _gen_sequence,
-        "gen_range_cycle": _gen_range_cycle,
-        "gen_values_cycle": _gen_values_cycle,
-        "gen_timestamp_cycle": _gen_timestamp_cycle,
-        "gen_expression": _gen_expression,
-        "gen_determinism": _gen_determinism,
-        "gen_uuid_conformance": _gen_uuid_conformance,
-        "gen_pattern_conformance": _gen_pattern_conformance,
-        "gen_weighted_shape": _gen_weighted_shape,
-        "gen_unique_combinations": _gen_unique_combinations,
-        "gen_sales_order_ri": _gen_sales_order_ri,
-        "gen_constant_seedfrom": _gen_constant_seedfrom,
-        "gen_format_prefix": _gen_format_prefix,
-        "gen_constraints": _gen_constraints,
-        "gen_template_conformance": _gen_template_conformance,
         "gen_array_features": _gen_array_features,
         "events_sessionize": _events_sessionize,
         "ann_knn_join": _ann_knn_join,
@@ -10873,6 +11010,119 @@ def _oracle_sql_base() -> dict[str, str]:
                    logit >= 0.0 AS keep
             FROM lg
             ORDER BY doc_id
+        """,
+        # token-mass temperature + largest-remainder: integer counts,
+        # sqrt masses, key-ordered IEEE fold, floor/frac/rank replayed
+        # with the identical arithmetic — sums to the budget exactly
+        "corpus_token_budget_mix": """
+            WITH c AS (
+                SELECT lang, COUNT(*)::BIGINT AS n_docs,
+                       SUM(len(string_split_regex(trim(text), '\\s+')))::BIGINT
+                           AS n_tokens
+                FROM documents GROUP BY lang
+            ),
+            t AS (
+                SELECT list_reduce(
+                    list_prepend(0.0, list(sqrt(n_tokens::DOUBLE)
+                                           ORDER BY lang)),
+                    (a, b) -> a + b) AS tot
+                FROM c
+            ),
+            w AS (
+                SELECT lang, n_docs, n_tokens,
+                       CASE WHEN tot > 0
+                            THEN sqrt(n_tokens::DOUBLE) / tot
+                            ELSE 0.0 END AS weight
+                FROM c, t
+            ),
+            r AS (
+                SELECT *,
+                       CAST(floor(1000000.0 * weight) AS BIGINT) AS base,
+                       1000000.0 * weight
+                           - floor(1000000.0 * weight) AS frac
+                FROM w
+            ),
+            s AS (
+                SELECT *,
+                       1000000 - SUM(base) OVER () AS rem,
+                       ROW_NUMBER() OVER (ORDER BY frac DESC, lang ASC)
+                           AS rk
+                FROM r
+            )
+            SELECT lang, n_docs, n_tokens, weight,
+                   (base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)::BIGINT
+                       AS target_tokens
+            FROM s ORDER BY lang
+        """,
+        # planted-twin paragraph dedup: 12-token chunks, first-
+        # occurrence winner over the trimmed paragraph key, per-doc
+        # rebuild md5 (the reassembly itself verified); the minhash
+        # containment invariant is true by construction (exact dups
+        # always survive banding + verification)
+        "docs_paragraph_dedup": """
+            WITH base AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS w
+                FROM documents
+            ),
+            dup AS (
+                SELECT doc_id, w FROM base
+                UNION ALL
+                SELECT doc_id + 1000000, w FROM base
+            ),
+            paras AS (
+                SELECT doc_id, i AS pidx,
+                       array_to_string(w[(i*12+1):((i+1)*12)], ' ') AS para
+                FROM dup,
+                     unnest([x for x in generate_series(0,
+                         greatest(CAST(ceil(len(w) / 12.0) AS INT), 1)
+                         - 1)]) s(i)
+            ),
+            np AS (
+                SELECT doc_id, pidx, para FROM paras
+                WHERE trim(para) != ''
+            ),
+            ranked AS (
+                SELECT doc_id, pidx, para,
+                       ROW_NUMBER() OVER (PARTITION BY trim(para)
+                                          ORDER BY doc_id, pidx) AS rn
+                FROM np
+            ),
+            reb AS (
+                SELECT doc_id,
+                       array_to_string(list(para ORDER BY pidx),
+                                       chr(10) || chr(10)) AS txt,
+                       COUNT(*)::BIGINT AS n_kept
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ),
+            tot AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_total
+                FROM np GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   t.n_total AS n_paragraphs,
+                   (t.n_total - COALESCE(r.n_kept, 0))::BIGINT
+                       AS n_paragraphs_removed,
+                   md5(COALESCE(r.txt, '')) AS deduped_md5,
+                   true AS minhash_removed_ge_exact
+            FROM tot t LEFT JOIN reb r USING (doc_id)
+            ORDER BY t.doc_id
+        """,
+        # conformance invariants per md5-selected probe query: the
+        # routing-recall curve is monotone by construction (nested
+        # probe prefixes), full probing reaches 1.0, and the
+        # measurement replays under repartitioning
+        "ann_ivfpq_nprobe_tune": """
+            WITH q AS (
+                SELECT vec_id AS qid FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 3
+            )
+            SELECT qid,
+                   CAST(4 AS INTEGER) AS n_levels,
+                   true AS monotone,
+                   true AS full_probe_recall_one,
+                   true AS replayable
+            FROM q ORDER BY qid
         """,
         # sqrt of integer counts + key-ordered fold: bit-exact weights
         "corpus_temperature_mix": """

@@ -2205,3 +2205,153 @@ def keep_best_canonicals(
         .withColumn("best_id", F.coalesce(F.col("best_id"), F.col(id_col)))
         .withColumn("keep", F.col(id_col) == F.col("best_id"))
     )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep_pattern: str = r"\n{2,}",
+    join_sep: str = "\n\n",
+    method: str = "minhash",
+    k: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    threshold: float = 0.7,
+    min_tokens: int = 1,
+    out_col: str = "deduped_text",
+) -> DataFrame:
+    """Paragraph-granular deduplication — the RefinedWeb / MassiveText
+    mid-granularity between :func:`substring_dedup` (exact token
+    spans) and document-level :func:`minhash_cluster_dedup`: split
+    every document on ``sep_pattern``, deduplicate the PARAGRAPHS
+    corpus-wide, and reassemble each document from its surviving
+    paragraphs (joined with ``join_sep``).
+
+    ``method="minhash"`` (default) clusters near-duplicate paragraphs
+    via :func:`minhash_cluster_dedup` over a corpus-ordered paragraph
+    id (``%012d#%06d`` over ``(doc id, paragraph index)`` — its
+    lexicographic min IS the first occurrence in corpus order, so the
+    survivor rule matches ``method="exact"``); requires an integral,
+    non-negative ``id_col``.  ``method="exact"`` keeps the first
+    occurrence of every distinct trimmed paragraph (the
+    :func:`~dbldatagen_spark.functions.curation.dedup_lines_corpus`
+    winner rule at paragraph granularity) — fully replayable in
+    portable SQL, which is what the oracle row checks.
+
+    Paragraphs with fewer than ``min_tokens`` whitespace tokens (and
+    blank paragraphs) are structural: always kept, never entered into
+    clustering.  NULL-text rows yield NULL for all three added
+    columns.  Documents whose every paragraph was removed rebuild to
+    ``''``.
+
+    Returns the input columns plus ``out_col``, ``n_paragraphs``
+    (non-blank paragraphs), and ``n_paragraphs_removed``.
+
+    Scale shape: the exact arm shuffles each distinct paragraph once
+    as a grouping key plus 16 bytes of winner-struct; the minhash arm
+    shuffles only shingle hashes and band keys (paragraph text never
+    leaves its scan until the rebuild).  The rebuild is one
+    doc-id-keyed aggregate of surviving paragraphs — document text
+    crosses the wire once.  Nothing is quadratic in cluster size
+    (star contraction inside ``minhash_cluster_dedup``).
+    """
+    if method not in ("minhash", "exact"):
+        raise ValueError(f"method must be minhash|exact, got {method!r}")
+    if min_tokens < 1:
+        raise ValueError(f"min_tokens must be >= 1, got {min_tokens}")
+    added = {out_col, "n_paragraphs", "n_paragraphs_removed"}
+    clashes = sorted(added & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"paragraph_dedup: output column(s) {clashes} already exist "
+            f"on the input — rename them or pass a different out_col"
+        )
+    df = ensure_parallelism(df)
+    paras = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.col(text_col), sep_pattern)
+        ).alias("_pidx", "_para"),
+    ).where(F.trim(F.col("_para")) != "")
+    n_tok = F.size(F.split(F.trim(F.col("_para")), r"\s+"))
+    paras = paras.withColumn("_dedupable", n_tok >= F.lit(min_tokens))
+    cand = paras.where(F.col("_dedupable"))
+
+    if method == "exact":
+        winners = cand.groupBy(F.trim(F.col("_para")).alias("_key")).agg(
+            F.min(F.struct(F.col("_id"), F.col("_pidx"))).alias("_w")
+        )
+        kept_flags = (
+            cand.withColumn("_key", F.trim(F.col("_para")))
+            .join(winners, "_key")
+            .where(
+                (F.col("_id") == F.col("_w._id"))
+                & (F.col("_pidx") == F.col("_w._pidx"))
+            )
+            .select("_id", "_pidx")
+        )
+    else:
+        pid = F.format_string("%012d#%06d", F.col("_id"), F.col("_pidx"))
+        labeled = cand.select(
+            pid.alias("_pid"), F.col("_id"), F.col("_pidx"), F.col("_para")
+        )
+        clusters = minhash_cluster_dedup(
+            labeled.select("_pid", "_para"),
+            "_pid",
+            "_para",
+            k=k,
+            num_hashes=num_hashes,
+            bands=bands,
+            threshold=threshold,
+        )
+        kept_flags = (
+            labeled.join(clusters, "_pid")
+            .where(F.col("_pid") == F.col("canonical_id"))
+            .select("_id", "_pidx")
+        )
+
+    kept = paras.where(~F.col("_dedupable")).select(
+        "_id", "_pidx", "_para"
+    ).unionByName(
+        paras.select("_id", "_pidx", "_para")
+        .join(kept_flags, ["_id", "_pidx"])
+    )
+    rebuilt = kept.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_pidx", "_para"))
+                ),
+                lambda s: s["_para"],
+            ),
+            join_sep,
+        ).alias("_rebuilt"),
+        F.count(F.lit(1)).cast("long").alias("_n_kept"),
+    )
+    totals = paras.groupBy("_id").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_total")
+    )
+    stats = totals.join(rebuilt, "_id", "left").select(
+        F.col("_id"),
+        F.coalesce(F.col("_rebuilt"), F.lit("")).alias("_rebuilt"),
+        F.col("_n_total"),
+        (F.col("_n_total") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("_n_removed"),
+    )
+    out = df.join(stats, df[id_col] == stats["_id"], "left")
+    has_text = F.col(text_col).isNotNull()
+    return out.select(
+        *[df[c] for c in df.columns],
+        F.when(
+            has_text, F.coalesce(F.col("_rebuilt"), F.lit(""))
+        ).alias(out_col),
+        F.when(has_text, F.coalesce(F.col("_n_total"), F.lit(0)))
+        .cast("long")
+        .alias("n_paragraphs"),
+        F.when(has_text, F.coalesce(F.col("_n_removed"), F.lit(0)))
+        .cast("long")
+        .alias("n_paragraphs_removed"),
+    )

@@ -505,3 +505,134 @@ def temperature_weights(
             .alias("target_docs")
         )
     return out.select(*cols)
+
+
+def temperature_token_allocation(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    *,
+    alpha: float = 0.5,
+    target_tokens: int,
+) -> DataFrame:
+    """Token-budget temperature mixing — :func:`temperature_weights`
+    re-based on the unit training budgets are actually written in.
+    The XLM-R/CCNet-style recipe samples group ``g`` proportionally to
+    ``mass_g ** alpha``, but a doc-count mass lets a group of short
+    documents crowd out a group of long ones; here the mass is the
+    group's TOKEN total (``sum(token_col)``), and the returned
+    ``target_tokens`` allocation sums to the requested budget EXACTLY
+    via a deterministic largest-remainder split (floor every raw
+    share, then hand the leftover units to the groups with the largest
+    fractional parts, ties broken by ascending group key — the
+    Hamilton apportionment rule, replayable by any engine).
+
+    Returns one row per group:
+    ``(group, n_docs, n_tokens, weight, target_tokens)`` with
+    ``sum(target_tokens) == target_tokens`` exactly.  Zero-token
+    groups get ``weight = 0`` and stand last in the remainder queue
+    (fractional part 0); an ALL-zero corpus degrades to weight 0
+    everywhere and under-fills — filter degenerate corpora upstream
+    when the exact sum matters.
+
+    Determinism contract (same as :func:`temperature_weights`): the
+    normalizing sum folds the per-group masses SORTED BY GROUP KEY, so
+    the IEEE addition order is fixed; ``alpha = 0.5`` uses ``sqrt``
+    (correctly rounded everywhere); fractional-part comparisons then
+    operate on bit-identical doubles in every engine.
+
+    Scale shape: one map-side-combined (count, sum) aggregate over the
+    corpus — group keys and two longs shuffle, never documents — then
+    window arithmetic over the per-group frame (one row per
+    language/source; the unpartitioned windows are bounded by the
+    group count, not the corpus).
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_tokens < 0:
+        raise ValueError(
+            f"target_tokens must be >= 0, got {target_tokens}"
+        )
+    reserved = {
+        "n_docs", "n_tokens", "weight", "target_tokens",
+        "_wr", "_tot", "_raw", "_base", "_frac", "_rem", "_rk",
+    }
+    if group_col in reserved:
+        raise ValueError(
+            f"temperature_token_allocation: group_col {group_col!r} "
+            f"collides with an output/internal column "
+            f"({sorted(reserved)}) — alias the group column first"
+        )
+    per = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum(F.col(token_col).cast("long")), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    n = F.col("n_tokens").cast("double")
+    if alpha == 0.5:
+        w_raw = F.sqrt(n)
+    elif alpha == 1.0:
+        w_raw = n
+    elif alpha == 0.0:
+        w_raw = F.lit(1.0)
+    else:
+        w_raw = F.pow(n, F.lit(float(alpha)))
+    per = per.withColumn("_wr", w_raw)
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(group_col).alias("g"), F.col("_wr").alias("w")
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("_tot")
+    )
+    alloc = (
+        per.crossJoin(F.broadcast(tot))
+        # an all-zero-token corpus would make this 0/0 = NaN and (under
+        # ANSI) blow up the floor/cast below — degrade to weight 0
+        # instead (allocation then under-fills; filter degenerate
+        # corpora upstream if the exact sum matters)
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("_tot") > 0, F.col("_wr") / F.col("_tot")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "_raw", F.lit(float(target_tokens)) * F.col("weight")
+        )
+        .withColumn("_base", F.floor(F.col("_raw")).cast("long"))
+        .withColumn("_frac", F.col("_raw") - F.col("_base"))
+    )
+    # largest remainder over the per-group frame: exact long sum of
+    # floors (order-independent), leftover units to the largest
+    # fractional parts, group-key ascending tiebreak — both windows
+    # run over one row per GROUP, not per document
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("_frac").desc(), F.col(group_col).asc()
+    )
+    alloc = (
+        alloc.withColumn(
+            "_rem", F.lit(int(target_tokens)) - F.sum("_base").over(w_all)
+        )
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            "target_tokens",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_rem"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    return alloc.select(
+        F.col(group_col), "n_docs", "n_tokens", "weight", "target_tokens"
+    )

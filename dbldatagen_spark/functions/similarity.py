@@ -1317,3 +1317,154 @@ def mrl_recall_report(
         )
         .orderBy("dim")
     )
+
+
+def ivfpq_tune_nprobe(
+    index_df: DataFrame,
+    vectors_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    *,
+    k: int = 10,
+    n_probes: Sequence[int] = (1, 2, 4, 8),
+    n_queries: int = 8,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """Auto-tune the IVF-PQ serving knob: measure, per md5-selected
+    probe query, the ROUTING recall@k of every candidate ``n_probe`` —
+    the fraction of the query's EXACT L2 top-k neighbors whose coarse
+    cell falls inside the ``n_probe`` nearest cells
+    (:func:`ivfpq_topk`'s probe ranking, recomputed identically).
+    This is the recall component ``n_probe`` actually controls: a
+    neighbor outside the probed cells can never be served regardless
+    of PQ precision (code-level ADC loss is governed by ``m``/``k`` at
+    build time and measured by :func:`pq_reconstruction_report`).
+    Because the probed-cell sets are nested prefixes of ONE fixed
+    centroid ranking per query, the recall curve is monotone
+    nondecreasing in ``n_probe`` by construction — and reaches 1.0
+    when every cell is probed.
+
+    Returns ``(qid, n_probe, n_hits, recall)`` — one row per probe
+    query per candidate ``n_probe``; pick the smallest ``n_probe``
+    whose aggregate recall clears the serving target.
+
+    Determinism: the probe set is the ``n_queries`` smallest
+    ``(md5(id), id)`` rows (engine-portable, same selection as the
+    ``ann_ivfpq_persisted`` conformance row); exact neighbors use the
+    portable rank convention (L2 rounded to 4, id tiebreak); the
+    probe-cell ranking reuses :func:`ivfpq_topk`'s lexsort.
+
+    Scale shape: ONE corpus scan scores all probe queries against
+    every vector (the query block is a broadcast literal of
+    ``n_queries`` rows), one per-query top-k window over the scored
+    stream, one broadcast join from the ``n_queries x k`` exact
+    neighbors to their index cells, and membership for ALL candidate
+    ``n_probe`` values is literal-array arithmetic over that tiny
+    frame — the corpus is never re-scanned per ``n_probe``.  Driver
+    traffic is ``n_queries`` vectors in and ``n_queries x
+    len(n_probes)`` result rows out.
+    """
+    cents = np.asarray(centroids, dtype=float)
+    n_cells = cents.shape[0]
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_queries < 1:
+        raise ValueError(f"n_queries must be >= 1, got {n_queries}")
+    probes_list = sorted(set(int(p) for p in n_probes))
+    if not probes_list:
+        raise ValueError("n_probes must be non-empty")
+    if probes_list[0] < 1 or probes_list[-1] > n_cells:
+        raise ValueError(
+            f"every n_probe must be in [1, n_cells={n_cells}], "
+            f"got {probes_list}"
+        )
+    qrows = (
+        vectors_df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_queries)
+        .collect()
+    )
+    if not qrows:
+        raise ValueError("vectors_df is empty — nothing to tune on")
+    qids = [int(r[id_col]) for r in qrows]
+    qvecs = {int(r[id_col]): np.asarray(list(r[vec_col]), dtype=float)
+             for r in qrows}
+    # per-query probe-cell ranking — ivfpq_topk's exact convention
+    # (L2 to every coarse centroid, index tiebreak via lexsort)
+    rankings = {}
+    for qid in qids:
+        d2 = ((cents - qvecs[qid][None, :]) ** 2).sum(axis=1)
+        rankings[qid] = [
+            int(c) for c in np.lexsort((np.arange(len(d2)), d2))
+        ]
+    # one scan: exact L2 top-k of every probe query via a broadcast
+    # literal query block + per-query rank window
+    qblock = F.array(*[
+        F.struct(
+            F.lit(qid).cast("long").alias("_qid"),
+            F.array(*[F.lit(float(x)) for x in qvecs[qid]]).alias("_qv"),
+        )
+        for qid in qids
+    ])
+    scored = (
+        ensure_parallelism(vectors_df)
+        .select(F.col(id_col), F.col(vec_col), F.explode(qblock).alias("_q"))
+        .select(
+            F.col(id_col),
+            F.col("_q._qid").alias("_qid"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        F.col("_q._qv"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("_d2"),
+        )
+        .where(F.col(id_col) != F.col("_qid"))
+    )
+    w = Window.partitionBy("_qid").orderBy(
+        F.col("_d2").asc(), F.col(id_col).asc()
+    )
+    exact = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.lit(k))
+        .select("_qid", F.col(id_col))
+    )
+    with_cell = exact.join(
+        index_df.select(F.col(id_col), F.col(cell_col).alias("_cell")),
+        id_col,
+        "left",
+    )
+    ranking_map = F.map_from_arrays(
+        F.array(*[F.lit(q) for q in qids]),
+        F.array(*[
+            F.array(*[F.lit(c) for c in rankings[q]]) for q in qids
+        ]),
+    )
+    probes_arr = F.array(*[F.lit(p) for p in probes_list])
+    member = F.array_contains(
+        F.slice(
+            F.try_element_at(ranking_map, F.col("_qid")),
+            1,
+            F.col("_np"),
+        ),
+        F.coalesce(F.col("_cell"), F.lit(-1)),
+    )
+    out = (
+        with_cell.select(
+            "_qid", "_cell", F.explode(probes_arr).alias("_np")
+        )
+        .withColumn("_hit", member.cast("int"))
+        .groupBy(F.col("_qid").alias("qid"), F.col("_np").alias("n_probe"))
+        .agg(F.sum("_hit").cast("long").alias("n_hits"))
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.lit(float(k))
+        )
+    )
+    return out.orderBy("qid", "n_probe")

@@ -7128,3 +7128,281 @@ class TestKeepBestCanonicalsHardening:
                for r in out.collect()}
         assert got[7] == (None, 7, True)
         assert got[1] == (1, 2, False) and got[2] == (1, 2, True)
+
+
+class TestTemperatureTokenAllocation:
+    def _frame(self, spark):
+        # tokens: a=1000, b=100, c=10, d=0
+        rows = [(i, "a", 100) for i in range(10)]
+        rows += [(100 + i, "b", 25) for i in range(4)]
+        rows += [(200, "c", 10), (300, "d", 0)]
+        return spark.createDataFrame(rows, "id long, src string, tok long")
+
+    def test_exact_budget_and_largest_remainder(self, spark):
+        import math
+
+        from dbldatagen_spark.functions import temperature_token_allocation
+
+        df = self._frame(spark)
+        out = temperature_token_allocation(
+            df, "src", "tok", alpha=0.5, target_tokens=1000
+        )
+        rows = {r["src"]: r for r in out.collect()}
+        assert sum(r["target_tokens"] for r in rows.values()) == 1000
+        # python replay of the documented rule: sqrt mass, key-sorted
+        # fold, floor + largest-remainder (frac desc, key asc)
+        mass = {"a": 1000.0, "b": 100.0, "c": 10.0, "d": 0.0}
+        tot = 0.0
+        for g in sorted(mass):
+            tot += math.sqrt(mass[g])
+        raw = {g: 1000.0 * (math.sqrt(m) / tot) for g, m in mass.items()}
+        base = {g: math.floor(v) for g, v in raw.items()}
+        rem = 1000 - sum(base.values())
+        order = sorted(mass, key=lambda g: (-(raw[g] - base[g]), g))
+        want = {g: base[g] + (1 if order.index(g) < rem else 0)
+                for g in mass}
+        got = {g: rows[g]["target_tokens"] for g in rows}
+        assert got == want
+        assert rows["d"]["weight"] == 0.0 and rows["d"]["n_tokens"] == 0
+
+    def test_alpha_extremes(self, spark):
+        from dbldatagen_spark.functions import temperature_token_allocation
+
+        df = self._frame(spark).where("src != 'd'")
+        uni = temperature_token_allocation(
+            df, "src", "tok", alpha=0.0, target_tokens=9
+        )
+        assert {r["target_tokens"] for r in uni.collect()} == {3}
+        nat = {r["src"]: r for r in temperature_token_allocation(
+            df, "src", "tok", alpha=1.0, target_tokens=1110
+        ).collect()}
+        # alpha=1: proportional to raw token mass (1000/100/10)
+        assert {g: r["target_tokens"] for g, r in nat.items()} == {
+            "a": 1000, "b": 100, "c": 10}
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import temperature_token_allocation
+
+        df = self._frame(spark)
+        a = sorted(map(tuple, temperature_token_allocation(
+            df.repartition(2), "src", "tok", target_tokens=777
+        ).collect()))
+        b = sorted(map(tuple, temperature_token_allocation(
+            df.repartition(7), "src", "tok", target_tokens=777
+        ).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import temperature_token_allocation
+
+        df = self._frame(spark)
+        with pytest.raises(ValueError, match="alpha"):
+            temperature_token_allocation(
+                df, "src", "tok", alpha=-1, target_tokens=10
+            )
+        with pytest.raises(ValueError, match="target_tokens"):
+            temperature_token_allocation(
+                df, "src", "tok", target_tokens=-5
+            )
+        with pytest.raises(ValueError, match="collides"):
+            temperature_token_allocation(
+                df.withColumnRenamed("src", "weight"), "weight", "tok",
+                target_tokens=10,
+            )
+
+
+class TestParagraphDedup:
+    def _corpus(self, spark):
+        # P1 appears in docs 1, 2, 3; P2 in docs 1 and 3; doc 4 unique;
+        # doc 5 has a short structural paragraph under min_tokens
+        p1 = "alpha beta gamma delta epsilon"
+        p2 = "zeta eta theta iota kappa"
+        return spark.createDataFrame(
+            [
+                (1, f"{p1}\n\nown one text here\n\n{p2}"),
+                (2, f"intro two words here\n\n{p1}"),
+                (3, f"{p2}\n\n{p1}\n\nclosing three remark line"),
+                (4, "entirely unique document four"),
+                (5, f"hi\n\n{p1}"),
+                (6, None),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_exact_first_occurrence_survives(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        out = {r["doc_id"]: r for r in paragraph_dedup(
+            self._corpus(spark), "doc_id", "text", method="exact"
+        ).collect()}
+        # doc 1 keeps everything (both P1 and P2 first occur there)
+        assert out[1]["deduped_text"] == \
+            "alpha beta gamma delta epsilon\n\nown one text here\n\n" \
+            "zeta eta theta iota kappa"
+        assert out[1]["n_paragraphs_removed"] == 0
+        # docs 2/3 lose their copies
+        assert out[2]["deduped_text"] == "intro two words here"
+        assert out[2]["n_paragraphs_removed"] == 1
+        assert out[3]["deduped_text"] == "closing three remark line"
+        assert out[3]["n_paragraphs_removed"] == 2
+        assert out[4]["n_paragraphs_removed"] == 0
+        # doc 5: P1 is a later copy (removed); "hi" survives
+        assert out[5]["deduped_text"] == "hi"
+        # NULL text -> NULL everywhere
+        assert out[6]["deduped_text"] is None
+        assert out[6]["n_paragraphs"] is None
+
+    def test_min_tokens_structural(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "hi\n\nlong paragraph of words"),
+             (2, "hi\n\nother body of text")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(
+            df, "doc_id", "text", method="exact", min_tokens=2
+        ).collect()}
+        # "hi" (1 token) is structural in BOTH docs — never deduped
+        assert out[1]["deduped_text"].startswith("hi")
+        assert out[2]["deduped_text"].startswith("hi")
+        assert out[2]["n_paragraphs_removed"] == 0
+
+    def test_minhash_near_duplicates_collapse(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        base = "the quick brown fox jumps over the lazy dog again today"
+        near = "the quick brown fox jumps over the lazy dog again now"
+        df = spark.createDataFrame(
+            [
+                (1, f"{base}\n\nunrelated filler words entirely"),
+                (2, f"{near}\n\nsome other paragraph body"),
+                (3, "completely different content paragraph"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(
+            df, "doc_id", "text", method="minhash", threshold=0.5
+        ).collect()}
+        # near-dup paragraph survives only in doc 1 (corpus order)
+        assert out[1]["n_paragraphs_removed"] == 0
+        assert out[2]["n_paragraphs_removed"] == 1
+        assert out[2]["deduped_text"] == "some other paragraph body"
+        assert out[3]["n_paragraphs_removed"] == 0
+
+    def test_whole_doc_removed_rebuilds_empty(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [(1, "only paragraph body here"),
+             (2, "only paragraph body here")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(
+            df, "doc_id", "text", method="exact"
+        ).collect()}
+        assert out[2]["deduped_text"] == ""
+        assert out[2]["n_paragraphs_removed"] == 1
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        df = self._corpus(spark)
+        a = sorted(map(tuple, paragraph_dedup(
+            df.repartition(3), "doc_id", "text", method="exact"
+        ).collect()), key=str)
+        b = sorted(map(tuple, paragraph_dedup(
+            df.repartition(9), "doc_id", "text", method="exact"
+        ).collect()), key=str)
+        assert a == b
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="method"):
+            paragraph_dedup(df, "doc_id", "text", method="simhash")
+        with pytest.raises(ValueError, match="min_tokens"):
+            paragraph_dedup(df, "doc_id", "text", min_tokens=0)
+        with pytest.raises(ValueError, match="already exist"):
+            paragraph_dedup(
+                df.withColumn("n_paragraphs", F.lit(1)), "doc_id", "text"
+            )
+
+
+class TestIvfpqTuneNprobe:
+    @pytest.fixture(scope="class")
+    def built(self, spark):
+        from dbldatagen_spark.functions import ivfpq_build
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        idx, cents, cb = ivfpq_build(
+            emb, "vec_id", "v", n_cells=4, m=8, k=16,
+            coarse_max_iter=4, pq_max_iter=4,
+        )
+        return emb, idx.cache(), cents
+
+    def test_monotone_and_terminal_recall(self, spark, built):
+        from dbldatagen_spark.functions import ivfpq_tune_nprobe
+
+        emb, idx, cents = built
+        rep = ivfpq_tune_nprobe(
+            idx, emb, "vec_id", "v", cents, k=5,
+            n_probes=(1, 2, 4), n_queries=3,
+        )
+        per = {}
+        for r in rep.collect():
+            per.setdefault(r["qid"], []).append((r["n_probe"], r["recall"]))
+        assert len(per) == 3
+        for qid, lst in per.items():
+            lst.sort()
+            recs = [x[1] for x in lst]
+            # nested probe prefixes -> monotone nondecreasing
+            assert recs == sorted(recs), (qid, recs)
+            # probing every cell recovers every exact neighbor
+            assert recs[-1] == 1.0, (qid, recs)
+            # n_hits consistent with recall
+            for (p, rec), r2 in zip(lst, sorted(
+                [r for r in rep.collect() if r["qid"] == qid],
+                key=lambda r: r["n_probe"],
+            )):
+                assert r2["n_hits"] == round(rec * 5)
+
+    def test_replayable_across_partitioning(self, spark, built):
+        from dbldatagen_spark.functions import ivfpq_tune_nprobe
+
+        emb, idx, cents = built
+        a = sorted(map(tuple, ivfpq_tune_nprobe(
+            idx.repartition(3), emb.repartition(5), "vec_id", "v", cents,
+            k=5, n_probes=(1, 4), n_queries=2,
+        ).collect()))
+        b = sorted(map(tuple, ivfpq_tune_nprobe(
+            idx.repartition(7), emb.repartition(2), "vec_id", "v", cents,
+            k=5, n_probes=(1, 4), n_queries=2,
+        ).collect()))
+        assert a == b
+
+    def test_validation(self, spark, built):
+        from dbldatagen_spark.functions import ivfpq_tune_nprobe
+
+        emb, idx, cents = built
+        with pytest.raises(ValueError, match="n_probe"):
+            ivfpq_tune_nprobe(
+                idx, emb, "vec_id", "v", cents, n_probes=(0, 2)
+            )
+        with pytest.raises(ValueError, match="n_probe"):
+            ivfpq_tune_nprobe(
+                idx, emb, "vec_id", "v", cents, n_probes=(1, 99)
+            )
+        with pytest.raises(ValueError, match="non-empty"):
+            ivfpq_tune_nprobe(
+                idx, emb, "vec_id", "v", cents, n_probes=()
+            )
+        with pytest.raises(ValueError, match="k must be"):
+            ivfpq_tune_nprobe(
+                idx, emb, "vec_id", "v", cents, k=0
+            )
