@@ -142,22 +142,32 @@ def cohort_retention(
     Returns ``(cohort_start, period_offset, n_active)`` for offsets up
     to ``max_offset``.
 
-    Scale shape: one shuffle on the user key (a min-window shares the
-    partitioning with the distinct-activity dedup), then one
-    map-side-combined aggregation on (cohort, offset) — dates and keys
-    shuffle, never event payloads. Offsets are exact integer arithmetic
-    on truncated dates, so any engine reproduces the matrix.
+    Scale shape: ONE shuffle on the user key, map-side combined — the
+    per-user ``collect_set`` of active periods partially aggregates in
+    each map task, so a bot user with millions of raw events ships at
+    most (distinct periods) rows per map task instead of buffering its
+    whole event stream in one window group (an unordered min-window
+    over the user key — the previous form — is a hot-key buffer AQE
+    cannot split; per-user state here is bounded by the calendar, not
+    the event volume).  Then one map-side-combined aggregation on
+    (cohort, offset) — dates and keys shuffle, never event payloads.
+    Offsets are exact integer arithmetic on truncated dates, so any
+    engine reproduces the matrix.
     """
     if period not in ("day", "week", "month"):
         raise ValueError(f"period must be day|week|month, got {period!r}")
     if max_offset < 0:
         raise ValueError(f"max_offset must be >= 0, got {max_offset}")
     p = F.date_trunc(period, F.col(ts_col)).cast("date")
-    w = Window.partitionBy("_u")
     active = (
         df.select(F.col(user_col).alias("_u"), p.alias("_p"))
-        .withColumn("_cohort", F.min("_p").over(w))
-        .distinct()
+        .groupBy("_u")
+        .agg(F.collect_set("_p").alias("_ps"))
+        .select(
+            "_u",
+            F.array_min("_ps").alias("_cohort"),
+            F.explode("_ps").alias("_p"),
+        )
     )
     if period == "month":
         offset = (F.months_between(F.col("_p"), F.col("_cohort"))).cast("long")

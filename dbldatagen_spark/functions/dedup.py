@@ -1039,14 +1039,24 @@ def minhash_cluster_dedup(
             for b in range(bands)
         ]
     )
+    # bucket minima via a map-side-combined aggregate + join, NOT an
+    # unordered window over the bucket key: a mega-bucket (mass-
+    # identical documents — exactly the corpus this operator's star
+    # contraction exists for) would buffer every member row in one
+    # window task, and AQE's skew splitting never applies to windows.
+    # The aggregate bounds reducer volume at distinct-buckets x
+    # map-tasks, and the join-back is AQE-skew-splittable.  buckets is
+    # persisted (24 bytes/row x bands — cheaper than re-evaluating the
+    # signature expressions for the join's second branch) and released
+    # with the shingle cache below.
     buckets = sig.select(
         F.col(id_col), F.posexplode(band_keys).alias("_band", "_key")
+    ).persist()
+    mins = buckets.groupBy("_band", "_key").agg(
+        F.min(id_col).alias("_min_id")
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_band", "_key")
     star = (
-        buckets.withColumn("_min_id", F.min(id_col).over(w))
+        buckets.join(mins, ["_band", "_key"])
         .where(F.col(id_col) != F.col("_min_id"))
         .select(F.col(id_col).alias("id_a"), F.col("_min_id").alias("id_b"))
         .distinct()
@@ -1074,6 +1084,7 @@ def minhash_cluster_dedup(
         )
     )
     hashed.unpersist()
+    buckets.unpersist()
     return out
 
 

@@ -1196,6 +1196,46 @@ def test_minhash_cluster_dedup_chain(spark):
     assert got[10] == 10
 
 
+def test_minhash_cluster_dedup_mega_bucket_skew_safe(spark, monkeypatch):
+    """Round-12 skew audit: bucket minima must come from a map-side-
+    combined aggregate + join, never an unordered min-window over the
+    band bucket — a mega-bucket of mass-identical documents (the
+    corpus star contraction exists for) would buffer every member in
+    ONE window task. Functional: 120 identical docs all contract to
+    the min id; plan (captured on the star-edge frame, which
+    duplicate_components otherwise materializes away): no window
+    partitioned by the bucket key, partial aggregation present."""
+    import dbldatagen_spark.functions.dedup as dedup_mod
+    from dbldatagen_spark.functions import minhash_cluster_dedup
+
+    captured = {}
+    orig = dedup_mod.duplicate_components
+
+    def spy(edges):
+        captured["plan"] = (
+            edges._jdf.queryExecution().executedPlan().toString()
+        )
+        return orig(edges)
+
+    monkeypatch.setattr(dedup_mod, "duplicate_components", spy)
+
+    body = "identical boilerplate page body repeated across the mirror set"
+    rows = [(i, body) for i in range(120)]
+    rows.append((500, "one unrelated document with entirely different words"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = minhash_cluster_dedup(
+        df.repartition(7), "doc_id", "text", threshold=0.5
+    )
+    got = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(120))
+    assert got[500] == 500
+    plan = captured["plan"]
+    for line in plan.splitlines():
+        if "windowspecdefinition" in line:
+            assert "_key#" not in line and "_band#" not in line, line
+    assert "partial_min" in plan
+
+
 def test_redact_pii(spark):
     from dbldatagen_spark.functions import redact_pii
 
@@ -2905,6 +2945,29 @@ class TestAnalytics:
             ("2024-01-08", 0): 1,
             ("2024-01-08", 1): 1,
         }
+
+    def test_cohort_retention_hot_user_skew_safe(self, spark):
+        """Round-12 skew audit: the cohort min must come from a
+        map-side-combined collect_set aggregate, never an unordered
+        min-window over the raw user key — a bot user's millions of
+        events would buffer in ONE window group (AQE cannot split a
+        window). Functional: a 5,000-event hot user still cohorts
+        correctly; plan: no window at all, partial aggregation on."""
+        from dbldatagen_spark.functions import cohort_retention
+
+        rows = [(1, "2024-01-02 10:00:00")] * 5000  # hot user, week 0
+        rows += [(1, "2024-01-10 10:00:00")] * 5000  # week 1
+        rows += [(2, "2024-01-03 09:00:00")]
+        df = spark.createDataFrame(rows, ["u", "ts"]).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        out = cohort_retention(df.repartition(7), "u", "ts")
+        got = {(str(r.cohort_start), r.period_offset): r.n_active
+               for r in out.collect()}
+        assert got == {("2024-01-01", 0): 2, ("2024-01-01", 1): 1}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "windowspecdefinition" not in plan
+        assert "partial_collect_set" in plan
 
     def test_cohort_retention_max_offset_and_validation(self, spark):
         from dbldatagen_spark.functions import cohort_retention
