@@ -113,6 +113,21 @@ def main() -> None:
     print("IVF-PQ residual index, n_probe=2/8 cells, top-10 by ADC:")
     ivf_top.show()
 
+    # 3c. tune the serving knob before pinning it: routing recall@10
+    #     per candidate n_probe against exact L2 top-10 on an
+    #     md5-selected probe set — pick the smallest n_probe that
+    #     clears the recall target (the curve is monotone by
+    #     construction, 1.0 when every cell is probed)
+    from dbldatagen_spark.functions import ivfpq_tune_nprobe
+
+    print("n_probe tuning curve (routing recall@10):")
+    ivfpq_tune_nprobe(
+        idx, emb, "vec_id", "v", cents, k=10,
+        n_probes=(1, 2, 4, 8), n_queries=4,
+    ).groupBy("n_probe").agg(
+        F.avg("recall").alias("mean_recall")
+    ).orderBy("n_probe").show()
+
     # 4. audience overlap from sketches: labels 0 vs 1, no join of rows
     sk = kmv_sketch(emb, "vec_id", group_cols=["label"], k=64)
     ops = kmv_set_ops(

@@ -166,6 +166,38 @@ def main() -> None:
         good, "lang", alpha=0.5, total_budget=10_000
     ).orderBy("lang").show()
 
+    # 4e. the same mixture in TOKENS — the unit budgets are written
+    #     in — with the largest-remainder split, so allocations sum to
+    #     the budget exactly
+    from dbldatagen_spark.functions import temperature_token_allocation
+
+    with_tok = good.withColumn(
+        "n_tok", F.size(F.split(F.trim("text"), r"\s+"))
+    )
+    print("token-budget mixture (alpha=0.5, 100k-token epoch):")
+    temperature_token_allocation(
+        with_tok, "lang", "n_tok", alpha=0.5, target_tokens=100_000
+    ).orderBy("lang").show()
+
+    # 2c. paragraph-granular near-dup (RefinedWeb's mid-granularity,
+    #     between the exact substring spans of 2b and the whole-doc
+    #     clusters of 3): dedup paragraphs corpus-wide, reassemble
+    #     each doc from its survivors
+    from dbldatagen_spark.functions import paragraph_dedup
+
+    para = paragraph_dedup(
+        good.withColumn(
+            "ptext", F.regexp_replace("text", r"\. ", ".\n\n")
+        ),
+        "doc_id", "ptext", method="exact",
+    )
+    n_para_removed = para.agg(F.sum("n_paragraphs_removed")).first()[0]
+    # 0 here is the healthy answer: this corpus was already exact-
+    # and near-dup scrubbed upstream, so no verbatim paragraph
+    # survives twice — on raw web crawl this is where mirrored
+    # boilerplate paragraphs disappear
+    print(f"paragraph-level duplicates removed: {n_para_removed}")
+
     # 5. token-budget selection: best (longest) docs per source within 50k chars
     selected = budget_select(good, "source", "doc_id", "n_chars", 50_000.0)
 

@@ -863,3 +863,53 @@ def test_resample_interpolate_bracket_property(data, step):
             lo_v, hi_v = sorted((lo[1], hi[1]))
             assert lo_v - 1e-9 <= r["v"] <= hi_v + 1e-9
             assert not r["was_exact"]
+
+
+@given(
+    masses=st.lists(
+        st.integers(min_value=0, max_value=10_000_000),
+        min_size=1,
+        max_size=8,
+    ),
+    budget=st.integers(min_value=0, max_value=10_000_000),
+    alpha=st.sampled_from([0.0, 0.5, 1.0]),
+)
+@settings(**_SETTINGS)
+def test_token_allocation_sums_exactly_and_is_fair(masses, budget, alpha):
+    """Largest-remainder invariants for temperature_token_allocation:
+    the allocation sums to the budget EXACTLY whenever any group has
+    mass (Hamilton apportionment never over- or under-fills), every
+    share is within 1 unit of its real-valued quota (the rule's
+    defining fairness property), and the result is identical under
+    different partitioning."""
+    import math
+
+    from dbldatagen_spark.functions import temperature_token_allocation
+
+    rows = [(f"g{i:02d}", int(m)) for i, m in enumerate(masses)]
+    df = _spark.createDataFrame(rows, "grp string, tok long")
+    out = {
+        r["grp"]: r
+        for r in temperature_token_allocation(
+            df.repartition(3), "grp", "tok",
+            alpha=alpha, target_tokens=budget,
+        ).collect()
+    }
+    assert set(out) == {g for g, _ in rows}
+    total = sum(r["target_tokens"] for r in out.values())
+    if alpha == 0.0 or any(m > 0 for m in masses):
+        assert total == budget
+    else:
+        assert total == 0  # degenerate all-zero corpus under-fills
+    # quota fairness: |target - budget*weight| < 1 for every group
+    for r in out.values():
+        assert abs(r["target_tokens"] - budget * r["weight"]) < 1.0
+    # partition independence
+    again = {
+        r["grp"]: r["target_tokens"]
+        for r in temperature_token_allocation(
+            df.repartition(7), "grp", "tok",
+            alpha=alpha, target_tokens=budget,
+        ).collect()
+    }
+    assert again == {g: r["target_tokens"] for g, r in out.items()}
