@@ -6858,35 +6858,86 @@ def _ann_ivfpq_nprobe_tune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid")
 
 
+
+def _docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (round 12): the padding-efficiency
+    layout for pad-not-pack training (SFT/encoders) — route each doc
+    to the smallest length bucket that holds it, batch within
+    (bucket, md5-shard) at max(1, batch_tokens // cap) docs per batch,
+    pad to the bucket cap; oversized docs take the overflow bucket one
+    per batch, padded to themselves.  The oracle replays the ENTIRE
+    assignment — bucket CASE, md5 shard and order, row_number batch
+    arithmetic — and the checksum column pins every doc's
+    (batch_index, pos_in_batch) pair, so the per-bucket report cannot
+    mask compensating assignment errors."""
+    from dbldatagen_spark.functions import length_bucket_batches
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    out = length_bucket_batches(
+        toks, "doc_id", "n_tok",
+        bucket_boundaries=(32, 64, 96), batch_tokens=2048,
+        num_shards=4, hash_mode="md5",
+    )
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("shard", "batch_index")
+            .cast("long")
+            .alias("n_batches"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum("pad_tokens").cast("long").alias("sum_pad_tokens"),
+            F.sum(
+                (F.col("doc_id") + F.lit(1))
+                * (F.col("batch_index") + F.lit(1))
+                * (F.col("pos_in_batch") + F.lit(1))
+            )
+            .cast("long")
+            .alias("assignment_checksum"),
+        )
+        .withColumn(
+            "pad_fraction",
+            F.col("sum_pad_tokens").cast("double")
+            / (F.col("sum_tokens") + F.col("sum_pad_tokens")).cast("double"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-12 rotation: growth-at-birth plus staleness refresh — the 3
+    Round-12 rotation: growth-at-birth plus staleness refresh — the 4
     round-12 growth rows first (corpus_token_budget_mix,
-    docs_paragraph_dedup, ann_ivfpq_nprobe_tune), then the r7-stale
-    overflow from the r11 draw (events_sliding_windows,
-    events_value_quantiles, events_rolling_avg), then the r8-stale
-    cohort in ledger order from events_streaming_behavior through
-    gen_template_conformance.  Demoted: the entire round-11 window —
-    all 50 were green on their r11 exposure.  The r8 rows from
-    gen_array_features onward overflow to the r13 draw.  The full
-    query -> last-driver-round ledger lives in ROTATION.md."""
+    docs_paragraph_dedup, ann_ivfpq_nprobe_tune, docs_length_batches),
+    then the r7-stale overflow from the r11 draw
+    (events_sliding_windows, events_value_quantiles,
+    events_rolling_avg), then the r8-stale cohort in ledger order from
+    events_streaming_behavior through gen_constraints.  Demoted: the
+    entire round-11 window — all 50 were green on their r11 exposure.
+    The r8 rows from gen_template_conformance onward overflow to the
+    r13 draw.  The full query -> last-driver-round ledger lives in
+    ROTATION.md."""
     return {
         # --- round-12 driver window (see ROTATION.md) ---
-        # The 3 round-12 growth rows lead (windowed at birth),
+        # The 4 round-12 growth rows lead (windowed at birth),
         # then the r7-stale overflow (events_sliding_windows,
         # events_value_quantiles, events_rolling_avg), then the
         # r8-stale cohort in ledger order from
-        # events_streaming_behavior through
-        # gen_template_conformance.  Exactly 50 entries precede
-        # the demoted marker; the r8 rows from gen_array_features
-        # onward wait for the r13 draw (they head it, with any
-        # r13 growth rows).
+        # events_streaming_behavior through gen_constraints.
+        # Exactly 50 entries precede the demoted marker; the r8
+        # rows from gen_template_conformance onward wait for the
+        # r13 draw (they head it, with any r13 growth rows).
         "corpus_token_budget_mix": _corpus_token_budget_mix,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "ann_ivfpq_nprobe_tune": _ann_ivfpq_nprobe_tune,
+        "docs_length_batches": _docs_length_batches,
         "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
@@ -6933,10 +6984,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_constant_seedfrom": _gen_constant_seedfrom,
         "gen_format_prefix": _gen_format_prefix,
         "gen_constraints": _gen_constraints,
-        "gen_template_conformance": _gen_template_conformance,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r8 rows from gen_array_features onward overflowed
-        # the 50-row window; they head the r13 draw)
+        # (the r8 rows from gen_template_conformance onward
+        # overflowed the 50-row window; they head the r13 draw)
+        "gen_template_conformance": _gen_template_conformance,
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
         "corpus_language_routing": _corpus_language_routing,
@@ -11123,6 +11174,55 @@ def _oracle_sql_base() -> dict[str, str]:
                    true AS full_probe_recall_one,
                    true AS replayable
             FROM q ORDER BY qid
+        """,
+        # full assignment replay: bucket CASE, md5 shard + order,
+        # row_number batch arithmetic, checksum over every doc's
+        # (batch_index, pos_in_batch)
+        "docs_length_batches": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(string_split_regex(trim(text), '\\s+'))::BIGINT
+                           AS n
+                FROM documents WHERE text IS NOT NULL
+            ),
+            a AS (
+                SELECT doc_id, n,
+                       CASE WHEN n <= 32 THEN 0 WHEN n <= 64 THEN 1
+                            WHEN n <= 96 THEN 2 ELSE 3 END AS bucket,
+                       CASE WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+                            WHEN n <= 96 THEN 96 ELSE n END AS cap,
+                       CASE WHEN n <= 32 THEN 64 WHEN n <= 64 THEN 32
+                            WHEN n <= 96 THEN 21 ELSE 1 END AS bsize,
+                       (('0x' || substr(md5('42-' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT) % 4
+                           AS shard,
+                       md5('43-' || CAST(doc_id AS VARCHAR)) AS ordk
+                FROM t
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY bucket, shard ORDER BY ordk, doc_id
+                ) AS rn
+                FROM a
+            ),
+            b AS (
+                SELECT doc_id, n, bucket, cap, shard,
+                       (rn - 1) // bsize AS batch_index,
+                       (rn - 1) % bsize AS pos_in_batch,
+                       cap - n AS pad
+                FROM r
+            )
+            SELECT bucket,
+                   COUNT(*)::BIGINT AS n_docs,
+                   COUNT(DISTINCT shard * 1000000 + batch_index)::BIGINT
+                       AS n_batches,
+                   SUM(n)::BIGINT AS sum_tokens,
+                   SUM(pad)::BIGINT AS sum_pad_tokens,
+                   SUM((doc_id + 1) * (batch_index + 1)
+                       * (pos_in_batch + 1))::BIGINT AS assignment_checksum,
+                   SUM(pad)::DOUBLE / (SUM(n) + SUM(pad))::DOUBLE
+                       AS pad_fraction
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         # sqrt of integer counts + key-ordered fold: bit-exact weights
         "corpus_temperature_mix": """

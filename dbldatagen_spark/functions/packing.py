@@ -197,3 +197,130 @@ def sequence_length_histogram(
             "total_tokens",
         )
     )
+
+
+def length_bucket_batches(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    *,
+    bucket_boundaries,
+    batch_tokens: int,
+    num_shards: int = 16,
+    seed: int = 42,
+    hash_mode: str = "md5",
+) -> DataFrame:
+    """Length-bucketed batching — the padding-efficiency layout for
+    models that PAD rather than pack (SFT, encoders, rerankers; the
+    ``bucket_by_sequence_length`` convention): documents are routed to
+    the smallest length bucket whose cap holds them, every batch draws
+    only from one bucket and pads to that bucket's cap (static shapes,
+    compiler-friendly), and each bucket's batch size is
+    ``max(1, batch_tokens // cap)`` so every batch costs roughly the
+    same padded-token budget.  The dual of :func:`pack_sequences`,
+    which concatenates across documents and never pads.
+
+    Documents longer than the last boundary go to the OVERFLOW bucket
+    (``bucket = len(bucket_boundaries)``): one document per batch,
+    padded to itself (``pad_tokens = 0``) — deterministic, loud in the
+    report, and never silently dropped or truncated.
+
+    Returns one row per input row:
+    ``(id, n_tokens, bucket, bucket_cap, shard, batch_index,
+    pos_in_batch, pad_tokens)`` — ``batch_index`` counts batches
+    within ``(bucket, shard)``; a NULL or negative token count yields
+    NULL for every assignment column (excluded from batching, never
+    dropped).
+
+    Determinism: assignment is a pure function of ``(seed, id, count)``
+    — bucket by boundary comparison, shard and in-shard order by the
+    seeded hash (``md5`` hex ranks identically in any engine), batch
+    arithmetic on ``row_number``.  Any engine replays every column.
+
+    Scale shape: one shuffle keyed by ``(bucket, shard)`` — counts and
+    ids move, never text — then a bounded per-(bucket, shard) sort for
+    the row_number.  Sharding inside each bucket is what keeps this
+    off the one-task-per-bucket global sort (buckets are few by
+    design; a 100 TB corpus' 'median-length' bucket in a single sort
+    task would be the exact hot-partition hazard the round-12 skew
+    audit removes elsewhere); the cost is that each shard's final
+    partial batch pads a little more, the same trade
+    ``pack_sequences`` documents for its shard streams.
+    """
+    bounds = [int(b) for b in bucket_boundaries]
+    if not bounds:
+        raise ValueError("bucket_boundaries must be non-empty")
+    if any(b <= 0 for b in bounds) or sorted(set(bounds)) != bounds:
+        raise ValueError(
+            f"bucket_boundaries must be positive, strictly ascending, "
+            f"got {bucket_boundaries!r}"
+        )
+    if batch_tokens < 1:
+        raise ValueError(f"batch_tokens must be >= 1, got {batch_tokens}")
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    n_over = len(bounds)
+
+    n_tok = F.col(token_count_col).cast("long")
+    valid = n_tok.isNotNull() & (n_tok >= 0)
+
+    bucket = F.lit(n_over)
+    for i in range(len(bounds) - 1, -1, -1):
+        bucket = F.when(n_tok <= F.lit(bounds[i]), F.lit(i)).otherwise(bucket)
+    cap = F.when(F.col("bucket") == F.lit(n_over), F.col("n_tokens"))
+    for i, b in enumerate(bounds):
+        cap = F.when(F.col("bucket") == F.lit(i), F.lit(b)).otherwise(cap)
+    bsize = F.when(F.col("bucket") == F.lit(n_over), F.lit(1))
+    for i, b in enumerate(bounds):
+        bsize = F.when(
+            F.col("bucket") == F.lit(i), F.lit(max(1, batch_tokens // b))
+        ).otherwise(bsize)
+
+    shard = (
+        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(num_shards))
+        if hash_mode == "xxhash64"
+        else F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_shards),
+        )
+    )
+    base = df.select(
+        F.col(id_col),
+        F.when(valid, n_tok).alias("n_tokens"),
+        F.when(valid, bucket).cast("int").alias("bucket"),
+        F.when(valid, shard).cast("long").alias("shard"),
+        _order_key(id_col, seed + 1, hash_mode).alias("_ord"),
+    ).withColumn("_bsize", bsize.cast("long"))
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("_ord"), F.col(id_col)
+    )
+    ranked = base.withColumn(
+        "_rn", F.when(F.col("bucket").isNotNull(), F.row_number().over(w))
+    )
+    cap_l = cap.cast("long")
+    return ranked.select(
+        F.col(id_col),
+        "n_tokens",
+        "bucket",
+        cap_l.alias("bucket_cap"),
+        "shard",
+        ((F.col("_rn") - 1) / F.col("_bsize")).cast("long").alias(
+            "batch_index"
+        ),
+        F.pmod(F.col("_rn") - 1, F.col("_bsize")).cast("long").alias(
+            "pos_in_batch"
+        ),
+        (cap_l - F.col("n_tokens")).alias("pad_tokens"),
+    )

@@ -7469,3 +7469,100 @@ class TestIvfpqTuneNprobe:
             ivfpq_tune_nprobe(
                 idx, emb, "vec_id", "v", cents, k=0
             )
+
+
+class TestLengthBucketBatches:
+    def _counts(self, spark):
+        rows = [(1, 10), (2, 30), (3, 33), (4, 64), (5, 70), (6, 200),
+                (7, None), (8, -3), (9, 0)]
+        return spark.createDataFrame(rows, "id long, t int")
+
+    def test_routing_caps_and_overflow(self, spark):
+        from dbldatagen_spark.functions import length_bucket_batches
+
+        out = {r["id"]: r for r in length_bucket_batches(
+            self._counts(spark), "id", "t",
+            bucket_boundaries=(32, 64), batch_tokens=128,
+        ).collect()}
+        # smallest bucket whose cap holds the doc
+        assert (out[1]["bucket"], out[1]["bucket_cap"]) == (0, 32)
+        assert (out[2]["bucket"], out[2]["bucket_cap"]) == (0, 32)
+        assert (out[3]["bucket"], out[3]["bucket_cap"]) == (1, 64)
+        assert (out[4]["bucket"], out[4]["bucket_cap"]) == (1, 64)
+        assert (out[9]["bucket"], out[9]["bucket_cap"]) == (0, 32)
+        # overflow: own batch, padded to itself
+        assert (out[5]["bucket"], out[5]["bucket_cap"]) == (2, 70)
+        assert (out[6]["bucket"], out[6]["bucket_cap"]) == (2, 200)
+        assert out[5]["pad_tokens"] == 0 and out[6]["pad_tokens"] == 0
+        assert out[5]["pos_in_batch"] == 0 and out[6]["pos_in_batch"] == 0
+        # pad arithmetic
+        assert out[1]["pad_tokens"] == 22 and out[4]["pad_tokens"] == 0
+        # invalid counts: retained with NULL assignment
+        for bad in (7, 8):
+            assert out[bad]["bucket"] is None
+            assert out[bad]["batch_index"] is None
+            assert out[bad]["pad_tokens"] is None
+        assert len(out) == 9
+
+    def test_batch_sizes_respected(self, spark):
+        from dbldatagen_spark.functions import length_bucket_batches
+
+        df = spark.createDataFrame(
+            [(i, 20 + (i % 10)) for i in range(300)], "id long, t int"
+        )
+        out = length_bucket_batches(
+            df, "id", "t", bucket_boundaries=(32,), batch_tokens=160,
+            num_shards=3,
+        )
+        # cap 32 -> batch_size floor(160/32) = 5
+        per = (
+            out.groupBy("bucket", "shard", "batch_index")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.max("pos_in_batch").alias("mx"),
+                 F.min("pos_in_batch").alias("mn"))
+            .collect()
+        )
+        assert all(r["n"] <= 5 and r["mx"] == r["n"] - 1 and r["mn"] == 0
+                   for r in per)
+        # only the LAST batch of each (bucket, shard) may be partial
+        for (b, s) in {(r["bucket"], r["shard"]) for r in per}:
+            sizes = sorted(
+                (r["batch_index"], r["n"]) for r in per
+                if r["bucket"] == b and r["shard"] == s
+            )
+            assert all(n == 5 for _, n in sizes[:-1])
+
+    def test_deterministic_across_partitioning_and_modes(self, spark):
+        from dbldatagen_spark.functions import length_bucket_batches
+
+        df = spark.createDataFrame(
+            [(i, 10 + (i * 7) % 90) for i in range(200)], "id long, t int"
+        )
+        kw = dict(bucket_boundaries=(32, 64, 96), batch_tokens=256)
+        a = sorted(map(tuple, length_bucket_batches(
+            df.repartition(3), "id", "t", **kw).collect()))
+        b = sorted(map(tuple, length_bucket_batches(
+            df.repartition(11), "id", "t", **kw).collect()))
+        assert a == b
+        # xxhash64 mode also runs and is internally consistent
+        x = length_bucket_batches(
+            df, "id", "t", hash_mode="xxhash64", **kw)
+        assert x.count() == 200
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import length_bucket_batches
+
+        df = self._counts(spark)
+        with pytest.raises(ValueError, match="non-empty"):
+            length_bucket_batches(
+                df, "id", "t", bucket_boundaries=(), batch_tokens=10)
+        with pytest.raises(ValueError, match="ascending"):
+            length_bucket_batches(
+                df, "id", "t", bucket_boundaries=(64, 32), batch_tokens=10)
+        with pytest.raises(ValueError, match="batch_tokens"):
+            length_bucket_batches(
+                df, "id", "t", bucket_boundaries=(32,), batch_tokens=0)
+        with pytest.raises(ValueError, match="num_shards"):
+            length_bucket_batches(
+                df, "id", "t", bucket_boundaries=(32,), batch_tokens=10,
+                num_shards=0)
