@@ -6775,11 +6775,13 @@ def _docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "\n\n",
     )
     base = docs.select("doc_id", ptext.alias("ptext"))
+    # both arms read the chunked twin corpus; cache it so tokenize +
+    # chunk + twin-union runs once, not once per arm (released below)
     corpus = base.unionByName(
         base.select(
             (F.col("doc_id") + F.lit(1000000)).alias("doc_id"), "ptext"
         )
-    )
+    ).persist()
     ex = paragraph_dedup(corpus, "doc_id", "ptext", method="exact")
     mh = paragraph_dedup(
         corpus, "doc_id", "ptext", method="minhash", threshold=0.9
@@ -6791,7 +6793,7 @@ def _docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_m") >= F.col("_e")).alias("minhash_removed_ge_exact")
         )
     )
-    return (
+    out = (
         ex.select(
             "doc_id",
             "n_paragraphs",
@@ -6801,6 +6803,7 @@ def _docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(inv))
         .orderBy("doc_id")
     )
+    return _detach(spark, out, corpus)
 
 
 def _ann_ivfpq_nprobe_tune(spark: SparkSession, sf_dir: str) -> DataFrame:

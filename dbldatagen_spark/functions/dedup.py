@@ -2304,6 +2304,14 @@ def paragraph_dedup(
             .select("_id", "_pidx")
         )
     else:
+        id_type = dict(df.dtypes).get(id_col, "")
+        if id_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise ValueError(
+                f"paragraph_dedup(method='minhash') needs an integral "
+                f"non-negative id_col to build its corpus-ordered "
+                f"paragraph id; {id_col!r} is {id_type or 'missing'} — "
+                f"use method='exact' or map ids to longs first"
+            )
         pid = F.format_string("%012d#%06d", F.col("_id"), F.col("_pidx"))
         labeled = cand.select(
             pid.alias("_pid"), F.col("_id"), F.col("_pidx"), F.col("_para")

@@ -7379,6 +7379,19 @@ class TestParagraphDedup:
         ).collect()), key=str)
         assert a == b
 
+    def test_minhash_requires_integral_ids(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        df = spark.createDataFrame(
+            [("a", "some text here"), ("b", "other text there")],
+            "doc_id string, text string",
+        )
+        with pytest.raises(ValueError, match="integral"):
+            paragraph_dedup(df, "doc_id", "text", method="minhash")
+        # exact arm works for any orderable id type
+        out = paragraph_dedup(df, "doc_id", "text", method="exact")
+        assert out.count() == 2
+
     def test_validation(self, spark):
         from dbldatagen_spark.functions import paragraph_dedup
 
