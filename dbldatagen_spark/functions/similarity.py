@@ -1330,6 +1330,8 @@ def ivfpq_tune_nprobe(
     n_probes: Sequence[int] = (1, 2, 4, 8),
     n_queries: int = 8,
     cell_col: str = "cell",
+    codebooks=None,
+    codes_col: str = "pq_codes",
 ) -> DataFrame:
     """Auto-tune the IVF-PQ serving knob: measure, per md5-selected
     probe query, the ROUTING recall@k of every candidate ``n_probe`` —
@@ -1345,9 +1347,24 @@ def ivfpq_tune_nprobe(
     nondecreasing in ``n_probe`` by construction — and reaches 1.0
     when every cell is probed.
 
-    Returns ``(qid, n_probe, n_hits, recall)`` — one row per probe
-    query per candidate ``n_probe``; pick the smallest ``n_probe``
-    whose aggregate recall clears the serving target.
+    Returns ``(qid, n_probe, n_hits, recall, adc_n_hits, adc_recall)``
+    — one row per probe query per candidate ``n_probe``; pick the
+    smallest ``n_probe`` whose aggregate recall clears the serving
+    target.  The two ``adc_*`` columns are NULL unless ``codebooks``
+    is passed: then each (query, n_probe) pair is additionally SERVED
+    through :func:`ivfpq_topk` and ``adc_recall`` reports the
+    END-TO-END recall of the served top-k against the exact neighbors
+    — routing loss AND code-quantization loss together.  Unlike the
+    routing curve, ``adc_recall`` is NOT guaranteed monotone in
+    ``n_probe``: widening the probe set can surface a non-neighbor
+    whose quantized distance beats a true neighbor's and displaces it
+    from the served top-k (the gap between the two curves at a given
+    ``n_probe`` is the ADC loss ``m``/``k`` control).  Cost note: the
+    ADC pass runs one bounded ``ivfpq_topk`` job per (query, n_probe)
+    pair — ``n_queries x len(n_probes)`` driver-issued jobs, each
+    scanning only its probed cells — against the routing curve's
+    single corpus scan; leave ``codebooks`` unset for the cheap
+    routing-only report.
 
     Determinism: the probe set is the ``n_queries`` smallest
     ``(md5(id), id)`` rows (engine-portable, same selection as the
@@ -1456,6 +1473,28 @@ def ivfpq_tune_nprobe(
         ),
         F.coalesce(F.col("_cell"), F.lit(-1)),
     )
+    adc = None
+    if codebooks is not None:
+        # end-to-end serve-and-compare: bounded driver loop, one
+        # probed-cells-only ivfpq_topk job per (query, n_probe) pair
+        exact = exact.persist()
+        ex_ids: dict = {}
+        for r in exact.collect():
+            ex_ids.setdefault(int(r["_qid"]), set()).add(r[id_col])
+        adc_rows = []
+        for qid in qids:
+            want = ex_ids.get(qid, set())
+            for p in probes_list:
+                served = ivfpq_topk(
+                    index_df, id_col, cents, codebooks, list(qvecs[qid]),
+                    k=k, n_probe=p, cell_col=cell_col,
+                    codes_col=codes_col, exclude_id=qid,
+                ).collect()
+                hits = sum(1 for s in served if s[id_col] in want)
+                adc_rows.append((int(qid), int(p), int(hits)))
+        adc = index_df.sparkSession.createDataFrame(
+            adc_rows, "qid long, n_probe int, adc_n_hits long"
+        )
     out = (
         with_cell.select(
             "_qid", "_cell", F.explode(probes_arr).alias("_np")
@@ -1467,4 +1506,14 @@ def ivfpq_tune_nprobe(
             "recall", F.col("n_hits").cast("double") / F.lit(float(k))
         )
     )
+    if adc is not None:
+        out = out.join(F.broadcast(adc), ["qid", "n_probe"], "left").withColumn(
+            "adc_recall",
+            F.col("adc_n_hits").cast("double") / F.lit(float(k)),
+        )
+        exact.unpersist()
+    else:
+        out = out.withColumn(
+            "adc_n_hits", F.lit(None).cast("long")
+        ).withColumn("adc_recall", F.lit(None).cast("double"))
     return out.orderBy("qid", "n_probe")

@@ -7462,6 +7462,48 @@ class TestIvfpqTuneNprobe:
         ).collect()))
         assert a == b
 
+    def test_adc_recall_opt_in(self, spark):
+        """With codebooks passed, the tuner additionally SERVES each
+        (query, n_probe) pair through ivfpq_topk: adc_recall is
+        bounded by [0, 1], present for every row, and never exceeds
+        what full probing can serve; without codebooks the adc columns
+        are NULL (the cheap routing-only report)."""
+        from dbldatagen_spark.functions import (
+            ivfpq_build, ivfpq_tune_nprobe,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        idx, cents, cb = ivfpq_build(
+            emb, "vec_id", "v", n_cells=4, m=8, k=16,
+            coarse_max_iter=3, pq_max_iter=3,
+        )
+        idx = idx.cache()
+        try:
+            rep = ivfpq_tune_nprobe(
+                idx, emb, "vec_id", "v", cents, k=5,
+                n_probes=(1, 4), n_queries=2, codebooks=cb,
+            ).collect()
+        finally:
+            idx.unpersist()
+        assert len(rep) == 4
+        for r in rep:
+            assert r["adc_n_hits"] is not None
+            assert 0.0 <= r["adc_recall"] <= 1.0
+            # serving cannot beat routing: a neighbor outside the
+            # probed cells can never appear in the served top-k
+            assert r["adc_recall"] <= r["recall"] + 1e-9
+        # routing-only report keeps the schema with NULL adc columns
+        cheap = ivfpq_tune_nprobe(
+            idx, emb, "vec_id", "v", cents, k=5, n_probes=(1,),
+            n_queries=1,
+        ).collect()
+        assert cheap[0]["adc_n_hits"] is None
+        assert cheap[0]["adc_recall"] is None
+
     def test_validation(self, spark, built):
         from dbldatagen_spark.functions import ivfpq_tune_nprobe
 
