@@ -6911,36 +6911,59 @@ def _docs_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _events_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (round 12) over the event-type transition
+    digraph — the link-authority prior of web-corpus curation, made
+    bit-exact by carrying rank mass as integer units (floor products
+    and divisions, order-independent integer sums) so the oracle
+    replays three full iterations to the unit.  Edges are the distinct
+    first-order transitions (lag over each user's time-ordered
+    stream); per iteration one source-keyed join and one
+    map-side-combined integer sum move only longs."""
+    from dbldatagen_spark.functions import pagerank, transition_matrix
+
+    events = _load(spark, sf_dir, "events")
+    tm = transition_matrix(
+        events, "user_id", "ts", "event_type", order_col="event_id"
+    )
+    edges = tm.select(
+        F.col("from_state").alias("s"), F.col("to_state").alias("d")
+    )
+    return pagerank(edges, "s", "d", iterations=3).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-12 rotation: growth-at-birth plus staleness refresh — the 4
+    Round-12 rotation: growth-at-birth plus staleness refresh — the 5
     round-12 growth rows first (corpus_token_budget_mix,
-    docs_paragraph_dedup, ann_ivfpq_nprobe_tune, docs_length_batches),
-    then the r7-stale overflow from the r11 draw
+    docs_paragraph_dedup, ann_ivfpq_nprobe_tune, docs_length_batches,
+    events_pagerank), then the r7-stale overflow from the r11 draw
     (events_sliding_windows, events_value_quantiles,
     events_rolling_avg), then the r8-stale cohort in ledger order from
-    events_streaming_behavior through gen_constraints.  Demoted: the
+    events_streaming_behavior through gen_format_prefix.  Demoted: the
     entire round-11 window — all 50 were green on their r11 exposure.
-    The r8 rows from gen_template_conformance onward overflow to the
-    r13 draw.  The full query -> last-driver-round ledger lives in
+    The r8 rows from gen_constraints onward overflow to the r13
+    draw.  The full query -> last-driver-round ledger lives in
     ROTATION.md."""
     return {
         # --- round-12 driver window (see ROTATION.md) ---
-        # The 4 round-12 growth rows lead (windowed at birth),
+        # The 5 round-12 growth rows lead (windowed at birth),
         # then the r7-stale overflow (events_sliding_windows,
         # events_value_quantiles, events_rolling_avg), then the
         # r8-stale cohort in ledger order from
-        # events_streaming_behavior through gen_constraints.
+        # events_streaming_behavior through gen_format_prefix.
         # Exactly 50 entries precede the demoted marker; the r8
-        # rows from gen_template_conformance onward wait for the
-        # r13 draw (they head it, with any r13 growth rows).
+        # rows from gen_constraints onward wait for the r13 draw
+        # (they head it, with any r13 growth rows).
         "corpus_token_budget_mix": _corpus_token_budget_mix,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "ann_ivfpq_nprobe_tune": _ann_ivfpq_nprobe_tune,
         "docs_length_batches": _docs_length_batches,
+        "events_pagerank": _events_pagerank,
         "events_sliding_windows": _events_sliding_windows,
         "events_value_quantiles": _events_value_quantiles,
         "events_rolling_avg": _events_rolling_avg,
@@ -6986,10 +7009,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_sales_order_ri": _gen_sales_order_ri,
         "gen_constant_seedfrom": _gen_constant_seedfrom,
         "gen_format_prefix": _gen_format_prefix,
-        "gen_constraints": _gen_constraints,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r8 rows from gen_template_conformance onward
-        # overflowed the 50-row window; they head the r13 draw)
+        # (the r8 rows from gen_constraints onward overflowed
+        # the 50-row window; they head the r13 draw)
+        "gen_constraints": _gen_constraints,
         "gen_template_conformance": _gen_template_conformance,
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
@@ -11226,6 +11249,76 @@ def _oracle_sql_base() -> dict[str, str]:
                    SUM(pad)::DOUBLE / (SUM(n) + SUM(pad))::DOUBLE
                        AS pad_fraction
             FROM b GROUP BY bucket ORDER BY bucket
+        """,
+        # three chained fixed-point iterations: integer floor
+        # arithmetic replays the ranks to the unit
+        "events_pagerank": """
+            WITH pairs AS (
+                SELECT lag(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS s,
+                       event_type AS d
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT s, d FROM pairs
+                WHERE s IS NOT NULL AND d IS NOT NULL
+            ),
+            nodes AS (
+                SELECT s AS node FROM e UNION SELECT d FROM e
+            ),
+            params AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       1000000000000 // COUNT(*)::BIGINT AS init_u,
+                       ((1000000000000 // COUNT(*)::BIGINT) * 150000)
+                           // 1000000 AS base
+                FROM nodes
+            ),
+            deg AS (SELECT s, COUNT(*)::BIGINT AS dg FROM e GROUP BY s),
+            r0 AS (SELECT node, (SELECT init_u FROM params) AS u FROM nodes),
+            s1 AS (
+                SELECT e.d AS node,
+                       SUM((r.u * 850000) // 1000000 // dg.dg) AS m
+                FROM r0 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.s = r.node
+                GROUP BY e.d
+            ),
+            r1 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s1 s ON s.node = n2.node
+            ),
+            s2 AS (
+                SELECT e.d AS node,
+                       SUM((r.u * 850000) // 1000000 // dg.dg) AS m
+                FROM r1 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.s = r.node
+                GROUP BY e.d
+            ),
+            r2 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s2 s ON s.node = n2.node
+            ),
+            s3 AS (
+                SELECT e.d AS node,
+                       SUM((r.u * 850000) // 1000000 // dg.dg) AS m
+                FROM r2 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.s = r.node
+                GROUP BY e.d
+            ),
+            r3 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s3 s ON s.node = n2.node
+            ),
+            final AS (SELECT node, u FROM r3)
+            SELECT node, u::BIGINT AS rank_units,
+                   u / 1000000000000.0 AS rank
+            FROM final ORDER BY node
         """,
         # sqrt of integer counts + key-ordered fold: bit-exact weights
         "corpus_temperature_mix": """

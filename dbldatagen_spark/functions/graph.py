@@ -1,0 +1,164 @@
+"""Graph ranking over edge frames — the link-authority half of
+web-corpus curation (host/page authority as a quality prior, the
+classic Common Crawl ranking signal), complementing the component
+CLUSTERING in :func:`~dbldatagen_spark.functions.dedup.duplicate_components`.
+
+Reference parity: dbldatagen has no graph surface; this module is
+beyond-reference, built for the LLM-pipeline side of the repo.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    *,
+    damping_ppm: int = 850_000,
+    iterations: int = 10,
+    scale: int = 10**12,
+    checkpoint_dir: Optional[str] = None,
+) -> DataFrame:
+    """Deterministic FIXED-POINT PageRank over a directed edge frame
+    (Brin & Page 1998) — rank mass carried as integer units so every
+    engine, partitioning, and run replays the ranks BIT-FOR-BIT.
+    Floating-point PageRank sums incoming contributions in shuffle
+    arrival order, so the last ulp of every rank is
+    partitioning-dependent; here all arithmetic is 64-bit integer
+    (floor products and divisions, order-independent integer sums),
+    which is what makes the op oracle-checkable and its output safe to
+    join, rank, and threshold reproducibly.
+
+    The exact recurrence (replay it anywhere):
+
+    - ``N`` = number of distinct nodes (sources and destinations);
+      parallel edges collapse (``distinct``), self-loops are kept.
+    - ``u_0 = scale div N`` for every node.
+    - each iteration: ``damped = (u * damping_ppm) div 1_000_000``,
+      ``share = damped div out_degree`` per source, and
+      ``u' = base + sum(shares arriving at the node)`` with
+      ``base = ((scale div N) * (1_000_000 - damping_ppm)) div
+      1_000_000``.
+
+    Dangling nodes (no out-edges) receive and hold rank but emit none
+    — their damped mass evaporates rather than being redistributed
+    (the simple-variant contract; total mass therefore shrinks
+    slightly each round, also by the floor truncations).  Rankings
+    are unaffected for the curation use case; document-level
+    consumers threshold or rank, not sum.
+
+    Returns ``(node, rank_units, rank)`` — ``rank_units`` the exact
+    integer state, ``rank = rank_units / scale`` as one IEEE division
+    for human consumption.
+
+    Scale shape: per iteration, ONE shuffle joins the (node, units)
+    frame to the edge list on the source key and ONE
+    map-side-combined integer sum aggregates arriving shares per
+    destination — longs move, never payloads; a hub's fan-out is
+    map-side row emission and its fan-in partially aggregates, so hot
+    nodes never buffer.  Each iteration's frame is checkpointed
+    (``localCheckpoint`` by default; pass ``checkpoint_dir`` for
+    reliable checkpointing on preemptible fleets — the
+    :func:`~dbldatagen_spark.functions.dedup.duplicate_components`
+    contract) so plan depth stays constant across iterations.
+    Driver cost: one count job up front plus one materializing action
+    per iteration.
+    """
+    if not 0 <= damping_ppm <= 1_000_000:
+        raise ValueError(
+            f"damping_ppm must be in [0, 1000000], got {damping_ppm}"
+        )
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    if scale > 9 * 10**12:
+        # u * damping_ppm must stay inside int64: u <= total mass ~=
+        # scale, and scale * 1e6 < 2^63 needs scale < ~9.2e12
+        raise ValueError(
+            f"scale must be <= 9e12 (int64 headroom for the ppm "
+            f"product), got {scale}"
+        )
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+        )
+        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .unionByName(e.select(F.col("_d").alias("node")))
+        .distinct()
+    )
+
+    spark = edges.sparkSession
+    prev_dir: Optional[str] = None
+    if checkpoint_dir is not None:
+        sc = spark.sparkContext
+        try:
+            prev = sc._jsc.sc().getCheckpointDir()
+            prev_dir = prev.get() if prev.isDefined() else None
+        except Exception:
+            prev_dir = None
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+    else:
+
+        def _checkpoint(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    try:
+        e = _checkpoint(e)
+        nodes = _checkpoint(nodes)
+        n = nodes.count()
+        if n == 0:
+            return nodes.select(
+                F.col("node"),
+                F.lit(0).cast("long").alias("rank_units"),
+                F.lit(0.0).alias("rank"),
+            )
+        init_u = scale // n
+        base = (init_u * (1_000_000 - damping_ppm)) // 1_000_000
+        outdeg = e.groupBy("_s").agg(
+            F.count(F.lit(1)).cast("long").alias("_deg")
+        )
+        ranks = nodes.select("node", F.lit(init_u).cast("long").alias("_u"))
+        for _ in range(iterations):
+            shares = (
+                ranks.join(outdeg, ranks["node"] == outdeg["_s"])
+                .select(
+                    outdeg["_s"],
+                    F.expr(
+                        f"(_u * {damping_ppm}) div 1000000 div _deg"
+                    ).alias("_share"),
+                )
+                .join(e, "_s")
+                .groupBy(F.col("_d").alias("node"))
+                .agg(F.sum("_share").cast("long").alias("_in"))
+            )
+            ranks = _checkpoint(
+                nodes.join(shares, "node", "left").select(
+                    "node",
+                    (
+                        F.lit(base) + F.coalesce(F.col("_in"), F.lit(0))
+                    ).cast("long").alias("_u"),
+                )
+            )
+        return ranks.select(
+            "node",
+            F.col("_u").alias("rank_units"),
+            (F.col("_u").cast("double") / F.lit(float(scale))).alias("rank"),
+        )
+    finally:
+        if checkpoint_dir is not None and prev_dir is not None:
+            spark.sparkContext.setCheckpointDir(prev_dir)

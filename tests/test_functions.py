@@ -7621,3 +7621,68 @@ class TestLengthBucketBatches:
             length_bucket_batches(
                 df, "id", "t", bucket_boundaries=(32,), batch_tokens=10,
                 num_shards=0)
+
+
+class TestPagerank:
+    EDGES = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
+             ("a", "c"), ("d", "a")]
+
+    def _py_replay(self, iterations):
+        scale, dp = 10**12, 850_000
+        n = 4
+        u = {x: scale // n for x in "abcd"}
+        base = (scale // n) * (1_000_000 - dp) // 1_000_000
+        deg = {"a": 2, "b": 2, "c": 1, "d": 1}
+        for _ in range(iterations):
+            sh = {s: (u[s] * dp) // 1_000_000 // deg[s] for s in deg}
+            nu = {x: base for x in "abcd"}
+            for s, t in self.EDGES:
+                nu[t] += sh[s]
+            u = nu
+        return u
+
+    def test_bit_exact_vs_independent_replay(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "s string, d string")
+        got = {r["node"]: r["rank_units"] for r in pagerank(
+            edges, "s", "d", iterations=7).collect()}
+        assert got == self._py_replay(7)
+
+    def test_partition_stability_and_dedup(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        # parallel edges + NULLs collapse/drop before ranking
+        noisy = self.EDGES * 3 + [(None, "a"), ("a", None)]
+        edges = spark.createDataFrame(noisy, "s string, d string")
+        a = sorted(map(tuple, pagerank(
+            edges.repartition(2), "s", "d", iterations=5).collect()))
+        b = sorted(map(tuple, pagerank(
+            edges.repartition(9), "s", "d", iterations=5).collect()))
+        assert a == b
+        assert {r[0] for r in a} == {"a", "b", "c", "d"}
+        assert {r[1] for r in a} == set(self._py_replay(5).values())
+
+    def test_dangling_and_hub_shape(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "s string, d string")
+        got = {r["node"]: r["rank"] for r in pagerank(
+            edges, "s", "d", iterations=20).collect()}
+        # d dangles with no inbound: exactly the base term
+        assert abs(got["d"] - 0.0375) < 1e-9
+        # a is the hub: highest rank
+        assert got["a"] == max(got.values())
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        edges = spark.createDataFrame(self.EDGES, "s string, d string")
+        with pytest.raises(ValueError, match="damping_ppm"):
+            pagerank(edges, "s", "d", damping_ppm=2_000_000)
+        with pytest.raises(ValueError, match="iterations"):
+            pagerank(edges, "s", "d", iterations=0)
+        with pytest.raises(ValueError, match="scale"):
+            pagerank(edges, "s", "d", scale=0)
+        with pytest.raises(ValueError, match="int64 headroom"):
+            pagerank(edges, "s", "d", scale=10**13)
