@@ -2251,11 +2251,14 @@ def paragraph_dedup(
     winner rule at paragraph granularity) — fully replayable in
     portable SQL, which is what the oracle row checks.
 
-    Paragraphs with fewer than ``min_tokens`` whitespace tokens (and
-    blank paragraphs) are structural: always kept, never entered into
-    clustering.  NULL-text rows yield NULL for all three added
-    columns.  Documents whose every paragraph was removed rebuild to
-    ``''``.
+    Paragraphs with fewer than ``min_tokens`` whitespace tokens are
+    structural: always kept, never entered into clustering.  BLANK
+    paragraphs (runs of separators, leading/trailing separators) are
+    dropped in the rebuild — separator normalization, the same
+    whitespace contract as :func:`substring_dedup`'s tokenizer — and
+    are not counted in ``n_paragraphs``.  NULL-text rows yield NULL
+    for all three added columns.  Documents whose every paragraph was
+    removed rebuild to ``''``.
 
     Returns the input columns plus ``out_col``, ``n_paragraphs``
     (non-blank paragraphs), and ``n_paragraphs_removed``.

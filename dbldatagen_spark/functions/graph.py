@@ -20,6 +20,7 @@ def pagerank(
     src_col: str,
     dst_col: str,
     *,
+    weight_col: Optional[str] = None,
     damping_ppm: int = 850_000,
     iterations: int = 10,
     scale: int = 10**12,
@@ -38,10 +39,20 @@ def pagerank(
     The exact recurrence (replay it anywhere):
 
     - ``N`` = number of distinct nodes (sources and destinations);
-      parallel edges collapse (``distinct``), self-loops are kept.
+      without ``weight_col`` parallel edges collapse (``distinct``);
+      with it they SUM their integer weights per (src, dst) and rows
+      with NULL or non-positive weight are dropped like NULL
+      endpoints.  Self-loops are kept.
     - ``u_0 = scale div N`` for every node.
-    - each iteration: ``damped = (u * damping_ppm) div 1_000_000``,
-      ``share = damped div out_degree`` per source, and
+    - each iteration: ``damped = (u * damping_ppm) div 1_000_000``;
+      unweighted ``share = damped div out_degree`` per source;
+      weighted, with ``W`` the source's total out-weight, the edge of
+      weight ``w`` carries ``(damped div W) * w +
+      ((damped mod W) * w) div W`` — algebraically exactly
+      ``floor(damped * w / W)`` but computed without the 128-bit
+      intermediate, so int64 replays it (an EAGER one-row aggregate
+      validates ``max(W) * max(w) < 2^62`` up front and raises with
+      re-scaling guidance instead of overflowing silently);
       ``u' = base + sum(shares arriving at the node)`` with
       ``base = ((scale div N) * (1_000_000 - damping_ppm)) div
       1_000_000``.
@@ -86,13 +97,29 @@ def pagerank(
             f"product), got {scale}"
         )
 
-    e = (
-        edges.select(
-            F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+    if weight_col is None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("_s"), F.col(dst_col).alias("_d")
+            )
+            .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
+            .distinct()
         )
-        .where(F.col("_s").isNotNull() & F.col("_d").isNotNull())
-        .distinct()
-    )
+    else:
+        e = (
+            edges.select(
+                F.col(src_col).alias("_s"),
+                F.col(dst_col).alias("_d"),
+                F.col(weight_col).cast("long").alias("_w"),
+            )
+            .where(
+                F.col("_s").isNotNull()
+                & F.col("_d").isNotNull()
+                & (F.col("_w") > 0)
+            )
+            .groupBy("_s", "_d")
+            .agg(F.sum("_w").alias("_w"))
+        )
     nodes = (
         e.select(F.col("_s").alias("node"))
         .unionByName(e.select(F.col("_d").alias("node")))
@@ -129,22 +156,60 @@ def pagerank(
             )
         init_u = scale // n
         base = (init_u * (1_000_000 - damping_ppm)) // 1_000_000
-        outdeg = e.groupBy("_s").agg(
-            F.count(F.lit(1)).cast("long").alias("_deg")
-        )
+        if weight_col is None:
+            outdeg = e.groupBy("_s").agg(
+                F.count(F.lit(1)).cast("long").alias("_deg")
+            )
+        else:
+            outdeg = e.groupBy("_s").agg(
+                F.sum("_w").cast("long").alias("_deg")
+            )
+            # the split share formula's second term is
+            # (damped mod W) * w with (damped mod W) < W, so int64
+            # safety needs max(W) * max(w) < 2^62 — one eager one-row
+            # aggregate, the fold-guard precedent
+            mx = e.join(outdeg, "_s").agg(
+                F.max("_deg").alias("mw"), F.max("_w").alias("w")
+            ).collect()[0]
+            if mx["mw"] is not None and mx["mw"] * mx["w"] >= 2**62:
+                raise ValueError(
+                    f"pagerank: max out-weight {mx['mw']:,} x max edge "
+                    f"weight {mx['w']:,} leaves no int64 headroom for "
+                    f"the weighted share — divide the weights by a "
+                    f"common factor (ranks depend only on weight "
+                    f"RATIOS per source) or drop weight_col"
+                )
         ranks = nodes.select("node", F.lit(init_u).cast("long").alias("_u"))
+        if weight_col is None:
+            share_expr = F.expr(
+                f"(_u * {damping_ppm}) div 1000000 div _deg"
+            )
+            share_cols = [F.col("_s")]
+        else:
+            share_expr = F.expr(
+                f"(_u * {damping_ppm}) div 1000000"
+            )
+            share_cols = [F.col("_s"), F.col("_deg")]
         for _ in range(iterations):
-            shares = (
-                ranks.join(outdeg, ranks["node"] == outdeg["_s"])
-                .select(
-                    outdeg["_s"],
+            damped_per_src = ranks.join(
+                outdeg, ranks["node"] == outdeg["_s"]
+            ).select(*share_cols, share_expr.alias("_share"))
+            if weight_col is None:
+                contribs = damped_per_src.join(e, "_s").select(
+                    F.col("_d"), F.col("_share")
+                )
+            else:
+                # exact floor(damped * w / W) without int128:
+                # (damped div W) * w + ((damped mod W) * w) div W
+                contribs = damped_per_src.join(e, "_s").select(
+                    F.col("_d"),
                     F.expr(
-                        f"(_u * {damping_ppm}) div 1000000 div _deg"
+                        "(_share div _deg) * _w"
+                        " + ((_share % _deg) * _w) div _deg"
                     ).alias("_share"),
                 )
-                .join(e, "_s")
-                .groupBy(F.col("_d").alias("node"))
-                .agg(F.sum("_share").cast("long").alias("_in"))
+            shares = contribs.groupBy(F.col("_d").alias("node")).agg(
+                F.sum("_share").cast("long").alias("_in")
             )
             ranks = _checkpoint(
                 nodes.join(shares, "node", "left").select(

@@ -7686,3 +7686,63 @@ class TestPagerank:
             pagerank(edges, "s", "d", scale=0)
         with pytest.raises(ValueError, match="int64 headroom"):
             pagerank(edges, "s", "d", scale=10**13)
+
+
+class TestPagerankWeighted:
+    def test_weighted_bit_exact_vs_replay(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        E = [("a", "b", 3), ("a", "c", 1), ("b", "a", 2), ("c", "a", 5),
+             ("c", "b", 5), ("a", "b", 2)]  # parallel a->b sums to 5
+        edges = spark.createDataFrame(E, "s string, d string, w long")
+        got = {r["node"]: r["rank_units"] for r in pagerank(
+            edges, "s", "d", weight_col="w", iterations=6).collect()}
+
+        scale, dp = 10**12, 850_000
+        W = {"a": 6, "b": 2, "c": 10}
+        agg = {("a", "b"): 5, ("a", "c"): 1, ("b", "a"): 2,
+               ("c", "a"): 5, ("c", "b"): 5}
+        n = 3
+        u = {x: scale // n for x in "abc"}
+        base = (scale // n) * (1_000_000 - dp) // 1_000_000
+        for _ in range(6):
+            nu = {x: base for x in "abc"}
+            for (s, t), w in agg.items():
+                damped = (u[s] * dp) // 1_000_000
+                nu[t] += (damped // W[s]) * w + ((damped % W[s]) * w) // W[s]
+            u = nu
+        assert got == u
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        E = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "c")]
+        ew = spark.createDataFrame(
+            [(s, d, 7) for s, d in E], "s string, d string, w long"
+        )
+        eu = spark.createDataFrame(E, "s string, d string")
+        # identical per-source weight RATIOS -> identical fixed-point
+        # shares (floor(damped * w / (k*w)) == floor(damped / k))
+        a = sorted(map(tuple, pagerank(
+            eu, "s", "d", iterations=8).collect()))
+        b = sorted(map(tuple, pagerank(
+            ew, "s", "d", weight_col="w", iterations=8).collect()))
+        assert a == b
+
+    def test_nonpositive_weights_dropped_and_overflow_guard(self, spark):
+        from dbldatagen_spark.functions import pagerank
+
+        edges = spark.createDataFrame(
+            [("a", "b", 1), ("a", "c", 0), ("a", "d", -5), ("b", "a", None)],
+            "s string, d string, w long",
+        )
+        out = {r["node"]: r["rank"] for r in pagerank(
+            edges, "s", "d", weight_col="w", iterations=3).collect()}
+        # only a->b survives: nodes {a, b}, not c/d (their edges dropped)
+        assert set(out) == {"a", "b"}
+        big = spark.createDataFrame(
+            [("a", "b", 2**40), ("a", "c", 2**40)],
+            "s string, d string, w long",
+        )
+        with pytest.raises(ValueError, match="headroom"):
+            pagerank(big, "s", "d", weight_col="w", iterations=1)
