@@ -127,6 +127,23 @@ def main() -> None:
     print("smoothed rows:", smoothed.count(),
           "| CUSUM alarms:", alarms.where("alarm").count(),
           "| holt rows:", trended.count())
+
+    # behavioral authority: PageRank over the event-type transition
+    # digraph, weighted by transition counts — fixed-point integer
+    # arithmetic, so the ranks replay bit-for-bit run to run (a rank
+    # that wobbles in its last ulp would false-alarm a drift monitor
+    # diffing today's ranks against yesterday's)
+    from dbldatagen_spark.functions import pagerank, transition_matrix
+
+    tm = transition_matrix(events, "user_id", "ts", "event_type",
+                           order_col="event_id")
+    ranks = pagerank(
+        tm.select("from_state", "to_state", "n_transitions"),
+        "from_state", "to_state", weight_col="n_transitions",
+        iterations=10,
+    )
+    print("event-type authority (weighted PageRank):")
+    ranks.orderBy(F.desc("rank")).show()
     events.unpersist()
 
     spark.stop()

@@ -913,3 +913,60 @@ def test_token_allocation_sums_exactly_and_is_fair(masses, budget, alpha):
         ).collect()
     }
     assert again == {g: r["target_tokens"] for g, r in out.items()}
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=15,
+    ),
+    iterations=st.integers(min_value=1, max_value=4),
+    weighted=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_pagerank_matches_independent_replay(edges, iterations, weighted):
+    """Fixed-point PageRank's whole claim is bit-exact replayability:
+    for random small digraphs (parallel edges, self-loops, dangling
+    nodes all drawn naturally), the Spark ranks must equal a
+    from-scratch Python replay of the documented integer recurrence,
+    weighted and unweighted."""
+    from dbldatagen_spark.functions import pagerank
+
+    df = _spark.createDataFrame(
+        [(f"n{s}", f"n{d}", w) for s, d, w in edges],
+        "s string, d string, w long",
+    )
+    out = pagerank(
+        df, "s", "d",
+        weight_col="w" if weighted else None,
+        iterations=iterations,
+    )
+    got = {r["node"]: r["rank_units"] for r in out.collect()}
+
+    # independent replay of the documented recurrence
+    scale, dp = 10**12, 850_000
+    agg = {}
+    for s, d, w in edges:
+        key = (f"n{s}", f"n{d}")
+        agg[key] = agg.get(key, 0) + (w if weighted else 0)
+    if not weighted:
+        agg = {k: 1 for k in agg}
+    nodes = sorted({x for k in agg for x in k})
+    n = len(nodes)
+    W = {}
+    for (s, _), w in agg.items():
+        W[s] = W.get(s, 0) + w
+    u = {x: scale // n for x in nodes}
+    base = (scale // n) * (1_000_000 - dp) // 1_000_000
+    for _ in range(iterations):
+        nu = {x: base for x in nodes}
+        for (s, t), w in agg.items():
+            damped = (u[s] * dp) // 1_000_000
+            nu[t] += (damped // W[s]) * w + ((damped % W[s]) * w) // W[s]
+        u = nu
+    assert got == u
