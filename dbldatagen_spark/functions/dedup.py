@@ -891,9 +891,12 @@ def duplicate_components(
     preemptible/spot fleets). Pass ``checkpoint_dir`` (an HDFS/object-store
     path) to use *reliable* checkpointing for long-running production runs;
     the per-iteration write cost buys restartable lineage. The session's
-    previous checkpoint dir is restored on return (it was unset before the
-    call and stays set to ``checkpoint_dir`` only in that case — Spark has
-    no way to un-set it). Per-iteration checkpoint files are reclaimed by
+    previous checkpoint dir is restored on return; if the session had
+    NONE, the override is cleared again (a JVM-level
+    ``setCheckpointDir(null)`` — the Scala setter wraps its argument in
+    ``Option``, so null un-sets it; the Python wrapper rejects ``None``,
+    which is why the raw JVM handle is used). Either way the call leaves
+    no session-level side effect. Per-iteration checkpoint files are reclaimed by
     the ContextCleaner when ``spark.cleaner.referenceTracking
     .cleanCheckpoints=true``; otherwise they accumulate under
     ``checkpoint_dir`` and the caller owns deleting them.
@@ -901,10 +904,12 @@ def duplicate_components(
     spark = pairs.sparkSession
 
     prev_checkpoint_dir: Optional[str] = None
+    had_prev_checkpoint_dir = False
     if checkpoint_dir is not None:
         sc = spark.sparkContext
         try:
             prev = sc._jsc.sc().getCheckpointDir()
+            had_prev_checkpoint_dir = prev.isDefined()
             prev_checkpoint_dir = prev.get() if prev.isDefined() else None
         except Exception:
             prev_checkpoint_dir = None
@@ -922,12 +927,19 @@ def duplicate_components(
             pairs, id_a, id_b, max_iterations, _checkpoint
         )
     finally:
-        if (
-            checkpoint_dir is not None
-            and prev_checkpoint_dir is not None
-            and prev_checkpoint_dir != checkpoint_dir
-        ):
-            spark.sparkContext.setCheckpointDir(prev_checkpoint_dir)
+        if checkpoint_dir is not None:
+            if had_prev_checkpoint_dir and prev_checkpoint_dir is not None:
+                if prev_checkpoint_dir != checkpoint_dir:
+                    spark.sparkContext.setCheckpointDir(prev_checkpoint_dir)
+            elif not had_prev_checkpoint_dir:
+                # the session had NO checkpoint dir before this call;
+                # clear the override so no session-level side effect
+                # survives (Scala's setter wraps its argument in
+                # Option, so a JVM-level null un-sets it)
+                try:
+                    spark.sparkContext._jsc.sc().setCheckpointDir(None)
+                except Exception:
+                    pass
 
 
 def _propagate_components(
@@ -2242,10 +2254,13 @@ def paragraph_dedup(
 
     ``method="minhash"`` (default) clusters near-duplicate paragraphs
     via :func:`minhash_cluster_dedup` over a corpus-ordered paragraph
-    id (``%012d#%06d`` over ``(doc id, paragraph index)`` — its
-    lexicographic min IS the first occurrence in corpus order, so the
-    survivor rule matches ``method="exact"``); requires an integral,
-    non-negative ``id_col``.  ``method="exact"`` keeps the first
+    id (``%019d#%010d`` over ``(doc id, paragraph index)`` — its
+    lexicographic min IS the first occurrence in corpus order for any
+    non-negative int64 id, so the survivor rule matches
+    ``method="exact"``); requires an integral, non-negative ``id_col``
+    (non-negativity is enforced by an eager one-row ``min(id)``
+    aggregate over the raw input — column-pruned, no explode —
+    raising with re-mapping guidance before any heavy work runs).  ``method="exact"`` keeps the first
     occurrence of every distinct trimmed paragraph (the
     :func:`~dbldatagen_spark.functions.curation.dedup_lines_corpus`
     winner rule at paragraph granularity) — fully replayable in
@@ -2315,7 +2330,26 @@ def paragraph_dedup(
                 f"paragraph id; {id_col!r} is {id_type or 'missing'} — "
                 f"use method='exact' or map ids to longs first"
             )
-        pid = F.format_string("%012d#%06d", F.col("_id"), F.col("_pidx"))
+        # the survivor rule is "lexicographic min of the pid IS the
+        # first occurrence in corpus order" — a negative id formats
+        # with a leading '-' (sorts before all non-negatives AND
+        # inverts order among negatives), silently breaking the
+        # contract.  One EAGER column-pruned one-row aggregate over
+        # the raw input (no explode; the pagerank fold-guard
+        # precedent) raises instead.
+        lo = df.agg(F.min(F.col(id_col)).alias("lo")).collect()[0]["lo"]
+        if lo is not None and lo < 0:
+            raise ValueError(
+                f"paragraph_dedup(method='minhash'): {id_col!r} has a "
+                f"negative value (min = {lo}); the corpus-order "
+                f"paragraph id needs non-negative ids — shift or "
+                f"re-map ids to [0, 2^63) first, or use method='exact'"
+            )
+        # %019d covers every non-negative int64 (<= 19 digits) and
+        # %010d every paragraph index posexplode can emit, so the
+        # zero-padded key sorts in corpus order with no range cliff
+        # at 10^12 ids or 10^6 paragraphs
+        pid = F.format_string("%019d#%010d", F.col("_id"), F.col("_pidx"))
         labeled = cand.select(
             pid.alias("_pid"), F.col("_id"), F.col("_pidx"), F.col("_para")
         )

@@ -128,10 +128,12 @@ def pagerank(
 
     spark = edges.sparkSession
     prev_dir: Optional[str] = None
+    had_prev_dir = False
     if checkpoint_dir is not None:
         sc = spark.sparkContext
         try:
             prev = sc._jsc.sc().getCheckpointDir()
+            had_prev_dir = prev.isDefined()
             prev_dir = prev.get() if prev.isDefined() else None
         except Exception:
             prev_dir = None
@@ -225,5 +227,16 @@ def pagerank(
             (F.col("_u").cast("double") / F.lit(float(scale))).alias("rank"),
         )
     finally:
-        if checkpoint_dir is not None and prev_dir is not None:
-            spark.sparkContext.setCheckpointDir(prev_dir)
+        if checkpoint_dir is not None:
+            if had_prev_dir and prev_dir is not None:
+                spark.sparkContext.setCheckpointDir(prev_dir)
+            elif not had_prev_dir:
+                # the session had NO checkpoint dir before this call;
+                # leaving ours set would be a lasting session-level
+                # side effect.  The Scala setter wraps its argument in
+                # Option(...), so a JVM-level null clears it (the
+                # Python wrapper rejects None, hence _jsc).
+                try:
+                    spark.sparkContext._jsc.sc().setCheckpointDir(None)
+                except Exception:
+                    pass

@@ -303,11 +303,23 @@ def length_bucket_batches(
         F.when(valid, shard).cast("long").alias("shard"),
         _order_key(id_col, seed + 1, hash_mode).alias("_ord"),
     ).withColumn("_bsize", bsize.cast("long"))
+    # invalid rows (NULL/negative counts) never enter the window —
+    # they all share the one (NULL, NULL) key, the exact unsplittable
+    # hot-partition shape the skew audit bans; run row_number over
+    # valid rows only and union the invalid rows back with NULL
+    # assignments (both branches are narrow filters over the same
+    # pruned scan — no extra shuffle)
     w = Window.partitionBy("bucket", "shard").orderBy(
         F.col("_ord"), F.col(id_col)
     )
-    ranked = base.withColumn(
-        "_rn", F.when(F.col("bucket").isNotNull(), F.row_number().over(w))
+    ranked = (
+        base.where(F.col("bucket").isNotNull())
+        .withColumn("_rn", F.row_number().over(w))
+        .unionByName(
+            base.where(F.col("bucket").isNull()).withColumn(
+                "_rn", F.lit(None).cast("int")
+            )
+        )
     )
     cap_l = cap.cast("long")
     return ranked.select(
@@ -316,7 +328,10 @@ def length_bucket_batches(
         "bucket",
         cap_l.alias("bucket_cap"),
         "shard",
-        ((F.col("_rn") - 1) / F.col("_bsize")).cast("long").alias(
+        # integer 'div', matching pos_in_batch and the oracle —
+        # float division would drift once (_rn - 1) leaves double's
+        # exact-integer range
+        F.expr("(_rn - 1) div _bsize").cast("long").alias(
             "batch_index"
         ),
         F.pmod(F.col("_rn") - 1, F.col("_bsize")).cast("long").alias(

@@ -1364,7 +1364,11 @@ def ivfpq_tune_nprobe(
     pair — ``n_queries x len(n_probes)`` driver-issued jobs, each
     scanning only its probed cells — against the routing curve's
     single corpus scan; leave ``codebooks`` unset for the cheap
-    routing-only report.
+    routing-only report.  The ADC pass also leaves the tiny exact
+    top-k frame (``n_queries x k`` ids) persisted
+    (MEMORY_AND_DISK) because the RETURNED frame still reads it at
+    the caller's action time — LRU eviction reclaims the cache,
+    lineage recovers it.
 
     Determinism: the probe set is the ``n_queries`` smallest
     ``(md5(id), id)`` rows (engine-portable, same selection as the
@@ -1476,7 +1480,14 @@ def ivfpq_tune_nprobe(
     adc = None
     if codebooks is not None:
         # end-to-end serve-and-compare: bounded driver loop, one
-        # probed-cells-only ivfpq_topk job per (query, n_probe) pair
+        # probed-cells-only ivfpq_topk job per (query, n_probe) pair.
+        # `exact` (n_queries x k ids, tiny) feeds BOTH the driver-side
+        # collect below and the returned frame's with_cell branch, so
+        # it stays persisted for the returned frame's lifetime —
+        # unpersisting before the caller's action would recompute the
+        # exact-top-k corpus scan (MEMORY_AND_DISK default; LRU
+        # eviction reclaims it, lineage recovers it — the
+        # _blocked_posting precedent in dedup.py)
         exact = exact.persist()
         ex_ids: dict = {}
         for r in exact.collect():
@@ -1511,7 +1522,6 @@ def ivfpq_tune_nprobe(
             "adc_recall",
             F.col("adc_n_hits").cast("double") / F.lit(float(k)),
         )
-        exact.unpersist()
     else:
         out = out.withColumn(
             "adc_n_hits", F.lit(None).cast("long")

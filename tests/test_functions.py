@@ -356,6 +356,24 @@ def test_duplicate_components_restores_checkpoint_dir(spark, tmp_path):
     assert "prior" in after.get() and "other" not in after.get()
 
 
+def test_duplicate_components_clears_checkpoint_dir_when_none(
+    spark, tmp_path
+):
+    from dbldatagen_spark.functions import duplicate_components
+
+    # when the session had NO checkpoint dir, the override must be
+    # CLEARED on return, not left pointing at the call's dir (a
+    # lasting session-level side effect)
+    sc = spark.sparkContext
+    sc._jsc.sc().setCheckpointDir(None)
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    duplicate_components(
+        pairs, checkpoint_dir=str(tmp_path / "ephemeral")
+    ).collect()
+    assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+
 class TestSessionize:
     @staticmethod
     def _norm(df):
@@ -7405,6 +7423,45 @@ class TestParagraphDedup:
                 df.withColumn("n_paragraphs", F.lit(1)), "doc_id", "text"
             )
 
+    def test_minhash_negative_id_raises(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        # the corpus-order pid needs non-negative ids; the eager
+        # min(id) guard raises instead of silently mis-ordering
+        df = spark.createDataFrame(
+            [(-5, "some body of text"), (1, "other body here")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ValueError, match="negative"):
+            paragraph_dedup(df, "doc_id", "text", method="minhash")
+        # exact arm is id-agnostic
+        assert paragraph_dedup(
+            df, "doc_id", "text", method="exact"
+        ).count() == 2
+
+    def test_minhash_13_digit_ids_keep_corpus_order(self, spark):
+        from dbldatagen_spark.functions import paragraph_dedup
+
+        # 999_999_999_999 (12 digits) < 1_000_000_000_000 (13): under
+        # a %012d key the 13-digit id overflows its field and sorts
+        # FIRST ('1...' < '9...'), inverting the survivor; the %019d
+        # key keeps corpus order for any non-negative int64
+        dup = "the shared paragraph body words here"
+        df = spark.createDataFrame(
+            [
+                (999_999_999_999, f"{dup}\n\nunique small doc tail"),
+                (1_000_000_000_000, f"{dup}\n\nsolo big ending line"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in paragraph_dedup(
+            df, "doc_id", "text", method="minhash"
+        ).collect()}
+        assert out[999_999_999_999]["n_paragraphs_removed"] == 0
+        assert out[1_000_000_000_000]["n_paragraphs_removed"] == 1
+        assert out[1_000_000_000_000]["deduped_text"] == \
+            "solo big ending line"
+
 
 class TestIvfpqTuneNprobe:
     @pytest.fixture(scope="class")
@@ -7525,6 +7582,40 @@ class TestIvfpqTuneNprobe:
                 idx, emb, "vec_id", "v", cents, k=0
             )
 
+    def test_adc_keeps_exact_cached_for_returned_frame(self, spark):
+        """The ADC arm persists the exact top-k frame for BOTH its
+        driver-side collect AND the returned frame's with_cell branch;
+        unpersisting before the caller's action would recompute the
+        exact-top-k corpus scan at action time."""
+        from dbldatagen_spark.functions import (
+            ivfpq_build, ivfpq_tune_nprobe,
+        )
+
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        idx, cents, cb = ivfpq_build(
+            emb, "vec_id", "v", n_cells=4, m=8, k=16,
+            coarse_max_iter=3, pq_max_iter=3,
+        )
+        spark.catalog.clearCache()
+        rep = ivfpq_tune_nprobe(
+            idx, emb, "vec_id", "v", cents, k=5,
+            n_probes=(1, 4), n_queries=2, codebooks=cb,
+        )
+        try:
+            # exact was materialized by the adc loop and must STILL
+            # hold storage blocks when the tuner returns
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            assert len(infos) > 0
+            rows = rep.collect()
+            assert len(rows) == 4
+            assert all(r["adc_n_hits"] is not None for r in rows)
+        finally:
+            spark.catalog.clearCache()
+
 
 class TestLengthBucketBatches:
     def _counts(self, spark):
@@ -7622,6 +7713,29 @@ class TestLengthBucketBatches:
                 df, "id", "t", bucket_boundaries=(32,), batch_tokens=10,
                 num_shards=0)
 
+    def test_plan_integer_div_and_invalid_rows_skip_window(self, spark):
+        from dbldatagen_spark.functions import length_bucket_batches
+
+        out = length_bucket_batches(
+            self._counts(spark), "id", "t",
+            bucket_boundaries=(32, 64), batch_tokens=128,
+        )
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        # batch_index is integral 'div', matching pos_in_batch and the
+        # oracle — double division drifts once (_rn - 1) leaves the
+        # exact-integer range of a double
+        assert " div " in plan
+        assert "as double) /" not in plan
+        # invalid rows (NULL bucket) are filtered out BELOW the
+        # row_number window and unioned back — they never collect in
+        # one unsplittable (NULL, NULL) window partition.  Catalyst
+        # pushes the bucket-validity filter all the way to the source
+        # predicate (isnotnull(t) AND t >= 0), so assert the split
+        # shape: a Union whose single row_number branch is filtered
+        assert "Union" in plan
+        assert plan.count("row_number") == 1
+        assert "(t#" in plan and ">= 0" in plan
+
 
 class TestPagerank:
     EDGES = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"),
@@ -7686,6 +7800,38 @@ class TestPagerank:
             pagerank(edges, "s", "d", scale=0)
         with pytest.raises(ValueError, match="int64 headroom"):
             pagerank(edges, "s", "d", scale=10**13)
+
+    def test_checkpoint_dir_cleared_when_none_before(self, spark, tmp_path):
+        from dbldatagen_spark.functions import pagerank
+
+        # when the session had NO checkpoint dir, the override must be
+        # cleared on return — not left as a session-level side effect
+        sc = spark.sparkContext
+        sc._jsc.sc().setCheckpointDir(None)
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
+        edges = spark.createDataFrame(self.EDGES, "s string, d string")
+        pagerank(
+            edges, "s", "d", iterations=2,
+            checkpoint_dir=str(tmp_path / "pr"),
+        ).collect()
+        assert not sc._jsc.sc().getCheckpointDir().isDefined()
+
+    def test_checkpoint_dir_restored_when_set_before(self, spark, tmp_path):
+        from dbldatagen_spark.functions import pagerank
+
+        sc = spark.sparkContext
+        sc.setCheckpointDir(str(tmp_path / "prior"))
+        try:
+            edges = spark.createDataFrame(self.EDGES, "s string, d string")
+            pagerank(
+                edges, "s", "d", iterations=2,
+                checkpoint_dir=str(tmp_path / "other"),
+            ).collect()
+            after = sc._jsc.sc().getCheckpointDir()
+            assert after.isDefined()
+            assert "prior" in after.get() and "other" not in after.get()
+        finally:
+            sc._jsc.sc().setCheckpointDir(None)
 
 
 class TestPagerankWeighted:
