@@ -339,3 +339,119 @@ def length_bucket_batches(
         ),
         (cap_l - F.col("n_tokens")).alias("pad_tokens"),
     )
+
+
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    group_col=None,
+    n_buckets: int = 3,
+    n_bins: int = 1024,
+    num_shards: int = 16,
+    seed: int = 42,
+    hash_mode: str = "md5",
+    easy_high: bool = False,
+    bucket_col: str = "difficulty",
+) -> DataFrame:
+    """Curriculum-learning layout: deterministic difficulty-ordered
+    shard assignment (Bengio et al. 2009 curriculum ordering, at
+    corpus scale).  Documents are bucketed into ``n_buckets``
+    difficulty bands by score quantile
+    (:func:`~dbldatagen_spark.functions.curation.score_buckets` —
+    histogram thresholds, no per-group global sort), then SHUFFLED
+    within each band by a seeded content-free hash so a training run
+    consumes bands easiest -> hardest while the order inside a band
+    stays decorrelated from ingestion order.  ``difficulty`` is
+    1..n_buckets in TRAINING order: with the default ``easy_high=
+    False`` a LOW score is easy (score = perplexity/loss convention);
+    pass ``easy_high=True`` when a HIGH score is easy (score =
+    quality/confidence convention) — the quantile band is flipped so
+    difficulty 1 is always what the curriculum consumes first.
+
+    Returns one row per input row: ``(id, <bucket_col>, shard,
+    position)`` — ``shard`` the seeded hash shard inside the
+    difficulty band, ``position`` the 0-based rank within ``(band,
+    shard)`` by the seeded order key.  A reader walks ``difficulty``
+    ascending and, inside a band, interleaves its ``num_shards``
+    shard streams by ``position`` — fully deterministic, any engine
+    replays every column (``hash_mode="md5"`` is engine-portable, the
+    :func:`~dbldatagen_spark.functions.sampling.split_assign` trick).
+    Rows whose score is NULL/NaN/+-inf get NULL for all three
+    assignment columns (excluded from the curriculum, never dropped).
+
+    Scale shape: bucketing shuffles only ``(group, bin)`` keys
+    (histogram thresholds + broadcast assignment); the ordering pass
+    is ONE shuffle keyed by ``(difficulty, shard)`` carrying ids and
+    hashes — never text — and sharding inside each band is what keeps
+    this off the one-task-per-band global sort (a 3-band corpus would
+    otherwise sort ~1/3 of 100 TB in a single task; the
+    :func:`length_bucket_batches` skew discipline).  Invalid rows
+    never enter the window.
+    """
+    if num_shards < 1:
+        raise ValueError(f"num_shards must be >= 1, got {num_shards}")
+    added = {bucket_col, "shard", "position"}
+    clashes = sorted(added & set(df.columns))
+    if clashes:
+        raise ValueError(
+            f"curriculum_order: output column(s) {clashes} already "
+            f"exist on the input — rename them or pass a different "
+            f"bucket_col"
+        )
+    from dbldatagen_spark.functions.curation import score_buckets
+
+    bucketed = score_buckets(
+        df, id_col, score_col,
+        group_col=group_col, n_buckets=n_buckets, n_bins=n_bins,
+        bucket_col="_cb",
+    )
+    raw_bucket = F.col("_cb")
+    # flip so difficulty 1 is ALWAYS the first band a curriculum
+    # consumes: score_buckets' band 1 is the lowest scores
+    band = (
+        (F.lit(n_buckets + 1) - raw_bucket) if easy_high else raw_bucket
+    )
+    shard = (
+        F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(num_shards))
+        if hash_mode == "xxhash64"
+        else F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(num_shards),
+        )
+    )
+    base = bucketed.select(
+        F.col(id_col),
+        band.cast("int").alias(bucket_col),
+        F.when(raw_bucket.isNotNull(), shard).cast("long").alias("shard"),
+        _order_key(id_col, seed + 1, hash_mode).alias("_ord"),
+    )
+    w = Window.partitionBy(bucket_col, "shard").orderBy(
+        F.col("_ord"), F.col(id_col)
+    )
+    ranked = (
+        base.where(F.col(bucket_col).isNotNull())
+        .withColumn("position", F.row_number().over(w) - F.lit(1))
+        .unionByName(
+            base.where(F.col(bucket_col).isNull()).withColumn(
+                "position", F.lit(None).cast("int")
+            )
+        )
+    )
+    return ranked.select(
+        F.col(id_col), F.col(bucket_col),
+        F.col("shard"), F.col("position").cast("long").alias("position"),
+    )

@@ -636,3 +636,87 @@ def temperature_token_allocation(
     return alloc.select(
         F.col(group_col), "n_docs", "n_tokens", "weight", "target_tokens"
     )
+
+
+def contamination_aware_split(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    fractions: dict,
+    *,
+    bench_text_col: str = None,
+    n: int = 8,
+    min_shared: int = 1,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    out_col: str = "split",
+    quarantine_label: str = "quarantined",
+    shared_col: str = "n_shared_ngrams",
+) -> DataFrame:
+    """Contamination-aware train/val/test split: compose
+    :func:`split_assign` with
+    :func:`~dbldatagen_spark.functions.dedup.ngram_contamination` so
+    documents that LEAK benchmark content never land in ANY training
+    split — the one-pass decontaminating splitter every eval-aware
+    pipeline runs (GPT-3 appendix C / PaLM-style n-gram overlap
+    decontamination, fused with the deterministic split).
+
+    Every row first gets its provisional content-free hash split from
+    ``fractions`` (stable under repartitioning, re-runs, appends —
+    the :func:`split_assign` contract); rows sharing >= ``min_shared``
+    distinct word ``n``-grams with any ``benchmark`` document are then
+    rerouted to ``quarantine_label`` regardless of their provisional
+    label, with the overlap count in ``shared_col`` (NULL for clean
+    rows).  Quarantining from EVERY split — not just train — keeps
+    the invariant auditable downstream: zero contaminated ids in any
+    consumable split, and the quarantine set carries its own evidence
+    column for review or re-admission.
+
+    ``benchmark`` needs only a text column (``bench_text_col``
+    defaults to ``text_col``); its ids never matter because the check
+    is "does this training doc contain ANY benchmark n-gram".
+
+    Returns the input columns plus ``out_col`` and ``shared_col``.
+
+    Scale shape: the provisional split is a scan-local expression
+    (zero shuffles); contamination reduces both sides to 8-byte
+    n-gram-hash postings before the only content-keyed shuffle (the
+    benchmark side deduplicates its gram set first — eval suites are
+    tiny next to the corpus, so the posting join's build side stays
+    small); the final reroute is one id-keyed left join of the
+    contaminated-id frame (bounded by the test-leak rate, not the
+    corpus).  Document bodies cross the wire exactly never.
+    """
+    if quarantine_label in fractions:
+        raise ValueError(
+            f"quarantine_label {quarantine_label!r} collides with a "
+            f"fractions key — pick a distinct label"
+        )
+    for c in (out_col, shared_col):
+        if c in df.columns:
+            raise ValueError(
+                f"contamination_aware_split: output column {c!r} "
+                f"already exists on the input — rename it or pass a "
+                f"different out_col/shared_col"
+            )
+    from dbldatagen_spark.functions.dedup import ngram_contamination
+
+    bt = bench_text_col or text_col
+    bench = benchmark.select(F.col(bt).alias(text_col))
+    provisional = split_assign(
+        df, id_col, fractions, seed=seed, hash_mode=hash_mode,
+        out_col=out_col,
+    )
+    leaked = ngram_contamination(
+        bench, df.select(F.col(id_col), F.col(text_col)),
+        id_col, text_col, n=n, min_shared=min_shared,
+    ).select(F.col(id_col), F.col("n_shared_ngrams").alias(shared_col))
+    joined = provisional.join(leaked, id_col, "left")
+    return joined.select(
+        *[provisional[c] for c in df.columns],
+        F.when(F.col(shared_col).isNotNull(), F.lit(quarantine_label))
+        .otherwise(F.col(out_col))
+        .alias(out_col),
+        F.col(shared_col),
+    )

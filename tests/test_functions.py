@@ -7892,3 +7892,275 @@ class TestPagerankWeighted:
         )
         with pytest.raises(ValueError, match="headroom"):
             pagerank(big, "s", "d", weight_col="w", iterations=1)
+
+
+class TestHostAuthority:
+    LINKS = [
+        # page-level links; a.com gets www/case/scheme/port noise that
+        # canonicalization must collapse into ONE host
+        ("HTTP://WWW.A.com/x?utm_source=1", "https://b.com/y"),
+        ("https://a.com:443/z", "https://b.com/y2"),
+        ("https://A.COM./w", "http://b.com:80/y3"),
+        ("https://b.com/p", "http://c.com/q"),
+        ("https://c.com/r", "https://a.com/s"),
+        ("https://a.com/self", "https://www.a.com/self2"),  # self-link
+        ("not a url at all", "https://b.com/oops"),         # bad src
+        (None, "https://b.com/null"),
+    ]
+
+    def _py_replay(self, iterations=3):
+        # host edges after canonicalization + self-link drop:
+        # a->b weight 3, b->c 1, c->a 1
+        agg = {("a.com", "b.com"): 3, ("b.com", "c.com"): 1,
+               ("c.com", "a.com"): 1}
+        W = {"a.com": 3, "b.com": 1, "c.com": 1}
+        scale, dp = 10**12, 850_000
+        nodes = ["a.com", "b.com", "c.com"]
+        u = {x: scale // 3 for x in nodes}
+        base = (scale // 3) * (1_000_000 - dp) // 1_000_000
+        for _ in range(iterations):
+            nu = {x: base for x in nodes}
+            for (s, t), w in agg.items():
+                damped = (u[s] * dp) // 1_000_000
+                nu[t] += (damped // W[s]) * w + ((damped % W[s]) * w) // W[s]
+            u = nu
+        return u
+
+    def test_weighted_host_ranks_bit_exact(self, spark):
+        from dbldatagen_spark.functions import host_authority
+
+        links = spark.createDataFrame(self.LINKS, "su string, du string")
+        got = {r["host"]: r["rank_units"] for r in host_authority(
+            links, "su", "du", iterations=3).collect()}
+        assert got == self._py_replay(3)
+
+    def test_self_links_and_level_domain(self, spark):
+        from dbldatagen_spark.functions import host_authority
+
+        links = spark.createDataFrame(
+            [("https://blog.shop.co.uk/a", "https://shop.co.uk/b"),
+             ("https://shop.co.uk/c", "https://other.com/d")],
+            "su string, du string",
+        )
+        # host level: blog.shop.co.uk -> shop.co.uk is a real edge
+        hosts = {r["host"] for r in host_authority(
+            links, "su", "du", iterations=1).collect()}
+        assert hosts == {"blog.shop.co.uk", "shop.co.uk", "other.com"}
+        # domain level: both collapse into shop.co.uk (PSL two-level
+        # suffix), so the intra-domain link drops as a self-link
+        dom = {r["domain"] for r in host_authority(
+            links, "su", "du", level="domain", iterations=1).collect()}
+        assert dom == {"shop.co.uk", "other.com"}
+        # keep_self_links retains the a.com self vote
+        selfy = spark.createDataFrame(
+            [("https://a.com/x", "https://www.a.com/y"),
+             ("https://a.com/z", "https://b.com/w")],
+            "su string, du string",
+        )
+        withself = {r["host"] for r in host_authority(
+            selfy, "su", "du", keep_self_links=True, iterations=1
+        ).collect()}
+        assert withself == {"a.com", "b.com"}
+
+    def test_weight_col_and_partition_stability(self, spark):
+        from dbldatagen_spark.functions import host_authority
+
+        links = spark.createDataFrame(
+            [("https://a.com/1", "https://b.com/1", 5),
+             ("https://a.com/2", "https://b.com/2", 3),
+             ("https://b.com/3", "https://a.com/3", 2),
+             ("https://a.com/4", "https://c.com/4", 0)],  # dropped
+            "su string, du string, w long",
+        )
+        a = sorted(map(tuple, host_authority(
+            links.repartition(2), "su", "du", weight_col="w",
+            iterations=4).collect()))
+        b = sorted(map(tuple, host_authority(
+            links.repartition(7), "su", "du", weight_col="w",
+            iterations=4).collect()))
+        assert a == b
+        assert {r[0] for r in a} == {"a.com", "b.com"}
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import host_authority
+
+        links = spark.createDataFrame(
+            [("https://a.com/1", "https://b.com/1")], "su string, du string"
+        )
+        with pytest.raises(ValueError, match="level"):
+            host_authority(links, "su", "du", level="page")
+
+
+class TestCurriculumOrder:
+    def _scores(self, spark):
+        rows = [(i, float((i * 13) % 100)) for i in range(60)]
+        rows += [(200, None), (201, float("nan"))]
+        return spark.createDataFrame(rows, "id long, s double")
+
+    def test_band_monotone_and_positions_dense(self, spark):
+        from dbldatagen_spark.functions import curriculum_order
+
+        out = curriculum_order(
+            self._scores(spark), "id", "s",
+            n_buckets=3, n_bins=100, num_shards=2,
+        ).collect()
+        scores = {i: float((i * 13) % 100) for i in range(60)}
+        by_band = {}
+        for r in out:
+            if r["difficulty"] is not None:
+                by_band.setdefault(r["difficulty"], []).append(
+                    scores[r["id"]]
+                )
+        assert sorted(by_band) == [1, 2, 3]
+        # quantile bands: every band-1 score <= every band-2 score, etc.
+        assert max(by_band[1]) <= min(by_band[2])
+        assert max(by_band[2]) <= min(by_band[3])
+        # positions dense 0..k-1 within (band, shard)
+        per = {}
+        for r in out:
+            if r["difficulty"] is not None:
+                per.setdefault((r["difficulty"], r["shard"]), []).append(
+                    r["position"]
+                )
+        for k, v in per.items():
+            assert sorted(v) == list(range(len(v))), (k, v)
+        # invalid scores: NULL assignments, rows retained
+        nulls = {r["id"]: r for r in out if r["difficulty"] is None}
+        assert set(nulls) == {200, 201}
+        for r in nulls.values():
+            assert r["shard"] is None and r["position"] is None
+
+    def test_md5_shard_replay_and_flip(self, spark):
+        from dbldatagen_spark.functions import curriculum_order
+        import hashlib
+
+        df = self._scores(spark)
+        out = {r["id"]: r for r in curriculum_order(
+            df, "id", "s", n_buckets=3, n_bins=100, num_shards=4,
+            seed=7,
+        ).collect()}
+        for i in range(60):
+            h = hashlib.md5(f"7-{i}".encode()).hexdigest()
+            assert out[i]["shard"] == int(h[:15], 16) % 4
+        hi = {r["id"]: r["difficulty"] for r in curriculum_order(
+            df, "id", "s", n_buckets=3, n_bins=100, num_shards=4,
+            seed=7, easy_high=True,
+        ).collect()}
+        for i in range(60):
+            assert hi[i] == 4 - out[i]["difficulty"]
+
+    def test_partition_stability_and_plan_shape(self, spark):
+        from dbldatagen_spark.functions import curriculum_order
+
+        df = self._scores(spark)
+        kw = dict(n_buckets=4, n_bins=64, num_shards=3)
+        a = sorted(map(tuple, curriculum_order(
+            df.repartition(3), "id", "s", **kw).collect()), key=str)
+        b = sorted(map(tuple, curriculum_order(
+            df.repartition(9), "id", "s", **kw).collect()), key=str)
+        assert a == b
+        # skew discipline at birth: the position window runs over
+        # valid rows only (Union with the NULL-band branch), never
+        # over one pooled NULL partition
+        plan = curriculum_order(
+            df, "id", "s", **kw
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" in plan
+        assert plan.count("row_number") == 1
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import curriculum_order
+
+        df = self._scores(spark)
+        with pytest.raises(ValueError, match="num_shards"):
+            curriculum_order(df, "id", "s", num_shards=0)
+        with pytest.raises(ValueError, match="already exist"):
+            curriculum_order(
+                df.withColumn("position", F.lit(1)), "id", "s"
+            )
+
+
+class TestContaminationAwareSplit:
+    def _frames(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"unique training document {i} body alpha beta gamma "
+                 f"delta epsilon {i * 7}") for i in range(30)]
+            + [(100, "the secret benchmark passage about rare quantum "
+                     "turtles swimming backwards forever")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame(
+            [(1, "q: what of rare quantum turtles swimming backwards "
+                 "forever and ever?")],
+            "bid long, btext string",
+        )
+        return docs, bench
+
+    def test_quarantine_and_clean_match_split_assign(self, spark):
+        from dbldatagen_spark.functions import (
+            contamination_aware_split, split_assign,
+        )
+
+        docs, bench = self._frames(spark)
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        out = {r["doc_id"]: r for r in contamination_aware_split(
+            docs, "doc_id", "text", bench, fr,
+            bench_text_col="btext", n=5, hash_mode="md5",
+        ).collect()}
+        plain = {r["doc_id"]: r["split"] for r in split_assign(
+            docs, "doc_id", fr, hash_mode="md5"
+        ).collect()}
+        # leaked doc is quarantined whatever its provisional label
+        assert out[100]["split"] == "quarantined"
+        assert out[100]["n_shared_ngrams"] >= 1
+        # clean docs keep their exact split_assign label, NULL count
+        for i in range(30):
+            assert out[i]["split"] == plain[i]
+            assert out[i]["n_shared_ngrams"] is None
+        # the auditable invariant: no contaminated id outside quarantine
+        assert all(
+            r["split"] == "quarantined"
+            for r in out.values() if r["n_shared_ngrams"] is not None
+        )
+
+    def test_min_shared_threshold(self, spark):
+        from dbldatagen_spark.functions import contamination_aware_split
+
+        docs, bench = self._frames(spark)
+        # doc 100 shares 3 distinct 5-grams; min_shared=4 clears it
+        out = {r["doc_id"]: r["split"] for r in contamination_aware_split(
+            docs, "doc_id", "text", bench,
+            {"train": 1.0}, bench_text_col="btext", n=5, min_shared=4,
+        ).collect()}
+        assert out[100] == "train"
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import contamination_aware_split
+
+        docs, bench = self._frames(spark)
+        fr = {"train": 0.5, "holdout": 0.5}
+        a = sorted(map(tuple, contamination_aware_split(
+            docs.repartition(3), "doc_id", "text", bench, fr,
+            bench_text_col="btext", n=5,
+        ).collect()), key=str)
+        b = sorted(map(tuple, contamination_aware_split(
+            docs.repartition(8), "doc_id", "text", bench, fr,
+            bench_text_col="btext", n=5,
+        ).collect()), key=str)
+        assert a == b
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import contamination_aware_split
+
+        docs, bench = self._frames(spark)
+        with pytest.raises(ValueError, match="collides"):
+            contamination_aware_split(
+                docs, "doc_id", "text", bench,
+                {"train": 0.5, "quarantined": 0.5},
+                bench_text_col="btext",
+            )
+        with pytest.raises(ValueError, match="already exists"):
+            contamination_aware_split(
+                docs.withColumn("split", F.lit("x")), "doc_id", "text",
+                bench, {"train": 1.0}, bench_text_col="btext",
+            )
