@@ -7034,30 +7034,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-12 rotation: growth-at-birth plus staleness refresh — the 5
-    round-12 growth rows first (corpus_token_budget_mix,
-    docs_paragraph_dedup, ann_ivfpq_nprobe_tune, docs_length_batches,
-    events_pagerank), then the r7-stale overflow from the r11 draw
-    (events_sliding_windows, events_value_quantiles,
-    events_rolling_avg), then the r8-stale cohort in ledger order from
-    events_streaming_behavior through gen_format_prefix.  Demoted: the
-    entire round-11 window — all 50 were green on their r11 exposure.
-    The r8 rows from gen_constraints onward overflow to the r13
-    draw.  The full query -> last-driver-round ledger lives in
-    ROTATION.md."""
+    Round-13 rotation: growth-at-birth plus staleness drain — the 3
+    round-13 growth rows first (web_host_authority,
+    docs_curriculum_order, docs_contamination_split), then the FULL
+    r7-stale cohort (events_cube_counts .. q10_returned_items, 16
+    rows), the FULL r8-stale cohort (gen_constraints ..
+    gen_template_expr_conformance, 8 rows), and the first 23 r9-stale
+    rows in ledger order (events_hll_distinct ..
+    multimodal_features) — once this window drains, nothing in the
+    ledger is older than r9.  Demoted: the entire round-12 window —
+    all 50 were green on their r12 exposure.  The remaining r9 rows
+    from multimodal_ppm_decode onward head the r14 draw.  The full
+    query -> last-driver-round ledger lives in ROTATION.md."""
     return {
-        # --- round-12 driver window (see ROTATION.md) ---
-        # The 5 round-12 growth rows lead (windowed at birth),
-        # then the r7-stale overflow (events_sliding_windows,
-        # events_value_quantiles, events_rolling_avg), then the
-        # r8-stale cohort in ledger order from
-        # events_streaming_behavior through gen_format_prefix.
-        # Exactly 50 entries precede the demoted marker; the r8
-        # rows from gen_constraints onward wait for the r13 draw
-        # (they head it, with any r13 growth rows).
+        # --- round-13 driver window (see ROTATION.md) ---
+        # The 3 round-13 growth rows lead (windowed at birth), then
+        # the FULL r7-stale cohort (events_cube_counts through
+        # q10_returned_items), the FULL r8-stale cohort
+        # (gen_constraints through gen_template_expr_conformance),
+        # and the first 23 r9-stale rows in ledger order
+        # (events_hll_distinct through multimodal_features) — after
+        # this window drains, nothing in the ledger is older than r9.
+        # Exactly 50 entries precede the demoted marker.
         "web_host_authority": _web_host_authority,
         "docs_curriculum_order": _docs_curriculum_order,
         "docs_contamination_split": _docs_contamination_split,
+        "events_cube_counts": _events_cube_counts,
+        "customers_set_ops": _customers_set_ops,
+        "events_unpivot_daily": _events_unpivot_daily,
+        "corpus_curation": _corpus_curation,
+        "sample_deterministic": _sample_deterministic,
+        "sample_stratified": _sample_stratified,
+        "events_rollup_daily": _events_rollup_daily,
+        "events_kmv_distinct": _events_kmv_distinct,
+        "events_cms_user_counts": _events_cms_user_counts,
+        "gen_weighted_cycle": _gen_weighted_cycle,
+        "q12_returnflag_priority": _q12_returnflag_priority,
+        "q6_forecast_revenue": _q6_forecast_revenue,
+        "q4_order_priority": _q4_order_priority,
+        "q18_large_orders": _q18_large_orders,
+        "q7_nation_volume": _q7_nation_volume,
+        "q10_returned_items": _q10_returned_items,
+        "gen_constraints": _gen_constraints,
+        "gen_template_conformance": _gen_template_conformance,
+        "gen_array_features": _gen_array_features,
+        "events_sessionize": _events_sessionize,
+        "ann_knn_join": _ann_knn_join,
+        "gen_sink_roundtrip": _gen_sink_roundtrip,
+        "gen_constraint_stream_gate": _gen_constraint_stream_gate,
+        "gen_template_expr_conformance": _gen_template_expr_conformance,
+        "events_hll_distinct": _events_hll_distinct,
+        "docs_priority_sample": _docs_priority_sample,
+        "text_bpe_pairs": _text_bpe_pairs,
+        "dedup_containment": _dedup_containment,
+        "events_interp_resample": _events_interp_resample,
+        "events_holt_trend": _events_holt_trend,
+        "dedup_containment_sketch": _dedup_containment_sketch,
+        "events_streaming_hll_sink": _events_streaming_hll_sink,
+        "events_hll_sliding": _events_hll_sliding,
+        "gen_iltext_conformance": _gen_iltext_conformance,
+        "gen_faker_conformance": _gen_faker_conformance,
+        "gen_scripts_conformance": _gen_scripts_conformance,
+        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
+        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
+        "q1_pricing_summary": _q1_pricing_summary,
+        "gen_streaming_conformance": _gen_streaming_conformance,
+        "events_asof_join": _events_asof_join,
+        "dedup_exact": _dedup_exact,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_cross_corpus": _dedup_cross_corpus,
+        "sample_split_assign": _sample_split_assign,
+        "multimodal_features": _multimodal_features,
+        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
+        # (the remaining r9-stale rows from multimodal_ppm_decode
+        # onward head the r14 draw, with any r14 growth rows)
         "corpus_token_budget_mix": _corpus_token_budget_mix,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "ann_ivfpq_nprobe_tune": _ann_ivfpq_nprobe_tune,
@@ -7108,11 +7159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_sales_order_ri": _gen_sales_order_ri,
         "gen_constant_seedfrom": _gen_constant_seedfrom,
         "gen_format_prefix": _gen_format_prefix,
-        # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the r8 rows from gen_constraints onward overflowed
-        # the 50-row window; they head the r13 draw)
-        "gen_constraints": _gen_constraints,
-        "gen_template_conformance": _gen_template_conformance,
         "ann_ivfpq_persisted": _ann_ivfpq_persisted,
         "docs_substring_dedup": _docs_substring_dedup,
         "corpus_language_routing": _corpus_language_routing,
@@ -7213,29 +7259,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_near_dup": _multimodal_image_near_dup,
         "multimodal_audio_near_dup": _multimodal_audio_near_dup,
         "multimodal_video_near_dup": _multimodal_video_near_dup,
-        "events_hll_distinct": _events_hll_distinct,
-        "docs_priority_sample": _docs_priority_sample,
-        "text_bpe_pairs": _text_bpe_pairs,
-        "dedup_containment": _dedup_containment,
-        "events_interp_resample": _events_interp_resample,
-        "events_holt_trend": _events_holt_trend,
-        "dedup_containment_sketch": _dedup_containment_sketch,
-        "events_streaming_hll_sink": _events_streaming_hll_sink,
-        "events_hll_sliding": _events_hll_sliding,
-        "gen_iltext_conformance": _gen_iltext_conformance,
-        "gen_faker_conformance": _gen_faker_conformance,
-        "gen_scripts_conformance": _gen_scripts_conformance,
-        "gen_serialization_roundtrip": _gen_serialization_roundtrip,
-        "gen_analyzer_codegen_roundtrip": _gen_analyzer_codegen_roundtrip,
-        "q1_pricing_summary": _q1_pricing_summary,
-        "gen_streaming_conformance": _gen_streaming_conformance,
-        "events_asof_join": _events_asof_join,
-        "dedup_exact": _dedup_exact,
-        "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_cross_corpus": _dedup_cross_corpus,
-        "sample_split_assign": _sample_split_assign,
-        "multimodal_features": _multimodal_features,
         "multimodal_ppm_decode": _multimodal_ppm_decode,
         "multimodal_type_sniffing": _multimodal_type_sniffing,
         "text_quality": _text_quality,
@@ -7263,28 +7286,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_gap_fill": _events_gap_fill,
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
-        "gen_array_features": _gen_array_features,
-        "events_sessionize": _events_sessionize,
-        "ann_knn_join": _ann_knn_join,
-        "gen_sink_roundtrip": _gen_sink_roundtrip,
-        "gen_constraint_stream_gate": _gen_constraint_stream_gate,
-        "gen_template_expr_conformance": _gen_template_expr_conformance,
-        "events_cube_counts": _events_cube_counts,
-        "customers_set_ops": _customers_set_ops,
-        "events_unpivot_daily": _events_unpivot_daily,
-        "corpus_curation": _corpus_curation,
-        "sample_deterministic": _sample_deterministic,
-        "sample_stratified": _sample_stratified,
-        "events_rollup_daily": _events_rollup_daily,
-        "events_kmv_distinct": _events_kmv_distinct,
-        "events_cms_user_counts": _events_cms_user_counts,
-        "gen_weighted_cycle": _gen_weighted_cycle,
-        "q12_returnflag_priority": _q12_returnflag_priority,
-        "q6_forecast_revenue": _q6_forecast_revenue,
-        "q4_order_priority": _q4_order_priority,
-        "q18_large_orders": _q18_large_orders,
-        "q7_nation_volume": _q7_nation_volume,
-        "q10_returned_items": _q10_returned_items,
     }
 
 

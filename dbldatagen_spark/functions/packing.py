@@ -354,6 +354,7 @@ def curriculum_order(
     hash_mode: str = "md5",
     easy_high: bool = False,
     bucket_col: str = "difficulty",
+    cache: bool = True,
 ) -> DataFrame:
     """Curriculum-learning layout: deterministic difficulty-ordered
     shard assignment (Bengio et al. 2009 curriculum ordering, at
@@ -388,7 +389,13 @@ def curriculum_order(
     this off the one-task-per-band global sort (a 3-band corpus would
     otherwise sort ~1/3 of 100 TB in a single task; the
     :func:`length_bucket_batches` skew discipline).  Invalid rows
-    never enter the window.
+    never enter the window: the valid and invalid branches both read
+    the bucketed frame, so it is persisted by default
+    (MEMORY_AND_DISK — narrow (id, band, shard, hash) rows only;
+    LRU-evicted and lineage-recoverable) rather than re-running
+    score_buckets' histogram subtree once per branch; pass
+    ``cache=False`` to keep the operator fully stateless (the
+    minhash-signature cache precedent).
     """
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
@@ -439,6 +446,8 @@ def curriculum_order(
         F.when(raw_bucket.isNotNull(), shard).cast("long").alias("shard"),
         _order_key(id_col, seed + 1, hash_mode).alias("_ord"),
     )
+    if cache:
+        base = base.persist()
     w = Window.partitionBy(bucket_col, "shard").orderBy(
         F.col("_ord"), F.col(id_col)
     )

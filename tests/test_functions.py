@@ -8068,6 +8068,36 @@ class TestCurriculumOrder:
         assert "Union" in plan
         assert plan.count("row_number") == 1
 
+    def test_cache_knob_and_stateless_mode(self, spark):
+        from dbldatagen_spark.functions import curriculum_order
+
+        df = self._scores(spark)
+        spark.catalog.clearCache()
+        try:
+            cached = curriculum_order(
+                df, "id", "s", n_buckets=3, n_bins=32, num_shards=2
+            )
+            cached.count()
+            # the shared bucketed frame holds storage blocks: both the
+            # valid-branch window and the invalid branch read it
+            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            assert len(infos) > 0
+            a = sorted(map(tuple, cached.collect()), key=str)
+            spark.catalog.clearCache()
+            plain = curriculum_order(
+                df, "id", "s", n_buckets=3, n_bins=32, num_shards=2,
+                cache=False,
+            )
+            b = sorted(map(tuple, plain.collect()), key=str)
+            assert a == b
+            # stateless mode left no storage behind
+            assert len(
+                spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            ) == 0
+        finally:
+            spark.catalog.clearCache()
+
+
     def test_validation(self, spark):
         from dbldatagen_spark.functions import curriculum_order
 
