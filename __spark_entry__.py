@@ -7029,36 +7029,57 @@ def _docs_contamination_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split", "n_shared_ngrams").orderBy("doc_id")
 
 
+def _corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-equity report (round 13): per-language BPE fertility
+    (tokens per word) and chars-per-token compression under the
+    text_bpe_encode merge table — the XLM-R/NLLB multilingual
+    fairness metric that temperature mixing and vocabulary
+    re-allocation decisions consume.  The encode is map-only literal
+    replaces, the report ONE map-side-combined aggregate of (lang,
+    three longs); each ratio is one fixed-form IEEE division of
+    exact longs, so the oracle replays every cell bit-for-bit."""
+    from dbldatagen_spark.functions import tokenizer_fertility
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e")]
+    return tokenizer_fertility(
+        docs, "text", merges, group_col="lang"
+    ).orderBy("group")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-13 rotation: growth-at-birth plus staleness drain — the 3
+    Round-13 rotation: growth-at-birth plus staleness drain — the 4
     round-13 growth rows first (web_host_authority,
-    docs_curriculum_order, docs_contamination_split), then the FULL
-    r7-stale cohort (events_cube_counts .. q10_returned_items, 16
-    rows), the FULL r8-stale cohort (gen_constraints ..
-    gen_template_expr_conformance, 8 rows), and the first 23 r9-stale
+    docs_curriculum_order, docs_contamination_split,
+    corpus_tokenizer_fertility), then the FULL r7-stale cohort
+    (events_cube_counts .. q10_returned_items, 16 rows), the FULL
+    r8-stale cohort (gen_constraints ..
+    gen_template_expr_conformance, 8 rows), and the first 22 r9-stale
     rows in ledger order (events_hll_distinct ..
-    multimodal_features) — once this window drains, nothing in the
+    sample_split_assign) — once this window drains, nothing in the
     ledger is older than r9.  Demoted: the entire round-12 window —
     all 50 were green on their r12 exposure.  The remaining r9 rows
-    from multimodal_ppm_decode onward head the r14 draw.  The full
+    from multimodal_features onward head the r14 draw.  The full
     query -> last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-13 driver window (see ROTATION.md) ---
-        # The 3 round-13 growth rows lead (windowed at birth), then
+        # The 4 round-13 growth rows lead (windowed at birth), then
         # the FULL r7-stale cohort (events_cube_counts through
         # q10_returned_items), the FULL r8-stale cohort
         # (gen_constraints through gen_template_expr_conformance),
-        # and the first 23 r9-stale rows in ledger order
-        # (events_hll_distinct through multimodal_features) — after
+        # and the first 22 r9-stale rows in ledger order
+        # (events_hll_distinct through sample_split_assign) — after
         # this window drains, nothing in the ledger is older than r9.
         # Exactly 50 entries precede the demoted marker.
         "web_host_authority": _web_host_authority,
         "docs_curriculum_order": _docs_curriculum_order,
         "docs_contamination_split": _docs_contamination_split,
+        "corpus_tokenizer_fertility": _corpus_tokenizer_fertility,
         "events_cube_counts": _events_cube_counts,
         "customers_set_ops": _customers_set_ops,
         "events_unpivot_daily": _events_unpivot_daily,
@@ -7105,10 +7126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_cross_corpus": _dedup_cross_corpus,
         "sample_split_assign": _sample_split_assign,
-        "multimodal_features": _multimodal_features,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the remaining r9-stale rows from multimodal_ppm_decode
+        # (the remaining r9-stale rows from multimodal_features
         # onward head the r14 draw, with any r14 growth rows)
+        "multimodal_features": _multimodal_features,
         "corpus_token_budget_mix": _corpus_token_budget_mix,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
         "ann_ivfpq_nprobe_tune": _ann_ivfpq_nprobe_tune,
@@ -11003,6 +11024,57 @@ def _oracle_sql_base() -> dict[str, str]:
                    CAST(COALESCE(MAX(agg.n_words), 0) AS BIGINT) AS n_words,
                    CAST(COALESCE(MAX(agg.n_tokens), 0) AS BIGINT)
                      AS n_tokens
+            FROM documents d LEFT JOIN agg ON d.lang = agg.lang
+            GROUP BY d.lang
+            ORDER BY d.lang
+        """,
+        # the text_bpe_encode merge table applied per word, plus char
+        # counts: fertility and compression are one IEEE division
+        # each of exact longs — replayed to the bit
+        "corpus_tokenizer_fertility": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS w
+                FROM documents
+            ),
+            nz AS (SELECT * FROM w WHERE w <> ''),
+            e AS (
+                SELECT doc_id, lang, length(w)::BIGINT AS n_ch,
+                       len(list_filter(string_split(
+                           replace(replace(replace(replace(replace(
+                           replace(replace(replace(
+                               ' ' || array_to_string(
+                                   string_split(w, ''), ' '),
+                           ' t h', ' th'), ' th e', ' the'),
+                           ' i n', ' in'), ' a n', ' an'),
+                           ' an d', ' and'), ' e r', ' er'),
+                           ' o n', ' on'), ' r e', ' re'),
+                       ' '), x -> x <> '')) AS n_tok
+                FROM nz
+            ),
+            agg AS (
+                SELECT lang, count(*) AS n_words,
+                       CAST(SUM(n_ch) AS BIGINT) AS n_chars,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM e GROUP BY lang
+            )
+            SELECT d.lang AS "group",
+                   count(*)::BIGINT AS n_docs,
+                   CAST(COALESCE(MAX(agg.n_words), 0) AS BIGINT)
+                     AS n_words,
+                   CAST(COALESCE(MAX(agg.n_chars), 0) AS BIGINT)
+                     AS n_chars,
+                   CAST(COALESCE(MAX(agg.n_tokens), 0) AS BIGINT)
+                     AS n_tokens,
+                   CASE WHEN COALESCE(MAX(agg.n_words), 0) > 0 THEN
+                       CAST(MAX(agg.n_tokens) AS DOUBLE)
+                           / CAST(MAX(agg.n_words) AS DOUBLE)
+                   END AS tokens_per_word,
+                   CASE WHEN COALESCE(MAX(agg.n_tokens), 0) > 0 THEN
+                       CAST(MAX(agg.n_chars) AS DOUBLE)
+                           / CAST(MAX(agg.n_tokens) AS DOUBLE)
+                   END AS chars_per_token
             FROM documents d LEFT JOIN agg ON d.lang = agg.lang
             GROUP BY d.lang
             ORDER BY d.lang

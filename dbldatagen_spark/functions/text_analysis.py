@@ -1119,6 +1119,93 @@ def bpe_encode(
     ).drop(tmp)
 
 
+def tokenizer_fertility(
+    df: DataFrame,
+    text_col: str,
+    merges,
+    *,
+    group_col: "Optional[str]" = None,
+    max_merges: int = 128,
+    checkpoint_chunk: "Optional[int]" = None,
+) -> DataFrame:
+    """Tokenizer-equity report: per-group (typically per-language)
+    FERTILITY — BPE tokens per word — and chars-per-token compression
+    under a given merge table.  This is the standard multilingual
+    tokenizer-fairness metric (the XLM-R / NLLB analyses): a language
+    whose fertility runs 2-3x the corpus median is under-served by
+    the vocabulary, pays that multiple in sequence length and compute
+    per sentence, and is exactly what temperature mixing
+    (:func:`~dbldatagen_spark.functions.sampling.
+    temperature_token_allocation`) and vocabulary re-allocation
+    decisions need measured, not guessed.
+
+    Word model matches :func:`bpe_encode` exactly: words are
+    lowercase alphabetic runs, everything else delimits.  Returns one
+    row per group: ``(group, n_docs, n_words, n_chars, n_tokens,
+    tokens_per_word, chars_per_token)`` — counts are exact longs
+    (NULL text contributes zero words/chars/tokens but still counts
+    in ``n_docs``), each ratio ONE fixed-form IEEE division (NULL
+    when its denominator is zero), so any engine replays every cell.
+    Without ``group_col`` one corpus-wide row is returned (``group``
+    = ``'__all__'``).
+
+    Scale shape: the encode is MAP-ONLY (one literal replace node per
+    merge — the :func:`bpe_encode` plan-width guard applies,
+    ``checkpoint_chunk`` opts wider tables into the chunked path) and
+    the report is ONE map-side-combined aggregate shuffling group
+    keys plus three longs; document text never leaves its scan.  At
+    100 TB this is the same single-pass shape as ``corpus_stats``.
+    """
+    out_col = "_tf_tokens"
+    while out_col in df.columns:
+        out_col += "_"
+    encoded = bpe_encode(
+        df, text_col, merges,
+        out_col=out_col, max_merges=max_merges,
+        checkpoint_chunk=checkpoint_chunk,
+    )
+    words = F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != "",
+    )
+    n_words = F.coalesce(F.size(words), F.lit(0))
+    n_chars = F.coalesce(
+        F.aggregate(
+            words, F.lit(0), lambda acc, w: acc + F.length(w)
+        ),
+        F.lit(0),
+    )
+    n_tokens = F.coalesce(F.size(F.col(out_col)), F.lit(0))
+    # size() returns -1 for NULL arrays on some paths; clamp via
+    # greatest so NULL text is exactly zero under every Spark version
+    grp = (
+        F.col(group_col) if group_col else F.lit("__all__")
+    ).alias("group")
+    per_doc = encoded.select(
+        grp,
+        F.greatest(n_words, F.lit(0)).cast("long").alias("_w"),
+        F.greatest(n_chars, F.lit(0)).cast("long").alias("_c"),
+        F.greatest(n_tokens, F.lit(0)).cast("long").alias("_t"),
+    )
+    agg = per_doc.groupBy("group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").cast("long").alias("n_words"),
+        F.sum("_c").cast("long").alias("n_chars"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "group", "n_docs", "n_words", "n_chars", "n_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_tokens").cast("double") / F.col("n_words").cast("double"),
+        ).alias("tokens_per_word"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_chars").cast("double") / F.col("n_tokens").cast("double"),
+        ).alias("chars_per_token"),
+    )
+
+
 def _bpe_words(df: DataFrame, text_col: str, max_word_len: int) -> DataFrame:
     """Distinct lowercase alphabetic words with occurrence counts —
     the vocabulary pre-aggregation every BPE pass runs over.  The

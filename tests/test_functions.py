@@ -8194,3 +8194,97 @@ class TestContaminationAwareSplit:
                 docs.withColumn("split", F.lit("x")), "doc_id", "text",
                 bench, {"train": 1.0}, bench_text_col="btext",
             )
+
+
+class TestTokenizerFertility:
+    MERGES = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e")]
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, "en", "the thin thread and the other"),
+             (2, "en", "another band on the rim"),
+             (3, "de", "die lange leine und der rand"),
+             (4, "de", None)],
+            "id long, lang string, text string",
+        )
+
+    def test_counts_match_independent_replay(self, spark):
+        from dbldatagen_spark.functions import tokenizer_fertility
+        import re
+
+        out = {r["group"]: r for r in tokenizer_fertility(
+            self._corpus(spark), "text", self.MERGES, group_col="lang"
+        ).collect()}
+
+        def enc(word):
+            seq = "".join(" " + c for c in word)
+            for l, r in self.MERGES:
+                seq = seq.replace(f" {l} {r}", f" {l}{r}")
+            return [t for t in seq.split(" ") if t]
+
+        texts = {"en": ["the thin thread and the other",
+                        "another band on the rim"],
+                 "de": ["die lange leine und der rand"]}
+        for g, ts in texts.items():
+            nw = nc = nt = 0
+            for t in ts:
+                for w in re.split("[^a-z]+", t.lower()):
+                    if w:
+                        nw += 1
+                        nc += len(w)
+                        nt += len(enc(w))
+            r = out[g]
+            assert (r["n_words"], r["n_chars"], r["n_tokens"]) == \
+                (nw, nc, nt), (g, r)
+            assert r["tokens_per_word"] == nt / nw
+            assert r["chars_per_token"] == nc / nt
+        # NULL text: counted as a doc, contributes nothing
+        assert out["de"]["n_docs"] == 2
+
+    def test_ungrouped_and_plan_shape(self, spark):
+        from dbldatagen_spark.functions import tokenizer_fertility
+
+        rep = tokenizer_fertility(self._corpus(spark), "text", self.MERGES)
+        rows = rep.collect()
+        assert len(rows) == 1 and rows[0]["group"] == "__all__"
+        # the encode is map-only JVM expressions and the report is one
+        # map-side-combined aggregate: no Python eval, no extra wide
+        # stages beyond the single group-key exchange
+        plan = rep._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan
+        assert plan.count("Exchange") <= 2
+
+    def test_partition_stability_and_zero_denominators(self, spark):
+        from dbldatagen_spark.functions import tokenizer_fertility
+
+        df = self._corpus(spark)
+        a = sorted(map(tuple, tokenizer_fertility(
+            df.repartition(2), "text", self.MERGES, group_col="lang"
+        ).collect()), key=str)
+        b = sorted(map(tuple, tokenizer_fertility(
+            df.repartition(7), "text", self.MERGES, group_col="lang"
+        ).collect()), key=str)
+        assert a == b
+        # a group with no alphabetic words: zero counts, NULL ratios
+        empty = spark.createDataFrame(
+            [(1, "xx", "12345 !!!"), (2, "xx", None)],
+            "id long, lang string, text string",
+        )
+        r = tokenizer_fertility(
+            empty, "text", self.MERGES, group_col="lang"
+        ).collect()[0]
+        assert (r["n_docs"], r["n_words"], r["n_tokens"]) == (2, 0, 0)
+        assert r["tokens_per_word"] is None
+        assert r["chars_per_token"] is None
+
+    def test_validation_passthrough(self, spark):
+        from dbldatagen_spark.functions import tokenizer_fertility
+
+        df = self._corpus(spark)
+        with pytest.raises(ValueError, match="at least one"):
+            tokenizer_fertility(df, "text", [])
+        with pytest.raises(ValueError, match="max_merges"):
+            tokenizer_fertility(
+                df, "text", [("a", "b")] * 9, max_merges=8
+            )
