@@ -970,3 +970,203 @@ def test_pagerank_matches_independent_replay(edges, iterations, weighted):
             nu[t] += (damped // W[s]) * w + ((damped % W[s]) * w) // W[s]
         u = nu
     assert got == u
+
+
+@given(
+    scores=st.lists(
+        st.one_of(
+            st.none(),
+            st.just(float("nan")),
+            st.floats(min_value=-1e6, max_value=1e6,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    n_buckets=st.integers(min_value=2, max_value=5),
+    n_bins=st.integers(min_value=5, max_value=64),
+    num_shards=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=99),
+    easy_high=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_curriculum_order_matches_independent_replay(
+    scores, n_buckets, n_bins, num_shards, seed, easy_high
+):
+    """curriculum_order's claim is any-engine replayability of the
+    ENTIRE assignment: for random score frames (NULL/NaN drawn
+    naturally) the (band, shard, position) triple must equal a
+    from-scratch Python replay of the documented histogram bucketing
+    + md5 arithmetic + in-band ordering."""
+    import hashlib
+    import math
+
+    from dbldatagen_spark.functions import curriculum_order
+
+    rows = [(i, s) for i, s in enumerate(scores)]
+    df = _spark.createDataFrame(rows, "id long, s double")
+    got = {r["id"]: (r["difficulty"], r["shard"], r["position"])
+           for r in curriculum_order(
+               df, "id", "s", n_buckets=n_buckets, n_bins=n_bins,
+               num_shards=num_shards, seed=seed, hash_mode="md5",
+               easy_high=easy_high,
+           ).collect()}
+
+    valid = {i: s for i, s in rows
+             if s is not None and not math.isnan(s)}
+    if valid:
+        lo, hi = min(valid.values()), max(valid.values())
+        span = hi - lo
+
+        def _bin(s):
+            if span > 0:
+                return min(n_bins - 1,
+                           max(0, math.floor((s - lo) / span * n_bins)))
+            return 0
+
+        bins = {i: _bin(s) for i, s in valid.items()}
+        n = len(valid)
+        hist = {}
+        for b in bins.values():
+            hist[b] = hist.get(b, 0) + 1
+        thresholds = []
+        for k in range(1, n_buckets):
+            cum = 0
+            for b in sorted(hist):
+                cum += hist[b]
+                if cum >= math.ceil(n * k / n_buckets):
+                    thresholds.append(b)
+                    break
+        expected = {}
+        per = {}
+        for i in sorted(valid):
+            bucket = 1 + sum(1 for t in thresholds if bins[i] > t)
+            band = n_buckets + 1 - bucket if easy_high else bucket
+            h = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+            shard = int(h[:15], 16) % num_shards
+            ordk = hashlib.md5(f"{seed + 1}-{i}".encode()).hexdigest()
+            per.setdefault((band, shard), []).append((ordk, i, band, shard))
+        for key, lst in per.items():
+            lst.sort()
+            for pos, (_, i, band, shard) in enumerate(lst):
+                expected[i] = (band, shard, pos)
+        for i in valid:
+            assert got[i] == expected[i], (i, got[i], expected[i])
+    for i, s in rows:
+        if i not in valid:
+            assert got[i] == (None, None, None)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=12,
+    ),
+    bench=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=0, max_size=8,
+        ),
+        min_size=1, max_size=4,
+    ),
+    n=st.integers(min_value=2, max_value=4),
+    min_shared=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=99),
+)
+@settings(**_SETTINGS)
+def test_contamination_split_matches_independent_replay(
+    docs, bench, n, min_shared, seed
+):
+    """contamination_aware_split must replay exactly: the provisional
+    md5 split, the distinct-shared-n-gram count against the benchmark
+    gram set, and the quarantine reroute — for random tiny-vocab
+    corpora where overlaps occur naturally."""
+    import hashlib
+
+    from dbldatagen_spark.functions import contamination_aware_split
+
+    fr = {"train": 0.7, "val": 0.2, "test": 0.1}
+    corpus = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = _spark.createDataFrame(corpus, "doc_id long, text string")
+    bdf = _spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(bench)],
+        "bid long, btext string",
+    )
+    got = {r["doc_id"]: (r["split"], r["n_shared_ngrams"])
+           for r in contamination_aware_split(
+               df, "doc_id", "text", bdf, fr,
+               bench_text_col="btext", n=n, min_shared=min_shared,
+               seed=seed, hash_mode="md5",
+           ).collect()}
+
+    def grams(ws):
+        ws = [w for w in " ".join(ws).lower().split() if w]
+        return {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)} \
+            if len(ws) >= n else set()
+
+    bgrams = set()
+    for ws in bench:
+        bgrams |= grams(ws)
+    for i, ws in enumerate(docs):
+        shared = len(grams(ws) & bgrams)
+        h = hashlib.md5(f"{seed}-{i}".encode()).hexdigest()
+        b = int(h[:15], 16) % 1_000_000
+        label = ("train" if b < 700_000
+                 else "val" if b < 900_000 else "test")
+        if shared >= min_shared:
+            assert got[i] == ("quarantined", shared), (i, got[i], shared)
+        else:
+            assert got[i] == (label, None), (i, got[i], label)
+
+
+@given(
+    texts=st.lists(
+        st.one_of(
+            st.none(),
+            st.text(
+                alphabet="abcdr eth ",
+                min_size=0, max_size=30,
+            ),
+        ),
+        min_size=1, max_size=10,
+    ),
+    n_merges=st.integers(min_value=1, max_value=6),
+)
+@settings(**_SETTINGS)
+def test_tokenizer_fertility_matches_independent_replay(texts, n_merges):
+    """tokenizer_fertility's counts and both ratios must replay from
+    scratch: greedy leftmost merge application per word, exact long
+    sums, one IEEE division each."""
+    import re
+
+    from dbldatagen_spark.functions import tokenizer_fertility
+
+    MERGES = [("t", "h"), ("th", "e"), ("a", "b"), ("ab", "c"),
+              ("c", "d"), ("e", "r")][:n_merges]
+    df = _spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    r = tokenizer_fertility(df, "text", MERGES).collect()[0]
+
+    def enc(word):
+        seq = "".join(" " + c for c in word)
+        for l_s, r_s in MERGES:
+            seq = seq.replace(f" {l_s} {r_s}", f" {l_s}{r_s}")
+        return [t for t in seq.split(" ") if t]
+
+    nw = nc = nt = 0
+    for t in texts:
+        if t is None:
+            continue
+        for w in re.split("[^a-z]+", t.lower()):
+            if w:
+                nw += 1
+                nc += len(w)
+                nt += len(enc(w))
+    assert (r["n_docs"], r["n_words"], r["n_chars"], r["n_tokens"]) == \
+        (len(texts), nw, nc, nt)
+    assert r["tokens_per_word"] == (nt / nw if nw else None)
+    assert r["chars_per_token"] == (nc / nt if nt else None)
