@@ -1383,6 +1383,85 @@ class TestCanonicalizeUrls:
         assert row["url_canonical"] == "x.com/p?utm_source=a"
 
 
+class TestUrlHostExpr:
+    """url_host_expr must agree with the host slice of
+    canonicalize_urls (the derivation host_authority used before the
+    compact chain replaced it) on every URL shape — same host, or
+    both NULL."""
+
+    URLS = [
+        "HTTP://WWW.Example.COM:80/a//b/?utm_source=x&b=2&a=1#frag",
+        "https://example.com/a/b?a=1&b=2",
+        "example.com/a/b/?b=2&a=1&fbclid=abc",
+        "https://user:pw@Sub.Shop.co.uk:8080/Path/",
+        "http://192.168.0.1:443/x",
+        "https://blog.example.github.io/post?",
+        "ftp://files.example.org./data",
+        "localhost:8000/api?fbclid=zzz&q=term",
+        "not a url at all",
+        "   https://pad.example.net/x   ",
+        "https://WWW.ONLY-WWW.com",
+        "https://a.com:/empty-port",
+        None,
+    ]
+
+    def test_parity_with_canonicalize_host_slice(self, spark):
+        from dbldatagen_spark.functions import (
+            canonicalize_urls,
+            url_host_expr,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(self.URLS)), "id long, url string"
+        )
+        canon = canonicalize_urls(df, "url").withColumn(
+            "host_slice",
+            F.regexp_extract(F.col("url_canonical"), "^([^/:?]+)", 1),
+        )
+        rows = canon.withColumn(
+            "host_fast", url_host_expr(F.col("url"))
+        ).collect()
+        for r in rows:
+            sliced = r["host_slice"] or None  # '' when canonical NULL
+            assert r["host_fast"] == sliced, (r["url"], r["host_fast"], sliced)
+
+    def test_registrable_domain_parity(self, spark):
+        from dbldatagen_spark.functions import (
+            canonicalize_urls,
+            registrable_domain_expr,
+            url_host_expr,
+        )
+
+        df = spark.createDataFrame(
+            list(enumerate(self.URLS)), "id long, url string"
+        )
+        rows = (
+            canonicalize_urls(df, "url")
+            .withColumn(
+                "dom_fast",
+                registrable_domain_expr(url_host_expr(F.col("url"))),
+            )
+            .collect()
+        )
+        for r in rows:
+            assert r["dom_fast"] == r["registrable_domain"], (
+                r["url"], r["dom_fast"], r["registrable_domain"],
+            )
+
+    def test_single_reference_chain_compiles_in_aggregate(self, spark):
+        # the whole point: as a grouping key the chain must stay
+        # inside one whole-stage-codegen partial aggregate
+        from dbldatagen_spark.functions import url_host_expr
+
+        df = spark.createDataFrame(
+            [(1, "https://a.com/x")], "id long, url string"
+        )
+        agg = df.groupBy(url_host_expr(F.col("url")).alias("h")).count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_strip_boilerplate_lines(spark):
     from dbldatagen_spark.functions import strip_boilerplate_lines
 
