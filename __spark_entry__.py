@@ -6980,6 +6980,61 @@ def _web_host_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def _web_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text profile (round 13): per-target-host anchor
+    aggregation — in-links, distinct referring hosts, unique
+    normalized anchors, and the deterministic top anchor (count
+    desc, anchor asc).  The fixture plants every contract corner:
+    mixed-case/whitespace anchors that must normalize together
+    ("  AnChOr  2 " -> "anchor 2"), blank anchors (eid%5==0,
+    dropped), unparseable source URLs (eid%11==0, dropped), and
+    self-links (eid%7==0 points at the source's own host, dropped).
+    The oracle derives hosts and normalized anchors from fixture
+    FIRST PRINCIPLES — arithmetic on the event columns, not URL
+    parsing — and replays every count plus the ROW_NUMBER argmin."""
+    from dbldatagen_spark.functions import anchor_text_profile
+
+    events = _load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    links = events.where(uid.isNotNull() & eid.isNotNull()).select(
+        F.when(
+            F.pmod(eid, F.lit(11)) == 0, F.lit("::bad::")
+        ).otherwise(
+            F.concat(
+                F.lit("https://www.s"),
+                F.pmod(uid, F.lit(4)).cast("string"),
+                F.lit(".example.com/p/"),
+                eid.cast("string"),
+            )
+        ).alias("src_url"),
+        F.when(
+            F.pmod(eid, F.lit(7)) == 0,
+            F.concat(
+                F.lit("http://s"),
+                F.pmod(uid, F.lit(4)).cast("string"),
+                F.lit(".example.com/self"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTP://D"),
+                F.pmod(eid, F.lit(3)).cast("string"),
+                F.lit(".Example.ORG:80/t/"),
+                uid.cast("string"),
+            )
+        ).alias("dst_url"),
+        F.when(F.pmod(eid, F.lit(5)) == 0, F.lit("   ")).otherwise(
+            F.concat(
+                F.lit("  AnChOr  "),
+                F.pmod(eid, F.lit(4)).cast("string"),
+                F.lit(" "),
+            )
+        ).alias("anchor"),
+    )
+    return anchor_text_profile(
+        links, "src_url", "dst_url", "anchor"
+    ).orderBy("host")
+
+
 def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (round 13): difficulty-banded deterministic
     shard layout over document length — 4 histogram-quantile bands
@@ -7053,30 +7108,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-13 rotation: growth-at-birth plus staleness drain — the 4
+    Round-13 rotation: growth-at-birth plus staleness drain — the 5
     round-13 growth rows first (web_host_authority,
-    docs_curriculum_order, docs_contamination_split,
-    corpus_tokenizer_fertility), then the FULL r7-stale cohort
-    (events_cube_counts .. q10_returned_items, 16 rows), the FULL
-    r8-stale cohort (gen_constraints ..
-    gen_template_expr_conformance, 8 rows), and the first 22 r9-stale
+    web_anchor_profile, docs_curriculum_order,
+    docs_contamination_split, corpus_tokenizer_fertility), then the
+    FULL r7-stale cohort (events_cube_counts .. q10_returned_items,
+    16 rows), the FULL r8-stale cohort (gen_constraints ..
+    gen_template_expr_conformance, 8 rows), and the first 21 r9-stale
     rows in ledger order (events_hll_distinct ..
-    sample_split_assign) — once this window drains, nothing in the
+    dedup_cross_corpus) — once this window drains, nothing in the
     ledger is older than r9.  Demoted: the entire round-12 window —
-    all 50 were green on their r12 exposure.  The remaining r9 rows
-    from multimodal_features onward head the r14 draw.  The full
-    query -> last-driver-round ledger lives in ROTATION.md."""
+    all 50 were green on their r12 exposure.  sample_split_assign
+    (slid out when web_anchor_profile entered at birth) and the
+    remaining r9 rows from multimodal_features onward head the r14
+    draw.  The full query -> last-driver-round ledger lives in
+    ROTATION.md."""
     return {
         # --- round-13 driver window (see ROTATION.md) ---
-        # The 4 round-13 growth rows lead (windowed at birth), then
+        # The 5 round-13 growth rows lead (windowed at birth), then
         # the FULL r7-stale cohort (events_cube_counts through
         # q10_returned_items), the FULL r8-stale cohort
         # (gen_constraints through gen_template_expr_conformance),
-        # and the first 22 r9-stale rows in ledger order
-        # (events_hll_distinct through sample_split_assign) — after
+        # and the first 21 r9-stale rows in ledger order
+        # (events_hll_distinct through dedup_cross_corpus) — after
         # this window drains, nothing in the ledger is older than r9.
         # Exactly 50 entries precede the demoted marker.
         "web_host_authority": _web_host_authority,
+        "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
         "docs_contamination_split": _docs_contamination_split,
         "corpus_tokenizer_fertility": _corpus_tokenizer_fertility,
@@ -7125,10 +7183,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_cross_corpus": _dedup_cross_corpus,
-        "sample_split_assign": _sample_split_assign,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (the remaining r9-stale rows from multimodal_features
-        # onward head the r14 draw, with any r14 growth rows)
+        # (sample_split_assign slid out when web_anchor_profile
+        # entered at birth; it and the remaining r9-stale rows from
+        # multimodal_features onward head the r14 draw, with any r14
+        # growth rows)
+        "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
         "corpus_token_budget_mix": _corpus_token_budget_mix,
         "docs_paragraph_dedup": _docs_paragraph_dedup,
@@ -11502,6 +11562,62 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS host, u::BIGINT AS rank_units,
                    u / 1000000000000.0 AS rank
             FROM r3 ORDER BY host
+        """,
+        # anchor profile from fixture first principles: hosts and
+        # NORMALIZED anchors derived by arithmetic on the event
+        # columns (independent of the URL/whitespace parsing under
+        # test), every count exact, top anchor replayed as the
+        # (count desc, anchor asc) ROW_NUMBER argmin
+        "web_anchor_profile": """
+            WITH links AS (
+                SELECT
+                    CASE WHEN event_id % 11 = 0 THEN NULL
+                         ELSE 's' || CAST(user_id % 4 AS VARCHAR)
+                              || '.example.com' END AS sh,
+                    CASE WHEN event_id % 7 = 0
+                         THEN 's' || CAST(user_id % 4 AS VARCHAR)
+                              || '.example.com'
+                         ELSE 'd' || CAST(event_id % 3 AS VARCHAR)
+                              || '.example.org' END AS dh,
+                    CASE WHEN event_id % 5 = 0 THEN NULL
+                         ELSE 'anchor '
+                              || CAST(event_id % 4 AS VARCHAR) END AS a
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            kept AS (
+                SELECT sh, dh, a FROM links
+                WHERE sh IS NOT NULL AND dh IS NOT NULL
+                  AND a IS NOT NULL AND sh <> dh
+            ),
+            pa AS (
+                SELECT dh, a, COUNT(*)::BIGINT AS c
+                FROM kept GROUP BY dh, a
+            ),
+            prof AS (
+                SELECT dh, SUM(c)::BIGINT AS in_links,
+                       COUNT(*)::BIGINT AS unique_anchors
+                FROM pa GROUP BY dh
+            ),
+            top AS (
+                SELECT dh, a AS top_anchor, c AS top_anchor_links
+                FROM (
+                    SELECT dh, a, c, ROW_NUMBER() OVER (
+                        PARTITION BY dh ORDER BY c DESC, a ASC
+                    ) AS rn FROM pa
+                ) WHERE rn = 1
+            ),
+            refs AS (
+                SELECT dh, COUNT(DISTINCT sh)::BIGINT AS referring_hosts
+                FROM kept GROUP BY dh
+            )
+            SELECT prof.dh AS host, prof.in_links, refs.referring_hosts,
+                   prof.unique_anchors, top.top_anchor,
+                   top.top_anchor_links
+            FROM prof
+            JOIN top ON prof.dh = top.dh
+            JOIN refs ON prof.dh = refs.dh
+            ORDER BY host
         """,
         # the full curriculum assignment per document: histogram
         # bucketing (range, 64 bins, cumulative quartile thresholds),

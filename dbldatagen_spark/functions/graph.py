@@ -390,3 +390,114 @@ def host_authority(
     return ranked.select(
         F.col("node").alias(out_node), "rank_units", "rank"
     )
+
+
+def anchor_text_profile(
+    links: DataFrame,
+    src_url_col: str,
+    dst_url_col: str,
+    anchor_col: str,
+    *,
+    keep_self_links: bool = False,
+    min_links: int = 1,
+) -> DataFrame:
+    """Anchor-text profile per TARGET host — the other classic web-
+    graph curation signal next to :func:`host_authority`: what the
+    rest of the web calls a site is high-precision relevance text
+    for it (the anchor-text prior of classical web IR), and hosts
+    whose in-links all carry one templated anchor are link-farm
+    suspects the profile exposes.
+
+    Per target host (rows with a NULL/invalid host on either end or
+    an empty anchor are dropped; self-links too unless
+    ``keep_self_links``):
+
+    - ``in_links`` — anchor-bearing links pointing at the host
+    - ``referring_hosts`` — DISTINCT source hosts linking to it
+      (the farm detector: thousands of in-links from three hosts)
+    - ``unique_anchors`` — distinct normalized anchor strings
+    - ``top_anchor`` / ``top_anchor_links`` — the most frequent
+      normalized anchor and its link count, ties broken by the
+      lexicographically SMALLEST anchor so the row is deterministic
+      under any partitioning
+
+    Anchor normalization: lowercase, trim, internal whitespace runs
+    collapsed to one space ("  Example\\tSite " == "example site").
+
+    ``min_links`` keeps only hosts with at least that many in-links —
+    a predicate on an AGGREGATED column, so it can never push below
+    the aggregate into the corpus scan.
+
+    Scale shape: two corpus passes, each one map-side-combined
+    partial aggregate — ``(dst_host, anchor)`` counts and
+    ``(dst_host, src_host)`` pairs — so the corpus-keyed shuffles
+    carry short host strings, normalized anchors, and longs, never
+    documents; a hot host (every corpus links to wikipedia.org)
+    splits across map tasks in both passes because the key includes
+    the anchor / source host, and the per-host rollups that follow
+    run on aggregated frames bounded by |host, anchor| and
+    |host, host| pairs, not corpus rows.  The final assembly is one
+    join of two host-level frames (large-large at crawl scale:
+    sort-merge is the right plan, and both sides are already
+    host-keyed).  NULL-host/empty-anchor filtering runs on the
+    PROJECTED single-reference host chains
+    (:func:`~dbldatagen_spark.functions.curation.url_host_expr`)
+    before the aggregates — the pushed-down predicates stay within
+    the JVM codegen method limit precisely because the chain is
+    linear (see url_host_expr's contract).
+
+    Deterministic and SQL-replayable: counts are exact longs, the
+    top anchor is an argmin over ``(-count, anchor)`` structs, so
+    every cell replays on any engine.
+    """
+    if min_links < 1:
+        raise ValueError(f"min_links must be >= 1, got {min_links}")
+    from dbldatagen_spark.functions.curation import url_host_expr
+
+    norm = F.nullif(
+        F.regexp_replace(F.lower(F.trim(F.col(anchor_col))), r"\s+", " "),
+        F.lit(""),
+    )
+    h = links.select(
+        url_host_expr(F.col(src_url_col)).alias("_sh"),
+        url_host_expr(F.col(dst_url_col)).alias("_dh"),
+        norm.alias("_a"),
+    ).where(
+        F.col("_sh").isNotNull()
+        & F.col("_dh").isNotNull()
+        & F.col("_a").isNotNull()
+    )
+    if not keep_self_links:
+        h = h.where(F.col("_sh") != F.col("_dh"))
+
+    # pass 1: (host, anchor) counts -> per-host rollup + argmin top
+    pa = h.groupBy("_dh", "_a").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    prof = pa.groupBy("_dh").agg(
+        F.sum("_c").cast("long").alias("in_links"),
+        F.count(F.lit(1)).cast("long").alias("unique_anchors"),
+        F.min(F.struct((-F.col("_c")).alias("_nc"), F.col("_a"))).alias(
+            "_top"
+        ),
+    )
+    # pass 2: distinct referring hosts via two-level aggregation
+    refs = (
+        h.groupBy("_dh", "_sh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("_dh")
+        .agg(F.count(F.lit(1)).cast("long").alias("referring_hosts"))
+    )
+    out = (
+        prof.join(refs, "_dh")
+        .where(F.col("in_links") >= min_links)
+        .select(
+            F.col("_dh").alias("host"),
+            "in_links",
+            "referring_hosts",
+            "unique_anchors",
+            F.col("_top._a").alias("top_anchor"),
+            (-F.col("_top._nc")).cast("long").alias("top_anchor_links"),
+        )
+    )
+    return out

@@ -8070,6 +8070,81 @@ class TestHostAuthority:
             host_authority(links, "su", "du", level="page")
 
 
+class TestAnchorTextProfile:
+    LINKS = [
+        # 3 links to b.com from a.com, two anchors; "  Example\tSite "
+        # and "example site" must collapse to ONE normalized anchor
+        ("https://a.com/1", "https://b.com/x", "  Example\tSite "),
+        ("https://a.com/2", "https://WWW.B.com/y", "example site"),
+        ("https://a.com/3", "https://b.com:80/z", "B Portal"),
+        # c.com also links b.com with the tied-count anchor "b portal"
+        ("https://c.com/1", "https://b.com/w", "b portal"),
+        # tie at 2-2 between "example site" and "b portal":
+        # lexicographic min wins -> "b portal"
+        ("https://c.com/2", "https://a.com/h", "A Home"),
+        ("https://a.com/self", "https://a.com/s", "self"),   # self-link
+        ("https://d.com/1", "https://b.com/e", "   "),       # empty anchor
+        ("bad url", "https://b.com/f", "broken src"),        # NULL src host
+        ("https://e.com/1", None, "no dst"),                 # NULL dst
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.LINKS, "su string, du string, a string"
+        )
+
+    def test_profile_rows(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        rows = {r["host"]: r for r in anchor_text_profile(
+            self._df(spark), "su", "du", "a").collect()}
+        assert set(rows) == {"a.com", "b.com"}
+        b = rows["b.com"]
+        assert b["in_links"] == 4
+        assert b["referring_hosts"] == 2      # a.com, c.com
+        assert b["unique_anchors"] == 2       # "example site", "b portal"
+        assert b["top_anchor"] == "b portal"  # 2-2 tie, lexicographic min
+        assert b["top_anchor_links"] == 2
+        a = rows["a.com"]
+        assert (a["in_links"], a["referring_hosts"],
+                a["unique_anchors"]) == (1, 1, 1)
+        assert (a["top_anchor"], a["top_anchor_links"]) == ("a home", 1)
+
+    def test_self_links_and_min_links(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        kept = {r["host"]: r for r in anchor_text_profile(
+            self._df(spark), "su", "du", "a", keep_self_links=True
+        ).collect()}
+        assert kept["a.com"]["in_links"] == 2  # self-link now counts
+        top = anchor_text_profile(
+            self._df(spark), "su", "du", "a", min_links=2
+        ).collect()
+        assert [r["host"] for r in top] == ["b.com"]
+        with pytest.raises(ValueError, match="min_links"):
+            anchor_text_profile(self._df(spark), "su", "du", "a",
+                                min_links=0)
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        a = sorted(map(tuple, anchor_text_profile(
+            self._df(spark).repartition(2), "su", "du", "a").collect()))
+        b = sorted(map(tuple, anchor_text_profile(
+            self._df(spark).repartition(7), "su", "du", "a").collect()))
+        assert a == b
+
+    def test_corpus_stage_compiles(self, spark):
+        # the filter + both corpus-keyed aggregates must stay inside
+        # compiled whole-stage codegen (no 64 KB fallback) and carry
+        # no python-UDF nodes
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        out = anchor_text_profile(self._df(spark), "su", "du", "a")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 class TestCurriculumOrder:
     def _scores(self, spark):
         rows = [(i, float((i * 13) % 100)) for i in range(60)]
