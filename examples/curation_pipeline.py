@@ -68,6 +68,29 @@ def main() -> None:
     print("canonical URL keys (1 and 2 collapse):")
     canon.show(truncate=False)
 
+    # 0b. link-graph priors over the same crawl: host authority
+    #     (weighted fixed-point pagerank over host-level edges) and
+    #     the per-target-host anchor-text profile — both quality
+    #     signals a crawl pipeline joins back onto documents by host
+    from dbldatagen_spark.functions import (
+        anchor_text_profile,
+        host_authority,
+    )
+
+    links = spark.createDataFrame(
+        [("https://example.com/a", "https://blog.shop.co.uk/p",
+          "Shop Blog"),
+         ("https://example.com/b", "https://blog.shop.co.uk/q",
+          "  shop\tblog "),
+         ("https://news.org/1", "https://example.com/a",
+          "Example Site")],
+        "src string, dst string, anchor string",
+    )
+    print("host authority (3 pagerank iterations):")
+    host_authority(links, "src", "dst", iterations=3).show(truncate=False)
+    print("anchor profile per target host (anchors normalize):")
+    anchor_text_profile(links, "src", "dst", "anchor").show(truncate=False)
+
     # 1. per-domain quota: no source may exceed 100 docs
     capped = quota_sample(docs, "source", "doc_id", 100)
 

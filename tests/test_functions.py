@@ -8227,6 +8227,18 @@ class TestCurriculumOrder:
 
         df = self._scores(spark)
         spark.catalog.clearCache()
+
+        def _storage_ids():
+            # relative snapshots, not absolute emptiness: the shared
+            # session may hold localCheckpoint RDDs from earlier tests
+            # (pagerank's per-iteration checkpoints linger until the
+            # ContextCleaner GCs them) that clearCache cannot remove
+            return {
+                i.id()
+                for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
+
+        base = _storage_ids()
         try:
             cached = curriculum_order(
                 df, "id", "s", n_buckets=3, n_bins=32, num_shards=2
@@ -8234,8 +8246,7 @@ class TestCurriculumOrder:
             cached.count()
             # the shared bucketed frame holds storage blocks: both the
             # valid-branch window and the invalid branch read it
-            infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
-            assert len(infos) > 0
+            assert _storage_ids() - base
             a = sorted(map(tuple, cached.collect()), key=str)
             spark.catalog.clearCache()
             plain = curriculum_order(
@@ -8244,10 +8255,8 @@ class TestCurriculumOrder:
             )
             b = sorted(map(tuple, plain.collect()), key=str)
             assert a == b
-            # stateless mode left no storage behind
-            assert len(
-                spark.sparkContext._jsc.sc().getRDDStorageInfo()
-            ) == 0
+            # stateless mode left no NEW storage behind
+            assert _storage_ids() - base == set()
         finally:
             spark.catalog.clearCache()
 
