@@ -720,3 +720,178 @@ def contamination_aware_split(
         .alias(out_col),
         F.col(shared_col),
     )
+
+
+def distribution_matched_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    reference: DataFrame,
+    ref_score_col: str = None,
+    *,
+    n_bins: int = 64,
+    scale_ppm: int = 1_000_000,
+    seed: int = 42,
+    hash_mode: str = "xxhash64",
+    out_prefix: str = "match",
+) -> DataFrame:
+    """Histogram-matched deterministic subsampling — keep corpus rows
+    at per-bin rates so ``score_col``'s distribution tracks a
+    REFERENCE frame's (match a curated corpus's length profile, a
+    benchmark's quality mix, a previous snapshot's domain balance).
+    The importance-ratio resampler of data mixing, with the ratio
+    capped at 1 so no row is ever duplicated.
+
+    The contract is INTEGER-EXACT end to end (replayable on any
+    engine, any partitioning):
+
+    - shared equal-width bins over the union value range of both
+      frames: ``bin = min(n_bins-1, floor((s - lo) / (hi - lo) *
+      n_bins))`` with ``lo``/``hi`` the min/min and max/max of the
+      two frames' valid scores (NULL/NaN/+-inf rows get NULL bin,
+      rate 0, keep false);
+    - per-bin keep rate in ppm, exact integer floor arithmetic over
+      the two histograms (corpus counts ``c_b`` of total ``C``,
+      reference counts ``r_b`` of total ``R``):
+      ``rate_b = min(1_000_000, (scale_ppm * r_b * C) div (R * c_b))``
+      — computed DRIVER-SIDE over the collected ``<= n_bins``-row
+      histograms with Python big-int arithmetic, so no intermediate
+      overflows at any corpus size; a bin with reference mass but no
+      corpus mass cannot be filled (rates elsewhere are unaffected —
+      matching is exact only where the corpus has mass, the standard
+      capped-importance-ratio caveat, and lowering ``scale_ppm``
+      buys back exactness at the cost of volume);
+    - keep decision: ``hash_bucket(seed, id) < rate_b`` with the
+      same ``[0, 1e6)`` id-hash bucket :func:`split_assign` uses
+      (``hash_mode="md5"`` for the cross-engine-replayable variant).
+
+    Output: the input columns plus ``<out_prefix>_bin`` (int, NULL
+    for invalid scores), ``<out_prefix>_rate_ppm`` (long), and
+    ``<out_prefix>_keep`` (boolean) — flags, not a filter, so the
+    decision is auditable row-by-row; filter on the keep column to
+    materialize the sample.
+
+    Scale shape: two light aggregates per frame (a one-row min/max
+    and a map-side-combined ``n_bins``-group histogram — the corpus
+    scans twice before the flagging pass, all reduce volume bounded
+    by ``n_bins``), two bounded driver collects (``2 + 2*n_bins``
+    rows), then the flagging pass is scan-local whole-stage-codegen
+    arithmetic: the rate table rides the plan as an ``n_bins``
+    literal array indexed by bin — no join, no shuffle, nothing but
+    the hash and a comparison per row.
+    """
+    if n_bins < 1 or n_bins > 4096:
+        raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
+    if not 0 < scale_ppm <= 1_000_000:
+        raise ValueError(
+            f"scale_ppm must be in (0, 1000000], got {scale_ppm}"
+        )
+    ref_score_col = ref_score_col or score_col
+    for frame, col, side in ((df, score_col, "df"),
+                             (reference, ref_score_col, "reference")):
+        if col not in frame.columns:
+            raise ValueError(f"{side} has no column {col!r}")
+    out_bin = f"{out_prefix}_bin"
+    out_rate = f"{out_prefix}_rate_ppm"
+    out_keep = f"{out_prefix}_keep"
+    for c in (out_bin, out_rate, out_keep):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+
+    def _valid(col):
+        s = F.col(col).cast("double")
+        return (
+            s.isNotNull() & ~F.isnan(s)
+            & (s > float("-inf")) & (s < float("inf"))
+        )
+
+    def _rng(frame, col):
+        s = F.col(col).cast("double")
+        return frame.where(_valid(col)).agg(
+            F.min(s).alias("lo"), F.max(s).alias("hi")
+        ).collect()[0]
+
+    r1, r2 = _rng(df, score_col), _rng(reference, ref_score_col)
+    if r1["lo"] is None or r2["lo"] is None:
+        raise ValueError(
+            "distribution_matched_sample: a frame has no valid "
+            "(non-NULL, finite) scores"
+        )
+    lo = min(r1["lo"], r2["lo"])
+    hi = max(r1["hi"], r2["hi"])
+    span = hi - lo
+
+    def _bin(col):
+        s = F.col(col).cast("double")
+        if span <= 0:
+            return F.when(_valid(col), F.lit(0))
+        return F.when(
+            _valid(col),
+            F.least(
+                F.lit(n_bins - 1),
+                F.floor((s - F.lit(lo)) / F.lit(span) * F.lit(n_bins))
+                .cast("int"),
+            ),
+        )
+
+    def _hist(frame, col):
+        rows = (
+            frame.where(_valid(col))
+            .groupBy(_bin(col).alias("_b"))
+            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+            .collect()
+        )
+        return {r["_b"]: r["_n"] for r in rows}
+
+    c_hist = _hist(df, score_col)
+    r_hist = _hist(reference, ref_score_col)
+    C = sum(c_hist.values())
+    R = sum(r_hist.values())
+    rates = []
+    for b in range(n_bins):
+        c_b, r_b = c_hist.get(b, 0), r_hist.get(b, 0)
+        if c_b == 0 or r_b == 0:
+            rates.append(0)
+        else:
+            # exact big-int floor; min() caps the importance ratio at 1
+            rates.append(min(1_000_000, (scale_ppm * r_b * C) // (R * c_b)))
+
+    if hash_mode == "xxhash64":
+        bucket = F.pmod(
+            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
+        )
+    elif hash_mode == "md5":
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    else:
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+
+    rate_arr = F.array(*[F.lit(r).cast("long") for r in rates])
+    out = df.withColumn(out_bin, _bin(score_col))
+    # the NULL-bin guard must be an EXPLICIT when: element_at with a
+    # nullable runtime index does not reliably propagate NULL in
+    # compiled plans (observed returning the last element for a NULL
+    # index under whole-stage codegen, while the constant-folded
+    # literal-NULL case returns NULL)
+    out = out.withColumn(
+        out_rate,
+        F.when(
+            F.col(out_bin).isNotNull(),
+            F.element_at(rate_arr, F.col(out_bin) + F.lit(1)),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return out.withColumn(out_keep, bucket < F.col(out_rate))

@@ -8273,6 +8273,101 @@ class TestCurriculumOrder:
             )
 
 
+class TestDistributionMatchedSample:
+    def _frames(self, spark):
+        # corpus: 80 short (score 10) + 80 long (score 90)
+        # reference: 30 short + 10 long -> long docs downsample to
+        # 1/3 the short docs' rate
+        corpus = spark.createDataFrame(
+            [(i, 10.0) for i in range(80)]
+            + [(i, 90.0) for i in range(80, 160)]
+            + [(900, None), (901, float("nan")), (902, float("inf"))],
+            "id long, s double",
+        )
+        ref = spark.createDataFrame(
+            [(i, 10.0) for i in range(30)] + [(i, 90.0) for i in range(10)],
+            "rid long, s double",
+        )
+        return corpus, ref
+
+    def test_rates_exact_integer_contract(self, spark):
+        from dbldatagen_spark.functions import distribution_matched_sample
+
+        corpus, ref = self._frames(spark)
+        out = distribution_matched_sample(
+            corpus, "id", "s", ref, n_bins=4, seed=7
+        ).collect()
+        rows = {r["id"]: r for r in out}
+        # shared range [10, 90]; short -> bin 0, long -> bin 3
+        # short: c=80/160, r=30/40 -> ratio (30*160)/(40*80) = 1.5 -> cap 1e6
+        # long:  c=80/160, r=10/40 -> (10*160)/(40*80) = 0.5 -> 500000
+        assert rows[0]["match_bin"] == 0
+        assert rows[0]["match_rate_ppm"] == 1_000_000
+        assert rows[0]["match_keep"] is True  # rate 1e6 keeps every bucket
+        assert rows[80]["match_bin"] == 3
+        assert rows[80]["match_rate_ppm"] == 500_000
+        # invalid scores: NULL bin, rate 0, never kept
+        for bad in (900, 901, 902):
+            assert rows[bad]["match_bin"] is None
+            assert rows[bad]["match_rate_ppm"] == 0
+            assert rows[bad]["match_keep"] is False
+        # every short doc keeps; long docs keep iff hash bucket < 500000
+        assert all(rows[i]["match_keep"] for i in range(80))
+        kept_long = sum(1 for i in range(80, 160) if rows[i]["match_keep"])
+        assert 0 < kept_long < 80
+
+    def test_scale_ppm_and_zero_mass_bins(self, spark):
+        from dbldatagen_spark.functions import distribution_matched_sample
+
+        corpus, ref = self._frames(spark)
+        # halving scale halves every rate exactly
+        out = {r["id"]: r for r in distribution_matched_sample(
+            corpus, "id", "s", ref, n_bins=4, scale_ppm=500_000
+        ).collect()}
+        assert out[0]["match_rate_ppm"] == 750_000
+        assert out[80]["match_rate_ppm"] == 250_000
+        # reference with no long-doc mass -> long bin rate 0
+        ref_short = ref.where(F.col("s") < 50)
+        out2 = {r["id"]: r for r in distribution_matched_sample(
+            corpus, "id", "s", ref_short, n_bins=4
+        ).collect()}
+        assert out2[80]["match_rate_ppm"] == 0
+        assert out2[80]["match_keep"] is False
+
+    def test_partition_stability_and_md5_mode(self, spark):
+        from dbldatagen_spark.functions import distribution_matched_sample
+
+        corpus, ref = self._frames(spark)
+        cols = ["id", "match_bin", "match_rate_ppm", "match_keep"]
+        a = sorted(map(tuple, distribution_matched_sample(
+            corpus.repartition(2), "id", "s", ref, n_bins=4,
+            hash_mode="md5").select(*cols).collect()))
+        b = sorted(map(tuple, distribution_matched_sample(
+            corpus.repartition(9), "id", "s", ref, n_bins=4,
+            hash_mode="md5").select(*cols).collect()))
+        assert a == b
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import distribution_matched_sample
+
+        corpus, ref = self._frames(spark)
+        with pytest.raises(ValueError, match="n_bins"):
+            distribution_matched_sample(corpus, "id", "s", ref, n_bins=0)
+        with pytest.raises(ValueError, match="scale_ppm"):
+            distribution_matched_sample(corpus, "id", "s", ref,
+                                        scale_ppm=0)
+        with pytest.raises(ValueError, match="no column"):
+            distribution_matched_sample(corpus, "id", "nope", ref)
+        with pytest.raises(ValueError, match="already exist"):
+            distribution_matched_sample(
+                corpus.withColumn("match_keep", F.lit(True)),
+                "id", "s", ref)
+        with pytest.raises(ValueError, match="no valid"):
+            distribution_matched_sample(
+                corpus, "id", "s",
+                ref.where(F.col("s") > 1000))
+
+
 class TestContaminationAwareSplit:
     def _frames(self, spark):
         docs = spark.createDataFrame(
