@@ -7084,6 +7084,28 @@ def _docs_contamination_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split", "n_shared_ngrams").orderBy("doc_id")
 
 
+def _docs_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-matched subsampling (round 13): flag corpus docs
+    so kept rows track a reference length profile — reference = short
+    docs (n_chars <= 200) plus every 5th doc, so short-length bins cap
+    at rate 1e6 while long bins get intermediate exact ppm rates.
+    The oracle replays the ENTIRE integer contract: the union value
+    range, the 8 equal-width double bins (same IEEE op order), both
+    histograms, the big-int floor rate per bin (HUGEINT in DuckDB,
+    Python big-int driver-side in Spark), and the md5 id-hash keep
+    decision."""
+    from dbldatagen_spark.functions import distribution_matched_sample
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ref = docs.where(
+        (F.col("n_chars") <= 200) | (F.col("doc_id") % 5 == 0)
+    )
+    return distribution_matched_sample(
+        docs, "doc_id", "n_chars", ref,
+        n_bins=8, seed=42, hash_mode="md5",
+    ).orderBy("doc_id")
+
+
 def _corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-equity report (round 13): per-language BPE fertility
     (tokens per word) and chars-per-token compression under the
@@ -7108,35 +7130,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-13 rotation: growth-at-birth plus staleness drain — the 5
+    Round-13 rotation: growth-at-birth plus staleness drain — the 6
     round-13 growth rows first (web_host_authority,
     web_anchor_profile, docs_curriculum_order,
-    docs_contamination_split, corpus_tokenizer_fertility), then the
-    FULL r7-stale cohort (events_cube_counts .. q10_returned_items,
-    16 rows), the FULL r8-stale cohort (gen_constraints ..
-    gen_template_expr_conformance, 8 rows), and the first 21 r9-stale
+    docs_contamination_split, docs_distribution_match,
+    corpus_tokenizer_fertility), then the FULL r7-stale cohort
+    (events_cube_counts .. q10_returned_items, 16 rows), the FULL
+    r8-stale cohort (gen_constraints ..
+    gen_template_expr_conformance, 8 rows), and the first 20 r9-stale
     rows in ledger order (events_hll_distinct ..
-    dedup_cross_corpus) — once this window drains, nothing in the
+    dedup_ngram_jaccard) — once this window drains, nothing in the
     ledger is older than r9.  Demoted: the entire round-12 window —
-    all 50 were green on their r12 exposure.  sample_split_assign
-    (slid out when web_anchor_profile entered at birth) and the
-    remaining r9 rows from multimodal_features onward head the r14
-    draw.  The full query -> last-driver-round ledger lives in
-    ROTATION.md."""
+    all 50 were green on their r12 exposure.  dedup_cross_corpus and
+    sample_split_assign (slid out as growth rows entered at birth)
+    and the remaining r9 rows from multimodal_features onward head
+    the r14 draw.  The full query -> last-driver-round ledger lives
+    in ROTATION.md."""
     return {
         # --- round-13 driver window (see ROTATION.md) ---
-        # The 5 round-13 growth rows lead (windowed at birth), then
+        # The 6 round-13 growth rows lead (windowed at birth), then
         # the FULL r7-stale cohort (events_cube_counts through
         # q10_returned_items), the FULL r8-stale cohort
         # (gen_constraints through gen_template_expr_conformance),
-        # and the first 21 r9-stale rows in ledger order
-        # (events_hll_distinct through dedup_cross_corpus) — after
+        # and the first 20 r9-stale rows in ledger order
+        # (events_hll_distinct through dedup_ngram_jaccard) — after
         # this window drains, nothing in the ledger is older than r9.
         # Exactly 50 entries precede the demoted marker.
         "web_host_authority": _web_host_authority,
         "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
         "docs_contamination_split": _docs_contamination_split,
+        "docs_distribution_match": _docs_distribution_match,
         "corpus_tokenizer_fertility": _corpus_tokenizer_fertility,
         "events_cube_counts": _events_cube_counts,
         "customers_set_ops": _customers_set_ops,
@@ -7182,12 +7206,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_cross_corpus": _dedup_cross_corpus,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (sample_split_assign slid out when web_anchor_profile
-        # entered at birth; it and the remaining r9-stale rows from
+        # (dedup_cross_corpus and sample_split_assign slid out when
+        # web_anchor_profile and docs_distribution_match entered at
+        # birth; they and the remaining r9-stale rows from
         # multimodal_features onward head the r14 draw, with any r14
         # growth rows)
+        "dedup_cross_corpus": _dedup_cross_corpus,
         "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
         "corpus_token_budget_mix": _corpus_token_budget_mix,
@@ -11618,6 +11643,71 @@ def _oracle_sql_base() -> dict[str, str]:
             JOIN top ON prof.dh = top.dh
             JOIN refs ON prof.dh = refs.dh
             ORDER BY host
+        """,
+        # the full histogram-matching contract: union range, the 8
+        # equal-width double bins (same IEEE op order as the Spark
+        # side), both histograms, the exact HUGEINT floor rate per
+        # bin capped at 1e6, and the md5 id-hash keep decision
+        "docs_distribution_match": """
+            WITH cval AS (
+                SELECT doc_id, n_chars FROM documents
+                WHERE n_chars IS NOT NULL
+            ),
+            ref AS (
+                SELECT n_chars FROM documents
+                WHERE n_chars IS NOT NULL
+                  AND (n_chars <= 200 OR doc_id % 5 = 0)
+            ),
+            rng AS (
+                SELECT
+                    LEAST((SELECT MIN(n_chars) FROM cval),
+                          (SELECT MIN(n_chars) FROM ref))::DOUBLE AS lo,
+                    GREATEST((SELECT MAX(n_chars) FROM cval),
+                             (SELECT MAX(n_chars) FROM ref))::DOUBLE AS hi
+            ),
+            cb AS (
+                SELECT LEAST(7, CAST(FLOOR(
+                           (n_chars::DOUBLE - rng.lo)
+                           / (rng.hi - rng.lo) * 8.0) AS INT)) AS b,
+                       COUNT(*)::HUGEINT AS n
+                FROM cval, rng GROUP BY 1
+            ),
+            rb AS (
+                SELECT LEAST(7, CAST(FLOOR(
+                           (n_chars::DOUBLE - rng.lo)
+                           / (rng.hi - rng.lo) * 8.0) AS INT)) AS b,
+                       COUNT(*)::HUGEINT AS n
+                FROM ref, rng GROUP BY 1
+            ),
+            rates AS (
+                -- CASE, not bare LEAST: DuckDB's LEAST ignores NULLs,
+                -- so an empty-reference bin would cap to 1e6, not 0
+                SELECT cb.b,
+                       CASE WHEN rb.n IS NULL THEN 0::HUGEINT
+                            ELSE LEAST(1000000::HUGEINT,
+                                 (1000000::HUGEINT * rb.n
+                                  * (SELECT SUM(n) FROM cb))
+                                 // ((SELECT SUM(n) FROM rb) * cb.n))
+                       END AS rate
+                FROM cb LEFT JOIN rb ON cb.b = rb.b
+            )
+            SELECT d.doc_id, d.n_chars,
+                   CASE WHEN d.n_chars IS NULL THEN NULL
+                        ELSE LEAST(7, CAST(FLOOR(
+                            (d.n_chars::DOUBLE - rng.lo)
+                            / (rng.hi - rng.lo) * 8.0) AS INT))
+                   END AS match_bin,
+                   COALESCE(r.rate, 0)::BIGINT AS match_rate_ppm,
+                   (('0x' || substr(md5('42-' || CAST(d.doc_id AS VARCHAR)),
+                                    1, 15))::BIGINT % 1000000)
+                       < COALESCE(r.rate, 0) AS match_keep
+            FROM documents d
+            CROSS JOIN rng
+            LEFT JOIN rates r ON r.b = CASE WHEN d.n_chars IS NULL
+                THEN NULL ELSE LEAST(7, CAST(FLOOR(
+                    (d.n_chars::DOUBLE - rng.lo)
+                    / (rng.hi - rng.lo) * 8.0) AS INT)) END
+            ORDER BY d.doc_id
         """,
         # the full curriculum assignment per document: histogram
         # bucketing (range, 64 bins, cumulative quartile thresholds),
