@@ -1170,3 +1170,151 @@ def test_tokenizer_fertility_matches_independent_replay(texts, n_merges):
         (len(texts), nw, nc, nt)
     assert r["tokens_per_word"] == (nt / nw if nw else None)
     assert r["chars_per_token"] == (nc / nt if nt else None)
+
+
+@given(
+    scores=st.lists(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=100)),
+        min_size=1,
+        max_size=40,
+    ),
+    ref_scores=st.lists(
+        st.integers(min_value=0, max_value=100), min_size=1, max_size=25
+    ),
+    n_bins=st.integers(min_value=1, max_value=6),
+    scale_ppm=st.integers(min_value=1, max_value=1_000_000),
+)
+@settings(**_SETTINGS)
+def test_distribution_match_matches_independent_replay(
+    scores, ref_scores, n_bins, scale_ppm
+):
+    """The histogram-matching contract is integer-exact and documented
+    operation-for-operation: for random corpora (NULL scores included)
+    and references, the Spark bin/rate/keep flags must equal a
+    from-scratch Python replay — float bin arithmetic in the same IEEE
+    op order, big-int floor rates, and the md5 bucket recomputed with
+    hashlib."""
+    import math
+    from hashlib import md5
+
+    from hypothesis import assume
+
+    assume(any(s is not None for s in scores))
+    from dbldatagen_spark.functions import distribution_matched_sample
+
+    df = _spark.createDataFrame(
+        [(i, float(s) if s is not None else None)
+         for i, s in enumerate(scores)],
+        "id long, s double",
+    )
+    ref = _spark.createDataFrame(
+        [(i, float(s)) for i, s in enumerate(ref_scores)],
+        "rid long, s double",
+    )
+    got = {
+        r["id"]: (r["match_bin"], r["match_rate_ppm"], r["match_keep"])
+        for r in distribution_matched_sample(
+            df, "id", "s", ref, n_bins=n_bins, scale_ppm=scale_ppm,
+            seed=99, hash_mode="md5",
+        ).collect()
+    }
+
+    # independent replay
+    valid = [float(s) for s in scores if s is not None]
+    rvals = [float(s) for s in ref_scores]
+    lo = min(min(valid), min(rvals))
+    hi = max(max(valid), max(rvals))
+    span = hi - lo
+
+    def _bin(s):
+        if span <= 0:
+            return 0
+        return min(n_bins - 1, math.floor((s - lo) / span * n_bins))
+
+    c_hist, r_hist = {}, {}
+    for s in valid:
+        c_hist[_bin(s)] = c_hist.get(_bin(s), 0) + 1
+    for s in rvals:
+        r_hist[_bin(s)] = r_hist.get(_bin(s), 0) + 1
+    C, R = sum(c_hist.values()), sum(r_hist.values())
+    rates = {}
+    for b in range(n_bins):
+        c_b, r_b = c_hist.get(b, 0), r_hist.get(b, 0)
+        rates[b] = (
+            0 if c_b == 0 or r_b == 0
+            else min(1_000_000, (scale_ppm * r_b * C) // (R * c_b))
+        )
+    for i, s in enumerate(scores):
+        bucket = int(
+            md5(f"99-{i}".encode()).hexdigest()[:15], 16
+        ) % 1_000_000
+        if s is None:
+            assert got[i] == (None, 0, False)
+        else:
+            b = _bin(float(s))
+            assert got[i] == (b, rates[b], bucket < rates[b]), (
+                i, s, got[i], b, rates[b], bucket,
+            )
+
+
+@given(
+    links=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # src host index
+            st.integers(min_value=0, max_value=4),   # dst host index
+            st.one_of(
+                st.none(), st.sampled_from(["A", "b  C", "  ", "b c"])
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    keep_self=st.booleans(),
+)
+@settings(**_SETTINGS)
+def test_anchor_profile_matches_independent_replay(links, keep_self):
+    """Per-target-host anchor aggregation replayed from scratch:
+    normalization (lower/trim/whitespace-collapse), NULL/blank and
+    self-link drops, exact counts, and the (count desc, anchor asc)
+    top-anchor argmin must all match pure-Python truth."""
+    import re as _re
+
+    from dbldatagen_spark.functions import anchor_text_profile
+
+    df = _spark.createDataFrame(
+        [(f"https://h{s}.com/{i}", f"https://h{d}.com/{i}", a)
+         for i, (s, d, a) in enumerate(links)],
+        "su string, du string, a string",
+    )
+    got = {
+        r["host"]: (
+            r["in_links"], r["referring_hosts"], r["unique_anchors"],
+            r["top_anchor"], r["top_anchor_links"],
+        )
+        for r in anchor_text_profile(
+            df, "su", "du", "a", keep_self_links=keep_self
+        ).collect()
+    }
+
+    # independent replay
+    pa, srcs = {}, {}
+    for s, d, a in links:
+        if a is None:
+            continue
+        norm = _re.sub(r"\s+", " ", a.strip().lower())
+        if not norm:
+            continue
+        if not keep_self and s == d:
+            continue
+        dst = f"h{d}.com"
+        pa.setdefault(dst, {})
+        pa[dst][norm] = pa[dst].get(norm, 0) + 1
+        srcs.setdefault(dst, set()).add(f"h{s}.com")
+    want = {}
+    for dst, anchors in pa.items():
+        top = min(anchors.items(), key=lambda kv: (-kv[1], kv[0]))
+        want[dst] = (
+            sum(anchors.values()), len(srcs[dst]), len(anchors),
+            top[0], top[1],
+        )
+    assert got == want
