@@ -224,6 +224,19 @@ def main() -> None:
     # 5. token-budget selection: best (longest) docs per source within 50k chars
     selected = budget_select(good, "source", "doc_id", "n_chars", 50_000.0)
 
+    # 5b. distribution matching: budget_select keeps the LONGEST docs
+    #     per source, biasing the length profile — flag a subsample
+    #     whose histogram tracks the full quality-gated corpus again
+    #     (the capped-importance-ratio resampler — per-bin exact ppm
+    #     rates, id-hash keep decision, auditable flags)
+    from dbldatagen_spark.functions import distribution_matched_sample
+
+    matched = distribution_matched_sample(
+        selected, "doc_id", "n_chars", good, n_bins=8,
+    )
+    n_matched = matched.where("match_keep").count()
+    print(f"distribution-matched subsample: {n_matched} docs kept")
+
     # 6. retrieval negatives + train/val/test split
     negs = contrastive_negatives(selected, "doc_id", k=2, num_buckets=8)
     splits = split_assign(
