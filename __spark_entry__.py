@@ -7106,6 +7106,28 @@ def _docs_distribution_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring (round 13): corpus-internal commonness
+    per document — the boilerplate / near-copy quality signal.  The
+    corpus plants full twins of every 7th doc (id + 10^7), so twin
+    pairs provably score common_ratio 1.0 while unique docs depend
+    only on the word-soup's natural 5-gram collisions.  The oracle
+    replays with RAW gram strings (hash-free independent truth) and
+    the same single fixed-form division."""
+    from dbldatagen_spark.functions import ngram_novelty
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+            "text",
+        )
+    )
+    return ngram_novelty(
+        corpus, "doc_id", "text", n=5, df_threshold=2
+    ).orderBy("doc_id")
+
+
 def _corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-equity report (round 13): per-language BPE fertility
     (tokens per word) and chars-per-token compression under the
@@ -7130,30 +7152,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-13 rotation: growth-at-birth plus staleness drain — the 6
+    Round-13 rotation: growth-at-birth plus staleness drain — the 7
     round-13 growth rows first (web_host_authority,
     web_anchor_profile, docs_curriculum_order,
     docs_contamination_split, docs_distribution_match,
-    corpus_tokenizer_fertility), then the FULL r7-stale cohort
-    (events_cube_counts .. q10_returned_items, 16 rows), the FULL
-    r8-stale cohort (gen_constraints ..
-    gen_template_expr_conformance, 8 rows), and the first 20 r9-stale
+    docs_ngram_novelty, corpus_tokenizer_fertility), then the FULL
+    r7-stale cohort (events_cube_counts .. q10_returned_items, 16
+    rows), the FULL r8-stale cohort (gen_constraints ..
+    gen_template_expr_conformance, 8 rows), and the first 19 r9-stale
     rows in ledger order (events_hll_distinct ..
-    dedup_ngram_jaccard) — once this window drains, nothing in the
+    dedup_minhash_lsh) — once this window drains, nothing in the
     ledger is older than r9.  Demoted: the entire round-12 window —
-    all 50 were green on their r12 exposure.  dedup_cross_corpus and
-    sample_split_assign (slid out as growth rows entered at birth)
-    and the remaining r9 rows from multimodal_features onward head
-    the r14 draw.  The full query -> last-driver-round ledger lives
-    in ROTATION.md."""
+    all 50 were green on their r12 exposure.  dedup_ngram_jaccard,
+    dedup_cross_corpus and sample_split_assign (slid out as growth
+    rows entered at birth) and the remaining r9 rows from
+    multimodal_features onward head the r14 draw.  The full query ->
+    last-driver-round ledger lives in ROTATION.md."""
     return {
         # --- round-13 driver window (see ROTATION.md) ---
-        # The 6 round-13 growth rows lead (windowed at birth), then
+        # The 7 round-13 growth rows lead (windowed at birth), then
         # the FULL r7-stale cohort (events_cube_counts through
         # q10_returned_items), the FULL r8-stale cohort
         # (gen_constraints through gen_template_expr_conformance),
-        # and the first 20 r9-stale rows in ledger order
-        # (events_hll_distinct through dedup_ngram_jaccard) — after
+        # and the first 19 r9-stale rows in ledger order
+        # (events_hll_distinct through dedup_minhash_lsh) — after
         # this window drains, nothing in the ledger is older than r9.
         # Exactly 50 entries precede the demoted marker.
         "web_host_authority": _web_host_authority,
@@ -7161,6 +7183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_curriculum_order": _docs_curriculum_order,
         "docs_contamination_split": _docs_contamination_split,
         "docs_distribution_match": _docs_distribution_match,
+        "docs_ngram_novelty": _docs_ngram_novelty,
         "corpus_tokenizer_fertility": _corpus_tokenizer_fertility,
         "events_cube_counts": _events_cube_counts,
         "customers_set_ops": _customers_set_ops,
@@ -7205,13 +7228,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": _events_asof_join,
         "dedup_exact": _dedup_exact,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         # --- demoted (>=1 green driver row; see ROTATION.md ledger) ---
-        # (dedup_cross_corpus and sample_split_assign slid out when
-        # web_anchor_profile and docs_distribution_match entered at
-        # birth; they and the remaining r9-stale rows from
+        # (dedup_ngram_jaccard, dedup_cross_corpus and
+        # sample_split_assign slid out as the round-13 growth rows
+        # entered at birth; they and the remaining r9-stale rows from
         # multimodal_features onward head the r14 draw, with any r14
         # growth rows)
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_cross_corpus": _dedup_cross_corpus,
         "sample_split_assign": _sample_split_assign,
         "multimodal_features": _multimodal_features,
@@ -11587,6 +11610,51 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS host, u::BIGINT AS rank_units,
                    u / 1000000000000.0 AS rank
             FROM r3 ORDER BY host
+        """,
+        # novelty replayed with RAW gram strings (hash-free truth):
+        # the planted twins, per-doc distinct 5-grams, corpus document
+        # frequency, the >=2 commonness cut, and the one fixed-form
+        # division
+        "docs_ngram_novelty": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 7 = 0
+            ),
+            cw AS (
+                SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                FROM corpus
+            ),
+            cg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+4], ' ') AS gram
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM cw WHERE len(w) >= 5
+                )
+            ),
+            dfreq AS (
+                SELECT gram, COUNT(*)::BIGINT AS df
+                FROM cg GROUP BY gram
+            ),
+            per AS (
+                SELECT cg.doc_id, COUNT(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN dfreq.df >= 2 THEN 1
+                                ELSE 0 END)::BIGINT AS n_common
+                FROM cg JOIN dfreq USING (gram)
+                GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_common, 0) AS n_common,
+                   CASE WHEN p.n_grams > 0 THEN
+                       p.n_common::DOUBLE / p.n_grams::DOUBLE
+                   END AS common_ratio
+            FROM corpus c LEFT JOIN per p ON c.doc_id = p.doc_id
+            ORDER BY c.doc_id
         """,
         # anchor profile from fixture first principles: hosts and
         # NORMALIZED anchors derived by arithmetic on the event

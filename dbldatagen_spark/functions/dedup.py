@@ -864,6 +864,106 @@ def ngram_contamination(
     )
 
 
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    df_threshold: int = 2,
+) -> DataFrame:
+    """Corpus-internal n-gram commonness per document — the
+    boilerplate / memorization-risk quality signal: what fraction of
+    a document's distinct word n-grams also appear in at least
+    ``df_threshold`` corpus documents (the document itself included,
+    so the default 2 means "shared with any OTHER document").  A
+    page whose grams are mostly corpus-common is template/boilerplate
+    or a near-copy the dedup pass missed; a training pipeline
+    down-weights or drops it.  The complement of this ratio is the
+    document's novelty.
+
+    Same word/gram model as :func:`ngram_contamination` (lowercase,
+    whitespace tokens, n-word grams, per-document DISTINCT): per
+    document ``n_grams`` (distinct grams), ``n_common`` (those with
+    corpus document frequency >= ``df_threshold``), and
+    ``common_ratio`` — ONE fixed-form IEEE division
+    ``n_common / n_grams``, NULL (not 0) for documents shorter than
+    ``n`` words, so every cell replays bit-for-bit on any engine.
+    Exact counting by 64-bit gram hash: collisions conflate grams at
+    ~2^-64 per pair (the same accepted trade every hash-postings op
+    in this module makes; the oracle replays with raw gram strings).
+
+    Scale shape: the corpus reduces map-side to per-document DISTINCT
+    ``(gram_hash, id)`` postings before anything shuffles — document
+    bodies never move; gram document frequency is ONE
+    map-side-combined count over 8-byte keys; the postings-to-
+    frequency equi-join is gram-keyed (hot boilerplate grams are
+    exactly the skew AQE's join splitting handles, and the join
+    output is bounded by the postings count, never quadratic); the
+    per-document rollup is one id-keyed aggregate.  The postings
+    subtree feeds both join sides through the SAME gram-keyed
+    exchange, which Spark reuses rather than recomputing.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if df_threshold < 1:
+        raise ValueError(
+            f"df_threshold must be >= 1, got {df_threshold}"
+        )
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    with_words = ensure_parallelism(df).select(
+        F.col(id_col), words.alias("_w")
+    )
+    idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
+    g = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int"))
+                    for j in range(n)
+                ],
+            )
+        ),
+    )
+    pairs = with_words.where(F.size(F.col("_w")) >= n).select(
+        F.col(id_col), F.explode(F.array_distinct(g)).alias("_gh")
+    )
+    dfreq = pairs.groupBy("_gh").agg(
+        F.count(F.lit(1)).cast("long").alias("_df")
+    )
+    per_doc = (
+        pairs.join(dfreq, "_gh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                F.when(F.col("_df") >= df_threshold, 1).otherwise(0)
+            ).cast("long").alias("n_common"),
+        )
+    )
+    # short documents (< n words) carry 0 grams and a NULL ratio
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_common"), F.lit(0).cast("long")).alias(
+                "n_common"
+            ),
+            F.when(
+                F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+                F.col("n_common").cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("common_ratio"),
+        )
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",

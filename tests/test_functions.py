@@ -847,6 +847,66 @@ def test_ngram_contamination_case_insensitive(spark):
     assert rows[0]["n_shared_ngrams"] == 1
 
 
+class TestNgramNovelty:
+    def test_commonness_counts_and_ratio(self, spark):
+        from dbldatagen_spark.functions import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e"),        # grams: "a b c", "b c d", "c d e"
+                (2, "a b c x y"),        # shares "a b c" with doc 1
+                (3, "p q r s"),          # all grams unique to doc 3
+                (4, "zz"),               # < n words -> 0 grams, NULL ratio
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in ngram_novelty(
+            docs, "doc_id", "text", n=3).collect()}
+        assert (rows[1]["n_grams"], rows[1]["n_common"]) == (3, 1)
+        assert rows[1]["common_ratio"] == 1.0 / 3.0
+        assert (rows[2]["n_grams"], rows[2]["n_common"]) == (3, 1)
+        assert (rows[3]["n_grams"], rows[3]["n_common"]) == (2, 0)
+        assert rows[3]["common_ratio"] == 0.0
+        assert (rows[4]["n_grams"], rows[4]["n_common"]) == (0, 0)
+        assert rows[4]["common_ratio"] is None
+
+    def test_duplicate_docs_fully_common_and_threshold(self, spark):
+        from dbldatagen_spark.functions import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(i, "one two three four five") for i in range(3)]
+            + [(9, "six seven eight nine ten")],
+            ["doc_id", "text"],
+        )
+        out = {r["doc_id"]: r for r in ngram_novelty(
+            docs, "doc_id", "text", n=4).collect()}
+        for i in range(3):
+            assert out[i]["common_ratio"] == 1.0  # exact triplicates
+        assert out[9]["common_ratio"] == 0.0
+        # threshold 4: the triplicate grams (df=3) no longer count
+        strict = {r["doc_id"]: r for r in ngram_novelty(
+            docs, "doc_id", "text", n=4, df_threshold=4).collect()}
+        assert all(strict[i]["common_ratio"] == 0.0 for i in range(3))
+
+    def test_partition_stability_and_validation(self, spark):
+        from dbldatagen_spark.functions import ngram_novelty
+
+        docs = spark.createDataFrame(
+            [(i, f"w{i} common words here and w{i+1} more text body")
+             for i in range(20)],
+            ["doc_id", "text"],
+        )
+        a = sorted(map(tuple, ngram_novelty(
+            docs.repartition(2), "doc_id", "text", n=3).collect()))
+        b = sorted(map(tuple, ngram_novelty(
+            docs.repartition(7), "doc_id", "text", n=3).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="df_threshold"):
+            ngram_novelty(docs, "doc_id", "text", df_threshold=0)
+        with pytest.raises(ValueError, match="n must"):
+            ngram_novelty(docs, "doc_id", "text", n=0)
+
+
 def test_corpus_stats(spark, docs):
     from dbldatagen_spark.functions import corpus_stats
 
