@@ -163,6 +163,15 @@ def main() -> None:
     from dbldatagen_spark.functions import quality_classifier_score
 
     qc = quality_classifier_score(good, "doc_id", "text")
+
+    # 4c. corpus-internal novelty: docs whose 5-grams are mostly
+    #     corpus-common are boilerplate/near-copies the near-dup
+    #     scrub can miss — report the worst offenders
+    from dbldatagen_spark.functions import ngram_novelty
+
+    novelty = ngram_novelty(good, "doc_id", "text", n=5)
+    n_boiler = novelty.where("common_ratio >= 0.5").count()
+    print(f"boilerplate-suspect docs (>=50% common 5-grams): {n_boiler}")
     n_model_keep = qc.where("keep").count()
 
     # 4c. CCNet head/middle/tail: quality terciles per language from
