@@ -11784,15 +11784,19 @@ def _oracle_sql_base() -> dict[str, str]:
             WITH s AS (
                 SELECT doc_id, n_chars::DOUBLE AS sc FROM documents
             ),
-            rng AS (SELECT min(sc) AS lo, max(sc) AS hi FROM s),
+            -- invalid (NULL) scores stay out of the histogram AND the
+            -- positions, mirroring curriculum_order's NULL contract
+            -- (left join at the end gives them NULL assignments)
+            v AS (SELECT doc_id, sc FROM s WHERE sc IS NOT NULL),
+            rng AS (SELECT min(sc) AS lo, max(sc) AS hi FROM v),
             binned AS (
-                SELECT s.doc_id, s.sc,
+                SELECT v.doc_id, v.sc,
                        CASE WHEN rng.hi - rng.lo > 0 THEN
                            least(63, greatest(0, CAST(floor(
-                               (s.sc - rng.lo) / (rng.hi - rng.lo)
+                               (v.sc - rng.lo) / (rng.hi - rng.lo)
                                * 64.0) AS BIGINT)))::INTEGER
                        ELSE 0 END AS bin
-                FROM s, rng
+                FROM v, rng
             ),
             hist AS (
                 SELECT bin, COUNT(*) AS c FROM binned GROUP BY bin
@@ -11824,13 +11828,18 @@ def _oracle_sql_base() -> dict[str, str]:
                            % 4 AS shard,
                        md5('43-' || CAST(b.doc_id AS VARCHAR)) AS ordk
                 FROM binned b, thr t
+            ),
+            pos AS (
+                SELECT doc_id, difficulty, shard,
+                       (row_number() OVER (
+                            PARTITION BY difficulty, shard
+                            ORDER BY ordk, doc_id
+                        ) - 1)::BIGINT AS position
+                FROM a
             )
-            SELECT doc_id, difficulty, shard,
-                   (row_number() OVER (
-                        PARTITION BY difficulty, shard
-                        ORDER BY ordk, doc_id
-                    ) - 1)::BIGINT AS position
-            FROM a ORDER BY doc_id
+            SELECT s.doc_id, p.difficulty, p.shard, p.position
+            FROM s LEFT JOIN pos p ON s.doc_id = p.doc_id
+            ORDER BY s.doc_id
         """,
         # planted-twin decontaminating split: raw-gram-string join
         # (hash-free independent truth) + md5 bucket thresholds

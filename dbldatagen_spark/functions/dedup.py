@@ -1007,11 +1007,15 @@ def duplicate_components(
     had_prev_checkpoint_dir = False
     if checkpoint_dir is not None:
         sc = spark.sparkContext
+        prev_read_ok = True
         try:
             prev = sc._jsc.sc().getCheckpointDir()
             had_prev_checkpoint_dir = prev.isDefined()
             prev_checkpoint_dir = prev.get() if prev.isDefined() else None
         except Exception:
+            # could not READ the prior state: restore nothing on exit
+            # (clearing would destroy a dir the session may have had)
+            prev_read_ok = False
             prev_checkpoint_dir = None
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -1031,7 +1035,7 @@ def duplicate_components(
             if had_prev_checkpoint_dir and prev_checkpoint_dir is not None:
                 if prev_checkpoint_dir != checkpoint_dir:
                     spark.sparkContext.setCheckpointDir(prev_checkpoint_dir)
-            elif not had_prev_checkpoint_dir:
+            elif prev_read_ok and not had_prev_checkpoint_dir:
                 # the session had NO checkpoint dir before this call;
                 # clear the override so no session-level side effect
                 # survives (Scala's setter wraps its argument in

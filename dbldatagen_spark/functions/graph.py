@@ -125,11 +125,15 @@ def pagerank(
     had_prev_dir = False
     if checkpoint_dir is not None:
         sc = spark.sparkContext
+        prev_read_ok = True
         try:
             prev = sc._jsc.sc().getCheckpointDir()
             had_prev_dir = prev.isDefined()
             prev_dir = prev.get() if prev.isDefined() else None
         except Exception:
+            # could not READ the prior state: restore nothing on exit
+            # (clearing would destroy a dir the session may have had)
+            prev_read_ok = False
             prev_dir = None
         sc.setCheckpointDir(checkpoint_dir)
 
@@ -234,7 +238,7 @@ def pagerank(
         if checkpoint_dir is not None:
             if had_prev_dir and prev_dir is not None:
                 spark.sparkContext.setCheckpointDir(prev_dir)
-            elif not had_prev_dir:
+            elif prev_read_ok and not had_prev_dir:
                 # the session had NO checkpoint dir before this call;
                 # leaving ours set would be a lasting session-level
                 # side effect.  The Scala setter wraps its argument in
@@ -454,8 +458,16 @@ def anchor_text_profile(
         raise ValueError(f"min_links must be >= 1, got {min_links}")
     from dbldatagen_spark.functions.curation import url_host_expr
 
+    # collapse BEFORE trimming: F.trim strips only spaces (0x20), so
+    # trim-first would leave a trailing tab/newline as a trailing
+    # space after the collapse ("shop blog\t" -> "shop blog "),
+    # splitting counts, and an all-tab anchor would survive the
+    # blank-drop as " ".  Collapse-then-trim equals strip-all-
+    # whitespace-then-collapse.  (Deliberately NOT dedup's
+    # normalize_text_expr: that trim-first form is the established
+    # hash-canonical contract existing dedup oracles replay.)
     norm = F.nullif(
-        F.regexp_replace(F.lower(F.trim(F.col(anchor_col))), r"\s+", " "),
+        F.trim(F.regexp_replace(F.lower(F.col(anchor_col)), r"\s+", " ")),
         F.lit(""),
     )
     h = links.select(

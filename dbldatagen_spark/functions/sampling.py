@@ -786,6 +786,10 @@ def distribution_matched_sample(
         raise ValueError(
             f"scale_ppm must be in (0, 1000000], got {scale_ppm}"
         )
+    if hash_mode not in ("xxhash64", "md5"):
+        # validate BEFORE the range/histogram jobs: a typo here must
+        # not cost two corpus scans first
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
     ref_score_col = ref_score_col or score_col
     for frame, col, side in ((df, score_col, "df"),
                              (reference, ref_score_col, "reference")):

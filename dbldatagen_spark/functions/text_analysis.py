@@ -982,6 +982,17 @@ def rrf_fuse(
     )
 
 
+def _bpe_word_arr(text_col: str) -> Column:
+    """The BPE family's shared word model (lowercase alpha runs) —
+    ONE definition so :func:`bpe_encode`'s token counts and
+    :func:`tokenizer_fertility`'s word/char denominators can never
+    silently diverge."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
+        lambda w: w != "",
+    )
+
+
 def bpe_encode(
     df: DataFrame,
     text_col: str,
@@ -1082,10 +1093,7 @@ def bpe_encode(
             "",
         )
 
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-        lambda w: w != "",
-    )
+    words = _bpe_word_arr(text_col)
     to_tokens = lambda s: F.filter(F.split(s, " "), lambda t: t != "")
 
     if checkpoint_chunk is None or len(pairs) <= checkpoint_chunk:
@@ -1164,10 +1172,7 @@ def tokenizer_fertility(
         out_col=out_col, max_merges=max_merges,
         checkpoint_chunk=checkpoint_chunk,
     )
-    words = F.filter(
-        F.split(F.lower(F.col(text_col)), "[^a-z]+"),
-        lambda w: w != "",
-    )
+    words = _bpe_word_arr(text_col)
     n_words = F.coalesce(F.size(words), F.lit(0))
     n_chars = F.coalesce(
         F.aggregate(

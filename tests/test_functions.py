@@ -8194,6 +8194,24 @@ class TestAnchorTextProfile:
             self._df(spark).repartition(7), "su", "du", "a").collect()))
         assert a == b
 
+    def test_edge_whitespace_normalization(self, spark):
+        # F.trim strips only spaces: a trailing tab must not survive
+        # the collapse as a trailing space (splitting counts), and an
+        # all-tab anchor must drop like a blank one
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        df = spark.createDataFrame(
+            [("https://a.com/1", "https://b.com/x", "shop blog\t"),
+             ("https://c.com/1", "https://b.com/y", "shop blog"),
+             ("https://d.com/1", "https://b.com/z", "\t")],
+            "su string, du string, a string",
+        )
+        rows = anchor_text_profile(df, "su", "du", "a").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["in_links"], r["unique_anchors"]) == (2, 1)
+        assert (r["top_anchor"], r["top_anchor_links"]) == ("shop blog", 2)
+
     def test_corpus_stage_compiles(self, spark):
         # the filter + both corpus-keyed aggregates must stay inside
         # compiled whole-stage codegen (no 64 KB fallback) and carry
