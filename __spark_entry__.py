@@ -9564,7 +9564,8 @@ def _oracle_sql_base() -> dict[str, str]:
         "text_contamination": """
             WITH t AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
                 FROM documents
             ),
             e AS (
@@ -11624,7 +11625,8 @@ def _oracle_sql_base() -> dict[str, str]:
             ),
             cw AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
                 FROM corpus
             ),
             cg AS (
@@ -11851,7 +11853,8 @@ def _oracle_sql_base() -> dict[str, str]:
                 WHERE doc_id % 10 = 7
             ),
             bw AS (
-                SELECT string_split_regex(lower(trim(text)), '\\s+') AS w
+                SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
                 FROM documents WHERE doc_id % 10 = 7
             ),
             bg AS (
@@ -11863,7 +11866,8 @@ def _oracle_sql_base() -> dict[str, str]:
             ),
             cw AS (
                 SELECT doc_id,
-                       string_split_regex(lower(trim(text)), '\\s+') AS w
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
                 FROM corpus
             ),
             cg AS (

@@ -808,6 +808,21 @@ def embedding_near_duplicates(
     )
 
 
+def _ngram_word_arr(text_col: str) -> Column:
+    """The n-gram family's shared word model (lowercase whitespace
+    tokens, empty tokens filtered) — ONE definition so
+    :func:`ngram_contamination` and :func:`ngram_novelty` can never
+    silently diverge.  The empty-token filter matters at the edges:
+    splitting on ``\\s+`` yields an empty first/last element when the
+    text starts/ends with ANY whitespace (tab, newline — ``trim``
+    alone only strips 0x20), and an unfiltered empty token would
+    shift every gram by one position."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda w: w != "",
+    )
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -832,7 +847,7 @@ def ngram_contamination(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     def grams(df: DataFrame, with_id: bool) -> DataFrame:
-        words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        words = _ngram_word_arr(text_col)
         with_words = df.select(
             *([F.col(id_col)] if with_id else []), words.alias("_w")
         ).where(F.size(F.col("_w")) >= n)
@@ -882,8 +897,9 @@ def ngram_novelty(
     down-weights or drops it.  The complement of this ratio is the
     document's novelty.
 
-    Same word/gram model as :func:`ngram_contamination` (lowercase,
-    whitespace tokens, n-word grams, per-document DISTINCT): per
+    Same word/gram model as :func:`ngram_contamination` (shared
+    :func:`_ngram_word_arr`: lowercase whitespace tokens with empty
+    tokens filtered, n-word grams, per-document DISTINCT): per
     document ``n_grams`` (distinct grams), ``n_common`` (those with
     corpus document frequency >= ``df_threshold``), and
     ``common_ratio`` — ONE fixed-form IEEE division
@@ -910,7 +926,7 @@ def ngram_novelty(
         raise ValueError(
             f"df_threshold must be >= 1, got {df_threshold}"
         )
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = _ngram_word_arr(text_col)
     with_words = ensure_parallelism(df).select(
         F.col(id_col), words.alias("_w")
     )

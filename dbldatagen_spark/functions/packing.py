@@ -30,6 +30,8 @@ engine with an md5 function — the same portability trick
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -349,7 +351,7 @@ def curriculum_order(
     group_col=None,
     n_buckets: int = 3,
     n_bins: int = 1024,
-    num_shards: int = 16,
+    num_shards: Optional[int] = None,
     seed: int = 42,
     hash_mode: str = "md5",
     easy_high: bool = False,
@@ -388,15 +390,42 @@ def curriculum_order(
     hashes — never text — and sharding inside each band is what keeps
     this off the one-task-per-band global sort (a 3-band corpus would
     otherwise sort ~1/3 of 100 TB in a single task; the
-    :func:`length_bucket_batches` skew discipline).  Invalid rows
+    :func:`length_bucket_batches` skew discipline).  ``num_shards``
+    SIZES those per-band sort tasks: each ``(band, shard)`` cell
+    sorts ``rows / (n_buckets * num_shards)`` narrow (id, hash) rows
+    in one task, so size it to keep that quotient within a task
+    (~10M rows is comfortable; a 10^11-row crawl at 3 bands wants
+    ``num_shards`` in the 10^4+ range, NOT the local-test default).
+    When ``num_shards`` is None the default is
+    ``max(16, 4 * defaultParallelism)`` — parallelism-aware like
+    :func:`~dbldatagen_spark.functions._parallel.ensure_parallelism`,
+    but still a CLUSTER-WIDTH heuristic, not a data-size one: at
+    crawl scale pass it explicitly from the row count.  Invalid rows
     never enter the window: the valid and invalid branches both read
-    the bucketed frame, so it is persisted by default
-    (MEMORY_AND_DISK — narrow (id, band, shard, hash) rows only;
-    LRU-evicted and lineage-recoverable) rather than re-running
-    score_buckets' histogram subtree once per branch; pass
-    ``cache=False`` to keep the operator fully stateless (the
-    minhash-signature cache precedent).
+    the bucketed frame, so by default it is eagerly
+    ``localCheckpoint``-ed (the :func:`~dbldatagen_spark.functions
+    .graph.pagerank` precedent) rather than re-running
+    score_buckets' histogram subtree once per branch — checkpoint
+    blocks are freed by the ContextCleaner when the returned frame
+    is garbage-collected, unlike a ``persist()`` entry that would
+    sit in the session's cache registry until an explicit
+    ``unpersist`` (repeated calls in a long-lived session would
+    accumulate storage entries).  The trade: lineage is truncated,
+    so a lost executor fails the job instead of recomputing; pass
+    ``cache=False`` to keep the operator fully stateless and
+    lineage-recoverable (the minhash-signature cache precedent).
     """
+    if num_shards is None:
+        # parallelism-aware default (Connect-safe, like
+        # ensure_parallelism): 4x the cluster width keeps per-cell
+        # sorts small and evens out band-population skew; floor 16
+        # preserves the original local-test behavior
+        try:
+            num_shards = max(
+                16, 4 * int(df.sparkSession.sparkContext.defaultParallelism)
+            )
+        except Exception:
+            num_shards = 16
     if num_shards < 1:
         raise ValueError(f"num_shards must be >= 1, got {num_shards}")
     added = {bucket_col, "shard", "position"}
@@ -447,7 +476,12 @@ def curriculum_order(
         _order_key(id_col, seed + 1, hash_mode).alias("_ord"),
     )
     if cache:
-        base = base.persist()
+        # eager local checkpoint, NOT persist: both branches below
+        # read the materialized blocks, and the ContextCleaner frees
+        # them once the returned frame is unreachable — a persist()
+        # here would leak a cache-registry entry per call (see
+        # docstring; pagerank's localCheckpoint precedent)
+        base = base.localCheckpoint(eager=True)
     w = Window.partitionBy(bucket_col, "shard").orderBy(
         F.col("_ord"), F.col(id_col)
     )

@@ -795,6 +795,10 @@ def distribution_matched_sample(
                              (reference, ref_score_col, "reference")):
         if col not in frame.columns:
             raise ValueError(f"{side} has no column {col!r}")
+    if id_col not in df.columns:
+        # eager, like the score-column checks: a missing id must not
+        # surface as an AnalysisException AFTER the two histogram jobs
+        raise ValueError(f"df has no column {id_col!r}")
     out_bin = f"{out_prefix}_bin"
     out_rate = f"{out_prefix}_rate_ppm"
     out_keep = f"{out_prefix}_keep"
@@ -864,7 +868,7 @@ def distribution_matched_sample(
         bucket = F.pmod(
             F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
         )
-    elif hash_mode == "md5":
+    else:  # md5 — hash_mode already validated eagerly above
         bucket = F.pmod(
             F.conv(
                 F.substring(
@@ -881,8 +885,6 @@ def distribution_matched_sample(
             ).cast("long"),
             F.lit(1_000_000),
         )
-    else:
-        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
 
     rate_arr = F.array(*[F.lit(r).cast("long") for r in rates])
     out = df.withColumn(out_bin, _bin(score_col))

@@ -906,6 +906,41 @@ class TestNgramNovelty:
         with pytest.raises(ValueError, match="n must"):
             ngram_novelty(docs, "doc_id", "text", n=0)
 
+    def test_edge_whitespace_does_not_shift_grams(self, spark):
+        # trim() strips only 0x20: a leading tab/newline used to leave
+        # an empty first token that shifted every gram by one; the
+        # shared _ngram_word_arr filter makes whitespace-edged twins
+        # gram-identical (the anchor_text_profile regression, applied
+        # to the n-gram family)
+        from dbldatagen_spark.functions import (
+            ngram_contamination, ngram_novelty,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),
+                (2, "\talpha beta gamma delta\n"),   # tab/newline-edged twin
+                (3, "  \n\t  "),                      # all-whitespace doc
+            ],
+            ["doc_id", "text"],
+        )
+        rows = {r["doc_id"]: r for r in ngram_novelty(
+            docs, "doc_id", "text", n=3).collect()}
+        for i in (1, 2):
+            assert (rows[i]["n_grams"], rows[i]["n_common"]) == (2, 2)
+            assert rows[i]["common_ratio"] == 1.0
+        # all-whitespace doc has ZERO tokens, not one empty gram
+        assert (rows[3]["n_grams"], rows[3]["n_common"]) == (0, 0)
+        assert rows[3]["common_ratio"] is None
+        shared = ngram_contamination(
+            docs.where(F.col("doc_id") == 1),
+            docs.where(F.col("doc_id") == 2),
+            "doc_id", "text", n=3,
+        ).collect()
+        assert [(r["doc_id"], r["n_shared_ngrams"]) for r in shared] == [
+            (2, 2)
+        ]
+
 
 def test_corpus_stats(spark, docs):
     from dbldatagen_spark.functions import corpus_stats
@@ -8317,27 +8352,53 @@ class TestCurriculumOrder:
             }
 
         base = _storage_ids()
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        cache_empty_before = cm.isEmpty()
         try:
             cached = curriculum_order(
                 df, "id", "s", n_buckets=3, n_bins=32, num_shards=2
             )
-            cached.count()
-            # the shared bucketed frame holds storage blocks: both the
-            # valid-branch window and the invalid branch read it
+            # eager localCheckpoint: the shared bucketed frame is
+            # materialized at call time, and both the valid-branch
+            # window and the invalid branch read its blocks
             assert _storage_ids() - base
+            # ...but NOTHING enters the session cache registry — the
+            # round-13 leak was a persist() entry per call that only
+            # an explicit unpersist/clearCache could drain
+            if cache_empty_before:
+                assert cm.isEmpty()
             a = sorted(map(tuple, cached.collect()), key=str)
-            spark.catalog.clearCache()
+            mid = _storage_ids()
             plain = curriculum_order(
                 df, "id", "s", n_buckets=3, n_bins=32, num_shards=2,
                 cache=False,
             )
             b = sorted(map(tuple, plain.collect()), key=str)
             assert a == b
-            # stateless mode left no NEW storage behind
-            assert _storage_ids() - base == set()
+            # stateless mode left no NEW storage behind (checkpoint
+            # blocks from the cached call may linger until GC, hence
+            # the mid snapshot)
+            assert _storage_ids() - mid == set()
         finally:
             spark.catalog.clearCache()
 
+
+    def test_derived_num_shards_default(self, spark):
+        # num_shards=None derives max(16, 4 * defaultParallelism):
+        # the per-(band, shard) sort-task sizing rule — the pinned
+        # 16 was a local-test constant presented as a scale default
+        from dbldatagen_spark.functions import curriculum_order
+        import hashlib
+
+        expected = max(
+            16, 4 * spark.sparkContext.defaultParallelism
+        )
+        out = {r["id"]: r for r in curriculum_order(
+            self._scores(spark), "id", "s", n_buckets=3, n_bins=100,
+        ).collect()}
+        for i in range(60):
+            h = hashlib.md5(f"42-{i}".encode()).hexdigest()
+            assert out[i]["shard"] == int(h[:15], 16) % expected
 
     def test_validation(self, spark):
         from dbldatagen_spark.functions import curriculum_order
@@ -8436,6 +8497,11 @@ class TestDistributionMatchedSample:
                                         scale_ppm=0)
         with pytest.raises(ValueError, match="no column"):
             distribution_matched_sample(corpus, "id", "nope", ref)
+        # id_col eagerly validated too: a missing id must raise
+        # BEFORE the two histogram collect jobs, not as a late
+        # AnalysisException on the flagging pass
+        with pytest.raises(ValueError, match="no column 'nope_id'"):
+            distribution_matched_sample(corpus, "nope_id", "s", ref)
         with pytest.raises(ValueError, match="already exist"):
             distribution_matched_sample(
                 corpus.withColumn("match_keep", F.lit(True)),
