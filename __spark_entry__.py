@@ -7035,6 +7035,69 @@ def _web_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("host")
 
 
+def _web_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level host authority (round 14): promotes the
+    ``level="domain"`` arm AND the new ``suffix_list`` parameter to
+    oracle coverage.  The fixture plants multi-label hosts across
+    second-level public suffixes the built-in subset lacks
+    (``s{u%3}.shop{u%2}.com.pl``) and a THREE-label suffix
+    (``w{e%2}.uni{e%3}.act.edu.au`` — longest-match must claim four
+    labels), with scheme/www/case/port noise on the URLs; every
+    ``event_id % 5 == 0`` link targets a DIFFERENT host of the
+    source's own registrable domain, so it survives host-level
+    dedup but must drop as a domain-level self-link — the collapse
+    itself is what separates the levels.  ``event_id % 13 == 0``
+    sources are unparseable (dropped).  The oracle derives the
+    registrable domains from fixture FIRST PRINCIPLES (arithmetic on
+    the event columns, no URL parsing, no suffix table) and replays
+    three weighted fixed-point iterations with the exact two-term
+    floor(damped*w/W) split to the unit."""
+    from dbldatagen_spark.functions import host_authority
+
+    events = _load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    links = events.where(uid.isNotNull() & eid.isNotNull()).select(
+        F.when(F.pmod(eid, F.lit(13)) == 0, F.lit("::bad::")).otherwise(
+            F.concat(
+                F.when(
+                    F.pmod(eid, F.lit(2)) == 0, F.lit("https://www.")
+                ).otherwise(F.lit("HTTP://")),
+                F.lit("s"),
+                F.pmod(uid, F.lit(3)).cast("string"),
+                F.lit(".shop"),
+                F.pmod(uid, F.lit(2)).cast("string"),
+                F.lit(".com.pl"),
+                F.when(
+                    F.pmod(eid, F.lit(3)) == 0, F.lit(":443")
+                ).otherwise(F.lit("")),
+                F.lit("/p/"),
+                F.pmod(eid, F.lit(7)).cast("string"),
+            )
+        ).alias("src_url"),
+        F.when(
+            F.pmod(eid, F.lit(5)) == 0,
+            F.concat(
+                F.lit("http://x.shop"),
+                F.pmod(uid, F.lit(2)).cast("string"),
+                F.lit(".com.pl/self"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTP://W"),
+                F.pmod(eid, F.lit(2)).cast("string"),
+                F.lit(".Uni"),
+                F.pmod(eid, F.lit(3)).cast("string"),
+                F.lit(".ACT.edu.au:80/t/"),
+                F.pmod(uid, F.lit(11)).cast("string"),
+            )
+        ).alias("dst_url"),
+    )
+    return host_authority(
+        links, "src_url", "dst_url", level="domain", iterations=3,
+        suffix_list=["com.pl", "act.edu.au"],
+    ).orderBy("domain")
+
+
 def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (round 13): difficulty-banded deterministic
     shard layout over document length — 4 histogram-quantile bands
@@ -7178,6 +7241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (events_hll_distinct through dedup_minhash_lsh) — after
         # this window drains, nothing in the ledger is older than r9.
         # Exactly 50 entries precede the demoted marker.
+        "web_domain_authority": _web_domain_authority,
         "web_host_authority": _web_host_authority,
         "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
@@ -11611,6 +11675,95 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS host, u::BIGINT AS rank_units,
                    u / 1000000000000.0 AS rank
             FROM r3 ORDER BY host
+        """,
+        # domain-level arm + suffix_list parameter: registrable
+        # domains derived from fixture first principles (arithmetic
+        # on the event columns — no URL parsing, no suffix table);
+        # the e%5 branch is a domain-level SELF-link (different host,
+        # same registrant) that must vanish in the sh <> dh cut, and
+        # the weighted fixed-point replay is identical to
+        # web_host_authority's
+        "web_domain_authority": """
+            WITH raw AS (
+                SELECT 'shop' || CAST(user_id % 2 AS VARCHAR)
+                           || '.com.pl' AS sd,
+                       CASE WHEN event_id % 5 = 0
+                            THEN 'shop' || CAST(user_id % 2 AS VARCHAR)
+                                 || '.com.pl'
+                            ELSE 'uni' || CAST(event_id % 3 AS VARCHAR)
+                                 || '.act.edu.au' END AS dd
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND event_id % 13 <> 0
+            ),
+            e AS (
+                SELECT sd AS sh, dd AS dh, COUNT(*)::BIGINT AS w
+                FROM raw WHERE sd <> dd GROUP BY sd, dd
+            ),
+            nodes AS (
+                SELECT sh AS node FROM e UNION SELECT dh FROM e
+            ),
+            params AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       1000000000000 // COUNT(*)::BIGINT AS init_u,
+                       ((1000000000000 // COUNT(*)::BIGINT) * 150000)
+                           // 1000000 AS base
+                FROM nodes
+            ),
+            deg AS (
+                SELECT sh AS s, SUM(w)::BIGINT AS dg FROM e GROUP BY sh
+            ),
+            r0 AS (
+                SELECT node, (SELECT init_u FROM params) AS u FROM nodes
+            ),
+            s1 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r0 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r1 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s1 s ON s.node = n2.node
+            ),
+            s2 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r1 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r2 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s2 s ON s.node = n2.node
+            ),
+            s3 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r2 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r3 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s3 s ON s.node = n2.node
+            )
+            SELECT node AS domain, u::BIGINT AS rank_units,
+                   u / 1000000000000.0 AS rank
+            FROM r3 ORDER BY domain
         """,
         # novelty replayed with RAW gram strings (hash-free truth):
         # the planted twins, per-doc distinct 5-grams, corpus document

@@ -367,32 +367,72 @@ def url_host_expr(url) -> "Column":
     )
 
 
-def registrable_domain_expr(host) -> "Column":
+def registrable_domain_expr(host, suffix_list=None) -> "Column":
     """PSL-style registrable domain of an already-normalized host
     (the :func:`canonicalize_urls` ``registrable_domain`` rule,
     factored for reuse over a host column: ``a.b.co.uk`` ->
     ``b.co.uk``, ``x.github.io`` -> ``x.github.io``; IPv4 and
     single-label hosts pass through).  Cheap only relative to its
     input cardinality — apply it to HOST-level frames (post-
-    aggregation), not per-row over a corpus."""
+    aggregation), not per-row over a corpus.
+
+    ``suffix_list`` overrides the built-in 44-entry multi-part suffix
+    subset: pass the multi-label entries of a real Public Suffix List
+    snapshot (lowercase dotted suffixes of 2 or 3 labels, e.g.
+    ``["co.uk", "com.pl", "act.edu.au", ...]``) and production domain
+    collapses stop merging unrelated registrants under suffixes the
+    subset lacks.  Single-label TLDs need no entry — the fallback
+    rule (last two labels) already handles them; wildcard/exception
+    PSL rules (``*.ck``, ``!www.ck``) are not expressible here, so
+    drop them when converting a snapshot (they cover a handful of
+    ccTLDs).  The list rides the plan as ONE array literal — constant
+    Catalyst data, not per-entry generated code, so a ~10k-entry PSL
+    snapshot stays clear of the JVM's 64 KB method limit."""
+    entries = (
+        _SECOND_LEVEL_SUFFIXES if suffix_list is None else list(suffix_list)
+    )
+    two, three = [], []
+    for s in entries:
+        dots = s.count(".") if isinstance(s, str) else -1
+        if not isinstance(s, str) or s != s.lower() or "" in s.split("."):
+            raise ValueError(
+                f"suffix_list entries must be lowercase dotted suffixes, "
+                f"got {s!r}"
+            )
+        if dots == 1:
+            two.append(s)
+        elif dots == 2:
+            three.append(s)
+        else:
+            raise ValueError(
+                f"suffix_list entries must have 2 or 3 labels (single-"
+                f"label TLDs are the implicit fallback rule; wildcard "
+                f"PSL rules are unsupported), got {s!r}"
+            )
     labels = F.split(host, r"\.")
     n = F.size(labels)
     is_ip = host.rlike(r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$")
     last1 = F.try_element_at(labels, F.lit(-1))
     last2 = F.try_element_at(labels, F.lit(-2))
     last3 = F.try_element_at(labels, F.lit(-3))
+    last4 = F.try_element_at(labels, F.lit(-4))
     sld = F.concat_ws(".", last2, last1)
-    suffixes = F.array(*[F.lit(s) for s in _SECOND_LEVEL_SUFFIXES])
-    return (
+    tld3 = F.concat_ws(".", last3, last2, last1)
+    out = (
         # NULL host stays NULL (concat_ws would otherwise fold it to '')
         F.when(host.isNull(), F.lit(None).cast("string"))
         .when(is_ip | (n <= 1), host)
-        .when(
-            F.array_contains(suffixes, sld) & (n >= 3),
-            F.concat_ws(".", last3, last2, last1),
-        )
-        .otherwise(sld)
     )
+    if three:
+        # longest-match-first, the PSL rule: a 3-label suffix claims
+        # 4 labels before any 2-label suffix is consulted
+        out = out.when(
+            F.array_contains(F.lit(three), tld3) & (n >= 4),
+            F.concat_ws(".", last4, last3, last2, last1),
+        )
+    if two:
+        out = out.when(F.array_contains(F.lit(two), sld) & (n >= 3), tld3)
+    return out.otherwise(sld)
 
 
 def canonicalize_urls(
@@ -402,6 +442,7 @@ def canonicalize_urls(
     out_col: str = "url_canonical",
     domain_col: str = "registrable_domain",
     tracking_params: Optional[Sequence[str]] = None,
+    suffix_list: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """URL canonicalization + registrable-domain extraction — the
     standard pre-dedup normalizer for web corpora: two crawls of the
@@ -431,8 +472,10 @@ def canonicalize_urls(
 
     ``registrable_domain`` is the PSL-style owner domain (``a.b.co.uk``
     -> ``b.co.uk``; ``x.github.io`` -> ``x.github.io``) via the
-    documented suffix subset above; IPv4 hosts and single-label hosts
-    pass through unchanged.  Rows whose host fails to parse (empty, or
+    documented suffix subset above — or via ``suffix_list``, a
+    user-supplied Public Suffix List snapshot (see
+    :func:`registrable_domain_expr` for the entry format); IPv4 hosts
+    and single-label hosts pass through unchanged.  Rows whose host fails to parse (empty, or
     containing characters no hostname allows) get NULL in both output
     columns — loud downstream, never a silently-wrong key.
 
@@ -474,7 +517,7 @@ def canonicalize_urls(
             F.lit("")
         ),
     )
-    dom = registrable_domain_expr(host)
+    dom = registrable_domain_expr(host, suffix_list=suffix_list)
     return df.withColumn(
         out_col, F.when(valid, canon)
     ).withColumn(domain_col, F.when(valid, dom))

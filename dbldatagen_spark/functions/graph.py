@@ -263,6 +263,7 @@ def host_authority(
     scale: int = 10**12,
     checkpoint_dir: Optional[str] = None,
     tracking_params=None,
+    suffix_list=None,
 ) -> DataFrame:
     """Host-graph authority — the Common Crawl-style host-rank prior
     this module's docstring cites, composed end-to-end: extract the
@@ -322,6 +323,13 @@ def host_authority(
     ``tracking_params`` is accepted for signature compatibility with
     :func:`~dbldatagen_spark.functions.curation.canonicalize_urls`
     and ignored — query strings never affect the host.
+    ``suffix_list`` feeds the ``level="domain"`` collapse a real
+    Public Suffix List snapshot (see :func:`~dbldatagen_spark
+    .functions.curation.registrable_domain_expr` for the entry
+    format) — the built-in default is a 44-entry subset, and on a
+    real crawl any suffix it lacks (``com.pl``, ``co.th``, ...)
+    merges unrelated registrants under one node; ignored at
+    ``level="host"``.
     """
     if level not in ("host", "domain"):
         raise ValueError(f"level must be host|domain, got {level!r}")
@@ -375,8 +383,12 @@ def host_authority(
         if level == "domain":
             agg = (
                 agg.select(
-                    registrable_domain_expr(F.col("_sh")).alias("_sh"),
-                    registrable_domain_expr(F.col("_dh")).alias("_dh"),
+                    registrable_domain_expr(
+                        F.col("_sh"), suffix_list=suffix_list
+                    ).alias("_sh"),
+                    registrable_domain_expr(
+                        F.col("_dh"), suffix_list=suffix_list
+                    ).alias("_dh"),
                     "_hw",
                 )
                 .groupBy("_sh", "_dh")

@@ -1543,6 +1543,41 @@ class TestUrlHostExpr:
                 r["url"], r["dom_fast"], r["registrable_domain"],
             )
 
+    def test_suffix_list_override(self, spark):
+        # production PSL path: a user-supplied snapshot changes the
+        # collapse under suffixes the built-in 44-entry subset lacks
+        from dbldatagen_spark.functions import (
+            canonicalize_urls, registrable_domain_expr,
+        )
+
+        df = spark.createDataFrame(
+            [("shop.example.com.pl",), ("a.b.co.uk",),
+             ("w.act.edu.au",), ("plain.com",)], ["h"])
+        psl = ["co.uk", "com.pl", "act.edu.au"]
+        got = {r["h"]: (r["d0"], r["d1"]) for r in df.select(
+            "h",
+            registrable_domain_expr(F.col("h")).alias("d0"),
+            registrable_domain_expr(F.col("h"), suffix_list=psl).alias("d1"),
+        ).collect()}
+        # the subset lacks com.pl: default wrongly merges all of
+        # .com.pl under one registrant; the snapshot fixes it
+        assert got["shop.example.com.pl"] == ("com.pl", "example.com.pl")
+        assert got["a.b.co.uk"] == ("b.co.uk", "b.co.uk")
+        # 3-label suffix claims 4 labels (longest-match-first)
+        assert got["w.act.edu.au"][1] == "w.act.edu.au"
+        assert got["plain.com"] == ("plain.com", "plain.com")
+        # threads through canonicalize_urls
+        urls = spark.createDataFrame(
+            [("https://shop.example.com.pl/x",)], ["url"])
+        r = canonicalize_urls(urls, "url", suffix_list=psl).collect()[0]
+        assert r["registrable_domain"] == "example.com.pl"
+        with pytest.raises(ValueError, match="lowercase"):
+            registrable_domain_expr(F.col("h"), suffix_list=["Com.PL"])
+        with pytest.raises(ValueError, match="2 or 3 labels"):
+            registrable_domain_expr(F.col("h"), suffix_list=["com"])
+        with pytest.raises(ValueError, match="2 or 3 labels"):
+            registrable_domain_expr(F.col("h"), suffix_list=["a.b.c.d"])
+
     def test_single_reference_chain_compiles_in_aggregate(self, spark):
         # the whole point: as a grouping key the chain must stay
         # inside one whole-stage-codegen partial aggregate
@@ -8135,6 +8170,27 @@ class TestHostAuthority:
             selfy, "su", "du", keep_self_links=True, iterations=1
         ).collect()}
         assert withself == {"a.com", "b.com"}
+
+    def test_domain_level_suffix_list_override(self, spark):
+        from dbldatagen_spark.functions import host_authority
+
+        links = spark.createDataFrame(
+            [("https://blog.shop.com.pl/a", "https://shop.com.pl/b"),
+             ("https://shop.com.pl/c", "https://other.com.pl/d")],
+            "su string, du string",
+        )
+        # default subset lacks com.pl: every .com.pl host merges into
+        # the pseudo-registrant 'com.pl', so the graph degenerates to
+        # self-links and drops empty
+        dom0 = {r["domain"] for r in host_authority(
+            links, "su", "du", level="domain", iterations=1).collect()}
+        assert dom0 == set()
+        # a PSL snapshot separates the registrants: the intra-domain
+        # link drops, the cross-registrant link survives
+        dom1 = {r["domain"] for r in host_authority(
+            links, "su", "du", level="domain", iterations=1,
+            suffix_list=["com.pl"]).collect()}
+        assert dom1 == {"shop.com.pl", "other.com.pl"}
 
     def test_weight_col_and_partition_stability(self, spark):
         from dbldatagen_spark.functions import host_authority
