@@ -7098,6 +7098,130 @@ def _web_domain_authority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("domain")
 
 
+def _docs_authority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-weighted sampling (round 14): host_authority's ranks
+    CONSUMED as a sampling prior end-to-end — the web_host_authority
+    link fixture ranks hosts h0..h6 (weighted 3-iteration fixed
+    point), documents get deterministic URLs over hosts h0..h8 (h7/h8
+    unranked -> floor rate; every 17th URL unparseable -> NULL node,
+    floor rate), and each document keeps at base_ppm + (span *
+    rank_units) div max(rank_units) per million via the md5 id-hash
+    bucket.  The oracle replays EVERYTHING: the three weighted
+    pagerank iterations from fixture first principles, the rank join,
+    the integer keep-rate interpolation, and the md5 keep decision."""
+    from dbldatagen_spark.functions import (
+        authority_weighted_sample, host_authority,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    links = events.where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.concat(
+            F.lit("https://www.h"),
+            F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.pmod(F.col("event_id"), F.lit(13)).cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com:80/t/"),
+            F.pmod(F.col("event_id"), F.lit(11)).cast("string"),
+        ).alias("dst_url"),
+    )
+    auth = host_authority(links, "src_url", "dst_url", iterations=3)
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(17)) == 0, F.lit("::bad::")
+        ).otherwise(
+            F.concat(
+                F.lit("https://www.h"),
+                F.pmod(F.col("doc_id"), F.lit(9)).cast("string"),
+                F.lit(".example.com/d/"),
+                F.col("doc_id").cast("string"),
+            )
+        ).alias("url"),
+    )
+    return authority_weighted_sample(
+        docs, "doc_id", "url", auth,
+        base_ppm=200_000, max_ppm=1_000_000, seed=7, hash_mode="md5",
+    ).select(
+        "doc_id", "auth_node", "auth_rank_units",
+        "auth_keep_ppm", "auth_keep",
+    ).orderBy("doc_id")
+
+
+def _corpus_fertility_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility-driven re-mixing (round 14): the tokenizer_fertility
+    equity report DRIVING temperature_token_allocation — temperature
+    share over WORD mass (sqrt at alpha 0.5) scaled by each
+    language's MEASURED tokens-per-word, so equal shares buy equal
+    words seen rather than equal tokens burned, with the 1M-token
+    budget split exactly by the largest-remainder rule.  The oracle
+    replays the full chain: the BPE encode word/token counts under
+    the 8-merge table, the one fixed-form raw mass sqrt(n_words) *
+    (n_tokens / n_words), the key-ordered IEEE normalizing fold, and
+    the floor/frac/rank arithmetic."""
+    from dbldatagen_spark.functions import fertility_token_allocation
+
+    docs = _load(spark, sf_dir, "documents")
+    merges = [("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+              ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e")]
+    return fertility_token_allocation(
+        docs, "lang", "text", merges, alpha=0.5,
+        target_tokens=1_000_000,
+    ).orderBy("group")
+
+
+def _docs_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot novelty (round 14): the current crawl scored
+    against the PRIOR snapshot at gram granularity — prior = the full
+    documents table, current = every 3rd doc unchanged (seen_ratio
+    must be exactly 1.0: pure re-crawl) plus planted FRESH pages
+    (ids + 10^7, six digit-bearing words — no document text contains
+    a digit, so their grams are provably absent from the prior and
+    seen_ratio must be exactly 0.0) plus RE-SKINS (ids + 2*10^7:
+    prior text with a digit-bearing tail appended — the original
+    grams stay seen, the tail grams cannot be).  The oracle replays
+    with raw gram strings across both frames."""
+    from dbldatagen_spark.functions import cross_snapshot_novelty
+
+    docs = _load(spark, sf_dir, "documents")
+    prior = docs.select("doc_id", "text")
+    fresh_words = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit(f"q{j}z"), F.col("doc_id").cast("string")
+            )
+            for j in range(6)
+        ],
+    )
+    current = (
+        docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 0)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 1).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                fresh_words.alias("text"),
+            )
+        )
+        .unionByName(
+            docs.where(F.pmod(F.col("doc_id"), F.lit(3)) == 2).select(
+                (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" "), fresh_words
+                ).alias("text"),
+            )
+        )
+    )
+    return cross_snapshot_novelty(
+        current, prior, "doc_id", "text", n=5
+    ).orderBy("doc_id")
+
+
 def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (round 13): difficulty-banded deterministic
     shard layout over document length — 4 histogram-quantile bands
@@ -7215,33 +7339,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-13 rotation: growth-at-birth plus staleness drain — the 7
-    round-13 growth rows first (web_host_authority,
-    web_anchor_profile, docs_curriculum_order,
-    docs_contamination_split, docs_distribution_match,
-    docs_ngram_novelty, corpus_tokenizer_fertility), then the FULL
-    r7-stale cohort (events_cube_counts .. q10_returned_items, 16
-    rows), the FULL r8-stale cohort (gen_constraints ..
-    gen_template_expr_conformance, 8 rows), and the first 19 r9-stale
-    rows in ledger order (events_hll_distinct ..
-    dedup_minhash_lsh) — once this window drains, nothing in the
-    ledger is older than r9.  Demoted: the entire round-12 window —
-    all 50 were green on their r12 exposure.  dedup_ngram_jaccard,
-    dedup_cross_corpus and sample_split_assign (slid out as growth
-    rows entered at birth) and the remaining r9 rows from
-    multimodal_features onward head the r14 draw.  The full query ->
-    last-driver-round ledger lives in ROTATION.md."""
-    return {
-        # --- round-13 driver window (see ROTATION.md) ---
-        # The 7 round-13 growth rows lead (windowed at birth), then
-        # the FULL r7-stale cohort (events_cube_counts through
-        # q10_returned_items), the FULL r8-stale cohort
-        # (gen_constraints through gen_template_expr_conformance),
-        # and the first 19 r9-stale rows in ledger order
-        # (events_hll_distinct through dedup_minhash_lsh) — after
-        # this window drains, nothing in the ledger is older than r9.
-        # Exactly 50 entries precede the demoted marker.
+    Round-14 rotation: growth-at-birth plus staleness drain — the 4
+    round-14 growth rows first (web_domain_authority,
+    docs_authority_sample, corpus_fertility_mix,
+    docs_snapshot_novelty), then the stalest cohorts in ledger
+    order: the 4 remaining r9-stale rows (dedup_ngram_jaccard,
+    dedup_cross_corpus, sample_split_assign, multimodal_features)
+    and the first 42 r12-stale rows (corpus_token_budget_mix ..
+    gen_expression) — once this window drains, nothing in the ledger
+    is older than r12.  Demoted: the entire round-13 window — all 50
+    were green on their r13 exposure.  The window is drawn by the
+    ``_R14_WINDOW`` list below over the full registry dict, so the
+    FIRST 50 entries of this function's return value ARE the window;
+    the full query -> last-driver-round ledger lives in
+    ROTATION.md."""
+    _R14_WINDOW = [
+        # round-14 growth rows (windowed at birth)
+        "web_domain_authority",
+        "docs_authority_sample",
+        "corpus_fertility_mix",
+        "docs_snapshot_novelty",
+        # the 4 remaining r9-stale rows, ledger order
+        "dedup_ngram_jaccard",
+        "dedup_cross_corpus",
+        "sample_split_assign",
+        "multimodal_features",
+        # the first 42 r12-stale rows, ledger order
+        "corpus_token_budget_mix",
+        "docs_paragraph_dedup",
+        "ann_ivfpq_nprobe_tune",
+        "docs_length_batches",
+        "events_pagerank",
+        "events_sliding_windows",
+        "events_value_quantiles",
+        "events_rolling_avg",
+        "events_streaming_behavior",
+        "events_session_skew_report",
+        "emb_mrl_recall",
+        "events_sessionize_auto",
+        "events_streaming_sketch_sinks",
+        "emb_pq_codebooks",
+        "events_kmv_overlap",
+        "emb_pq_adc",
+        "q19_discounted_revenue",
+        "q2_min_cost_supplier",
+        "q8_market_share",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_counts",
+        "q17_small_quantity_revenue",
+        "q20_excess_suppliers",
+        "q22_global_sales_opportunity",
+        "gen_struct_json",
+        "analyzer_profile",
+        "emb_quantization",
+        "dedup_cluster_canonical",
+        "text_vocabulary",
+        "gen_date_cycle",
+        "q14_promo_share",
+        "q11_important_parts",
+        "events_session_range_join",
+        "events_salted_join",
+        "ann_ivf_topk",
+        "emb_pca_invariants",
+        "gen_sequence",
+        "gen_range_cycle",
+        "gen_values_cycle",
+        "gen_timestamp_cycle",
+        "gen_expression",
+    ]
+    base = {
+        # Full registry (window drawn by _R14_WINDOW above; the
+        # remaining entries keep their prior order)
         "web_domain_authority": _web_domain_authority,
+        "docs_authority_sample": _docs_authority_sample,
+        "corpus_fertility_mix": _corpus_fertility_mix,
+        "docs_snapshot_novelty": _docs_snapshot_novelty,
         "web_host_authority": _web_host_authority,
         "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
@@ -7480,6 +7653,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
     }
+    out = {name: base[name] for name in _R14_WINDOW}
+    out.update(base)  # remaining entries keep their prior order
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
@@ -11764,6 +11940,262 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS domain, u::BIGINT AS rank_units,
                    u / 1000000000000.0 AS rank
             FROM r3 ORDER BY domain
+        """,
+        # authority CONSUMED as a sampling prior: the full weighted
+        # 3-iteration rank replay (the web_host_authority CTE chain,
+        # hosts from event-column arithmetic), then the rank join onto
+        # fixture-arithmetic doc hosts, the exact integer keep-rate
+        # interpolation base + (span*u)//max(u), and the md5 bucket
+        "docs_authority_sample": """
+            WITH raw AS (
+                SELECT 'h' || CAST(user_id % 5 AS VARCHAR)
+                           || '.example.com' AS sh,
+                       'h' || CAST(event_id % 7 AS VARCHAR)
+                           || '.example.com' AS dh
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            e AS (
+                SELECT sh, dh, COUNT(*)::BIGINT AS w
+                FROM raw WHERE sh <> dh GROUP BY sh, dh
+            ),
+            nodes AS (
+                SELECT sh AS node FROM e UNION SELECT dh FROM e
+            ),
+            params AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       1000000000000 // COUNT(*)::BIGINT AS init_u,
+                       ((1000000000000 // COUNT(*)::BIGINT) * 150000)
+                           // 1000000 AS base
+                FROM nodes
+            ),
+            deg AS (
+                SELECT sh AS s, SUM(w)::BIGINT AS dg FROM e GROUP BY sh
+            ),
+            r0 AS (
+                SELECT node, (SELECT init_u FROM params) AS u FROM nodes
+            ),
+            s1 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r0 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r1 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s1 s ON s.node = n2.node
+            ),
+            s2 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r1 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r2 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s2 s ON s.node = n2.node
+            ),
+            s3 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r2 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r3 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s3 s ON s.node = n2.node
+            ),
+            mx AS (SELECT MAX(u)::BIGINT AS m FROM r3),
+            d AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE 'h' || CAST(doc_id % 9 AS VARCHAR)
+                                 || '.example.com' END AS node
+                FROM documents
+            ),
+            j AS (
+                SELECT d.doc_id, d.node, r.u::BIGINT AS ru,
+                       (200000 + (800000 * COALESCE(r.u, 0))
+                           // (SELECT m FROM mx))::BIGINT AS ppm
+                FROM d LEFT JOIN r3 r ON r.node = d.node
+            )
+            SELECT doc_id, node AS auth_node,
+                   ru AS auth_rank_units,
+                   ppm AS auth_keep_ppm,
+                   (('0x' || substr(md5('7-' || CAST(doc_id AS VARCHAR)),
+                       1, 15))::BIGINT % 1000000) < ppm AS auth_keep
+            FROM j ORDER BY doc_id
+        """,
+        # fertility-driven re-mixing: the BPE word/token counts
+        # replayed per language (the corpus_tokenizer_fertility
+        # merge-table replay), then the ONE fixed-form raw mass
+        # sqrt(n_words) * (n_tokens / n_words), the key-ordered IEEE
+        # fold, and the largest-remainder split of the 1M budget
+        "corpus_fertility_mix": """
+            WITH w AS (
+                SELECT doc_id, lang,
+                       unnest(string_split_regex(lower(text), '[^a-z]+'))
+                         AS w
+                FROM documents
+            ),
+            nz AS (SELECT * FROM w WHERE w <> ''),
+            e AS (
+                SELECT doc_id, lang,
+                       len(list_filter(string_split(
+                           replace(replace(replace(replace(replace(
+                           replace(replace(replace(
+                               ' ' || array_to_string(
+                                   string_split(w, ''), ' '),
+                           ' t h', ' th'), ' th e', ' the'),
+                           ' i n', ' in'), ' a n', ' an'),
+                           ' an d', ' and'), ' e r', ' er'),
+                           ' o n', ' on'), ' r e', ' re'),
+                       ' '), x -> x <> '')) AS n_tok
+                FROM nz
+            ),
+            agg AS (
+                SELECT lang, count(*) AS n_words,
+                       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+                FROM e GROUP BY lang
+            ),
+            f AS (
+                SELECT d.lang AS g,
+                       count(*)::BIGINT AS n_docs,
+                       CAST(COALESCE(MAX(agg.n_words), 0) AS BIGINT)
+                           AS n_words,
+                       CAST(COALESCE(MAX(agg.n_tokens), 0) AS BIGINT)
+                           AS n_tokens
+                FROM documents d LEFT JOIN agg ON d.lang = agg.lang
+                GROUP BY d.lang
+            ),
+            m AS (
+                SELECT *,
+                       CASE WHEN n_words > 0 THEN
+                           sqrt(n_words::DOUBLE)
+                               * (n_tokens::DOUBLE / n_words::DOUBLE)
+                       ELSE 0.0 END AS wr
+                FROM f
+            ),
+            t AS (
+                SELECT list_reduce(
+                    list_prepend(0.0, list(wr ORDER BY g)),
+                    (a, b) -> a + b) AS tot
+                FROM m
+            ),
+            wt AS (
+                SELECT m.*, CASE WHEN tot > 0 THEN wr / tot
+                                 ELSE 0.0 END AS weight
+                FROM m, t
+            ),
+            r AS (
+                SELECT *,
+                       CAST(floor(1000000.0 * weight) AS BIGINT) AS base,
+                       1000000.0 * weight
+                           - floor(1000000.0 * weight) AS frac
+                FROM wt
+            ),
+            s AS (
+                SELECT *,
+                       1000000 - SUM(base) OVER () AS rem,
+                       ROW_NUMBER() OVER (ORDER BY frac DESC, g ASC)
+                           AS rk
+                FROM r
+            )
+            SELECT g AS "group", n_docs, n_words, n_tokens,
+                   CASE WHEN n_words > 0 THEN
+                       n_tokens::DOUBLE / n_words::DOUBLE
+                   END AS fertility,
+                   weight,
+                   (base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)::BIGINT
+                       AS target_tokens
+            FROM s ORDER BY g
+        """,
+        # cross-snapshot novelty replayed with RAW gram strings across
+        # both frames: prior = the full table, current = unchanged
+        # thirds (ratio exactly 1.0), planted fresh pages (digit-
+        # bearing tokens, provably absent from the digit-free prior,
+        # ratio exactly 0.0), and re-skins (original grams seen, the
+        # appended tail unseen)
+        "docs_snapshot_novelty": """
+            WITH fresh AS (
+                SELECT doc_id,
+                       'q0z' || CAST(doc_id AS VARCHAR) || ' q1z'
+                           || CAST(doc_id AS VARCHAR) || ' q2z'
+                           || CAST(doc_id AS VARCHAR) || ' q3z'
+                           || CAST(doc_id AS VARCHAR) || ' q4z'
+                           || CAST(doc_id AS VARCHAR) || ' q5z'
+                           || CAST(doc_id AS VARCHAR) AS salt
+                FROM documents
+            ),
+            cur AS (
+                SELECT d.doc_id, d.text FROM documents d
+                WHERE d.doc_id % 3 = 0
+                UNION ALL
+                SELECT d.doc_id + 10000000, f.salt
+                FROM documents d JOIN fresh f USING (doc_id)
+                WHERE d.doc_id % 3 = 1
+                UNION ALL
+                SELECT d.doc_id + 20000000, d.text || ' ' || f.salt
+                FROM documents d JOIN fresh f USING (doc_id)
+                WHERE d.doc_id % 3 = 2
+            ),
+            pw AS (
+                SELECT list_filter(string_split_regex(lower(text),
+                           '\\s+'), x -> x <> '') AS w
+                FROM documents
+            ),
+            pg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM (
+                    SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM pw WHERE len(w) >= 5
+                )
+            ),
+            cw AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text),
+                           '\\s+'), x -> x <> '') AS w
+                FROM cur
+            ),
+            cg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+4], ' ') AS gram
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM cw WHERE len(w) >= 5
+                )
+            ),
+            per AS (
+                SELECT cg.doc_id, COUNT(*)::BIGINT AS n_grams,
+                       SUM(CASE WHEN pg.gram IS NOT NULL THEN 1
+                                ELSE 0 END)::BIGINT AS n_seen
+                FROM cg LEFT JOIN pg ON cg.gram = pg.gram
+                GROUP BY cg.doc_id
+            )
+            SELECT c.doc_id,
+                   COALESCE(p.n_grams, 0) AS n_grams,
+                   COALESCE(p.n_seen, 0) AS n_seen,
+                   CASE WHEN p.n_grams > 0 THEN
+                       p.n_seen::DOUBLE / p.n_grams::DOUBLE
+                   END AS seen_ratio
+            FROM cur c LEFT JOIN per p ON c.doc_id = p.doc_id
+            ORDER BY c.doc_id
         """,
         # novelty replayed with RAW gram strings (hash-free truth):
         # the planted twins, per-doc distinct 5-grams, corpus document

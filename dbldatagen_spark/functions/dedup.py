@@ -980,6 +980,124 @@ def ngram_novelty(
     )
 
 
+def cross_snapshot_novelty(
+    df: DataFrame,
+    prior: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    prior_df_threshold: int = 1,
+) -> DataFrame:
+    """What changed since the last crawl — per-document n-gram overlap
+    of the CURRENT snapshot against a PRIOR corpus snapshot (the
+    freshness signal of incremental web curation, and the
+    cross-snapshot sibling of :func:`ngram_novelty`'s corpus-internal
+    commonness): for each current document, the fraction of its
+    distinct word n-grams already present in at least
+    ``prior_df_threshold`` prior-snapshot documents.  An unchanged
+    page scores ``seen_ratio`` 1.0 (pure re-crawl cost, skip it); a
+    genuinely new page scores near 0 (the content worth ingesting);
+    boilerplate re-skins land in between.  The
+    :func:`dedup_incremental` precedent, at gram rather than document
+    granularity.
+
+    Same word/gram model as the n-gram family (shared
+    :func:`_ngram_word_arr`: lowercase whitespace tokens with empty
+    tokens filtered, n-word grams, per-document DISTINCT).  Per
+    current document: ``n_grams``, ``n_seen`` (grams meeting the
+    prior-frequency cut), and ``seen_ratio`` — ONE fixed-form IEEE
+    division ``n_seen / n_grams``, NULL (not 0) for documents shorter
+    than ``n`` words.  Exact counting by 64-bit gram hash (the same
+    accepted ~2^-64 collision trade as every hash-postings op here;
+    the oracle replays with raw gram strings).
+
+    Scale shape: BOTH snapshots reduce map-side to 8-byte gram-hash
+    postings before the only shuffle — document bodies never move.
+    The prior side collapses to its DISTINCT gram set (no ids travel
+    when ``prior_df_threshold`` is 1, the common case; above 1 a
+    per-document-distinct posting count runs first, one
+    map-side-combined aggregate), the postings-to-prior equi-join is
+    gram-keyed (hot boilerplate grams are the skew AQE join splitting
+    handles; join output bounded by the CURRENT postings count, never
+    |prior| x |current|), and the per-document rollup is one id-keyed
+    aggregate.  Cost is data-proportional in the two snapshots'
+    distinct-gram volumes — same honest profile as
+    :func:`ngram_novelty`.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if prior_df_threshold < 1:
+        raise ValueError(
+            f"prior_df_threshold must be >= 1, got {prior_df_threshold}"
+        )
+
+    def _postings(frame: DataFrame, with_id: bool) -> DataFrame:
+        words = _ngram_word_arr(text_col)
+        with_words = ensure_parallelism(frame).select(
+            *([F.col(id_col)] if with_id else []), words.alias("_w")
+        ).where(F.size(F.col("_w")) >= n)
+        idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
+        g = F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(
+                            F.col("_w"), (i + F.lit(j + 1)).cast("int")
+                        )
+                        for j in range(n)
+                    ],
+                )
+            ),
+        )
+        cols = [F.explode(F.array_distinct(g)).alias("_gh")]
+        if with_id:
+            cols.insert(0, F.col(id_col))
+        return with_words.select(*cols)
+
+    if prior_df_threshold == 1:
+        seen = _postings(prior, with_id=False).distinct()
+    else:
+        seen = (
+            _postings(prior, with_id=True)
+            .groupBy("_gh")
+            .agg(F.count(F.lit(1)).cast("long").alias("_pdf"))
+            .where(F.col("_pdf") >= prior_df_threshold)
+            .select("_gh")
+        )
+    cur = _postings(df, with_id=True)
+    per_doc = (
+        cur.join(seen.withColumn("_hit", F.lit(1)), "_gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_seen"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("long")).alias(
+                "n_grams"
+            ),
+            F.coalesce(F.col("n_seen"), F.lit(0).cast("long")).alias(
+                "n_seen"
+            ),
+            F.when(
+                F.col("n_grams").isNotNull() & (F.col("n_grams") > 0),
+                F.col("n_seen").cast("double")
+                / F.col("n_grams").cast("double"),
+            ).alias("seen_ratio"),
+        )
+    )
+
+
 def duplicate_components(
     pairs: DataFrame,
     id_a: str = "id_a",

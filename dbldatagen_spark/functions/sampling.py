@@ -638,6 +638,295 @@ def temperature_token_allocation(
     )
 
 
+def fertility_token_allocation(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    merges,
+    *,
+    alpha: float = 0.5,
+    target_tokens: int,
+    max_merges: int = 128,
+    checkpoint_chunk: int | None = None,
+) -> DataFrame:
+    """Fertility-corrected token-budget mixing — the
+    :func:`~dbldatagen_spark.functions.text_analysis
+    .tokenizer_fertility` report fed into the
+    :func:`temperature_token_allocation` machinery end-to-end, so the
+    tokenizer-equity metric DRIVES the mix instead of merely
+    describing it.  A token budget split on raw token mass
+    double-penalizes languages the vocabulary under-serves: a
+    language at 2x fertility (BPE tokens per word) burns twice the
+    tokens per sentence, so an equal TOKEN share buys it half the
+    CONTENT.  Here the temperature share is computed over WORD mass
+    (``n_words ** alpha`` — the tokenizer-independent content unit)
+    and then each group's share is scaled by its MEASURED fertility,
+    so the token allocation pays each group's actual tokens-per-word
+    premium and equal shares mean equal words seen, not equal tokens
+    burned (the XLM-R/NLLB equity analyses, turned into the
+    allocation rule).
+
+    One fixed-form raw mass per group:
+    ``w_alpha * (n_tokens / n_words)`` with ``w_alpha`` =
+    ``sqrt(n_words)`` / ``n_words`` / ``1.0`` / ``pow(n_words,
+    alpha)`` by the same alpha conventions as
+    :func:`temperature_weights` — two IEEE ops in a pinned order, so
+    any engine replays it bit-for-bit.  Zero-word groups get weight 0
+    (NULL fertility, stand last in the remainder queue).  The budget
+    splits EXACTLY by the deterministic largest-remainder rule:
+    floor every share, leftover units to the largest fractional
+    parts, ties to the ascending group key; the normalizing sum folds
+    the per-group masses SORTED BY GROUP KEY.
+
+    Returns one row per group: ``(group, n_docs, n_words, n_tokens,
+    fertility, weight, target_tokens)`` with ``sum(target_tokens) ==
+    target_tokens`` exactly (when any group has words).
+
+    Scale shape: inherits :func:`tokenizer_fertility`'s single-pass
+    profile — the BPE encode is map-only literal replaces riding the
+    corpus scan, the report ONE map-side-combined aggregate shuffling
+    (group, three longs); everything after runs on the per-group
+    frame (one row per language/source), where the unpartitioned
+    windows are bounded by the group count, not the corpus.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    if target_tokens < 0:
+        raise ValueError(
+            f"target_tokens must be >= 0, got {target_tokens}"
+        )
+    reserved = {
+        "n_docs", "n_words", "n_chars", "n_tokens", "fertility",
+        "weight", "target_tokens", "group",
+        "_wr", "_tot", "_raw", "_base", "_frac", "_rem", "_rk",
+    }
+    if group_col in reserved and group_col != "group":
+        raise ValueError(
+            f"fertility_token_allocation: group_col {group_col!r} "
+            f"collides with an output/internal column "
+            f"({sorted(reserved)}) — alias the group column first"
+        )
+    from dbldatagen_spark.functions.text_analysis import tokenizer_fertility
+
+    rep = tokenizer_fertility(
+        df, text_col, merges,
+        group_col=group_col, max_merges=max_merges,
+        checkpoint_chunk=checkpoint_chunk,
+    )
+    nw = F.col("n_words").cast("double")
+    if alpha == 0.5:
+        w_alpha = F.sqrt(nw)
+    elif alpha == 1.0:
+        w_alpha = nw
+    elif alpha == 0.0:
+        w_alpha = F.lit(1.0)
+    else:
+        w_alpha = F.pow(nw, F.lit(float(alpha)))
+    # ONE fixed form: w_alpha * (n_tokens / n_words) — the fertility
+    # scaling IS the equity correction; zero-word groups degrade to 0
+    raw = F.when(
+        F.col("n_words") > 0,
+        w_alpha
+        * (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")),
+    ).otherwise(F.lit(0.0))
+    per = rep.withColumn("_wr", raw)
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("group").alias("g"), F.col("_wr").alias("w"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["w"],
+        ).alias("_tot")
+    )
+    alloc = (
+        per.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "weight",
+            F.when(
+                F.col("_tot") > 0, F.col("_wr") / F.col("_tot")
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn("_raw", F.lit(float(target_tokens)) * F.col("weight"))
+        .withColumn("_base", F.floor(F.col("_raw")).cast("long"))
+        .withColumn("_frac", F.col("_raw") - F.col("_base"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.partitionBy().orderBy(
+        F.col("_frac").desc(), F.col("group").asc()
+    )
+    alloc = (
+        alloc.withColumn(
+            "_rem", F.lit(int(target_tokens)) - F.sum("_base").over(w_all)
+        )
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .withColumn(
+            "target_tokens",
+            (
+                F.col("_base")
+                + F.when(F.col("_rk") <= F.col("_rem"), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).cast("long"),
+        )
+    )
+    return alloc.select(
+        "group", "n_docs", "n_words", "n_tokens",
+        F.col("tokens_per_word").alias("fertility"),
+        "weight", "target_tokens",
+    )
+
+
+def authority_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    authority: DataFrame,
+    *,
+    node_col: str = "host",
+    rank_col: str = "rank_units",
+    level: str = "host",
+    suffix_list=None,
+    base_ppm: int = 100_000,
+    max_ppm: int = 1_000_000,
+    seed: int = 42,
+    hash_mode: str = "md5",
+    out_prefix: str = "auth",
+    broadcast_authority: bool = True,
+) -> DataFrame:
+    """Authority-prior document sampling — the consumption pattern of
+    :func:`~dbldatagen_spark.functions.graph.host_authority` in
+    Common Crawl-style curation: keep documents at a rate scaled by
+    their host's (or registrable domain's) graph authority, so
+    high-authority sites contribute densely and the long tail of
+    unknown or low-rank hosts still trickles in at a floor rate
+    (never silently zero — new sites must be discoverable).
+
+    Each document's host comes from the
+    :func:`~dbldatagen_spark.functions.curation.url_host_expr` linear
+    chain (``level="domain"`` additionally collapses it through
+    :func:`~dbldatagen_spark.functions.curation
+    .registrable_domain_expr`, with ``suffix_list`` feeding a real
+    PSL snapshot); the keep rate interpolates INTEGER-exactly between
+    the floor and ceiling on the host's rank relative to the
+    best-ranked host::
+
+        keep_ppm = base_ppm + ((max_ppm - base_ppm) * rank_units)
+                              // max(rank_units)
+
+    so the top host keeps exactly ``max_ppm`` per million and an
+    unranked/unparseable host keeps exactly ``base_ppm``.  The keep
+    decision is the repo's deterministic ``[0, 1e6)`` id-hash bucket
+    (``hash_mode="md5"`` for the engine-portable replay,
+    ``xxhash64`` for the cheap JVM variant) — partitioning-
+    independent, replayable row-by-row.  Output is the input plus
+    FLAGS (``<prefix>_node``, ``<prefix>_rank_units`` NULL when
+    unranked, ``<prefix>_keep_ppm``, ``<prefix>_keep``), not a filter
+    — auditable like :func:`distribution_matched_sample`; filter on
+    the keep column to materialize.
+
+    Scale shape: host extraction is map-only regex riding the corpus
+    scan (the single-reference chain — no pushdown re-expansion
+    hazard); the rank table joins on the host key, BROADCAST by
+    default (authority frames are host-level — millions of short
+    rows where the corpus is trillions; pass
+    ``broadcast_authority=False`` at full-crawl host cardinality to
+    let AQE pick a shuffle join, which is then the flagging pass's
+    only exchange); ``max(rank_units)`` is ONE bounded driver collect
+    (a single row), and the interpolation + hash are scan-local
+    whole-stage-codegen arithmetic.  An eager headroom guard
+    validates ``(max_ppm - base_ppm) * max(rank_units) < 2^63`` —
+    at the default pagerank scale of 1e12 the product tops out near
+    1e18, inside int64; rescale rank units before calling if you
+    carry larger units.
+    """
+    if not 0 <= base_ppm <= max_ppm <= 1_000_000:
+        raise ValueError(
+            f"need 0 <= base_ppm <= max_ppm <= 1000000, got "
+            f"base_ppm={base_ppm}, max_ppm={max_ppm}"
+        )
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be host|domain, got {level!r}")
+    for col, side, frame in (
+        (id_col, "df", df), (url_col, "df", df),
+        (node_col, "authority", authority), (rank_col, "authority", authority),
+    ):
+        if col not in frame.columns:
+            raise ValueError(f"{side} has no column {col!r}")
+    out_node = f"{out_prefix}_node"
+    out_rank = f"{out_prefix}_rank_units"
+    out_ppm = f"{out_prefix}_keep_ppm"
+    out_keep = f"{out_prefix}_keep"
+    for c in (out_node, out_rank, out_ppm, out_keep):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    from dbldatagen_spark.functions.curation import (
+        registrable_domain_expr,
+        url_host_expr,
+    )
+
+    mx_row = authority.agg(
+        F.max(F.col(rank_col).cast("long")).alias("mx")
+    ).collect()[0]
+    mx = mx_row["mx"]
+    span = max_ppm - base_ppm
+    if mx is None or mx <= 0:
+        # empty/degenerate authority: every document keeps at the
+        # floor rate (documented — never a silent full-keep)
+        mx = None
+    elif span > 0 and mx > (2**63 - 1) // span:
+        raise ValueError(
+            f"authority_weighted_sample: (max_ppm - base_ppm) * "
+            f"max({rank_col}) = {span} * {mx} overflows int64 — "
+            f"rescale the rank units (divide by a constant) first"
+        )
+    host = url_host_expr(F.col(url_col))
+    if level == "domain":
+        host = registrable_domain_expr(host, suffix_list=suffix_list)
+    ranks = authority.select(
+        F.col(node_col).alias(out_node),
+        F.col(rank_col).cast("long").alias(out_rank),
+    )
+    if broadcast_authority:
+        ranks = F.broadcast(ranks)
+    joined = df.withColumn(out_node, host).join(ranks, out_node, "left")
+    if mx is None:
+        ppm = F.lit(base_ppm).cast("long")
+    else:
+        # integer `div`, never `/`: span * rank_units reaches ~1e18 at
+        # the default pagerank scale — past double's 2^53 exact-integer
+        # range, where a float divide + floor can land off by one
+        ppm = (
+            F.lit(base_ppm).cast("long")
+            + F.expr(
+                f"({span}L * coalesce(`{out_rank}`, 0L)) div {mx}L"
+            ).cast("long")
+        )
+    sid = F.col(id_col).cast("string")
+    if hash_mode == "xxhash64":
+        bucket = F.pmod(
+            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
+        )
+    else:  # md5 — validated above
+        bucket = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("-", F.lit(seed), sid)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    return joined.withColumn(out_ppm, ppm).withColumn(
+        out_keep, bucket < F.col(out_ppm)
+    )
+
+
 def contamination_aware_split(
     df: DataFrame,
     id_col: str,

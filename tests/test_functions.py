@@ -8568,6 +8568,275 @@ class TestDistributionMatchedSample:
                 ref.where(F.col("s") > 1000))
 
 
+class TestCrossSnapshotNovelty:
+    def _frames(self, spark):
+        prior = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),
+             (2, "alpha beta gamma six seven"),     # shares "alpha beta gamma"
+             (3, "one two three four five")],
+            ["doc_id", "text"],
+        )
+        cur = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon"),  # unchanged page
+             (10, "wholly fresh page content right here"),
+             (11, "alpha beta gamma new tail"),      # partial re-skin
+             (12, "zz")],                            # < n words
+            ["doc_id", "text"],
+        )
+        return cur, prior
+
+    def test_seen_ratio_contract(self, spark):
+        from dbldatagen_spark.functions import cross_snapshot_novelty
+
+        cur, prior = self._frames(spark)
+        rows = {r["doc_id"]: r for r in cross_snapshot_novelty(
+            cur, prior, "doc_id", "text", n=3).collect()}
+        # unchanged page: every gram present in the prior snapshot
+        assert (rows[1]["n_grams"], rows[1]["n_seen"]) == (3, 3)
+        assert rows[1]["seen_ratio"] == 1.0
+        # fresh page: nothing seen before
+        assert rows[10]["n_seen"] == 0 and rows[10]["seen_ratio"] == 0.0
+        # re-skin: exactly the shared leading gram
+        assert (rows[11]["n_grams"], rows[11]["n_seen"]) == (3, 1)
+        assert rows[11]["seen_ratio"] == 1.0 / 3.0
+        # short doc: zero grams, NULL ratio (never 0)
+        assert (rows[12]["n_grams"], rows[12]["n_seen"]) == (0, 0)
+        assert rows[12]["seen_ratio"] is None
+
+    def test_prior_df_threshold(self, spark):
+        from dbldatagen_spark.functions import cross_snapshot_novelty
+
+        cur, prior = self._frames(spark)
+        # threshold 2: only grams in >= 2 PRIOR docs count as seen —
+        # "alpha beta gamma" (prior docs 1 and 2) survives, the rest
+        # of doc 1's grams are single-prior-doc and stop counting
+        rows = {r["doc_id"]: r for r in cross_snapshot_novelty(
+            cur, prior, "doc_id", "text", n=3, prior_df_threshold=2
+        ).collect()}
+        assert (rows[1]["n_grams"], rows[1]["n_seen"]) == (3, 1)
+        assert rows[11]["n_seen"] == 1
+
+    def test_partition_stability_and_validation(self, spark):
+        from dbldatagen_spark.functions import cross_snapshot_novelty
+
+        cur, prior = self._frames(spark)
+        a = sorted(map(tuple, cross_snapshot_novelty(
+            cur.repartition(2), prior.repartition(3),
+            "doc_id", "text", n=3).collect()))
+        b = sorted(map(tuple, cross_snapshot_novelty(
+            cur.repartition(7), prior.repartition(1),
+            "doc_id", "text", n=3).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="n must"):
+            cross_snapshot_novelty(cur, prior, "doc_id", "text", n=0)
+        with pytest.raises(ValueError, match="prior_df_threshold"):
+            cross_snapshot_novelty(
+                cur, prior, "doc_id", "text", prior_df_threshold=0)
+
+
+class TestFertilityTokenAllocation:
+    MERGES = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [("en", "the then there and other another"),
+             ("en", "on in an er re"),
+             ("de", "und oder aber denn"),
+             ("xx", None)],                      # NULL text group
+            ["lang", "text"],
+        )
+
+    def test_allocation_replays_and_sums_exactly(self, spark):
+        import math
+        from dbldatagen_spark.functions import (
+            fertility_token_allocation, tokenizer_fertility,
+        )
+
+        docs = self._docs(spark)
+        out = {r["group"]: r for r in fertility_token_allocation(
+            docs, "lang", "text", self.MERGES,
+            alpha=0.5, target_tokens=1000,
+        ).collect()}
+        rep = {r["group"]: r for r in tokenizer_fertility(
+            docs, "text", self.MERGES, group_col="lang").collect()}
+        # raw mass = sqrt(n_words) * (n_tokens / n_words), folded in
+        # group-key order — replay it independently in Python
+        raw = {}
+        for g, r in rep.items():
+            nw, nt = r["n_words"], r["n_tokens"]
+            raw[g] = (
+                math.sqrt(nw) * (float(nt) / float(nw)) if nw > 0 else 0.0
+            )
+        tot = 0.0
+        for g in sorted(raw):
+            tot += raw[g]
+        base, fracs = {}, {}
+        for g in raw:
+            share = 1000.0 * (raw[g] / tot)
+            base[g] = math.floor(share)
+            fracs[g] = share - base[g]
+        rem = 1000 - sum(base.values())
+        for g in sorted(fracs, key=lambda g: (-fracs[g], g))[:rem]:
+            base[g] += 1
+        for g in out:
+            assert out[g]["target_tokens"] == base[g], g
+            assert out[g]["weight"] == (raw[g] / tot)
+            assert out[g]["fertility"] == rep[g]["tokens_per_word"]
+        # exact budget; zero-word group allocates nothing
+        assert sum(r["target_tokens"] for r in out.values()) == 1000
+        assert out["xx"]["target_tokens"] == 0
+        assert out["xx"]["fertility"] is None
+
+    def test_equity_direction_and_validation(self, spark):
+        # two groups with IDENTICAL word mass: the higher-fertility
+        # group must receive MORE tokens (same words seen)
+        from dbldatagen_spark.functions import fertility_token_allocation
+
+        docs = spark.createDataFrame(
+            # 'aa' encodes as 2 tokens/word under no applicable merge;
+            # 'th' merges to 1 token/word
+            [("hi", "aa aa aa aa"), ("lo", "th th th th")],
+            ["lang", "text"],
+        )
+        out = {r["group"]: r for r in fertility_token_allocation(
+            docs, "lang", "text", [("t", "h")],
+            alpha=0.5, target_tokens=1000,
+        ).collect()}
+        assert out["hi"]["n_words"] == out["lo"]["n_words"]
+        assert out["hi"]["fertility"] > out["lo"]["fertility"]
+        assert out["hi"]["target_tokens"] > out["lo"]["target_tokens"]
+        # per-word token opportunity equalizes: target/(words*fertility)
+        # identical across groups up to the +-1 remainder unit
+        hi = out["hi"]["target_tokens"] / out["hi"]["fertility"]
+        lo = out["lo"]["target_tokens"] / out["lo"]["fertility"]
+        assert abs(hi - lo) <= 2.0
+        with pytest.raises(ValueError, match="alpha"):
+            fertility_token_allocation(
+                docs, "lang", "text", [], alpha=-1, target_tokens=10)
+        with pytest.raises(ValueError, match="target_tokens"):
+            fertility_token_allocation(
+                docs, "lang", "text", [], target_tokens=-1)
+        with pytest.raises(ValueError, match="collides"):
+            fertility_token_allocation(
+                docs.withColumnRenamed("lang", "weight"),
+                "weight", "text", [], target_tokens=10)
+
+
+class TestAuthorityWeightedSample:
+    def _fixtures(self, spark):
+        links = spark.createDataFrame(
+            [("https://a.com/1", "https://b.com/2"),
+             ("https://b.com/3", "https://c.com/4"),
+             ("https://b.com/5", "https://c.com/6"),
+             ("https://c.com/7", "https://a.com/8")],
+            "su string, du string",
+        )
+        docs = spark.createDataFrame(
+            [(i, f"https://{h}.com/d/{i}") for i, h in enumerate(
+                ["a", "b", "c", "unranked", "a", "b", "c", "unranked"] * 5
+            )] + [(1000, "::unparseable::")],
+            "doc_id long, url string",
+        )
+        return links, docs
+
+    def test_keep_rate_interpolation_exact(self, spark):
+        import hashlib
+        from dbldatagen_spark.functions import (
+            authority_weighted_sample, host_authority,
+        )
+
+        links, docs = self._fixtures(spark)
+        auth = host_authority(links, "su", "du", iterations=2)
+        ranks = {r["host"]: r["rank_units"] for r in auth.collect()}
+        mx = max(ranks.values())
+        out = authority_weighted_sample(
+            docs, "doc_id", "url", auth,
+            base_ppm=200_000, max_ppm=900_000, seed=7,
+        )
+        rows = out.collect()
+        assert len(rows) == docs.count()   # flags, never a filter
+        for r in rows:
+            host = r["auth_node"]
+            ru = ranks.get(host)
+            expect_ppm = (
+                200_000 if ru is None
+                else 200_000 + (700_000 * ru) // mx
+            )
+            assert r["auth_keep_ppm"] == expect_ppm, r
+            assert r["auth_rank_units"] == ru
+            h = hashlib.md5(f"7-{r['doc_id']}".encode()).hexdigest()
+            bucket = int(h[:15], 16) % 1_000_000
+            assert r["auth_keep"] == (bucket < expect_ppm), r
+        # the best host keeps at exactly max_ppm
+        best = [r for r in rows
+                if r["auth_rank_units"] == mx][0]
+        assert best["auth_keep_ppm"] == 900_000
+        # unparseable URL -> NULL node, floor rate
+        bad = [r for r in rows if r["doc_id"] == 1000][0]
+        assert bad["auth_node"] is None
+        assert bad["auth_keep_ppm"] == 200_000
+
+    def test_domain_level_broadcast_plan_and_validation(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_weighted_sample, host_authority,
+        )
+
+        links, docs = self._fixtures(spark)
+        auth = host_authority(links, "su", "du", iterations=1)
+        out = authority_weighted_sample(
+            docs, "doc_id", "url", auth, broadcast_authority=True)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        # domain-level key collapse threads suffix_list through
+        dlinks = spark.createDataFrame(
+            [("https://x.shop.com.pl/1", "https://y.other.com.pl/2")],
+            "su string, du string")
+        dauth = host_authority(
+            dlinks, "su", "du", level="domain", iterations=1,
+            suffix_list=["com.pl"])
+        ddocs = spark.createDataFrame(
+            [(1, "https://z.shop.com.pl/d")], "doc_id long, url string")
+        r = authority_weighted_sample(
+            ddocs, "doc_id", "url", dauth, node_col="domain",
+            level="domain", suffix_list=["com.pl"],
+        ).collect()[0]
+        assert r["auth_node"] == "shop.com.pl"
+        assert r["auth_rank_units"] is not None
+        with pytest.raises(ValueError, match="base_ppm"):
+            authority_weighted_sample(
+                docs, "doc_id", "url", auth, base_ppm=-1)
+        with pytest.raises(ValueError, match="no column"):
+            authority_weighted_sample(docs, "nope", "url", auth)
+        with pytest.raises(ValueError, match="already exists"):
+            authority_weighted_sample(
+                docs.withColumn("auth_keep", F.lit(True)),
+                "doc_id", "url", auth)
+        # degenerate authority: floor rate everywhere, loudly documented
+        empty = auth.where(F.lit(False))
+        rows = authority_weighted_sample(
+            docs, "doc_id", "url", empty, base_ppm=123_000).collect()
+        assert all(r["auth_keep_ppm"] == 123_000 for r in rows)
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_weighted_sample, host_authority,
+        )
+
+        links, docs = self._fixtures(spark)
+        auth = host_authority(links, "su", "du", iterations=2)
+        cols = ["doc_id", "auth_node", "auth_rank_units",
+                "auth_keep_ppm", "auth_keep"]
+        a = sorted(map(tuple, authority_weighted_sample(
+            docs.repartition(2), "doc_id", "url", auth,
+        ).select(*cols).collect()))
+        b = sorted(map(tuple, authority_weighted_sample(
+            docs.repartition(7), "doc_id", "url", auth,
+            broadcast_authority=False,
+        ).select(*cols).collect()))
+        assert a == b
+
+
 class TestContaminationAwareSplit:
     def _frames(self, spark):
         docs = spark.createDataFrame(
