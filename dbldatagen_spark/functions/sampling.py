@@ -482,7 +482,13 @@ def temperature_weights(
         w_raw = F.lit(1.0)
     else:
         w_raw = F.pow(n, F.lit(float(alpha)))
-    per = per.withColumn("_wr", w_raw)
+    # eager localCheckpoint: the normalizing fold below and the main
+    # branch BOTH read this per-group frame, and without a
+    # materialization barrier each re-executes the corpus aggregate
+    # (two full scans; Catalyst does not reuse the exchange across
+    # the fold's collect_list rewrite).  One row per group — tiny —
+    # and freed by the ContextCleaner (the pagerank precedent)
+    per = per.withColumn("_wr", w_raw).localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
@@ -578,7 +584,10 @@ def temperature_token_allocation(
         w_raw = F.lit(1.0)
     else:
         w_raw = F.pow(n, F.lit(float(alpha)))
-    per = per.withColumn("_wr", w_raw)
+    # materialization barrier: fold + main branch share ONE corpus
+    # aggregate instead of re-executing the scan per branch (see
+    # temperature_weights; per-group frame, tiny)
+    per = per.withColumn("_wr", w_raw).localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
@@ -729,7 +738,11 @@ def fertility_token_allocation(
         w_alpha
         * (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")),
     ).otherwise(F.lit(0.0))
-    per = rep.withColumn("_wr", raw)
+    # materialization barrier: the fertility report is the EXPENSIVE
+    # subtree here (the full BPE-encode corpus scan) — without it the
+    # normalizing fold and the main branch each re-run the encode
+    # (measured 5.7x vs 0.9x on the 10x probe); per-group frame, tiny
+    per = rep.withColumn("_wr", raw).localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
