@@ -87,9 +87,28 @@ def main() -> None:
         "src string, dst string, anchor string",
     )
     print("host authority (3 pagerank iterations):")
-    host_authority(links, "src", "dst", iterations=3).show(truncate=False)
+    auth = host_authority(links, "src", "dst", iterations=3)
+    auth.show(truncate=False)
     print("anchor profile per target host (anchors normalize):")
     anchor_text_profile(links, "src", "dst", "anchor").show(truncate=False)
+
+    # 0c. the rank CONSUMED: keep documents at a rate interpolated on
+    #     their host's authority (top host at the ceiling, unknown
+    #     hosts at the floor — never silently zero), flags auditable
+    from dbldatagen_spark.functions import authority_weighted_sample
+
+    crawl_docs = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(
+            ["https://example.com/p1", "https://blog.shop.co.uk/p2",
+             "https://news.org/p3", "https://unknown.net/p4"])],
+        "doc_id long, url string",
+    )
+    print("authority-weighted keep rates (floor 100k ppm):")
+    authority_weighted_sample(
+        crawl_docs, "doc_id", "url", auth, base_ppm=100_000
+    ).select("doc_id", "auth_node", "auth_keep_ppm", "auth_keep").show(
+        truncate=False
+    )
 
     # 1. per-domain quota: no source may exceed 100 docs
     capped = quota_sample(docs, "source", "doc_id", 100)
@@ -174,6 +193,16 @@ def main() -> None:
     print(f"boilerplate-suspect docs (>=50% common 5-grams): {n_boiler}")
     n_model_keep = qc.where("keep").count()
 
+    # 4c+. cross-SNAPSHOT novelty: the same gram machinery against a
+    #      prior crawl — unchanged pages score 1.0 (skip the re-crawl
+    #      cost), genuinely new pages near 0 (worth ingesting)
+    from dbldatagen_spark.functions import cross_snapshot_novelty
+
+    prior_snap = good.where("doc_id % 2 = 0").select("doc_id", "text")
+    fresh = cross_snapshot_novelty(good, prior_snap, "doc_id", "text", n=5)
+    n_fresh = fresh.where("seen_ratio < 0.2").count()
+    print(f"docs mostly unseen in the prior snapshot: {n_fresh}")
+
     # 4c. CCNet head/middle/tail: quality terciles per language from
     #     histogram thresholds (no per-group global sort — the
     #     bucketing that survives a web-scale 'en' route)
@@ -210,6 +239,18 @@ def main() -> None:
     temperature_token_allocation(
         with_tok, "lang", "n_tok", alpha=0.5, target_tokens=100_000
     ).orderBy("lang").show()
+
+    # 4f. fertility-CORRECTED mixing: the tokenizer-equity report
+    #     driving the allocation — word-mass temperature share scaled
+    #     by each language's measured tokens-per-word, so equal shares
+    #     buy equal WORDS seen rather than equal tokens burned
+    from dbldatagen_spark.functions import fertility_token_allocation
+
+    merges = [("t", "h"), ("th", "e"), ("a", "n"), ("an", "d")]
+    print("fertility-corrected mixture (alpha=0.5, 100k-token epoch):")
+    fertility_token_allocation(
+        good, "lang", "text", merges, alpha=0.5, target_tokens=100_000
+    ).orderBy("group").show()
 
     # 2c. paragraph-granular near-dup (RefinedWeb's mid-granularity,
     #     between the exact substring spans of 2b and the whole-doc
