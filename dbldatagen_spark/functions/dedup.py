@@ -823,6 +823,42 @@ def _ngram_word_arr(text_col: str) -> Column:
     )
 
 
+def _ngram_hash_postings(
+    frame: DataFrame, id_col: str, text_col: str, n: int, with_id: bool
+) -> DataFrame:
+    """The n-gram family's shared postings builder — per-document
+    DISTINCT 64-bit gram hashes over the :func:`_ngram_word_arr` word
+    model, exploded to ``(_gh)`` or ``(id, _gh)`` rows.  ONE
+    definition (used by :func:`ngram_contamination`,
+    :func:`ngram_novelty`, and :func:`cross_snapshot_novelty`) so the
+    gram separator, index arithmetic, and the ``>= n`` short-doc
+    guard can never silently diverge across the family — the same
+    reason the word model itself is shared."""
+    words = _ngram_word_arr(text_col)
+    with_words = ensure_parallelism(frame).select(
+        *([F.col(id_col)] if with_id else []), words.alias("_w")
+    ).where(F.size(F.col("_w")) >= n)
+    idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
+    g = F.transform(
+        idx,
+        lambda i: F.xxhash64(
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at(
+                        F.col("_w"), (i + F.lit(j + 1)).cast("int")
+                    )
+                    for j in range(n)
+                ],
+            )
+        ),
+    )
+    cols = [F.explode(F.array_distinct(g)).alias("_gh")]
+    if with_id:
+        cols.insert(0, F.col(id_col))
+    return with_words.select(*cols)
+
+
 def ngram_contamination(
     train: DataFrame,
     test: DataFrame,
@@ -846,31 +882,10 @@ def ngram_contamination(
     """
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    def grams(df: DataFrame, with_id: bool) -> DataFrame:
-        words = _ngram_word_arr(text_col)
-        with_words = df.select(
-            *([F.col(id_col)] if with_id else []), words.alias("_w")
-        ).where(F.size(F.col("_w")) >= n)
-        idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
-        g = F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int"))
-                        for j in range(n)
-                    ],
-                )
-            ),
-        )
-        cols = [F.explode(F.array_distinct(g)).alias("_gh")]
-        if with_id:
-            cols.insert(0, F.col(id_col))
-        return with_words.select(*cols)
-
-    train_grams = grams(ensure_parallelism(train), with_id=False).distinct()
-    test_grams = grams(ensure_parallelism(test), with_id=True)
+    train_grams = _ngram_hash_postings(
+        train, id_col, text_col, n, with_id=False
+    ).distinct()
+    test_grams = _ngram_hash_postings(test, id_col, text_col, n, with_id=True)
     return (
         test_grams.join(train_grams, "_gh")
         .groupBy(id_col)
@@ -926,26 +941,7 @@ def ngram_novelty(
         raise ValueError(
             f"df_threshold must be >= 1, got {df_threshold}"
         )
-    words = _ngram_word_arr(text_col)
-    with_words = ensure_parallelism(df).select(
-        F.col(id_col), words.alias("_w")
-    )
-    idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
-    g = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            F.concat_ws(
-                " ",
-                *[
-                    F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int"))
-                    for j in range(n)
-                ],
-            )
-        ),
-    )
-    pairs = with_words.where(F.size(F.col("_w")) >= n).select(
-        F.col(id_col), F.explode(F.array_distinct(g)).alias("_gh")
-    )
+    pairs = _ngram_hash_postings(df, id_col, text_col, n, with_id=True)
     dfreq = pairs.groupBy("_gh").agg(
         F.count(F.lit(1)).cast("long").alias("_df")
     )
@@ -1031,43 +1027,19 @@ def cross_snapshot_novelty(
         raise ValueError(
             f"prior_df_threshold must be >= 1, got {prior_df_threshold}"
         )
-
-    def _postings(frame: DataFrame, with_id: bool) -> DataFrame:
-        words = _ngram_word_arr(text_col)
-        with_words = ensure_parallelism(frame).select(
-            *([F.col(id_col)] if with_id else []), words.alias("_w")
-        ).where(F.size(F.col("_w")) >= n)
-        idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
-        g = F.transform(
-            idx,
-            lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(
-                            F.col("_w"), (i + F.lit(j + 1)).cast("int")
-                        )
-                        for j in range(n)
-                    ],
-                )
-            ),
-        )
-        cols = [F.explode(F.array_distinct(g)).alias("_gh")]
-        if with_id:
-            cols.insert(0, F.col(id_col))
-        return with_words.select(*cols)
-
     if prior_df_threshold == 1:
-        seen = _postings(prior, with_id=False).distinct()
+        seen = _ngram_hash_postings(
+            prior, id_col, text_col, n, with_id=False
+        ).distinct()
     else:
         seen = (
-            _postings(prior, with_id=True)
+            _ngram_hash_postings(prior, id_col, text_col, n, with_id=True)
             .groupBy("_gh")
             .agg(F.count(F.lit(1)).cast("long").alias("_pdf"))
             .where(F.col("_pdf") >= prior_df_threshold)
             .select("_gh")
         )
-    cur = _postings(df, with_id=True)
+    cur = _ngram_hash_postings(df, id_col, text_col, n, with_id=True)
     per_doc = (
         cur.join(seen.withColumn("_hit", F.lit(1)), "_gh", "left")
         .groupBy(id_col)

@@ -400,7 +400,15 @@ def curriculum_order(
     ``max(16, 4 * defaultParallelism)`` — parallelism-aware like
     :func:`~dbldatagen_spark.functions._parallel.ensure_parallelism`,
     but still a CLUSTER-WIDTH heuristic, not a data-size one: at
-    crawl scale pass it explicitly from the row count.  Invalid rows
+    crawl scale pass it explicitly from the row count.  The derived
+    default therefore makes the DEFAULT-argument layout depend on
+    the environment (two clusters of different width, or the same
+    autoscaling cluster at two moments, derive different shard
+    counts and hence different shard/position columns): the
+    replayability contract below holds GIVEN ``(seed, num_shards,
+    hash_mode)``, so pin ``num_shards`` explicitly whenever a layout
+    must reproduce across environments — the registry fixture and
+    every oracle do.  Invalid rows
     never enter the window: the valid and invalid branches both read
     the bucketed frame, so by default it is eagerly
     ``localCheckpoint``-ed (the :func:`~dbldatagen_spark.functions

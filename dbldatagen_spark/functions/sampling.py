@@ -431,6 +431,7 @@ def temperature_weights(
     *,
     alpha: float = 0.5,
     total_budget=None,
+    cache: bool = True,
 ) -> DataFrame:
     """Temperature-scaled mixture weights — the multilingual-corpus
     rebalancing rule popularized by multilingual pretraining work
@@ -459,7 +460,16 @@ def temperature_weights(
     Scale shape: one count aggregate (map-side combined, group keys
     only), then driver-free arithmetic over the per-group frame (one
     row per group — languages/sources, not documents); the fold and
-    broadcast total never touch the corpus.
+    broadcast total never touch the corpus.  The normalizing fold and
+    the main branch BOTH read the per-group frame, so by default it
+    is eagerly ``localCheckpoint``-ed at call time (ONE corpus scan;
+    without the barrier Catalyst re-executes the aggregate per
+    branch).  The trade: construction launches the scan immediately
+    and lineage is truncated (a lost executor fails a later action
+    instead of recomputing) — pass ``cache=False`` for a fully lazy,
+    lineage-recoverable plan that scans the corpus twice (the
+    :func:`~dbldatagen_spark.functions.packing.curriculum_order`
+    convention).
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
@@ -482,13 +492,16 @@ def temperature_weights(
         w_raw = F.lit(1.0)
     else:
         w_raw = F.pow(n, F.lit(float(alpha)))
-    # eager localCheckpoint: the normalizing fold below and the main
-    # branch BOTH read this per-group frame, and without a
-    # materialization barrier each re-executes the corpus aggregate
+    # eager localCheckpoint (cache=True): the normalizing fold below
+    # and the main branch BOTH read this per-group frame, and without
+    # a materialization barrier each re-executes the corpus aggregate
     # (two full scans; Catalyst does not reuse the exchange across
     # the fold's collect_list rewrite).  One row per group — tiny —
-    # and freed by the ContextCleaner (the pagerank precedent)
-    per = per.withColumn("_wr", w_raw).localCheckpoint(eager=True)
+    # and freed by the ContextCleaner (the pagerank precedent);
+    # cache=False keeps the plan lazy and lineage-recoverable
+    per = per.withColumn("_wr", w_raw)
+    if cache:
+        per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
@@ -520,6 +533,7 @@ def temperature_token_allocation(
     *,
     alpha: float = 0.5,
     target_tokens: int,
+    cache: bool = True,
 ) -> DataFrame:
     """Token-budget temperature mixing — :func:`temperature_weights`
     re-based on the unit training budgets are actually written in.
@@ -551,7 +565,11 @@ def temperature_token_allocation(
     corpus — group keys and two longs shuffle, never documents — then
     window arithmetic over the per-group frame (one row per
     language/source; the unpartitioned windows are bounded by the
-    group count, not the corpus).
+    group count, not the corpus).  By default the per-group frame is
+    eagerly ``localCheckpoint``-ed so the normalizing fold and the
+    allocation branch share ONE corpus scan; ``cache=False`` opts
+    into the fully lazy, lineage-recoverable two-scan plan (see
+    :func:`temperature_weights` for the trade).
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
@@ -584,10 +602,12 @@ def temperature_token_allocation(
         w_raw = F.lit(1.0)
     else:
         w_raw = F.pow(n, F.lit(float(alpha)))
-    # materialization barrier: fold + main branch share ONE corpus
-    # aggregate instead of re-executing the scan per branch (see
-    # temperature_weights; per-group frame, tiny)
-    per = per.withColumn("_wr", w_raw).localCheckpoint(eager=True)
+    # materialization barrier (cache=True): fold + main branch share
+    # ONE corpus aggregate instead of re-executing the scan per
+    # branch (see temperature_weights; per-group frame, tiny)
+    per = per.withColumn("_wr", w_raw)
+    if cache:
+        per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
@@ -657,6 +677,7 @@ def fertility_token_allocation(
     target_tokens: int,
     max_merges: int = 128,
     checkpoint_chunk: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Fertility-corrected token-budget mixing — the
     :func:`~dbldatagen_spark.functions.text_analysis
@@ -696,7 +717,13 @@ def fertility_token_allocation(
     corpus scan, the report ONE map-side-combined aggregate shuffling
     (group, three longs); everything after runs on the per-group
     frame (one row per language/source), where the unpartitioned
-    windows are bounded by the group count, not the corpus.
+    windows are bounded by the group count, not the corpus.  The
+    per-group report is eagerly ``localCheckpoint``-ed by default —
+    here the barrier matters most, because WITHOUT it the fold and
+    the allocation branch each re-run the full BPE-encode scan
+    (measured 5.7x vs 0.9x on the 10x probe); ``cache=False`` opts
+    into the lazy two-scan plan (the :func:`temperature_weights`
+    trade).
     """
     if alpha < 0:
         raise ValueError(f"alpha must be >= 0, got {alpha}")
@@ -738,11 +765,13 @@ def fertility_token_allocation(
         w_alpha
         * (F.col("n_tokens").cast("double") / F.col("n_words").cast("double")),
     ).otherwise(F.lit(0.0))
-    # materialization barrier: the fertility report is the EXPENSIVE
-    # subtree here (the full BPE-encode corpus scan) — without it the
-    # normalizing fold and the main branch each re-run the encode
-    # (measured 5.7x vs 0.9x on the 10x probe); per-group frame, tiny
-    per = rep.withColumn("_wr", raw).localCheckpoint(eager=True)
+    # materialization barrier (cache=True): the fertility report is
+    # the EXPENSIVE subtree here (the full BPE-encode corpus scan) —
+    # without it the normalizing fold and the main branch each re-run
+    # the encode (measured 5.7x vs 0.9x on the 10x probe)
+    per = rep.withColumn("_wr", raw)
+    if cache:
+        per = per.localCheckpoint(eager=True)
     tot = per.agg(
         F.aggregate(
             F.array_sort(
@@ -849,7 +878,13 @@ def authority_weighted_sample(
     let AQE pick a shuffle join, which is then the flagging pass's
     only exchange); ``max(rank_units)`` is ONE bounded driver collect
     (a single row), and the interpolation + hash are scan-local
-    whole-stage-codegen arithmetic.  An eager headroom guard
+    whole-stage-codegen arithmetic.  At ``level="domain"`` the PSL
+    collapse runs over the DISTINCT host set, never per corpus row
+    (:func:`registrable_domain_expr`'s own contract — a real PSL
+    snapshot is a ~10k-entry array probe): one host-cardinality
+    distinct, the domain mapping + rank join on that tiny frame,
+    then the host -> (domain, rank) map joins back onto the corpus
+    by host.  An eager headroom guard
     validates ``(max_ppm - base_ppm) * max(rank_units) < 2^63`` —
     at the default pagerank scale of 1e12 the product tops out near
     1e18, inside int64; rescale rank units before calling if you
@@ -874,7 +909,7 @@ def authority_weighted_sample(
     out_rank = f"{out_prefix}_rank_units"
     out_ppm = f"{out_prefix}_keep_ppm"
     out_keep = f"{out_prefix}_keep"
-    for c in (out_node, out_rank, out_ppm, out_keep):
+    for c in (out_node, out_rank, out_ppm, out_keep, "_awsh"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
     from dbldatagen_spark.functions.curation import (
@@ -883,8 +918,19 @@ def authority_weighted_sample(
     )
 
     mx_row = authority.agg(
-        F.max(F.col(rank_col).cast("long")).alias("mx")
+        F.max(F.col(rank_col).cast("long")).alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(F.col(node_col)).alias("nd"),
     ).collect()[0]
+    if mx_row["n"] != mx_row["nd"]:
+        # a duplicate node key would fan the left join out — MORE
+        # output rows than input, silently breaking the flags-not-a-
+        # filter contract and double-counting documents downstream
+        raise ValueError(
+            f"authority frame has duplicate {node_col!r} keys "
+            f"({mx_row['n']} rows, {mx_row['nd']} distinct) — "
+            f"aggregate it to one row per node first"
+        )
     mx = mx_row["mx"]
     span = max_ppm - base_ppm
     if mx is None or mx <= 0:
@@ -898,15 +944,41 @@ def authority_weighted_sample(
             f"rescale the rank units (divide by a constant) first"
         )
     host = url_host_expr(F.col(url_col))
-    if level == "domain":
-        host = registrable_domain_expr(host, suffix_list=suffix_list)
     ranks = authority.select(
         F.col(node_col).alias(out_node),
         F.col(rank_col).cast("long").alias(out_rank),
     )
-    if broadcast_authority:
-        ranks = F.broadcast(ranks)
-    joined = df.withColumn(out_node, host).join(ranks, out_node, "left")
+    if level == "domain":
+        # registrable_domain_expr is documented for HOST-level frames,
+        # never per-row corpus scans (a real PSL snapshot is a
+        # ~10k-entry array probe per row): collapse the DISTINCT host
+        # set instead — host-cardinality work, millions where the
+        # corpus is trillions — attach ranks there, and join the
+        # host -> (domain, rank) map back onto the corpus by host
+        with_host = df.withColumn("_awsh", host)
+        hmap = (
+            with_host.where(F.col("_awsh").isNotNull())
+            .select("_awsh")
+            .distinct()
+            .withColumn(
+                out_node,
+                registrable_domain_expr(
+                    F.col("_awsh"), suffix_list=suffix_list
+                ),
+            )
+            .join(
+                F.broadcast(ranks) if broadcast_authority else ranks,
+                out_node,
+                "left",
+            )
+        )
+        if broadcast_authority:
+            hmap = F.broadcast(hmap)
+        joined = with_host.join(hmap, "_awsh", "left").drop("_awsh")
+    else:
+        if broadcast_authority:
+            ranks = F.broadcast(ranks)
+        joined = df.withColumn(out_node, host).join(ranks, out_node, "left")
     if mx is None:
         ppm = F.lit(base_ppm).cast("long")
     else:

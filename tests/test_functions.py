@@ -7451,6 +7451,14 @@ class TestAllocationSingleScan:
         for out in frames:
             plan = out._jdf.queryExecution().executedPlan().toString()
             assert plan.count("Scan parquet") == 0, plan
+        # cache=False: fully lazy, lineage-recoverable — identical
+        # values, corpus scans back in the plan
+        lazy = temperature_token_allocation(
+            docs, "lang", "n_tok", target_tokens=100, cache=False)
+        assert lazy._jdf.queryExecution().executedPlan().toString().count(
+            "Scan parquet") > 0
+        assert sorted(map(tuple, lazy.collect())) == sorted(
+            map(tuple, frames[1].collect()))
 
 
 class TestTemperatureTokenAllocation:
@@ -8850,6 +8858,23 @@ class TestAuthorityWeightedSample:
         rows = authority_weighted_sample(
             docs, "doc_id", "url", empty, base_ppm=123_000).collect()
         assert all(r["auth_keep_ppm"] == 123_000 for r in rows)
+        # duplicate node keys would fan the left join out (more output
+        # rows than input — the flags-not-a-filter contract breaks):
+        # eagerly rejected in the same one-row aggregate as max(rank)
+        with pytest.raises(ValueError, match="duplicate"):
+            authority_weighted_sample(
+                docs, "doc_id", "url", auth.unionByName(auth))
+        # domain level runs the PSL collapse over the DISTINCT host
+        # set, never per corpus row: the plan carries a host-dedup
+        # aggregate feeding a second (map-side) join, and the
+        # suffix-array probe appears once — in the host-map subtree —
+        # not inlined into the corpus projection
+        plan2 = authority_weighted_sample(
+            docs, "doc_id", "url", auth, level="domain",
+        )._jdf.queryExecution().optimizedPlan().toString()
+        assert ("Deduplicate" in plan2) or ("Aggregate" in plan2)
+        assert plan2.count("Join") >= 2
+        assert plan2.count("array_contains") == 1
 
     def test_partition_stability(self, spark):
         from dbldatagen_spark.functions import (
