@@ -7222,6 +7222,42 @@ def _docs_snapshot_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split (round 14): train/val/test assignment where
+    near-duplicate cluster-mates always co-locate.  The fixture
+    plants 3-CHAINS — for every doc_id % 7 == 0, twins at id + 10^6
+    and id + 2*10^6 with pairs (d, d+10^6) and (d+10^6, d+2*10^6):
+    the chain ends are never paired directly, so transitive component
+    collapse is what the oracle replays (representative = the
+    arithmetic base id), then the md5 bucket of the REPRESENTATIVE
+    decides the split for all three.  Singleton docs hash their own
+    id — exactly the split_assign label."""
+    from dbldatagen_spark.functions import cluster_aware_split
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id")
+    m = docs.where(F.pmod(F.col("doc_id"), F.lit(7)) == 0)
+    corpus = (
+        docs.unionByName(
+            m.select((F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"))
+        ).unionByName(
+            m.select((F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"))
+        )
+    )
+    pairs = m.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + F.lit(1_000_000)).alias("id_b"),
+    ).unionByName(
+        m.select(
+            (F.col("doc_id") + F.lit(1_000_000)).alias("id_a"),
+            (F.col("doc_id") + F.lit(2_000_000)).alias("id_b"),
+        )
+    )
+    return cluster_aware_split(
+        corpus, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        pairs, seed=42, hash_mode="md5",
+    ).orderBy("doc_id")
+
+
 def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (round 13): difficulty-banded deterministic
     shard layout over document length — 4 histogram-quantile bands
@@ -7339,15 +7375,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-14 rotation: growth-at-birth plus staleness drain — the 4
+    Round-14 rotation: growth-at-birth plus staleness drain — the 5
     round-14 growth rows first (web_domain_authority,
     docs_authority_sample, corpus_fertility_mix,
-    docs_snapshot_novelty), then the stalest cohorts in ledger
-    order: the 4 remaining r9-stale rows (dedup_ngram_jaccard,
-    dedup_cross_corpus, sample_split_assign, multimodal_features)
-    and the first 42 r12-stale rows (corpus_token_budget_mix ..
-    gen_expression) — once this window drains, nothing in the ledger
-    is older than r12.  Demoted: the entire round-13 window — all 50
+    docs_snapshot_novelty, docs_leakage_split), then the stalest
+    cohorts in ledger order: the 4 remaining r9-stale rows
+    (dedup_ngram_jaccard, dedup_cross_corpus, sample_split_assign,
+    multimodal_features) and the first 41 r12-stale rows
+    (corpus_token_budget_mix .. gen_timestamp_cycle) — once this
+    window drains, nothing in the ledger is older than r12.  Demoted: the entire round-13 window — all 50
     were green on their r13 exposure.  The window is drawn by the
     ``_R14_WINDOW`` list below over the full registry dict, so the
     FIRST 50 entries of this function's return value ARE the window;
@@ -7359,6 +7395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_authority_sample",
         "corpus_fertility_mix",
         "docs_snapshot_novelty",
+        "docs_leakage_split",
         # the 4 remaining r9-stale rows, ledger order
         "dedup_ngram_jaccard",
         "dedup_cross_corpus",
@@ -7406,7 +7443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_range_cycle",
         "gen_values_cycle",
         "gen_timestamp_cycle",
-        "gen_expression",
     ]
     base = {
         # Full registry (window drawn by _R14_WINDOW above; the
@@ -7415,6 +7451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_authority_sample": _docs_authority_sample,
         "corpus_fertility_mix": _corpus_fertility_mix,
         "docs_snapshot_novelty": _docs_snapshot_novelty,
+        "docs_leakage_split": _docs_leakage_split,
         "web_host_authority": _web_host_authority,
         "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
@@ -12196,6 +12233,38 @@ def _oracle_sql_base() -> dict[str, str]:
                    END AS seen_ratio
             FROM cur c LEFT JOIN per p ON c.doc_id = p.doc_id
             ORDER BY c.doc_id
+        """,
+        # leakage-safe split: the 3-chain component collapse replayed
+        # ARITHMETICALLY (representative = the base id the fixture
+        # planted the chain on — transitivity derived from first
+        # principles, not label propagation), then the md5 bucket of
+        # the representative and the 800k/900k thresholds
+        "docs_leakage_split": """
+            WITH corpus AS (
+                SELECT doc_id FROM documents
+                UNION ALL
+                SELECT doc_id + 1000000 FROM documents WHERE doc_id % 7 = 0
+                UNION ALL
+                SELECT doc_id + 2000000 FROM documents WHERE doc_id % 7 = 0
+            ),
+            k AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id >= 2000000 THEN doc_id - 2000000
+                            WHEN doc_id >= 1000000 THEN doc_id - 1000000
+                            ELSE doc_id END AS key
+                FROM corpus
+            ),
+            b AS (
+                SELECT doc_id, key,
+                       (('0x' || substr(md5('42-' || CAST(key AS VARCHAR)),
+                           1, 15))::BIGINT) % 1000000 AS bkt
+                FROM k
+            )
+            SELECT doc_id, key AS split_key,
+                   CASE WHEN bkt < 800000 THEN 'train'
+                        WHEN bkt < 900000 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
         """,
         # novelty replayed with RAW gram strings (hash-free truth):
         # the planted twins, per-doc distinct 5-grams, corpus document

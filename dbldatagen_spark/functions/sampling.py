@@ -667,6 +667,89 @@ def temperature_token_allocation(
     )
 
 
+def cluster_aware_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict,
+    pairs: DataFrame,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    seed: int = 42,
+    hash_mode: str = "md5",
+    out_col: str = "split",
+    key_col: str = "split_key",
+    max_iterations: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Leakage-safe train/val/test split: every member of a
+    near-duplicate CLUSTER lands in the same split.  A plain
+    :func:`split_assign` hashes each document independently, so two
+    near-copies the dedup pass surfaced (but a curator chose to keep)
+    can straddle train and test — the classic evaluation-leakage bug
+    dedup reports exist to prevent.  Here the pair set (any
+    near-duplicate detector's output: MinHash, SimHash,
+    embedding-cosine, fuzzy-record) is collapsed into connected
+    components (:func:`~dbldatagen_spark.functions.dedup
+    .duplicate_components` — min-label propagation with pointer
+    jumping), and the split decision hashes the CLUSTER
+    REPRESENTATIVE (the component's smallest id) instead of the
+    document id.  Documents in no pair keep their own id as the key,
+    so singletons get EXACTLY the :func:`split_assign` label — adding
+    pairs only ever merges documents into one split, never reshuffles
+    the rest.
+
+    Returns the input plus ``<key_col>`` (the hashed representative —
+    auditable: equal keys MUST mean equal splits) and ``<out_col>``
+    (the label).  Deterministic and engine-replayable under
+    ``hash_mode="md5"`` (the :func:`split_assign` contract, applied
+    to the representative id); transitive by construction — a chain
+    a~b, b~c co-locates all three even though a and c were never
+    paired directly.
+
+    Scale shape: component propagation shuffles only ``(long, long)``
+    label pairs over the PAIR graph (bounded by the near-dup set,
+    never the corpus; O(log diameter) rounds, checkpointed — see
+    :func:`duplicate_components` for the checkpoint_dir trade); the
+    component map joins back by id — one id-keyed left join bounded
+    by the number of documents that appear in any pair (AQE picks
+    broadcast when the dup set is small, the common case); the label
+    itself is the scan-local :func:`split_assign` expression on the
+    coalesced key.  Document text never moves.
+    """
+    for col, side, frame in (
+        (id_col, "df", df), (id_a, "pairs", pairs), (id_b, "pairs", pairs),
+    ):
+        if col not in frame.columns:
+            raise ValueError(f"{side} has no column {col!r}")
+    for c in (out_col, key_col):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    from dbldatagen_spark.functions.dedup import duplicate_components
+
+    comp = duplicate_components(
+        pairs, id_a, id_b,
+        max_iterations=max_iterations, checkpoint_dir=checkpoint_dir,
+    ).select(
+        F.col("vertex").alias("_cas_v"),
+        F.col("component").alias("_cas_c"),
+    )
+    keyed = (
+        df.join(comp, df[id_col] == F.col("_cas_v"), "left")
+        .withColumn(
+            key_col, F.coalesce(F.col("_cas_c"), F.col(id_col))
+        )
+        .drop("_cas_v", "_cas_c")
+    )
+    # the label machinery IS split_assign, applied to the
+    # representative key — one implementation of the bucket +
+    # cumulative-threshold expression, never two
+    return split_assign(
+        keyed, key_col, fractions,
+        seed=seed, hash_mode=hash_mode, out_col=out_col,
+    )
+
+
 def fertility_token_allocation(
     df: DataFrame,
     group_col: str,

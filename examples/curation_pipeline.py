@@ -293,6 +293,21 @@ def main() -> None:
         selected, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
     )
 
+    # 6b. leakage-safe variant: when near-copies are KEPT (not
+    #     scrubbed), split on the dup-cluster representative so
+    #     cluster-mates can never straddle train and test
+    from dbldatagen_spark.functions import cluster_aware_split
+
+    near_pairs = clusters.where("doc_id <> canonical_id").select(
+        F.col("doc_id").alias("id_a"), F.col("canonical_id").alias("id_b")
+    )
+    safe = cluster_aware_split(
+        selected, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+        near_pairs,
+    )
+    n_merged = safe.where("split_key <> doc_id").count()
+    print(f"leakage-safe split: {n_merged} docs co-located with a dup mate")
+
     # monitoring lane
     drift = psi_report(
         docs.where("doc_id % 2 = 0"), docs.where("doc_id % 2 = 1"), "n_chars"

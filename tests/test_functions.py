@@ -8895,6 +8895,76 @@ class TestAuthorityWeightedSample:
         assert a == b
 
 
+class TestClusterAwareSplit:
+    FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+    def _fixtures(self, spark):
+        docs = spark.createDataFrame(
+            [(i,) for i in range(200)], "doc_id long")
+        # 3-chains: i ~ i+1000 ~ i+2000 for i in {0, 7, 14, ...} —
+        # a and c never paired directly (transitivity must do it)
+        m = [i for i in range(0, 200, 7)]
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(200)]
+            + [(i + 1000,) for i in m] + [(i + 2000,) for i in m],
+            "doc_id long",
+        )
+        pairs = spark.createDataFrame(
+            [(i, i + 1000) for i in m] + [(i + 1000, i + 2000) for i in m],
+            "id_a long, id_b long",
+        )
+        return corpus, pairs
+
+    def test_cluster_colocation_and_singleton_parity(self, spark):
+        import hashlib
+        from dbldatagen_spark.functions import (
+            cluster_aware_split, split_assign,
+        )
+
+        corpus, pairs = self._fixtures(spark)
+        out = {r["doc_id"]: r for r in cluster_aware_split(
+            corpus, "doc_id", self.FRACS, pairs).collect()}
+        # transitive co-location: all three chain members share the
+        # representative AND the split
+        for i in range(0, 200, 7):
+            trio = [out[i], out[i + 1000], out[i + 2000]]
+            assert {r["split_key"] for r in trio} == {i}
+            assert len({r["split"] for r in trio}) == 1
+        # singletons: exactly the plain split_assign label
+        plain = {r["doc_id"]: r["split"] for r in split_assign(
+            corpus, "doc_id", self.FRACS, hash_mode="md5").collect()}
+        for i in range(200):
+            if i % 7 != 0:
+                assert out[i]["split_key"] == i
+                assert out[i]["split"] == plain[i]
+        # the representative's hash decides: replay one cluster by hand
+        h = hashlib.md5(b"42-0").hexdigest()
+        bkt = int(h[:15], 16) % 1_000_000
+        expect = "train" if bkt < 800_000 else (
+            "val" if bkt < 900_000 else "test")
+        assert out[0]["split"] == expect
+
+    def test_partition_stability_and_validation(self, spark):
+        from dbldatagen_spark.functions import cluster_aware_split
+
+        corpus, pairs = self._fixtures(spark)
+        a = sorted(map(tuple, cluster_aware_split(
+            corpus.repartition(3), "doc_id", self.FRACS,
+            pairs.repartition(2)).collect()))
+        b = sorted(map(tuple, cluster_aware_split(
+            corpus.repartition(8), "doc_id", self.FRACS,
+            pairs.repartition(5)).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="no column"):
+            cluster_aware_split(corpus, "nope", self.FRACS, pairs)
+        with pytest.raises(ValueError, match="already exists"):
+            cluster_aware_split(
+                corpus.withColumn("split", F.lit("x")),
+                "doc_id", self.FRACS, pairs)
+        with pytest.raises(ValueError, match="fractions"):
+            cluster_aware_split(corpus, "doc_id", {}, pairs)
+
+
 class TestContaminationAwareSplit:
     def _frames(self, spark):
         docs = spark.createDataFrame(
