@@ -722,9 +722,18 @@ def cluster_aware_split(
     ):
         if col not in frame.columns:
             raise ValueError(f"{side} has no column {col!r}")
-    for c in (out_col, key_col):
+    for c in (out_col, key_col, "_cas_v", "_cas_c"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
+    # eager, BEFORE duplicate_components runs its propagation rounds:
+    # a bad fraction dict or hash_mode must not cost the full
+    # component loop first (split_assign re-validates, cheaply)
+    if not fractions:
+        raise ValueError("fractions must be non-empty")
+    if float(sum(fractions.values())) <= 0:
+        raise ValueError("fractions must sum to a positive value")
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
     from dbldatagen_spark.functions.dedup import duplicate_components
 
     comp = duplicate_components(
@@ -734,10 +743,18 @@ def cluster_aware_split(
         F.col("vertex").alias("_cas_v"),
         F.col("component").alias("_cas_c"),
     )
+    # the key keeps df's OWN id type: a wider pairs id would promote
+    # the coalesce and change xxhash64 buckets (xxhash64 is
+    # type-sensitive), breaking the singletons-get-exactly-the-
+    # split_assign-label invariant; representatives must therefore
+    # fit the df id type (same entity space — ANSI mode raises
+    # loudly if one does not)
+    id_type = df.schema[id_col].dataType
     keyed = (
         df.join(comp, df[id_col] == F.col("_cas_v"), "left")
         .withColumn(
-            key_col, F.coalesce(F.col("_cas_c"), F.col(id_col))
+            key_col,
+            F.coalesce(F.col("_cas_c"), F.col(id_col)).cast(id_type),
         )
         .drop("_cas_v", "_cas_c")
     )
@@ -965,9 +982,12 @@ def authority_weighted_sample(
     collapse runs over the DISTINCT host set, never per corpus row
     (:func:`registrable_domain_expr`'s own contract — a real PSL
     snapshot is a ~10k-entry array probe): one host-cardinality
-    distinct, the domain mapping + rank join on that tiny frame,
-    then the host -> (domain, rank) map joins back onto the corpus
-    by host.  An eager headroom guard
+    distinct, the domain mapping + rank join on that tiny frame
+    (``broadcast_authority`` hints only the RANKS side of it), then
+    the host -> (domain, rank) map joins back onto the corpus by
+    host — deliberately unhinted, since its cardinality is the
+    corpus's host set, not the authority frame's: AQE broadcasts it
+    at runtime when it is actually small.  An eager headroom guard
     validates ``(max_ppm - base_ppm) * max(rank_units) < 2^63`` —
     at the default pagerank scale of 1e12 the product tops out near
     1e18, inside int64; rescale rank units before calling if you
@@ -1002,7 +1022,10 @@ def authority_weighted_sample(
 
     mx_row = authority.agg(
         F.max(F.col(rank_col).cast("long")).alias("mx"),
-        F.count(F.lit(1)).alias("n"),
+        # non-null count, NOT count(*): a NULL-keyed rank row never
+        # matches the left join (harmless), and count(*) would make
+        # the uniqueness check below spuriously reject it
+        F.count(F.col(node_col)).alias("n"),
         F.count_distinct(F.col(node_col)).alias("nd"),
     ).collect()[0]
     if mx_row["n"] != mx_row["nd"]:
@@ -1011,7 +1034,7 @@ def authority_weighted_sample(
         # filter contract and double-counting documents downstream
         raise ValueError(
             f"authority frame has duplicate {node_col!r} keys "
-            f"({mx_row['n']} rows, {mx_row['nd']} distinct) — "
+            f"({mx_row['n']} non-null rows, {mx_row['nd']} distinct) — "
             f"aggregate it to one row per node first"
         )
     mx = mx_row["mx"]
@@ -1055,8 +1078,11 @@ def authority_weighted_sample(
                 "left",
             )
         )
-        if broadcast_authority:
-            hmap = F.broadcast(hmap)
+        # NO broadcast hint on hmap itself: its cardinality is the
+        # CORPUS's distinct host set (unbounded by the authority
+        # frame broadcast_authority was sized for — a full crawl has
+        # tens of millions of hosts); AQE sizes this join at runtime
+        # and broadcasts it when the host set is actually small
         joined = with_host.join(hmap, "_awsh", "left").drop("_awsh")
     else:
         if broadcast_authority:

@@ -8864,6 +8864,18 @@ class TestAuthorityWeightedSample:
         with pytest.raises(ValueError, match="duplicate"):
             authority_weighted_sample(
                 docs, "doc_id", "url", auth.unionByName(auth))
+        # ...but a NULL-keyed rank row is harmless (never joins) and
+        # must NOT trip the uniqueness check
+        with_null = auth.unionByName(
+            auth.limit(1).select(
+                F.lit(None).cast("string").alias("host"),
+                F.lit(0).cast("long").alias("rank_units"),
+                F.lit(0.0).alias("rank"),
+            )
+        )
+        ok = authority_weighted_sample(
+            docs, "doc_id", "url", with_null, base_ppm=200_000)
+        assert ok.count() == docs.count()
         # domain level runs the PSL collapse over the DISTINCT host
         # set, never per corpus row: the plan carries a host-dedup
         # aggregate feeding a second (map-side) join, and the
@@ -8961,8 +8973,40 @@ class TestClusterAwareSplit:
             cluster_aware_split(
                 corpus.withColumn("split", F.lit("x")),
                 "doc_id", self.FRACS, pairs)
+        with pytest.raises(ValueError, match="already exists"):
+            cluster_aware_split(
+                corpus.withColumn("_cas_v", F.lit(1)),
+                "doc_id", self.FRACS, pairs)
+        # eager: bad fractions/hash_mode raise BEFORE the component
+        # propagation loop runs
         with pytest.raises(ValueError, match="fractions"):
             cluster_aware_split(corpus, "doc_id", {}, pairs)
+        with pytest.raises(ValueError, match="hash_mode"):
+            cluster_aware_split(
+                corpus, "doc_id", self.FRACS, pairs, hash_mode="nope")
+
+    def test_int_id_type_parity_under_xxhash64(self, spark):
+        # a wider pairs id must not promote the key type: xxhash64 is
+        # type-sensitive, and singletons must get EXACTLY the plain
+        # split_assign label on df's own (int) id column
+        from dbldatagen_spark.functions import (
+            cluster_aware_split, split_assign,
+        )
+
+        corpus = spark.createDataFrame(
+            [(i,) for i in range(50)], "doc_id int")
+        pairs = spark.createDataFrame(
+            [(0, 7), (7, 14)], "id_a long, id_b long")
+        out = {r["doc_id"]: r for r in cluster_aware_split(
+            corpus, "doc_id", self.FRACS, pairs, hash_mode="xxhash64",
+        ).collect()}
+        plain = {r["doc_id"]: r["split"] for r in split_assign(
+            corpus, "doc_id", self.FRACS, hash_mode="xxhash64",
+        ).collect()}
+        for i in range(50):
+            if i not in (0, 7, 14):
+                assert out[i]["split"] == plain[i], i
+        assert {out[i]["split"] for i in (0, 7, 14)} == {plain[0]}
 
 
 class TestContaminationAwareSplit:
