@@ -1318,3 +1318,149 @@ def test_anchor_profile_matches_independent_replay(links, keep_self):
             top[0], top[1],
         )
     assert got == want
+
+
+@given(
+    n_docs=st.integers(min_value=5, max_value=40),
+    pair_list=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=39),
+            st.integers(min_value=0, max_value=39),
+        ),
+        max_size=25,
+    ),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+@settings(**_SETTINGS)
+def test_cluster_aware_split_colocates_every_component(
+    n_docs, pair_list, seed
+):
+    """cluster_aware_split's claim: any two documents connected
+    through the pair graph — at ANY hop distance — land in the same
+    split, and untouched documents get exactly the split_assign
+    label.  Replayed against an independent Python union-find."""
+    from dbldatagen_spark.functions import cluster_aware_split, split_assign
+
+    pair_list = [(a, b) for a, b in pair_list
+                 if a != b and a < n_docs and b < n_docs]
+    if not pair_list:
+        pair_list = [(0, min(1, n_docs - 1))]
+    docs = _spark.createDataFrame(
+        [(i,) for i in range(n_docs)], "doc_id long")
+    pairs = _spark.createDataFrame(pair_list, "id_a long, id_b long")
+    fr = {"train": 0.7, "val": 0.15, "test": 0.15}
+    out = {r["doc_id"]: r for r in cluster_aware_split(
+        docs, "doc_id", fr, pairs, seed=seed).collect()}
+
+    # independent union-find over the same pairs
+    parent = list(range(n_docs))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pair_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rep = {i: find(i) for i in range(n_docs)}
+    # min-reachable representative == split_key, co-located splits
+    for i in range(n_docs):
+        assert out[i]["split_key"] == rep[i], (i, rep[i])
+        assert out[i]["split"] == out[rep[i]]["split"]
+    # untouched docs: exact split_assign parity
+    plain = {r["doc_id"]: r["split"] for r in split_assign(
+        docs, "doc_id", fr, seed=seed, hash_mode="md5").collect()}
+    touched = {x for p in pair_list for x in p}
+    for i in range(n_docs):
+        if i not in touched:
+            assert out[i]["split"] == plain[i]
+
+
+@given(
+    groups=st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "bb", "cc", "dd"]),
+            st.integers(min_value=0, max_value=30),   # words per doc
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    budget=st.integers(min_value=0, max_value=10_000),
+)
+@settings(**_SETTINGS)
+def test_fertility_allocation_budget_exact_and_equitable(groups, budget):
+    """fertility_token_allocation's contract: target_tokens sums to
+    the budget EXACTLY whenever any group has words, weights sum to
+    1, and the per-word token opportunity (target / (weight-eligible
+    fertility)) is equalized up to the remainder units."""
+    from dbldatagen_spark.functions import fertility_token_allocation
+
+    rows = [
+        (g, " ".join(["the"] * nw) if nw else None)
+        for g, nw in groups
+    ]
+    docs = _spark.createDataFrame(rows, "lang string, text string")
+    out = fertility_token_allocation(
+        docs, "lang", "text", [("t", "h")], alpha=0.5,
+        target_tokens=budget,
+    ).collect()
+    any_words = any(nw > 0 for _, nw in groups)
+    total = sum(r["target_tokens"] for r in out)
+    if any_words:
+        assert total == budget
+        assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-9
+    else:
+        assert total == 0
+    for r in out:
+        assert r["target_tokens"] >= 0
+        if r["n_words"] == 0:
+            assert r["weight"] == 0.0 and r["target_tokens"] == 0
+
+
+@given(
+    ranks=st.lists(
+        st.integers(min_value=1, max_value=10**12),
+        min_size=1,
+        max_size=6,
+    ),
+    base=st.integers(min_value=0, max_value=500_000),
+    span=st.integers(min_value=0, max_value=500_000),
+)
+@settings(**_SETTINGS)
+def test_authority_sample_ppm_bounds_and_monotone(ranks, base, span):
+    """authority_weighted_sample's rate contract: keep_ppm lies in
+    [base_ppm, max_ppm], the best-ranked host sits exactly at
+    max_ppm, unranked hosts exactly at base_ppm, and the rate is
+    monotone in rank_units."""
+    from dbldatagen_spark.functions import authority_weighted_sample
+
+    max_ppm = base + span
+    auth = _spark.createDataFrame(
+        [(f"h{i}.com", r) for i, r in enumerate(ranks)],
+        "host string, rank_units long",
+    )
+    docs = _spark.createDataFrame(
+        [(i, f"https://h{i}.com/x") for i in range(len(ranks))]
+        + [(999, "https://unranked.net/x")],
+        "doc_id long, url string",
+    )
+    out = {r["doc_id"]: r for r in authority_weighted_sample(
+        docs, "doc_id", "url", auth, base_ppm=base, max_ppm=max_ppm,
+    ).collect()}
+    mx = max(ranks)
+    for i, r in enumerate(ranks):
+        ppm = out[i]["auth_keep_ppm"]
+        assert base <= ppm <= max_ppm
+        assert ppm == base + (span * r) // mx
+        if r == mx:
+            assert ppm == max_ppm
+    assert out[999]["auth_keep_ppm"] == base
+    by_rank = sorted(
+        ((r, out[i]["auth_keep_ppm"]) for i, r in enumerate(ranks))
+    )
+    assert all(
+        a[1] <= b[1] for a, b in zip(by_rank, by_rank[1:])
+    )
