@@ -7258,6 +7258,25 @@ def _docs_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _docs_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-calibration table (round 14): the FineWeb-Edu-style
+    precision/volume sweep over a labeled sample — 8 equal-width
+    score bins over the document length (range auto-detected from
+    the data), label = doc_id % 3 == 0, per-bin exact counts and one
+    fixed-form precision division, plus the gapless
+    cumulative-from-the-top view a curator reads to pick the keep
+    threshold.  The oracle replays the range detection, the IEEE bin
+    arithmetic, the full bin spectrum incl. empty bins, the window
+    cumsum, and every division."""
+    from dbldatagen_spark.functions import calibration_report
+
+    docs = _load(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.pmod(F.col("doc_id"), F.lit(3)) == 0).alias("label"),
+    )
+    return calibration_report(docs, "score", "label", n_bins=8)
+
+
 def _docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (round 13): difficulty-banded deterministic
     shard layout over document length — 4 histogram-quantile bands
@@ -7375,15 +7394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-14 rotation: growth-at-birth plus staleness drain — the 5
+    Round-14 rotation: growth-at-birth plus staleness drain — the 6
     round-14 growth rows first (web_domain_authority,
     docs_authority_sample, corpus_fertility_mix,
-    docs_snapshot_novelty, docs_leakage_split), then the stalest
-    cohorts in ledger order: the 4 remaining r9-stale rows
-    (dedup_ngram_jaccard, dedup_cross_corpus, sample_split_assign,
-    multimodal_features) and the first 41 r12-stale rows
-    (corpus_token_budget_mix .. gen_timestamp_cycle) — once this
-    window drains, nothing in the ledger is older than r12.  Demoted: the entire round-13 window — all 50
+    docs_snapshot_novelty, docs_leakage_split,
+    docs_score_calibration), then the stalest cohorts in ledger
+    order: the 4 remaining r9-stale rows (dedup_ngram_jaccard,
+    dedup_cross_corpus, sample_split_assign, multimodal_features)
+    and the first 40 r12-stale rows (corpus_token_budget_mix ..
+    gen_values_cycle) — once this window drains, nothing in the
+    ledger is older than r12.  Demoted: the entire round-13 window — all 50
     were green on their r13 exposure.  The window is drawn by the
     ``_R14_WINDOW`` list below over the full registry dict, so the
     FIRST 50 entries of this function's return value ARE the window;
@@ -7396,6 +7416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fertility_mix",
         "docs_snapshot_novelty",
         "docs_leakage_split",
+        "docs_score_calibration",
         # the 4 remaining r9-stale rows, ledger order
         "dedup_ngram_jaccard",
         "dedup_cross_corpus",
@@ -7442,7 +7463,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_sequence",
         "gen_range_cycle",
         "gen_values_cycle",
-        "gen_timestamp_cycle",
     ]
     base = {
         # Full registry (window drawn by _R14_WINDOW above; the
@@ -7452,6 +7472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_fertility_mix": _corpus_fertility_mix,
         "docs_snapshot_novelty": _docs_snapshot_novelty,
         "docs_leakage_split": _docs_leakage_split,
+        "docs_score_calibration": _docs_score_calibration,
         "web_host_authority": _web_host_authority,
         "web_anchor_profile": _web_anchor_profile,
         "docs_curriculum_order": _docs_curriculum_order,
@@ -12265,6 +12286,61 @@ def _oracle_sql_base() -> dict[str, str]:
                         WHEN bkt < 900000 THEN 'val'
                         ELSE 'test' END AS split
             FROM b ORDER BY doc_id
+        """,
+        # calibration sweep replayed cell-for-cell: auto range over
+        # the valid scores, the same IEEE bin arithmetic
+        # floor((s-lo)/span*n), the FULL 8-bin spectrum (empty bins
+        # kept — the cumulative must be gapless), the desc-window
+        # cumsum, the fixed-form edges lo + (bin*span)/n, and each
+        # precision as one division (NULL on zero denominators)
+        "docs_score_calibration": """
+            WITH v AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s,
+                       (doc_id % 3 = 0) AS y
+                FROM documents
+                WHERE n_chars IS NOT NULL
+            ),
+            rng AS (
+                SELECT MIN(s) AS lo, MAX(s) - MIN(s) AS span FROM v
+            ),
+            binned AS (
+                SELECT CASE WHEN span <= 0 THEN 0
+                            ELSE GREATEST(0, LEAST(7,
+                                CAST(floor((s - lo) / span * 8) AS INT)))
+                       END AS bin, y
+                FROM v, rng
+            ),
+            counts AS (
+                SELECT bin, COUNT(*)::BIGINT AS n,
+                       SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT
+                           AS n_pos
+                FROM binned GROUP BY bin
+            ),
+            spectrum AS (
+                SELECT CAST(g.b AS INT) AS bin,
+                       COALESCE(c.n, 0) AS n,
+                       COALESCE(c.n_pos, 0) AS n_pos
+                FROM generate_series(0, 7) g(b)
+                LEFT JOIN counts c ON c.bin = g.b
+            ),
+            cum AS (
+                SELECT *,
+                       SUM(n) OVER (ORDER BY bin DESC)::BIGINT AS cum_n,
+                       SUM(n_pos) OVER (ORDER BY bin DESC)::BIGINT
+                           AS cum_pos
+                FROM spectrum
+            )
+            SELECT bin,
+                   lo + (CAST(bin AS DOUBLE) * span) / 8.0 AS bin_lo,
+                   lo + (CAST(bin + 1 AS DOUBLE) * span) / 8.0 AS bin_hi,
+                   n, n_pos,
+                   CASE WHEN n > 0 THEN
+                       n_pos::DOUBLE / n::DOUBLE END AS "precision",
+                   cum_n, cum_pos,
+                   CASE WHEN cum_n > 0 THEN
+                       cum_pos::DOUBLE / cum_n::DOUBLE
+                   END AS cum_precision
+            FROM cum, rng ORDER BY bin
         """,
         # novelty replayed with RAW gram strings (hash-free truth):
         # the planted twins, per-doc distinct 5-grams, corpus document

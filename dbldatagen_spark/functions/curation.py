@@ -914,3 +914,138 @@ def score_buckets(
     return assigned.withColumn(bucket_col, bucket.cast("int")).drop(
         c_lo, c_hi, c_bin, *[f"{pfx}t{b}" for b in range(1, n_buckets)]
     )
+
+
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+) -> DataFrame:
+    """Threshold-calibration table for a quality classifier: per
+    score bin over a LABELED sample, the count, positive count, and
+    precision — plus the cumulative-from-the-top view, which is the
+    number a curator actually reads: "if I keep everything scoring
+    at least this bin's lower edge, I keep ``cum_n`` documents at
+    ``cum_precision``".  This is how production keep-thresholds are
+    picked (the FineWeb-Edu recipe: run the classifier over an
+    annotated sample, sweep the threshold, choose the
+    precision/volume trade) — measured, not guessed.
+
+    One row per bin (``0 .. n_bins-1``, equal width over
+    ``[lo, hi]`` — range auto-detected from the valid scores unless
+    pinned): ``(bin, bin_lo, bin_hi, n, n_pos, precision, cum_n,
+    cum_pos, cum_precision)``.  Empty bins appear with zero counts
+    (the cumulative columns must be gapless for the sweep to read
+    correctly).  Counts are exact longs; each precision is ONE
+    fixed-form IEEE division (NULL where its denominator is 0); bin
+    edges are the ONE fixed form ``lo + (bin * span) / n_bins``, so
+    any engine replays every cell.  Rows with NULL/NaN/infinite
+    scores or NULL labels are excluded (a calibration sample is
+    labeled by construction; count them upstream if missingness
+    itself is the question).
+
+    Scale shape: one validity-filtered min/max aggregate (skipped
+    when ``lo``/``hi`` are pinned) and one map-side-combined
+    ``n_bins``-group count aggregate — two corpus scans collapsing
+    to ``n_bins`` rows, one bounded driver collect (the
+    :func:`~dbldatagen_spark.functions.sampling
+    .distribution_matched_sample` shape); the cumulative window
+    runs over the ``n_bins``-row report frame, never the corpus.
+    """
+    if n_bins < 1 or n_bins > 4096:
+        raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
+    if (lo is None) != (hi is None):
+        raise ValueError("pass both lo and hi, or neither")
+    for col in (score_col, label_col):
+        if col not in df.columns:
+            raise ValueError(f"df has no column {col!r}")
+
+    s = F.col(score_col).cast("double")
+    valid = (
+        s.isNotNull() & ~F.isnan(s)
+        & (s > float("-inf")) & (s < float("inf"))
+        & F.col(label_col).isNotNull()
+    )
+    base = df.where(valid).select(
+        s.alias("_s"), F.col(label_col).cast("boolean").alias("_y")
+    )
+    if lo is None:
+        r = base.agg(
+            F.min("_s").alias("lo"), F.max("_s").alias("hi")
+        ).collect()[0]
+        if r["lo"] is None:
+            raise ValueError(
+                "calibration_report: no valid (finite score, non-NULL "
+                "label) rows"
+            )
+        lo, hi = float(r["lo"]), float(r["hi"])
+    elif hi <= lo:
+        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+    span = float(hi) - float(lo)
+    if span <= 0:
+        bin_expr = F.lit(0)
+    else:
+        bin_expr = F.least(
+            F.lit(n_bins - 1),
+            F.floor((F.col("_s") - F.lit(lo)) / F.lit(span) * F.lit(n_bins))
+            .cast("int"),
+        )
+        # scores outside a PINNED range clamp to the edge bins, the
+        # standard histogram convention (auto range never produces them)
+        bin_expr = F.greatest(F.lit(0), bin_expr)
+    counts = (
+        base.groupBy(bin_expr.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("_y"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos"),
+        )
+    )
+    spectrum = df.sparkSession.range(n_bins).select(
+        F.col("id").cast("int").alias("bin")
+    )
+    full = spectrum.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n"), F.lit(0).cast("long")).alias("n"),
+        F.coalesce(F.col("n_pos"), F.lit(0).cast("long")).alias("n_pos"),
+    )
+    from pyspark.sql import Window
+
+    # n_bins rows only — the unpartitioned window never sees the corpus
+    w = (
+        Window.partitionBy()
+        .orderBy(F.col("bin").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    edge_lo = F.lit(float(lo)) + (
+        F.col("bin").cast("double") * F.lit(span)
+    ) / F.lit(float(n_bins))
+    edge_hi = F.lit(float(lo)) + (
+        (F.col("bin") + F.lit(1)).cast("double") * F.lit(span)
+    ) / F.lit(float(n_bins))
+    out = (
+        full.withColumn("cum_n", F.sum("n").over(w).cast("long"))
+        .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))
+    )
+    return out.select(
+        "bin",
+        edge_lo.alias("bin_lo"),
+        edge_hi.alias("bin_hi"),
+        "n",
+        "n_pos",
+        F.when(
+            F.col("n") > 0,
+            F.col("n_pos").cast("double") / F.col("n").cast("double"),
+        ).alias("precision"),
+        "cum_n",
+        "cum_pos",
+        F.when(
+            F.col("cum_n") > 0,
+            F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"),
+        ).alias("cum_precision"),
+    ).orderBy("bin")

@@ -8907,6 +8907,80 @@ class TestAuthorityWeightedSample:
         assert a == b
 
 
+class TestCalibrationReport:
+    def _labeled(self, spark):
+        # scores 0..99, positive iff score >= 60 (a well-behaved
+        # classifier): top bins pure, bottom bins empty of positives
+        return spark.createDataFrame(
+            [(float(i), i >= 60) for i in range(100)]
+            + [(float("nan"), True), (None, True), (10.0, None)],
+            "score double, label boolean",
+        )
+
+    def test_counts_precision_cumulative(self, spark):
+        from dbldatagen_spark.functions import calibration_report
+
+        rows = calibration_report(
+            self._labeled(spark), "score", "label", n_bins=5
+        ).collect()
+        assert [r["bin"] for r in rows] == [0, 1, 2, 3, 4]
+        # invalid rows excluded: 100 valid
+        assert sum(r["n"] for r in rows) == 100
+        # bin width 99/5 = 19.8: bins 0-2 all negative, bin 3 mixed,
+        # bin 4 all positive
+        assert rows[0]["precision"] == 0.0
+        assert rows[4]["precision"] == 1.0
+        # cumulative-from-top: bin 0's cum covers everything
+        assert rows[0]["cum_n"] == 100
+        assert rows[0]["cum_pos"] == 40
+        assert rows[4]["cum_n"] == rows[4]["n"]
+        assert rows[4]["cum_precision"] == 1.0
+        # cum_n strictly decreasing as the threshold rises
+        cums = [r["cum_n"] for r in rows]
+        assert cums == sorted(cums, reverse=True)
+        # edges: one fixed form lo + (bin*span)/n_bins
+        assert rows[0]["bin_lo"] == 0.0
+        assert abs(rows[4]["bin_hi"] - 99.0) < 1e-9
+
+    def test_pinned_range_clamps_and_empty_bins(self, spark):
+        from dbldatagen_spark.functions import calibration_report
+
+        df = spark.createDataFrame(
+            [(5.0, True), (150.0, False), (-3.0, True)],
+            "score double, label boolean",
+        )
+        rows = calibration_report(
+            df, "score", "label", n_bins=4, lo=0.0, hi=100.0
+        ).collect()
+        # out-of-range scores clamp to the edge bins
+        assert rows[0]["n"] == 2      # 5.0 and -3.0
+        assert rows[3]["n"] == 1      # 150.0
+        # empty interior bins appear with zero counts, NULL precision
+        assert rows[1]["n"] == 0 and rows[1]["precision"] is None
+        assert rows[1]["cum_n"] == 1  # gapless cumulative
+
+    def test_stability_and_validation(self, spark):
+        from dbldatagen_spark.functions import calibration_report
+
+        df = self._labeled(spark)
+        a = [tuple(r) for r in calibration_report(
+            df.repartition(2), "score", "label", n_bins=6).collect()]
+        b = [tuple(r) for r in calibration_report(
+            df.repartition(7), "score", "label", n_bins=6).collect()]
+        assert a == b
+        with pytest.raises(ValueError, match="n_bins"):
+            calibration_report(df, "score", "label", n_bins=0)
+        with pytest.raises(ValueError, match="both lo and hi"):
+            calibration_report(df, "score", "label", lo=0.0)
+        with pytest.raises(ValueError, match="lo < hi"):
+            calibration_report(df, "score", "label", lo=1.0, hi=1.0)
+        with pytest.raises(ValueError, match="no column"):
+            calibration_report(df, "nope", "label")
+        with pytest.raises(ValueError, match="no valid"):
+            calibration_report(
+                df.where(F.col("score").isNull()), "score", "label")
+
+
 class TestClusterAwareSplit:
     FRACS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
