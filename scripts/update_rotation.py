@@ -105,8 +105,8 @@ def main() -> None:
         " (`spark.sql.ansi.enabled=true`) before each rotation commit"
         " — ANSI mode turns silent out-of-range `element_at` / cast"
         " corners into loud errors (the round-10 full-registry sweep"
-        " caught two latent hazards this way; full-registry ANSI"
-        " sweeps re-ran green over all 236 queries in round 14).",
+        " caught two latent hazards this way; a round-14"
+        " full-registry ANSI sweep re-ran green).",
         "",
         "## Ledger",
         "",
