@@ -183,6 +183,19 @@ def main() -> None:
 
     qc = quality_classifier_score(good, "doc_id", "text")
 
+    # 4b+. threshold calibration: sweep the model score against a
+    #      labeled reference (here: the rule battery's word-count
+    #      gate) — the cumulative view reads "keep everything above
+    #      this edge -> cum_n docs at cum_precision"
+    from dbldatagen_spark.functions import calibration_report
+
+    labeled = qc.select("doc_id", "logit").join(
+        flags.select("doc_id", F.col("ok_mean_word_len").alias("label")),
+        "doc_id",
+    )
+    print("model-score calibration vs rule label (4 bins):")
+    calibration_report(labeled, "logit", "label", n_bins=4).show()
+
     # 4c. corpus-internal novelty: docs whose 5-grams are mostly
     #     corpus-common are boilerplate/near-copies the near-dup
     #     scrub can miss — report the worst offenders
