@@ -12305,8 +12305,8 @@ def _oracle_sql_base() -> dict[str, str]:
             ),
             binned AS (
                 SELECT CASE WHEN span <= 0 THEN 0
-                            ELSE GREATEST(0, LEAST(7,
-                                CAST(floor((s - lo) / span * 8) AS INT)))
+                            ELSE CAST(floor(GREATEST(0.0, LEAST(7.0,
+                                (s - lo) / span * 8))) AS INT)
                        END AS bin, y
                 FROM v, rng
             ),

@@ -965,14 +965,16 @@ def calibration_report(
             raise ValueError(f"df has no column {col!r}")
 
     s = F.col(score_col).cast("double")
+    # label validity tests the CASTED boolean, not the raw column: a
+    # non-NULL value that does not cast ('maybe') must be excluded
+    # like a NULL label, never silently counted as a negative
+    y = F.col(label_col).try_cast("boolean")
     valid = (
         s.isNotNull() & ~F.isnan(s)
         & (s > float("-inf")) & (s < float("inf"))
-        & F.col(label_col).isNotNull()
+        & y.isNotNull()
     )
-    base = df.where(valid).select(
-        s.alias("_s"), F.col(label_col).cast("boolean").alias("_y")
-    )
+    base = df.where(valid).select(s.alias("_s"), y.alias("_y"))
     if lo is None:
         r = base.agg(
             F.min("_s").alias("lo"), F.max("_s").alias("hi")
@@ -989,14 +991,18 @@ def calibration_report(
     if span <= 0:
         bin_expr = F.lit(0)
     else:
-        bin_expr = F.least(
-            F.lit(n_bins - 1),
-            F.floor((F.col("_s") - F.lit(lo)) / F.lit(span) * F.lit(n_bins))
-            .cast("int"),
-        )
         # scores outside a PINNED range clamp to the edge bins, the
-        # standard histogram convention (auto range never produces them)
-        bin_expr = F.greatest(F.lit(0), bin_expr)
+        # standard histogram convention (auto range never produces
+        # them).  Clamp in DOUBLE space BEFORE floor/cast: a far
+        # outlier under a pinned range would otherwise floor past
+        # int (or even long) range, where the narrowing cast throws
+        # under ANSI and wraps into the WRONG edge bin without it
+        ratio = (F.col("_s") - F.lit(lo)) / F.lit(span) * F.lit(n_bins)
+        bin_expr = F.floor(
+            F.greatest(
+                F.lit(0.0), F.least(F.lit(float(n_bins - 1)), ratio)
+            )
+        ).cast("int")
     counts = (
         base.groupBy(bin_expr.alias("bin"))
         .agg(

@@ -184,9 +184,11 @@ def main() -> None:
     qc = quality_classifier_score(good, "doc_id", "text")
 
     # 4b+. threshold calibration: sweep the model score against a
-    #      labeled reference (here: the rule battery's word-count
-    #      gate) — the cumulative view reads "keep everything above
-    #      this edge -> cum_n docs at cum_precision"
+    #      labeled reference (here: the rule battery's MEAN-WORD-
+    #      LENGTH gate — word count would be degenerate, since
+    #      `good` is already filtered on it) — the cumulative view
+    #      reads "keep everything above this edge -> cum_n docs at
+    #      cum_precision"
     from dbldatagen_spark.functions import calibration_report
 
     labeled = qc.select("doc_id", "logit").join(

@@ -8958,6 +8958,33 @@ class TestCalibrationReport:
         # empty interior bins appear with zero counts, NULL precision
         assert rows[1]["n"] == 0 and rows[1]["precision"] is None
         assert rows[1]["cum_n"] == 1  # gapless cumulative
+        # a FAR outlier must clamp too — the double-space clamp runs
+        # before floor/cast, so no ANSI cast overflow and no non-ANSI
+        # wraparound into the WRONG edge bin
+        far = spark.createDataFrame(
+            [(3e8, True), (-1e300, False), (50.0, True)],
+            "score double, label boolean",
+        )
+        fr = calibration_report(
+            far, "score", "label", n_bins=4, lo=0.0, hi=100.0
+        ).collect()
+        assert fr[3]["n"] == 1 and fr[3]["n_pos"] == 1    # 3e8 -> top
+        assert fr[0]["n"] == 1 and fr[0]["n_pos"] == 0    # -1e300 -> bottom
+        assert fr[2]["n"] == 1                            # 50.0 in place
+
+    def test_uncastable_labels_excluded(self, spark):
+        # a non-NULL label that does not cast to boolean is excluded
+        # like a NULL label — never silently counted as a negative
+        from dbldatagen_spark.functions import calibration_report
+
+        df = spark.createDataFrame(
+            [(10.0, "yes"), (20.0, "maybe"), (30.0, "false"),
+             (40.0, None)],
+            "score string, label string",
+        )
+        rows = calibration_report(df, "score", "label", n_bins=2).collect()
+        assert sum(r["n"] for r in rows) == 2       # 'maybe'/NULL out
+        assert sum(r["n_pos"] for r in rows) == 1   # only 'yes'
 
     def test_stability_and_validation(self, spark):
         from dbldatagen_spark.functions import calibration_report
