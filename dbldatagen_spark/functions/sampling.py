@@ -21,6 +21,48 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _ppm_bucket_expr(seed: int, id_col: str, hash_mode: str) -> "F.Column":
+    """The repo's ONE deterministic ``[0, 1e6)`` id-hash bucket — the
+    engine-portability contract every ppm-rate sampler shares
+    (:func:`split_assign`, :func:`mix_corpus`,
+    :func:`authority_weighted_sample`,
+    :func:`distribution_matched_sample` all compare this bucket
+    against per-million thresholds).  ``hash_mode="xxhash64"`` is the
+    cheap JVM variant; ``"md5"`` derives the bucket from the first 15
+    hex digits of ``md5("<seed>-<id>")`` (60 bits — inside long range
+    for ``conv``) so any engine with an md5 function replays the keep
+    decision bit-for-bit.  Partitioning-independent by construction:
+    the hash reads only (seed, id), never partition or row position.
+
+    The expression form is frozen — oracles replay it verbatim as
+    ``pmod(conv(substring(md5(concat_ws('-', seed, id)), 1, 15), 16,
+    10), 1000000)`` — so any change here is a cross-engine contract
+    break, not a refactor.
+    """
+    if hash_mode == "xxhash64":
+        return F.pmod(
+            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
+        )
+    if hash_mode == "md5":
+        return F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-", F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(1_000_000),
+        )
+    raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+
+
 def deterministic_sample(
     df: DataFrame,
     id_col: str,
@@ -84,23 +126,7 @@ def split_assign(
     total = float(sum(fractions.values()))
     if total <= 0:
         raise ValueError("fractions must sum to a positive value")
-    if hash_mode == "xxhash64":
-        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
-    elif hash_mode == "md5":
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
-    else:
-        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+    bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
     names = list(fractions)
     cum = 0.0
     expr = F.lit(names[-1])
@@ -152,23 +178,7 @@ def mix_corpus(
     for s, r in weights.items():
         if r < 0:
             raise ValueError(f"weight for {s!r} must be >= 0, got {r}")
-    if hash_mode == "xxhash64":
-        bucket = F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000))
-    elif hash_mode == "md5":
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("-", F.lit(seed), F.col(id_col).cast("string"))),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
-    else:
-        raise ValueError(f"hash_mode must be xxhash64|md5, got {hash_mode!r}")
+    bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
 
     # copies(source) = floor(rate) + (bucket < frac(rate)*1e6)
     n_copies = F.lit(0)
@@ -1100,22 +1110,7 @@ def authority_weighted_sample(
                 f"({span}L * coalesce(`{out_rank}`, 0L)) div {mx}L"
             ).cast("long")
         )
-    sid = F.col(id_col).cast("string")
-    if hash_mode == "xxhash64":
-        bucket = F.pmod(
-            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
-        )
-    else:  # md5 — validated above
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("-", F.lit(seed), sid)), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
+    bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
     return joined.withColumn(out_ppm, ppm).withColumn(
         out_keep, bucket < F.col(out_ppm)
     )
@@ -1347,27 +1342,7 @@ def distribution_matched_sample(
             # exact big-int floor; min() caps the importance ratio at 1
             rates.append(min(1_000_000, (scale_ppm * r_b * C) // (R * c_b)))
 
-    if hash_mode == "xxhash64":
-        bucket = F.pmod(
-            F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1_000_000)
-        )
-    else:  # md5 — hash_mode already validated eagerly above
-        bucket = F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "-", F.lit(seed), F.col(id_col).cast("string")
-                        )
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(1_000_000),
-        )
+    bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
 
     rate_arr = F.array(*[F.lit(r).cast("long") for r in rates])
     out = df.withColumn(out_bin, _bin(score_col))
