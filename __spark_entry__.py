@@ -7389,84 +7389,264 @@ def _corpus_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group")
 
 
+def _docs_calibrated_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibrated keep-threshold filtering (round 15): the
+    calibration_report sweep CONSUMED end-to-end — the FineWeb-Edu
+    second half.  Labeled sample = every 5th document, score =
+    length, label = (doc_id % 600) < n_chars (precision rises with
+    score, so a 0.75 target lands mid-sweep, never at an edge bin);
+    the lowest 8-bin threshold whose cumulative-from-the-top
+    precision reaches 0.75 becomes the corpus keep cutoff.  The
+    oracle replays the WHOLE decision: range detection, IEEE bin
+    edges, the gapless cumulative sweep, the lowest-qualifying-bin
+    argmin, and the per-document keep comparison."""
+    from dbldatagen_spark.functions import calibrated_keep
+
+    docs = _load(spark, sf_dir, "documents")
+    labeled = docs.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).select(
+        F.col("n_chars").cast("double").alias("score"),
+        (F.pmod(F.col("doc_id"), F.lit(600)) < F.col("n_chars")).alias(
+            "label"
+        ),
+    )
+    corpus = docs.select(
+        "doc_id", F.col("n_chars").cast("double").alias("score")
+    )
+    return calibrated_keep(
+        corpus, "score", labeled, 0.75, n_bins=8
+    ).select(
+        "doc_id", "cal_threshold", "cal_expected_precision",
+        "cal_expected_n", "cal_keep",
+    ).orderBy("doc_id")
+
+
+def _web_domain_anchor_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level anchor profile (round 15): the PSL collapse
+    applied to the anchor-text signal — the round-14
+    web_domain_authority fixture pattern over anchor aggregation.
+    Source hosts are subdomains under a second-level public suffix
+    the built-in subset lacks (``s{u%3}.shop{u%2}.com.pl``), targets
+    sit under a THREE-label suffix (``w{e%2}.uni{e%3}.act.edu.au`` —
+    longest-match must claim four labels); every ``event_id % 5 ==
+    0`` link targets a DIFFERENT host of the source's own
+    registrable domain, surviving host-level self-link dedup but
+    dropping at domain level — the collapse is what the oracle
+    separates.  Unparseable sources (``eid % 13 == 0``) and blank
+    anchors (``eid % 4 == 0``) drop; anchors carry case/whitespace
+    noise that must normalize together.  The oracle derives domains
+    and anchors from fixture FIRST PRINCIPLES (event-column
+    arithmetic, no URL parsing, no suffix table) and replays every
+    count plus the (count desc, anchor asc) argmin."""
+    from dbldatagen_spark.functions import anchor_text_profile
+
+    events = _load(spark, sf_dir, "events")
+    eid, uid = F.col("event_id"), F.col("user_id")
+    links = events.where(uid.isNotNull() & eid.isNotNull()).select(
+        F.when(F.pmod(eid, F.lit(13)) == 0, F.lit("::bad::")).otherwise(
+            F.concat(
+                F.when(
+                    F.pmod(eid, F.lit(2)) == 0, F.lit("https://www.")
+                ).otherwise(F.lit("HTTP://")),
+                F.lit("s"),
+                F.pmod(uid, F.lit(3)).cast("string"),
+                F.lit(".shop"),
+                F.pmod(uid, F.lit(2)).cast("string"),
+                F.lit(".com.pl"),
+                F.when(
+                    F.pmod(eid, F.lit(3)) == 0, F.lit(":443")
+                ).otherwise(F.lit("")),
+                F.lit("/p/"),
+                F.pmod(eid, F.lit(7)).cast("string"),
+            )
+        ).alias("src_url"),
+        F.when(
+            F.pmod(eid, F.lit(5)) == 0,
+            F.concat(
+                F.lit("http://x.shop"),
+                F.pmod(uid, F.lit(2)).cast("string"),
+                F.lit(".com.pl/self"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("HTTP://W"),
+                F.pmod(eid, F.lit(2)).cast("string"),
+                F.lit(".Uni"),
+                F.pmod(eid, F.lit(3)).cast("string"),
+                F.lit(".ACT.edu.au:80/t/"),
+                F.pmod(uid, F.lit(11)).cast("string"),
+            )
+        ).alias("dst_url"),
+        F.when(F.pmod(eid, F.lit(4)) == 0, F.lit("   ")).otherwise(
+            F.concat(
+                F.lit("  LiNk  "),
+                F.pmod(uid, F.lit(3)).cast("string"),
+                F.lit(" "),
+            )
+        ).alias("anchor"),
+    )
+    return anchor_text_profile(
+        links, "src_url", "dst_url", "anchor", level="domain",
+        suffix_list=["com.pl", "act.edu.au"],
+    ).orderBy("domain")
+
+
+def _docs_authority_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Authority-prior sampling fused with benchmark-leak quarantine
+    (round 15): the two admission gates composed over ONE id-hash
+    bucket — the docs_authority_sample rank/keep fixture (weighted
+    3-iteration pagerank over h0..h6, floor rate for unranked h7/h8
+    and unparseable URLs, md5 keep at base 200k ppm) PLUS the
+    planted-twin contamination fixture (benchmark = every
+    ``doc_id % 10 == 7`` document; the corpus carries a full-leak
+    twin of each at ``id + 10^7``, so quarantine provably fires on
+    documents whose host authority says keep).  ``auth_admit`` =
+    keep AND clean.  The oracle replays the ENTIRE fused decision:
+    the pagerank iterations, the rank join and integer keep-rate
+    interpolation, the md5 bucket, the raw-gram 5-gram overlap join,
+    and the final AND."""
+    from dbldatagen_spark.functions import (
+        authority_contamination_sample, host_authority,
+    )
+
+    events = _load(spark, sf_dir, "events")
+    links = events.where(
+        F.col("user_id").isNotNull() & F.col("event_id").isNotNull()
+    ).select(
+        F.concat(
+            F.lit("https://www.h"),
+            F.pmod(F.col("user_id"), F.lit(5)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.pmod(F.col("event_id"), F.lit(13)).cast("string"),
+        ).alias("src_url"),
+        F.concat(
+            F.lit("http://h"),
+            F.pmod(F.col("event_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com:80/t/"),
+            F.pmod(F.col("event_id"), F.lit(11)).cast("string"),
+        ).alias("dst_url"),
+    )
+    auth = host_authority(links, "src_url", "dst_url", iterations=3)
+    docs = _load(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(10)) == 7
+    bench = docs.where(is_bench).select("text")
+    corpus = (
+        docs.where(~is_bench)
+        .select("doc_id", "text")
+        .unionByName(
+            docs.where(is_bench).select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                "text",
+            )
+        )
+        .withColumn(
+            "url",
+            F.when(
+                F.pmod(F.col("doc_id"), F.lit(17)) == 0, F.lit("::bad::")
+            ).otherwise(
+                F.concat(
+                    F.lit("https://www.h"),
+                    F.pmod(F.col("doc_id"), F.lit(9)).cast("string"),
+                    F.lit(".example.com/d/"),
+                    F.col("doc_id").cast("string"),
+                )
+            ),
+        )
+    )
+    return authority_contamination_sample(
+        corpus, "doc_id", "url", "text", auth, bench,
+        n=5, base_ppm=200_000, max_ppm=1_000_000, seed=7,
+        hash_mode="md5",
+    ).select(
+        "doc_id", "auth_node", "auth_rank_units", "auth_keep_ppm",
+        "auth_keep", "auth_shared_ngrams", "auth_admit",
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry. The driver's correctness gate checks the FIRST 50
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-14 rotation: growth-at-birth plus staleness drain — the 6
-    round-14 growth rows first (web_domain_authority,
-    docs_authority_sample, corpus_fertility_mix,
-    docs_snapshot_novelty, docs_leakage_split,
-    docs_score_calibration), then the stalest cohorts in ledger
-    order: the 4 remaining r9-stale rows (dedup_ngram_jaccard,
-    dedup_cross_corpus, sample_split_assign, multimodal_features)
-    and the first 40 r12-stale rows (corpus_token_budget_mix ..
-    gen_values_cycle) — once this window drains, nothing in the
-    ledger is older than r12.  Demoted: the entire round-13 window — all 50
-    were green on their r13 exposure.  The window is drawn by the
-    ``_R14_WINDOW`` list below over the full registry dict, so the
-    FIRST 50 entries of this function's return value ARE the window;
-    the full query -> last-driver-round ledger lives in
+    Round-15 rotation: growth-at-birth plus a STALEST-FIRST drain —
+    the 3 round-15 growth rows first (docs_calibrated_keep,
+    web_domain_anchor_profile, docs_authority_quarantine), then the
+    full r9-stale cohort in ledger order (multimodal_ppm_decode ..
+    events_hot_keys, 27 rows — 5 rounds without a driver row, the
+    round-14 verdict's top item), then the first 20 r10-stale rows
+    (ann_ivf_pq .. gen_markov_conformance).  NOTE: the r14 verdict's
+    literal draw prescription named the r12/r11 cohorts as next after
+    r9, but the regenerated ledger shows the r10 cohort (50 rows) is
+    staler than both — stalest-first means r9 then r10, and
+    scripts/update_rotation.py now asserts exactly that ordering.
+    Post-drain, the stalest unverified cohort is the remaining 30
+    r10 rows (docs_dp_counts onward).  Demoted: the entire round-14
+    window — all 50 were green on their r14 exposure, and the r9/r12
+    rows it re-greened now carry r14 history.  The window is drawn
+    by the ``_R15_WINDOW`` list below over the full registry dict,
+    so the FIRST 50 entries of this function's return value ARE the
+    window; the full query -> last-driver-round ledger lives in
     ROTATION.md."""
-    _R14_WINDOW = [
-        # round-14 growth rows (windowed at birth)
-        "web_domain_authority",
-        "docs_authority_sample",
-        "corpus_fertility_mix",
-        "docs_snapshot_novelty",
-        "docs_leakage_split",
-        "docs_score_calibration",
-        # the 4 remaining r9-stale rows, ledger order
-        "dedup_ngram_jaccard",
-        "dedup_cross_corpus",
-        "sample_split_assign",
-        "multimodal_features",
-        # the first 42 r12-stale rows, ledger order
-        "corpus_token_budget_mix",
-        "docs_paragraph_dedup",
-        "ann_ivfpq_nprobe_tune",
-        "docs_length_batches",
-        "events_pagerank",
-        "events_sliding_windows",
-        "events_value_quantiles",
-        "events_rolling_avg",
-        "events_streaming_behavior",
-        "events_session_skew_report",
-        "emb_mrl_recall",
-        "events_sessionize_auto",
-        "events_streaming_sketch_sinks",
-        "emb_pq_codebooks",
-        "events_kmv_overlap",
-        "emb_pq_adc",
-        "q19_discounted_revenue",
-        "q2_min_cost_supplier",
-        "q8_market_share",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_counts",
-        "q17_small_quantity_revenue",
-        "q20_excess_suppliers",
-        "q22_global_sales_opportunity",
-        "gen_struct_json",
-        "analyzer_profile",
-        "emb_quantization",
-        "dedup_cluster_canonical",
-        "text_vocabulary",
-        "gen_date_cycle",
-        "q14_promo_share",
-        "q11_important_parts",
-        "events_session_range_join",
-        "events_salted_join",
-        "ann_ivf_topk",
-        "emb_pca_invariants",
-        "gen_sequence",
-        "gen_range_cycle",
-        "gen_values_cycle",
+    _R15_WINDOW = [
+        # round-15 growth rows (windowed at birth)
+        "docs_calibrated_keep",
+        "web_domain_anchor_profile",
+        "docs_authority_quarantine",
+        # the full r9-stale cohort, ledger order (27 rows)
+        "multimodal_ppm_decode",
+        "multimodal_type_sniffing",
+        "text_quality",
+        "text_langid",
+        "text_contamination",
+        "text_pii_redaction",
+        "text_normalize",
+        "text_dedup_lines",
+        "text_entropy",
+        "text_repetition",
+        "text_boilerplate_strip",
+        "events_streaming_sessions",
+        "docs_streaming_dedup",
+        "events_capped_sessions",
+        "multimodal_ppm_resize",
+        "multimodal_wav_decode",
+        "multimodal_video_frames",
+        "text_charlm_quality",
+        "text_dup_spans",
+        "text_gopher_flags",
+        "text_dsir_importance",
+        "dedup_semantic",
+        "dedup_fuzzy_records",
+        "dedup_incremental",
+        "events_gap_fill",
+        "privacy_k_anonymity",
+        "events_hot_keys",
+        # the first 20 r10-stale rows, ledger order
+        "ann_ivf_pq",
+        "dedup_lsh_tuned",
+        "text_url_canonical",
+        "docs_jaccard_search",
+        "text_bpe_encode",
+        "layout_file_rows",
+        "text_script_profile",
+        "json_flatten_conformance",
+        "corpus_mix_epochs",
+        "corpus_pack_sequences",
+        "corpus_length_histogram",
+        "q9_product_profit",
+        "q21_waiting_supplier",
+        "dedup_embedding_cosine",
+        "gen_distribution_shapes",
+        "gen_null_fraction",
+        "gen_unique_temporal",
+        "gen_fk_integrity",
+        "gen_copula_conformance",
+        "gen_markov_conformance",
     ]
     base = {
-        # Full registry (window drawn by _R14_WINDOW above; the
+        # Full registry (window drawn by _R15_WINDOW above; the
         # remaining entries keep their prior order)
+        "docs_calibrated_keep": _docs_calibrated_keep,
+        "web_domain_anchor_profile": _web_domain_anchor_profile,
+        "docs_authority_quarantine": _docs_authority_quarantine,
         "web_domain_authority": _web_domain_authority,
         "docs_authority_sample": _docs_authority_sample,
         "corpus_fertility_mix": _corpus_fertility_mix,
@@ -7711,7 +7891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
     }
-    out = {name: base[name] for name in _R14_WINDOW}
+    out = {name: base[name] for name in _R15_WINDOW}
     out.update(base)  # remaining entries keep their prior order
     return out
 
@@ -11998,6 +12178,262 @@ def _oracle_sql_base() -> dict[str, str]:
             SELECT node AS domain, u::BIGINT AS rank_units,
                    u / 1000000000000.0 AS rank
             FROM r3 ORDER BY domain
+        """,
+        # the calibration sweep CONSUMED: replay the labeled-sample
+        # report (range, IEEE bins, gapless cumulative), select the
+        # LOWEST bin whose cum precision reaches the 0.75 target, and
+        # apply its bin_lo edge to every corpus document
+        "docs_calibrated_keep": """
+            WITH v AS (
+                SELECT CAST(n_chars AS DOUBLE) AS s,
+                       (doc_id % 600) < n_chars AS y
+                FROM documents
+                WHERE doc_id % 5 = 0 AND n_chars IS NOT NULL
+            ),
+            rng AS (
+                SELECT MIN(s) AS lo, MAX(s) - MIN(s) AS span FROM v
+            ),
+            binned AS (
+                SELECT CASE WHEN span <= 0 THEN 0
+                            ELSE CAST(floor(GREATEST(0.0, LEAST(7.0,
+                                (s - lo) / span * 8))) AS INT)
+                       END AS bin, y
+                FROM v, rng
+            ),
+            counts AS (
+                SELECT bin, COUNT(*)::BIGINT AS n,
+                       SUM(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT
+                           AS n_pos
+                FROM binned GROUP BY bin
+            ),
+            spectrum AS (
+                SELECT CAST(g.b AS INT) AS bin,
+                       COALESCE(c.n, 0) AS n,
+                       COALESCE(c.n_pos, 0) AS n_pos
+                FROM generate_series(0, 7) g(b)
+                LEFT JOIN counts c ON c.bin = g.b
+            ),
+            cum AS (
+                SELECT bin,
+                       SUM(n) OVER (ORDER BY bin DESC)::BIGINT AS cum_n,
+                       SUM(n_pos) OVER (ORDER BY bin DESC)::BIGINT
+                           AS cum_pos
+                FROM spectrum
+            ),
+            sel AS (
+                SELECT lo + (CAST(bin AS DOUBLE) * span) / 8.0 AS thr,
+                       cum_pos::DOUBLE / cum_n::DOUBLE AS cp,
+                       cum_n
+                FROM cum, rng
+                WHERE cum_n > 0
+                  AND cum_pos::DOUBLE / cum_n::DOUBLE >= 0.75
+                ORDER BY bin ASC LIMIT 1
+            )
+            SELECT d.doc_id,
+                   sel.thr AS cal_threshold,
+                   sel.cp AS cal_expected_precision,
+                   sel.cum_n AS cal_expected_n,
+                   (d.n_chars IS NOT NULL
+                    AND CAST(d.n_chars AS DOUBLE) >= sel.thr)
+                       AS cal_keep
+            FROM documents d, sel ORDER BY d.doc_id
+        """,
+        # domain-level anchor profile from fixture first principles:
+        # registrable domains and normalized anchors via event-column
+        # arithmetic (no URL parsing, no suffix table); the eid%5
+        # rows map to the SOURCE's own domain and drop as
+        # domain-level self-links; counts exact, top anchor the
+        # (count desc, anchor asc) ROW_NUMBER argmin
+        "web_domain_anchor_profile": """
+            WITH links AS (
+                SELECT 'shop' || CAST(user_id % 2 AS VARCHAR)
+                           || '.com.pl' AS sd,
+                       CASE WHEN event_id % 5 = 0 THEN
+                                'shop' || CAST(user_id % 2 AS VARCHAR)
+                                    || '.com.pl'
+                            ELSE 'uni' || CAST(event_id % 3 AS VARCHAR)
+                                    || '.act.edu.au' END AS dd,
+                       'link ' || CAST(user_id % 3 AS VARCHAR) AS a
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+                  AND event_id % 13 <> 0
+                  AND event_id % 4 <> 0
+            ),
+            f AS (SELECT * FROM links WHERE sd <> dd),
+            pa AS (
+                SELECT dd, a, COUNT(*)::BIGINT AS c
+                FROM f GROUP BY dd, a
+            ),
+            prof AS (
+                SELECT dd, SUM(c)::BIGINT AS in_links,
+                       COUNT(*)::BIGINT AS unique_anchors
+                FROM pa GROUP BY dd
+            ),
+            top AS (
+                SELECT dd, a, c,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY dd ORDER BY c DESC, a ASC
+                       ) AS rn
+                FROM pa
+            ),
+            refs AS (
+                SELECT dd, COUNT(DISTINCT sd)::BIGINT
+                           AS referring_domains
+                FROM f GROUP BY dd
+            )
+            SELECT prof.dd AS domain, prof.in_links,
+                   refs.referring_domains, prof.unique_anchors,
+                   top.a AS top_anchor, top.c AS top_anchor_links
+            FROM prof
+            JOIN refs ON refs.dd = prof.dd
+            JOIN top ON top.dd = prof.dd AND top.rn = 1
+            WHERE prof.in_links >= 1
+            ORDER BY domain
+        """,
+        # the fused admission decision: the docs_authority_sample
+        # rank/keep replay over the twin-planted corpus, PLUS the
+        # raw-gram 5-gram benchmark overlap, PLUS the final
+        # keep-AND-clean admit bit
+        "docs_authority_quarantine": """
+            WITH raw AS (
+                SELECT 'h' || CAST(user_id % 5 AS VARCHAR)
+                           || '.example.com' AS sh,
+                       'h' || CAST(event_id % 7 AS VARCHAR)
+                           || '.example.com' AS dh
+                FROM events
+                WHERE user_id IS NOT NULL AND event_id IS NOT NULL
+            ),
+            e AS (
+                SELECT sh, dh, COUNT(*)::BIGINT AS w
+                FROM raw WHERE sh <> dh GROUP BY sh, dh
+            ),
+            nodes AS (
+                SELECT sh AS node FROM e UNION SELECT dh FROM e
+            ),
+            params AS (
+                SELECT COUNT(*)::BIGINT AS n,
+                       1000000000000 // COUNT(*)::BIGINT AS init_u,
+                       ((1000000000000 // COUNT(*)::BIGINT) * 150000)
+                           // 1000000 AS base
+                FROM nodes
+            ),
+            deg AS (
+                SELECT sh AS s, SUM(w)::BIGINT AS dg FROM e GROUP BY sh
+            ),
+            r0 AS (
+                SELECT node, (SELECT init_u FROM params) AS u FROM nodes
+            ),
+            s1 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r0 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r1 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s1 s ON s.node = n2.node
+            ),
+            s2 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r1 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r2 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s2 s ON s.node = n2.node
+            ),
+            s3 AS (
+                SELECT e.dh AS node,
+                       SUM((((r.u * 850000) // 1000000) // dg.dg) * e.w
+                           + ((((r.u * 850000) // 1000000) % dg.dg)
+                              * e.w) // dg.dg) AS m
+                FROM r2 r
+                JOIN deg dg ON dg.s = r.node
+                JOIN e ON e.sh = r.node
+                GROUP BY e.dh
+            ),
+            r3 AS (
+                SELECT n2.node,
+                       (SELECT base FROM params) + COALESCE(s.m, 0) AS u
+                FROM nodes n2 LEFT JOIN s3 s ON s.node = n2.node
+            ),
+            mx AS (SELECT MAX(u)::BIGINT AS m FROM r3),
+            corpus AS (
+                SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7
+                UNION ALL
+                SELECT doc_id + 10000000, text FROM documents
+                WHERE doc_id % 10 = 7
+            ),
+            d AS (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 17 = 0 THEN NULL
+                            ELSE 'h' || CAST(doc_id % 9 AS VARCHAR)
+                                 || '.example.com' END AS node
+                FROM corpus
+            ),
+            j AS (
+                SELECT d.doc_id, d.node, r.u::BIGINT AS ru,
+                       (200000 + (800000 * COALESCE(r.u, 0))
+                           // (SELECT m FROM mx))::BIGINT AS ppm
+                FROM d LEFT JOIN r3 r ON r.node = d.node
+            ),
+            bw AS (
+                SELECT list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM documents WHERE doc_id % 10 = 7
+            ),
+            bg AS (
+                SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram
+                FROM (
+                    SELECT w, unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM bw WHERE len(w) >= 5
+                )
+            ),
+            cw AS (
+                SELECT doc_id,
+                       list_filter(string_split_regex(lower(text), '\\s+'),
+                                   x -> x <> '') AS w
+                FROM corpus
+            ),
+            cg AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(w[i:i+4], ' ') AS gram
+                FROM (
+                    SELECT doc_id, w,
+                           unnest(generate_series(1, len(w) - 4)) AS i
+                    FROM cw WHERE len(w) >= 5
+                )
+            ),
+            leak AS (
+                SELECT doc_id, COUNT(*)::BIGINT AS n_shared
+                FROM cg JOIN bg USING (gram) GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT j.doc_id, j.node, j.ru, j.ppm,
+                       (('0x' || substr(md5('7-' ||
+                            CAST(j.doc_id AS VARCHAR)), 1, 15))::BIGINT
+                           % 1000000) < j.ppm AS keep
+                FROM j
+            )
+            SELECT k.doc_id, k.node AS auth_node,
+                   k.ru AS auth_rank_units,
+                   k.ppm AS auth_keep_ppm,
+                   k.keep AS auth_keep,
+                   l.n_shared AS auth_shared_ngrams,
+                   (k.keep AND l.n_shared IS NULL) AS auth_admit
+            FROM kept k LEFT JOIN leak l USING (doc_id)
+            ORDER BY k.doc_id
         """,
         # authority CONSUMED as a sampling prior: the full weighted
         # 3-iteration rank replay (the web_host_authority CTE chain,

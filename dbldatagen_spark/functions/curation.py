@@ -1055,3 +1055,115 @@ def calibration_report(
             F.col("cum_pos").cast("double") / F.col("cum_n").cast("double"),
         ).alias("cum_precision"),
     ).orderBy("bin")
+
+
+def calibrated_keep(
+    df: DataFrame,
+    score_col: str,
+    labeled: DataFrame,
+    target_precision: float,
+    *,
+    labeled_score_col: Optional[str] = None,
+    label_col: str = "label",
+    n_bins: int = 10,
+    lo: Optional[float] = None,
+    hi: Optional[float] = None,
+    out_prefix: str = "cal",
+) -> DataFrame:
+    """Calibrated quality filtering end-to-end — the consumption
+    pattern of :func:`calibration_report` (the FineWeb-Edu recipe's
+    second half): sweep the threshold on a LABELED sample, pick the
+    lowest score cutoff whose kept set still meets
+    ``target_precision``, then apply that cutoff to the full corpus.
+    Measured, not guessed — the threshold is chosen for maximum kept
+    volume subject to the precision floor, which is exactly how
+    production keep-thresholds are picked.
+
+    Selection: run :func:`calibration_report` on ``labeled``
+    (``labeled_score_col`` defaults to ``score_col``); among bins
+    with ``cum_n > 0`` and ``cum_precision >= target_precision``,
+    choose the LOWEST bin — its ``bin_lo`` becomes the threshold, so
+    no higher cutoff could keep more volume at the target.  Raises
+    ``ValueError`` (reporting the best achievable cumulative
+    precision) when no bin qualifies: a misconfigured target must
+    fail loudly, never silently keep nothing.
+
+    Output is the input plus FLAGS, never a filter (the
+    :func:`~dbldatagen_spark.functions.sampling
+    .distribution_matched_sample` audit contract):
+
+    - ``<prefix>_threshold`` — the chosen cutoff (the selected bin's
+      ``bin_lo``, bit-exactly as the report computed it)
+    - ``<prefix>_expected_precision`` — the labeled sample's
+      ``cum_precision`` at that cutoff
+    - ``<prefix>_expected_n`` — the labeled sample's kept count at
+      that cutoff (the volume the trade-off bought)
+    - ``<prefix>_keep`` — ``score >= threshold``, false for
+      NULL/NaN scores (an unscorable document is never kept by a
+      score gate)
+
+    With a PINNED ``lo``/``hi`` range, below-``lo`` outliers clamp
+    into bin 0 for calibration counting (the histogram convention),
+    but the keep predicate stays strictly ``score >= threshold`` —
+    if sub-``lo`` scores exist and bin 0 wins, the kept corpus
+    excludes them while the calibration counts included them.  Pin
+    ``lo`` at or below the score floor when that distinction
+    matters.
+
+    Scale shape: the calibration side is :func:`calibration_report`'s
+    two labeled-sample scans collapsing to ``n_bins`` rows plus ONE
+    bounded driver collect (``n_bins`` rows — the threshold must
+    become a literal for the corpus expression); the corpus side is
+    a scan-local whole-stage-codegen comparison — zero joins, zero
+    shuffles, and the flag predicate pushes into the parquet scan
+    when the caller filters on it.
+    """
+    if not 0.0 < target_precision <= 1.0:
+        raise ValueError(
+            f"target_precision must be in (0, 1], got {target_precision}"
+        )
+    if score_col not in df.columns:
+        raise ValueError(f"df has no column {score_col!r}")
+    out_thr = f"{out_prefix}_threshold"
+    out_prec = f"{out_prefix}_expected_precision"
+    out_n = f"{out_prefix}_expected_n"
+    out_keep = f"{out_prefix}_keep"
+    for c in (out_thr, out_prec, out_n, out_keep):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    report = calibration_report(
+        labeled,
+        labeled_score_col or score_col,
+        label_col,
+        n_bins=n_bins,
+        lo=lo,
+        hi=hi,
+    ).collect()
+    chosen = None
+    best = None
+    for row in report:  # already bin-ascending; first hit = lowest bin
+        cp = row["cum_precision"]
+        if cp is None:
+            continue
+        if best is None or cp > best:
+            best = cp
+        if chosen is None and cp >= target_precision:
+            chosen = row
+    if chosen is None:
+        raise ValueError(
+            f"calibrated_keep: no threshold reaches target_precision="
+            f"{target_precision} (best achievable cumulative precision: "
+            f"{best}) — lower the target or improve the classifier"
+        )
+    s = F.col(score_col).cast("double")
+    keep = (
+        s.isNotNull()
+        & ~F.isnan(s)
+        & (s >= F.lit(float(chosen["bin_lo"])))
+    )
+    return (
+        df.withColumn(out_thr, F.lit(float(chosen["bin_lo"])))
+        .withColumn(out_prec, F.lit(float(chosen["cum_precision"])))
+        .withColumn(out_n, F.lit(int(chosen["cum_n"])).cast("long"))
+        .withColumn(out_keep, keep)
+    )

@@ -416,6 +416,8 @@ def anchor_text_profile(
     *,
     keep_self_links: bool = False,
     min_links: int = 1,
+    level: str = "host",
+    suffix_list=None,
 ) -> DataFrame:
     """Anchor-text profile per TARGET host — the other classic web-
     graph curation signal next to :func:`host_authority`: what the
@@ -423,6 +425,19 @@ def anchor_text_profile(
     for it (the anchor-text prior of classical web IR), and hosts
     whose in-links all carry one templated anchor are link-farm
     suspects the profile exposes.
+
+    ``level="host"`` profiles full hostnames; ``level="domain"``
+    profiles PSL-style registrable domains (``blog.example.com`` and
+    ``shop.example.com`` collapse into one ``example.com`` profile)
+    — the same two granularities :func:`host_authority` ranks, with
+    ``suffix_list`` feeding a real Public Suffix List snapshot to
+    the collapse (:func:`~dbldatagen_spark.functions.curation
+    .registrable_domain_expr` entry format).  At domain level the
+    output key column is ``domain`` and the referrer count is
+    ``referring_domains`` (distinct registrable SOURCE domains), and
+    ``keep_self_links=False`` drops intra-DOMAIN links — a subdomain
+    anchoring its sibling is the same self-promotion a host-level
+    self-link is.
 
     Per target host (rows with a NULL/invalid host on either end or
     an empty anchor are dropped; self-links too unless
@@ -465,9 +480,26 @@ def anchor_text_profile(
     Deterministic and SQL-replayable: counts are exact longs, the
     top anchor is an argmin over ``(-count, anchor)`` structs, so
     every cell replays on any engine.
+
+    Domain-level scale shape: ONE corpus pass — a map-side-combined
+    ``(src_host, dst_host, anchor)`` count aggregate (the key still
+    splits hot hosts across map tasks) — eagerly
+    ``localCheckpoint``-ed: the host->domain map derives from its
+    DISTINCT host set and both rollups re-read it, so without the
+    materialization barrier Catalyst would re-execute the corpus
+    aggregate once per consumer (the fold-double-scan hazard the
+    allocation functions fixed the same way).  The PSL collapse
+    (:func:`registrable_domain_expr`, a ~10k-entry array probe with
+    a real snapshot) therefore runs over host-cardinality rows,
+    never corpus rows, and the domain map joins back onto the
+    bounded triple frame — AQE broadcasts it when the host set is
+    small.  The intra-domain self-link filter runs on the mapped
+    triple frame, corpus-size-independent.
     """
     if min_links < 1:
         raise ValueError(f"min_links must be >= 1, got {min_links}")
+    if level not in ("host", "domain"):
+        raise ValueError(f"level must be host|domain, got {level!r}")
     from dbldatagen_spark.functions.curation import url_host_expr
 
     # collapse BEFORE trimming: F.trim strips only spaces (0x20), so
@@ -491,6 +523,81 @@ def anchor_text_profile(
         & F.col("_dh").isNotNull()
         & F.col("_a").isNotNull()
     )
+    if level == "domain":
+        from dbldatagen_spark.functions.curation import (
+            registrable_domain_expr,
+        )
+
+        # one corpus pass; host self-links are NOT pre-filtered here —
+        # blog.example.com -> example.com is an intra-domain link only
+        # the mapped filter below can see
+        triples = h.groupBy("_sh", "_dh", "_a").agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        # eager localCheckpoint: the host->domain map below derives
+        # from this frame's distinct hosts and both rollups re-read
+        # it — without the barrier Catalyst re-executes the corpus
+        # aggregate once per consumer (three full scans; the
+        # fold-double-scan hazard).  Bounded: |host-pair x anchor|
+        # triples, never corpus rows; freed by the ContextCleaner.
+        triples = triples.localCheckpoint(eager=True)
+        hmap = (
+            triples.select(F.col("_sh").alias("_h"))
+            .union(triples.select(F.col("_dh").alias("_h")))
+            .distinct()
+            .select(
+                "_h",
+                registrable_domain_expr(
+                    F.col("_h"), suffix_list=suffix_list
+                ).alias("_d"),
+            )
+        )
+        t = (
+            triples.join(
+                hmap.select(
+                    F.col("_h").alias("_sh"), F.col("_d").alias("_sd")
+                ),
+                "_sh",
+            )
+            .join(
+                hmap.select(
+                    F.col("_h").alias("_dh"), F.col("_d").alias("_dd")
+                ),
+                "_dh",
+            )
+            .select("_sd", "_dd", "_a", "_c")
+        )
+        if not keep_self_links:
+            t = t.where(F.col("_sd") != F.col("_dd"))
+        pa = t.groupBy("_dd", "_a").agg(
+            F.sum("_c").cast("long").alias("_c")
+        )
+        prof = pa.groupBy("_dd").agg(
+            F.sum("_c").cast("long").alias("in_links"),
+            F.count(F.lit(1)).cast("long").alias("unique_anchors"),
+            F.min(
+                F.struct((-F.col("_c")).alias("_nc"), F.col("_a"))
+            ).alias("_top"),
+        )
+        refs = (
+            t.groupBy("_dd", "_sd")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .groupBy("_dd")
+            .agg(F.count(F.lit(1)).cast("long").alias("referring_domains"))
+        )
+        return (
+            prof.join(refs, "_dd")
+            .where(F.col("in_links") >= min_links)
+            .select(
+                F.col("_dd").alias("domain"),
+                "in_links",
+                "referring_domains",
+                "unique_anchors",
+                F.col("_top._a").alias("top_anchor"),
+                (-F.col("_top._nc")).cast("long").alias("top_anchor_links"),
+            )
+        )
+
     if not keep_self_links:
         h = h.where(F.col("_sh") != F.col("_dh"))
 

@@ -17,6 +17,8 @@ value, never by partition state:
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1113,6 +1115,92 @@ def authority_weighted_sample(
     bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
     return joined.withColumn(out_ppm, ppm).withColumn(
         out_keep, bucket < F.col(out_ppm)
+    )
+
+
+def authority_contamination_sample(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    text_col: str,
+    authority: DataFrame,
+    benchmark: DataFrame,
+    *,
+    node_col: str = "host",
+    rank_col: str = "rank_units",
+    level: str = "host",
+    suffix_list=None,
+    base_ppm: int = 100_000,
+    max_ppm: int = 1_000_000,
+    bench_text_col: Optional[str] = None,
+    n: int = 8,
+    min_shared: int = 1,
+    seed: int = 42,
+    hash_mode: str = "md5",
+    out_prefix: str = "auth",
+    broadcast_authority: bool = True,
+) -> DataFrame:
+    """Authority-prior sampling with benchmark-leak quarantine in one
+    pass — the two admission gates a web-scale curation pipeline runs
+    back-to-back, composed so they share one id-hash keep decision:
+    :func:`authority_weighted_sample` scales the keep rate by the
+    host's (or registrable domain's) graph authority, and documents
+    sharing >= ``min_shared`` distinct word ``n``-grams with ANY
+    ``benchmark`` document are quarantined regardless of how
+    authoritative their host is (the
+    :func:`contamination_aware_split` reroute rule: eval leakage
+    overrides every other admission signal).
+
+    Output is the input plus FLAGS, never a filter — the authority
+    columns (``<prefix>_node``, ``<prefix>_rank_units``,
+    ``<prefix>_keep_ppm``, ``<prefix>_keep``) exactly as
+    :func:`authority_weighted_sample` emits them, plus
+
+    - ``<prefix>_shared_ngrams`` — benchmark-overlap evidence
+      (NULL for clean documents, the
+      :func:`contamination_aware_split` evidence contract)
+    - ``<prefix>_admit`` — the fused decision:
+      ``keep AND clean``.  Auditable three ways: sampled out
+      (``keep=false``), quarantined (``shared_ngrams`` non-NULL),
+      or admitted.
+
+    Scale shape: the authority side adds its rank join (broadcast by
+    default) to the corpus scan with the keep decision scan-local
+    (:func:`authority_weighted_sample`'s contract, including the
+    distinct-host PSL collapse at ``level="domain"``); the
+    contamination side reduces both corpora to 8-byte gram-hash
+    postings before its only content-keyed shuffle (benchmark gram
+    set deduplicated first — eval suites are tiny), and the
+    evidence attaches by ONE id-keyed left join bounded by the leak
+    rate, not the corpus.  Document bodies never shuffle.
+    """
+    out_shared = f"{out_prefix}_shared_ngrams"
+    out_admit = f"{out_prefix}_admit"
+    for c in (out_shared, out_admit):
+        if c in df.columns:
+            raise ValueError(f"output column {c!r} already exists")
+    if text_col not in df.columns:
+        raise ValueError(f"df has no column {text_col!r}")
+    from dbldatagen_spark.functions.dedup import ngram_contamination
+
+    flagged = authority_weighted_sample(
+        df, id_col, url_col, authority,
+        node_col=node_col, rank_col=rank_col, level=level,
+        suffix_list=suffix_list, base_ppm=base_ppm, max_ppm=max_ppm,
+        seed=seed, hash_mode=hash_mode, out_prefix=out_prefix,
+        broadcast_authority=broadcast_authority,
+    )
+    bt = bench_text_col or text_col
+    bench = benchmark.select(F.col(bt).alias(text_col))
+    leaked = ngram_contamination(
+        bench, df.select(F.col(id_col), F.col(text_col)),
+        id_col, text_col, n=n, min_shared=min_shared,
+    ).select(
+        F.col(id_col), F.col("n_shared_ngrams").alias(out_shared)
+    )
+    out_keep = f"{out_prefix}_keep"
+    return flagged.join(leaked, id_col, "left").withColumn(
+        out_admit, F.col(out_keep) & F.col(out_shared).isNull()
     )
 
 

@@ -9288,3 +9288,294 @@ class TestTokenizerFertility:
             tokenizer_fertility(
                 df, "text", [("a", "b")] * 9, max_merges=8
             )
+
+
+class TestCalibratedKeep:
+    # labeled sample with a hand-computable sweep: scores 0..9, label
+    # = score >= 6; 5 bins over [0,9] -> cum precisions from the top:
+    # b4 1.0, b3 1.0, b2 4/6, b1 0.5, b0 0.4
+    def _labeled(self, spark):
+        return spark.createDataFrame(
+            [(float(i), i >= 6) for i in range(10)], "score double, label boolean"
+        )
+
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [(i, float(i)) for i in range(10)]
+            + [(10, None), (11, float("nan"))],
+            "id long, score double",
+        )
+
+    def test_threshold_selection_lowest_qualifying_bin(self, spark):
+        from dbldatagen_spark.functions import calibrated_keep
+
+        out = calibrated_keep(
+            self._corpus(spark), "score", self._labeled(spark), 0.9,
+            n_bins=5,
+        )
+        rows = {r["id"]: r for r in out.collect()}
+        # bin 3 is the lowest bin with cum_precision >= 0.9:
+        # threshold = 0 + 3*9/5 = 5.4, kept sample = {6,7,8,9}
+        assert rows[0]["cal_threshold"] == 5.4
+        assert rows[0]["cal_expected_precision"] == 1.0
+        assert rows[0]["cal_expected_n"] == 4
+        assert {i for i, r in rows.items() if r["cal_keep"]} == {6, 7, 8, 9}
+        # a laxer target moves the cutoff DOWN (more volume kept)
+        lax = calibrated_keep(
+            self._corpus(spark), "score", self._labeled(spark), 0.6,
+            n_bins=5,
+        ).collect()[0]
+        assert lax["cal_threshold"] == 3.6  # bin 2: 4/6 >= 0.6
+
+    def test_flags_not_filter_and_null_nan(self, spark):
+        from dbldatagen_spark.functions import calibrated_keep
+
+        out = calibrated_keep(
+            self._corpus(spark), "score", self._labeled(spark), 0.9,
+            n_bins=5,
+        )
+        assert out.count() == 12  # every input row survives, flagged
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[10]["cal_keep"] is False  # NULL score never kept
+        assert rows[11]["cal_keep"] is False  # NaN score never kept
+
+    def test_infeasible_target_raises(self, spark):
+        from dbldatagen_spark.functions import calibrated_keep
+
+        labeled = spark.createDataFrame(
+            [(float(i), i in (6, 7, 8)) for i in range(10)],
+            "score double, label boolean",
+        )  # best cumulative precision from the top: 3/4 = 0.75
+        with pytest.raises(ValueError, match="0.75"):
+            calibrated_keep(
+                self._corpus(spark), "score", labeled, 0.9, n_bins=5
+            )
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import calibrated_keep
+
+        df, lab = self._corpus(spark), self._labeled(spark)
+        with pytest.raises(ValueError, match="target_precision"):
+            calibrated_keep(df, "score", lab, 0.0)
+        with pytest.raises(ValueError, match="no column"):
+            calibrated_keep(df, "missing", lab, 0.5)
+        with pytest.raises(ValueError, match="already exists"):
+            calibrated_keep(
+                df.withColumn("cal_keep", F.lit(True)), "score", lab, 0.5
+            )
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import calibrated_keep
+
+        cols = ["id", "cal_threshold", "cal_expected_precision",
+                "cal_expected_n", "cal_keep"]  # not the NaN score cell
+        a = sorted(map(tuple, calibrated_keep(
+            self._corpus(spark).repartition(2), "score",
+            self._labeled(spark).repartition(3), 0.9, n_bins=5,
+        ).select(*cols).collect()))
+        b = sorted(map(tuple, calibrated_keep(
+            self._corpus(spark).repartition(7), "score",
+            self._labeled(spark).repartition(1), 0.9, n_bins=5,
+        ).select(*cols).collect()))
+        assert a == b
+
+
+class TestAnchorTextProfileDomain:
+    LINKS = [
+        # two subdomains of example.co.uk both anchor target.co.uk —
+        # one registrable SOURCE domain, so referring_domains = 1
+        ("https://a.example.co.uk/1", "https://www.target.co.uk/x",
+         "  Great\tSite "),
+        ("https://b.example.co.uk/2", "https://news.target.co.uk/y",
+         "great site"),
+        # a second referring domain with the tied-count anchor:
+        # 2-2 tie between "great site" and "b portal" resolves to the
+        # lexicographically smaller "b portal"
+        ("https://other.com/1", "https://target.co.uk/z", "B Portal"),
+        ("https://other.com/2", "https://shop.target.co.uk/w", "b portal"),
+        # intra-domain, DIFFERENT hosts: survives host-level dedup,
+        # must drop as a domain-level self-link
+        ("https://x.target.co.uk/i", "https://y.target.co.uk/j", "intra"),
+        ("bad url", "https://target.co.uk/f", "broken"),  # NULL src
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.LINKS, "su string, du string, a string"
+        )
+
+    def test_domain_collapse(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        rows = {r["domain"]: r for r in anchor_text_profile(
+            self._df(spark), "su", "du", "a", level="domain",
+        ).collect()}
+        assert set(rows) == {"target.co.uk"}  # only ever a target
+        t = rows["target.co.uk"]
+        assert t["in_links"] == 4          # intra-domain link dropped
+        assert t["referring_domains"] == 2  # example.co.uk, other.com
+        assert t["unique_anchors"] == 2
+        assert t["top_anchor"] == "b portal"  # 2-2 tie, lexicographic
+        assert t["top_anchor_links"] == 2
+
+    def test_keep_self_links_domain(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        rows = {r["domain"]: r for r in anchor_text_profile(
+            self._df(spark), "su", "du", "a", level="domain",
+            keep_self_links=True,
+        ).collect()}
+        assert rows["target.co.uk"]["in_links"] == 5  # intra counts
+
+    def test_suffix_list_plumbs_through(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        links = spark.createDataFrame(
+            [("https://a.shop.com.pl/1", "https://b.site.com.pl/2", "x")],
+            "su string, du string, a string",
+        )
+        # without the PSL entry both hosts collapse into com.pl and
+        # the link becomes an intra-domain self-link (zero rows)
+        assert anchor_text_profile(
+            links, "su", "du", "a", level="domain"
+        ).count() == 0
+        rows = anchor_text_profile(
+            links, "su", "du", "a", level="domain",
+            suffix_list=["com.pl"],
+        ).collect()
+        assert [r["domain"] for r in rows] == ["site.com.pl"]
+
+    def test_single_corpus_scan(self, spark, tmp_path):
+        # the host->domain map and both rollups all read the triple
+        # aggregate; the eager checkpoint barrier must leave ZERO
+        # parquet scans in the returned plan (fold-double-scan guard)
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        p = str(tmp_path / "links.parquet")
+        self._df(spark).write.parquet(p)
+        out = anchor_text_profile(
+            spark.read.parquet(p), "su", "du", "a", level="domain"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, plan
+
+    def test_level_validation_and_host_unchanged(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        with pytest.raises(ValueError, match="level"):
+            anchor_text_profile(
+                self._df(spark), "su", "du", "a", level="tld"
+            )
+        # host level keeps its original schema (frozen oracle contract)
+        assert anchor_text_profile(
+            self._df(spark), "su", "du", "a"
+        ).columns == ["host", "in_links", "referring_hosts",
+                      "unique_anchors", "top_anchor", "top_anchor_links"]
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import anchor_text_profile
+
+        a = sorted(map(tuple, anchor_text_profile(
+            self._df(spark).repartition(2), "su", "du", "a",
+            level="domain").collect()))
+        b = sorted(map(tuple, anchor_text_profile(
+            self._df(spark).repartition(7), "su", "du", "a",
+            level="domain").collect()))
+        assert a == b
+
+
+class TestAuthorityContaminationSample:
+    def _fixture(self, spark):
+        docs = spark.createDataFrame(
+            [(i, "http://h%d.com/p%d" % (i % 2, i),
+              "quick brown fox jumps over dog %d" % i)
+             for i in range(20)]
+            + [(99, "http://h0.com/leak",
+                "alpha beta gamma delta epsilon zeta")],
+            "doc_id long, url string, text string",
+        )
+        auth = spark.createDataFrame(
+            [("h0.com", 1000), ("h1.com", 250)],
+            "host string, rank_units long",
+        )
+        bench = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon zeta",)], "text string"
+        )
+        return docs, auth, bench
+
+    def test_quarantine_overrides_authority(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_contamination_sample,
+        )
+
+        docs, auth, bench = self._fixture(spark)
+        out = authority_contamination_sample(
+            docs, "doc_id", "url", "text", auth, bench,
+            n=5, base_ppm=200_000,
+        )
+        assert out.count() == 21  # flags, never a filter
+        rows = {r["doc_id"]: r for r in out.collect()}
+        leak = rows[99]
+        # top-authority host keeps at the ceiling — but the leak is
+        # quarantined regardless
+        assert leak["auth_keep_ppm"] == 1_000_000
+        assert leak["auth_keep"] is True
+        assert leak["auth_shared_ngrams"] == 2  # 6 words -> 2 5-grams
+        assert leak["auth_admit"] is False
+        for i in range(20):
+            r = rows[i]
+            assert r["auth_shared_ngrams"] is None  # clean: NULL evidence
+            assert r["auth_admit"] == r["auth_keep"]
+
+    def test_keep_decision_matches_authority_sample(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_contamination_sample, authority_weighted_sample,
+        )
+
+        docs, auth, bench = self._fixture(spark)
+        fused = authority_contamination_sample(
+            docs, "doc_id", "url", "text", auth, bench,
+            n=5, base_ppm=200_000, seed=11,
+        ).select("doc_id", "auth_keep_ppm", "auth_keep")
+        alone = authority_weighted_sample(
+            docs, "doc_id", "url", auth, base_ppm=200_000, seed=11,
+        ).select("doc_id", "auth_keep_ppm", "auth_keep")
+        assert sorted(map(tuple, fused.collect())) == sorted(
+            map(tuple, alone.collect())
+        )
+
+    def test_validation(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_contamination_sample,
+        )
+
+        docs, auth, bench = self._fixture(spark)
+        with pytest.raises(ValueError, match="already exists"):
+            authority_contamination_sample(
+                docs.withColumn("auth_admit", F.lit(True)),
+                "doc_id", "url", "text", auth, bench,
+            )
+        with pytest.raises(ValueError, match="no column"):
+            authority_contamination_sample(
+                docs, "doc_id", "url", "body", auth, bench
+            )
+        # the underlying duplicate-authority-key guard still fires
+        with pytest.raises(ValueError, match="duplicate"):
+            authority_contamination_sample(
+                docs, "doc_id", "url", "text",
+                auth.unionByName(auth), bench,
+            )
+
+    def test_partition_stability(self, spark):
+        from dbldatagen_spark.functions import (
+            authority_contamination_sample,
+        )
+
+        docs, auth, bench = self._fixture(spark)
+        a = sorted(map(tuple, authority_contamination_sample(
+            docs.repartition(2), "doc_id", "url", "text", auth, bench,
+            n=5).collect()))
+        b = sorted(map(tuple, authority_contamination_sample(
+            docs.repartition(7), "doc_id", "url", "text", auth, bench,
+            n=5).collect()))
+        assert a == b
