@@ -45,6 +45,61 @@ def load_history() -> dict[str, list[tuple[int, bool]]]:
     return hist
 
 
+def last_rounds(
+    allq: list[str], hist: dict[str, list[tuple[int, bool]]]
+) -> dict[str, int]:
+    """Last driver round per query (0 = never checked)."""
+    return {q: max((r for r, _ in hist.get(q, [])), default=0) for q in allq}
+
+
+def staleness_violations(
+    allq: list[str],
+    hist: dict[str, list[tuple[int, bool]]],
+    window: int = WINDOW,
+) -> list[str]:
+    """The stalest-first draw invariant (round-14 finding: the r14
+    window drew 2-round-stale rows while a 5-round-stale cohort sat
+    outside).  A checked query OUTSIDE the current window must not be
+    staler than the NEWEST checked query inside it by more than one
+    round — one round of slack covers the cohort-boundary split (the
+    window takes part of a cohort) and deliberate family-first
+    promotions (policy rule 1), while any real stalest-first
+    inversion trips it.  Never-checked rows are growth, governed by
+    policy rule 2, and excluded from both sides.
+
+    Returns human-readable violation lines (empty = invariant holds).
+    """
+    last = last_rounds(allq, hist)
+    inside = [last[q] for q in allq[:window] if last[q] > 0]
+    outside = [(q, last[q]) for q in allq[window:] if last[q] > 0]
+    if not inside or not outside:
+        return []
+    newest_inside = max(inside)
+    floor = newest_inside - 1
+    return [
+        f"`{q}` (last driver row r{r}) sits OUTSIDE the window while "
+        f"the window holds a query last checked r{newest_inside} — "
+        f"staler by more than one round"
+        for q, r in outside
+        if r < floor
+    ]
+
+
+def draw_preview(
+    allq: list[str],
+    hist: dict[str, list[tuple[int, bool]]],
+    window: int = WINDOW,
+) -> list[str]:
+    """The stalest-first draw order for the NEXT window: never-checked
+    (growth) rows first in registry order, then checked rows by last
+    driver round ascending, ledger order within a cohort."""
+    last = last_rounds(allq, hist)
+    order = {q: i for i, q in enumerate(allq)}
+    return sorted(allq, key=lambda q: (last[q] != 0, last[q], order[q]))[
+        :window
+    ]
+
+
 def main() -> None:
     spec = importlib.util.spec_from_file_location(
         "entry", os.path.join(REPO, "__spark_entry__.py")
@@ -107,6 +162,42 @@ def main() -> None:
         " corners into loud errors (the round-10 full-registry sweep"
         " caught two latent hazards this way; a round-14"
         " full-registry ANSI sweep re-ran green).",
+        "6. **Stalest-first assertion** (added after the round-14 draw"
+        " passed over a 5-round-stale cohort): this script FAILS if a"
+        " checked query outside the current window is staler than the"
+        " newest checked query inside it by more than one round, and"
+        " prints the stalest-first draw order for the next window."
+        " One round of slack covers cohort-boundary splits and"
+        " family-first promotions; real inversions exit nonzero.",
+        "",
+        "## Demotion list (policy rule 3)",
+        "",
+        "Family siblings eligible to be passed over when drawing a"
+        " window, because a green sibling exercises the same code path"
+        " and each has >=2 green driver rounds.  With 240 rows and 50"
+        " checked per round, worst-case staleness is ~5 rounds unless"
+        " redundant shapes yield their slots; the q-series (22 rows,"
+        " one scan→join→aggregate family) is the main surplus.",
+        "",
+        "- `q4_order_priority`, `q6_forecast_revenue`,"
+        " `q12_shipmode_priority`, `q14_promo_share`,"
+        " `q17_small_quantity_revenue`, `q19_discounted_revenue` —"
+        " single-table or 2-table filter+aggregate shapes; family"
+        " anchors `q1_pricing_summary` (scan+aggregate) and"
+        " `q3_top_revenue` (join+aggregate) stay in normal rotation.",
+        "- `q10_returned_items`, `q13_customer_distribution`,"
+        " `q15_top_supplier`, `q16_supplier_counts`,"
+        " `q22_global_sales_opportunity` — multi-join aggregates"
+        " covered by `q5_region_revenue`, `q8_market_share`,"
+        " `q9_product_profit` (deeper join trees, same operators).",
+        "- `q18_large_orders`, `q20_excess_suppliers`,"
+        " `q21_waiting_supplier` — correlated/semi-join family;"
+        " anchor `q2_min_cost_supplier` (scalar subquery +"
+        " multi-join) stays.",
+        "- Demoted rows still run in the periodic full-registry local"
+        " sweeps (strict + ANSI), so demotion trades DRIVER recency,"
+        " never correctness coverage; any demoted row that fails a"
+        " local sweep re-enters the next window at the front.",
         "",
         "## Ledger",
         "",
@@ -123,6 +214,31 @@ def main() -> None:
         f"ROTATION.md written: {len(allq)} queries, "
         f"{never_total} never-checked ({never_after} outside window)"
     )
+
+    # next-window preview: simulate the current window draining at
+    # cur_round+1, then order what remains stalest-first
+    drained = dict(hist)
+    for q in allq[:WINDOW]:
+        drained[q] = drained.get(q, []) + [(cur_round + 1, True)]
+    preview = draw_preview(allq, drained)
+    nxt = last_rounds(allq, drained)
+    print("\nstalest-first draw order for the NEXT window "
+          "(after this window drains):")
+    for q in preview:
+        print(f"  {q} (last: {'never' if nxt[q] == 0 else f'r{nxt[q]}'})")
+
+    violations = staleness_violations(allq, hist)
+    if violations:
+        print("\n" + "!" * 72)
+        print("STALEST-FIRST VIOLATION — the current window passes over "
+              "a staler cohort:")
+        for v in violations:
+            print(f"  - {v}")
+        print("reorder the window list in __spark_entry__.queries() "
+              "(see the draw order above) and rerun")
+        print("!" * 72)
+        sys.exit(2)
+    print("\nstalest-first assertion: OK")
 
 
 if __name__ == "__main__":
