@@ -91,6 +91,11 @@ def main() -> None:
     auth.show(truncate=False)
     print("anchor profile per target host (anchors normalize):")
     anchor_text_profile(links, "src", "dst", "anchor").show(truncate=False)
+    print("same profile at registrable-domain level (PSL collapse —")
+    print("blog.shop.co.uk folds into shop.co.uk):")
+    anchor_text_profile(
+        links, "src", "dst", "anchor", level="domain"
+    ).show(truncate=False)
 
     # 0c. the rank CONSUMED: keep documents at a rate interpolated on
     #     their host's authority (top host at the ceiling, unknown
@@ -109,6 +114,28 @@ def main() -> None:
     ).select("doc_id", "auth_node", "auth_keep_ppm", "auth_keep").show(
         truncate=False
     )
+
+    # 0d. both admission gates in one pass: the authority keep rate
+    #     PLUS benchmark-leak quarantine — a leaked doc is never
+    #     admitted no matter how authoritative its host
+    from dbldatagen_spark.functions import authority_contamination_sample
+
+    crawl_texts = crawl_docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 0,
+               F.lit("what is the capital of france paris"))
+        .otherwise(F.concat(F.lit("ordinary crawl page number "),
+                            F.col("doc_id").cast("string"))),
+    )
+    eval_bench = spark.createDataFrame(
+        [("what is the capital of france paris",)], "text string"
+    )
+    print("fused admission (keep AND clean):")
+    authority_contamination_sample(
+        crawl_texts, "doc_id", "url", "text", auth, eval_bench,
+        n=5, base_ppm=100_000,
+    ).select("doc_id", "auth_keep", "auth_shared_ngrams",
+             "auth_admit").show(truncate=False)
 
     # 1. per-domain quota: no source may exceed 100 docs
     capped = quota_sample(docs, "source", "doc_id", 100)
@@ -197,6 +224,20 @@ def main() -> None:
     )
     print("model-score calibration vs rule label (4 bins):")
     calibration_report(labeled, "logit", "label", n_bins=4).show()
+
+    # 4b++. consume the sweep: pick the lowest threshold whose kept
+    #       set still meets the precision floor, apply it to the
+    #       SCORED corpus as audit flags (the FineWeb-Edu recipe,
+    #       end-to-end)
+    from dbldatagen_spark.functions import calibrated_keep
+
+    kept = calibrated_keep(qc, "logit", labeled, 0.5,
+                           label_col="label", n_bins=4)
+    row = kept.select("cal_threshold", "cal_expected_precision").first()
+    n_cal_keep = kept.where("cal_keep").count()
+    print(f"calibrated keep: threshold={row['cal_threshold']:.3f} "
+          f"expected_precision={row['cal_expected_precision']:.3f} "
+          f"-> {n_cal_keep} docs kept")
 
     # 4c. corpus-internal novelty: docs whose 5-grams are mostly
     #     corpus-common are boilerplate/near-copies the near-dup
