@@ -7579,7 +7579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     staler than both — stalest-first means r9 then r10, and
     scripts/update_rotation.py now asserts exactly that ordering.
     Post-drain, the stalest unverified cohort is the remaining 30
-    r10 rows (docs_dp_counts onward).  Demoted: the entire round-14
+    r10 rows (gen_stock_ticker_conformance onward — the script's
+    next-window preview prints the exact order).  Demoted: the
+    entire round-14
     window — all 50 were green on their r14 exposure, and the r9/r12
     rows it re-greened now carry r14 history.  The window is drawn
     by the ``_R15_WINDOW`` list below over the full registry dict,
