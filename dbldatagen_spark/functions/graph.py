@@ -541,6 +541,9 @@ def anchor_text_profile(
         # fold-double-scan hazard).  Bounded: |host-pair x anchor|
         # triples, never corpus rows; freed by the ContextCleaner.
         triples = triples.localCheckpoint(eager=True)
+        # the map feeds BOTH endpoint joins below — materialize it
+        # once (host-cardinality rows) or its union-distinct + PSL
+        # probe executes twice, once per join
         hmap = (
             triples.select(F.col("_sh").alias("_h"))
             .union(triples.select(F.col("_dh").alias("_h")))
@@ -551,6 +554,7 @@ def anchor_text_profile(
                     F.col("_h"), suffix_list=suffix_list
                 ).alias("_d"),
             )
+            .localCheckpoint(eager=True)
         )
         t = (
             triples.join(
