@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from dbldatagen_spark.functions.timeseries import (
     DEFAULT_MAX_EVENTS_SCAN_FOLD,
+    _check_fold_size,
     _divert_oversized_keys,
 )
 
@@ -62,9 +63,8 @@ def funnel_steps(
     ``"divert"`` drops them before their array builds — audit with
     ``timeseries.fold_key_report(df, user_col,
     where=f"{step_col} IN (...)")`` — no silent caps.  The
-    ``"error"`` default's count pre-pass is EAGER and re-evaluates the
-    upstream plan (cache the input, or pass ``"divert"``/``None``, for
-    expensive upstreams — see ``timeseries.ewma``).
+    ``"error"`` default is enforced in-plan at the fold's own
+    aggregation — no extra job, fully lazy (see ``timeseries.ewma``).
     """
     if not steps:
         raise ValueError("steps must name at least one funnel step")
@@ -85,6 +85,10 @@ def funnel_steps(
         max_events_per_key,
         on_oversized,
     ).groupBy("_u").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    per_user = _check_fold_size(
+        per_user, "_evts", "_u", max_events_per_key, on_oversized,
+        "funnel_steps",
+    )
 
     init = F.struct(
         F.lit(0).alias("stage"),

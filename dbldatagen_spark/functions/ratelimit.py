@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from dbldatagen_spark.functions.timeseries import (
     DEFAULT_MAX_EVENTS_APPEND_FOLD,
+    _check_fold_size,
     _divert_oversized_keys,
 )
 
@@ -55,10 +56,9 @@ def rate_limit_events(
     default ``on_oversized="error"`` fails loudly naming viral keys;
     ``"divert"`` drops them before their array builds — audit with
     ``timeseries.fold_key_report`` and point hot keys at the
-    streaming twin.  ``None`` opts out.  The ``"error"`` default's
-    count pre-pass is EAGER and re-evaluates the upstream plan (cache
-    the input, or pass ``"divert"``/``None``, for expensive upstreams
-    — see ``timeseries.ewma``).
+    streaming twin.  ``None`` opts out.  The ``"error"`` default is
+    enforced in-plan at the fold's own aggregation — no extra job,
+    fully lazy (see ``timeseries.ewma``).
     """
     if max_events < 1:
         raise ValueError(f"max_events must be >= 1, got {max_events}")
@@ -84,6 +84,10 @@ def rate_limit_events(
         max_events_per_key,
         on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_ev")).alias("_evts"))
+    per_key = _check_fold_size(
+        per_key, "_evts", "_k", max_events_per_key, on_oversized,
+        "rate_limit_events",
+    )
 
     init = F.struct(
         F.array().cast("array<bigint>").alias("adm"),

@@ -142,13 +142,24 @@ def _divert_oversized_keys(
     change results (the fold family's oracle contract is "folds every
     key it returns, bit-for-bit").  Two explicit modes:
 
-    - ``on_oversized="error"`` (default): EAGERLY count events per key
-      (one Spark job at call time — the only eager step in this
-      module, accepted for the loud contract) and raise naming the
-      offending keys; if none exceed the cap the frame passes through
-      UNTOUCHED, so the healthy-path plan keeps its single key shuffle
-      (no anti-join).  Result rows are therefore always exactly the
-      all-keys fold — equal to any external replay by construction.
+    - ``on_oversized="error"`` (default): the cap is enforced IN-PLAN
+      by :func:`_check_fold_size` at the fold's own aggregation (a
+      ``CASE WHEN size(evts) > cap THEN raise_error(...)`` over the
+      collected array) — zero extra jobs, zero extra scans, fully
+      lazy; the frame passes through here UNTOUCHED and the
+      healthy-path plan keeps its single key shuffle.  An oversized
+      key fails the ACTION loudly, naming the key and its count.
+      Result rows are therefore always exactly the all-keys fold —
+      equal to any external replay by construction.  (This replaced
+      the round-14 eager count-job pre-pass: the pre-pass re-scanned
+      the whole input per call — measured 0.42 s of ewma's 1.43 s at
+      the sf1 bench lane — and its only advantage was failing BEFORE
+      the offending key's array materializes; the in-plan check still
+      bounds that array by the task's memory, and a key so hot that
+      collecting it OOMs a task also fails loudly, just less
+      politely.  Callers needing the pre-collection failure mode at
+      the cost of one eager job can construct a :class:`FoldKeyGuard`,
+      which keeps the eager contract.)
     - ``on_oversized="divert"``: lazily remove oversized keys BEFORE
       any ``collect_list`` materializes their history (count pre-pass,
       only ``(key, long)`` pairs shuffle; the oversized-key set is a
@@ -160,7 +171,7 @@ def _divert_oversized_keys(
       ``cusum_with_state``) replayed over the key's ordered history.
 
     ``cap=None`` disables the guard entirely (explicit opt-out for
-    known-bounded keys — also skips the eager count job).  ``cap`` may
+    known-bounded keys).  ``cap`` may
     also be a :class:`FoldKeyGuard`: the shared pre-pass already ran at
     guard construction, so this adds no job — passthrough in
     ``"error"`` mode, one broadcast anti-join in ``"divert"`` mode.
@@ -175,26 +186,53 @@ def _divert_oversized_keys(
         raise ValueError(
             f"on_oversized must be 'error' or 'divert', got {on_oversized!r}"
         )
-    over = (
-        ev.groupBy(key)
-        .agg(F.count(F.lit(1)).alias("_n_ev"))
-        .where(F.col("_n_ev") > cap)
-    )
     if on_oversized == "divert":
+        over = (
+            ev.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("_n_ev"))
+            .where(F.col("_n_ev") > cap)
+        )
         return ev.join(over.select(key), key, "left_anti")
-    hot = over.orderBy(F.col("_n_ev").desc(), key).limit(5).collect()
-    if hot:
-        names = ", ".join(f"{r[0]}={r[1]} events" for r in hot)
-        raise ValueError(
-            f"keys exceed max_events_per_key={cap} (top: {names}). A hot "
-            f"key folds its whole history in one task (append-folds do "
+    # "error" mode: enforcement happens in-plan at the fold's own
+    # aggregation (_check_fold_size) — no eager job here
+    return ev
+
+
+def _check_fold_size(
+    df: DataFrame, evts_col: str, key_col: str, cap, on_oversized: str,
+    op: str,
+) -> DataFrame:
+    """In-plan ``on_oversized="error"`` enforcement for the fold family:
+    wrap the collected per-key event array so an array longer than
+    ``cap`` raises AT ACTION TIME, naming the key and its size.  Rides
+    the fold's own aggregation — no extra job, no extra scan (the
+    round-14 eager count pre-pass cost a full input scan per call).
+    No-op for ``cap=None`` (opt-out), a :class:`FoldKeyGuard` (its
+    eager pre-pass already enforced the cap), and ``"divert"`` mode
+    (oversized keys were anti-joined away before collection)."""
+    if cap is None or isinstance(cap, FoldKeyGuard) or on_oversized != "error":
+        return df
+    msg = F.concat_ws(
+        "",
+        F.lit(f"{op}: key "),
+        F.col(key_col).cast("string"),
+        F.lit(" has "),
+        F.size(F.col(evts_col)).cast("string"),
+        F.lit(
+            f" events, exceeding max_events_per_key={int(cap)}. A hot key "
+            f"folds its whole history in one task (append-folds do "
             f"quadratic element copies). Either raise the cap, pass "
             f"max_events_per_key=None to fold everything anyway, pass "
-            f"on_oversized='divert' to drop these keys (audit with "
+            f"on_oversized='divert' to drop oversized keys (audit with "
             f"fold_key_report), or replay them through the O(1)-state "
             f"streaming twins (streaming.stateful)."
-        )
-    return ev
+        ),
+    )
+    return df.withColumn(
+        evts_col,
+        F.when(F.size(F.col(evts_col)) <= F.lit(int(cap)), F.col(evts_col))
+        .otherwise(F.raise_error(msg)),
+    )
 
 
 def fold_key_report(
@@ -476,12 +514,11 @@ def ewma(
     ``where=f"{value_col} IS NOT NULL"``.  Run the streaming twin
     (``streaming.stateful.ewma_with_state`` — O(1) state, O(n) work)
     over a hot key's ordered history instead.  ``None`` opts out.
-    Guard cost: the ``"error"`` default runs an EAGER count job at
-    call time, so the upstream plan is evaluated once for the guard
-    and again at the real action — for an expensive upstream (joins,
-    UDF decode) ``.cache()`` the input first, run the guard once and
-    pass ``max_events_per_key=None`` on repeated folds over the same
-    frame, or use ``on_oversized="divert"`` to stay fully lazy.
+    Guard cost: the ``"error"`` default is enforced IN-PLAN at this
+    fold's own aggregation (``_check_fold_size`` — a CASE/raise_error
+    over the collected array), so it adds no job, no scan, and stays
+    fully lazy; the oversized-key failure fires at the action.
+    ``"divert"`` adds one lazy count pre-pass + anti-join.
     """
     if not (0.0 < alpha <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
@@ -499,6 +536,9 @@ def ewma(
         max_events_per_key,
         on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    ev = _check_fold_size(
+        ev, "_evts", "_k", max_events_per_key, on_oversized, "ewma"
+    )
     init = F.struct(
         F.array().cast("array<double>").alias("arr"),
         F.lit(None).cast("double").alias("last"),
@@ -571,10 +611,9 @@ def cusum_flags(
     :func:`fold_key_report`; remedy for hot keys:
     ``streaming.stateful.cusum_with_state``, O(1) state — note the
     streaming twin needs an explicit ``target``, self-calibration is a
-    two-pass batch luxury).  The ``"error"`` default's count pre-pass
-    is EAGER and re-evaluates the upstream plan (cache the input, or
-    pass ``"divert"``/``None``, for expensive upstreams — see
-    :func:`ewma`).
+    two-pass batch luxury).  The ``"error"`` default is enforced
+    in-plan at the fold's own aggregation — no extra job, fully lazy
+    (see :func:`ewma`).
     """
     if drift < 0.0:
         raise ValueError(f"drift must be >= 0, got {drift}")
@@ -595,6 +634,9 @@ def cusum_flags(
         max_events_per_key,
         on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    ev = _check_fold_size(
+        ev, "_evts", "_k", max_events_per_key, on_oversized, "cusum_flags"
+    )
     if target is None:
         vals = F.array_sort(F.transform(F.col("_evts"), lambda e: e["v"]))
         mu = F.aggregate(
@@ -679,10 +721,9 @@ def trajectory_vectors(
     ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
     ``on_oversized="error"`` fails loudly naming viral keys,
     ``"divert"`` drops them pre-collect (audit with
-    :func:`fold_key_report`).  The ``"error"`` default's count
-    pre-pass is EAGER and re-evaluates the upstream plan (cache the
-    input, or pass ``"divert"``/``None``, for expensive upstreams —
-    see :func:`ewma`).
+    :func:`fold_key_report`).  The ``"error"`` default is
+    enforced in-plan at the fold's own aggregation — no extra job,
+    fully lazy (see :func:`ewma`).
     """
     if n_points < 2:
         raise ValueError(f"n_points must be >= 2, got {n_points}")
@@ -711,6 +752,10 @@ def trajectory_vectors(
         # for the envelope projection vs ~1 s this way.
         F.min(F.col("_e").getField("t")).alias("_t0"),
         F.max(F.col("_e").getField("t")).alias("_t1"),
+    )
+    ev = _check_fold_size(
+        ev, "_evts", "_k", max_events_per_key, on_oversized,
+        "trajectory_vectors",
     )
     evts = F.col("_evts")
     t0 = F.col("_t0")
@@ -795,10 +840,9 @@ def autocorrelation(
     ``DEFAULT_MAX_EVENTS_SCAN_FOLD``) guards it: the default
     ``on_oversized="error"`` fails loudly naming viral keys,
     ``"divert"`` drops them pre-collect (audit with
-    :func:`fold_key_report`).  The ``"error"`` default's count
-    pre-pass is EAGER and re-evaluates the upstream plan (cache the
-    input, or pass ``"divert"``/``None``, for expensive upstreams —
-    see :func:`ewma`).
+    :func:`fold_key_report`).  The ``"error"`` default is
+    enforced in-plan at the fold's own aggregation — no extra job,
+    fully lazy (see :func:`ewma`).
     """
     if lag < 1:
         raise ValueError(f"lag must be >= 1, got {lag}")
@@ -822,6 +866,10 @@ def autocorrelation(
         F.transform(
             F.array_sort(F.collect_list("_e")), lambda e: e["v"]
         ).alias("_vals")
+    )
+    ev = _check_fold_size(
+        ev, "_vals", "_k", max_events_per_key, on_oversized,
+        "autocorrelation",
     )
     vals = F.col("_vals")
     n = F.size(vals)
@@ -1033,6 +1081,9 @@ def holt_linear(
         max_events_per_key,
         on_oversized,
     ).groupBy("_k").agg(F.array_sort(F.collect_list("_e")).alias("_evts"))
+    ev = _check_fold_size(
+        ev, "_evts", "_k", max_events_per_key, on_oversized, "holt_linear"
+    )
     # accumulator carries TWO FLAT double arrays rather than one
     # array<struct<l,b>>: measured 2.2x faster end-to-end at 1M rows
     # (nested-struct array append + explode serialization dominates),

@@ -4671,13 +4671,31 @@ class TestFoldKeyGuard:
     def test_default_errors_loudly_on_hot_key(self, spark):
         # the default is FAIL, not silent row removal: results either
         # cover every key (equal to any oracle replay by construction)
-        # or the call raises naming the offenders
+        # or the action raises naming the offender.  The cap is
+        # enforced IN-PLAN (raise_error over the collected array — no
+        # eager pre-pass job since r15), so the failure surfaces at
+        # the action, wrapped in Spark's runtime-exception type.
         from dbldatagen_spark.functions import ewma
 
         df = self._hot_cold(spark)
-        with pytest.raises(ValueError, match="hot=12 events"):
-            ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
-                 max_events_per_key=10)
+        guarded = ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+                       max_events_per_key=10)
+        with pytest.raises(Exception, match="key hot has 12 events"):
+            guarded.collect()
+
+    def test_default_guard_adds_no_job_until_action(self, spark):
+        # the "error" default must be fully lazy: constructing the
+        # guarded fold runs ZERO Spark jobs (the r14 implementation
+        # ran an eager count job per call — a full input scan)
+        from dbldatagen_spark.functions import ewma
+
+        df = self._hot_cold(spark)
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        ewma(df, "k", "ts", "v", alpha=0.5, order_col="oid",
+             max_events_per_key=10)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
 
     def test_default_passes_through_when_bounded(self, spark):
         # healthy data under the default mode folds ALL keys and the
