@@ -347,3 +347,56 @@ class TestDriverCanonShape:
         for name in ("emb_mrl_truncation", "events_behavior_vectors"):
             sdf = qs[name](spark, "/root/testdata/sf0.001")
             assert self._guard()(sdf.dtypes) == [], name
+
+
+class TestMoneyHilo:
+    """The r15 integer-cents money path must reproduce the decimal
+    pipeline bit-for-bit: per-row scale-4 units split-summed into two
+    int64s, reassembled and rounded via _money_hilo.  Adversarial
+    values: exact .xx5 ties (HALF_UP away from zero), negatives (q9
+    profit), and rows whose hi/lo parts carry opposite signs."""
+
+    def test_hilo_matches_decimal_round(self, spark):
+        import random
+
+        import __spark_entry__ as entrymod
+
+        rng = random.Random(42)
+        units = (
+            [150, -150, 50, -50, 49, -49, 999_950, -999_950, 0,
+             1_000_000, -1_000_000, 123_456_789, -123_456_789,
+             1_099_999_950, -1_099_999_950]
+            + [rng.randint(-1_100_000_000, 1_100_000_000) for _ in range(200)]
+        )
+        # spread across groups so sums mix signs and cross the 1e6 split
+        rows = [(i % 7, u) for i, u in enumerate(units)]
+        df = spark.createDataFrame(rows, "g int, u long")
+        got = (
+            df.groupBy("g")
+            .agg(*entrymod._s4_sum_aggs(F.col("u"), "_x"))
+            .select("g", entrymod._money_hilo("_x").alias("money"))
+        )
+        ref = (
+            df.groupBy("g")
+            .agg(F.sum((F.col("u") / 10000).cast("decimal(38,4)")).alias("_s"))
+            .select("g", F.round("_s", 2).cast("double").alias("money"))
+        )
+        g = {r.g: r.money for r in got.collect()}
+        r = {r.g: r.money for r in ref.collect()}
+        assert g.keys() == r.keys()
+        for k in g:
+            assert repr(g[k]) == repr(r[k]), (k, g[k], r[k])
+
+    def test_per_row_split_identity(self, spark):
+        # hi*1e6 + lo == units row-wise for both signs (truncating div
+        # via exact double division, % with dividend sign)
+        import __spark_entry__ as entrymod
+
+        vals = [0, 1, -1, 999_999, -999_999, 1_000_000, -1_000_000,
+                1_000_001, -1_000_001, 1_099_999_999, -1_099_999_999]
+        df = spark.createDataFrame([(v,) for v in vals], "u long")
+        out = df.groupBy("u").agg(
+            *entrymod._s4_sum_aggs(F.col("u"), "_x")
+        ).collect()
+        for row in out:
+            assert row["_x_hi"] * 1_000_000 + row["_x_lo"] == row["u"], row
