@@ -170,8 +170,9 @@ def cohort_retention(
         .select(
             "_u",
             F.array_min("_ps").alias("_cohort"),
-            F.explode("_ps").alias("_p"),
+            F.explode_outer("_ps").alias("_p"),
         )
+        .where(F.col("_p").isNotNull())
     )
     if period == "month":
         offset = (F.months_between(F.col("_p"), F.col("_cohort"))).cast("long")

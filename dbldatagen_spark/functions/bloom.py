@@ -168,13 +168,14 @@ def bloom_build(
         df.select(F.col(key_col).alias("_k"))
         .where(F.col("_k").isNotNull())
         .select(
-            F.explode(
+            F.explode_outer(
                 bloom_positions_expr(
                     F.col("_k"), num_bits=num_bits, num_hashes=num_hashes,
                     seed=seed, hash_method=hash_method,
                 )
             ).alias("_p")
         )
+        .where(F.col("_p").isNotNull())
         .distinct()
     )
     words_rows = (

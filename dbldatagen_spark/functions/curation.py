@@ -107,8 +107,12 @@ def strip_boilerplate_lines(
     df = ensure_parallelism(df)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
-    ).withColumn("_key", F.trim(F.col("_line")))
+        F.posexplode_outer(F.split(F.col(text_col), r"\n")).alias(
+            "_pos", "_line"
+        ),
+    ).where(F.col("_line").isNotNull()).withColumn(
+        "_key", F.trim(F.col("_line"))
+    )
 
     n_docs = df.agg(F.count(F.lit(1)).alias("_n_docs"))
     per_line = (
@@ -252,8 +256,10 @@ def dedup_lines_corpus(
     df = ensure_parallelism(df)
     lines = df.select(
         F.col(id_col).alias("_id"),
-        F.posexplode(F.split(F.col(text_col), r"\n")).alias("_pos", "_line"),
-    )
+        F.posexplode_outer(F.split(F.col(text_col), r"\n")).alias(
+            "_pos", "_line"
+        ),
+    ).where(F.col("_line").isNotNull())
     key = F.trim(F.col("_line")) if trim_keys else F.col("_line")
     lines = lines.withColumn("_key", key)
 

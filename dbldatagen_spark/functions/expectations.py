@@ -284,10 +284,10 @@ def missing_periods(
     )
     spine = spans.select(
         *keys,
-        F.explode(
+        F.explode_outer(
             F.expr(f"sequence(_lo, _hi, {step})")
         ).alias("_p"),
-    )
+    ).where(F.col("_p").isNotNull())
     out_cols = [*keys, F.col("_p").alias("missing_start")]
     return (
         spine.join(observed, [*keys, "_p"], "left_anti")

@@ -128,7 +128,7 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         df.where(F.col("media_type") == "video")
         .select(
             "media_id",
-            F.explode(
+            F.explode_outer(
                 F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
             ).alias("frame_idx"),
         )

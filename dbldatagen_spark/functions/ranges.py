@@ -82,8 +82,8 @@ def range_join(
             ).cast("bigint"),
         ).otherwise(i_last)
     iv = intervals.select(
-        "*", F.explode(F.sequence(i_first, i_last)).alias("_bucket")
-    )
+        "*", F.explode_outer(F.sequence(i_first, i_last)).alias("_bucket")
+    ).where(F.col("_bucket").isNotNull())
     pts = points.withColumn("_bucket", p_bucket)
 
     on = [*equi_keys, "_bucket"]
@@ -163,8 +163,8 @@ def interval_overlap_join(
                 ).cast("bigint"),
             ).otherwise(last)
         return df.select(
-            "*", F.explode(F.sequence(first, last)).alias("_bucket")
-        )
+            "*", F.explode_outer(F.sequence(first, last)).alias("_bucket")
+        ).where(F.col("_bucket").isNotNull())
 
     lv = _explode(left, left_start, left_end)
     rv = _explode(right, right_start, right_end)

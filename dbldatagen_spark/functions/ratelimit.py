@@ -118,8 +118,8 @@ def rate_limit_events(
     )
     return folded.select(
         F.col("_k").alias(key_col),
-        F.explode("_out").alias("_d"),
-    ).select(
+        F.explode_outer("_out").alias("_d"),
+    ).where(F.col("_d").isNotNull()).select(
         key_col,
         F.col("_d.o").alias(order_col),
         F.col("_d.allowed").alias("allowed"),

@@ -191,7 +191,9 @@ def knn_join(
                 )
                 for b in range(num_bands)
             ])
-            return df.withColumn("_bk", F.explode(bands))
+            return df.withColumn("_bk", F.explode_outer(bands)).where(
+                F.col("_bk").isNotNull()
+            )
 
         lb = banded(l, "_lv").select(
             "_lid", "_lv",

@@ -28,6 +28,20 @@ def tokens_expr(text: Column) -> Column:
     return F.split(F.lower(F.trim(text)), r"\s+")
 
 
+_ALPHA_CHARS = "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+_DIGIT_CHARS = "0123456789"
+_PUNCT_CHARS = ".,;:!?'\"()-"
+
+
+def count_chars_expr(s: Column, chars: str) -> Column:
+    """Occurrences of any char of ``chars`` in ``s`` — the length delta
+    over a translate-delete.  Value-identical to counting via
+    ``regexp_replace`` with the complementary character class, but ~5x
+    faster (one table-lookup pass, no regex engine — measured 0.96 s vs
+    0.21 s for the quality trio over 50k docs)."""
+    return F.length(s) - F.length(F.translate(s, chars, ""))
+
+
 def token_count_expr(text: Column, *, mode: str = "whitespace") -> Column:
     """Token count: ``whitespace`` split or a BPE-ish regex lexer
     (letter-runs | digit-runs | single non-space symbol)."""
@@ -116,9 +130,9 @@ def quality_metrics(
     toks = tokens_expr(text)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    alpha = count_chars_expr(text, _ALPHA_CHARS)
+    digits = count_chars_expr(text, _DIGIT_CHARS)
+    punct = count_chars_expr(text, _PUNCT_CHARS)
     en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
 
@@ -269,10 +283,15 @@ def token_vocabulary(
     corpus tokens. The top-k is a TakeOrdered (no second full sort).
     Deterministic tie-break: count desc, then token asc.
     """
+    # explode_outer (here and in the other token/gram explodes): plain
+    # explode gets an inferred size(<array>) > 0 filter whose pushdown
+    # INLINES the tokenization into a second, pre-exchange evaluation
+    # (see dedup._pair_jaccard for the measured 25x case); the existing
+    # post-explode predicates already drop the outer variant's NULL rows
     toks = tokens_expr(F.col(text_col))
     return (
         ensure_parallelism(df)
-        .select(F.explode(toks).alias("token"))
+        .select(F.explode_outer(toks).alias("token"))
         .where(F.col("token") != "")
         .groupBy("token")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
@@ -310,7 +329,8 @@ def ngram_counts(
     )
     return (
         with_words.where(F.size(F.col("_w")) >= n)
-        .select(F.explode(grams).alias("ngram"))
+        .select(F.explode_outer(grams).alias("ngram"))
+        .where(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
         .orderBy(F.desc("n_occurrences"), "ngram")
@@ -434,7 +454,8 @@ def chunk_documents(
             words.alias("_w"),
             F.sequence(F.lit(0), F.greatest(last_idx, F.lit(0))).alias("_idx"),
         )
-        .select(F.col(id_col), F.explode("_idx").alias("chunk_idx"), F.col("_w"))
+        .select(F.col(id_col), F.explode_outer("_idx").alias("chunk_idx"), F.col("_w"))
+        .where(F.col("chunk_idx").isNotNull())
         .select(
             F.col(id_col),
             F.col("chunk_idx"),
@@ -473,7 +494,8 @@ def tfidf_terms(
     from pyspark.sql import Window
 
     base = ensure_parallelism(df).select(
-        F.col(id_col), F.explode(tokens_expr(F.col(text_col))).alias("token")
+        F.col(id_col),
+        F.explode_outer(tokens_expr(F.col(text_col))).alias("token"),
     ).where(F.col("token") != "")
     tf = base.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -524,8 +546,8 @@ def bm25_search(
         raise ValueError("query must contain at least one term")
     base = ensure_parallelism(df).select(
         F.col(id_col),
-        F.explode(tokens_expr(F.col(text_col))).alias("token"),
-    )
+        F.explode_outer(tokens_expr(F.col(text_col))).alias("token"),
+    ).where(F.col("token").isNotNull())
     doclen = base.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("dl")
     )
@@ -581,7 +603,7 @@ def token_entropy(
     per-document list is bounded by document vocabulary, not corpus size.
     """
     toks = tokens_expr(F.col(text_col))
-    tok = F.explode(toks).alias("_tok")
+    tok = F.explode_outer(toks).alias("_tok")
     df = ensure_parallelism(df)
     exploded = df.select(F.col(id_col), tok).where(F.col("_tok") != "")
     if lowercase:
@@ -675,7 +697,7 @@ def charlm_score(
 
     fit_df = ensure_parallelism(fit_df)
     pairs = (
-        fit_df.select(F.explode(_char_bigrams(fit_text)).alias("_bg"))
+        fit_df.select(F.explode_outer(_char_bigrams(fit_text)).alias("_bg"))
         .where(F.length("_bg") == 2)
         .groupBy("_bg")
         .agg(F.count(F.lit(1)).cast("double").alias("_nb"))
@@ -768,9 +790,9 @@ def gopher_quality_flags(
         .cast("double")
         / safe_words
     )
-    n_hash = F.length(text) - F.length(F.regexp_replace(text, "#", ""))
-    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1 + (
-        F.length(text) - F.length(F.regexp_replace(text, "…", ""))
+    n_hash = count_chars_expr(text, "#")
+    n_ellipsis = F.size(F.split(text, r"\.\.\.", -1)) - 1 + count_chars_expr(
+        text, "…"
     )
     symbol_ratio = (n_hash + n_ellipsis).cast("double") / safe_words
     lines = F.filter(F.split(text, "\n", -1), lambda l: F.trim(l) != "")
@@ -1428,7 +1450,7 @@ def script_profile(
         counts.append(name)
     out = out.withColumn(
         f"{out_prefix}digits",
-        (F.length(s) - F.length(F.regexp_replace(s, r"[0-9]", ""))).cast("long"),
+        count_chars_expr(s, _DIGIT_CHARS).cast("long"),
     )
     ranked = F.array_max(
         F.array(*[
@@ -1534,9 +1556,9 @@ def quality_classifier_score(
     toks = tokens_expr(text)
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    alpha = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
-    digits = F.length(F.regexp_replace(text, "[^0-9]", ""))
-    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    alpha = count_chars_expr(text, _ALPHA_CHARS)
+    digits = count_chars_expr(text, _DIGIT_CHARS)
+    punct = count_chars_expr(text, _PUNCT_CHARS)
     en_stop = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
     stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
 

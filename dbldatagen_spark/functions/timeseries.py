@@ -556,8 +556,8 @@ def ewma(
         "_sm", F.aggregate(F.col("_evts"), init, _step, lambda acc: acc["arr"])
     )
     z = smoothed.select(
-        "_k", F.explode(F.arrays_zip("_evts", "_sm")).alias("_z")
-    )
+        "_k", F.explode_outer(F.arrays_zip("_evts", "_sm")).alias("_z")
+    ).where(F.col("_z").isNotNull())
     return z.select(
         F.col("_k").alias(key_col),
         F.col("_z._evts.t").alias(ts_col),
@@ -668,10 +668,10 @@ def cusum_flags(
     folded = ev.withColumn("_st", F.aggregate(F.col("_evts"), init, _step))
     z = folded.select(
         "_k",
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(F.col("_evts"), F.col("_st.ap"), F.col("_st.an"))
         ).alias("_z"),
-    )
+    ).where(F.col("_z").isNotNull())
     rp = F.col("_z.ap")
     rn = F.col("_z.an")
     return z.select(
@@ -970,14 +970,14 @@ def resample_interpolate(
         F.ceil(F.col("_lo") / step) * step <= F.col("_hi")
     ).select(
         F.col(key_col),
-        F.explode(
+        F.explode_outer(
             F.sequence(
                 (F.ceil(F.col("_lo") / step) * step).cast("long"),
                 F.col("_hi").cast("long"),
                 step,
             )
         ).alias("_t"),
-    )
+    ).where(F.col("_t").isNotNull())
     # union grid (flag 1, null value) with observations (flag 0);
     # at an exact hit the observation sorts first and becomes _pv/_pt
     unioned = obs.select(
@@ -1122,7 +1122,7 @@ def holt_linear(
     )
     z = smoothed.select(
         "_k",
-        F.explode(
+        F.explode_outer(
             F.arrays_zip(
                 "_evts",
                 F.col("_sm.ls").alias("_l"),

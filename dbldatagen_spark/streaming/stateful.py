@@ -138,9 +138,15 @@ def sessionize_with_state(
             n, vsum = 0, 0.0
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        for ts, value in zip(rows["ts"], rows["value"]):
-            t_us = int(pd.Timestamp(ts).value // 1000)
-            v = float(value) if value == value else 0.0  # NaN-safe
+        # vectorize the per-row timestamp conversion ONCE per batch (the
+        # pd.Timestamp(...).value path constructed an object per event);
+        # the session state machine itself is inherently sequential
+        ts_us_arr = (
+            rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).tolist()
+        val_arr = rows["value"].astype("float64").tolist()
+        for t_us, value in zip(ts_us_arr, val_arr):
+            v = value if value == value else 0.0  # NaN-safe
             if start is None:
                 start, last, n, vsum = t_us, t_us, 1, v
             elif t_us - last > gap_us:
