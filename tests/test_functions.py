@@ -9597,3 +9597,61 @@ class TestAuthorityContaminationSample:
             docs.repartition(7), "doc_id", "url", "text", auth, bench,
             n=5).collect()))
         assert a == b
+
+
+class TestNoInferredGenerateFilter:
+    """Regression guard for the r15 explode_outer sweep: Catalyst's
+    InferFiltersFromGenerate turns a plain explode over a computed array
+    into a pushed-down size(<array>) > 0 Filter that INLINES the array's
+    whole defining expression — the tokenization/shingle/fold pipelines
+    then run twice (measured 7.5 s vs 0.3 s for the n-gram posting at
+    sf0.1).  The optimized plans of the exploding operators must carry no
+    Filter that re-evaluates an expensive array construction."""
+
+    _SIG = ("size(array_distinct(transform", "size(transform(",
+            "size(filter(split", "size(aggregate(")
+
+    def _offending_lines(self, df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            ln.strip()[:120]
+            for ln in plan.splitlines()
+            if "Filter" in ln.lstrip()[:12]
+            and any(sig in ln for sig in self._SIG)
+        ]
+
+    def test_pair_posting_and_folds_infer_nothing(self, spark):
+        from dbldatagen_spark.functions import (
+            containment_pairs, ewma, ngram_jaccard_pairs,
+            rate_limit_events, token_vocabulary,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d f"), (3, "")],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", 1, 1.0),
+             (1, "2024-01-01 00:01:00", 2, 2.0)],
+            "k int, ts string, oid int, v double",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+        frames = {
+            "ngram_pairs": ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5,
+                max_candidate_pairs=None,
+            ),
+            "containment": containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5,
+                max_candidate_pairs=None,
+            ),
+            "vocab": token_vocabulary(docs, "text", top_k=5),
+            "ewma": ewma(ev, "k", "ts", "v", alpha=0.5, order_col="oid"),
+            "ratelimit": rate_limit_events(
+                ev, "k", "ts", max_events=1, window_seconds=30,
+                order_col="oid",
+            ),
+        }
+        bad = {n: lines for n, df in frames.items()
+               for lines in [self._offending_lines(df)] if lines}
+        assert not bad, bad
