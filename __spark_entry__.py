@@ -5390,23 +5390,30 @@ def _events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines), screened through a deliberately narrow width=32 CMS so
     collision impostors appear — flagged is_heavy=false by the exact
     verify pass rather than silently dropped. The exact pass counts
-    only rows whose user survived the broadcast-semi screen."""
-    import math
+    only rows whose user survived the broadcast-semi screen.
 
+    The threshold rides the plan as a ONE-row broadcast frame instead
+    of an eager collect: same two exact scalars, same
+    ceil(1.3 * n / d) double arithmetic (1.3*n then /d, n,d < 2^53 so
+    the promotions are exact and the IEEE op sequence matches the old
+    Python math.ceil path bit-for-bit), but zero Spark jobs before the
+    action — the old version paid a full scan + countDistinct shuffle
+    per call just to derive the constant (guide §1.2/§5.1)."""
     from dbldatagen_spark.functions import cms_heavy_hitters
 
     events = _load(spark, sf_dir, "events")
-    n, d = (
+    thr_frame = (
         events.where("user_id IS NOT NULL")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.countDistinct("user_id").alias("d"),
         )
-        .collect()[0]
+        .select(
+            F.ceil(F.lit(1.3) * F.col("n") / F.col("d")).cast("long").alias("thr")
+        )
     )
-    thresh = int(math.ceil(1.3 * n / d))
     return cms_heavy_hitters(
-        events, "user_id", threshold=thresh, width=32, depth=3, seed=7
+        events, "user_id", threshold=thr_frame, width=32, depth=3, seed=7
     ).select("user_id", "cms_count", "exact_count", "is_heavy")
 
 

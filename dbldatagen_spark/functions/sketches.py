@@ -581,7 +581,7 @@ def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
     *,
-    threshold: int,
+    threshold,
     width: int = 256,
     depth: int = 4,
     seed: int = 0,
@@ -610,13 +610,31 @@ def cms_heavy_hitters(
     screens everything in and the exact pass degenerates to a full
     count (the registry query demonstrates this failure mode on
     purpose at width=32).
+
+    ``threshold`` is an ``int``, or a ONE-row DataFrame whose first
+    column is the (integer) threshold — the data-derived-threshold
+    case ("1.3x the mean count"): passing the aggregate as a frame
+    rides it into the plan as a broadcast instead of forcing an eager
+    scalar job per call (one fewer full scan + countDistinct shuffle
+    before the real plan; the screen itself is unchanged).
     """
-    if threshold < 1:
-        raise ValueError(f"threshold must be >= 1, got {threshold}")
+    if isinstance(threshold, DataFrame):
+        tf = threshold.select(
+            F.col(threshold.columns[0]).cast("long").alias("__cms_thr")
+        )
+        thr = F.col("__cms_thr")
+        screen = lambda est: est.crossJoin(F.broadcast(tf)).where(  # noqa: E731
+            F.col("cms_count") >= thr
+        )
+    else:
+        if threshold < 1:
+            raise ValueError(f"threshold must be >= 1, got {threshold}")
+        thr = F.lit(int(threshold))
+        screen = lambda est: est.where(F.col("cms_count") >= thr)  # noqa: E731
     sk = cms_sketch(df, value_col, width=width, depth=depth, seed=seed)
-    screened = cms_estimate(
-        sk, df, value_col, width=width, depth=depth, seed=seed
-    ).where(F.col("cms_count") >= threshold)
+    screened = screen(
+        cms_estimate(sk, df, value_col, width=width, depth=depth, seed=seed)
+    )
     # no broadcast hint on purpose: a well-sized screen survives few
     # values, but a too-low threshold makes the survivor set input-sized
     # and a forced broadcast would OOM the driver — AQE picks broadcast
@@ -629,7 +647,7 @@ def cms_heavy_hitters(
         value_col,
         "cms_count",
         "exact_count",
-        (F.col("exact_count") >= threshold).alias("is_heavy"),
+        (F.col("exact_count") >= thr).alias("is_heavy"),
     )
 
 

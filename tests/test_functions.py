@@ -5069,6 +5069,32 @@ class TestCMSHeavyHitters:
         with pytest.raises(ValueError):
             cms_heavy_hitters(spark.range(1), "id", threshold=0)
 
+    def test_frame_threshold_matches_int_and_adds_no_job(self, spark):
+        """threshold passed as a ONE-row frame (the r15 fused path:
+        data-derived thresholds ride the plan as a broadcast) must
+        return exactly the int-threshold rows, and constructing the
+        frame-threshold query must submit zero Spark jobs — the whole
+        point of the fusion is killing the eager scalar job."""
+        from dbldatagen_spark.functions import cms_heavy_hitters
+
+        events = spark.read.parquet(f"{SF}/events.parquet")
+        exact = {r.user_id: r.cnt for r in
+                 events.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+        thresh = sorted(exact.values())[-3]
+        thr_frame = spark.createDataFrame([(thresh,)], "thr long")
+
+        sc = spark.sparkContext
+        n0 = sc._jsc.sc().dagScheduler().nextJobId()
+        framed = cms_heavy_hitters(events, "user_id", threshold=thr_frame,
+                                   width=16, depth=2)
+        n1 = sc._jsc.sc().dagScheduler().nextJobId()
+        assert n1 - n0 == 0
+
+        ints = cms_heavy_hitters(events, "user_id", threshold=thresh,
+                                 width=16, depth=2)
+        assert (sorted(map(tuple, framed.collect()))
+                == sorted(map(tuple, ints.collect())))
+
 
 class TestImagePhash:
     def test_identical_images_hash_equal(self, spark):
