@@ -80,20 +80,11 @@ def _dec(name: str):
     return F.col(name).cast(_DEC)
 
 
-def _rev_dec():
-    """l_extendedprice * (1 - l_discount) in exact decimal (scale 4)."""
-    return _dec("l_extendedprice") * (F.lit(1) - F.col("l_discount")).cast(_DEC)
-
-
-# DuckDB-side mirror of _rev_dec()
+# DuckDB-side revenue expression the oracles replay; the Spark side sums
+# its exact scale-4 integer-units twin (_rev_units4 below)
 _SQL_REV = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 )
-
-
-def _money(agg, scale: int = 2):
-    """ROUND a decimal aggregate and render as double (bit-stable)."""
-    return F.round(agg, scale).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -136,7 +127,8 @@ def _cents(name: str):
 
 def _rev_units4():
     """l_extendedprice * (1 - l_discount) as exact scale-4 integer units
-    (the long twin of :func:`_rev_dec`; |units| <= ~1.1e9 per row)."""
+    (the long twin of the ``_SQL_REV`` decimal product; |units| <=
+    ~1.1e9 per row)."""
     return _cents("l_extendedprice") * (
         (F.lit(1) - F.col("l_discount")).cast(_DEC) * 100
     ).cast("long")
@@ -153,19 +145,26 @@ def _s4_sum_aggs(units, prefix: str):
     return [F.sum(hi).alias(f"{prefix}_hi"), F.sum(lo).alias(f"{prefix}_lo")]
 
 
+def _hilo_dec(prefix: str):
+    """Exact DECIMAL total of split scale-4 sums ``<prefix>_hi/_lo``
+    (units / 1e4, no rounding).  Runs only on final GROUP rows; the
+    division result scale exceeds 4, so the value is exact."""
+    total = (
+        F.col(f"{prefix}_hi").cast("decimal(38,0)") * _S4_SPLIT
+        + F.col(f"{prefix}_lo")
+    )
+    return total / 10000
+
+
 def _money_hilo(prefix: str):
     """Rounded-dollars double from split scale-4 sums ``<prefix>_hi/_lo``.
     Reassembles the exact total in DECIMAL space — this runs only on the
     final handful of GROUP rows, so the BigDecimal cost the split avoided
     per input row is irrelevant here — and applies the identical
     ROUND(..., 2)::DOUBLE the decimal pipeline used (HALF_UP away from
-    zero, negative-safe).  total/10000 lands in DECIMAL(38,6): exact,
+    zero, negative-safe).  total/10000 lands past scale 4: exact,
     since scale-4 units carry at most 4 decimal digits."""
-    total = (
-        F.col(f"{prefix}_hi").cast("decimal(38,0)") * _S4_SPLIT
-        + F.col(f"{prefix}_lo")
-    )
-    return F.round(total / 10000, 2).cast("double")
+    return F.round(_hilo_dec(prefix), 2).cast("double")
 
 
 # ---------------------------------------------------------------------------
@@ -3921,11 +3920,20 @@ def _q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _load(spark, sf_dir, "lineitem")
     part = _load(spark, sf_dir, "part")
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    rev = _rev_dec()
+    # integer-cents aggregation (see the _cents/_money_hilo helper block):
+    # both conditional sums ride long adds; the exact decimal totals are
+    # reassembled on the single output row and cast to double there —
+    # the same nearest-double each decimal SUM's cast produced.
+    units = _rev_units4()
     return joined.agg(
+        *_s4_sum_aggs(
+            F.when(F.col("p_type").startswith("PROMO"), units), "_pr"
+        ),
+        *_s4_sum_aggs(units, "_tot"),
+    ).select(
         (
-            F.sum(F.when(F.col("p_type").startswith("PROMO"), rev)).cast("double")
-            / F.sum(rev).cast("double")
+            _hilo_dec("_pr").cast("double")
+            / _hilo_dec("_tot").cast("double")
             * 100
         ).alias("promo_share_pct")
     )
@@ -3944,9 +3952,13 @@ def _q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            _money(F.sum(_dec("l_extendedprice") * _dec("l_discount")))
-            .alias("revenue")
+            # integer-cents: price_cents * discount_cents is the exact
+            # scale-4 units twin of _dec * _dec (see helper block)
+            *_s4_sum_aggs(
+                _cents("l_extendedprice") * _cents("l_discount"), "_rev"
+            )
         )
+        .select(_money_hilo("_rev").alias("revenue"))
     )
 
 
@@ -4024,8 +4036,15 @@ def _q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            _money(F.sum(_rev_dec())).alias("volume"),
+            *_s4_sum_aggs(_rev_units4(), "_rev"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            _money_hilo("_rev").alias("volume"),
+            "n_lineitems",
         )
     )
 
@@ -4046,8 +4065,15 @@ def _q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            _money(F.sum(_rev_dec())).alias("revenue"),
+            *_s4_sum_aggs(_rev_units4(), "_rev"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            _money_hilo("_rev").alias("revenue"),
+            "n_lineitems",
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
@@ -4078,9 +4104,13 @@ def _q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").between(20, 50))
         & (F.col("l_quantity").between(20, 50))
     )
-    return j.where(b1 | b2 | b3).agg(
-        _money(F.sum(_rev_dec())).alias("revenue"),
-        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    return (
+        j.where(b1 | b2 | b3)
+        .agg(
+            *_s4_sum_aggs(_rev_units4(), "_rev"),
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .select(_money_hilo("_rev").alias("revenue"), "n_lineitems")
     )
 
 
@@ -4090,10 +4120,13 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _load(spark, sf_dir, "orders")
     li = _load(spark, sf_dir, "lineitem")
     cust = _load(spark, sf_dir, "customer")
+    # integer-cents sum (long adds, see helper block): the > 250 cut is
+    # the exact integer compare > 25000 cents, and cents/100.0 is the
+    # same nearest-double the decimal cast rendered (q1 sum_qty pattern)
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
-        .where(F.col("total_qty") > 250)
+        .agg(F.sum(_cents("l_quantity")).alias("_qty_c"))
+        .where(F.col("_qty_c") > 25000)
     )
     return (
         orders.join(big, orders.o_orderkey == big.l_orderkey)
@@ -4105,7 +4138,7 @@ def _q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").alias("o_orderdate"),
             # raw pass-through: identical double bits on both engines
             F.col("o_totalprice").alias("o_totalprice"),
-            F.col("total_qty").cast("double").alias("total_qty"),
+            (F.col("_qty_c") / 100.0).alias("total_qty"),
         )
     )
 
@@ -4125,15 +4158,23 @@ def _q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _load(spark, sf_dir, "supplier")
     nation = _load(spark, sf_dir, "nation")
     per = li.groupBy("l_partkey", "l_suppkey").agg(
-        # exact decimal avg: per-row unit price rounded to 6 decimals, summed
-        # exactly, one IEEE division — order-independent (a double AVG here
-        # could flip the row_number winner near ties under repartitioning)
+        # exact integer-micros avg (see the cents helper block): per-row
+        # unit price rounded to 6 decimals exactly as before (same
+        # decimal(18,6) cast), then scaled to an integer-valued decimal
+        # and summed as LONG adds instead of BigDecimal(38,6) adds;
+        # micros/1e6 renders the same nearest-double the decimal sum's
+        # cast produced, and the one IEEE division by count follows
+        # identically — order-independent either way
         (
             F.sum(
-                (F.col("l_extendedprice") / F.col("l_quantity")).cast(
-                    "decimal(18,6)"
-                )
-            ).cast("double")
+                (
+                    (F.col("l_extendedprice") / F.col("l_quantity")).cast(
+                        "decimal(18,6)"
+                    )
+                    * 1_000_000
+                ).cast("long")
+            )
+            / 1_000_000.0
             / F.count(F.lit(1))
         ).alias("_unit_cost")
     )
@@ -4173,7 +4214,12 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n1 = nation.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    rev = _rev_dec()
+    # integer-cents conditional-sum ratio (see helper block): both sums
+    # ride long adds; exact decimal totals reassemble on the handful of
+    # year rows and cast to the same nearest-doubles the decimal SUMs'
+    # casts produced (NULL -> 0.0 via coalesce AFTER the cast, which is
+    # the same value the decimal-space coalesce rendered).
+    units = _rev_units4()
     return (
         li.join(F.broadcast(part.where(F.col("p_type") == "PROMO")),
                 li.l_partkey == part.p_partkey)
@@ -4186,14 +4232,19 @@ def _q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("r_name") == "ASIA")
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
-            (
-                F.coalesce(
-                    F.sum(F.when(F.col("supp_nation") == "NATION_1", rev)),
-                    F.lit(0).cast(_DEC),
-                ).cast("double")
-                / F.sum(rev).cast("double")
-            ).alias("mkt_share"),
+            *_s4_sum_aggs(
+                F.when(F.col("supp_nation") == "NATION_1", units), "_n1"
+            ),
+            *_s4_sum_aggs(units, "_tot"),
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        )
+        .select(
+            "o_year",
+            (
+                F.coalesce(_hilo_dec("_n1").cast("double"), F.lit(0.0))
+                / _hilo_dec("_tot").cast("double")
+            ).alias("mkt_share"),
+            "n_lineitems",
         )
     )
 
@@ -4260,20 +4311,28 @@ def _q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     skeys = supp.join(F.broadcast(nkeys), supp.s_nationkey == nkeys.n_nationkey).select(
         "s_suppkey"
     )
+    # integer-cents two-level sums (see helper block): per-row scale-4
+    # units split hi/lo; the grand total re-sums the per-part splits
+    # (two more long adds, still exact); decimal reassembly + the
+    # double casts run only on per-part/1-row aggregate outputs.
     base = li.join(F.broadcast(skeys), li.l_suppkey == skeys.s_suppkey).select(
-        "l_partkey", _rev_dec().alias("_val")
+        "l_partkey", _rev_units4().alias("_val")
     )
-    per_part = base.groupBy("l_partkey").agg(F.sum("_val").alias("_pv"))
+    per_part = base.groupBy("l_partkey").agg(
+        *_s4_sum_aggs(F.col("_val"), "_pv")
+    )
     stats = per_part.agg(
-        F.sum("_pv").alias("_total"), F.count(F.lit(1)).alias("_np")
+        F.sum("_pv_hi").alias("_t_hi"),
+        F.sum("_pv_lo").alias("_t_lo"),
+        F.count(F.lit(1)).alias("_np"),
     )
     return (
         per_part.crossJoin(F.broadcast(stats))
         .where(
-            F.col("_pv").cast("double")
-            > F.lit(2.0) * F.col("_total").cast("double") / F.col("_np")
+            _hilo_dec("_pv").cast("double")
+            > F.lit(2.0) * _hilo_dec("_t").cast("double") / F.col("_np")
         )
-        .select("l_partkey", _money(F.col("_pv")).alias("part_value"))
+        .select("l_partkey", _money_hilo("_pv").alias("part_value"))
     )
 
 
@@ -4303,13 +4362,18 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join instead of re-evaluating the view."""
     li = _load(spark, sf_dir, "lineitem")
     supp = _load(spark, sf_dir, "supplier")
+    # integer-cents (see helper block): the per-supplier sums ride long
+    # adds; the exact decimal reassembly, the MAX, and the equality all
+    # run on per-supplier aggregate rows (decimal compare is exact, so
+    # the argmax set is unchanged).
     rev = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01"))
             & (F.col("l_shipdate") < F.lit("1996-04-01"))
         )
         .groupBy("l_suppkey")
-        .agg(F.sum(_rev_dec()).alias("_total_rev"))
+        .agg(*_s4_sum_aggs(_rev_units4(), "_rev"))
+        .select("l_suppkey", _hilo_dec("_rev").alias("_total_rev"))
     )
     mx = rev.agg(F.max("_total_rev").alias("_max_rev"))
     return (
@@ -4317,7 +4381,9 @@ def _q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_total_rev") == F.col("_max_rev"))
         .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
         .select(
-            "s_suppkey", "s_name", _money(F.col("_total_rev")).alias("total_revenue")
+            "s_suppkey", "s_name",
+            F.round(F.col("_total_rev"), 2).cast("double")
+            .alias("total_revenue"),
         )
     )
 
@@ -4354,18 +4420,21 @@ def _q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _load(spark, sf_dir, "part")
     brand_parts = part.where(F.col("p_brand") == "Brand#2").select("p_partkey")
     li2 = li.join(F.broadcast(brand_parts), li.l_partkey == F.col("p_partkey"))
-    # exact decimal sum -> one IEEE division -> *0.5 (a power of two, exact):
-    # bit-identical on Spark and DuckDB regardless of aggregation order
+    # integer-cents sums (long adds, see helper block) -> one IEEE
+    # division -> *0.5 (a power of two, exact): cents/100.0 is the same
+    # correctly-rounded nearest-double the decimal sum's cast produced
+    # (the q1 sum_qty pattern, bit-equality proven at 3 SFs), so the
+    # comparison row set and avg_yearly are bit-identical
     half_avg = li2.groupBy("l_partkey").agg(
         (
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))) * 0.5
+            (F.sum(_cents("l_quantity")) / 100.0 / F.count(F.lit(1))) * 0.5
         ).alias("_half_avg")
     ).withColumnRenamed("l_partkey", "_pk")
     return (
         li2.join(F.broadcast(half_avg), li2.l_partkey == F.col("_pk"))
         .where(F.col("l_quantity") < F.col("_half_avg"))
         .agg(
-            (F.sum(_dec("l_extendedprice")).cast("double") / 7.0).alias("avg_yearly")
+            (F.sum(_cents("l_extendedprice")) / 100.0 / 7.0).alias("avg_yearly")
         )
     )
 
@@ -4388,10 +4457,10 @@ def _q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(red), li.l_partkey == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
-        # exact decimal sum: a double sum's order wobble could flip the
-        # > 50 boundary when a group lands exactly on it
-        .agg(F.sum(_dec("l_quantity")).alias("_qty"))
-        .where(F.col("_qty") > 50)
+        # exact integer-cents sum (long adds): order-independent like the
+        # decimal sum it replaces, and > 50 is the exact > 5000 cents cut
+        .agg(F.sum(_cents("l_quantity")).alias("_qty_c"))
+        .where(F.col("_qty_c") > 5000)
         .select("l_suppkey")
         .distinct()
     )
@@ -4460,9 +4529,11 @@ def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
     cust = _load(spark, sf_dir, "customer")
     orders = _load(spark, sf_dir, "orders")
     nation = _load(spark, sf_dir, "nation")
-    # order-independent avg: exact decimal sum, one IEEE division
+    # order-independent avg: exact integer-cents sum (long adds), one
+    # IEEE division — cents/100.0 is the same nearest-double the decimal
+    # cast produced (q1 sum_qty pattern)
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1)))
+        (F.sum(_cents("c_acctbal")) / 100.0 / F.count(F.lit(1)))
         .alias("_avg_bal")
     )
     recent = orders.where(F.col("o_orderdate") >= F.lit("2000-01-01")).select(
@@ -4476,7 +4547,12 @@ def _q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).cast("long").alias("numcust"),
-            _money(F.sum(_dec("c_acctbal"))).alias("totacctbal"),
+            # ROUND(scale-2 decimal, 2) was an identity, so the cents
+            # twin is the plain q1 sum pattern
+            F.sum(_cents("c_acctbal")).alias("_bal_c"),
+        )
+        .select(
+            "n_name", "numcust", (F.col("_bal_c") / 100.0).alias("totacctbal")
         )
     )
 

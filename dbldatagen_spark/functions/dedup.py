@@ -270,15 +270,29 @@ def _pair_jaccard(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
     )
     inter = F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("long")
+    # the per-pair metrics live inside an aggregate over the (already
+    # unique) pair keys: a predicate cannot push through an Aggregate's
+    # non-grouping output, so the threshold filter stays ABOVE this node.
+    # As a plain projection, PushPredicateThroughJoin substituted the
+    # filter into the join condition, inlining the full-array intersect —
+    # the expensive expression then ran TWICE per candidate pair (once as
+    # join condition, once in the project).  Groups are singletons, so
+    # min() is the value itself and the extra exchange moves one
+    # (pair, 3 longs) row per candidate — bounded by the density guard.
     jac = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn("_inter", inter)
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(inter).alias("_inter"),
+            F.min(F.size("_sh_a")).alias("_na"),
+            F.min(F.size("_sh_b")).alias("_nb"),
+        )
         .withColumn(
             "jaccard",
             F.round(
                 F.col("_inter")
-                / (F.size("_sh_a") + F.size("_sh_b") - F.col("_inter")),
+                / (F.col("_na") + F.col("_nb") - F.col("_inter")),
                 4,
             ),
         )
@@ -587,16 +601,23 @@ def minhash_near_duplicates(
     sh_b = hashed.select(
         F.col(id_col).alias("id_b"), F.col("_shash").alias("_sh_b")
     )
+    # aggregate barrier over the unique candidate keys (see
+    # _pair_jaccard): keeps the threshold filter from being substituted
+    # into the join condition, where it re-evaluated the hash-array
+    # intersect+union once more per candidate.  Singleton groups, so
+    # min() is the value itself.
     verified = (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("_sh_a", "_sh_b"))
-                / F.size(F.array_union("_sh_a", "_sh_b")),
-                4,
-            ),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.round(
+                    F.size(F.array_intersect("_sh_a", "_sh_b"))
+                    / F.size(F.array_union("_sh_a", "_sh_b")),
+                    4,
+                )
+            ).alias("jaccard")
         )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
@@ -776,22 +797,18 @@ def embedding_near_duplicates(
             ).alias("_band", "_key"),
         )
         a, b = banded.alias("a"), banded.alias("b")
-        pairs = (
-            a.join(
-                b,
-                (F.col("a._band") == F.col("b._band"))
-                & (F.col("a._key") == F.col("b._key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-            )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a._v").alias("_va"),
-                F.col("b._v").alias("_vb"),
-                F.col("a._n").alias("_na"),
-                F.col("b._n").alias("_nb"),
-            )
-            .distinct()
+        pairs = a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._key") == F.col("b._key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+            F.col("a._n").alias("_na"),
+            F.col("b._n").alias("_nb"),
         )
     else:
         a = base.select(
@@ -809,8 +826,19 @@ def embedding_near_duplicates(
     cos = F.when(
         denom > 0, dot_expr(F.col("_va"), F.col("_vb")) / denom
     ).otherwise(F.lit(0.0))
+    # the cosine lives inside an aggregate over the pair keys, which is
+    # simultaneously (a) the band-collision dedup the bucketed path's
+    # .distinct() used to do — but shuffling one (pair, double) row
+    # instead of both full vectors — and (b) a pushdown barrier: as a
+    # plain projection, the threshold filter was substituted into the
+    # join condition and the interpreted dot fold ran TWICE per
+    # candidate pair (join condition + project).  A pair colliding in
+    # both bands folds the dot twice map-side (same vectors, so min()
+    # of identical values — bit-identical output); the old plan paid
+    # that double fold for EVERY pair via the pushed-down predicate.
     return (
-        pairs.withColumn("cosine", F.round(cos, 4))
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.min(F.round(cos, 4)).alias("cosine"))
         .where(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
@@ -843,9 +871,17 @@ def _ngram_hash_postings(
     guard can never silently diverge across the family — the same
     reason the word model itself is shared."""
     words = _ngram_word_arr(text_col)
+    # the >= n short-doc guard rides the gram construction as a WHEN
+    # over the materialized _w column instead of a row filter: a
+    # .where(size(_w) >= n) here is pushed below this projection with
+    # the whole word split INLINED into the predicate, so the
+    # interpreted split+filter ran twice per document against the raw
+    # text.  Short docs now produce a NULL gram array, which the
+    # existing isNotNull filter on the GENERATED column drops — the
+    # same rows, one word-split pass.
     with_words = ensure_parallelism(frame).select(
         *([F.col(id_col)] if with_id else []), words.alias("_w")
-    ).where(F.size(F.col("_w")) >= n)
+    )
     idx = F.sequence(F.lit(0), F.size(F.col("_w")) - F.lit(n))
     g = F.transform(
         idx,
@@ -861,7 +897,10 @@ def _ngram_hash_postings(
             )
         ),
     )
-    cols = [F.explode_outer(F.array_distinct(g)).alias("_gh")]
+    gated = F.when(
+        F.size(F.col("_w")) >= F.lit(n), F.array_distinct(g)
+    )
+    cols = [F.explode_outer(gated).alias("_gh")]
     if with_id:
         cols.insert(0, F.col(id_col))
     return with_words.select(*cols).where(F.col("_gh").isNotNull())
@@ -1400,16 +1439,22 @@ def cross_corpus_near_duplicates(
     )
     if not verify:
         return candidates
+    # aggregate barrier over the unique candidate keys (see
+    # _pair_jaccard): keeps the threshold filter out of the join
+    # condition, where it re-evaluated the hash-array intersect+union
+    # per candidate.  Singleton groups, so min() is the value itself.
     out = (
         candidates.join(q_hashed, "query_id")
         .join(c_hashed, "corpus_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("_shash_query", "_shash_corpus"))
-                / F.size(F.array_union("_shash_query", "_shash_corpus")),
-                4,
-            ),
+        .groupBy("query_id", "corpus_id")
+        .agg(
+            F.min(
+                F.round(
+                    F.size(F.array_intersect("_shash_query", "_shash_corpus"))
+                    / F.size(F.array_union("_shash_query", "_shash_corpus")),
+                    4,
+                )
+            ).alias("jaccard")
         )
         .where(F.col("jaccard") >= F.lit(threshold))
         .select("query_id", "corpus_id", "jaccard")
@@ -2177,15 +2222,22 @@ def containment_pairs(
     sh_b = shingled.select(
         F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
     )
+    # aggregate barrier over the unique pair keys (see _pair_jaccard):
+    # keeps the threshold filter from being substituted into the join
+    # condition, where it re-evaluated the full-array intersect per
+    # candidate pair.  Singleton groups, so min() is the value.
     out = (
         cand.join(sh_a, "id_a")
         .join(sh_b, "id_b")
-        .withColumn(
-            "n_common",
-            F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b"))).cast("long"),
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(
+                F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+                .cast("long")
+            ).alias("n_common"),
+            F.min(F.size("_sh_a").cast("long")).alias("n_a"),
+            F.min(F.size("_sh_b").cast("long")).alias("n_b"),
         )
-        .withColumn("n_a", F.size("_sh_a").cast("long"))
-        .withColumn("n_b", F.size("_sh_b").cast("long"))
         .withColumn(
             "containment_a_in_b",
             F.round(F.col("n_common") / F.col("n_a"), 4),
@@ -2314,36 +2366,29 @@ def containment_sketch_pairs(
         1,
         sketch_k,
     )
+    # _m and the intersections compute ONCE per pair: the separate
+    # projections are CollapseProject barriers (each referenced more
+    # than once downstream), array_intersect replaces the interpreted
+    # O(k^2) filter+array_contains lambdas (hash-set intersect; both
+    # sides are distinct arrays, so the counts are identical), and the
+    # aggregate over the unique pair keys is a pushdown barrier — as a
+    # plain projection, the threshold filter was substituted into the
+    # join condition, re-running the whole merge+estimate arithmetic
+    # per candidate pair (see _pair_jaccard).  Singleton groups, so
+    # min() is the value itself.
     joined = (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("_m", merged)
-        .select(
-            "id_a",
-            "id_b",
-            F.size(
-                F.filter(
-                    F.col("_m"), lambda h: F.array_contains(F.col("_sa"), h)
-                )
-            )
-            .cast("long")
-            .alias("n_m_a"),
-            F.size(
-                F.filter(
-                    F.col("_m"), lambda h: F.array_contains(F.col("_sb"), h)
-                )
-            )
-            .cast("long")
-            .alias("n_m_b"),
-            F.size(
-                F.filter(
-                    F.col("_m"),
-                    lambda h: F.array_contains(F.col("_sa"), h)
-                    & F.array_contains(F.col("_sb"), h),
-                )
-            )
-            .cast("long")
-            .alias("n_m_both"),
+        .withColumn("_ma", F.array_intersect("_m", "_sa"))
+        .withColumn("_mb", F.array_intersect("_m", "_sb"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min(F.size("_ma").cast("long")).alias("n_m_a"),
+            F.min(F.size("_mb").cast("long")).alias("n_m_b"),
+            F.min(
+                F.size(F.array_intersect("_ma", "_sb")).cast("long")
+            ).alias("n_m_both"),
         )
     )
     est_a = F.when(

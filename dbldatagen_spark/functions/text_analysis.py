@@ -327,9 +327,16 @@ def ngram_counts(
             *[F.element_at(F.col("_w"), (i + F.lit(j + 1)).cast("int")) for j in range(n)],
         ),
     )
+    # the >= n short-doc guard rides the gram construction as a WHEN
+    # instead of a row filter: a .where(size(_w) >= n) is pushed below
+    # the projection with the whole tokenization INLINED into the
+    # predicate, running the split twice per document (see
+    # dedup._ngram_hash_postings).  Short docs produce a NULL gram
+    # array, which the existing isNotNull filter drops.
+    gated = F.when(F.size(F.col("_w")) >= F.lit(n), grams)
     return (
-        with_words.where(F.size(F.col("_w")) >= n)
-        .select(F.explode_outer(grams).alias("ngram"))
+        with_words
+        .select(F.explode_outer(gated).alias("ngram"))
         .where(F.col("ngram").isNotNull())
         .groupBy("ngram")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
