@@ -624,9 +624,10 @@ def _docs_jaccard_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-probe shingle search: the corpus ranked by EXACT 3-word-
     shingle Jaccard against one literal query — contamination lookups
     and "find the source of this quote" triage.  The query's shingles
-    are a constant array in the plan, so the whole search is map-only
-    per-row array arithmetic + a per-partition top-k
-    (TakeOrderedAndProject): no join, no shuffle, the corpus streams
+    are a constant array in the plan, so the search is per-row array
+    arithmetic + one tiny aggregate exchange of (id, long, double) rows
+    (the barrier that keeps the n_common cut out of the scan predicate)
+    + a top-k (TakeOrderedAndProject): no join, the corpus text streams
     through once at any scale.  Every emitted number is an integer or
     one ratio of integers — exactly replayed by the oracle."""
     from dbldatagen_spark.functions import jaccard_topk
@@ -4908,10 +4909,13 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             hash_method="md5",
         )
     )
+    # pass the already-built words so the semi/anti pair shares ONE
+    # bloom-build job instead of each re-running the promo scan +
+    # bit_or aggregate + driver collect (3 builds -> 1 per call)
     semi = bloom_semi_join(
         lineitem, dim, "l_partkey",
         num_bits=num_bits, num_hashes=num_hashes, seed=seed,
-        hash_method="md5",
+        hash_method="md5", words=words,
     )
     exact_semi = lineitem.join(dim.distinct(), "l_partkey", "left_semi").select(
         *lineitem.columns
@@ -4919,7 +4923,7 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = bloom_anti_join(
         lineitem, dim, "l_partkey",
         num_bits=num_bits, num_hashes=num_hashes, seed=seed,
-        hash_method="md5",
+        hash_method="md5", words=words,
     )
     exact_anti = lineitem.join(dim.distinct(), "l_partkey", "left_anti").select(
         *lineitem.columns
@@ -5264,7 +5268,14 @@ def _events_trajectory_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     from dbldatagen_spark.functions import trajectory_vectors
 
     events = _load(spark, sf_dir, "events")
-    traj = trajectory_vectors(events, "user_id", "ts", "value", n_points=16)
+    # eager localCheckpoint: the probe subquery and the scored branch
+    # both read the trajectory frame, and Catalyst re-executes the whole
+    # per-user envelope fold per consumer (measured 7.1 s vs ~2 s for
+    # one fold at sf0.1) — the fertility-fix idiom; one (user, 16
+    # doubles) row per user, so the materialization is tiny
+    traj = trajectory_vectors(
+        events, "user_id", "ts", "value", n_points=16
+    ).localCheckpoint()
     probe = traj.orderBy("user_id").limit(1).select(
         F.col("user_id").alias("_qid"), F.col("traj").alias("_qt")
     )

@@ -233,11 +233,13 @@ def _build_and_filter(
     num_hashes: int,
     seed: int,
     hash_method: str = "xxhash64",
+    words: Optional[List[int]] = None,
 ) -> Tuple[DataFrame, DataFrame]:
-    words = bloom_build(
-        small, small_key, num_bits=num_bits, num_hashes=num_hashes, seed=seed,
-        hash_method=hash_method,
-    )
+    if words is None:
+        words = bloom_build(
+            small, small_key, num_bits=num_bits, num_hashes=num_hashes,
+            seed=seed, hash_method=hash_method,
+        )
     maybe = bloom_contains_expr(
         F.col(big_key), words, num_bits=num_bits, num_hashes=num_hashes,
         seed=seed, hash_method=hash_method,
@@ -255,6 +257,7 @@ def bloom_semi_join(
     num_hashes: int = 5,
     seed: int = 0,
     hash_method: str = "xxhash64",
+    words: Optional[List[int]] = None,
 ) -> DataFrame:
     """``big LEFT SEMI JOIN small`` with a broadcast-bloom prefilter:
     fact rows whose key misses the bloom are discarded BEFORE the
@@ -266,10 +269,14 @@ def bloom_semi_join(
     Scale shape: one driver round-trip of ``num_bits / 64`` longs to
     build the filter, then the map-side discard removes
     ``(1 - selectivity - fpp)`` of the fact side from the join exchange.
+    Callers that already hold the built filter (e.g. to share one build
+    across a semi/anti pair) pass it via ``words=`` and skip the build
+    job entirely.
     """
     sk = small_on or on
     maybe, _ = _build_and_filter(
-        big, small, on, sk, num_bits, num_hashes, seed, hash_method
+        big, small, on, sk, num_bits, num_hashes, seed, hash_method,
+        words=words,
     )
     dim = small.select(sk).distinct()
     cond = maybe[on] == dim[sk]
@@ -286,6 +293,7 @@ def bloom_anti_join(
     num_hashes: int = 5,
     seed: int = 0,
     hash_method: str = "xxhash64",
+    words: Optional[List[int]] = None,
 ) -> DataFrame:
     """``big LEFT ANTI JOIN small`` with a broadcast-bloom shortcut: a
     bloom miss PROVES the key is absent from ``small``, so those rows
@@ -298,10 +306,13 @@ def bloom_anti_join(
     pruned, predicate-pushed parquet re-scan — strictly cheaper than
     shuffling the full fact side, which is what the plain anti join
     does.  NULL fact keys follow SQL anti-join semantics (kept).
+    A prebuilt filter passes through ``words=`` as in
+    :func:`bloom_semi_join`.
     """
     sk = small_on or on
     maybe, definite_miss = _build_and_filter(
-        big, small, on, sk, num_bits, num_hashes, seed, hash_method
+        big, small, on, sk, num_bits, num_hashes, seed, hash_method,
+        words=words,
     )
     null_rows = big.where(F.col(on).isNull())
     dim = small.select(sk).distinct()

@@ -415,13 +415,25 @@ def jaccard_topk(
     qarr = F.array(*[F.lit(s) for s in qsh])
     shingled = shingled_df(ensure_parallelism(df), id_col, text_col, k)
     inter = F.size(F.array_intersect(F.col("shingles"), qarr)).cast("long")
-    out = shingled.select(
-        F.col(id_col),
-        inter.alias("n_common"),
-        F.round(
-            inter / (F.size("shingles") + F.lit(len(qsh)) - inter), 4
-        ).alias("jaccard"),
-    ).where(F.col("n_common") > 0)
+    # the n_common > 0 cut rides an aggregate over the (unique) doc ids:
+    # as a plain filter, pushdown substitutes the whole intersect AND the
+    # shingle construction into a predicate BELOW ensure_parallelism's
+    # round-robin exchange — the entire pipeline then re-runs single-
+    # threaded against the raw text (measured 8.5 s vs 0.3 s at sf0.1).
+    # Singleton groups, so min() is the value itself; the exchange moves
+    # one (id, long, double) row per doc ahead of the top-k.
+    out = (
+        shingled.groupBy(F.col(id_col))
+        .agg(
+            F.min(inter).alias("n_common"),
+            F.min(
+                F.round(
+                    inter / (F.size("shingles") + F.lit(len(qsh)) - inter), 4
+                )
+            ).alias("jaccard"),
+        )
+        .where(F.col("n_common") > 0)
+    )
     return out.orderBy(F.desc("jaccard"), F.col(id_col)).limit(top_k)
 
 

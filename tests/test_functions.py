@@ -4310,6 +4310,36 @@ class TestBloomJoins:
         )
         assert len(words) == 8  # word-packed, never per-key driver rows
 
+    def test_prebuilt_words_skip_build_job(self, spark):
+        # r15: a semi/anti pair over one dim side shares ONE bloom build
+        # via words=; passing the prebuilt words must run zero jobs at
+        # construction and return rows identical to the internal build
+        from dbldatagen_spark.functions import (
+            bloom_anti_join, bloom_build, bloom_semi_join,
+        )
+
+        big = spark.range(0, 2000).select((F.col("id") % 700).alias("k"), "id")
+        small = spark.range(0, 50).select((F.col("id") * 13).alias("k"))
+        words = bloom_build(small, "k", num_bits=1024, num_hashes=4)
+
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        semi = bloom_semi_join(
+            big, small, "k", num_bits=1024, num_hashes=4, words=words
+        )
+        anti = bloom_anti_join(
+            big, small, "k", num_bits=1024, num_hashes=4, words=words
+        )
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before  # construction is fully lazy with words=
+
+        semi_built = bloom_semi_join(big, small, "k", num_bits=1024, num_hashes=4)
+        anti_built = bloom_anti_join(big, small, "k", num_bits=1024, num_hashes=4)
+        assert semi.exceptAll(semi_built).count() == 0
+        assert semi_built.exceptAll(semi).count() == 0
+        assert anti.exceptAll(anti_built).count() == 0
+        assert anti_built.exceptAll(anti).count() == 0
+
     def test_validation(self, spark):
         from dbldatagen_spark.functions import bloom_build, bloom_positions_expr
 
@@ -6599,17 +6629,28 @@ class TestJaccardTopk:
         with pytest.raises(ValueError, match="top_k"):
             jaccard_topk(df, "doc_id", "text", "a b", top_k=0)
 
-    def test_map_only_topk_plan(self, spark):
+    def test_topk_plan_shape(self, spark):
         from dbldatagen_spark.functions import jaccard_topk
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-        plan = jaccard_topk(
+        qe = jaccard_topk(
             docs, "doc_id", "text", "spark batch part line"
-        )._jdf.queryExecution().executedPlan().toString()
+        )._jdf.queryExecution()
+        plan = qe.executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
-        # the only exchange allowed is the ensure_parallelism repartition
-        assert plan.count("Exchange") <= 1
+        # two exchanges: the ensure_parallelism repartition spreading the
+        # shingle work, and the aggregate barrier's hash exchange of one
+        # (id, long, double) row per doc that keeps the n_common cut from
+        # being pushed below the repartition (r15)
+        assert plan.count("Exchange") <= 2
         assert "Join" not in plan
+        # the regression the barrier exists for: no Filter in the
+        # optimized plan may re-evaluate the shingle pipeline
+        opt = qe.optimizedPlan().toString()
+        bad = [ln for ln in opt.splitlines()
+               if ln.strip().startswith("Filter")
+               and ("array_intersect" in ln or "array_distinct" in ln)]
+        assert not bad, bad
 
 
 class TestBpeEncode:
@@ -9680,4 +9721,68 @@ class TestNoInferredGenerateFilter:
         }
         bad = {n: lines for n, df in frames.items()
                for lines in [self._offending_lines(df)] if lines}
+        assert not bad, bad
+
+
+class TestNoMetricInJoinCondition:
+    """Regression guard for the r15 pair-metric aggregate barrier: a
+    threshold filter on a projected similarity metric is substituted
+    into the JOIN CONDITION by PushPredicateThroughJoin, re-running the
+    intersect/merge/dot arithmetic once more per candidate pair
+    (measured 20.7 -> 4.0 s on containment_sketch at sf0.1).  With the
+    metrics computed inside the pair-key aggregate, every Join in the
+    optimized plan must carry only key comparisons — no Join condition
+    may evaluate a pair metric."""
+
+    _SIG = ("array_intersect", "array_union", "array_contains",
+            "aggregate(", "array_distinct(concat(")
+
+    def _offending_joins(self, df):
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return [
+            ln.strip()[:120]
+            for ln in plan.splitlines()
+            if "Join" in ln and any(sig in ln for sig in self._SIG)
+        ]
+
+    def test_pair_joins_carry_no_metric(self, spark):
+        from dbldatagen_spark.functions import (
+            containment_pairs, containment_sketch_pairs,
+            cross_corpus_near_duplicates, embedding_near_duplicates,
+            minhash_near_duplicates, ngram_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "a b c d e f g i"), (3, "")],
+            "doc_id long, text string",
+        )
+        emb = spark.createDataFrame(
+            [(i, [float(i % 3), 1.0, 0.5]) for i in range(6)],
+            "vec_id long, embedding array<double>",
+        )
+        frames = {
+            "ngram_pairs": ngram_jaccard_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5,
+                max_candidate_pairs=None,
+            ),
+            "containment": containment_pairs(
+                docs, "doc_id", "text", k=3, threshold=0.5,
+                max_candidate_pairs=None,
+            ),
+            "containment_sketch": containment_sketch_pairs(
+                docs, "doc_id", "text", k=3, sketch_k=4, threshold=0.5,
+                max_candidate_pairs=None,
+            ),
+            "minhash_verify": minhash_near_duplicates(
+                docs, "doc_id", "text", threshold=0.5,
+            ),
+            "cross_corpus": cross_corpus_near_duplicates(
+                docs, docs, "doc_id", "text", threshold=0.5,
+            ),
+            "cosine_exact": embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.9, bucketed=False,
+            ),
+        }
+        bad = {n: lines for n, df in frames.items()
+               for lines in [self._offending_joins(df)] if lines}
         assert not bad, bad
