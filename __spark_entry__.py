@@ -75,6 +75,28 @@ def _detach(spark: SparkSession, df: DataFrame, *cached: DataFrame) -> DataFrame
     return spark.createDataFrame(rows, df.schema)
 
 
+def _lit_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Tiny literal frame built JVM-natively (ONE partition of Catalyst
+    literals via inline(array(structs))).  ``spark.createDataFrame`` over
+    Python rows parallelizes to defaultParallelism PYTHON partitions, and
+    a downstream ``coalesce(1)`` — the one-file-per-micro-batch pattern
+    the streaming conformance queries need — then evaluates those
+    partitions SEQUENTIALLY through one Python-worker round-trip each:
+    measured ~6 s to write a ONE-row probe on local[32], vs 0.3 s for
+    this literal form.  Values identical (same rows, same types from the
+    given schema)."""
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(row, schema.fields)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
+
+
 def _dec(name: str):
     """Column cast to exact money decimal; mirror of CAST(c AS DECIMAL(18,2))."""
     return F.col(name).cast(_DEC)
@@ -1311,15 +1333,21 @@ def _events_watermark_late_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
     t_max = base.agg(F.max("ts")).first()[0]
-    admitted = spark.createDataFrame(
+    # _lit_df, not createDataFrame: each probe is written coalesce(1)
+    # below, and a python-parallelized one-row frame pays ~6 s of
+    # sequential python-worker round-trips per write on local[32]
+    admitted = _lit_df(
+        spark,
         [(t_max - datetime.timedelta(minutes=30), "late_probe", 1.5)],
         base.schema,
     )
-    too_late = spark.createDataFrame(
+    too_late = _lit_df(
+        spark,
         [(t_max - datetime.timedelta(hours=3), "late_probe", 99.0)],
         base.schema,
     )
-    flush = spark.createDataFrame(
+    flush = _lit_df(
+        spark,
         [(t_max + datetime.timedelta(hours=3), "flush", 0.0)],
         base.schema,
     )
@@ -1627,12 +1655,10 @@ def _events_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFra
 
     t_max = events.agg(F.max(F.col("ts").cast("timestamp"))).first()[0]
     flush_ts = t_max + datetime.timedelta(hours=10)
-    flush_click = spark.createDataFrame(
-        [(-1, -1, flush_ts)], clicks.schema
-    )
-    flush_purchase = spark.createDataFrame(
-        [(-1, -2, flush_ts)], purchases.schema
-    )
+    # _lit_df: see the watermark query — a python one-row frame costs
+    # ~6 s per coalesce(1) write on local[32]
+    flush_click = _lit_df(spark, [(-1, -1, flush_ts)], clicks.schema)
+    flush_purchase = _lit_df(spark, [(-1, -2, flush_ts)], purchases.schema)
 
     tmp = tempfile.mkdtemp(prefix="dbldatagen_spark_ssoj_")
     try:
@@ -4932,17 +4958,26 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both sides of each symmetric diff are row subsets of the SAME
     # lineitem scan, so set equality over full rows == set equality over
     # the (l_orderkey, l_linenumber) primary key — compare 2 columns, not
-    # 16, and cache each side so the bloom membership (5 md5s/row) and
-    # the exact joins evaluate once, not once per exceptAll branch
+    # 16.  The multiset symmetric-difference SIZE each exceptAll pair
+    # computed equals sum over keys of |mult_a - mult_b|, so each pair
+    # collapses to ONE tagged-union aggregate (the gen_determinism
+    # idiom, r15): tag sides +1/-1, sum per key, sum the absolutes.
+    # Riding these as one-row crossJoined aggregates (instead of two
+    # eager counts + an eager distinct-count) submits ONE job for the
+    # whole query and lets AQE reuse the lineitem/part exchanges across
+    # the semi and exact legs.
     pk = ["l_orderkey", "l_linenumber"]
 
-    def _sym_diff_count(a: DataFrame, b: DataFrame) -> int:
-        ka, kb = a.select(*pk).cache(), b.select(*pk).cache()
-        try:
-            return ka.exceptAll(kb).unionByName(kb.exceptAll(ka)).count()
-        finally:
-            ka.unpersist()
-            kb.unpersist()
+    def _sym_diff_agg(a: DataFrame, b: DataFrame, name: str) -> DataFrame:
+        tagged = (
+            a.select(*pk).withColumn("_t", F.lit(1))
+            .unionByName(b.select(*pk).withColumn("_t", F.lit(-1)))
+        )
+        per_key = tagged.groupBy(*pk).agg(F.sum("_t").alias("_d"))
+        return per_key.agg(
+            F.coalesce(F.sum(F.abs(F.col("_d"))), F.lit(0))
+            .cast("long").alias(name)
+        )
 
     semi = semi.cache()
     stats = semi.agg(
@@ -4951,15 +4986,24 @@ def _lineitem_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("promo_revenue"),
     ).crossJoin(passed.agg(F.count(F.lit(1)).cast("long").alias("n_pass_rows")))
-    out = stats.select(
-        F.lit(promo.select("p_partkey").distinct().count())
-        .cast("long").alias("n_ref_keys"),
-        "n_pass_rows",
-        "n_match_rows",
-        (F.col("n_pass_rows") - F.col("n_match_rows")).alias("fp_rows"),
-        "promo_revenue",
-        F.lit(_sym_diff_count(semi, exact_semi)).cast("long").alias("semi_mismatch"),
-        F.lit(_sym_diff_count(anti, exact_anti)).cast("long").alias("anti_mismatch"),
+    out = (
+        stats.crossJoin(
+            promo.agg(
+                F.count_distinct(F.col("p_partkey"))
+                .cast("long").alias("n_ref_keys")
+            )
+        )
+        .crossJoin(_sym_diff_agg(semi, exact_semi, "semi_mismatch"))
+        .crossJoin(_sym_diff_agg(anti, exact_anti, "anti_mismatch"))
+        .select(
+            "n_ref_keys",
+            "n_pass_rows",
+            "n_match_rows",
+            (F.col("n_pass_rows") - F.col("n_match_rows")).alias("fp_rows"),
+            "promo_revenue",
+            "semi_mismatch",
+            "anti_mismatch",
+        )
     )
     return _detach(spark, out, semi)
 
