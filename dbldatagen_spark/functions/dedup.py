@@ -202,7 +202,11 @@ def _blocked_posting(
             try:
                 _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
             except Exception:
-                dfreq.unpersist()
+                # blocking: the docstring's contract is "released before
+                # the error propagates" — a fire-and-forget unpersist
+                # leaves the block registered for an arbitrary beat after
+                # the raise, which a retry loop (or a leak check) can see
+                dfreq.unpersist(blocking=True)
                 raise
             return posting.join(dfreq.select(key_col), key_col)
     _candidate_density_guard(dfreq, max_candidate_pairs, op_name)

@@ -7304,14 +7304,23 @@ class TestReviewHardening:
 
         rows = [(i, "alpha beta gamma delta epsilon") for i in range(40)]
         df = spark.createDataFrame(rows, "doc_id long, text string")
-        jsc = spark.sparkContext._jsc.sc()
-        before = jsc.getPersistentRDDs().size()
+        jsc = spark.sparkContext._jsc
+
+        def _ids():
+            # id SET, not size: earlier tests' lingering cached frames
+            # (eager localCheckpoints) are unpersisted asynchronously by
+            # the ContextCleaner, so a global count can shift under this
+            # test's feet; the contract is only that THIS call leaves no
+            # new block behind.
+            return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
+        before = _ids()
         with pytest.raises(ValueError, match="max_posting_len"):
             ngram_jaccard_pairs(
                 df, "doc_id", "text",
                 max_posting_len=100, max_candidate_pairs=100,
             )
-        assert jsc.getPersistentRDDs().size() == before
+        assert _ids() - before == set()
 
     def test_substring_dedup_null_text_both_modes(self, spark):
         from dbldatagen_spark.functions import substring_dedup
