@@ -759,6 +759,136 @@ def simhash_near_duplicates(
     )
 
 
+# The exact all-pairs path screens candidate pairs with a blocked
+# vectorized cosine before the bit-exact interpreted fold re-verifies
+# survivors.  Screen threshold margin: a pair qualifies in the exact
+# tail iff round(cos_fold, 4) >= threshold, which (HALF_UP at 4
+# decimals) requires cos_fold >= threshold - 5e-5.  Every product
+# a_i*b_i of two float32-origin doubles is EXACT in float64 (24-bit
+# mantissas -> 48-bit product < 53), so the screen's reordered sum and
+# the fold's sequential sum differ only by summation order of exactly
+# representable terms: |sum_np - sum_fold| <= 2 * n * eps * ||a||*||b||
+# (Cauchy-Schwarz over |a_i b_i|), i.e. |cos_np - cos_fold| < 1e-13 at
+# n = 64.  The 1e-4 margin therefore can NEVER drop a qualifying pair;
+# false positives only cost the exact tail a few extra folds.
+_SCREEN_MARGIN = 1e-4
+_SCREEN_BLOCKS = 16  # B(B+1)/2 = 136 block-pair tasks; replication = B
+
+
+def _allpairs_cosine_screen(
+    base: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Candidate ``(id_a, id_b)`` pairs whose cosine can possibly reach
+    ``threshold``, computed by a blocked all-pairs numpy matmul inside
+    ``applyInPandas`` (guide §4.2: batches to vectorized native code)
+    instead of 64-term interpreted folds per pair.
+
+    LOSSLESS by construction: candidates are a superset of the exact
+    tail's qualifying pairs (margin proof above), the exact fold then
+    recomputes every survivor bit-identically.  Each vector is
+    replicated to the ``B(B+1)/2`` block-pair groups it participates
+    in (deterministic ``xxhash64`` block key, guide §2.5), so the
+    shuffle moves ``n * B`` small rows and no group ever holds more
+    than two blocks.  Groups whose vectors are ragged/NULL fall back
+    to emitting every pair (over-inclusion is always safe; NULL and
+    cross-length pairs can never out-qualify the fold anyway), and
+    NaN screen cosines are kept because Spark orders NaN above every
+    double (``NaN >= t`` is true in the exact tail).
+    """
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = base.schema[base.schema.fieldNames().index(id_col)].dataType
+    out_schema = StructType(
+        [StructField("id_a", id_type), StructField("id_b", id_type)]
+    )
+    B = _SCREEN_BLOCKS
+    screen_thr = float(threshold) - _SCREEN_MARGIN
+
+    def _screen(pdf):
+        import numpy as np
+
+        ids = pdf["_id"].tolist()
+        vecs = pdf["_v"].tolist()
+        blks = pdf["_blk"].to_numpy()
+        bi = int(pdf["_bi"].iat[0])
+        bj = int(pdf["_bj"].iat[0])
+        ia = np.flatnonzero(blks == bi)
+        ib = ia if bi == bj else np.flatnonzero(blks == bj)
+        lens = {len(v) for v in vecs if v is not None}
+        uniform = len(lens) == 1 and all(v is not None for v in vecs)
+        out_a: list = []
+        out_b: list = []
+        if not uniform:
+            # ragged/NULL block: emit every ordered pair (superset)
+            for p, r in enumerate(ia):
+                for q, s in enumerate(ib):
+                    if bi == bj and q <= p:
+                        continue
+                    if ids[r] is not None and ids[s] is not None:
+                        if ids[r] < ids[s]:
+                            out_a.append(ids[r])
+                            out_b.append(ids[s])
+                        elif ids[s] < ids[r]:
+                            out_a.append(ids[s])
+                            out_b.append(ids[r])
+            import pandas as pd
+
+            return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        M = np.asarray(vecs, dtype=np.float64)
+        norms = np.sqrt((M * M).sum(axis=1))
+        A, Bm = M[ia], M[ib]
+        na, nb = norms[ia], norms[ib]
+        ids_a = [ids[r] for r in ia]
+        ids_b = [ids[s] for s in ib]
+        # strip-chunk the matmul so task memory stays bounded at the
+        # documented ~1e5-vector viability cap of this path
+        step = 2048
+        for lo in range(0, len(ia), step):
+            hi = min(lo + step, len(ia))
+            dot = A[lo:hi] @ Bm.T
+            denom = np.outer(na[lo:hi], nb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(denom > 0, dot / denom, 0.0)
+            keep = (cos >= screen_thr) | np.isnan(cos)
+            if bi == bj:
+                # same frame on both sides: strict upper triangle so
+                # each unordered row pair is considered exactly once
+                keep &= (
+                    np.arange(lo, hi)[:, None]
+                    < np.arange(len(ib))[None, :]
+                )
+            for r, s in zip(*np.nonzero(keep)):
+                u, w = ids_a[lo + r], ids_b[s]
+                if u is None or w is None:
+                    continue
+                if u < w:
+                    out_a.append(u)
+                    out_b.append(w)
+                elif w < u:
+                    out_a.append(w)
+                    out_b.append(u)
+        import pandas as pd
+
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    rep = base.select(
+        F.col(id_col).alias("_id"),
+        F.col("_v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int").alias("_blk"),
+        F.explode(F.array(*[F.lit(t) for t in range(B)])).alias("_t"),
+    ).where(F.col("_id").isNotNull())
+    keyed = rep.select(
+        "_id",
+        "_v",
+        "_blk",
+        F.least("_blk", "_t").alias("_bi"),
+        F.greatest("_blk", "_t").alias("_bj"),
+    )
+    # an unordered pair lives in exactly one block-pair group, and both
+    # sides emit it in (least, greatest) id order -> candidates unique
+    return keyed.groupBy("_bi", "_bj").applyInPandas(_screen, out_schema)
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     id_col: str,
@@ -827,6 +957,7 @@ def embedding_near_duplicates(
             F.col("b._n").alias("_nb"),
         )
     else:
+        cand = _allpairs_cosine_screen(base, id_col, threshold)
         a = base.select(
             F.col(id_col).alias("id_a"),
             F.col("_v").alias("_va"),
@@ -837,7 +968,7 @@ def embedding_near_duplicates(
             F.col("_v").alias("_vb"),
             F.col("_n").alias("_nb"),
         )
-        pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+        pairs = cand.join(a, "id_a").join(b, "id_b")
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(
         denom > 0, dot_expr(F.col("_va"), F.col("_vb")) / denom

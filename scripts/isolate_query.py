@@ -4,7 +4,7 @@ For each named query: untimed warmup, then best-of-3 with the noop sink
 (computation only) and best-of-3 with collect() (the bench's timed
 action), plus the row count — so "slow query" decomposes into
 "slow plan" vs "big driver transfer". Saves .explain("formatted") to
-plans/r15/<query>_<tag>.txt when --save-plan <tag> is given.
+plans/r16/<query>_<tag>.txt when --save-plan <tag> is given.
 
 Usage:
     python scripts/isolate_query.py <sf_dir> <query> [query ...]
@@ -78,13 +78,13 @@ def main() -> None:
             flush=True,
         )
         if tag:
-            os.makedirs(os.path.join(REPO, "plans", "r15"), exist_ok=True)
+            os.makedirs(os.path.join(REPO, "plans", "r16"), exist_ok=True)
             df = fn(spark, sf_dir)
             txt = spark._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
             with open(
-                os.path.join(REPO, "plans", "r15", f"{name}_{tag}.txt"), "w"
+                os.path.join(REPO, "plans", "r16", f"{name}_{tag}.txt"), "w"
             ) as f:
                 f.write(txt)
     spark.stop()

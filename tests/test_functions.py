@@ -78,6 +78,64 @@ class TestDedup:
         assert sigs[1] == sigs[2]
         assert sigs[1] != sigs[3]
 
+    def test_embedding_exact_screen_lossless(self, spark):
+        # the r16 numpy screen ahead of the exact all-pairs fold must be
+        # LOSSLESS: output (pairs AND cosine values) identical to a
+        # screen-free crossJoin reference built from the same fold
+        # expression, including (a) a pair just ABOVE the round-to-4
+        # qualify boundary, (b) a pair inside the screen margin but
+        # below the boundary (screen passes it, exact tail drops it),
+        # (c) NULL and ragged vectors (fallback block path).
+        import math
+        import random
+
+        from dbldatagen_spark.functions import embedding_near_duplicates
+        from dbldatagen_spark.functions.similarity import (
+            cosine_similarity_expr,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(4)])
+                for i in range(20)]
+        c_hi, c_lo = 0.89996, 0.89994   # round to 0.9000 / 0.8999
+        rows += [
+            (100, [1.0, 0.0, 0.0, 0.0]),
+            (101, [c_hi, math.sqrt(1 - c_hi * c_hi), 0.0, 0.0]),
+            (102, [c_lo, -math.sqrt(1 - c_lo * c_lo), 0.0, 0.0]),
+            (103, None),                 # NULL vector -> cosine 0.0
+            (104, [0.5, 0.5, 0.1]),      # ragged: cross-length = NULL
+            (105, [0.5, 0.5, 0.1]),      # ragged twin (same-length pair)
+            (106, [0.0, 0.0, 0.0, 0.0]),  # zero norm -> cosine 0.0
+        ]
+        emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        got = {
+            (r.id_a, r.id_b): r.cosine
+            for r in embedding_near_duplicates(
+                emb, "vec_id", "embedding", threshold=0.9, bucketed=False
+            ).collect()
+        }
+        a = emb.select(F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("_x"))
+        b = emb.select(F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("_y"))
+        ref = {
+            (r.id_a, r.id_b): r.cosine
+            for r in a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b",
+                F.round(
+                    cosine_similarity_expr(F.col("_x"), F.col("_y")), 4
+                ).alias("cosine"),
+            )
+            .where(F.col("cosine") >= 0.9)
+            .collect()
+        }
+        assert got == ref
+        assert (100, 101) in got and got[(100, 101)] == 0.9
+        assert (100, 102) not in got          # margin pair dropped by tail
+        assert (104, 105) in got              # ragged same-length pair kept
+
     def test_embedding_near_dup_bucketed_matches_brute(self, spark, emb):
         from dbldatagen_spark.functions import embedding_near_duplicates
 
