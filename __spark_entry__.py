@@ -7719,84 +7719,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     entries, so the leading cohort is chosen to cover every operator
     family; redundant variants of already-covered shapes follow after.
 
-    Round-15 rotation: growth-at-birth plus a STALEST-FIRST drain —
-    the 3 round-15 growth rows first (docs_calibrated_keep,
-    web_domain_anchor_profile, docs_authority_quarantine), then the
-    full r9-stale cohort in ledger order (multimodal_ppm_decode ..
-    events_hot_keys, 27 rows — 5 rounds without a driver row, the
-    round-14 verdict's top item), then the first 20 r10-stale rows
-    (ann_ivf_pq .. gen_markov_conformance).  NOTE: the r14 verdict's
-    literal draw prescription named the r12/r11 cohorts as next after
-    r9, but the regenerated ledger shows the r10 cohort (50 rows) is
-    staler than both — stalest-first means r9 then r10, and
-    scripts/update_rotation.py now asserts exactly that ordering.
-    Post-drain, the stalest unverified cohort is the remaining 30
-    r10 rows (gen_stock_ticker_conformance onward — the script's
+    Round-16 rotation: pure STALEST-FIRST drain (an optimization
+    round adds no growth rows).  The r15 window drained green
+    (CORRECTNESS_r15.json: 50/50), so the stalest cohorts are the
+    remaining 30 r10-stale rows (gen_stock_ticker_conformance ..
+    multimodal_video_near_dup, ledger order) followed by the first
+    20 r11-stale rows (ann_ivfpq_persisted .. emb_mrl_truncation) —
+    exactly the next-window preview scripts/update_rotation.py
+    printed after the r15 draw, re-asserted stalest-first against
+    the regenerated ledger this round.  Post-drain, the stalest
+    unverified cohort is the remaining 18 r11 rows (the script's
     next-window preview prints the exact order).  Demoted: the
-    entire round-14
-    window — all 50 were green on their r14 exposure, and the r9/r12
-    rows it re-greened now carry r14 history.  The window is drawn
-    by the ``_R15_WINDOW`` list below over the full registry dict,
-    so the FIRST 50 entries of this function's return value ARE the
-    window; the full query -> last-driver-round ledger lives in
-    ROTATION.md."""
-    _R15_WINDOW = [
-        # round-15 growth rows (windowed at birth)
-        "docs_calibrated_keep",
-        "web_domain_anchor_profile",
-        "docs_authority_quarantine",
-        # the full r9-stale cohort, ledger order (27 rows)
-        "multimodal_ppm_decode",
-        "multimodal_type_sniffing",
-        "text_quality",
-        "text_langid",
-        "text_contamination",
-        "text_pii_redaction",
-        "text_normalize",
-        "text_dedup_lines",
-        "text_entropy",
-        "text_repetition",
-        "text_boilerplate_strip",
-        "events_streaming_sessions",
-        "docs_streaming_dedup",
-        "events_capped_sessions",
-        "multimodal_ppm_resize",
-        "multimodal_wav_decode",
-        "multimodal_video_frames",
-        "text_charlm_quality",
-        "text_dup_spans",
-        "text_gopher_flags",
-        "text_dsir_importance",
-        "dedup_semantic",
-        "dedup_fuzzy_records",
-        "dedup_incremental",
-        "events_gap_fill",
-        "privacy_k_anonymity",
-        "events_hot_keys",
-        # the first 20 r10-stale rows, ledger order
-        "ann_ivf_pq",
-        "dedup_lsh_tuned",
-        "text_url_canonical",
-        "docs_jaccard_search",
-        "text_bpe_encode",
-        "layout_file_rows",
-        "text_script_profile",
-        "json_flatten_conformance",
-        "corpus_mix_epochs",
-        "corpus_pack_sequences",
-        "corpus_length_histogram",
-        "q9_product_profit",
-        "q21_waiting_supplier",
-        "dedup_embedding_cosine",
-        "gen_distribution_shapes",
-        "gen_null_fraction",
-        "gen_unique_temporal",
-        "gen_fk_integrity",
-        "gen_copula_conformance",
-        "gen_markov_conformance",
+    entire round-15 window — all 50 were green on their r15
+    exposure.  The window is drawn by the ``_R16_WINDOW`` list below
+    over the full registry dict, so the FIRST 50 entries of this
+    function's return value ARE the window; the full
+    query -> last-driver-round ledger lives in ROTATION.md."""
+    _R16_WINDOW = [
+        # the remaining 30 r10-stale rows, ledger order
+        "gen_stock_ticker_conformance",
+        "q3_top_revenue",
+        "q5_region_revenue",
+        "events_scd2_intervals",
+        "events_scd2_lookup",
+        "events_cdc_apply",
+        "customers_derive_cdc",
+        "events_streaming_cdc",
+        "events_watermark_dedup",
+        "events_watermark_late_counts",
+        "events_stream_stream_left_join",
+        "events_stream_static_join",
+        "ann_kmeans_ivf",
+        "ann_lsh_recall",
+        "ann_cosine_topk",
+        "text_tfidf",
+        "text_bm25_search",
+        "docs_hybrid_ranking",
+        "events_ewma",
+        "events_cusum_flags",
+        "events_cms_heavy_hitters",
+        "events_cms_join_size",
+        "events_histogram_quantiles",
+        "events_kmv_daily_merge",
+        "events_trajectory_similarity",
+        "events_autocorrelation",
+        "lineitem_bloom_prefilter",
+        "multimodal_image_near_dup",
+        "multimodal_audio_near_dup",
+        "multimodal_video_near_dup",
+        # the first 20 r11-stale rows, ledger order
+        "ann_ivfpq_persisted",
+        "docs_substring_dedup",
+        "corpus_language_routing",
+        "text_quality_classifier",
+        "corpus_temperature_mix",
+        "docs_quality_buckets",
+        "dedup_keep_best",
+        "events_funnel",
+        "events_cohort_retention",
+        "events_transition_matrix",
+        "events_seasonal_anomalies",
+        "privacy_dp_counts",
+        "lineitem_expectations",
+        "events_psi_drift",
+        "customers_rfm_segments",
+        "customers_checksum",
+        "lineitem_benford",
+        "docs_weighted_sample",
+        "docs_source_quota",
+        "emb_mrl_truncation",
     ]
     base = {
-        # Full registry (window drawn by _R15_WINDOW above; the
+        # Full registry (window drawn by _R16_WINDOW above; the
         # remaining entries keep their prior order)
         "docs_calibrated_keep": _docs_calibrated_keep,
         "web_domain_anchor_profile": _web_domain_anchor_profile,
@@ -8045,7 +8039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "privacy_k_anonymity": _privacy_k_anonymity,
         "events_hot_keys": _events_hot_keys,
     }
-    out = {name: base[name] for name in _R15_WINDOW}
+    out = {name: base[name] for name in _R16_WINDOW}
     out.update(base)  # remaining entries keep their prior order
     return out
 
