@@ -202,11 +202,17 @@ def _blocked_posting(
             try:
                 _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
             except Exception:
-                # blocking: the docstring's contract is "released before
-                # the error propagates" — a fire-and-forget unpersist
-                # leaves the block registered for an arbitrary beat after
-                # the raise, which a retry loop (or a leak check) can see
-                dfreq.unpersist(blocking=True)
+                # blocking=True waits for executor-side block removal so
+                # the memory is deterministically free before a caller's
+                # retry re-persists (the driver's getPersistentRDDs
+                # registry is cleared synchronously either way); the
+                # unpersist itself is best-effort — an RPC failure (e.g.
+                # a lost executor) must not replace the density guard's
+                # actionable knob-guidance ValueError
+                import contextlib
+
+                with contextlib.suppress(Exception):
+                    dfreq.unpersist(blocking=True)
                 raise
             return posting.join(dfreq.select(key_col), key_col)
     _candidate_density_guard(dfreq, max_candidate_pairs, op_name)
@@ -246,7 +252,12 @@ def _pair_jaccard(
     # widening exchange (measured 7.5 s vs 0.3 s for this posting at sf0.1).
     # The outer variant infers nothing; the notnull filter on the GENERATED
     # column replaces the dropped empty-array pruning (shingle arrays never
-    # hold null elements), so the rows are identical.
+    # hold null elements), so the rows are identical.  INVARIANT shared by
+    # every explode_outer+isNotNull site in this package: the exploded
+    # arrays must never contain NULL ELEMENTS (split/transform/arrays_zip
+    # outputs never do) — a site whose arrays can hold NULL elements would
+    # silently drop rows plain explode kept.  Pinned by
+    # tests/test_functions.py::test_explode_outer_null_element_invariant.
     posting = shingled.select(
         F.col(id_col), F.explode_outer("shingles").alias("_sh")
     ).where(F.col("_sh").isNotNull())
@@ -1376,6 +1387,10 @@ def _propagate_components(
             F.least(
                 labels["component"], F.coalesce(F.col("_nbr_min"), labels["component"])
             ).alias("component"),
+            # thread the pre-step label through so convergence reads off
+            # the checkpointed rows themselves — no per-round join of two
+            # checkpointed frames just to ask "did anything change"
+            labels["component"].alias("_prev"),
         )
         # pointer jumping: component ids are themselves vertices, so chase
         # one extra hop per round for O(log diameter) convergence
@@ -1388,16 +1403,19 @@ def _propagate_components(
                 F.col("x.component"),
                 F.coalesce(F.col("y.component"), F.col("x.component")),
             ).alias("component"),
+            F.col("x._prev").alias("_prev"),
         )
         jumped = _checkpoint(jumped)
+        # the checkpoint just materialized (vertex, component, _prev); the
+        # convergence probe is a limit-1 scan of those cached blocks —
+        # before, it was a join of this round's and last round's label
+        # frames (a broadcast build + probe job per iteration)
         changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "vertex")
-            .where(F.col("n.component") != F.col("o.component"))
+            jumped.where(F.col("component") != F.col("_prev"))
             .limit(1)
             .count()
         )
-        labels = jumped
+        labels = jumped.drop("_prev")
         if changed == 0:
             break
     edges.unpersist()
@@ -2746,22 +2764,37 @@ def paragraph_dedup(
         # first occurrence in corpus order" — a negative id formats
         # with a leading '-' (sorts before all non-negatives AND
         # inverts order among negatives), silently breaking the
-        # contract.  One EAGER column-pruned one-row aggregate over
-        # the raw input (no explode; the pagerank fold-guard
-        # precedent) raises instead.
-        lo = df.agg(F.min(F.col(id_col)).alias("lo")).collect()[0]["lo"]
-        if lo is not None and lo < 0:
-            raise ValueError(
-                f"paragraph_dedup(method='minhash'): {id_col!r} has a "
-                f"negative value (min = {lo}); the corpus-order "
-                f"paragraph id needs non-negative ids — shift or "
-                f"re-map ids to [0, 2^63) first, or use method='exact'"
-            )
+        # contract.  Enforced IN-PLAN on the pid expression itself
+        # (the _check_fold_size idiom): raises AT ACTION TIME, naming
+        # the offending id, the first time a negative id would enter
+        # a pid — no eager full-input min() scan per call, and a
+        # negative id that never reaches a pid (its paragraphs all
+        # below min_tokens) cannot corrupt corpus order, so it no
+        # longer needs to raise at all.  NULL ids fall through the
+        # WHEN untouched (NULL < 0 is NULL), exactly as before.
+        gid = F.when(
+            F.col("_id") < 0,
+            F.raise_error(
+                F.concat_ws(
+                    "",
+                    F.lit(
+                        f"paragraph_dedup(method='minhash'): {id_col!r} "
+                        f"has a negative value ("
+                    ),
+                    F.col("_id").cast("string"),
+                    F.lit(
+                        "); the corpus-order paragraph id needs "
+                        "non-negative ids — shift or re-map ids to "
+                        "[0, 2^63) first, or use method='exact'"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("_id"))
         # %019d covers every non-negative int64 (<= 19 digits) and
         # %010d every paragraph index posexplode can emit, so the
         # zero-padded key sorts in corpus order with no range cliff
         # at 10^12 ids or 10^6 paragraphs
-        pid = F.format_string("%019d#%010d", F.col("_id"), F.col("_pidx"))
+        pid = F.format_string("%019d#%010d", gid, F.col("_pidx"))
         labeled = cand.select(
             pid.alias("_pid"), F.col("_id"), F.col("_pidx"), F.col("_para")
         )

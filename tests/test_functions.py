@@ -367,6 +367,57 @@ def test_resize_images_plumbing(spark):
         assert r["payload"] is not None
 
 
+def test_explode_outer_null_element_invariant(spark):
+    """The r15 explode -> explode_outer+isNotNull sweep (33 sites,
+    made to stop InferFiltersFromGenerate inlining the whole array
+    pipeline below the exchange) is row-identical to plain explode
+    ONLY while the exploded arrays never contain NULL *elements*: the
+    isNotNull filter on the GENERATED column drops a NULL element
+    that plain explode would keep.  This pins both halves of that
+    invariant: (a) the swap's exact row behavior on every array shape
+    the swept sites produce, including the documented divergence on a
+    null element; (b) a representative production site's computed
+    arrays (split/transform outputs) really never hold NULL elements,
+    whatever the input text.  A future swept site whose arrays CAN
+    hold NULL elements must keep plain explode (or filter
+    deliberately) — this test is the tripwire documentation."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, []), (3, None), (4, ["a", None])],
+        "id long, arr array<string>",
+    )
+    plain = df.select("id", F.explode("arr").alias("x"))
+    swapped = df.select("id", F.explode_outer("arr").alias("x")).where(
+        F.col("x").isNotNull()
+    )
+    # identical on non-null-element arrays (rows 1-3: plain array,
+    # empty array, NULL array)...
+    assert sorted(map(tuple, plain.where("id < 4").collect())) == sorted(
+        map(tuple, swapped.where("id < 4").collect())
+    ) == [(1, "a"), (1, "b")]
+    # ...and the divergence on a NULL element is exactly one dropped row
+    assert sorted(
+        map(tuple, plain.collect()), key=lambda t: (t[0], t[1] or "")
+    ) == [(1, "a"), (1, "b"), (4, None), (4, "a")]
+    assert sorted(map(tuple, swapped.collect())) == [
+        (1, "a"), (1, "b"), (4, "a"),
+    ]
+    # (b) representative swept site: shingled_df's arrays never
+    # contain NULL elements for NULL / empty / whitespace / real text
+    from dbldatagen_spark.functions.dedup import shingled_df
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, ""), (3, None), (4, "  "),
+         (5, "one two")],
+        "doc_id long, text string",
+    )
+    sh = shingled_df(docs, "doc_id", "text", 3)
+    assert sh.where(
+        F.exists("shingles", lambda s: s.isNull())
+    ).count() == 0
+
+
 def test_duplicate_components(spark):
     from dbldatagen_spark.functions import duplicate_components
 
@@ -7828,13 +7879,19 @@ class TestParagraphDedup:
     def test_minhash_negative_id_raises(self, spark):
         from dbldatagen_spark.functions import paragraph_dedup
 
-        # the corpus-order pid needs non-negative ids; the eager
-        # min(id) guard raises instead of silently mis-ordering
+        # the corpus-order pid needs non-negative ids; the in-plan
+        # guard on the pid expression raises instead of silently
+        # mis-ordering (r16: was a SEPARATE eager min(id) scan per
+        # call — now it rides the clustering pass's own evaluation
+        # of the pid, so the dedicated guard job is gone).  The
+        # minhash arm's label propagation is eager (checkpointed),
+        # so the raise still surfaces from the constructor — as
+        # Spark's runtime-exception type now, not ValueError.
         df = spark.createDataFrame(
             [(-5, "some body of text"), (1, "other body here")],
             "doc_id long, text string",
         )
-        with pytest.raises(ValueError, match="negative"):
+        with pytest.raises(Exception, match="negative"):
             paragraph_dedup(df, "doc_id", "text", method="minhash")
         # exact arm is id-agnostic
         assert paragraph_dedup(
@@ -8292,7 +8349,11 @@ class TestPagerankWeighted:
             [("a", "b", 2**40), ("a", "c", 2**40)],
             "s string, d string, w long",
         )
-        with pytest.raises(ValueError, match="headroom"):
+        # r16: the guard rides iteration 1's own job as an in-plan
+        # raise_error (no dedicated pre-pass aggregate job); the loop
+        # is eager via the checkpoint, so it still surfaces from the
+        # constructor — as Spark's runtime-exception type now
+        with pytest.raises(Exception, match="headroom"):
             pagerank(big, "s", "d", weight_col="w", iterations=1)
 
 
@@ -9012,10 +9073,16 @@ class TestAuthorityWeightedSample:
         assert all(r["auth_keep_ppm"] == 123_000 for r in rows)
         # duplicate node keys would fan the left join out (more output
         # rows than input — the flags-not-a-filter contract breaks):
-        # eagerly rejected in the same one-row aggregate as max(rank)
-        with pytest.raises(ValueError, match="duplicate"):
-            authority_weighted_sample(
-                docs, "doc_id", "url", auth.unionByName(auth))
+        # rejected in the same one-row aggregate as max(rank), which
+        # rides the plan since r16 — zero jobs at construction, the
+        # raise surfaces at the action
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        dup = authority_weighted_sample(
+            docs, "doc_id", "url", auth.unionByName(auth))
+        assert len(tracker.getJobIdsForGroup(None) or []) == before
+        with pytest.raises(Exception, match="duplicate"):
+            dup.collect()
         # ...but a NULL-keyed rank row is harmless (never joins) and
         # must NOT trip the uniqueness check
         with_null = auth.unionByName(
@@ -9155,9 +9222,28 @@ class TestCalibrationReport:
             calibration_report(df, "score", "label", lo=1.0, hi=1.0)
         with pytest.raises(ValueError, match="no column"):
             calibration_report(df, "nope", "label")
-        with pytest.raises(ValueError, match="no valid"):
+        # the no-valid-rows contract fires AT ACTION TIME now (r16:
+        # the auto range rides the plan instead of an eager min/max
+        # scan per call), wrapped in Spark's runtime-exception type
+        with pytest.raises(Exception, match="no valid"):
             calibration_report(
-                df.where(F.col("score").isNull()), "score", "label")
+                df.where(F.col("score").isNull()), "score", "label"
+            ).collect()
+
+    def test_auto_range_adds_no_job_until_action(self, spark):
+        # range auto-detection must be fully lazy: constructing the
+        # report runs ZERO Spark jobs (it used to run one eager
+        # min/max scan of the labeled sample per call)
+        from dbldatagen_spark.functions import calibration_report
+
+        df = spark.createDataFrame(
+            [(0.1, True), (0.9, False)], "score double, label boolean"
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = len(tracker.getJobIdsForGroup(None) or [])
+        calibration_report(df, "score", "label", n_bins=4)
+        after = len(tracker.getJobIdsForGroup(None) or [])
+        assert after == before
 
 
 class TestClusterAwareSplit:
@@ -9711,12 +9797,13 @@ class TestAuthorityContaminationSample:
             authority_contamination_sample(
                 docs, "doc_id", "url", "body", auth, bench
             )
-        # the underlying duplicate-authority-key guard still fires
-        with pytest.raises(ValueError, match="duplicate"):
+        # the underlying duplicate-authority-key guard still fires —
+        # at action time since r16 (it rides the plan)
+        with pytest.raises(Exception, match="duplicate"):
             authority_contamination_sample(
                 docs, "doc_id", "url", "text",
                 auth.unionByName(auth), bench,
-            )
+            ).collect()
 
     def test_partition_stability(self, spark):
         from dbldatagen_spark.functions import (
