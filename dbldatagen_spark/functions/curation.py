@@ -17,7 +17,7 @@ from __future__ import annotations
 import itertools
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -956,11 +956,11 @@ def calibration_report(
 
     Scale shape: one validity-filtered min/max aggregate (skipped
     when ``lo``/``hi`` are pinned) and one map-side-combined
-    ``n_bins``-group count aggregate — two corpus scans collapsing
-    to ``n_bins`` rows, one bounded driver collect (the
-    :func:`~dbldatagen_spark.functions.sampling
-    .distribution_matched_sample` shape); the cumulative window
-    runs over the ``n_bins``-row report frame, never the corpus.
+    ``n_bins``-group count aggregate — two sample scans collapsing
+    to ``n_bins`` rows, all in ONE lazy plan (the auto range rides
+    as a broadcast one-row frame; no eager job at construction —
+    r16); the cumulative window runs over the ``n_bins``-row report
+    frame, never the corpus.
     """
     if n_bins < 1 or n_bins > 4096:
         raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
@@ -982,35 +982,59 @@ def calibration_report(
     )
     base = df.where(valid).select(s.alias("_s"), y.alias("_y"))
     if lo is None:
-        r = base.agg(
-            F.min("_s").alias("lo"), F.max("_s").alias("hi")
-        ).collect()[0]
-        if r["lo"] is None:
-            raise ValueError(
-                "calibration_report: no valid (finite score, non-NULL "
-                "label) rows"
-            )
-        lo, hi = float(r["lo"]), float(r["hi"])
-    elif hi <= lo:
-        raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
-    span = float(hi) - float(lo)
-    if span <= 0:
-        bin_expr = F.lit(0)
+        # auto range rides the plan (r16; was an eager min/max scan —
+        # a full labeled-sample job at construction per call): the
+        # one-row min/max aggregate is broadcast-crossJoined onto the
+        # histogram side and the n_bins-row spectrum, so the whole
+        # report is ONE lazy plan.  The no-valid-rows contract raises
+        # AT ACTION TIME via raise_error on the bin edges (the
+        # spectrum side always has rows; the histogram side is empty
+        # exactly when the raise would fire) — a consumer that drops
+        # every range-dependent column gets vacuously-correct zero
+        # counts instead, which nothing can corrupt.
+        lohi = base.agg(F.min("_s").alias("_clo"), F.max("_s").alias("_chi"))
+        lo_e: Column = F.col("_clo")
+        hi_e: Column = F.col("_chi")
+        checked_lo = F.when(
+            lo_e.isNull(),
+            F.raise_error(
+                F.lit(
+                    "calibration_report: no valid (finite score, "
+                    "non-NULL label) rows"
+                )
+            ).cast("double"),
+        ).otherwise(lo_e)
     else:
-        # scores outside a PINNED range clamp to the edge bins, the
-        # standard histogram convention (auto range never produces
-        # them).  Clamp in DOUBLE space BEFORE floor/cast: a far
-        # outlier under a pinned range would otherwise floor past
-        # int (or even long) range, where the narrowing cast throws
-        # under ANSI and wraps into the WRONG edge bin without it
-        ratio = (F.col("_s") - F.lit(lo)) / F.lit(span) * F.lit(n_bins)
-        bin_expr = F.floor(
+        if hi <= lo:
+            raise ValueError(f"need lo < hi, got lo={lo}, hi={hi}")
+        lohi = None
+        lo_e = F.lit(float(lo))
+        hi_e = F.lit(float(hi))
+        checked_lo = lo_e
+    # span as the same double subtraction the old Python-side
+    # float(hi) - float(lo) performed — bit-identical edges and bins
+    span_e = hi_e - lo_e
+    # scores outside a PINNED range clamp to the edge bins, the
+    # standard histogram convention (auto range never produces
+    # them).  Clamp in DOUBLE space BEFORE floor/cast: a far
+    # outlier under a pinned range would otherwise floor past
+    # int (or even long) range, where the narrowing cast throws
+    # under ANSI and wraps into the WRONG edge bin without it.
+    # A degenerate span (all scores equal) folds every row to bin 0,
+    # exactly the old span<=0 literal branch
+    ratio = (F.col("_s") - lo_e) / span_e * F.lit(n_bins)
+    bin_expr = F.when(span_e <= F.lit(0.0), F.lit(0)).otherwise(
+        F.floor(
             F.greatest(
                 F.lit(0.0), F.least(F.lit(float(n_bins - 1)), ratio)
             )
         ).cast("int")
+    )
+    hist_src = (
+        base.crossJoin(F.broadcast(lohi)) if lohi is not None else base
+    )
     counts = (
-        base.groupBy(bin_expr.alias("bin"))
+        hist_src.groupBy(bin_expr.alias("bin"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.when(F.col("_y"), 1).otherwise(0))
@@ -1034,12 +1058,14 @@ def calibration_report(
         .orderBy(F.col("bin").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    edge_lo = F.lit(float(lo)) + (
-        F.col("bin").cast("double") * F.lit(span)
+    edge_lo = checked_lo + (
+        F.col("bin").cast("double") * span_e
     ) / F.lit(float(n_bins))
-    edge_hi = F.lit(float(lo)) + (
-        (F.col("bin") + F.lit(1)).cast("double") * F.lit(span)
+    edge_hi = checked_lo + (
+        (F.col("bin") + F.lit(1)).cast("double") * span_e
     ) / F.lit(float(n_bins))
+    if lohi is not None:
+        full = full.crossJoin(F.broadcast(lohi))
     out = (
         full.withColumn("cum_n", F.sum("n").over(w).cast("long"))
         .withColumn("cum_pos", F.sum("n_pos").over(w).cast("long"))

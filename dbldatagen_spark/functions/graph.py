@@ -176,19 +176,32 @@ def pagerank(
             )
             # the split share formula's second term is
             # (damped mod W) * w with (damped mod W) < W, so int64
-            # safety needs max(W) * max(w) < 2^62 — one eager one-row
-            # aggregate, the fold-guard precedent
-            mx = e.join(outdeg, "_s").agg(
-                F.max("_deg").alias("mw"), F.max("_w").alias("w")
-            ).collect()[0]
-            if mx["mw"] is not None and mx["mw"] * mx["w"] >= 2**62:
-                raise ValueError(
-                    f"pagerank: max out-weight {mx['mw']:,} x max edge "
-                    f"weight {mx['w']:,} leaves no int64 headroom for "
-                    f"the weighted share — divide the weights by a "
-                    f"common factor (ranks depend only on weight "
-                    f"RATIOS per source) or drop weight_col"
-                )
+            # safety needs max(W) * max(w) < 2^62.  The one-row
+            # max aggregate rides iteration 1's own job as a lazy
+            # broadcast-crossJoin (r16; was an eager join+aggregate
+            # over the full edge set at construction), raising via
+            # raise_error with the same conservative firing
+            # condition, int64-safely rearranged: mw * w >= 2^62
+            # <=> mw > (2^62 - 1) div w (w >= 1 — the edge filter
+            # already dropped non-positive weights; NULL mw means an
+            # empty edge set, where the WHEN falls through exactly
+            # like the old `mw is None` skip)
+            mxf = e.join(outdeg, "_s").agg(
+                F.max("_deg").alias("_mw"), F.max("_w").alias("_xw")
+            )
+            headroom_msg = F.concat_ws(
+                "",
+                F.lit("pagerank: max out-weight "),
+                F.col("_mw").cast("string"),
+                F.lit(" x max edge weight "),
+                F.col("_xw").cast("string"),
+                F.lit(
+                    " leaves no int64 headroom for the weighted share"
+                    " — divide the weights by a common factor (ranks"
+                    " depend only on weight RATIOS per source) or"
+                    " drop weight_col"
+                ),
+            )
         ranks = nodes.select("node", F.lit(init_u).cast("long").alias("_u"))
         if weight_col is None:
             share_expr = F.expr(
@@ -200,7 +213,7 @@ def pagerank(
                 f"(_u * {damping_ppm}) div 1000000"
             )
             share_cols = [F.col("_s"), F.col("_deg")]
-        for _ in range(iterations):
+        for it in range(iterations):
             damped_per_src = ranks.join(
                 outdeg, ranks["node"] == outdeg["_s"]
             ).select(*share_cols, share_expr.alias("_share"))
@@ -211,12 +224,24 @@ def pagerank(
             else:
                 # exact floor(damped * w / W) without int128:
                 # (damped div W) * w + ((damped mod W) * w) div W
-                contribs = damped_per_src.join(e, "_s").select(
-                    F.col("_d"),
-                    F.expr(
-                        "(_share div _deg) * _w"
-                        " + ((_share % _deg) * _w) div _deg"
-                    ).alias("_share"),
+                split_share = F.expr(
+                    "(_share div _deg) * _w"
+                    " + ((_share % _deg) * _w) div _deg"
+                )
+                joined = damped_per_src.join(e, "_s")
+                if it == 0:
+                    # the headroom guard fires once, from iteration
+                    # 1's own materializing action (the loop is eager
+                    # per-iteration via the checkpoint), instead of a
+                    # dedicated pre-pass job
+                    joined = joined.crossJoin(F.broadcast(mxf))
+                    split_share = F.when(
+                        F.col("_mw")
+                        > F.expr(f"{2**62 - 1}L div _xw"),
+                        F.raise_error(headroom_msg).cast("long"),
+                    ).otherwise(split_share)
+                contribs = joined.select(
+                    F.col("_d"), split_share.alias("_share")
                 )
             shares = contribs.groupBy(F.col("_d").alias("node")).agg(
                 F.sum("_share").cast("long").alias("_in")

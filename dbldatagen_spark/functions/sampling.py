@@ -988,8 +988,9 @@ def authority_weighted_sample(
     rows where the corpus is trillions; pass
     ``broadcast_authority=False`` at full-crawl host cardinality to
     let AQE pick a shuffle join, which is then the flagging pass's
-    only exchange); ``max(rank_units)`` is ONE bounded driver collect
-    (a single row), and the interpolation + hash are scan-local
+    only exchange); ``max(rank_units)`` rides the plan as a one-row
+    broadcast-crossJoined aggregate (r16; was an eager driver
+    collect per call), and the interpolation + hash are scan-local
     whole-stage-codegen arithmetic.  At ``level="domain"`` the PSL
     collapse runs over the DISTINCT host set, never per corpus row
     (:func:`registrable_domain_expr`'s own contract — a real PSL
@@ -999,8 +1000,9 @@ def authority_weighted_sample(
     the host -> (domain, rank) map joins back onto the corpus by
     host — deliberately unhinted, since its cardinality is the
     corpus's host set, not the authority frame's: AQE broadcasts it
-    at runtime when it is actually small.  An eager headroom guard
-    validates ``(max_ppm - base_ppm) * max(rank_units) < 2^63`` —
+    at runtime when it is actually small.  An in-plan headroom guard
+    validates ``(max_ppm - base_ppm) * max(rank_units) < 2^63``
+    (raising AT ACTION TIME, like the duplicate-node-key guard) —
     at the default pagerank scale of 1e12 the product tops out near
     1e18, inside int64; rescale rank units before calling if you
     carry larger units.
@@ -1024,7 +1026,8 @@ def authority_weighted_sample(
     out_rank = f"{out_prefix}_rank_units"
     out_ppm = f"{out_prefix}_keep_ppm"
     out_keep = f"{out_prefix}_keep"
-    for c in (out_node, out_rank, out_ppm, out_keep, "_awsh"):
+    for c in (out_node, out_rank, out_ppm, out_keep, "_awsh",
+              "_aws_mx", "_aws_n", "_aws_nd"):
         if c in df.columns:
             raise ValueError(f"output column {c!r} already exists")
     from dbldatagen_spark.functions.curation import (
@@ -1032,35 +1035,43 @@ def authority_weighted_sample(
         url_host_expr,
     )
 
-    mx_row = authority.agg(
-        F.max(F.col(rank_col).cast("long")).alias("mx"),
+    # One-row authority aggregate riding the plan as a broadcast
+    # crossJoin (r16; was an eager collect — a full execution of the
+    # authority frame's lineage at construction per call).  The
+    # duplicate-key and int64-headroom contracts raise AT ACTION TIME
+    # via raise_error with unchanged firing conditions and messages.
+    mxf = authority.agg(
+        F.max(F.col(rank_col).cast("long")).alias("_aws_mx"),
         # non-null count, NOT count(*): a NULL-keyed rank row never
         # matches the left join (harmless), and count(*) would make
         # the uniqueness check below spuriously reject it
-        F.count(F.col(node_col)).alias("n"),
-        F.count_distinct(F.col(node_col)).alias("nd"),
-    ).collect()[0]
-    if mx_row["n"] != mx_row["nd"]:
-        # a duplicate node key would fan the left join out — MORE
-        # output rows than input, silently breaking the flags-not-a-
-        # filter contract and double-counting documents downstream
-        raise ValueError(
-            f"authority frame has duplicate {node_col!r} keys "
-            f"({mx_row['n']} non-null rows, {mx_row['nd']} distinct) — "
-            f"aggregate it to one row per node first"
-        )
-    mx = mx_row["mx"]
+        F.count(F.col(node_col)).alias("_aws_n"),
+        F.count_distinct(F.col(node_col)).alias("_aws_nd"),
+    )
     span = max_ppm - base_ppm
-    if mx is None or mx <= 0:
-        # empty/degenerate authority: every document keeps at the
-        # floor rate (documented — never a silent full-keep)
-        mx = None
-    elif span > 0 and mx > (2**63 - 1) // span:
-        raise ValueError(
+    # a duplicate node key would fan the left join out — MORE
+    # output rows than input, silently breaking the flags-not-a-
+    # filter contract and double-counting documents downstream
+    dup_msg = F.concat_ws(
+        "",
+        F.lit(f"authority frame has duplicate {node_col!r} keys ("),
+        F.col("_aws_n").cast("string"),
+        F.lit(" non-null rows, "),
+        F.col("_aws_nd").cast("string"),
+        F.lit(" distinct) — aggregate it to one row per node first"),
+    )
+    over_msg = F.concat_ws(
+        "",
+        F.lit(
             f"authority_weighted_sample: (max_ppm - base_ppm) * "
-            f"max({rank_col}) = {span} * {mx} overflows int64 — "
-            f"rescale the rank units (divide by a constant) first"
-        )
+            f"max({rank_col}) = {span} * "
+        ),
+        F.col("_aws_mx").cast("string"),
+        F.lit(
+            " overflows int64 — rescale the rank units (divide by a "
+            "constant) first"
+        ),
+    )
     host = url_host_expr(F.col(url_col))
     ranks = authority.select(
         F.col(node_col).alias(out_node),
@@ -1100,21 +1111,38 @@ def authority_weighted_sample(
         if broadcast_authority:
             ranks = F.broadcast(ranks)
         joined = df.withColumn(out_node, host).join(ranks, out_node, "left")
-    if mx is None:
-        ppm = F.lit(base_ppm).cast("long")
-    else:
-        # integer `div`, never `/`: span * rank_units reaches ~1e18 at
-        # the default pagerank scale — past double's 2^53 exact-integer
-        # range, where a float divide + floor can land off by one
-        ppm = (
-            F.lit(base_ppm).cast("long")
-            + F.expr(
-                f"({span}L * coalesce(`{out_rank}`, 0L)) div {mx}L"
-            ).cast("long")
+    joined = joined.crossJoin(F.broadcast(mxf))
+    base_l = F.lit(base_ppm).cast("long")
+    ppm = F.when(
+        F.col("_aws_n") != F.col("_aws_nd"),
+        F.raise_error(dup_msg).cast("long"),
+    ).when(
+        # empty/degenerate authority: every document keeps at the
+        # floor rate (documented — never a silent full-keep)
+        F.col("_aws_mx").isNull() | (F.col("_aws_mx") <= 0),
+        base_l,
+    )
+    if span > 0:
+        # int64-safe rearrangement of span * mx >= 2^63:
+        # mx > (2^63 - 1) div span (span is a positive Python int)
+        ppm = ppm.when(
+            F.col("_aws_mx") > F.lit((2**63 - 1) // span),
+            F.raise_error(over_msg).cast("long"),
         )
+    # integer `div`, never `/`: span * rank_units reaches ~1e18 at
+    # the default pagerank scale — past double's 2^53 exact-integer
+    # range, where a float divide + floor can land off by one
+    ppm = ppm.otherwise(
+        base_l
+        + F.expr(
+            f"({span}L * coalesce(`{out_rank}`, 0L)) div _aws_mx"
+        ).cast("long")
+    )
     bucket = _ppm_bucket_expr(seed, id_col, hash_mode)
-    return joined.withColumn(out_ppm, ppm).withColumn(
-        out_keep, bucket < F.col(out_ppm)
+    return (
+        joined.withColumn(out_ppm, ppm)
+        .withColumn(out_keep, bucket < F.col(out_ppm))
+        .drop("_aws_mx", "_aws_n", "_aws_nd")
     )
 
 
@@ -1337,14 +1365,16 @@ def distribution_matched_sample(
     decision is auditable row-by-row; filter on the keep column to
     materialize the sample.
 
-    Scale shape: two light aggregates per frame (a one-row min/max
-    and a map-side-combined ``n_bins``-group histogram — the corpus
-    scans twice before the flagging pass, all reduce volume bounded
-    by ``n_bins``), two bounded driver collects (``2 + 2*n_bins``
-    rows), then the flagging pass is scan-local whole-stage-codegen
-    arithmetic: the rate table rides the plan as an ``n_bins``
-    literal array indexed by bin — no join, no shuffle, nothing but
-    the hash and a comparison per row.
+    Scale shape: ONE eager job (r16; was four) — the two frames'
+    valid scores union under a side tag, the one-row union-range
+    aggregate rides as a broadcast crossJoin feeding the in-plan bin
+    expression, and a single map-side-combined histogram collapses
+    everything to one bounded driver collect (``<= 2*n_bins`` rows,
+    carrying the range; the corpus still scans twice inside that
+    job, reduce volume bounded by ``n_bins``).  The flagging pass is
+    scan-local whole-stage-codegen arithmetic: the rate table rides
+    the plan as an ``n_bins`` literal array indexed by bin — no
+    join, no shuffle, nothing but the hash and a comparison per row.
     """
     if n_bins < 1 or n_bins > 4096:
         raise ValueError(f"n_bins must be in [1, 4096], got {n_bins}")
@@ -1379,20 +1409,52 @@ def distribution_matched_sample(
             & (s > float("-inf")) & (s < float("inf"))
         )
 
-    def _rng(frame, col):
+    # ONE eager job computes the union value range AND both per-side
+    # histograms (r16; was FOUR — a min/max scan and a histogram scan
+    # per frame, each a separate driver round-trip): the two frames'
+    # valid scores union with a side tag, the one-row union-range
+    # aggregate rides as a broadcast crossJoin feeding the in-plan bin
+    # expression (same doubles the old Python literals carried — the
+    # span is the identical double subtraction), and the collected
+    # rows carry the range back for the literal output expressions.
+    def _vals(frame, col, side):
         s = F.col(col).cast("double")
-        return frame.where(_valid(col)).agg(
-            F.min(s).alias("lo"), F.max(s).alias("hi")
-        ).collect()[0]
+        return frame.where(_valid(col)).select(
+            s.alias("_s"), F.lit(side).alias("_side")
+        )
 
-    r1, r2 = _rng(df, score_col), _rng(reference, ref_score_col)
-    if r1["lo"] is None or r2["lo"] is None:
+    u = _vals(df, score_col, 0).unionByName(
+        _vals(reference, ref_score_col, 1)
+    )
+    lohi = u.agg(F.min("_s").alias("_glo"), F.max("_s").alias("_ghi"))
+    span_e = F.col("_ghi") - F.col("_glo")
+    bin_e = F.when(span_e <= F.lit(0.0), F.lit(0)).otherwise(
+        F.least(
+            F.lit(n_bins - 1),
+            F.floor(
+                (F.col("_s") - F.col("_glo")) / span_e * F.lit(n_bins)
+            ).cast("int"),
+        )
+    )
+    hist_rows = (
+        u.crossJoin(F.broadcast(lohi))
+        .groupBy("_side", "_glo", "_ghi", bin_e.alias("_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_n"))
+        .collect()
+    )
+    c_hist: dict = {}
+    r_hist: dict = {}
+    glo = ghi = None
+    for row in hist_rows:
+        (c_hist if row["_side"] == 0 else r_hist)[row["_b"]] = row["_n"]
+        glo, ghi = row["_glo"], row["_ghi"]
+    if not c_hist or not r_hist:
         raise ValueError(
             "distribution_matched_sample: a frame has no valid "
             "(non-NULL, finite) scores"
         )
-    lo = min(r1["lo"], r2["lo"])
-    hi = max(r1["hi"], r2["hi"])
+    lo = float(glo)
+    hi = float(ghi)
     span = hi - lo
 
     def _bin(col):
@@ -1408,17 +1470,6 @@ def distribution_matched_sample(
             ),
         )
 
-    def _hist(frame, col):
-        rows = (
-            frame.where(_valid(col))
-            .groupBy(_bin(col).alias("_b"))
-            .agg(F.count(F.lit(1)).cast("long").alias("_n"))
-            .collect()
-        )
-        return {r["_b"]: r["_n"] for r in rows}
-
-    c_hist = _hist(df, score_col)
-    r_hist = _hist(reference, ref_score_col)
     C = sum(c_hist.values())
     R = sum(r_hist.values())
     rates = []
