@@ -480,7 +480,12 @@ def kmeans_fit(
         raise ValueError(f"need at least k={k} rows, got {len(seed_rows)}")
     centroids = np.vstack([np.asarray(r[vec_col], dtype=float) for r in seed_rows])
     d = centroids.shape[1]
-    vecs = df.select(F.col(vec_col))
+    # every Lloyd iteration scans the projected vectors: persist them
+    # for the fit's duration so upstream work (scan, casts, derived
+    # vector arithmetic) runs once, not once per iteration (guide §5).
+    # MEMORY_AND_DISK by default — an oversized corpus spills rather
+    # than OOMs; released in the finally below.
+    vecs = df.select(F.col(vec_col)).persist()
 
     inertia_history = []
     prev = None
@@ -530,6 +535,9 @@ def kmeans_fit(
         if prev is not None and prev - inertia <= tol * max(prev, 1.0):
             break
         prev = inertia
+    # released on the normal path; an exception mid-fit leaves the block
+    # to the ContextCleaner's weak-ref reclaim, like any abandoned cache
+    vecs.unpersist()
     return centroids, inertia_history
 
 
@@ -640,7 +648,9 @@ def pq_train(
     codebooks = np.stack(
         [seeds[:, s * dsub:(s + 1) * dsub].copy() for s in range(m)]
     )
-    vecs = df.select(F.col(vec_col))
+    # persist for the fit's duration — one upstream execution instead of
+    # one per Lloyd iteration (guide §5); released after the loop
+    vecs = df.select(F.col(vec_col)).persist()
 
     inertia_history = []
     prev = None
@@ -699,6 +709,7 @@ def pq_train(
         if prev is not None and prev - inertia <= tol * max(prev, 1.0):
             break
         prev = inertia
+    vecs.unpersist()
     return codebooks, inertia_history
 
 
@@ -984,9 +995,21 @@ def ivfpq_build(
             lambda a, b: a - b,
         ).alias("_res"),
     )
-    codebooks, _ = pq_train(
-        res, "_res", m=m, k=k, id_col=id_col, max_iter=pq_max_iter
-    )
+    # pq_train executes the residual frame eagerly 1 + max_iter times
+    # (the seed draw plus one fused pass per Lloyd iteration), and each
+    # execution re-runs kmeans_assign's Python pass and the residual
+    # arithmetic from the scan up.  Persist it for the training
+    # duration so that upstream runs once (guide §5: cache when
+    # reuse x recompute is expensive); unpersisted before returning, so
+    # the lazy index_df recomputes the residual once at the caller's
+    # first action — exactly the per-action cost it had before.
+    res = res.persist()
+    try:
+        codebooks, _ = pq_train(
+            res, "_res", m=m, k=k, id_col=id_col, max_iter=pq_max_iter
+        )
+    finally:
+        res.unpersist()
     index_df = pq_encode(res, "_res", codebooks, out_col=codes_col).select(
         id_col, cell_col, codes_col
     )
