@@ -266,6 +266,53 @@ def _pair_jaccard(
     )
     a = blocking.alias("a")
     b = blocking.alias("b")
+    if max_posting_len is None:
+        # Exact blocking (no stop-shingle cut): the posting self-join
+        # emits exactly one row per (pair, common shingle) — shingle
+        # arrays are distinct-by-construction — so |intersection| is a
+        # plain COUNT over the join.  That removes the full-array
+        # array_intersect (an O(|a|+|b|) hash-set probe per candidate
+        # pair — 1.1M pairs at sf0.1) and the two joins that carried
+        # whole shingle arrays to every pair; the per-side set sizes
+        # join back as (id, int) rows instead.  With a posting cut the
+        # count would miss common shingles whose posting was trimmed
+        # (metrics are contractually exact over FULL arrays), so the
+        # array_intersect path below stays for that mode.  The count
+        # aggregate doubles as the pushdown barrier the array path's
+        # min() aggregate provided; the residual jaccard arithmetic is
+        # three-integer scalar math, harmless to re-evaluate.
+        common = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("_inter"))
+        )
+        n_a = shingled.select(
+            F.col(id_col).alias("id_a"), F.size("shingles").alias("_na")
+        )
+        n_b = shingled.select(
+            F.col(id_col).alias("id_b"), F.size("shingles").alias("_nb")
+        )
+        return (
+            common.join(n_a, "id_a")
+            .join(n_b, "id_b")
+            .withColumn(
+                "jaccard",
+                F.round(
+                    F.col("_inter")
+                    / (F.col("_na") + F.col("_nb") - F.col("_inter")),
+                    4,
+                ),
+            )
+            .where(F.col("jaccard") >= F.lit(threshold))
+            .select("id_a", "id_b", "jaccard")
+        )
     cand = (
         a.join(
             b,
@@ -2369,40 +2416,79 @@ def containment_pairs(
     )
     a = blocking.alias("a")
     b = blocking.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a._sh") == F.col("b._sh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    if max_posting_len is None:
+        # exact blocking: |intersection| is a plain count over the
+        # posting self-join (one row per (pair, common shingle) —
+        # shingle arrays are distinct-by-construction), so the
+        # per-pair full-array intersect and the two array-carrying
+        # joins disappear (see _pair_jaccard's count path)
+        common = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+        out = (
+            common.join(
+                shingled.select(
+                    F.col(id_col).alias("id_a"),
+                    F.size("shingles").cast("long").alias("n_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                shingled.select(
+                    F.col(id_col).alias("id_b"),
+                    F.size("shingles").cast("long").alias("n_b"),
+                ),
+                "id_b",
+            )
         )
-        .distinct()
-    )
-    sh_a = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
-    )
-    sh_b = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
-    )
-    # aggregate barrier over the unique pair keys (see _pair_jaccard):
-    # keeps the threshold filter from being substituted into the join
-    # condition, where it re-evaluated the full-array intersect per
-    # candidate pair.  Singleton groups, so min() is the value.
+    else:
+        cand = (
+            a.join(
+                b,
+                (F.col("a._sh") == F.col("b._sh"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
+        sh_a = shingled.select(
+            F.col(id_col).alias("id_a"), F.col("shingles").alias("_sh_a")
+        )
+        sh_b = shingled.select(
+            F.col(id_col).alias("id_b"), F.col("shingles").alias("_sh_b")
+        )
+        # aggregate barrier over the unique pair keys (see
+        # _pair_jaccard): keeps the threshold filter from being
+        # substituted into the join condition, where it re-evaluated
+        # the full-array intersect per candidate pair.  Singleton
+        # groups, so min() is the value.
+        out = (
+            cand.join(sh_a, "id_a")
+            .join(sh_b, "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.min(
+                    F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
+                    .cast("long")
+                ).alias("n_common"),
+                F.min(F.size("_sh_a").cast("long")).alias("n_a"),
+                F.min(F.size("_sh_b").cast("long")).alias("n_b"),
+            )
+        )
     out = (
-        cand.join(sh_a, "id_a")
-        .join(sh_b, "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.min(
-                F.size(F.array_intersect(F.col("_sh_a"), F.col("_sh_b")))
-                .cast("long")
-            ).alias("n_common"),
-            F.min(F.size("_sh_a").cast("long")).alias("n_a"),
-            F.min(F.size("_sh_b").cast("long")).alias("n_b"),
-        )
+        out
         .withColumn(
             "containment_a_in_b",
             F.round(F.col("n_common") / F.col("n_a"), 4),
